@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.functions.JsonRepair
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** O8 — row coercion / normalization (reference: db-sync-local/sync_utils.py:79-139).
+  *
+  * The reference walks each row and dispatches per column type:
+  *   - arrays: NULL / non-list -> `[]` (sync_utils.py:86-94)
+  *   - jsonb: two-stage quote repair, unparseable -> NULL (:97-126)
+  *   - `*int*` / bigserial: `int(float(v))` — tolerates "3.0" strings (:127-131)
+  *   - everything else: `str(v).strip()` (:133-137), NULL passthrough
+  *
+  * Here each rule is a *columnar* expression, not a per-row driver loop
+  * (SURVEY §2.4-9 calls the reference's row loop its scalability ceiling):
+  * `cast`/`trim`/`coalesce` are codegen'd by Tungsten and stay inside
+  * whole-stage codegen; only the JSON repair is a UDF (see JsonRepair).
+  */
+object Coerce {
+
+  /** `int(float(v))`: double-then-long cast tolerates "3.0"-style strings;
+    * un-castable values become NULL like the reference's except branch. */
+  def intish(c: Column): Column = c.cast(DoubleType).cast(LongType)
+
+  /** `str(v).strip()` with NULL passthrough. */
+  def strip(c: Column): Column = trim(c)
+
+  /** Array NULL -> [] (element type preserved). */
+  def arrayOrEmpty(c: Column, elementType: DataType): Column =
+    coalesce(c, lit(Array.empty[String]).cast(ArrayType(elementType)))
+
+  /** JSONB repair column (see JsonRepair). */
+  def jsonb(c: Column): Column = JsonRepair(c)
+
+  /** Whole-frame dispatch mirroring prepare_record's per-type rules.
+    * `jsonColumns` marks string columns that carry JSONB payloads (Spark has
+    * no JSONB type; the reference sees a rendered type string instead). */
+  def frame(df: DataFrame, jsonColumns: Set[String] = Set.empty): DataFrame = {
+    val exprs = df.schema.fields.toSeq.map { f =>
+      val c = col(f.name)
+      val coerced = f.dataType match {
+        case ArrayType(et, _)          => arrayOrEmpty(c, et)
+        case _ if jsonColumns(f.name)  => jsonb(c)
+        case _: IntegerType | _: LongType | _: ShortType | _: ByteType => intish(c)
+        case _: StringType             => strip(c)
+        case _                         => c // dates/timestamps/doubles pass through
+      }
+      coerced.as(f.name)
+    }
+    df.select(exprs: _*)
+  }
+}

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** O9 — upsert / merge, relational form (reference: generate_upsert_query,
+  * db-sync-local/sync_utils.py:174-193 — `INSERT … ON CONFLICT (pks) DO UPDATE
+  * SET col = EXCLUDED.col`).
+  *
+  * Relational semantics: last-writer-wins on the key — delta rows replace base
+  * rows sharing the primary key; unmatched rows from both sides survive.
+  * Expressed as `unionByName` + one `row_number` window partitioned by the key.
+  *
+  * Scale: one shuffle on the PK (the window's partitionBy). Both inputs
+  * hash-partition on the same key, so AQE can coalesce; there is no join and
+  * no driver materialization. For a 100 TB base + small delta, prefer the
+  * sink-side writer (sources.UpsertWriter) which ships only the delta;
+  * this operator is the testable pure-Spark semantics of DO UPDATE.
+  */
+object Merge {
+
+  private val PREC = "__graft_precedence"
+  private val RN   = "__graft_rn"
+
+  /** Delta wins on key conflict; both sides' unmatched rows kept. */
+  def upsert(base: DataFrame, delta: DataFrame, pks: Seq[String]): DataFrame = {
+    require(pks.nonEmpty, "upsert requires at least one key column (O3 falls back to all columns)")
+    val unioned = base.withColumn(PREC, lit(0)).unionByName(delta.withColumn(PREC, lit(1)))
+    val w = Window.partitionBy(pks.map(col): _*).orderBy(col(PREC).desc)
+    unioned
+      .withColumn(RN, row_number().over(w))
+      .filter(col(RN) === 1)
+      .drop(PREC, RN)
+  }
+
+  /** No-PK fallback: the reference upserts on *all* columns
+    * (sync_utils.py:156-168 + :178-193) — insert-if-identical-row-absent. */
+  def upsertAllColumns(base: DataFrame, delta: DataFrame): DataFrame =
+    upsert(base, delta, base.columns.toSeq)
+}

@@ -21,8 +21,9 @@ import org.apache.spark.sql.types._
 object Coerce {
 
   /** `int(float(v))`: double-then-long cast tolerates "3.0"-style strings;
-    * un-castable values become NULL like the reference's except branch. */
-  def intish(c: Column): Column = c.cast(DoubleType).cast(LongType)
+    * un-castable values become NULL like the reference's except branch
+    * (try_cast, since ANSI mode otherwise throws on malformed input). */
+  def intish(c: Column): Column = c.try_cast(DoubleType).try_cast(LongType)
 
   /** `str(v).strip()` with NULL passthrough. */
   def strip(c: Column): Column = trim(c)

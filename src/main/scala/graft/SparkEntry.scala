@@ -1,6 +1,10 @@
 package graft
 
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
 import graft.operators._
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -172,6 +176,112 @@ object SparkEntry {
       "SELECT count(*) AS n FROM lineitem WHERE l_shipdate > (SELECT max(l_shipdate) FROM lineitem WHERE l_shipdate <= TIMESTAMP '1996-01-01 00:00:00')"
   )
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = core
-  def oracleSql: Map[String, String] = coreOracle
+  // ------------------------------------------- LLM-pipeline ops (q16-q27)
+
+  private val llm: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: keep smallest doc_id per distinct text (hash-groupBy)
+    "q16_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "text", "doc_id").orderBy("doc_id")),
+
+    // token counting: whitespace-ish + BPE-ish estimate
+    "q17_token_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_bpe"))
+        .orderBy("doc_id")),
+
+    // quality scoring: punct/stopword counts + integer-exact quality gate
+    "q18_text_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.punctCount(col("text")).as("n_punct"),
+        TextAnalysis.stopwordCount(col("text")).as("n_stop"),
+        TextAnalysis.qualityOk(col("text")).as("quality_ok"))
+        .orderBy("doc_id")),
+
+    // language ID by marker-word scoring with fixed tie-break
+    "q19_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    // content fingerprint: md5 over whitespace-normalized lowercase text
+    "q20_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // MinHash+LSH near-dup pairs, unigram-set Jaccard >= 0.9 (verified)
+    "q21_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+          TextAnalysis.tokenSet, num = 9, den = 10, numHashes = 128, bands = 32)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        .orderBy("doc_a", "doc_b")),
+
+    // word-trigram-shingle Jaccard >= 0.7 near-dups via MinHash+LSH
+    "q22_dedup_ngram" -> ((s, dir) =>
+      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+          Dedup.wordNgrams(_, 3), num = 7, den = 10, numHashes = 256, bands = 64)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        .orderBy("doc_a", "doc_b")),
+
+    // SimHash invariant: identical texts MUST get identical simhash
+    "q23_simhash_invariant" -> ((s, dir) => {
+      val sig = t(s, dir, "documents").select(col("doc_id"), col("text"),
+        Dedup.simhashBits(Dedup.hashedShingles(TextAnalysis.tokenSet(col("text")))).as("sig"))
+      val a = sig.select(col("text"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
+      val b = sig.select(col("text"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
+      a.join(b, "text").filter(col("id_a") < col("id_b"))
+        .agg(count(when(col("sig_a") =!= col("sig_b"), 1)).as("violations"))
+    }),
+
+    // brute-force cosine top-10 around vec 0 — the exact ANN baseline
+    "q24_embed_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 0L, 10)),
+
+    // embedding-cosine near-dup pairs (cosine >= 0.5)
+    "q25_embed_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.5)
+        .orderBy("vec_a", "vec_b")),
+
+    // SRP-LSH bucketed ANN — approximate, no SQL oracle (rows-only check);
+    // recall vs brute force is pinned by AnnSpec
+    "q26_ann_topk" -> ((s, dir) =>
+      Similarity.annTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 0L, 10)),
+
+    // multimodal: binary payload -> partition-parallel stub decode
+    "q27_multimodal_decode" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.decode(Multimodal.attachBinary(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF().orderBy("doc_id")
+    })
+  )
+
+  private val llmOracle: Map[String, String] = Map(
+    "q16_dedup_exact" ->
+      "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text ORDER BY doc_id",
+    "q17_token_stats" ->
+      "SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens, CAST(floor((length(text)+3)/4.0) AS BIGINT) AS n_bpe FROM documents ORDER BY doc_id",
+    "q18_text_quality" ->
+      """WITH f AS (SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok, len(regexp_extract_all(text, '[.!?,;:]')) AS n_punct, len(regexp_extract_all(lower(text), '\b(the|a|an|of|and|to|in|is|it|for)\b')) AS n_stop FROM documents) SELECT doc_id, CAST(n_punct AS BIGINT) AS n_punct, CAST(n_stop AS BIGINT) AS n_stop, CAST(CASE WHEN n_tok >= 5 AND n_stop * 2 <= n_tok THEN 1 ELSE 0 END AS BIGINT) AS quality_ok FROM f ORDER BY doc_id""",
+    "q19_lang_id" ->
+      """WITH s AS (SELECT doc_id, len(regexp_extract_all(lower(text), '\b(the|of|and|is|to)\b')) AS s_en, len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS s_de, len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|y|de)\b')) AS s_es, len(regexp_extract_all(lower(text), '\b(le|les|des|est|et|une)\b')) AS s_fr FROM documents) SELECT doc_id, CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en' WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr AND s_de > s_en THEN 'de' WHEN s_es > 0 AND s_es >= s_fr AND s_es > s_en AND s_es > s_de THEN 'es' WHEN s_fr > 0 AND s_fr > s_en AND s_fr > s_de AND s_fr > s_es THEN 'fr' ELSE 'unk' END AS lang_pred FROM s ORDER BY doc_id""",
+    "q20_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp FROM documents ORDER BY doc_id""",
+    "q21_dedup_minhash" ->
+      """WITH tok AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ts FROM documents WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM tok a JOIN tok b ON a.doc_id < b.doc_id WHERE len(list_intersect(a.ts, b.ts)) * 10 >= len(list_distinct(list_concat(a.ts, b.ts))) * 9 ORDER BY doc_a, doc_b""",
+    "q22_dedup_ngram" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), tri AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1), i -> ts[i]||' '||ts[i+1]||' '||ts[i+2])) AS gs FROM tok WHERE len(ts) >= 3) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM tri a JOIN tri b ON a.doc_id < b.doc_id WHERE len(list_intersect(a.gs, b.gs)) * 10 >= len(list_distinct(list_concat(a.gs, b.gs))) * 7 ORDER BY doc_a, doc_b""",
+    "q23_simhash_invariant" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    "q24_embed_topk" ->
+      "SELECT vec_id FROM (SELECT e.vec_id FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q WHERE e.vec_id <> 0 ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id LIMIT 10) ORDER BY vec_id",
+    "q25_embed_neardup" ->
+      "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5 ORDER BY vec_a, vec_b",
+    // q26_ann_topk: intentionally no oracle — approximate operator
+    "q27_multimodal_decode" ->
+      "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, CAST(64 + octet_length(encode(text)) % 64 AS BIGINT) AS width, CAST(64 + (octet_length(encode(text)) // 64) % 64 AS BIGINT) AS height, CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0 ELSE ascii(substr(text, 1, 1)) END AS BIGINT) AS checksum FROM documents ORDER BY doc_id"
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = core ++ llm
+  def oracleSql: Map[String, String] = coreOracle ++ llmOracle
 }

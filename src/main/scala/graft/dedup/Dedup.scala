@@ -1,0 +1,180 @@
+package graft.dedup
+
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * n-gram Jaccard, SimHash.
+  *
+  * Scale design (the point of this module): the naive near-dup formulation is
+  * an all-pairs O(n²) join — dead at 100 TB. Here candidate generation is
+  * MinHash banding: each doc emits `bands` small keys, the join is an
+  * equi-join on (band, bandHash) — a plain shuffled hash join whose cost is
+  * proportional to true collisions, not n². Verification then computes exact
+  * Jaccard only on candidates, so the output has no false positives and (for
+  * thresholds ≥ ~0.7 with these parameters) a ~1e-8 false-negative
+  * probability per pair — deterministic in practice.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per distinct key column — one
+    * hash-aggregate shuffle on the content key. For very long texts, dedup on
+    * TextAnalysis.fingerprintMd5 instead so the shuffle key is 16 bytes. */
+  def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col(keyCol))
+
+  // ------------------------------------------------------------- MinHash
+
+  /** 2^31-1, the classic Mersenne modulus for the affine hash family. */
+  private val P = 2147483647L
+
+  /** Shingle set -> SORTED array<bigint> of xxhash64 values. Hashing once up
+    * front (a) makes the 128-function MinHash family pure integer arithmetic
+    * instead of 128 string re-hashes per shingle, and (b) lets verification
+    * use the codegen'd SortedLongIntersectSize merge scan. 64-bit collisions
+    * (~1e-15 for these set sizes) are the standard accepted risk. */
+  def hashedShingles(shingles: Column): Column =
+    array_sort(transform(shingles, t => xxhash64(t)))
+
+  /** MinHash signature over hashed shingles: array of `numHashes` minima of
+    * the affine family h_i(x) = ((x mod P) * (2i+1) + 12345 i + 7) mod P.
+    * All arithmetic stays < 2^40, so no ANSI overflow. */
+  def minhashSignature(shingleHashes: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), i =>
+      array_min(transform(shingleHashes, h =>
+        pmod(pmod(h, lit(P)) * (i * 2 + 1) + (i * 12345 + 7), lit(P)))))
+
+  /** LSH banding: doc -> `bands` rows keyed by (band index, hash of the
+    * band's signature slice). Docs sharing any band key become candidates.
+    *
+    * The signature is BOUND as a lambda variable (via a 1-element array) so
+    * it is evaluated once per row: referencing the signature expression
+    * directly from all `bands` slices lets CollapseProject re-inline it per
+    * band — a `bands`× recomputation of the whole MinHash (observed 64×
+    * blowup, 186 s for 500 docs, before this binding). */
+  def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+    flatten(transform(array(sig), s =>
+      transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"), xxhash64(slice(s, b * rows + 1, lit(rows))).as("bh")))))
+
+  /** RAW candidate pairs (idA < idB) from LSH banding over `shingleCol` —
+    * NOT deduplicated: a pair sharing k bands appears k times. Callers that
+    * verify candidates should dedup AFTER verification (far fewer uniques
+    * survive, so the hash-agg never spills); callers that want the candidate
+    * set itself use lshCandidates. */
+  def lshCandidatesRaw(df: DataFrame, idCol: String, shingleCol: String,
+                       numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val banded = df
+      .filter(size(col(shingleCol)) > 0)
+      .select(col(idCol),
+        explode(bandKeys(minhashSignature(col(shingleCol), numHashes), bands, rows)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val a = banded.select(col("band"), col("bh"), col(idCol).as("id_a"))
+    val b = banded.select(col("band"), col("bh"), col(idCol).as("id_b"))
+    // The band table is n × bands tiny rows — broadcast it. Without the hint
+    // Catalyst's post-explode size estimate balloons, picks a sort-merge
+    // join, and AQE then coalesces the (byte-wise tiny, row-wise explosive)
+    // shuffle to ONE partition — measured single-threaded 200M-row emit. The
+    // hint keeps the emit parallel over the probe side's partitions. For a
+    // corpus too big to broadcast band keys, pre-bucket both sides by
+    // (band, bh) instead.
+    a.join(broadcast(b), Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+  }
+
+  /** Distinct candidate pairs (idA < idB) from LSH banding. */
+  def lshCandidates(df: DataFrame, idCol: String, shingleCol: String,
+                    numHashes: Int, bands: Int): DataFrame =
+    lshCandidatesRaw(df, idCol, shingleCol, numHashes, bands).distinct()
+
+  /** Exact-Jaccard verification of candidate pairs: keep pairs with
+    * |∩| * den >= num * |∪| (i.e. J >= num/den, integer-exact so the
+    * threshold compare is bit-identical across engines). `shingleCol` must
+    * hold SORTED hashed shingles; |∩| is the codegen'd merge scan and
+    * |∪| = |A| + |B| − |∩| (no array materialization per pair). Both joins
+    * broadcast the (small) per-doc set side against the candidate stream. */
+  def verifyJaccard(candidates: DataFrame, df: DataFrame, idCol: String,
+                    shingleCol: String, num: Int, den: Int): DataFrame = {
+    // Broadcast the per-doc set table against the (row-wise huge) candidate
+    // stream so rejected pairs never materialize a joined row — the probes
+    // and the merge-scan filter fuse into the candidate stage's codegen.
+    val sets = broadcast(df.select(col(idCol), col(shingleCol)))
+    val withA = candidates.join(sets.select(col(idCol).as("id_a"), col(shingleCol).as("__sa")), "id_a")
+    val withB = withA.join(sets.select(col(idCol).as("id_b"), col(shingleCol).as("__sb")), "id_b")
+    val inter = graft.functions.VectorFunctions.sortedIntersectSize(col("__sa"), col("__sb"))
+    withB
+      .withColumn("__i", inter)
+      .filter(col("__i") * den >= (size(col("__sa")) + size(col("__sb")) - col("__i")) * num)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Full MinHash+LSH near-dup pipeline over a text column: shingle -> hash
+    * -> signature -> band join -> exact-Jaccard verify. Output: (id_a, id_b)
+    * pairs with shingle-set Jaccard >= num/den.
+    *
+    * Plan shape, tuned on a pathologically self-similar corpus (200M raw
+    * band collisions from 5k docs):
+    *  - `repartition(id)` before the signature stage — a single small input
+    *    file otherwise computes the whole MinHash family on ONE core;
+    *  - the band self-join carries ONLY ids (16-byte rows), never the
+    *    shingle arrays: a fused join+verify was measured far heavier because
+    *    every collision row dragged two array payloads through the join;
+    *  - the raw collision stream is verified FIRST (hash-probe the two small
+    *    set tables + codegen merge scan, all in one codegen stage with no
+    *    row materialization for rejected pairs) and deduplicated LAST:
+    *    `distinct` on raw candidates was measured spilling its partial
+    *    hash-agg (10M+ uniques per task), while post-verify uniques are
+    *    ~10× fewer and map-side combine collapses the band duplicates. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      shingler: Column => Column,
+                      num: Int, den: Int,
+                      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    // EXPLICIT partition count: repartition(col) alone is REPARTITION_BY_COL,
+    // which AQE coalesces by input BYTES — a byte-small doc table collapses
+    // to 1 partition and the row-explosive band join then emits 100M+ rows
+    // on a single core (measured). The explicit count pins the parallelism
+    // of everything downstream of this narrow chain.
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // Repartition BEFORE shingling: below the exchange the projection would
+    // run on the input's (often single-file, single-partition) layout —
+    // measured as a serial trigram+hash pass. Above it, every consumer
+    // computes shingles in parallel over n partitions, and ReuseExchange
+    // still dedups the underlying shuffle.
+    val shingled = df
+      .repartition(n, col(idCol))
+      .select(col(idCol), hashedShingles(shingler(col(textCol))).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val cands = lshCandidatesRaw(shingled, idCol, "__sh", numHashes, bands)
+    verifyJaccard(cands, shingled, idCol, "__sh", num, den).distinct()
+  }
+
+  /** Word n-gram (shingle) set for the n-gram-Jaccard dedup variant —
+    * order-sensitive, far more discriminative than unigram sets.
+    *
+    * The token array is BOUND as a lambda variable (1-element-array trick):
+    * referencing the tokenizer expression from every element_at would re-run
+    * the regex per position per reference — measured ~240 tokenizer passes
+    * per document. */
+  def wordNgrams(c: Column, n: Int): Column =
+    flatten(transform(array(TextAnalysis.tokens(c)), ts =>
+      when(size(ts) >= n,
+        array_distinct(transform(sequence(lit(0), size(ts) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + j + 1)): _*))))
+        .otherwise(array().cast(ArrayType(StringType)))))
+
+  // ------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash as an array of 64 sign bits — the codegen'd SimHash64
+    * expression over PRE-HASHED tokens (hashedShingles). */
+  def simhashBits(tokenHashes: Column): Column =
+    graft.functions.SimHash64(tokenHashes)
+
+  /** Hamming distance between two bit arrays. */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => abs(x - y)), lit(0), _ + _)
+}

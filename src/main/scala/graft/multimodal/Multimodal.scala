@@ -1,0 +1,61 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with typed
+  * metadata, decoded batch-wise on executors.
+  *
+  * The real Spark concerns — schema, partition-parallel batch decode via
+  * mapPartitions, typed output Encoders, never shipping bytes to the driver —
+  * are implemented and tested. The codec itself is a STUB (this container has
+  * no image/audio libraries): `decodeBytes` derives deterministic fake
+  * dimensions from the byte payload. Swapping in a real decoder changes ONLY
+  * the body of `decodeBytes`; the distributed plumbing is identical, and the
+  * per-partition iterator shape is exactly where a real implementation would
+  * amortize codec init (one decoder instance per partition, not per row).
+  */
+object Multimodal {
+
+  /** Media row: id + opaque payload. */
+  case class MediaRecord(doc_id: Long, media: Array[Byte])
+
+  /** Decoded metadata — all Long for cross-engine schema stability. */
+  case class DecodedMedia(doc_id: Long, n_bytes: Long, width: Long, height: Long, checksum: Long)
+
+  /** STUB codec: deterministic pseudo-decode from the payload. A real
+    * implementation would parse the container header here. */
+  def decodeBytes(id: Long, bytes: Array[Byte]): DecodedMedia = {
+    val n = if (bytes == null) 0L else bytes.length.toLong
+    val checksum = if (n == 0) 0L else bytes(0).toLong & 0xffL
+    DecodedMedia(id, n, 64 + n % 64, 64 + (n / 64) % 64, checksum)
+  }
+
+  /** Project a text column into an opaque binary media column — the test
+    * stand-in for reading real image/audio payloads. */
+  def attachBinary(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(col(idCol).cast(LongType).as("doc_id"),
+      col(payloadCol).cast(BinaryType).as("media"))
+
+  /** Partition-parallel decode: binary media -> typed metadata. The batch
+    * shape (one iterator per partition) is what a real codec needs to reuse
+    * native contexts; output is a typed Dataset with a product Encoder. */
+  def decode(media: DataFrame)(implicit spark: SparkSession): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      // real codec: init decoder once here, close at iterator end
+      it.map(r => decodeBytes(r.doc_id, r.media))
+    }
+  }
+
+  /** Frame sampling stub: pick every `stride`-th byte as a "frame" offset —
+    * the Spark-side shape of video frame extraction (explode to one row per
+    * frame, key back to the doc). */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+    media.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), greatest(ceil(length(col("media")) / stride) - 1, lit(0))),
+        i => i * stride)))
+      .select(col("doc_id"), col("pos").cast(LongType).as("frame_idx"), col("col").cast(LongType).as("byte_offset"))
+}

@@ -1,0 +1,104 @@
+package graft.similarity
+
+import graft.functions.VectorFunctions.floatDot
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Two paths, per the standard ANN playbook:
+  *  - brute-force cosine top-k — the exact baseline; one broadcast of the
+  *    query vector, one narrow pass over n vectors, a k-row driver result.
+  *    Linear in n, embarrassingly parallel — fine even at 100 TB when the
+  *    query count is small.
+  *  - SRP-LSH (signed random projections) bucketed search — the scale path
+  *    for many queries / pair mining: vectors land in 2^planes buckets; a
+  *    query probes its own bucket plus Hamming-1 neighbors, so per-query cost
+  *    is the bucket size, not n. Buckets are deterministic (seeded planes).
+  *
+  * All dot products go through the codegen'd FloatDotProduct expression
+  * (double accumulation, left-to-right — the oracle engine's order); the
+  * interpreted `aggregate(zip_with(...))` formulation was the bench
+  * bottleneck on the O(n²) pair scan.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column = floatDot(a, b)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine against the vector of `queryId` (self excluded).
+    * Output: the k ids, re-sorted by id for stable comparison. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     queryId: Long, k: Int): DataFrame = {
+    val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("__qv"))
+    emb.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= queryId)
+      .withColumn("__score", cosine(col(vecCol), col("__qv")))
+      .orderBy(col("__score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol))
+      .orderBy(col(idCol))
+  }
+
+  /** Embedding near-dup pairs: all (a < b) with cosine >= threshold (>= 0).
+    * Norms are precomputed per vector (n rows, once) so each of the O(n²)
+    * pairs evaluates ONE codegen'd dot product — `cosine()` inline would
+    * recompute both self-norms per pair, a 3× flop blowup. O(n²) by
+    * construction — the exact baseline; bucket with srpBucket first to mine
+    * pairs at scale (join on bucket, verify within buckets). */
+  def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double): DataFrame = {
+    require(threshold >= 0, "dot-product threshold rewrite assumes cosine threshold >= 0")
+    val normed = emb.select(col(idCol), col(vecCol).as("__v"), norm(col(vecCol)).as("__n"))
+    val a = normed.select(col(idCol).as("vec_a"), col("__v").as("__va"), col("__n").as("__na"))
+    val b = normed.select(col(idCol).as("vec_b"), col("__v").as("__vb"), col("__n").as("__nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .filter(dot(col("__va"), col("__vb")) >= col("__na") * col("__nb") * threshold)
+      .select("vec_a", "vec_b")
+  }
+
+  // ------------------------------------------------------- SRP-LSH (scale)
+
+  /** Deterministic seeded hyperplanes: `planes` × `dim` in [-1, 1), as
+    * floats so the projection reuses the codegen'd float dot product. */
+  def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Array[Array[Float]] = {
+    val rnd = new Random(seed)
+    Array.fill(planes, dim)(rnd.nextFloat() * 2 - 1)
+  }
+
+  /** SRP bucket id: integer whose bit i = sign(v · plane_i). <= 2^planes
+    * buckets; no overflow for planes <= 30. */
+  def srpBucket(vec: Column, planes: Array[Array[Float]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, typedLit(p.toSeq)) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: probe the query's bucket plus all Hamming-1 buckets
+    * (multiprobe), exact cosine within candidates. Returns ids sorted by id.
+    * Recall is tested against bruteForceTopK in AnnSpec. */
+  def annTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val bucketed = emb.withColumn("__bucket", srpBucket(col(vecCol), planes))
+    val q = bucketed.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qv"), col("__bucket").as("__qb"))
+    // query bucket + its numPlanes Hamming-1 neighbors, as a broadcast row
+    val probes = q.select(col("__qv"),
+      array(col("__qb") +: (0 until numPlanes).map(i =>
+        // XOR via arithmetic to stay in the Column algebra
+        when(col("__qb").bitwiseAND(lit(1 << i)) > 0, col("__qb") - (1 << i))
+          .otherwise(col("__qb") + (1 << i))): _*).as("__probes"))
+    bucketed.crossJoin(broadcast(probes))
+      .filter(array_contains(col("__probes"), col("__bucket")) && col(idCol) =!= queryId)
+      .withColumn("__score", cosine(col(vecCol), col("__qv")))
+      .orderBy(col("__score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol))
+      .orderBy(col(idCol))
+  }
+}

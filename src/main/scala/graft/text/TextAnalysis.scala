@@ -1,0 +1,98 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality features, language ID, fingerprinting.
+  *
+  * Everything here is pure Catalyst column expressions (regexp/array/hash
+  * built-ins) — no UDFs — so the whole stage stays inside whole-stage codegen
+  * and scales linearly over a 100 TB documents table: one narrow map stage,
+  * no shuffle, no driver involvement.
+  */
+object TextAnalysis {
+
+  /** Word tokens: lowercase alnum runs. The de-facto whitespace tokenizer for
+    * the synthetic corpus; robust to punctuation on real text. */
+  val TokenRe = "[a-z0-9]+"
+
+  /** Sequential (non-distinct) tokens. */
+  def tokens(c: Column): Column = regexp_extract_all(lower(c), lit(TokenRe), lit(0))
+
+  /** Distinct token set — the unit for set-similarity dedup. */
+  def tokenSet(c: Column): Column = array_distinct(tokens(c))
+
+  /** Whitespace-ish token count. */
+  def tokenCount(c: Column): Column = size(tokens(c)).cast(LongType)
+
+  /** BPE-ish token estimate: ~4 chars/token, the standard envelope guess.
+    * Integer-exact: floor((len+3)/4). */
+  def bpeishTokenCount(c: Column): Column =
+    floor((length(c) + lit(3)) / lit(4.0)).cast(LongType)
+
+  /** Punctuation occurrences. */
+  def punctCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[.!?,;:]"), lit(0))).cast(LongType)
+
+  private val StopRe = "\\b(the|a|an|of|and|to|in|is|it|for)\\b"
+
+  /** Stopword occurrences (small fixed English list). */
+  def stopwordCount(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit(StopRe), lit(0))).cast(LongType)
+
+  /** Quality gate: enough tokens and not stopword-soup. Integer arithmetic
+    * only, so the flag is bit-identical across engines. */
+  def qualityOk(c: Column): Column = {
+    val nTok = tokenCount(c)
+    val nStop = stopwordCount(c)
+    (nTok >= 5 && nStop * 2 <= nTok).cast(IntegerType).cast(LongType)
+  }
+
+  /** Marker-word language ID (n-gram heuristic): count language-specific
+    * stopword hits, pick the best with a fixed tie-break order. At scale this
+    * is a single regexp pass per language over one column — still one narrow
+    * codegen'd stage. */
+  private val Markers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|of|and|is|to)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht)\\b",
+    "es" -> "\\b(el|la|los|las|es|y|de)\\b",
+    "fr" -> "\\b(le|les|des|est|et|une)\\b")
+
+  def langScores(c: Column): Seq[(String, Column)] =
+    Markers.map { case (langName, re) =>
+      langName -> size(regexp_extract_all(lower(c), lit(re), lit(0))).cast(LongType)
+    }
+
+  /** argmax over scores; earlier language wins ties; all-zero -> "unk".
+    * Built as a CASE chain mirroring the SQL oracle exactly: lang_i wins iff
+    * its score is > 0, >= every later score, and > every earlier score
+    * (earlier ties are already claimed by the earlier branch). */
+  def langId(c: Column): Column = {
+    val scores = langScores(c)
+    val conds = scores.zipWithIndex.map { case ((langName, s), i) =>
+      val geLater = scores.drop(i + 1).map { case (_, o) => s >= o }
+      val gtEarlier = scores.take(i).map { case (_, o) => s > o }
+      (langName, (Seq(s > 0) ++ geLater ++ gtEarlier).reduce(_ && _))
+    }
+    conds.foldRight(lit("unk")) { case ((langName, cond), el) => when(cond, lit(langName)).otherwise(el) }
+  }
+
+  /** Content fingerprint: md5 over whitespace-normalized lowercase text —
+    * the exact-dedup key that survives formatting noise. */
+  def fingerprintMd5(c: Column): Column =
+    md5(regexp_replace(lower(c), "\\s+", " ").cast(BinaryType))
+
+  /** Rolling-hash document sketch: hash every word k-gram shingle, keep the
+    * `n` smallest hashes (a bottom-n sketch — a compact fingerprint whose
+    * overlap estimates containment). Used by near-dup pipelines and tests.
+    * Token array bound once via the 1-element-array lambda trick (see
+    * Dedup.wordNgrams). */
+  def bottomNSketch(c: Column, k: Int, n: Int): Column =
+    slice(array_sort(flatten(transform(array(tokens(c)), ts =>
+      when(size(ts) >= k,
+        array_distinct(transform(sequence(lit(0), size(ts) - k),
+          i => xxhash64(concat_ws(" ", (0 until k).map(j => element_at(ts, i + j + 1)): _*)))))
+        .otherwise(array().cast(ArrayType(LongType)))))), 1, n)
+}

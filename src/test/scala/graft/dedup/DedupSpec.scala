@@ -1,0 +1,79 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near dup
+    (3L, "completely different content about spark engines"),
+    (4L, "spark engines about content different completely")) // permutation of 3
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps smallest id per distinct text") {
+    val out = Dedup.exact(docs, "text", "doc_id").collect().map(_.getLong(0)).toSet
+    assert(out === Set(0L, 2L, 3L, 4L))
+  }
+
+  test("wordNgrams builds ordered trigram shingles; short docs get empty set") {
+    val tri = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+      .select($"doc_id", Dedup.wordNgrams($"text", 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(tri(1L) === Seq("a b c", "b c d"))
+    assert(tri(2L) === Seq())
+  }
+
+  test("hashedShingles is sorted ascending (merge-scan precondition)") {
+    val hs = docs.select(Dedup.hashedShingles(TextAnalysis.tokenSet($"text")).as("h"))
+      .collect().map(_.getSeq[Long](0))
+    hs.foreach(a => assert(a === a.sorted))
+  }
+
+  test("minhash LSH over unigram sets finds exact and same-word-set dups") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        TextAnalysis.tokenSet, num = 9, den = 10, numHashes = 128, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (0,1) identical; (3,4) same word set (unigram J = 1); (0,2)/(1,2)
+    // differ by one word in nine -> J = 8/10 < 0.9, excluded
+    assert(pairs === Set((0L, 1L), (3L, 4L)))
+  }
+
+  test("trigram shingles separate reordered docs that unigrams conflate") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        Dedup.wordNgrams(_, 3), num = 7, den = 10, numHashes = 256, bands = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // one-word-changed docs share 6/8 trigrams (0.75 >= 0.7) and stay; the
+    // permuted pair (3,4) — unigram J = 1.0 — shares NO trigram and is gone
+    assert(pairs === Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    assert(!pairs.contains((3L, 4L)))
+  }
+
+  test("simhash: identical token sets agree; hamming 0 vs nonzero") {
+    val sigs = docs.select($"doc_id",
+        Dedup.simhashBits(Dedup.hashedShingles(TextAnalysis.tokenSet($"text"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(sigs(0L) === sigs(1L))
+    assert(sigs(3L) === sigs(4L)) // same token set -> same simhash
+    assert(sigs(0L) !== sigs(3L))
+    sigs.values.foreach(s => assert(s.length === 64 && s.forall(b => b == 0 || b == 1)))
+  }
+
+  test("verifyJaccard integer threshold: J >= num/den boundary is exact") {
+    val sets = Seq(
+      (1L, Seq(1L, 2L, 3L, 4L).sorted),
+      (2L, Seq(1L, 2L, 3L, 4L, 5L).sorted), // J(1,2) = 4/5 = 0.8
+      (3L, Seq(10L, 20L).sorted))
+      .toDF("doc_id", "sh")
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    def pairsAt(num: Int, den: Int) =
+      Dedup.verifyJaccard(cands, sets, "doc_id", "sh", num, den)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsAt(8, 10) === Set((1L, 2L)))   // 0.8 >= 0.8 inclusive
+    assert(pairsAt(9, 10) === Set.empty)       // 0.8 < 0.9
+  }
+}

@@ -1,0 +1,72 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Seq[Float])*) = rows.toDF("vec_id", "embedding")
+
+  test("dot and cosine on known vectors (codegen'd FloatDotProduct)") {
+    val df = vecs(0L -> Seq(1f, 2f, 3f), 1L -> Seq(4f, 5f, 6f))
+    val d = df.filter($"vec_id" === 0).crossJoin(
+        df.filter($"vec_id" === 1).select($"embedding".as("b")))
+      .select(Similarity.dot($"embedding", $"b").as("d"),
+        Similarity.cosine($"embedding", $"b").as("c")).head
+    assert(d.getDouble(0) === 32.0)
+    assert(math.abs(d.getDouble(1) - 32.0 / (math.sqrt(14) * math.sqrt(77))) < 1e-12)
+  }
+
+  test("empty arrays dot to 0") {
+    val df = Seq((Seq.empty[Float], Seq.empty[Float])).toDF("a", "b")
+    assert(df.select(Similarity.dot($"a", $"b")).head.getDouble(0) === 0.0)
+  }
+
+  test("bruteForceTopK returns the k nearest by cosine, self excluded") {
+    val df = vecs(
+      0L -> Seq(1f, 0f), 1L -> Seq(0.9f, 0.1f), 2L -> Seq(0f, 1f),
+      3L -> Seq(1f, 0.01f), 4L -> Seq(-1f, 0f))
+    val top2 = Similarity.bruteForceTopK(df, "vec_id", "embedding", 0L, 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(top2 === Set(1L, 3L))
+  }
+
+  test("nearDupPairs finds exactly the high-cosine pairs") {
+    val df = vecs(
+      0L -> Seq(1f, 0f), 1L -> Seq(1f, 0f),       // identical -> cos 1
+      2L -> Seq(0f, 1f), 3L -> Seq(0.01f, 1f),    // near-identical
+      4L -> Seq(1f, 1f))                           // 45 deg from both axes
+    val pairs = Similarity.nearDupPairs(df, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L), (2L, 3L)))
+  }
+
+  test("srpBucket is deterministic and identical vectors share a bucket") {
+    val planes = Similarity.hyperplanes(8, 4)
+    val df = vecs(0L -> Seq(1f, 2f, 3f, 4f), 1L -> Seq(1f, 2f, 3f, 4f), 2L -> Seq(-1f, -2f, -3f, -4f))
+    val buckets = df.select($"vec_id", Similarity.srpBucket($"embedding", planes).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(buckets(0L) === buckets(1L))
+    // mirrored vector flips every sign bit
+    assert(buckets(2L) === (~buckets(0L) & 0xff))
+  }
+
+  test("annTopK recovers planted near neighbors (clustered data)") {
+    // SRP-LSH only promises recall when neighbors are directionally CLOSE;
+    // on isotropic random vectors (max pair cosine ~0.37 in the testdata)
+    // every bucket is equally wrong, so the honest test plants a cluster:
+    // vecs 1-5 are small perturbations of the query vector 0.
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val base = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+    def jitter(eps: Float) = base.zipWithIndex.map { case (v, _) => v + (rnd.nextFloat() - 0.5f) * eps }
+    val rows = (0L -> base.toSeq) +: (1L to 5L).map(i => i -> jitter(0.1f).toSeq) ++:
+      (6L to 105L).map(i => i -> Array.fill(dim)(rnd.nextFloat() * 2 - 1).toSeq)
+    val df = rows.toDF("vec_id", "embedding")
+    val approx = Similarity.annTopK(df, "vec_id", "embedding", 0L, 5)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (approx intersect Set(1L, 2L, 3L, 4L, 5L)).size / 5.0
+    assert(recall >= 0.6, s"ANN recall $recall below floor; approx=$approx")
+  }
+}

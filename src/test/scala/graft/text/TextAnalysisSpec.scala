@@ -1,0 +1,56 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String) =
+    Seq(text).toDF("t").select(c.as("v")).head
+
+  test("tokens and counts") {
+    val r = Seq("The quick  brown fox, fox!").toDF("t")
+      .select(TextAnalysis.tokens($"t").as("ts"),
+        TextAnalysis.tokenCount($"t").as("n"),
+        TextAnalysis.punctCount($"t").as("p")).head
+    assert(r.getSeq[String](0) === Seq("the", "quick", "brown", "fox", "fox"))
+    assert(r.getLong(1) === 5L)
+    assert(r.getLong(2) === 2L)
+  }
+
+  test("bpeish estimate: ceil(len/4)") {
+    assert(one(TextAnalysis.bpeishTokenCount($"t"), "abcd").getLong(0) === 1L)
+    assert(one(TextAnalysis.bpeishTokenCount($"t"), "abcde").getLong(0) === 2L)
+  }
+
+  test("quality gate: stopword soup fails, real text passes") {
+    assert(one(TextAnalysis.qualityOk($"t"), "the data engine compiles queries fast").getLong(0) === 1L)
+    assert(one(TextAnalysis.qualityOk($"t"), "the a of and to in is").getLong(0) === 0L)
+    assert(one(TextAnalysis.qualityOk($"t"), "too short").getLong(0) === 0L)
+  }
+
+  test("langId classifies marker-heavy text; unk when no markers") {
+    assert(one(TextAnalysis.langId($"t"), "the cat is on the mat and happy").getString(0) === "en")
+    assert(one(TextAnalysis.langId($"t"), "der hund und die katze ist nicht da").getString(0) === "de")
+    assert(one(TextAnalysis.langId($"t"), "el perro y la casa es de los gatos").getString(0) === "es")
+    assert(one(TextAnalysis.langId($"t"), "le chien est une chose et les chats").getString(0) === "fr")
+    assert(one(TextAnalysis.langId($"t"), "zzz qqq xxx").getString(0) === "unk")
+  }
+
+  test("fingerprint is whitespace- and case-invariant, content-sensitive") {
+    val fp = (s: String) => one(TextAnalysis.fingerprintMd5($"t"), s).getString(0)
+    assert(fp("Hello  World") === fp("hello world"))
+    assert(fp("hello world") !== fp("hello worlds"))
+  }
+
+  test("bottomNSketch: deterministic, bounded size, overlap for shared shingles") {
+    val sk = (s: String) => one(TextAnalysis.bottomNSketch($"t", 3, 4), s).getSeq[Long](0)
+    val a = sk("one two three four five six")
+    assert(a.length === 4 && a === a.sorted)
+    assert(sk("one two three four five six") === a)
+    // prefix-sharing doc shares shingles -> sketches overlap
+    assert(sk("one two three four five seven").intersect(a).nonEmpty)
+    assert(sk("a b") === Seq())
+  }
+}

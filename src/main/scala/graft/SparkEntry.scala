@@ -25,21 +25,34 @@ object SparkEntry {
     * that `java.sql.Timestamp.valueOf` would introduce. */
   private def ts(s: String) = to_timestamp(lit(s))
 
-  /** Flagship: full incremental-sync slice on sf0.001 — watermark read (O5),
-    * strict-> incremental filter (O7), projection (O4), coercion (O8), and
-    * relational upsert (O9) in one pipeline. Driver smoke-checks rows>0. */
+  /** Flagship: the COMPLETE per-table sync pipeline (O11) on sf0.001 —
+    * config catalog (O1), projection (O2/O4), destination watermark read
+    * (O5), strict-> incremental filter (O7), coercion (O8), relational
+    * upsert (O9), store write (O10/O13) — then returns the synced
+    * destination table. Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
+    import graft.config.SyncConfig
+    import graft.sync.{ParquetStore, SyncJob, TableStore}
     val dir = "/root/testdata/sf0.001"
-    val orders = t(spark, dir, "orders")
-    // destination = the first 1000 keys, already synced
-    val base = orders.filter(col("o_orderkey") <= 1000)
-    val wm = Watermark.readTimestamp(base, "o_orderdate") // Some(ts) -> incremental branch
-    val delta = Incremental.extract(orders, "o_orderdate", wm.map(lit(_)))
-    val coerced = Coerce.frame(Projection.columns(
-      delta, Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")))
-    Merge.upsert(
-      Projection.columns(base, Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")),
-      coerced, Seq("o_orderkey"))
+    val catalog = SyncConfig.parse(
+      """tables:
+        |  orders:
+        |    sync_config:
+        |      check_column: o_orderdate
+        |      check_type: timestamp
+        |""".stripMargin)
+    // source = the driver's parquet table; destination = a temp store
+    // pre-seeded with the first 1000 keys (already synced)
+    val source: TableStore = new TableStore {
+      override def read(table: String) = Some(t(spark, dir, table))
+      override def write(df: DataFrame, table: String) = sys.error("read-only")
+    }
+    val dest = new ParquetStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_entry").toString)
+    dest.write(t(spark, dir, "orders").filter(col("o_orderkey") <= 1000), "orders")
+    val stats = SyncJob.run(source, dest, catalog("orders"), primaryKeys = Seq("o_orderkey"))
+    require(stats.mode.startsWith("incremental"), s"expected incremental branch, got ${stats.mode}")
+    dest.read("orders").get
   }
 
   // ---------------------------------------------------------------- Q1-Q15

@@ -1,0 +1,72 @@
+package graft.config
+
+import org.yaml.snakeyaml.Yaml
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** O1 — config catalog (reference: load_table_config,
+  * db-sync-local/sync_utils.py:7-11; YAML shape db-sync-local/netflix.yaml:1-7
+  * `tables: {name: {sync_config: {check_column, check_type, ignore_columns}}}`;
+  * GCP variant adds per-service table maps, db-sync-gcp/gcp_sync_utils.py:6-28).
+  *
+  * snakeyaml ships on the Spark classpath — no new dependency. Config parsing
+  * is driver-side and tiny; the catalog feeds the SyncJob/Runner plan.
+  */
+sealed trait CheckType
+object CheckType {
+  case object Id extends CheckType
+  case object Timestamp extends CheckType
+  /** Reference's unreachable ">=" fallback branch (sync_utils.py:63, SURVEY
+    * §2.4-4) — representable so the quirk is explicit. */
+  case object Other extends CheckType
+
+  def parse(s: String): CheckType = s match {
+    case "id"        => Id
+    case "timestamp" => Timestamp
+    case _           => Other
+  }
+}
+
+/** Per-table sync declaration. A table with no sync_config gets a full copy
+  * every run (no watermark). */
+case class TableConfig(
+    name: String,
+    checkColumn: Option[String],
+    checkType: Option[CheckType],
+    ignoreColumns: Seq[String],
+    service: Option[String] = None)
+
+object SyncConfig {
+
+  /** Parse the reference's `tables:` YAML map; unknown keys ignored. */
+  def parse(yaml: String, service: Option[String] = None): Map[String, TableConfig] = {
+    val root = Option(new Yaml().load[java.util.Map[String, Object]](yaml))
+      .getOrElse(java.util.Map.of[String, Object]())
+    val tables = root.asScala.getOrElse("tables", new java.util.HashMap[String, Object]())
+      .asInstanceOf[java.util.Map[String, Object]]
+    tables.asScala.map { case (name, cfgObj) =>
+      val sync = Option(cfgObj)
+        .map(_.asInstanceOf[java.util.Map[String, Object]].asScala)
+        .flatMap(_.get("sync_config"))
+        .map(_.asInstanceOf[java.util.Map[String, Object]].asScala)
+      val cfg = TableConfig(
+        name = name,
+        checkColumn = sync.flatMap(_.get("check_column")).map(_.toString),
+        checkType = sync.flatMap(_.get("check_type")).map(v => CheckType.parse(v.toString)),
+        ignoreColumns = sync.flatMap(_.get("ignore_columns"))
+          .map(_.asInstanceOf[java.util.List[Object]].asScala.toSeq.map(_.toString))
+          .getOrElse(Seq.empty),
+        service = service)
+      name -> cfg
+    }.toMap
+  }
+
+  def loadFile(path: String, service: Option[String] = None): Map[String, TableConfig] =
+    parse(Files.readString(Paths.get(path)), service)
+
+  /** GCP-variant merge: several service-tagged configs into one catalog
+    * (gcp_sync_utils.py:14-25 tags each table with its service). */
+  def merge(perService: Map[String, String]): Map[String, TableConfig] =
+    perService.flatMap { case (service, yaml) => parse(yaml, Some(service)) }
+}

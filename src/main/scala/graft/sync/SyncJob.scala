@@ -1,0 +1,67 @@
+package graft.sync
+
+import graft.config.{CheckType, TableConfig}
+import graft.operators.{Coerce, Incremental, Merge, Projection, Watermark}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.lit
+
+/** O11 — the per-table sync pipeline (reference: sync_table,
+  * db-sync-local/sync_utils.py:239-287): introspect schema (O2), discover
+  * keys (O3), read the destination watermark (O5), extract full or
+  * incremental (O6/O7), coerce rows (O8), upsert into the destination
+  * (O9/O10). One deterministic DataFrame pipeline per table — every stage is
+  * distributed; the only driver-side value is the scalar watermark.
+  */
+object SyncJob {
+
+  /** O18 — per-table outcome (mirrors the reference's stats/log lines). */
+  case class SyncStats(table: String, mode: String, rowsUpserted: Long)
+
+  /** Preserved reference quirks (§2.4): ignore-only-if-nullable projection;
+    * id watermark NULL->0 (incremental always runs) vs timestamp NULL->full
+    * copy; strict `>`; no delete propagation; all-columns key fallback. */
+  def run(source: TableStore, dest: TableStore, cfg: TableConfig,
+          primaryKeys: Seq[String] = Seq.empty,
+          jsonColumns: Set[String] = Set.empty): SyncStats = {
+    val src = source.read(cfg.name)
+      .getOrElse(sys.error(s"source table not found: ${cfg.name}"))
+    // O2/O4: drop ignored columns only when nullable
+    val projected = Projection.ignoring(src, cfg.ignoreColumns.toSet)
+    val destDf = dest.read(cfg.name)
+
+    // O5 + O7: watermark read on the DESTINATION, then full-vs-incremental
+    val (delta, mode) = (cfg.checkColumn, cfg.checkType, destDf) match {
+      case (Some(c), Some(CheckType.Id), Some(d)) =>
+        // id: NULL -> 0, incremental branch always runs (sync_utils.py:32-33)
+        val wm = Watermark.readId(d, c)
+        (Incremental.newerThan(projected, c, lit(wm)), s"incremental id > $wm")
+      case (Some(c), Some(CheckType.Timestamp), Some(d)) =>
+        Watermark.readTimestamp(d, c) match {
+          case Some(wm) => (Incremental.newerThan(projected, c, lit(wm)), s"incremental ts > $wm")
+          case None     => (projected, "full (empty destination watermark)")
+        }
+      case (Some(c), Some(CheckType.Other), Some(d)) =>
+        // the reference's unreachable >= branch, kept for parity (§2.4-4)
+        Watermark.readTimestamp(d, c) match {
+          case Some(wm) => (Incremental.atLeast(projected, c, lit(wm)), s"incremental >= $wm")
+          case None     => (projected, "full (empty destination watermark)")
+        }
+      case _ => (projected, "full")
+    }
+
+    // O8: columnar coercion
+    val coerced = Coerce.frame(delta, jsonColumns)
+
+    // O9: relational upsert against current destination contents;
+    // O3 fallback: no PK list -> all columns as the conflict key
+    val pks = if (primaryKeys.nonEmpty) primaryKeys else coerced.columns.toSeq
+    val merged: DataFrame = destDf match {
+      case Some(d) => Merge.upsert(Projection.ignoring(d, cfg.ignoreColumns.toSet), coerced, pks)
+      case None    => coerced
+    }
+
+    val rows = merged.count()
+    dest.write(merged, cfg.name)
+    SyncStats(cfg.name, mode, rows)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class IncrementalStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fileSync: AvailableNow processes each file exactly once across runs") {
+    val src = Files.createTempDirectory("graft_ss_src").toString
+    val dst = Files.createTempDirectory("graft_ss_dst").toString
+    val cp = Files.createTempDirectory("graft_ss_cp").toString
+
+    val batch1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    batch1.write.mode("append").parquet(src)
+    val schema = batch1.schema
+
+    IncrementalStream.fileSync(spark, src, dst, cp, schema,
+      _.withColumn("v", upper(col("v")))).awaitTermination()
+    assert(spark.read.parquet(dst).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((1L, "A"), (2L, "B")))
+
+    // second run: only the new file is processed (checkpoint = watermark)
+    Seq((3L, "c")).toDF("id", "v").write.mode("append").parquet(src)
+    IncrementalStream.fileSync(spark, src, dst, cp, schema,
+      _.withColumn("v", upper(col("v")))).awaitTermination()
+    val out = spark.read.parquet(dst).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out === Set((1L, "A"), (2L, "B"), (3L, "C")))
+  }
+
+  test("windowedCounts aggregates event-time windows with bounded state") {
+    val src = Files.createTempDirectory("graft_ss_ev").toString
+    val dfEvents = Seq(
+      ("2024-01-01 00:00:10", "click"), ("2024-01-01 00:00:50", "click"),
+      ("2024-01-01 00:01:10", "view")).toDF("s", "event_type")
+      .select(to_timestamp($"s").as("ts"), $"event_type")
+    dfEvents.write.mode("overwrite").parquet(src)
+
+    val stream = spark.readStream.schema(dfEvents.schema).parquet(src)
+    val q = IncrementalStream.windowedCounts(stream, "ts", "event_type", "1 minute", "10 minutes")
+      .writeStream.format("memory").queryName("wc")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("wc").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start").toString, r.getString(1), r.getLong(2))).toSet
+    assert(rows === Set(
+      ("2024-01-01 00:00:00.0", "click", 2L),
+      ("2024-01-01 00:01:00.0", "view", 1L)))
+  }
+}

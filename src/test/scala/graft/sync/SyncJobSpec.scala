@@ -1,0 +1,87 @@
+package graft.sync
+
+import graft.SparkSpec
+import graft.config.{CheckType, TableConfig}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** §5 golden round-trip tests: dest == source after full sync; delta-only
+  * after incremental; idempotent second run; id vs timestamp watermark
+  * asymmetry end-to-end. */
+class SyncJobSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpStore() =
+    new ParquetStore(spark, Files.createTempDirectory("graft_sync").toString)
+
+  private def rows(ids: Long*) = ids.map(i => (i, s"v$i")).toDF("id", "v")
+
+  private val idCfg = TableConfig("t", Some("id"), Some(CheckType.Id), Seq.empty)
+
+  test("full sync into empty destination copies everything") {
+    val (src, dst) = (tmpStore(), tmpStore())
+    src.write(rows(1, 2, 3), "t")
+    val stats = SyncJob.run(src, dst, idCfg, primaryKeys = Seq("id"))
+    assert(stats.rowsUpserted === 3)
+    assert(dst.read("t").get.select("id").as[Long].collect().sorted === Seq(1L, 2L, 3L))
+  }
+
+  test("incremental picks only rows above the destination watermark; idempotent rerun") {
+    val (src, dst) = (tmpStore(), tmpStore())
+    src.write(rows(1, 2, 3), "t")
+    SyncJob.run(src, dst, idCfg, Seq("id"))
+    // new + changed rows upstream
+    src.write(rows(1, 2, 3, 4, 5), "t")
+    val s2 = SyncJob.run(src, dst, idCfg, Seq("id"))
+    assert(s2.mode === "incremental id > 3")
+    assert(dst.read("t").get.count() === 5)
+    // rerun with no new data: no-op (strict >)
+    val s3 = SyncJob.run(src, dst, idCfg, Seq("id"))
+    assert(s3.mode === "incremental id > 5")
+    assert(dst.read("t").get.count() === 5)
+  }
+
+  test("upsert semantics: delta wins on conflicting key") {
+    val (src, dst) = (tmpStore(), tmpStore())
+    dst.write(Seq((1L, "old"), (2L, "old")).toDF("id", "v"), "t")
+    src.write(Seq((2L, "new"), (3L, "new")).toDF("id", "v"), "t")
+    // full copy (no check column) -> all source rows merge over dest
+    SyncJob.run(src, dst, TableConfig("t", None, None, Seq.empty), Seq("id"))
+    val out = dst.read("t").get.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "old", 2L -> "new", 3L -> "new"))
+  }
+
+  test("timestamp watermark: empty destination -> full copy branch") {
+    val (src, dst) = (tmpStore(), tmpStore())
+    val df = Seq(("2020-01-01 00:00:00", 1L), ("2021-01-01 00:00:00", 2L)).toDF("s", "id")
+      .select(to_timestamp($"s").as("ts"), $"id")
+    src.write(df, "t")
+    dst.write(df.filter(lit(false)), "t") // empty table with schema
+    val cfg = TableConfig("t", Some("ts"), Some(CheckType.Timestamp), Seq.empty)
+    val stats = SyncJob.run(src, dst, cfg, Seq("id"))
+    assert(stats.mode.startsWith("full"))
+    assert(dst.read("t").get.count() === 2)
+  }
+
+  test("ignore_columns drops nullable columns through the whole pipeline") {
+    val (src, dst) = (tmpStore(), tmpStore())
+    src.write(Seq((1L, "keep", "drop")).toDF("id", "v", "note"), "t")
+    SyncJob.run(src, dst, TableConfig("t", None, None, Seq("note")), Seq("id"))
+    assert(dst.read("t").get.columns.toSeq === Seq("id", "v"))
+  }
+
+  test("strict > skips rows sharing the max timestamp (documented quirk)") {
+    val (src, dst) = (tmpStore(), tmpStore())
+    val mk = (pairs: Seq[(String, Long)]) => pairs.toDF("s", "id")
+      .select(to_timestamp($"s").as("ts"), $"id")
+    dst.write(mk(Seq(("2020-06-01 00:00:00", 1L))), "t")
+    // a second row with the SAME timestamp as the watermark is skipped forever
+    src.write(mk(Seq(("2020-06-01 00:00:00", 1L), ("2020-06-01 00:00:00", 99L),
+      ("2020-07-01 00:00:00", 2L))), "t")
+    val cfg = TableConfig("t", Some("ts"), Some(CheckType.Timestamp), Seq.empty)
+    SyncJob.run(src, dst, cfg, Seq("id"))
+    val ids = dst.read("t").get.select("id").as[Long].collect().toSet
+    assert(ids === Set(1L, 2L)) // 99 skipped: ts == watermark
+  }
+}

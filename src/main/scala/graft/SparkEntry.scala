@@ -266,7 +266,38 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Multimodal.decode(Multimodal.attachBinary(t(s, dir, "documents"), "doc_id", "text"))
         .toDF().orderBy("doc_id")
-    })
+    }),
+
+    // JSON property extraction through the O8 repair path (clean JSON is a
+    // pass-through; dirty JSON would be repaired or nulled)
+    "q28_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(Coerce.jsonb(col("props")), "$.k").cast(LongType).as("k"))
+        .orderBy("event_id")),
+
+    // window function: per-user running total in event-time order (integer
+    // cents: double accumulation differs across engines — DuckDB windows
+    // aggregate via segment trees, Spark sums sequentially)
+    "q29_running_sum" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          sum(round(col("value") * 100).cast(LongType)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("user_id"))
+              .orderBy(col("ts"), col("event_id"))
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+            .as("running_cents"))
+        .orderBy("event_id")),
+
+    // rollup aggregate; money summed as integer cents for cross-engine
+    // exactness (double sums are summation-order-dependent)
+    "q30_rollup_stats" -> ((s, dir) =>
+      t(s, dir, "events")
+        .rollup(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast(LongType)).as("cents"))
+        .orderBy(col("event_type").asc_nulls_first))
   )
 
   private val llmOracle: Map[String, String] = Map(
@@ -292,7 +323,13 @@ object SparkEntry {
       "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5 ORDER BY vec_a, vec_b",
     // q26_ann_topk: intentionally no oracle — approximate operator
     "q27_multimodal_decode" ->
-      "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, CAST(64 + octet_length(encode(text)) % 64 AS BIGINT) AS width, CAST(64 + (octet_length(encode(text)) // 64) % 64 AS BIGINT) AS height, CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0 ELSE ascii(substr(text, 1, 1)) END AS BIGINT) AS checksum FROM documents ORDER BY doc_id"
+      "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, CAST(64 + octet_length(encode(text)) % 64 AS BIGINT) AS width, CAST(64 + (octet_length(encode(text)) // 64) % 64 AS BIGINT) AS height, CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0 ELSE ascii(substr(text, 1, 1)) END AS BIGINT) AS checksum FROM documents ORDER BY doc_id",
+    "q28_json_extract" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id",
+    "q29_running_sum" ->
+      "SELECT event_id, user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents FROM events ORDER BY event_id",
+    "q30_rollup_stats" ->
+      "SELECT event_type, count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents FROM events GROUP BY ROLLUP(event_type) ORDER BY event_type NULLS FIRST"
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = core ++ llm

@@ -1,0 +1,49 @@
+package graft
+
+import graft.functions.{FloatDotProduct, SimHash64, SortedLongIntersectSize}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * codegen'd expressions as SQL functions, so `spark.sql` users get the same
+  * hot-path primitives as the DataFrame API:
+  *
+  *   spark.sql("SELECT graft_dot(a.embedding, b.embedding) ...")
+  *
+  * Activate with
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * or inject at runtime via `GraftExtensions.register(spark)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+  }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name)
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot",
+      info("graft_dot", "graft_dot(a, b) - dot product of two float arrays (double accumulation)"),
+      (args: Seq[Expression]) => FloatDotProduct(args(0), args(1))),
+    ("graft_intersect_size",
+      info("graft_intersect_size", "graft_intersect_size(a, b) - |A ∩ B| of two sorted bigint arrays"),
+      (args: Seq[Expression]) => SortedLongIntersectSize(args(0), args(1))),
+    ("graft_simhash64",
+      info("graft_simhash64", "graft_simhash64(hashes) - 64 sign bits of the simhash of pre-hashed tokens"),
+      (args: Seq[Expression]) => SimHash64(args.head))
+  )
+
+  /** Runtime registration for an existing session (tests, REPL). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), inf, builder)
+    }
+}

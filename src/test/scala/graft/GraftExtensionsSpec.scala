@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftExtensions.register(spark)
+
+  test("graft_dot is callable from SQL") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").head
+    assert(r.getDouble(0) === 11.0)
+  }
+
+  test("graft_intersect_size from SQL over sorted bigint arrays") {
+    val r = spark.sql(
+      "SELECT graft_intersect_size(array(1L, 5L, 9L), array(5L, 9L, 12L)) AS n").head
+    assert(r.getLong(0) === 2L)
+  }
+
+  test("graft_simhash64 from SQL returns 64 bits") {
+    val r = spark.sql("SELECT graft_simhash64(array(xxhash64('a'), xxhash64('b'))) AS s").head
+    assert(r.getSeq[Int](0).length === 64)
+  }
+}

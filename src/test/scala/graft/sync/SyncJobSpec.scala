@@ -71,6 +71,15 @@ class SyncJobSpec extends SparkSpec {
     assert(dst.read("t").get.columns.toSeq === Seq("id", "v"))
   }
 
+  test("no delete propagation: rows deleted upstream persist in dest (§2.4-1)") {
+    val (src, dst) = (tmpStore(), tmpStore())
+    src.write(rows(1, 2, 3), "t")
+    SyncJob.run(src, dst, idCfg, Seq("id"))
+    src.write(rows(1), "t") // rows 2,3 deleted upstream
+    SyncJob.run(src, dst, idCfg, Seq("id"))
+    assert(dst.read("t").get.count() === 3) // deletions never propagate
+  }
+
   test("strict > skips rows sharing the max timestamp (documented quirk)") {
     val (src, dst) = (tmpStore(), tmpStore())
     val mk = (pairs: Seq[(String, Long)]) => pairs.toDF("s", "id")

@@ -78,6 +78,31 @@ object Similarity {
       when(dot(vec, typedLit(p.toSeq)) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Scale-path near-dup pair mining: L independent SRP hash tables of k
+    * planes each (seeded deterministically per table); vectors colliding in
+    * ANY table become candidates, verified with the exact codegen'd dot
+    * product. Recall for cosine >= t pairs is 1-(1-(1-θ/π)^k)^L with
+    * θ = arccos(t) — e.g. t=0.99, k=8, L=6 → ~99.9%. The join is an
+    * equi-join on (table, bucket): collisions, not n², drive the cost. */
+  def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, numPlanes: Int = 8, numTables: Int = 6,
+                      dim: Int = 64): DataFrame = {
+    require(threshold >= 0, "dot-product threshold rewrite assumes cosine threshold >= 0")
+    val normed = emb.select(col(idCol), col(vecCol).as("__v"), norm(col(vecCol)).as("__n"))
+    val bucketed = normed.select(col(idCol), col("__v"), col("__n"),
+      explode(array((0 until numTables).map { t =>
+        struct(lit(t).as("tbl"), srpBucket(col("__v"), hyperplanes(numPlanes, dim, seed = 42L + t)).as("bkt"))
+      }: _*)).as("tb"))
+      .select(col(idCol), col("__v"), col("__n"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val a = bucketed.select(col("tbl"), col("bkt"), col(idCol).as("vec_a"), col("__v").as("__va"), col("__n").as("__na"))
+    val b = bucketed.select(col("tbl"), col("bkt"), col(idCol).as("vec_b"), col("__v").as("__vb"), col("__n").as("__nb"))
+    a.join(b, Seq("tbl", "bkt"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(dot(col("__va"), col("__vb")) >= col("__na") * col("__nb") * threshold)
+      .select("vec_a", "vec_b")
+      .distinct()
+  }
+
   /** Approximate top-k: probe the query's bucket plus all Hamming-1 buckets
     * (multiprobe), exact cosine within candidates. Returns ids sorted by id.
     * Recall is tested against bruteForceTopK in AnnSpec. */

@@ -52,6 +52,25 @@ class SimilaritySpec extends SparkSpec {
     assert(buckets(2L) === (~buckets(0L) & 0xff))
   }
 
+  test("lshNearDupPairs finds planted near-dup pairs without all-pairs compare") {
+    val rnd = new scala.util.Random(11)
+    val dim = 64
+    // 20 base vectors, each with one tight near-dup copy + 200 random fillers
+    val bases = (0 until 20).map(_ => Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    val rows =
+      bases.zipWithIndex.flatMap { case (v, i) =>
+        val copy = v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)
+        Seq((i * 2L) -> v.toSeq, (i * 2L + 1) -> copy.toSeq)
+      } ++ (100L until 300L).map(i => i -> Array.fill(dim)(rnd.nextFloat() * 2 - 1).toSeq)
+    val df = rows.toDF("vec_id", "embedding")
+    val expected = (0 until 20).map(i => (i * 2L, i * 2L + 1)).toSet
+    val found = Similarity.lshNearDupPairs(df, "vec_id", "embedding", 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact verification kills false positives; multi-table LSH recall >= 90%
+    assert(found.subsetOf(expected))
+    assert(found.size >= 18, s"recall ${found.size}/20 too low")
+  }
+
   test("annTopK recovers planted near neighbors (clustered data)") {
     // SRP-LSH only promises recall when neighbors are directionally CLOSE;
     // on isotropic random vectors (max pair cosine ~0.37 in the testdata)

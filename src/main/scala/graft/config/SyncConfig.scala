@@ -43,7 +43,10 @@ object SyncConfig {
   def parse(yaml: String, service: Option[String] = None): Map[String, TableConfig] = {
     val root = Option(new Yaml().load[java.util.Map[String, Object]](yaml))
       .getOrElse(java.util.Map.of[String, Object]())
-    val tables = root.asScala.getOrElse("tables", new java.util.HashMap[String, Object]())
+    // flatMap(Option(_)): a present-but-null `tables:` key yields Some(null)
+    // from the map, which would bypass getOrElse and NPE below
+    val tables = root.asScala.get("tables").flatMap(Option(_))
+      .getOrElse(new java.util.HashMap[String, Object]())
       .asInstanceOf[java.util.Map[String, Object]]
     tables.asScala.map { case (name, cfgObj) =>
       val sync = Option(cfgObj)

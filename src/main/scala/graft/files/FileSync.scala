@@ -59,11 +59,14 @@ object FileSync {
     val total = src.count()
     val nExisting = existing.count()
     val ordered = SetOps.ordered(toCopy, Seq("name"))
-    val nNew = if (dryRun) ordered.count() else {
+    // newFiles = the plan's own count in BOTH modes — deriving it from a
+    // post-copy destination re-list would overcount whenever dest holds
+    // files absent from source (or is written concurrently).
+    val nNew = ordered.count()
+    if (!dryRun) {
       val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration)
-      val names = ordered.select("name")
-      names.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      ordered.select("name").foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         val conf = hadoopConf.value
         it.foreach { r =>
           val name = r.getString(0)
@@ -75,7 +78,6 @@ object FileSync {
           FileUtil.copy(fsFrom, from, fsTo, to, false, true, conf)
         }
       }
-      listFiles(spark, dstDir).count() - nExisting
     }
     SyncStats(total, nNew, nExisting, dryRun)
   }

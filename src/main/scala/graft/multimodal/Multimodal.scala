@@ -28,7 +28,11 @@ object Multimodal {
     * implementation would parse the container header here. */
   def decodeBytes(id: Long, bytes: Array[Byte]): DecodedMedia = {
     val n = if (bytes == null) 0L else bytes.length.toLong
-    val checksum = if (n == 0) 0L else bytes(0).toLong & 0xffL
+    // checksum: first byte when ASCII, else 0 — keeps the value identical
+    // whether computed byte-wise (here) or codepoint-wise (the SQL oracle's
+    // ascii()), since any non-ASCII leading character maps to 0 both ways
+    val b0 = if (n == 0) 0L else bytes(0).toLong & 0xffL
+    val checksum = if (b0 < 128) b0 else 0L
     DecodedMedia(id, n, 64 + n % 64, 64 + (n / 64) % 64, checksum)
   }
 

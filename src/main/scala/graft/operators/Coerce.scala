@@ -44,9 +44,12 @@ object Coerce {
       val coerced = f.dataType match {
         case ArrayType(et, _)          => arrayOrEmpty(c, et)
         case _ if jsonColumns(f.name)  => jsonb(c)
-        case _: IntegerType | _: LongType | _: ShortType | _: ByteType => intish(c)
+        // Already-typed integer columns pass through: the reference's
+        // int(float(v)) targets incoming *strings*; a double round-trip on a
+        // typed bigint would corrupt values above 2^53 and widen every int
+        // column to long (schema drift through Merge's union).
         case _: StringType             => strip(c)
-        case _                         => c // dates/timestamps/doubles pass through
+        case _                         => c // ints/dates/timestamps/doubles pass through
       }
       coerced.as(f.name)
     }

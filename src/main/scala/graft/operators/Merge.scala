@@ -23,11 +23,16 @@ object Merge {
   private val PREC = "__graft_precedence"
   private val RN   = "__graft_rn"
 
-  /** Delta wins on key conflict; both sides' unmatched rows kept. */
+  /** Delta wins on key conflict; both sides' unmatched rows kept.
+    * Ties WITHIN a side (duplicate keys inside the delta) are broken by a
+    * hash of the full row — arbitrary but DETERMINISTIC, where plain
+    * orderBy(prec) would let shuffle arrival order pick the survivor
+    * (run-to-run nondeterminism under AQE/task retries). */
   def upsert(base: DataFrame, delta: DataFrame, pks: Seq[String]): DataFrame = {
     require(pks.nonEmpty, "upsert requires at least one key column (O3 falls back to all columns)")
     val unioned = base.withColumn(PREC, lit(0)).unionByName(delta.withColumn(PREC, lit(1)))
-    val w = Window.partitionBy(pks.map(col): _*).orderBy(col(PREC).desc)
+    val tieBreak = xxhash64(base.columns.map(col).toIndexedSeq: _*)
+    val w = Window.partitionBy(pks.map(col): _*).orderBy(col(PREC).desc, tieBreak.desc)
     unioned
       .withColumn(RN, row_number().over(w))
       .filter(col(RN) === 1)

@@ -71,7 +71,12 @@ object UpsertWriter {
           stmt.executeBatch()
           conn.commit()
         } catch {
-          case e: Throwable => conn.rollback(); throw e
+          case e: Throwable =>
+            // rollback on a broken connection throws too — don't let it
+            // mask the original failure
+            try conn.rollback()
+            catch { case rb: Throwable => e.addSuppressed(rb) }
+            throw e
         } finally conn.close()
       }
     }

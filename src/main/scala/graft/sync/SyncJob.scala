@@ -60,8 +60,10 @@ object SyncJob {
       case None    => coerced
     }
 
-    val rows = merged.count()
+    // write first, then count the WRITTEN table — counting the merged plan
+    // before writing would execute the whole scan+merge pipeline twice
     dest.write(merged, cfg.name)
+    val rows = dest.read(cfg.name).map(_.count()).getOrElse(0L)
     SyncStats(cfg.name, mode, rows)
   }
 }

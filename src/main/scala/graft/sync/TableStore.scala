@@ -50,9 +50,14 @@ class JdbcStore(spark: SparkSession, url: String, props: Map[String, String],
       .options(props).options(partitionOptions)
       .load())
 
+  /** Store semantics are "replace table contents with df" (SyncJob hands the
+    * FULL merged table): overwrite with truncate, matching ParquetStore.
+    * Production incremental loads should ship only the delta through
+    * `sources.UpsertWriter` (ON CONFLICT) instead of a full rewrite. */
   override def write(df: DataFrame, table: String): Unit = {
     val p = new java.util.Properties()
     props.foreach { case (k, v) => p.setProperty(k, v) }
-    df.write.mode("append").option("batchsize", 1000).jdbc(url, table, p)
+    df.write.mode("overwrite").option("truncate", "true")
+      .option("batchsize", 1000).jdbc(url, table, p)
   }
 }

@@ -40,8 +40,9 @@ class SyncConfigSpec extends AnyFunSuite {
     assert(merged("b").service === Some("order"))
   }
 
-  test("empty/absent yaml yields empty catalog") {
+  test("empty/absent/null yaml yields empty catalog") {
     assert(SyncConfig.parse("") === Map.empty)
     assert(SyncConfig.parse("other_key: 1") === Map.empty)
+    assert(SyncConfig.parse("tables:\n") === Map.empty) // present-but-null key
   }
 }

@@ -28,7 +28,7 @@ class CoerceSpec extends SparkSpec {
     assert(out.toSeq === Seq(Seq("a"), Seq()))
   }
 
-  test("frame dispatches per type: ints coerced, strings trimmed, arrays defaulted") {
+  test("frame dispatches per type: typed ints pass through, strings trimmed, arrays defaulted") {
     val df = Seq((1L, " pad ", Seq(1, 2)), (2L, "x", null))
       .toDF("id", "s", "arr")
     val out = Coerce.frame(df).orderBy("id").collect()

@@ -300,7 +300,17 @@ object SparkEntry {
         .rollup(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(round(col("value") * 100).cast(LongType)).as("cents"))
-        .orderBy(col("event_type").asc_nulls_first))
+        .orderBy(col("event_type").asc_nulls_first)),
+
+    // sketch invariant: HLL++ approximate distinct (the 100 TB path — no
+    // shuffle of distinct values, fixed-size sketch) must land within 15%
+    // of the exact count (default rsd = 5%)
+    "q31_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .agg(approx_count_distinct(col("text")).as("approx"),
+          countDistinct(col("text")).as("exact"))
+        .select(when(abs(col("approx") - col("exact")) * 100 <= col("exact") * 15, lit(0L))
+          .otherwise(lit(1L)).as("violations")))
   )
 
   private val llmOracle: Map[String, String] = Map(
@@ -332,7 +342,9 @@ object SparkEntry {
     "q29_running_sum" ->
       "SELECT event_id, user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents FROM events ORDER BY event_id",
     "q30_rollup_stats" ->
-      "SELECT event_type, count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents FROM events GROUP BY ROLLUP(event_type) ORDER BY event_type NULLS FIRST"
+      "SELECT event_type, count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents FROM events GROUP BY ROLLUP(event_type) ORDER BY event_type NULLS FIRST",
+    "q31_approx_distinct" ->
+      "SELECT CAST(0 AS BIGINT) AS violations"
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = core ++ llm

@@ -302,6 +302,13 @@ object SparkEntry {
           sum(round(col("value") * 100).cast(LongType)).as("cents"))
         .orderBy(col("event_type").asc_nulls_first)),
 
+    // gap-based sessionization: lag + running-sum windows, one keyed
+    // shuffle (ts is bigint nanos under nanosAsLong; gap = 30 min)
+    "q32_sessionize" -> ((s, dir) =>
+      Sessionize.sessionStats(t(s, dir, "events"), "user_id", "ts",
+          lit(1800L * 1000 * 1000 * 1000), tieBreak = Seq("event_id"))
+        .orderBy("user_id")),
+
     // sketch invariant: HLL++ approximate distinct (the 100 TB path — no
     // shuffle of distinct values, fixed-size sketch) must land within 15%
     // of the exact count (default rsd = 5%)
@@ -344,7 +351,9 @@ object SparkEntry {
     "q30_rollup_stats" ->
       "SELECT event_type, count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents FROM events GROUP BY ROLLUP(event_type) ORDER BY event_type NULLS FIRST",
     "q31_approx_distinct" ->
-      "SELECT CAST(0 AS BIGINT) AS violations"
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    "q32_sessionize" ->
+      "SELECT user_id, count(*) AS n_events, CAST(1 + sum(brk) AS BIGINT) AS n_sessions FROM (SELECT user_id, CASE WHEN prev IS NULL OR ts - prev <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)) GROUP BY user_id ORDER BY user_id"
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = core ++ llm

@@ -43,4 +43,16 @@ object Merge {
     * (sync_utils.py:156-168 + :178-193) — insert-if-identical-row-absent. */
   def upsertAllColumns(base: DataFrame, delta: DataFrame): DataFrame =
     upsert(base, delta, base.columns.toSeq)
+
+  /** Plan-node form: builds the custom graft.plans.Upsert logical operator
+    * and expands it (ResolveUpsert fires automatically in sessions created
+    * with spark.sql.extensions=graft.GraftExtensions; applied eagerly here
+    * so the API also works on plain sessions). Identical semantics to
+    * upsert() — the node is sugar over the same relational plan. */
+  def upsertPlan(base: DataFrame, delta: DataFrame, pks: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val node = graft.plans.Upsert(
+      GraftColumnBridge.logicalPlan(base), GraftColumnBridge.logicalPlan(delta), pks)
+    GraftColumnBridge.ofRows(base.sparkSession, graft.plans.ResolveUpsert(node))
+  }
 }

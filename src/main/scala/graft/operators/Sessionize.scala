@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization — the standard event-analytics operator: a new
+  * session starts when the gap to the previous event of the same key exceeds
+  * `gap` (units = the ts column's own units).
+  *
+  * Batch form: two window passes over one shuffle on the key — lag to mark
+  * session breaks, running sum of breaks to number sessions. No state, no
+  * driver involvement; at 100 TB this is one keyed shuffle like any
+  * aggregation. The streaming form (bounded state per live session) is
+  * `streaming.IncrementalStream.sessionizeStream`.
+  */
+object Sessionize {
+
+  /** Adds `session_idx` (0-based per key) to each event row. */
+  def withSessionIndex(events: DataFrame, keyCol: String, tsCol: String,
+                       gap: Column, tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    val order = (col(tsCol) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    val prev = lag(col(tsCol), 1).over(w)
+    val break = when(prev.isNull || col(tsCol) - prev <= gap, lit(0)).otherwise(lit(1))
+    events.withColumn("session_idx",
+      sum(break).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+  }
+
+  /** Per-key session statistics: event count and session count. */
+  def sessionStats(events: DataFrame, keyCol: String, tsCol: String,
+                   gap: Column, tieBreak: Seq[String] = Seq.empty): DataFrame =
+    withSessionIndex(events, keyCol, tsCol, gap, tieBreak)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("session_idx")) + 1).cast("long").as("n_sessions"))
+}

@@ -45,4 +45,44 @@ object IncrementalStream {
     stream
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  // ------------------------------------------- custom state (O11 streaming)
+
+  case class SessionEvent(user_id: Long, event_id: Long, ts: Long)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class ClosedSession(user_id: Long, session_start: Long, session_end: Long, n_events: Long)
+
+  /** Gap-based sessionization with EXPLICIT state via flatMapGroupsWithState:
+    * one `SessionState` per live key (bounded state), closed sessions emitted
+    * as soon as a later event proves the gap. The batch analog is
+    * `operators.Sessionize`; this form survives unbounded streams because
+    * only the open session is retained per key. */
+  def sessionizeStream(events: org.apache.spark.sql.Dataset[SessionEvent],
+                       gap: Long): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[SessionEvent],
+         state: org.apache.spark.sql.streaming.GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts, e.event_id))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+          var st = state.getOption
+          sorted.foreach { e =>
+            st match {
+              case Some(s) if e.ts - s.last <= gap =>
+                st = Some(s.copy(last = e.ts, n = s.n + 1))
+              case Some(s) =>
+                closed += ClosedSession(user, s.start, s.last, s.n)
+                st = Some(SessionState(e.ts, e.ts, 1))
+              case None =>
+                st = Some(SessionState(e.ts, e.ts, 1))
+            }
+          }
+          st.foreach(state.update)
+          closed.iterator
+      }
+  }
 }

@@ -24,6 +24,18 @@ class MergeSpec extends SparkSpec {
     assert(out === Set((1, "a"), (2, "b"), (3, "c")))
   }
 
+  test("upsertPlan (custom Upsert node + ResolveUpsert rule) matches upsert()") {
+    val base  = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val delta = Seq((2, "B"), (3, "C")).toDF("k", "v")
+    val viaPlan = Merge.upsertPlan(base, delta, Seq("k"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(viaPlan === Map(1 -> "a", 2 -> "B", 3 -> "C"))
+    // the custom node must be fully expanded — standard operators only
+    val analyzed = org.apache.spark.sql.GraftColumnBridge
+      .logicalPlan(Merge.upsertPlan(base, delta, Seq("k")))
+    assert(!analyzed.exists(_.isInstanceOf[graft.plans.Upsert]))
+  }
+
   test("property: upsert == last-writer-wins map union") {
     val kvGen = Gen.mapOf(Gen.zip(Gen.choose(0, 30), Gen.alphaStr.map(_.take(5))))
     val prop = Prop.forAll(kvGen, kvGen) { (b: Map[Int, String], d: Map[Int, String]) =>

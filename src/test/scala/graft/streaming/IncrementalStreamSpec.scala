@@ -30,6 +30,33 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(out === Set((1L, "A"), (2L, "B"), (3L, "C")))
   }
 
+  test("sessionizeStream: custom state via flatMapGroupsWithState across runs") {
+    import IncrementalStream.{ClosedSession, SessionEvent}
+    val src = Files.createTempDirectory("graft_ss_sess").toString
+    val dst = Files.createTempDirectory("graft_ss_sess_out").toString
+    val cp = Files.createTempDirectory("graft_ss_sess_cp").toString
+
+    def runBatch(batch: Seq[SessionEvent]): Set[ClosedSession] = {
+      batch.toDF().write.mode("append").parquet(src)
+      val stream = spark.readStream.schema(batch.toDF().schema).parquet(src).as[SessionEvent]
+      val q = IncrementalStream.sessionizeStream(stream, gap = 50L)
+        .writeStream.format("parquet")
+        .option("path", dst)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(dst).as[ClosedSession].collect().toSet
+    }
+
+    // batch 1: one open session for user 7 — nothing closed yet
+    assert(runBatch(Seq(SessionEvent(7L, 1L, 0L), SessionEvent(7L, 2L, 10L))) === Set.empty)
+    // batch 2: a far-future event closes the session held in STATE
+    assert(runBatch(Seq(SessionEvent(7L, 3L, 1000L))) ===
+      Set(ClosedSession(7L, 0L, 10L, 2L)))
+  }
+
   test("windowedCounts aggregates event-time windows with bounded state") {
     val src = Files.createTempDirectory("graft_ss_ev").toString
     val dfEvents = Seq(

@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table support — the co-located-join primitive for repeated big
+  * joins on the same key: both sides hash-partitioned into the same bucket
+  * count at WRITE time, so every subsequent equi-join on the bucket key
+  * needs NO shuffle (the dominant cost of a 100 TB join). The trade: a
+  * one-time clustered write per table; worth it when a key is joined more
+  * than once (fact-to-fact sync reconciliation, repeated dedup passes).
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed managed table (sorted within buckets so
+    * merge-joins skip the sort too). */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write
+      .mode(mode)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two same-bucketed tables on their bucket key — planned WITHOUT a
+    * shuffle exchange when bucket specs match. */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+                   on: Seq[String], joinType: String = "inner"): DataFrame =
+    spark.table(left).join(spark.table(right), on, joinType)
+}

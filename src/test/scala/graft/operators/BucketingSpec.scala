@@ -1,0 +1,19 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("joining two same-bucketed tables plans no shuffle exchange") {
+    val a = (1L to 100L).map(i => (i, s"a$i")).toDF("k", "va")
+    val b = (1L to 100L).map(i => (i, s"b$i")).toDF("k", "vb")
+    Bucketing.writeBucketed(a, "graft_bkt_a", Seq("k"), 4)
+    Bucketing.writeBucketed(b, "graft_bkt_b", Seq("k"), 4)
+    val joined = Bucketing.bucketedJoin(spark, "graft_bkt_a", "graft_bkt_b", Seq("k"))
+    assert(joined.count() === 100)
+    val physical = joined.queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$physical")
+  }
+}

@@ -12,42 +12,96 @@ import org.apache.spark.sql.SparkSession
   * not block on a TTY).
   *
   * Usage:
-  *   graft.cli.Main db-sync --config tables.yaml --source <dir> --dest <dir> [--pks table=c1,c2 ...]
+  *   graft.cli.Main db-sync --config tables.yaml --source <dir> --dest <dir> [--pks table=c1,c2[;t2=c] ]
   *   graft.cli.Main file-sync <srcDir> <dstDir> [--apply]
   */
 object Main {
 
+  private val usage =
+    "usage: db-sync --config <yaml> --source <dir> --dest <dir> [--pks t=c1,c2;t2=c]\n" +
+      "       file-sync <srcDir> <dstDir> [--apply]"
+
   def main(args: Array[String]): Unit = sys.exit(run(args))
 
-  def run(args: Array[String]): Int = {
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    try run(spark, args)
-    finally spark.stop()
+  /** Parse/validate BEFORE building a SparkSession — usage errors must not
+    * pay multi-second Spark startup. */
+  def run(args: Array[String]): Int =
+    parse(args.toList) match {
+      case Left(err) =>
+        System.err.println(err); System.err.println(usage); 2
+      case Right(cmd) =>
+        val spark = SparkSession.builder()
+          .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
+          .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.sql.adaptive.enabled", "true")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        try execute(spark, cmd)
+        finally spark.stop()
+    }
+
+  /** Test entry: validate + execute against a provided session. */
+  def run(spark: SparkSession, args: Array[String]): Int =
+    parse(args.toList) match {
+      case Left(err)  => System.err.println(err); System.err.println(usage); 2
+      case Right(cmd) => execute(spark, cmd)
+    }
+
+  // ------------------------------------------------------------- commands
+
+  sealed private trait Cmd
+  private case class DbSync(config: String, source: String, dest: String,
+                            pks: Map[String, Seq[String]]) extends Cmd
+  private case class FileSyncCmd(src: String, dst: String, apply: Boolean) extends Cmd
+
+  private def parse(args: List[String]): Either[String, Cmd] = args match {
+    case "db-sync" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        config <- opts.get("config").toRight("db-sync: missing --config")
+        source <- opts.get("source").toRight("db-sync: missing --source")
+        dest <- opts.get("dest").toRight("db-sync: missing --dest")
+        pks <- opts.get("pks").map(parsePks).getOrElse(Right(Map.empty[String, Seq[String]]))
+      } yield DbSync(config, source, dest, pks)
+    case "file-sync" :: src :: dst :: rest if rest.forall(_ == "--apply") =>
+      Right(FileSyncCmd(src, dst, rest.contains("--apply")))
+    case "file-sync" :: _ =>
+      Left("file-sync: expected <srcDir> <dstDir> [--apply]")
+    case other =>
+      Left(s"unknown command: ${other.headOption.getOrElse("(none)")}")
   }
 
-  def run(spark: SparkSession, args: Array[String]): Int = args.toList match {
-    case "db-sync" :: rest =>
-      val opts = parseOpts(rest)
-      val catalog = SyncConfig.loadFile(opts("config"))
-      val src = new ParquetStore(spark, opts("source"))
-      val dst = new ParquetStore(spark, opts("dest"))
-      val pks = opts.get("pks").map(parsePks).getOrElse(Map.empty)
-      // config order = YAML order is not preserved by the map; sort by name
-      // for a deterministic run sequence (the reference iterates dict order)
-      val report = Runner.runAll(catalog.values.toSeq.sortBy(_.name)) { cfg =>
+  private def parseOpts(rest: List[String]): Either[String, Map[String, String]] =
+    rest.grouped(2).foldLeft(Right(Map.empty): Either[String, Map[String, String]]) {
+      case (acc, List(k, v)) if k.startsWith("--") && !v.startsWith("--") =>
+        acc.map(_ + (k.drop(2) -> v))
+      case (_, bad) => Left(s"malformed option pair: ${bad.mkString(" ")}")
+    }
+
+  /** `t1=c1,c2;t2=k` -> per-table PK lists. */
+  private def parsePks(s: String): Either[String, Map[String, Seq[String]]] =
+    s.split(';').filter(_.nonEmpty).foldLeft(
+      Right(Map.empty): Either[String, Map[String, Seq[String]]]) { (acc, part) =>
+      part.split("=", 2) match {
+        case Array(t, cols) if cols.nonEmpty => acc.map(_ + (t -> cols.split(',').toSeq))
+        case _ => Left(s"malformed --pks entry: $part (expected table=c1,c2)")
+      }
+    }
+
+  private def execute(spark: SparkSession, cmd: Cmd): Int = cmd match {
+    case DbSync(configPath, source, dest, pks) =>
+      // catalog preserves YAML order (SyncConfig returns a VectorMap)
+      val catalog = SyncConfig.loadFile(configPath)
+      val src = new ParquetStore(spark, source)
+      val dst = new ParquetStore(spark, dest)
+      val report = Runner.runAll(catalog.values.toSeq) { cfg =>
         SyncJob.run(src, dst, cfg, pks.getOrElse(cfg.name, Seq.empty))
       }
       report.exitCode
 
-    case "file-sync" :: srcDir :: dstDir :: rest =>
-      val apply = rest.contains("--apply")
+    case FileSyncCmd(srcDir, dstDir, apply) =>
       // dry-run first, always — the reference's safety pattern (gcs_sync.py:115)
       val dry = FileSync.syncDir(spark, srcDir, dstDir, dryRun = true)
       System.err.println(s"[file-sync] plan: total=${dry.totalFiles} new=${dry.newFiles} existing=${dry.existingFiles}")
@@ -58,22 +112,5 @@ object Main {
         System.err.println("[file-sync] dry run only — pass --apply to copy")
       }
       0
-
-    case _ =>
-      System.err.println("usage: db-sync --config <yaml> --source <dir> --dest <dir> [--pks t=c1,c2;t2=c]\n" +
-        "       file-sync <srcDir> <dstDir> [--apply]")
-      2
   }
-
-  private def parseOpts(rest: List[String]): Map[String, String] =
-    rest.sliding(2, 2).collect {
-      case List(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap
-
-  /** `t1=c1,c2;t2=k` -> per-table PK lists. */
-  private def parsePks(s: String): Map[String, Seq[String]] =
-    s.split(';').filter(_.nonEmpty).map { part =>
-      val Array(t, cols) = part.split("=", 2)
-      t -> cols.split(',').toSeq
-    }.toMap
 }

@@ -48,21 +48,24 @@ object SyncConfig {
     val tables = root.asScala.get("tables").flatMap(Option(_))
       .getOrElse(new java.util.HashMap[String, Object]())
       .asInstanceOf[java.util.Map[String, Object]]
-    tables.asScala.map { case (name, cfgObj) =>
-      val sync = Option(cfgObj)
-        .map(_.asInstanceOf[java.util.Map[String, Object]].asScala)
-        .flatMap(_.get("sync_config"))
-        .map(_.asInstanceOf[java.util.Map[String, Object]].asScala)
-      val cfg = TableConfig(
-        name = name,
-        checkColumn = sync.flatMap(_.get("check_column")).map(_.toString),
-        checkType = sync.flatMap(_.get("check_type")).map(v => CheckType.parse(v.toString)),
-        ignoreColumns = sync.flatMap(_.get("ignore_columns"))
-          .map(_.asInstanceOf[java.util.List[Object]].asScala.toSeq.map(_.toString))
-          .getOrElse(Seq.empty),
-        service = service)
-      name -> cfg
-    }.toMap
+    // VectorMap preserves YAML insertion order (snakeyaml yields a
+    // LinkedHashMap) — run sequence follows the authored catalog order,
+    // like the reference's dict iteration
+    tables.asScala.foldLeft(scala.collection.immutable.VectorMap.empty[String, TableConfig]) {
+      case (acc, (name, cfgObj)) =>
+        val sync = Option(cfgObj)
+          .map(_.asInstanceOf[java.util.Map[String, Object]].asScala)
+          .flatMap(_.get("sync_config"))
+          .map(_.asInstanceOf[java.util.Map[String, Object]].asScala)
+        acc.updated(name, TableConfig(
+          name = name,
+          checkColumn = sync.flatMap(_.get("check_column")).map(_.toString),
+          checkType = sync.flatMap(_.get("check_type")).map(v => CheckType.parse(v.toString)),
+          ignoreColumns = sync.flatMap(_.get("ignore_columns"))
+            .map(_.asInstanceOf[java.util.List[Object]].asScala.toSeq.map(_.toString))
+            .getOrElse(Seq.empty),
+          service = service))
+    }
   }
 
   def loadFile(path: String, service: Option[String] = None): Map[String, TableConfig] =

@@ -7,8 +7,15 @@ import org.apache.spark.sql.SparkSession
   * 100 TB pipeline needs: incremental syncs and streaming sinks accrete
   * thousands of KB-sized parquet files whose per-file open/footer cost
   * eventually dominates scans. Compaction rewrites a table directory into
-  * ~`targetBytes`-sized files (atomically, via tmp + rename like
-  * ParquetStore).
+  * ~`targetBytes`-sized files.
+  *
+  * REQUIRES exclusive access to the directory for the duration of the call:
+  * the swap is read -> write sibling tmp -> delete -> rename, which is NOT
+  * atomic on object stores or concurrent writers — files appended between
+  * the snapshot read and the delete would be lost, and a crash between
+  * delete and rename leaves only the tmp copy (recoverable by hand, named
+  * `<table>.compact_tmp`). Real lakehouse engines solve this with a
+  * transaction log; this operator targets the maintenance-window case.
   */
 object Compaction {
 
@@ -32,12 +39,17 @@ object Compaction {
     val (bytes, before) = dirBytesAndFiles(spark, dir)
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.parquet(dir)
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(dir + ".compact_tmp")
-    df.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
     val dst = new Path(dir)
-    fs.delete(dst, true)
-    if (!fs.rename(tmp, dst)) sys.error(s"compaction rename failed for $dir")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // SIBLING tmp via parent/name (string concat would nest the tmp inside
+    // the table on a trailing-slash dir, and the delete below would then
+    // destroy both copies)
+    val tmp = new Path(dst.getParent, dst.getName + ".compact_tmp")
+    df.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.delete(dst, true))
+      sys.error(s"compaction could not delete $dst; compacted copy left at $tmp")
+    if (!fs.rename(tmp, dst))
+      sys.error(s"compaction rename failed; compacted copy left at $tmp")
     val (_, after) = dirBytesAndFiles(spark, dir)
     CompactionStats(bytes, before, after)
   }

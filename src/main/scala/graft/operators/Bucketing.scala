@@ -22,9 +22,21 @@ object Bucketing {
       .format("parquet")
       .saveAsTable(table)
 
-  /** Join two same-bucketed tables on their bucket key — planned WITHOUT a
-    * shuffle exchange when bucket specs match. */
+  /** Join two same-bucketed tables on their bucket key, VERIFYING the
+    * bucket specs actually line up (same count, keys = join keys) — a
+    * mismatch would silently plan a full shuffle join and void the whole
+    * point of bucketing, so it fails fast instead. */
   def bucketedJoin(spark: SparkSession, left: String, right: String,
-                   on: Seq[String], joinType: String = "inner"): DataFrame =
+                   on: Seq[String], joinType: String = "inner"): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.bucketSpec
+    def spec(t: String) = bucketSpec(spark, t)
+      .getOrElse(sys.error(s"bucketedJoin: table $t is not bucketed"))
+    val (ln, lCols) = spec(left)
+    val (rn, rCols) = spec(right)
+    require(ln == rn, s"bucketedJoin: bucket counts differ ($left=$ln, $right=$rn) — join would shuffle")
+    require(lCols.map(_.toLowerCase) == on.map(_.toLowerCase) &&
+            rCols.map(_.toLowerCase) == on.map(_.toLowerCase),
+      s"bucketedJoin: bucket columns ($lCols / $rCols) must equal the join keys $on")
     spark.table(left).join(spark.table(right), on, joinType)
+  }
 }

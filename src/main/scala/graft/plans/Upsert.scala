@@ -36,7 +36,12 @@ object ResolveUpsert extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case Upsert(base, delta, pks) if base.resolved && delta.resolved =>
       require(pks.nonEmpty, "Upsert requires at least one key column")
-      // align delta columns to base order by name (unionByName semantics)
+      // align delta columns to base order by name (unionByName semantics) —
+      // and like unionByName, refuse extra delta columns rather than
+      // silently dropping them (schema drift must fail loudly)
+      require(delta.output.length == base.output.length,
+        s"Upsert requires matching column sets; base has ${base.output.map(_.name)}, " +
+          s"delta has ${delta.output.map(_.name)}")
       val deltaCols = base.output.map(a =>
         delta.output.find(d => conf.resolver(d.name, a.name)).getOrElse(
           throw new IllegalArgumentException(s"delta is missing column ${a.name}")))

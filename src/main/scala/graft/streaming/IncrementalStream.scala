@@ -48,40 +48,60 @@ object IncrementalStream {
 
   // ------------------------------------------- custom state (O11 streaming)
 
-  case class SessionEvent(user_id: Long, event_id: Long, ts: Long)
+  case class SessionEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
   case class SessionState(start: Long, last: Long, n: Long)
   case class ClosedSession(user_id: Long, session_start: Long, session_end: Long, n_events: Long)
 
   /** Gap-based sessionization with EXPLICIT state via flatMapGroupsWithState:
-    * one `SessionState` per live key (bounded state), closed sessions emitted
-    * as soon as a later event proves the gap. The batch analog is
-    * `operators.Sessionize`; this form survives unbounded streams because
-    * only the open session is retained per key. */
+    * one `SessionState` per live key, closed sessions emitted as soon as a
+    * later event proves the gap, and an EVENT-TIME timeout at
+    * (session end + gap) that flushes the final session of keys that stop
+    * sending — without it, one state entry per ever-seen key would
+    * accumulate forever and each inactive key's last session would never be
+    * emitted. Event-time (not processing-time) timeouts keep the query
+    * deterministic and let Trigger.AvailableNow terminate (wall-clock
+    * timers would hold the query open). Out-of-order events within the
+    * open session extend it with min/max rather than regressing `last`
+    * (a late event moving `last` backwards would split the session
+    * spuriously); events later than the watermark delay are dropped by the
+    * watermark itself. The batch analog is `operators.Sessionize`. */
   def sessionizeStream(events: org.apache.spark.sql.Dataset[SessionEvent],
-                       gap: Long): org.apache.spark.sql.Dataset[ClosedSession] = {
+                       gapMs: Long,
+                       watermarkDelay: String = "10 minutes"): org.apache.spark.sql.Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, ClosedSession](
         org.apache.spark.sql.streaming.OutputMode.Append(),
-        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, evs: Iterator[SessionEvent],
          state: org.apache.spark.sql.streaming.GroupState[SessionState]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.ts, e.event_id))
           val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
-          var st = state.getOption
-          sorted.foreach { e =>
-            st match {
-              case Some(s) if e.ts - s.last <= gap =>
-                st = Some(s.copy(last = e.ts, n = s.n + 1))
-              case Some(s) =>
-                closed += ClosedSession(user, s.start, s.last, s.n)
-                st = Some(SessionState(e.ts, e.ts, 1))
-              case None =>
-                st = Some(SessionState(e.ts, e.ts, 1))
+          if (state.hasTimedOut) {
+            state.getOption.foreach(s => closed += ClosedSession(user, s.start, s.last, s.n))
+            state.remove()
+          } else {
+            val sorted = evs.toSeq.map(e => (e.ts.getTime, e.event_id))
+              .sorted
+            var st = state.getOption
+            sorted.foreach { case (ts, _) =>
+              st match {
+                case Some(s) if ts - s.last <= gapMs =>
+                  st = Some(SessionState(math.min(s.start, ts), math.max(s.last, ts), s.n + 1))
+                case Some(s) =>
+                  closed += ClosedSession(user, s.start, s.last, s.n)
+                  st = Some(SessionState(ts, ts, 1))
+                case None =>
+                  st = Some(SessionState(ts, ts, 1))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              // must stay above the current watermark or Spark rejects it
+              state.setTimeoutTimestamp(math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
             }
           }
-          st.foreach(state.update)
           closed.iterator
       }
   }

@@ -18,4 +18,10 @@ object GraftColumnBridge {
   /** The analyzed logical plan behind a DataFrame. */
   def logicalPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  /** Bucket spec of a catalog table: (numBuckets, bucketColumns), if bucketed. */
+  def bucketSpec(spark: SparkSession, table: String): Option[(Int, Seq[String])] =
+    spark.asInstanceOf[classic.SparkSession].sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(bs => (bs.numBuckets, bs.bucketColumnNames))
 }

@@ -36,10 +36,12 @@ class IncrementalStreamSpec extends SparkSpec {
     val dst = Files.createTempDirectory("graft_ss_sess_out").toString
     val cp = Files.createTempDirectory("graft_ss_sess_cp").toString
 
+    def ev(id: Long, tsMs: Long) = SessionEvent(7L, id, new java.sql.Timestamp(tsMs))
+
     def runBatch(batch: Seq[SessionEvent]): Set[ClosedSession] = {
       batch.toDF().write.mode("append").parquet(src)
       val stream = spark.readStream.schema(batch.toDF().schema).parquet(src).as[SessionEvent]
-      val q = IncrementalStream.sessionizeStream(stream, gap = 50L)
+      val q = IncrementalStream.sessionizeStream(stream, gapMs = 50L, watermarkDelay = "1 second")
         .writeStream.format("parquet")
         .option("path", dst)
         .option("checkpointLocation", cp)
@@ -50,11 +52,13 @@ class IncrementalStreamSpec extends SparkSpec {
       spark.read.parquet(dst).as[ClosedSession].collect().toSet
     }
 
+    // ts values well above 0: Spark's initial watermark is 0 and the late-row
+    // filter drops rows not strictly later than it (an epoch-0 event is lost)
     // batch 1: one open session for user 7 — nothing closed yet
-    assert(runBatch(Seq(SessionEvent(7L, 1L, 0L), SessionEvent(7L, 2L, 10L))) === Set.empty)
+    assert(runBatch(Seq(ev(1L, 100000L), ev(2L, 100010L))) === Set.empty)
     // batch 2: a far-future event closes the session held in STATE
-    assert(runBatch(Seq(SessionEvent(7L, 3L, 1000L))) ===
-      Set(ClosedSession(7L, 0L, 10L, 2L)))
+    assert(runBatch(Seq(ev(3L, 10000000L))) ===
+      Set(ClosedSession(7L, 100000L, 100010L, 2L)))
   }
 
   test("windowedCounts aggregates event-time windows with bounded state") {

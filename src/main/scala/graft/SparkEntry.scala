@@ -309,6 +309,17 @@ object SparkEntry {
           lit(1800L * 1000 * 1000 * 1000), tieBreak = Seq("event_id"))
         .orderBy("user_id")),
 
+    // canonicalization: near-dup pairs -> connected components -> smallest
+    // doc id per duplicate cluster (the actual dedup decision)
+    "q33_dedup_canonical" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        Dedup.wordNgrams(_, 3), num = 7, den = 10, numHashes = 256, bands = 64)
+      Dedup.connectedComponents(docs, "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("canon"))
+        .orderBy("doc_id")
+    }),
+
     // sketch invariant: HLL++ approximate distinct (the 100 TB path — no
     // shuffle of distinct values, fixed-size sketch) must land within 15%
     // of the exact count (default rsd = 5%)
@@ -353,7 +364,9 @@ object SparkEntry {
     "q31_approx_distinct" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q32_sessionize" ->
-      "SELECT user_id, count(*) AS n_events, CAST(1 + sum(brk) AS BIGINT) AS n_sessions FROM (SELECT user_id, CASE WHEN prev IS NULL OR ts - prev <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)) GROUP BY user_id ORDER BY user_id"
+      "SELECT user_id, count(*) AS n_events, CAST(1 + sum(brk) AS BIGINT) AS n_sessions FROM (SELECT user_id, CASE WHEN prev IS NULL OR ts - prev <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)) GROUP BY user_id ORDER BY user_id",
+    "q33_dedup_canonical" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), tri AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1), i -> ts[i]||' '||ts[i+1]||' '||ts[i+2])) AS gs FROM tok WHERE len(ts) >= 3), pairs AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM tri a JOIN tri b ON a.doc_id <> b.doc_id WHERE len(list_intersect(a.gs, b.gs)) * 10 >= len(list_distinct(list_concat(a.gs, b.gs))) * 7), reach AS (SELECT doc_id AS id, doc_id AS r FROM documents UNION SELECT p.dst, reach.r FROM reach JOIN pairs p ON p.src = reach.id) SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canon FROM reach GROUP BY id ORDER BY doc_id"""
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = core ++ llm

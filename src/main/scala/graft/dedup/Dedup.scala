@@ -167,6 +167,46 @@ object Dedup {
           i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + j + 1)): _*))))
         .otherwise(array().cast(ArrayType(StringType)))))
 
+  // ------------------------------------------------- canonicalization
+
+  /** Connected components over near-dup pairs — the step that turns pair
+    * lists into actual dedup decisions: every document gets the smallest
+    * doc id of its duplicate cluster as `canon`; keeping rows where
+    * id == canon yields the deduplicated corpus.
+    *
+    * Iterative min-label propagation: each round, every vertex takes the
+    * min of its own label and its neighbors' labels; converges in
+    * O(component diameter) rounds (near-dup clusters are shallow). Each
+    * round is two joins + an aggregate on (vertices + 2·edges) rows —
+    * fully distributed; `localCheckpoint` truncates the growing lineage so
+    * round N doesn't replan rounds 1..N-1. The driver loop only compares
+    * one scalar (sum of labels, monotonically non-increasing) per round. */
+  def connectedComponents(vertices: DataFrame, idCol: String,
+                          pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the edge list ONCE — its lineage is typically a whole
+    // LSH pipeline, which every iteration's join would otherwise recompute
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).cast("long").as("canon"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum(col("canon"))).head.getLong(0)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst")).agg(min(col("canon")).as("__ncanon"))
+      labels = labels.join(neighborMin, labels("id") === neighborMin("dst"), "left")
+        .select(col("id"), least(col("canon"), coalesce(col("__ncanon"), col("canon"))).as("canon"))
+        .localCheckpoint()
+      val s = labels.agg(sum(col("canon"))).head.getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      i += 1
+    }
+    labels
+  }
+
   // ------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash as an array of 64 sign bits — the codegen'd SimHash64

@@ -63,6 +63,15 @@ class DedupSpec extends SparkSpec {
     sigs.values.foreach(s => assert(s.length === 64 && s.forall(b => b == 0 || b == 1)))
   }
 
+  test("connectedComponents assigns the cluster-min id as canon") {
+    val vertices = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    // chain 1-2-3 (one component), pair 5-6, singleton 4
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(vertices, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("verifyJaccard integer threshold: J >= num/den boundary is exact") {
     val sets = Seq(
       (1L, Seq(1L, 2L, 3L, 4L).sorted),

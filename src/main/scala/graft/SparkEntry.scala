@@ -235,8 +235,8 @@ object SparkEntry {
 
     // word-trigram-shingle Jaccard >= 0.7 near-dups via MinHash+LSH
     "q22_dedup_ngram" -> ((s, dir) =>
-      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
-          Dedup.wordNgrams(_, 3), num = 7, den = 10, numHashes = 256, bands = 64)
+      Dedup.minhashNearDupsHashed(t(s, dir, "documents"), "doc_id", "text",
+          Dedup.hashedWordNgrams(_, 3), num = 7, den = 10, numHashes = 256, bands = 64)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
         .orderBy("doc_a", "doc_b")),
 
@@ -313,8 +313,8 @@ object SparkEntry {
     // doc id per duplicate cluster (the actual dedup decision)
     "q33_dedup_canonical" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
-        Dedup.wordNgrams(_, 3), num = 7, den = 10, numHashes = 256, bands = 64)
+      val pairs = Dedup.minhashNearDupsHashed(docs, "doc_id", "text",
+        Dedup.hashedWordNgrams(_, 3), num = 7, den = 10, numHashes = 256, bands = 64)
       Dedup.connectedComponents(docs, "doc_id", pairs)
         .select(col("id").as("doc_id"), col("canon"))
         .orderBy("doc_id")

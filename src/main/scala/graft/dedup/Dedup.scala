@@ -133,7 +133,16 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingler: Column => Column,
                       num: Int, den: Int,
-                      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+                      numHashes: Int = 128, bands: Int = 32): DataFrame =
+    minhashNearDupsHashed(df, idCol, textCol, c => hashedShingles(shingler(c)),
+      num, den, numHashes, bands)
+
+  /** Same pipeline, but the shingler yields SORTED hashed shingles directly
+    * (e.g. hashedWordNgrams) — skips per-shingle string materialization. */
+  def minhashNearDupsHashed(df: DataFrame, idCol: String, textCol: String,
+                            hashedShingler: Column => Column,
+                            num: Int, den: Int,
+                            numHashes: Int, bands: Int): DataFrame = {
     // EXPLICIT partition count: repartition(col) alone is REPARTITION_BY_COL,
     // which AQE coalesces by input BYTES — a byte-small doc table collapses
     // to 1 partition and the row-explosive band join then emits 100M+ rows
@@ -147,7 +156,7 @@ object Dedup {
     // still dedups the underlying shuffle.
     val shingled = df
       .repartition(n, col(idCol))
-      .select(col(idCol), hashedShingles(shingler(col(textCol))).as("__sh"))
+      .select(col(idCol), hashedShingler(col(textCol)).as("__sh"))
       .filter(size(col("__sh")) > 0)
     val cands = lshCandidatesRaw(shingled, idCol, "__sh", numHashes, bands)
     verifyJaccard(cands, shingled, idCol, "__sh", num, den).distinct()
@@ -166,6 +175,18 @@ object Dedup {
         array_distinct(transform(sequence(lit(0), size(ts) - n),
           i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + j + 1)): _*))))
         .otherwise(array().cast(ArrayType(StringType)))))
+
+  /** Hashed word n-gram set: tokens are hashed ONCE, then each n-gram hash
+    * is xxhash64 over the n token hashes — no per-shingle string building
+    * (the concat_ws formulation allocates every shingle string; these
+    * hashes are pipeline-internal, so only 64-bit collision risk ~1e-15
+    * distinguishes the two). Output sorted, ready for minhashNearDups. */
+  def hashedWordNgrams(c: Column, n: Int): Column =
+    flatten(transform(array(transform(TextAnalysis.tokens(c), t => xxhash64(t))), th =>
+      when(size(th) >= n,
+        array_sort(array_distinct(transform(sequence(lit(0), size(th) - n),
+          i => xxhash64((0 until n).map(j => element_at(th, i + j + 1)): _*)))))
+        .otherwise(array().cast(ArrayType(LongType)))))
 
   // ------------------------------------------------- canonicalization
 
@@ -188,7 +209,11 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
-    var labels = vertices.select(col(idCol).as("id"), col(idCol).cast("long").as("canon"))
+    // iterate ONLY over vertices that appear in some pair — on a real corpus
+    // near-dup members are a small fraction; everyone else is trivially
+    // their own canon and joins back in at the end
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").cast("long").as("canon"))
       .localCheckpoint()
     var prevSum = labels.agg(sum(col("canon"))).head.getLong(0)
     var converged = false
@@ -204,7 +229,10 @@ object Dedup {
       prevSum = s
       i += 1
     }
-    labels
+    val singletons = vertices.select(col(idCol).as("id"))
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").cast("long").as("canon"))
+    labels.unionByName(singletons)
   }
 
   // ------------------------------------------------------------- SimHash

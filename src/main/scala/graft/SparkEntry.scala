@@ -309,6 +309,22 @@ object SparkEntry {
           lit(1800L * 1000 * 1000 * 1000), tieBreak = Seq("event_id"))
         .orderBy("user_id")),
 
+    // funnel analysis: per-user event-type sequence in event-time order,
+    // conversion = view .. click .. purchase subsequence (ordered collect
+    // via array_sort over (ts, event_id) structs — collect_list alone has
+    // no deterministic order)
+    "q34_funnel" -> ((s, dir) => {
+      val seqs = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")), " ").as("__seq"))
+      // strict funnel (adjacent view->click->purchase) — the loose
+      // "anywhere in the sequence" form converts ~everyone on 67-event users
+      Stats.counts(seqs, Seq("converted" -> col("__seq").rlike("view click purchase")))
+    }),
+
     // canonicalization: near-dup pairs -> connected components -> smallest
     // doc id per duplicate cluster (the actual dedup decision)
     "q33_dedup_canonical" -> ((s, dir) => {
@@ -365,6 +381,8 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q32_sessionize" ->
       "SELECT user_id, count(*) AS n_events, CAST(1 + sum(brk) AS BIGINT) AS n_sessions FROM (SELECT user_id, CASE WHEN prev IS NULL OR ts - prev <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)) GROUP BY user_id ORDER BY user_id",
+    "q34_funnel" ->
+      "SELECT CAST(count(*) AS BIGINT) AS total, CAST(count(CASE WHEN regexp_matches(s, 'view click purchase') THEN 1 END) AS BIGINT) AS converted FROM (SELECT user_id, string_agg(event_type, ' ' ORDER BY ts, event_id) AS s FROM events GROUP BY user_id)",
     "q33_dedup_canonical" ->
       """WITH RECURSIVE tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), tri AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1), i -> ts[i]||' '||ts[i+1]||' '||ts[i+2])) AS gs FROM tok WHERE len(ts) >= 3), pairs AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM tri a JOIN tri b ON a.doc_id <> b.doc_id WHERE len(list_intersect(a.gs, b.gs)) * 10 >= len(list_distinct(list_concat(a.gs, b.gs))) * 7), reach AS (SELECT doc_id AS id, doc_id AS r FROM documents UNION SELECT p.dst, reach.r FROM reach JOIN pairs p ON p.src = reach.id) SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canon FROM reach GROUP BY id ORDER BY doc_id"""
   )

@@ -103,6 +103,83 @@ object Similarity {
       .distinct()
   }
 
+  // ------------------------------------------------------------ IVF index
+
+  /** IVF (inverted-file) coarse quantizer: deterministic k-means over the
+    * corpus. Centroid seeds are the `k` vectors with the smallest
+    * xxhash64(id) (a deterministic pseudo-random sample); a few Lloyd
+    * rounds refine them. Returns (centroid_id, centroid vector) — small
+    * enough to broadcast; at 100 TB the corpus is assigned in one narrow
+    * pass per round and only centroid partials (k rows per partition)
+    * shuffle. */
+  def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iterations: Int = 3, dim: Int = 64): Array[(Int, Array[Float])] = {
+    val spark = emb.sparkSession
+    var cents: Array[(Int, Array[Float])] = emb
+      .select(col(idCol), col(vecCol))
+      .withColumn("__h", xxhash64(col(idCol)))
+      .orderBy(col("__h"))
+      .limit(k)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+    for (_ <- 0 until iterations) {
+      val assigned = assignToCentroid(emb, vecCol, cents)
+      // mean per centroid: aggregate element-wise sums + counts
+      val sums = assigned
+        .groupBy(col("__centroid"))
+        .agg(count(lit(1)).as("__n"),
+          array((0 until dim).map(d => sum(element_at(col(vecCol), d + 1))): _*).as("__sums"))
+        .collect()
+      val updated = sums.map { r =>
+        val cid = r.getInt(0); val n = r.getLong(1).toDouble
+        (cid, r.getSeq[Double](2).map(s => (s / n).toFloat).toArray)
+      }
+      // centroids that lost every vector keep their previous position
+      val kept = updated.map(_._1).toSet
+      cents = (updated ++ cents.filterNot(c => kept(c._1))).sortBy(_._1)
+    }
+    cents
+  }
+
+  /** Nearest-centroid assignment (codegen'd dots against broadcast-literal
+    * centroids; deterministic lowest-id tie-break). */
+  def assignToCentroid(emb: DataFrame, vecCol: String,
+                       cents: Array[(Int, Array[Float])]): DataFrame = {
+    val scored = cents.map { case (cid, c) =>
+      struct(
+        (negate(dot(col(vecCol), typedLit(c.toSeq)) /
+          (norm(col(vecCol)) * lit(math.sqrt(c.map(x => x.toDouble * x).sum))))).as("negcos"),
+        lit(cid).as("cid"))
+    }
+    emb.withColumn("__centroid", least(scored: _*).getField("cid"))
+  }
+
+  /** IVF approximate top-k: assign once, probe the `nprobe` centroids
+    * nearest to the query, exact cosine within the probed cells. Per-query
+    * cost = the probed cells' sizes, not n. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
+              k: Int, numCentroids: Int = 16, nprobe: Int = 4, dim: Int = 64): DataFrame = {
+    val cents = ivfCentroids(emb, idCol, vecCol, numCentroids, dim = dim)
+    val assigned = assignToCentroid(emb, vecCol, cents)
+    val qvec = emb.filter(col(idCol) === queryId).select(col(vecCol)).head.getSeq[Float](0).toArray
+    val qnorm = math.sqrt(qvec.map(x => x.toDouble * x).sum)
+    val probed = cents.map { case (cid, c) =>
+      val cn = math.sqrt(c.map(x => x.toDouble * x).sum)
+      val cos = c.zip(qvec).map { case (a, b) => a.toDouble * b }.sum / (cn * qnorm)
+      (cid, cos)
+    }.sortBy { case (cid, cos) => (-cos, cid) }.take(nprobe).map(_._1).toSet
+    val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("__qv"))
+    assigned
+      .filter(col("__centroid").isin(probed.toSeq: _*) && col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("__score", cosine(col(vecCol), col("__qv")))
+      .orderBy(col("__score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol))
+      .orderBy(col(idCol))
+  }
+
   /** Approximate top-k: probe the query's bucket plus all Hamming-1 buckets
     * (multiprobe), exact cosine within candidates. Returns ids sorted by id.
     * Recall is tested against bruteForceTopK in AnnSpec. */

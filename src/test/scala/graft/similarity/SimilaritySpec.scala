@@ -71,6 +71,30 @@ class SimilaritySpec extends SparkSpec {
     assert(found.size >= 18, s"recall ${found.size}/20 too low")
   }
 
+  test("ivfTopK recovers planted near neighbors via probed cells") {
+    val rnd = new scala.util.Random(13)
+    val dim = 64
+    val base = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+    def jitter(eps: Float) = base.map(v => v + (rnd.nextFloat() - 0.5f) * eps)
+    val rows = (0L -> base.toSeq) +: (1L to 5L).map(i => i -> jitter(0.1f).toSeq) ++:
+      (6L to 205L).map(i => i -> Array.fill(dim)(rnd.nextFloat() * 2 - 1).toSeq)
+    val df = rows.toDF("vec_id", "embedding")
+    val approx = Similarity.ivfTopK(df, "vec_id", "embedding", 0L, 5,
+        numCentroids = 8, nprobe = 3)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (approx intersect Set(1L, 2L, 3L, 4L, 5L)).size / 5.0
+    // tight jitter puts the cluster in one cell; probing its cell finds them
+    assert(recall >= 0.8, s"IVF recall $recall too low; approx=$approx")
+  }
+
+  test("ivfCentroids is deterministic across invocations") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8)
+    val b = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8)
+    assert(a.map(_._1).toSeq === b.map(_._1).toSeq)
+    a.zip(b).foreach { case ((_, ca), (_, cb)) => assert(ca.toSeq === cb.toSeq) }
+  }
+
   test("annTopK recovers planted near neighbors (clustered data)") {
     // SRP-LSH only promises recall when neighbors are directionally CLOSE;
     // on isotropic random vectors (max pair cosine ~0.37 in the testdata)

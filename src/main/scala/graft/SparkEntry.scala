@@ -309,6 +309,13 @@ object SparkEntry {
           lit(1800L * 1000 * 1000 * 1000), tieBreak = Seq("event_id"))
         .orderBy("user_id")),
 
+    // multimodal frame sampling: one row per stride offset of the payload
+    // (the video-frame-extraction plumbing shape: explode keyed to the doc)
+    "q35_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.attachBinary(t(s, dir, "documents"), "doc_id", "text"), 256)
+        .orderBy("doc_id", "frame_idx")),
+
     // funnel analysis: per-user event-type sequence in event-time order,
     // conversion = view .. click .. purchase subsequence (ordered collect
     // via array_sort over (ts, event_id) structs — collect_list alone has
@@ -381,6 +388,8 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q32_sessionize" ->
       "SELECT user_id, count(*) AS n_events, CAST(1 + sum(brk) AS BIGINT) AS n_sessions FROM (SELECT user_id, CASE WHEN prev IS NULL OR ts - prev <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)) GROUP BY user_id ORDER BY user_id",
+    "q35_frame_sample" ->
+      "SELECT doc_id, CAST(x.i AS BIGINT) AS frame_idx, CAST(x.i * 256 AS BIGINT) AS byte_offset FROM documents, LATERAL (SELECT unnest(range(0, greatest(CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT), 1))) AS i) x ORDER BY doc_id, frame_idx",
     "q34_funnel" ->
       "SELECT CAST(count(*) AS BIGINT) AS total, CAST(count(CASE WHEN regexp_matches(s, 'view click purchase') THEN 1 END) AS BIGINT) AS converted FROM (SELECT user_id, string_agg(event_type, ' ' ORDER BY ts, event_id) AS s FROM events GROUP BY user_id)",
     "q33_dedup_canonical" ->

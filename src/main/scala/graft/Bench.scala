@@ -31,18 +31,20 @@ object Bench {
       // best of two runs: the first pass pays codegen compilation for the
       // query's generated classes; the min reflects steady state and damps
       // scheduler noise
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      val sec =
-        try math.min(once(), once())
-        catch {
+      def once(): Double =
+        try {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0
         }
+      // per-run failures fall back to the other run's measurement — a
+      // transient second-run hiccup must not discard a valid first timing
+      val (r1, r2) = (once(), once())
+      val sec = if (r1 < 0) r2 else if (r2 < 0) r1 else math.min(r1, r2)
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -329,7 +329,7 @@ object SparkEntry {
             x => x.getField("event_type")), " ").as("__seq"))
       // strict funnel (adjacent view->click->purchase) — the loose
       // "anywhere in the sequence" form converts ~everyone on 67-event users
-      Stats.counts(seqs, Seq("converted" -> col("__seq").rlike("view click purchase")))
+      Stats.counts(seqs, Seq("converted" -> col("__seq").rlike("(^| )view click purchase( |$)")))
     }),
 
     // canonicalization: near-dup pairs -> connected components -> smallest
@@ -391,7 +391,7 @@ object SparkEntry {
     "q35_frame_sample" ->
       "SELECT doc_id, CAST(x.i AS BIGINT) AS frame_idx, CAST(x.i * 256 AS BIGINT) AS byte_offset FROM documents, LATERAL (SELECT unnest(range(0, greatest(CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT), 1))) AS i) x ORDER BY doc_id, frame_idx",
     "q34_funnel" ->
-      "SELECT CAST(count(*) AS BIGINT) AS total, CAST(count(CASE WHEN regexp_matches(s, 'view click purchase') THEN 1 END) AS BIGINT) AS converted FROM (SELECT user_id, string_agg(event_type, ' ' ORDER BY ts, event_id) AS s FROM events GROUP BY user_id)",
+      "SELECT CAST(count(*) AS BIGINT) AS total, CAST(count(CASE WHEN regexp_matches(s, '(^| )view click purchase( |$)') THEN 1 END) AS BIGINT) AS converted FROM (SELECT user_id, string_agg(event_type, ' ' ORDER BY ts, event_id) AS s FROM events GROUP BY user_id)",
     "q33_dedup_canonical" ->
       """WITH RECURSIVE tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), tri AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1), i -> ts[i]||' '||ts[i+1]||' '||ts[i+2])) AS gs FROM tok WHERE len(ts) >= 3), pairs AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM tri a JOIN tri b ON a.doc_id <> b.doc_id WHERE len(list_intersect(a.gs, b.gs)) * 10 >= len(list_distinct(list_concat(a.gs, b.gs))) * 7), reach AS (SELECT doc_id AS id, doc_id AS r FROM documents UNION SELECT p.dst, reach.r FROM reach JOIN pairs p ON p.src = reach.id) SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canon FROM reach GROUP BY id ORDER BY doc_id"""
   )

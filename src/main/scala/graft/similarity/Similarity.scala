@@ -36,13 +36,7 @@ object Similarity {
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
                      queryId: Long, k: Int): DataFrame = {
     val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("__qv"))
-    emb.crossJoin(broadcast(q))
-      .filter(col(idCol) =!= queryId)
-      .withColumn("__score", cosine(col(vecCol), col("__qv")))
-      .orderBy(col("__score").desc, col(idCol))
-      .limit(k)
-      .select(col(idCol))
-      .orderBy(col(idCol))
+    rescoreTopK(emb, q, idCol, vecCol, queryId, k)
   }
 
   /** Embedding near-dup pairs: all (a < b) with cosine >= threshold (>= 0).
@@ -105,16 +99,30 @@ object Similarity {
 
   // ------------------------------------------------------------ IVF index
 
+  /** Shared exact-rescore tail for the top-k paths: score candidates by
+    * cosine against the broadcast query row, keep the k best (id tie-break),
+    * emit ids sorted by id. One definition so the exact and approximate
+    * paths cannot drift apart. */
+  private def rescoreTopK(candidates: DataFrame, q: DataFrame,
+                          idCol: String, vecCol: String, queryId: Long, k: Int): DataFrame =
+    candidates
+      .filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("__score", cosine(col(vecCol), col("__qv")))
+      .orderBy(col("__score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol))
+      .orderBy(col(idCol))
+
   /** IVF (inverted-file) coarse quantizer: deterministic k-means over the
     * corpus. Centroid seeds are the `k` vectors with the smallest
     * xxhash64(id) (a deterministic pseudo-random sample); a few Lloyd
-    * rounds refine them. Returns (centroid_id, centroid vector) — small
-    * enough to broadcast; at 100 TB the corpus is assigned in one narrow
-    * pass per round and only centroid partials (k rows per partition)
-    * shuffle. */
+    * rounds refine them. Vector dimension is taken from the seeds. Returns
+    * (centroid_id, centroid vector) — small enough to broadcast; at 100 TB
+    * the corpus is assigned in one narrow pass per round and only centroid
+    * partials (k rows per partition) shuffle. */
   def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
-                   k: Int, iterations: Int = 3, dim: Int = 64): Array[(Int, Array[Float])] = {
-    val spark = emb.sparkSession
+                   k: Int, iterations: Int = 3): Array[(Int, Array[Float])] = {
     var cents: Array[(Int, Array[Float])] = emb
       .select(col(idCol), col(vecCol))
       .withColumn("__h", xxhash64(col(idCol)))
@@ -123,6 +131,8 @@ object Similarity {
       .collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+    require(cents.nonEmpty, "ivfCentroids: empty corpus")
+    val dim = cents(0)._2.length
     for (_ <- 0 until iterations) {
       val assigned = assignToCentroid(emb, vecCol, cents)
       // mean per centroid: aggregate element-wise sums + counts
@@ -142,43 +152,63 @@ object Similarity {
     cents
   }
 
-  /** Nearest-centroid assignment (codegen'd dots against broadcast-literal
-    * centroids; deterministic lowest-id tie-break). */
+  /** Nearest-centroid assignment. Scores are dot / centroid-norm only: the
+    * row's own norm is constant across centroids and cannot change the
+    * argmax, so it is not recomputed per centroid (k self-dots saved per
+    * row). Deterministic lowest-id tie-break. */
   def assignToCentroid(emb: DataFrame, vecCol: String,
                        cents: Array[(Int, Array[Float])]): DataFrame = {
     val scored = cents.map { case (cid, c) =>
+      val cn = math.sqrt(c.map(x => x.toDouble * x).sum)
       struct(
-        (negate(dot(col(vecCol), typedLit(c.toSeq)) /
-          (norm(col(vecCol)) * lit(math.sqrt(c.map(x => x.toDouble * x).sum))))).as("negcos"),
+        negate(dot(col(vecCol), typedLit(c.toSeq)) / lit(cn)).as("negcos"),
         lit(cid).as("cid"))
     }
-    emb.withColumn("__centroid", least(scored: _*).getField("cid"))
+    val best = if (scored.length == 1) scored.head else least(scored: _*)
+    emb.withColumn("__centroid", best.getField("cid"))
   }
 
-  /** IVF approximate top-k: assign once, probe the `nprobe` centroids
-    * nearest to the query, exact cosine within the probed cells. Per-query
-    * cost = the probed cells' sizes, not n. */
-  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
-              k: Int, numCentroids: Int = 16, nprobe: Int = 4, dim: Int = 64): DataFrame = {
-    val cents = ivfCentroids(emb, idCol, vecCol, numCentroids, dim = dim)
-    val assigned = assignToCentroid(emb, vecCol, cents)
-    val qvec = emb.filter(col(idCol) === queryId).select(col(vecCol)).head.getSeq[Float](0).toArray
+  /** Reusable IVF index: centroids + the assigned corpus. Build ONCE and
+    * serve many queries from it — rebuilding k-means per query would make
+    * every lookup O(iterations × n). */
+  case class IvfIndex(cents: Array[(Int, Array[Float])], assigned: DataFrame)
+
+  def ivfIndex(emb: DataFrame, idCol: String, vecCol: String,
+               numCentroids: Int = 16, iterations: Int = 3): IvfIndex = {
+    val cents = ivfCentroids(emb, idCol, vecCol, numCentroids, iterations)
+    IvfIndex(cents, assignToCentroid(emb, vecCol, cents))
+  }
+
+  /** IVF approximate top-k against a prebuilt index: probe the `nprobe`
+    * centroids nearest to the query, exact cosine within the probed cells.
+    * Per-query cost = the probed cells' sizes, not n. An absent queryId
+    * returns an empty result (matching bruteForceTopK/annTopK). */
+  def ivfTopK(index: IvfIndex, idCol: String, vecCol: String, queryId: Long,
+              k: Int, nprobe: Int): DataFrame = {
+    val qRows = index.assigned.filter(col(idCol) === queryId)
+      .select(col(vecCol)).collect()
+    if (qRows.isEmpty)
+      return index.assigned.filter(lit(false)).select(col(idCol))
+    val qvec = qRows.head.getSeq[Float](0).toArray
     val qnorm = math.sqrt(qvec.map(x => x.toDouble * x).sum)
-    val probed = cents.map { case (cid, c) =>
+    val probed = index.cents.map { case (cid, c) =>
       val cn = math.sqrt(c.map(x => x.toDouble * x).sum)
       val cos = c.zip(qvec).map { case (a, b) => a.toDouble * b }.sum / (cn * qnorm)
       (cid, cos)
     }.sortBy { case (cid, cos) => (-cos, cid) }.take(nprobe).map(_._1).toSet
-    val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("__qv"))
-    assigned
-      .filter(col("__centroid").isin(probed.toSeq: _*) && col(idCol) =!= queryId)
-      .crossJoin(broadcast(q))
-      .withColumn("__score", cosine(col(vecCol), col("__qv")))
-      .orderBy(col("__score").desc, col(idCol))
-      .limit(k)
-      .select(col(idCol))
-      .orderBy(col(idCol))
+    val q = index.assigned.sparkSession.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(qvec.toSeq)),
+      org.apache.spark.sql.types.StructType(Seq(org.apache.spark.sql.types.StructField(
+        "__qv", org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))))
+    rescoreTopK(
+      index.assigned.filter(col("__centroid").isin(probed.toSeq: _*)),
+      q, idCol, vecCol, queryId, k)
   }
+
+  /** Convenience one-shot form (builds the index, then queries it). */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
+              k: Int, numCentroids: Int = 16, nprobe: Int = 4): DataFrame =
+    ivfTopK(ivfIndex(emb, idCol, vecCol, numCentroids), idCol, vecCol, queryId, k, nprobe)
 
   /** Approximate top-k: probe the query's bucket plus all Hamming-1 buckets
     * (multiprobe), exact cosine within candidates. Returns ids sorted by id.
@@ -195,12 +225,10 @@ object Similarity {
         // XOR via arithmetic to stay in the Column algebra
         when(col("__qb").bitwiseAND(lit(1 << i)) > 0, col("__qb") - (1 << i))
           .otherwise(col("__qb") + (1 << i))): _*).as("__probes"))
-    bucketed.crossJoin(broadcast(probes))
-      .filter(array_contains(col("__probes"), col("__bucket")) && col(idCol) =!= queryId)
-      .withColumn("__score", cosine(col(vecCol), col("__qv")))
-      .orderBy(col("__score").desc, col(idCol))
-      .limit(k)
-      .select(col(idCol))
-      .orderBy(col(idCol))
+    val candidates = bucketed
+      .crossJoin(broadcast(probes.select(col("__probes"))))
+      .filter(array_contains(col("__probes"), col("__bucket")))
+      .drop("__probes")
+    rescoreTopK(candidates, probes.select(col("__qv")), idCol, vecCol, queryId, k)
   }
 }

@@ -87,12 +87,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall $recall too low; approx=$approx")
   }
 
-  test("ivfCentroids is deterministic across invocations") {
+  test("ivfCentroids is stable across invocations (seeded, near-identical)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val a = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8)
     val b = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8)
     assert(a.map(_._1).toSeq === b.map(_._1).toSeq)
-    a.zip(b).foreach { case ((_, ca), (_, cb)) => assert(ca.toSeq === cb.toSeq) }
+    // Lloyd sums are distributed double partial-aggregates: merge order is
+    // not guaranteed, so compare approximately, not bit-exactly
+    a.zip(b).foreach { case ((_, ca), (_, cb)) =>
+      ca.zip(cb).foreach { case (x, y) => assert(math.abs(x - y) < 1e-5f) }
+    }
+  }
+
+  test("ivfTopK on an absent queryId returns empty, like the sibling APIs") {
+    val df = vecs(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f), 2L -> Seq(1f, 1f))
+    assert(Similarity.ivfTopK(df, "vec_id", "embedding", 999L, 2,
+      numCentroids = 2, nprobe = 1).count() === 0)
   }
 
   test("annTopK recovers planted near neighbors (clustered data)") {

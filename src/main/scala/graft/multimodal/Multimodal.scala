@@ -53,6 +53,34 @@ object Multimodal {
     }
   }
 
+  /** Feature-extracted media: fixed-width byte histogram (16 bins) — the
+    * Spark-side shape of an embedding/feature extractor (fixed-size vector
+    * per doc, computed batch-wise on executors). Counts, not ratios, so the
+    * output is integer-exact. */
+  case class MediaFeatures(doc_id: Long, histogram: Array[Long])
+
+  def extractFeatures(media: DataFrame)(implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        val h = new Array[Long](16)
+        if (r.media != null) r.media.foreach(b => h((b & 0xff) >> 4) += 1)
+        MediaFeatures(r.doc_id, h)
+      }
+    }
+  }
+
+  /** Resize stub: recompute target metadata for a scaled rendition — the
+    * plumbing of a resize stage (per-row pure metadata transform; a real
+    * implementation decodes, scales, and re-encodes the payload here). */
+  def resizeMeta(decoded: Dataset[DecodedMedia], targetWidth: Long)(implicit spark: SparkSession): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    decoded.map { d =>
+      val h = if (d.width == 0) 0L else math.max(1L, d.height * targetWidth / d.width)
+      d.copy(width = targetWidth, height = h)
+    }
+  }
+
   /** Frame sampling stub: pick every `stride`-th byte as a "frame" offset —
     * the Spark-side shape of video frame extraction (explode to one row per
     * frame, key back to the doc). */

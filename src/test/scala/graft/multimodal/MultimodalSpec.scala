@@ -25,6 +25,21 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).checksum === 'x'.toLong)
   }
 
+  test("extractFeatures: 16-bin byte histogram, integer-exact") {
+    val df = Multimodal.attachBinary(Seq((1L, "aaab")).toDF("doc_id", "text"), "doc_id", "text")
+    val h = Multimodal.extractFeatures(df).collect().head.histogram
+    // 'a' = 0x61 and 'b' = 0x62 -> bin 6 has all 4 bytes
+    assert(h(6) === 4L && h.sum === 4L)
+  }
+
+  test("resizeMeta scales height proportionally to the target width") {
+    val df = Multimodal.attachBinary(Seq((1L, "x" * 100)).toDF("doc_id", "text"), "doc_id", "text")
+    val out = Multimodal.resizeMeta(Multimodal.decode(df), targetWidth = 32).collect().head
+    assert(out.width === 32)
+    assert(out.height === Multimodal.decodeBytes(1L, ("x" * 100).getBytes).height * 32 /
+      Multimodal.decodeBytes(1L, ("x" * 100).getBytes).width)
+  }
+
   test("sampleFrames explodes one row per stride offset") {
     val df = Multimodal.attachBinary(Seq((1L, "0123456789")).toDF("doc_id", "text"), "doc_id", "text")
     val frames = Multimodal.sampleFrames(df, 4).collect()

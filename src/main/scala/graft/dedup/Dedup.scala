@@ -60,11 +60,45 @@ object Dedup {
       transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"), xxhash64(slice(s, b * rows + 1, lit(rows))).as("bh")))))
 
+  /** Conf key: corpora whose estimated plan size is at most this many bytes
+    * take the broadcast LSH plan; larger ones take the pre-bucketed shuffle
+    * plan. The gate uses Catalyst's own logical statistics (free — derived
+    * from file sizes / local-relation sizes), so no extra job runs. */
+  val BroadcastThresholdKey = "graft.lsh.broadcast.threshold"
+
+  /** Default gate: 128 MB — far under Spark's hard broadcast limit, and a
+    * corpus whose (id, shingles) projection is bigger than this has no
+    * business living on every executor. */
+  private val DefaultBroadcastThreshold = 128L * 1024 * 1024
+
+  /** True when `df`'s estimated size fits the broadcast gate. */
+  private def fitsBroadcast(df: DataFrame): Boolean = {
+    val threshold = df.sparkSession.conf
+      .get(BroadcastThresholdKey, DefaultBroadcastThreshold.toString).toLong
+    df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(threshold)
+  }
+
   /** RAW candidate pairs (idA < idB) from LSH banding over `shingleCol` —
     * NOT deduplicated: a pair sharing k bands appears k times. Callers that
     * verify candidates should dedup AFTER verification (far fewer uniques
     * survive, so the hash-agg never spills); callers that want the candidate
-    * set itself use lshCandidates. */
+    * set itself use lshCandidates.
+    *
+    * Size-gated join strategy (the 100 TB story):
+    *  - under the gate, the band table (n × bands tiny rows) is broadcast.
+    *    Without the hint Catalyst's post-explode size estimate balloons,
+    *    picks a sort-merge join, and AQE then coalesces the (byte-wise tiny,
+    *    row-wise explosive) shuffle to ONE partition — measured
+    *    single-threaded 200M-row emit. The hint keeps the emit parallel over
+    *    the probe side's partitions.
+    *  - over the gate (a corpus whose band keys cannot live on every
+    *    executor), both sides are pre-bucketed by (band, bh) with an EXPLICIT
+    *    partition count: the self-join reuses one exchange (ReuseExchange),
+    *    needs no further shuffle, and the explicit count stops AQE's by-bytes
+    *    coalescing of the row-explosive emit. No broadcast hint — and if the
+    *    runtime shuffle turns out genuinely tiny, AQE's own SMJ→BHJ
+    *    conversion (driven by ACTUAL sizes, not estimates) may still
+    *    broadcast it, which is then safe by construction. */
   def lshCandidatesRaw(df: DataFrame, idCol: String, shingleCol: String,
                        numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
@@ -73,16 +107,18 @@ object Dedup {
       .select(col(idCol),
         explode(bandKeys(minhashSignature(col(shingleCol), numHashes), bands, rows)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val a = banded.select(col("band"), col("bh"), col(idCol).as("id_a"))
-    val b = banded.select(col("band"), col("bh"), col(idCol).as("id_b"))
-    // The band table is n × bands tiny rows — broadcast it. Without the hint
-    // Catalyst's post-explode size estimate balloons, picks a sort-merge
-    // join, and AQE then coalesces the (byte-wise tiny, row-wise explosive)
-    // shuffle to ONE partition — measured single-threaded 200M-row emit. The
-    // hint keeps the emit parallel over the probe side's partitions. For a
-    // corpus too big to broadcast band keys, pre-bucket both sides by
-    // (band, bh) instead.
-    a.join(broadcast(b), Seq("band", "bh"))
+    val joined = if (fitsBroadcast(df.select(col(idCol), col(shingleCol)))) {
+      val a = banded.select(col("band"), col("bh"), col(idCol).as("id_a"))
+      val b = banded.select(col("band"), col("bh"), col(idCol).as("id_b"))
+      a.join(broadcast(b), Seq("band", "bh"))
+    } else {
+      val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val bucketed = banded.repartition(n, col("band"), col("bh"))
+      val a = bucketed.select(col("band"), col("bh"), col(idCol).as("id_a"))
+      val b = bucketed.select(col("band"), col("bh"), col(idCol).as("id_b"))
+      a.join(b, Seq("band", "bh"))
+    }
+    joined
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
   }
@@ -96,16 +132,32 @@ object Dedup {
     * |∩| * den >= num * |∪| (i.e. J >= num/den, integer-exact so the
     * threshold compare is bit-identical across engines). `shingleCol` must
     * hold SORTED hashed shingles; |∩| is the codegen'd merge scan and
-    * |∪| = |A| + |B| − |∩| (no array materialization per pair). Both joins
-    * broadcast the (small) per-doc set side against the candidate stream. */
+    * |∪| = |A| + |B| − |∩| (no array materialization per pair).
+    *
+    * Size-gated like lshCandidatesRaw: a set table under the gate is
+    * broadcast against the (row-wise huge) candidate stream — the probes and
+    * the merge-scan filter fuse into the candidate stage's codegen, and
+    * rejected pairs never materialize a joined row. Over the gate the
+    * candidate stream is explicitly repartitioned on each pair id and
+    * shuffle-joined — two candidate shuffles of 16-byte rows, with the
+    * explicit count pinning the verify stage's parallelism (AQE would
+    * otherwise coalesce the byte-small candidate shuffle under row-heavy
+    * merge-scan work). */
   def verifyJaccard(candidates: DataFrame, df: DataFrame, idCol: String,
                     shingleCol: String, num: Int, den: Int): DataFrame = {
-    // Broadcast the per-doc set table against the (row-wise huge) candidate
-    // stream so rejected pairs never materialize a joined row — the probes
-    // and the merge-scan filter fuse into the candidate stage's codegen.
-    val sets = broadcast(df.select(col(idCol), col(shingleCol)))
-    val withA = candidates.join(sets.select(col(idCol).as("id_a"), col(shingleCol).as("__sa")), "id_a")
-    val withB = withA.join(sets.select(col(idCol).as("id_b"), col(shingleCol).as("__sb")), "id_b")
+    val setsRaw = df.select(col(idCol), col(shingleCol))
+    val withB = if (fitsBroadcast(setsRaw)) {
+      val sets = broadcast(setsRaw)
+      candidates
+        .join(sets.select(col(idCol).as("id_a"), col(shingleCol).as("__sa")), "id_a")
+        .join(sets.select(col(idCol).as("id_b"), col(shingleCol).as("__sb")), "id_b")
+    } else {
+      val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      candidates.repartition(n, col("id_a"))
+        .join(setsRaw.select(col(idCol).as("id_a"), col(shingleCol).as("__sa")), "id_a")
+        .repartition(n, col("id_b"))
+        .join(setsRaw.select(col(idCol).as("id_b"), col(shingleCol).as("__sb")), "id_b")
+    }
     val inter = graft.functions.VectorFunctions.sortedIntersectSize(col("__sa"), col("__sb"))
     withB
       .withColumn("__i", inter)

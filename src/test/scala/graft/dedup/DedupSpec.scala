@@ -72,6 +72,29 @@ class DedupSpec extends SparkSpec {
     assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("over the broadcast gate the LSH pipeline is broadcast-free and agrees") {
+    val expected = Dedup.minhashNearDups(docs, "doc_id", "text",
+        TextAnalysis.tokenSet, num = 9, den = 10, numHashes = 128, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // force the over-the-gate strategy, and pin Spark's own auto-broadcast
+    // off to simulate the 100 TB case where the estimator also refuses
+    spark.conf.set(Dedup.BroadcastThresholdKey, "0")
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val dedup = Dedup.minhashNearDups(docs, "doc_id", "text",
+        TextAnalysis.tokenSet, num = 9, den = 10, numHashes = 128, bands = 32)
+      val plan = dedup.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"shuffle strategy must not broadcast corpus tables:\n$plan")
+      val pairs = dedup.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs === expected)
+    } finally {
+      spark.conf.unset(Dedup.BroadcastThresholdKey)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    }
+  }
+
   test("verifyJaccard integer threshold: J >= num/den boundary is exact") {
     val sets = Seq(
       (1L, Seq(1L, 2L, 3L, 4L).sorted),

@@ -167,10 +167,15 @@ object SparkEntry {
       "SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderdate > TIMESTAMP '1996-01-01 00:00:00' ORDER BY o_orderkey",
     "q05_incr_id" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey > 3000 ORDER BY l_orderkey, l_linenumber",
+    // trunc() so the oracle truncates toward zero like int(float(v)) /
+    // try_cast-to-long — a plain CAST AS BIGINT rounds-to-nearest in DuckDB
+    // and would diverge on any fractional input
     "q06_coerce_int" ->
-      "SELECT l_orderkey, l_linenumber, CAST(CAST(l_quantity AS DOUBLE) AS BIGINT) AS q FROM lineitem ORDER BY l_orderkey, l_linenumber",
+      "SELECT l_orderkey, l_linenumber, CAST(trunc(CAST(l_quantity AS DOUBLE)) AS BIGINT) AS q FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    // regexp strip mirroring Coerce.strip (Python str.strip() removes all
+    // whitespace kinds, not just spaces like trim())
     "q07_coerce_trim" ->
-      "SELECT c_custkey, trim(c_name) AS c_name FROM customer ORDER BY c_custkey",
+      "SELECT c_custkey, regexp_replace(c_name, '^\\s+|\\s+$', '', 'g') AS c_name FROM customer ORDER BY c_custkey",
     "q08_upsert" ->
       """WITH base AS (SELECT o_orderkey, o_totalprice, 0 AS prec FROM orders WHERE o_orderkey <= 4000), delta AS (SELECT o_orderkey, -o_totalprice AS o_totalprice, 1 AS prec FROM orders WHERE o_orderkey BETWEEN 2000 AND 6000), u AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY prec DESC) AS rn FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)) SELECT o_orderkey, o_totalprice FROM u WHERE rn = 1 ORDER BY o_orderkey""",
     "q09_anti_join" ->
@@ -351,7 +356,70 @@ object SparkEntry {
         .agg(approx_count_distinct(col("text")).as("approx"),
           countDistinct(col("text")).as("exact"))
         .select(when(abs(col("approx") - col("exact")) * 100 <= col("exact") * 15, lit(0L))
-          .otherwise(lit(1L)).as("violations")))
+          .otherwise(lit(1L)).as("violations"))),
+
+    // IVF index invariants (bit-deterministic: iterations=0 keeps centroids
+    // exactly the hash-seeded sample vectors — no distributed float sums):
+    //  (a) probing ALL cells must reproduce brute-force top-10 exactly (the
+    //      index round-trip loses nothing), and
+    //  (b) probing ONE cell must find a planted exact twin of the query
+    //      vector (identical vector -> identical cell, so the pruned search
+    //      is guaranteed to see it)
+    "q36_ivf_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val twinId = 1000000L
+      val corpus = emb.unionByName(emb.filter(col("vec_id") === 0L)
+        .select(lit(twinId).as("vec_id"), col("embedding")))
+      val idx = Similarity.ivfIndex(corpus, "vec_id", "embedding",
+        numCentroids = 16, iterations = 0)
+      val full = Similarity.ivfTopK(idx, "vec_id", "embedding", 0L, 10, nprobe = 16)
+      val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", 0L, 10)
+      val exactness = full.except(brute).unionByName(brute.except(full))
+        .agg(count(lit(1)).as("__d1"))
+      val pruned = Similarity.ivfTopK(idx, "vec_id", "embedding", 0L, 1, nprobe = 1)
+        .agg((count(when(col("vec_id") =!= twinId, 1))
+          + abs(count(lit(1)) - 1)).as("__d2"))
+      exactness.crossJoin(pruned)
+        .select((col("__d1") + col("__d2")).cast(LongType).as("violations"))
+    }),
+
+    // SRP-LSH pair-mining recall invariant: plant one exact twin for each of
+    // the first 50 vectors — an identical vector lands in the SAME bucket of
+    // EVERY hash table, so candidate generation is guaranteed (not
+    // probabilistic) to surface each twin pair, and the exact dot-product
+    // verify rejects everything else (max natural pair cosine ~0.6 << 0.999)
+    "q37_lsh_pair_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val twins = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val found = Similarity.lshNearDupPairs(emb.unionByName(twins),
+        "vec_id", "embedding", 0.999)
+      // violations = (pairs found that are not planted) + (planted missed)
+      val planted = col("vec_b") === col("vec_a") + 1000000L && col("vec_a") < 50
+      found.agg(count(lit(1)).as("__n"), count(when(planted, 1)).as("__good"))
+        .select(((col("__n") - col("__good")) + (lit(50) - col("__good")))
+          .cast(LongType).as("violations"))
+    }),
+
+    // SimHash banded near-dup mining must find EXACTLY the all-pairs
+    // hamming<=3 set: the pigeonhole band split guarantees 100% recall over
+    // signatures and bit_count verify kills band-collision false positives,
+    // so the symmetric difference vs brute force is 0 by construction —
+    // violated only if the banding or verify plumbing is wrong
+    "q38_simhash_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val found = Dedup.simhashNearDups(docs, "doc_id", "text",
+        TextAnalysis.tokenSet, maxHamming = 3)
+      val sigs = docs.select(col("doc_id"),
+        Dedup.simhashPacked(Dedup.hashedShingles(TextAnalysis.tokenSet(col("text")))).as("__sig"))
+      val a = sigs.select(col("doc_id").as("id_a"), col("__sig").as("__sa"))
+      val b = sigs.select(col("doc_id").as("id_b"), col("__sig").as("__sb"))
+      val brute = a.join(b, col("id_a") < col("id_b"))
+        .filter(Dedup.hammingPacked(col("__sa"), col("__sb")) <= 3)
+        .select("id_a", "id_b")
+      found.except(brute).unionByName(brute.except(found))
+        .agg(count(lit(1)).cast(LongType).as("violations"))
+    })
   )
 
   private val llmOracle: Map[String, String] = Map(
@@ -385,6 +453,12 @@ object SparkEntry {
     "q30_rollup_stats" ->
       "SELECT event_type, count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents FROM events GROUP BY ROLLUP(event_type) ORDER BY event_type NULLS FIRST",
     "q31_approx_distinct" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    "q36_ivf_recall" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    "q37_lsh_pair_recall" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    "q38_simhash_neardup" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q32_sessionize" ->
       "SELECT user_id, count(*) AS n_events, CAST(1 + sum(brk) AS BIGINT) AS n_sessions FROM (SELECT user_id, CASE WHEN prev IS NULL OR ts - prev <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)) GROUP BY user_id ORDER BY user_id",

@@ -255,7 +255,7 @@ object Dedup {
     * round N doesn't replan rounds 1..N-1. The driver loop only compares
     * one scalar (sum of labels, monotonically non-increasing) per round. */
   def connectedComponents(vertices: DataFrame, idCol: String,
-                          pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+                          pairs: DataFrame, maxIter: Int = 30): DataFrame = {
     // materialize the edge list ONCE — its lineage is typically a whole
     // LSH pipeline, which every iteration's join would otherwise recompute
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -281,6 +281,13 @@ object Dedup {
       prevSum = s
       i += 1
     }
+    // Hitting the cap without convergence means some cluster's diameter
+    // exceeds maxIter and the labels are WRONG (partial propagation). Fail
+    // loudly rather than return silently-wrong canon ids — a caller with
+    // genuinely chain-shaped clusters should raise maxIter.
+    require(converged,
+      s"connectedComponents did not converge within $maxIter rounds; " +
+        "some duplicate cluster's diameter exceeds the cap — raise maxIter")
     val singletons = vertices.select(col(idCol).as("id"))
       .join(labels.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").cast("long").as("canon"))
@@ -294,7 +301,56 @@ object Dedup {
   def simhashBits(tokenHashes: Column): Column =
     graft.functions.SimHash64(tokenHashes)
 
-  /** Hamming distance between two bit arrays. */
-  def hamming(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => abs(x - y)), lit(0), _ + _)
+  /** 64-bit SimHash packed into one long (codegen'd) — the join-friendly
+    * form: 8 bytes through a shuffle instead of a 64-slot array. */
+  def simhashPacked(tokenHashes: Column): Column =
+    graft.functions.SimHashPacked64(tokenHashes)
+
+  /** Hamming distance between two PACKED 64-bit signatures: builtin
+    * XOR + bit_count — whole-stage-codegen'd end to end (replaces the
+    * interpreted aggregate(zip_with(...)) bit-array formulation). */
+  def hammingPacked(a: Column, b: Column): Column =
+    call_function("bit_count", a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: (id_a < id_b) whose packed signatures differ in
+    * at most `maxHamming` bits.
+    *
+    * EXACT by pigeonhole (the Manku/Jain/Sarma WWW'07 trick): the 64-bit
+    * signature splits into maxHamming+1 equal bands; a pair within
+    * maxHamming bit flips must agree on at least one FULL band, so the
+    * banded equi-join has guaranteed 100% recall over signatures, and the
+    * codegen'd bit_count verify removes band-collision false positives —
+    * unlike MinHash LSH there is no probabilistic miss at all. Cost is
+    * collision-driven: each doc emits maxHamming+1 band keys; the self-join
+    * is pre-bucketed by (band, bh) with an explicit partition count (same
+    * AQE-coalesce-proof shape as the over-gate MinHash path); the 8-byte
+    * signature rides the join so verification needs no second lookup. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      shingler: Column => Column, maxHamming: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
+    require(64 % bands == 0,
+      s"maxHamming + 1 must divide 64 (got maxHamming=$maxHamming); use 0, 1, 3, 7, 15 or 31")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // repartition BEFORE the signature projection for the same single-file
+    // parallelism reason as minhashNearDupsHashed
+    val sigs = df
+      .repartition(n, col(idCol))
+      .select(col(idCol),
+        simhashPacked(hashedShingles(shingler(col(textCol)))).as("__sig"))
+    val banded = sigs.select(col(idCol), col("__sig"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("__sig"), b * width).bitwiseAND(lit(mask)).as("bh"))): _*)).as("bk"))
+      .select(col(idCol), col("__sig"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val bucketed = banded.repartition(n, col("band"), col("bh"))
+    val a = bucketed.select(col("band"), col("bh"), col(idCol).as("id_a"), col("__sig").as("__siga"))
+    val b = bucketed.select(col("band"), col("bh"), col(idCol).as("id_b"), col("__sig").as("__sigb"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(hammingPacked(col("__siga"), col("__sigb")) <= maxHamming)
+      .select("id_a", "id_b")
+      .distinct()
+  }
 }

@@ -25,8 +25,12 @@ object Coerce {
     * (try_cast, since ANSI mode otherwise throws on malformed input). */
   def intish(c: Column): Column = c.try_cast(DoubleType).try_cast(LongType)
 
-  /** `str(v).strip()` with NULL passthrough. */
-  def strip(c: Column): Column = trim(c)
+  /** `str(v).strip()` with NULL passthrough. Python's strip() removes ALL
+    * leading/trailing whitespace (tab, newline, CR — not just spaces), so a
+    * regexp strip, not Spark's space-only trim(). (Residual deviation:
+    * Python also strips exotic unicode spaces like U+00A0, which Java's
+    * ASCII \s does not — documented in SURVEY §2.4.) */
+  def strip(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
 
   /** Array NULL -> [] (element type preserved). */
   def arrayOrEmpty(c: Column, elementType: DataType): Column =

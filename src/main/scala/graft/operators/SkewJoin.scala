@@ -18,16 +18,30 @@ object SkewJoin {
 
   private val SALT = "__graft_salt"
 
-  /** Deterministic salt in [0, buckets) from the row's other columns. */
-  def saltColumn(df: DataFrame, buckets: Int): Column =
-    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(buckets)).cast("int")
+  /** Deterministic salt in [0, buckets) from the row's other columns.
+    *
+    * `spreadIdentical` mixes in a per-row position component
+    * (monotonically_increasing_id): fully identical duplicate rows of a hot
+    * key — a common real skew shape — otherwise all hash to the SAME salt
+    * bucket and do not spread at all. The trade: the position depends on the
+    * input's partition layout, so a task retry may re-salt rows differently
+    * — safe for decomposable aggregation and join spreading (any bucket
+    * assignment is correct), but keep it off when a stage must be
+    * bit-replayable. */
+  def saltColumn(df: DataFrame, buckets: Int, spreadIdentical: Boolean = false): Column = {
+    val cols = df.columns.map(col).toIndexedSeq
+    val mixed = if (spreadIdentical) cols :+ monotonically_increasing_id() else cols
+    pmod(xxhash64(mixed: _*), lit(buckets)).cast("int")
+  }
 
   /** Two-phase (partial -> final) aggregation of a skewed key: first
     * aggregate (key, salt) — hot keys spread over `buckets` partitions —
     * then merge the partials per key. `agg` must be decomposable
-    * (sum/count/min/max style). */
-  def saltedCount(df: DataFrame, keys: Seq[String], buckets: Int = 16): DataFrame =
-    df.withColumn(SALT, saltColumn(df, buckets))
+    * (sum/count/min/max style). Identical-duplicate-heavy keys should set
+    * `spreadIdentical` (see saltColumn). */
+  def saltedCount(df: DataFrame, keys: Seq[String], buckets: Int = 16,
+                  spreadIdentical: Boolean = false): DataFrame =
+    df.withColumn(SALT, saltColumn(df, buckets, spreadIdentical))
       .groupBy((keys.map(col) :+ col(SALT)): _*)
       .agg(count(lit(1)).as("__partial"))
       .groupBy(keys.map(col): _*)
@@ -37,8 +51,8 @@ object SkewJoin {
     * `buckets`× with every salt value, equi-join on (key, salt). The dim
     * side must be broadcast-or-small (it is replicated). */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
-                 buckets: Int = 16): DataFrame = {
-    val saltedFact = fact.withColumn(SALT, saltColumn(fact, buckets))
+                 buckets: Int = 16, spreadIdentical: Boolean = false): DataFrame = {
+    val saltedFact = fact.withColumn(SALT, saltColumn(fact, buckets, spreadIdentical))
     val repl = dim.withColumn(SALT, explode(sequence(lit(0), lit(buckets - 1))))
     saltedFact.join(repl, Seq(key, SALT)).drop(SALT)
   }

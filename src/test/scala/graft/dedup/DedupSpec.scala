@@ -95,6 +95,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("packed simhash equals bit-array simhash; hammingPacked is XOR popcount") {
+    val both = docs.select($"doc_id",
+        Dedup.simhashBits(Dedup.hashedShingles(TextAnalysis.tokenSet($"text"))).as("bits"),
+        Dedup.simhashPacked(Dedup.hashedShingles(TextAnalysis.tokenSet($"text"))).as("packed"))
+      .collect().map(r => (r.getSeq[Int](1), r.getLong(2)))
+    both.foreach { case (bits, packed) =>
+      val repacked = bits.zipWithIndex.foldLeft(0L) { case (acc, (b, j)) =>
+        if (b == 1) acc | (1L << j) else acc
+      }
+      assert(repacked === packed)
+    }
+    val h = Seq((0L, 0L), (0L, 7L), (-1L, 0L)).toDF("a", "b")
+      .select(Dedup.hammingPacked($"a", $"b").as("h")).collect().map(_.getInt(0))
+    assert(h.toSeq === Seq(0, 3, 64))
+  }
+
+  test("simhashNearDups finds exactly the all-pairs hamming<=k set (pigeonhole)") {
+    val found = Dedup.simhashNearDups(docs, "doc_id", "text", TextAnalysis.tokenSet, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigs = docs.select($"doc_id",
+        Dedup.simhashPacked(Dedup.hashedShingles(TextAnalysis.tokenSet($"text"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(found === brute)
+    // sanity: identical token sets => hamming 0 => present
+    assert(found.contains((0L, 1L)) && found.contains((3L, 4L)))
+  }
+
   test("verifyJaccard integer threshold: J >= num/den boundary is exact") {
     val sets = Seq(
       (1L, Seq(1L, 2L, 3L, 4L).sorted),

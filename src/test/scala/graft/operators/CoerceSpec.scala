@@ -15,10 +15,11 @@ class CoerceSpec extends SparkSpec {
     assert(out.toSeq === Seq(3L, 42L, 7L, null, null))
   }
 
-  test("strip trims whitespace with NULL passthrough") {
-    val out = Seq("  a b  ", null).toDF("v")
+  test("strip trims ALL whitespace kinds like str.strip(), NULL passthrough") {
+    // tabs/newlines/CR must strip too — Python's strip() is not space-only
+    val out = Seq("  a b  ", "\t\n a b \r\n", null).toDF("v")
       .select(Coerce.strip(col("v")).as("v")).collect().map(_.get(0))
-    assert(out.toSeq === Seq("a b", null))
+    assert(out.toSeq === Seq("a b", "a b", null))
   }
 
   test("arrayOrEmpty: NULL -> [] (sync_utils.py:86-94)") {

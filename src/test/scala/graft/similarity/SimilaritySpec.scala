@@ -105,6 +105,38 @@ class SimilaritySpec extends SparkSpec {
       numCentroids = 2, nprobe = 1).count() === 0)
   }
 
+  test("IVF invariants: full probe == brute force; nprobe=1 finds an exact twin") {
+    // iterations=0 makes centroids exactly the hash-seeded sample vectors —
+    // no distributed double sums, so both checks are bit-deterministic;
+    // q36 pins the same two invariants against a SELECT 0 oracle
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val corpus = emb.unionByName(
+      emb.filter($"vec_id" === 0L).select(lit(1000000L).as("vec_id"), $"embedding"))
+    val idx = Similarity.ivfIndex(corpus, "vec_id", "embedding", numCentroids = 16, iterations = 0)
+    val full = Similarity.ivfTopK(idx, "vec_id", "embedding", 0L, 10, nprobe = 16)
+      .collect().map(_.getLong(0)).toSet
+    val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(full === brute, "probing every cell must reproduce exact top-k")
+    val one = Similarity.ivfTopK(idx, "vec_id", "embedding", 0L, 1, nprobe = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(one === Seq(1000000L), "the query's own cell must contain its exact twin")
+  }
+
+  test("lshNearDupPairs on exact twins finds every planted pair and nothing else") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val twins = emb.filter($"vec_id" < 50)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    val corpus = emb.unionByName(twins)
+    val pairs = Similarity.lshNearDupPairs(corpus, "vec_id", "embedding", 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical vectors share every bucket in every table -> guaranteed
+    // candidates; exact verify kills all non-twin pairs (max cosine ~0.5)
+    assert(pairs === (0L until 50L).map(i => (i, i + 1000000L)).toSet)
+  }
+
   test("annTopK recovers planted near neighbors (clustered data)") {
     // SRP-LSH only promises recall when neighbors are directionally CLOSE;
     // on isotropic random vectors (max pair cosine ~0.37 in the testdata)

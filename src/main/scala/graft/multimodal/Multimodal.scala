@@ -7,14 +7,16 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata, decoded batch-wise on executors.
   *
-  * The real Spark concerns — schema, partition-parallel batch decode via
+  * The Spark concerns — schema, partition-parallel batch decode via
   * mapPartitions, typed output Encoders, never shipping bytes to the driver —
-  * are implemented and tested. The codec itself is a STUB (this container has
-  * no image/audio libraries): `decodeBytes` derives deterministic fake
-  * dimensions from the byte payload. Swapping in a real decoder changes ONLY
-  * the body of `decodeBytes`; the distributed plumbing is identical, and the
-  * per-partition iterator shape is exactly where a real implementation would
-  * amortize codec init (one decoder instance per partition, not per row).
+  * are implemented and tested. The codec is REAL for images: `decodeBytes`
+  * parses true dimensions from any format the JDK's ImageIO registry knows
+  * (PNG/JPEG/BMP/GIF — no external dependency), reading only the header,
+  * never the pixel planes. Payloads no installed reader recognizes (audio,
+  * video, plain text) fall back to a deterministic metadata stub so the
+  * pipeline is total; a video/audio codec would slot into the same
+  * per-partition iterator, which is where native decoder contexts amortize
+  * (one instance per partition, not per row).
   */
 object Multimodal {
 
@@ -24,8 +26,37 @@ object Multimodal {
   /** Decoded metadata — all Long for cross-engine schema stability. */
   case class DecodedMedia(doc_id: Long, n_bytes: Long, width: Long, height: Long, checksum: Long)
 
-  /** STUB codec: deterministic pseudo-decode from the payload. A real
-    * implementation would parse the container header here. */
+  // ImageIO's disk cache would write temp files per decode on executors;
+  // header reads fit in memory, always.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** True (width, height) for any payload an installed ImageIO reader
+    * recognizes by magic bytes; None otherwise. Header-only: the reader's
+    * getWidth/getHeight never touch the pixel data, so cost is O(header),
+    * not O(pixels) — the right scan shape for a metadata pass over 100 TB
+    * of media. */
+  def imageDimensions(bytes: Array[Byte]): Option[(Long, Long)] = {
+    if (bytes == null || bytes.length == 0) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          Some((r.getWidth(0).toLong, r.getHeight(0).toLong))
+        } catch {
+          case _: java.io.IOException => None // truncated/corrupt header
+        } finally r.dispose()
+      }
+    } finally iis.close()
+  }
+
+  /** Decode: real image-header parse when the payload is a recognized image
+    * format; deterministic metadata stub otherwise (keeps the pipeline total
+    * over text/audio payloads). */
   def decodeBytes(id: Long, bytes: Array[Byte]): DecodedMedia = {
     val n = if (bytes == null) 0L else bytes.length.toLong
     // checksum: first byte when ASCII, else 0 — keeps the value identical
@@ -33,7 +64,10 @@ object Multimodal {
     // ascii()), since any non-ASCII leading character maps to 0 both ways
     val b0 = if (n == 0) 0L else bytes(0).toLong & 0xffL
     val checksum = if (b0 < 128) b0 else 0L
-    DecodedMedia(id, n, 64 + n % 64, 64 + (n / 64) % 64, checksum)
+    imageDimensions(bytes) match {
+      case Some((w, h)) => DecodedMedia(id, n, w, h, checksum)
+      case None         => DecodedMedia(id, n, 64 + n % 64, 64 + (n / 64) % 64, checksum)
+    }
   }
 
   /** Project a text column into an opaque binary media column — the test

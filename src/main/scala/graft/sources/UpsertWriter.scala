@@ -41,14 +41,24 @@ object UpsertWriter {
     }
   }
 
+  /** Default progress sink: stderr, like the reference's print-based logger. */
+  def defaultLog(line: String): Unit = Console.err.println(line)
+
   /** Executor-side batched upsert. Each partition opens one connection, one
     * transaction, addBatch/executeBatch every `batchSize` rows (the
     * reference's 1,000 default). Connection count is bounded by the
     * partition count — mirror the reference's pool-of-5 by repartitioning
-    * to <= the destination's connection budget. */
+    * to <= the destination's connection budget.
+    *
+    * O10 progress parity: the reference logs every 10% of the (known) total
+    * (batch_insert_with_progress, db-sync-local/utils.py:62-68). Executors
+    * cannot know the global total without an extra counting pass, so the
+    * distributed equivalent logs one line per BATCH FLUSH with the
+    * partition-local cumulative count — same granularity when batchSize ≈
+    * total/10, and `log` is pluggable (rate-limit or drop it at 100 TB). */
   def write(df: DataFrame, url: String, props: java.util.Properties,
             table: String, pks: Seq[String], batchSize: Int = 1000,
-            numWriters: Int = 5): Unit = {
+            numWriters: Int = 5, log: String => Unit = defaultLog): Unit = {
     val columns = df.columns.toSeq
     val sql = upsertSql(table, columns, pks)
     val partitioned =
@@ -56,19 +66,24 @@ object UpsertWriter {
       else df.repartition(numWriters)
     partitioned.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.nonEmpty) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
         val conn: Connection = DriverManager.getConnection(url, props)
         try {
           conn.setAutoCommit(false)
           val stmt = conn.prepareStatement(sql)
           var n = 0
+          def flush(): Unit = {
+            stmt.executeBatch()
+            log(s"[upsert] $table p$pid: $n rows written")
+          }
           rows.foreach { r =>
             var i = 0
             while (i < columns.length) { stmt.setObject(i + 1, r.get(i)); i += 1 }
             stmt.addBatch()
             n += 1
-            if (n % batchSize == 0) stmt.executeBatch()
+            if (n % batchSize == 0) flush()
           }
-          stmt.executeBatch()
+          if (n % batchSize != 0) flush()
           conn.commit()
         } catch {
           case e: Throwable =>

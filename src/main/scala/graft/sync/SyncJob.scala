@@ -2,8 +2,8 @@ package graft.sync
 
 import graft.config.{CheckType, TableConfig}
 import graft.operators.{Coerce, Incremental, Merge, Projection, Watermark}
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.functions.{count, lit}
 
 /** O11 — the per-table sync pipeline (reference: sync_table,
   * db-sync-local/sync_utils.py:239-287): introspect schema (O2), discover
@@ -60,10 +60,15 @@ object SyncJob {
       case None    => coerced
     }
 
-    // write first, then count the WRITTEN table — counting the merged plan
-    // before writing would execute the whole scan+merge pipeline twice
-    dest.write(merged, cfg.name)
-    val rows = dest.read(cfg.name).map(_.count()).getOrElse(0L)
+    // O18 stats ride the write itself via an Observation (CollectMetrics
+    // node): the row count falls out of the one write pass. Counting the
+    // merged plan beforehand would execute the scan+merge twice; re-reading
+    // the written table (the previous approach) was a second full scan of
+    // everything — unacceptable at 100 TB. Requires dest.write to execute
+    // the plan (every TableStore does — that's what "write" means).
+    val obs = Observation()
+    dest.write(merged.observe(obs, count(lit(1)).as("rows")), cfg.name)
+    val rows = obs.get("rows").asInstanceOf[Long]
     SyncStats(cfg.name, mode, rows)
   }
 }

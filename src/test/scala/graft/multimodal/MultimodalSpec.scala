@@ -25,6 +25,43 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).checksum === 'x'.toLong)
   }
 
+  test("decode parses TRUE dimensions of real PNG and BMP payloads") {
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xCAFE)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos))
+      bos.toByteArray
+    }
+    val png = encode("png", 120, 45)
+    val bmp = encode("bmp", 7, 300)
+    // full pipeline: binary column -> mapPartitions decode on executors
+    val df = Seq((1L, png), (2L, bmp)).toDF("doc_id", "media")
+    val out = Multimodal.decode(df).collect().map(d => d.doc_id -> d).toMap
+    assert((out(1L).width, out(1L).height) === (120L, 45L))
+    assert((out(2L).width, out(2L).height) === (7L, 300L))
+    assert(out(1L).n_bytes === png.length.toLong)
+    // PNG magic leads 0x89 (non-ASCII) -> checksum 0; BMP leads 'B'
+    assert(out(1L).checksum === 0L)
+    assert(out(2L).checksum === 'B'.toLong)
+  }
+
+  test("imageDimensions: corrupt/truncated headers fall back to None") {
+    val png = {
+      val img = new java.awt.image.BufferedImage(9, 9,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    assert(Multimodal.imageDimensions(png) === Some((9L, 9L)))
+    assert(Multimodal.imageDimensions(png.take(10)) === None) // truncated
+    assert(Multimodal.imageDimensions("plain text".getBytes) === None)
+    assert(Multimodal.imageDimensions(Array.empty[Byte]) === None)
+    assert(Multimodal.imageDimensions(null) === None)
+  }
+
   test("extractFeatures: 16-bin byte histogram, integer-exact") {
     val df = Multimodal.attachBinary(Seq((1L, "aaab")).toDF("doc_id", "text"), "doc_id", "text")
     val h = Multimodal.extractFeatures(df).collect().head.histogram

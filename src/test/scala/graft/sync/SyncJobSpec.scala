@@ -71,6 +71,21 @@ class SyncJobSpec extends SparkSpec {
     assert(dst.read("t").get.columns.toSeq === Seq("id", "v"))
   }
 
+  test("stats ride the write pass: destination is never re-read for counting") {
+    val (src, dstInner) = (tmpStore(), tmpStore())
+    src.write(rows(1, 2, 3), "t")
+    var reads = 0
+    val dst = new TableStore {
+      override def read(table: String) = { reads += 1; dstInner.read(table) }
+      override def write(df: org.apache.spark.sql.DataFrame, table: String) =
+        dstInner.write(df, table)
+    }
+    val stats = SyncJob.run(src, dst, idCfg, Seq("id"))
+    assert(stats.rowsUpserted === 3)
+    // exactly the pre-write watermark/merge read — no post-write count scan
+    assert(reads === 1)
+  }
+
   test("no delete propagation: rows deleted upstream persist in dest (§2.4-1)") {
     val (src, dst) = (tmpStore(), tmpStore())
     src.write(rows(1, 2, 3), "t")

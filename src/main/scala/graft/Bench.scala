@@ -9,8 +9,44 @@ import org.apache.spark.sql.SparkSession
   * and materialized on executors (unlike `count()`, which lets Catalyst prune
   * projections and collapse the plan). Failures are reported as -1 with a
   * stderr message, never silently timed.
+  *
+  * Reporting: the headline per-query number stays best-of-two (steady state,
+  * damps scheduler noise), but BOTH raw runs are emitted (`cold` pays each
+  * query's codegen compilation, `warm` is the re-run) so round-over-round
+  * comparisons can't hide a codegen-compile regression behind the min.
+  * Regression guard: queries whose best-of-two exceeds 1.5x their recorded
+  * round-2 floor (sf0.1, local[32]) are self-reported in `regressed`.
   */
 object Bench {
+
+  /** Per-query floors from BENCH_r02.json (sf0.1, local[32], best-of-two) —
+    * the in-repo regression baseline. Queries added after r2 have no floor
+    * and are never flagged. */
+  private val R2Floor: Map[String, Double] = Map(
+    "q01_project_scan" -> 0.592, "q02_watermark_ts" -> 0.207,
+    "q03_watermark_id_null" -> 0.265, "q04_incr_ts" -> 0.442,
+    "q05_incr_id" -> 1.182, "q06_coerce_int" -> 0.724,
+    "q07_coerce_trim" -> 0.210, "q08_upsert" -> 0.468,
+    "q09_anti_join" -> 0.499, "q10_semi_join" -> 0.620,
+    "q11_ordered_listing" -> 0.172, "q12_group_fold" -> 0.315,
+    "q13_sync_stats" -> 0.128, "q14_decimal_cast" -> 0.848,
+    "q15_watermark_roundtrip" -> 0.293, "q16_dedup_exact" -> 0.350,
+    "q17_token_stats" -> 0.275, "q18_text_quality" -> 0.528,
+    "q19_lang_id" -> 0.712, "q20_fingerprint" -> 0.312,
+    "q21_dedup_minhash" -> 9.129, "q22_dedup_ngram" -> 3.037,
+    "q23_simhash_invariant" -> 0.592, "q24_embed_topk" -> 0.205,
+    "q25_embed_neardup" -> 1.826, "q26_ann_topk" -> 0.325,
+    "q27_multimodal_decode" -> 0.211, "q28_json_extract" -> 0.794,
+    "q29_running_sum" -> 0.557, "q30_rollup_stats" -> 0.226,
+    "q31_approx_distinct" -> 0.277, "q32_sessionize" -> 0.463,
+    "q33_dedup_canonical" -> 3.461, "q34_funnel" -> 0.393,
+    "q35_frame_sample" -> 0.172)
+
+  /** Fixed-seconds slack added to the 1.5x bound: sub-second floors are
+    * scheduler-noise-dominated (a 0.13 s query measured at 0.25 s is noise,
+    * not a regression). */
+  private val NoiseFloorSec = 0.35
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -28,9 +64,6 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // best of two runs: the first pass pays codegen compilation for the
-      // query's generated classes; the min reflects steady state and damps
-      // scheduler noise
       def once(): Double =
         try {
           val t0 = System.nanoTime()
@@ -43,17 +76,28 @@ object Bench {
         }
       // per-run failures fall back to the other run's measurement — a
       // transient second-run hiccup must not discard a valid first timing
-      val (r1, r2) = (once(), once())
-      val sec = if (r1 < 0) r2 else if (r2 < 0) r1 else math.min(r1, r2)
-      name -> sec
+      val (cold, warm) = (once(), once())
+      val best = if (cold < 0) warm else if (warm < 0) cold else math.min(cold, warm)
+      (name, best, cold, warm)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val regressed = results.collect {
+      case (name, best, _, _)
+        if best >= 0 && R2Floor.get(name).exists(f => best > f * 1.5 + NoiseFloorSec) => name
+    }
+    regressed.foreach(n => System.err.println(
+      s"[bench] REGRESSION: $n exceeded 1.5x its r2 floor (${R2Floor(n)} s)"))
     val failed = results.count(_._2 < 0)
     // a failed query must never make the total LOOK faster: surface the
     // failure count so totals across rounds stay comparable
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed""" +
+      s""","queries":${jmap(results.map(r => r._1 -> r._2))}""" +
+      s""","cold":${jmap(results.map(r => r._1 -> r._3))}""" +
+      s""","warm":${jmap(results.map(r => r._1 -> r._4))}""" +
+      s""","regressed":$regressedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -401,6 +401,58 @@ object SparkEntry {
           .cast(LongType).as("violations"))
     }),
 
+    // the composed LLM-corpus-cleaning pipeline — quality gate -> language
+    // filter -> exact dedup, the canonical "what survives into training"
+    // query; every stage is a narrow codegen'd expression except the one
+    // dedup hash-agg shuffle
+    "q39_corpus_clean" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val kept = docs.filter(TextAnalysis.qualityOk(col("text")) === 1
+        && TextAnalysis.langId(col("text")) === "en")
+      Dedup.exact(kept, "text", "doc_id").orderBy("doc_id")
+    }),
+
+    // vocabulary building: explode tokens -> count -> top 100; partial
+    // (map-side) aggregation absorbs the token explosion before the shuffle,
+    // so hot tokens never skew a partition
+    "q40_vocab_topk" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(100)),
+
+    // as-of join: each purchase gains the latest prior (inclusive) view of
+    // the same user — the union+window formulation, one keyed shuffle,
+    // never a range-join explosion (events.ts is bigint nanos under
+    // nanosAsLong; the oracle compares via epoch_ns)
+    "q41_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"))
+      // microsecond precision for the oracle compare: DuckDB truncates
+      // TIMESTAMP_NS to micros on read, and pandas renders null-bearing
+      // int64 as float64 (exact only below 2^53 — micros fit, nanos don't);
+      // integer `div` so the nanos never round-trip through a double
+      AsOfJoin.backward(purchases, views, Seq("user_id"), "ts", "view_ts")
+        .select(col("event_id"), expr("view_ts div 1000").as("view_us"))
+        .orderBy("event_id")
+    }),
+
+    // quantile sketch invariant: approximate median (GK sketch — fixed-size
+    // state, the 100 TB path) within 5% + one-cent slack of the exact
+    // median over integer cents
+    "q42_percentile_sketch" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(round(col("value") * 100).cast(LongType).as("c"))
+        .agg(percentile_approx(col("c"), lit(0.5), lit(10000)).as("approx"),
+          expr("percentile(c, 0.5D)").as("exact"))
+        .select(when(abs(col("approx") - col("exact")) * 100 <= abs(col("exact")) * 5 + lit(100),
+          lit(0L)).otherwise(lit(1L)).as("violations"))),
+
     // SimHash banded near-dup mining must find EXACTLY the all-pairs
     // hamming<=3 set: the pigeonhole band split guarantees 100% recall over
     // signatures and bit_count verify kills band-collision false positives,
@@ -459,6 +511,14 @@ object SparkEntry {
     "q37_lsh_pair_recall" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q38_simhash_neardup" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    "q39_corpus_clean" ->
+      """WITH f AS (SELECT doc_id, text, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok, len(regexp_extract_all(lower(text), '\b(the|a|an|of|and|to|in|is|it|for)\b')) AS n_stop, len(regexp_extract_all(lower(text), '\b(the|of|and|is|to)\b')) AS s_en, len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS s_de, len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|y|de)\b')) AS s_es, len(regexp_extract_all(lower(text), '\b(le|les|des|est|et|une)\b')) AS s_fr FROM documents), k AS (SELECT doc_id, text FROM f WHERE n_tok >= 5 AND n_stop * 2 <= n_tok AND s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr) SELECT min(doc_id) AS doc_id, text FROM k GROUP BY text ORDER BY doc_id""",
+    "q40_vocab_topk" ->
+      "SELECT token, CAST(count(*) AS BIGINT) AS n FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents) GROUP BY token ORDER BY n DESC, token LIMIT 100",
+    "q41_asof_join" ->
+      "SELECT p.event_id, epoch_us(v.ts) AS view_us FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v ON p.user_id = v.user_id AND p.ts >= v.ts ORDER BY p.event_id",
+    "q42_percentile_sketch" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q32_sessionize" ->
       "SELECT user_id, count(*) AS n_events, CAST(1 + sum(brk) AS BIGINT) AS n_sessions FROM (SELECT user_id, CASE WHEN prev IS NULL OR ts - prev <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)) GROUP BY user_id ORDER BY user_id",

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.{max, struct}
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // facts: (key, time, price)
+  private val quotes = Seq(
+    ("a", 10L, 1.0), ("a", 20L, 2.0), ("a", 30L, 3.0),
+    ("b", 15L, 9.0)).toDF("k", "qt", "price")
+
+  // queries: (key, time, id)
+  private val trades = Seq(
+    ("a", 5L, 1L),   // before any quote -> null
+    ("a", 20L, 2L),  // exactly simultaneous -> inclusive match (2.0)
+    ("a", 25L, 3L),  // between quotes -> latest prior (2.0)
+    ("a", 99L, 4L),  // after all -> 3.0
+    ("b", 16L, 5L),  // other key -> 9.0, never a's quotes
+    ("c", 50L, 6L))  // key with no facts at all -> null
+    .toDF("k", "tt", "id")
+
+  test("backward as-of picks the latest fact at or before each left time") {
+    val out = AsOfJoin.backward(trades, quotes, Seq("k"), "tt", "qt")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (Option(r.getAs[Any]("price")), Option(r.getAs[Any]("qt")))).toMap
+    assert(out(1L) === (None, None))
+    assert(out(2L) === (Some(2.0), Some(20L)))  // inclusive at equal time
+    assert(out(3L) === (Some(2.0), Some(20L)))
+    assert(out(4L) === (Some(3.0), Some(30L)))
+    assert(out(5L) === (Some(9.0), Some(15L)))  // keys never cross
+    assert(out(6L) === (None, None))
+  }
+
+  test("left columns and row count are preserved (left-outer semantics)") {
+    val out = AsOfJoin.backward(trades, quotes, Seq("k"), "tt", "qt")
+    assert(out.count() === trades.count())
+    assert(out.columns.toSet === Set("k", "tt", "id", "qt", "price"))
+  }
+
+  test("payload name clash with a left column is rejected loudly") {
+    val bad = quotes.withColumnRenamed("price", "id")
+    val e = intercept[IllegalArgumentException](
+      AsOfJoin.backward(trades, bad, Seq("k"), "tt", "qt"))
+    assert(e.getMessage.contains("id"))
+  }
+
+  test("agrees with the brute-force range-join argmax on a planted case") {
+    val brute = trades.as("t").join(quotes.as("q"),
+        $"t.k" === $"q.k" && $"q.qt" <= $"t.tt", "left")
+      .groupBy($"t.id")
+      .agg(max(struct($"q.qt", $"q.price")).as("m"))
+      .select($"id", $"m.price".as("price"))
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[Any]("price"))).toMap
+    val asof = AsOfJoin.backward(trades, quotes, Seq("k"), "tt", "qt")
+      .collect().map(r => r.getAs[Long]("id") -> Option(r.getAs[Any]("price"))).toMap
+    assert(asof === brute)
+  }
+}

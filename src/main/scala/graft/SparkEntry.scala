@@ -442,6 +442,17 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // banded range join: per-user count of event pairs within one hour —
+    // candidates from an equi-join on (user, time bucket) with the earlier
+    // side exploded to adjacent buckets, exact window verify after; the
+    // oracle runs the naive inequality join the banded plan replaces
+    "q43_range_pairs" -> ((s, dir) =>
+      RangeJoin.pairsWithin(t(s, dir, "events"), Seq("user_id"), "ts", "event_id",
+          window = 3600L * 1000 * 1000 * 1000)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")),
+
     // quantile sketch invariant: approximate median (GK sketch — fixed-size
     // state, the 100 TB path) within 5% + one-cent slack of the exact
     // median over integer cents
@@ -520,6 +531,8 @@ object SparkEntry {
       "SELECT p.event_id, epoch_us(v.ts) AS view_us FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v ON p.user_id = v.user_id AND p.ts >= v.ts ORDER BY p.event_id",
     "q42_percentile_sketch" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
+    "q43_range_pairs" ->
+      "SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_pairs FROM events a JOIN events b ON a.user_id = b.user_id AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id)) AND b.ts - a.ts <= INTERVAL 1 HOUR GROUP BY a.user_id ORDER BY a.user_id",
     "q32_sessionize" ->
       "SELECT user_id, count(*) AS n_events, CAST(1 + sum(brk) AS BIGINT) AS n_sessions FROM (SELECT user_id, CASE WHEN prev IS NULL OR ts - prev <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)) GROUP BY user_id ORDER BY user_id",
     "q35_frame_sample" ->

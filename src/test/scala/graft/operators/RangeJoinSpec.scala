@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (key, id, t)
+  private val rows = Seq(
+    ("u", 1L, 0L), ("u", 2L, 50L), ("u", 3L, 100L), ("u", 4L, 100L),
+    ("u", 5L, 260L),             // far from the 0-100 cluster
+    ("v", 6L, 55L))              // other key, near u's times but never pairs
+    .toDF("k", "id", "t")
+
+  private def pairs(window: Long) =
+    RangeJoin.pairsWithin(rows, Seq("k"), "t", "id", window)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSet
+
+  test("finds exactly the within-window pairs, exactly once, keys isolated") {
+    // window 100 (inclusive): (1,2) 50, (1,3)/(1,4) 100, (2,3)/(2,4) 50,
+    // (3,4) tie at t=100 ordered by id; 5 is 160 away from t=100
+    assert(pairs(100L) === Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+  }
+
+  test("cross-bucket pairs are found (straddling a band boundary)") {
+    // window 60: (1,2) diff 50 straddles buckets 0|0; (2,3) diff 50
+    // straddles buckets 0|1 — the exploded band catches it
+    assert(pairs(60L) === Set((1L, 2L), (2L, 3L), (2L, 4L), (3L, 4L)))
+  }
+
+  test("agrees with the brute-force inequality join on every window") {
+    for (w <- Seq(1L, 49L, 50L, 99L, 160L, 1000L)) {
+      val brute = rows.as("a").join(rows.as("b"),
+          $"a.k" === $"b.k"
+            && ($"a.t" < $"b.t" || ($"a.t" === $"b.t" && $"a.id" < $"b.id"))
+            && $"b.t" - $"a.t" <= w)
+        .select($"a.id", $"b.id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs(w) === brute, s"window $w")
+    }
+  }
+}

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions.{max, struct}
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 class AsOfJoinSpec extends SparkSpec {
   import spark.implicits._
@@ -56,5 +57,31 @@ class AsOfJoinSpec extends SparkSpec {
     val asof = AsOfJoin.backward(trades, quotes, Seq("k"), "tt", "qt")
       .collect().map(r => r.getAs[Long]("id") -> Option(r.getAs[Any]("price"))).toMap
     assert(asof === brute)
+  }
+
+  test("property: as-of == in-memory latest-at-or-before on random timelines") {
+    // right side unique per (key, time) by construction (the operator's
+    // documented determinism precondition)
+    val rightGen = Gen.mapOf(Gen.zip(
+      Gen.zip(Gen.oneOf("u", "v"), Gen.choose(0L, 100L)), Gen.choose(0L, 999L)))
+      .map(_.toSeq.map { case ((k, t), p) => (k, t, p) })
+    val leftGen = Gen.listOf(Gen.zip(Gen.oneOf("u", "v"), Gen.choose(0L, 100L)))
+      .map(_.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) })
+    val prop = Prop.forAll(leftGen, rightGen) { (ls, rs) =>
+      if (ls.isEmpty) true
+      else {
+        val left = ls.toDF("k", "tt", "id")
+        val right = rs.toDF("k", "qt", "p")
+        val out = AsOfJoin.backward(left, right, Seq("k"), "tt", "qt")
+          .collect().map(r => r.getAs[Long]("id") -> Option(r.getAs[Any]("p"))).toMap
+        val expected = ls.map { case (k, t, i) =>
+          i -> rs.filter(r => r._1 == k && r._2 <= t)
+            .sortBy(_._2).lastOption.map(_._3)
+        }.toMap
+        out == expected.map { case (k, v) => k -> v.map(x => x: Any) }
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 class RangeJoinSpec extends SparkSpec {
   import spark.implicits._
@@ -38,5 +39,25 @@ class RangeJoinSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(pairs(w) === brute, s"window $w")
     }
+  }
+
+  test("property: banded pairs == in-memory brute force on random timelines") {
+    val rowGen = Gen.listOf(Gen.zip(
+      Gen.oneOf("u", "v"), Gen.choose(0L, 300L))).map(_.zipWithIndex
+      .map { case ((k, t), i) => (k, i.toLong, t) })
+    val winGen = Gen.choose(1L, 150L)
+    val prop = Prop.forAll(rowGen, winGen) { (rs, w) =>
+      val found =
+        if (rs.isEmpty) Set.empty[(Long, Long)]
+        else RangeJoin.pairsWithin(rs.toDF("k", "id", "t"), Seq("k"), "t", "id", w)
+          .collect().map(r => (r.getLong(1), r.getLong(3))).toSet
+      val brute = (for {
+        (ka, ia, ta) <- rs; (kb, ib, tb) <- rs
+        if ka == kb && (ta < tb || (ta == tb && ia < ib)) && tb - ta <= w
+      } yield (ia, ib)).toSet
+      found == brute
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
   }
 }

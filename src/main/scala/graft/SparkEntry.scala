@@ -464,6 +464,27 @@ object SparkEntry {
         .select(when(abs(col("approx") - col("exact")) * 100 <= abs(col("exact")) * 5 + lit(100),
           lit(0L)).otherwise(lit(1L)).as("violations"))),
 
+    // deterministic hash train/test split (stable membership under corpus
+    // growth — no rand()): ~80/20 within 5 points, splits disjoint and
+    // exhaustive by construction, both non-empty
+    "q44_hash_split" -> ((s, dir) => {
+      val split = Sampling.hashSplit(t(s, dir, "documents"), "doc_id", 80)
+      split.agg(count(lit(1)).as("__n"),
+          count(when(col("split") === "train", 1)).as("__tr"))
+        .select(when(
+          abs(col("__tr") * 100 - col("__n") * 80) <= col("__n") * 5
+            && col("__tr") > 0 && col("__tr") < col("__n"),
+          lit(0L)).otherwise(lit(1L)).as("violations"))
+    }),
+
+    // per-source curation cap: keep the 5 smallest doc_ids per source — the
+    // "at most N documents per domain" sampling stage, one keyed window
+    "q45_cap_per_source" -> ((s, dir) =>
+      Sampling.capPerKey(t(s, dir, "documents"), Seq("source"),
+          Seq(col("doc_id").asc), 5)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+
     // SimHash banded near-dup mining must find EXACTLY the all-pairs
     // hamming<=3 set: the pigeonhole band split guarantees 100% recall over
     // signatures and bit_count verify kills band-collision false positives,
@@ -531,6 +552,10 @@ object SparkEntry {
       "SELECT p.event_id, epoch_us(v.ts) AS view_us FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v ON p.user_id = v.user_id AND p.ts >= v.ts ORDER BY p.event_id",
     "q42_percentile_sketch" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
+    "q44_hash_split" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    "q45_cap_per_source" ->
+      "SELECT doc_id, source FROM (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM documents) WHERE rn <= 5 ORDER BY doc_id",
     "q43_range_pairs" ->
       "SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_pairs FROM events a JOIN events b ON a.user_id = b.user_id AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id)) AND b.ts - a.ts <= INTERVAL 1 HOUR GROUP BY a.user_id ORDER BY a.user_id",
     "q32_sessionize" ->

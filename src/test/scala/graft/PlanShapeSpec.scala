@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan shape pins for flagship queries: pushdown, pruning,
+  * broadcast choice, and partial aggregation are the properties that make
+  * these plans survive 100 TB — assert them so a refactor cannot silently
+  * trade one away while results stay correct. String-level checks on the
+  * executed plan are deliberate: they catch regressions wherever they
+  * originate (operator code, conf defaults, Spark upgrade).
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q01 projection prunes the parquet scan to the selected columns") {
+    val p = plan("q01_project_scan")
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint," +
+      "o_totalprice:double,o_orderdate:timestamp"), p.linesIterator.toSeq.last)
+    assert(!p.contains("o_comment"), "unreferenced columns must not be read")
+  }
+
+  test("q04 watermark filter is pushed into the parquet scan") {
+    val p = plan("q04_incr_ts")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThan(o_orderdate"), p)
+  }
+
+  test("q12 joins the tiny dimension with a broadcast, not a shuffle") {
+    val p = plan("q12_group_fold")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q40 explode is absorbed by a map-side partial aggregate and top-k") {
+    val p = plan("q40_vocab_topk")
+    // partial_count BELOW the exchange: hot tokens combine before shuffling
+    val partialIdx = p.indexOf("partial_count")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(token")
+    assert(partialIdx > exchangeIdx && exchangeIdx >= 0,
+      s"expected partial aggregate under the token exchange:\n$p")
+    // top-k must be TakeOrderedAndProject, never a global sort of all tokens
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q41 as-of join costs exactly one hash exchange (plus the final sort)") {
+    val p = plan("q41_asof_join")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges === 1, s"expected a single keyed shuffle:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]"), p)
+  }
+
+  test("q16 exact dedup is one hash-aggregate shuffle, no join") {
+    val p = plan("q16_dedup_exact")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Join"), s"dedup must not plan a join:\n$p")
+  }
+
+  test("q05 id incremental pushes the strict > predicate into the scan") {
+    val p = plan("q05_incr_id")
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), GreaterThan(l_orderkey,3000)"), p)
+  }
+}

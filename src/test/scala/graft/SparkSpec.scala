@@ -10,6 +10,7 @@ object SparkSpec {
     .master("local[2]")
     .config("spark.sql.shuffle.partitions", 2)
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts is TIMESTAMP(NANOS)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatDotProduct, SimHash64, SortedLongIntersectSize}
+import graft.functions.{FloatDotProduct, SimHash64, SimHashPacked64, SortedLongIntersectSize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -39,7 +39,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => SortedLongIntersectSize(args(0), args(1))),
     ("graft_simhash64",
       info("graft_simhash64", "graft_simhash64(hashes) - 64 sign bits of the simhash of pre-hashed tokens"),
-      (args: Seq[Expression]) => SimHash64(args.head))
+      (args: Seq[Expression]) => SimHash64(args.head)),
+    ("graft_simhash_packed",
+      info("graft_simhash_packed", "graft_simhash_packed(hashes) - simhash of pre-hashed tokens packed into one bigint; hamming = bit_count(a ^ b)"),
+      (args: Seq[Expression]) => SimHashPacked64(args.head))
   )
 
   /** Runtime registration for an existing session (tests, REPL). */

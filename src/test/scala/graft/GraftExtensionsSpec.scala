@@ -24,4 +24,16 @@ class GraftExtensionsSpec extends SparkSpec {
     val r = spark.sql("SELECT graft_simhash64(array(xxhash64('a'), xxhash64('b'))) AS s").head
     assert(r.getSeq[Int](0).length === 64)
   }
+
+  test("graft_simhash_packed packs the same bits; SQL hamming via bit_count") {
+    val r = spark.sql(
+      """SELECT graft_simhash64(array(xxhash64('a'))) AS bits,
+        |       graft_simhash_packed(array(xxhash64('a'))) AS packed,
+        |       bit_count(graft_simhash_packed(array(xxhash64('a')))
+        |         ^ graft_simhash_packed(array(xxhash64('b')))) AS h""".stripMargin).head
+    val repacked = r.getSeq[Int](0).zipWithIndex
+      .foldLeft(0L) { case (acc, (b, j)) => if (b == 1) acc | (1L << j) else acc }
+    assert(repacked === r.getLong(1))
+    assert(r.getInt(2) > 0 && r.getInt(2) <= 64) // different tokens differ
+  }
 }

@@ -464,6 +464,19 @@ object SparkEntry {
         .select(when(abs(col("approx") - col("exact")) * 100 <= abs(col("exact")) * 5 + lit(100),
           lit(0L)).otherwise(lit(1L)).as("violations"))),
 
+    // incremental-ingest novelty gate: batch docs (doc_id >= 250) with no
+    // unigram-Jaccard >= 0.9 near-dup in the existing corpus (doc_id < 250)
+    // — cross-corpus LSH probe + anti-join, the corpus is never self-joined
+    "q46_novel_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.novelAgainst(
+          docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+          "doc_id", "text", c => Dedup.hashedShingles(TextAnalysis.tokenSet(c)),
+          num = 9, den = 10, numHashes = 125, bands = 25)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // deterministic hash train/test split (stable membership under corpus
     // growth — no rand()): ~80/20 within 5 points, splits disjoint and
     // exhaustive by construction, both non-empty
@@ -552,6 +565,11 @@ object SparkEntry {
       "SELECT p.event_id, epoch_us(v.ts) AS view_us FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v ON p.user_id = v.user_id AND p.ts >= v.ts ORDER BY p.event_id",
     "q42_percentile_sketch" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
+    // corpus side restricted to non-empty token sets (empty sets generate no
+    // band keys in the Spark plan); batch docs with empty token sets are
+    // novel by definition on both sides
+    "q46_novel_docs" ->
+      """WITH tok AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ts FROM documents), c AS (SELECT * FROM tok WHERE doc_id < 250 AND len(ts) > 0), b AS (SELECT * FROM tok WHERE doc_id >= 250) SELECT b.doc_id FROM b WHERE NOT EXISTS (SELECT 1 FROM c WHERE len(list_intersect(b.ts, c.ts)) * 10 >= len(list_distinct(list_concat(b.ts, c.ts))) * 9) ORDER BY b.doc_id""",
     "q44_hash_split" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q45_cap_per_source" ->

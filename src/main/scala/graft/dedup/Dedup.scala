@@ -214,6 +214,66 @@ object Dedup {
     verifyJaccard(cands, shingled, idCol, "__sh", num, den).distinct()
   }
 
+  /** CROSS-corpus near-dup pairs: (id_a from `batch`, id_b from `corpus`)
+    * with shingle-set Jaccard >= num/den — the incremental-ingest shape.
+    * Where minhashNearDups self-joins one corpus, this probes only the NEW
+    * batch's band keys against the existing corpus's: cost tracks the batch
+    * size plus true collisions, and the 100 TB corpus is never self-joined
+    * (its band table is computed in one narrow pass and would be a reusable
+    * persisted index in a production ingest loop). Ids must be disjoint
+    * across the two inputs for the output to be meaningful. */
+  def crossNearDupsHashed(batch: DataFrame, corpus: DataFrame,
+                          idCol: String, textCol: String,
+                          hashedShingler: Column => Column,
+                          num: Int, den: Int,
+                          numHashes: Int, bands: Int): DataFrame = {
+    val n = batch.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val rows = numHashes / bands
+    def shingled(df: DataFrame) = df
+      .repartition(n, col(idCol))
+      .select(col(idCol), hashedShingler(col(textCol)).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    def bandedOf(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as),
+        explode(bandKeys(minhashSignature(col("__sh"), numHashes), bands, rows)).as("bk"))
+      .select(col(as), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val sb = shingled(batch)
+    val sc = shingled(corpus)
+    val cands = bandedOf(sb, "id_a").join(bandedOf(sc, "id_b"), Seq("band", "bh"))
+      .select("id_a", "id_b")
+    // verify against each side's own set table (ids live in different inputs)
+    val setsA = sb.select(col(idCol).as("id_a"), col("__sh").as("__sa"))
+    val setsB = sc.select(col(idCol).as("id_b"), col("__sh").as("__sb"))
+    val joined =
+      if (fitsBroadcast(sb.select(col(idCol), col("__sh")))
+        && fitsBroadcast(sc.select(col(idCol), col("__sh"))))
+        cands.join(broadcast(setsA), "id_a").join(broadcast(setsB), "id_b")
+      else
+        cands.repartition(n, col("id_a")).join(setsA, "id_a")
+          .repartition(n, col("id_b")).join(setsB, "id_b")
+    val inter = graft.functions.VectorFunctions.sortedIntersectSize(col("__sa"), col("__sb"))
+    joined
+      .withColumn("__i", inter)
+      .filter(col("__i") * den >= (size(col("__sa")) + size(col("__sb")) - col("__i")) * num)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Novelty filter over an incoming batch: rows of `batch` with NO
+    * near-dup in `corpus` at Jaccard >= num/den — cross-corpus candidate
+    * mining followed by an anti-join, the dedup gate of a continuous
+    * ingestion pipeline. Batch rows whose shingle set is empty are novel
+    * by definition (they cannot collide). */
+  def novelAgainst(batch: DataFrame, corpus: DataFrame,
+                   idCol: String, textCol: String,
+                   hashedShingler: Column => Column,
+                   num: Int, den: Int,
+                   numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    val dups = crossNearDupsHashed(batch, corpus, idCol, textCol,
+      hashedShingler, num, den, numHashes, bands)
+    batch.join(dups.select(col("id_a").as(idCol)), Seq(idCol), "left_anti")
+  }
+
   /** Word n-gram (shingle) set for the n-gram-Jaccard dedup variant —
     * order-sensitive, far more discriminative than unigram sets.
     *

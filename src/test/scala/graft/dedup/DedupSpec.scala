@@ -126,6 +126,25 @@ class DedupSpec extends SparkSpec {
     assert(found.contains((0L, 1L)) && found.contains((3L, 4L)))
   }
 
+  test("novelAgainst keeps only batch docs with no corpus near-dup") {
+    val corpus = docs.filter($"doc_id" <= 2) // 0, 1, 2
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // dup of corpus 0
+      (11L, "entirely novel text about distributed joins"),
+      (12L, "")) // empty token set -> novel by definition
+      .toDF("doc_id", "text")
+    val novel = Dedup.novelAgainst(batch, corpus, "doc_id", "text",
+        c => Dedup.hashedShingles(TextAnalysis.tokenSet(c)), num = 9, den = 10,
+        numHashes = 128, bands = 32)
+      .collect().map(_.getLong(0)).toSet
+    assert(novel === Set(11L, 12L))
+    // the cross pairs themselves: batch id on the left, corpus id right
+    val pairs = Dedup.crossNearDupsHashed(batch, corpus, "doc_id", "text",
+        c => Dedup.hashedShingles(TextAnalysis.tokenSet(c)), 9, 10, 128, 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((10L, 0L), (10L, 1L)))
+  }
+
   test("verifyJaccard integer threshold: J >= num/den boundary is exact") {
     val sets = Seq(
       (1L, Seq(1L, 2L, 3L, 4L).sorted),

@@ -307,10 +307,12 @@ object Dedup {
     * doc id of its duplicate cluster as `canon`; keeping rows where
     * id == canon yields the deduplicated corpus.
     *
-    * Iterative min-label propagation: each round, every vertex takes the
-    * min of its own label and its neighbors' labels; converges in
-    * O(component diameter) rounds (near-dup clusters are shallow). Each
-    * round is two joins + an aggregate on (vertices + 2·edges) rows —
+    * Iterative min-label propagation WITH pointer jumping: each round every
+    * vertex takes the min of its own label, its neighbors' labels, and its
+    * label's label (canon(canon) — the path-halving step), so label chains
+    * shrink geometrically and convergence needs O(log diameter) rounds, not
+    * O(diameter) — a length-10^6 duplicate chain converges in ~20 rounds.
+    * Each round is three joins + an aggregate on (vertices + 2·edges) rows —
     * fully distributed; `localCheckpoint` truncates the growing lineage so
     * round N doesn't replan rounds 1..N-1. The driver loop only compares
     * one scalar (sum of labels, monotonically non-increasing) per round. */
@@ -333,8 +335,16 @@ object Dedup {
     while (!converged && i < maxIter) {
       val neighborMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("canon")).as("__ncanon"))
-      labels = labels.join(neighborMin, labels("id") === neighborMin("dst"), "left")
+      val viaNeighbors = labels.join(neighborMin, labels("id") === neighborMin("dst"), "left")
         .select(col("id"), least(col("canon"), coalesce(col("__ncanon"), col("canon"))).as("canon"))
+      // pointer jump (path halving): canon := min(canon, canon(canon)).
+      // Labels always point at pair-member vertices, so the lookup is a
+      // self-join of the label table — one extra shuffle per round buys
+      // geometric chain contraction.
+      labels = viaNeighbors.join(
+          viaNeighbors.select(col("id").as("__jid"), col("canon").as("__jc")),
+          col("canon") === col("__jid"), "left")
+        .select(col("id"), least(col("canon"), coalesce(col("__jc"), col("canon"))).as("canon"))
         .localCheckpoint()
       val s = labels.agg(sum(col("canon"))).head.getLong(0)
       converged = s == prevSum

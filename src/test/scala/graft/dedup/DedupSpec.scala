@@ -72,6 +72,18 @@ class DedupSpec extends SparkSpec {
     assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("pointer jumping converges a 60-deep chain well inside the cap") {
+    // worst case for plain min-label propagation: a single path graph —
+    // 60 rounds without jumping, O(log 60) with; the default cap of 30
+    // would abort the non-jumping algorithm (require(converged)) here
+    val n = 60L
+    val vertices = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(vertices, "doc_id", pairs, maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === (1L to n).map(_ -> 1L).toMap)
+  }
+
   test("over the broadcast gate the LSH pipeline is broadcast-free and agrees") {
     val expected = Dedup.minhashNearDups(docs, "doc_id", "text",
         TextAnalysis.tokenSet, num = 9, den = 10, numHashes = 128, bands = 32)

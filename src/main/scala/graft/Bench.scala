@@ -40,7 +40,14 @@ object Bench {
     "q29_running_sum" -> 0.557, "q30_rollup_stats" -> 0.226,
     "q31_approx_distinct" -> 0.277, "q32_sessionize" -> 0.463,
     "q33_dedup_canonical" -> 3.461, "q34_funnel" -> 0.393,
-    "q35_frame_sample" -> 0.172)
+    "q35_frame_sample" -> 0.172,
+    // round-3 queries: provisional floors from this round's sf0.1 runs
+    "q36_ivf_recall" -> 0.89, "q37_lsh_pair_recall" -> 1.64,
+    "q38_simhash_neardup" -> 1.17, "q39_corpus_clean" -> 0.77,
+    "q40_vocab_topk" -> 0.22, "q41_asof_join" -> 0.40,
+    "q42_percentile_sketch" -> 0.25, "q43_range_pairs" -> 0.35,
+    "q44_hash_split" -> 0.10, "q45_cap_per_source" -> 0.16,
+    "q46_novel_docs" -> 1.13)
 
   /** Fixed-seconds slack added to the 1.5x bound: sub-second floors are
     * scheduler-noise-dominated (a 0.13 s query measured at 0.25 s is noise,

@@ -464,6 +464,18 @@ object SparkEntry {
         .select(when(abs(col("approx") - col("exact")) * 100 <= abs(col("exact")) * 5 + lit(100),
           lit(0L)).otherwise(lit(1L)).as("violations"))),
 
+    // token-window chunking: 32-token chunks with 8 tokens of overlap
+    // (sized so the 10-99-token synthetic docs exercise the multi-chunk
+    // path, 1-4 chunks each) — the pre-tokenization explode of every
+    // training pipeline; the per-chunk token count double-checks the ceil
+    // and slice arithmetic cross-engine
+    "q47_chunking" -> ((s, dir) =>
+      TextAnalysis.chunked(t(s, dir, "documents"), "doc_id", "text",
+          chunkSize = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_idx"),
+          TextAnalysis.tokenCount(col("chunk")).as("n_chunk_tokens"))
+        .orderBy("doc_id", "chunk_idx")),
+
     // incremental-ingest novelty gate: batch docs (doc_id >= 250) with no
     // unigram-Jaccard >= 0.9 near-dup in the existing corpus (doc_id < 250)
     // — cross-corpus LSH probe + anti-join, the corpus is never self-joined
@@ -565,6 +577,8 @@ object SparkEntry {
       "SELECT p.event_id, epoch_us(v.ts) AS view_us FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v ON p.user_id = v.user_id AND p.ts >= v.ts ORDER BY p.event_id",
     "q42_percentile_sketch" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
+    "q47_chunking" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), k AS (SELECT doc_id, ts, CASE WHEN len(ts) <= 8 THEN 1 ELSE CAST(ceil((len(ts) - 8) / 24.0) AS BIGINT) END AS nk FROM tok WHERE len(ts) > 0) SELECT doc_id, CAST(x.i AS BIGINT) AS chunk_idx, CAST(len(ts[x.i*24+1 : x.i*24+32]) AS BIGINT) AS n_chunk_tokens FROM k, LATERAL (SELECT unnest(range(0, nk)) AS i) x ORDER BY doc_id, chunk_idx""",
     // corpus side restricted to non-empty token sets (empty sets generate no
     // band keys in the Spark plan); batch docs with empty token sets are
     // novel by definition on both sides

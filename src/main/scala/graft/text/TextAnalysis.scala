@@ -84,6 +84,32 @@ object TextAnalysis {
   def fingerprintMd5(c: Column): Column =
     md5(regexp_replace(lower(c), "\\s+", " ").cast(BinaryType))
 
+  /** Token-window chunking: split each document into fixed-size token
+    * chunks with `overlap` tokens of context between consecutive chunks —
+    * the pre-tokenization step of every training pipeline (long documents
+    * must fit the model's context window; overlap preserves cross-boundary
+    * context). Output: one row per (doc, chunk_idx) with the chunk text —
+    * an explode keyed back to the doc, so downstream dedup/quality stages
+    * stay relational. Chunk count = ceil((n - overlap) / (size - overlap))
+    * (short docs yield exactly one whole-doc chunk); empty docs yield no
+    * chunks. Pure narrow expressions — no shuffle, no UDF. */
+  def chunked(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+              chunkSize: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(overlap >= 0 && chunkSize > overlap,
+      s"need chunkSize > overlap >= 0, got chunkSize=$chunkSize overlap=$overlap")
+    val step = chunkSize - overlap
+    df.select(col(idCol), tokens(col(textCol)).as("__ts"))
+      .filter(size(col("__ts")) > 0)
+      .withColumn("__k",
+        when(size(col("__ts")) <= overlap, lit(1L))
+          .otherwise(ceil((size(col("__ts")) - lit(overlap))
+            .cast(DoubleType) / step).cast(LongType)))
+      .select(col(idCol), col("__ts"),
+        posexplode(sequence(lit(0L), col("__k") - 1)))
+      .select(col(idCol), col("pos").cast(LongType).as("chunk_idx"),
+        concat_ws(" ", slice(col("__ts"), col("pos").cast("int") * step + 1, lit(chunkSize))).as("chunk"))
+  }
+
   /** Rolling-hash document sketch: hash every word k-gram shingle, keep the
     * `n` smallest hashes (a bottom-n sketch — a compact fingerprint whose
     * overlap estimates containment). Used by near-dup pipelines and tests.

@@ -53,4 +53,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(sk("one two three four five seven").intersect(a).nonEmpty)
     assert(sk("a b") === Seq())
   }
+
+  test("chunked: overlapping token windows; short docs one chunk; empty none") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                   // < chunkSize -> 1 chunk
+      (3L, ""))                                        // no tokens -> no rows
+      .toDF("doc_id", "text")
+    // chunkSize 4, overlap 2 -> step 2 -> ceil((10-2)/2) = 4 chunks for doc 1
+    val out = TextAnalysis.chunked(docs, "doc_id", "text", chunkSize = 4, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(out.keys.count(_._1 == 1L) === 4)
+    assert(out((1L, 0L)) === "t1 t2 t3 t4")
+    assert(out((1L, 1L)) === "t3 t4 t5 t6")     // 2-token overlap with chunk 0
+    assert(out((1L, 3L)) === "t7 t8 t9 t10")
+    assert(out((2L, 0L)) === "a b c")
+    assert(!out.keys.exists(_._1 == 3L))
+    // every token appears in some chunk (no coverage gap)
+    val covered = out.collect { case ((1L, _), s) => s.split(" ") }.flatten.toSet
+    assert(covered === (1 to 10).map(i => s"t$i").toSet)
+  }
 }

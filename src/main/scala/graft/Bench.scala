@@ -47,7 +47,7 @@ object Bench {
     "q40_vocab_topk" -> 0.22, "q41_asof_join" -> 0.40,
     "q42_percentile_sketch" -> 0.25, "q43_range_pairs" -> 0.35,
     "q44_hash_split" -> 0.10, "q45_cap_per_source" -> 0.16,
-    "q46_novel_docs" -> 1.13)
+    "q46_novel_docs" -> 1.13, "q47_chunking" -> 0.56)
 
   /** Fixed-seconds slack added to the 1.5x bound: sub-second floors are
     * scheduler-noise-dominated (a 0.13 s query measured at 0.25 s is noise,

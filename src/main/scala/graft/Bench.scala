@@ -94,7 +94,8 @@ object Bench {
         if best >= 0 && R2Floor.get(name).exists(f => best > f * 1.5 + NoiseFloorSec) => name
     }
     regressed.foreach(n => System.err.println(
-      s"[bench] REGRESSION: $n exceeded 1.5x its r2 floor (${R2Floor(n)} s)"))
+      s"[bench] REGRESSION: $n exceeded 1.5x its recorded floor (${R2Floor(n)} s) " +
+        s"plus the $NoiseFloorSec s noise slack"))
     val failed = results.count(_._2 < 0)
     // a failed query must never make the total LOOK faster: surface the
     // failure count so totals across rounds stay comparable

@@ -173,9 +173,10 @@ object SparkEntry {
     "q06_coerce_int" ->
       "SELECT l_orderkey, l_linenumber, CAST(trunc(CAST(l_quantity AS DOUBLE)) AS BIGINT) AS q FROM lineitem ORDER BY l_orderkey, l_linenumber",
     // regexp strip mirroring Coerce.strip (Python str.strip() removes all
-    // whitespace kinds, not just spaces like trim())
+    // whitespace kinds, not just spaces like trim()); the explicit \v keeps
+    // RE2 aligned with Java's \s, which includes vertical tab
     "q07_coerce_trim" ->
-      "SELECT c_custkey, regexp_replace(c_name, '^\\s+|\\s+$', '', 'g') AS c_name FROM customer ORDER BY c_custkey",
+      """SELECT c_custkey, regexp_replace(c_name, '^[\s\v]+|[\s\v]+$', '', 'g') AS c_name FROM customer ORDER BY c_custkey""",
     "q08_upsert" ->
       """WITH base AS (SELECT o_orderkey, o_totalprice, 0 AS prec FROM orders WHERE o_orderkey <= 4000), delta AS (SELECT o_orderkey, -o_totalprice AS o_totalprice, 1 AS prec FROM orders WHERE o_orderkey BETWEEN 2000 AND 6000), u AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY prec DESC) AS rn FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)) SELECT o_orderkey, o_totalprice FROM u WHERE rn = 1 ORDER BY o_orderkey""",
     "q09_anti_join" ->
@@ -269,10 +270,16 @@ object SparkEntry {
     "q26_ann_topk" -> ((s, dir) =>
       Similarity.annTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 0L, 10)),
 
-    // multimodal: binary payload -> partition-parallel stub decode
+    // multimodal: binary payload -> partition-parallel decode. The payloads
+    // here are TEXT stand-ins, so the metadata-only codec is pinned
+    // explicitly — the sniffing default could hand a text that starts with
+    // image magic bytes (e.g. "BM…") to a real reader and diverge from the
+    // formula oracle. The real image path is pinned by MultimodalSpec.
     "q27_multimodal_decode" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      Multimodal.decode(Multimodal.attachBinary(t(s, dir, "documents"), "doc_id", "text"))
+      Multimodal.decode(
+          Multimodal.attachBinary(t(s, dir, "documents"), "doc_id", "text"),
+          Multimodal.decodeMeta)
         .toDF().orderBy("doc_id")
     }),
 
@@ -445,10 +452,16 @@ object SparkEntry {
     // banded range join: per-user count of event pairs within one hour —
     // candidates from an equi-join on (user, time bucket) with the earlier
     // side exploded to adjacent buckets, exact window verify after; the
-    // oracle runs the naive inequality join the banded plan replaces
+    // oracle runs the naive inequality join the banded plan replaces.
+    // Times truncated to MICROS before joining: DuckDB reads TIMESTAMP_NS
+    // at microsecond precision, so a pair within 1 us of the exact 1-hour
+    // boundary would otherwise classify differently across engines
     "q43_range_pairs" -> ((s, dir) =>
-      RangeJoin.pairsWithin(t(s, dir, "events"), Seq("user_id"), "ts", "event_id",
-          window = 3600L * 1000 * 1000 * 1000)
+      RangeJoin.pairsWithin(
+          t(s, dir, "events").select(col("user_id"), col("event_id"),
+            expr("ts div 1000").as("ts_us")),
+          Seq("user_id"), "ts_us", "event_id",
+          window = 3600L * 1000 * 1000)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("user_id")),

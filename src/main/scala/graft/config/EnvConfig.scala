@@ -92,12 +92,17 @@ object EnvConfig {
       sys.error(s"$DbSecretInfoVar environment variable is not set")))
 
   /** SOURCE_GCS_BUCKET_n / DEST_GCS_BUCKET_n pairs, n = 1, 2, ... until
-    * either side is missing — later pairs after a gap are ignored, exactly
-    * like the reference's while loop. Feeds `files.FileSync.syncPairs`. */
+    * either side is missing OR set to the empty string — Python truthiness
+    * (`while src and dest`) treats "" as absent, and a manifest defaulting
+    * a var to "" must terminate enumeration, not sync bucket "". Later
+    * pairs after a gap are ignored, exactly like the reference's while
+    * loop. Feeds `files.FileSync.syncPairs`. */
   def bucketPairs(env: String => Option[String] = sys.env.get): Seq[(String, String)] =
     Iterator.from(1)
       .map(i => (env(s"SOURCE_GCS_BUCKET_$i"), env(s"DEST_GCS_BUCKET_$i")))
-      .takeWhile { case (s, d) => s.nonEmpty && d.nonEmpty }
+      .takeWhile { case (s, d) =>
+        s.exists(_.nonEmpty) && d.exists(_.nonEmpty)
+      }
       .map { case (s, d) => (s.get, d.get) }
       .toSeq
 

@@ -71,7 +71,15 @@ object Dedup {
     * business living on every executor. */
   private val DefaultBroadcastThreshold = 128L * 1024 * 1024
 
-  /** True when `df`'s estimated size fits the broadcast gate. */
+  /** True when `df`'s estimated size fits the broadcast gate.
+    *
+    * Gate on the RAWEST plan available (ideally one still carrying the text
+    * column): Catalyst prices an array column at ONE element
+    * (`ArrayType.defaultSize`), so a shingle-array projection is
+    * underestimated by ~the average shingle count and a far-over-threshold
+    * corpus would slip under the gate. Text bytes ≈ hashed-shingle bytes
+    * (≈6 B/token of text vs 8 B/token of hash), so the pre-shingling plan
+    * is the honest proxy. */
   private def fitsBroadcast(df: DataFrame): Boolean = {
     val threshold = df.sparkSession.conf
       .get(BroadcastThresholdKey, DefaultBroadcastThreshold.toString).toLong
@@ -100,14 +108,15 @@ object Dedup {
     *    conversion (driven by ACTUAL sizes, not estimates) may still
     *    broadcast it, which is then safe by construction. */
   def lshCandidatesRaw(df: DataFrame, idCol: String, shingleCol: String,
-                       numHashes: Int, bands: Int): DataFrame = {
+                       numHashes: Int, bands: Int,
+                       useBroadcast: Option[Boolean] = None): DataFrame = {
     val rows = numHashes / bands
     val banded = df
       .filter(size(col(shingleCol)) > 0)
       .select(col(idCol),
         explode(bandKeys(minhashSignature(col(shingleCol), numHashes), bands, rows)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val joined = if (fitsBroadcast(df.select(col(idCol), col(shingleCol)))) {
+    val joined = if (useBroadcast.getOrElse(fitsBroadcast(df.select(col(idCol), col(shingleCol))))) {
       val a = banded.select(col("band"), col("bh"), col(idCol).as("id_a"))
       val b = banded.select(col("band"), col("bh"), col(idCol).as("id_b"))
       a.join(broadcast(b), Seq("band", "bh"))
@@ -128,6 +137,19 @@ object Dedup {
                     numHashes: Int, bands: Int): DataFrame =
     lshCandidatesRaw(df, idCol, shingleCol, numHashes, bands).distinct()
 
+  /** Shared exact-Jaccard tail: given candidate rows carrying the two
+    * SORTED hashed-shingle arrays as __sa/__sb, keep pairs with
+    * |∩| * den >= num * |∪| (integer-exact) and dedup. ONE definition for
+    * the self-join and cross-corpus paths — this threshold algebra is
+    * bit-exactness-critical and must never drift between them. */
+  private def jaccardKeep(withSets: DataFrame, num: Int, den: Int): DataFrame = {
+    val inter = graft.functions.VectorFunctions.sortedIntersectSize(col("__sa"), col("__sb"))
+    withSets
+      .withColumn("__i", inter)
+      .filter(col("__i") * den >= (size(col("__sa")) + size(col("__sb")) - col("__i")) * num)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** Exact-Jaccard verification of candidate pairs: keep pairs with
     * |∩| * den >= num * |∪| (i.e. J >= num/den, integer-exact so the
     * threshold compare is bit-identical across engines). `shingleCol` must
@@ -144,9 +166,10 @@ object Dedup {
     * otherwise coalesce the byte-small candidate shuffle under row-heavy
     * merge-scan work). */
   def verifyJaccard(candidates: DataFrame, df: DataFrame, idCol: String,
-                    shingleCol: String, num: Int, den: Int): DataFrame = {
+                    shingleCol: String, num: Int, den: Int,
+                    useBroadcast: Option[Boolean] = None): DataFrame = {
     val setsRaw = df.select(col(idCol), col(shingleCol))
-    val withB = if (fitsBroadcast(setsRaw)) {
+    val withB = if (useBroadcast.getOrElse(fitsBroadcast(setsRaw))) {
       val sets = broadcast(setsRaw)
       candidates
         .join(sets.select(col(idCol).as("id_a"), col(shingleCol).as("__sa")), "id_a")
@@ -158,11 +181,7 @@ object Dedup {
         .repartition(n, col("id_b"))
         .join(setsRaw.select(col(idCol).as("id_b"), col(shingleCol).as("__sb")), "id_b")
     }
-    val inter = graft.functions.VectorFunctions.sortedIntersectSize(col("__sa"), col("__sb"))
-    withB
-      .withColumn("__i", inter)
-      .filter(col("__i") * den >= (size(col("__sa")) + size(col("__sb")) - col("__i")) * num)
-      .select(col("id_a"), col("id_b"))
+    jaccardKeep(withB, num, den)
   }
 
   /** Full MinHash+LSH near-dup pipeline over a text column: shingle -> hash
@@ -206,12 +225,16 @@ object Dedup {
     // measured as a serial trigram+hash pass. Above it, every consumer
     // computes shingles in parallel over n partitions, and ReuseExchange
     // still dedups the underlying shuffle.
+    // gate decided ONCE on the raw input, whose text column gives an honest
+    // byte estimate (the shingled projection's stats underprice arrays —
+    // see fitsBroadcast)
+    val bc = Some(fitsBroadcast(df.select(col(idCol), col(textCol))))
     val shingled = df
       .repartition(n, col(idCol))
       .select(col(idCol), hashedShingler(col(textCol)).as("__sh"))
       .filter(size(col("__sh")) > 0)
-    val cands = lshCandidatesRaw(shingled, idCol, "__sh", numHashes, bands)
-    verifyJaccard(cands, shingled, idCol, "__sh", num, den).distinct()
+    val cands = lshCandidatesRaw(shingled, idCol, "__sh", numHashes, bands, bc)
+    verifyJaccard(cands, shingled, idCol, "__sh", num, den, bc).distinct()
   }
 
   /** CROSS-corpus near-dup pairs: (id_a from `batch`, id_b from `corpus`)
@@ -241,22 +264,19 @@ object Dedup {
     val sc = shingled(corpus)
     val cands = bandedOf(sb, "id_a").join(bandedOf(sc, "id_b"), Seq("band", "bh"))
       .select("id_a", "id_b")
-    // verify against each side's own set table (ids live in different inputs)
+    // verify against each side's own set table (ids live in different
+    // inputs); gate on the RAW inputs' text bytes, not the underpriced
+    // shingle projections (see fitsBroadcast)
     val setsA = sb.select(col(idCol).as("id_a"), col("__sh").as("__sa"))
     val setsB = sc.select(col(idCol).as("id_b"), col("__sh").as("__sb"))
     val joined =
-      if (fitsBroadcast(sb.select(col(idCol), col("__sh")))
-        && fitsBroadcast(sc.select(col(idCol), col("__sh"))))
+      if (fitsBroadcast(batch.select(col(idCol), col(textCol)))
+        && fitsBroadcast(corpus.select(col(idCol), col(textCol))))
         cands.join(broadcast(setsA), "id_a").join(broadcast(setsB), "id_b")
       else
         cands.repartition(n, col("id_a")).join(setsA, "id_a")
           .repartition(n, col("id_b")).join(setsB, "id_b")
-    val inter = graft.functions.VectorFunctions.sortedIntersectSize(col("__sa"), col("__sb"))
-    joined
-      .withColumn("__i", inter)
-      .filter(col("__i") * den >= (size(col("__sa")) + size(col("__sb")) - col("__i")) * num)
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+    jaccardKeep(joined, num, den).distinct()
   }
 
   /** Novelty filter over an incoming batch: rows of `batch` with NO
@@ -329,7 +349,13 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").cast("long").as("canon"))
       .localCheckpoint()
-    var prevSum = labels.agg(sum(col("canon"))).head.getLong(0)
+    // sum over ZERO rows is NULL, not 0 — an empty pair set (a corpus with
+    // no near-dups at all) must yield all-singleton labels, not an NPE
+    def labelSum(): Long = {
+      val r = labels.agg(sum(col("canon"))).head
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var prevSum = labelSum()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -346,7 +372,7 @@ object Dedup {
           col("canon") === col("__jid"), "left")
         .select(col("id"), least(col("canon"), coalesce(col("__jc"), col("canon"))).as("canon"))
         .localCheckpoint()
-      val s = labels.agg(sum(col("canon"))).head.getLong(0)
+      val s = labelSum()
       converged = s == prevSum
       prevSum = s
       i += 1

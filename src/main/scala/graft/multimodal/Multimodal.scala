@@ -34,7 +34,10 @@ object Multimodal {
     * recognizes by magic bytes; None otherwise. Header-only: the reader's
     * getWidth/getHeight never touch the pixel data, so cost is O(header),
     * not O(pixels) — the right scan shape for a metadata pass over 100 TB
-    * of media. */
+    * of media. ANY reader failure (not just IOException — readers throw
+    * IllegalArgument/IndexOutOfBounds on garbage headers too) and any
+    * nonsensical dimension falls back to None: a malformed payload must
+    * degrade, never kill the task. */
   def imageDimensions(bytes: Array[Byte]): Option[(Long, Long)] = {
     if (bytes == null || bytes.length == 0) return None
     val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -46,29 +49,40 @@ object Multimodal {
         val r = readers.next()
         try {
           r.setInput(iis)
-          Some((r.getWidth(0).toLong, r.getHeight(0).toLong))
+          val (w, h) = (r.getWidth(0).toLong, r.getHeight(0).toLong)
+          if (w > 0 && h > 0) Some((w, h)) else None
         } catch {
-          case _: java.io.IOException => None // truncated/corrupt header
+          case scala.util.control.NonFatal(_) => None // truncated/corrupt header
         } finally r.dispose()
       }
     } finally iis.close()
   }
 
-  /** Decode: real image-header parse when the payload is a recognized image
-    * format; deterministic metadata stub otherwise (keeps the pipeline total
-    * over text/audio payloads). */
-  def decodeBytes(id: Long, bytes: Array[Byte]): DecodedMedia = {
+  /** Metadata-only codec: the deterministic formula decode, independent of
+    * payload content. Use where payloads are KNOWN to be non-media — e.g.
+    * text stand-ins in plumbing tests, whose leading bytes must not be
+    * magic-sniffed (a text that happens to start with "BM" would otherwise
+    * be claimed by the BMP reader and yield garbage dimensions). */
+  def decodeMeta(id: Long, bytes: Array[Byte]): DecodedMedia = {
     val n = if (bytes == null) 0L else bytes.length.toLong
     // checksum: first byte when ASCII, else 0 — keeps the value identical
     // whether computed byte-wise (here) or codepoint-wise (the SQL oracle's
     // ascii()), since any non-ASCII leading character maps to 0 both ways
     val b0 = if (n == 0) 0L else bytes(0).toLong & 0xffL
     val checksum = if (b0 < 128) b0 else 0L
-    imageDimensions(bytes) match {
-      case Some((w, h)) => DecodedMedia(id, n, w, h, checksum)
-      case None         => DecodedMedia(id, n, 64 + n % 64, 64 + (n / 64) % 64, checksum)
-    }
+    DecodedMedia(id, n, 64 + n % 64, 64 + (n / 64) % 64, checksum)
   }
+
+  /** Decode: real image-header parse when the payload is a recognized image
+    * format; the deterministic metadata formula otherwise (keeps the
+    * pipeline total over text/audio payloads). */
+  def decodeBytes(id: Long, bytes: Array[Byte]): DecodedMedia =
+    imageDimensions(bytes) match {
+      case Some((w, h)) =>
+        val m = decodeMeta(id, bytes)
+        DecodedMedia(id, m.n_bytes, w, h, m.checksum)
+      case None => decodeMeta(id, bytes)
+    }
 
   /** Project a text column into an opaque binary media column — the test
     * stand-in for reading real image/audio payloads. */
@@ -78,12 +92,16 @@ object Multimodal {
 
   /** Partition-parallel decode: binary media -> typed metadata. The batch
     * shape (one iterator per partition) is what a real codec needs to reuse
-    * native contexts; output is a typed Dataset with a product Encoder. */
-  def decode(media: DataFrame)(implicit spark: SparkSession): Dataset[DecodedMedia] = {
+    * native contexts; output is a typed Dataset with a product Encoder.
+    * `codec` defaults to the sniffing decodeBytes; pass decodeMeta for
+    * payloads known to be non-media. */
+  def decode(media: DataFrame,
+             codec: (Long, Array[Byte]) => DecodedMedia = decodeBytes)
+            (implicit spark: SparkSession): Dataset[DecodedMedia] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       // real codec: init decoder once here, close at iterator end
-      it.map(r => decodeBytes(r.doc_id, r.media))
+      it.map(r => codec(r.doc_id, r.media))
     }
   }
 

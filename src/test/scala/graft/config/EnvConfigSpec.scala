@@ -56,6 +56,10 @@ class EnvConfigSpec extends AnyFunSuite {
     assert(EnvConfig.bucketPairs(env.get) ===
       Seq(("src-a", "dst-a"), ("src-b", "dst-b")))
     assert(EnvConfig.bucketPairs(Map.empty[String, String].get) === Seq.empty)
+    // empty STRING terminates like Python truthiness — a manifest
+    // defaulting SOURCE_GCS_BUCKET_1="" must not sync bucket ""
+    val blank = Map("SOURCE_GCS_BUCKET_1" -> "", "DEST_GCS_BUCKET_1" -> "dst")
+    assert(EnvConfig.bucketPairs(blank.get) === Seq.empty)
   }
 
   test("loadCatalog drives a two-service catalog purely from env-shaped input") {

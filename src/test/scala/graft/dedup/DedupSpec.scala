@@ -72,6 +72,14 @@ class DedupSpec extends SparkSpec {
     assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("connectedComponents with ZERO pairs: every vertex its own canon") {
+    val vertices = Seq(1L, 2L, 3L).toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(vertices, "doc_id", noPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("pointer jumping converges a 60-deep chain well inside the cap") {
     // worst case for plain min-label propagation: a single path graph —
     // 60 rounds without jumping, O(log 60) with; the default cap of 30

@@ -47,6 +47,16 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).checksum === 'B'.toLong)
   }
 
+  test("decodeMeta never sniffs magic bytes — text starting with 'BM' is safe") {
+    // 'BM' is the BMP magic: the sniffing decodeBytes may hand such text to
+    // a real reader, but the metadata-only codec (used by q27 over text
+    // stand-ins) must apply the formula regardless of leading bytes
+    val texty = "BMW dealers in the region reported record sales".getBytes("UTF-8")
+    val m = Multimodal.decodeMeta(7L, texty)
+    val n = texty.length.toLong
+    assert(m === Multimodal.DecodedMedia(7L, n, 64 + n % 64, 64 + (n / 64) % 64, 'B'.toLong))
+  }
+
   test("imageDimensions: corrupt/truncated headers fall back to None") {
     val png = {
       val img = new java.awt.image.BufferedImage(9, 9,

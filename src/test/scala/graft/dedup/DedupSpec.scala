@@ -165,6 +165,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((10L, 0L), (10L, 1L)))
   }
 
+  test("shuffle and broadcast strategies agree on the real sf0.001 corpus") {
+    // the tiny-docs test pins semantics; this pins the shuffle path's plan
+    // behavior on a real 500-doc self-similar corpus (band-collision volume
+    // and AQE interplay a 5-row input cannot exercise), q21's parameters
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def mine() = Dedup.minhashNearDups(corpus, "doc_id", "text",
+        TextAnalysis.tokenSet, num = 9, den = 10, numHashes = 125, bands = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaBroadcast = mine()
+    spark.conf.set(Dedup.BroadcastThresholdKey, "0")
+    try assert(mine() === viaBroadcast)
+    finally spark.conf.unset(Dedup.BroadcastThresholdKey)
+    assert(viaBroadcast.nonEmpty) // the corpus does contain near-dups
+  }
+
   test("verifyJaccard integer threshold: J >= num/den boundary is exact") {
     val sets = Seq(
       (1L, Seq(1L, 2L, 3L, 4L).sorted),

@@ -19,10 +19,14 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Per-query floors from BENCH_r02.json (sf0.1, local[32], best-of-two) —
-    * the in-repo regression baseline. Queries added after r2 have no floor
-    * and are never flagged. */
-  private val R2Floor: Map[String, Double] = Map(
+  /** Per-query floors (sf0.1, local[32], best-of-two), all DRIVER-recorded:
+    * q01-q35 from BENCH_r02.json, q36-q47 from BENCH_r03.json. Floors come
+    * only from the driver's own committed runs — one machine, one load
+    * profile — never from local dev runs (a provisional local floor flagged
+    * q46 on the very round that introduced it). Queries added THIS round
+    * have no floor yet and are never flagged; their floor lands next round
+    * from this round's driver bench. */
+  private val Floor: Map[String, Double] = Map(
     "q01_project_scan" -> 0.592, "q02_watermark_ts" -> 0.207,
     "q03_watermark_id_null" -> 0.265, "q04_incr_ts" -> 0.442,
     "q05_incr_id" -> 1.182, "q06_coerce_int" -> 0.724,
@@ -41,13 +45,13 @@ object Bench {
     "q31_approx_distinct" -> 0.277, "q32_sessionize" -> 0.463,
     "q33_dedup_canonical" -> 3.461, "q34_funnel" -> 0.393,
     "q35_frame_sample" -> 0.172,
-    // round-3 queries: provisional floors from this round's sf0.1 runs
-    "q36_ivf_recall" -> 0.89, "q37_lsh_pair_recall" -> 1.64,
-    "q38_simhash_neardup" -> 1.17, "q39_corpus_clean" -> 0.77,
-    "q40_vocab_topk" -> 0.22, "q41_asof_join" -> 0.40,
-    "q42_percentile_sketch" -> 0.25, "q43_range_pairs" -> 0.35,
-    "q44_hash_split" -> 0.10, "q45_cap_per_source" -> 0.16,
-    "q46_novel_docs" -> 1.13, "q47_chunking" -> 0.56)
+    // round-3 queries: driver-recorded best-of-two from BENCH_r03.json
+    "q36_ivf_recall" -> 0.924, "q37_lsh_pair_recall" -> 1.754,
+    "q38_simhash_neardup" -> 1.392, "q39_corpus_clean" -> 0.732,
+    "q40_vocab_topk" -> 0.216, "q41_asof_join" -> 0.391,
+    "q42_percentile_sketch" -> 0.313, "q43_range_pairs" -> 0.490,
+    "q44_hash_split" -> 0.124, "q45_cap_per_source" -> 0.233,
+    "q46_novel_docs" -> 2.049, "q47_chunking" -> 0.784)
 
   /** Fixed-seconds slack added to the 1.5x bound: sub-second floors are
     * scheduler-noise-dominated (a 0.13 s query measured at 0.25 s is noise,
@@ -91,10 +95,10 @@ object Bench {
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val regressed = results.collect {
       case (name, best, _, _)
-        if best >= 0 && R2Floor.get(name).exists(f => best > f * 1.5 + NoiseFloorSec) => name
+        if best >= 0 && Floor.get(name).exists(f => best > f * 1.5 + NoiseFloorSec) => name
     }
     regressed.foreach(n => System.err.println(
-      s"[bench] REGRESSION: $n exceeded 1.5x its recorded floor (${R2Floor(n)} s) " +
+      s"[bench] REGRESSION: $n exceeded 1.5x its recorded floor (${Floor(n)} s) " +
         s"plus the $NoiseFloorSec s noise slack"))
     val failed = results.count(_._2 < 0)
     // a failed query must never make the total LOOK faster: surface the

@@ -433,19 +433,23 @@ object SparkEntry {
     // as-of join: each purchase gains the latest prior (inclusive) view of
     // the same user — the union+window formulation, one keyed shuffle,
     // never a range-join explosion (events.ts is bigint nanos under
-    // nanosAsLong; the oracle compares via epoch_ns)
+    // nanosAsLong; the oracle compares via epoch_us)
     "q41_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
+      // times truncated to MICROS before the MATCH, not just the output
+      // projection (mirrors q43): DuckDB reads TIMESTAMP_NS at microsecond
+      // precision, so its ASOF compares micros — sub-microsecond
+      // view/purchase adjacency would otherwise pick a different match
+      // cross-engine. The truncated value is also what's emitted, and
+      // pandas renders null-bearing int64 as float64 (exact only below
+      // 2^53 — micros fit, nanos don't); integer `div` so the nanos never
+      // round-trip through a double
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"))
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
       val views = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts").as("view_ts"))
-      // microsecond precision for the oracle compare: DuckDB truncates
-      // TIMESTAMP_NS to micros on read, and pandas renders null-bearing
-      // int64 as float64 (exact only below 2^53 — micros fit, nanos don't);
-      // integer `div` so the nanos never round-trip through a double
-      AsOfJoin.backward(purchases, views, Seq("user_id"), "ts", "view_ts")
-        .select(col("event_id"), expr("view_ts div 1000").as("view_us"))
+        .select(col("user_id"), expr("ts div 1000").as("view_us"))
+      AsOfJoin.backward(purchases, views, Seq("user_id"), "ts_us", "view_us")
+        .select(col("event_id"), col("view_us"))
         .orderBy("event_id")
     }),
 

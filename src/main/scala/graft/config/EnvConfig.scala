@@ -50,9 +50,12 @@ object EnvConfig {
 
   /** Parse DB_SECRET_INFO-shaped YAML into (profiles keyed
     * `<service>_<tier>`, table-config path per service). Services without a
-    * `db` key contribute no profiles (skipped, like the reference); a
-    * service may still contribute its `table_config`. Only the `prod` and
-    * `stage` tiers exist in the reference's schema. */
+    * `db` key are skipped ENTIRELY — no profiles AND no `table_config` —
+    * because the reference's parse_db_config does
+    * `if 'db' not in service_config: continue` BEFORE it reads
+    * table_config (gcp_utils.py:24-26), so a db-less service's catalog is
+    * never loaded. Only the `prod` and `stage` tiers exist in the
+    * reference's schema. */
   def parseDbSecretInfo(yaml: String): (Map[String, ConnectionProfile], Map[String, String]) = {
     val root = Option(new Yaml().load[java.util.Map[String, Object]](yaml))
       .getOrElse(java.util.Map.of[String, Object]())
@@ -61,7 +64,8 @@ object EnvConfig {
         service -> cfg.asInstanceOf[java.util.Map[String, Object]].asScala
     }
     val tableConfigs = services.collect {
-      case (service, cfg) if cfg.get("table_config").exists(_ != null) =>
+      case (service, cfg)
+        if cfg.get("db").exists(_ != null) && cfg.get("table_config").exists(_ != null) =>
         service -> cfg("table_config").toString
     }.toMap
     val profiles = for {

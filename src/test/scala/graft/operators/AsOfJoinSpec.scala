@@ -47,6 +47,32 @@ class AsOfJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("id"))
   }
 
+  test("matched right row is taken atomically: NULL payload values stay NULL") {
+    // the latest quote before t=25 is (qt=20, price=NULL, sz=7): whole-row
+    // semantics (DuckDB ASOF / pandas merge_asof) must emit price=NULL, not
+    // back-fill 1.0 from the OLDER qt=10 row — the per-column-last bug
+    val sparseQuotes = Seq(
+      ("a", 10L, Some(1.0), Some(5L)),
+      ("a", 20L, None, Some(7L))).toDF("k", "qt", "price", "sz")
+    val out = AsOfJoin.backward(
+        Seq(("a", 25L, 1L)).toDF("k", "tt", "id"), sparseQuotes, Seq("k"), "tt", "qt")
+      .collect().head
+    assert(out.getAs[Long]("qt") === 20L)
+    assert(out.isNullAt(out.fieldIndex("price")))
+    assert(out.getAs[Long]("sz") === 7L)
+  }
+
+  test("a matched right row whose payload is ALL NULL still beats no-match") {
+    // a non-null struct of all-null fields must not be skipped by
+    // ignoreNulls — qt rides in the payload so this is observable there
+    val quotes = Seq(("a", 10L, Option.empty[Double])).toDF("k", "qt", "price")
+    val out = AsOfJoin.backward(
+        Seq(("a", 25L, 1L)).toDF("k", "tt", "id"), quotes, Seq("k"), "tt", "qt")
+      .collect().head
+    assert(out.getAs[Long]("qt") === 10L)
+    assert(out.isNullAt(out.fieldIndex("price")))
+  }
+
   test("agrees with the brute-force range-join argmax on a planted case") {
     val brute = trades.as("t").join(quotes.as("q"),
         $"t.k" === $"q.k" && $"q.qt" <= $"t.tt", "left")

@@ -42,7 +42,19 @@ object GraftExtensions {
       (args: Seq[Expression]) => SimHash64(args.head)),
     ("graft_simhash_packed",
       info("graft_simhash_packed", "graft_simhash_packed(hashes) - simhash of pre-hashed tokens packed into one bigint; hamming = bit_count(a ^ b)"),
-      (args: Seq[Expression]) => SimHashPacked64(args.head))
+      (args: Seq[Expression]) => SimHashPacked64(args.head)),
+    // Spark ships these two for its internal runtime join filtering but
+    // leaves them unregistered; expose them — the analyzer wraps the raw
+    // AggregateFunction exactly as it does for builtin aggregates
+    ("graft_bloom_agg",
+      info("graft_bloom_agg", "graft_bloom_agg(x, items, bits) - serialized Bloom filter of a column"),
+      (args: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          args(0), args(1), args(2))),
+    ("graft_bloom_might_contain",
+      info("graft_bloom_might_contain", "graft_bloom_might_contain(bloom, x) - membership probe; bloom must be foldable"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args(0), args(1)))
   )
 
   /** Runtime registration for an existing session (tests, REPL). */

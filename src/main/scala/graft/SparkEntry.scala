@@ -1,12 +1,15 @@
 package graft
 
-import graft.dedup.Dedup
+import graft.dedup.{Decontaminate, Dedup}
 import graft.multimodal.Multimodal
 import graft.operators._
 import graft.similarity.Similarity
+import graft.streaming.IncrementalStream
 import graft.text.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2.
@@ -545,6 +548,146 @@ object SparkEntry {
         .select("id_a", "id_b")
       found.except(brute).unionByName(brute.except(found))
         .agg(count(lit(1)).cast(LongType).as("violations"))
+    }),
+
+    // Gopher-style repetition signal: distinct vs total word bigrams per
+    // document; a doc whose distinct-bigram fraction drops below 0.95 is
+    // flagged repetitive (loops on itself — a strong low-quality marker).
+    // Integer cross-multiplication, so the flag is bit-identical
+    // cross-engine; one narrow codegen'd pass, no shuffle
+    "q48_repetition" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.ngramCount(col("text"), 2).as("n2"),
+          TextAnalysis.distinctNgramCount(col("text"), 2).as("d2"))
+        .withColumn("repetitive",
+          when(col("n2") > 0 && col("d2") * 20 < col("n2") * 19, lit(1L))
+            .otherwise(lit(0L)))
+        .orderBy("doc_id")),
+
+    // benchmark decontamination: corpus docs (doc_id >= 250) sharing ANY
+    // word 13-gram with the benchmark half (doc_id < 250) — hashed n-gram
+    // explode + distinct semi join; the GPT-3-style containment gate
+    "q49_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.contaminatedIds(
+          docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+          "doc_id", "text", n = 13)
+        .orderBy("doc_id")
+    }),
+
+    // relational pivot: per-user wide counts over the ENUMERATED event-type
+    // domain (explicit values — never the two-pass domain-discovery form,
+    // which scans everything once just to learn the columns); count cells,
+    // absent combinations filled with 0
+    "q50_pivot_counts" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnsRenamed(Map("view" -> "n_view", "click" -> "n_click",
+          "purchase" -> "n_purchase", "signup" -> "n_signup", "error" -> "n_error"))
+        .orderBy("user_id")),
+
+    // per-user event ordering: row_number + gap to the previous event in
+    // microseconds (lag) — one keyed shuffle shared by both window
+    // functions. Times truncated to MICROS before differencing (the q41
+    // lesson): DuckDB's TIMESTAMP_NS is micro-precision, so a nano-level
+    // floor of the DIFFERENCE can land one below the difference of floors
+    "q51_event_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .withColumn("__prev", lag(col("ts_us"), 1).over(w))
+        .select(col("event_id"), col("rn"), (col("ts_us") - col("__prev")).as("gap_us"))
+        .orderBy("event_id")
+    }),
+
+    // fixed-width histogram over integer cents (500-cent buckets) — the
+    // data-profiling pass of a curation pipeline; output size = range/width
+    // regardless of input size, one hash-agg shuffle
+    "q52_histogram" -> ((s, dir) =>
+      Stats.histogram(
+          t(s, dir, "events").select(round(col("value") * 100).cast(LongType).as("c")),
+          "c", 500L)
+        .orderBy("bucket")),
+
+    // Bloom-filter membership sketch: the purchaser set compressed to fixed
+    // bits (bloom_filter_agg) must report ZERO false negatives
+    // (might_contain is exact for members by construction) — the pre-join
+    // filter that prunes a 100 TB probe side before it shuffles
+    "q53_bloom_filter" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      // the sketch is FIXED-SIZE regardless of input scale — collecting its
+      // one row and probing via a foldable literal is the intended shape
+      // (Sketches.mightContain documents why)
+      val bfBytes = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct()
+        .agg(graft.functions.Sketches.bloomAgg(col("user_id"), 100000L, 800000L).as("bf"))
+        .head.getAs[Array[Byte]](0)
+      ev.groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("__isp"))
+        .select(col("__isp"),
+          graft.functions.Sketches.mightContain(bfBytes, col("user_id")).as("__hit"))
+        .agg(sum(when(col("__isp") === 1 && !col("__hit"), 1).otherwise(0))
+          .cast(LongType).as("violations"))
+    }),
+
+    // streaming parity: the SAME windowed aggregation as a batch group-by,
+    // executed as a real Structured Streaming query (file source ->
+    // watermarked 1h tumbling windows -> Trigger.AvailableNow -> memory
+    // sink). Complete output mode, so the final table equals the batch
+    // answer exactly — the graded proof that the streaming surface computes
+    // batch semantics; at scale the same query runs unbounded with state
+    // pruned by the watermark
+    "q54_stream_windows" -> ((s, dir) => {
+      val schema = t(s, dir, "events").schema
+      // glob, not the bare file path — FileStreamSource derives its
+      // basePath from the glob's directory and rejects a file basePath
+      val stream = s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+        .withColumn("__ts", timestamp_micros(expr("ts div 1000")))
+      val counts = IncrementalStream.windowedCounts(
+        stream, "__ts", "event_type", "1 hour", "10 minutes")
+      val sink = s"q54_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = counts.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(unix_micros(col("window_start")).as("w_us"), col("event_type"), col("n"))
+        .orderBy("w_us", "event_type")
+    }),
+
+    // product-quantization recall invariant: 64-dim float vectors
+    // compressed to 8 sub-centroid codes (64 centroids per subspace,
+    // iterations=0 so the codebooks are bit-deterministic — seed vectors
+    // only, no float-averaging); the ADC code scan shortlists 100
+    // candidates, exact rescore picks 10, and the result must recover
+    // >= 7 of the exact cosine top-10 (measured 8-10 at sf0.001/sf0.01)
+    "q55_pq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+        dim = 64, m = 8, k = 64, iterations = 0)
+      val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+      val qvec = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0).toArray
+      val approx = Similarity.pqTopK(enc, emb, cb, "vec_id", "embedding", qvec, 0L, 10)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      approx.join(exact, Seq("vec_id"), "left_semi")
+        .agg(when(count(lit(1)) >= 7, lit(0L)).otherwise(lit(1L)).as("violations"))
+    }),
+
+    // the salted two-phase aggregation must equal the plain one — the skew
+    // machinery is semantics-preserving by construction; violated only if
+    // the salt fold-back drops or double-counts rows
+    "q56_skew_salted_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"))
+      val salted = SkewJoin.saltedCount(ev, Seq("user_id"), buckets = 8)
+      val plain = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n0"))
+      salted.join(plain, Seq("user_id"), "full_outer")
+        .agg(sum(when(col("n").isNull || col("n0").isNull || col("n") =!= col("n0"), 1)
+          .otherwise(0)).cast(LongType).as("violations"))
     })
   )
 
@@ -607,6 +750,24 @@ object SparkEntry {
       "SELECT doc_id, source FROM (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM documents) WHERE rn <= 5 ORDER BY doc_id",
     "q43_range_pairs" ->
       "SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_pairs FROM events a JOIN events b ON a.user_id = b.user_id AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id)) AND b.ts - a.ts <= INTERVAL 1 HOUR GROUP BY a.user_id ORDER BY a.user_id",
+    "q48_repetition" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), g AS (SELECT doc_id, greatest(len(ts) - 1, 0) AS n2, CASE WHEN len(ts) >= 2 THEN len(list_distinct([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))])) ELSE 0 END AS d2 FROM tok) SELECT doc_id, CAST(n2 AS BIGINT) AS n2, CAST(d2 AS BIGINT) AS d2, CAST(CASE WHEN n2 > 0 AND d2 * 20 < n2 * 19 THEN 1 ELSE 0 END AS BIGINT) AS repetitive FROM g ORDER BY doc_id""",
+    "q49_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), g AS (SELECT doc_id, unnest([array_to_string(ts[i:i+12], ' ') for i in range(1, len(ts) - 11)]) AS g FROM tok WHERE len(ts) >= 13) SELECT DISTINCT b.doc_id FROM g b WHERE b.doc_id >= 250 AND EXISTS (SELECT 1 FROM g c WHERE c.doc_id < 250 AND c.g = b.g) ORDER BY doc_id""",
+    "q50_pivot_counts" ->
+      "SELECT user_id, CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view, CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click, CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase, CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup, CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error FROM events GROUP BY user_id ORDER BY user_id",
+    "q51_event_lag" ->
+      "SELECT event_id, CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn, CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS gap_us FROM events ORDER BY event_id",
+    "q52_histogram" ->
+      "SELECT CAST(round(value * 100) AS BIGINT) // 500 AS bucket, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY bucket ORDER BY bucket",
+    "q53_bloom_filter" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    "q54_stream_windows" ->
+      "SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS w_us, event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY w_us, event_type ORDER BY w_us, event_type",
+    "q55_pq_recall" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    "q56_skew_salted_agg" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
     "q32_sessionize" ->
       "SELECT user_id, count(*) AS n_events, CAST(1 + sum(brk) AS BIGINT) AS n_sessions FROM (SELECT user_id, CASE WHEN prev IS NULL OR ts - prev <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)) GROUP BY user_id ORDER BY user_id",
     "q35_frame_sample" ->

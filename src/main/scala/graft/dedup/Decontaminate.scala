@@ -1,0 +1,45 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the "is my training corpus polluted with my
+  * eval set?" gate every serious pretraining pipeline runs. A corpus
+  * document is CONTAMINATED when it shares at least one word n-gram with
+  * any benchmark document (n-gram containment; n=13 is the GPT-3/PaLM
+  * convention — long enough that a shared n-gram is near-certain copying,
+  * short enough to catch partial quotes).
+  *
+  * Scale design: both sides explode to (id, xxhash64(n-gram)) rows — the
+  * n-grams are hashed BEFORE the shuffle so join keys are 8 bytes, never
+  * strings (Dedup.hashedWordNgrams, no per-shingle string building). The
+  * benchmark side is deduplicated to its distinct n-gram set, which for a
+  * real eval suite is tiny (thousands of docs) — AQE broadcasts it from its
+  * runtime size and the corpus side then streams through a broadcast semi
+  * join: one narrow pass over the 100 TB corpus, no corpus shuffle. With a
+  * corpus-sized right side the same plan degrades gracefully to a shuffled
+  * semi join on the 8-byte hash. Cost tracks total corpus tokens, never
+  * |corpus| × |benchmark|.
+  */
+object Decontaminate {
+
+  /** Ids of `corpus` documents sharing >= 1 word n-gram with `benchmark`.
+    * Documents shorter than n tokens emit no n-grams and are clean by
+    * definition. 64-bit n-gram hash collisions (~1e-15 per distinct pair)
+    * are the standard accepted risk, as in the MinHash pipeline. */
+  def contaminatedIds(corpus: DataFrame, benchmark: DataFrame,
+                      idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    def grams(df: DataFrame) = df.select(col(idCol),
+      explode(Dedup.hashedWordNgrams(col(textCol), n)).as("__g"))
+    corpus.transform(grams)
+      .join(grams(benchmark).select(col("__g")).distinct(), Seq("__g"), "left_semi")
+      .select(col(idCol))
+      .distinct()
+  }
+
+  /** The decontaminated corpus: drop every contaminated document. */
+  def scrub(corpus: DataFrame, benchmark: DataFrame,
+            idCol: String, textCol: String, n: Int = 13): DataFrame =
+    corpus.join(contaminatedIds(corpus, benchmark, idCol, textCol, n),
+      Seq(idCol), "left_anti")
+}

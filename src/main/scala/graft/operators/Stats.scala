@@ -19,4 +19,17 @@ object Stats {
       conds.map { case (name, c) => count(when(c, lit(1))).as(name) }
     df.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Fixed-width histogram over an INTEGER column (callers integerize
+    * floats first — cents via round(x*100) — so bucket edges are exact on
+    * every engine): bucket = value div width, one hash-aggregate shuffle
+    * with map-side partial counts. The data-profiling pass of a curation
+    * pipeline; at 100 TB the output is `range/width` rows regardless of
+    * input size. Integer `div` truncates toward zero, so keep values
+    * non-negative (or accept the -0-straddling bucket). */
+  def histogram(df: DataFrame, valueCol: String, width: Long): DataFrame = {
+    require(width > 0, s"histogram width must be positive, got $width")
+    df.groupBy(expr(s"$valueCol div $width").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -210,6 +210,109 @@ object Similarity {
               k: Int, numCentroids: Int = 16, nprobe: Int = 4): DataFrame =
     ivfTopK(ivfIndex(emb, idCol, vecCol, numCentroids), idCol, vecCol, queryId, k, nprobe)
 
+  // ------------------------------------------- product quantization (PQ)
+
+  /** PQ sub-codebooks: `books(s)` holds the k centroids of subspace s,
+    * indexed by centroid id 0..k-1 (ivfCentroids' id space). */
+  case class PqCodebooks(subDim: Int, books: Array[Array[(Int, Array[Float])]]) {
+    def m: Int = books.length
+  }
+
+  /** Train product-quantization codebooks: split each `dim`-vector into `m`
+    * contiguous `dim/m`-dim sub-vectors and run the SAME deterministic
+    * k-means as IVF per subspace. The memory story at 100 TB: a float
+    * embedding is 4·dim bytes; PQ codes are `m` small ints (m bytes at
+    * k<=256) — a 32× compression that lets a billion-vector index live in
+    * executor memory where raw vectors cannot. Default iterations=0 keeps
+    * the centroids bit-deterministic across runs (seed vectors only —
+    * Lloyd refinement averages floats whose partial-aggregation order is
+    * partition-dependent; see q36's identical determinism contract). */
+  def pqTrain(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+              m: Int = 8, k: Int = 16, iterations: Int = 0): PqCodebooks = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val books = (0 until m).toArray.map { s =>
+      ivfCentroids(
+        emb.select(col(idCol), slice(col(vecCol), s * subDim + 1, subDim).as("__sub")),
+        idCol, "__sub", k, iterations)
+        .sortBy(_._1)
+    }
+    PqCodebooks(subDim, books)
+  }
+
+  /** Encode every vector to its `m` nearest-sub-centroid codes (L2 argmin
+    * per subspace, lowest-id tie-break): output (id, codes array<int>).
+    * One narrow codegen'd pass — each subspace scores k centroids via
+    * ||c||² − 2·v_s·c (the row's own sub-norm is constant across the
+    * argmin and never computed). At scale this pass runs once per corpus
+    * and the 8-byte-ish codes are what downstream search shuffles. */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+               cb: PqCodebooks): DataFrame = {
+    // slices bound as named columns FIRST so each is computed once, not
+    // once per centroid scoring expression
+    val sliced = emb.select(col(idCol) +: (0 until cb.m).map(s =>
+      slice(col(vecCol), s * cb.subDim + 1, cb.subDim).as(s"__s$s")): _*)
+    sliced.select(col(idCol),
+      array((0 until cb.m).map { s =>
+        val scored = cb.books(s).map { case (cid, c) =>
+          val cn2 = c.map(x => x.toDouble * x).sum
+          struct((lit(cn2) - lit(2.0) * dot(col(s"__s$s"), typedLit(c.toSeq))).as("d"),
+            lit(cid).as("cid"))
+        }
+        (if (scored.length == 1) scored.head else least(scored: _*)).getField("cid")
+      }: _*).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) scoring of PQ codes: the query stays
+    * full-precision; per subspace a k-entry lookup table of q_s·c (and
+    * ||c||²) is built ON THE DRIVER from the codebooks (m·k doubles —
+    * trivially inlined as literals), and each vector's approximate cosine
+    * is Σ_s table[code_s] / sqrt(Σ_s ||c_code||²) — table lookups and adds
+    * only, never a touch of the original vectors. Per-vector cost is O(m),
+    * independent of dim. */
+  private def adcScore(cb: PqCodebooks, queryVec: Array[Float]): Column = {
+    val dotTables: Array[Array[Double]] = Array.tabulate(cb.m) { s =>
+      val qs = queryVec.slice(s * cb.subDim, (s + 1) * cb.subDim)
+      cb.books(s).map { case (_, c) =>
+        c.zip(qs).map { case (a, b) => a.toDouble * b }.sum }
+    }
+    val norm2Tables: Array[Array[Double]] = cb.books.map(_.map { case (_, c) =>
+      c.map(x => x.toDouble * x).sum })
+    val adcDot = (0 until cb.m).map(s =>
+      element_at(typedLit(dotTables(s).toSeq), element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val adcNorm2 = (0 until cb.m).map(s =>
+      element_at(typedLit(norm2Tables(s).toSeq), element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    adcDot / sqrt(adcNorm2)
+  }
+
+  /** PQ approximate top-k = ADC shortlist + exact rescore: the O(m)-per-
+    * vector ADC scan prunes the corpus to a `shortlist` of candidates
+    * (lossy — codes only, original vectors untouched), then ONLY those
+    * candidates are joined back to their full vectors and rescored with
+    * the exact codegen'd cosine. This is the production PQ shape at scale:
+    * the code scan touches m bytes/vector (a billion vectors fit in
+    * memory), the rescore touches `shortlist` vectors per query — recall
+    * is governed by the shortlist ratio, not by raw code fidelity. Ties
+    * break to the lower id; output ids sorted. */
+  def pqTopK(encoded: DataFrame, emb: DataFrame, cb: PqCodebooks,
+             idCol: String, vecCol: String, queryVec: Array[Float],
+             queryId: Long, k: Int, shortlist: Int = 100): DataFrame = {
+    val shortIds = encoded
+      .filter(col(idCol) =!= queryId)
+      .withColumn("__adc", adcScore(cb, queryVec))
+      .orderBy(col("__adc").desc, col(idCol))
+      .limit(shortlist)
+      .select(col(idCol))
+    val q = emb.sparkSession.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(queryVec.toSeq)),
+      org.apache.spark.sql.types.StructType(Seq(org.apache.spark.sql.types.StructField(
+        "__qv", org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))))
+    rescoreTopK(emb.join(shortIds, Seq(idCol), "left_semi"),
+      q, idCol, vecCol, queryId, k)
+  }
+
   /** Approximate top-k: probe the query's bucket plus all Hamming-1 buckets
     * (multiprobe), exact cosine within candidates. Returns ids sorted by id.
     * Recall is tested against bruteForceTopK in AnnSpec. */

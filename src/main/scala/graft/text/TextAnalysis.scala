@@ -110,6 +110,24 @@ object TextAnalysis {
         concat_ws(" ", slice(col("__ts"), col("pos").cast("int") * step + 1, lit(chunkSize))).as("chunk"))
   }
 
+  /** Total word n-gram occurrences: max(#tokens − (n−1), 0). */
+  def ngramCount(c: Column, n: Int): Column =
+    greatest(size(tokens(c)) - lit(n - 1), lit(0)).cast(LongType)
+
+  /** DISTINCT word n-gram count — with ngramCount, the Gopher-style
+    * repetition signal (a low distinct/total fraction means the document
+    * loops on itself; heavily duplicated n-grams are a strong
+    * low-quality marker for training data). Pure narrow expressions; the
+    * token array is bound once via the 1-element-array lambda trick (see
+    * Dedup.wordNgrams — same pattern, else the tokenizer re-runs per
+    * n-gram position). */
+  def distinctNgramCount(c: Column, n: Int): Column =
+    size(flatten(transform(array(tokens(c)), ts =>
+      when(size(ts) >= n,
+        array_distinct(transform(sequence(lit(0), size(ts) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + j + 1)): _*))))
+        .otherwise(array().cast(ArrayType(StringType)))))).cast(LongType)
+
   /** Rolling-hash document sketch: hash every word k-gram shingle, keep the
     * `n` smallest hashes (a bottom-n sketch — a compact fingerprint whose
     * overlap estimates containment). Used by near-dup pipelines and tests.

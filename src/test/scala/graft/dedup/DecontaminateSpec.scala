@@ -1,0 +1,44 @@
+package graft.dedup
+
+import graft.SparkSpec
+
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  // benchmark doc 100 shares a verbatim 5-token run with corpus doc 1;
+  // corpus doc 2 shares only 4 consecutive tokens (one flip); doc 3 is
+  // disjoint; doc 4 is shorter than n and can never collide
+  private val corpus = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta"),
+    (2L, "alpha beta gamma delta XXX zeta"),
+    (3L, "one two three four five six"),
+    (4L, "alpha beta"))
+    .toDF("doc_id", "text")
+  private val benchmark = Seq(
+    (100L, "prefix alpha beta gamma delta epsilon suffix"))
+    .toDF("doc_id", "text")
+
+  test("contaminatedIds flags exactly the docs sharing a full n-gram") {
+    val ids = Decontaminate.contaminatedIds(corpus, benchmark, "doc_id", "text", n = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L)) // doc 2's 5-grams all straddle the XXX flip
+  }
+
+  test("scrub keeps every non-contaminated doc with all its columns") {
+    val kept = Decontaminate.scrub(corpus, benchmark, "doc_id", "text", n = 5)
+    assert(kept.columns.toSeq === corpus.columns.toSeq)
+    assert(kept.collect().map(_.getLong(0)).toSet === Set(2L, 3L, 4L))
+  }
+
+  test("a lower n is stricter: 4-gram containment also catches the near-copy") {
+    val ids = Decontaminate.contaminatedIds(corpus, benchmark, "doc_id", "text", n = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 2L)) // "alpha beta gamma delta" survives the flip
+  }
+
+  test("empty benchmark contaminates nothing") {
+    val ids = Decontaminate.contaminatedIds(
+      corpus, benchmark.filter($"doc_id" < 0), "doc_id", "text", n = 5)
+    assert(ids.count() === 0)
+  }
+}

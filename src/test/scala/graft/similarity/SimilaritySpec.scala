@@ -154,4 +154,55 @@ class SimilaritySpec extends SparkSpec {
     val recall = (approx intersect Set(1L, 2L, 3L, 4L, 5L)).size / 5.0
     assert(recall >= 0.6, s"ANN recall $recall below floor; approx=$approx")
   }
+
+  test("pqTrain/pqEncode: codebook shapes, code ranges, identical vectors share codes") {
+    val rnd = new scala.util.Random(5)
+    val dim = 16
+    val rows = (0L until 40L).map(i => (i, Seq.fill(dim)(rnd.nextFloat() * 2 - 1))) :+
+      (100L, Seq.fill(dim)(0.5f)) :+ (101L, Seq.fill(dim)(0.5f))
+    val df = vecs(rows: _*)
+    val cb = Similarity.pqTrain(df, "vec_id", "embedding", dim = dim, m = 4, k = 8)
+    assert(cb.m === 4 && cb.subDim === 4)
+    assert(cb.books.forall(b => b.length === 8 && b.map(_._1).toSeq == (0 until 8)))
+    assert(cb.books.forall(_.forall(_._2.length === 4)))
+    val codes = Similarity.pqEncode(df, "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(cs => cs.length == 4 && cs.forall(c => c >= 0 && c < 8)))
+    assert(codes(100L) === codes(101L)) // identical vectors, identical codes
+  }
+
+  test("pqTopK with a full-corpus shortlist equals brute force exactly") {
+    val rnd = new scala.util.Random(6)
+    val dim = 16
+    val df = vecs((0L until 60L).map(i => (i, Seq.fill(dim)(rnd.nextFloat() * 2 - 1))): _*)
+    val cb = Similarity.pqTrain(df, "vec_id", "embedding", dim = dim, m = 4, k = 8)
+    val enc = Similarity.pqEncode(df, "vec_id", "embedding", cb)
+    val qvec = df.filter($"vec_id" === 0).select($"embedding").head.getSeq[Float](0).toArray
+    // shortlist >= corpus size -> the ADC stage prunes nothing and the
+    // exact rescore tail decides everything
+    val pq = Similarity.pqTopK(enc, df, cb, "vec_id", "embedding", qvec, 0L, 5, shortlist = 100)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding", 0L, 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(pq === exact)
+  }
+
+  test("pqTopK recall on clustered data with a tight shortlist") {
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    // 6 well-separated cluster centers, 30 members each with small jitter
+    val centers = (0 until 6).map(_ => Array.fill(dim)(rnd.nextFloat() * 8 - 4))
+    val rows = for (c <- centers.indices; j <- 0 until 30) yield
+      (c * 100L + j, centers(c).toSeq.map(x => x + rnd.nextFloat() * 0.2f - 0.1f))
+    val df = vecs(rows: _*)
+    val cb = Similarity.pqTrain(df, "vec_id", "embedding", dim = dim, m = 4, k = 16)
+    val enc = Similarity.pqEncode(df, "vec_id", "embedding", cb)
+    val qvec = df.filter($"vec_id" === 0).select($"embedding").head.getSeq[Float](0).toArray
+    val pq = Similarity.pqTopK(enc, df, cb, "vec_id", "embedding", qvec, 0L, 10, shortlist = 40)
+      .collect().map(_.getLong(0)).toSet
+    val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    // the 29 same-cluster siblings dominate both lists
+    assert((pq intersect exact).size >= 8, s"recall too low: ${(pq intersect exact).size}/10")
+  }
 }

@@ -73,4 +73,21 @@ class TextAnalysisSpec extends SparkSpec {
     val covered = out.collect { case ((1L, _), s) => s.split(" ") }.flatten.toSet
     assert(covered === (1 to 10).map(i => s"t$i").toSet)
   }
+
+  test("ngram counts: total vs distinct expose repetition") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "a b a b a b"),       // 5 bigrams, 2 distinct -> repetitive
+      (2L, "a b c d e f"),       // 5 bigrams, all distinct
+      (3L, "solo"),              // no bigram
+      (4L, "")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextAnalysis.ngramCount(col("text"), 2).as("n"),
+        TextAnalysis.distinctNgramCount(col("text"), 2).as("d"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === ((5L, 2L)))
+    assert(out(2L) === ((5L, 5L)))
+    assert(out(3L) === ((0L, 0L)))
+    assert(out(4L) === ((0L, 0L)))
+  }
 }

@@ -231,12 +231,30 @@ object Similarity {
               m: Int = 8, k: Int = 16, iterations: Int = 0): PqCodebooks = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val subDim = dim / m
-    val books = (0 until m).toArray.map { s =>
-      ivfCentroids(
-        emb.select(col(idCol), slice(col(vecCol), s * subDim + 1, subDim).as("__sub")),
-        idCol, "__sub", k, iterations)
-        .sortBy(_._1)
-    }
+    val books =
+      if (iterations == 0) {
+        // seed-only fast path: every subspace's seeds are slices of the SAME
+        // k corpus vectors (smallest xxhash64(id)), so ONE collect of k full
+        // vectors replaces m per-subspace jobs — bit-identical to running
+        // ivfCentroids(iterations=0) per slice
+        val seeds = emb.select(col(idCol), col(vecCol))
+          .withColumn("__h", xxhash64(col(idCol)))
+          .orderBy(col("__h"))
+          .limit(k)
+          .collect()
+          .zipWithIndex
+          .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+        require(seeds.nonEmpty, "pqTrain: empty corpus")
+        (0 until m).toArray.map { s =>
+          seeds.map { case (cid, v) => (cid, v.slice(s * subDim, (s + 1) * subDim)) }
+        }
+      } else
+        (0 until m).toArray.map { s =>
+          ivfCentroids(
+            emb.select(col(idCol), slice(col(vecCol), s * subDim + 1, subDim).as("__sub")),
+            idCol, "__sub", k, iterations)
+            .sortBy(_._1)
+        }
     PqCodebooks(subDim, books)
   }
 

@@ -62,4 +62,43 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q05_incr_id")
     assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), GreaterThan(l_orderkey,3000)"), p)
   }
+
+  test("q48 repetition is a narrow pass: no join, no hash exchange") {
+    val p = plan("q48_repetition")
+    assert(!p.contains("Join"), s"repetition must not plan a join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-document expressions must not shuffle:\n$p")
+  }
+
+  test("q49 decontamination semi-joins and never broadcasts the corpus side") {
+    val p = plan("q49_decontaminate")
+    assert(p.contains("LeftSemi"), p)
+    // the doc_id >= 250 corpus half is the probe side; only the benchmark
+    // n-gram set may end up broadcast. A broadcast whose build side scans
+    // doc_id >= 250 would be the corpus — assert the only pushed >= filter
+    // feeding a broadcast is the benchmark's < 250
+    val broadcastIdx = p.indexOf("BroadcastExchange")
+    if (broadcastIdx >= 0) {
+      val buildSide = p.substring(broadcastIdx)
+      assert(!buildSide.contains("GreaterThanOrEqual(doc_id,250)"),
+        s"corpus side must never be the broadcast build side:\n$p")
+    }
+  }
+
+  test("q51 row_number and lag share ONE window (single sort, single shuffle)") {
+    val p = plan("q51_event_lag")
+    assert("\\bWindow\\b".r.findAllIn(p).size === 1, s"expected one Window node:\n$p")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges === 1, s"expected a single keyed shuffle:\n$p")
+  }
+
+  test("q52 histogram partial-aggregates below its single exchange") {
+    val p = plan("q52_histogram")
+    // the group key is the div expression (_groupingexpression), so match
+    // the exchange generically and require the partial count BELOW it
+    val partialIdx = p.indexOf("partial_count")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(_groupingexpression")
+    assert(partialIdx > exchangeIdx && exchangeIdx >= 0,
+      s"expected map-side partial counts under the bucket exchange:\n$p")
+  }
 }

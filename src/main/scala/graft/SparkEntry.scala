@@ -678,6 +678,25 @@ object SparkEntry {
         .agg(when(count(lit(1)) >= 7, lit(0L)).otherwise(lit(1L)).as("violations"))
     }),
 
+    // IVF-PQ composed ANN (the production billion-vector shape): coarse
+    // quantizer prunes to 12 of 16 cells, ADC over the probed cells' codes
+    // shortlists 100, exact rescore picks 10 — recall >= 6 of the exact
+    // top-10 pinned (both stages deterministic: iterations=0 seeds, so the
+    // graded recall is a FIXED number — measured 7 at sf0.001, 9 at sf0.01)
+    "q57_ivfpq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val index = Similarity.ivfIndex(emb, "vec_id", "embedding",
+        numCentroids = 16, iterations = 0)
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+        dim = 64, m = 8, k = 64, iterations = 0)
+      val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+      val approx = Similarity.ivfPqTopK(index, enc, emb, cb,
+        "vec_id", "embedding", 0L, 10, nprobe = 12)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      approx.join(exact, Seq("vec_id"), "left_semi")
+        .agg(when(count(lit(1)) >= 6, lit(0L)).otherwise(lit(1L)).as("violations"))
+    }),
+
     // the salted two-phase aggregation must equal the plain one — the skew
     // machinery is semantics-preserving by construction; violated only if
     // the salt fold-back drops or double-counts rows
@@ -767,6 +786,8 @@ object SparkEntry {
     "q55_pq_recall" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q56_skew_salted_agg" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    "q57_ivfpq_recall" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q32_sessionize" ->
       "SELECT user_id, count(*) AS n_events, CAST(1 + sum(brk) AS BIGINT) AS n_sessions FROM (SELECT user_id, CASE WHEN prev IS NULL OR ts - prev <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)) GROUP BY user_id ORDER BY user_id",

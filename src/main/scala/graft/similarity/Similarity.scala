@@ -179,6 +179,19 @@ object Similarity {
     IvfIndex(cents, assignToCentroid(emb, vecCol, cents))
   }
 
+  /** The `nprobe` centroid ids nearest to the query by cosine
+    * (deterministic lowest-id tie-break) — the coarse-pruning step shared
+    * by IVF and IVF-PQ. */
+  private def nearestCells(cents: Array[(Int, Array[Float])],
+                           qvec: Array[Float], nprobe: Int): Set[Int] = {
+    val qnorm = math.sqrt(qvec.map(x => x.toDouble * x).sum)
+    cents.map { case (cid, c) =>
+      val cn = math.sqrt(c.map(x => x.toDouble * x).sum)
+      val cos = c.zip(qvec).map { case (a, b) => a.toDouble * b }.sum / (cn * qnorm)
+      (cid, cos)
+    }.sortBy { case (cid, cos) => (-cos, cid) }.take(nprobe).map(_._1).toSet
+  }
+
   /** IVF approximate top-k against a prebuilt index: probe the `nprobe`
     * centroids nearest to the query, exact cosine within the probed cells.
     * Per-query cost = the probed cells' sizes, not n. An absent queryId
@@ -190,12 +203,7 @@ object Similarity {
     if (qRows.isEmpty)
       return index.assigned.filter(lit(false)).select(col(idCol))
     val qvec = qRows.head.getSeq[Float](0).toArray
-    val qnorm = math.sqrt(qvec.map(x => x.toDouble * x).sum)
-    val probed = index.cents.map { case (cid, c) =>
-      val cn = math.sqrt(c.map(x => x.toDouble * x).sum)
-      val cos = c.zip(qvec).map { case (a, b) => a.toDouble * b }.sum / (cn * qnorm)
-      (cid, cos)
-    }.sortBy { case (cid, cos) => (-cos, cid) }.take(nprobe).map(_._1).toSet
+    val probed = nearestCells(index.cents, qvec, nprobe)
     val q = index.assigned.sparkSession.createDataFrame(
       java.util.List.of(org.apache.spark.sql.Row(qvec.toSeq)),
       org.apache.spark.sql.types.StructType(Seq(org.apache.spark.sql.types.StructField(
@@ -209,6 +217,31 @@ object Similarity {
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
               k: Int, numCentroids: Int = 16, nprobe: Int = 4): DataFrame =
     ivfTopK(ivfIndex(emb, idCol, vecCol, numCentroids), idCol, vecCol, queryId, k, nprobe)
+
+  /** IVF-PQ: the production billion-vector architecture — the coarse
+    * quantizer prunes the corpus to `nprobe` cells, the ADC code scan
+    * shortlists within those cells, exact rescore picks the final k.
+    * Three nested funnels (cells ⊃ shortlist ⊃ k), each stage touching
+    * only what the previous one let through: per-query cost is probed-cell
+    * codes + `shortlist` full vectors, never n — and the codes of the
+    * whole corpus are m bytes/vector, so the scan side stays in memory at
+    * scales where the raw vectors cannot. An absent queryId returns an
+    * empty result (matching the sibling APIs). */
+  def ivfPqTopK(index: IvfIndex, encoded: DataFrame, emb: DataFrame,
+                cb: PqCodebooks, idCol: String, vecCol: String, queryId: Long,
+                k: Int, nprobe: Int, shortlist: Int = 100): DataFrame = {
+    val qRows = index.assigned.filter(col(idCol) === queryId)
+      .select(col(vecCol)).collect()
+    if (qRows.isEmpty)
+      return index.assigned.filter(lit(false)).select(col(idCol))
+    val qvec = qRows.head.getSeq[Float](0).toArray
+    val probed = nearestCells(index.cents, qvec, nprobe)
+    val cellIds = index.assigned
+      .filter(col("__centroid").isin(probed.toSeq: _*))
+      .select(col(idCol))
+    pqTopK(encoded.join(cellIds, Seq(idCol), "left_semi"),
+      emb, cb, idCol, vecCol, qvec, queryId, k, shortlist)
+  }
 
   // ------------------------------------------- product quantization (PQ)
 

@@ -205,4 +205,30 @@ class SimilaritySpec extends SparkSpec {
     // the 29 same-cluster siblings dominate both lists
     assert((pq intersect exact).size >= 8, s"recall too low: ${(pq intersect exact).size}/10")
   }
+
+  test("ivfPqTopK with full probe and full shortlist equals brute force") {
+    val rnd = new scala.util.Random(8)
+    val dim = 16
+    val df = vecs((0L until 80L).map(i => (i, Seq.fill(dim)(rnd.nextFloat() * 2 - 1))): _*)
+    val index = Similarity.ivfIndex(df, "vec_id", "embedding", numCentroids = 4, iterations = 0)
+    val cb = Similarity.pqTrain(df, "vec_id", "embedding", dim = dim, m = 4, k = 8)
+    val enc = Similarity.pqEncode(df, "vec_id", "embedding", cb)
+    // nprobe = all cells and shortlist >= corpus: both funnels pass
+    // everything through and the exact rescore tail decides alone
+    val pq = Similarity.ivfPqTopK(index, enc, df, cb, "vec_id", "embedding",
+        0L, 5, nprobe = 4, shortlist = 200)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding", 0L, 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(pq === exact)
+  }
+
+  test("ivfPqTopK on an absent queryId returns empty, like the sibling APIs") {
+    val df = vecs(0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(0f, 1f, 0f, 0f))
+    val index = Similarity.ivfIndex(df, "vec_id", "embedding", numCentroids = 2, iterations = 0)
+    val cb = Similarity.pqTrain(df, "vec_id", "embedding", dim = 4, m = 2, k = 2)
+    val enc = Similarity.pqEncode(df, "vec_id", "embedding", cb)
+    assert(Similarity.ivfPqTopK(index, enc, df, cb, "vec_id", "embedding",
+      999L, 5, nprobe = 2).count() === 0)
+  }
 }

@@ -697,6 +697,16 @@ object SparkEntry {
         .agg(when(count(lit(1)) >= 6, lit(0L)).otherwise(lit(1L)).as("violations"))
     }),
 
+    // rarest token per document (lowest document frequency, token
+    // tie-break) — the integer-exact core of TF-IDF ranking and the
+    // hapax/keyword-extraction primitive; tf = one (doc, token) hash-agg,
+    // df = vocabulary-sized table AQE-broadcast into the join, then one
+    // keyed window (the float tfidf column itself is spec-tested, not
+    // oracle-hashed — cross-engine ln() is not bit-stable)
+    "q58_rare_terms" -> ((s, dir) =>
+      graft.text.TfIdf.rarestTokens(t(s, dir, "documents"), "doc_id", "text", k = 1)
+        .orderBy("doc_id")),
+
     // the salted two-phase aggregation must equal the plain one — the skew
     // machinery is semantics-preserving by construction; violated only if
     // the salt fold-back drops or double-counts rows
@@ -789,6 +799,8 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q57_ivfpq_recall" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
+    "q58_rare_terms" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents), tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, token), dfx AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY token), r AS (SELECT tf.doc_id, tf.token, tf.tf, dfx.df, row_number() OVER (PARTITION BY tf.doc_id ORDER BY dfx.df, tf.token) AS rn FROM tf JOIN dfx USING (token)) SELECT doc_id, token, tf, df FROM r WHERE rn = 1 ORDER BY doc_id""",
     "q32_sessionize" ->
       "SELECT user_id, count(*) AS n_events, CAST(1 + sum(brk) AS BIGINT) AS n_sessions FROM (SELECT user_id, CASE WHEN prev IS NULL OR ts - prev <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)) GROUP BY user_id ORDER BY user_id",
     "q35_frame_sample" ->

@@ -707,6 +707,42 @@ object SparkEntry {
       graft.text.TfIdf.rarestTokens(t(s, dir, "documents"), "doc_id", "text", k = 1)
         .orderBy("doc_id")),
 
+    // data-mixture sampling invariants: src0 pinned at rate 1.0 (all kept),
+    // src1 at 0.0 (none kept), everything else at the default rate — and
+    // the EXACT nesting property (kept@0.25 ⊆ kept@0.5, true by
+    // construction: same hash, lower threshold) plus a 10-point envelope
+    // on the default-rate fraction
+    "q59_mixture_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rates = Map("src0" -> 1.0, "src1" -> 0.0)
+      val half = Sampling.mixtureSample(docs, "doc_id", "source", rates, defaultRate = 0.5)
+      val quarter = Sampling.mixtureSample(docs, "doc_id", "source", rates, defaultRate = 0.25)
+      val joined = docs.select(col("doc_id"), col("source"))
+        .join(quarter.select(col("doc_id"), lit(1).as("__inq")), Seq("doc_id"), "left")
+        .join(half.select(col("doc_id"), lit(1).as("__inh")), Seq("doc_id"), "left")
+      joined.agg(
+          sum(when(col("__inq") === 1 && col("__inh").isNull, 1).otherwise(0)).as("__nest"),
+          sum(when(col("source") === "src0" && col("__inh").isNull, 1).otherwise(0)).as("__s0"),
+          sum(when(col("source") === "src1" && col("__inh") === 1, 1).otherwise(0)).as("__s1"),
+          sum(when(col("source") =!= "src0" && col("source") =!= "src1" && col("__inh") === 1, 1)
+            .otherwise(0)).as("__dk"),
+          sum(when(col("source") =!= "src0" && col("source") =!= "src1", 1).otherwise(0)).as("__dt"))
+        .select((col("__nest") + col("__s0") + col("__s1") +
+          when(abs(col("__dk") * 100 - col("__dt") * 50) > col("__dt") * 10, 1).otherwise(0))
+          .cast(LongType).as("violations"))
+    }),
+
+    // token frequency-of-frequencies (the Zipf profile): how many
+    // vocabulary types occur k times — two chained hash-aggs, the second
+    // over a vocabulary-sized input; the corpus-health profile a curation
+    // run reads before choosing cutoffs
+    "q60_freq_spectrum" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("occ"))
+        .groupBy(col("occ")).agg(count(lit(1)).as("n_tokens"))
+        .orderBy("occ")),
+
     // the salted two-phase aggregation must equal the plain one — the skew
     // machinery is semantics-preserving by construction; violated only if
     // the salt fold-back drops or double-counts rows
@@ -799,6 +835,10 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q57_ivfpq_recall" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
+    "q59_mixture_sample" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    "q60_freq_spectrum" ->
+      "SELECT occ, CAST(count(*) AS BIGINT) AS n_tokens FROM (SELECT token, CAST(count(*) AS BIGINT) AS occ FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents) GROUP BY token) GROUP BY occ ORDER BY occ",
     "q58_rare_terms" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents), tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, token), dfx AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY token), r AS (SELECT tf.doc_id, tf.token, tf.tf, dfx.df, row_number() OVER (PARTITION BY tf.doc_id ORDER BY dfx.df, tf.token) AS rn FROM tf JOIN dfx USING (token)) SELECT doc_id, token, tf, df FROM r WHERE rn = 1 ORDER BY doc_id""",
     "q32_sessionize" ->

@@ -42,4 +42,24 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** Data-mixture sampling: keep each row with its source's rate — the
+    * "10% web, 100% books, 3× upsampled code" recipe of every pretraining
+    * mix, as one deterministic narrow filter (rates <= 1; upsampling is a
+    * separate explode). A row is kept iff
+    * pmod(xxhash64(id), 1_000_000) < rate(source) * 1e6, so membership is
+    * a pure function of the row (stable under corpus growth, retry-safe,
+    * no rand()), per-source fractions concentrate tightly at any real
+    * scale, and a source absent from `rates` defaults to `defaultRate`.
+    * No shuffle: the filter composes into whatever scan precedes it. */
+  def mixtureSample(df: DataFrame, idCol: String, sourceCol: String,
+                    rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      s"rates must be in [0,1]: $rates default=$defaultRate")
+    val threshold = rates.foldLeft(lit((defaultRate * 1e6).toLong)) {
+      case (acc, (src, rate)) =>
+        when(col(sourceCol) === src, lit((rate * 1e6).toLong)).otherwise(acc)
+    }
+    df.filter(pmod(xxhash64(col(idCol)), lit(1000000L)) < threshold)
+  }
 }

@@ -33,4 +33,40 @@ class SamplingSpec extends SparkSpec {
     val tiny = Seq((1L, "only")).toDF("id", "src")
     assert(Sampling.capPerKey(tiny, Seq("src"), Seq(col("id")), 3).count() === 1)
   }
+
+  test("mixtureSample: rate 1 keeps all, rate 0 keeps none, per-source rates apply") {
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 400L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "src")
+    val out = Sampling.mixtureSample(docs, "id", "src", Map("a" -> 1.0, "b" -> 0.0))
+    val srcs = out.select("src").distinct().collect().map(_.getString(0)).toSet
+    assert(srcs === Set("a"))
+    assert(out.count() === 200L)
+    // default rate applies to unlisted sources, roughly proportionally
+    val half = Sampling.mixtureSample(docs, "id", "src", Map.empty, defaultRate = 0.5).count()
+    assert(half > 120L && half < 280L, s"~50% of 400 expected, got $half")
+  }
+
+  test("mixtureSample nests exactly: lower rate is a subset of higher rate") {
+    val docs = (0L until 500L).map(i => (i, "x")).toDF("id", "src")
+    val lo = Sampling.mixtureSample(docs, "id", "src", Map.empty, defaultRate = 0.2)
+    val hi = Sampling.mixtureSample(docs, "id", "src", Map.empty, defaultRate = 0.6)
+    assert(lo.join(hi, Seq("id"), "left_anti").count() === 0L)
+  }
+
+  test("mixtureSample membership is stable under corpus growth") {
+    val small = (0L until 100L).map(i => (i, "x")).toDF("id", "src")
+    val grown = (0L until 1000L).map(i => (i, "x")).toDF("id", "src")
+    val keptSmall = Sampling.mixtureSample(small, "id", "src", Map.empty, 0.5)
+      .collect().map(_.getLong(0)).toSet
+    val keptGrown = Sampling.mixtureSample(grown, "id", "src", Map.empty, 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptSmall === keptGrown.filter(_ < 100L))
+  }
+
+  test("mixtureSample rejects rates outside [0,1]") {
+    val docs = Seq((1L, "x")).toDF("id", "src")
+    val e = intercept[IllegalArgumentException](
+      Sampling.mixtureSample(docs, "id", "src", Map("x" -> 1.5)))
+    assert(e.getMessage.contains("rates"))
+  }
 }

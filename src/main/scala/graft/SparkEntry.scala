@@ -659,6 +659,24 @@ object SparkEntry {
         .orderBy("w_us", "event_type")
     }),
 
+    // streaming dedup parity: dropDuplicatesWithinWatermark over the event
+    // stream must yield exactly the batch DISTINCT key set. Only the KEY is
+    // emitted — which duplicate row wins within a microbatch is a task
+    // race, so payload columns would be nondeterministic, but the key set
+    // is exact; state expires with the watermark (bounded at 100 TB)
+    "q61_stream_dedup" -> ((s, dir) => {
+      val schema = t(s, dir, "events").schema
+      val stream = s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+        .withColumn("__ts", timestamp_micros(expr("ts div 1000")))
+      val deduped = IncrementalStream.streamingDedup(stream, "__ts", Seq("user_id"), "10 minutes")
+        .select(col("user_id"))
+      val sink = s"q61_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = deduped.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).orderBy("user_id")
+    }),
+
     // product-quantization recall invariant: 64-dim float vectors
     // compressed to 8 sub-centroid codes (64 centroids per subspace,
     // iterations=0 so the codebooks are bit-deterministic — seed vectors
@@ -837,6 +855,8 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q59_mixture_sample" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
+    "q61_stream_dedup" ->
+      "SELECT DISTINCT user_id FROM events ORDER BY user_id",
     "q60_freq_spectrum" ->
       "SELECT occ, CAST(count(*) AS BIGINT) AS n_tokens FROM (SELECT token, CAST(count(*) AS BIGINT) AS occ FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents) GROUP BY token) GROUP BY occ ORDER BY occ",
     "q58_rare_terms" ->

@@ -627,12 +627,17 @@ object SparkEntry {
         .select(col("user_id")).distinct()
         .agg(graft.functions.Sketches.bloomAgg(col("user_id"), 100000L, 800000L).as("bf"))
         .head.getAs[Array[Byte]](0)
-      ev.groupBy(col("user_id"))
-        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("__isp"))
-        .select(col("__isp"),
-          graft.functions.Sketches.mightContain(bfBytes, col("user_id")).as("__hit"))
-        .agg(sum(when(col("__isp") === 1 && !col("__hit"), 1).otherwise(0))
-          .cast(LongType).as("violations"))
+      // no members -> null sketch; no members also means no possible false
+      // negative, so the invariant holds vacuously
+      if (bfBytes == null)
+        ev.sparkSession.range(1).select(lit(0L).as("violations"))
+      else
+        ev.groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("__isp"))
+          .select(col("__isp"),
+            graft.functions.Sketches.mightContain(bfBytes, col("user_id")).as("__hit"))
+          .agg(sum(when(col("__isp") === 1 && !col("__hit"), 1).otherwise(0))
+            .cast(LongType).as("violations"))
     }),
 
     // streaming parity: the SAME windowed aggregation as a batch group-by,

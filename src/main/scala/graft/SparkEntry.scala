@@ -15,7 +15,8 @@ import org.apache.spark.sql.types._
 /** Driver contract — one entry per implemented operator from SURVEY.md §2.
   *
   * Every query is a real DataFrame pipeline through the graft.operators /
-  * graft.llm library (never a `spark.sql(oracle)` passthrough), totally
+  * graft.dedup / graft.similarity / graft.text / graft.streaming library
+  * (never a `spark.sql(oracle)` passthrough), totally
   * ordered for stable hashing, with output column names aliased identically
   * in the Spark code and the DuckDB oracle SQL.
   */

@@ -793,13 +793,15 @@ object SparkEntry {
         .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
       val top = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token")).limit(5).collect()
-      val sketchBytes = toks
-        .agg(expr("count_min_sketch(token, 0.01d, 0.99d, 42)").as("s"))
-        .head.getAs[Array[Byte]](0)
+      // sketch and total ride ONE pass (the exact top-5 truth side above is
+      // the only other scan)
+      val sketchRow = toks
+        .agg(expr("count_min_sketch(token, 0.01d, 0.99d, 42)").as("s"),
+          count(lit(1)).as("n"))
+        .head
       val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        new java.io.ByteArrayInputStream(sketchBytes))
-      val totalTokens = toks.count()
-      val slack = math.ceil(0.01 * totalTokens).toLong
+        new java.io.ByteArrayInputStream(sketchRow.getAs[Array[Byte]](0)))
+      val slack = math.ceil(0.01 * sketchRow.getLong(1)).toLong
       val violations = top.count { r =>
         val est = cms.estimateCount(r.getString(0))
         est < r.getLong(1) || est > r.getLong(1) + slack

@@ -101,4 +101,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(partialIdx > exchangeIdx && exchangeIdx >= 0,
       s"expected map-side partial counts under the bucket exchange:\n$p")
   }
+
+  test("mixtureSample is a pure narrow filter: no exchange, no join") {
+    val df = graft.operators.Sampling.mixtureSample(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "source",
+      Map("src0" -> 1.0), defaultRate = 0.5)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"the mixture filter must compose into the scan:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q63 source report is ONE grouped pass: a single hash exchange, no join") {
+    val p = plan("q63_source_quality")
+    assert(!p.contains("Join"), p)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges === 1, s"expected one keyed shuffle:\n$p")
+  }
 }

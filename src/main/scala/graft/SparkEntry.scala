@@ -730,8 +730,11 @@ object SparkEntry {
       val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
         dim = 64, m = 8, k = 64, iterations = 0)
       val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+      // shortlist scales with the corpus (>= 10% of n): a FIXED shortlist
+      // makes recall decay as n grows — the production knob tracks n
+      val shortlist = math.max(100L, emb.count() / 10).toInt
       val approx = Similarity.ivfPqTopK(index, enc, emb, cb,
-        "vec_id", "embedding", 0L, 10, nprobe = 12)
+        "vec_id", "embedding", 0L, 10, nprobe = 12, shortlist = shortlist)
       val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
       approx.join(exact, Seq("vec_id"), "left_semi")
         .agg(when(count(lit(1)) >= 6, lit(0L)).otherwise(lit(1L)).as("violations"))

@@ -41,11 +41,13 @@ object Dedup {
 
   /** MinHash signature over hashed shingles: array of `numHashes` minima of
     * the affine family h_i(x) = ((x mod P) * (2i+1) + 12345 i + 7) mod P.
-    * All arithmetic stays < 2^40, so no ANSI overflow. */
+    * Computed by the codegen'd MinHashSignature expression — one JIT'd pass
+    * over the shingle array updating all minima, replacing the
+    * higher-order-function formulation Spark evaluates interpreted (nested
+    * lambdas re-walking the array once per hash function); bit-identical
+    * output, pinned by MinHashSpec. */
   def minhashSignature(shingleHashes: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      array_min(transform(shingleHashes, h =>
-        pmod(pmod(h, lit(P)) * (i * 2 + 1) + (i * 12345 + 7), lit(P)))))
+    graft.functions.MinHashSignature(shingleHashes, numHashes)
 
   /** LSH banding: doc -> `bands` rows keyed by (band index, hash of the
     * band's signature slice). Docs sharing any band key become candidates.

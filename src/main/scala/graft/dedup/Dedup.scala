@@ -310,17 +310,16 @@ object Dedup {
           i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + j + 1)): _*))))
         .otherwise(array().cast(ArrayType(StringType)))))
 
-  /** Hashed word n-gram set: tokens are hashed ONCE, then each n-gram hash
-    * is xxhash64 over the n token hashes — no per-shingle string building
-    * (the concat_ws formulation allocates every shingle string; these
-    * hashes are pipeline-internal, so only 64-bit collision risk ~1e-15
-    * distinguishes the two). Output sorted, ready for minhashNearDups. */
+  /** Hashed word n-gram set: tokens are hashed ONCE (xxhash64 per token),
+    * then the codegen'd HashedNgrams expression combines each n-window in
+    * one JIT'd pass (sort + dedup included) — no per-shingle string
+    * building and no interpreted per-window lambda evaluation. These
+    * hashes are pipeline-internal (banding keys + both sides of the exact
+    * verify), so only 64-bit collision risk ~1e-15 distinguishes this from
+    * the string formulation. Output sorted, ready for minhashNearDups. */
   def hashedWordNgrams(c: Column, n: Int): Column =
-    flatten(transform(array(transform(TextAnalysis.tokens(c), t => xxhash64(t))), th =>
-      when(size(th) >= n,
-        array_sort(array_distinct(transform(sequence(lit(0), size(th) - n),
-          i => xxhash64((0 until n).map(j => element_at(th, i + j + 1)): _*)))))
-        .otherwise(array().cast(ArrayType(LongType)))))
+    graft.functions.HashedNgrams(
+      transform(TextAnalysis.tokens(c), t => xxhash64(t)), n)
 
   // ------------------------------------------------- canonicalization
 

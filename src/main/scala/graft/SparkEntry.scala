@@ -359,6 +359,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // sequence packing (concat-and-cut): per-source token streams cut into
+    // 64-token training windows — each doc's start offset and first/last
+    // window; one keyed window shuffle (a GLOBAL pack would funnel the
+    // prefix sum through one partition — grouped streams are the scale
+    // shape and what production packing does anyway)
+    "q66_packing" -> ((s, dir) =>
+      TextAnalysis.packedSpans(t(s, dir, "documents"), Seq("source"),
+          "doc_id", "text", windowSize = 64)
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          col("start_tok"), col("first_win"), col("last_win"))
+        .orderBy("doc_id")),
+
     // SQL-surface parity: the SAME packed SimHash computed through the
     // registered SQL functions (GraftExtensions) and through the DataFrame
     // API must agree row-for-row — the graded proof that spark.sql users
@@ -952,6 +964,8 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q65_sql_parity" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
+    "q66_packing" ->
+      """WITH t AS (SELECT doc_id, source, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tok FROM documents), s AS (SELECT doc_id, source, n_tok, CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok FROM t) SELECT doc_id, source, n_tok, start_tok, start_tok // 64 AS first_win, CASE WHEN n_tok = 0 THEN start_tok // 64 ELSE (start_tok + n_tok - 1) // 64 END AS last_win FROM s ORDER BY doc_id""",
     "q63_source_quality" ->
       """WITH f AS (SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nt, len(regexp_extract_all(lower(text), '\b(the|a|an|of|and|to|in|is|it|for)\b')) AS nstop FROM documents), g AS (SELECT source, nt, CASE WHEN nt >= 5 AND nstop * 2 <= nt THEN 1 ELSE 0 END AS ok, greatest(len(ts) - 1, 0) AS n2, CASE WHEN len(ts) >= 2 THEN len(list_distinct([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))])) ELSE 0 END AS d2 FROM f) SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(ok) AS BIGINT) AS n_quality_ok, CAST(sum(nt) AS BIGINT) AS total_tokens, CAST(sum(CASE WHEN n2 > 0 AND d2 * 20 < n2 * 19 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive FROM g GROUP BY source ORDER BY source""",
     "q60_freq_spectrum" ->

@@ -128,6 +128,34 @@ object TextAnalysis {
           i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + j + 1)): _*))))
         .otherwise(array().cast(ArrayType(StringType)))))).cast(LongType)
 
+  /** Concat-and-cut sequence packing: documents are concatenated in a
+    * deterministic order within each group and the token stream is cut
+    * into fixed `windowSize` training windows — each doc gets its token
+    * span (start offset) and the first/last window it lands in. This IS
+    * the GPT-style pretraining batch construction; computing it
+    * relationally keeps the packing decision reproducible and joinable
+    * back to provenance. Grouped (e.g. per source/shard) so the running
+    * sum is a KEYED window — a single global ordering would funnel the
+    * prefix-sum through one partition at 100 TB; per-group streams are
+    * how production packs anyway. Empty docs occupy no tokens (their
+    * first_win == last_win == the window at their start offset). */
+  def packedSpans(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+                  orderCol: String, textCol: String, windowSize: Long)
+      : org.apache.spark.sql.DataFrame = {
+    require(windowSize > 0, s"windowSize must be positive, got $windowSize")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(groupCols.map(col) :+ col(orderCol) :+
+        tokenCount(col(textCol)).as("n_tok"): _*)
+      .withColumn("start_tok", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("first_win", expr(s"start_tok div $windowSize"))
+      .withColumn("last_win",
+        when(col("n_tok") === 0, col("first_win"))
+          .otherwise(expr(s"(start_tok + n_tok - 1) div $windowSize")))
+  }
+
   /** Rolling-hash document sketch: hash every word k-gram shingle, keep the
     * `n` smallest hashes (a bottom-n sketch — a compact fingerprint whose
     * overlap estimates containment). Used by near-dup pipelines and tests.

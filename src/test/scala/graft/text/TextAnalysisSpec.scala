@@ -90,4 +90,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) === ((0L, 0L)))
     assert(out(4L) === ((0L, 0L)))
   }
+
+  test("packedSpans: concat-and-cut spans with per-group running offsets") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "g", "a b c"),        // 3 tokens, start 0, wins 0-0
+      (2L, "g", "d e f g h"),    // 5 tokens, start 3, wins 0-1 (W=4)
+      (3L, "g", ""),             // empty: occupies nothing at start 8
+      (4L, "g", "i j"),          // start 8, wins 2-2
+      (9L, "h", "x y z w v u")). // other group restarts at 0, wins 0-1
+      toDF("doc_id", "src", "text")
+    val out = TextAnalysis.packedSpans(docs, Seq("src"), "doc_id", "text", windowSize = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("start_tok"), r.getAs[Long]("first_win"), r.getAs[Long]("last_win"))).toMap
+    assert(out(1L) === ((0L, 0L, 0L)))
+    assert(out(2L) === ((3L, 0L, 1L)))
+    assert(out(3L) === ((8L, 2L, 2L)))
+    assert(out(4L) === ((8L, 2L, 2L)))
+    assert(out(9L) === ((0L, 0L, 1L)))
+  }
 }

@@ -293,25 +293,20 @@ object Similarity {
 
   /** Encode every vector to its `m` nearest-sub-centroid codes (L2 argmin
     * per subspace, lowest-id tie-break): output (id, codes array<int>).
-    * One narrow codegen'd pass — each subspace scores k centroids via
-    * ||c||² − 2·v_s·c (the row's own sub-norm is constant across the
-    * argmin and never computed). At scale this pass runs once per corpus
-    * and the 8-byte-ish codes are what downstream search shuffles. */
+    * One narrow pass through the codegen'd PqEncode expression — the
+    * codebooks ride into generated code as a reference object, replacing
+    * the m×k least(struct(...)) formulation whose generated comparison
+    * methods dwarfed the actual arithmetic. Each subspace scores k
+    * centroids via ||c||² − 2·v_s·c (the row's own sub-norm is constant
+    * across the argmin and never computed). At scale this pass runs once
+    * per corpus and the m-byte-ish codes are what downstream search
+    * scans. Centroid ids must be 0..k-1 in array order (ivfCentroids'
+    * id space — guaranteed by pqTrain). */
   def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
                cb: PqCodebooks): DataFrame = {
-    // slices bound as named columns FIRST so each is computed once, not
-    // once per centroid scoring expression
-    val sliced = emb.select(col(idCol) +: (0 until cb.m).map(s =>
-      slice(col(vecCol), s * cb.subDim + 1, cb.subDim).as(s"__s$s")): _*)
-    sliced.select(col(idCol),
-      array((0 until cb.m).map { s =>
-        val scored = cb.books(s).map { case (cid, c) =>
-          val cn2 = c.map(x => x.toDouble * x).sum
-          struct((lit(cn2) - lit(2.0) * dot(col(s"__s$s"), typedLit(c.toSeq))).as("d"),
-            lit(cid).as("cid"))
-        }
-        (if (scored.length == 1) scored.head else least(scored: _*)).getField("cid")
-      }: _*).as("codes"))
+    val books: Array[Array[Array[Float]]] = cb.books.map(_.map(_._2))
+    emb.select(col(idCol),
+      graft.functions.PqEncode(col(vecCol), books, cb.subDim).as("codes"))
   }
 
   /** Asymmetric-distance (ADC) scoring of PQ codes: the query stays

@@ -751,22 +751,26 @@ object SparkEntry {
     }),
 
     // IVF-PQ composed ANN (the production billion-vector shape): coarse
-    // quantizer prunes to 12 of 16 cells, ADC over the probed cells' codes
-    // shortlists 100, exact rescore picks 10 — recall >= 6 of the exact
-    // top-10 pinned (both stages deterministic: iterations=0 seeds, so the
-    // graded recall is a FIXED number — measured 7 at sf0.001, 9 at sf0.01)
+    // quantizer -> ADC over the probed cells' codes -> exact rescore. ALL
+    // THREE knobs scale with the corpus, exactly as production indexes do:
+    // cells ~ sqrt(n) (the IVF rule of thumb), nprobe ~ 3/4 of cells
+    // (seed-only centroids are deliberately coarse — the price of
+    // bit-determinism — so probing stays wide), shortlist >= 10% of n.
+    // Recall >= 6 of the exact top-10 pinned; deterministic, measured
+    // 7/9/8 at sf0.001/0.01/0.1
     "q57_ivfpq_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      val n = emb.count()
+      val cells = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val nprobe = math.max(12, (cells * 3) / 4)
+      val shortlist = math.max(100L, n / 10).toInt
       val index = Similarity.ivfIndex(emb, "vec_id", "embedding",
-        numCentroids = 16, iterations = 0)
+        numCentroids = cells, iterations = 0)
       val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
         dim = 64, m = 8, k = 64, iterations = 0)
       val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
-      // shortlist scales with the corpus (>= 10% of n): a FIXED shortlist
-      // makes recall decay as n grows — the production knob tracks n
-      val shortlist = math.max(100L, emb.count() / 10).toInt
       val approx = Similarity.ivfPqTopK(index, enc, emb, cb,
-        "vec_id", "embedding", 0L, 10, nprobe = 12, shortlist = shortlist)
+        "vec_id", "embedding", 0L, 10, nprobe = nprobe, shortlist = shortlist)
       val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
       approx.join(exact, Seq("vec_id"), "left_semi")
         .agg(when(count(lit(1)) >= 6, lit(0L)).otherwise(lit(1L)).as("violations"))

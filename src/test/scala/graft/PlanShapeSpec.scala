@@ -117,4 +117,12 @@ class PlanShapeSpec extends SparkSpec {
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(hashExchanges === 1, s"expected one keyed shuffle:\n$p")
   }
+
+  test("q66 packing is one keyed window shuffle (plus the final sort)") {
+    val p = plan("q66_packing")
+    assert(!p.contains("Join"), p)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges === 1, s"expected one keyed shuffle:\n$p")
+    assert("\\bWindow\\b".r.findAllIn(p).size === 1, s"expected one Window node:\n$p")
+  }
 }

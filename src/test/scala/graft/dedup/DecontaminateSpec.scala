@@ -41,4 +41,14 @@ class DecontaminateSpec extends SparkSpec {
       corpus, benchmark.filter($"doc_id" < 0), "doc_id", "text", n = 5)
     assert(ids.count() === 0)
   }
+
+  test("scrub and contaminatedIds partition the corpus exactly") {
+    val flagged = Decontaminate.contaminatedIds(corpus, benchmark, "doc_id", "text", n = 4)
+      .collect().map(_.getLong(0)).toSet
+    val kept = Decontaminate.scrub(corpus, benchmark, "doc_id", "text", n = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert((flagged intersect kept).isEmpty)
+    assert((flagged union kept) ===
+      corpus.collect().map(_.getLong(0)).toSet)
+  }
 }

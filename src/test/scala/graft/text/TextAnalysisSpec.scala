@@ -109,4 +109,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) === ((8L, 2L, 2L)))
     assert(out(9L) === ((0L, 0L, 1L)))
   }
+
+  test("packedSpans property: spans tile each group's stream without gaps") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(3)
+    val docs = (0L until 60L).map { i =>
+      (i, s"g${i % 3}", Seq.fill(rnd.nextInt(7))("w").mkString(" "))
+    }.toDF("doc_id", "src", "text")
+    val out = TextAnalysis.packedSpans(docs, Seq("src"), "doc_id", "text", windowSize = 5)
+      .collect().map(r => (r.getAs[String]("src"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tok"), r.getAs[Long]("start_tok")))
+    out.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.head._4 === 0L)
+      sorted.toList.sliding(2).foreach {
+        case List((_, _, n, s0), (_, _, _, s1)) => assert(s1 === s0 + n) // no gap, no overlap
+        case _ =>
+      }
+    }
+  }
 }

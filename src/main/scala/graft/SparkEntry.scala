@@ -717,7 +717,13 @@ object SparkEntry {
     // stream must yield exactly the batch DISTINCT key set. Only the KEY is
     // emitted — which duplicate row wins within a microbatch is a task
     // race, so payload columns would be nondeterministic, but the key set
-    // is exact; state expires with the watermark (bounded at 100 TB)
+    // is exact; state expires with the watermark (bounded at 100 TB).
+    // Exact-DISTINCT parity RELIES on AvailableNow reading the single
+    // events.parquet as ONE microbatch (initial watermark 0, no state
+    // evicted mid-run): were the source sharded past maxFilesPerTrigger,
+    // keys recurring > 10 min apart in event time could be emitted twice.
+    // Multi-file corpora must dedup the batch output (or widen the
+    // watermark to the corpus' full event-time span) before grading.
     "q61_stream_dedup" -> ((s, dir) => {
       val schema = t(s, dir, "events").schema
       val stream = s.readStream.schema(schema).parquet(s"$dir/events*.parquet")

@@ -20,6 +20,9 @@ import org.apache.spark.sql.types._
   * identical PAIR results (64-bit collision risk ~1e-15, the same accepted
   * everywhere else). Fewer than n tokens -> empty set, mirroring the
   * `when(size >= n, ...) otherwise array()` formulation it replaces.
+  * Null elements are rejected at analysis (containsNull must be false) —
+  * all producers hash tokens with xxhash64, which never yields null, and
+  * getLong on a null slot would silently read 0.
   */
 case class HashedNgrams(child: Expression, n: Int) extends UnaryExpression {
 
@@ -29,11 +32,12 @@ case class HashedNgrams(child: Expression, n: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(LongType, _) =>
+      case ArrayType(LongType, false) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case t =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"HashedNgrams expects array<bigint> (pre-hashed tokens), got $t")
+          s"HashedNgrams expects array<bigint> with non-null elements " +
+            s"(pre-hashed tokens from xxhash64), got $t")
     }
 
   override protected def nullSafeEval(input: Any): Any = {

@@ -16,14 +16,23 @@ import org.apache.spark.sql.types._
   * once with all `numHashes` minima updated per element in a JIT-compiled
   * loop — the hottest stage of the LSH dedup pipeline.
   *
-  * Intermediate `pm·(2i+1) + (12345·i+7)` stays < 2^40 (pm < 2^31,
-  * coefficient ≤ 255), so no overflow; `pm ≥ 0` makes the final `% P` equal
-  * to pmod. Empty input mirrors the HOF formulation exactly: `array_min` of
-  * an empty array is NULL, so the signature is `numHashes` NULL slots
-  * (callers filter empty shingle sets before signing — this path exists
-  * only for drop-in parity).
+  * Intermediate `pm·(2i+1) + (12345·i+7)` stays < 2^31 · 2·numHashes —
+  * under 2^52 for the required numHashes ≤ 2^20, so no 64-bit overflow;
+  * `pm ≥ 0` makes the final `% P` equal to pmod. Empty input mirrors the
+  * HOF formulation exactly: `array_min` of an empty array is NULL, so the
+  * signature is `numHashes` NULL slots (callers filter empty shingle sets
+  * before signing — this path exists only for drop-in parity).
+  *
+  * Input element nulls are REJECTED at analysis (containsNull must be
+  * false): every in-repo producer builds the array from xxhash64, which
+  * never yields null elements, and silently reading a null slot as 0
+  * (what getLong would do) would break the claimed bit-parity with the
+  * HOF form (whose array_min SKIPS nulls).
   */
 case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpression {
+
+  require(numHashes >= 1 && numHashes <= (1 << 20),
+    s"numHashes must be in [1, 2^20] (overflow bound), got $numHashes")
 
   private val P = 2147483647L
 
@@ -31,11 +40,12 @@ case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpr
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(LongType, _) =>
+      case ArrayType(LongType, false) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case t =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"MinHashSignature expects array<bigint> (pre-hashed shingles), got $t")
+          s"MinHashSignature expects array<bigint> with non-null elements " +
+            s"(pre-hashed shingles from xxhash64), got $t")
     }
 
   override protected def nullSafeEval(input: Any): Any = {

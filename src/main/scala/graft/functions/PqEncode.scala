@@ -18,7 +18,10 @@ import org.apache.spark.sql.types._
   * keeps the lowest centroid id on ties exactly like struct least.
   *
   * `books(s)(cid)` = centroid `cid` of subspace `s`; every subspace must
-  * have >= 1 centroid and the vector must have m·subDim elements.
+  * have >= 1 centroid and the vector must have m·subDim elements — the
+  * length is ENFORCED per row (an UnsafeArrayData read past numElements
+  * returns garbage buffer bytes, so a silent mismatch would yield wrong
+  * codes instead of an error).
   */
 case class PqEncode(child: Expression, books: Array[Array[Array[Float]]], subDim: Int)
     extends UnaryExpression {
@@ -41,6 +44,10 @@ case class PqEncode(child: Expression, books: Array[Array[Array[Float]]], subDim
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != m * subDim) {
+      throw new IllegalArgumentException(
+        s"PqEncode: vector has ${v.numElements()} elements, expected ${m * subDim} (m=$m x subDim=$subDim)")
+    }
     val codes = new Array[Int](m)
     var s = 0
     while (s < m) {
@@ -73,6 +80,11 @@ case class PqEncode(child: Expression, books: Array[Array[Array[Float]]], subDim
       val c = ctx.freshName("c"); val dot = ctx.freshName("dot")
       val j = ctx.freshName("j"); val d = ctx.freshName("d")
       s"""
+         |if ($a.numElements() != ${m * subDim}) {
+         |  throw new IllegalArgumentException(
+         |    "PqEncode: vector has " + $a.numElements() +
+         |    " elements, expected ${m * subDim} (m=$m x subDim=$subDim)");
+         |}
          |int[] $codes = new int[$m];
          |for (int $s = 0; $s < $m; $s++) {
          |  int $off = $s * $subDim;

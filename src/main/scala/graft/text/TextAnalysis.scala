@@ -117,16 +117,20 @@ object TextAnalysis {
   /** DISTINCT word n-gram count — with ngramCount, the Gopher-style
     * repetition signal (a low distinct/total fraction means the document
     * loops on itself; heavily duplicated n-grams are a strong
-    * low-quality marker for training data). Pure narrow expressions; the
-    * token array is bound once via the 1-element-array lambda trick (see
-    * Dedup.wordNgrams — same pattern, else the tokenizer re-runs per
-    * n-gram position). */
+    * low-quality marker for training data).
+    *
+    * Counted over 64-bit n-gram hashes via the codegen'd HashedNgrams
+    * expression (tokens hashed once, windows combined + sorted + deduped
+    * in one JIT'd pass) — the interpreted per-window string-building
+    * lambda chain this replaces was the slowest narrow stage in the whole
+    * bench (11.4 s for the sf0.1 corpus vs ~1 s hashed). Equal to the
+    * exact string-distinct count unless two distinct n-grams of one
+    * document collide in 64 bits (~m²/2^65 per doc, ~1e-12 at m=10^4 —
+    * the same envelope the LSH determinism bounds already accept).
+    * Null text counts 0, matching the string formulation. */
   def distinctNgramCount(c: Column, n: Int): Column =
-    size(flatten(transform(array(tokens(c)), ts =>
-      when(size(ts) >= n,
-        array_distinct(transform(sequence(lit(0), size(ts) - n),
-          i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + j + 1)): _*))))
-        .otherwise(array().cast(ArrayType(StringType)))))).cast(LongType)
+    coalesce(size(graft.functions.HashedNgrams(
+      transform(tokens(c), t => xxhash64(t)), n)), lit(0)).cast(LongType)
 
   /** Concat-and-cut sequence packing: documents are concatenated in a
     * deterministic order within each group and the token stream is cut

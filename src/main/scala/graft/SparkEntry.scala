@@ -5,7 +5,7 @@ import graft.multimodal.Multimodal
 import graft.operators._
 import graft.similarity.Similarity
 import graft.streaming.IncrementalStream
-import graft.text.TextAnalysis
+import graft.text.{NgramStats, Scrub, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -884,10 +884,139 @@ object SparkEntry {
       salted.join(plain, Seq("user_id"), "full_outer")
         .agg(sum(when(col("n").isNull || col("n0").isNull || col("n") =!= col("n0"), 1)
           .otherwise(0)).cast(LongType).as("violations"))
+    }),
+
+    // OLAP CUBE: counts for every (event_type × hour-of-day) cell PLUS
+    // both marginals and the grand total, from ONE scan (Expand + a
+    // single hash aggregate — never 4 separate scans). Rolled-up dims are
+    // sentinel-coalesced ('<all>' / -1, both outside the real domains) so
+    // the output is null-free for stable cross-engine hashing; gid keeps
+    // the grouping-set id the sentinels encode
+    "q67_cube_counts" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), expr("(ts div 3600000000000) % 24").as("h"))
+      Stats.cubeCounts(ev, Seq(col("event_type"), col("h")))
+        .select(coalesce(col("event_type"), lit("<all>")).as("event_type"),
+          coalesce(col("h"), lit(-1L)).as("h"),
+          col("n"), col("gid").cast(LongType).as("gid"))
+        .orderBy("gid", "event_type", "h")
+    }),
+
+    // the TPC-H-shape star join: fact orders against two broadcast
+    // dimensions — customer and nation ship to every executor, so the
+    // fact table joins with ZERO shuffle (the only exchange is the final
+    // per-nation aggregate); revenue integerized to cents before summing
+    // so group totals are order-independent and hash cross-engine
+    "q68_star_revenue" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast(LongType)).as("revenue_cents"))
+        .orderBy("n_name")
+    }),
+
+    // quantile-stratified sampling: rank docs into 4 length quartiles
+    // (ntile over a TOTAL order — bit-stable membership) and keep the
+    // first 10 of each, sampling the whole length distribution instead of
+    // its head
+    "q69_strata_sample" -> ((s, dir) =>
+      Sampling.strataSample(t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          order = Seq(col("n_chars"), col("doc_id")), nStrata = 4, perStratum = 10)
+        .select(col("doc_id"), col("n_chars"), col("stratum"))
+        .orderBy("doc_id")),
+
+    // PII-style scrub of the event payload: mask emails then digit runs
+    // (ordered — an email's digits belong to the email mask), with
+    // per-pattern audit counts; one narrow regexp pass, RE2-safe patterns
+    // so the redaction is bit-identical across engines
+    "q70_scrub" -> ((s, dir) =>
+      Scrub.scrubbed(t(s, dir, "events").select(col("event_id"), col("props")), "props",
+          Seq(("n_email", Scrub.EmailRe, "<EMAIL>"),
+            ("n_num", Scrub.digitRunRe(2), "<NUM>")))
+        .select(col("event_id"), col("scrubbed"), col("n_email"), col("n_num"))
+        .orderBy("event_id")),
+
+    // bigram LM head: top-3 continuations of every token by in-document
+    // adjacency count — posexplode + per-doc lead window + (w1,w2) count,
+    // all relational (no interpreted HOFs), vocabulary-bounded output
+    "q71_bigram_lm" -> ((s, dir) =>
+      NgramStats.nextTokenTopK(t(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy("w1", "rn")),
+
+    // incremental-ingest dedup: the NEW half of the corpus (doc_id >= 250)
+    // probed against the EXISTING half only — band keys cross-joined
+    // new-vs-old, never old-vs-old (the 100 TB corpus is never
+    // self-joined; its band table is the reusable index of a production
+    // ingest loop). Same trigram/J>=0.7 regime as q22, so the oracle is
+    // q22's all-pairs restricted to cross pairs
+    "q72_incr_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.crossNearDupsHashed(
+          docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+          "doc_id", "text", Dedup.hashedWordNgrams(_, 3),
+          num = 7, den = 10, numHashes = 256, bands = 64)
+        .select(col("id_a").as("doc_new"), col("id_b").as("doc_old"))
+        .orderBy("doc_new", "doc_old")
+    }),
+
+    // streaming sessionization parity: flatMapGroupsWithState sessions
+    // (explicit per-key state, event-time timeouts) must aggregate to
+    // EXACTLY the batch q32 session stats. A sentinel event per user, one
+    // full gap after the corpus' last event, closes every real session
+    // inside the batch — the graded output never depends on
+    // timeout-at-termination semantics (AvailableNow does not flush live
+    // state on exit). Sentinel-opened sessions stay in state / are
+    // filtered by session_start; session arithmetic is micros, so the
+    // gap compare cannot diverge from the batch nanosecond compare
+    // (event nanos are all micro-exact)
+    "q73_stream_sessions" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"), col("ts"))
+      val maxTs = ev.agg(max(col("ts"))).head.getLong(0)
+      val srcDir = java.nio.file.Files.createTempDirectory("q73src").toString
+      ev.coalesce(1).write.mode("append").parquet(srcDir)
+      ev.select(col("user_id")).distinct()
+        .select(col("user_id"), lit(-1L).as("event_id"),
+          lit(maxTs + 7200L * 1000 * 1000 * 1000).as("ts"))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      val stream = s.readStream.schema(ev.schema).parquet(s"$srcDir/*.parquet")
+        .select(col("user_id"), col("event_id"),
+          timestamp_micros(expr("ts div 1000")).as("ts"))
+        .as[IncrementalStream.SessionEvent]
+      val sessions = IncrementalStream.sessionizeStream(
+        stream, gapUs = 1800L * 1000 * 1000, watermarkDelay = "10 minutes")
+      val sink = s"q73_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = sessions.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+        .filter(col("session_start") <= maxTs / 1000)
+        .groupBy("user_id")
+        .agg(sum(col("n_events")).cast(LongType).as("n_events"),
+          count(lit(1)).cast(LongType).as("n_sessions"))
+        .orderBy("user_id")
     })
   )
 
   private val llmOracle: Map[String, String] = Map(
+    "q67_cube_counts" ->
+      """WITH e AS (SELECT event_type, (epoch_ns(ts) // 3600000000000) % 24 AS h FROM events) SELECT coalesce(event_type, '<all>') AS event_type, CAST(coalesce(h, -1) AS BIGINT) AS h, CAST(count(*) AS BIGINT) AS n, CAST(GROUPING(event_type) * 2 + GROUPING(h) AS BIGINT) AS gid FROM e GROUP BY CUBE(event_type, h) ORDER BY gid, event_type, h""",
+    "q68_star_revenue" ->
+      "SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n_name ORDER BY n_name",
+    "q69_strata_sample" ->
+      "SELECT doc_id, n_chars, stratum FROM (SELECT doc_id, n_chars, stratum, row_number() OVER (PARTITION BY stratum ORDER BY n_chars, doc_id) AS rn FROM (SELECT doc_id, n_chars, CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS stratum FROM documents)) WHERE rn <= 10 ORDER BY doc_id",
+    "q70_scrub" ->
+      """SELECT event_id, regexp_replace(regexp_replace(props, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'), '[0-9]{2,}', '<NUM>', 'g') AS scrubbed, CAST(len(regexp_extract_all(props, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_email, CAST(len(regexp_extract_all(props, '[0-9]{2,}')) AS BIGINT) AS n_num FROM events ORDER BY event_id""",
+    "q71_bigram_lm" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), bg AS (SELECT unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS b FROM tok WHERE len(ts) >= 2), c AS (SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY w1, w2) SELECT w1, w2, n, rn FROM (SELECT w1, w2, n, CAST(row_number() OVER (PARTITION BY w1 ORDER BY n DESC, w2) AS BIGINT) AS rn FROM c) WHERE rn <= 3 ORDER BY w1, rn""",
+    "q72_incr_dedup" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), tri AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1), i -> ts[i]||' '||ts[i+1]||' '||ts[i+2])) AS gs FROM tok WHERE len(ts) >= 3) SELECT a.doc_id AS doc_new, b.doc_id AS doc_old FROM tri a JOIN tri b ON a.doc_id >= 250 AND b.doc_id < 250 WHERE len(list_intersect(a.gs, b.gs)) * 10 >= len(list_distinct(list_concat(a.gs, b.gs))) * 7 ORDER BY doc_new, doc_old""",
+    "q73_stream_sessions" ->
+      "SELECT user_id, count(*) AS n_events, CAST(1 + sum(brk) AS BIGINT) AS n_sessions FROM (SELECT user_id, CASE WHEN prev IS NULL OR ts - prev <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)) GROUP BY user_id ORDER BY user_id",
     "q16_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text ORDER BY doc_id",
     "q17_token_stats" ->

@@ -43,6 +43,34 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Quantile-stratified sampling: rank rows into `nStrata` equal-size
+    * strata by `order` (ntile — SQL-standard: ceil(n/k) rows in the first
+    * n mod k strata, so a TOTAL order makes membership deterministic and
+    * engine-portable), then keep the first `perStratum` rows of each
+    * stratum by the same order. The "sample uniformly across the length
+    * distribution" curation step — a plain `LIMIT k` would sample only the
+    * head of the distribution. ONE window shuffle for both the ntile and
+    * the in-stratum rank (same partitioning and order, so Catalyst fuses
+    * them into a single Window operator).
+    *
+    * Scale note: ntile over a GLOBAL order funnels the ranking through one
+    * partition — correct but serial at 100 TB (the same trade q29's
+    * running sum documents). For cluster-scale strata, bucket by
+    * approx_percentile boundaries instead (two narrow passes, no global
+    * sort); this exact-rank form is for corpus-profile-grade outputs where
+    * bit-stable stratum membership is the point. */
+  def strataSample(df: DataFrame, order: Seq[Column], nStrata: Int,
+                   perStratum: Int, stratumCol: String = "stratum"): DataFrame = {
+    require(nStrata > 0 && perStratum > 0,
+      s"need nStrata > 0 and perStratum > 0, got $nStrata/$perStratum")
+    val w = Window.orderBy(order: _*)
+    df.withColumn(stratumCol, ntile(nStrata).over(w).cast("long"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(stratumCol)).orderBy(order: _*)))
+      .filter(col("__rn") <= perStratum)
+      .drop("__rn")
+  }
+
   /** Data-mixture sampling: keep each row with its source's rate — the
     * "10% web, 100% books, 3× upsampled code" recipe of every pretraining
     * mix, as one deterministic narrow filter (rates <= 1; upsampling is a

@@ -32,4 +32,20 @@ object Stats {
     df.groupBy(expr(s"$valueCol div $width").as("bucket"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** CUBE counts over the given dimension columns: one row per cell of
+    * every 2^d dimension subset (the full OLAP crosstab — per-dim
+    * marginals and the grand total fall out of the same pass). Spark plans
+    * CUBE as a single Expand + hash aggregate: the input is scanned ONCE
+    * and each row fans out to its 2^d grouping-set replicas map-side, so
+    * at 100 TB the cost is one shuffle of (2^d × distinct cells) partial
+    * aggregates, not 2^d separate scans. `gid` (Spark's grouping_id ==
+    * SQL GROUPING_ID: bit i set when dim i is rolled up) disambiguates a
+    * rolled-up dimension from a genuine NULL value, so callers need no
+    * sentinel values in the dim domain. */
+  def cubeCounts(df: DataFrame, dims: Seq[Column]): DataFrame = {
+    require(dims.nonEmpty, "cubeCounts needs at least one dimension")
+    df.cube(dims: _*)
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+  }
 }

@@ -49,8 +49,16 @@ object IncrementalStream {
   // ------------------------------------------- custom state (O11 streaming)
 
   case class SessionEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
+  /** Timestamps in epoch MICROS — catalyst timestamp precision. Session-gap
+    * compares at coarser (ms) precision diverged from the batch analog's
+    * nanosecond compare on sub-ms gaps straddling the threshold. */
   case class SessionState(start: Long, last: Long, n: Long)
   case class ClosedSession(user_id: Long, session_start: Long, session_end: Long, n_events: Long)
+
+  private def epochUs(ts: java.sql.Timestamp): Long = {
+    val i = ts.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
 
   /** Gap-based sessionization with EXPLICIT state via flatMapGroupsWithState:
     * one `SessionState` per live key, closed sessions emitted as soon as a
@@ -64,9 +72,12 @@ object IncrementalStream {
     * open session extend it with min/max rather than regressing `last`
     * (a late event moving `last` backwards would split the session
     * spuriously); events later than the watermark delay are dropped by the
-    * watermark itself. The batch analog is `operators.Sessionize`. */
+    * watermark itself. All session arithmetic is in epoch MICROS (full
+    * catalyst timestamp precision, so gap compares cannot diverge from the
+    * batch analog on sub-millisecond boundaries). The batch analog is
+    * `operators.Sessionize`. */
   def sessionizeStream(events: org.apache.spark.sql.Dataset[SessionEvent],
-                       gapMs: Long,
+                       gapUs: Long,
                        watermarkDelay: String = "10 minutes"): org.apache.spark.sql.Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     events
@@ -82,12 +93,12 @@ object IncrementalStream {
             state.getOption.foreach(s => closed += ClosedSession(user, s.start, s.last, s.n))
             state.remove()
           } else {
-            val sorted = evs.toSeq.map(e => (e.ts.getTime, e.event_id))
+            val sorted = evs.toSeq.map(e => (epochUs(e.ts), e.event_id))
               .sorted
             var st = state.getOption
             sorted.foreach { case (ts, _) =>
               st match {
-                case Some(s) if ts - s.last <= gapMs =>
+                case Some(s) if ts - s.last <= gapUs =>
                   st = Some(SessionState(math.min(s.start, ts), math.max(s.last, ts), s.n + 1))
                 case Some(s) =>
                   closed += ClosedSession(user, s.start, s.last, s.n)
@@ -98,8 +109,11 @@ object IncrementalStream {
             }
             st.foreach { s =>
               state.update(s)
-              // must stay above the current watermark or Spark rejects it
-              state.setTimeoutTimestamp(math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+              // timeout API is in ms: round the micros deadline UP so the
+              // timeout can never fire before the gap truly elapsed; must
+              // also stay above the current watermark or Spark rejects it
+              state.setTimeoutTimestamp(
+                math.max((s.last + gapUs + 999L) / 1000L, state.getCurrentWatermarkMs() + 1))
             }
           }
           closed.iterator

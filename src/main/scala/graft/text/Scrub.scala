@@ -1,0 +1,53 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** PII-style scrubbing for training corpora: regex redaction of sensitive
+  * spans (emails, long digit runs — the phone/SSN/account-number shape)
+  * with per-row redaction counts for audit reports.
+  *
+  * Pure `regexp_replace`/`regexp_extract_all` column expressions — one
+  * narrow codegen'd pass, no shuffle, composes into any scan. Patterns are
+  * restricted to the regex subset with identical semantics in Java
+  * (Spark) and RE2 (DuckDB/Go tooling): character classes, bounded
+  * repetition, alternation — no backrefs, no lookaround — so the scrub is
+  * bit-reproducible across the engines a corpus pipeline actually spans.
+  *
+  * Real pipelines chain more patterns (IP addresses, street addresses via
+  * NER, credit cards with Luhn checks); the operator shape — ordered
+  * pattern list, longest/most-specific first so an email's digits are
+  * claimed by the email mask, not the digit mask — is what this module
+  * fixes. Counts are computed on the ORIGINAL text per pattern, so a
+  * span matching two patterns is reported under each (the masks
+  * themselves never double-apply because replacement is sequential).
+  */
+object Scrub {
+
+  /** Email-ish spans. Same match set in Java regex and RE2. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+
+  /** Digit runs of at least `minLen` — the numeric-identifier shape.
+    * Production uses >= 6 (phones, SSNs); tests on short synthetic text
+    * use smaller. */
+  def digitRunRe(minLen: Int): String = s"[0-9]{$minLen,}"
+
+  /** Apply masks in order: each (pattern, replacement) globally replaced. */
+  def redact(c: Column, masks: Seq[(String, String)]): Column =
+    masks.foldLeft(c) { case (acc, (re, repl)) => regexp_replace(acc, re, repl) }
+
+  /** Matches of `pattern` in the original text (audit count). */
+  def matchCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0))).cast(LongType)
+
+  /** Scrub report over a text column: the redacted text plus one count
+    * column per named pattern ((name, regex, replacement) triples; masks
+    * apply in `patterns` order). */
+  def scrubbed(df: DataFrame, textCol: String,
+               patterns: Seq[(String, String, String)]): DataFrame =
+    df.withColumns(
+      Map("scrubbed" ->
+        redact(col(textCol), patterns.map { case (_, re, repl) => (re, repl) })) ++
+        patterns.map { case (name, re, _) => name -> matchCount(col(textCol), re) })
+}

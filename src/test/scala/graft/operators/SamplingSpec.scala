@@ -69,4 +69,23 @@ class SamplingSpec extends SparkSpec {
       Sampling.mixtureSample(docs, "id", "src", Map("x" -> 1.5)))
     assert(e.getMessage.contains("rates"))
   }
+
+  test("strataSample: ntile strata cover the order, remainder to early strata") {
+    // 10 rows into 4 strata: SQL ntile gives sizes 3,3,2,2 by the order
+    val df = (1L to 10L).map(i => (i, i * 100L)).toDF("id", "len")
+    val strata = Sampling.strataSample(df, Seq(col("len"), col("id")), 4, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(strata === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L,
+      6L -> 2L, 7L -> 3L, 8L -> 3L, 9L -> 4L, 10L -> 4L))
+  }
+
+  test("strataSample caps per stratum by the same order") {
+    val df = (1L to 100L).map(i => (i, i)).toDF("id", "len")
+    val out = Sampling.strataSample(df, Seq(col("len"), col("id")), 4, 5)
+    val byStratum = out.collect().map(r => r.getLong(2) -> r.getLong(0))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // each quartile is 25 wide; the cap keeps its FIRST 5 ids
+    assert(byStratum === Map(
+      1L -> (1L to 5L), 2L -> (26L to 30L), 3L -> (51L to 55L), 4L -> (76L to 80L)))
+  }
 }

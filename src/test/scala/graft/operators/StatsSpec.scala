@@ -24,4 +24,28 @@ class StatsSpec extends SparkSpec {
       Stats.histogram(Seq(1L).toDF("c"), "c", 0L))
     assert(e.getMessage.contains("width"))
   }
+
+  test("cubeCounts emits cells, both marginals, and the grand total with gid") {
+    val df = Seq(("a", 1L), ("a", 1L), ("a", 2L), ("b", 1L)).toDF("k", "v")
+    val out = Stats.cubeCounts(df, Seq(col("k"), col("v")))
+      .collect()
+      .map(r => (Option(r.getString(0)), Option(r.get(1)), r.getLong(2),
+        r.getAs[Number](3).longValue)).toSet
+    assert(out === Set(
+      (Some("a"), Some(1L), 2L, 0L), (Some("a"), Some(2L), 1L, 0L), (Some("b"), Some(1L), 1L, 0L),
+      (Some("a"), None, 3L, 1L), (Some("b"), None, 1L, 1L),          // v rolled up
+      (None, Some(1L), 3L, 2L), (None, Some(2L), 1L, 2L),            // k rolled up
+      (None, None, 4L, 3L)))                                         // grand total
+  }
+
+  test("cubeCounts gid disambiguates a rolled-up dim from a genuine NULL value") {
+    val df = Seq((Some("a"), 1L), (None, 1L)).toDF("k", "v")
+    val rows = Stats.cubeCounts(df, Seq(col("k"), col("v")))
+      .collect()
+      .map(r => (Option(r.getString(0)), Option(r.get(1)), r.getLong(2),
+        r.getAs[Number](3).longValue))
+    // k=NULL cell (gid bit clear) vs k rolled up (gid bit set) both exist, distinct
+    assert(rows.count { case (None, Some(1L), 1L, 0L) => true; case _ => false } === 1)
+    assert(rows.count { case (None, Some(1L), 2L, 2L) => true; case _ => false } === 1)
+  }
 }

@@ -41,7 +41,7 @@ class IncrementalStreamSpec extends SparkSpec {
     def runBatch(batch: Seq[SessionEvent]): Set[ClosedSession] = {
       batch.toDF().write.mode("append").parquet(src)
       val stream = spark.readStream.schema(batch.toDF().schema).parquet(src).as[SessionEvent]
-      val q = IncrementalStream.sessionizeStream(stream, gapMs = 50L, watermarkDelay = "1 second")
+      val q = IncrementalStream.sessionizeStream(stream, gapUs = 50000L, watermarkDelay = "1 second")
         .writeStream.format("parquet")
         .option("path", dst)
         .option("checkpointLocation", cp)
@@ -57,8 +57,9 @@ class IncrementalStreamSpec extends SparkSpec {
     // batch 1: one open session for user 7 — nothing closed yet
     assert(runBatch(Seq(ev(1L, 100000L), ev(2L, 100010L))) === Set.empty)
     // batch 2: a far-future event closes the session held in STATE
+    // (ClosedSession bounds are epoch MICROS)
     assert(runBatch(Seq(ev(3L, 10000000L))) ===
-      Set(ClosedSession(7L, 100000L, 100010L, 2L)))
+      Set(ClosedSession(7L, 100000000L, 100010000L, 2L)))
   }
 
   test("windowedCounts aggregates event-time windows with bounded state") {

@@ -999,6 +999,75 @@ object SparkEntry {
         .agg(sum(col("n_events")).cast(LongType).as("n_events"),
           count(lit(1)).cast(LongType).as("n_sessions"))
         .orderBy("user_id")
+    }),
+
+    // anti-entropy checksum invariant: the table fingerprint must be
+    // IDENTICAL under a completely different layout (repartitioned 7-way —
+    // different partition count, order, and task schedule) and must CHANGE
+    // when a single row is dropped. This is the property that lets a sync
+    // engine compare source and destination content with one narrow scan
+    // per side and no sort — counts alone cannot catch drifted values
+    "q74_sync_checksum" -> ((s, dir) => {
+      import graft.sync.Checksum
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val o = t(s, dir, "orders").select(cols.map(col): _*)
+      def fp(df: DataFrame) = {
+        val r = Checksum.tableChecksum(df, cols).head
+        (r.getLong(0), r.getLong(1), r.getDecimal(2))
+      }
+      val plain = fp(o)
+      val relaid = fp(o.repartition(7, col("o_custkey")))
+      val dropped = fp(o.filter(col("o_orderkey") =!= 1L))
+      val violations = (if (plain == relaid) 0L else 1L) + (if (plain == dropped) 1L else 0L)
+      s.range(1).select(lit(violations).as("violations"))
+    }),
+
+    // Bloom-pruned join parity: pre-filtering the 100 TB probe side with
+    // the dimension's fixed-size sketch BEFORE the shuffle (Spark's own
+    // runtime row-level filtering pattern, here explicit) must leave the
+    // join result bit-identical — no false negatives means pruning only
+    // discards rows the join would reject anyway
+    "q75_bloom_pruned_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val dimUsers = ev.filter(col("event_type") === "signup")
+        .select(col("user_id")).distinct()
+      def rollup(fact: DataFrame) =
+        fact.join(dimUsers, Seq("user_id"), "left_semi")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast(LongType)).as("cents"))
+          .head
+      val plain = rollup(ev)
+      val bfBytes = dimUsers
+        .agg(graft.functions.Sketches.bloomAgg(col("user_id"), 10000L, 80000L).as("bf"))
+        .head.getAs[Array[Byte]](0)
+      val violations =
+        if (bfBytes == null) { if (plain.getLong(0) == 0L) 0L else 1L }
+        else if (rollup(ev.filter(
+          graft.functions.Sketches.mightContain(bfBytes, col("user_id")))) == plain) 0L
+        else 1L
+      s.range(1).select(lit(violations).as("violations"))
+    }),
+
+    // hierarchical ROLLUP over the geography dimension chain: revenue at
+    // nation, region, and grand-total levels from ONE scan (Expand + a
+    // single aggregate, like q67's CUBE but hierarchy-ordered subtotals);
+    // three broadcast dims keep the fact table shuffle-free pre-agg
+    "q76_rollup_geo" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast(LongType)).as("revenue_cents"),
+          grouping_id().cast(LongType).as("gid"))
+        .select(coalesce(col("r_name"), lit("<all>")).as("r_name"),
+          coalesce(col("n_name"), lit("<all>")).as("n_name"),
+          col("n_orders"), col("revenue_cents"), col("gid"))
+        .orderBy("gid", "r_name", "n_name")
     })
   )
 
@@ -1017,6 +1086,12 @@ object SparkEntry {
       """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), tri AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1), i -> ts[i]||' '||ts[i+1]||' '||ts[i+2])) AS gs FROM tok WHERE len(ts) >= 3) SELECT a.doc_id AS doc_new, b.doc_id AS doc_old FROM tri a JOIN tri b ON a.doc_id >= 250 AND b.doc_id < 250 WHERE len(list_intersect(a.gs, b.gs)) * 10 >= len(list_distinct(list_concat(a.gs, b.gs))) * 7 ORDER BY doc_new, doc_old""",
     "q73_stream_sessions" ->
       "SELECT user_id, count(*) AS n_events, CAST(1 + sum(brk) AS BIGINT) AS n_sessions FROM (SELECT user_id, CASE WHEN prev IS NULL OR ts - prev <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)) GROUP BY user_id ORDER BY user_id",
+    "q74_sync_checksum" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    "q75_bloom_pruned_join" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    "q76_rollup_geo" ->
+      """WITH j AS (SELECT r.r_name, n.n_name, o.o_totalprice FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey JOIN nation n ON c.c_nationkey = n.n_nationkey JOIN region r ON n.n_regionkey = r.r_regionkey) SELECT coalesce(r_name, '<all>') AS r_name, coalesce(n_name, '<all>') AS n_name, CAST(count(*) AS BIGINT) AS n_orders, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents, CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid FROM j GROUP BY ROLLUP(r_name, n_name) ORDER BY gid, r_name, n_name""",
     "q16_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text ORDER BY doc_id",
     "q17_token_stats" ->

@@ -125,4 +125,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashExchanges === 1, s"expected one keyed shuffle:\n$p")
     assert("\\bWindow\\b".r.findAllIn(p).size === 1, s"expected one Window node:\n$p")
   }
+
+  test("q67 cube is ONE Expand + one keyed aggregate exchange, never 2^d scans") {
+    val p = plan("q67_cube_counts")
+    assert("\\bExpand\\b".r.findAllIn(p).size === 1, s"expected one Expand node:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size === 1, s"CUBE must scan once:\n$p")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges === 1, s"expected one aggregate shuffle:\n$p")
+  }
+
+  test("q68 star join broadcasts both dimensions; the fact side never shuffles pre-agg") {
+    val p = plan("q68_star_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 2, s"expected two broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges === 1, s"only the final aggregate may shuffle:\n$p")
+  }
+
+  test("q70 scrub composes into the scan: no join, no keyed shuffle") {
+    val p = plan("q70_scrub")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"regex scrub must stay narrow:\n$p")
+  }
+
+  test("q71 bigram counts partial-aggregate below the (w1,w2) exchange") {
+    val p = plan("q71_bigram_lm")
+    assert(!p.contains("Join"), p)
+    val partialIdx = p.indexOf("partial_count")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(w1")
+    assert(partialIdx > exchangeIdx && exchangeIdx >= 0,
+      s"expected map-side combine under the pair exchange:\n$p")
+  }
 }

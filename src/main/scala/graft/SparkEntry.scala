@@ -1048,6 +1048,29 @@ object SparkEntry {
       s.range(1).select(lit(violations).as("violations"))
     }),
 
+    // stream-stream interval join parity: the streaming temporal-pair join
+    // (both sides watermarked, range condition in the state-cleanup-
+    // recognized form) must aggregate to EXACTLY the batch range join's
+    // per-user pair counts (q43's oracle). AvailableNow processes the one
+    // events file in a single microbatch, so both sides see the full
+    // corpus and every in-window pair joins in that batch
+    "q77_stream_join" -> ((s, dir) => {
+      val schema = t(s, dir, "events").schema
+      val stream = s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+        .select(col("user_id"), col("event_id"),
+          timestamp_micros(expr("ts div 1000")).as("__ts"))
+      val pairs = IncrementalStream.streamPairsWithin(
+        stream, "user_id", "event_id", "__ts", "INTERVAL 1 HOUR", "2 hours")
+      val sink = s"q77_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = pairs.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    }),
+
     // hierarchical ROLLUP over the geography dimension chain: revenue at
     // nation, region, and grand-total levels from ONE scan (Expand + a
     // single aggregate, like q67's CUBE but hierarchy-ordered subtotals);
@@ -1090,6 +1113,8 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q75_bloom_pruned_join" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
+    "q77_stream_join" ->
+      "SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_pairs FROM events a JOIN events b ON a.user_id = b.user_id AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id)) AND b.ts - a.ts <= INTERVAL 1 HOUR GROUP BY a.user_id ORDER BY a.user_id",
     "q76_rollup_geo" ->
       """WITH j AS (SELECT r.r_name, n.n_name, o.o_totalprice FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey JOIN nation n ON c.c_nationkey = n.n_nationkey JOIN region r ON n.n_regionkey = r.r_regionkey) SELECT coalesce(r_name, '<all>') AS r_name, coalesce(n_name, '<all>') AS n_name, CAST(count(*) AS BIGINT) AS n_orders, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents, CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid FROM j GROUP BY ROLLUP(r_name, n_name) ORDER BY gid, r_name, n_name""",
     "q16_dedup_exact" ->

@@ -46,6 +46,37 @@ object IncrementalStream {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** STREAM-STREAM interval self-join: all (earlier, later) pairs within
+    * the same key whose event times differ by at most `windowExpr`
+    * (inclusive), each pair exactly once, oriented by (ts, id) — the
+    * streaming analog of `operators.RangeJoin.pairsWithin` and the last
+    * join shape an unbounded pipeline needs (enrich each event with its
+    * temporal neighborhood as it arrives).
+    *
+    * Both sides carry a watermark and the join condition bounds ts_b to
+    * [ts_a, ts_a + window] as DIRECT timestamp comparisons — exactly the
+    * range form Spark's stream-stream join recognizes for state cleanup,
+    * so each side's buffered state stays within
+    * watermarkDelay + window of the stream head instead of growing
+    * forever (the unbounded-state warning is the difference between a
+    * demo and a pipeline). `events` must expose (keyCol, idCol, tsCol)
+    * with tsCol TimestampType; orientation dedups symmetric pairs:
+    * given ts_b >= ts_a, keep unless (ts_a == ts_b && id_a >= id_b). */
+  def streamPairsWithin(events: DataFrame, keyCol: String, idCol: String,
+                        tsCol: String, windowExpr: String,
+                        watermarkDelay: String): DataFrame = {
+    val a = events.select(col(keyCol), col(idCol).as("id_a"), col(tsCol).as("ts_a"))
+      .withWatermark("ts_a", watermarkDelay)
+    val b = events.select(col(keyCol).as("__kb"), col(idCol).as("id_b"), col(tsCol).as("ts_b"))
+      .withWatermark("ts_b", watermarkDelay)
+    a.join(b,
+        col(keyCol) === col("__kb") &&
+          col("ts_b") >= col("ts_a") &&
+          col("ts_b") <= col("ts_a") + expr(windowExpr) &&
+          (col("ts_a") < col("ts_b") || col("id_a") < col("id_b")))
+      .select(col(keyCol), col("id_a"), col("ts_a"), col("id_b"), col("ts_b"))
+  }
+
   // ------------------------------------------- custom state (O11 streaming)
 
   case class SessionEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)

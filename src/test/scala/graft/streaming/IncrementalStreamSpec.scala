@@ -62,6 +62,36 @@ class IncrementalStreamSpec extends SparkSpec {
       Set(ClosedSession(7L, 100000000L, 100010000L, 2L)))
   }
 
+  test("streamPairsWithin joins temporal neighbors exactly once, oriented") {
+    val src = Files.createTempDirectory("graft_ss_pairs").toString
+    // user 1: three events at t=100s, 130s, 200s with 60s window:
+    // (100,130) and (130,200)* in-window... (200-130=70 > 60) -> only (100,130);
+    // plus a tie pair at t=300s with distinct ids -> exactly one orientation.
+    // user 2: isolated event, no pairs.
+    val rows = Seq(
+      (1L, 10L, 100_000_000L), (1L, 11L, 130_000_000L), (1L, 12L, 200_000_000L),
+      (1L, 13L, 300_000_000L), (1L, 14L, 300_000_000L),
+      (2L, 20L, 100_000_000L))
+    rows.toDF("user_id", "event_id", "us")
+      .select($"user_id", $"event_id", timestamp_micros($"us").as("ts"))
+      .write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val pairs = IncrementalStream.streamPairsWithin(
+      stream, "user_id", "event_id", "ts", "INTERVAL 60 SECONDS", "1 minute")
+    val q = pairs.writeStream.format("memory").queryName("sp")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("sp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got === Set(
+      (1L, 10L, 11L),   // 100s -> 130s: 30s gap, within the 60s window
+      (1L, 13L, 14L)))  // tie at 300s: lower id first, exactly once
+    // NOT present: (11,12) 70s and (12,13) 100s exceed the window;
+    // (14,13) would double-emit the tie; user 2 is isolated
+  }
+
   test("windowedCounts aggregates event-time windows with bounded state") {
     val src = Files.createTempDirectory("graft_ss_ev").toString
     val dfEvents = Seq(

@@ -1091,6 +1091,48 @@ object SparkEntry {
           coalesce(col("n_name"), lit("<all>")).as("n_name"),
           col("n_orders"), col("revenue_cents"), col("gid"))
         .orderBy("gid", "r_name", "n_name")
+    }),
+
+    // NATIVE session_window parity: Spark's in-aggregate session merging
+    // must equal the lag-window sessionization (q32). The merge boundary
+    // is INCLUSIVE on both sides (an event at exactly session-end merges;
+    // `ts - prev <= gap` keeps) — exact-boundary agreement is pinned by
+    // SessionizeSpec, so a plain 30-minute gap is the correct parity gap
+    "q78_session_window" -> ((s, dir) =>
+      Sessionize.sessionStatsNative(
+          t(s, dir, "events")
+            .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("__ts")),
+          "user_id", "__ts", "30 minutes")
+        .orderBy("user_id")),
+
+    // exact discrete percentiles per event type: median and p90 of the
+    // cents-integerized value at rank ceil(p*n) — integer rank arithmetic
+    // (never float p*n), one shared window pass for both percentiles
+    "q79_group_percentiles" -> ((s, dir) =>
+      Stats.percentileDisc(
+          t(s, dir, "events")
+            .select(col("event_type"), round(col("value") * 100).cast(LongType).as("cents")),
+          Seq("event_type"), "cents",
+          Seq(("med_cents", 1, 2), ("p90_cents", 9, 10)))
+        .orderBy("event_type")),
+
+    // time-series densification: per-user hourly grid from first to last
+    // event, carrying the latest observed value across empty hours — the
+    // resample-and-forward-fill step of every feature pipeline. The
+    // per-bucket "last observation" is picked by (ts, event_id) DESC so
+    // the fill input is deterministic
+    "q80_gap_fill" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("bk"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val lastPerBucket = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 3600000000000").as("bk"),
+          round(col("value") * 100).cast(LongType).as("cents"),
+          col("ts"), col("event_id"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("bk"), col("cents"))
+      GapFill.forwardFillGrid(lastPerBucket, "user_id", "bk", "cents")
+        .orderBy("user_id", "bk")
     })
   )
 
@@ -1115,6 +1157,12 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q77_stream_join" ->
       "SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_pairs FROM events a JOIN events b ON a.user_id = b.user_id AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id)) AND b.ts - a.ts <= INTERVAL 1 HOUR GROUP BY a.user_id ORDER BY a.user_id",
+    "q78_session_window" ->
+      "SELECT user_id, count(*) AS n_events, CAST(1 + sum(brk) AS BIGINT) AS n_sessions FROM (SELECT user_id, CASE WHEN prev IS NULL OR ts - prev <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)) GROUP BY user_id ORDER BY user_id",
+    "q79_group_percentiles" ->
+      "SELECT event_type, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST(round(value*100) AS BIGINT)) AS BIGINT) AS med_cents, CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY CAST(round(value*100) AS BIGINT)) AS BIGINT) AS p90_cents FROM events GROUP BY event_type ORDER BY event_type",
+    "q80_gap_fill" ->
+      """WITH b AS (SELECT user_id, epoch_ns(ts) // 3600000000000 AS bk, CAST(round(value*100) AS BIGINT) AS cents, row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 3600000000000 ORDER BY ts DESC, event_id DESC) AS rn FROM events), lastb AS (SELECT user_id, bk, cents FROM b WHERE rn = 1), bounds AS (SELECT user_id, min(bk) AS b0, max(bk) AS b1 FROM lastb GROUP BY user_id), grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bk FROM bounds), j AS (SELECT g.user_id, g.bk, l.cents FROM grid g LEFT JOIN lastb l ON g.user_id = l.user_id AND g.bk = l.bk) SELECT user_id, CAST(bk AS BIGINT) AS bk, last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bk ROWS UNBOUNDED PRECEDING) AS cents FROM j ORDER BY user_id, bk""",
     "q76_rollup_geo" ->
       """WITH j AS (SELECT r.r_name, n.n_name, o.o_totalprice FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey JOIN nation n ON c.c_nationkey = n.n_nationkey JOIN region r ON n.n_regionkey = r.r_regionkey) SELECT coalesce(r_name, '<all>') AS r_name, coalesce(n_name, '<all>') AS n_name, CAST(count(*) AS BIGINT) AS n_orders, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents, CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid FROM j GROUP BY ROLLUP(r_name, n_name) ORDER BY gid, r_name, n_name""",
     "q16_dedup_exact" ->

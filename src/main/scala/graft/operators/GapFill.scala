@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series densification: expand each key's sparse observations to a
+  * dense bucket grid and forward-fill the gaps — the resampling step in
+  * front of any time-series feature pipeline (models want regular grids;
+  * events arrive irregularly).
+  *
+  * Fully relational and key-partitioned: the grid explode is narrow off a
+  * tiny per-key bounds aggregate, the join shuffles on (key, bucket), and
+  * the forward fill is one keyed window with `last(..., ignoreNulls)` over
+  * an unbounded-preceding frame. At 100 TB the cost is grid size (keys ×
+  * their bucket spans), never input², and each key's fill sorts only its
+  * own span. A key with a multi-year span at 1-second buckets explodes to
+  * ~3×10^7 rows — pick the bucket width for the grid you actually want.
+  */
+object GapFill {
+
+  /** Dense integral-bucket grid per key from each key's min to max bucket
+    * (inclusive, step 1), left-joined to the observations and
+    * forward-filled: a bucket with no row takes the latest earlier
+    * bucket's value. Input must have AT MOST ONE row per (key, bucket) —
+    * pre-aggregate multi-observation buckets first (the "last observation
+    * per bucket" rule lives with the caller, where the tie-break columns
+    * are). The first grid bucket of each key always has an observation
+    * (it IS that key's min), so filled values are never null. */
+  def forwardFillGrid(df: DataFrame, keyCol: String, bucketCol: String,
+                      valueCol: String): DataFrame = {
+    val bounds = df.groupBy(col(keyCol))
+      .agg(min(col(bucketCol)).as("__b0"), max(col(bucketCol)).as("__b1"))
+    val grid = bounds.select(col(keyCol),
+      explode(sequence(col("__b0"), col("__b1"))).as(bucketCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(df, Seq(keyCol, bucketCol), "left")
+      .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
+  }
+}

@@ -34,4 +34,23 @@ object Sessionize {
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_events"),
         (max(col("session_idx")) + 1).cast("long").as("n_sessions"))
+
+  /** Same statistics through Spark's NATIVE session_window aggregate (one
+    * hash-agg pass with in-aggregate session merging — no window-function
+    * sort, and the identical groupBy works unchanged on a stream).
+    *
+    * Boundary semantics: session merging is INCLUSIVE — an event starting
+    * exactly at the current session's end (last + gap) merges into it —
+    * which is precisely the lag form's `ts - prev <= gap` keep-condition,
+    * so the two forms agree on every input including exact-boundary gaps
+    * (pinned by SessionizeSpec with gaps of exactly `gap` and
+    * `gap + 1us`). */
+  def sessionStatsNative(events: DataFrame, keyCol: String, tsCol: String,
+                         gapDuration: String): DataFrame =
+    events
+      .groupBy(col(keyCol), session_window(col(tsCol), gapDuration))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__n")).cast("long").as("n_events"),
+        count(lit(1)).cast("long").as("n_sessions"))
 }

@@ -48,4 +48,36 @@ object Stats {
     df.cube(dims: _*)
       .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
   }
+
+  /** EXACT discrete percentiles per key: for each (name, num, den) with
+    * p = num/den, the value at rank ceil(p·n) in value order — SQL
+    * `percentile_disc(p)` semantics (smallest value whose cumulative
+    * distribution reaches p), computed rank-based so it is bit-exact on
+    * every engine: the rank is `(n·num + den − 1) div den`, pure integer
+    * arithmetic — no float p·n whose representation could straddle a
+    * boundary (0.9 × 20 is 18.000000000000004 in binary). All requested
+    * percentiles share ONE window pass + one grouped aggregate.
+    *
+    * Ties: row_number breaks them arbitrarily, but the VALUE at a fixed
+    * rank of a sorted multiset is tie-order-invariant, so the result is
+    * still deterministic. Exact ranking sorts each key's partition — the
+    * profile-grade form; at cluster scale with huge keys, use
+    * approx_percentile (fixed-size GK sketch, q42) instead. */
+  def percentileDisc(df: DataFrame, keys: Seq[String], valueCol: String,
+                     ps: Seq[(String, Int, Int)]): DataFrame = {
+    require(ps.nonEmpty, "need at least one percentile")
+    ps.foreach { case (n, num, den) =>
+      require(num > 0 && num <= den, s"percentile $n: need 0 < num <= den, got $num/$den") }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(valueCol))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    val ranked = df.select(keys.map(col) :+ col(valueCol): _*)
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wn))
+    val aggs = ps.map { case (name, num, den) =>
+      max(when(col("__rn") === expr(s"(__n * $num + ${den - 1}) div $den"),
+        col(valueCol))).as(name)
+    }
+    ranked.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -1,0 +1,31 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class GapFillSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("forwardFillGrid densifies each key's span and carries values forward") {
+    val obs = Seq((1L, 10L, 100L), (1L, 13L, 130L), (2L, 5L, 50L))
+      .toDF("k", "bk", "v")
+    val out = GapFill.forwardFillGrid(obs, "k", "bk", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      (1L, 10L) -> 100L, (1L, 11L) -> 100L, (1L, 12L) -> 100L, (1L, 13L) -> 130L,
+      (2L, 5L) -> 50L))
+  }
+
+  test("grids never extend beyond a key's own observed bounds") {
+    val obs = Seq((1L, 10L, 1L), (2L, 100L, 2L), (2L, 101L, 3L)).toDF("k", "bk", "v")
+    val out = GapFill.forwardFillGrid(obs, "k", "bk", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 10L), (2L, 100L), (2L, 101L)))
+  }
+
+  test("a fresh observation overrides the carried value, then carries on") {
+    val obs = Seq((1L, 0L, 5L), (1L, 3L, 8L), (1L, 6L, 2L)).toDF("k", "bk", "v")
+    val vals = GapFill.forwardFillGrid(obs, "k", "bk", "v")
+      .orderBy("bk").collect().map(_.getLong(2)).toSeq
+    assert(vals === Seq(5L, 5L, 5L, 8L, 8L, 8L, 2L))
+  }
+}

@@ -24,4 +24,17 @@ class SessionizeSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(out === Set((1L, 3L, 2L), (2L, 1L, 1L)))
   }
+
+  test("sessionStatsNative matches the inclusive lag form on exact-boundary gaps") {
+    // gaps of exactly 60s (must MERGE — inclusive boundary in BOTH forms)
+    // and 60s + 1us (must SPLIT) — the adversarial boundary inputs
+    val us = Seq(0L, 60000000L, 120000001L).map(t => (1L, 1000000000L + t))
+    val df = us.toDF("user_id", "us")
+    val lagForm = Sessionize.sessionStats(df, "user_id", "us", lit(60000000L)).head
+    val native = Sessionize.sessionStatsNative(
+      df.select(col("user_id"), timestamp_micros(col("us")).as("ts")),
+      "user_id", "ts", "60000000 microseconds").head
+    assert((lagForm.getLong(1), lagForm.getLong(2)) === ((3L, 2L)))
+    assert((native.getLong(1), native.getLong(2)) === ((3L, 2L)))
+  }
 }

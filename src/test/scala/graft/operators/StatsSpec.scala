@@ -38,6 +38,28 @@ class StatsSpec extends SparkSpec {
       (None, None, 4L, 3L)))                                         // grand total
   }
 
+  test("percentileDisc picks the value at rank ceil(p*n), integer-exact") {
+    // n=4: median rank ceil(2)=2 -> 20; p90 rank ceil(3.6)=4 -> 40
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("a", 40L),
+      ("b", 5L)).toDF("k", "v")
+    val out = Stats.percentileDisc(df, Seq("k"), "v",
+      Seq(("med", 1, 2), ("p90", 9, 10)))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map("a" -> ((20L, 40L)), "b" -> ((5L, 5L))))
+  }
+
+  test("percentileDisc n=10 p90 is rank 9, where float 0.9*10 could round to 10") {
+    val df = (1L to 10L).map(v => ("k", v)).toDF("k", "v")
+    val r = Stats.percentileDisc(df, Seq("k"), "v", Seq(("p90", 9, 10))).head
+    assert(r.getLong(1) === 9L)
+  }
+
+  test("percentileDisc is invariant under tie order") {
+    val df = Seq(("k", 7L), ("k", 7L), ("k", 7L), ("k", 9L)).toDF("k", "v")
+    val r = Stats.percentileDisc(df, Seq("k"), "v", Seq(("med", 1, 2))).head
+    assert(r.getLong(1) === 7L)
+  }
+
   test("cubeCounts gid disambiguates a rolled-up dim from a genuine NULL value") {
     val df = Seq((Some("a"), 1L), (None, 1L)).toDF("k", "v")
     val rows = Stats.cubeCounts(df, Seq(col("k"), col("v")))

@@ -1116,6 +1116,40 @@ object SparkEntry {
           Seq(("med_cents", 1, 2), ("p90_cents", 9, 10)))
         .orderBy("event_type")),
 
+    // the 100 TB LSH plan IN the correctness gate: force the broadcast
+    // threshold to 0 so the pre-bucketed shuffle strategy (the plan a
+    // corpus too big to broadcast must take) runs the full trigram
+    // pipeline — output must equal q22's broadcast-plan output exactly.
+    // The gate is read EAGERLY while the plan is built (fitsBroadcast),
+    // so restoring the conf in finally cannot race the execution
+    "q81_lsh_shuffle_parity" -> ((s, dir) => {
+      val key = Dedup.BroadcastThresholdKey
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "0")
+      try {
+        Dedup.minhashNearDupsHashed(t(s, dir, "documents"), "doc_id", "text",
+            Dedup.hashedWordNgrams(_, 3), num = 7, den = 10, numHashes = 256, bands = 64)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+          .orderBy("doc_a", "doc_b")
+      } finally {
+        prev match { case Some(v) => s.conf.set(key, v); case None => s.conf.unset(key) }
+      }
+    }),
+
+    // salted fact-dim join parity: spreading the skewed fact key over salt
+    // buckets and replicating the dim must reproduce the plain join's
+    // aggregate exactly (completes q56's salted-AGGREGATE invariant with
+    // the salted-JOIN one)
+    "q82_salted_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"))
+      val dim = ev.groupBy(col("user_id")).agg(count(lit(1)).as("w"))
+      def roll(df: DataFrame) =
+        df.agg(count(lit(1)).as("n"), sum(col("w")).as("s")).head
+      val salted = roll(SkewJoin.saltedJoin(ev, dim, "user_id", buckets = 8))
+      val plain = roll(ev.join(dim, "user_id"))
+      s.range(1).select(lit(if (salted == plain) 0L else 1L).as("violations"))
+    }),
+
     // time-series densification: per-user hourly grid from first to last
     // event, carrying the latest observed value across empty hours — the
     // resample-and-forward-fill step of every feature pipeline. The
@@ -1159,6 +1193,10 @@ object SparkEntry {
       "SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_pairs FROM events a JOIN events b ON a.user_id = b.user_id AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id)) AND b.ts - a.ts <= INTERVAL 1 HOUR GROUP BY a.user_id ORDER BY a.user_id",
     "q78_session_window" ->
       "SELECT user_id, count(*) AS n_events, CAST(1 + sum(brk) AS BIGINT) AS n_sessions FROM (SELECT user_id, CASE WHEN prev IS NULL OR ts - prev <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)) GROUP BY user_id ORDER BY user_id",
+    "q81_lsh_shuffle_parity" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), tri AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1), i -> ts[i]||' '||ts[i+1]||' '||ts[i+2])) AS gs FROM tok WHERE len(ts) >= 3) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM tri a JOIN tri b ON a.doc_id < b.doc_id WHERE len(list_intersect(a.gs, b.gs)) * 10 >= len(list_distinct(list_concat(a.gs, b.gs))) * 7 ORDER BY doc_a, doc_b""",
+    "q82_salted_join" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
     "q79_group_percentiles" ->
       "SELECT event_type, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST(round(value*100) AS BIGINT)) AS BIGINT) AS med_cents, CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY CAST(round(value*100) AS BIGINT)) AS BIGINT) AS p90_cents FROM events GROUP BY event_type ORDER BY event_type",
     "q80_gap_fill" ->

@@ -29,6 +29,31 @@ object SparkEntry {
     * that `java.sql.Timestamp.valueOf` would introduce. */
   private def ts(s: String) = to_timestamp(lit(s))
 
+  /** Collect a memory-sink-backed result into a local relation and DROP
+    * the sink table: bench invokes each query lambda repeatedly (cold +
+    * warm) and Verify once more — leaked UUID-named sink tables would
+    * otherwise accumulate their rows on the driver for the session's
+    * lifetime. Results at this point are small aggregates, so the
+    * collect is the same data the caller was about to materialize. */
+  private def drainSink(s: SparkSession, sink: String, df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    val schema = df.schema
+    s.catalog.dropTempView(sink)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** Remove a temp directory created for a streaming source once the
+    * query has terminated (every file is fully read by then). */
+  private def deleteRecursively(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => java.nio.file.Files.deleteIfExists(q))
+      finally walk.close()
+    }
+  }
+
   /** Flagship: the COMPLETE per-table sync pipeline (O11) on sf0.001 —
     * config catalog (O1), projection (O2/O4), destination watermark read
     * (O5), strict-> incremental filter (O7), coercion (O8), relational
@@ -708,9 +733,9 @@ object SparkEntry {
       val q = counts.writeStream.format("memory").queryName(sink)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(sink)
+      drainSink(s, sink, s.table(sink)
         .select(unix_micros(col("window_start")).as("w_us"), col("event_type"), col("n"))
-        .orderBy("w_us", "event_type")
+        .orderBy("w_us", "event_type"))
     }),
 
     // streaming dedup parity: dropDuplicatesWithinWatermark over the event
@@ -734,7 +759,7 @@ object SparkEntry {
       val q = deduped.writeStream.format("memory").queryName(sink)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(sink).orderBy("user_id")
+      drainSink(s, sink, s.table(sink).orderBy("user_id"))
     }),
 
     // product-quantization recall invariant: 64-dim float vectors
@@ -993,12 +1018,14 @@ object SparkEntry {
       val q = sessions.writeStream.format("memory").queryName(sink)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(sink)
+      val out = drainSink(s, sink, s.table(sink)
         .filter(col("session_start") <= maxTs / 1000)
         .groupBy("user_id")
         .agg(sum(col("n_events")).cast(LongType).as("n_events"),
           count(lit(1)).cast(LongType).as("n_sessions"))
-        .orderBy("user_id")
+        .orderBy("user_id"))
+      deleteRecursively(srcDir)
+      out
     }),
 
     // anti-entropy checksum invariant: the table fingerprint must be
@@ -1065,10 +1092,10 @@ object SparkEntry {
       val q = pairs.writeStream.format("memory").queryName(sink)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(sink)
+      drainSink(s, sink, s.table(sink)
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_pairs"))
-        .orderBy("user_id")
+        .orderBy("user_id"))
     }),
 
     // hierarchical ROLLUP over the geography dimension chain: revenue at

@@ -49,9 +49,11 @@ object Sampling {
     * engine-portable), then keep the first `perStratum` rows of each
     * stratum by the same order. The "sample uniformly across the length
     * distribution" curation step — a plain `LIMIT k` would sample only the
-    * head of the distribution. ONE window shuffle for both the ntile and
-    * the in-stratum rank (same partitioning and order, so Catalyst fuses
-    * them into a single Window operator).
+    * head of the distribution. The plan carries TWO Window operators
+    * (global ntile, then per-stratum row_number) but only one exchange:
+    * the ntile's SinglePartition distribution satisfies the stratum
+    * window's clustering requirement, so the second window rides the
+    * same partition without a reshuffle.
     *
     * Scale note: ntile over a GLOBAL order funnels the ranking through one
     * partition — correct but serial at 100 TB (the same trade q29's

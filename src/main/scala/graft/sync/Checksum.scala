@@ -28,8 +28,23 @@ object Checksum {
 
   /** Per-row 64-bit content hash over the given columns, in the given
     * order. Both sides of a comparison must project the SAME columns in
-    * the SAME order (xxhash64 folds position-sensitively). */
-  def rowHash(cols: Seq[Column]): Column = xxhash64(cols: _*)
+    * the SAME order.
+    *
+    * NULL-TAGGED: Spark's xxhash64 silently SKIPS null inputs (a null
+    * argument leaves the running hash untouched), so a raw
+    * `xxhash64(cols)` cannot tell (x, NULL) from (NULL, x) — a
+    * column-shift sync bug would fingerprint as converged. Every column
+    * is therefore folded as the triple (position, validity, value-or-"")
+    * with no argument ever null: (i, 1, "") for a NULL is distinct from
+    * (i, 0, "") for a genuine empty string. Values are compared through
+    * their canonical string form — stable within one engine, which is
+    * the contract (both sides of an anti-entropy check are computed by
+    * THIS engine; the DuckDB-graded invariant never compares raw hashes
+    * cross-engine). */
+  def rowHash(cols: Seq[Column]): Column =
+    xxhash64(cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(lit(i), c.isNull.cast("int"), coalesce(c.cast("string"), lit("")))
+    }: _*)
 
   /** Table fingerprint: (n_rows, xor of row hashes, decimal sum of row
     * hashes). Equal fingerprints == content-equal multisets of rows, up

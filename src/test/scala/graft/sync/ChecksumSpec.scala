@@ -39,6 +39,23 @@ class ChecksumSpec extends SparkSpec {
     assert(sa !== sb)
   }
 
+  test("a cross-column null shift changes the fingerprint") {
+    // (x, NULL) vs (NULL, x) — the column-shift drift a null-skipping
+    // hash (raw xxhash64) cannot see
+    val a = Seq((Some("x"), Option.empty[String])).toDF("id", "v")
+    val b = Seq((Option.empty[String], Some("x"))).toDF("id", "v")
+    assert(fpS(a) !== fpS(b))
+    // and NULL is distinct from a genuine empty string
+    val c = Seq((Some(""), Option.empty[String])).toDF("id", "v")
+    val d = Seq((Option.empty[String], Some(""))).toDF("id", "v")
+    assert(fpS(c) !== fpS(d))
+  }
+
+  private def fpS(df: org.apache.spark.sql.DataFrame) = {
+    val r = Checksum.tableChecksum(df, cols).head
+    (r.getLong(0), r.getLong(1), r.getDecimal(2))
+  }
+
   test("empty table fingerprints as (0, null-xor, null-sum) consistently") {
     val empty = Seq.empty[(Long, String)].toDF("id", "v")
     val r = Checksum.tableChecksum(empty, cols).head

@@ -1177,6 +1177,26 @@ object SparkEntry {
       s.range(1).select(lit(if (salted == plain) 0L else 1L).as("violations"))
     }),
 
+    // typed Aggregator parity: the Dataset-API custom aggregate (case-
+    // class buffer, associative merge -> map-side partials like any
+    // built-in) must reproduce the columnar group aggregate exactly —
+    // grades the typed-UDAF surface end to end (encoders, buffer
+    // serialization, partial merge)
+    "q83_typed_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select(col("user_id"), round(col("value") * 100).cast(LongType).as("cents"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(TypedAgg.numStats.toColumn)
+        .toDF("user_id", "stats")
+        .select(col("user_id"), col("stats.n").as("n"),
+          col("stats.sum").as("sum_cents"), col("stats.min").as("min_cents"),
+          col("stats.max").as("max_cents"))
+        .orderBy("user_id")
+    }),
+
     // time-series densification: per-user hourly grid from first to last
     // event, carrying the latest observed value across empty hours — the
     // resample-and-forward-fill step of every feature pipeline. The
@@ -1224,6 +1244,8 @@ object SparkEntry {
       """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), tri AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1), i -> ts[i]||' '||ts[i+1]||' '||ts[i+2])) AS gs FROM tok WHERE len(ts) >= 3) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM tri a JOIN tri b ON a.doc_id < b.doc_id WHERE len(list_intersect(a.gs, b.gs)) * 10 >= len(list_distinct(list_concat(a.gs, b.gs))) * 7 ORDER BY doc_a, doc_b""",
     "q82_salted_join" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
+    "q83_typed_agg" ->
+      "SELECT user_id, CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents, CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_cents, CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents FROM events GROUP BY user_id ORDER BY user_id",
     "q79_group_percentiles" ->
       "SELECT event_type, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST(round(value*100) AS BIGINT)) AS BIGINT) AS med_cents, CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY CAST(round(value*100) AS BIGINT)) AS BIGINT) AS p90_cents FROM events GROUP BY event_type ORDER BY event_type",
     "q80_gap_fill" ->

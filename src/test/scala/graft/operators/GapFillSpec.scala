@@ -28,4 +28,28 @@ class GapFillSpec extends SparkSpec {
       .orderBy("bk").collect().map(_.getLong(2)).toSeq
     assert(vals === Seq(5L, 5L, 5L, 8L, 8L, 8L, 2L))
   }
+
+  test("property: fill equals the latest observation at or before each bucket") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // per key: a small set of distinct buckets with values
+    val obsGen = Gen.mapOf(Gen.zip(
+      Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 30L)), Gen.choose(-100L, 100L)))
+      .map(_.toSeq.map { case ((k, bk), v) => (k, bk, v) })
+    val prop = Prop.forAll(obsGen) { obs =>
+      if (obs.isEmpty) true
+      else {
+        val out = GapFill.forwardFillGrid(obs.toDF("k", "bk", "v"), "k", "bk", "v")
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        val expected = obs.groupBy(_._1).flatMap { case (k, rows) =>
+          val bks = rows.map(_._2)
+          (bks.min to bks.max).map { bk =>
+            (k, bk) -> rows.filter(_._2 <= bk).maxBy(_._2)._3
+          }
+        }
+        out == expected
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

@@ -60,6 +60,23 @@ class StatsSpec extends SparkSpec {
     assert(r.getLong(1) === 7L)
   }
 
+  test("property: percentileDisc equals sorted(values)(ceil(p*n) - 1)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.choose(-1000L, 1000L)),
+      Gen.choose(1, 10)) // p = num/10
+    val prop = Prop.forAll(gen) { case (vs, num) =>
+      val df = vs.map(("k", _)).toDF("k", "v")
+      val got = Stats.percentileDisc(df, Seq("k"), "v", Seq(("p", num, 10)))
+        .head.getLong(1)
+      val n = vs.length
+      val rank = (n.toLong * num + 9) / 10 // ceil(p*n), integer-exact
+      got == vs.sorted.apply(rank.toInt - 1)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("cubeCounts gid disambiguates a rolled-up dim from a genuine NULL value") {
     val df = Seq((Some("a"), 1L), (None, 1L)).toDF("k", "v")
     val rows = Stats.cubeCounts(df, Seq(col("k"), col("v")))

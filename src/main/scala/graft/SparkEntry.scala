@@ -1177,6 +1177,33 @@ object SparkEntry {
       s.range(1).select(lit(if (salted == plain) 0L else 1L).as("violations"))
     }),
 
+    // source-format parity: the same relation written to and read back
+    // through CSV and JSON (explicit schemas — inference is a second
+    // scan and a type lottery) must fingerprint identically to the
+    // parquet original. Columns restricted to bigint + string: exact
+    // roundtrip types on every text format (floats/timestamps have
+    // format-specific rendering risks a sync pipeline should not take
+    // through text formats anyway)
+    "q84_format_roundtrip" -> ((s, dir) => {
+      import graft.sync.Checksum
+      val cols = Seq("o_orderkey", "o_orderstatus", "o_orderpriority")
+      val o = t(s, dir, "orders").select(cols.map(col): _*)
+      def fp(df: DataFrame) = {
+        val r = Checksum.tableChecksum(df, cols).head
+        (r.getLong(0), r.getLong(1), r.getDecimal(2))
+      }
+      val base = fp(o)
+      val tmp = java.nio.file.Files.createTempDirectory("q84").toString
+      val (csvDir, jsonDir) = (s"$tmp/csv", s"$tmp/json")
+      o.write.option("header", "true").csv(csvDir)
+      o.write.json(jsonDir)
+      val viaCsv = fp(s.read.schema(o.schema).option("header", "true").csv(csvDir))
+      val viaJson = fp(s.read.schema(o.schema).json(jsonDir))
+      deleteRecursively(tmp)
+      val violations = (if (viaCsv == base) 0L else 1L) + (if (viaJson == base) 0L else 1L)
+      s.range(1).select(lit(violations).as("violations"))
+    }),
+
     // typed Aggregator parity: the Dataset-API custom aggregate (case-
     // class buffer, associative merge -> map-side partials like any
     // built-in) must reproduce the columnar group aggregate exactly —
@@ -1246,6 +1273,8 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q83_typed_agg" ->
       "SELECT user_id, CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents, CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_cents, CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents FROM events GROUP BY user_id ORDER BY user_id",
+    "q84_format_roundtrip" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
     "q79_group_percentiles" ->
       "SELECT event_type, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST(round(value*100) AS BIGINT)) AS BIGINT) AS med_cents, CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY CAST(round(value*100) AS BIGINT)) AS BIGINT) AS p90_cents FROM events GROUP BY event_type ORDER BY event_type",
     "q80_gap_fill" ->

@@ -29,13 +29,20 @@ object GapFill {
     * (it IS that key's min), so filled values are never null. */
   def forwardFillGrid(df: DataFrame, keyCol: String, bucketCol: String,
                       valueCol: String): DataFrame = {
-    val bounds = df.groupBy(col(keyCol))
+    // The observations feed TWO consumers — the per-key bounds aggregate
+    // (grid extent) and the grid join — and Spark plans each as its own
+    // full subtree: without materialization the caller's (often
+    // expensive: dedup window, big scan) observation pipeline executes
+    // TWICE. localCheckpoint evaluates it once; the checkpointed set is
+    // bucket-grained, far smaller than whatever produced it.
+    val obs = df.localCheckpoint()
+    val bounds = obs.groupBy(col(keyCol))
       .agg(min(col(bucketCol)).as("__b0"), max(col(bucketCol)).as("__b1"))
     val grid = bounds.select(col(keyCol),
       explode(sequence(col("__b0"), col("__b1"))).as(bucketCol))
     val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
       .rowsBetween(Window.unboundedPreceding, 0)
-    grid.join(df, Seq(keyCol, bucketCol), "left")
+    grid.join(obs, Seq(keyCol, bucketCol), "left")
       .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
   }
 }

@@ -157,4 +157,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(partialIdx > exchangeIdx && exchangeIdx >= 0,
       s"expected map-side combine under the pair exchange:\n$p")
   }
+
+  test("q76 rollup is one Expand over three broadcast joins, no sort-merge") {
+    val p = plan("q76_rollup_geo")
+    assert("\\bExpand\\b".r.findAllIn(p).size === 1, s"expected one Expand node:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 3, s"expected three broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q80 gap fill evaluates the observations ONCE and fills in one Window") {
+    val p = plan("q80_gap_fill")
+    assert(!p.contains("CartesianProduct"), s"grid join must stay keyed:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"grid join must stay keyed:\n$p")
+    // the rank-1 pipeline runs in the localCheckpoint job; the main plan
+    // holds only the FILL window — seeing the rank window here (or twice)
+    // means the observation pipeline is being re-executed per consumer
+    assert("\\bWindow\\b".r.findAllIn(p).size === 1, s"expected only the fill window:\n$p")
+    assert("Scan ExistingRDD".r.findAllIn(p).size === 2,
+      s"both consumers must read the checkpointed observations:\n$p")
+  }
 }

@@ -1177,6 +1177,43 @@ object SparkEntry {
       s.range(1).select(lit(if (salted == plain) 0L else 1L).as("violations"))
     }),
 
+    // bucketed co-located join IN the gate: both sides written bucketed on
+    // the join key, the join re-planned with broadcast disabled (so the
+    // sort-merge path — the 100 TB shape — actually runs) must produce
+    // ZERO shuffle exchanges AND the plain join's aggregate exactly. The
+    // conf toggle and both executions complete inside the try; the
+    // returned frame is a literal, so the finally-restore cannot race
+    "q85_bucketed_join" -> ((s, dir) => {
+      val id = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      val (ta, tb) = (s"graft_q85a_$id", s"graft_q85b_$id")
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          round(col("value") * 100).cast(LongType).as("cents"))
+      val perUser = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_ev"))
+      Bucketing.writeBucketed(ev, ta, Seq("user_id"), 8)
+      Bucketing.writeBucketed(perUser, tb, Seq("user_id"), 8)
+      val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+      val prevBc = s.conf.getOption(bcKey)
+      try {
+        s.conf.set(bcKey, "-1")
+        val joined = Bucketing.bucketedJoin(s, ta, tb, Seq("user_id"))
+        val shuffles = "Exchange hashpartitioning".r
+          .findAllIn(joined.queryExecution.executedPlan.toString).size
+        def roll(df: DataFrame) = df
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"),
+            sum(col("n_ev")).as("se")).head
+        val bucketed = roll(joined)
+        val plain = roll(ev.join(perUser, "user_id"))
+        val violations = (if (shuffles == 0) 0L else 1L) +
+          (if (bucketed == plain) 0L else 1L)
+        s.range(1).select(lit(violations).as("violations"))
+      } finally {
+        prevBc match { case Some(v) => s.conf.set(bcKey, v); case None => s.conf.unset(bcKey) }
+        s.sql(s"DROP TABLE IF EXISTS $ta")
+        s.sql(s"DROP TABLE IF EXISTS $tb")
+      }
+    }),
+
     // source-format parity: the same relation written to and read back
     // through CSV and JSON (explicit schemas — inference is a second
     // scan and a type lottery) must fingerprint identically to the
@@ -1274,6 +1311,8 @@ object SparkEntry {
     "q83_typed_agg" ->
       "SELECT user_id, CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents, CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_cents, CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents FROM events GROUP BY user_id ORDER BY user_id",
     "q84_format_roundtrip" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    "q85_bucketed_join" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q79_group_percentiles" ->
       "SELECT event_type, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST(round(value*100) AS BIGINT)) AS BIGINT) AS med_cents, CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY CAST(round(value*100) AS BIGINT)) AS BIGINT) AS p90_cents FROM events GROUP BY event_type ORDER BY event_type",

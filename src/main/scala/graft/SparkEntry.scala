@@ -1177,6 +1177,23 @@ object SparkEntry {
       s.range(1).select(lit(if (salted == plain) 0L else 1L).as("violations"))
     }),
 
+    // SRP-LSH retrieval invariant: a planted TWIN of the query vector
+    // (identical direction -> identical hyperplane signs -> same bucket,
+    // cosine 1) MUST be retrieved, and the result must be exactly k rows.
+    // This grades the guarantee SRP actually makes — directionally-close
+    // vectors collide — where raw recall against brute-force top-10 is
+    // corpus-dependent (random vectors have no directional clusters;
+    // measured 0-2/10 here), which is exactly why q26 is rows-only
+    "q86_srp_twin" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val twinId = 1000000L
+      val corpus = emb.unionByName(emb.filter(col("vec_id") === 0L)
+        .select(lit(twinId).as("vec_id"), col("embedding")))
+      Similarity.annTopK(corpus, "vec_id", "embedding", 0L, 10)
+        .agg((when(count(when(col("vec_id") === twinId, 1)) === 1, 0L).otherwise(1L)
+          + when(count(lit(1)) === 10, 0L).otherwise(1L)).as("violations"))
+    }),
+
     // bucketed co-located join IN the gate: both sides written bucketed on
     // the join key, the join re-planned with broadcast disabled (so the
     // sort-merge path — the 100 TB shape — actually runs) must produce
@@ -1313,6 +1330,8 @@ object SparkEntry {
     "q84_format_roundtrip" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q85_bucketed_join" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    "q86_srp_twin" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q79_group_percentiles" ->
       "SELECT event_type, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST(round(value*100) AS BIGINT)) AS BIGINT) AS med_cents, CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY CAST(round(value*100) AS BIGINT)) AS BIGINT) AS p90_cents FROM events GROUP BY event_type ORDER BY event_type",

@@ -62,7 +62,11 @@ object Stats {
     * rank of a sorted multiset is tie-order-invariant, so the result is
     * still deterministic. Exact ranking sorts each key's partition — the
     * profile-grade form; at cluster scale with huge keys, use
-    * approx_percentile (fixed-size GK sketch, q42) instead. */
+    * approx_percentile (fixed-size GK sketch, q42) instead.
+    *
+    * NULL values are ignored (percentile_disc semantics); a key whose
+    * values are ALL null therefore produces no output row (vs SQL's
+    * all-NULL row) — keys are defined by their non-null observations. */
   def percentileDisc(df: DataFrame, keys: Seq[String], valueCol: String,
                      ps: Seq[(String, Int, Int)]): DataFrame = {
     require(ps.nonEmpty, "need at least one percentile")
@@ -71,7 +75,11 @@ object Stats {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*).orderBy(col(valueCol))
     val wn = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    // SQL percentile_disc IGNORES NULLs; Spark's ascending sort ranks them
+    // FIRST, which would shift every rank and poison __n — drop them
+    // before ranking so the two semantics agree.
     val ranked = df.select(keys.map(col) :+ col(valueCol): _*)
+      .filter(col(valueCol).isNotNull)
       .withColumn("__rn", row_number().over(w).cast("long"))
       .withColumn("__n", count(lit(1)).over(wn))
     val aggs = ps.map { case (name, num, den) =>

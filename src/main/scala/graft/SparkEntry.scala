@@ -1207,11 +1207,15 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"),
           round(col("value") * 100).cast(LongType).as("cents"))
       val perUser = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_ev"))
-      Bucketing.writeBucketed(ev, ta, Seq("user_id"), 8)
-      Bucketing.writeBucketed(perUser, tb, Seq("user_id"), 8)
       val bcKey = "spark.sql.autoBroadcastJoinThreshold"
       val prevBc = s.conf.getOption(bcKey)
+      // writes INSIDE the try: a throw in the second write must still
+      // drop the first table (bench invokes this lambda repeatedly — a
+      // partial failure outside the try would leak graft_q85a_* into the
+      // session catalog for the rest of the run)
       try {
+        Bucketing.writeBucketed(ev, ta, Seq("user_id"), 8)
+        Bucketing.writeBucketed(perUser, tb, Seq("user_id"), 8)
         s.conf.set(bcKey, "-1")
         val joined = Bucketing.bucketedJoin(s, ta, tb, Seq("user_id"))
         val shuffles = "Exchange hashpartitioning".r
@@ -1237,11 +1241,21 @@ object SparkEntry {
     // parquet original. Columns restricted to bigint + string: exact
     // roundtrip types on every text format (floats/timestamps have
     // format-specific rendering risks a sync pipeline should not take
-    // through text formats anyway)
+    // through text formats anyway). Empty-string and NULL rows are
+    // PLANTED so the fingerprint proves the CSV null/empty contract:
+    // Spark's CSV defaults write "" (quoted) for empty and an empty
+    // field for NULL, but the reader maps BOTH back to NULL — the
+    // roundtrip must pin a distinct null marker (\N) on write+read and
+    // emptyValue="" on read to keep the two apart (the null-tagged
+    // Checksum.rowHash distinguishes them, so a regression here flips
+    // violations to 1, it cannot hide)
     "q84_format_roundtrip" -> ((s, dir) => {
       import graft.sync.Checksum
+      import s.implicits._
       val cols = Seq("o_orderkey", "o_orderstatus", "o_orderpriority")
-      val o = t(s, dir, "orders").select(cols.map(col): _*)
+      val planted = Seq((-1L, "", ""), (-2L, null: String, null: String))
+        .toDF(cols: _*)
+      val o = t(s, dir, "orders").select(cols.map(col): _*).unionByName(planted)
       def fp(df: DataFrame) = {
         val r = Checksum.tableChecksum(df, cols).head
         (r.getLong(0), r.getLong(1), r.getDecimal(2))
@@ -1249,9 +1263,11 @@ object SparkEntry {
       val base = fp(o)
       val tmp = java.nio.file.Files.createTempDirectory("q84").toString
       val (csvDir, jsonDir) = (s"$tmp/csv", s"$tmp/json")
-      o.write.option("header", "true").csv(csvDir)
+      o.write.option("header", "true")
+        .option("nullValue", "\\N").option("emptyValue", "\"\"").csv(csvDir)
       o.write.json(jsonDir)
-      val viaCsv = fp(s.read.schema(o.schema).option("header", "true").csv(csvDir))
+      val viaCsv = fp(s.read.schema(o.schema).option("header", "true")
+        .option("nullValue", "\\N").option("emptyValue", "").csv(csvDir))
       val viaJson = fp(s.read.schema(o.schema).json(jsonDir))
       deleteRecursively(tmp)
       val violations = (if (viaCsv == base) 0L else 1L) + (if (viaJson == base) 0L else 1L)

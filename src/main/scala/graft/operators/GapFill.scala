@@ -26,16 +26,38 @@ object GapFill {
     * pre-aggregate multi-observation buckets first (the "last observation
     * per bucket" rule lives with the caller, where the tie-break columns
     * are). The first grid bucket of each key always has an observation
-    * (it IS that key's min), so filled values are never null. */
+    * (it IS that key's min), so filled values are never null.
+    *
+    * A violating input (>1 row per (key, bucket)) silently yields
+    * duplicated grid rows with tie-order-dependent fill values — set
+    * `strict = true` to fail the job instead. The check is a second
+    * (key, bucket) window over the (bucket-grained, checkpointed)
+    * observations, so its cost is one extra keyed shuffle of the small
+    * side, not of the raw input. */
   def forwardFillGrid(df: DataFrame, keyCol: String, bucketCol: String,
-                      valueCol: String): DataFrame = {
+                      valueCol: String, strict: Boolean = false): DataFrame = {
     // The observations feed TWO consumers — the per-key bounds aggregate
     // (grid extent) and the grid join — and Spark plans each as its own
     // full subtree: without materialization the caller's (often
     // expensive: dedup window, big scan) observation pipeline executes
     // TWICE. localCheckpoint evaluates it once; the checkpointed set is
     // bucket-grained, far smaller than whatever produced it.
-    val obs = df.localCheckpoint()
+    val checkpointed = df.localCheckpoint()
+    // Strict precondition check threaded THROUGH valueCol (not a
+    // standalone assert column, which column pruning could silently
+    // drop): any consumer of the fill value evaluates the guard.
+    val obs = if (!strict) checkpointed else {
+      val dupW = Window.partitionBy(col(keyCol), col(bucketCol))
+      checkpointed
+        .withColumn("__n_dup", count(lit(1)).over(dupW))
+        .withColumn(valueCol, when(col("__n_dup") > 1,
+            raise_error(format_string(
+              "GapFill.forwardFillGrid(strict): %s rows for (%s=%s, %s=%s); expected at most 1",
+              col("__n_dup").cast("string"), lit(keyCol), col(keyCol).cast("string"),
+              lit(bucketCol), col(bucketCol).cast("string"))))
+          .otherwise(col(valueCol)))
+        .drop("__n_dup")
+    }
     val bounds = obs.groupBy(col(keyCol))
       .agg(min(col(bucketCol)).as("__b0"), max(col(bucketCol)).as("__b1"))
     val grid = bounds.select(col(keyCol),

@@ -1,0 +1,26 @@
+package graft
+
+/** Executes the violations-style gate queries (oracle = `SELECT 0 AS
+  * violations`) end-to-end at sf0.001: the DuckDB side of those rows is a
+  * constant, so THIS is the check that the Spark side actually computes a
+  * zero — a regression that flips a violation bit must fail here, not
+  * only in the driver's sf0.01 gate. */
+class InvariantQuerySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def violations(q: String): Long =
+    SparkEntry.queries(q)(spark, dir).collect().head.getLong(0)
+
+  test("q84 format roundtrip holds, including planted empty-string and NULL rows") {
+    assert(violations("q84_format_roundtrip") === 0L)
+  }
+
+  test("q85 bucketed join is shuffle-free and result-identical to the plain join") {
+    assert(violations("q85_bucketed_join") === 0L)
+  }
+
+  test("q86 SRP-LSH retrieval recovers the planted twin") {
+    assert(violations("q86_srp_twin") === 0L)
+  }
+}

@@ -29,6 +29,24 @@ class GapFillSpec extends SparkSpec {
     assert(vals === Seq(5L, 5L, 5L, 8L, 8L, 8L, 2L))
   }
 
+  test("strict mode fails loudly on duplicate (key, bucket) rows") {
+    val dup = Seq((1L, 10L, 100L), (1L, 10L, 999L), (2L, 5L, 50L)).toDF("k", "bk", "v")
+    val e = intercept[Exception] {
+      GapFill.forwardFillGrid(dup, "k", "bk", "v", strict = true).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("expected at most 1")), e.toString)
+  }
+
+  test("strict mode on clean input matches the default path exactly") {
+    val obs = Seq((1L, 10L, 100L), (1L, 13L, 130L), (2L, 5L, 50L)).toDF("k", "bk", "v")
+    def run(strict: Boolean) =
+      GapFill.forwardFillGrid(obs, "k", "bk", "v", strict = strict)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(strict = true) === run(strict = false))
+  }
+
   test("property: fill equals the latest observation at or before each bucket") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // per key: a small set of distinct buckets with values

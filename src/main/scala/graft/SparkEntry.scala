@@ -6,7 +6,7 @@ import graft.operators._
 import graft.similarity.Similarity
 import graft.streaming.IncrementalStream
 import graft.text.{NgramStats, Scrub, TextAnalysis}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -1194,6 +1194,100 @@ object SparkEntry {
           + when(count(lit(1)) === 10, 0L).otherwise(1L)).as("violations"))
     }),
 
+    // REAL image decode graded end-to-end: every doc_id becomes a true
+    // PNG/BMP payload (dims derived from the id) ENCODED ON EXECUTORS —
+    // payload bytes never touch the driver, the 100 TB shape — then
+    // decoded by the sniffing ImageIO path. Decoded (width, height) must
+    // equal the formula for every row. The metadata fallback cannot fake
+    // a pass: its dims are always >= 64 while the planted dims are <= 37,
+    // so a silent fallback (or any header mis-parse) counts as violations
+    "q87_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      implicit val session: SparkSession = s
+      def expW(id: Column) = lit(1L) + id % 37L
+      def expH(id: Column) = lit(1L) + id % 23L
+      val media = t(s, dir, "documents").select(col("doc_id").cast(LongType)).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val (w, h) = (1 + (id % 37).toInt, 1 + (id % 23).toInt)
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            img.setRGB(0, 0, (id & 0xffffff).toInt)
+            val bos = new java.io.ByteArrayOutputStream()
+            // alternate formats so both the PNG and BMP readers are graded
+            javax.imageio.ImageIO.write(img, if (id % 2 == 0) "png" else "bmp", bos)
+            Multimodal.MediaRecord(id, bos.toByteArray)
+          }
+        }.toDF()
+      Multimodal.decode(media).toDF()
+        .agg((sum(when(col("width") =!= expW(col("doc_id"))
+            || col("height") =!= expH(col("doc_id"))
+            || col("n_bytes") <= 0L, 1L).otherwise(0L))
+          + when(count(lit(1)) === 0L, 1L).otherwise(0L)).as("violations"))
+    }),
+
+    // small-file compaction graded end-to-end: a 64-file table rewritten
+    // to ~5 target-sized files must (a) land exactly
+    // max(1, ceil(bytes/target)) files — the operator's sizing contract —
+    // and (b) fingerprint identically before and after under the
+    // order/layout-independent tableChecksum (count + bit_xor + decimal
+    // sum of null-tagged row hashes), i.e. compaction moved bytes and
+    // changed NOTHING else
+    "q88_compaction" -> ((s, dir) => {
+      import graft.files.Compaction
+      import graft.sync.Checksum
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      val tmp = java.nio.file.Files.createTempDirectory("q88").toString
+      val tableDir = s"$tmp/orders"
+      try {
+        t(s, dir, "orders").select(cols.map(col): _*)
+          .repartition(64).write.parquet(tableDir)
+        def fp() = {
+          val r = Checksum.tableChecksum(s.read.parquet(tableDir), cols).head
+          (r.getLong(0), r.getLong(1), r.getDecimal(2))
+        }
+        val before = fp()
+        val (bytes0, _) = Compaction.dirBytesAndFiles(s, tableDir)
+        val target = math.max(1L, (bytes0 + 4) / 5) // ceil(bytes/5): ~5 files
+        val stats = Compaction.compact(s, tableDir, target)
+        val expectedAfter = math.max(1L, (stats.bytesTotal + target - 1) / target)
+        val violations =
+          (if (stats.filesBefore == 64L) 0L else 1L) +
+          (if (stats.filesAfter == expectedAfter) 0L else 1L) +
+          (if (stats.filesAfter < stats.filesBefore) 0L else 1L) +
+          (if (fp() == before) 0L else 1L)
+        s.range(1).select(lit(violations).as("violations"))
+      } finally deleteRecursively(tmp)
+    }),
+
+    // deep-chain canonicalization: a planted 50-link duplicate CHAIN
+    // (diameter 50 — the shape that defeats plain min-label propagation,
+    // which needs one round per link and would blow the 30-round cap)
+    // must fully canonicalize to the chain's min id, and every
+    // off-chain doc must stay a singleton. This grades the delayed
+    // pointer-jumping path (Dedup.connectedComponents engages
+    // canon(canon) halving after round 4) end-to-end: without it the
+    // require(converged) aborts, with it the chain closes in O(log 50)
+    // rounds — the invariant that CC survives adversarial cluster shapes
+    "q89_cc_deep_chain" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id").cast(LongType).as("id"))
+      // chain the 51 smallest ids pairwise; 51 rows, so the unpartitioned
+      // lead window and the broadcast min are bounded by construction
+      val first51 = docs.orderBy("id").limit(51).localCheckpoint()
+      val chainW = Window.orderBy("id")
+      val pairs = first51.withColumn("__nxt", lead(col("id"), 1).over(chainW))
+        .filter(col("__nxt").isNotNull)
+        .select(col("id").as("id_a"), col("__nxt").as("id_b"))
+      val cc = graft.dedup.Dedup.connectedComponents(docs, "id", pairs)
+      cc.join(first51.select(col("id"), lit(1).as("__in_chain")), Seq("id"), "left")
+        .crossJoin(broadcast(first51.agg(min(col("id")).as("__chain_min"))))
+        .agg((sum(when(col("__in_chain") === 1 && col("canon") =!= col("__chain_min"), 1L)
+            .otherwise(0L))
+          + sum(when(col("__in_chain").isNull && col("canon") =!= col("id"), 1L)
+            .otherwise(0L))
+          + when(count(lit(1)) === 0L, 1L).otherwise(0L)).as("violations"))
+    }),
+
     // bucketed co-located join IN the gate: both sides written bucketed on
     // the join key, the join re-planned with broadcast disabled (so the
     // sort-merge path — the 100 TB shape — actually runs) must produce
@@ -1348,6 +1442,12 @@ object SparkEntry {
     "q85_bucketed_join" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q86_srp_twin" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    "q87_image_decode" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    "q88_compaction" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    "q89_cc_deep_chain" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q79_group_percentiles" ->
       "SELECT event_type, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST(round(value*100) AS BIGINT)) AS BIGINT) AS med_cents, CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY CAST(round(value*100) AS BIGINT)) AS BIGINT) AS p90_cents FROM events GROUP BY event_type ORDER BY event_type",

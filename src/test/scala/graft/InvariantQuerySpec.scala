@@ -23,4 +23,16 @@ class InvariantQuerySpec extends SparkSpec {
   test("q86 SRP-LSH retrieval recovers the planted twin") {
     assert(violations("q86_srp_twin") === 0L)
   }
+
+  test("q87 real ImageIO decode recovers true dims of executor-encoded PNG/BMP") {
+    assert(violations("q87_image_decode") === 0L)
+  }
+
+  test("q88 compaction lands ceil(bytes/target) files and preserves the checksum") {
+    assert(violations("q88_compaction") === 0L)
+  }
+
+  test("q89 a 50-link duplicate chain canonicalizes via pointer jumping") {
+    assert(violations("q89_cc_deep_chain") === 0L)
+  }
 }

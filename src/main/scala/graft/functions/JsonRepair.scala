@@ -1,8 +1,12 @@
 package graft.functions
 
 import com.fasterxml.jackson.databind.ObjectMapper
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** The reference's two-stage JSONB quote-repair
   * (db-sync-local/sync_utils.py:97-126), replicated byte-for-byte:
@@ -14,11 +18,12 @@ import org.apache.spark.sql.functions.udf
   * replace `'` with `"`, then `""` with `'`; verify; unparseable -> NULL
   * (lossy by design — SURVEY §2.4-5).
   *
-  * Implemented as a Scala UDF over a deterministic pure function. The pure
-  * function is unit-tested against the reference's semantics matrix; the UDF
-  * is only on dirty-JSON repair paths, never in analytical hot loops, so UDF
-  * (vs codegen Expression) overhead is acceptable — it runs once per ingested
-  * record, embarrassingly parallel across partitions.
+  * The column form is a native Catalyst expression (JsonRepairExpr below),
+  * not a Scala UDF: no encoder roundtrip through external String types, no
+  * closure serialization, and the call participates in whole-stage codegen.
+  * The repair body itself stays in compiled Scala behind a static forwarder
+  * — string surgery plus a Jackson parse is JIT-compiled JVM code either
+  * way; what codegen buys is eliminating the UDF wrapper around every row.
   */
 object JsonRepair {
 
@@ -44,8 +49,48 @@ object JsonRepair {
     }
   }
 
-  private val repairUdf = udf((s: String) => repair(s).orNull)
+  /** Call target for both eval and the generated code (a Scala object
+    * method with no companion class compiles to a static forwarder, so
+    * generated Java calls `graft.functions.JsonRepair.repairUTF8(...)`
+    * directly): UTF8String in/out, null = unrepairable. */
+  def repairUTF8(s: UTF8String): UTF8String =
+    if (s == null) null
+    else repair(s.toString) match {
+      case Some(r) => UTF8String.fromString(r)
+      case None => null
+    }
 
   /** Column form: NULL in -> NULL out, unparseable -> NULL. */
-  def apply(c: Column): Column = repairUdf(c)
+  def apply(c: Column): Column =
+    GraftColumnBridge.column(JsonRepairExpr(GraftColumnBridge.expression(c)))
+}
+
+/** Codegen'd repair: string -> repaired string or NULL. Nullable even for
+  * non-null input (unparseable values are dropped to NULL by contract), so
+  * the generated block re-derives isNull from the call result. */
+case class JsonRepairExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"JsonRepairExpr expects string, got $t")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    JsonRepair.repairUTF8(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.JsonRepair.repairUTF8($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

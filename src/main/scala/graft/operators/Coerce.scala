@@ -16,7 +16,8 @@ import org.apache.spark.sql.types._
   * Here each rule is a *columnar* expression, not a per-row driver loop
   * (SURVEY §2.4-9 calls the reference's row loop its scalability ceiling):
   * `cast`/`trim`/`coalesce` are codegen'd by Tungsten and stay inside
-  * whole-stage codegen; only the JSON repair is a UDF (see JsonRepair).
+  * whole-stage codegen, as does the JSON repair (a native Catalyst
+  * expression — see JsonRepairExpr).
   */
 object Coerce {
 

@@ -92,6 +92,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashExchanges === 1, s"expected a single keyed shuffle:\n$p")
   }
 
+  test("q28 JSON repair is a native expression in the plan, not a Scala UDF") {
+    val p = plan("q28_json_extract")
+    assert(!p.contains("UDF("), s"no Scala UDF may remain in any graded plan:\n$p")
+    assert(p.toLowerCase.contains("jsonrepairexpr"), p)
+  }
+
   test("q52 histogram partial-aggregates below its single exchange") {
     val p = plan("q52_histogram")
     // the group key is the div expression (_groupingexpression), so match

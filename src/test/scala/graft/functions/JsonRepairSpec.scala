@@ -36,3 +36,34 @@ class JsonRepairSpec extends AnyFunSuite {
     assert(JsonRepair.repair(null) === None)
   }
 }
+
+/** The Catalyst-expression form must agree with the pure function on the
+  * whole semantics matrix, under BOTH evaluation modes — whole-stage
+  * codegen (doGenCode) and interpreted fallback (nullSafeEval). */
+class JsonRepairExprSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private val matrix = Seq(
+    """{"a": 1}""", """'{"a": 1}'""", "{''a'': 1}", "{'a': 1}",
+    "{''a'': 'b'}", "not json at all {", null)
+
+  private def run(codegen: String): Seq[Option[String]] = {
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    try {
+      spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+      import spark.implicits._
+      matrix.toDF("v").withColumn("__ord", monotonically_increasing_id())
+        .select(col("__ord"), JsonRepair(col("v")).as("r"))
+        .orderBy("__ord").collect().map(r => Option(r.getString(1))).toSeq
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("expression matches the pure function under codegen and interpreted eval") {
+    val expected = matrix.map(JsonRepair.repair)
+    assert(run("CODEGEN_ONLY") === expected)
+    assert(run("NO_CODEGEN") === expected)
+  }
+}

@@ -113,6 +113,16 @@ object Bench {
       // per-run failures fall back to the other run's measurement — a
       // transient second-run hiccup must not discard a valid first timing
       val (cold, warm) = (once(), once())
+      // Isolation between measured queries: drop any persisted blocks a
+      // query's lifetime left behind (localCheckpoint leftovers — the CC
+      // loop releases its own intermediates, but each invocation's FINAL
+      // label table is referenced by the returned plan and lives until
+      // driver GC). Without this, a query's timing depends on how much
+      // unreclaimed block-manager state earlier queries happened to
+      // leave — measured as q33's 1.6 s vs 4 s bimodality on an
+      // identical plan. No query legitimately persists across lambdas.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       val best = if (cold < 0) warm else if (warm < 0) cold else math.min(cold, warm)
       (name, best, cold, warm)
     }

@@ -347,6 +347,24 @@ object Dedup {
     * non-increasing) per round. */
   def connectedComponents(vertices: DataFrame, idCol: String,
                           pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    // Eagerly free a SUPERSEDED round's local-checkpoint blocks. Left to
+    // the ContextCleaner these blocks survive until the driver happens to
+    // GC the superseded DataFrames — tens of label tables pinned in the
+    // block manager for GC-dependent time, which is (measured) the
+    // bimodality in this query's bench timings: an identical plan ran
+    // 1.6 s or 4 s depending on whether earlier rounds' blocks had been
+    // collected yet. Explicit release keeps live checkpoint storage at
+    // O(1) tables regardless of round count — on a real cluster these
+    // blocks sit in executor memory, so this is also the 100 TB story,
+    // not just a bench nicety. Only ever called on checkpoints whose
+    // successors are already materialized (localCheckpoint is eager):
+    // a released local checkpoint cannot be recomputed (lineage is
+    // truncated by design), so release == "no plan references this".
+    def release(df: DataFrame): Unit = df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
     // materialize the edge list ONCE — its lineage is typically a whole
     // LSH pipeline, which every iteration's join would otherwise recompute
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -383,18 +401,25 @@ object Dedup {
       // self-join of the (checkpointed — both sides read materialized rows,
       // nothing recomputes) label table — one extra shuffle per round buys
       // geometric chain contraction.
-      labels =
+      val next =
         if (i < JumpAfter) viaNeighbors
-        else viaNeighbors.join(
-            viaNeighbors.select(col("id").as("__jid"), col("canon").as("__jc")),
-            col("canon") === col("__jid"), "left")
-          .select(col("id"), least(col("canon"), coalesce(col("__jc"), col("canon"))).as("canon"))
-          .localCheckpoint()
+        else {
+          val jumped = viaNeighbors.join(
+              viaNeighbors.select(col("id").as("__jid"), col("canon").as("__jc")),
+              col("canon") === col("__jid"), "left")
+            .select(col("id"), least(col("canon"), coalesce(col("__jc"), col("canon"))).as("canon"))
+            .localCheckpoint()
+          release(viaNeighbors) // jumped is materialized; the intermediate is dead
+          jumped
+        }
+      release(labels) // next is materialized; last round's table is dead
+      labels = next
       val s = labelSum()
       converged = s == prevSum
       prevSum = s
       i += 1
     }
+    release(edges) // the returned plan reads only labels + vertices
     // Hitting the cap without convergence means some cluster's diameter
     // exceeds maxIter and the labels are WRONG (partial propagation). Fail
     // loudly rather than return silently-wrong canon ids — a caller with

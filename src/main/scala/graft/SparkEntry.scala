@@ -1288,6 +1288,125 @@ object SparkEntry {
           + when(count(lit(1)) === 0L, 1L).otherwise(0L)).as("violations"))
     }),
 
+    // opt-in delete propagation (SURVEY §2.4-1): the reference never
+    // deletes, so destination rows whose key vanished upstream persist
+    // forever; upsertWithDeletes drops them via a KEY-ONLY source scan
+    // (column pruning reaches the reader — pk bytes, not the table) +
+    // left-semi join, while the row extract stays incremental. Here the
+    // destination holds keys <= 4000, the incremental delta covers
+    // 2000-6000 (updated totals), and the current source key set starts
+    // at 2000 — so < 2000 must disappear, 2000-4000 update, > 4000 insert
+    "q90_sync_deletes" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val base = orders.filter(col("o_orderkey") <= 4000)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val delta = orders.filter(col("o_orderkey").between(2000, 6000))
+        .select(col("o_orderkey"), negate(col("o_totalprice")).as("o_totalprice"))
+      val sourceKeys = orders.filter(col("o_orderkey") >= 2000).select("o_orderkey")
+      Merge.upsertWithDeletes(base, delta, sourceKeys, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
+    // name-and-hash file sync (SURVEY §2.4-2): the reference's README
+    // promises MD5 comparison but gcs_sync.py:36-47 only compares names,
+    // so a modified file is never re-copied. compareContent=true is the
+    // opt-in fix — identity becomes (name, md5(bytes)). Planted cases:
+    // unchanged, source-only, MODIFIED (same name, new bytes), dest-only.
+    // Existence-only must see 1 new file (parity: the modification is
+    // invisible); content mode must re-copy 2 (new + modified); after the
+    // content sync every source (name, hash) exists in dest and the
+    // dest-only file survives (no deletes — §2.4-1 parity holds here)
+    "q91_hash_file_sync" -> ((s, dir) => {
+      import graft.files.FileSync
+      val tmp = java.nio.file.Files.createTempDirectory("q91").toString
+      val (srcDir, dstDir) = (s"$tmp/src", s"$tmp/dst")
+      def put(root: String, name: String, body: String): Unit = {
+        val p = java.nio.file.Paths.get(root, name)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, body.getBytes("UTF-8"))
+      }
+      try {
+        put(srcDir, "a/same.txt", "identical bytes")
+        put(srcDir, "b/new.txt", "only in source")
+        put(srcDir, "c/modified.txt", "source version 2")
+        put(dstDir, "a/same.txt", "identical bytes")
+        put(dstDir, "c/modified.txt", "dest version 1")
+        put(dstDir, "d/dest_only.txt", "kept")
+        val byName = FileSync.syncDir(s, srcDir, dstDir, dryRun = true)
+        val byHash = FileSync.syncDir(s, srcDir, dstDir, compareContent = true)
+        val srcL = FileSync.listFilesWithHash(s, srcDir)
+        val dstL = FileSync.listFilesWithHash(s, dstDir)
+        val missing = srcL.join(dstL, Seq("name", "hash"), "left_anti").count()
+        val destOnly = dstL.filter(col("name") === "d/dest_only.txt").count()
+        val violations =
+          (if (byName.totalFiles == 3L && byName.newFiles == 1L && byName.existingFiles == 2L) 0L else 1L) +
+          (if (byHash.newFiles == 2L && byHash.existingFiles == 1L) 0L else 1L) +
+          (if (missing == 0L) 0L else 1L) +
+          (if (destOnly == 1L) 0L else 1L)
+        s.range(1).select(lit(violations).as("violations"))
+      } finally deleteRecursively(tmp)
+    }),
+
+    // stream-static enrichment join: every streaming event picks up its
+    // user's dimension row (the lookup-table shape of every event
+    // pipeline), dim broadcast — a shuffled stream-static join would
+    // re-shuffle EVERY micro-batch. Complete-mode aggregate over the
+    // enriched stream must equal the batch join+group-by exactly
+    "q92_stream_enrich" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val dim = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_ev"))
+      val stream = s.readStream.schema(ev.schema).parquet(s"$dir/events*.parquet")
+      val enriched = IncrementalStream.enrichWithDim(stream, dim, Seq("user_id"))
+      val agg = enriched.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("n_ev")).as("sum_n_ev"))
+      val sink = s"q92_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      drainSink(s, sink, s.table(sink).orderBy("event_type"))
+    }),
+
+    // CONTINUOUS SYNC end-to-end: the reference's nightly
+    // watermark/extract/upsert pipeline as one streaming query. The event
+    // "CDC feed" is split into FOUR source files consumed one per
+    // micro-batch (maxFilesPerTrigger=1 under AvailableNow), each batch
+    // foreachBatch-merged into a ParquetStore destination with
+    // upsertIfNewer keyed on user_id ordered by (ts, event_id) — so the
+    // final table is the latest event per user REGARDLESS of which batch
+    // carried which rows (a stale row cannot clobber a fresher one; the
+    // determinism is an operator property, not a file-order assumption).
+    // The destination is PRE-SEEDED with a user absent from the stream
+    // (must survive the whole run) and a stale row for the smallest real
+    // user (must be replaced) — proving merge, not just insert
+    "q93_stream_upsert_sync" -> ((s, dir) => {
+      import graft.sync.ParquetStore
+      import s.implicits._
+      // micros, not raw nanos: the oracle's TIMESTAMP carries micro
+      // precision, so the precedence column must be micros on BOTH sides
+      // or sub-microsecond orderings could pick different winners
+      val ev = t(s, dir, "events").select(col("user_id"),
+        expr("ts div 1000").as("ts_us"),
+        col("event_id"), round(col("value") * 100).cast(LongType).as("cents"))
+      val tmp = java.nio.file.Files.createTempDirectory("q93").toString
+      val (srcDir, ckDir, destDir) = (s"$tmp/src", s"$tmp/ck", s"$tmp/dest")
+      try {
+        ev.repartition(4).write.parquet(srcDir)
+        val minUser = ev.agg(min(col("user_id"))).head.getLong(0)
+        val store = new ParquetStore(s, destDir)
+        store.write(Seq((-999L, 0L, -1L, 7L), (minUser, -1L, -1L, -12345L))
+          .toDF("user_id", "ts_us", "event_id", "cents"), "t")
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*.parquet")
+        val q = IncrementalStream.upsertSync(stream, store, "t",
+          pks = Seq("user_id"), orderCols = Seq("ts_us", "event_id"),
+          checkpointDir = ckDir)
+        q.awaitTermination()
+        // localCheckpoint: the returned plan must not read tmp after the
+        // finally deletes it
+        store.read("t").get.orderBy("user_id").localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+
     // bucketed co-located join IN the gate: both sides written bucketed on
     // the join key, the join re-planned with broadcast disabled (so the
     // sort-merge path — the 100 TB shape — actually runs) must produce
@@ -1449,6 +1568,14 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q89_cc_deep_chain" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
+    "q90_sync_deletes" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice, 0 AS prec FROM orders WHERE o_orderkey <= 4000), delta AS (SELECT o_orderkey, -o_totalprice AS o_totalprice, 1 AS prec FROM orders WHERE o_orderkey BETWEEN 2000 AND 6000), u AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY prec DESC) AS rn FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)) SELECT o_orderkey, o_totalprice FROM u WHERE rn = 1 AND o_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderkey >= 2000) ORDER BY o_orderkey""",
+    "q91_hash_file_sync" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    "q92_stream_enrich" ->
+      "WITH d AS (SELECT user_id, count(*) AS n_ev FROM events GROUP BY user_id) SELECT e.event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(d.n_ev) AS BIGINT) AS sum_n_ev FROM events e JOIN d ON e.user_id = d.user_id GROUP BY e.event_type ORDER BY e.event_type",
+    "q93_stream_upsert_sync" ->
+      """WITH src AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id, CAST(round(value*100) AS BIGINT) AS cents FROM events), latest AS (SELECT user_id, ts_us, event_id, cents, row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn FROM src) SELECT user_id, ts_us, event_id, cents FROM latest WHERE rn = 1 UNION ALL SELECT CAST(-999 AS BIGINT), CAST(0 AS BIGINT), CAST(-1 AS BIGINT), CAST(7 AS BIGINT) ORDER BY user_id""",
     "q79_group_percentiles" ->
       "SELECT event_type, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST(round(value*100) AS BIGINT)) AS BIGINT) AS med_cents, CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY CAST(round(value*100) AS BIGINT)) AS BIGINT) AS p90_cents FROM events GROUP BY event_type ORDER BY event_type",
     "q80_gap_fill" ->

@@ -26,36 +26,61 @@ object FileSync {
   /** O14 — recursive listing as a DataFrame of bucket-relative names.
     * binaryFile source with the content column pruned: Spark plans a
     * metadata-only, partition-parallel listing scan. */
-  def listFiles(spark: SparkSession, dir: String): DataFrame = {
+  def listFiles(spark: SparkSession, dir: String): DataFrame =
+    listing(spark, dir, withHash = false)
+
+  /** O14 content variant — listing plus an md5 of each file's bytes, for
+    * the opt-in name-and-hash comparison (SURVEY §2.4-2: the reference's
+    * README promises MD5 comparison but gcs_sync.py:36-47 only ever
+    * compares names, so modified files are never re-copied). Reads every
+    * byte of the tree — O(bytes) vs listFiles' O(names) — which is exactly
+    * why it is opt-in; production object stores expose stored checksums
+    * (GCS md5Hash, S3 ETag) that make this a metadata read there. */
+  def listFilesWithHash(spark: SparkSession, dir: String): DataFrame =
+    listing(spark, dir, withHash = true)
+
+  private def listing(spark: SparkSession, dir: String, withHash: Boolean): DataFrame = {
+    import org.apache.spark.sql.types._
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = fs.makeQualified(p).toString
-    if (!fs.exists(p)) return spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("size", org.apache.spark.sql.types.LongType))))
-    spark.read.format("binaryFile")
+    if (!fs.exists(p)) {
+      val fields = Seq(StructField("name", StringType), StructField("size", LongType)) ++
+        (if (withHash) Seq(StructField("hash", StringType)) else Nil)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(fields))
+    }
+    val raw = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
       .load(dir)
-      .select(
-        expr(s"substring(path, ${base.length + 2})").as("name"),
-        col("length").as("size"))
+    val cols = Seq(
+      expr(s"substring(path, ${base.length + 2})").as("name"),
+      col("length").as("size")) ++
+      (if (withHash) Seq(md5(col("content")).as("hash")) else Nil)
+    raw.select(cols: _*)
   }
 
-  /** O15 — the copy plan: (files to copy, files already present). */
-  def plan(src: DataFrame, dst: DataFrame): (DataFrame, DataFrame) =
-    (SetOps.difference(src.select("name"), dst.select("name"), Seq("name")),
-     SetOps.intersection(src.select("name"), dst.select("name"), Seq("name")))
+  /** O15 — the copy plan: (files to copy, files already present). With
+    * `compareContent`, identity is (name, hash): a same-name file whose
+    * bytes changed lands in toCopy (and the overwrite in syncDir refreshes
+    * it); existence-only compares names, reference parity. */
+  def plan(src: DataFrame, dst: DataFrame,
+           compareContent: Boolean = false): (DataFrame, DataFrame) = {
+    val keys = if (compareContent) Seq("name", "hash") else Seq("name")
+    (SetOps.difference(src.select(keys.map(col): _*), dst.select(keys.map(col): _*), keys),
+     SetOps.intersection(src.select(keys.map(col): _*), dst.select(keys.map(col): _*), keys))
+  }
 
   /** O16 — ordered, side-effecting copy; dry-run counts without copying
     * (gcs_sync.py:50-62). Copies run per-partition on executors via
     * Hadoop FileUtil (the local analog of a server-side blob copy). */
   def syncDir(spark: SparkSession, srcDir: String, dstDir: String,
-              dryRun: Boolean = false): SyncStats = {
-    val src = listFiles(spark, srcDir)
-    val dst = listFiles(spark, dstDir)
-    val (toCopy, existing) = plan(src, dst)
+              dryRun: Boolean = false, compareContent: Boolean = false): SyncStats = {
+    val list: (SparkSession, String) => DataFrame =
+      if (compareContent) listFilesWithHash else listFiles
+    val src = list(spark, srcDir)
+    val dst = list(spark, dstDir)
+    val (toCopy, existing) = plan(src, dst, compareContent)
     val total = src.count()
     val nExisting = existing.count()
     val ordered = SetOps.ordered(toCopy, Seq("name"))
@@ -85,6 +110,7 @@ object FileSync {
   /** O17 — multi-pair orchestration with per-pair error isolation
     * (gcs_sync.py:77-101). */
   def syncPairs(spark: SparkSession, pairs: Seq[(String, String)],
-                dryRun: Boolean = false): Map[(String, String), Try[SyncStats]] =
-    pairs.map { case (s, d) => (s, d) -> Try(syncDir(spark, s, d, dryRun)) }.toMap
+                dryRun: Boolean = false, compareContent: Boolean = false)
+      : Map[(String, String), Try[SyncStats]] =
+    pairs.map { case (s, d) => (s, d) -> Try(syncDir(spark, s, d, dryRun, compareContent)) }.toMap
 }

@@ -44,6 +44,48 @@ object Merge {
   def upsertAllColumns(base: DataFrame, delta: DataFrame): DataFrame =
     upsert(base, delta, base.columns.toSeq)
 
+  /** Conditional upsert — "replace only if newer": the winner per key is
+    * the row with the greatest `orderCols` tuple REGARDLESS of side (ties
+    * go to the delta, duplicate ties within a side to a deterministic row
+    * hash). This is the row-level analog of the reference's watermark
+    * comparison (`WHERE check_column > value`, sync_utils.py:63-68) and
+    * the semantics that make out-of-order delivery safe: a stale delta
+    * row cannot clobber a fresher destination row, so applying deltas in
+    * ANY batch order converges to the same table — the property
+    * streaming.IncrementalStream.upsertSync relies on for multi-batch
+    * determinism. Same single keyed shuffle as upsert(). */
+  def upsertIfNewer(base: DataFrame, delta: DataFrame, pks: Seq[String],
+                    orderCols: Seq[String]): DataFrame = {
+    require(pks.nonEmpty, "upsertIfNewer requires at least one key column")
+    require(orderCols.nonEmpty, "upsertIfNewer requires at least one precedence column")
+    val unioned = base.withColumn(PREC, lit(0)).unionByName(delta.withColumn(PREC, lit(1)))
+    val tieBreak = xxhash64(base.columns.map(col).toIndexedSeq: _*)
+    val w = Window.partitionBy(pks.map(col): _*)
+      .orderBy(orderCols.map(col(_).desc) ++ Seq(col(PREC).desc, tieBreak.desc): _*)
+    unioned
+      .withColumn(RN, row_number().over(w))
+      .filter(col(RN) === 1)
+      .drop(PREC, RN)
+  }
+
+  /** Opt-in delete propagation (SURVEY §2.4-1: the reference never deletes —
+    * rows removed upstream persist in the destination forever; this is the
+    * documented optional mode that fixes it WITHOUT a full re-copy).
+    *
+    * `sourceKeys` is the CURRENT source key set — at scale a column-pruned,
+    * key-only scan (pks reach the parquet/JDBC reader via ReadSchema /
+    * SELECT pk list), orders of magnitude cheaper than re-extracting rows.
+    * Destination rows whose key has vanished from the source are dropped by
+    * a left-semi join; everything else follows upsert's last-writer-wins.
+    *
+    * Scale: the semi join keys on the same pks the upsert window already
+    * hash-partitioned on, so the left side arrives pre-partitioned and only
+    * the (narrow) key relation shuffles; AQE broadcasts it when small.
+    */
+  def upsertWithDeletes(base: DataFrame, delta: DataFrame,
+                        sourceKeys: DataFrame, pks: Seq[String]): DataFrame =
+    upsert(base, delta, pks).join(sourceKeys.select(pks.map(col): _*), pks, "left_semi")
+
   /** Plan-node form: builds the custom graft.plans.Upsert logical operator
     * and expands it (ResolveUpsert fires automatically in sessions created
     * with spark.sql.extensions=graft.GraftExtensions; applied eagerly here

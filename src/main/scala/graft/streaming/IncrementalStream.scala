@@ -77,6 +77,53 @@ object IncrementalStream {
       .select(col(keyCol), col("id_a"), col("ts_a"), col("id_b"), col("ts_b"))
   }
 
+  /** STREAM-STATIC enrichment join: each streaming row picks up its
+    * dimension attributes as it arrives — the lookup-table shape every
+    * event pipeline needs. The static side is re-planned per micro-batch
+    * (dimension updates between batches are picked up automatically) and
+    * broadcast by default: a shuffled stream-static join would re-shuffle
+    * every micro-batch, so for any dimension that fits in executor memory
+    * the broadcast is the only 100 TB-stream shape. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, keys: Seq[String],
+                    broadcastDim: Boolean = true): DataFrame =
+    stream.join(if (broadcastDim) broadcast(dim) else dim, keys)
+
+  /** CONTINUOUS SYNC — the reference's entire nightly pipeline
+    * (watermark read -> incremental extract -> upsert,
+    * db-sync-local/sync_utils.py:239-287) as ONE unbounded streaming
+    * query. The checkpoint replaces the MAX(check_column) watermark
+    * (exactly-once across restarts, no strict-`>` equal-timestamp skip),
+    * and each micro-batch merges into the destination with
+    * `Merge.upsertIfNewer` keyed on `pks` ordered by `orderCols`: a stale
+    * row can never clobber a fresher one, so the destination converges to
+    * the same table under ANY batch partitioning or arrival order —
+    * multi-batch determinism is an upsertIfNewer property, not a source
+    * ordering assumption. Within a batch, rows are first reduced to one
+    * per key by the same precedence (micro-batch task order is a race).
+    * `Trigger.AvailableNow` gives the scheduled-batch deployment of the
+    * reference; the default trigger runs it as true streaming. */
+  def upsertSync(stream: DataFrame, store: graft.sync.TableStore, table: String,
+                 pks: Seq[String], orderCols: Seq[String], checkpointDir: String,
+                 trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import graft.operators.Merge
+    import org.apache.spark.sql.expressions.Window
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val w = Window.partitionBy(pks.map(col): _*)
+          .orderBy(orderCols.map(col(_).desc) :+ xxhash64(batch.columns.map(col).toIndexedSeq: _*).desc: _*)
+        val latest = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val merged = store.read(table) match {
+          case Some(dest) => Merge.upsertIfNewer(dest, latest, pks, orderCols)
+          case None       => latest
+        }
+        store.write(merged, table)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
   // ------------------------------------------- custom state (O11 streaming)
 
   case class SessionEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)

@@ -3,7 +3,7 @@ package graft.sync
 import graft.config.{CheckType, TableConfig}
 import graft.operators.{Coerce, Incremental, Merge, Projection, Watermark}
 import org.apache.spark.sql.{DataFrame, Observation}
-import org.apache.spark.sql.functions.{count, lit}
+import org.apache.spark.sql.functions.{col, count, lit}
 
 /** O11 — the per-table sync pipeline (reference: sync_table,
   * db-sync-local/sync_utils.py:239-287): introspect schema (O2), discover
@@ -19,10 +19,19 @@ object SyncJob {
 
   /** Preserved reference quirks (§2.4): ignore-only-if-nullable projection;
     * id watermark NULL->0 (incremental always runs) vs timestamp NULL->full
-    * copy; strict `>`; no delete propagation; all-columns key fallback. */
+    * copy; strict `>`; no delete propagation BY DEFAULT (reference parity —
+    * sync_utils.py has no DELETE anywhere); all-columns key fallback.
+    *
+    * `propagateDeletes = true` is the documented optional mode (§2.4-1):
+    * destination rows whose key vanished from the source are dropped via a
+    * key-only source scan + left-semi join (Merge.upsertWithDeletes) — the
+    * incremental extract stays incremental, only pk columns are re-read.
+    * With no check column (full-copy branch) this composes into the full
+    * refresh mode: destination == source after the run. */
   def run(source: TableStore, dest: TableStore, cfg: TableConfig,
           primaryKeys: Seq[String] = Seq.empty,
-          jsonColumns: Set[String] = Set.empty): SyncStats = {
+          jsonColumns: Set[String] = Set.empty,
+          propagateDeletes: Boolean = false): SyncStats = {
     val src = source.read(cfg.name)
       .getOrElse(sys.error(s"source table not found: ${cfg.name}"))
     // O2/O4: drop ignored columns only when nullable
@@ -56,7 +65,14 @@ object SyncJob {
     // O3 fallback: no PK list -> all columns as the conflict key
     val pks = if (primaryKeys.nonEmpty) primaryKeys else coerced.columns.toSeq
     val merged: DataFrame = destDf match {
-      case Some(d) => Merge.upsert(Projection.ignoring(d, cfg.ignoreColumns.toSet), coerced, pks)
+      case Some(d) =>
+        val base = Projection.ignoring(d, cfg.ignoreColumns.toSet)
+        if (propagateDeletes)
+          // key-only scan of the (coerced) source: column pruning reaches
+          // the reader, so at 100 TB this reads pk bytes, not the table
+          Merge.upsertWithDeletes(base, coerced,
+            Coerce.frame(projected, jsonColumns).select(pks.map(col): _*), pks)
+        else Merge.upsert(base, coerced, pks)
       case None    => coerced
     }
 

@@ -35,4 +35,8 @@ class InvariantQuerySpec extends SparkSpec {
   test("q89 a 50-link duplicate chain canonicalizes via pointer jumping") {
     assert(violations("q89_cc_deep_chain") === 0L)
   }
+
+  test("q91 name-and-hash file sync re-copies modified files; existence mode stays blind") {
+    assert(violations("q91_hash_file_sync") === 0L)
+  }
 }

@@ -92,6 +92,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashExchanges === 1, s"expected a single keyed shuffle:\n$p")
   }
 
+  test("q90 delete propagation reads the source key set as a key-only scan") {
+    val p = plan("q90_sync_deletes")
+    // the semi-join's build side must be the PRUNED scan: one of the
+    // orders.parquet scans reads only the pk column — delete correctness
+    // costs key bytes, not a second full-row extract
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint>"),
+      s"expected a key-only scan for the source key set:\n$p")
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("q28 JSON repair is a native expression in the plan, not a Scala UDF") {
     val p = plan("q28_json_extract")
     assert(!p.contains("UDF("), s"no Scala UDF may remain in any graded plan:\n$p")

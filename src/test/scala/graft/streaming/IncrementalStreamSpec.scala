@@ -30,6 +30,51 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(out === Set((1L, "A"), (2L, "B"), (3L, "C")))
   }
 
+  test("upsertSync: multi-batch continuous sync converges to latest-per-key, any file order") {
+    import graft.sync.ParquetStore
+    val src = Files.createTempDirectory("graft_us_src").toString
+    val cp = Files.createTempDirectory("graft_us_cp").toString
+    val destDir = Files.createTempDirectory("graft_us_dst").toString
+    // the FRESHER row for key 1 lands in the FIRST file, the staler one in
+    // the second: arrival order is the adversarial one, upsertIfNewer must
+    // still converge to ts=20
+    Seq((1L, 20L, "fresh")).toDF("k", "ts", "v").coalesce(1).write.mode("append").parquet(src)
+    Seq((1L, 10L, "stale"), (2L, 5L, "only")).toDF("k", "ts", "v")
+      .coalesce(1).write.mode("append").parquet(src)
+    val store = new ParquetStore(spark, destDir)
+    store.write(Seq((3L, 0L, "preseed"), (2L, 99L, "newer-than-stream"))
+      .toDF("k", "ts", "v"), "t")
+    val stream = spark.readStream
+      .schema(Seq((0L, 0L, "")).toDF("k", "ts", "v").schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    IncrementalStream.upsertSync(stream, store, "t",
+      pks = Seq("k"), orderCols = Seq("ts"), checkpointDir = cp).awaitTermination()
+    val out = store.read("t").get.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out === Set(
+      (1L, 20L, "fresh"),             // stale later batch did NOT clobber
+      (2L, 99L, "newer-than-stream"), // fresher dest row survives the stream
+      (3L, 0L, "preseed")))           // key absent from stream survives
+  }
+
+  test("enrichWithDim: static side joins each streaming row (broadcast)") {
+    val src = Files.createTempDirectory("graft_en_src").toString
+    Seq((1L, 10L), (2L, 20L), (1L, 30L)).toDF("k", "x")
+      .write.mode("overwrite").parquet(src)
+    val dim = Seq((1L, "one"), (2L, "two")).toDF("k", "name")
+    val stream = spark.readStream
+      .schema(Seq((0L, 0L)).toDF("k", "x").schema).parquet(src)
+    val sink = s"en_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = IncrementalStream.enrichWithDim(stream, dim, Seq("k"))
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table(sink).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    spark.catalog.dropTempView(sink)
+    assert(out === Set((1L, 10L, "one"), (2L, 20L, "two"), (1L, 30L, "one")))
+  }
+
   test("sessionizeStream: custom state via flatMapGroupsWithState across runs") {
     import IncrementalStream.{ClosedSession, SessionEvent}
     val src = Files.createTempDirectory("graft_ss_sess").toString

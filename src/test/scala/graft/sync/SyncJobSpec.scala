@@ -95,6 +95,27 @@ class SyncJobSpec extends SparkSpec {
     assert(dst.read("t").get.count() === 3) // deletions never propagate
   }
 
+  test("propagateDeletes drops vanished keys while the extract stays incremental (§2.4-1 opt-in)") {
+    val (src, dst) = (tmpStore(), tmpStore())
+    src.write(rows(1, 2, 3), "t")
+    SyncJob.run(src, dst, idCfg, Seq("id"))
+    // upstream: 2 deleted, 4 added; 1 and 3 unchanged
+    src.write(rows(1, 3, 4), "t")
+    val stats = SyncJob.run(src, dst, idCfg, Seq("id"), propagateDeletes = true)
+    assert(stats.mode === "incremental id > 3") // extract is still the delta
+    assert(dst.read("t").get.select("id").as[Long].collect().sorted === Seq(1L, 3L, 4L))
+  }
+
+  test("full-copy + propagateDeletes composes into full refresh: dest == source") {
+    val (src, dst) = (tmpStore(), tmpStore())
+    dst.write(Seq((1L, "stale"), (9L, "deleted-upstream")).toDF("id", "v"), "t")
+    src.write(Seq((1L, "fresh"), (2L, "new")).toDF("id", "v"), "t")
+    SyncJob.run(src, dst, TableConfig("t", None, None, Seq.empty), Seq("id"),
+      propagateDeletes = true)
+    val out = dst.read("t").get.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "fresh", 2L -> "new"))
+  }
+
   test("strict > skips rows sharing the max timestamp (documented quirk)") {
     val (src, dst) = (tmpStore(), tmpStore())
     val mk = (pairs: Seq[(String, Long)]) => pairs.toDF("s", "id")

@@ -1407,6 +1407,27 @@ object SparkEntry {
       } finally deleteRecursively(tmp)
     }),
 
+    // passage-level (substring) dedup: longest shared consecutive token run
+    // per doc pair — the curation signal whole-document Jaccard cannot see
+    // (a 50-token boilerplate paragraph inside otherwise-different docs).
+    // Positional 8-gram inverted index, doc-frequency gate [2, 20] (the
+    // skew bound: pair fan-out is quadratic in a gram's doc-frequency),
+    // diagonal-island run extension in pure window arithmetic — no text
+    // re-scan, no all-pairs term anywhere
+    "q94_passage_dedup" -> ((s, dir) =>
+      Dedup.passagePairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 8, minRunTokens = 20, maxDocFreq = 20)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("run_tokens"))
+        .orderBy("doc_a", "doc_b")),
+
+    // per-document duplicated-passage share: how much of each doc's 8-gram
+    // set also occurs in at least one other doc — q94's index joined back
+    // onto itself instead of paired, so the cost stays linear in corpus
+    // size (the down-weight/filter signal for mostly-boilerplate docs)
+    "q95_dup_gram_share" -> ((s, dir) =>
+      Dedup.passageDupStats(t(s, dir, "documents"), "doc_id", "text", k = 8)
+        .orderBy("doc_id")),
+
     // bucketed co-located join IN the gate: both sides written bucketed on
     // the join key, the join re-planned with broadcast disabled (so the
     // sort-merge path — the 100 TB shape — actually runs) must produce
@@ -1576,6 +1597,10 @@ object SparkEntry {
       "WITH d AS (SELECT user_id, count(*) AS n_ev FROM events GROUP BY user_id) SELECT e.event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(d.n_ev) AS BIGINT) AS sum_n_ev FROM events e JOIN d ON e.user_id = d.user_id GROUP BY e.event_type ORDER BY e.event_type",
     "q93_stream_upsert_sync" ->
       """WITH src AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id, CAST(round(value*100) AS BIGINT) AS cents FROM events), latest AS (SELECT user_id, ts_us, event_id, cents, row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn FROM src) SELECT user_id, ts_us, event_id, cents FROM latest WHERE rn = 1 UNION ALL SELECT CAST(-999 AS BIGINT), CAST(0 AS BIGINT), CAST(-1 AS BIGINT), CAST(7 AS BIGINT) ORDER BY user_id""",
+    "q94_passage_dedup" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), tri AS (SELECT doc_id, ts FROM tok WHERE len(ts) >= 8), g AS (SELECT doc_id, pos, ts[pos]||' '||ts[pos+1]||' '||ts[pos+2]||' '||ts[pos+3]||' '||ts[pos+4]||' '||ts[pos+5]||' '||ts[pos+6]||' '||ts[pos+7] AS gram FROM (SELECT doc_id, ts, unnest(range(1, len(ts)-6)) AS pos FROM tri)), keep AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram) WHERE df BETWEEN 2 AND 20), gg AS (SELECT g.doc_id, g.pos, g.gram FROM g JOIN keep USING (gram)), pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, a.pos - b.pos AS diag FROM gg a JOIN gg b ON a.gram = b.gram AND a.doc_id < b.doc_id), runs AS (SELECT da, db, diag, pa - row_number() OVER (PARTITION BY da, db, diag ORDER BY pa) AS grp FROM pairs), islands AS (SELECT da, db, count(*) AS rl FROM runs GROUP BY da, db, grp, diag) SELECT da AS doc_a, db AS doc_b, CAST(max(rl) + 7 AS BIGINT) AS run_tokens FROM islands GROUP BY da, db HAVING max(rl) + 7 >= 20 ORDER BY doc_a, doc_b""",
+    "q95_dup_gram_share" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), tri AS (SELECT doc_id, ts FROM tok WHERE len(ts) >= 8), g AS (SELECT doc_id, ts[pos]||' '||ts[pos+1]||' '||ts[pos+2]||' '||ts[pos+3]||' '||ts[pos+4]||' '||ts[pos+5]||' '||ts[pos+6]||' '||ts[pos+7] AS gram FROM (SELECT doc_id, ts, unnest(range(1, len(ts)-6)) AS pos FROM tri)), dfq AS (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram) SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams, CAST(sum(CASE WHEN dfq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams FROM g JOIN dfq USING (gram) GROUP BY g.doc_id ORDER BY doc_id""",
     "q79_group_percentiles" ->
       "SELECT event_type, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST(round(value*100) AS BIGINT)) AS BIGINT) AS med_cents, CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY CAST(round(value*100) AS BIGINT)) AS BIGINT) AS p90_cents FROM events GROUP BY event_type ORDER BY event_type",
     "q80_gap_fill" ->

@@ -321,6 +321,97 @@ object Dedup {
     graft.functions.HashedNgrams(
       transform(TextAnalysis.tokens(c), t => xxhash64(t)), n)
 
+  // ------------------------------------------- passage-level (substring) dedup
+
+  /** Passage-level (substring) dedup: for every document pair sharing at
+    * least one k-token window, the length IN TOKENS of their longest shared
+    * consecutive token run — the distributed equivalent of suffix-array
+    * substring dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better"): a 50-token boilerplate paragraph pasted into
+    * two otherwise-different documents is invisible to whole-document
+    * Jaccard (q21/q22 shapes) but surfaces here as a 50-token run.
+    *
+    * Shape, and why it scales where a suffix array cannot be built:
+    *  1. positional k-gram inverted index — one narrow pass, each doc emits
+    *     (xxhash64(gram), id, pos) triples (8-byte keys, never the gram
+    *     strings, so the shuffle is ~20 bytes/token regardless of k);
+    *  2. document-frequency gate: grams in <2 docs can never pair (that is
+    *     MOST of the index — dropped before any join); grams in more than
+    *     `maxDocFreq` docs are boilerplate whose pair fan-out is quadratic
+    *     in doc-frequency — the gate is the skew bound that keeps the
+    *     self-join linear in TRUE matches instead of quadratic in corpus;
+    *  3. equi-self-join on the gram hash (id_a < id_b) — candidate
+    *     anchors, cost proportional to shared content;
+    *  4. run extension is pure window arithmetic, NO re-scan of the text:
+    *     matches at (pa, pb) and (pa+1, pb+1) lie on the same diagonal
+    *     pa-pb, so per (pair, diagonal) the longest consecutive-pa run
+    *     (islands via pa - row_number) has token length run + k - 1.
+    * Output: (id_a, id_b, run_tokens) for pairs with
+    * run_tokens >= minRunTokens. Deterministic; 64-bit hash collisions are
+    * the only divergence from the string formulation (~1e-7 at 1e6 grams).
+    */
+  def passagePairs(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 8, minRunTokens: Int = 20,
+                   maxDocFreq: Int = 20): DataFrame = {
+    require(k >= 2, s"k-gram size must be >= 2, got $k")
+    require(minRunTokens >= k, s"minRunTokens ($minRunTokens) must be >= k ($k)")
+    // token array bound as a lambda variable (1-element-array trick, see
+    // wordNgrams) so the tokenizer regex runs once per document
+    val grams = df
+      .select(col(idCol).as("id_a"),
+        posexplode(flatten(transform(array(TextAnalysis.tokens(col(textCol))), ts =>
+          when(size(ts) >= k,
+            transform(sequence(lit(0), size(ts) - k),
+              i => xxhash64(concat_ws(" ", (0 until k).map(j => element_at(ts, i + j + 1)): _*))))
+            .otherwise(array().cast(ArrayType(LongType)))))))
+      .toDF("id_a", "pa", "__g")
+    val pairable = grams.groupBy("__g")
+      .agg(count_distinct(col("id_a")).as("__df"))
+      .filter(col("__df").between(2, maxDocFreq))
+      .select("__g")
+    val kept = grams.join(pairable, Seq("__g"))
+    val b = kept.select(col("__g").as("__gb"), col("id_a").as("id_b"), col("pa").as("pb"))
+    val anchors = kept.join(b, col("__g") === col("__gb") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("pa"), (col("pa") - col("pb")).as("__diag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a", "id_b", "__diag").orderBy("pa")
+    anchors.withColumn("__grp", col("pa") - row_number().over(w))
+      .groupBy("id_a", "id_b", "__diag", "__grp")
+      .agg(count(lit(1)).as("__rl"))
+      .groupBy("id_a", "id_b")
+      .agg((max(col("__rl")) + (k - 1)).cast(LongType).as("run_tokens"))
+      .filter(col("run_tokens") >= minRunTokens)
+  }
+
+  /** Per-document duplicated-passage share: of a document's k-token
+    * windows, how many also occur in at least one OTHER document — the
+    * curation-signal form of [[passagePairs]] (a doc that is 60% shared
+    * boilerplate gets filtered or down-weighted even when no single pair
+    * crosses a dedup threshold). Same positional gram index; instead of
+    * the pair join, the doc-frequency table joins BACK onto the index and
+    * aggregates per doc — one extra shuffle on the 8-byte gram hash,
+    * linear in corpus size, no quadratic term at all. Docs with fewer
+    * than k tokens have no windows and are omitted.
+    * Output: (id, n_grams, n_dup_grams) — exact integers. */
+  def passageDupStats(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8): DataFrame = {
+    require(k >= 2, s"k-gram size must be >= 2, got $k")
+    val grams = df
+      .select(col(idCol).as(idCol),
+        posexplode(flatten(transform(array(TextAnalysis.tokens(col(textCol))), ts =>
+          when(size(ts) >= k,
+            transform(sequence(lit(0), size(ts) - k),
+              i => xxhash64(concat_ws(" ", (0 until k).map(j => element_at(ts, i + j + 1)): _*))))
+            .otherwise(array().cast(ArrayType(LongType)))))))
+      .toDF(idCol, "__pos", "__g")
+    val dfreq = grams.groupBy("__g")
+      .agg(count_distinct(col(idCol)).as("__df"))
+    grams.join(dfreq, Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+  }
+
   // ------------------------------------------------- canonicalization
 
   /** Connected components over near-dup pairs — the step that turns pair

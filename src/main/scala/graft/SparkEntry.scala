@@ -1428,6 +1428,22 @@ object SparkEntry {
       Dedup.passageDupStats(t(s, dir, "documents"), "doc_id", "text", k = 8)
         .orderBy("doc_id")),
 
+    // semantic dedup (SemDeDup): k-means cluster, dedup by cosine WITHIN
+    // clusters only. Oracle is the GLOBAL greedy rule — they agree here
+    // because natural pair cosines top out ~0.6 << 0.95, so only the 50
+    // planted identical twins cross the threshold, and a twin co-locates
+    // with its original under ANY clustering (identical vector, identical
+    // nearest centroid). A cluster split that separated a twin pair would
+    // keep both and FAIL the compare — the recall property is load-bearing
+    "q96_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val twins = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Similarity.semanticDedup(emb.unionByName(twins), "vec_id", "embedding",
+          numCentroids = 16, threshold = 0.95)
+        .select(col("vec_id")).orderBy("vec_id")
+    }),
+
     // bucketed co-located join IN the gate: both sides written bucketed on
     // the join key, the join re-planned with broadcast disabled (so the
     // sort-merge path — the 100 TB shape — actually runs) must produce
@@ -1599,6 +1615,8 @@ object SparkEntry {
       """WITH src AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id, CAST(round(value*100) AS BIGINT) AS cents FROM events), latest AS (SELECT user_id, ts_us, event_id, cents, row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn FROM src) SELECT user_id, ts_us, event_id, cents FROM latest WHERE rn = 1 UNION ALL SELECT CAST(-999 AS BIGINT), CAST(0 AS BIGINT), CAST(-1 AS BIGINT), CAST(7 AS BIGINT) ORDER BY user_id""",
     "q94_passage_dedup" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), tri AS (SELECT doc_id, ts FROM tok WHERE len(ts) >= 8), g AS (SELECT doc_id, pos, ts[pos]||' '||ts[pos+1]||' '||ts[pos+2]||' '||ts[pos+3]||' '||ts[pos+4]||' '||ts[pos+5]||' '||ts[pos+6]||' '||ts[pos+7] AS gram FROM (SELECT doc_id, ts, unnest(range(1, len(ts)-6)) AS pos FROM tri)), keep AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram) WHERE df BETWEEN 2 AND 20), gg AS (SELECT g.doc_id, g.pos, g.gram FROM g JOIN keep USING (gram)), pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, a.pos - b.pos AS diag FROM gg a JOIN gg b ON a.gram = b.gram AND a.doc_id < b.doc_id), runs AS (SELECT da, db, diag, pa - row_number() OVER (PARTITION BY da, db, diag ORDER BY pa) AS grp FROM pairs), islands AS (SELECT da, db, count(*) AS rl FROM runs GROUP BY da, db, grp, diag) SELECT da AS doc_a, db AS doc_b, CAST(max(rl) + 7 AS BIGINT) AS run_tokens FROM islands GROUP BY da, db HAVING max(rl) + 7 >= 20 ORDER BY doc_a, doc_b""",
+    "q96_semantic_dedup" ->
+      """WITH corpus AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 50), removed AS (SELECT DISTINCT b.vec_id FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95) SELECT vec_id FROM corpus WHERE vec_id NOT IN (SELECT vec_id FROM removed) ORDER BY vec_id""",
     "q95_dup_gram_share" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), tri AS (SELECT doc_id, ts FROM tok WHERE len(ts) >= 8), g AS (SELECT doc_id, ts[pos]||' '||ts[pos+1]||' '||ts[pos+2]||' '||ts[pos+3]||' '||ts[pos+4]||' '||ts[pos+5]||' '||ts[pos+6]||' '||ts[pos+7] AS gram FROM (SELECT doc_id, ts, unnest(range(1, len(ts)-6)) AS pos FROM tri)), dfq AS (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram) SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams, CAST(sum(CASE WHEN dfq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams FROM g JOIN dfq USING (gram) GROUP BY g.doc_id ORDER BY doc_id""",
     "q79_group_percentiles" ->

@@ -218,6 +218,49 @@ object Similarity {
               k: Int, numCentroids: Int = 16, nprobe: Int = 4): DataFrame =
     ivfTopK(ivfIndex(emb, idCol, vecCol, numCentroids), idCol, vecCol, queryId, k, nprobe)
 
+  // ------------------------------------------- semantic dedup (SemDeDup)
+
+  /** Semantic (embedding-space) dedup, the SemDeDup shape (Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): k-means partitions the corpus, pairwise cosine runs
+    * only WITHIN each cluster, and a row is dropped when some same-cluster
+    * row with a smaller `idCol` sits at cosine >= threshold. The rank is
+    * the row id (deterministic keep-first); the drop rule is "any earlier
+    * near-dup anchors you out" — over chains a-b-c this removes both b and
+    * c (epsilon-ball semantics, matching SemDeDup), NOT keep-one-per-
+    * connected-component; use [[graft.dedup.Dedup.connectedComponents]] +
+    * [[graft.dedup.Dedup.keepBest]] over [[nearDupPairs]] when graph
+    * semantics are wanted.
+    *
+    * Scale shape: clustering cost is the IVF one (k-row driver collects per
+    * Lloyd round); the quadratic term is bounded per cluster — O(sum of
+    * cluster sizes squared), the SemDeDup cost model, with numCentroids
+    * sized so n/k vectors fit a partition (k ~ n/100k at web scale). The
+    * known failure mode is a runaway cluster (natural skew): mitigate by
+    * raising numCentroids or pre-splitting oversized cells with a second
+    * k-means level; the within-cluster join here is a plain shuffle
+    * equi-join on the cluster id, so AQE skew-join splitting also applies.
+    * Returns the surviving rows of `emb` (all original columns). */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    numCentroids: Int = 16, threshold: Double = 0.95,
+                    iterations: Int = 3): DataFrame = {
+    require(threshold >= 0, "dot-product threshold rewrite assumes cosine threshold >= 0")
+    val assigned = ivfIndex(emb.select(col(idCol), col(vecCol)), idCol, vecCol,
+      numCentroids, iterations).assigned
+    // norms once per vector; each pair then costs one codegen'd dot product
+    val normed = assigned.select(col("__centroid"), col(idCol),
+      col(vecCol).as("__v"), norm(col(vecCol)).as("__n"))
+    val a = normed.select(col("__centroid"), col(idCol).as("__id_a"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val b = normed.select(col("__centroid").as("__c_b"), col(idCol).as("__id_b"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
+    val removed = a.join(b, col("__centroid") === col("__c_b") && col("__id_a") < col("__id_b"))
+      .filter(dot(col("__va"), col("__vb")) >= col("__na") * col("__nb") * threshold)
+      .select(col("__id_b").as(idCol))
+      .distinct()
+    emb.join(removed, Seq(idCol), "left_anti")
+  }
+
   /** IVF-PQ: the production billion-vector architecture — the coarse
     * quantizer prunes the corpus to `nprobe` cells, the ADC code scan
     * shortlists within those cells, exact rescore picks the final k.

@@ -231,4 +231,35 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.ivfPqTopK(index, enc, df, cb, "vec_id", "embedding",
       999L, 5, nprobe = 2).count() === 0)
   }
+
+  test("semanticDedup drops identical twins, keeps originals and unrelated") {
+    val df = vecs(
+      0L -> Seq(1f, 0f, 0f), 10L -> Seq(1f, 0f, 0f),   // twin of 0 -> dropped
+      1L -> Seq(0f, 1f, 0f), 11L -> Seq(0f, 1f, 0f),   // twin of 1 -> dropped
+      2L -> Seq(0f, 0f, 1f))                            // unrelated -> kept
+    val kept = Similarity.semanticDedup(df, "vec_id", "embedding",
+      numCentroids = 2, threshold = 0.95).collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 1L, 2L))
+  }
+
+  test("semanticDedup chain a~b~c removes BOTH b and c (epsilon-ball, not CC keep-one)") {
+    // b at 16 deg from a (cos .961 >= .95), c at 32 deg (cos to a .848 < .95,
+    // cos to b .961): b is anchored out by a, c by b — even though b itself
+    // was removed, the anchor rule looks at the ORIGINAL set
+    def at(deg: Double) = Seq(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val df = vecs(0L -> at(0), 1L -> at(16), 2L -> at(32))
+    val kept = Similarity.semanticDedup(df, "vec_id", "embedding",
+      numCentroids = 1, threshold = 0.95).collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L))
+  }
+
+  test("semanticDedup preserves all original columns on survivors") {
+    val df = Seq((0L, Seq(1f, 0f), "keep-me"), (1L, Seq(1f, 0f), "dropped"))
+      .toDF("vec_id", "embedding", "tag")
+    val kept = Similarity.semanticDedup(df, "vec_id", "embedding",
+      numCentroids = 1, threshold = 0.95).collect()
+    assert(kept.length === 1)
+    assert(kept.head.getAs[String]("tag") === "keep-me")
+  }
 }

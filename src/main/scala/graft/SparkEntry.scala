@@ -1444,6 +1444,37 @@ object SparkEntry {
         .select(col("vec_id")).orderBy("vec_id")
     }),
 
+    // Z-order clustered layout: events written as 16 z-sorted files on
+    // (user_id, cents) must (a) be byte-identical under the layout-
+    // independent checksum, (b) land exactly 16 files, and (c) give every
+    // clustering dimension a mean per-file bounding-box fraction <= 0.45 —
+    // measured ~0.22-0.27 at every SF, vs >= 0.67 for a one-column sort,
+    // so the bound separates a real z-layout from a lexicographic one
+    "q97_zorder_layout" -> ((s, dir) => {
+      import graft.files.Layout
+      import graft.sync.Checksum
+      val cols = Seq("event_id", "user_id", "cents")
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast(LongType).as("cents"))
+      val tmp = java.nio.file.Files.createTempDirectory("q97").toString
+      val tableDir = s"$tmp/events_z"
+      try {
+        def fp(df: org.apache.spark.sql.DataFrame) = {
+          val r = Checksum.tableChecksum(df, cols).head
+          (r.getLong(0), r.getLong(1), r.getDecimal(2))
+        }
+        Layout.clusteredWrite(ev, tableDir, Seq("user_id", "cents"), numFiles = 16)
+        val back = s.read.parquet(tableDir)
+        val m = Layout.bboxFractions(back, Seq("user_id", "cents")).head
+        val violations =
+          (if (m.getLong(0) == 16L) 0L else 1L) +
+          (if (m.getDouble(1) <= 0.45) 0L else 1L) +
+          (if (m.getDouble(2) <= 0.45) 0L else 1L) +
+          (if (fp(back) == fp(ev)) 0L else 1L)
+        s.range(1).select(lit(violations).as("violations"))
+      } finally deleteRecursively(tmp)
+    }),
+
     // bucketed co-located join IN the gate: both sides written bucketed on
     // the join key, the join re-planned with broadcast disabled (so the
     // sort-merge path — the 100 TB shape — actually runs) must produce
@@ -1615,6 +1646,8 @@ object SparkEntry {
       """WITH src AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id, CAST(round(value*100) AS BIGINT) AS cents FROM events), latest AS (SELECT user_id, ts_us, event_id, cents, row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn FROM src) SELECT user_id, ts_us, event_id, cents FROM latest WHERE rn = 1 UNION ALL SELECT CAST(-999 AS BIGINT), CAST(0 AS BIGINT), CAST(-1 AS BIGINT), CAST(7 AS BIGINT) ORDER BY user_id""",
     "q94_passage_dedup" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), tri AS (SELECT doc_id, ts FROM tok WHERE len(ts) >= 8), g AS (SELECT doc_id, pos, ts[pos]||' '||ts[pos+1]||' '||ts[pos+2]||' '||ts[pos+3]||' '||ts[pos+4]||' '||ts[pos+5]||' '||ts[pos+6]||' '||ts[pos+7] AS gram FROM (SELECT doc_id, ts, unnest(range(1, len(ts)-6)) AS pos FROM tri)), keep AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram) WHERE df BETWEEN 2 AND 20), gg AS (SELECT g.doc_id, g.pos, g.gram FROM g JOIN keep USING (gram)), pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, a.pos - b.pos AS diag FROM gg a JOIN gg b ON a.gram = b.gram AND a.doc_id < b.doc_id), runs AS (SELECT da, db, diag, pa - row_number() OVER (PARTITION BY da, db, diag ORDER BY pa) AS grp FROM pairs), islands AS (SELECT da, db, count(*) AS rl FROM runs GROUP BY da, db, grp, diag) SELECT da AS doc_a, db AS doc_b, CAST(max(rl) + 7 AS BIGINT) AS run_tokens FROM islands GROUP BY da, db HAVING max(rl) + 7 >= 20 ORDER BY doc_a, doc_b""",
+    "q97_zorder_layout" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
     "q96_semantic_dedup" ->
       """WITH corpus AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 50), removed AS (SELECT DISTINCT b.vec_id FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95) SELECT vec_id FROM corpus WHERE vec_id NOT IN (SELECT vec_id FROM removed) ORDER BY vec_id""",
     "q95_dup_gram_share" ->

@@ -1,0 +1,96 @@
+package graft.files
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Multi-dimensional clustered layout (Z-order) for parquet tables.
+  *
+  * Parquet scans prune row groups with min/max statistics; a table sorted
+  * on one column prunes filters on THAT column and nothing else. Morton
+  * (Z-order) interleaving sorts on a space-filling curve instead, so every
+  * written file covers a compact hyper-rectangle of ALL clustering
+  * dimensions — a filter on any single dimension skips most files. The
+  * classic lakehouse `OPTIMIZE ... ZORDER BY` maintenance operation,
+  * expressed as plain Catalyst arithmetic.
+  *
+  * Scale shape: one aggregate for the per-column min/max (broadcast back,
+  * no driver round-trip in the plan), one narrow pass computing the z
+  * value (pure codegen'd bit arithmetic), one range-partitioned shuffle +
+  * per-partition sort — the same cost as any clustered write. Nothing is
+  * collected; the only driver-sized object is the range-partitioner's
+  * sample. Skew in a clustered column degrades grid occupancy, not
+  * correctness: equal-ROW file splits come from the range partitioner,
+  * while sparse regions simply yield files with wider bounding boxes
+  * (quantile bucketing would tighten them at the price of an
+  * approx_percentile pass per column).
+  */
+object Layout {
+
+  /** Morton value: round-robin bit-interleave of the low `bits` bits of
+    * each column (col j's bit i lands at position i*d + j). Inputs must
+    * already be bucketized to [0, 2^bits). Static expression tree —
+    * whole-stage-codegen'd, no UDF. */
+  def zValue(cols: Seq[Column], bits: Int): Column = {
+    val d = cols.size
+    require(d >= 1, "zValue needs at least one column")
+    require(bits * d <= 62, s"$bits bits x $d cols overflows a signed long")
+    (0 until bits).flatMap { i =>
+      cols.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * d + j)
+      }
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Min-max bucketization of a numeric column into [0, 2^bits): the
+    * one-pass normalizer (two scalars per column). `lo`/`hi` are the
+    * global bounds (columns, so they can come from a broadcast aggregate
+    * row rather than a driver collect). A constant column maps to 0. */
+  def minMaxBucket(c: Column, lo: Column, hi: Column, bits: Int): Column = {
+    val n = (1L << bits) - 1
+    least(lit(n), greatest(lit(0L), floor(
+      (c.cast(DoubleType) - lo) / greatest(hi - lo, lit(Double.MinPositiveValue))
+        * (n + 1)).cast(LongType)))
+  }
+
+  /** Write `df` as parquet clustered on `cols` via Z-order: `numFiles`
+    * range-partitioned, z-sorted files. Column order in `cols` is
+    * interleave order (all dims get equal bit weight — unlike a
+    * lexicographic sort there is no "leading" column). */
+  def clusteredWrite(df: DataFrame, path: String, cols: Seq[String],
+                     numFiles: Int, bits: Int = 8): Unit = {
+    require(cols.nonEmpty, "clusteredWrite needs at least one cluster column")
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast(DoubleType).as(s"__lo_$c"),
+      max(col(c)).cast(DoubleType).as(s"__hi_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val z = zValue(
+      cols.map(c => minMaxBucket(col(c), col(s"__lo_$c"), col(s"__hi_$c"), bits)),
+      bits)
+    df.crossJoin(broadcast(stats))
+      .withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .select(df.columns.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Layout quality: per-file bounding-box extent of each cluster column,
+    * as a fraction of the global extent, averaged over files. A perfect
+    * 2-D z-layout of f files approaches sqrt(1/f) per dimension; a
+    * single-column sort scores ~1.0 on every OTHER dimension. One scan of
+    * the written table (input_file_name grouping), one broadcast of the
+    * global extents. Output: one row, `n_files` + `frac_<col>` per column. */
+  def bboxFractions(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val perFile = df.withColumn("__f", input_file_name())
+      .groupBy("__f")
+      .agg(cols.map(c => (max(col(c)) - min(col(c))).cast(DoubleType).as(s"__r_$c")).head,
+        cols.map(c => (max(col(c)) - min(col(c))).cast(DoubleType).as(s"__r_$c")).tail: _*)
+    val totals = df.agg(
+      cols.map(c => (max(col(c)) - min(col(c))).cast(DoubleType).as(s"__t_$c")).head,
+      cols.map(c => (max(col(c)) - min(col(c))).cast(DoubleType).as(s"__t_$c")).tail: _*)
+    perFile.crossJoin(broadcast(totals))
+      .agg(count(lit(1)).as("n_files"),
+        cols.map(c => avg(col(s"__r_$c") / col(s"__t_$c")).as(s"frac_$c")): _*)
+  }
+}

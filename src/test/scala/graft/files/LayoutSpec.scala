@@ -1,0 +1,51 @@
+package graft.files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue interleaves bits round-robin (col j bit i -> position i*d + j)") {
+    // x=0b11, y=0b01: pos0=x0=1, pos1=y0=1, pos2=x1=1, pos3=y1=0 -> 0b0111
+    val z = Seq((3L, 1L)).toDF("x", "y")
+      .select(Layout.zValue(Seq(col("x"), col("y")), bits = 2).as("z"))
+      .head.getLong(0)
+    assert(z === 7L)
+    // one column degenerates to the identity on the low bits
+    val z1 = Seq(Tuple1(5L)).toDF("x")
+      .select(Layout.zValue(Seq(col("x")), bits = 3).as("z")).head.getLong(0)
+    assert(z1 === 5L)
+  }
+
+  test("minMaxBucket maps lo->0, hi->max bucket, constant column -> 0") {
+    val df = Seq(0L, 50L, 100L).toDF("v")
+      .crossJoin(Seq((0.0, 100.0)).toDF("lo", "hi"))
+    val b = df.select(Layout.minMaxBucket(col("v"), col("lo"), col("hi"), 8).as("b"))
+      .collect().map(_.getLong(0)).sorted
+    assert(b === Array(0L, 128L, 255L))
+    val const = Seq(7L).toDF("v").crossJoin(Seq((7.0, 7.0)).toDF("lo", "hi"))
+      .select(Layout.minMaxBucket(col("v"), col("lo"), col("hi"), 8).as("b"))
+      .head.getLong(0)
+    assert(const === 0L)
+  }
+
+  test("clusteredWrite keeps every row and bounds per-file bbox on BOTH dims") {
+    val dir = Files.createTempDirectory("graft_zorder").toString + "/t"
+    // 32x32 uniform grid: a 4-file z-layout should give each file a
+    // bounding box well under the full extent on both x and y; a
+    // lexicographic sort would score ~1.0 on y
+    val grid = spark.range(1024)
+      .select((col("id") % 32).as("x"), (col("id") / 32).as("y"))
+    Layout.clusteredWrite(grid, dir, Seq("x", "y"), numFiles = 4, bits = 5)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 1024)
+    assert(back.select("x", "y").except(grid).count() === 0)
+    val m = Layout.bboxFractions(back, Seq("x", "y")).head
+    assert(m.getLong(0) === 4L)
+    assert(m.getDouble(1) <= 0.6, s"frac_x = ${m.getDouble(1)}")
+    assert(m.getDouble(2) <= 0.6, s"frac_y = ${m.getDouble(2)}")
+  }
+}

@@ -1475,6 +1475,35 @@ object SparkEntry {
       } finally deleteRecursively(tmp)
     }),
 
+    // trailing-interval window (RANGE frame): 1-hour trailing sum + count
+    // per user — the rate-limit / rolling-metric shape. RANGE (not ROWS)
+    // so timestamp ties share one frame: tie-order-independent by
+    // construction, no ordering fudge needed for the hash compare
+    "q98_trailing_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600L * 1000000L, 0)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
+          round(col("value") * 100).cast(LongType).as("cents"))
+        .select(col("event_id"),
+          sum(col("cents")).over(w).cast(LongType).as("trail_cents"),
+          count(lit(1)).over(w).cast(LongType).as("trail_n"))
+        .orderBy("event_id")
+    }),
+
+    // top-k per group: the per-source "best documents" selection — one
+    // rank window per group, filter rk <= 3; partial sort per partition,
+    // single shuffle on the group key
+    "q99_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= 3)
+        .orderBy("source", "rk")
+    }),
+
     // bucketed co-located join IN the gate: both sides written bucketed on
     // the join key, the join re-planned with broadcast disabled (so the
     // sort-merge path — the 100 TB shape — actually runs) must produce
@@ -1648,6 +1677,10 @@ object SparkEntry {
       """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), tri AS (SELECT doc_id, ts FROM tok WHERE len(ts) >= 8), g AS (SELECT doc_id, pos, ts[pos]||' '||ts[pos+1]||' '||ts[pos+2]||' '||ts[pos+3]||' '||ts[pos+4]||' '||ts[pos+5]||' '||ts[pos+6]||' '||ts[pos+7] AS gram FROM (SELECT doc_id, ts, unnest(range(1, len(ts)-6)) AS pos FROM tri)), keep AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram) WHERE df BETWEEN 2 AND 20), gg AS (SELECT g.doc_id, g.pos, g.gram FROM g JOIN keep USING (gram)), pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, a.pos - b.pos AS diag FROM gg a JOIN gg b ON a.gram = b.gram AND a.doc_id < b.doc_id), runs AS (SELECT da, db, diag, pa - row_number() OVER (PARTITION BY da, db, diag ORDER BY pa) AS grp FROM pairs), islands AS (SELECT da, db, count(*) AS rl FROM runs GROUP BY da, db, grp, diag) SELECT da AS doc_a, db AS doc_b, CAST(max(rl) + 7 AS BIGINT) AS run_tokens FROM islands GROUP BY da, db HAVING max(rl) + 7 >= 20 ORDER BY doc_a, doc_b""",
     "q97_zorder_layout" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
+    "q98_trailing_window" ->
+      "SELECT event_id, CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT) AS trail_cents, CAST(count(*) OVER w AS BIGINT) AS trail_n FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) ORDER BY event_id",
+    "q99_topk_per_group" ->
+      "SELECT source, doc_id, n_chars, rk FROM (SELECT source, doc_id, n_chars, CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk FROM documents) WHERE rk <= 3 ORDER BY source, rk",
     "q96_semantic_dedup" ->
       """WITH corpus AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 50), removed AS (SELECT DISTINCT b.vec_id FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95) SELECT vec_id FROM corpus WHERE vec_id NOT IN (SELECT vec_id FROM removed) ORDER BY vec_id""",
     "q95_dup_gram_share" ->

@@ -1504,6 +1504,18 @@ object SparkEntry {
         .orderBy("source", "rk")
     }),
 
+    // token-budget mixture assembly: within each source, take documents in
+    // doc_id order until the INCLUSIVE running token total would exceed the
+    // budget — tokens, not documents, are the unit pretraining mixtures are
+    // specified in. Never overshoots; no partial documents
+    "q100_token_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Sampling.tokenBudgetSample(docs, Seq("source"), Seq(col("doc_id")),
+          "n_tokens", budget = 800L)
+        .orderBy("source", "doc_id")
+    }),
+
     // bucketed co-located join IN the gate: both sides written bucketed on
     // the join key, the join re-planned with broadcast disabled (so the
     // sort-merge path — the 100 TB shape — actually runs) must produce
@@ -1677,6 +1689,8 @@ object SparkEntry {
       """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), tri AS (SELECT doc_id, ts FROM tok WHERE len(ts) >= 8), g AS (SELECT doc_id, pos, ts[pos]||' '||ts[pos+1]||' '||ts[pos+2]||' '||ts[pos+3]||' '||ts[pos+4]||' '||ts[pos+5]||' '||ts[pos+6]||' '||ts[pos+7] AS gram FROM (SELECT doc_id, ts, unnest(range(1, len(ts)-6)) AS pos FROM tri)), keep AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram) WHERE df BETWEEN 2 AND 20), gg AS (SELECT g.doc_id, g.pos, g.gram FROM g JOIN keep USING (gram)), pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, a.pos - b.pos AS diag FROM gg a JOIN gg b ON a.gram = b.gram AND a.doc_id < b.doc_id), runs AS (SELECT da, db, diag, pa - row_number() OVER (PARTITION BY da, db, diag ORDER BY pa) AS grp FROM pairs), islands AS (SELECT da, db, count(*) AS rl FROM runs GROUP BY da, db, grp, diag) SELECT da AS doc_a, db AS doc_b, CAST(max(rl) + 7 AS BIGINT) AS run_tokens FROM islands GROUP BY da, db HAVING max(rl) + 7 >= 20 ORDER BY doc_a, doc_b""",
     "q97_zorder_layout" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
+    "q100_token_budget" ->
+      "WITH d AS (SELECT source, doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens FROM documents), c AS (SELECT source, doc_id, n_tokens, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d) SELECT source, doc_id, n_tokens FROM c WHERE cum <= 800 ORDER BY source, doc_id",
     "q98_trailing_window" ->
       "SELECT event_id, CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT) AS trail_cents, CAST(count(*) OVER w AS BIGINT) AS trail_n FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) ORDER BY event_id",
     "q99_topk_per_group" ->

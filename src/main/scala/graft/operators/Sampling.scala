@@ -92,4 +92,23 @@ object Sampling {
     }
     df.filter(pmod(xxhash64(col(idCol)), lit(1000000L)) < threshold)
   }
+
+  /** Token-budget sampling: within each key, take rows in `order` until
+    * the running total of `weightCol` exceeds `budget` — how a
+    * pretraining mixture is actually assembled ("2B tokens of web, 500M
+    * of code"), where the unit of account is tokens, not documents.
+    * A row is kept iff its running-sum-INCLUSIVE total is <= budget, so
+    * the result never overshoots; the first over-budget row is dropped
+    * (no partial documents — truncation is a separate chunking concern).
+    * One keyed window shuffle, same cost envelope as [[capPerKey]]; make
+    * `order` a total order within a key or membership is tie-dependent. */
+  def tokenBudgetSample(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                        weightCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(weightCol)).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+  }
 }

@@ -88,4 +88,17 @@ class SamplingSpec extends SparkSpec {
     assert(byStratum === Map(
       1L -> (1L to 5L), 2L -> (26L to 30L), 3L -> (51L to 55L), 4L -> (76L to 80L)))
   }
+
+  test("tokenBudgetSample: inclusive running total, never overshoots, no partial rows") {
+    val df = Seq(
+      ("a", 1L, 40L), ("a", 2L, 50L), ("a", 3L, 20L), ("a", 4L, 5L),
+      ("b", 1L, 200L),                   // first row already over budget
+      ("c", 1L, 100L), ("c", 2L, 1L))    // exactly at budget, then over
+    .toDF("src", "id", "w")
+    val kept = Sampling.tokenBudgetSample(df, Seq("src"), Seq(col("id")), "w", 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // a: 40+50=90 <= 100, +20 would be 110 -> 3 dropped; 4 also dropped
+    // even though 90+5 <= 100 (prefix rule: the ORDER decides, not best-fit)
+    assert(kept === Set(("a", 1L), ("a", 2L), ("c", 1L)))
+  }
 }

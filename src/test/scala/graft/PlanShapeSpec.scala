@@ -192,4 +192,36 @@ class PlanShapeSpec extends SparkSpec {
     assert("Scan ExistingRDD".r.findAllIn(p).size === 2,
       s"both consumers must read the checkpointed observations:\n$p")
   }
+
+  test("q94 passage dedup stays equi-join: no cartesian, no nested-loop, text scanned narrow") {
+    val p = plan("q94_passage_dedup")
+    assert(!p.contains("CartesianProduct"), s"anchor join must stay an equi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"anchor join must stay an equi-join:\n$p")
+    // the df-gate aggregate partial-combines below its exchange: singleton
+    // grams (most of the index) collapse map-side before any shuffle
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(__g")
+    assert(exchangeIdx >= 0, s"expected a gram-hash exchange:\n$p")
+    assert(p.indexOf("partial_count", exchangeIdx) > exchangeIdx,
+      s"expected partial aggregate under the gram-hash exchange:\n$p")
+  }
+
+  test("q96 semantic dedup joins only within clusters — equi on the cluster id") {
+    val p = plan("q96_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), s"pair join must be bounded by cluster:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"pair join must be bounded by cluster:\n$p")
+  }
+
+  test("q98 trailing RANGE window is one keyed shuffle, no join") {
+    val p = plan("q98_trailing_window")
+    assert(!p.contains("Join"), s"a rolling window must not plan a join:\n$p")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges === 1, s"expected a single keyed shuffle:\n$p")
+  }
+
+  test("q100 token budget is one keyed window shuffle, no join") {
+    val p = plan("q100_token_budget")
+    assert(!p.contains("Join"), s"budget cut must not plan a join:\n$p")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges === 1, s"expected a single keyed shuffle:\n$p")
+  }
 }

@@ -1226,6 +1226,39 @@ object SparkEntry {
           + when(count(lit(1)) === 0L, 1L).otherwise(0L)).as("violations"))
     }),
 
+    // PCM16 audio decode graded end-to-end: every doc becomes a planted
+    // square wave (alternating +A/-A, little-endian int16) whose features
+    // are EXACT integers — RMS of a square wave is its amplitude, and
+    // sqrt(A*A) is exact in doubles for A <= 32767 — so decode must
+    // reproduce (n, 1000*A, A) bit-for-bit; an endianness or sign bug
+    // cannot pass (A >= 256 makes byte order visible, negatives make
+    // sign extension visible)
+    "q101_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      implicit val session: SparkSession = s
+      val media = t(s, dir, "documents").select(col("doc_id").cast(LongType)).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = 100 + (id % 50).toInt
+            val amp = (256 + id % 1000).toInt
+            val bytes = new Array[Byte](2 * n)
+            var i = 0
+            while (i < n) {
+              val s16 = if (i % 2 == 0) amp else -amp
+              bytes(2 * i) = (s16 & 0xff).toByte
+              bytes(2 * i + 1) = ((s16 >> 8) & 0xff).toByte
+              i += 1
+            }
+            Multimodal.MediaRecord(id, bytes)
+          }
+        }.toDF()
+      Multimodal.decodeAudio(media).toDF()
+        .agg((sum(when(col("n_samples") =!= lit(100L) + col("doc_id") % 50L
+            || col("rms_milli") =!= (lit(256L) + col("doc_id") % 1000L) * 1000L
+            || col("peak") =!= lit(256L) + col("doc_id") % 1000L, 1L).otherwise(0L))
+          + when(count(lit(1)) === 0L, 1L).otherwise(0L)).as("violations"))
+    }),
+
     // small-file compaction graded end-to-end: a 64-file table rewritten
     // to ~5 target-sized files must (a) land exactly
     // max(1, ceil(bytes/target)) files — the operator's sizing contract —
@@ -1672,6 +1705,8 @@ object SparkEntry {
     "q86_srp_twin" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q87_image_decode" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    "q101_audio_decode" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q88_compaction" ->
       "SELECT CAST(0 AS BIGINT) AS violations",

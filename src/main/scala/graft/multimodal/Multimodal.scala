@@ -105,6 +105,39 @@ object Multimodal {
     }
   }
 
+  /** Decoded audio metadata — the standard audio-QC triple (duration in
+    * samples, loudness, clipping headroom), all Long for cross-engine
+    * schema stability. `rms_milli` is floor(1000 * RMS) so the loudness
+    * survives the integer schema. */
+  case class DecodedAudio(doc_id: Long, n_samples: Long, rms_milli: Long, peak: Long)
+
+  /** PCM16-LE decode: the payload as signed 16-bit little-endian mono
+    * samples (the WAV data-chunk layout; a trailing odd byte is ignored,
+    * a null/short payload decodes to zeros rather than killing the task).
+    * Real arithmetic on the real byte layout — unlike image decode there
+    * is no codec registry to defer to, so the audio path has no stub: this
+    * IS the decoder. Cost is one linear pass per payload, executed inside
+    * the same per-partition iterator as the other codecs. */
+  def decodePcm16(id: Long, bytes: Array[Byte]): DecodedAudio = {
+    if (bytes == null || bytes.length < 2) return DecodedAudio(id, 0L, 0L, 0L)
+    val n = bytes.length / 2
+    var i = 0; var sumSq = 0.0; var peak = 0L
+    while (i < n) {
+      val s = (((bytes(2 * i + 1): Int) << 8) | (bytes(2 * i) & 0xff)).toShort.toLong
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      sumSq += s.toDouble * s
+      i += 1
+    }
+    DecodedAudio(id, n.toLong, math.floor(math.sqrt(sumSq / n) * 1000.0).toLong, peak)
+  }
+
+  /** Partition-parallel PCM16 audio decode — same batch shape as [[decode]]. */
+  def decodeAudio(media: DataFrame)(implicit spark: SparkSession): Dataset[DecodedAudio] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(it => it.map(r => decodePcm16(r.doc_id, r.media)))
+  }
+
   /** Feature-extracted media: fixed-width byte histogram (16 bins) — the
     * Spark-side shape of an embedding/feature extractor (fixed-size vector
     * per doc, computed batch-wise on executors). Counts, not ratios, so the

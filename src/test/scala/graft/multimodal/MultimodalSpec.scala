@@ -93,4 +93,32 @@ class MultimodalSpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getLong(2)))
     assert(frames.toSeq === Seq((0L, 0L), (1L, 4L), (2L, 8L)))
   }
+
+  test("decodePcm16: little-endian signed samples, exact RMS floor and peak") {
+    // samples 3, -4: LE bytes (03 00, fc ff); RMS = sqrt(12.5) -> 3535 milli
+    val bytes = Array[Byte](0x03, 0x00, 0xfc.toByte, 0xff.toByte)
+    val d = Multimodal.decodePcm16(7L, bytes)
+    assert(d === Multimodal.DecodedAudio(7L, 2L, 3535L, 4L))
+    // byte order matters: 0x0100 = 256, not 1 — an endianness bug is visible
+    val d2 = Multimodal.decodePcm16(1L, Array[Byte](0x00, 0x01))
+    assert(d2.peak === 256L)
+    // Short.MinValue: |s| must not overflow to a negative peak
+    val d3 = Multimodal.decodePcm16(2L, Array[Byte](0x00, 0x80.toByte))
+    assert(d3.peak === 32768L)
+  }
+
+  test("decodePcm16: trailing odd byte ignored, null and empty decode to zeros") {
+    val d = Multimodal.decodePcm16(1L, Array[Byte](0x05, 0x00, 0x7f))
+    assert(d.n_samples === 1L && d.peak === 5L)
+    assert(Multimodal.decodePcm16(2L, null) === Multimodal.DecodedAudio(2L, 0L, 0L, 0L))
+    assert(Multimodal.decodePcm16(3L, Array.emptyByteArray) === Multimodal.DecodedAudio(3L, 0L, 0L, 0L))
+  }
+
+  test("decodeAudio runs the codec partition-parallel over binary payloads") {
+    val payload = Array[Byte](0x0a, 0x00, 0xf6.toByte, 0xff.toByte) // +10, -10
+    val df = Seq((1L, payload), (2L, payload)).toDF("doc_id", "media")
+    val out = Multimodal.decodeAudio(df).collect().sortBy(_.doc_id)
+    assert(out.map(_.rms_milli).toSeq === Seq(10000L, 10000L))
+    assert(out.map(_.n_samples).toSeq === Seq(2L, 2L))
+  }
 }

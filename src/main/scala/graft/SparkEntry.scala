@@ -1549,6 +1549,26 @@ object SparkEntry {
         .orderBy("source", "doc_id")
     }),
 
+    // the composed curation pipeline end-to-end: quality gate -> language
+    // filter -> exact dedup -> per-source token budget — every stage is a
+    // graded operator (q18/q19/q16/q100) but THIS grades their composition,
+    // the actual "what ships into the training mix" query. Stage order is
+    // the cost order: narrow codegen'd filters first, the dedup shuffle on
+    // the reduced set, the budget window on the deduped set
+    "q102_curation_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val kept = docs.filter(TextAnalysis.qualityOk(col("text")) === 1
+        && TextAnalysis.langId(col("text")) === "en")
+      val survivors = kept.join(
+        Dedup.exact(kept, "text", "doc_id").select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val withTok = survivors.select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Sampling.tokenBudgetSample(withTok, Seq("source"), Seq(col("doc_id")),
+          "n_tokens", budget = 500L)
+        .orderBy("source", "doc_id")
+    }),
+
     // bucketed co-located join IN the gate: both sides written bucketed on
     // the join key, the join re-planned with broadcast disabled (so the
     // sort-merge path — the 100 TB shape — actually runs) must produce
@@ -1724,6 +1744,8 @@ object SparkEntry {
       """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), tri AS (SELECT doc_id, ts FROM tok WHERE len(ts) >= 8), g AS (SELECT doc_id, pos, ts[pos]||' '||ts[pos+1]||' '||ts[pos+2]||' '||ts[pos+3]||' '||ts[pos+4]||' '||ts[pos+5]||' '||ts[pos+6]||' '||ts[pos+7] AS gram FROM (SELECT doc_id, ts, unnest(range(1, len(ts)-6)) AS pos FROM tri)), keep AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram) WHERE df BETWEEN 2 AND 20), gg AS (SELECT g.doc_id, g.pos, g.gram FROM g JOIN keep USING (gram)), pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, a.pos - b.pos AS diag FROM gg a JOIN gg b ON a.gram = b.gram AND a.doc_id < b.doc_id), runs AS (SELECT da, db, diag, pa - row_number() OVER (PARTITION BY da, db, diag ORDER BY pa) AS grp FROM pairs), islands AS (SELECT da, db, count(*) AS rl FROM runs GROUP BY da, db, grp, diag) SELECT da AS doc_a, db AS doc_b, CAST(max(rl) + 7 AS BIGINT) AS run_tokens FROM islands GROUP BY da, db HAVING max(rl) + 7 >= 20 ORDER BY doc_a, doc_b""",
     "q97_zorder_layout" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
+    "q102_curation_pipeline" ->
+      """WITH f AS (SELECT doc_id, text, source, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok, len(regexp_extract_all(lower(text), '\b(the|a|an|of|and|to|in|is|it|for)\b')) AS n_stop, len(regexp_extract_all(lower(text), '\b(the|of|and|is|to)\b')) AS s_en, len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS s_de, len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|y|de)\b')) AS s_es, len(regexp_extract_all(lower(text), '\b(le|les|des|est|et|une)\b')) AS s_fr FROM documents), k AS (SELECT doc_id, text, source FROM f WHERE n_tok >= 5 AND n_stop * 2 <= n_tok AND s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr), d AS (SELECT min(doc_id) AS doc_id FROM k GROUP BY text), sv AS (SELECT k.source, k.doc_id, CAST(len(regexp_extract_all(lower(k.text), '[a-z0-9]+')) AS BIGINT) AS n_tokens FROM k JOIN d USING (doc_id)), c AS (SELECT source, doc_id, n_tokens, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM sv) SELECT source, doc_id, n_tokens FROM c WHERE cum <= 500 ORDER BY source, doc_id""",
     "q100_token_budget" ->
       "WITH d AS (SELECT source, doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens FROM documents), c AS (SELECT source, doc_id, n_tokens, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d) SELECT source, doc_id, n_tokens FROM c WHERE cum <= 800 ORDER BY source, doc_id",
     "q98_trailing_window" ->

@@ -1259,6 +1259,41 @@ object SparkEntry {
           + when(count(lit(1)) === 0L, 1L).otherwise(0L)).as("violations"))
     }),
 
+    // WAV container decode graded end-to-end: planted RIFF/WAVE payloads
+    // (fmt chunk + square-wave PCM16 data chunk; every other doc gets an
+    // odd-sized JUNK chunk before data, so the chunk WALK — not a fixed
+    // offset — is what passes). All expectations are exact integers
+    "q103_wav_decode" -> ((s, dir) => {
+      import s.implicits._
+      implicit val session: SparkSession = s
+      val media = t(s, dir, "documents").select(col("doc_id").cast(LongType)).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = 100 + (id % 50).toInt
+            val amp = (256 + id % 1000).toInt
+            val rate = (8000 + (id % 8) * 1000).toInt
+            val bos = new java.io.ByteArrayOutputStream()
+            def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+            def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+            def tag(t: String): Unit = bos.write(t.getBytes("US-ASCII"))
+            tag("RIFF"); le32(0); tag("WAVE")
+            tag("fmt "); le32(16); le16(1); le16(1); le32(rate)
+            le32(rate * 2); le16(2); le16(16)
+            if (id % 2 == 0) { tag("JUNK"); le32(3); bos.write(Array[Byte](9, 9, 9)); bos.write(0) }
+            tag("data"); le32(n * 2)
+            (0 until n).foreach(i => le16(if (i % 2 == 0) amp else -amp))
+            Multimodal.MediaRecord(id, bos.toByteArray)
+          }
+        }.toDF()
+      Multimodal.decodeWavs(media).toDF()
+        .agg((sum(when(col("sample_rate") =!= lit(8000L) + (col("doc_id") % 8L) * 1000L
+            || col("channels") =!= 1L
+            || col("n_samples") =!= lit(100L) + col("doc_id") % 50L
+            || col("rms_milli") =!= (lit(256L) + col("doc_id") % 1000L) * 1000L
+            || col("peak") =!= lit(256L) + col("doc_id") % 1000L, 1L).otherwise(0L))
+          + when(count(lit(1)) === 0L, 1L).otherwise(0L)).as("violations"))
+    }),
+
     // small-file compaction graded end-to-end: a 64-file table rewritten
     // to ~5 target-sized files must (a) land exactly
     // max(1, ceil(bytes/target)) files — the operator's sizing contract —
@@ -1727,6 +1762,8 @@ object SparkEntry {
     "q87_image_decode" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q101_audio_decode" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    "q103_wav_decode" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q88_compaction" ->
       "SELECT CAST(0 AS BIGINT) AS violations",

@@ -138,6 +138,61 @@ object Multimodal {
     media.as[MediaRecord].mapPartitions(it => it.map(r => decodePcm16(r.doc_id, r.media)))
   }
 
+  /** WAV container metadata + decoded samples. sample_rate/channels come
+    * from the fmt chunk; the audio triple from the data chunk's PCM16. */
+  case class DecodedWav(doc_id: Long, sample_rate: Long, channels: Long,
+                        n_samples: Long, rms_milli: Long, peak: Long)
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  /** Parse a RIFF/WAVE payload: walk the chunk list (chunks are NOT at
+    * fixed offsets — encoders insert LIST/fact chunks before data), read
+    * sample rate + channel count from `fmt `, decode the `data` chunk as
+    * PCM16. Same O(header)+O(samples) single pass as the other codecs; any
+    * malformed structure degrades to an all-zero row, never a task kill.
+    * Only format code 1 (integer PCM) with 16-bit samples is decoded —
+    * float/ADPCM payloads surface their header metadata with zeroed sample
+    * stats rather than garbage. */
+  def decodeWav(id: Long, bytes: Array[Byte]): DecodedWav = {
+    val zero = DecodedWav(id, 0L, 0L, 0L, 0L, 0L)
+    if (bytes == null || bytes.length < 12 ||
+        !(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') ||
+        !(bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'))
+      return zero
+    var off = 12
+    var rate = 0L; var channels = 0L; var fmtCode = -1; var bps = 0
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= bytes.length) {
+      val cid = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val len = le32(bytes, off + 4).toInt
+      if (len < 0 || off + 8 + len > bytes.length) return zero // truncated chunk
+      if (cid == "fmt " && len >= 16) {
+        fmtCode = le16(bytes, off + 8)
+        channels = le16(bytes, off + 10).toLong
+        rate = le32(bytes, off + 12)
+        bps = le16(bytes, off + 22)
+      } else if (cid == "data") {
+        dataOff = off + 8; dataLen = len
+      }
+      off += 8 + len + (len & 1) // chunks are word-aligned; odd sizes pad
+    }
+    if (rate <= 0 || channels <= 0) return zero
+    if (fmtCode != 1 || bps != 16 || dataOff < 0)
+      return DecodedWav(id, rate, channels, 0L, 0L, 0L)
+    val pcm = decodePcm16(id, java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + dataLen))
+    DecodedWav(id, rate, channels, pcm.n_samples, pcm.rms_milli, pcm.peak)
+  }
+
+  /** Partition-parallel WAV decode — same batch shape as [[decode]]. */
+  def decodeWavs(media: DataFrame)(implicit spark: SparkSession): Dataset[DecodedWav] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(it => it.map(r => decodeWav(r.doc_id, r.media)))
+  }
+
   /** Feature-extracted media: fixed-width byte histogram (16 bins) — the
     * Spark-side shape of an embedding/feature extractor (fixed-size vector
     * per doc, computed batch-wise on executors). Counts, not ratios, so the

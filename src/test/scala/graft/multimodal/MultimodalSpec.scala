@@ -114,6 +114,40 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodePcm16(3L, Array.emptyByteArray) === Multimodal.DecodedAudio(3L, 0L, 0L, 0L))
   }
 
+  private def wav(rate: Int, channels: Int, samples: Seq[Int],
+                  junkBeforeData: Boolean = false, fmtCode: Int = 1): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+    def tag(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    tag("RIFF"); le32(0); tag("WAVE") // size field unchecked by the parser
+    tag("fmt "); le32(16); le16(fmtCode); le16(channels); le32(rate)
+    le32(rate * channels * 2); le16(channels * 2); le16(16)
+    if (junkBeforeData) { tag("JUNK"); le32(3); bos.write(Array[Byte](1, 2, 3)); bos.write(0) } // odd size -> pad
+    tag("data"); le32(samples.length * 2); samples.foreach(le16)
+    bos.toByteArray
+  }
+
+  test("decodeWav parses fmt + data chunks, walking past interleaved chunks") {
+    val d = Multimodal.decodeWav(1L, wav(8000, 1, Seq(300, -300, 300, -300)))
+    assert(d === Multimodal.DecodedWav(1L, 8000L, 1L, 4L, 300000L, 300L))
+    // a JUNK chunk with odd size + pad byte before data must not break the walk
+    val d2 = Multimodal.decodeWav(2L, wav(44100, 2, Seq(5, -5), junkBeforeData = true))
+    assert(d2 === Multimodal.DecodedWav(2L, 44100L, 2L, 2L, 5000L, 5L))
+  }
+
+  test("decodeWav degrades: garbage -> zeros, non-PCM fmt -> header only") {
+    assert(Multimodal.decodeWav(1L, "not a wav at all".getBytes) ===
+      Multimodal.DecodedWav(1L, 0L, 0L, 0L, 0L, 0L))
+    assert(Multimodal.decodeWav(2L, null).sample_rate === 0L)
+    // truncated data chunk: declared length runs past the payload
+    val t = wav(8000, 1, Seq(1, 2, 3))
+    assert(Multimodal.decodeWav(3L, t.dropRight(2)).sample_rate === 0L)
+    // IEEE-float format code: header metadata surfaces, samples zeroed
+    val f = Multimodal.decodeWav(4L, wav(16000, 1, Seq(9, 9), fmtCode = 3))
+    assert(f === Multimodal.DecodedWav(4L, 16000L, 1L, 0L, 0L, 0L))
+  }
+
   test("decodeAudio runs the codec partition-parallel over binary payloads") {
     val payload = Array[Byte](0x0a, 0x00, 0xf6.toByte, 0xff.toByte) // +10, -10
     val df = Seq((1L, payload), (2L, payload)).toDF("doc_id", "media")

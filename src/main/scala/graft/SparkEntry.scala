@@ -1543,6 +1543,37 @@ object SparkEntry {
       } finally deleteRecursively(tmp)
     }),
 
+    // stats-index pruned read — the PAYOFF of the q97 layout, graded: a
+    // 10%-wide band on cents must (a) return exactly the full-scan filter
+    // result through the file-pruned path and (b) touch <= 8 of 16 files
+    // (measured 2-3 at every SF; a one-column user_id sort would touch all
+    // 16, so the bound separates real 2-D clustering from a linear sort)
+    "q104_pruned_read" -> ((s, dir) => {
+      import graft.files.Layout
+      import graft.sync.Checksum
+      val cols = Seq("event_id", "user_id", "cents")
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast(LongType).as("cents"))
+      val tmp = java.nio.file.Files.createTempDirectory("q104").toString
+      val tableDir = s"$tmp/events_z"
+      try {
+        Layout.clusteredWrite(ev, tableDir, Seq("user_id", "cents"), numFiles = 16)
+        val idx = Layout.statsIndex(s, tableDir, Seq("user_id", "cents"))
+        val b = ev.agg(min("cents").as("lo"), max("cents").as("hi")).head
+        val (cmin, cmax) = (b.getLong(0), b.getLong(1))
+        val (lo, hi) = (cmin + (cmax - cmin) * 45 / 100, cmin + (cmax - cmin) * 55 / 100)
+        val (pruned, nFiles) = Layout.prunedRead(s, tableDir, idx, "cents", lo, hi)
+        def fp(df: org.apache.spark.sql.DataFrame) = {
+          val r = Checksum.tableChecksum(df, cols).head
+          (r.getLong(0), r.getLong(1), r.getDecimal(2))
+        }
+        val violations =
+          (if (fp(pruned) == fp(ev.filter(col("cents").between(lo, hi)))) 0L else 1L) +
+          (if (nFiles >= 1L && nFiles <= 8L) 0L else 1L)
+        s.range(1).select(lit(violations).as("violations"))
+      } finally deleteRecursively(tmp)
+    }),
+
     // trailing-interval window (RANGE frame): 1-hour trailing sum + count
     // per user — the rate-limit / rolling-metric shape. RANGE (not ROWS)
     // so timestamp ties share one frame: tie-order-independent by
@@ -1780,6 +1811,8 @@ object SparkEntry {
     "q94_passage_dedup" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), tri AS (SELECT doc_id, ts FROM tok WHERE len(ts) >= 8), g AS (SELECT doc_id, pos, ts[pos]||' '||ts[pos+1]||' '||ts[pos+2]||' '||ts[pos+3]||' '||ts[pos+4]||' '||ts[pos+5]||' '||ts[pos+6]||' '||ts[pos+7] AS gram FROM (SELECT doc_id, ts, unnest(range(1, len(ts)-6)) AS pos FROM tri)), keep AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram) WHERE df BETWEEN 2 AND 20), gg AS (SELECT g.doc_id, g.pos, g.gram FROM g JOIN keep USING (gram)), pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, a.pos - b.pos AS diag FROM gg a JOIN gg b ON a.gram = b.gram AND a.doc_id < b.doc_id), runs AS (SELECT da, db, diag, pa - row_number() OVER (PARTITION BY da, db, diag ORDER BY pa) AS grp FROM pairs), islands AS (SELECT da, db, count(*) AS rl FROM runs GROUP BY da, db, grp, diag) SELECT da AS doc_a, db AS doc_b, CAST(max(rl) + 7 AS BIGINT) AS run_tokens FROM islands GROUP BY da, db HAVING max(rl) + 7 >= 20 ORDER BY doc_a, doc_b""",
     "q97_zorder_layout" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    "q104_pruned_read" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q102_curation_pipeline" ->
       """WITH f AS (SELECT doc_id, text, source, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok, len(regexp_extract_all(lower(text), '\b(the|a|an|of|and|to|in|is|it|for)\b')) AS n_stop, len(regexp_extract_all(lower(text), '\b(the|of|and|is|to)\b')) AS s_en, len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS s_de, len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|y|de)\b')) AS s_es, len(regexp_extract_all(lower(text), '\b(le|les|des|est|et|une)\b')) AS s_fr FROM documents), k AS (SELECT doc_id, text, source FROM f WHERE n_tok >= 5 AND n_stop * 2 <= n_tok AND s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr), d AS (SELECT min(doc_id) AS doc_id FROM k GROUP BY text), sv AS (SELECT k.source, k.doc_id, CAST(len(regexp_extract_all(lower(k.text), '[a-z0-9]+')) AS BIGINT) AS n_tokens FROM k JOIN d USING (doc_id)), c AS (SELECT source, doc_id, n_tokens, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM sv) SELECT source, doc_id, n_tokens FROM c WHERE cum <= 500 ORDER BY source, doc_id""",

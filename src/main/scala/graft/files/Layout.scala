@@ -75,6 +75,39 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** File-level min/max statistics index — the manifest every lakehouse
+    * table format keeps: one row per data file with each indexed column's
+    * bounds. Built with one distributed scan (grouped on
+    * input_file_name); at 100 TB the index is itself a small table
+    * (#files rows) that should be persisted next to the data and
+    * incrementally maintained on write. */
+  def statsIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                 cols: Seq[String]): DataFrame =
+    spark.read.parquet(path).withColumn("__file", input_file_name())
+      .groupBy("__file")
+      .agg(cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))).head,
+        cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))).tail: _*)
+
+  /** Range-predicate read through the stats index: keep only files whose
+    * [min, max] interval overlaps [lo, hi], then re-apply the exact filter
+    * (file pruning is a superset guarantee, not a membership one). The
+    * driver holds the matched FILE LIST — metadata bounded by #files, the
+    * same object every manifest-based planner materializes, never data
+    * rows. Returns the filtered frame plus how many files the scan
+    * touches: on a [[clusteredWrite]] layout a narrow band touches a small
+    * fraction of files on ANY clustered dimension; on a one-column sort
+    * only that column prunes. */
+  def prunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
+                 idx: DataFrame, valueCol: String, lo: Long, hi: Long): (DataFrame, Long) = {
+    val files = idx
+      .filter(col(s"min_$valueCol") <= hi && col(s"max_$valueCol") >= lo)
+      .select("__file").collect().map(_.getString(0))
+    val base =
+      if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    (base.filter(col(valueCol).between(lo, hi)), files.length.toLong)
+  }
+
   /** Layout quality: per-file bounding-box extent of each cluster column,
     * as a fraction of the global extent, averaged over files. A perfect
     * 2-D z-layout of f files approaches sqrt(1/f) per dimension; a

@@ -48,4 +48,22 @@ class LayoutSpec extends SparkSpec {
     assert(m.getDouble(1) <= 0.6, s"frac_x = ${m.getDouble(1)}")
     assert(m.getDouble(2) <= 0.6, s"frac_y = ${m.getDouble(2)}")
   }
+
+  test("statsIndex + prunedRead: exact result through a strict file subset") {
+    val dir = Files.createTempDirectory("graft_pruned").toString + "/t"
+    val grid = spark.range(1024)
+      .select(col("id"), (col("id") % 32).as("x"), (col("id") / 32).as("y"))
+    Layout.clusteredWrite(grid, dir, Seq("x", "y"), numFiles = 4, bits = 5)
+    val idx = Layout.statsIndex(spark, dir, Seq("x", "y"))
+    assert(idx.count() === 4L)
+    // band on y (the non-leading dim of a would-be x sort)
+    val (pruned, nFiles) = Layout.prunedRead(spark, dir, idx, "y", 10L, 12L)
+    assert(nFiles < 4L, s"band read must prune at least one file, read $nFiles")
+    val expect = grid.filter(col("y").between(10, 12))
+    assert(pruned.select("id").except(expect.select("id")).count() === 0)
+    assert(expect.select("id").except(pruned.select("id")).count() === 0)
+    // empty band: no files, empty result, same schema
+    val (none, n0) = Layout.prunedRead(spark, dir, idx, "y", 999L, 1000L)
+    assert(n0 === 0L && none.count() === 0L)
+  }
 }

@@ -243,18 +243,29 @@ object Similarity {
     * Returns the surviving rows of `emb` (all original columns). */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     numCentroids: Int = 16, threshold: Double = 0.95,
-                    iterations: Int = 3): DataFrame = {
+                    iterations: Int = 3, rankCol: Option[String] = None): DataFrame = {
     require(threshold >= 0, "dot-product threshold rewrite assumes cosine threshold >= 0")
-    val assigned = ivfIndex(emb.select(col(idCol), col(vecCol)), idCol, vecCol,
+    // anchor precedence: (rank, id) lexicographic when a rank column is
+    // given (LOWER rank survives — pass a quality score negated, or a
+    // distance-to-centroid, to get SemDeDup's keep-best), plain id
+    // otherwise. The id tiebreak keeps the rule a total order, so the
+    // survivor set is deterministic whatever the rank's ties.
+    val base = ivfIndex(emb.select(col(idCol), col(vecCol)), idCol, vecCol,
       numCentroids, iterations).assigned
+    val assigned = rankCol match {
+      case Some(rc) => base.join(emb.select(col(idCol), col(rc).as("__rank")), Seq(idCol))
+      case None => base.withColumn("__rank", col(idCol))
+    }
     // norms once per vector; each pair then costs one codegen'd dot product
-    val normed = assigned.select(col("__centroid"), col(idCol),
+    val normed = assigned.select(col("__centroid"), col(idCol), col("__rank"),
       col(vecCol).as("__v"), norm(col(vecCol)).as("__n"))
-    val a = normed.select(col("__centroid"), col(idCol).as("__id_a"),
+    val a = normed.select(col("__centroid"), col(idCol).as("__id_a"), col("__rank").as("__r_a"),
       col("__v").as("__va"), col("__n").as("__na"))
-    val b = normed.select(col("__centroid").as("__c_b"), col(idCol).as("__id_b"),
+    val b = normed.select(col("__centroid").as("__c_b"), col(idCol).as("__id_b"), col("__rank").as("__r_b"),
       col("__v").as("__vb"), col("__n").as("__nb"))
-    val removed = a.join(b, col("__centroid") === col("__c_b") && col("__id_a") < col("__id_b"))
+    val precedes = col("__r_a") < col("__r_b") ||
+      (col("__r_a") === col("__r_b") && col("__id_a") < col("__id_b"))
+    val removed = a.join(b, col("__centroid") === col("__c_b") && precedes)
       .filter(dot(col("__va"), col("__vb")) >= col("__na") * col("__nb") * threshold)
       .select(col("__id_b").as(idCol))
       .distinct()

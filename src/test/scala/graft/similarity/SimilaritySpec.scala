@@ -254,6 +254,18 @@ class SimilaritySpec extends SparkSpec {
     assert(kept === Set(0L))
   }
 
+  test("semanticDedup rankCol: the BEST-ranked twin survives, not the lowest id") {
+    val df = Seq(
+      (0L, Seq(1f, 0f), 5L),   // twin pair: id 1 has the better (lower) rank
+      (1L, Seq(1f, 0f), 2L),
+      (2L, Seq(0f, 1f), 9L))   // unrelated
+      .toDF("vec_id", "embedding", "quality_rank")
+    val kept = Similarity.semanticDedup(df, "vec_id", "embedding",
+      numCentroids = 1, threshold = 0.95, rankCol = Some("quality_rank"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L))
+  }
+
   test("semanticDedup preserves all original columns on survivors") {
     val df = Seq((0L, Seq(1f, 0f), "keep-me"), (1L, Seq(1f, 0f), "dropped"))
       .toDF("vec_id", "embedding", "tag")

@@ -69,4 +69,35 @@ class PassageDedupSpec extends SparkSpec {
     assert(Dedup.passagePairs(d, "doc_id", "text", k = 3, minRunTokens = 3).count() === 0L)
     assert(Dedup.passageDupStats(d, "doc_id", "text", k = 3).count() === 0L)
   }
+
+  test("property: passagePairs equals brute-force longest common token run") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // tiny vocab forces frequent shared runs; maxDocFreq = numDocs so the
+    // df gate only drops singleton grams (which cannot form a pair anyway)
+    val docGen = Gen.listOfN(4,
+      Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd", "ee"))))
+    def lcr(a: Seq[String], b: Seq[String]): Int = {
+      var best = 0
+      for (i <- a.indices; j <- b.indices) {
+        var l = 0
+        while (i + l < a.length && j + l < b.length && a(i + l) == b(j + l)) l += 1
+        if (l > best) best = l
+      }
+      best
+    }
+    val prop = Prop.forAll(docGen) { toks =>
+      val df = toks.zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = Dedup.passagePairs(df, "doc_id", "text",
+          k = 3, minRunTokens = 3, maxDocFreq = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = (for {
+        i <- toks.indices; j <- toks.indices if i < j
+        run = lcr(toks(i), toks(j)) if run >= 3
+      } yield (i.toLong, j.toLong) -> run.toLong).toMap
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

@@ -66,4 +66,26 @@ class LayoutSpec extends SparkSpec {
     val (none, n0) = Layout.prunedRead(spark, dir, idx, "y", 999L, 1000L)
     assert(n0 === 0L && none.count() === 0L)
   }
+
+  test("property: zValue is a bijection on the grid (deinterleave recovers x and y)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val bits = 8
+    val xy = Gen.zip(Gen.choose(0L, (1L << bits) - 1), Gen.choose(0L, (1L << bits) - 1))
+    val prop = Prop.forAll(Gen.listOfN(32, xy)) { pts =>
+      pts.isEmpty || {
+        val zs = pts.toDF("x", "y")
+          .select(col("x"), col("y"),
+            Layout.zValue(Seq(col("x"), col("y")), bits).as("z"))
+          .collect()
+        zs.forall { r =>
+          val (x, y, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+          val dx = (0 until bits).map(i => ((z >> (2 * i)) & 1L) << i).sum
+          val dy = (0 until bits).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+          dx == x && dy == y
+        }
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

@@ -101,4 +101,25 @@ class SamplingSpec extends SparkSpec {
     // even though 90+5 <= 100 (prefix rule: the ORDER decides, not best-fit)
     assert(kept === Set(("a", 1L), ("a", 2L), ("c", 1L)))
   }
+
+  test("property: tokenBudgetSample equals the per-key prefix scan") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val rowsGen = Gen.listOf(Gen.zip(Gen.oneOf("a", "b"), Gen.choose(0L, 50L)))
+      .map(_.zipWithIndex.map { case ((k, w), i) => (k, i.toLong, w) })
+    val prop = Prop.forAll(rowsGen, Gen.choose(1L, 120L)) { (rows, budget) =>
+      rows.isEmpty || {
+        val got = Sampling.tokenBudgetSample(rows.toDF("src", "id", "w"),
+            Seq("src"), Seq(col("id")), "w", budget)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        val want = rows.groupBy(_._1).values.flatMap { rs =>
+          rs.sortBy(_._2).scanLeft(("", -1L, 0L)) { case ((_, _, cum), (k, id, w)) =>
+            (k, id, cum + w)
+          }.drop(1).takeWhile(_._3 <= budget).map(r => (r._1, r._2))
+        }.toSet
+        got == want
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

@@ -355,6 +355,8 @@ object Dedup {
                    maxDocFreq: Int = 20): DataFrame = {
     require(k >= 2, s"k-gram size must be >= 2, got $k")
     require(minRunTokens >= k, s"minRunTokens ($minRunTokens) must be >= k ($k)")
+    require(maxDocFreq >= 2,
+      s"maxDocFreq ($maxDocFreq) < 2 gates out every pairable gram — nothing could ever match")
     // token array bound as a lambda variable (1-element-array trick, see
     // wordNgrams) so the tokenizer regex runs once per document
     val grams = df

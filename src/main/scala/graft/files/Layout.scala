@@ -60,6 +60,10 @@ object Layout {
   def clusteredWrite(df: DataFrame, path: String, cols: Seq[String],
                      numFiles: Int, bits: Int = 8): Unit = {
     require(cols.nonEmpty, "clusteredWrite needs at least one cluster column")
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    // an empty input writes numFiles empty partitions (a valid empty
+    // table); NULL cluster values sort together at z-range start (null
+    // arithmetic yields a null z, ordered first by rangepartitioning)
     val aggs = cols.flatMap(c => Seq(
       min(col(c)).cast(DoubleType).as(s"__lo_$c"),
       max(col(c)).cast(DoubleType).as(s"__hi_$c")))

@@ -249,7 +249,9 @@ object Similarity {
     // given (LOWER rank survives — pass a quality score negated, or a
     // distance-to-centroid, to get SemDeDup's keep-best), plain id
     // otherwise. The id tiebreak keeps the rule a total order, so the
-    // survivor set is deterministic whatever the rank's ties.
+    // survivor set is deterministic whatever the rank's ties. NULL ranks
+    // fail every comparison: a null-ranked row neither anchors nor gets
+    // removed — coalesce ranks before calling if nulls are possible.
     val base = ivfIndex(emb.select(col(idCol), col(vecCol)), idCol, vecCol,
       numCentroids, iterations).assigned
     val assigned = rankCol match {

@@ -1574,6 +1574,24 @@ object SparkEntry {
       } finally deleteRecursively(tmp)
     }),
 
+    // snapshot diff (CDC between two extracts): a derived "after" snapshot
+    // with planted removals (keys % 97), in-place changes (% 89), and
+    // additions (% 101 copied to new keys) must classify exactly — one
+    // full-outer join on the pk, delta-sized output
+    "q105_snapshot_diff" -> ((s, dir) => {
+      import graft.sync.Diff
+      val base = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+      val after = base.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("cents",
+          when(col("o_orderkey") % 89 === 0, col("cents") + 1).otherwise(col("cents")))
+        .unionByName(base.filter(col("o_orderkey") % 101 === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            col("o_custkey"), col("cents")))
+      Diff.snapshotDiff(base, after, Seq("o_orderkey"), Seq("o_custkey", "cents"))
+        .orderBy("o_orderkey")
+    }),
+
     // trailing-interval window (RANGE frame): 1-hour trailing sum + count
     // per user — the rate-limit / rolling-metric shape. RANGE (not ROWS)
     // so timestamp ties share one frame: tie-order-independent by
@@ -1814,6 +1832,8 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q104_pruned_read" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
+    "q105_snapshot_diff" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey, CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders), a AS (SELECT o_orderkey, o_custkey, CASE WHEN o_orderkey % 89 = 0 THEN cents + 1 ELSE cents END AS cents FROM b WHERE o_orderkey % 97 <> 0 UNION ALL SELECT o_orderkey + 100000000, o_custkey, cents FROM b WHERE o_orderkey % 101 = 0) SELECT o_orderkey, change_type FROM (SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS o_orderkey, CASE WHEN b.o_orderkey IS NULL THEN 'added' WHEN a.o_orderkey IS NULL THEN 'removed' WHEN b.o_custkey IS DISTINCT FROM a.o_custkey OR b.cents IS DISTINCT FROM a.cents THEN 'changed' END AS change_type FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey) WHERE change_type IS NOT NULL ORDER BY o_orderkey""",
     "q102_curation_pipeline" ->
       """WITH f AS (SELECT doc_id, text, source, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok, len(regexp_extract_all(lower(text), '\b(the|a|an|of|and|to|in|is|it|for)\b')) AS n_stop, len(regexp_extract_all(lower(text), '\b(the|of|and|is|to)\b')) AS s_en, len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS s_de, len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|y|de)\b')) AS s_es, len(regexp_extract_all(lower(text), '\b(le|les|des|est|et|une)\b')) AS s_fr FROM documents), k AS (SELECT doc_id, text, source FROM f WHERE n_tok >= 5 AND n_stop * 2 <= n_tok AND s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr), d AS (SELECT min(doc_id) AS doc_id FROM k GROUP BY text), sv AS (SELECT k.source, k.doc_id, CAST(len(regexp_extract_all(lower(k.text), '[a-z0-9]+')) AS BIGINT) AS n_tokens FROM k JOIN d USING (doc_id)), c AS (SELECT source, doc_id, n_tokens, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM sv) SELECT source, doc_id, n_tokens FROM c WHERE cum <= 500 ORDER BY source, doc_id""",
     "q100_token_budget" ->

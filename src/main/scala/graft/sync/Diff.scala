@@ -1,0 +1,45 @@
+package graft.sync
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Snapshot diff — change-data-capture between two extracts of the same
+  * table (reference workflow: nightly full extracts, "what changed since
+  * yesterday"). One full-outer join keyed on the primary key; each side's
+  * presence + a null-safe column comparison classifies the row:
+  *
+  *  - `added`:   key only in `after`
+  *  - `removed`: key only in `before`
+  *  - `changed`: key in both, any compared column differs (null-safe:
+  *               NULL -> value and value -> NULL both count as a change)
+  *
+  * Unchanged rows are NOT emitted — the output is delta-sized, which is
+  * the point at 100 TB: the join shuffles both snapshots once on the key
+  * (co-partitioned if both sides are bucketed on the pk, zero-exchange via
+  * `operators.Bucketing`), but only the delta materializes. Anti-entropy
+  * first: when `Checksum.tableChecksum` matches there is no delta and the
+  * diff can be skipped entirely.
+  */
+object Diff {
+
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+                   pks: Seq[String], compareCols: Seq[String]): DataFrame = {
+    require(pks.nonEmpty, "snapshotDiff needs at least one key column")
+    require(compareCols.nonEmpty, "snapshotDiff needs at least one compare column")
+    val b = before.select((pks ++ compareCols).map(col): _*)
+      .withColumn("__in_b", lit(true))
+    val a = after.select((pks ++ compareCols).map(c => col(c).as(s"__a_$c")): _*)
+      .withColumn("__in_a", lit(true))
+    val joinCond = pks.map(k => col(k) === col(s"__a_$k")).reduce(_ && _)
+    val differs = compareCols
+      .map(c => !(col(c) <=> col(s"__a_$c")))
+      .reduce(_ || _)
+    b.join(a, joinCond, "full_outer")
+      .withColumn("change_type",
+        when(col("__in_b").isNull, lit("added"))
+          .when(col("__in_a").isNull, lit("removed"))
+          .when(differs, lit("changed")))
+      .filter(col("change_type").isNotNull)
+      .select(pks.map(k => coalesce(col(k), col(s"__a_$k")).as(k)) :+ col("change_type"): _*)
+  }
+}

@@ -1,0 +1,42 @@
+package graft.sync
+
+import graft.SparkSpec
+
+class DiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val before = Seq(
+    (1L, Some("a"), 10L),  // unchanged -> omitted
+    (2L, Some("b"), 20L),  // value change
+    (3L, Some("c"), 30L),  // removed
+    (4L, None: Option[String], 40L), // null -> value change
+    (5L, Some("e"), 50L))  // value -> null change
+    .toDF("id", "name", "v")
+
+  private val after = Seq(
+    (1L, Some("a"), 10L),
+    (2L, Some("b"), 21L),
+    (4L, Some("d"), 40L),
+    (5L, None: Option[String], 50L),
+    (6L, Some("f"), 60L))  // added
+    .toDF("id", "name", "v")
+
+  test("snapshotDiff classifies added/removed/changed, null-safe, delta only") {
+    val out = Diff.snapshotDiff(before, after, Seq("id"), Seq("name", "v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(2L -> "changed", 3L -> "removed", 4L -> "changed",
+      5L -> "changed", 6L -> "added"))
+  }
+
+  test("identical snapshots produce an empty diff") {
+    assert(Diff.snapshotDiff(before, before, Seq("id"), Seq("name", "v")).count() === 0L)
+  }
+
+  test("composite keys join on all key columns") {
+    val b = Seq((1L, "x", 10L), (1L, "y", 20L)).toDF("k1", "k2", "v")
+    val a = Seq((1L, "x", 10L), (1L, "y", 99L)).toDF("k1", "k2", "v")
+    val out = Diff.snapshotDiff(b, a, Seq("k1", "k2"), Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(out === Map((1L, "y") -> "changed"))
+  }
+}

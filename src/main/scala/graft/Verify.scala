@@ -9,6 +9,10 @@ object Verify {
     // optional extra args: restrict the dump to the named queries
     // (local pre-commit checks; the driver always passes exactly two args)
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown queries ${unknown.mkString(", ")} — a typo here would make " +
+        "the local check pass vacuously (nothing dumped, nothing compared)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

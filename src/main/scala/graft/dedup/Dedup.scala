@@ -350,6 +350,28 @@ object Dedup {
     * run_tokens >= minRunTokens. Deterministic; 64-bit hash collisions are
     * the only divergence from the string formulation (~1e-7 at 1e6 grams).
     */
+  /** Positional k-gram index: one (id, position, xxhash64(gram)) row per
+    * token window. The token array is bound as a lambda variable
+    * (1-element-array trick, see wordNgrams) so the tokenizer regex runs
+    * once per document; docs shorter than k tokens emit nothing. Shared by
+    * [[passagePairs]] and [[passageDupStats]] so the two surfaces cannot
+    * drift. The result is `localCheckpoint`ed: both consumers drive it
+    * through several plan subtrees (df-gate aggregate, join probe, both
+    * self-join sides), and without materialization the full tokenize +
+    * explode pass over the corpus would re-execute per subtree —
+    * production substring-dedup pipelines materialize exactly this index
+    * (~20 bytes/token, linear, far smaller than re-reading the text). */
+  private def positionalGrams(df: DataFrame, idCol: String, textCol: String,
+                              k: Int, outId: String): DataFrame =
+    df.select(col(idCol).as(outId),
+        posexplode(flatten(transform(array(TextAnalysis.tokens(col(textCol))), ts =>
+          when(size(ts) >= k,
+            transform(sequence(lit(0), size(ts) - k),
+              i => xxhash64(concat_ws(" ", (0 until k).map(j => element_at(ts, i + j + 1)): _*))))
+            .otherwise(array().cast(ArrayType(LongType)))))))
+      .toDF(outId, "__pos", "__g")
+      .localCheckpoint()
+
   def passagePairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 8, minRunTokens: Int = 20,
                    maxDocFreq: Int = 20): DataFrame = {
@@ -357,16 +379,8 @@ object Dedup {
     require(minRunTokens >= k, s"minRunTokens ($minRunTokens) must be >= k ($k)")
     require(maxDocFreq >= 2,
       s"maxDocFreq ($maxDocFreq) < 2 gates out every pairable gram — nothing could ever match")
-    // token array bound as a lambda variable (1-element-array trick, see
-    // wordNgrams) so the tokenizer regex runs once per document
-    val grams = df
-      .select(col(idCol).as("id_a"),
-        posexplode(flatten(transform(array(TextAnalysis.tokens(col(textCol))), ts =>
-          when(size(ts) >= k,
-            transform(sequence(lit(0), size(ts) - k),
-              i => xxhash64(concat_ws(" ", (0 until k).map(j => element_at(ts, i + j + 1)): _*))))
-            .otherwise(array().cast(ArrayType(LongType)))))))
-      .toDF("id_a", "pa", "__g")
+    val grams = positionalGrams(df, idCol, textCol, k, "id_a")
+      .withColumnRenamed("__pos", "pa")
     val pairable = grams.groupBy("__g")
       .agg(count_distinct(col("id_a")).as("__df"))
       .filter(col("__df").between(2, maxDocFreq))
@@ -398,14 +412,7 @@ object Dedup {
   def passageDupStats(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 8): DataFrame = {
     require(k >= 2, s"k-gram size must be >= 2, got $k")
-    val grams = df
-      .select(col(idCol).as(idCol),
-        posexplode(flatten(transform(array(TextAnalysis.tokens(col(textCol))), ts =>
-          when(size(ts) >= k,
-            transform(sequence(lit(0), size(ts) - k),
-              i => xxhash64(concat_ws(" ", (0 until k).map(j => element_at(ts, i + j + 1)): _*))))
-            .otherwise(array().cast(ArrayType(LongType)))))))
-      .toDF(idCol, "__pos", "__g")
+    val grams = positionalGrams(df, idCol, textCol, k, idCol)
     val dfreq = grams.groupBy("__g")
       .agg(count_distinct(col(idCol)).as("__df"))
     grams.join(dfreq, Seq("__g"))

@@ -78,8 +78,16 @@ object FileSync {
               dryRun: Boolean = false, compareContent: Boolean = false): SyncStats = {
     val list: (SparkSession, String) => DataFrame =
       if (compareContent) listFilesWithHash else listFiles
-    val src = list(spark, srcDir)
-    val dst = list(spark, dstDir)
+    // the plan below drives several actions (counts + the copy) over each
+    // listing; in content mode every recompute would re-read and re-hash
+    // EVERY byte of the tree, so the (metadata-sized) hash listing is
+    // materialized once — O(bytes) exactly once per tree, the operator's
+    // documented cost. The existence-only listing stays lazy: re-listing
+    // names is O(names) and not worth a checkpoint.
+    def once(df: DataFrame): DataFrame =
+      if (compareContent) df.localCheckpoint() else df
+    val src = once(list(spark, srcDir))
+    val dst = once(list(spark, dstDir))
     val (toCopy, existing) = plan(src, dst, compareContent)
     val total = src.count()
     val nExisting = existing.count()

@@ -168,8 +168,12 @@ object Multimodal {
     var dataOff = -1; var dataLen = 0
     while (off + 8 <= bytes.length) {
       val cid = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val len = le32(bytes, off + 4).toInt
-      if (len < 0 || off + 8 + len > bytes.length) return zero // truncated chunk
+      // compare in Long: a crafted 32-bit size near Int.MaxValue would wrap
+      // `off + 8 + len` negative and sail past the truncation check (then
+      // crash the task downstream — violating the degrade-don't-kill contract)
+      val lenL = le32(bytes, off + 4)
+      if (off + 8L + lenL > bytes.length) return zero // truncated chunk
+      val len = lenL.toInt
       if (cid == "fmt " && len >= 16) {
         fmtCode = le16(bytes, off + 8)
         channels = le16(bytes, off + 10).toLong

@@ -48,7 +48,11 @@ object Similarity {
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
     require(threshold >= 0, "dot-product threshold rewrite assumes cosine threshold >= 0")
+    // zero-norm guard: dot >= 0*0*t holds vacuously, so without it a single
+    // all-zero vector (a failed embed) pairs with EVERYTHING — and cosine
+    // against a zero vector is NaN (undefined), not similar
     val normed = emb.select(col(idCol), col(vecCol).as("__v"), norm(col(vecCol)).as("__n"))
+      .filter(col("__n") > 0)
     val a = normed.select(col(idCol).as("vec_a"), col("__v").as("__va"), col("__n").as("__na"))
     val b = normed.select(col(idCol).as("vec_b"), col("__v").as("__vb"), col("__n").as("__nb"))
     a.join(b, col("vec_a") < col("vec_b"))
@@ -82,7 +86,9 @@ object Similarity {
                       threshold: Double, numPlanes: Int = 8, numTables: Int = 6,
                       dim: Int = 64): DataFrame = {
     require(threshold >= 0, "dot-product threshold rewrite assumes cosine threshold >= 0")
+    // zero-norm guard: see nearDupPairs — a zero vector must not pair
     val normed = emb.select(col(idCol), col(vecCol).as("__v"), norm(col(vecCol)).as("__n"))
+      .filter(col("__n") > 0)
     val bucketed = normed.select(col(idCol), col("__v"), col("__n"),
       explode(array((0 until numTables).map { t =>
         struct(lit(t).as("tbl"), srpBucket(col("__v"), hyperplanes(numPlanes, dim, seed = 42L + t)).as("bkt"))
@@ -258,9 +264,13 @@ object Similarity {
       case Some(rc) => base.join(emb.select(col(idCol), col(rc).as("__rank")), Seq(idCol))
       case None => base.withColumn("__rank", col(idCol))
     }
-    // norms once per vector; each pair then costs one codegen'd dot product
+    // norms once per vector; each pair then costs one codegen'd dot product.
+    // The zero-norm guard is LOAD-BEARING here: without it dot >= 0*0*t
+    // holds vacuously and one all-zero embedding (a failed embed) would
+    // silently anchor out every later-ranked row in its cluster
     val normed = assigned.select(col("__centroid"), col(idCol), col("__rank"),
       col(vecCol).as("__v"), norm(col(vecCol)).as("__n"))
+      .filter(col("__n") > 0)
     val a = normed.select(col("__centroid"), col(idCol).as("__id_a"), col("__rank").as("__r_a"),
       col("__v").as("__va"), col("__n").as("__na"))
     val b = normed.select(col("__centroid").as("__c_b"), col(idCol).as("__id_b"), col("__rank").as("__r_b"),

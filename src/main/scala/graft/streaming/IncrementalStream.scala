@@ -98,8 +98,10 @@ object IncrementalStream {
     * row can never clobber a fresher one, so the destination converges to
     * the same table under ANY batch partitioning or arrival order —
     * multi-batch determinism is an upsertIfNewer property, not a source
-    * ordering assumption. Within a batch, rows are first reduced to one
-    * per key by the same precedence (micro-batch task order is a race).
+    * ordering assumption. Intra-batch duplicates reduce to one row per key
+    * inside the same merge window (micro-batch task order is a race, the
+    * precedence order is not); only the very first batch, with no
+    * destination to merge into, pays a separate reduction window.
     * `Trigger.AvailableNow` gives the scheduled-batch deployment of the
     * reference; the default trigger runs it as true streaming. */
   def upsertSync(stream: DataFrame, store: graft.sync.TableStore, table: String,
@@ -109,13 +111,17 @@ object IncrementalStream {
     import org.apache.spark.sql.expressions.Window
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val w = Window.partitionBy(pks.map(col): _*)
-          .orderBy(orderCols.map(col(_).desc) :+ xxhash64(batch.columns.map(col).toIndexedSeq: _*).desc: _*)
-        val latest = batch.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
+        // upsertIfNewer's window already reduces intra-batch duplicates by
+        // the same (orderCols, row-hash) precedence, so the merge path pays
+        // ONE keyed shuffle of dest ∪ batch per micro-batch; a separate
+        // pre-reduction window is only needed when no destination exists
         val merged = store.read(table) match {
-          case Some(dest) => Merge.upsertIfNewer(dest, latest, pks, orderCols)
-          case None       => latest
+          case Some(dest) => Merge.upsertIfNewer(dest, batch, pks, orderCols)
+          case None =>
+            val w = Window.partitionBy(pks.map(col): _*)
+              .orderBy(orderCols.map(col(_).desc) :+ xxhash64(batch.columns.map(col).toIndexedSeq: _*).desc: _*)
+            batch.withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") === 1).drop("__rn")
         }
         store.write(merged, table)
       }

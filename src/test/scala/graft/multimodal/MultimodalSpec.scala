@@ -146,6 +146,11 @@ class MultimodalSpec extends SparkSpec {
     // IEEE-float format code: header metadata surfaces, samples zeroed
     val f = Multimodal.decodeWav(4L, wav(16000, 1, Seq(9, 9), fmtCode = 3))
     assert(f === Multimodal.DecodedWav(4L, 16000L, 1L, 0L, 0L, 0L))
+    // crafted chunk size near Int.MaxValue: Int arithmetic would wrap the
+    // truncation check negative and crash downstream — must degrade to zeros
+    val crafted = "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ Array[Byte](0xf0.toByte, 0xff.toByte, 0xff.toByte, 0x7f)
+    assert(Multimodal.decodeWav(5L, crafted) === Multimodal.DecodedWav(5L, 0L, 0L, 0L, 0L, 0L))
   }
 
   test("decodeAudio runs the codec partition-parallel over binary payloads") {

@@ -266,6 +266,22 @@ class SimilaritySpec extends SparkSpec {
     assert(kept === Set(1L, 2L))
   }
 
+  test("zero-norm vectors never pair and never anchor removals") {
+    val df = vecs(
+      0L -> Seq(0f, 0f),    // failed embed: must not pair with anything
+      1L -> Seq(1f, 0f), 2L -> Seq(1f, 0f),  // real twin pair
+      3L -> Seq(0f, 1f))
+    assert(Similarity.nearDupPairs(df, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    assert(Similarity.lshNearDupPairs(df, "vec_id", "embedding", 0.9, dim = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    // the zero vector itself SURVIVES dedup (it anchors nothing, matches
+    // nothing); only the later twin is removed
+    val kept = Similarity.semanticDedup(df, "vec_id", "embedding",
+      numCentroids = 1, threshold = 0.9).collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 1L, 3L))
+  }
+
   test("semanticDedup preserves all original columns on survivors") {
     val df = Seq((0L, Seq(1f, 0f), "keep-me"), (1L, Seq(1f, 0f), "dropped"))
       .toDF("vec_id", "embedding", "tag")

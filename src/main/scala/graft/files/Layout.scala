@@ -53,26 +53,59 @@ object Layout {
         * (n + 1)).cast(LongType)))
   }
 
+  /** Quantile (equi-depth) bucketization: bucket = how many of the 2^bits-1
+    * approx-quantile boundaries the value has passed. The upgrade path for
+    * SKEWED columns — min-max bucketing concentrates a skewed column's mass
+    * in a few grid cells, so files covering the sparse tail get wide
+    * bounding boxes; rank-space bucketing makes occupancy uniform by
+    * construction. Cost: one approx_percentile pass per column at write
+    * time; the boundary array (2^bits doubles) rides the expression as a
+    * literal. The per-row bucket scan is O(2^bits) comparisons — keep
+    * `bits` <= 8 on this path. */
+  def quantileBucket(c: Column, boundaries: Array[Double]): Column =
+    least(lit(boundaries.length.toLong), greatest(lit(0L),
+      aggregate(typedLit(boundaries.toSeq), lit(0L),
+        (acc, b) => acc + when(c.cast(DoubleType) >= b, 1L).otherwise(0L))))
+
   /** Write `df` as parquet clustered on `cols` via Z-order: `numFiles`
     * range-partitioned, z-sorted files. Column order in `cols` is
     * interleave order (all dims get equal bit weight — unlike a
-    * lexicographic sort there is no "leading" column). */
+    * lexicographic sort there is no "leading" column). `quantile = true`
+    * switches from min-max to equi-depth bucketization (see
+    * [[quantileBucket]]) — worth it when a clustering column is heavily
+    * skewed; identical output semantics either way (same rows, different
+    * file assignment). */
   def clusteredWrite(df: DataFrame, path: String, cols: Seq[String],
-                     numFiles: Int, bits: Int = 8): Unit = {
+                     numFiles: Int, bits: Int = 8, quantile: Boolean = false): Unit = {
     require(cols.nonEmpty, "clusteredWrite needs at least one cluster column")
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     // an empty input writes numFiles empty partitions (a valid empty
     // table); NULL cluster values sort together at z-range start (null
     // arithmetic yields a null z, ordered first by rangepartitioning)
-    val aggs = cols.flatMap(c => Seq(
-      min(col(c)).cast(DoubleType).as(s"__lo_$c"),
-      max(col(c)).cast(DoubleType).as(s"__hi_$c")))
-    val stats = df.agg(aggs.head, aggs.tail: _*)
-    val z = zValue(
-      cols.map(c => minMaxBucket(col(c), col(s"__lo_$c"), col(s"__hi_$c"), bits)),
-      bits)
-    df.crossJoin(broadcast(stats))
-      .withColumn("__z", z)
+    val clustered =
+      if (quantile) {
+        val nb = (1 << bits) - 1
+        val fracs = (1 to nb).map(_.toDouble / (nb + 1))
+        val aggs = cols.map(c => expr(
+          s"approx_percentile(cast($c as double), array(${fracs.mkString(",")}), 10000)")
+          .as(s"__q_$c"))
+        val row = df.agg(aggs.head, aggs.tail: _*).head
+        val buckets = cols.zipWithIndex.map { case (c, i) =>
+          val bs = Option(row.getSeq[Double](i)).getOrElse(Seq.empty).toArray
+          if (bs.isEmpty) lit(0L) else quantileBucket(col(c), bs)
+        }
+        df.withColumn("__z", zValue(buckets, bits))
+      } else {
+        val aggs = cols.flatMap(c => Seq(
+          min(col(c)).cast(DoubleType).as(s"__lo_$c"),
+          max(col(c)).cast(DoubleType).as(s"__hi_$c")))
+        val stats = df.agg(aggs.head, aggs.tail: _*)
+        val z = zValue(
+          cols.map(c => minMaxBucket(col(c), col(s"__lo_$c"), col(s"__hi_$c"), bits)),
+          bits)
+        df.crossJoin(broadcast(stats)).withColumn("__z", z)
+      }
+    clustered
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .select(df.columns.map(col): _*)

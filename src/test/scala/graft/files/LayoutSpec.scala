@@ -67,6 +67,31 @@ class LayoutSpec extends SparkSpec {
     assert(n0 === 0L && none.count() === 0L)
   }
 
+  test("quantile bucketing keeps discriminating where an outlier collapses min-max") {
+    // y mass lives in [0,99] with one outlier at 1e6: min-max maps ALL
+    // normal rows to y-bucket 0 (no discrimination — every file spans the
+    // whole normal y range), while equi-depth boundaries ignore the outlier
+    val data = spark.range(1024)
+      .select(col("id"), (col("id") % 32).as("x"),
+        when(col("id") === 0, 1000000L).otherwise(col("id") % 100).as("y"))
+    def medianYExtent(dir: String): Double = {
+      val exts = spark.read.parquet(dir).withColumn("__f", input_file_name())
+        .filter(col("y") < 1000000L) // the outlier's own extent isn't the point
+        .groupBy("__f").agg((max("y") - min("y")).as("ext"))
+        .collect().map(_.getLong(1)).sorted
+      exts(exts.length / 2).toDouble
+    }
+    val d1 = Files.createTempDirectory("graft_qminmax").toString + "/t"
+    Layout.clusteredWrite(data, d1, Seq("x", "y"), numFiles = 4, bits = 5)
+    val d2 = Files.createTempDirectory("graft_qquant").toString + "/t"
+    Layout.clusteredWrite(data, d2, Seq("x", "y"), numFiles = 4, bits = 5, quantile = true)
+    assert(spark.read.parquet(d2).count() === 1024)
+    assert(spark.read.parquet(d2).select("id").except(data.select("id")).count() === 0)
+    val (mm, qq) = (medianYExtent(d1), medianYExtent(d2))
+    assert(mm >= 90.0, s"outlier should collapse min-max y-discrimination, median extent $mm")
+    assert(qq <= 60.0, s"quantile bucketing should keep y tight, median extent $qq")
+  }
+
   test("property: zValue is a bijection on the grid (deinterleave recovers x and y)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val bits = 8

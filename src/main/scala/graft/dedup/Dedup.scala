@@ -355,12 +355,15 @@ object Dedup {
     * (1-element-array trick, see wordNgrams) so the tokenizer regex runs
     * once per document; docs shorter than k tokens emit nothing. Shared by
     * [[passagePairs]] and [[passageDupStats]] so the two surfaces cannot
-    * drift. The result is `localCheckpoint`ed: both consumers drive it
-    * through several plan subtrees (df-gate aggregate, join probe, both
+    * drift. The result is LAZILY `localCheckpoint`ed: both consumers drive
+    * it through several plan subtrees (df-gate aggregate, join probe, both
     * self-join sides), and without materialization the full tokenize +
     * explode pass over the corpus would re-execute per subtree —
     * production substring-dedup pipelines materialize exactly this index
-    * (~20 bytes/token, linear, far smaller than re-reading the text). */
+    * (~20 bytes/token, linear, far smaller than re-reading the text).
+    * Lazy (eager = false) so merely CONSTRUCTING the query launches no
+    * job; the cost is the materialization barrier itself — a filter
+    * composed on top of the returned frame cannot push below it. */
   private def positionalGrams(df: DataFrame, idCol: String, textCol: String,
                               k: Int, outId: String): DataFrame =
     df.select(col(idCol).as(outId),
@@ -370,7 +373,7 @@ object Dedup {
               i => xxhash64(concat_ws(" ", (0 until k).map(j => element_at(ts, i + j + 1)): _*))))
             .otherwise(array().cast(ArrayType(LongType)))))))
       .toDF(outId, "__pos", "__g")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
   def passagePairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 8, minRunTokens: Int = 20,

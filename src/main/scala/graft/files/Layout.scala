@@ -63,9 +63,13 @@ object Layout {
     * literal. The per-row bucket scan is O(2^bits) comparisons — keep
     * `bits` <= 8 on this path. */
   def quantileBucket(c: Column, boundaries: Array[Double]): Column =
-    least(lit(boundaries.length.toLong), greatest(lit(0L),
-      aggregate(typedLit(boundaries.toSeq), lit(0L),
-        (acc, b) => acc + when(c.cast(DoubleType) >= b, 1L).otherwise(0L))))
+    // NULL stays a null bucket (and so a null z) — matching the min-max
+    // path's NULL-sorts-first behavior; the otherwise(0) fold would
+    // silently place NULLs in bucket 0 and scatter them by the other dims
+    when(c.isNull, lit(null).cast(LongType)).otherwise(
+      least(lit(boundaries.length.toLong), greatest(lit(0L),
+        aggregate(typedLit(boundaries.toSeq), lit(0L),
+          (acc, b) => acc + when(c.cast(DoubleType) >= b, 1L).otherwise(0L)))))
 
   /** Write `df` as parquet clustered on `cols` via Z-order: `numFiles`
     * range-partitioned, z-sorted files. Column order in `cols` is
@@ -84,10 +88,12 @@ object Layout {
     // arithmetic yields a null z, ordered first by rangepartitioning)
     val clustered =
       if (quantile) {
+        require(bits <= 12,
+          s"quantile path is O(2^bits) comparisons per row — bits=$bits too large")
         val nb = (1 << bits) - 1
         val fracs = (1 to nb).map(_.toDouble / (nb + 1))
         val aggs = cols.map(c => expr(
-          s"approx_percentile(cast($c as double), array(${fracs.mkString(",")}), 10000)")
+          s"approx_percentile(cast(`$c` as double), array(${fracs.mkString(",")}), 10000)")
           .as(s"__q_$c"))
         val row = df.agg(aggs.head, aggs.tail: _*).head
         val buckets = cols.zipWithIndex.map { case (c, i) =>

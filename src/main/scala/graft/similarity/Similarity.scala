@@ -48,11 +48,12 @@ object Similarity {
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
     require(threshold >= 0, "dot-product threshold rewrite assumes cosine threshold >= 0")
-    // zero-norm guard: dot >= 0*0*t holds vacuously, so without it a single
-    // all-zero vector (a failed embed) pairs with EVERYTHING — and cosine
-    // against a zero vector is NaN (undefined), not similar
+    // zero/NaN-norm guard: dot >= 0*0*t holds vacuously, and NaN compares
+    // GREATER than every numeric in Spark's ordering, so without both
+    // checks a failed embed (all-zero or any-NaN vector) pairs with
+    // EVERYTHING — cosine against such a vector is NaN/undefined, not similar
     val normed = emb.select(col(idCol), col(vecCol).as("__v"), norm(col(vecCol)).as("__n"))
-      .filter(col("__n") > 0)
+      .filter(col("__n") > 0 && !isnan(col("__n")))
     val a = normed.select(col(idCol).as("vec_a"), col("__v").as("__va"), col("__n").as("__na"))
     val b = normed.select(col(idCol).as("vec_b"), col("__v").as("__vb"), col("__n").as("__nb"))
     a.join(b, col("vec_a") < col("vec_b"))
@@ -88,7 +89,7 @@ object Similarity {
     require(threshold >= 0, "dot-product threshold rewrite assumes cosine threshold >= 0")
     // zero-norm guard: see nearDupPairs — a zero vector must not pair
     val normed = emb.select(col(idCol), col(vecCol).as("__v"), norm(col(vecCol)).as("__n"))
-      .filter(col("__n") > 0)
+      .filter(col("__n") > 0 && !isnan(col("__n")))
     val bucketed = normed.select(col(idCol), col("__v"), col("__n"),
       explode(array((0 until numTables).map { t =>
         struct(lit(t).as("tbl"), srpBucket(col("__v"), hyperplanes(numPlanes, dim, seed = 42L + t)).as("bkt"))
@@ -270,7 +271,7 @@ object Similarity {
     // silently anchor out every later-ranked row in its cluster
     val normed = assigned.select(col("__centroid"), col(idCol), col("__rank"),
       col(vecCol).as("__v"), norm(col(vecCol)).as("__n"))
-      .filter(col("__n") > 0)
+      .filter(col("__n") > 0 && !isnan(col("__n")))
     val a = normed.select(col("__centroid"), col(idCol).as("__id_a"), col("__rank").as("__r_a"),
       col("__v").as("__va"), col("__n").as("__na"))
     val b = normed.select(col("__centroid").as("__c_b"), col(idCol).as("__id_b"), col("__rank").as("__r_b"),

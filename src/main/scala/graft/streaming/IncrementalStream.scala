@@ -115,15 +115,13 @@ object IncrementalStream {
         // the same (orderCols, row-hash) precedence, so the merge path pays
         // ONE keyed shuffle of dest ∪ batch per micro-batch; a separate
         // pre-reduction window is only needed when no destination exists
-        val merged = store.read(table) match {
-          case Some(dest) => Merge.upsertIfNewer(dest, batch, pks, orderCols)
-          case None =>
-            val w = Window.partitionBy(pks.map(col): _*)
-              .orderBy(orderCols.map(col(_).desc) :+ xxhash64(batch.columns.map(col).toIndexedSeq: _*).desc: _*)
-            batch.withColumn("__rn", row_number().over(w))
-              .filter(col("__rn") === 1).drop("__rn")
-        }
-        store.write(merged, table)
+        // the first batch (no destination) merges into an empty frame so
+        // intra-batch reduction uses the SAME precedence rule as every
+        // later batch — re-implementing the window here could drift from
+        // Merge's tie-break and make the converged table depend on which
+        // rows happened to arrive in batch 0
+        val dest = store.read(table).getOrElse(batch.limit(0))
+        store.write(Merge.upsertIfNewer(dest, batch, pks, orderCols), table)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -270,16 +270,17 @@ class SimilaritySpec extends SparkSpec {
     val df = vecs(
       0L -> Seq(0f, 0f),    // failed embed: must not pair with anything
       1L -> Seq(1f, 0f), 2L -> Seq(1f, 0f),  // real twin pair
-      3L -> Seq(0f, 1f))
+      3L -> Seq(0f, 1f),
+      4L -> Seq(Float.NaN, 1f))  // NaN norm compares GREATER than 0 — must also be dropped
     assert(Similarity.nearDupPairs(df, "vec_id", "embedding", 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
     assert(Similarity.lshNearDupPairs(df, "vec_id", "embedding", 0.9, dim = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
-    // the zero vector itself SURVIVES dedup (it anchors nothing, matches
-    // nothing); only the later twin is removed
+    // the zero/NaN vectors themselves SURVIVE dedup (they anchor nothing,
+    // match nothing); only the later twin is removed
     val kept = Similarity.semanticDedup(df, "vec_id", "embedding",
       numCentroids = 1, threshold = 0.9).collect().map(_.getLong(0)).toSet
-    assert(kept === Set(0L, 1L, 3L))
+    assert(kept === Set(0L, 1L, 3L, 4L))
   }
 
   test("semanticDedup preserves all original columns on survivors") {

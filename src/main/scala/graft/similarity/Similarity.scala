@@ -130,7 +130,13 @@ object Similarity {
     * partials (k rows per partition) shuffle. */
   def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
                    k: Int, iterations: Int = 3): Array[(Int, Array[Float])] = {
-    var cents: Array[(Int, Array[Float])] = emb
+    // k-means runs over FINITE vectors only: one NaN component in one row
+    // would otherwise propagate through a Lloyd sum into a NaN centroid,
+    // and from there poison every assignment score. Dirty vectors still
+    // get ASSIGNED to the trained centroids downstream (deterministically)
+    // — they just don't get to vote on where the centroids sit.
+    val trainable = emb.filter(!isnan(norm(col(vecCol))))
+    var cents: Array[(Int, Array[Float])] = trainable
       .select(col(idCol), col(vecCol))
       .withColumn("__h", xxhash64(col(idCol)))
       .orderBy(col("__h"))
@@ -138,10 +144,10 @@ object Similarity {
       .collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
-    require(cents.nonEmpty, "ivfCentroids: empty corpus")
+    require(cents.nonEmpty, "ivfCentroids: empty corpus (or every vector non-finite)")
     val dim = cents(0)._2.length
     for (_ <- 0 until iterations) {
-      val assigned = assignToCentroid(emb, vecCol, cents)
+      val assigned = assignToCentroid(trainable, vecCol, cents)
       // mean per centroid: aggregate element-wise sums + counts
       val sums = assigned
         .groupBy(col("__centroid"))

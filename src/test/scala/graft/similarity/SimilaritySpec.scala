@@ -254,6 +254,16 @@ class SimilaritySpec extends SparkSpec {
     assert(kept === Set(0L))
   }
 
+  test("a NaN vector cannot poison k-means centroids") {
+    val df = vecs(
+      0L -> Seq(1f, 0f), 1L -> Seq(0.9f, 0.1f),
+      2L -> Seq(0f, 1f), 3L -> Seq(0.1f, 0.9f),
+      4L -> Seq(Float.NaN, 1f))
+    val cents = Similarity.ivfCentroids(df, "vec_id", "embedding", k = 2, iterations = 2)
+    assert(cents.forall(_._2.forall(v => !v.isNaN)),
+      s"Lloyd means must exclude non-finite vectors: ${cents.map(_._2.toSeq).toSeq}")
+  }
+
   test("semanticDedup rankCol: the BEST-ranked twin survives, not the lowest id") {
     val df = Seq(
       (0L, Seq(1f, 0f), 5L),   // twin pair: id 1 has the better (lower) rank

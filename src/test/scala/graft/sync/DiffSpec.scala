@@ -39,4 +39,26 @@ class DiffSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getString(2)).toMap
     assert(out === Map((1L, "y") -> "changed"))
   }
+
+  test("diff over pk-bucketed snapshots plans ZERO exchanges") {
+    import graft.operators.Bucketing
+    val sql = spark
+    try {
+      Bucketing.writeBucketed(before, "graft_diffspec_b", Seq("id"), 4)
+      Bucketing.writeBucketed(after, "graft_diffspec_a", Seq("id"), 4)
+      // disable broadcast so the sort-merge path — the 100 TB shape — runs
+      sql.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val diff = Diff.snapshotDiff(
+        sql.table("graft_diffspec_b"), sql.table("graft_diffspec_a"),
+        Seq("id"), Seq("name", "v"))
+      val plan = diff.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed diff must not shuffle:\n$plan")
+      assert(diff.count() === 5L) // same delta as the unbucketed path
+    } finally {
+      sql.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      sql.sql("DROP TABLE IF EXISTS graft_diffspec_b")
+      sql.sql("DROP TABLE IF EXISTS graft_diffspec_a")
+    }
+  }
 }

@@ -183,9 +183,13 @@ object Bench {
     val byName = rechecked.map(r => r._1 -> r._2).toMap
     val canaryRatios = Canaries.flatMap(c =>
       for (t <- byName.get(c).filter(_ >= 0); f <- Floor.get(c)) yield t / f).sorted
+    // TRUE median (mean of the middle pair when even-sized): the upper
+    // median would let exactly half the canaries regress together and
+    // scale every bound up with them
     val calibration = math.max(1.0,
       if (canaryRatios.isEmpty) 1.0
-      else canaryRatios(canaryRatios.size / 2))
+      else if (canaryRatios.size % 2 == 1) canaryRatios(canaryRatios.size / 2)
+      else (canaryRatios(canaryRatios.size / 2 - 1) + canaryRatios(canaryRatios.size / 2)) / 2.0)
     val regressedCal = rechecked.collect {
       case (name, best, _, _)
         if best >= 0 && Floor.get(name).exists(f => best > bound(name, f * calibration)) => name

@@ -48,9 +48,14 @@ object Layout {
     * row rather than a driver collect). A constant column maps to 0. */
   def minMaxBucket(c: Column, lo: Column, hi: Column, bits: Int): Column = {
     val n = (1L << bits) - 1
-    least(lit(n), greatest(lit(0L), floor(
-      (c.cast(DoubleType) - lo) / greatest(hi - lo, lit(Double.MinPositiveValue))
-        * (n + 1)).cast(LongType)))
+    // the isNull wrap is load-bearing: greatest/least SKIP nulls, so the
+    // null arithmetic below would otherwise collapse to bucket 0 and a
+    // NULL dim would scatter rows by their other dims instead of
+    // grouping at z-range start (the contract both bucketizers share)
+    when(c.isNull, lit(null).cast(LongType)).otherwise(
+      least(lit(n), greatest(lit(0L), floor(
+        (c.cast(DoubleType) - lo) / greatest(hi - lo, lit(Double.MinPositiveValue))
+          * (n + 1)).cast(LongType))))
   }
 
   /** Quantile (equi-depth) bucketization: bucket = how many of the 2^bits-1

@@ -101,7 +101,12 @@ object Sampling {
     * the result never overshoots; the first over-budget row is dropped
     * (no partial documents — truncation is a separate chunking concern).
     * One keyed window shuffle, same cost envelope as [[capPerKey]]; make
-    * `order` a total order within a key or membership is tie-dependent. */
+    * `order` a total order within a key or membership is tie-dependent.
+    * PRECONDITION: weights must be non-null and non-negative — the running
+    * sum skips NULLs (a null-weight row would ride free) and a negative
+    * weight can re-admit rows after the first over-budget row, both
+    * violating the prefix rule. Token/byte counts satisfy this trivially;
+    * coalesce or filter anything else first. */
   def tokenBudgetSample(df: DataFrame, keys: Seq[String], order: Seq[Column],
                         weightCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")

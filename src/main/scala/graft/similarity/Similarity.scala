@@ -31,6 +31,14 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Finite positive norm — the "this embedding is usable" predicate. NaN
+    * compares GREATER than every numeric in Spark's ordering and +Inf
+    * passes a plain > 0 check, so both must be rejected explicitly: a
+    * failed embed (zero, NaN, or Inf components) would otherwise pair
+    * with everything and poison centroid means. */
+  private def finitePositive(n: Column): Column =
+    n > 0 && !isnan(n) && n =!= Double.PositiveInfinity
+
   /** Exact top-k by cosine against the vector of `queryId` (self excluded).
     * Output: the k ids, re-sorted by id for stable comparison. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
@@ -48,12 +56,9 @@ object Similarity {
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
     require(threshold >= 0, "dot-product threshold rewrite assumes cosine threshold >= 0")
-    // zero/NaN-norm guard: dot >= 0*0*t holds vacuously, and NaN compares
-    // GREATER than every numeric in Spark's ordering, so without both
-    // checks a failed embed (all-zero or any-NaN vector) pairs with
-    // EVERYTHING — cosine against such a vector is NaN/undefined, not similar
+    // non-finite guard (see finitePositive): a failed embed must not pair
     val normed = emb.select(col(idCol), col(vecCol).as("__v"), norm(col(vecCol)).as("__n"))
-      .filter(col("__n") > 0 && !isnan(col("__n")))
+      .filter(finitePositive(col("__n")))
     val a = normed.select(col(idCol).as("vec_a"), col("__v").as("__va"), col("__n").as("__na"))
     val b = normed.select(col(idCol).as("vec_b"), col("__v").as("__vb"), col("__n").as("__nb"))
     a.join(b, col("vec_a") < col("vec_b"))
@@ -87,9 +92,9 @@ object Similarity {
                       threshold: Double, numPlanes: Int = 8, numTables: Int = 6,
                       dim: Int = 64): DataFrame = {
     require(threshold >= 0, "dot-product threshold rewrite assumes cosine threshold >= 0")
-    // zero-norm guard: see nearDupPairs — a zero vector must not pair
+    // non-finite guard (see finitePositive)
     val normed = emb.select(col(idCol), col(vecCol).as("__v"), norm(col(vecCol)).as("__n"))
-      .filter(col("__n") > 0 && !isnan(col("__n")))
+      .filter(finitePositive(col("__n")))
     val bucketed = normed.select(col(idCol), col("__v"), col("__n"),
       explode(array((0 until numTables).map { t =>
         struct(lit(t).as("tbl"), srpBucket(col("__v"), hyperplanes(numPlanes, dim, seed = 42L + t)).as("bkt"))
@@ -130,12 +135,13 @@ object Similarity {
     * partials (k rows per partition) shuffle. */
   def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
                    k: Int, iterations: Int = 3): Array[(Int, Array[Float])] = {
-    // k-means runs over FINITE vectors only: one NaN component in one row
-    // would otherwise propagate through a Lloyd sum into a NaN centroid,
-    // and from there poison every assignment score. Dirty vectors still
+    // k-means runs over FINITE vectors only: one NaN or Inf component in
+    // one row would otherwise propagate through a Lloyd sum into a
+    // non-finite centroid (Inf-Inf = NaN), and from there poison every
+    // assignment score. Dirty vectors still
     // get ASSIGNED to the trained centroids downstream (deterministically)
     // — they just don't get to vote on where the centroids sit.
-    val trainable = emb.filter(!isnan(norm(col(vecCol))))
+    val trainable = emb.filter(finitePositive(norm(col(vecCol))))
     var cents: Array[(Int, Array[Float])] = trainable
       .select(col(idCol), col(vecCol))
       .withColumn("__h", xxhash64(col(idCol)))
@@ -277,7 +283,7 @@ object Similarity {
     // silently anchor out every later-ranked row in its cluster
     val normed = assigned.select(col("__centroid"), col(idCol), col("__rank"),
       col(vecCol).as("__v"), norm(col(vecCol)).as("__n"))
-      .filter(col("__n") > 0 && !isnan(col("__n")))
+      .filter(finitePositive(col("__n")))
     val a = normed.select(col("__centroid"), col(idCol).as("__id_a"), col("__rank").as("__r_a"),
       col("__v").as("__va"), col("__n").as("__na"))
     val b = normed.select(col("__centroid").as("__c_b"), col(idCol).as("__id_b"), col("__rank").as("__r_b"),

@@ -108,18 +108,14 @@ object IncrementalStream {
                  pks: Seq[String], orderCols: Seq[String], checkpointDir: String,
                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     import graft.operators.Merge
-    import org.apache.spark.sql.expressions.Window
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // upsertIfNewer's window already reduces intra-batch duplicates by
-        // the same (orderCols, row-hash) precedence, so the merge path pays
-        // ONE keyed shuffle of dest ∪ batch per micro-batch; a separate
-        // pre-reduction window is only needed when no destination exists
-        // the first batch (no destination) merges into an empty frame so
-        // intra-batch reduction uses the SAME precedence rule as every
-        // later batch — re-implementing the window here could drift from
-        // Merge's tie-break and make the converged table depend on which
-        // rows happened to arrive in batch 0
+        // the same (orderCols, row-hash) precedence, so every batch pays
+        // ONE keyed shuffle of dest ∪ batch; the first batch (no
+        // destination yet) merges into an empty frame rather than
+        // re-implementing the reduction inline — a drifted tie-break there
+        // would make the converged table depend on batch-0 arrival
         val dest = store.read(table).getOrElse(batch.limit(0))
         store.write(Merge.upsertIfNewer(dest, batch, pks, orderCols), table)
       }

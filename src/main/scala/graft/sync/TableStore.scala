@@ -10,6 +10,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 trait TableStore {
   def read(table: String): Option[DataFrame]
+  /** Replace `table`'s contents with `df`. CONTRACT: must be safe when
+    * df's plan reads the same table's previous contents (sync pipelines
+    * routinely merge dest ∪ delta and write back) — implementations stage
+    * the write (temp path + rename) or materialize the input BEFORE
+    * destroying the old contents. */
   def write(df: DataFrame, table: String): Unit
 }
 
@@ -57,7 +62,13 @@ class JdbcStore(spark: SparkSession, url: String, props: Map[String, String],
   override def write(df: DataFrame, table: String): Unit = {
     val p = new java.util.Properties()
     props.foreach { case (k, v) => p.setProperty(k, v) }
-    df.write.mode("overwrite").option("truncate", "true")
+    // materialize BEFORE the truncate: overwrite+truncate clears the table
+    // first and only then executes df's plan — a plan that reads this very
+    // table (SyncJob's merge, upsertSync) would scan the just-truncated
+    // (empty) destination and silently drop every previously-synced row.
+    // ParquetStore stages via temp+rename; a database has no cheap rename,
+    // so the staging happens on the executors instead.
+    df.localCheckpoint().write.mode("overwrite").option("truncate", "true")
       .option("batchsize", 1000).jdbc(url, table, p)
   }
 }

@@ -55,6 +55,25 @@ class IncrementalStreamSpec extends SparkSpec {
       (1L, 20L, "fresh"),             // stale later batch did NOT clobber
       (2L, 99L, "newer-than-stream"), // fresher dest row survives the stream
       (3L, 0L, "preseed")))           // key absent from stream survives
+
+    // RESTART with the same checkpoint: only the new file is processed
+    // (replaying the old ones through upsertIfNewer would be harmless for
+    // the final state, but exactly-once is the watermark contract), and a
+    // stale late row for key 1 still cannot regress the destination
+    Seq((1L, 15L, "late-stale"), (4L, 1L, "new-key")).toDF("k", "ts", "v")
+      .coalesce(1).write.mode("append").parquet(src)
+    val stream2 = spark.readStream
+      .schema(Seq((0L, 0L, "")).toDF("k", "ts", "v").schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    IncrementalStream.upsertSync(stream2, store, "t",
+      pks = Seq("k"), orderCols = Seq("ts"), checkpointDir = cp).awaitTermination()
+    val out2 = store.read("t").get.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out2 === Set(
+      (1L, 20L, "fresh"),
+      (2L, 99L, "newer-than-stream"),
+      (3L, 0L, "preseed"),
+      (4L, 1L, "new-key")))
   }
 
   test("enrichWithDim: static side joins each streaming row (broadcast)") {

@@ -28,6 +28,10 @@ case class PqEncode(child: Expression, books: Array[Array[Array[Float]]], subDim
 
   private val m = books.length
 
+  require(books.nonEmpty && books.forall(_.nonEmpty),
+    "PqEncode: every subspace needs at least one centroid — an empty " +
+      "codebook would silently emit code 0 for every row")
+
   @transient private lazy val norm2: Array[Array[Double]] =
     books.map(_.map(_.map(x => x.toDouble * x).sum))
 

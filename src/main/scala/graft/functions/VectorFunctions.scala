@@ -33,10 +33,17 @@ case class FloatDotProduct(left: Expression, right: Expression)
       s"FloatDotProduct expects array<float> inputs, got ${left.dataType} / ${right.dataType}")
   }
 
-  /** Left-to-right double accumulation — same order as the oracle engine. */
+  /** Left-to-right double accumulation — same order as the oracle engine.
+    * A length mismatch THROWS: truncating to the shorter side would return
+    * a plausible-looking partial sum and silently corrupt every similarity
+    * ranking touching the ragged row (PqEncode enforces the same). */
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) {
+      throw new IllegalArgumentException(
+        s"FloatDotProduct: dimension mismatch ($n vs ${y.numElements()})")
+    }
     var s = 0.0; var i = 0
     while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
     s
@@ -46,7 +53,11 @@ case class FloatDotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n"); val s = ctx.freshName("s")
       s"""
-         |int $n = $a.numElements() < $b.numElements() ? $a.numElements() : $b.numElements();
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "FloatDotProduct: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);

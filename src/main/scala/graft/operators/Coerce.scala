@@ -33,9 +33,13 @@ object Coerce {
     * ASCII \s does not — documented in SURVEY §2.4.) */
   def strip(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
 
-  /** Array NULL -> [] (element type preserved). */
+  /** Array NULL -> [] (element type preserved). The empty literal is an
+    * untyped array() (NullType elements) — castable to ANY element type,
+    * where an Array.empty[String] literal would fail analysis for
+    * array<struct>/array<map>/nested-array columns (string is not
+    * castable to those element types). */
   def arrayOrEmpty(c: Column, elementType: DataType): Column =
-    coalesce(c, lit(Array.empty[String]).cast(ArrayType(elementType)))
+    coalesce(c, array().cast(ArrayType(elementType)))
 
   /** JSONB repair column (see JsonRepair). */
   def jsonb(c: Column): Column = JsonRepair(c)

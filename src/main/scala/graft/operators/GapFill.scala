@@ -26,7 +26,9 @@ object GapFill {
     * pre-aggregate multi-observation buckets first (the "last observation
     * per bucket" rule lives with the caller, where the tie-break columns
     * are). The first grid bucket of each key always has an observation
-    * (it IS that key's min), so filled values are never null.
+    * (it IS that key's min). An OBSERVED null value stays null — only
+    * bucket GAPS are filled (the observation rides in a never-null
+    * struct, so the fill can tell the two apart).
     *
     * A violating input (>1 row per (key, bucket)) silently yields
     * duplicated grid rows with tie-order-dependent fill values — set
@@ -64,7 +66,15 @@ object GapFill {
       explode(sequence(col("__b0"), col("__b1"))).as(bucketCol))
     val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
       .rowsBetween(Window.unboundedPreceding, 0)
-    grid.join(obs, Seq(keyCol, bucketCol), "left")
-      .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
+    // the observation value rides inside a never-null struct (the AsOfJoin
+    // trick) so the fill distinguishes "bucket has NO row" (struct null ->
+    // fill from an earlier bucket) from "bucket OBSERVED a null value"
+    // (struct present, value kept null) — a bare last(ignoreNulls) would
+    // silently overwrite genuine null observations with stale values
+    grid.join(obs.withColumn("__obs", struct(col(valueCol))).drop(valueCol),
+        Seq(keyCol, bucketCol), "left")
+      .withColumn(valueCol,
+        last(col("__obs"), ignoreNulls = true).over(w).getField(valueCol))
+      .drop("__obs")
   }
 }

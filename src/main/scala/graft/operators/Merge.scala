@@ -25,13 +25,16 @@ object Merge {
 
   /** Delta wins on key conflict; both sides' unmatched rows kept.
     * Ties WITHIN a side (duplicate keys inside the delta) are broken by a
-    * hash of the full row — arbitrary but DETERMINISTIC, where plain
-    * orderBy(prec) would let shuffle arrival order pick the survivor
-    * (run-to-run nondeterminism under AQE/task retries). */
+    * NULL-TAGGED hash of the full row (Checksum.rowHash — a raw xxhash64
+    * SKIPS null arguments, so (x, NULL) and (NULL, x) would tie and the
+    * survivor would again be shuffle-order-dependent) — arbitrary but
+    * DETERMINISTIC, where plain orderBy(prec) would let shuffle arrival
+    * order pick the survivor (run-to-run nondeterminism under AQE/task
+    * retries). */
   def upsert(base: DataFrame, delta: DataFrame, pks: Seq[String]): DataFrame = {
     require(pks.nonEmpty, "upsert requires at least one key column (O3 falls back to all columns)")
     val unioned = base.withColumn(PREC, lit(0)).unionByName(delta.withColumn(PREC, lit(1)))
-    val tieBreak = xxhash64(base.columns.map(col).toIndexedSeq: _*)
+    val tieBreak = graft.sync.Checksum.rowHash(base.columns.map(col).toIndexedSeq)
     val w = Window.partitionBy(pks.map(col): _*).orderBy(col(PREC).desc, tieBreak.desc)
     unioned
       .withColumn(RN, row_number().over(w))
@@ -59,7 +62,7 @@ object Merge {
     require(pks.nonEmpty, "upsertIfNewer requires at least one key column")
     require(orderCols.nonEmpty, "upsertIfNewer requires at least one precedence column")
     val unioned = base.withColumn(PREC, lit(0)).unionByName(delta.withColumn(PREC, lit(1)))
-    val tieBreak = xxhash64(base.columns.map(col).toIndexedSeq: _*)
+    val tieBreak = graft.sync.Checksum.rowHash(base.columns.map(col).toIndexedSeq)
     val w = Window.partitionBy(pks.map(col): _*)
       .orderBy(orderCols.map(col(_).desc) ++ Seq(col(PREC).desc, tieBreak.desc): _*)
     unioned

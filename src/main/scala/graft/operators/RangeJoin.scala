@@ -29,7 +29,7 @@ object RangeJoin {
   def pairsWithin(df: DataFrame, keys: Seq[String], timeCol: String,
                   idCol: String, window: Long): DataFrame = {
     require(window > 0, s"window must be positive, got $window")
-    def bucket: Column = expr(s"$timeCol div ${window}L")
+    def bucket: Column = expr(s"`$timeCol` div ${window}L")
     val later = df.select(
       keys.map(col) ++ Seq(bucket.as("__bk"),
         col(idCol).as("id_b"), col(timeCol).as("t_b")): _*)

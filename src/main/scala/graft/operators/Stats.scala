@@ -29,7 +29,7 @@ object Stats {
     * non-negative (or accept the -0-straddling bucket). */
   def histogram(df: DataFrame, valueCol: String, width: Long): DataFrame = {
     require(width > 0, s"histogram width must be positive, got $width")
-    df.groupBy(expr(s"$valueCol div $width").as("bucket"))
+    df.groupBy(expr(s"`$valueCol` div $width").as("bucket"))
       .agg(count(lit(1)).as("n"))
   }
 

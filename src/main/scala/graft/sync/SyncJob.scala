@@ -58,8 +58,14 @@ object SyncJob {
       case _ => (projected, "full")
     }
 
-    // O8: columnar coercion
+    // O8: columnar coercion. The O18 row count observes the DELTA (the
+    // rows this sync extracted and applied — the reference's per-sync
+    // stat), not the merged table: counting `merged` would report the
+    // whole destination size after an incremental run. The Observation
+    // rides the delta subtree of the one write pass — no extra scan.
+    val obs = Observation()
     val coerced = Coerce.frame(delta, jsonColumns)
+      .observe(obs, count(lit(1)).as("rows"))
 
     // O9: relational upsert against current destination contents;
     // O3 fallback: no PK list -> all columns as the conflict key
@@ -76,14 +82,10 @@ object SyncJob {
       case None    => coerced
     }
 
-    // O18 stats ride the write itself via an Observation (CollectMetrics
-    // node): the row count falls out of the one write pass. Counting the
-    // merged plan beforehand would execute the scan+merge twice; re-reading
-    // the written table (the previous approach) was a second full scan of
-    // everything — unacceptable at 100 TB. Requires dest.write to execute
-    // the plan (every TableStore does — that's what "write" means).
-    val obs = Observation()
-    dest.write(merged.observe(obs, count(lit(1)).as("rows")), cfg.name)
+    // Stats fall out of the one write pass (the CollectMetrics node sits
+    // on the delta subtree above). Requires dest.write to execute the
+    // plan (every TableStore does — that's what "write" means).
+    dest.write(merged, cfg.name)
     val rows = obs.get("rows").asInstanceOf[Long]
     SyncStats(cfg.name, mode, rows)
   }

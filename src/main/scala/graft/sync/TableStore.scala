@@ -50,10 +50,15 @@ class ParquetStore(spark: SparkSession, dir: String) extends TableStore {
 class JdbcStore(spark: SparkSession, url: String, props: Map[String, String],
                 partitionOptions: Map[String, String] = Map.empty) extends TableStore {
   override def read(table: String): Option[DataFrame] =
-    Some(spark.read.format("jdbc")
+    // JDBC schema resolution is EAGER — a missing table throws here, not at
+    // action time. Mapping that to None honors the trait contract and makes
+    // SyncJob's empty-destination bootstrap (None -> full copy, no merge)
+    // reachable for JDBC destinations, matching ParquetStore.
+    try Some(spark.read.format("jdbc")
       .option("url", url).option("dbtable", table)
       .options(props).options(partitionOptions)
       .load())
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** Store semantics are "replace table contents with df" (SyncJob hands the
     * FULL merged table): overwrite with truncate, matching ParquetStore.

@@ -45,9 +45,15 @@ object Scrub {
     * column per named pattern ((name, regex, replacement) triples; masks
     * apply in `patterns` order). */
   def scrubbed(df: DataFrame, textCol: String,
-               patterns: Seq[(String, String, String)]): DataFrame =
+               patterns: Seq[(String, String, String)]): DataFrame = {
+    val names = patterns.map(_._1)
+    require(names.distinct == names,
+      s"duplicate pattern names would silently drop audit counts: $names")
+    require(!names.contains("scrubbed") && !names.contains(textCol),
+      s"pattern names collide with an output column: $names")
     df.withColumns(
       Map("scrubbed" ->
         redact(col(textCol), patterns.map { case (_, re, repl) => (re, repl) })) ++
         patterns.map { case (name, re, _) => name -> matchCount(col(textCol), re) })
+  }
 }

@@ -53,15 +53,20 @@ object SyncConfig {
     // like the reference's dict iteration
     tables.asScala.foldLeft(scala.collection.immutable.VectorMap.empty[String, TableConfig]) {
       case (acc, (name, cfgObj)) =>
+        // every .flatMap(Option(_)) below guards the same snakeyaml trap as
+        // `tables:` above — a present-but-EMPTY key (`sync_config:` with no
+        // body, `check_column:` with no value) yields Some(null), which a
+        // bare .map would NPE on
         val sync = Option(cfgObj)
           .map(_.asInstanceOf[java.util.Map[String, Object]].asScala)
-          .flatMap(_.get("sync_config"))
+          .flatMap(_.get("sync_config")).flatMap(Option(_))
           .map(_.asInstanceOf[java.util.Map[String, Object]].asScala)
         acc.updated(name, TableConfig(
           name = name,
-          checkColumn = sync.flatMap(_.get("check_column")).map(_.toString),
-          checkType = sync.flatMap(_.get("check_type")).map(v => CheckType.parse(v.toString)),
-          ignoreColumns = sync.flatMap(_.get("ignore_columns"))
+          checkColumn = sync.flatMap(_.get("check_column")).flatMap(Option(_)).map(_.toString),
+          checkType = sync.flatMap(_.get("check_type")).flatMap(Option(_))
+            .map(v => CheckType.parse(v.toString)),
+          ignoreColumns = sync.flatMap(_.get("ignore_columns")).flatMap(Option(_))
             .map(_.asInstanceOf[java.util.List[Object]].asScala.toSeq.map(_.toString))
             .getOrElse(Seq.empty),
           service = service))
@@ -72,7 +77,20 @@ object SyncConfig {
     parse(Files.readString(Paths.get(path)), service)
 
   /** GCP-variant merge: several service-tagged configs into one catalog
-    * (gcp_sync_utils.py:14-25 tags each table with its service). */
+    * (gcp_sync_utils.py:14-25 tags each table with its service). Services
+    * merge in sorted-name order into a VectorMap, preserving each
+    * service's authored table order (a plain Map flatMap would degrade to
+    * hash order past 4 entries and silently clobber same-named tables —
+    * duplicates across services fail fast instead). */
   def merge(perService: Map[String, String]): Map[String, TableConfig] =
-    perService.flatMap { case (service, yaml) => parse(yaml, Some(service)) }
+    perService.toSeq.sortBy(_._1)
+      .foldLeft(scala.collection.immutable.VectorMap.empty[String, TableConfig]) {
+        case (acc, (service, yaml)) =>
+          parse(yaml, Some(service)).foldLeft(acc) { case (a, (name, cfg)) =>
+            require(!a.contains(name),
+              s"table '$name' declared by both service '${a(name).service.getOrElse("?")}' " +
+                s"and service '$service' — qualify the names or split the catalogs")
+            a.updated(name, cfg)
+          }
+      }
 }

@@ -112,13 +112,28 @@ object Dedup {
   def lshCandidatesRaw(df: DataFrame, idCol: String, shingleCol: String,
                        numHashes: Int, bands: Int,
                        useBroadcast: Option[Boolean] = None): DataFrame = {
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes): bands > numHashes gives " +
+        "zero-row slices (ONE constant band key = all-pairs blowup), and a " +
+        "non-dividing count silently ignores tail hashes, voiding the recall bound")
     val rows = numHashes / bands
     val banded = df
       .filter(size(col(shingleCol)) > 0)
       .select(col(idCol),
         explode(bandKeys(minhashSignature(col(shingleCol), numHashes), bands, rows)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val joined = if (useBroadcast.getOrElse(fitsBroadcast(df.select(col(idCol), col(shingleCol))))) {
+    // default gate: the only plan available here carries the shingle ARRAY,
+    // which Catalyst prices at one element per row — underestimating by
+    // ~the mean shingle count. Compensate by shrinking the threshold 64x
+    // (≈ pricing arrays at 64 elements); callers holding the raw text
+    // (minhashNearDups*) gate honestly on it and pass the result instead.
+    def gatedDefault: Boolean = {
+      val t = df.sparkSession.conf
+        .get(BroadcastThresholdKey, DefaultBroadcastThreshold.toString).toLong
+      df.select(col(idCol), col(shingleCol))
+        .queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(t / 64)
+    }
+    val joined = if (useBroadcast.getOrElse(gatedDefault)) {
       val a = banded.select(col("band"), col("bh"), col(idCol).as("id_a"))
       val b = banded.select(col("band"), col("bh"), col(idCol).as("id_b"))
       a.join(broadcast(b), Seq("band", "bh"))
@@ -264,7 +279,12 @@ object Dedup {
       .select(col(as), col("bk.band").as("band"), col("bk.bh").as("bh"))
     val sb = shingled(batch)
     val sc = shingled(corpus)
-    val cands = bandedOf(sb, "id_a").join(bandedOf(sc, "id_b"), Seq("band", "bh"))
+    // pre-bucket both band tables with an EXPLICIT partition count — the
+    // same AQE protection lshCandidatesRaw's shuffle path documents: the
+    // band shuffle is byte-tiny but row-explosive, and AQE's by-bytes
+    // coalescing would otherwise serialize the candidate emit onto one core
+    val cands = bandedOf(sb, "id_a").repartition(n, col("band"), col("bh"))
+      .join(bandedOf(sc, "id_b").repartition(n, col("band"), col("bh")), Seq("band", "bh"))
       .select("id_a", "id_b")
     // verify against each side's own set table (ids live in different
     // inputs); gate on the RAW inputs' text bytes, not the underpriced
@@ -595,10 +615,14 @@ object Dedup {
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // repartition BEFORE the signature projection for the same single-file
     // parallelism reason as minhashNearDupsHashed
+    // empty shingle sets share ONE constant signature — every short doc
+    // would pair with every other short doc at hamming 0 AND concentrate
+    // into a single O(m^2) bucket (the MinHash path filters identically)
     val sigs = df
       .repartition(n, col(idCol))
-      .select(col(idCol),
-        simhashPacked(hashedShingles(shingler(col(textCol)))).as("__sig"))
+      .select(col(idCol), hashedShingles(shingler(col(textCol))).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col(idCol), simhashPacked(col("__sh")).as("__sig"))
     val banded = sigs.select(col(idCol), col("__sig"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),

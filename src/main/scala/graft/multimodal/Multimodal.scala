@@ -230,8 +230,14 @@ object Multimodal {
     * frame, key back to the doc). */
   def sampleFrames(media: DataFrame, stride: Int): DataFrame =
     media.select(col("doc_id"),
-      posexplode(transform(
-        sequence(lit(0), greatest(ceil(length(col("media")) / stride) - 1, lit(0))),
-        i => i * stride)))
+      // empty payloads emit NO frames: the greatest(.., 0) clamp exists for
+      // the sequence() bound only, so it must not manufacture a phantom
+      // frame at offset 0 of a zero-byte payload (posexplode of the empty
+      // array drops the row, matching null payloads via null propagation)
+      posexplode(when(length(col("media")) > 0,
+        transform(
+          sequence(lit(0), greatest(ceil(length(col("media")) / stride) - 1, lit(0))),
+          i => i * stride))
+        .otherwise(array().cast(ArrayType(LongType)))))
       .select(col("doc_id"), col("pos").cast(LongType).as("frame_idx"), col("col").cast(LongType).as("byte_offset"))
 }

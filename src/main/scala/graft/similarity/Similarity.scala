@@ -119,6 +119,9 @@ object Similarity {
                           idCol: String, vecCol: String, queryId: Long, k: Int): DataFrame =
     candidates
       .filter(col(idCol) =!= queryId)
+      // non-finite candidates score NaN, and Spark ranks NaN ABOVE every
+      // real score — without this guard one failed embed tops every top-k
+      .filter(finitePositive(norm(col(vecCol))))
       .crossJoin(broadcast(q))
       .withColumn("__score", cosine(col(vecCol), col("__qv")))
       .orderBy(col("__score").desc, col(idCol))

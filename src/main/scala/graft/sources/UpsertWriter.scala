@@ -61,6 +61,21 @@ object UpsertWriter {
             numWriters: Int = 5, log: String => Unit = defaultLog): Unit = {
     val columns = df.columns.toSeq
     val sql = upsertSql(table, columns, pks)
+    // array columns can't go through setObject (drivers can't infer a SQL
+    // type for a Scala Seq — Introspect models udt_name[] columns, so they
+    // ARE expected input); resolve each array column's element SQL type
+    // name ONCE from the schema, use conn.createArrayOf on the executor
+    val arrayElemType: Array[String] = df.schema.fields.map(_.dataType match {
+      case org.apache.spark.sql.types.ArrayType(et, _) => et match {
+        case org.apache.spark.sql.types.IntegerType => "integer"
+        case org.apache.spark.sql.types.LongType    => "bigint"
+        case org.apache.spark.sql.types.DoubleType  => "double"
+        case org.apache.spark.sql.types.FloatType   => "real"
+        case org.apache.spark.sql.types.BooleanType => "boolean"
+        case _                                      => "varchar"
+      }
+      case _ => null
+    })
     val partitioned =
       if (pks.nonEmpty) df.repartition(numWriters, pks.map(col): _*)
       else df.repartition(numWriters)
@@ -78,7 +93,17 @@ object UpsertWriter {
           }
           rows.foreach { r =>
             var i = 0
-            while (i < columns.length) { stmt.setObject(i + 1, r.get(i)); i += 1 }
+            while (i < columns.length) {
+              (arrayElemType(i), r.get(i)) match {
+                case (et, seq: scala.collection.Seq[_]) if et != null =>
+                  stmt.setArray(i + 1, conn.createArrayOf(et,
+                    seq.map(_.asInstanceOf[AnyRef]).toArray))
+                case (et, null) if et != null =>
+                  stmt.setNull(i + 1, java.sql.Types.ARRAY)
+                case (_, v) => stmt.setObject(i + 1, v)
+              }
+              i += 1
+            }
             stmt.addBatch()
             n += 1
             if (n % batchSize == 0) flush()

@@ -176,6 +176,18 @@ object IncrementalStream {
             var st = state.getOption
             sorted.foreach { case (ts, _) =>
               st match {
+                case Some(s) if ts < s.start - gapUs =>
+                  // cross-batch late event MORE than a gap BEFORE the open
+                  // session: it can never belong to it (a bare
+                  // `ts - s.last <= gapUs` is vacuously true for early
+                  // events and would merge across an arbitrarily large
+                  // gap, diverging from the batch analog). Close it as its
+                  // own singleton session: anything that could merge with
+                  // it is within gapUs of ts, i.e. even later relative to
+                  // the watermark that barely admitted ts — the bounded-
+                  // state approximation for pathologically late data,
+                  // exact whenever such stragglers arrive gap-isolated
+                  closed += ClosedSession(user, ts, ts, 1)
                 case Some(s) if ts - s.last <= gapUs =>
                   st = Some(SessionState(math.min(s.start, ts), math.max(s.last, ts), s.n + 1))
                 case Some(s) =>

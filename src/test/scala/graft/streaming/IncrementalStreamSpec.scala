@@ -126,6 +126,32 @@ class IncrementalStreamSpec extends SparkSpec {
       Set(ClosedSession(7L, 100000000L, 100010000L, 2L)))
   }
 
+  test("sessionizeStream: a cross-batch late event beyond the gap is its own session") {
+    import IncrementalStream.{ClosedSession, SessionEvent}
+    val src = Files.createTempDirectory("graft_ss_late").toString
+    val dst = Files.createTempDirectory("graft_ss_late_out").toString
+    val cp = Files.createTempDirectory("graft_ss_late_cp").toString
+    def ev(id: Long, tsMs: Long) = SessionEvent(9L, id, new java.sql.Timestamp(tsMs))
+    def runBatch(batch: Seq[SessionEvent]): Set[ClosedSession] = {
+      batch.toDF().write.mode("append").parquet(src)
+      val stream = spark.readStream.schema(batch.toDF().schema).parquet(src).as[SessionEvent]
+      val q = IncrementalStream.sessionizeStream(stream, gapUs = 50000L,
+          watermarkDelay = "10 minutes")
+        .writeStream.format("parquet").option("path", dst)
+        .option("checkpointLocation", cp).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(dst).as[ClosedSession].collect().toSet
+    }
+    // batch 1 opens a session at t=600s; batch 2 delivers a late event at
+    // t=590s — 10 s before the session, gap is 50 ms. The old vacuous
+    // `ts - last <= gap` guard merged them into one 10-second session;
+    // it must close as its OWN singleton instead, state unchanged
+    assert(runBatch(Seq(ev(1L, 600000L))) === Set.empty)
+    assert(runBatch(Seq(ev(2L, 590000L))) ===
+      Set(ClosedSession(9L, 590000000L, 590000000L, 1L)))
+  }
+
   test("streamPairsWithin joins temporal neighbors exactly once, oriented") {
     val src = Files.createTempDirectory("graft_ss_pairs").toString
     // user 1: three events at t=100s, 130s, 200s with 60s window:

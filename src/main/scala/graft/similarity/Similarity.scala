@@ -120,10 +120,14 @@ object Similarity {
     candidates
       .filter(col(idCol) =!= queryId)
       // non-finite candidates score NaN, and Spark ranks NaN ABOVE every
-      // real score — without this guard one failed embed tops every top-k
-      .filter(finitePositive(norm(col(vecCol))))
-      .crossJoin(broadcast(q))
-      .withColumn("__score", cosine(col(vecCol), col("__qv")))
+      // real score — without this guard one failed embed tops every top-k.
+      // The norm is computed ONCE and reused in the score (a bare
+      // filter(finite(norm)) + cosine() would self-dot every candidate
+      // twice); the query's own norm rides the 1-row broadcast side.
+      .withColumn("__n", norm(col(vecCol)))
+      .filter(finitePositive(col("__n")))
+      .crossJoin(broadcast(q.withColumn("__qn", norm(col("__qv")))))
+      .withColumn("__score", dot(col(vecCol), col("__qv")) / (col("__n") * col("__qn")))
       .orderBy(col("__score").desc, col(idCol))
       .limit(k)
       .select(col(idCol))

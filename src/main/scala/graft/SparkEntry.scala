@@ -1592,6 +1592,17 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // deterministic global training-order shuffle: md5-seeded permutation →
+    // contiguous (global_rank, shard, pos) WITHOUT a single-partition
+    // window — 256 hex-prefix range buckets rank in parallel, a 256-row
+    // offset join stitches them into the exact global order the oracle
+    // computes with the naive (serial) row_number-over-everything form
+    "q106_shard_shuffle" -> ((s, dir) => {
+      Sampling.shardedShuffle(t(s, dir, "documents").select(col("doc_id")),
+          "doc_id", seed = "graft", rowsPerShard = 32L)
+        .orderBy("doc_id")
+    }),
+
     // trailing-interval window (RANGE frame): 1-hour trailing sum + count
     // per user — the rate-limit / rolling-metric shape. RANGE (not ROWS)
     // so timestamp ties share one frame: tie-order-independent by
@@ -1834,6 +1845,8 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q105_snapshot_diff" ->
       """WITH b AS (SELECT o_orderkey, o_custkey, CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders), a AS (SELECT o_orderkey, o_custkey, CASE WHEN o_orderkey % 89 = 0 THEN cents + 1 ELSE cents END AS cents FROM b WHERE o_orderkey % 97 <> 0 UNION ALL SELECT o_orderkey + 100000000, o_custkey, cents FROM b WHERE o_orderkey % 101 = 0) SELECT o_orderkey, change_type FROM (SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS o_orderkey, CASE WHEN b.o_orderkey IS NULL THEN 'added' WHEN a.o_orderkey IS NULL THEN 'removed' WHEN b.o_custkey IS DISTINCT FROM a.o_custkey OR b.cents IS DISTINCT FROM a.cents THEN 'changed' END AS change_type FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey) WHERE change_type IS NOT NULL ORDER BY o_orderkey""",
+    "q106_shard_shuffle" ->
+      "WITH r AS (SELECT doc_id, row_number() OVER (ORDER BY md5('graft:'||CAST(doc_id AS VARCHAR)), doc_id) - 1 AS global_rank FROM documents) SELECT doc_id, CAST(global_rank AS BIGINT) AS global_rank, CAST(global_rank // 32 AS BIGINT) AS shard, CAST(global_rank % 32 AS BIGINT) AS pos FROM r ORDER BY doc_id",
     "q102_curation_pipeline" ->
       """WITH f AS (SELECT doc_id, text, source, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok, len(regexp_extract_all(lower(text), '\b(the|a|an|of|and|to|in|is|it|for)\b')) AS n_stop, len(regexp_extract_all(lower(text), '\b(the|of|and|is|to)\b')) AS s_en, len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS s_de, len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|y|de)\b')) AS s_es, len(regexp_extract_all(lower(text), '\b(le|les|des|est|et|une)\b')) AS s_fr FROM documents), k AS (SELECT doc_id, text, source FROM f WHERE n_tok >= 5 AND n_stop * 2 <= n_tok AND s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr), d AS (SELECT min(doc_id) AS doc_id FROM k GROUP BY text), sv AS (SELECT k.source, k.doc_id, CAST(len(regexp_extract_all(lower(k.text), '[a-z0-9]+')) AS BIGINT) AS n_tokens FROM k JOIN d USING (doc_id)), c AS (SELECT source, doc_id, n_tokens, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM sv) SELECT source, doc_id, n_tokens FROM c WHERE cum <= 500 ORDER BY source, doc_id""",
     "q100_token_budget" ->

@@ -116,4 +116,49 @@ object Sampling {
       .filter(col("__cum") <= budget)
       .drop("__cum")
   }
+
+  /** Deterministic global corpus shuffle + contiguous shard/position
+    * assignment — the training-order step: every row gets a pseudo-random
+    * but reproducible global rank (0-based), then
+    * `shard = global_rank div rowsPerShard`, `pos = global_rank mod
+    * rowsPerShard` — the (file, offset) a sequential trainer reads. Keying
+    * by md5(seed:id) makes the permutation a pure function of (seed, id):
+    * stable across runs, engines, partition layouts, and cluster sizes
+    * (rand() or monotonically_increasing_id would be none of those).
+    *
+    * The naive formulation — `row_number() OVER (ORDER BY hash)` — funnels
+    * the whole corpus through ONE window partition. This plan never does:
+    * the hex key's first byte is a range bucket that agrees with the full
+    * key's lexicographic order BY CONSTRUCTION (fixed-width lowercase hex),
+    * so the global ranking decomposes into 256 parallel per-bucket windows
+    * plus an exclusive-prefix-sum offset join over the 256 bucket counts
+    * (broadcast; the offset window orders 256 rows, not the corpus). And
+    * where `orderBy(hash)` would pay RangePartitioner's extra sampling job
+    * to find split points, md5 uniformity gives fixed equal-width ranges
+    * for free. One keyed exchange over the data — the same shape at 100 TB.
+    *
+    * Output: (idCol, global_rank, shard, pos). Ranks are a bijection onto
+    * [0, n); ids must be distinct (md5 collisions aside, the id tie-break
+    * makes the order total regardless). */
+  def shardedShuffle(df: DataFrame, idCol: String, seed: String,
+                     rowsPerShard: Long): DataFrame = {
+    require(rowsPerShard >= 1, s"rowsPerShard must be >= 1, got $rowsPerShard")
+    val key = md5(concat(lit(seed + ":"), col(idCol).cast("string")).cast("binary"))
+    val keyed = df.select(col(idCol), key.as("__k"),
+      // first hex byte, exactly consistent with lexicographic key order
+      conv(substring(key, 1, 2), 16, 10).cast("int").as("__b"))
+    val wOff = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("__b").count()
+      .select(col("__b"), coalesce(sum("count").over(wOff), lit(0L)).as("__off"))
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("__k"), col(idCol))
+    keyed.join(broadcast(offsets), "__b")
+      .withColumn("global_rank",
+        (col("__off") + row_number().over(wIn) - 1).cast("long"))
+      // integer div/mod, not float division: ranks are exact longs and must
+      // stay exact at any corpus size
+      .select(col(idCol), col("global_rank"),
+        expr(s"global_rank div ${rowsPerShard}L").cast("long").as("shard"),
+        pmod(col("global_rank"), lit(rowsPerShard)).cast("long").as("pos"))
+  }
 }

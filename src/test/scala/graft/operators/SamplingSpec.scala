@@ -122,4 +122,36 @@ class SamplingSpec extends SparkSpec {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("shardedShuffle: ranks are the exact global md5 order, a bijection, " +
+       "layout-stable, and the ranking window is per-bucket (never global)") {
+    val ids = (1L to 500L).toDF("id")
+    val out = Sampling.shardedShuffle(ids, "id", "spec", rowsPerShard = 32L)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // bijection onto [0, n)
+    assert(rows.map(_._2).sorted === (0L until 500L).toArray)
+    // shard/pos derive from the rank by integer div/mod
+    assert(rows.forall { case (_, g, s, p) => s == g / 32 && p == g % 32 })
+    // the rank IS the naive serial formulation's rank (per-bucket windows +
+    // offsets stitch back to the exact global order)
+    val naive = ids
+      .withColumn("__k", md5(concat(lit("spec:"), $"id".cast("string")).cast("binary")))
+      .withColumn("g", (row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"__k", $"id")) - 1).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows.forall { case (id, g, _, _) => naive(id) == g })
+    // partition-layout independence: same permutation from a skewed layout
+    val re = Sampling.shardedShuffle(ids.repartition(3, $"id" % 2), "id", "spec", 32L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.forall { case (id, g, _, _) => re(id) == g })
+    // seed changes the permutation (not just a relabel of shards)
+    val other = Sampling.shardedShuffle(ids, "id", "other-seed", 32L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.exists { case (id, g, _, _) => other(id) != g })
+    // plan shape: the corpus-sized window partitions by the bucket column;
+    // the only empty-partition-spec window is the 256-row offset prefix sum
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(__b"),
+      s"expected per-bucket ranking window in:\n$plan")
+  }
 }

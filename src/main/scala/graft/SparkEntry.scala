@@ -1294,6 +1294,52 @@ object SparkEntry {
           + when(count(lit(1)) === 0L, 1L).otherwise(0L)).as("violations"))
     }),
 
+    // RIFF/AVI video header decode — completes the multimodal triple
+    // (image q87, audio q101/q103, video here). avih lives one level down
+    // inside LIST hdrl, so the walker must DESCEND, and the planted
+    // payloads force both walks: even ids carry a top-level JUNK chunk
+    // before the header list, ids %3==0 a JUNK inside hdrl before avih —
+    // a fixed-offset parser fails both ways; only the real chunk walker
+    // recovers every planted (width, height, frames, rate, streams) tuple
+    "q107_avi_decode" -> ((s, dir) => {
+      import s.implicits._
+      implicit val session: SparkSession = s
+      val media = t(s, dir, "documents").select(col("doc_id").cast(LongType)).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val bos = new java.io.ByteArrayOutputStream()
+            def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+            def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+            def tag(t: String): Unit = bos.write(t.getBytes("US-ASCII"))
+            tag("RIFF"); le32(0); tag("AVI ")
+            if (id % 2 == 0) { tag("JUNK"); le32(3); bos.write(Array[Byte](9, 9, 9)); bos.write(0) }
+            val innerJunk = id % 3 == 0
+            // hdrl content: 4-byte list type + optional JUNK + avih(56)
+            tag("LIST"); le32(4 + (if (innerJunk) 12 else 0) + 8 + 56); tag("hdrl")
+            if (innerJunk) { tag("JUNK"); le32(4); le32(0) }
+            tag("avih"); le32(56)
+            le32(33333 + (id % 3).toInt * 8334)       // dwMicroSecPerFrame
+            le32(0); le32(0); le32(0)                 // maxBytesPerSec, padding, flags
+            le32(24 + (id % 100).toInt)               // dwTotalFrames
+            le32(0)                                   // dwInitialFrames
+            le32(1 + (id % 2).toInt)                  // dwStreams
+            le32(0)                                   // dwSuggestedBufferSize
+            le32(160 + (id % 8).toInt * 16)           // dwWidth
+            le32(120 + (id % 5).toInt * 24)           // dwHeight
+            le32(0); le32(0); le32(0); le32(0)        // dwReserved[4]
+            tag("LIST"); le32(4); tag("movi")         // empty frame list
+            Multimodal.MediaRecord(id, bos.toByteArray)
+          }
+        }.toDF()
+      Multimodal.decodeAvis(media).toDF()
+        .agg((sum(when(col("width") =!= lit(160L) + (col("doc_id") % 8L) * 16L
+            || col("height") =!= lit(120L) + (col("doc_id") % 5L) * 24L
+            || col("n_frames") =!= lit(24L) + col("doc_id") % 100L
+            || col("us_per_frame") =!= lit(33333L) + (col("doc_id") % 3L) * 8334L
+            || col("n_streams") =!= lit(1L) + col("doc_id") % 2L, 1L).otherwise(0L))
+          + when(count(lit(1)) === 0L, 1L).otherwise(0L)).as("violations"))
+    }),
+
     // small-file compaction graded end-to-end: a 64-file table rewritten
     // to ~5 target-sized files must (a) land exactly
     // max(1, ceil(bytes/target)) files — the operator's sizing contract —
@@ -1824,6 +1870,8 @@ object SparkEntry {
     "q101_audio_decode" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q103_wav_decode" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    "q107_avi_decode" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q88_compaction" ->
       "SELECT CAST(0 AS BIGINT) AS violations",

@@ -197,6 +197,66 @@ object Multimodal {
     media.as[MediaRecord].mapPartitions(it => it.map(r => decodeWav(r.doc_id, r.media)))
   }
 
+  /** AVI MainAVIHeader metadata — the video leg of the multimodal triple
+    * (image [[imageDimensions]], audio [[decodeWav]], video here). */
+  case class DecodedVideo(doc_id: Long, width: Long, height: Long,
+                          n_frames: Long, us_per_frame: Long, n_streams: Long)
+
+  /** Parse a RIFF/AVI payload's MainAVIHeader: AVI nests the `avih` header
+    * one level down, inside the `LIST hdrl` compound chunk, so this walks
+    * the TOP-LEVEL chunk list to `LIST hdrl` and then hdrl's SUBchunks to
+    * `avih` — a fixed-offset parse breaks the moment an encoder puts a
+    * JUNK/INFO chunk before either level, and real muxers do. Same
+    * contracts as [[decodeWav]]: 32-bit sizes compared in Long so a
+    * crafted size cannot wrap past the truncation check, word-aligned
+    * chunk advance (odd sizes pad), and any malformed structure degrades
+    * to the all-zero row rather than a task kill. Header-only cost: the
+    * movi payload (the actual frames) is never touched, so decoding
+    * metadata for a 100 TB video corpus reads only the leading bytes of
+    * each blob. */
+  def decodeAvi(id: Long, bytes: Array[Byte]): DecodedVideo = {
+    val zero = DecodedVideo(id, 0L, 0L, 0L, 0L, 0L)
+    if (bytes == null || bytes.length < 12 ||
+        !(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') ||
+        !(bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' '))
+      return zero
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val cid = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val lenL = le32(bytes, off + 4)
+      if (off + 8L + lenL > bytes.length) return zero // truncated chunk
+      val len = lenL.toInt
+      if (cid == "LIST" && len >= 4 &&
+          new String(bytes, off + 8, 4, java.nio.charset.StandardCharsets.US_ASCII) == "hdrl") {
+        var so = off + 12
+        val end = off + 8 + len
+        while (so + 8 <= end) {
+          val sid = new String(bytes, so, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          val slenL = le32(bytes, so + 4)
+          if (so + 8L + slenL > end) return zero // subchunk overruns hdrl
+          val slen = slenL.toInt
+          if (sid == "avih" && slen >= 40) {
+            val base = so + 8
+            return DecodedVideo(id,
+              width = le32(bytes, base + 32), height = le32(bytes, base + 36),
+              n_frames = le32(bytes, base + 16), us_per_frame = le32(bytes, base),
+              n_streams = le32(bytes, base + 24))
+          }
+          so += 8 + slen + (slen & 1)
+        }
+        return zero // hdrl without avih
+      }
+      off += 8 + len + (len & 1)
+    }
+    zero
+  }
+
+  /** Partition-parallel AVI header decode — same batch shape as [[decode]]. */
+  def decodeAvis(media: DataFrame)(implicit spark: SparkSession): Dataset[DecodedVideo] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(it => it.map(r => decodeAvi(r.doc_id, r.media)))
+  }
+
   /** Feature-extracted media: fixed-width byte histogram (16 bins) — the
     * Spark-side shape of an embedding/feature extractor (fixed-size vector
     * per doc, computed batch-wise on executors). Counts, not ratios, so the

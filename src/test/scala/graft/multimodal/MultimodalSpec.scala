@@ -160,4 +160,67 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_.rms_milli).toSeq === Seq(10000L, 10000L))
     assert(out.map(_.n_samples).toSeq === Seq(2L, 2L))
   }
+
+  private def avi(width: Int, height: Int, frames: Int, usPerFrame: Int,
+                  streams: Int, topJunk: Boolean = false,
+                  hdrlJunk: Boolean = false): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+    def tag(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    tag("RIFF"); le32(0); tag("AVI ")
+    if (topJunk) { tag("JUNK"); le32(3); bos.write(Array[Byte](1, 2, 3)); bos.write(0) }
+    tag("LIST"); le32(4 + (if (hdrlJunk) 12 else 0) + 8 + 56); tag("hdrl")
+    if (hdrlJunk) { tag("JUNK"); le32(4); le32(0) }
+    tag("avih"); le32(56)
+    le32(usPerFrame); le32(0); le32(0); le32(0)
+    le32(frames); le32(0); le32(streams); le32(0)
+    le32(width); le32(height)
+    le32(0); le32(0); le32(0); le32(0)
+    tag("LIST"); le32(4); tag("movi")
+    bos.toByteArray
+  }
+
+  test("decodeAvi descends into LIST hdrl and walks past JUNK at both levels") {
+    val d = Multimodal.decodeAvi(1L, avi(320, 240, 120, 33333, 1))
+    assert(d === Multimodal.DecodedVideo(1L, 320L, 240L, 120L, 33333L, 1L))
+    // odd-size JUNK before the header list: fixed-offset parsing dies here
+    val d2 = Multimodal.decodeAvi(2L, avi(640, 480, 48, 41667, 2, topJunk = true))
+    assert(d2 === Multimodal.DecodedVideo(2L, 640L, 480L, 48L, 41667L, 2L))
+    // JUNK inside hdrl before avih: the SUBchunk walk must also be real
+    val d3 = Multimodal.decodeAvi(3L, avi(160, 120, 1, 50000, 1, hdrlJunk = true))
+    assert(d3 === Multimodal.DecodedVideo(3L, 160L, 120L, 1L, 50000L, 1L))
+  }
+
+  test("decodeAvi degrades: garbage, WAVE form, truncation, hdrl-sans-avih -> zeros") {
+    val zero = Multimodal.DecodedVideo(9L, 0L, 0L, 0L, 0L, 0L)
+    assert(Multimodal.decodeAvi(9L, "definitely not an avi".getBytes) === zero)
+    assert(Multimodal.decodeAvi(9L, null) === zero)
+    // a WAV is RIFF but not form 'AVI ' — the form check must reject it
+    assert(Multimodal.decodeAvi(9L, wav(8000, 1, Seq(1, 2))) === zero)
+    // truncated mid-hdrl: declared sizes overrun the payload
+    assert(Multimodal.decodeAvi(9L, avi(320, 240, 10, 33333, 1).dropRight(30)) === zero)
+    // hdrl list present but no avih subchunk inside it
+    val noAvih = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def le32(v: Int): Unit = (0 to 3).foreach(i => bos.write((v >> (8 * i)) & 0xff))
+      def tag(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+      tag("RIFF"); le32(0); tag("AVI "); tag("LIST"); le32(12); tag("hdrl")
+      tag("JUNK"); le32(0)
+      bos.toByteArray
+    }
+    assert(Multimodal.decodeAvi(9L, noAvih) === zero)
+    // crafted 32-bit size near Int.MaxValue must not wrap the bounds check
+    val crafted = "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "AVI ".getBytes ++
+      "LIST".getBytes ++ Array[Byte](0xf0.toByte, 0xff.toByte, 0xff.toByte, 0x7f)
+    assert(Multimodal.decodeAvi(9L, crafted) === zero)
+  }
+
+  test("decodeAvis runs the codec partition-parallel over binary payloads") {
+    val df = Seq((1L, avi(320, 240, 10, 33333, 1)),
+      (2L, avi(640, 480, 20, 41667, 2, topJunk = true))).toDF("doc_id", "media")
+    val out = Multimodal.decodeAvis(df).collect().sortBy(_.doc_id)
+    assert(out.map(_.width).toSeq === Seq(320L, 640L))
+    assert(out.map(_.n_frames).toSeq === Seq(10L, 20L))
+  }
 }

@@ -146,9 +146,16 @@ object Bench {
       }
     // SPARK_GRAFT_ONLY=q33_dedup_canonical,q64_dedup_keep_best runs just
     // those lambdas — the targeted-measurement loop for variance hunting;
-    // calibration degrades gracefully (no canaries in the subset -> 1.0)
+    // calibration degrades gracefully (no canaries in the subset -> 1.0).
+    // Unknown names fail fast: a typo would otherwise "succeed" measuring
+    // zero queries (the same vacuous-pass guard Verify's subset arg has)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

@@ -138,23 +138,40 @@ object Sampling {
     * for free. One keyed exchange over the data — the same shape at 100 TB.
     *
     * Output: (idCol, global_rank, shard, pos). Ranks are a bijection onto
-    * [0, n); ids must be distinct (md5 collisions aside, the id tie-break
-    * makes the order total regardless). */
+    * [0, n) over the NON-NULL ids; null ids are excluded up front (a null
+    * id has no md5 key — left in, its bucket would inflate the offsets
+    * while the offset equi-join dropped the rows, leaving holes in the
+    * rank sequence). Ids must be distinct (md5 collisions aside, the id
+    * tie-break makes the order total regardless). */
   def shardedShuffle(df: DataFrame, idCol: String, seed: String,
                      rowsPerShard: Long): DataFrame = {
     require(rowsPerShard >= 1, s"rowsPerShard must be >= 1, got $rowsPerShard")
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val key = md5(concat(lit(seed + ":"), col(idCol).cast("string")).cast("binary"))
-    val keyed = df.select(col(idCol), key.as("__k"),
-      // first hex byte, exactly consistent with lexicographic key order
-      conv(substring(key, 1, 2), 16, 10).cast("int").as("__b"))
+    val keyed = df.filter(col(idCol).isNotNull)
+      .select(col(idCol), key.as("__k"),
+        // first hex byte, exactly consistent with lexicographic key order
+        conv(substring(key, 1, 2), 16, 10).cast("int").as("__b"))
+      .repartition(n, col("__b"))
+    // Per-bucket rank AND per-bucket count from the SAME exchange: the
+    // count is a second window function over the same clustering, and the
+    // offsets are derived from the ranked output's bucket representatives
+    // (__r == 1), not from a separate groupBy branch — a separate branch
+    // gets column-pruned into a DIFFERENT (narrower) exchange subtree that
+    // ReuseExchange cannot dedup, silently scanning and hashing the whole
+    // upstream pipeline twice (observed in the executed plan). This shape
+    // shuffles the corpus exactly once; only the per-bucket sort is
+    // evaluated per consumer, over the reused shuffle's local files.
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("__k"), col(idCol))
+    val ranked = keyed
+      .withColumn("__r", row_number().over(wIn))
+      .withColumn("__bc", count(lit(1)).over(Window.partitionBy(col("__b"))))
     val wOff = Window.orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = keyed.groupBy("__b").count()
-      .select(col("__b"), coalesce(sum("count").over(wOff), lit(0L)).as("__off"))
-    val wIn = Window.partitionBy(col("__b")).orderBy(col("__k"), col(idCol))
-    keyed.join(broadcast(offsets), "__b")
-      .withColumn("global_rank",
-        (col("__off") + row_number().over(wIn) - 1).cast("long"))
+    val offsets = ranked.filter(col("__r") === 1)
+      .select(col("__b"), coalesce(sum(col("__bc")).over(wOff), lit(0L)).as("__off"))
+    ranked.join(broadcast(offsets), "__b")
+      .withColumn("global_rank", (col("__off") + col("__r") - 1).cast("long"))
       // integer div/mod, not float division: ranks are exact longs and must
       // stay exact at any corpus size
       .select(col(idCol), col("global_rank"),

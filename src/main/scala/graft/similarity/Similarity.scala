@@ -121,9 +121,11 @@ object Similarity {
       .filter(col(idCol) =!= queryId)
       // non-finite candidates score NaN, and Spark ranks NaN ABOVE every
       // real score — without this guard one failed embed tops every top-k.
-      // The norm is computed ONCE and reused in the score (a bare
-      // filter(finite(norm)) + cosine() would self-dot every candidate
-      // twice); the query's own norm rides the 1-row broadcast side.
+      // The query's own norm rides the 1-row broadcast side (hoisted out
+      // of the per-candidate score). The candidate norm is written once
+      // here, though predicate pushdown may still inline a second self-dot
+      // into the filter below the project — accepted: the q·v dot
+      // dominates the per-candidate cost either way.
       .withColumn("__n", norm(col(vecCol)))
       .filter(finitePositive(col("__n")))
       .crossJoin(broadcast(q.withColumn("__qn", norm(col("__qv")))))

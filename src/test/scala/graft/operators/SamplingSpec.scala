@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 class SamplingSpec extends SparkSpec {
@@ -153,5 +154,24 @@ class SamplingSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("windowspecdefinition(__b"),
       s"expected per-bucket ranking window in:\n$plan")
+    // both consumers (bucket counts + ranking window) share ONE exchange
+    // of the keyed input — the upstream plan is scanned once, not twice
+    assert(plan.contains("ReusedExchange"),
+      s"expected the bucket exchange to be reused across branches in:\n$plan")
+  }
+
+  test("shardedShuffle excludes null ids and keeps ranks a gap-free bijection") {
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L), Row(2L), Row(null), Row(3L), Row(4L))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+    val out = Sampling.shardedShuffle(withNull, "id", "spec", rowsPerShard = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the null row is gone; the 4 survivors still cover ranks 0..3 exactly
+    // (a null bucket left in the counts would shift offsets and leave
+    // rank 0 unassigned while dropping the row itself)
+    assert(out.map(_._1).sorted === Array(1L, 2L, 3L, 4L))
+    assert(out.map(_._2).sorted === Array(0L, 1L, 2L, 3L))
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatDotProduct, SimHash64, SimHashPacked64, SortedLongIntersectSize}
+import graft.functions.{FloatDotProduct, NfcNormalize, SimHash64, SimHashPacked64, SortedLongIntersectSize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -37,6 +37,9 @@ object GraftExtensions {
     ("graft_intersect_size",
       info("graft_intersect_size", "graft_intersect_size(a, b) - |A ∩ B| of two sorted bigint arrays"),
       (args: Seq[Expression]) => SortedLongIntersectSize(args(0), args(1))),
+    ("graft_nfc",
+      info("graft_nfc", "graft_nfc(s) - Unicode NFC canonical composition of a string"),
+      (args: Seq[Expression]) => NfcNormalize(args.head)),
     ("graft_simhash64",
       info("graft_simhash64", "graft_simhash64(hashes) - 64 sign bits of the simhash of pre-hashed tokens"),
       (args: Seq[Expression]) => SimHash64(args.head)),

@@ -1,6 +1,7 @@
 package graft
 
 import graft.dedup.{Decontaminate, Dedup}
+import graft.functions.Normalize
 import graft.multimodal.Multimodal
 import graft.operators._
 import graft.similarity.Similarity
@@ -1340,6 +1341,27 @@ object SparkEntry {
           + when(count(lit(1)) === 0L, 1L).otherwise(0L)).as("violations"))
     }),
 
+    // Unicode NFC normalization (codegen'd NfcNormalize expression): the
+    // canonicalize-before-hash step real corpora need — "e"+COMBINING ACUTE
+    // and precomposed "é" are one text to a reader but different bytes to
+    // every fingerprint. The gate PLANTS decomposed sequences (the synthetic
+    // docs are pure ASCII, where NFC is the identity and a broken
+    // normalizer would pass unnoticed): every 'e' gains U+0301, so the
+    // engine must compose them back and the codepoint counts must shrink by
+    // exactly the planted amount — both compared against DuckDB's
+    // utf8proc-backed nfc_normalize
+    "q108_nfc_normalize" -> ((s, dir) => {
+      val dec = t(s, dir, "documents").select(col("doc_id"),
+        // "e" + U+0301 COMBINING ACUTE, written as an escape so the source
+        // cannot silently hold the precomposed form instead
+        regexp_replace(col("text"), "e", "e\u0301").as("t"))
+      dec.select(col("doc_id"),
+          Normalize.nfc(col("t")).as("t_nfc"),
+          length(col("t")).cast(LongType).as("len_dec"),
+          length(Normalize.nfc(col("t"))).cast(LongType).as("len_nfc"))
+        .orderBy("doc_id")
+    }),
+
     // small-file compaction graded end-to-end: a 64-file table rewritten
     // to ~5 target-sized files must (a) land exactly
     // max(1, ceil(bytes/target)) files — the operator's sizing contract —
@@ -1873,6 +1895,8 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q107_avi_decode" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
+    "q108_nfc_normalize" ->
+      "WITH d AS (SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS t FROM documents) SELECT doc_id, nfc_normalize(t) AS t_nfc, CAST(length(t) AS BIGINT) AS len_dec, CAST(length(nfc_normalize(t)) AS BIGINT) AS len_nfc FROM d ORDER BY doc_id",
     "q88_compaction" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q89_cc_deep_chain" ->

@@ -1362,6 +1362,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // edit-distance-1 fuzzy matching via the deletion-neighborhood
+    // (SymSpell) blocking scheme: a COMPLETE candidate generator (equal /
+    // substitution / indel pairs provably share a deletion variant) +
+    // codegen'd levenshtein verify — vs the oracle's O(n²) levenshtein
+    // cross join. The corpus is the document vocabulary plus planted
+    // first-char-dropped misspellings, so the pair set is nontrivial
+    "q109_fuzzy_join" -> ((s, dir) => {
+      val vocab = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w")).distinct()
+      val corpus = vocab.unionByName(
+          vocab.filter(length(col("w")) >= 4).select(substring(col("w"), 2, 1000000).as("w")))
+        .distinct()
+      FuzzyJoin.neighborPairs(corpus, "w").orderBy("w_a", "w_b")
+    }),
+
     // small-file compaction graded end-to-end: a 64-file table rewritten
     // to ~5 target-sized files must (a) land exactly
     // max(1, ceil(bytes/target)) files — the operator's sizing contract —
@@ -1897,6 +1912,8 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q108_nfc_normalize" ->
       "WITH d AS (SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS t FROM documents) SELECT doc_id, nfc_normalize(t) AS t_nfc, CAST(length(t) AS BIGINT) AS len_dec, CAST(length(nfc_normalize(t)) AS BIGINT) AS len_nfc FROM d ORDER BY doc_id",
+    "q109_fuzzy_join" ->
+      "WITH tok AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents), corpus AS (SELECT w FROM tok UNION SELECT substr(w, 2) FROM tok WHERE len(w) >= 4) SELECT a.w AS w_a, b.w AS w_b FROM corpus a JOIN corpus b ON a.w < b.w WHERE levenshtein(a.w, b.w) <= 1 ORDER BY w_a, w_b",
     "q88_compaction" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q89_cc_deep_chain" ->

@@ -1377,6 +1377,20 @@ object SparkEntry {
       FuzzyJoin.neighborPairs(corpus, "w").orderBy("w_a", "w_b")
     }),
 
+    // GLOBAL 2D proximity join (time ±1h AND amount ±100 cents, no key):
+    // grid-cell blocking — 6 cells per build row vs the probe's exact
+    // cell, each qualifying pair matched in exactly ONE (x band, y band),
+    // so no distinct — vs the oracle's doubly-unhashable inequality join
+    "q110_box_join" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"),
+        expr("ts div 1000").as("t_us"),
+        round(col("value") * 100).cast(LongType).as("cents"))
+      RangeJoin.boxPairsWithin(e, Seq.empty, "t_us", "cents", "event_id",
+          xWindow = 3600L * 1000 * 1000, yWindow = 100L)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // small-file compaction graded end-to-end: a 64-file table rewritten
     // to ~5 target-sized files must (a) land exactly
     // max(1, ceil(bytes/target)) files — the operator's sizing contract —
@@ -1914,6 +1928,8 @@ object SparkEntry {
       "WITH d AS (SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS t FROM documents) SELECT doc_id, nfc_normalize(t) AS t_nfc, CAST(length(t) AS BIGINT) AS len_dec, CAST(length(nfc_normalize(t)) AS BIGINT) AS len_nfc FROM d ORDER BY doc_id",
     "q109_fuzzy_join" ->
       "WITH tok AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents), corpus AS (SELECT w FROM tok UNION SELECT substr(w, 2) FROM tok WHERE len(w) >= 4) SELECT a.w AS w_a, b.w AS w_b FROM corpus a JOIN corpus b ON a.w < b.w WHERE levenshtein(a.w, b.w) <= 1 ORDER BY w_a, w_b",
+    "q110_box_join" ->
+      "WITH e AS (SELECT event_id, epoch_us(ts) AS t, CAST(round(value*100) AS BIGINT) AS c FROM events) SELECT a.event_id AS id_a, b.event_id AS id_b FROM e a JOIN e b ON (a.t < b.t OR (a.t = b.t AND a.event_id < b.event_id)) AND b.t - a.t <= 3600000000 AND abs(a.c - b.c) <= 100 ORDER BY id_a, id_b",
     "q88_compaction" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q89_cc_deep_chain" ->

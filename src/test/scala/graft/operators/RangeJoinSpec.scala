@@ -60,4 +60,38 @@ class RangeJoinSpec extends SparkSpec {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("boxPairsWithin: exact-once pairs incl. negative coords and y in both directions") {
+    // y goes BOTH ways from a row (unlike the oriented x): (1,2) pairs with
+    // y_b < y_a; negatives exercise the trunc-div widened zero bucket
+    val pts = Seq((1L, 0L, 5L), (2L, 3L, -4L), (3L, 12L, 5L), (4L, -9L, 0L))
+      .toDF("id", "x", "y")
+    val got = RangeJoin.boxPairsWithin(pts, Seq.empty, "x", "y", "id", 10L, 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    // brute force: (1,2) dx3 dy9; (1,3) dx12 out; (2,3) dx9 dy9;
+    // (4,1) dx9 dy5; (4,2) dx12 out; (4,3) dx21 out
+    assert(got === Set((1L, 2L), (2L, 3L), (4L, 1L)))
+  }
+
+  test("property: box pairs == in-memory brute force on random 2D points") {
+    val rowGen = Gen.listOf(Gen.zip(
+      Gen.choose(-100L, 100L), Gen.choose(-100L, 100L))).map(_.zipWithIndex
+      .map { case ((x, y), i) => (i.toLong, x, y) })
+    val winGen = Gen.choose(1L, 60L)
+    val prop = Prop.forAll(rowGen, winGen, winGen) { (rs, wx, wy) =>
+      val found =
+        if (rs.isEmpty) Set.empty[(Long, Long)]
+        else RangeJoin.boxPairsWithin(rs.toDF("id", "x", "y"), Seq.empty,
+          "x", "y", "id", wx, wy)
+          .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+      val brute = (for {
+        (ia, xa, ya) <- rs; (ib, xb, yb) <- rs
+        if (xa < xb || (xa == xb && ia < ib)) && xb - xa <= wx
+        if math.abs(ya - yb) <= wy
+      } yield (ia, ib)).toSet
+      found == brute
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

@@ -1377,6 +1377,32 @@ object SparkEntry {
       FuzzyJoin.neighborPairs(corpus, "w").orderBy("w_a", "w_b")
     }),
 
+    // entity resolution composed end-to-end: fuzzy pairs (q109's blocking)
+    // -> connected components (q33's machinery over hashed word ids) ->
+    // longest-word representative per cluster (lexicographic tie-break —
+    // chosen on the WORDS so the oracle can mirror it; the internal canon
+    // label is hash-valued and never escapes). Output: every corpus word
+    // mapped to its cluster's canonical form — the record-linkage shape
+    "q111_entity_resolution" -> ((s, dir) => {
+      val vocab = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w")).distinct()
+      val corpus = vocab.unionByName(
+          vocab.filter(length(col("w")) >= 4).select(substring(col("w"), 2, 1000000).as("w")))
+        .distinct()
+      val pairs = FuzzyJoin.neighborPairs(corpus, "w")
+      val ids = corpus.select(col("w"), xxhash64(col("w")).as("id"))
+      val pid = pairs
+        .join(ids.select(col("w").as("w_a"), col("id").as("id_a")), "w_a")
+        .join(ids.select(col("w").as("w_b"), col("id").as("id_b")), "w_b")
+        .select("id_a", "id_b")
+      val members = Dedup.connectedComponents(ids.select("id"), "id", pid)
+        .join(ids, "id").select(col("canon"), col("w"))
+      val wRep = Window.partitionBy(col("canon"))
+        .orderBy(length(col("w")).desc, col("w"))
+      members.select(col("w"), first(col("w")).over(wRep).as("rep"))
+        .orderBy("w")
+    }),
+
     // GLOBAL 2D proximity join (time ±1h AND amount ±100 cents, no key):
     // grid-cell blocking — 6 cells per build row vs the probe's exact
     // cell, each qualifying pair matched in exactly ONE (x band, y band),
@@ -1930,6 +1956,8 @@ object SparkEntry {
       "WITH tok AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents), corpus AS (SELECT w FROM tok UNION SELECT substr(w, 2) FROM tok WHERE len(w) >= 4) SELECT a.w AS w_a, b.w AS w_b FROM corpus a JOIN corpus b ON a.w < b.w WHERE levenshtein(a.w, b.w) <= 1 ORDER BY w_a, w_b",
     "q110_box_join" ->
       "WITH e AS (SELECT event_id, epoch_us(ts) AS t, CAST(round(value*100) AS BIGINT) AS c FROM events) SELECT a.event_id AS id_a, b.event_id AS id_b FROM e a JOIN e b ON (a.t < b.t OR (a.t = b.t AND a.event_id < b.event_id)) AND b.t - a.t <= 3600000000 AND abs(a.c - b.c) <= 100 ORDER BY id_a, id_b",
+    "q111_entity_resolution" ->
+      """WITH RECURSIVE tok AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents), corpus AS (SELECT w FROM tok UNION SELECT substr(w, 2) FROM tok WHERE len(w) >= 4), pairs AS (SELECT a.w AS src, b.w AS dst FROM corpus a JOIN corpus b ON a.w <> b.w AND levenshtein(a.w, b.w) <= 1), reach AS (SELECT w AS id, w AS r FROM corpus UNION SELECT p.dst, reach.r FROM reach JOIN pairs p ON p.src = reach.id), canon AS (SELECT id AS w, min(r) AS c FROM reach GROUP BY id), rep AS (SELECT c, w AS rep FROM (SELECT c, w, row_number() OVER (PARTITION BY c ORDER BY len(w) DESC, w) AS rn FROM canon) WHERE rn = 1) SELECT canon.w, rep.rep FROM canon JOIN rep USING (c) ORDER BY w""",
     "q88_compaction" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q89_cc_deep_chain" ->

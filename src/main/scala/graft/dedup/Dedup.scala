@@ -500,10 +500,15 @@ object Dedup {
       .select(col("id"), col("id").cast("long").as("canon"))
       .localCheckpoint()
     // sum over ZERO rows is NULL, not 0 — an empty pair set (a corpus with
-    // no near-dups at all) must yield all-singleton labels, not an NPE
-    def labelSum(): Long = {
-      val r = labels.agg(sum(col("canon"))).head
-      if (r.isNullAt(0)) 0L else r.getLong(0)
+    // no near-dups at all) must yield all-singleton labels, not an NPE.
+    // DECIMAL(38,0) accumulation, not bigint: ids are caller-chosen and
+    // hash-valued ids (xxhash64 entity keys) sit near ±2^63, where a long
+    // sum overflows — an ANSI failure, or worse a silent wrap that could
+    // fake convergence (labels only decrease, so an EXACT sum's equality
+    // is a correct fixpoint test; a wrapped one's is not)
+    def labelSum(): java.math.BigDecimal = {
+      val r = labels.agg(sum(col("canon").cast(DecimalType(38, 0)))).head
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
     var prevSum = labelSum()
     var converged = false
@@ -538,7 +543,7 @@ object Dedup {
       release(labels) // next is materialized; last round's table is dead
       labels = next
       val s = labelSum()
-      converged = s == prevSum
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       i += 1
     }

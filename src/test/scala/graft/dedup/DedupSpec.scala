@@ -80,6 +80,20 @@ class DedupSpec extends SparkSpec {
     assert(cc === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("connectedComponents handles hash-range ids (no ANSI long-sum overflow)") {
+    // entity keys are often xxhash64 values near ±2^63: the convergence
+    // check sums labels, and a bigint sum overflows there (ANSI failure —
+    // or a silent wrap that could fake a fixpoint); the decimal(38,0)
+    // accumulator must make this exact
+    val a = Long.MaxValue - 1L; val b = Long.MaxValue - 3L
+    val c = Long.MinValue + 5L
+    val vertices = Seq(a, b, c).toDF("doc_id")
+    val pairs = Seq((a, b)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(vertices, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(a -> b, b -> b, c -> c))
+  }
+
   test("pointer jumping converges a 60-deep chain well inside the cap") {
     // worst case for plain min-label propagation: a single path graph —
     // 60 rounds without jumping, O(log 60) with; the default cap of 30

@@ -72,8 +72,6 @@ object Bench {
     "q65_sql_parity" -> 0.324, "q66_packing" -> 0.241,
     // round-5 queries: driver-recorded best-of-two from BENCH_r06.json
     // (r6's run had an empty regressed list — a clean load profile).
-    // q87-q91 have no floor yet: added in round 7, floor lands from the
-    // round-7 driver bench.
     "q67_cube_counts" -> 0.172, "q68_star_revenue" -> 0.326,
     "q69_strata_sample" -> 0.124, "q70_scrub" -> 0.471,
     "q71_bigram_lm" -> 0.487, "q72_incr_dedup" -> 0.558,
@@ -83,7 +81,25 @@ object Bench {
     "q79_group_percentiles" -> 0.545, "q80_gap_fill" -> 1.621,
     "q81_lsh_shuffle_parity" -> 1.241, "q82_salted_join" -> 0.364,
     "q83_typed_agg" -> 0.269, "q84_format_roundtrip" -> 1.118,
-    "q85_bucketed_join" -> 0.964, "q86_srp_twin" -> 0.248)
+    "q85_bucketed_join" -> 0.964, "q86_srp_twin" -> 0.248,
+    // round-7 queries: best-of-two from a local sf0.1 run, DIVIDED by that
+    // run's canary calibration (x1.327 — host-neighbor load) to express
+    // them in driver-VM floor units; the guard multiplies calibration back
+    // at compare time, so the normalization is self-inverse. Replace with
+    // driver-recorded numbers when a clean driver round lands.
+    "q87_image_decode" -> 0.302, "q88_compaction" -> 2.179,
+    "q89_cc_deep_chain" -> 1.959, "q90_sync_deletes" -> 0.278,
+    "q91_hash_file_sync" -> 1.014, "q92_stream_enrich" -> 1.455,
+    "q93_stream_upsert_sync" -> 2.245, "q94_passage_dedup" -> 1.478,
+    "q95_dup_gram_share" -> 1.053, "q96_semantic_dedup" -> 1.552,
+    "q97_zorder_layout" -> 0.924, "q98_trailing_window" -> 0.554,
+    "q99_topk_per_group" -> 0.15, "q100_token_budget" -> 0.532,
+    "q101_audio_decode" -> 0.248, "q102_curation_pipeline" -> 1.747,
+    "q103_wav_decode" -> 0.245, "q104_pruned_read" -> 1.777,
+    "q105_snapshot_diff" -> 0.618, "q106_shard_shuffle" -> 0.862,
+    "q107_avi_decode" -> 0.19, "q108_nfc_normalize" -> 0.598,
+    "q109_fuzzy_join" -> 0.886, "q110_box_join" -> 1.374,
+    "q111_entity_resolution" -> 3.747)
 
   /** Fixed-seconds slack added to the 1.5x bound: sub-second floors are
     * scheduler-noise-dominated (a 0.13 s query measured at 0.25 s is noise,
@@ -101,7 +117,7 @@ object Bench {
     * allocates the shared cost between them). q89 is the deep-chain CC
     * loop — more rounds, same compounding. */
   private val HighVariance = Set("q33_dedup_canonical",
-    "q64_dedup_keep_best", "q89_cc_deep_chain")
+    "q64_dedup_keep_best", "q89_cc_deep_chain", "q111_entity_resolution")
 
   /** Machine calibration canaries: stable, mid-weight queries spanning the
     * engine's plan shapes (pushed scan, window, LSH join, stream, fill).

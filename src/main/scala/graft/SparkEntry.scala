@@ -30,6 +30,18 @@ object SparkEntry {
     * that `java.sql.Timestamp.valueOf` would introduce. */
   private def ts(s: String) = to_timestamp(lit(s))
 
+  /** Shared q109/q111 fuzzy-match corpus: the document vocabulary plus a
+    * planted first-char-dropped misspelling of every word of length >= 4.
+    * ONE definition so the two graded queries (and both DuckDB oracles'
+    * identical corpus CTE) cannot drift apart. */
+  private def fuzzyCorpus(s: SparkSession, dir: String): DataFrame = {
+    val vocab = t(s, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w")).distinct()
+    vocab.unionByName(
+        vocab.filter(length(col("w")) >= 4).select(substring(col("w"), 2, 1000000).as("w")))
+      .distinct()
+  }
+
   /** Collect a memory-sink-backed result into a local relation and DROP
     * the sink table: bench invokes each query lambda repeatedly (cold +
     * warm) and Verify once more — leaked UUID-named sink tables would
@@ -1368,14 +1380,8 @@ object SparkEntry {
     // codegen'd levenshtein verify — vs the oracle's O(n²) levenshtein
     // cross join. The corpus is the document vocabulary plus planted
     // first-char-dropped misspellings, so the pair set is nontrivial
-    "q109_fuzzy_join" -> ((s, dir) => {
-      val vocab = t(s, dir, "documents")
-        .select(explode(TextAnalysis.tokens(col("text"))).as("w")).distinct()
-      val corpus = vocab.unionByName(
-          vocab.filter(length(col("w")) >= 4).select(substring(col("w"), 2, 1000000).as("w")))
-        .distinct()
-      FuzzyJoin.neighborPairs(corpus, "w").orderBy("w_a", "w_b")
-    }),
+    "q109_fuzzy_join" -> ((s, dir) =>
+      FuzzyJoin.neighborPairs(fuzzyCorpus(s, dir), "w").orderBy("w_a", "w_b")),
 
     // entity resolution composed end-to-end: fuzzy pairs (q109's blocking)
     // -> connected components (q33's machinery over hashed word ids) ->
@@ -1384,13 +1390,15 @@ object SparkEntry {
     // label is hash-valued and never escapes). Output: every corpus word
     // mapped to its cluster's canonical form — the record-linkage shape
     "q111_entity_resolution" -> ((s, dir) => {
-      val vocab = t(s, dir, "documents")
-        .select(explode(TextAnalysis.tokens(col("text"))).as("w")).distinct()
-      val corpus = vocab.unionByName(
-          vocab.filter(length(col("w")) >= 4).select(substring(col("w"), 2, 1000000).as("w")))
-        .distinct()
-      val pairs = FuzzyJoin.neighborPairs(corpus, "w")
+      val corpus = fuzzyCorpus(s, dir)
+      // the vocabulary derivation (scan + explode + two distinct shuffles)
+      // feeds FIVE plan branches (both sides of the blocking self-join, two
+      // pid joins, the members join) and the members branch re-executes
+      // AFTER the CC driver loop — materialize it once, like CC does its
+      // edge list
       val ids = corpus.select(col("w"), xxhash64(col("w")).as("id"))
+        .localCheckpoint()
+      val pairs = FuzzyJoin.neighborPairs(ids.select("w"), "w")
       val pid = pairs
         .join(ids.select(col("w").as("w_a"), col("id").as("id_a")), "w_a")
         .join(ids.select(col("w").as("w_b"), col("id").as("id_b")), "w_b")

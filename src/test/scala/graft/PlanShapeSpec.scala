@@ -224,4 +224,25 @@ class PlanShapeSpec extends SparkSpec {
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(hashExchanges === 1, s"expected a single keyed shuffle:\n$p")
   }
+
+  test("q109 fuzzy join blocks on variant hashes: equi-join, never a cross join") {
+    val p = plan("q109_fuzzy_join")
+    // the whole point of deletion blocking is replacing the unhashable
+    // levenshtein cross join — the plan must contain ONLY equi-joins
+    assert(!p.contains("CartesianProduct"), s"blocking must stay an equi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"blocking must stay an equi-join:\n$p")
+    // at gate scale the build side broadcasts; at 100 TB AQE shuffles it —
+    // either way the join itself must key on the variant hash
+    assert("(?:BroadcastHash|SortMerge|ShuffledHash)Join \\[__vk".r.findFirstIn(p).isDefined,
+      s"expected an equi-join keyed on the variant hash:\n$p")
+  }
+
+  test("q110 box join blocks on grid cells: equi-join on both band keys") {
+    val p = plan("q110_box_join")
+    assert(!p.contains("CartesianProduct"), s"grid blocking must stay an equi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"grid blocking must stay an equi-join:\n$p")
+    // both band keys participate in the join clustering
+    assert(p.contains("__bx") && p.contains("__by"),
+      s"expected (x band, y band) join keys in the plan:\n$p")
+  }
 }

@@ -1411,6 +1411,34 @@ object SparkEntry {
         .orderBy("w")
     }),
 
+    // batch EXACT k-NN join — the production retrieval shape (every query
+    // row gets its top-k corpus neighbors): query side broadcast, corpus
+    // scanned once, only (query, neighbor, score) triples shuffle into the
+    // per-query top-k window — vs the oracle's cross join + rank
+    "q112_knn_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnJoin(emb.filter(col("vec_id") < 25), emb,
+          "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "neighbor_id")
+    }),
+
+    // IVF-blocked batch k-NN at FULL probe must equal the exact join
+    // row-for-row: grades the cell assignment + per-query probe explode +
+    // equi-join candidate plumbing (the scale path) against the exact
+    // contract — candidate sets, not scoring, are what can drift
+    "q113_ivf_knn_parity" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 25)
+      val exact = Similarity.knnJoin(queries, emb, "vec_id", "embedding", 5)
+      val index = Similarity.ivfIndex(emb, "vec_id", "embedding", numCentroids = 8)
+      val ivf = Similarity.knnJoinIvf(index, queries, "vec_id", "embedding", 5, nprobe = 8)
+      exact.withColumn("__x", lit(1))
+        .join(ivf.withColumn("__y", lit(1)),
+          Seq("query_id", "neighbor_id"), "full_outer")
+        .agg((sum(when(col("__x").isNull || col("__y").isNull, 1L).otherwise(0L))
+          + when(count(lit(1)) === 0L, 1L).otherwise(0L)).as("violations"))
+    }),
+
     // GLOBAL 2D proximity join (time ±1h AND amount ±100 cents, no key):
     // grid-cell blocking — 6 cells per build row vs the probe's exact
     // cell, each qualifying pair matched in exactly ONE (x band, y band),
@@ -1964,6 +1992,10 @@ object SparkEntry {
       "WITH tok AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents), corpus AS (SELECT w FROM tok UNION SELECT substr(w, 2) FROM tok WHERE len(w) >= 4) SELECT a.w AS w_a, b.w AS w_b FROM corpus a JOIN corpus b ON a.w < b.w WHERE levenshtein(a.w, b.w) <= 1 ORDER BY w_a, w_b",
     "q110_box_join" ->
       "WITH e AS (SELECT event_id, epoch_us(ts) AS t, CAST(round(value*100) AS BIGINT) AS c FROM events) SELECT a.event_id AS id_a, b.event_id AS id_b FROM e a JOIN e b ON (a.t < b.t OR (a.t = b.t AND a.event_id < b.event_id)) AND b.t - a.t <= 3600000000 AND abs(a.c - b.c) <= 100 ORDER BY id_a, id_b",
+    "q112_knn_join" ->
+      "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 25), s AS (SELECT q.query_id, e.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id) AS rn FROM embeddings e, q WHERE e.vec_id <> q.query_id) SELECT query_id, neighbor_id FROM s WHERE rn <= 5 ORDER BY query_id, neighbor_id",
+    "q113_ivf_knn_parity" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
     "q111_entity_resolution" ->
       """WITH RECURSIVE tok AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents), corpus AS (SELECT w FROM tok UNION SELECT substr(w, 2) FROM tok WHERE len(w) >= 4), pairs AS (SELECT a.w AS src, b.w AS dst FROM corpus a JOIN corpus b ON a.w <> b.w AND levenshtein(a.w, b.w) <= 1), reach AS (SELECT w AS id, w AS r FROM corpus UNION SELECT p.dst, reach.r FROM reach JOIN pairs p ON p.src = reach.id), canon AS (SELECT id AS w, min(r) AS c FROM reach GROUP BY id), rep AS (SELECT c, w AS rep FROM (SELECT c, w, row_number() OVER (PARTITION BY c ORDER BY len(w) DESC, w) AS rn FROM canon) WHERE rn = 1) SELECT canon.w, rep.rep FROM canon JOIN rep USING (c) ORDER BY w""",
     "q88_compaction" ->

@@ -301,4 +301,41 @@ class SimilaritySpec extends SparkSpec {
     assert(kept.length === 1)
     assert(kept.head.getAs[String]("tag") === "keep-me")
   }
+
+  test("knnJoin matches per-query bruteForceTopK; non-finite queries drop") {
+    val corpus = vecs(
+      0L -> Seq(1f, 0f), 1L -> Seq(0.9f, 0.1f), 2L -> Seq(0f, 1f),
+      3L -> Seq(0.2f, 0.8f), 4L -> Seq(0.7f, 0.3f), 5L -> Seq(Float.NaN, 1f))
+    val queries = vecs(0L -> Seq(1f, 0f), 2L -> Seq(0f, 1f),
+      9L -> Seq(Float.NaN, 0f)) // failed embed: contributes no output rows
+    val got = Similarity.knnJoin(queries, corpus, "vec_id", "embedding", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Seq(0L, 2L).flatMap { qid =>
+      Similarity.bruteForceTopK(corpus, "vec_id", "embedding", qid, 2)
+        .collect().map(r => (qid, r.getLong(0)))
+    }.toSet
+    assert(got === want)
+    assert(!got.exists(_._1 == 9L))
+  }
+
+  test("knnJoinIvf at full probe equals knnJoin; partial probe finds a planted twin") {
+    val rows = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) Seq(1f, 0f, 0.1f * (i % 5)) else Seq(0f, 1f, 0.1f * (i % 5))
+      (i, base)
+    } :+ (99L -> Seq(1f, 0f, 0.2f)) // exact twin of vec 2's direction family
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 4)
+    val index = Similarity.ivfIndex(df, "vec_id", "embedding", numCentroids = 4)
+    val exact = Similarity.knnJoin(queries, df, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Similarity.knnJoinIvf(index, queries, "vec_id", "embedding", 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === exact)
+    // partial probe: a query identical in direction to corpus rows must
+    // still retrieve same-cell neighbors (its own cell is always probed)
+    val partial = Similarity.knnJoinIvf(index, queries, "vec_id", "embedding", 3, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(partial.nonEmpty)
+    assert(partial.forall { case (q, n) => q != n })
+  }
 }

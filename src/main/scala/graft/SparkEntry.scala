@@ -1411,6 +1411,20 @@ object SparkEntry {
         .orderBy("w")
     }),
 
+    // incremental aggregate maintenance: per-customer order stats merged
+    // from TWO epoch states (orderkey <= 4000 base, > 4000 delta) must
+    // equal the direct aggregate over all orders — the materialized-view
+    // maintenance property; the merge touches state-sized inputs only
+    "q114_incr_stats" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+      val base = Stats.mergeableStats(o.filter(col("o_orderkey") <= 4000),
+        Seq("o_custkey"), "cents")
+      val delta = Stats.mergeableStats(o.filter(col("o_orderkey") > 4000),
+        Seq("o_custkey"), "cents")
+      Stats.mergeStats(base, delta, Seq("o_custkey")).orderBy("o_custkey")
+    }),
+
     // batch EXACT k-NN join — the production retrieval shape (every query
     // row gets its top-k corpus neighbors): query side broadcast, corpus
     // scanned once, only (query, neighbor, score) triples shuffle into the
@@ -1992,6 +2006,8 @@ object SparkEntry {
       "WITH tok AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents), corpus AS (SELECT w FROM tok UNION SELECT substr(w, 2) FROM tok WHERE len(w) >= 4) SELECT a.w AS w_a, b.w AS w_b FROM corpus a JOIN corpus b ON a.w < b.w WHERE levenshtein(a.w, b.w) <= 1 ORDER BY w_a, w_b",
     "q110_box_join" ->
       "WITH e AS (SELECT event_id, epoch_us(ts) AS t, CAST(round(value*100) AS BIGINT) AS c FROM events) SELECT a.event_id AS id_a, b.event_id AS id_b FROM e a JOIN e b ON (a.t < b.t OR (a.t = b.t AND a.event_id < b.event_id)) AND b.t - a.t <= 3600000000 AND abs(a.c - b.c) <= 100 ORDER BY id_a, id_b",
+    "q114_incr_stats" ->
+      "SELECT o_custkey, CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_v, CAST(min(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS min_v, CAST(max(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS max_v FROM orders GROUP BY o_custkey ORDER BY o_custkey",
     "q112_knn_join" ->
       "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 25), s AS (SELECT q.query_id, e.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id) AS rn FROM embeddings e, q WHERE e.vec_id <> q.query_id) SELECT query_id, neighbor_id FROM s WHERE rn <= 5 ORDER BY query_id, neighbor_id",
     "q113_ivf_knn_parity" ->

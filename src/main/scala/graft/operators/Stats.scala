@@ -88,4 +88,36 @@ object Stats {
     }
     ranked.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  // ------------------------------------- incremental aggregate maintenance
+
+  /** Per-key ALGEBRAIC aggregate state over an integral value column:
+    * (n, sum_v, min_v, max_v). Each component is mergeable — the
+    * materialized-view-maintenance property: stats over base ∪ delta can
+    * be computed from the two STATES via [[mergeStats]], never rescanning
+    * the base rows. The analytic extension of the incremental sync idea:
+    * the watermark keeps row copies incremental, this keeps the derived
+    * dashboard incremental too. NULL values count like SQL `count(col)`
+    * (skipped); averages are derivable downstream as sum_v / n rather than
+    * stored (a stored float average is NOT mergeable). */
+  def mergeableStats(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(
+      count(col(valueCol)).as("n"),
+      sum(col(valueCol)).as("sum_v"),
+      min(col(valueCol)).as("min_v"),
+      max(col(valueCol)).as("max_v"))
+
+  /** Merge two state tables ([[mergeableStats]] outputs) into the state of
+    * the union of their inputs: one union + one keyed hash-aggregate over
+    * STATE-SIZED inputs (|keys| rows, not |rows|) — at 100 TB the nightly
+    * delta's state merges into yesterday's in seconds. Keys present in
+    * only one side pass through unchanged (sum/min/max over one row).
+    * Associative and commutative, so states can fold across any number of
+    * epochs in any order. */
+  def mergeStats(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    a.unionByName(b).groupBy(keys.map(col): _*).agg(
+      sum(col("n")).as("n"),
+      sum(col("sum_v")).as("sum_v"),
+      min(col("min_v")).as("min_v"),
+      max(col("max_v")).as("max_v"))
 }

@@ -87,4 +87,38 @@ class StatsSpec extends SparkSpec {
     assert(rows.count { case (None, Some(1L), 1L, 0L) => true; case _ => false } === 1)
     assert(rows.count { case (None, Some(1L), 2L, 2L) => true; case _ => false } === 1)
   }
+
+  test("mergeStats(base, delta) == direct stats; associative across epoch folds") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val rowGen = Gen.listOf(Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(-50L, 50L)))
+    val prop = Prop.forAll(rowGen, Gen.choose(0, 100)) { (rows, splitPct) =>
+      rows.isEmpty || {
+        val df = rows.toDF("k", "v")
+        val cut = rows.size * splitPct / 100
+        val (r1, r2) = rows.splitAt(cut)
+        def stats(d: org.apache.spark.sql.DataFrame) =
+          Stats.mergeableStats(d, Seq("k"), "v")
+        def toMap(d: org.apache.spark.sql.DataFrame) =
+          d.collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+        val direct = toMap(stats(df))
+        val merged =
+          if (r1.isEmpty) toMap(stats(r2.toDF("k", "v")))
+          else if (r2.isEmpty) toMap(stats(r1.toDF("k", "v")))
+          else toMap(Stats.mergeStats(
+            stats(r1.toDF("k", "v")), stats(r2.toDF("k", "v")), Seq("k")))
+        merged == direct
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+    // three-epoch fold in a different order: ((e3 + e1) + e2) == direct
+    val e1 = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    val e2 = Seq(("a", 5L)).toDF("k", "v")
+    val e3 = Seq(("c", -7L), ("a", 0L)).toDF("k", "v")
+    def st(d: org.apache.spark.sql.DataFrame) = Stats.mergeableStats(d, Seq("k"), "v")
+    val folded = Stats.mergeStats(Stats.mergeStats(st(e3), st(e1), Seq("k")), st(e2), Seq("k"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(folded === Map("a" -> (3L, 6L), "b" -> (1L, 2L), "c" -> (1L, -7L)))
+  }
 }

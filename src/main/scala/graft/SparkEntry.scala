@@ -30,6 +30,14 @@ object SparkEntry {
     * that `java.sql.Timestamp.valueOf` would introduce. */
   private def ts(s: String) = to_timestamp(lit(s))
 
+  /** Invariant-query violation counter: #rows matching `bad`, plus 1 when
+    * the input is EMPTY — an empty decode/parity table must FAIL its gate,
+    * and `sum` over zero rows is NULL (not 0), which would otherwise
+    * poison the whole expression to NULL instead of tripping the guard. */
+  private def violations(bad: Column): Column =
+    (coalesce(sum(when(bad, 1L).otherwise(0L)), lit(0L))
+      + when(count(lit(1)) === 0L, 1L).otherwise(0L)).as("violations")
+
   /** Shared q109/q111 fuzzy-match corpus: the document vocabulary plus a
     * planted first-char-dropped misspelling of every word of length >= 4.
     * ONE definition so the two graded queries (and both DuckDB oracles'
@@ -1233,10 +1241,9 @@ object SparkEntry {
           }
         }.toDF()
       Multimodal.decode(media).toDF()
-        .agg((sum(when(col("width") =!= expW(col("doc_id"))
-            || col("height") =!= expH(col("doc_id"))
-            || col("n_bytes") <= 0L, 1L).otherwise(0L))
-          + when(count(lit(1)) === 0L, 1L).otherwise(0L)).as("violations"))
+        .agg(violations(col("width") =!= expW(col("doc_id"))
+          || col("height") =!= expH(col("doc_id"))
+          || col("n_bytes") <= 0L))
     }),
 
     // PCM16 audio decode graded end-to-end: every doc becomes a planted
@@ -1266,10 +1273,9 @@ object SparkEntry {
           }
         }.toDF()
       Multimodal.decodeAudio(media).toDF()
-        .agg((sum(when(col("n_samples") =!= lit(100L) + col("doc_id") % 50L
-            || col("rms_milli") =!= (lit(256L) + col("doc_id") % 1000L) * 1000L
-            || col("peak") =!= lit(256L) + col("doc_id") % 1000L, 1L).otherwise(0L))
-          + when(count(lit(1)) === 0L, 1L).otherwise(0L)).as("violations"))
+        .agg(violations(col("n_samples") =!= lit(100L) + col("doc_id") % 50L
+          || col("rms_milli") =!= (lit(256L) + col("doc_id") % 1000L) * 1000L
+          || col("peak") =!= lit(256L) + col("doc_id") % 1000L))
     }),
 
     // WAV container decode graded end-to-end: planted RIFF/WAVE payloads
@@ -1299,12 +1305,11 @@ object SparkEntry {
           }
         }.toDF()
       Multimodal.decodeWavs(media).toDF()
-        .agg((sum(when(col("sample_rate") =!= lit(8000L) + (col("doc_id") % 8L) * 1000L
-            || col("channels") =!= 1L
-            || col("n_samples") =!= lit(100L) + col("doc_id") % 50L
-            || col("rms_milli") =!= (lit(256L) + col("doc_id") % 1000L) * 1000L
-            || col("peak") =!= lit(256L) + col("doc_id") % 1000L, 1L).otherwise(0L))
-          + when(count(lit(1)) === 0L, 1L).otherwise(0L)).as("violations"))
+        .agg(violations(col("sample_rate") =!= lit(8000L) + (col("doc_id") % 8L) * 1000L
+          || col("channels") =!= 1L
+          || col("n_samples") =!= lit(100L) + col("doc_id") % 50L
+          || col("rms_milli") =!= (lit(256L) + col("doc_id") % 1000L) * 1000L
+          || col("peak") =!= lit(256L) + col("doc_id") % 1000L))
     }),
 
     // RIFF/AVI video header decode — completes the multimodal triple
@@ -1345,12 +1350,11 @@ object SparkEntry {
           }
         }.toDF()
       Multimodal.decodeAvis(media).toDF()
-        .agg((sum(when(col("width") =!= lit(160L) + (col("doc_id") % 8L) * 16L
-            || col("height") =!= lit(120L) + (col("doc_id") % 5L) * 24L
-            || col("n_frames") =!= lit(24L) + col("doc_id") % 100L
-            || col("us_per_frame") =!= lit(33333L) + (col("doc_id") % 3L) * 8334L
-            || col("n_streams") =!= lit(1L) + col("doc_id") % 2L, 1L).otherwise(0L))
-          + when(count(lit(1)) === 0L, 1L).otherwise(0L)).as("violations"))
+        .agg(violations(col("width") =!= lit(160L) + (col("doc_id") % 8L) * 16L
+          || col("height") =!= lit(120L) + (col("doc_id") % 5L) * 24L
+          || col("n_frames") =!= lit(24L) + col("doc_id") % 100L
+          || col("us_per_frame") =!= lit(33333L) + (col("doc_id") % 3L) * 8334L
+          || col("n_streams") =!= lit(1L) + col("doc_id") % 2L))
     }),
 
     // Unicode NFC normalization (codegen'd NfcNormalize expression): the
@@ -1449,8 +1453,7 @@ object SparkEntry {
       exact.withColumn("__x", lit(1))
         .join(ivf.withColumn("__y", lit(1)),
           Seq("query_id", "neighbor_id"), "full_outer")
-        .agg((sum(when(col("__x").isNull || col("__y").isNull, 1L).otherwise(0L))
-          + when(count(lit(1)) === 0L, 1L).otherwise(0L)).as("violations"))
+        .agg(violations(col("__x").isNull || col("__y").isNull))
     }),
 
     // GLOBAL 2D proximity join (time ±1h AND amount ±100 cents, no key):
@@ -1522,11 +1525,9 @@ object SparkEntry {
       val cc = graft.dedup.Dedup.connectedComponents(docs, "id", pairs)
       cc.join(first51.select(col("id"), lit(1).as("__in_chain")), Seq("id"), "left")
         .crossJoin(broadcast(first51.agg(min(col("id")).as("__chain_min"))))
-        .agg((sum(when(col("__in_chain") === 1 && col("canon") =!= col("__chain_min"), 1L)
-            .otherwise(0L))
-          + sum(when(col("__in_chain").isNull && col("canon") =!= col("id"), 1L)
-            .otherwise(0L))
-          + when(count(lit(1)) === 0L, 1L).otherwise(0L)).as("violations"))
+        .agg(violations(
+          (col("__in_chain") === 1 && col("canon") =!= col("__chain_min"))
+            || (col("__in_chain").isNull && col("canon") =!= col("id"))))
     }),
 
     // opt-in delete propagation (SURVEY §2.4-1): the reference never
@@ -2007,7 +2008,7 @@ object SparkEntry {
     "q110_box_join" ->
       "WITH e AS (SELECT event_id, epoch_us(ts) AS t, CAST(round(value*100) AS BIGINT) AS c FROM events) SELECT a.event_id AS id_a, b.event_id AS id_b FROM e a JOIN e b ON (a.t < b.t OR (a.t = b.t AND a.event_id < b.event_id)) AND b.t - a.t <= 3600000000 AND abs(a.c - b.c) <= 100 ORDER BY id_a, id_b",
     "q114_incr_stats" ->
-      "SELECT o_custkey, CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_v, CAST(min(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS min_v, CAST(max(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS max_v FROM orders GROUP BY o_custkey ORDER BY o_custkey",
+      "SELECT o_custkey, CAST(count(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS n, CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_v, CAST(min(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS min_v, CAST(max(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS max_v FROM orders GROUP BY o_custkey ORDER BY o_custkey",
     "q112_knn_join" ->
       "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 25), s AS (SELECT q.query_id, e.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id) AS rn FROM embeddings e, q WHERE e.vec_id <> q.query_id) SELECT query_id, neighbor_id FROM s WHERE rn <= 5 ORDER BY query_id, neighbor_id",
     "q113_ivf_knn_parity" ->

@@ -180,18 +180,26 @@ object Similarity {
     cents
   }
 
-  /** Nearest-centroid assignment. Scores are dot / centroid-norm only: the
-    * row's own norm is constant across centroids and cannot change the
-    * argmax, so it is not recomputed per centroid (k self-dots saved per
-    * row). Deterministic lowest-id tie-break. */
-  def assignToCentroid(emb: DataFrame, vecCol: String,
-                       cents: Array[(Int, Array[Float])]): DataFrame = {
-    val scored = cents.map { case (cid, c) =>
+  /** Per-centroid (negcos, cid) score structs for a vector column — ONE
+    * definition shared by argmin assignment and per-query probe ordering:
+    * the "a query's own cell is always probed" recall property needs both
+    * to rank cells bit-identically (same norm handling, same tie-break).
+    * Scores are dot / centroid-norm only: the row's own norm is constant
+    * across centroids and cannot change the ordering (k self-dots saved
+    * per row). Struct comparison breaks negcos ties on the lower cid. */
+  private def centroidScoreStructs(vec: Column,
+                                   cents: Array[(Int, Array[Float])]): Array[Column] =
+    cents.map { case (cid, c) =>
       val cn = math.sqrt(c.map(x => x.toDouble * x).sum)
-      struct(
-        negate(dot(col(vecCol), typedLit(c.toSeq)) / lit(cn)).as("negcos"),
+      struct(negate(dot(vec, typedLit(c.toSeq)) / lit(cn)).as("negcos"),
         lit(cid).as("cid"))
     }
+
+  /** Nearest-centroid assignment (argmin over [[centroidScoreStructs]]),
+    * deterministic lowest-id tie-break. */
+  def assignToCentroid(emb: DataFrame, vecCol: String,
+                       cents: Array[(Int, Array[Float])]): DataFrame = {
+    val scored = centroidScoreStructs(col(vecCol), cents)
     val best = if (scored.length == 1) scored.head else least(scored: _*)
     emb.withColumn("__centroid", best.getField("cid"))
   }
@@ -204,7 +212,12 @@ object Similarity {
   def ivfIndex(emb: DataFrame, idCol: String, vecCol: String,
                numCentroids: Int = 16, iterations: Int = 3): IvfIndex = {
     val cents = ivfCentroids(emb, idCol, vecCol, numCentroids, iterations)
-    IvfIndex(cents, assignToCentroid(emb, vecCol, cents))
+    // precompute each corpus vector's norm AT BUILD TIME: the index is
+    // "build once, serve many", and the batch-serve path scores every
+    // candidate as dot / (corpus-norm × query-norm) — recomputing the
+    // corpus self-dots per query batch would waste a full corpus pass
+    IvfIndex(cents, assignToCentroid(emb, vecCol, cents)
+      .withColumn("__cn", norm(col(vecCol))))
   }
 
   /** The `nprobe` centroid ids nearest to the query by cosine
@@ -284,20 +297,20 @@ object Similarity {
   def knnJoinIvf(index: IvfIndex, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int, nprobe: Int): DataFrame = {
     require(k >= 1 && nprobe >= 1, s"k and nprobe must be >= 1, got ($k, $nprobe)")
-    val cellScores = array(index.cents.map { case (cid, cvec) =>
-      val cn = math.sqrt(cvec.map(x => x.toDouble * x).sum)
-      // the query's own norm is constant across cells — argsort-invariant
-      struct(negate(dot(col("__qv"), typedLit(cvec.toSeq)) / lit(cn)).as("negcos"),
-        lit(cid).as("cid"))
-    }: _*)
+    val cellScores = array(centroidScoreStructs(col("__qv"), index.cents): _*)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__qn", norm(col("__qv")))
       .filter(finitePositive(col("__qn")))
       .withColumn("__centroid",
         explode(slice(array_sort(cellScores), 1, nprobe).getField("cid")))
-    val c = index.assigned.select(col(idCol).as("neighbor_id"),
-        col(vecCol).as("__cv"), col("__centroid"))
-      .withColumn("__cn", norm(col("__cv")))
+    // use the index's build-time norms when present (ivfIndex adds them);
+    // a hand-built IvfIndex without __cn still works, paying the per-call
+    // norm pass the prebuilt path avoids
+    val base =
+      if (index.assigned.columns.contains("__cn")) index.assigned
+      else index.assigned.withColumn("__cn", norm(col(vecCol)))
+    val c = base.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__cv"), col("__centroid"), col("__cn"))
       .filter(finitePositive(col("__cn")))
     topKPerQuery(c.join(broadcast(q), Seq("__centroid")), k)
   }

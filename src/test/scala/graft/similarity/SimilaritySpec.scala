@@ -331,11 +331,14 @@ class SimilaritySpec extends SparkSpec {
     val full = Similarity.knnJoinIvf(index, queries, "vec_id", "embedding", 3, nprobe = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(full === exact)
-    // partial probe: a query identical in direction to corpus rows must
-    // still retrieve same-cell neighbors (its own cell is always probed)
+    // partial probe: rows 12/22/32/99 are EXACT copies of query 2's vector
+    // (cosine 1), so they share its cell and the top-3 must be precisely
+    // the three smallest-id twins (99 ties and loses the id tie-break) —
+    // pinning both the own-cell-probed property and tie determinism
     val partial = Similarity.knnJoinIvf(index, queries, "vec_id", "embedding", 3, nprobe = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(partial.nonEmpty)
+    assert(partial.filter(_._1 == 2L).map(_._2).toSet === Set(12L, 22L, 32L),
+      s"exact twins must fill query 2's own-cell top-3: ${partial.toSeq}")
     assert(partial.forall { case (q, n) => q != n })
   }
 }

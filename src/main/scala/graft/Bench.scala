@@ -99,7 +99,8 @@ object Bench {
     "q105_snapshot_diff" -> 0.618, "q106_shard_shuffle" -> 0.862,
     "q107_avi_decode" -> 0.19, "q108_nfc_normalize" -> 0.598,
     "q109_fuzzy_join" -> 0.886, "q110_box_join" -> 1.374,
-    "q111_entity_resolution" -> 3.747)
+    "q111_entity_resolution" -> 3.747, "q112_knn_join" -> 0.586,
+    "q113_ivf_knn_parity" -> 1.685, "q114_incr_stats" -> 0.444)
 
   /** Fixed-seconds slack added to the 1.5x bound: sub-second floors are
     * scheduler-noise-dominated (a 0.13 s query measured at 0.25 s is noise,

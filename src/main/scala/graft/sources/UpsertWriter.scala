@@ -69,8 +69,11 @@ object UpsertWriter {
       case org.apache.spark.sql.types.ArrayType(et, _) => et match {
         case org.apache.spark.sql.types.IntegerType => "integer"
         case org.apache.spark.sql.types.LongType    => "bigint"
-        case org.apache.spark.sql.types.DoubleType  => "double"
-        case org.apache.spark.sql.types.FloatType   => "real"
+        // PostgreSQL type names (the reference target): pgjdbc resolves
+        // "float8"/"float4" but NOT "double" — createArrayOf("double", ..)
+        // throws at runtime, so double[] columns would always fail
+        case org.apache.spark.sql.types.DoubleType  => "float8"
+        case org.apache.spark.sql.types.FloatType   => "float4"
         case org.apache.spark.sql.types.BooleanType => "boolean"
         case _                                      => "varchar"
       }

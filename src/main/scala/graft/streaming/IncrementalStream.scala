@@ -153,7 +153,18 @@ object IncrementalStream {
     * watermark itself. All session arithmetic is in epoch MICROS (full
     * catalyst timestamp precision, so gap compares cannot diverge from the
     * batch analog on sub-millisecond boundaries). The batch analog is
-    * `operators.Sessionize`. */
+    * `operators.Sessionize`.
+    *
+    * DIVERGENCE from the batch analog (bounded-state approximation): an
+    * event arriving more than `gapUs` BEFORE the currently-open session is
+    * closed immediately as a singleton session, without waiting for other
+    * equally-late events it might merge with — two stragglers 5s apart that
+    * both precede the open session by more than a gap become two singleton
+    * sessions where the batch operator would merge them into one. Exact
+    * whenever such stragglers arrive gap-isolated (the common case, since
+    * anything within gapUs of a barely-watermark-admitted event is even
+    * later); callers comparing against `operators.Sessionize` should expect
+    * the split only in that pathological cross-batch-late overlap. */
   def sessionizeStream(events: org.apache.spark.sql.Dataset[SessionEvent],
                        gapUs: Long,
                        watermarkDelay: String = "10 minutes"): org.apache.spark.sql.Dataset[ClosedSession] = {

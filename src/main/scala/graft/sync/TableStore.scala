@@ -53,12 +53,16 @@ class JdbcStore(spark: SparkSession, url: String, props: Map[String, String],
     // JDBC schema resolution is EAGER — a missing table throws here, not at
     // action time. Mapping that to None honors the trait contract and makes
     // SyncJob's empty-destination bootstrap (None -> full copy, no merge)
-    // reachable for JDBC destinations, matching ParquetStore.
+    // reachable for JDBC destinations, matching ParquetStore. ONLY
+    // table-missing errors map to None: a transient failure (connection
+    // drop, auth, timeout) must propagate — SyncJob treats None as "empty
+    // destination, skip the merge", and a transient read failure followed
+    // by a successful write would overwrite the table with the delta alone.
     try Some(spark.read.format("jdbc")
       .option("url", url).option("dbtable", table)
       .options(props).options(partitionOptions)
       .load())
-    catch { case scala.util.control.NonFatal(_) => None }
+    catch { case scala.util.control.NonFatal(e) if JdbcStore.isTableMissing(e) => None }
 
   /** Store semantics are "replace table contents with df" (SyncJob hands the
     * FULL merged table): overwrite with truncate, matching ParquetStore.
@@ -75,5 +79,32 @@ class JdbcStore(spark: SparkSession, url: String, props: Map[String, String],
     // so the staging happens on the executors instead.
     df.localCheckpoint().write.mode("overwrite").option("truncate", "true")
       .option("batchsize", 1000).jdbc(url, table, p)
+  }
+}
+
+object JdbcStore {
+  /** SQLStates that mean "the relation does not exist" across the engines the
+    * reference targets: 42P01 (PostgreSQL undefined_table), 42S02 (MySQL /
+    * SQL Server / H2 base table not found), 42X05 (Derby), S0002 (legacy
+    * ODBC-style drivers). Syntax errors share class 42 but not these codes,
+    * so a whole-class match would be too broad. */
+  private val TableMissingSqlStates = Set("42P01", "42S02", "42X05", "S0002")
+
+  /** Walk the cause chain (Spark wraps the driver's SQLException in an
+    * AnalysisException with the cause retained) looking for a table-missing
+    * SQLState. Depth-bounded in case a driver builds a cause cycle. */
+  private[sync] def isTableMissing(t: Throwable): Boolean = {
+    var cur = t
+    var depth = 0
+    while (cur != null && depth < 16) {
+      cur match {
+        case e: java.sql.SQLException
+          if e.getSQLState != null && TableMissingSqlStates(e.getSQLState) => return true
+        case _ =>
+      }
+      cur = if (cur.getCause ne cur) cur.getCause else null
+      depth += 1
+    }
+    false
   }
 }

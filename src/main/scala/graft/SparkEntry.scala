@@ -1456,6 +1456,67 @@ object SparkEntry {
         .agg(violations(col("__x").isNull || col("__y").isNull))
     }),
 
+    // IMAGE near-dup graded end-to-end (the dedup story's third modality):
+    // each doc_id pair (2g, 2g+1) gets a planted 9x8 RGB image whose
+    // horizontal gradient signs encode a pseudo-random 64-bit pattern per
+    // GROUP — the odd member's pattern is the even member's with exactly 2
+    // bits flipped (a "slightly edited rendition"), so dHash(even) and
+    // dHash(odd) sit at Hamming 2 <= 3 and MUST pair through the banded
+    // join, while distinct groups sit near Hamming 32 and MUST NOT. The
+    // 9x8 size makes the dHash exactly derivable (no resample); encoding
+    // happens on executors (pixels never touch the driver). Expected pairs
+    // are computed from the data (groups with both members present), so
+    // the gate is exact-set equality: a constant/broken hash floods false
+    // pairs, a noisy hash loses twins — both count as violations
+    "q115_image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id").cast(LongType).as("doc_id"))
+      val media = docs.as[Long].mapPartitions { it =>
+        // splitmix64: the per-group signature generator (deterministic,
+        // uniform — cross-group Hamming concentrates at 32, P(<=3) ~ 2e-15)
+        def mix(z0: Long): Long = {
+          var z = z0 + 0x9e3779b97f4a7c15L
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z ^ (z >>> 31)
+        }
+        it.map { id =>
+          var sig = mix(id / 2)
+          // flipping a signature bit shifts the tail of that row's gray
+          // walk by a constant, so every OTHER gradient sign is preserved:
+          // the planted dHash is exactly sig (bits 3 and 40 sit in bands 0
+          // and 2 of the maxHamming=3 split; bands 1 and 3 still agree)
+          if (id % 2 == 1) sig ^= (1L << 3) | (1L << 40)
+          val img = new java.awt.image.BufferedImage(9, 8,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 8) {
+            var g = 128
+            img.setRGB(0, y, g * 0x010101) // r=g=b: TYPE_INT_RGB roundtrips exactly
+            var x = 0
+            while (x < 8) {
+              g += (if (((sig >>> (y * 8 + x)) & 1L) == 1L) 10 else -10)
+              img.setRGB(x + 1, y, g * 0x010101)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Multimodal.MediaRecord(id, bos.toByteArray)
+        }
+      }.toDF()
+      val pairs = Dedup.imageNearDups(media, maxHamming = 3)
+      val expected = docs
+        .groupBy(expr("doc_id div 2").as("g"))
+        .agg(count(lit(1)).as("n"), min("doc_id").as("id_a"), max("doc_id").as("id_b"))
+        .filter(col("n") === 2)
+        .select("id_a", "id_b")
+      expected.withColumn("__e", lit(1))
+        .join(pairs.withColumn("__f", lit(1)), Seq("id_a", "id_b"), "full_outer")
+        .agg(violations(col("__e").isNull || col("__f").isNull))
+    }),
+
     // GLOBAL 2D proximity join (time ±1h AND amount ±100 cents, no key):
     // grid-cell blocking — 6 cells per build row vs the probe's exact
     // cell, each qualifying pair matched in exactly ONE (x band, y band),
@@ -2012,6 +2073,8 @@ object SparkEntry {
     "q112_knn_join" ->
       "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 25), s AS (SELECT q.query_id, e.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id) AS rn FROM embeddings e, q WHERE e.vec_id <> q.query_id) SELECT query_id, neighbor_id FROM s WHERE rn <= 5 ORDER BY query_id, neighbor_id",
     "q113_ivf_knn_parity" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    "q115_image_neardup" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q111_entity_resolution" ->
       """WITH RECURSIVE tok AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents), corpus AS (SELECT w FROM tok UNION SELECT substr(w, 2) FROM tok WHERE len(w) >= 4), pairs AS (SELECT a.w AS src, b.w AS dst FROM corpus a JOIN corpus b ON a.w <> b.w AND levenshtein(a.w, b.w) <= 1), reach AS (SELECT w AS id, w AS r FROM corpus UNION SELECT p.dst, reach.r FROM reach JOIN pairs p ON p.src = reach.id), canon AS (SELECT id AS w, min(r) AS c FROM reach GROUP BY id), rep AS (SELECT c, w AS rep FROM (SELECT c, w, row_number() OVER (PARTITION BY c ORDER BY len(w) DESC, w) AS rn FROM canon) WHERE rn = 1) SELECT canon.w, rep.rep FROM canon JOIN rep USING (c) ORDER BY w""",

@@ -628,7 +628,27 @@ object Dedup {
       .select(col(idCol), hashedShingles(shingler(col(textCol))).as("__sh"))
       .filter(size(col("__sh")) > 0)
       .select(col(idCol), simhashPacked(col("__sh")).as("__sig"))
-    val banded = sigs.select(col(idCol), col("__sig"),
+    packedNearDups(sigs, idCol, "__sig", maxHamming)
+  }
+
+  /** Banded-Hamming pair mining over PRECOMPUTED packed 64-bit signatures —
+    * the pigeonhole band equi-join + codegen'd bit_count verify shared by
+    * the text (SimHash, [[simhashNearDups]]) and image (dHash,
+    * [[imageNearDups]]) paths. Same exactness guarantee as documented on
+    * [[simhashNearDups]]: a pair within maxHamming flips must agree on a
+    * full band, so recall over the signatures is 100%. CALLER's contract:
+    * filter out degenerate constant signatures first (empty shingle sets,
+    * blank images) — m rows sharing one signature form an O(m²) bucket. */
+  def packedNearDups(sigs: DataFrame, idCol: String, sigCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
+    require(64 % bands == 0,
+      s"maxHamming + 1 must divide 64 (got maxHamming=$maxHamming); use 0, 1, 3, 7, 15 or 31")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val n = sigs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val s0 = sigs.select(col(idCol), col(sigCol).as("__sig"))
+    val banded = s0.select(col(idCol), col("__sig"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("__sig"), b * width).bitwiseAND(lit(mask)).as("bh"))): _*)).as("bk"))
@@ -641,5 +661,25 @@ object Dedup {
       .filter(hammingPacked(col("__siga"), col("__sigb")) <= maxHamming)
       .select("id_a", "id_b")
       .distinct()
+  }
+
+  /** Image near-dup pairs: decode (doc_id, media) payloads to 64-bit
+    * perceptual dHashes on the executors
+    * ([[graft.multimodal.Multimodal.dhashImages]] — pixels never touch the
+    * driver) and mine pairs within `maxHamming` bits through the same
+    * banded join as the text path. Completes the dedup story's third
+    * modality: re-encoded / slightly-edited renditions of one image land a
+    * few dHash bits apart and pair; unrelated images sit near Hamming 32
+    * and cannot. Undecodable payloads drop out before banding (a constant
+    * "not an image" signature would both false-pair and concentrate into
+    * one quadratic bucket). */
+  def imageNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    implicit val spark: org.apache.spark.sql.SparkSession = media.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // repartition BEFORE the decode for the same single-file parallelism
+    // reason as the text paths — the O(pixels) hash work must spread
+    val sigs = graft.multimodal.Multimodal
+      .dhashImages(media.repartition(n, col("doc_id"))).toDF()
+    packedNearDups(sigs, "doc_id", "phash", maxHamming)
   }
 }

@@ -257,6 +257,73 @@ object Multimodal {
     media.as[MediaRecord].mapPartitions(it => it.map(r => decodeAvi(r.doc_id, r.media)))
   }
 
+  /** Perceptual image hash row: id + 64-bit dHash over the decoded pixels.
+    * Rows whose payload no ImageIO reader decodes are DROPPED (a perceptual
+    * hash of non-pixels is meaningless; callers wanting a total pipeline
+    * can anti-join against the output to find the undecodable ids). */
+  case class ImageHash(doc_id: Long, phash: Long)
+
+  private def grayOf(rgb: Int): Int = {
+    val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+    (299 * r + 587 * g + 114 * b) / 1000
+  }
+
+  /** 64-bit difference hash (dHash): decode the FULL pixel plane (unlike
+    * [[imageDimensions]] this is an O(pixels) pass — inherent to perceptual
+    * hashing), downsample to a 9×8 grayscale grid, and set bit (y*8+x) iff
+    * gray(x,y) < gray(x+1,y). Horizontal gradient signs survive re-encode,
+    * resize and small edits, so near-identical images land within a few
+    * bits — the standard cheap perceptual hash (dHash, as popularized by
+    * the pHash family; no external dependency). A 9×8 input skips the
+    * resample entirely, which makes the hash exactly derivable for planted
+    * test images. Any decode failure degrades to None, never a task kill. */
+  def dhash64(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.length == 0) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return None
+    try {
+      val (tw, th) = (9, 8)
+      val small =
+        if (img.getWidth == tw && img.getHeight == th) img
+        else {
+          val s = new java.awt.image.BufferedImage(tw, th,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = s.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, tw, th, null)
+          } finally g.dispose()
+          s
+        }
+      var sig = 0L
+      var y = 0
+      while (y < th) {
+        var prev = grayOf(small.getRGB(0, y))
+        var x = 0
+        while (x < 8) {
+          val cur = grayOf(small.getRGB(x + 1, y))
+          if (prev < cur) sig |= 1L << (y * 8 + x)
+          prev = cur
+          x += 1
+        }
+        y += 1
+      }
+      Some(sig)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Partition-parallel perceptual hashing — same batch shape as [[decode]];
+    * undecodable payloads drop out (see [[ImageHash]]). */
+  def dhashImages(media: DataFrame)(implicit spark: SparkSession): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap(r => dhash64(r.media).map(h => ImageHash(r.doc_id, h)))
+    }
+  }
+
   /** Feature-extracted media: fixed-width byte histogram (16 bins) — the
     * Spark-side shape of an embedding/feature extractor (fixed-size vector
     * per doc, computed batch-wise on executors). Counts, not ratios, so the

@@ -39,4 +39,8 @@ class InvariantQuerySpec extends SparkSpec {
   test("q91 name-and-hash file sync re-copies modified files; existence mode stays blind") {
     assert(violations("q91_hash_file_sync") === 0L)
   }
+
+  test("q115 image near-dup pairs exactly the planted twin renditions") {
+    assert(violations("q115_image_neardup") === 0L)
+  }
 }

@@ -223,4 +223,48 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(minId === Map(1L -> 1L, 7L -> 7L))
   }
+
+  test("packedNearDups finds exactly the all-pairs hamming<=k set over given sigs") {
+    val sigs = Seq(
+      (0L, 0x0000000000000000L),
+      (1L, 0x0000000000000003L),  // hamming 2 from 0
+      (2L, 0x000000000000000fL),  // hamming 4 from 0, 2 from 1
+      (3L, 0xffffffffffffffffL),  // far from everything
+      (4L, 0xfffffffffffffff0L))  // hamming 4 from 3
+      .toDF("id", "sig")
+    def pairs(k: Int) = Dedup.packedNearDups(sigs, "id", "sig", maxHamming = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(3) === Set((0L, 1L), (1L, 2L)))
+    assert(pairs(7) === Set((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L)))
+  }
+
+  test("imageNearDups pairs near-identical renditions, not distinct images") {
+    def planted(sig: Long, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8) {
+        var g = 128
+        img.setRGB(0, y, g * 0x010101)
+        for (x <- 0 until 8) {
+          g += (if (((sig >>> (y * 8 + x)) & 1L) == 1L) 10 else -10)
+          img.setRGB(x + 1, y, g * 0x010101)
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos))
+      bos.toByteArray
+    }
+    val sigA = 0x123456789abcdef0L
+    val sigB = 0x0fedcba987654321L
+    val media = Seq(
+      (10L, planted(sigA, "png")),
+      (11L, planted(sigA, "bmp")),                     // same pixels, other container
+      (12L, planted(sigA ^ (1L << 5), "png")),         // one-gradient edit: hamming 1
+      (20L, planted(sigB, "png")),                     // unrelated image
+      (30L, "not an image".getBytes)                   // undecodable: silently out
+    ).toDF("doc_id", "media")
+    val got = Dedup.imageNearDups(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((10L, 11L), (10L, 12L), (11L, 12L)))
+  }
 }

@@ -223,4 +223,62 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_.width).toSeq === Seq(320L, 640L))
     assert(out.map(_.n_frames).toSeq === Seq(10L, 20L))
   }
+
+  /** 9x8 RGB image whose horizontal gradient signs encode `sig`: bit
+    * (y*8+x) set -> gray rises from column x to x+1. No resample at 9x8,
+    * so dhash64 must recover `sig` exactly. */
+  private def plantedImage(sig: Long, fmt: String = "png"): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8) {
+      var g = 128
+      img.setRGB(0, y, g * 0x010101)
+      for (x <- 0 until 8) {
+        g += (if (((sig >>> (y * 8 + x)) & 1L) == 1L) 10 else -10)
+        img.setRGB(x + 1, y, g * 0x010101)
+      }
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos))
+    bos.toByteArray
+  }
+
+  test("dhash64 recovers the planted gradient-sign pattern exactly") {
+    val sigs = Seq(0L, -1L, 0x5a5a5a5a5a5a5a5aL, 0x123456789abcdef0L)
+    sigs.foreach { sig =>
+      assert(Multimodal.dhash64(plantedImage(sig)) === Some(sig))
+      // BMP rendition of the same pixels hashes identically (the point of
+      // a perceptual hash: the container doesn't matter, the pixels do)
+      assert(Multimodal.dhash64(plantedImage(sig, "bmp")) === Some(sig))
+    }
+  }
+
+  test("dhash64 downsamples larger images and degrades to None on garbage") {
+    // a 90x80 image goes through the bilinear resample path: we only pin
+    // that it hashes AND that a re-encode of the same pixels agrees
+    val big = new java.awt.image.BufferedImage(90, 80,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 80; x <- 0 until 90)
+      big.setRGB(x, y, ((x * 7 + y * 13) % 256) * 0x010101)
+    def enc(fmt: String) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(big, fmt, bos)); bos.toByteArray
+    }
+    val hPng = Multimodal.dhash64(enc("png"))
+    assert(hPng.isDefined)
+    assert(Multimodal.dhash64(enc("bmp")) === hPng)
+    assert(Multimodal.dhash64("not an image at all".getBytes) === None)
+    assert(Multimodal.dhash64(Array.emptyByteArray) === None)
+    assert(Multimodal.dhash64(null) === None)
+    // truncated PNG: magic sniffs as image, decode fails -> None, not throw
+    assert(Multimodal.dhash64(enc("png").take(20)) === None)
+  }
+
+  test("dhashImages drops undecodable payloads and hashes the rest") {
+    val df = Seq((1L, plantedImage(42L)), (2L, "junk".getBytes),
+      (3L, plantedImage(42L, "bmp"))).toDF("doc_id", "media").repartition(3)
+    val out = Multimodal.dhashImages(df).collect().sortBy(_.doc_id)
+    assert(out.map(_.doc_id).toSeq === Seq(1L, 3L))
+    assert(out.map(_.phash).distinct.toSeq === Seq(42L))
+  }
 }

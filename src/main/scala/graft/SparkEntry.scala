@@ -1517,6 +1517,47 @@ object SparkEntry {
         .agg(violations(col("__e").isNull || col("__f").isNull))
     }),
 
+    // opt-in schema evolution in the sync pipeline (the reference
+    // re-introspects the source schema per run, so a column ADDED upstream
+    // flows in automatically — our strict mode instead fails loudly; this
+    // grades BOTH behaviors): sync docs (doc_id, n_chars), then the source
+    // gains a src_tag column + new rows. Strict re-sync must refuse;
+    // evolving re-sync must converge to: every doc row present, src_tag
+    // NULL for rows synced before the column existed (id <= the first
+    // run's watermark), populated for rows extracted after — compared
+    // null-safely against the expectation derived from the raw table
+    "q116_schema_evolution" -> ((s, dir) => {
+      import graft.config.{CheckType, TableConfig}
+      import graft.sync.{ParquetStore, SyncJob}
+      val docs = t(s, dir, "documents").select(col("doc_id").cast(LongType).as("doc_id"),
+        col("n_chars").cast(LongType).as("n_chars"), col("source"))
+      val tmp = java.nio.file.Files.createTempDirectory("q116").toString
+      try {
+        val src = new ParquetStore(s, s"$tmp/src")
+        val dst = new ParquetStore(s, s"$tmp/dst")
+        val cfg = TableConfig("docs", Some("doc_id"), Some(CheckType.Id), Seq.empty)
+        val v1 = docs.filter(col("doc_id") < 300).select("doc_id", "n_chars")
+        src.write(v1, "docs")
+        SyncJob.run(src, dst, cfg, Seq("doc_id"))
+        val wm = v1.agg(max("doc_id")).head.getLong(0) // the run-1 watermark
+        src.write(docs.select(col("doc_id"), col("n_chars"), col("source").as("src_tag")), "docs")
+        val strictRefused =
+          try { SyncJob.run(src, dst, cfg, Seq("doc_id")); false }
+          catch { case scala.util.control.NonFatal(_) => true }
+        SyncJob.run(src, dst, cfg, Seq("doc_id"), allowSchemaEvolution = true)
+        val out = dst.read("docs").get
+        val expected = docs.select(col("doc_id"), col("n_chars").as("e_chars"),
+          when(col("doc_id") > wm, col("source")).as("e_tag"))
+        val mismatches = out.join(expected, Seq("doc_id"), "full_outer")
+          .filter(!(col("n_chars") <=> col("e_chars")) || !(col("src_tag") <=> col("e_tag")))
+          .count()
+        val v = mismatches +
+          (if (strictRefused) 0L else 1L) +
+          (if (out.columns.toSeq == Seq("doc_id", "n_chars", "src_tag")) 0L else 1L)
+        s.range(1).select(lit(v).as("violations"))
+      } finally deleteRecursively(tmp)
+    }),
+
     // GLOBAL 2D proximity join (time ±1h AND amount ±100 cents, no key):
     // grid-cell blocking — 6 cells per build row vs the probe's exact
     // cell, each qualifying pair matched in exactly ONE (x band, y band),
@@ -2075,6 +2116,8 @@ object SparkEntry {
     "q113_ivf_knn_parity" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q115_image_neardup" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    "q116_schema_evolution" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q111_entity_resolution" ->
       """WITH RECURSIVE tok AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents), corpus AS (SELECT w FROM tok UNION SELECT substr(w, 2) FROM tok WHERE len(w) >= 4), pairs AS (SELECT a.w AS src, b.w AS dst FROM corpus a JOIN corpus b ON a.w <> b.w AND levenshtein(a.w, b.w) <= 1), reach AS (SELECT w AS id, w AS r FROM corpus UNION SELECT p.dst, reach.r FROM reach JOIN pairs p ON p.src = reach.id), canon AS (SELECT id AS w, min(r) AS c FROM reach GROUP BY id), rep AS (SELECT c, w AS rep FROM (SELECT c, w, row_number() OVER (PARTITION BY c ORDER BY len(w) DESC, w) AS rn FROM canon) WHERE rn = 1) SELECT canon.w, rep.rep FROM canon JOIN rep USING (c) ORDER BY w""",

@@ -42,6 +42,49 @@ object Merge {
       .drop(PREC, RN)
   }
 
+  /** Opt-in SCHEMA-EVOLUTION upsert (the last §2.4-style divergence with a
+    * graded mode): the reference re-introspects the source schema every run
+    * (db-sync-local/sync_utils.py:195-204), so a column ADDED upstream flows
+    * into its column list automatically; [[upsert]]'s strict `unionByName`
+    * instead throws on any base/delta mismatch. This variant accepts the
+    * one evolution that is always safe — a NEW nullable delta column, which
+    * existing destination rows take as NULL — and REFUSES the ones that
+    * silently lose or corrupt data:
+    *   - column dropped upstream (null-filling new rows would quietly fork
+    *     the table's meaning; handle drops explicitly),
+    *   - column retyped upstream (an implicit cast can truncate),
+    *   - added NON-nullable column (old rows cannot satisfy it),
+    *   - added column that is itself a merge key (the base has no values
+    *     to match on).
+    * Output schema/column order is the DELTA's (the evolved shape). Same
+    * single keyed shuffle as [[upsert]] — widening the base with NULL
+    * literals is a projection, not a scan. */
+  def upsertEvolving(base: DataFrame, delta: DataFrame, pks: Seq[String]): DataFrame = {
+    require(pks.nonEmpty, "upsertEvolving requires at least one key column")
+    val baseTypes  = base.schema.map(f => f.name -> f.dataType).toMap
+    val deltaTypes = delta.schema.map(f => f.name -> f.dataType).toMap
+    val dropped = base.schema.map(_.name).filterNot(deltaTypes.contains)
+    require(dropped.isEmpty,
+      s"schema evolution refused: column(s) dropped upstream: ${dropped.mkString(", ")}")
+    val retyped = base.schema.collect {
+      case f if deltaTypes.get(f.name).exists(_ != f.dataType) =>
+        s"${f.name}: ${f.dataType.simpleString} -> ${deltaTypes(f.name).simpleString}"
+    }
+    require(retyped.isEmpty,
+      s"schema evolution refused: column(s) retyped upstream: ${retyped.mkString(", ")}")
+    val added = delta.schema.filterNot(f => baseTypes.contains(f.name))
+    val nonNullable = added.filterNot(_.nullable).map(_.name)
+    require(nonNullable.isEmpty,
+      s"schema evolution refused: added column(s) not nullable: ${nonNullable.mkString(", ")} " +
+        "— existing destination rows would violate the constraint")
+    val addedPks = added.map(_.name).filter(pks.contains)
+    require(addedPks.isEmpty,
+      s"schema evolution refused: added column(s) are merge keys: ${addedPks.mkString(", ")}")
+    val widened = added.foldLeft(base)((b, f) =>
+      b.withColumn(f.name, lit(null).cast(f.dataType)))
+    upsert(widened.select(delta.columns.map(col).toIndexedSeq: _*), delta, pks)
+  }
+
   /** No-PK fallback: the reference upserts on *all* columns
     * (sync_utils.py:156-168 + :178-193) — insert-if-identical-row-absent. */
   def upsertAllColumns(base: DataFrame, delta: DataFrame): DataFrame =

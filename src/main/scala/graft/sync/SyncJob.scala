@@ -27,11 +27,20 @@ object SyncJob {
     * key-only source scan + left-semi join (Merge.upsertWithDeletes) — the
     * incremental extract stays incremental, only pk columns are re-read.
     * With no check column (full-copy branch) this composes into the full
-    * refresh mode: destination == source after the run. */
+    * refresh mode: destination == source after the run.
+    *
+    * `allowSchemaEvolution = true` is the opt-in for columns ADDED upstream
+    * (the reference re-introspects the source schema per run,
+    * sync_utils.py:195-204, so additions flow in automatically there): new
+    * nullable source columns join the destination with NULL for pre-existing
+    * rows; dropped/retyped columns and non-nullable additions are still
+    * refused (Merge.upsertEvolving documents why). Default false = strict
+    * parity: any schema drift fails loudly. */
   def run(source: TableStore, dest: TableStore, cfg: TableConfig,
           primaryKeys: Seq[String] = Seq.empty,
           jsonColumns: Set[String] = Set.empty,
-          propagateDeletes: Boolean = false): SyncStats = {
+          propagateDeletes: Boolean = false,
+          allowSchemaEvolution: Boolean = false): SyncStats = {
     val src = source.read(cfg.name)
       .getOrElse(sys.error(s"source table not found: ${cfg.name}"))
     // O2/O4: drop ignored columns only when nullable
@@ -73,12 +82,15 @@ object SyncJob {
     val merged: DataFrame = destDf match {
       case Some(d) =>
         val base = Projection.ignoring(d, cfg.ignoreColumns.toSet)
+        val upserted =
+          if (allowSchemaEvolution) Merge.upsertEvolving(base, coerced, pks)
+          else Merge.upsert(base, coerced, pks)
         if (propagateDeletes)
           // key-only scan of the (coerced) source: column pruning reaches
           // the reader, so at 100 TB this reads pk bytes, not the table
-          Merge.upsertWithDeletes(base, coerced,
-            Coerce.frame(projected, jsonColumns).select(pks.map(col): _*), pks)
-        else Merge.upsert(base, coerced, pks)
+          upserted.join(
+            Coerce.frame(projected, jsonColumns).select(pks.map(col): _*), pks, "left_semi")
+        else upserted
       case None    => coerced
     }
 

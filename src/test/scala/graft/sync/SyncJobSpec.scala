@@ -116,6 +116,62 @@ class SyncJobSpec extends SparkSpec {
     assert(out === Map(1L -> "fresh", 2L -> "new"))
   }
 
+  test("schema evolution opt-in: column added upstream flows in, old rows take NULL") {
+    val (src, dst) = (tmpStore(), tmpStore())
+    src.write(rows(1, 2), "t")
+    SyncJob.run(src, dst, idCfg, Seq("id"))
+    // upstream adds a column and a row; only id 3 is above the watermark
+    src.write(Seq((1L, "v1", "en"), (2L, "v2", "en"), (3L, "v3", "de"))
+      .toDF("id", "v", "lang"), "t")
+    val s2 = SyncJob.run(src, dst, idCfg, Seq("id"), allowSchemaEvolution = true)
+    assert(s2.mode === "incremental id > 2")
+    val out = dst.read("t").get
+    assert(out.columns.toSeq === Seq("id", "v", "lang")) // evolved (delta) shape
+    val byId = out.collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    // pre-evolution rows: NULL in the added column; extracted row: populated
+    assert(byId === Map(1L -> (("v1", null)), 2L -> (("v2", null)), 3L -> (("v3", "de"))))
+  }
+
+  test("schema drift WITHOUT the opt-in still fails loudly (strict parity)") {
+    val (src, dst) = (tmpStore(), tmpStore())
+    src.write(rows(1), "t")
+    SyncJob.run(src, dst, idCfg, Seq("id"))
+    src.write(Seq((2L, "v2", "en")).toDF("id", "v", "lang"), "t")
+    intercept[Exception](SyncJob.run(src, dst, idCfg, Seq("id")))
+  }
+
+  test("schema evolution refuses dropped and retyped columns") {
+    val (src, dst) = (tmpStore(), tmpStore())
+    src.write(rows(1), "t")
+    SyncJob.run(src, dst, idCfg, Seq("id"))
+    // column dropped upstream
+    src.write(Seq(Tuple1(2L)).toDF("id"), "t")
+    val eDrop = intercept[IllegalArgumentException](
+      SyncJob.run(src, dst, idCfg, Seq("id"), allowSchemaEvolution = true))
+    assert(eDrop.getMessage.contains("dropped"))
+    // column retyped upstream (v: string -> bigint)
+    src.write(Seq((2L, 99L)).toDF("id", "v"), "t")
+    val eType = intercept[IllegalArgumentException](
+      SyncJob.run(src, dst, idCfg, Seq("id"), allowSchemaEvolution = true))
+    assert(eType.getMessage.contains("retyped"))
+  }
+
+  test("upsertEvolving refuses non-nullable additions and added merge keys") {
+    import graft.operators.Merge
+    val base = Seq((1L, "a")).toDF("id", "v")
+    // lit() literals are non-nullable: old rows could not satisfy the column
+    val nonNull = intercept[IllegalArgumentException](
+      Merge.upsertEvolving(base, base.withColumn("n", lit(5L)), Seq("id")))
+    assert(nonNull.getMessage.contains("not nullable"))
+    // an added column used as a merge key: the base has nothing to match on
+    // when() without otherwise on a non-constant predicate stays nullable
+    // (a constant-true predicate folds to a non-nullable literal)
+    val nullable2 = base.withColumn("k2", when(col("id") > 0, lit(2L)))
+    val addedPk = intercept[IllegalArgumentException](
+      Merge.upsertEvolving(base, nullable2, Seq("id", "k2")))
+    assert(addedPk.getMessage.contains("merge keys"))
+  }
+
   test("strict > skips rows sharing the max timestamp (documented quirk)") {
     val (src, dst) = (tmpStore(), tmpStore())
     val mk = (pairs: Seq[(String, Long)]) => pairs.toDF("s", "id")

@@ -341,4 +341,32 @@ class SimilaritySpec extends SparkSpec {
       s"exact twins must fill query 2's own-cell top-3: ${partial.toSeq}")
     assert(partial.forall { case (q, n) => q != n })
   }
+
+  test("knnJoinPq at full shortlist equals knnJoin; tight shortlist keeps a twin") {
+    // 4-dim corpus in two direction families + an exact twin of query 1
+    val rows = (0L until 40L).map { i =>
+      if (i % 2 == 0) (i, Seq(1f, 0.1f * (i % 7), 0f, 0.05f * (i % 3)))
+      else (i, Seq(0f, 0.05f * (i % 3), 1f, 0.1f * (i % 7)))
+    } :+ (99L -> Seq(0f, 0.05f, 1f, 0.1f)) // exact copy of vec 1
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 4)
+    val cb = Similarity.pqTrain(df, "vec_id", "embedding", dim = 4, m = 2, k = 8)
+    val encoded = Similarity.pqEncode(df, "vec_id", "embedding", cb)
+    val exact = Similarity.knnJoin(queries, df, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Similarity.knnJoinPq(encoded, df, cb, queries, "vec_id", "embedding",
+        k = 3, shortlist = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === exact)
+    // tight shortlist: 99 has IDENTICAL codes to query 1 (same vector), so
+    // its ADC score ties query 1's own quantization at the maximum — the
+    // shortlist must retain it and the exact rescore must rank it top-3
+    val tight = Similarity.knnJoinPq(encoded, df, cb, queries, "vec_id", "embedding",
+        k = 3, shortlist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(tight.filter(_._1 == 1L).map(_._2).contains(99L),
+      s"twin 99 must survive the ADC shortlist for query 1: ${tight.toSeq}")
+    assert(tight.count(_._1 == 1L) === 3)
+    assert(tight.forall { case (q, n) => q != n })
+  }
 }

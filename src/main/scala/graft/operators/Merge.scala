@@ -130,7 +130,14 @@ object Merge {
     */
   def upsertWithDeletes(base: DataFrame, delta: DataFrame,
                         sourceKeys: DataFrame, pks: Seq[String]): DataFrame =
-    upsert(base, delta, pks).join(sourceKeys.select(pks.map(col): _*), pks, "left_semi")
+    applyDeletes(upsert(base, delta, pks), sourceKeys, pks)
+
+  /** The delete-propagation tail alone: keep only `merged` rows whose key
+    * still exists in `sourceKeys`. ONE definition of the semi-join so the
+    * plain ([[upsertWithDeletes]]) and schema-evolving (SyncJob composes
+    * this after [[upsertEvolving]]) paths cannot drift. */
+  def applyDeletes(merged: DataFrame, sourceKeys: DataFrame, pks: Seq[String]): DataFrame =
+    merged.join(sourceKeys.select(pks.map(col): _*), pks, "left_semi")
 
   /** Plan-node form: builds the custom graft.plans.Upsert logical operator
     * and expands it (ResolveUpsert fires automatically in sessions created

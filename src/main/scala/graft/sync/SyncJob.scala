@@ -24,8 +24,9 @@ object SyncJob {
     *
     * `propagateDeletes = true` is the documented optional mode (§2.4-1):
     * destination rows whose key vanished from the source are dropped via a
-    * key-only source scan + left-semi join (Merge.upsertWithDeletes) — the
-    * incremental extract stays incremental, only pk columns are re-read.
+    * key-only source scan + left-semi join (Merge.applyDeletes, composed
+    * after whichever merge form ran) — the incremental extract stays
+    * incremental, only pk columns are re-read.
     * With no check column (full-copy branch) this composes into the full
     * refresh mode: destination == source after the run.
     *
@@ -88,8 +89,8 @@ object SyncJob {
         if (propagateDeletes)
           // key-only scan of the (coerced) source: column pruning reaches
           // the reader, so at 100 TB this reads pk bytes, not the table
-          upserted.join(
-            Coerce.frame(projected, jsonColumns).select(pks.map(col): _*), pks, "left_semi")
+          Merge.applyDeletes(upserted,
+            Coerce.frame(projected, jsonColumns).select(pks.map(col): _*), pks)
         else upserted
       case None    => coerced
     }

@@ -65,30 +65,56 @@ class JdbcStore(spark: SparkSession, url: String, props: Map[String, String],
     catch { case scala.util.control.NonFatal(e) if JdbcStore.isTableMissing(e) => None }
 
   /** Store semantics are "replace table contents with df" (SyncJob hands the
-    * FULL merged table): overwrite with truncate, matching ParquetStore.
-    * Production incremental loads should ship only the delta through
-    * `sources.UpsertWriter` (ON CONFLICT) instead of a full rewrite. */
+    * FULL merged table). Production incremental loads should ship only the
+    * delta through `sources.UpsertWriter` (ON CONFLICT) instead of a full
+    * rewrite.
+    *
+    * TRUNCATE vs DROP+CREATE is decided by a schema probe BEFORE anything
+    * destructive runs: truncate preserves the table's DDL (indexes, grants,
+    * defaults) but can only land a frame whose columns match the existing
+    * table — after schema evolution (SyncJob's allowSchemaEvolution) the
+    * physical table lacks the added column, and a truncate-first write
+    * would empty the destination and THEN fail the insert, destroying
+    * previously-synced data. A mismatched or missing table takes the
+    * drop+create path, which re-lands the staged rows under the evolved
+    * schema. The probe compares case-insensitive column name -> type maps:
+    * a false "mismatch" merely downgrades to recreate (correct data, DDL
+    * re-derived), while a false "match" could truncate into a failing
+    * insert — so anything uncertain recreates. */
   override def write(df: DataFrame, table: String): Unit = {
     val p = new java.util.Properties()
     props.foreach { case (k, v) => p.setProperty(k, v) }
-    // materialize BEFORE the truncate: overwrite+truncate clears the table
-    // first and only then executes df's plan — a plan that reads this very
-    // table (SyncJob's merge, upsertSync) would scan the just-truncated
-    // (empty) destination and silently drop every previously-synced row.
-    // ParquetStore stages via temp+rename; a database has no cheap rename,
-    // so the staging happens on the executors instead.
-    df.localCheckpoint().write.mode("overwrite").option("truncate", "true")
-      .option("batchsize", 1000).jdbc(url, table, p)
+    // materialize BEFORE any destructive statement: overwrite clears the
+    // table first and only then executes df's plan — a plan that reads
+    // this very table (SyncJob's merge, upsertSync) would scan the
+    // just-cleared (empty) destination and silently drop every
+    // previously-synced row. ParquetStore stages via temp+rename; a
+    // database has no cheap rename, so staging happens on the executors.
+    val staged = df.localCheckpoint()
+    def colTypes(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.dataType).toMap
+    val sameColumns =
+      try read(table).exists(existing => colTypes(existing.schema) == colTypes(staged.schema))
+      catch { case scala.util.control.NonFatal(_) => false }
+    val writer = staged.write.mode("overwrite").option("batchsize", 1000)
+    (if (sameColumns) writer.option("truncate", "true") else writer).jdbc(url, table, p)
   }
 }
 
 object JdbcStore {
   /** SQLStates that mean "the relation does not exist" across the engines the
     * reference targets: 42P01 (PostgreSQL undefined_table), 42S02 (MySQL /
-    * SQL Server / H2 base table not found), 42X05 (Derby), S0002 (legacy
-    * ODBC-style drivers). Syntax errors share class 42 but not these codes,
-    * so a whole-class match would be too broad. */
-  private val TableMissingSqlStates = Set("42P01", "42S02", "42X05", "S0002")
+    * SQL Server / H2 base table not found), 42X05 (Derby), 42704 (DB2
+    * undefined name), S0002 (legacy ODBC-style drivers). Syntax errors share
+    * class 42 but not these codes, so a whole-class match would be too
+    * broad. Engines whose missing-table signal is AMBIGUOUS stay out on
+    * purpose: Oracle reports ORA-00942 under the generic 42000 (shared with
+    * syntax errors) and sqlite-jdbc reports a null SQLState — classifying
+    * those as "missing" would let a transient/syntax failure bootstrap-
+    * overwrite a populated destination. There the first sync fails loudly
+    * instead (the safe direction); pre-create the table or subclass the
+    * store with an engine-specific probe. */
+  private val TableMissingSqlStates = Set("42P01", "42S02", "42X05", "42704", "S0002")
 
   /** Walk the cause chain (Spark wraps the driver's SQLException in an
     * AnalysisException with the cause retained) looking for a table-missing

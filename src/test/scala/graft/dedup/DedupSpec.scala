@@ -239,21 +239,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("imageNearDups pairs near-identical renditions, not distinct images") {
-    def planted(sig: Long, fmt: String): Array[Byte] = {
-      val img = new java.awt.image.BufferedImage(9, 8,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      for (y <- 0 until 8) {
-        var g = 128
-        img.setRGB(0, y, g * 0x010101)
-        for (x <- 0 until 8) {
-          g += (if (((sig >>> (y * 8 + x)) & 1L) == 1L) 10 else -10)
-          img.setRGB(x + 1, y, g * 0x010101)
-        }
-      }
-      val bos = new java.io.ByteArrayOutputStream()
-      assert(javax.imageio.ImageIO.write(img, fmt, bos))
-      bos.toByteArray
-    }
+    import graft.multimodal.PlantedImages.planted
     val sigA = 0x123456789abcdef0L
     val sigB = 0x0fedcba987654321L
     val media = Seq(
@@ -261,7 +247,9 @@ class DedupSpec extends SparkSpec {
       (11L, planted(sigA, "bmp")),                     // same pixels, other container
       (12L, planted(sigA ^ (1L << 5), "png")),         // one-gradient edit: hamming 1
       (20L, planted(sigB, "png")),                     // unrelated image
-      (30L, "not an image".getBytes)                   // undecodable: silently out
+      (30L, "not an image".getBytes),                  // undecodable: silently out
+      (40L, planted(0L, "png")),                       // featureless (dHash 0): no
+      (41L, planted(0L, "bmp"))                        // evidence -> must NOT pair
     ).toDF("doc_id", "media")
     val got = Dedup.imageNearDups(media, maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

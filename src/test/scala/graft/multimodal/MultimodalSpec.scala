@@ -224,24 +224,8 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_.n_frames).toSeq === Seq(10L, 20L))
   }
 
-  /** 9x8 RGB image whose horizontal gradient signs encode `sig`: bit
-    * (y*8+x) set -> gray rises from column x to x+1. No resample at 9x8,
-    * so dhash64 must recover `sig` exactly. */
-  private def plantedImage(sig: Long, fmt: String = "png"): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(9, 8,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
-    for (y <- 0 until 8) {
-      var g = 128
-      img.setRGB(0, y, g * 0x010101)
-      for (x <- 0 until 8) {
-        g += (if (((sig >>> (y * 8 + x)) & 1L) == 1L) 10 else -10)
-        img.setRGB(x + 1, y, g * 0x010101)
-      }
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    assert(javax.imageio.ImageIO.write(img, fmt, bos))
-    bos.toByteArray
-  }
+  private def plantedImage(sig: Long, fmt: String = "png"): Array[Byte] =
+    PlantedImages.planted(sig, fmt)
 
   test("dhash64 recovers the planted gradient-sign pattern exactly") {
     val sigs = Seq(0L, -1L, 0x5a5a5a5a5a5a5a5aL, 0x123456789abcdef0L)

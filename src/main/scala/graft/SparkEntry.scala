@@ -1617,6 +1617,38 @@ object SparkEntry {
       s.range(1).select(lit(parityViol + (25L - twinHits)).as("violations"))
     }),
 
+    // IVF-PQ batch retrieval — the full production funnel (coarse cells ⊃
+    // ADC shortlist ⊃ exact k) in batch form, graded the same two ways as
+    // q117: full probe + keep-everything shortlist must equal the exact
+    // join row-for-row (grades the cell equi-join + code join + LUT + tail
+    // plumbing), and a TIGHT probe/shortlist must still retrieve each
+    // query's planted twin (identical vector -> own top cell, identical
+    // codes -> maximal ADC) — binding both funnel stages
+    "q118_ivfpq_knn_parity" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val queries = emb.filter(col("vec_id") < 25)
+      val twinBase = 1000000L
+      val corpus = emb.unionByName(
+        queries.select((col("vec_id") + twinBase).as("vec_id"), col("embedding")))
+      val index = Similarity.ivfIndex(corpus, "vec_id", "embedding", numCentroids = 8)
+      val cb = Similarity.pqTrain(corpus, "vec_id", "embedding", dim = 64, m = 8, k = 16)
+      val encoded = Similarity.pqEncode(corpus, "vec_id", "embedding", cb)
+      val exact = Similarity.knnJoin(queries, corpus, "vec_id", "embedding", 5)
+      val full = Similarity.knnJoinIvfPq(index, encoded, corpus, cb, queries,
+        "vec_id", "embedding", k = 5, nprobe = 8, shortlist = 1 << 20)
+      val parityViol = exact.withColumn("__x", lit(1))
+        .join(full.withColumn("__y", lit(1)),
+          Seq("query_id", "neighbor_id"), "full_outer")
+        .filter(col("__x").isNull || col("__y").isNull)
+        .count()
+      val tight = Similarity.knnJoinIvfPq(index, encoded, corpus, cb, queries,
+        "vec_id", "embedding", k = 5, nprobe = 2, shortlist = 40)
+      val twinHits = tight
+        .filter(col("neighbor_id") === col("query_id") + twinBase)
+        .count()
+      s.range(1).select(lit(parityViol + (25L - twinHits)).as("violations"))
+    }),
+
     // GLOBAL 2D proximity join (time ±1h AND amount ±100 cents, no key):
     // grid-cell blocking — 6 cells per build row vs the probe's exact
     // cell, each qualifying pair matched in exactly ONE (x band, y band),
@@ -2179,6 +2211,8 @@ object SparkEntry {
     "q116_schema_evolution" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q117_pq_knn_parity" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    "q118_ivfpq_knn_parity" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q111_entity_resolution" ->
       """WITH RECURSIVE tok AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents), corpus AS (SELECT w FROM tok UNION SELECT substr(w, 2) FROM tok WHERE len(w) >= 4), pairs AS (SELECT a.w AS src, b.w AS dst FROM corpus a JOIN corpus b ON a.w <> b.w AND levenshtein(a.w, b.w) <= 1), reach AS (SELECT w AS id, w AS r FROM corpus UNION SELECT p.dst, reach.r FROM reach JOIN pairs p ON p.src = reach.id), canon AS (SELECT id AS w, min(r) AS c FROM reach GROUP BY id), rep AS (SELECT c, w AS rep FROM (SELECT c, w, row_number() OVER (PARTITION BY c ORDER BY len(w) DESC, w) AS rn FROM canon) WHERE rn = 1) SELECT canon.w, rep.rep FROM canon JOIN rep USING (c) ORDER BY w""",

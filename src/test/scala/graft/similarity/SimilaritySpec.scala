@@ -369,4 +369,30 @@ class SimilaritySpec extends SparkSpec {
     assert(tight.count(_._1 == 1L) === 3)
     assert(tight.forall { case (q, n) => q != n })
   }
+
+  test("knnJoinIvfPq at full probe + full shortlist equals knnJoin") {
+    val rows = (0L until 40L).map { i =>
+      if (i % 2 == 0) (i, Seq(1f, 0.1f * (i % 7), 0f, 0.05f * (i % 3)))
+      else (i, Seq(0f, 0.05f * (i % 3), 1f, 0.1f * (i % 7)))
+    } :+ (99L -> Seq(0f, 0.05f, 1f, 0.1f)) // exact copy of vec 1
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 4)
+    val index = Similarity.ivfIndex(df, "vec_id", "embedding", numCentroids = 4)
+    val cb = Similarity.pqTrain(df, "vec_id", "embedding", dim = 4, m = 2, k = 8)
+    val encoded = Similarity.pqEncode(df, "vec_id", "embedding", cb)
+    val exact = Similarity.knnJoin(queries, df, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Similarity.knnJoinIvfPq(index, encoded, df, cb, queries,
+        "vec_id", "embedding", k = 3, nprobe = 4, shortlist = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === exact)
+    // tight funnel: own-cell probe + small shortlist must still surface the
+    // planted twin of query 1 (same cell, identical codes -> maximal ADC)
+    val tight = Similarity.knnJoinIvfPq(index, encoded, df, cb, queries,
+        "vec_id", "embedding", k = 3, nprobe = 1, shortlist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(tight.filter(_._1 == 1L).map(_._2).contains(99L),
+      s"twin 99 must survive the IVF-PQ funnel for query 1: ${tight.toSeq}")
+    assert(tight.forall { case (q, n) => q != n })
+  }
 }

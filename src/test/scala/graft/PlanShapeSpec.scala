@@ -245,4 +245,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("__bx") && p.contains("__by"),
       s"expected (x band, y band) join keys in the plan:\n$p")
   }
+
+  test("batch k-NN joins broadcast the QUERY side; the corpus never shuffles pre-score") {
+    import org.apache.spark.sql.functions.col
+    import graft.similarity.Similarity
+    val emb = Tables(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 25)
+    // exact form: the corpus rides a broadcast cross join (query side is
+    // the broadcast relation) and the ONLY hash exchange is the narrow
+    // (query, neighbor, score) stream into the per-query rank window
+    val p1 = Similarity.knnJoin(queries, emb, "vec_id", "embedding", 5)
+      .queryExecution.executedPlan.toString
+    assert(p1.contains("BroadcastNestedLoopJoin"),
+      s"query side must broadcast into the corpus scan:\n$p1")
+    assert("Exchange hashpartitioning".r.findAllIn(p1).size === 1,
+      s"only the rank window may shuffle:\n$p1")
+    // IVF form: candidates come from an EQUI-join on the probed cell id —
+    // never a cartesian over the corpus
+    val index = Similarity.ivfIndex(emb, "vec_id", "embedding", numCentroids = 8)
+    val p2 = Similarity.knnJoinIvf(index, queries, "vec_id", "embedding", 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("CartesianProduct") &&
+      "BroadcastHashJoin \\[.*__centroid".r.findFirstIn(p2).isDefined,
+      s"cell blocking must stay a broadcast equi-join on __centroid:\n$p2")
+    // PQ form: the code scan joins the broadcast LUT column; the rescore
+    // touches full vectors only through the shortlist equi-join
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 8, k = 16)
+    val encoded = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+    val p3 = Similarity.knnJoinPq(encoded, emb, cb, queries, "vec_id", "embedding",
+        k = 5, shortlist = 40)
+      .queryExecution.executedPlan.toString
+    assert(p3.contains("BroadcastNestedLoopJoin"),
+      s"per-query LUTs must broadcast into the code scan:\n$p3")
+    assert(!p3.contains("CartesianProduct"),
+      s"the rescore must join on neighbor_id, not cross:\n$p3")
+  }
 }

@@ -671,12 +671,14 @@ object Dedup {
     * modality: re-encoded / slightly-edited renditions of one image land a
     * few dHash bits apart and pair; unrelated images sit near Hamming 32
     * and cannot. Undecodable payloads drop out before banding, and so do
-    * FEATURELESS images (dHash 0 — no column-to-column gray increase
-    * anywhere: solid colors, vertical stripes): like the text paths'
-    * empty-shingle filter, a hash with no horizontal structure carries no
-    * pairing evidence, and at scale every blank thumbnail in a scraped
+    * FEATURELESS images — dHash 0 (no gray increase anywhere: solid
+    * colors, falling gradients, vertical stripes) and its mirror -1
+    * (monotone rising fades): like the text paths' empty-shingle filter,
+    * a hash with no mixed horizontal structure carries no pairing
+    * evidence, and at scale every blank/fade thumbnail in a scraped
     * corpus would otherwise share one signature — false-pairing black
-    * with white AND concentrating into a single O(m²) bucket. */
+    * with white (or a blue fade with a red one) AND concentrating into a
+    * single O(m²) bucket. */
   def imageNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame = {
     implicit val spark: org.apache.spark.sql.SparkSession = media.sparkSession
     val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -684,7 +686,7 @@ object Dedup {
     // reason as the text paths — the O(pixels) hash work must spread
     val sigs = graft.multimodal.Multimodal
       .dhashImages(media.repartition(n, col("doc_id"))).toDF()
-      .filter(col("phash") =!= 0L)
+      .filter(col("phash") =!= 0L && col("phash") =!= -1L)
     packedNearDups(sigs, "doc_id", "phash", maxHamming)
   }
 }

@@ -359,13 +359,17 @@ object Similarity {
       s"need nprobe >= 1 and shortlist >= k >= 1, got ($k, $nprobe, $shortlist)")
     val cellScores = array(centroidScoreStructs(col("__qv"), index.cents): _*)
     val q = pqQuerySide(queries, cb, idCol, vecCol)
-    val qProbed = q.withColumn("__centroid",
-      explode(slice(array_sort(cellScores), 1, nprobe).getField("cid")))
+    // the cell match broadcasts LEAN (query_id, cell) pairs; the m×k LUT
+    // attaches afterwards from a one-row-per-query broadcast — exploding
+    // the LUT with the probe would ship nprobe redundant copies per query
+    // (at nprobe=32, m=8, k=256 that is a 32× broadcast bloat)
+    val qProbed = q.select(col("query_id"),
+      explode(slice(array_sort(cellScores), 1, nprobe).getField("cid")).as("__centroid"))
     val codeCandidates = encoded.select(col(idCol).as("neighbor_id"), col("codes"))
       .join(index.assigned.select(col(idCol).as("neighbor_id"), col("__centroid")),
         Seq("neighbor_id"))
-      .join(broadcast(qProbed.select(col("query_id"), col("__lut"), col("__centroid"))),
-        Seq("__centroid"))
+      .join(broadcast(qProbed), Seq("__centroid"))
+      .join(broadcast(q.select(col("query_id"), col("__lut"))), Seq("query_id"))
     adcShortlistRescore(codeCandidates, q, emb, cb, idCol, vecCol, k, shortlist)
   }
 

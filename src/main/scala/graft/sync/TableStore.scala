@@ -77,10 +77,24 @@ class JdbcStore(spark: SparkSession, url: String, props: Map[String, String],
     * would empty the destination and THEN fail the insert, destroying
     * previously-synced data. A mismatched or missing table takes the
     * drop+create path, which re-lands the staged rows under the evolved
-    * schema. The probe compares case-insensitive column name -> type maps:
-    * a false "mismatch" merely downgrades to recreate (correct data, DDL
+    * schema. The probe compares case-insensitive column name -> type maps,
+    * and when the physical table declares NOT NULL on a column the staged
+    * data might violate, the STAGED DATA is checked for nulls (one cheap
+    * aggregate over the already-checkpointed frame): nulls present means
+    * the post-truncate INSERT would fail, so that case recreates too.
+    * Nullability comes from a raw ResultSetMetaData probe, NOT from the
+    * Spark read schema — Spark's JDBC relation resolves every column as
+    * nullable on purpose (drivers lie), which would blind this check; and
+    * a driver reporting nullability UNKNOWN is treated as NOT NULL (the
+    * direction whose worst case is one extra aggregate, not data loss). A
+    * false "mismatch" merely downgrades to recreate (correct data, DDL
     * re-derived), while a false "match" could truncate into a failing
-    * insert — so anything uncertain recreates. */
+    * insert — so anything uncertain recreates. Residual risk, documented:
+    * constraints Spark cannot see (VARCHAR lengths, CHECK) can still fail
+    * the insert after a truncate — same exposure as any JDBC overwrite;
+    * pre-validate upstream where such DDL exists. A transient probe
+    * failure PROPAGATES (read's classification): silently downgrading to
+    * recreate would destroy indexes/grants on a healthy matching table. */
   override def write(df: DataFrame, table: String): Unit = {
     val p = new java.util.Properties()
     props.foreach { case (k, v) => p.setProperty(k, v) }
@@ -91,13 +105,41 @@ class JdbcStore(spark: SparkSession, url: String, props: Map[String, String],
     // previously-synced row. ParquetStore stages via temp+rename; a
     // database has no cheap rename, so staging happens on the executors.
     val staged = df.localCheckpoint()
+    def key(n: String) = n.toLowerCase(java.util.Locale.ROOT)
     def colTypes(s: org.apache.spark.sql.types.StructType) =
-      s.fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.dataType).toMap
-    val sameColumns =
-      try read(table).exists(existing => colTypes(existing.schema) == colTypes(staged.schema))
-      catch { case scala.util.control.NonFatal(_) => false }
+      s.fields.map(f => key(f.name) -> f.dataType).toMap
+    val existingSchema = read(table).map(_.schema) // missing -> None; transient throws
+    val sameColumns = existingSchema.exists(ex => colTypes(ex) == colTypes(staged.schema))
+    val truncateSafe = sameColumns && {
+      val notNull = nullableUnsafeColumns(table, p)
+      val risky = staged.schema.fields
+        .filter(f => f.nullable && notNull(key(f.name))).map(_.name)
+      risky.isEmpty ||
+        staged.filter(risky.map(c => org.apache.spark.sql.functions.col(c).isNull)
+          .reduce(_ || _)).isEmpty
+    }
     val writer = staged.write.mode("overwrite").option("batchsize", 1000)
-    (if (sameColumns) writer.option("truncate", "true") else writer).jdbc(url, table, p)
+    (if (truncateSafe) writer.option("truncate", "true") else writer).jdbc(url, table, p)
+  }
+
+  /** Columns of `table` a NULL cannot safely land in: declared NOT NULL, or
+    * nullability-unknown (trusting an unknown toward "nullable" risks
+    * truncate-then-failed-INSERT data loss; toward "not null" costs at most
+    * one aggregate over the staged frame). Same zero-row SELECT Spark uses
+    * to resolve the schema, but reading the metadata directly because the
+    * Spark-side schema is forced all-nullable. Only called after the probe
+    * read succeeded, so the table exists; failures here propagate. */
+  private def nullableUnsafeColumns(table: String, p: java.util.Properties): Set[String] = {
+    val conn = java.sql.DriverManager.getConnection(url, p)
+    try {
+      val st = conn.createStatement()
+      try {
+        val md = st.executeQuery(s"SELECT * FROM $table WHERE 1=0").getMetaData
+        (1 to md.getColumnCount).iterator
+          .filter(i => md.isNullable(i) != java.sql.ResultSetMetaData.columnNullable)
+          .map(i => md.getColumnLabel(i).toLowerCase(java.util.Locale.ROOT)).toSet
+      } finally st.close()
+    } finally conn.close()
   }
 }
 

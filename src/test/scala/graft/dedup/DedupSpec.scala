@@ -249,7 +249,9 @@ class DedupSpec extends SparkSpec {
       (20L, planted(sigB, "png")),                     // unrelated image
       (30L, "not an image".getBytes),                  // undecodable: silently out
       (40L, planted(0L, "png")),                       // featureless (dHash 0): no
-      (41L, planted(0L, "bmp"))                        // evidence -> must NOT pair
+      (41L, planted(0L, "bmp")),                       // evidence -> must NOT pair
+      (50L, planted(-1L, "png")),                      // monotone rising fade (-1):
+      (51L, planted(-1L, "bmp"))                       // the mirror, equally blind
     ).toDF("doc_id", "media")
     val got = Dedup.imageNearDups(media, maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

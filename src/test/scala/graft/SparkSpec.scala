@@ -10,7 +10,9 @@ object SparkSpec {
     .master("local[2]")
     .config("spark.sql.shuffle.partitions", 2)
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts is TIMESTAMP(NANOS)
+    // kept for timestamp[ns]-generation testdata (reads as bigint nanos);
+    // timestamp[us] generations read as TIMESTAMP_NTZ — Tables normalizes
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

@@ -47,10 +47,11 @@ object Bench {
     "q19_lang_id" -> 0.712, "q20_fingerprint" -> 0.312,
     "q21_dedup_minhash" -> 9.129, "q22_dedup_ngram" -> 3.037,
     "q23_simhash_invariant" -> 0.592, "q24_embed_topk" -> 0.205,
-    // q26 has NO floor since round 8: its plan was replaced (rows-only ANN
-    // output -> contract-parity violations query with a second bucket-
-    // recompute branch), so the r2 number describes a plan that no longer
-    // exists — the q48 precedent. Floor lands from the next driver bench.
+    // q26: r8 replaced its plan (rows-only ANN output -> contract-parity
+    // violations query), so the r2 floor was retired; seeded round 9 from
+    // a local sf0.1 run DIVIDED by that run's canary calibration (x1.087)
+    // — the round-7 seeding precedent. Replace from the next driver bench.
+    "q26_ann_topk" -> 0.549,
     "q25_embed_neardup" -> 1.826,
     "q27_multimodal_decode" -> 0.211, "q28_json_extract" -> 0.794,
     "q29_running_sum" -> 0.557, "q30_rollup_stats" -> 0.226,
@@ -108,7 +109,12 @@ object Bench {
     "q107_avi_decode" -> 0.19, "q108_nfc_normalize" -> 0.598,
     "q109_fuzzy_join" -> 0.886, "q110_box_join" -> 1.374,
     "q111_entity_resolution" -> 3.747, "q112_knn_join" -> 0.586,
-    "q113_ivf_knn_parity" -> 1.685, "q114_incr_stats" -> 0.444)
+    "q113_ivf_knn_parity" -> 1.685, "q114_incr_stats" -> 0.444,
+    // round-8 queries (invisible in BENCH_r08's surviving tail): seeded
+    // round 9 from a local sf0.1 run divided by its canary calibration
+    // (x1.087), the round-7 precedent. Replace from the next driver bench.
+    "q115_image_neardup" -> 1.121, "q116_schema_evolution" -> 1.235,
+    "q117_pq_knn_parity" -> 1.720, "q118_ivfpq_knn_parity" -> 3.872)
 
   /** Fixed-seconds slack added to the 1.5x bound: sub-second floors are
     * scheduler-noise-dominated (a 0.13 s query measured at 0.25 s is noise,

@@ -1659,6 +1659,109 @@ object SparkEntry {
       s.range(1).select(lit(parityViol + (25L - twinHits)).as("violations"))
     }),
 
+    // STREAMING decontamination parity: the ingest-time gate (arrival
+    // stream exploded to hashed 13-grams, stream-static broadcast semi
+    // join against the benchmark gram set, watermark-bounded per-doc
+    // distinct) must emit EXACTLY the batch q49 contaminated set — same
+    // oracle, streaming plan, the q81-style "the scale deployment is in
+    // the correctness gate" pairing. Constant arrival time is exact here:
+    // AvailableNow reads the single documents file as one microbatch
+    // (contaminatedIdsStream scaladoc documents the multi-file caveat and
+    // the epoch-0 late-filter pitfall — hence the day-1 constant)
+    "q119_stream_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val stream = s.readStream.schema(Tables.raw(s, dir, "documents").schema)
+        .parquet(s"$dir/documents*.parquet")
+        .filter(col("doc_id") >= 250)
+      val flagged = Decontaminate.contaminatedIdsStream(
+        stream, docs.filter(col("doc_id") < 250), "doc_id", "text",
+        eventTimeCol = timestamp_micros(lit(86400000000L)), n = 13)
+      val sink = s"q119_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = flagged.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      drainSink(s, sink, s.table(sink).orderBy("doc_id"))
+    }),
+
+    // STREAMING ingest near-dup gate: arrivals (doc_id >= 250) probe the
+    // static corpus band index with the IDENTICAL deterministic MinHash
+    // family as batch q46 and exact-verify on shingle sets — the emitted
+    // reject list must be EXACTLY the complement of q46's novel set (same
+    // tokenSet shingler, same 9/10 threshold, same 125/25 banding), graded
+    // against the inverted q46 oracle. Day-1 arrival (late-filter pitfall);
+    // AvailableNow single-microbatch makes the per-doc distinct exact
+    "q121_stream_ingest_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val stream = s.readStream.schema(Tables.raw(s, dir, "documents").schema)
+        .parquet(s"$dir/documents*.parquet")
+        .filter(col("doc_id") >= 250)
+      val dups = Dedup.duplicateIdsStream(
+        stream, docs.filter(col("doc_id") < 250), "doc_id", "text",
+        c => Dedup.hashedShingles(TextAnalysis.tokenSet(c)),
+        num = 9, den = 10, numHashes = 125, bands = 25,
+        eventTimeCol = timestamp_micros(lit(86400000000L)))
+      val sink = s"q121_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = dups.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      drainSink(s, sink, s.table(sink).orderBy("doc_id"))
+    }),
+
+    // REAL pixel resize graded end-to-end: planted PNGs with a per-pixel
+    // integer formula, resized to the fixed 8x6 vision-encoder shape by
+    // nearest-neighbor (src = dst * srcDim / dstDim, floor — pure integer
+    // math), PNG re-encoded (lossless both ways), re-decoded, and EVERY
+    // output pixel must equal the formula at its mapped source index.
+    // Sources span 1x1..37x23, so both up- and down-scaling paths and the
+    // degenerate single-pixel image are all exercised; a filtering kernel,
+    // an index off-by-one, or a lossy re-encode cannot pass
+    "q120_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      implicit val session: SparkSession = s
+      val (tw, th) = (8, 6)
+      def pix(id: Long, x: Int, y: Int): Int =
+        (((id * 2654435761L) + x * 31L + y * 67L) & 0xffffffL).toInt
+      val media = t(s, dir, "documents").select(col("doc_id").cast(LongType)).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val (w, h) = (1 + (id % 37).toInt, 1 + (id % 23).toInt)
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { img.setRGB(x, y, pix(id, x, y)); x += 1 }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            Multimodal.MediaRecord(id, bos.toByteArray)
+          }
+        }.toDF()
+      val bad = Multimodal.resizeImages(media, tw, th).mapPartitions { it =>
+        it.map { r =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+          val (w, h) = (1 + (r.doc_id % 37).toInt, 1 + (r.doc_id % 23).toInt)
+          var n = 0L
+          if (img == null || img.getWidth != tw || img.getHeight != th) n = 1L
+          else {
+            var y = 0
+            while (y < th) {
+              var x = 0
+              while (x < tw) {
+                if ((img.getRGB(x, y) & 0xffffff) != pix(r.doc_id, x * w / tw, y * h / th))
+                  n += 1
+                x += 1
+              }
+              y += 1
+            }
+          }
+          n
+        }
+      }.toDF("bad")
+      bad.agg(violations(col("bad") > 0L))
+    }),
+
     // GLOBAL 2D proximity join (time ±1h AND amount ±100 cents, no key):
     // grid-cell blocking — 6 cells per build row vs the probe's exact
     // cell, each qualifying pair matched in exactly ONE (x band, y band),
@@ -2227,6 +2330,16 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q118_ivfpq_knn_parity" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
+    // q119 grades the STREAMING plan against the SAME contaminated-set
+    // oracle as batch q49 (the q81 pairing pattern)
+    "q119_stream_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), g AS (SELECT doc_id, unnest([array_to_string(ts[i:i+12], ' ') for i in range(1, len(ts) - 11)]) AS g FROM tok WHERE len(ts) >= 13) SELECT DISTINCT b.doc_id FROM g b WHERE b.doc_id >= 250 AND EXISTS (SELECT 1 FROM g c WHERE c.doc_id < 250 AND c.g = b.g) ORDER BY doc_id""",
+    "q120_image_resize" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    // q121 is the EXISTS inverse of q46's novel-docs oracle: the streaming
+    // reject list = arrivals WITH a J>=0.9 token-set near-dup in the corpus
+    "q121_stream_ingest_dedup" ->
+      """WITH tok AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ts FROM documents), c AS (SELECT * FROM tok WHERE doc_id < 250 AND len(ts) > 0), b AS (SELECT * FROM tok WHERE doc_id >= 250) SELECT b.doc_id FROM b WHERE EXISTS (SELECT 1 FROM c WHERE len(list_intersect(b.ts, c.ts)) * 10 >= len(list_distinct(list_concat(b.ts, c.ts))) * 9) ORDER BY b.doc_id""",
     "q111_entity_resolution" ->
       """WITH RECURSIVE tok AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents), corpus AS (SELECT w FROM tok UNION SELECT substr(w, 2) FROM tok WHERE len(w) >= 4), pairs AS (SELECT a.w AS src, b.w AS dst FROM corpus a JOIN corpus b ON a.w <> b.w AND levenshtein(a.w, b.w) <= 1), reach AS (SELECT w AS id, w AS r FROM corpus UNION SELECT p.dst, reach.r FROM reach JOIN pairs p ON p.src = reach.id), canon AS (SELECT id AS w, min(r) AS c FROM reach GROUP BY id), rep AS (SELECT c, w AS rep FROM (SELECT c, w, row_number() OVER (PARTITION BY c ORDER BY len(w) DESC, w) AS rn FROM canon) WHERE rn = 1) SELECT canon.w, rep.rep FROM canon JOIN rep USING (c) ORDER BY w""",
     "q88_compaction" ->

@@ -42,4 +42,46 @@ object Decontaminate {
             idCol: String, textCol: String, n: Int = 13): DataFrame =
     corpus.join(contaminatedIds(corpus, benchmark, idCol, textCol, n),
       Seq(idCol), "left_anti")
+
+  /** STREAMING decontamination gate: `corpusStream` is an unbounded arrival
+    * stream of documents; emit each contaminated id once, as it arrives —
+    * the ingest-time deployment of [[contaminatedIds]] (flag eval-set
+    * pollution the moment a crawler delivers it, instead of re-scanning the
+    * accumulated corpus nightly).
+    *
+    * Plan shape (the 100 TB-stream story): the stream explodes to hashed
+    * n-gram keys and STREAM-STATIC left-semi joins the benchmark's distinct
+    * gram set — the static side is benchmark-sized (tiny by the
+    * decontamination contract) so it broadcasts, re-planned per micro-batch
+    * (a benchmark refresh is picked up automatically), and the corpus
+    * stream itself never shuffles for the probe. The per-doc distinct
+    * (a doc sharing many grams must flag once) is
+    * `dropDuplicatesWithinWatermark` keyed on the id, the only stateful op,
+    * its state expiring with the watermark.
+    *
+    * `eventTimeCol` orders the expiry; a corpus with no arrival-time column
+    * can pass a constant literal, which degrades exactly like q61's
+    * documented single-microbatch caveat (under `Trigger.AvailableNow` with
+    * one source file the whole corpus is one batch and the distinct is
+    * exact; a multi-file arrival of the same id past the watermark could
+    * re-emit — dedup the sink or widen the delay). PITFALL: the constant
+    * must be LATER than epoch 0 — Spark's event-time late filter is
+    * inclusive against the initial watermark (0), so epoch-0 rows are
+    * silently dropped before the dedup and the gate emits nothing. */
+  def contaminatedIdsStream(corpusStream: DataFrame, benchmark: DataFrame,
+                            idCol: String, textCol: String,
+                            eventTimeCol: org.apache.spark.sql.Column,
+                            n: Int = 13,
+                            watermarkDelay: String = "10 minutes"): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(Dedup.hashedWordNgrams(col(textCol), n)).as("__g"))
+      .distinct()
+    corpusStream
+      .select(col(idCol), eventTimeCol.cast("timestamp").as("__arrival"),
+        explode(Dedup.hashedWordNgrams(col(textCol), n)).as("__g"))
+      .join(benchGrams, Seq("__g"), "left_semi")
+      .withWatermark("__arrival", watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCol)
+      .select(col(idCol))
+  }
 }

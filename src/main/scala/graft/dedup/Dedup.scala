@@ -316,6 +316,67 @@ object Dedup {
     batch.join(dups.select(col("id_a").as(idCol)), Seq(idCol), "left_anti")
   }
 
+  /** STREAMING ingest near-dup gate: ids of arriving documents that
+    * DUPLICATE the existing corpus (shingle-set Jaccard >= num/den against
+    * any corpus doc), each emitted once as it arrives — the reject list of
+    * a continuous ingestion pipeline, [[crossNearDupsHashed]] deployed at
+    * the moment of arrival instead of in nightly batches (and the
+    * complement of [[novelAgainst]] over the same inputs).
+    *
+    * Plan shape: the static side is the corpus' band index + shingle-set
+    * table (in production a persisted, bucketed index — computed here in
+    * one narrow pass), equi-joined per micro-batch against the arrivals'
+    * exploded band keys; the MinHash family is the identical deterministic
+    * expression as the batch path, so candidates — and therefore the exact
+    * verified output — cannot drift between deployments. Each micro-batch
+    * shuffles only its OWN arrivals; the stream never self-joins and the
+    * corpus is never re-scanned per arrival (Catalyst picks broadcast vs
+    * shuffle for the static side per batch from its actual size).
+    * Divergence from the batch plan, documented: the arrival's shingle set
+    * rides THROUGH the band join (the batch path joins ids only and
+    * re-attaches sets after — a stream cannot re-join itself), so verify
+    * payload cost is per-arrival-doc × its band collisions, bounded by the
+    * arrival batch, not the corpus. The only stateful op is the
+    * watermark-bounded per-doc distinct; `eventTimeCol` must be later than
+    * epoch 0 (see [[Decontaminate.contaminatedIdsStream]]'s late-filter
+    * pitfall) and the q61-family multi-file re-emission caveat applies. */
+  def duplicateIdsStream(arrivals: DataFrame, corpus: DataFrame,
+                         idCol: String, textCol: String,
+                         hashedShingler: Column => Column,
+                         num: Int, den: Int,
+                         numHashes: Int, bands: Int,
+                         eventTimeCol: Column,
+                         watermarkDelay: String = "10 minutes"): DataFrame = {
+    val n = corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val rows = numHashes / bands
+    val sc = corpus
+      .repartition(n, col(idCol))
+      .select(col(idCol), hashedShingler(col(textCol)).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val corpusBands = sc
+      .select(col(idCol).as("id_b"),
+        explode(bandKeys(minhashSignature(col("__sh"), numHashes), bands, rows)).as("bk"))
+      .select(col("id_b"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val corpusSets = sc.select(col(idCol).as("id_b"), col("__sh").as("__sb"))
+    val arr = arrivals
+      .select(col(idCol).as("id_a"), eventTimeCol.cast("timestamp").as("__arrival"),
+        hashedShingler(col(textCol)).as("__sa"))
+      .filter(size(col("__sa")) > 0)
+      .withWatermark("__arrival", watermarkDelay)
+    val inter = graft.functions.VectorFunctions.sortedIntersectSize(col("__sa"), col("__sb"))
+    arr
+      .select(col("id_a"), col("__arrival"), col("__sa"),
+        explode(bandKeys(minhashSignature(col("__sa"), numHashes), bands, rows)).as("bk"))
+      .select(col("id_a"), col("__arrival"), col("__sa"),
+        col("bk.band").as("band"), col("bk.bh").as("bh"))
+      .join(corpusBands, Seq("band", "bh"))
+      .join(corpusSets, Seq("id_b"))
+      .withColumn("__i", inter)
+      .filter(col("__i") * den >= (size(col("__sa")) + size(col("__sb")) - col("__i")) * num)
+      .dropDuplicatesWithinWatermark("id_a")
+      .select(col("id_a").as(idCol))
+  }
+
   /** Word n-gram (shingle) set for the n-gram-Jaccard dedup variant —
     * order-sensitive, far more discriminative than unigram sets.
     *

@@ -341,14 +341,58 @@ object Multimodal {
     }
   }
 
-  /** Resize stub: recompute target metadata for a scaled rendition — the
-    * plumbing of a resize stage (per-row pure metadata transform; a real
-    * implementation decodes, scales, and re-encodes the payload here). */
+  /** Metadata-only resize: recompute target dims for a scaled rendition
+    * without touching pixels (the cheap planning pass — e.g. deciding which
+    * renditions to materialize before paying [[resizeImages]]'s decode). */
   def resizeMeta(decoded: Dataset[DecodedMedia], targetWidth: Long)(implicit spark: SparkSession): Dataset[DecodedMedia] = {
     import spark.implicits._
     decoded.map { d =>
       val h = if (d.width == 0) 0L else math.max(1L, d.height * targetWidth / d.width)
       d.copy(width = targetWidth, height = h)
+    }
+  }
+
+  /** REAL pixel resize: decode → nearest-neighbor resample to exactly
+    * (tw, th) → lossless PNG re-encode. Nearest-neighbor with pure integer
+    * index math (src = dst * srcDim / dstDim, floor) — deterministic across
+    * JVMs (no float filtering kernels, no rendering-pipeline variance), the
+    * property that lets planted-image tests assert exact output pixels. The
+    * fixed target is the canonical training-pipeline shape (vision encoders
+    * take a fixed input size); both down- and up-scaling are defined.
+    * Undecodable payloads degrade to None, never a task kill. */
+  def resizeImage(bytes: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+    if (bytes == null || bytes.length == 0 || tw <= 0 || th <= 0) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
+    try {
+      val out = new java.awt.image.BufferedImage(tw, th,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < th) {
+        val sy = y * img.getHeight / th
+        var x = 0
+        while (x < tw) {
+          out.setRGB(x, y, img.getRGB(x * img.getWidth / tw, sy))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Some(bos.toByteArray)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Partition-parallel thumbnail stage — same batch shape as [[decode]]:
+    * media in, media out, undecodable rows dropped (anti-join the output to
+    * find them). At 100 TB this is the narrow per-row map it looks like:
+    * no shuffle, pixels live only inside the task. */
+  def resizeImages(media: DataFrame, tw: Int, th: Int)(implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap(r => resizeImage(r.media, tw, th).map(b => MediaRecord(r.doc_id, b)))
     }
   }
 

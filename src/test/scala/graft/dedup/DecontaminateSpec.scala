@@ -42,6 +42,26 @@ class DecontaminateSpec extends SparkSpec {
     assert(ids.count() === 0)
   }
 
+  test("contaminatedIdsStream matches the batch gate, one row per doc") {
+    import org.apache.spark.sql.functions.{lit, timestamp_micros}
+    val src = java.nio.file.Files.createTempDirectory("graft_dc_src").toString
+    corpus.coalesce(1).write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(corpus.schema).parquet(s"$src/*.parquet")
+    // n=4: doc 1 shares TWO benchmark 4-grams, so the watermarked distinct
+    // is load-bearing (without it doc 1 would emit twice); doc 2 shares one.
+    // Day-1 arrival, NOT epoch 0 — the scaladoc'd late-filter pitfall
+    val out = Decontaminate.contaminatedIdsStream(stream, benchmark, "doc_id", "text",
+      eventTimeCol = timestamp_micros(lit(86400000000L)), n = 4)
+    val q = out.writeStream.format("memory").queryName("dc_stream_sink")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("dc_stream_sink").collect().map(_.getLong(0)).sorted.toSeq
+    spark.catalog.dropTempView("dc_stream_sink")
+    assert(got === Seq(1L, 2L))
+    assert(got === Decontaminate.contaminatedIds(corpus, benchmark, "doc_id", "text", n = 4)
+      .collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("scrub and contaminatedIds partition the corpus exactly") {
     val flagged = Decontaminate.contaminatedIds(corpus, benchmark, "doc_id", "text", n = 4)
       .collect().map(_.getLong(0)).toSet

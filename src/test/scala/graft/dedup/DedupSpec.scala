@@ -179,6 +179,36 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((10L, 0L), (10L, 1L)))
   }
 
+  test("duplicateIdsStream emits exactly the batch reject list, once per doc") {
+    import org.apache.spark.sql.functions.{lit, timestamp_micros}
+    val corpus = docs.filter($"doc_id" <= 2)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // dup of corpus 0 AND 1
+      (11L, "entirely novel text about distributed joins"),
+      (12L, ""))
+      .toDF("doc_id", "text")
+    val src = java.nio.file.Files.createTempDirectory("graft_dds_src").toString
+    batch.coalesce(1).write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(batch.schema).parquet(s"$src/*.parquet")
+    // doc 10 collides with TWO corpus docs across MANY bands: the
+    // watermarked distinct must still emit it exactly once
+    val out = Dedup.duplicateIdsStream(stream, corpus, "doc_id", "text",
+      c => Dedup.hashedShingles(TextAnalysis.tokenSet(c)), num = 9, den = 10,
+      numHashes = 128, bands = 32,
+      eventTimeCol = timestamp_micros(lit(86400000000L)))
+    val q = out.writeStream.format("memory").queryName("dds_sink")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("dds_sink").collect().map(_.getLong(0)).sorted.toSeq
+    spark.catalog.dropTempView("dds_sink")
+    assert(got === Seq(10L))
+    // parity with the batch path over the same inputs
+    val batchRejects = Dedup.crossNearDupsHashed(batch, corpus, "doc_id", "text",
+        c => Dedup.hashedShingles(TextAnalysis.tokenSet(c)), 9, 10, 128, 32)
+      .select($"id_a").distinct().collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === batchRejects)
+  }
+
   test("shuffle and broadcast strategies agree on the real sf0.001 corpus") {
     // the tiny-docs test pins semantics; this pins the shuffle path's plan
     // behavior on a real 500-doc self-similar corpus (band-collision volume

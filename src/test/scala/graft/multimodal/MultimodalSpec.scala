@@ -87,6 +87,39 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodeBytes(1L, ("x" * 100).getBytes).width)
   }
 
+  test("resizeImage: exact nearest-neighbor contract, down- and up-scale") {
+    // 2x2 source with four distinct colors
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x111111); img.setRGB(1, 0, 0x222222)
+    img.setRGB(0, 1, 0x333333); img.setRGB(1, 1, 0x444444)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val bytes = bos.toByteArray
+    // downscale to 1x1: src index 0*2/1 = 0 -> top-left pixel
+    val down = Multimodal.resizeImage(bytes, 1, 1).get
+    val d = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(down))
+    assert((d.getWidth, d.getHeight) === (1, 1))
+    assert((d.getRGB(0, 0) & 0xffffff) === 0x111111)
+    // upscale to 4x4: each source pixel becomes an exact 2x2 block
+    val up = Multimodal.resizeImage(bytes, 4, 4).get
+    val u = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(up))
+    assert((u.getWidth, u.getHeight) === (4, 4))
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val want = Seq(Seq(0x111111, 0x222222), Seq(0x333333, 0x444444))(y / 2)(x / 2)
+      assert((u.getRGB(x, y) & 0xffffff) === want, s"($x,$y)")
+    }
+  }
+
+  test("resizeImage degrades to None on junk payloads and bad targets") {
+    assert(Multimodal.resizeImage("not an image".getBytes, 4, 4) === None)
+    assert(Multimodal.resizeImage(Array.empty[Byte], 4, 4) === None)
+    assert(Multimodal.resizeImage(null, 4, 4) === None)
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    assert(Multimodal.resizeImage(bos.toByteArray, 0, 4) === None)
+  }
+
   test("sampleFrames explodes one row per stride offset") {
     val df = Multimodal.attachBinary(Seq((1L, "0123456789")).toDF("doc_id", "text"), "doc_id", "text")
     val frames = Multimodal.sampleFrames(df, 4).collect()

@@ -1707,6 +1707,32 @@ object SparkEntry {
       drainSink(s, sink, s.table(sink).orderBy("doc_id"))
     }),
 
+    // STREAMING retrieval serving: the 25 query vectors arrive across TWO
+    // micro-batches (maxFilesPerTrigger=1 over a 2-file copy) and each
+    // batch fetches its exact top-5 from the static corpus via foreachBatch
+    // knnJoin — the accumulated serving log must equal batch q112
+    // row-for-row (SAME full SQL oracle): per-query independence makes the
+    // result batch-partitioning-invariant, and grading across a real
+    // 2-batch split is what proves it
+    "q122_stream_knn_serve" -> ((s, dir) => {
+      import graft.sync.ParquetStore
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files.createTempDirectory("q122").toString
+      val (srcDir, ckDir, outDir) = (s"$tmp/src", s"$tmp/ck", s"$tmp/out")
+      try {
+        emb.filter(col("vec_id") < 25).repartition(2).write.parquet(srcDir)
+        val stream = s.readStream.schema(emb.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*.parquet")
+        val store = new ParquetStore(s, outDir)
+        val q = IncrementalStream.knnServe(stream, emb, "vec_id", "embedding",
+          k = 5, store, "served", checkpointDir = ckDir)
+        q.awaitTermination()
+        store.read("served").get
+          .select(col("query_id"), col("neighbor_id"))
+          .orderBy("query_id", "neighbor_id").localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+
     // REAL pixel resize graded end-to-end: planted PNGs with a per-pixel
     // integer formula, resized to the fixed 8x6 vision-encoder shape by
     // nearest-neighbor (src = dst * srcDim / dstDim, floor — pure integer
@@ -2215,15 +2241,20 @@ object SparkEntry {
       }
       val base = fp(o)
       val tmp = java.nio.file.Files.createTempDirectory("q84").toString
-      val (csvDir, jsonDir) = (s"$tmp/csv", s"$tmp/json")
+      val (csvDir, jsonDir, orcDir) = (s"$tmp/csv", s"$tmp/json", s"$tmp/orc")
       o.write.option("header", "true")
         .option("nullValue", "\\N").option("emptyValue", "\"\"").csv(csvDir)
       o.write.json(jsonDir)
+      // ORC: the third columnar format (typed nulls/empties survive without
+      // the text formats' sentinel gymnastics) — Spark-native, no extra dep
+      o.write.orc(orcDir)
       val viaCsv = fp(s.read.schema(o.schema).option("header", "true")
         .option("nullValue", "\\N").option("emptyValue", "").csv(csvDir))
       val viaJson = fp(s.read.schema(o.schema).json(jsonDir))
+      val viaOrc = fp(s.read.schema(o.schema).orc(orcDir))
       deleteRecursively(tmp)
-      val violations = (if (viaCsv == base) 0L else 1L) + (if (viaJson == base) 0L else 1L)
+      val violations = (if (viaCsv == base) 0L else 1L) +
+        (if (viaJson == base) 0L else 1L) + (if (viaOrc == base) 0L else 1L)
       s.range(1).select(lit(violations).as("violations"))
     }),
 
@@ -2340,6 +2371,9 @@ object SparkEntry {
     // reject list = arrivals WITH a J>=0.9 token-set near-dup in the corpus
     "q121_stream_ingest_dedup" ->
       """WITH tok AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ts FROM documents), c AS (SELECT * FROM tok WHERE doc_id < 250 AND len(ts) > 0), b AS (SELECT * FROM tok WHERE doc_id >= 250) SELECT b.doc_id FROM b WHERE EXISTS (SELECT 1 FROM c WHERE len(list_intersect(b.ts, c.ts)) * 10 >= len(list_distinct(list_concat(b.ts, c.ts))) * 9) ORDER BY b.doc_id""",
+    // q122 grades the streaming serving loop against q112's batch oracle
+    "q122_stream_knn_serve" ->
+      "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 25), s AS (SELECT q.query_id, e.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id) AS rn FROM embeddings e, q WHERE e.vec_id <> q.query_id) SELECT query_id, neighbor_id FROM s WHERE rn <= 5 ORDER BY query_id, neighbor_id",
     "q111_entity_resolution" ->
       """WITH RECURSIVE tok AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents), corpus AS (SELECT w FROM tok UNION SELECT substr(w, 2) FROM tok WHERE len(w) >= 4), pairs AS (SELECT a.w AS src, b.w AS dst FROM corpus a JOIN corpus b ON a.w <> b.w AND levenshtein(a.w, b.w) <= 1), reach AS (SELECT w AS id, w AS r FROM corpus UNION SELECT p.dst, reach.r FROM reach JOIN pairs p ON p.src = reach.id), canon AS (SELECT id AS w, min(r) AS c FROM reach GROUP BY id), rep AS (SELECT c, w AS rep FROM (SELECT c, w, row_number() OVER (PARTITION BY c ORDER BY len(w) DESC, w) AS rn FROM canon) WHERE rn = 1) SELECT canon.w, rep.rep FROM canon JOIN rep USING (c) ORDER BY w""",
     "q88_compaction" ->

@@ -124,6 +124,35 @@ object IncrementalStream {
       .start()
   }
 
+  /** CONTINUOUS retrieval serving: each arriving micro-batch of query
+    * vectors gets its exact top-k against the static corpus
+    * (`Similarity.knnJoin` inside `foreachBatch`) and results accumulate
+    * in the store — the online deployment of batch retrieval, and the
+    * operational shape for "embed the user query, fetch neighbors, feed
+    * the generator" serving loops. Per-query results are independent, so
+    * the accumulated table is BATCH-PARTITIONING-INVARIANT: any micro-batch
+    * split of the same query set converges to the identical table. The
+    * static corpus is re-planned per batch (an index/corpus refresh between
+    * batches is picked up automatically), and each batch broadcasts only
+    * its OWN queries into the corpus scan — per-batch cost tracks arrivals,
+    * the corpus is scanned once per batch and never shuffled pre-score
+    * (the q112 plan shape, pinned in PlanShapeSpec). Store writes go
+    * through TableStore's staged write, so a batch reading the previous
+    * accumulation is safe. */
+  def knnServe(queryStream: DataFrame, corpus: DataFrame, idCol: String,
+               vecCol: String, k: Int, store: graft.sync.TableStore,
+               table: String, checkpointDir: String,
+               trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    queryStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val res = graft.similarity.Similarity.knnJoin(batch, corpus, idCol, vecCol, k)
+        val prev = store.read(table).getOrElse(res.limit(0))
+        store.write(prev.unionByName(res), table)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   // ------------------------------------------- custom state (O11 streaming)
 
   case class SessionEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)

@@ -246,6 +246,16 @@ class PlanShapeSpec extends SparkSpec {
       s"expected (x band, y band) join keys in the plan:\n$p")
   }
 
+  test("resizeImages is a pure narrow map: no exchange, no join") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val media = graft.multimodal.Multimodal.attachBinary(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+    val p = graft.multimodal.Multimodal.resizeImages(media, 8, 6)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"a thumbnail stage must not shuffle:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
   test("batch k-NN joins broadcast the QUERY side; the corpus never shuffles pre-score") {
     import org.apache.spark.sql.functions.col
     import graft.similarity.Similarity

@@ -203,4 +203,31 @@ class IncrementalStreamSpec extends SparkSpec {
       ("2024-01-01 00:00:00.0", "click", 2L),
       ("2024-01-01 00:01:00.0", "view", 1L)))
   }
+
+  test("knnServe: micro-batched serving equals the batch join, any query split") {
+    import graft.sync.ParquetStore
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(1f, 1f)), (4L, Array(-1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" <= 2)
+    val tmp = Files.createTempDirectory("graft_ks").toString
+    // adversarial split: one query per file, one file per micro-batch
+    queries.filter($"vec_id" === 1L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    queries.filter($"vec_id" === 2L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+    val store = new ParquetStore(spark, s"$tmp/out")
+    IncrementalStream.knnServe(stream, corpus, "vec_id", "embedding", k = 2,
+      store, "served", checkpointDir = s"$tmp/ck").awaitTermination()
+    val got = store.read("served").get
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.similarity.Similarity
+      .knnJoin(queries, corpus, "vec_id", "embedding", k = 2)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(got.map(_._1) === Set(1L, 2L))
+  }
 }

@@ -1785,7 +1785,14 @@ object SparkEntry {
           n
         }
       }.toDF("bad")
-      bad.agg(violations(col("bad") > 0L))
+      // row-count equality, not just per-surviving-row checks: resizeImages
+      // DROPS undecodable rows, so a decode/encode regression losing a
+      // subset of images would otherwise leave only passing rows behind
+      // (every planted PNG is decodable by construction, so output must be
+      // exactly one row per document). Subsumes violations()'s empty guard.
+      val nIn = t(s, dir, "documents").count()
+      bad.agg((coalesce(sum(when(col("bad") > 0L, 1L).otherwise(0L)), lit(0L))
+        + when(count(lit(1)) =!= nIn, 1L).otherwise(0L)).as("violations"))
     }),
 
     // GLOBAL 2D proximity join (time ±1h AND amount ±100 cents, no key):

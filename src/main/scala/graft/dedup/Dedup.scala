@@ -159,12 +159,13 @@ object Dedup {
     * |∩| * den >= num * |∪| (integer-exact) and dedup. ONE definition for
     * the self-join and cross-corpus paths — this threshold algebra is
     * bit-exactness-critical and must never drift between them. */
-  private def jaccardKeep(withSets: DataFrame, num: Int, den: Int): DataFrame = {
+  private def jaccardKeep(withSets: DataFrame, num: Int, den: Int,
+                          keepCols: Seq[String] = Seq("id_a", "id_b")): DataFrame = {
     val inter = graft.functions.VectorFunctions.sortedIntersectSize(col("__sa"), col("__sb"))
     withSets
       .withColumn("__i", inter)
       .filter(col("__i") * den >= (size(col("__sa")) + size(col("__sb")) - col("__i")) * num)
-      .select(col("id_a"), col("id_b"))
+      .select(keepCols.map(col): _*)
   }
 
   /** Exact-Jaccard verification of candidate pairs: keep pairs with
@@ -324,19 +325,23 @@ object Dedup {
     * complement of [[novelAgainst]] over the same inputs).
     *
     * Plan shape: the static side is the corpus' band index + shingle-set
-    * table (in production a persisted, bucketed index — computed here in
-    * one narrow pass), equi-joined per micro-batch against the arrivals'
+    * table, MATERIALIZED ONCE at operator construction (localCheckpoint —
+    * in production this is the persisted, bucketed index of the ingest
+    * loop; without it every micro-batch would re-shingle and re-minhash
+    * the whole corpus), equi-joined per micro-batch against the arrivals'
     * exploded band keys; the MinHash family is the identical deterministic
     * expression as the batch path, so candidates — and therefore the exact
     * verified output — cannot drift between deployments. Each micro-batch
     * shuffles only its OWN arrivals; the stream never self-joins and the
-    * corpus is never re-scanned per arrival (Catalyst picks broadcast vs
-    * shuffle for the static side per batch from its actual size).
+    * corpus text is never re-scanned per batch (Catalyst picks broadcast
+    * vs shuffle for the materialized static side per batch).
     * Divergence from the batch plan, documented: the arrival's shingle set
     * rides THROUGH the band join (the batch path joins ids only and
     * re-attaches sets after — a stream cannot re-join itself), so verify
     * payload cost is per-arrival-doc × its band collisions, bounded by the
-    * arrival batch, not the corpus. The only stateful op is the
+    * arrival batch, not the corpus. The exact-Jaccard threshold is the
+    * SAME `jaccardKeep` algebra as every batch path (never inlined — the
+    * bit-exactness contract). The only stateful op is the
     * watermark-bounded per-doc distinct; `eventTimeCol` must be later than
     * epoch 0 (see [[Decontaminate.contaminatedIdsStream]]'s late-filter
     * pitfall) and the q61-family multi-file re-emission caveat applies. */
@@ -347,32 +352,35 @@ object Dedup {
                          numHashes: Int, bands: Int,
                          eventTimeCol: Column,
                          watermarkDelay: String = "10 minutes"): DataFrame = {
-    val n = corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val rows = numHashes / bands
+    // ONE corpus text pass at construction: the shingled table materializes
+    // first, the band index materializes from its rows (minhash runs once),
+    // and the set table is a lazy rename over the same materialized rows —
+    // micro-batches only ever read checkpointed data, never re-execute the
+    // shingle/minhash plan
     val sc = corpus
-      .repartition(n, col(idCol))
       .select(col(idCol), hashedShingler(col(textCol)).as("__sh"))
       .filter(size(col("__sh")) > 0)
+      .localCheckpoint()
     val corpusBands = sc
       .select(col(idCol).as("id_b"),
         explode(bandKeys(minhashSignature(col("__sh"), numHashes), bands, rows)).as("bk"))
       .select(col("id_b"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      .localCheckpoint()
     val corpusSets = sc.select(col(idCol).as("id_b"), col("__sh").as("__sb"))
     val arr = arrivals
       .select(col(idCol).as("id_a"), eventTimeCol.cast("timestamp").as("__arrival"),
         hashedShingler(col(textCol)).as("__sa"))
       .filter(size(col("__sa")) > 0)
       .withWatermark("__arrival", watermarkDelay)
-    val inter = graft.functions.VectorFunctions.sortedIntersectSize(col("__sa"), col("__sb"))
-    arr
+    val cands = arr
       .select(col("id_a"), col("__arrival"), col("__sa"),
         explode(bandKeys(minhashSignature(col("__sa"), numHashes), bands, rows)).as("bk"))
       .select(col("id_a"), col("__arrival"), col("__sa"),
         col("bk.band").as("band"), col("bk.bh").as("bh"))
       .join(corpusBands, Seq("band", "bh"))
       .join(corpusSets, Seq("id_b"))
-      .withColumn("__i", inter)
-      .filter(col("__i") * den >= (size(col("__sa")) + size(col("__sb")) - col("__i")) * num)
+    jaccardKeep(cands, num, den, keepCols = Seq("id_a", "__arrival"))
       .dropDuplicatesWithinWatermark("id_a")
       .select(col("id_a").as(idCol))
   }

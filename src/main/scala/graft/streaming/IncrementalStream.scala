@@ -134,11 +134,18 @@ object IncrementalStream {
     * split of the same query set converges to the identical table. The
     * static corpus is re-planned per batch (an index/corpus refresh between
     * batches is picked up automatically), and each batch broadcasts only
-    * its OWN queries into the corpus scan — per-batch cost tracks arrivals,
-    * the corpus is scanned once per batch and never shuffled pre-score
-    * (the q112 plan shape, pinned in PlanShapeSpec). Store writes go
-    * through TableStore's staged write, so a batch reading the previous
-    * accumulation is safe. */
+    * its OWN queries into the corpus scan — per-batch WRITE cost is the
+    * batch's own rows (TableStore.append: parquet part files / SQL
+    * INSERTs), the corpus is scanned once per batch and never shuffled
+    * pre-score (the q112 plan shape, pinned in PlanShapeSpec).
+    *
+    * foreachBatch is AT-LEAST-ONCE: a batch whose append landed but whose
+    * checkpoint commit didn't is re-run on recovery. The anti-join on the
+    * already-served query ids makes the re-run a no-op (the retried
+    * batch's queries are found served, nothing appends) — the log stays
+    * duplicate-free under retry. The anti-join's read prunes to the id
+    * column of the accumulated log; per-batch cost is that narrow scan
+    * plus the batch itself. */
   def knnServe(queryStream: DataFrame, corpus: DataFrame, idCol: String,
                vecCol: String, k: Int, store: graft.sync.TableStore,
                table: String, checkpointDir: String,
@@ -146,8 +153,12 @@ object IncrementalStream {
     queryStream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val res = graft.similarity.Similarity.knnJoin(batch, corpus, idCol, vecCol, k)
-        val prev = store.read(table).getOrElse(res.limit(0))
-        store.write(prev.unionByName(res), table)
+        val fresh = store.read(table) match {
+          case Some(prev) =>
+            res.join(prev.select(col("query_id")).distinct(), Seq("query_id"), "left_anti")
+          case None => res
+        }
+        store.append(fresh, table)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -16,6 +16,13 @@ trait TableStore {
     * the write (temp path + rename) or materialize the input BEFORE
     * destroying the old contents. */
   def write(df: DataFrame, table: String): Unit
+  /** Add `df`'s rows to `table` without touching existing rows. The
+    * default is the portable read-∪-write (O(table) rewrite); stores with
+    * a native append (parquet part files, SQL INSERT) override it to
+    * O(df). NOT idempotent on its own — callers running under
+    * at-least-once semantics (foreachBatch) must dedup before appending. */
+  def append(df: DataFrame, table: String): Unit =
+    write(read(table).map(_.unionByName(df)).getOrElse(df), table)
 }
 
 /** Parquet-directory store: `dir/<table>.parquet` per table. Write goes
@@ -39,6 +46,11 @@ class ParquetStore(spark: SparkSession, dir: String) extends TableStore {
     if (fs.exists(dst)) fs.delete(dst, true)
     if (!fs.rename(tmp, dst)) sys.error(s"rename failed for $table")
   }
+
+  /** Native parquet append: new part files land in the table directory —
+    * O(df) cost regardless of accumulated table size. */
+  override def append(df: DataFrame, table: String): Unit =
+    df.write.mode("append").parquet(pathOf(table))
 }
 
 /** JDBC store: connection profile -> per-table reads/writes. Reads resolve
@@ -120,6 +132,14 @@ class JdbcStore(spark: SparkSession, url: String, props: Map[String, String],
     }
     val writer = staged.write.mode("overwrite").option("batchsize", 1000)
     (if (truncateSafe) writer.option("truncate", "true") else writer).jdbc(url, table, p)
+  }
+
+  /** Native SQL append: batched INSERTs of df's rows only — O(df), and no
+    * truncate-safety probe because nothing destructive runs. */
+  override def append(df: DataFrame, table: String): Unit = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    df.write.mode("append").option("batchsize", 1000).jdbc(url, table, p)
   }
 
   /** Columns of `table` a NULL cannot safely land in: declared NOT NULL, or

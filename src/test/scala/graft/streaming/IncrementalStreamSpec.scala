@@ -229,5 +229,11 @@ class IncrementalStreamSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === want)
     assert(got.map(_._1) === Set(1L, 2L))
+    // at-least-once re-delivery: replaying the SAME source against the same
+    // store (fresh checkpoint = every batch re-runs) must append nothing —
+    // the anti-join finds all queries already served
+    IncrementalStream.knnServe(stream, corpus, "vec_id", "embedding", k = 2,
+      store, "served", checkpointDir = s"$tmp/ck2").awaitTermination()
+    assert(store.read("served").get.count() === got.size)
   }
 }

@@ -43,6 +43,18 @@ class JdbcStoreSpec extends SparkSpec {
     assert(out === Map(1L -> "old", 2L -> "new", 3L -> "new"))
   }
 
+  test("append INSERTs only the new rows and leaves existing rows untouched") {
+    val store = freshStore()
+    store.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "t")
+    store.append(Seq((3L, "c")).toDF("id", "v"), "t")
+    val out = store.read("t").get.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // appending an empty frame is a no-op, not a truncate
+    store.append(Seq.empty[(Long, String)].toDF("id", "v"), "t")
+    assert(store.read("t").get.count() === 3)
+  }
+
   test("write with an EVOLVED schema recreates the table instead of truncate-then-fail") {
     val store = freshStore()
     store.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "t")

@@ -1664,23 +1664,29 @@ object SparkEntry {
     // join against the benchmark gram set, watermark-bounded per-doc
     // distinct) must emit EXACTLY the batch q49 contaminated set — same
     // oracle, streaming plan, the q81-style "the scale deployment is in
-    // the correctness gate" pairing. Constant arrival time is exact here:
-    // AvailableNow reads the single documents file as one microbatch
-    // (contaminatedIdsStream scaladoc documents the multi-file caveat and
-    // the epoch-0 late-filter pitfall — hence the day-1 constant)
+    // the correctness gate" pairing. Arrivals come in TWO real micro-
+    // batches (2-file copy, maxFilesPerTrigger=1): the gate's state and
+    // emission carry across batch boundaries, not just within one batch.
+    // Ids are unique across the corpus, so the multi-file same-id
+    // re-emission caveat cannot trigger; constant day-1 arrival (the
+    // epoch-0 late-filter pitfall, see contaminatedIdsStream)
     "q119_stream_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val stream = s.readStream.schema(Tables.raw(s, dir, "documents").schema)
-        .parquet(s"$dir/documents*.parquet")
-        .filter(col("doc_id") >= 250)
-      val flagged = Decontaminate.contaminatedIdsStream(
-        stream, docs.filter(col("doc_id") < 250), "doc_id", "text",
-        eventTimeCol = timestamp_micros(lit(86400000000L)), n = 13)
-      val sink = s"q119_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = flagged.writeStream.format("memory").queryName(sink)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      drainSink(s, sink, s.table(sink).orderBy("doc_id"))
+      val arrivals = docs.filter(col("doc_id") >= 250)
+      val srcDir = java.nio.file.Files.createTempDirectory("q119src").toString
+      try {
+        arrivals.repartition(2).write.mode("append").parquet(srcDir)
+        val stream = s.readStream.schema(arrivals.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*.parquet")
+        val flagged = Decontaminate.contaminatedIdsStream(
+          stream, docs.filter(col("doc_id") < 250), "doc_id", "text",
+          eventTimeCol = timestamp_micros(lit(86400000000L)), n = 13)
+        val sink = s"q119_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val q = flagged.writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        drainSink(s, sink, s.table(sink).orderBy("doc_id"))
+      } finally deleteRecursively(srcDir)
     }),
 
     // STREAMING ingest near-dup gate: arrivals (doc_id >= 250) probe the
@@ -1688,23 +1694,29 @@ object SparkEntry {
     // family as batch q46 and exact-verify on shingle sets — the emitted
     // reject list must be EXACTLY the complement of q46's novel set (same
     // tokenSet shingler, same 9/10 threshold, same 125/25 banding), graded
-    // against the inverted q46 oracle. Day-1 arrival (late-filter pitfall);
-    // AvailableNow single-microbatch makes the per-doc distinct exact
+    // against the inverted q46 oracle. TWO real micro-batches (2-file
+    // copy, maxFilesPerTrigger=1) so the per-doc distinct is exercised
+    // across batch boundaries; ids unique, so no re-emission caveat.
+    // Day-1 arrival (late-filter pitfall)
     "q121_stream_ingest_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val stream = s.readStream.schema(Tables.raw(s, dir, "documents").schema)
-        .parquet(s"$dir/documents*.parquet")
-        .filter(col("doc_id") >= 250)
-      val dups = Dedup.duplicateIdsStream(
-        stream, docs.filter(col("doc_id") < 250), "doc_id", "text",
-        c => Dedup.hashedShingles(TextAnalysis.tokenSet(c)),
-        num = 9, den = 10, numHashes = 125, bands = 25,
-        eventTimeCol = timestamp_micros(lit(86400000000L)))
-      val sink = s"q121_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = dups.writeStream.format("memory").queryName(sink)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      drainSink(s, sink, s.table(sink).orderBy("doc_id"))
+      val arrivals = docs.filter(col("doc_id") >= 250)
+      val srcDir = java.nio.file.Files.createTempDirectory("q121src").toString
+      try {
+        arrivals.repartition(2).write.mode("append").parquet(srcDir)
+        val stream = s.readStream.schema(arrivals.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*.parquet")
+        val dups = Dedup.duplicateIdsStream(
+          stream, docs.filter(col("doc_id") < 250), "doc_id", "text",
+          c => Dedup.hashedShingles(TextAnalysis.tokenSet(c)),
+          num = 9, den = 10, numHashes = 125, bands = 25,
+          eventTimeCol = timestamp_micros(lit(86400000000L)))
+        val sink = s"q121_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val q = dups.writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        drainSink(s, sink, s.table(sink).orderBy("doc_id"))
+      } finally deleteRecursively(srcDir)
     }),
 
     // STREAMING retrieval serving: the 25 query vectors arrive across TWO

@@ -1719,6 +1719,32 @@ object SparkEntry {
       } finally deleteRecursively(srcDir)
     }),
 
+    // STREAMING maintained materialized view: per-customer order stats
+    // fold batch-by-batch (THREE micro-batches, maxFilesPerTrigger=1)
+    // through the q114 merge algebra, and the final state must equal the
+    // direct aggregate over all orders (q114's SAME full SQL oracle) —
+    // the continuously-maintained-dashboard deployment. The atomic
+    // state+__last_batch marker write makes replayed batches skip instead
+    // of double-counting (maintainStats scaladoc)
+    "q123_stream_maintained_view" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+      val tmp = java.nio.file.Files.createTempDirectory("q123").toString
+      val (srcDir, ckDir, outDir) = (s"$tmp/src", s"$tmp/ck", s"$tmp/out")
+      try {
+        o.repartition(3).write.parquet(srcDir)
+        val stream = s.readStream.schema(o.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*.parquet")
+        val store = new graft.sync.ParquetStore(s, outDir)
+        val q = IncrementalStream.maintainStats(stream, Seq("o_custkey"), "cents",
+          store, "stats", checkpointDir = ckDir)
+        q.awaitTermination()
+        store.read("stats").get.drop("__last_batch")
+          .select(col("o_custkey"), col("n"), col("sum_v"), col("min_v"), col("max_v"))
+          .orderBy("o_custkey").localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+
     // STREAMING retrieval serving: the 25 query vectors arrive across TWO
     // micro-batches (maxFilesPerTrigger=1 over a 2-file copy) and each
     // batch fetches its exact top-5 from the static corpus via foreachBatch
@@ -2390,6 +2416,9 @@ object SparkEntry {
     // reject list = arrivals WITH a J>=0.9 token-set near-dup in the corpus
     "q121_stream_ingest_dedup" ->
       """WITH tok AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ts FROM documents), c AS (SELECT * FROM tok WHERE doc_id < 250 AND len(ts) > 0), b AS (SELECT * FROM tok WHERE doc_id >= 250) SELECT b.doc_id FROM b WHERE EXISTS (SELECT 1 FROM c WHERE len(list_intersect(b.ts, c.ts)) * 10 >= len(list_distinct(list_concat(b.ts, c.ts))) * 9) ORDER BY b.doc_id""",
+    // q123 grades the streaming maintained view against q114's batch oracle
+    "q123_stream_maintained_view" ->
+      "SELECT o_custkey, CAST(count(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS n, CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_v, CAST(min(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS min_v, CAST(max(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS max_v FROM orders GROUP BY o_custkey ORDER BY o_custkey",
     // q122 grades the streaming serving loop against q112's batch oracle
     "q122_stream_knn_serve" ->
       "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 25), s AS (SELECT q.query_id, e.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id) AS rn FROM embeddings e, q WHERE e.vec_id <> q.query_id) SELECT query_id, neighbor_id FROM s WHERE rn <= 5 ORDER BY query_id, neighbor_id",

@@ -164,6 +164,51 @@ object IncrementalStream {
       .trigger(trigger)
       .start()
 
+  /** CONTINUOUSLY MAINTAINED aggregate state — the streaming materialized
+    * view: each micro-batch's per-key algebraic partials
+    * (`Stats.mergeableStats`) fold into the stored state via
+    * `Stats.mergeStats`, so the "dashboard" table is always the exact
+    * aggregate of everything that has arrived, maintained at state size
+    * (|keys| rows merge per batch, the batch is scanned once, the history
+    * never).
+    *
+    * Exactly-once under foreachBatch's AT-LEAST-ONCE semantics: a merge is
+    * NOT idempotent (re-merging a replayed batch double-counts — unlike
+    * knnServe's append, which can dedup by key), so the state table
+    * carries the last-applied batch id IN the same table (constant
+    * `__last_batch` column) and a batch at or below it is skipped. Marker
+    * and state land in ONE TableStore.write — ParquetStore's staged
+    * temp+rename makes that write atomic, which is exactly what makes
+    * skip-or-merge correct across a crash at any point (a two-table
+    * state+marker design would reintroduce the torn-write window). A JDBC
+    * deployment needs the same atomicity from a transaction. */
+  def maintainStats(stream: DataFrame, keys: Seq[String], valueCol: String,
+                    store: graft.sync.TableStore, table: String,
+                    checkpointDir: String,
+                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import graft.operators.Stats
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = Stats.mergeableStats(batch, keys, valueCol)
+        store.read(table) match {
+          case Some(prev) =>
+            // max over an empty state (an all-empty first batch) is NULL:
+            // treat as "nothing applied" rather than NPE
+            val r = prev.agg(max(col("__last_batch"))).head
+            val last = if (r.isNullAt(0)) -1L else r.getLong(0)
+            if (last < batchId)
+              store.write(Stats.mergeStats(prev.drop("__last_batch"), partial, keys)
+                .withColumn("__last_batch", lit(batchId)), table)
+            // else: replayed batch, already folded into the state — skip
+          case None =>
+            store.write(partial.withColumn("__last_batch", lit(batchId)), table)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
   // ------------------------------------------- custom state (O11 streaming)
 
   case class SessionEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)

@@ -236,4 +236,29 @@ class IncrementalStreamSpec extends SparkSpec {
       store, "served", checkpointDir = s"$tmp/ck2").awaitTermination()
     assert(store.read("served").get.count() === got.size)
   }
+
+  test("maintainStats folds batches into exact state and skips replays") {
+    import graft.sync.ParquetStore
+    val rows = Seq((1L, 10L), (1L, 30L), (2L, 5L), (2L, -7L), (3L, 0L))
+      .toDF("k", "v")
+    val tmp = Files.createTempDirectory("graft_ms").toString
+    // three files -> three micro-batches, keys straddling batch boundaries
+    rows.filter($"v" > 5L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    rows.filter($"v" === 5L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    rows.filter($"v" < 5L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    val stream = spark.readStream.schema(rows.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+    val store = new ParquetStore(spark, s"$tmp/out")
+    IncrementalStream.maintainStats(stream, Seq("k"), "v",
+      store, "stats", checkpointDir = s"$tmp/ck").awaitTermination()
+    def state() = store.read("stats").get.drop("__last_batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val want = Set((1L, 2L, 40L, 10L, 30L), (2L, 2L, -2L, -7L, 5L), (3L, 1L, 0L, 0L, 0L))
+    assert(state() === want)
+    // replay with a fresh checkpoint: every batch id re-runs from 0 and
+    // must SKIP (a merge is not idempotent — a re-merge would double-count)
+    IncrementalStream.maintainStats(stream, Seq("k"), "v",
+      store, "stats", checkpointDir = s"$tmp/ck2").awaitTermination()
+    assert(state() === want)
+  }
 }

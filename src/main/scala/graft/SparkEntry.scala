@@ -1689,34 +1689,49 @@ object SparkEntry {
       } finally deleteRecursively(srcDir)
     }),
 
-    // STREAMING ingest near-dup gate: arrivals (doc_id >= 250) probe the
-    // static corpus band index with the IDENTICAL deterministic MinHash
-    // family as batch q46 and exact-verify on shingle sets — the emitted
-    // reject list must be EXACTLY the complement of q46's novel set (same
-    // tokenSet shingler, same 9/10 threshold, same 125/25 banding), graded
-    // against the inverted q46 oracle. TWO real micro-batches (2-file
-    // copy, maxFilesPerTrigger=1) so the per-doc distinct is exercised
-    // across batch boundaries; ids unique, so no re-emission caveat.
-    // Day-1 arrival (late-filter pitfall)
+    // STREAMING ingest near-dup gate through a PERSISTED index: the corpus
+    // band index + shingle sets are built once (buildNearDupIndex — one
+    // text pass), written to parquet, read back, and the serving query
+    // probes ONLY the persisted tables (the 100 TB deployment shape: the
+    // index survives executor loss and service restarts; the corpus text
+    // is never re-shingled per start or per batch). Arrivals (doc_id >=
+    // 250) probe with the IDENTICAL deterministic MinHash family as batch
+    // q46 and exact-verify on shingle sets — the emitted reject list must
+    // be EXACTLY the complement of q46's novel set (same tokenSet
+    // shingler, same 9/10 threshold, same 125/25 banding), graded against
+    // the inverted q46 oracle. TWO real micro-batches (2-file copy,
+    // maxFilesPerTrigger=1) so the per-doc distinct is exercised across
+    // batch boundaries; ids unique, so no re-emission caveat. Day-1
+    // arrival (late-filter pitfall)
     "q121_stream_ingest_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val arrivals = docs.filter(col("doc_id") >= 250)
       val srcDir = java.nio.file.Files.createTempDirectory("q121src").toString
+      val idxDir = java.nio.file.Files.createTempDirectory("q121idx").toString
       try {
         arrivals.repartition(2).write.mode("append").parquet(srcDir)
+        val built = Dedup.buildNearDupIndex(docs.filter(col("doc_id") < 250),
+          "doc_id", "text", c => Dedup.hashedShingles(TextAnalysis.tokenSet(c)),
+          numHashes = 125, bands = 25)
+        val idxStore = new graft.sync.ParquetStore(s, idxDir)
+        idxStore.write(built.bandIndex, "band_index")
+        idxStore.write(built.shingleSets, "shingle_sets")
+        val index = Dedup.NearDupIndex(
+          idxStore.read("band_index").get, idxStore.read("shingle_sets").get)
         val stream = s.readStream.schema(arrivals.schema)
           .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*.parquet")
         val dups = Dedup.duplicateIdsStream(
-          stream, docs.filter(col("doc_id") < 250), "doc_id", "text",
+          stream, index, "doc_id", "text",
           c => Dedup.hashedShingles(TextAnalysis.tokenSet(c)),
           num = 9, den = 10, numHashes = 125, bands = 25,
-          eventTimeCol = timestamp_micros(lit(86400000000L)))
+          eventTimeCol = timestamp_micros(lit(86400000000L)),
+          watermarkDelay = "10 minutes")
         val sink = s"q121_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
         val q = dups.writeStream.format("memory").queryName(sink)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         drainSink(s, sink, s.table(sink).orderBy("doc_id"))
-      } finally deleteRecursively(srcDir)
+      } finally { deleteRecursively(srcDir); deleteRecursively(idxDir) }
     }),
 
     // STREAMING maintained materialized view: per-customer order stats

@@ -317,57 +317,82 @@ object Dedup {
     batch.join(dups.select(col("id_a").as(idCol)), Seq(idCol), "left_anti")
   }
 
-  /** STREAMING ingest near-dup gate: ids of arriving documents that
-    * DUPLICATE the existing corpus (shingle-set Jaccard >= num/den against
-    * any corpus doc), each emitted once as it arrives — the reject list of
-    * a continuous ingestion pipeline, [[crossNearDupsHashed]] deployed at
-    * the moment of arrival instead of in nightly batches (and the
-    * complement of [[novelAgainst]] over the same inputs).
+  /** Pre-built ingest-dedup index over a corpus: the LSH band index
+    * (`id_b, band, bh` — one row per corpus doc per band) and the
+    * exact-verify shingle-set table (`id_b, __sb` — the sorted hashed
+    * shingles), the two static relations [[duplicateIdsStream]] probes per
+    * micro-batch. Both are plain DataFrames, so the index persists like any
+    * table: write them through a `sync.TableStore` (or straight to
+    * parquet), read them back in the serving job, and the corpus is
+    * shingled once per INDEX BUILD — not once per service start and never
+    * per batch. At 100 TB this is the only deployable shape: the shingle
+    * table is larger than the corpus text and cannot live in executor
+    * local storage (a `localCheckpoint` is non-replicated — one executor
+    * loss during a long-running stream invalidates the blocks and kills
+    * the query), while a parquet-backed index survives any executor loss
+    * and is shared by every restart and every concurrent serving job. */
+  final case class NearDupIndex(bandIndex: DataFrame, shingleSets: DataFrame)
+
+  /** Build a [[NearDupIndex]] with ONE pass over the corpus text: the
+    * shingled table is localCheckpointed at build time, so materializing
+    * BOTH output frames (e.g. writing each to parquet) tokenizes and
+    * hashes each document exactly once — the minhash/banding plan derives
+    * from the checkpointed shingle rows, never from the text. The MinHash
+    * family is the identical deterministic expression as every batch path
+    * ([[minhashSignature]]/[[bandKeys]]), so an index built today grades
+    * bit-identically against a batch run over the same corpus. */
+  def buildNearDupIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        hashedShingler: Column => Column,
+                        numHashes: Int, bands: Int): NearDupIndex = {
+    val rows = numHashes / bands
+    val sc = corpus
+      .select(col(idCol).as("id_b"), hashedShingler(col(textCol)).as("__sb"))
+      .filter(size(col("__sb")) > 0)
+      .localCheckpoint()
+    val bandIndex = sc
+      .select(col("id_b"),
+        explode(bandKeys(minhashSignature(col("__sb"), numHashes), bands, rows)).as("bk"))
+      .select(col("id_b"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    NearDupIndex(bandIndex, sc)
+  }
+
+  /** STREAMING ingest near-dup gate over a PRE-BUILT index: ids of arriving
+    * documents that DUPLICATE the indexed corpus (shingle-set Jaccard >=
+    * num/den against any corpus doc), each emitted once as it arrives — the
+    * reject list of a continuous ingestion pipeline,
+    * [[crossNearDupsHashed]] deployed at the moment of arrival instead of
+    * in nightly batches (and the complement of [[novelAgainst]] over the
+    * same inputs). This is the PRODUCTION entry point: `index` is a
+    * [[NearDupIndex]] the caller materialized (typically parquet written
+    * by [[buildNearDupIndex]] and read back), so the serving job never
+    * touches the corpus text at all and an executor loss costs a re-read,
+    * not the query.
     *
-    * Plan shape: the static side is the corpus' band index + shingle-set
-    * table, MATERIALIZED ONCE at operator construction (localCheckpoint —
-    * in production this is the persisted, bucketed index of the ingest
-    * loop; without it every micro-batch would re-shingle and re-minhash
-    * the whole corpus), equi-joined per micro-batch against the arrivals'
-    * exploded band keys; the MinHash family is the identical deterministic
-    * expression as the batch path, so candidates — and therefore the exact
-    * verified output — cannot drift between deployments. Each micro-batch
-    * shuffles only its OWN arrivals; the stream never self-joins and the
-    * corpus text is never re-scanned per batch (Catalyst picks broadcast
-    * vs shuffle for the materialized static side per batch).
-    * Divergence from the batch plan, documented: the arrival's shingle set
-    * rides THROUGH the band join (the batch path joins ids only and
-    * re-attaches sets after — a stream cannot re-join itself), so verify
-    * payload cost is per-arrival-doc × its band collisions, bounded by the
-    * arrival batch, not the corpus. The exact-Jaccard threshold is the
-    * SAME `jaccardKeep` algebra as every batch path (never inlined — the
-    * bit-exactness contract). The only stateful op is the
+    * Plan shape: each micro-batch explodes ITS OWN arrivals into band keys
+    * and equi-joins the static band index (Catalyst picks broadcast vs
+    * shuffle per batch from the index's file stats); `numHashes`/`bands`
+    * must match the index build or candidates are silently wrong — the
+    * arrivals' MinHash family is the same deterministic expression, so
+    * candidates (and therefore the exact verified output) cannot drift
+    * between build and serve. The stream never self-joins and per-batch
+    * cost is bounded by the arrival batch, not the corpus. Divergence from
+    * the batch plan, documented: the arrival's shingle set rides THROUGH
+    * the band join (the batch path joins ids only and re-attaches sets
+    * after — a stream cannot re-join itself), so verify payload cost is
+    * per-arrival-doc × its band collisions. The exact-Jaccard threshold is
+    * the SAME `jaccardKeep` algebra as every batch path (never inlined —
+    * the bit-exactness contract). The only stateful op is the
     * watermark-bounded per-doc distinct; `eventTimeCol` must be later than
     * epoch 0 (see [[Decontaminate.contaminatedIdsStream]]'s late-filter
     * pitfall) and the q61-family multi-file re-emission caveat applies. */
-  def duplicateIdsStream(arrivals: DataFrame, corpus: DataFrame,
+  def duplicateIdsStream(arrivals: DataFrame, index: NearDupIndex,
                          idCol: String, textCol: String,
                          hashedShingler: Column => Column,
                          num: Int, den: Int,
                          numHashes: Int, bands: Int,
                          eventTimeCol: Column,
-                         watermarkDelay: String = "10 minutes"): DataFrame = {
+                         watermarkDelay: String): DataFrame = {
     val rows = numHashes / bands
-    // ONE corpus text pass at construction: the shingled table materializes
-    // first, the band index materializes from its rows (minhash runs once),
-    // and the set table is a lazy rename over the same materialized rows —
-    // micro-batches only ever read checkpointed data, never re-execute the
-    // shingle/minhash plan
-    val sc = corpus
-      .select(col(idCol), hashedShingler(col(textCol)).as("__sh"))
-      .filter(size(col("__sh")) > 0)
-      .localCheckpoint()
-    val corpusBands = sc
-      .select(col(idCol).as("id_b"),
-        explode(bandKeys(minhashSignature(col("__sh"), numHashes), bands, rows)).as("bk"))
-      .select(col("id_b"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-      .localCheckpoint()
-    val corpusSets = sc.select(col(idCol).as("id_b"), col("__sh").as("__sb"))
     val arr = arrivals
       .select(col(idCol).as("id_a"), eventTimeCol.cast("timestamp").as("__arrival"),
         hashedShingler(col(textCol)).as("__sa"))
@@ -378,11 +403,32 @@ object Dedup {
         explode(bandKeys(minhashSignature(col("__sa"), numHashes), bands, rows)).as("bk"))
       .select(col("id_a"), col("__arrival"), col("__sa"),
         col("bk.band").as("band"), col("bk.bh").as("bh"))
-      .join(corpusBands, Seq("band", "bh"))
-      .join(corpusSets, Seq("id_b"))
+      .join(index.bandIndex, Seq("band", "bh"))
+      .join(index.shingleSets.select(col("id_b"), col("__sb")), Seq("id_b"))
     jaccardKeep(cands, num, den, keepCols = Seq("id_a", "__arrival"))
       .dropDuplicatesWithinWatermark("id_a")
       .select(col("id_a").as(idCol))
+  }
+
+  /** Convenience overload building the index in-process from the corpus
+    * text: [[buildNearDupIndex]] + an extra localCheckpoint of the band
+    * index (so micro-batches probe materialized rows, never re-running
+    * minhash), delegated to the index-based overload above. Dev/test
+    * shape only — the executor-local blocks do not survive executor loss
+    * and the corpus is re-shingled on every service start; production
+    * ingest gates should persist the index and use the primary overload. */
+  def duplicateIdsStream(arrivals: DataFrame, corpus: DataFrame,
+                         idCol: String, textCol: String,
+                         hashedShingler: Column => Column,
+                         num: Int, den: Int,
+                         numHashes: Int, bands: Int,
+                         eventTimeCol: Column,
+                         watermarkDelay: String = "10 minutes"): DataFrame = {
+    val built = buildNearDupIndex(corpus, idCol, textCol, hashedShingler, numHashes, bands)
+    duplicateIdsStream(arrivals,
+      NearDupIndex(built.bandIndex.localCheckpoint(), built.shingleSets),
+      idCol, textCol, hashedShingler, num, den, numHashes, bands,
+      eventTimeCol, watermarkDelay)
   }
 
   /** Word n-gram (shingle) set for the n-gram-Jaccard dedup variant —

@@ -209,6 +209,63 @@ class DedupSpec extends SparkSpec {
     assert(got === batchRejects)
   }
 
+  test("duplicateIdsStream over a parquet-persisted index: corpus text scanned exactly once") {
+    import org.apache.spark.sql.functions.{lit, timestamp_micros}
+    // the corpus rides through an accumulator-instrumented RDD: every text
+    // row the engine reads bumps the counter, so "shingled exactly once"
+    // is an assertion, not a claim — buildNearDupIndex's localCheckpoint
+    // is the only pass; persisting BOTH index tables and serving two
+    // micro-batches through them must not touch the corpus again
+    val corpusRows = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy cat"),
+      (2L, "completely different content about spark engines"))
+    val scans = spark.sparkContext.longAccumulator("corpus_scans")
+    val corpus = spark.createDataFrame(
+      spark.sparkContext.parallelize(corpusRows, 1)
+        .map { r => scans.add(1); r }).toDF("doc_id", "text")
+    val built = Dedup.buildNearDupIndex(corpus, "doc_id", "text",
+      c => Dedup.hashedShingles(TextAnalysis.tokenSet(c)), numHashes = 128, bands = 32)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ddsp").toString
+    val store = new graft.sync.ParquetStore(spark, tmp)
+    store.write(built.bandIndex, "band_index")
+    store.write(built.shingleSets, "shingle_sets")
+    val index = Dedup.NearDupIndex(
+      store.read("band_index").get, store.read("shingle_sets").get)
+    // arrivals split across TWO micro-batches (one file each)
+    val arrivals = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // dup of corpus 0
+      (11L, "entirely novel text about distributed joins"))
+      .toDF("doc_id", "text")
+    val src = java.nio.file.Files.createTempDirectory("graft_ddsp_src").toString
+    arrivals.filter($"doc_id" === 10L).coalesce(1).write.mode("append").parquet(src)
+    arrivals.filter($"doc_id" === 11L).coalesce(1).write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(arrivals.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/*.parquet")
+    val out = Dedup.duplicateIdsStream(stream, index, "doc_id", "text",
+      c => Dedup.hashedShingles(TextAnalysis.tokenSet(c)), num = 9, den = 10,
+      numHashes = 128, bands = 32,
+      eventTimeCol = timestamp_micros(lit(86400000000L)),
+      watermarkDelay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("ddsp_sink")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ddsp_sink").collect().map(_.getLong(0)).sorted.toSeq
+    spark.catalog.dropTempView("ddsp_sink")
+    assert(got === Seq(10L))
+    // THE claim under test: index build + two table writes + two served
+    // micro-batches read each corpus row exactly once (the build pass)
+    assert(scans.value === corpusRows.size.toLong,
+      s"corpus scanned ${scans.value} row-reads for ${corpusRows.size} rows")
+    // parity with the batch path over the same inputs (re-scans the corpus
+    // by design — it takes the text, not the index; asserted after the
+    // scan-count check so it cannot mask a persisted-path re-scan)
+    val batchRejects = Dedup.crossNearDupsHashed(arrivals, corpus, "doc_id", "text",
+        c => Dedup.hashedShingles(TextAnalysis.tokenSet(c)), 9, 10, 128, 32)
+      .select($"id_a").distinct().collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === batchRejects)
+  }
+
   test("shuffle and broadcast strategies agree on the real sf0.001 corpus") {
     // the tiny-docs test pins semantics; this pins the shuffle path's plan
     // behavior on a real 500-doc self-similar corpus (band-collision volume

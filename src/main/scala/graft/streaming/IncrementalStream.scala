@@ -124,6 +124,27 @@ object IncrementalStream {
       .start()
   }
 
+  /** Stable lineage id of the streaming query rooted at `checkpointDir`:
+    * the query id Spark persists in `checkpointDir/metadata` at first
+    * start — identical across every restart from the same checkpoint,
+    * different for a fresh checkpoint over the same source. Batch ids are
+    * only meaningful WITHIN a lineage (a fresh checkpoint restarts them at
+    * 0), so any marker keyed on batch id must carry this alongside. */
+  private def lineageId(spark: SparkSession, checkpointDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(bos.toString("UTF-8"))
+        .map(_.group(1))
+        .getOrElse(sys.error(s"no query id in streaming metadata at $p"))
+    } finally in.close()
+  }
+
   /** CONTINUOUS retrieval serving: each arriving micro-batch of query
     * vectors gets its exact top-k against the static corpus
     * (`Similarity.knnJoin` inside `foreachBatch`) and results accumulate
@@ -139,23 +160,43 @@ object IncrementalStream {
     * INSERTs), the corpus is scanned once per batch and never shuffled
     * pre-score (the q112 plan shape, pinned in PlanShapeSpec).
     *
-    * foreachBatch is AT-LEAST-ONCE: a batch whose append landed but whose
-    * checkpoint commit didn't is re-run on recovery. The anti-join on the
-    * already-served query ids makes the re-run a no-op (the retried
-    * batch's queries are found served, nothing appends) — the log stays
-    * duplicate-free under retry. The anti-join's read prunes to the id
-    * column of the accumulated log; per-batch cost is that narrow scan
-    * plus the batch itself. */
+    * foreachBatch is AT-LEAST-ONCE: a batch whose append landed (possibly
+    * PARTIALLY — a crash mid-append leaves some part files) but whose
+    * checkpoint commit didn't is re-run on recovery. Every served row
+    * carries its (lineage, batch id), so the retry guard's anti-join build
+    * side is NOT the accumulated log but only the rows that could collide
+    * with this batch: same-lineage rows OF THIS BATCH ID (the possibly
+    * partial earlier attempt) plus any foreign-lineage rows (a fresh
+    * checkpoint re-serving an existing table). Within a lineage the
+    * checkpointed source never re-emits an earlier batch's queries, so
+    * same-lineage rows of OTHER batch ids are skipped without reading —
+    * the (__run, __batch) columns are constant per part file and parquet
+    * row-group stats prune them to footer metadata, keeping per-batch cost
+    * O(batch) + O(log file count) for the life of the service instead of a
+    * full-log id scan. The anti-join is at (query_id, neighbor_id)
+    * granularity, so a retried batch re-appends exactly the pairs a
+    * partial append dropped — self-healing, and the log converges to the
+    * batch-join result duplicate-free under any crash/retry schedule. */
   def knnServe(queryStream: DataFrame, corpus: DataFrame, idCol: String,
                vecCol: String, k: Int, store: graft.sync.TableStore,
                table: String, checkpointDir: String,
-               trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+               trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // resolved once, on the first batch (the metadata file exists from
+    // query start); identical for every restart from this checkpoint
+    lazy val run = lineageId(queryStream.sparkSession, checkpointDir)
     queryStream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val res = graft.similarity.Similarity.knnJoin(batch, corpus, idCol, vecCol, k)
+          .withColumn("__run", lit(run))
+          .withColumn("__batch", lit(batchId))
         val fresh = store.read(table) match {
           case Some(prev) =>
-            res.join(prev.select(col("query_id")).distinct(), Seq("query_id"), "left_anti")
+            val collidable =
+              if (prev.columns.contains("__run"))
+                prev.filter(col("__run") =!= run || col("__batch") === batchId)
+              else prev // pre-(__run,__batch) log: full pair-level guard
+            res.join(collidable.select(col("query_id"), col("neighbor_id")),
+              Seq("query_id", "neighbor_id"), "left_anti")
           case None => res
         }
         store.append(fresh, table)
@@ -163,6 +204,7 @@ object IncrementalStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+  }
 
   /** CONTINUOUSLY MAINTAINED aggregate state — the streaming materialized
     * view: each micro-batch's per-key algebraic partials
@@ -177,31 +219,58 @@ object IncrementalStream {
     * knnServe's append, which can dedup by key), so the state table
     * carries the last-applied batch id IN the same table (constant
     * `__last_batch` column) and a batch at or below it is skipped. Marker
-    * and state land in ONE TableStore.write — ParquetStore's staged
-    * temp+rename makes that write atomic, which is exactly what makes
-    * skip-or-merge correct across a crash at any point (a two-table
-    * state+marker design would reintroduce the torn-write window). A JDBC
-    * deployment needs the same atomicity from a transaction. */
+    * and state land in ONE TableStore.writeAtomic — ParquetStore's staged
+    * temp+rename and JdbcStore's stage-then-transactional-swap make that
+    * write all-or-nothing, which is exactly what makes skip-or-merge
+    * correct across a crash at any point (a two-table state+marker design
+    * would reintroduce the torn-write window).
+    *
+    * Batch ids are only meaningful WITHIN one checkpoint lineage — a fresh
+    * checkpoint restarts them at 0 while re-reading the source from
+    * scratch, so comparing its ids against a marker from an older lineage
+    * would silently SKIP (lose) every batch up to the old high-water mark.
+    * The state row therefore also carries the lineage id (`__run`, the
+    * query id from checkpoint metadata), and a lineage mismatch FAILS FAST:
+    * state table and checkpoint directory live and die together — resume
+    * maintenance by reusing the checkpoint dir, or rebuild state from
+    * scratch into a fresh table. Neither skipping (loses new data) nor
+    * merging (double-counts re-read data) is correct across lineages. */
   def maintainStats(stream: DataFrame, keys: Seq[String], valueCol: String,
                     store: graft.sync.TableStore, table: String,
                     checkpointDir: String,
                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     import graft.operators.Stats
+    lazy val run = lineageId(stream.sparkSession, checkpointDir)
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val partial = Stats.mergeableStats(batch, keys, valueCol)
+        def stamp(df: DataFrame): DataFrame =
+          df.withColumn("__last_batch", lit(batchId)).withColumn("__run", lit(run))
         store.read(table) match {
           case Some(prev) =>
             // max over an empty state (an all-empty first batch) is NULL:
-            // treat as "nothing applied" rather than NPE
-            val r = prev.agg(max(col("__last_batch"))).head
+            // treat as "nothing applied" rather than NPE. A pre-__run
+            // state table reads as unknown lineage (null) and is adopted.
+            val hasRun = prev.columns.contains("__run")
+            val r =
+              if (hasRun) prev.agg(max(col("__last_batch")), max(col("__run"))).head
+              else prev.agg(max(col("__last_batch"))).head
             val last = if (r.isNullAt(0)) -1L else r.getLong(0)
+            val prevRun = if (hasRun && !r.isNullAt(1)) r.getString(1) else null
+            if (prevRun != null && prevRun != run)
+              sys.error(s"maintainStats: state table '$table' belongs to streaming " +
+                s"lineage $prevRun (last batch $last) but this query is lineage $run " +
+                "— a fresh checkpoint restarts batch ids at 0, so continuing would " +
+                "silently skip every re-read batch. State and checkpoint pair for " +
+                "life: resume with the original checkpoint directory, or point this " +
+                "query at a fresh state table to rebuild from scratch.")
             if (last < batchId)
-              store.write(Stats.mergeStats(prev.drop("__last_batch"), partial, keys)
-                .withColumn("__last_batch", lit(batchId)), table)
+              store.writeAtomic(
+                stamp(Stats.mergeStats(prev.drop("__last_batch", "__run"), partial, keys)),
+                table)
             // else: replayed batch, already folded into the state — skip
           case None =>
-            store.write(partial.withColumn("__last_batch", lit(batchId)), table)
+            store.writeAtomic(stamp(partial), table)
         }
       }
       .option("checkpointLocation", checkpointDir)

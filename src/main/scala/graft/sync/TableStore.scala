@@ -23,6 +23,17 @@ trait TableStore {
     * at-least-once semantics (foreachBatch) must dedup before appending. */
   def append(df: DataFrame, table: String): Unit =
     write(read(table).map(_.unionByName(df)).getOrElse(df), table)
+
+  /** Replace `table`'s contents with `df` ALL-OR-NOTHING: after a crash at
+    * any point, a reader sees either the complete old contents or the
+    * complete new contents, never a torn mix. This is what state+marker
+    * writes (streaming `maintainStats`) require — the exactly-once
+    * argument collapses if the marker can land without the state or half
+    * the state without the marker. ParquetStore's plain write already
+    * stages through a temp path + rename, so the default delegates;
+    * stores whose plain write has a torn window (JDBC truncate+insert)
+    * MUST override with a staged transactional swap. */
+  def writeAtomic(df: DataFrame, table: String): Unit = write(df, table)
 }
 
 /** Parquet-directory store: `dir/<table>.parquet` per table. Write goes
@@ -140,6 +151,57 @@ class JdbcStore(spark: SparkSession, url: String, props: Map[String, String],
     val p = new java.util.Properties()
     props.foreach { case (k, v) => p.setProperty(k, v) }
     df.write.mode("append").option("batchsize", 1000).jdbc(url, table, p)
+  }
+
+  /** All-or-nothing replace, the JDBC analog of ParquetStore's temp+rename:
+    * `write`'s truncate/recreate + batched INSERT commits per executor
+    * partition, so a crash mid-write leaves a torn table — fatal for
+    * state+marker writes (a marker row without its state rows silently
+    * skips a batch forever). Here the executors stage `df` into
+    * `<table>__stage` (parallel, nothing destructive touches the real
+    * table), and the swap is ONE driver-side transaction of plain DML —
+    * DELETE + INSERT...SELECT, transactional on every engine, data never
+    * moving through the driver — so the real table flips old→new in a
+    * single commit and a failure at any earlier point rolls back to intact
+    * old contents. DDL (grants, indexes, defaults) on the real table is
+    * untouched. Cost vs `write`: one extra server-side copy of `df` —
+    * the price of atomicity, sized for state-shaped tables (|keys| rows),
+    * not bulk syncs. Identifiers are quoted through Spark's own dialect
+    * for this URL, matching how Spark quotes them at CREATE time. */
+  override def writeAtomic(df: DataFrame, table: String): Unit = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    val stage = table + "__stage"
+    // materialize before touching anything: df's plan may read `table`
+    val staged = df.localCheckpoint()
+    staged.write.mode("overwrite").option("batchsize", 1000).jdbc(url, stage, p)
+    // ensure the destination exists (zero-row append creates it with the
+    // staged schema; an empty table reads as "no state applied" — safe if
+    // we crash between here and the swap)
+    if (read(table).isEmpty)
+      staged.limit(0).write.mode("append").option("batchsize", 1000).jdbc(url, table, p)
+    val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+    val cols = staged.schema.fieldNames.map(dialect.quoteIdentifier).mkString(", ")
+    val conn = java.sql.DriverManager.getConnection(url, p)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try {
+        st.executeUpdate(s"DELETE FROM $table")
+        st.executeUpdate(s"INSERT INTO $table ($cols) SELECT $cols FROM $stage")
+        conn.commit()
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          try conn.rollback() catch { case scala.util.control.NonFatal(_) => }
+          throw e
+      } finally st.close()
+      // best-effort tidy-up; the next writeAtomic overwrites the stage anyway
+      try {
+        val drop = conn.createStatement()
+        try { conn.setAutoCommit(true); drop.executeUpdate(s"DROP TABLE $stage") }
+        finally drop.close()
+      } catch { case scala.util.control.NonFatal(_) => }
+    } finally conn.close()
   }
 
   /** Columns of `table` a NULL cannot safely land in: declared NOT NULL, or

@@ -229,15 +229,67 @@ class IncrementalStreamSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === want)
     assert(got.map(_._1) === Set(1L, 2L))
-    // at-least-once re-delivery: replaying the SAME source against the same
-    // store (fresh checkpoint = every batch re-runs) must append nothing —
-    // the anti-join finds all queries already served
+    // cross-lineage re-delivery: replaying the SAME source against the same
+    // store under a FRESH checkpoint (new lineage, batch ids restart at 0)
+    // must append nothing — foreign-lineage rows are in the retry guard's
+    // anti-join build side, so every pair is found served
     IncrementalStream.knnServe(stream, corpus, "vec_id", "embedding", k = 2,
       store, "served", checkpointDir = s"$tmp/ck2").awaitTermination()
     assert(store.read("served").get.count() === got.size)
   }
 
-  test("maintainStats folds batches into exact state and skips replays") {
+  test("knnServe: a partially-appended batch self-heals on retry, pair-exact") {
+    import graft.sync.ParquetStore
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(1f, 1f)), (4L, Array(-1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" <= 2)
+    val tmp = Files.createTempDirectory("graft_ksheal").toString
+    queries.filter($"vec_id" === 1L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    queries.filter($"vec_id" === 2L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    def stream() = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+    val store = new ParquetStore(spark, s"$tmp/out")
+    IncrementalStream.knnServe(stream(), corpus, "vec_id", "embedding", k = 2,
+      store, "served", checkpointDir = s"$tmp/ck").awaitTermination()
+    val full = store.read("served").get
+    assert(full.count() === 4) // 2 queries x k=2
+    // CRASH SIMULATION: batch 1's checkpoint commit is lost AND its append
+    // only partially landed — drop one of batch 1's pairs from the log and
+    // delete commits/1, so the restart re-runs batch 1 against a log that
+    // already holds SOME of its rows (the scaladoc's partial-append window)
+    val b1 = full.filter($"__batch" === 1L)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(b1.length === 2)
+    val (dq, dn) = b1.head
+    store.write(full.filter(!($"__batch" === 1L && $"query_id" === dq && $"neighbor_id" === dn)),
+      "served")
+    assert(store.read("served").get.count() === 3)
+    assert(new java.io.File(s"$tmp/ck/commits/1").delete())
+    // the local FS keeps a checksum shadow; a stale one fails the commit
+    // log's atomic rename on re-write (read as a concurrent writer)
+    new java.io.File(s"$tmp/ck/commits/.1.crc").delete()
+    // SAME checkpoint restart: batch 1 re-runs and must re-append exactly
+    // the one missing pair — not zero (the old query_id-level guard dropped
+    // it forever: fewer than k neighbors served), not two (duplicates)
+    IncrementalStream.knnServe(stream(), corpus, "vec_id", "embedding", k = 2,
+      store, "served", checkpointDir = s"$tmp/ck").awaitTermination()
+    val healed = store.read("served").get
+    assert(healed.count() === 4)
+    val dups = healed.groupBy($"query_id", $"neighbor_id").count().filter($"count" > 1)
+    assert(dups.isEmpty)
+    val pairs = healed.select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.similarity.Similarity
+      .knnJoin(queries, corpus, "vec_id", "embedding", k = 2)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === want)
+  }
+
+  test("maintainStats folds batches into exact state, resumes a lineage, rejects a foreign one") {
     import graft.sync.ParquetStore
     val rows = Seq((1L, 10L), (1L, 30L), (2L, 5L), (2L, -7L), (3L, 0L))
       .toDF("k", "v")
@@ -246,19 +298,38 @@ class IncrementalStreamSpec extends SparkSpec {
     rows.filter($"v" > 5L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
     rows.filter($"v" === 5L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
     rows.filter($"v" < 5L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
-    val stream = spark.readStream.schema(rows.schema)
+    def stream() = spark.readStream.schema(rows.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
     val store = new ParquetStore(spark, s"$tmp/out")
-    IncrementalStream.maintainStats(stream, Seq("k"), "v",
+    IncrementalStream.maintainStats(stream(), Seq("k"), "v",
       store, "stats", checkpointDir = s"$tmp/ck").awaitTermination()
-    def state() = store.read("stats").get.drop("__last_batch").collect()
+    def state() = store.read("stats").get.drop("__last_batch", "__run").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
     val want = Set((1L, 2L, 40L, 10L, 30L), (2L, 2L, -2L, -7L, 5L), (3L, 1L, 0L, 0L, 0L))
     assert(state() === want)
-    // replay with a fresh checkpoint: every batch id re-runs from 0 and
-    // must SKIP (a merge is not idempotent — a re-merge would double-count)
-    IncrementalStream.maintainStats(stream, Seq("k"), "v",
-      store, "stats", checkpointDir = s"$tmp/ck2").awaitTermination()
-    assert(state() === want)
+    // LEGITIMATE resume: same checkpoint, one new source file — exactly the
+    // new batch folds in (replayed ids skip, the new id merges)
+    Seq((1L, 2L), (4L, 8L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    IncrementalStream.maintainStats(stream(), Seq("k"), "v",
+      store, "stats", checkpointDir = s"$tmp/ck").awaitTermination()
+    assert(state() === Set(
+      (1L, 3L, 42L, 2L, 30L), (2L, 2L, -2L, -7L, 5L),
+      (3L, 1L, 0L, 0L, 0L), (4L, 1L, 8L, 8L, 8L)))
+    // FOREIGN lineage: a fresh checkpoint restarts batch ids at 0 while
+    // re-reading everything — neither skip (loses the would-be-new data)
+    // nor merge (double-counts) is correct, so the query must FAIL FAST
+    // and leave the state untouched
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      IncrementalStream.maintainStats(stream(), Seq("k"), "v",
+        store, "stats", checkpointDir = s"$tmp/ck2").awaitTermination()
+    }
+    def causeChain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(causeChain(ex).exists(c =>
+      c.getMessage != null && c.getMessage.contains("lineage")))
+    assert(state() === Set(
+      (1L, 3L, 42L, 2L, 30L), (2L, 2L, -2L, -7L, 5L),
+      (3L, 1L, 0L, 0L, 0L), (4L, 1L, 8L, 8L, 8L)))
   }
 }

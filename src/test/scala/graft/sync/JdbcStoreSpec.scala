@@ -112,6 +112,64 @@ class JdbcStoreSpec extends SparkSpec {
     } finally conn2.close()
   }
 
+  test("writeAtomic replaces contents, bootstraps a missing table, reads its own table safely") {
+    val store = freshStore()
+    // bootstrap: destination does not exist yet
+    store.writeAtomic(Seq((1L, "old"), (2L, "old")).toDF("id", "v"), "t")
+    assert(store.read("t").get.count() === 2)
+    // the merge pattern: new contents derived FROM the current contents —
+    // the staged localCheckpoint must materialize before the DELETE runs
+    val merged = graft.operators.Merge.upsert(
+      store.read("t").get, Seq((2L, "new"), (3L, "new")).toDF("id", "v"), Seq("id"))
+    store.writeAtomic(merged, "t")
+    val out = store.read("t").get.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "old", 2L -> "new", 3L -> "new"))
+    // the stage table was dropped after the swap
+    assert(store.read("t__stage").isEmpty)
+  }
+
+  test("writeAtomic: a failed swap rolls back to the COMPLETE old contents") {
+    val store = freshStore()
+    store.writeAtomic(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "t")
+    // tighten the real table's DDL so the swap's INSERT must fail midway:
+    // plain write would have truncated first (torn); the transactional swap
+    // must roll the DELETE back
+    val url = s"jdbc:derby:memory:graft_spec_$n"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().execute("""ALTER TABLE t ALTER COLUMN "id" NOT NULL""")
+    finally conn.close()
+    intercept[Exception] {
+      store.writeAtomic(Seq((Some(3L), "c"), (None, "boom")).toDF("id", "v"), "t")
+    }
+    // old contents fully intact: the DELETE that preceded the failed INSERT
+    // was rolled back with it — not an empty table, not a partial one
+    val out = store.read("t").get.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "a", 2L -> "b"))
+  }
+
+  test("maintainStats over a JdbcStore: state+marker swap atomically, lineage resume works") {
+    import org.apache.spark.sql.streaming.Trigger
+    val store = freshStore()
+    val rows = Seq((1L, 10L), (1L, 30L), (2L, 5L)).toDF("k", "v")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_msj").toString
+    rows.filter($"v" >= 10L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    rows.filter($"v" < 10L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    def stream() = spark.readStream.schema(rows.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+    graft.streaming.IncrementalStream.maintainStats(stream(), Seq("k"), "v",
+      store, "stats", checkpointDir = s"$tmp/ck", trigger = Trigger.AvailableNow())
+      .awaitTermination()
+    def state() = store.read("stats").get.drop("__last_batch", "__run").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(state() === Set((1L, 2L, 40L, 10L, 30L), (2L, 1L, 5L, 5L, 5L)))
+    // same-lineage resume: one new file, exactly one new batch folds in
+    Seq((2L, 7L)).toDF("k", "v").coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    graft.streaming.IncrementalStream.maintainStats(stream(), Seq("k"), "v",
+      store, "stats", checkpointDir = s"$tmp/ck", trigger = Trigger.AvailableNow())
+      .awaitTermination()
+    assert(state() === Set((1L, 2L, 40L, 10L, 30L), (2L, 2L, 12L, 5L, 7L)))
+  }
+
   test("SyncJob end-to-end over JDBC: bootstrap, incremental, schema evolution") {
     val (src, dst) = (freshStore(), freshStore())
     val cfg = TableConfig("t", Some("id"), Some(CheckType.Id), Seq.empty)

@@ -20,101 +20,86 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Per-query floors (sf0.1, local[32], best-of-two), all DRIVER-recorded:
-    * q01-q35 from BENCH_r02.json, q36-q47 from BENCH_r03.json. Floors come
-    * only from the driver's own committed runs — one machine, one load
-    * profile — never from uncalibrated local dev runs (a provisional local
-    * floor flagged q46 on the very round that introduced it). Queries added
-    * THIS round have no floor yet and are never flagged; their floor lands
-    * next round from this round's driver bench.
-    *
-    * Round-9 re-seed: BENCH_r08 was the first clean driver run since r6
-    * (calibration 1.0), so every floor visible in its surviving tail
-    * (q42-q99) was re-seeded as min(old, r08) — adopting the clean numbers
-    * where faster, never loosening the guard. r08's q72/q74 spikes were NOT
-    * adopted as floors (q74 re-measured at floor locally — load noise;
-    * q72 adjudicated separately). */
+  /** Per-query floors (sf0.1, local[32], best-of-two). Round-10 re-seed:
+    * BENCH_r09 (via BENCH_LAST.json, the first full driver-emitted map)
+    * was the cleanest driver run to date — calibration 1.0, 123/123 ran,
+    * zero flags — so every floor is now min(prior floor, r09), adopting
+    * the clean numbers where faster and never loosening the guard (the
+    * round-9 precedent for the r08 tail, now applied to the full map).
+    * q119–q123 (r9 additions, previously floorless) seed directly from
+    * r09; the four round-9 provisional local-seeded floors (q26,
+    * q115–q118) resolve to min(provisional, r09) and are no longer
+    * provisional — every floor below is driver-anchored. Two watch items
+    * adjudicated as load noise, floors deliberately NOT raised: q50
+    * (r09 0.75 s vs floor 0.28 — re-measured locally at 0.34 best-of-two,
+    * calibration 1.07, same enumerated-pivot single-hash-agg plan) and
+    * q27 (r09 0.58 s vs floor 0.211 — re-measured locally at 0.26; the
+    * real-ImageIO branch did not move the warm plan). Queries added THIS
+    * round have no floor and are never flagged; their floor lands next
+    * round from this round's driver bench. */
   private val Floor: Map[String, Double] = Map(
-    "q01_project_scan" -> 0.592, "q02_watermark_ts" -> 0.207,
-    "q03_watermark_id_null" -> 0.265, "q04_incr_ts" -> 0.442,
-    "q05_incr_id" -> 1.182, "q06_coerce_int" -> 0.724,
-    "q07_coerce_trim" -> 0.210, "q08_upsert" -> 0.468,
-    "q09_anti_join" -> 0.499, "q10_semi_join" -> 0.620,
-    "q11_ordered_listing" -> 0.172, "q12_group_fold" -> 0.315,
-    "q13_sync_stats" -> 0.128, "q14_decimal_cast" -> 0.848,
-    "q15_watermark_roundtrip" -> 0.293, "q16_dedup_exact" -> 0.350,
-    "q17_token_stats" -> 0.275, "q18_text_quality" -> 0.528,
-    "q19_lang_id" -> 0.712, "q20_fingerprint" -> 0.312,
-    "q21_dedup_minhash" -> 9.129, "q22_dedup_ngram" -> 3.037,
-    "q23_simhash_invariant" -> 0.592, "q24_embed_topk" -> 0.205,
-    // q26: r8 replaced its plan (rows-only ANN output -> contract-parity
-    // violations query), so the r2 floor was retired; seeded round 9 from
-    // a local sf0.1 run DIVIDED by that run's canary calibration (x1.087)
-    // — the round-7 seeding precedent. Replace from the next driver bench.
-    "q26_ann_topk" -> 0.549,
-    "q25_embed_neardup" -> 1.826,
+    "q01_project_scan" -> 0.437, "q02_watermark_ts" -> 0.169,
+    "q03_watermark_id_null" -> 0.17, "q04_incr_ts" -> 0.292,
+    "q05_incr_id" -> 0.671, "q06_coerce_int" -> 0.602,
+    "q07_coerce_trim" -> 0.188, "q08_upsert" -> 0.388,
+    "q09_anti_join" -> 0.458, "q10_semi_join" -> 0.51,
+    "q11_ordered_listing" -> 0.109, "q12_group_fold" -> 0.215,
+    "q13_sync_stats" -> 0.096, "q14_decimal_cast" -> 0.618,
+    "q15_watermark_roundtrip" -> 0.148, "q16_dedup_exact" -> 0.189,
+    "q17_token_stats" -> 0.233, "q18_text_quality" -> 0.357,
+    "q19_lang_id" -> 0.548, "q20_fingerprint" -> 0.206,
+    "q21_dedup_minhash" -> 3.946, "q22_dedup_ngram" -> 0.736,
+    "q23_simhash_invariant" -> 0.349, "q24_embed_topk" -> 0.139,
+    "q25_embed_neardup" -> 1.438, "q26_ann_topk" -> 0.549,
     "q27_multimodal_decode" -> 0.211, "q28_json_extract" -> 0.794,
-    "q29_running_sum" -> 0.557, "q30_rollup_stats" -> 0.226,
-    "q31_approx_distinct" -> 0.277, "q32_sessionize" -> 0.463,
-    "q33_dedup_canonical" -> 3.461, "q34_funnel" -> 0.393,
-    "q35_frame_sample" -> 0.172,
-    // round-3 queries: driver-recorded best-of-two from BENCH_r03.json
-    "q36_ivf_recall" -> 0.924, "q37_lsh_pair_recall" -> 1.754,
-    "q38_simhash_neardup" -> 1.392, "q39_corpus_clean" -> 0.732,
-    "q40_vocab_topk" -> 0.216, "q41_asof_join" -> 0.391,
-    "q42_percentile_sketch" -> 0.239, "q43_range_pairs" -> 0.490,
-    "q44_hash_split" -> 0.11, "q45_cap_per_source" -> 0.171,
-    "q46_novel_docs" -> 1.544, "q47_chunking" -> 0.606,
-    // round-4 queries, re-seeded min(old, r08) — see the map scaladoc.
-    // q48's floor is pure r08 (its r4 floor described the replaced
-    // interpreted-HOF plan; 0.429 is the first driver number for the
-    // codegen HashedNgrams plan that exists today).
-    "q48_repetition" -> 0.429,
+    "q29_running_sum" -> 0.441, "q30_rollup_stats" -> 0.187,
+    "q31_approx_distinct" -> 0.2, "q32_sessionize" -> 0.363,
+    "q33_dedup_canonical" -> 1.331, "q34_funnel" -> 0.279,
+    "q35_frame_sample" -> 0.17, "q36_ivf_recall" -> 0.924,
+    "q37_lsh_pair_recall" -> 1.348, "q38_simhash_neardup" -> 0.959,
+    "q39_corpus_clean" -> 0.656, "q40_vocab_topk" -> 0.17,
+    "q41_asof_join" -> 0.337, "q42_percentile_sketch" -> 0.222,
+    "q43_range_pairs" -> 0.377, "q44_hash_split" -> 0.088,
+    "q45_cap_per_source" -> 0.144, "q46_novel_docs" -> 1.544,
+    "q47_chunking" -> 0.444, "q48_repetition" -> 0.37,
     "q49_decontaminate" -> 0.415, "q50_pivot_counts" -> 0.28,
-    "q51_event_lag" -> 1.430, "q52_histogram" -> 0.219,
-    "q53_bloom_filter" -> 0.272, "q54_stream_windows" -> 1.330,
-    "q55_pq_recall" -> 0.425, "q56_skew_salted_agg" -> 0.214,
-    "q57_ivfpq_recall" -> 1.259, "q58_rare_terms" -> 0.525,
-    "q59_mixture_sample" -> 0.175, "q60_freq_spectrum" -> 0.254,
-    "q61_stream_dedup" -> 4.389, "q62_cms_heavy_hitters" -> 0.396,
-    "q63_source_quality" -> 0.408, "q64_dedup_keep_best" -> 1.541,
-    "q65_sql_parity" -> 0.324, "q66_packing" -> 0.241,
-    // round-5 queries: driver-recorded best-of-two from BENCH_r06.json
-    // (r6's run had an empty regressed list — a clean load profile).
-    "q67_cube_counts" -> 0.172, "q68_star_revenue" -> 0.326,
-    "q69_strata_sample" -> 0.124, "q70_scrub" -> 0.471,
-    "q71_bigram_lm" -> 0.487, "q72_incr_dedup" -> 0.558,
-    "q73_stream_sessions" -> 2.112, "q74_sync_checksum" -> 0.546,
-    "q75_bloom_pruned_join" -> 0.452, "q76_rollup_geo" -> 0.546,
-    "q77_stream_join" -> 5.711, "q78_session_window" -> 0.422,
-    "q79_group_percentiles" -> 0.545, "q80_gap_fill" -> 1.621,
-    "q81_lsh_shuffle_parity" -> 1.241, "q82_salted_join" -> 0.364,
-    "q83_typed_agg" -> 0.269, "q84_format_roundtrip" -> 1.118,
-    "q85_bucketed_join" -> 0.964, "q86_srp_twin" -> 0.248,
-    // round-7 queries: best-of-two from a local sf0.1 run, DIVIDED by that
-    // run's canary calibration (x1.327 — host-neighbor load) to express
-    // them in driver-VM floor units; the guard multiplies calibration back
-    // at compare time, so the normalization is self-inverse. Replace with
-    // driver-recorded numbers when a clean driver round lands.
-    "q87_image_decode" -> 0.302, "q88_compaction" -> 2.179,
-    "q89_cc_deep_chain" -> 1.959, "q90_sync_deletes" -> 0.278,
-    "q91_hash_file_sync" -> 1.014, "q92_stream_enrich" -> 1.455,
-    "q93_stream_upsert_sync" -> 2.245, "q94_passage_dedup" -> 1.478,
-    "q95_dup_gram_share" -> 1.053, "q96_semantic_dedup" -> 1.552,
-    "q97_zorder_layout" -> 0.924, "q98_trailing_window" -> 0.554,
-    "q99_topk_per_group" -> 0.15, "q100_token_budget" -> 0.532,
-    "q101_audio_decode" -> 0.248, "q102_curation_pipeline" -> 1.747,
-    "q103_wav_decode" -> 0.245, "q104_pruned_read" -> 1.777,
-    "q105_snapshot_diff" -> 0.618, "q106_shard_shuffle" -> 0.862,
-    "q107_avi_decode" -> 0.19, "q108_nfc_normalize" -> 0.598,
-    "q109_fuzzy_join" -> 0.886, "q110_box_join" -> 1.374,
-    "q111_entity_resolution" -> 3.747, "q112_knn_join" -> 0.586,
-    "q113_ivf_knn_parity" -> 1.685, "q114_incr_stats" -> 0.444,
-    // round-8 queries (invisible in BENCH_r08's surviving tail): seeded
-    // round 9 from a local sf0.1 run divided by its canary calibration
-    // (x1.087), the round-7 precedent. Replace from the next driver bench.
-    "q115_image_neardup" -> 1.121, "q116_schema_evolution" -> 1.235,
-    "q117_pq_knn_parity" -> 1.720, "q118_ivfpq_knn_parity" -> 3.872)
+    "q51_event_lag" -> 0.402, "q52_histogram" -> 0.14,
+    "q53_bloom_filter" -> 0.206, "q54_stream_windows" -> 1.258,
+    "q55_pq_recall" -> 0.365, "q56_skew_salted_agg" -> 0.207,
+    "q57_ivfpq_recall" -> 1.013, "q58_rare_terms" -> 0.525,
+    "q59_mixture_sample" -> 0.139, "q60_freq_spectrum" -> 0.207,
+    "q61_stream_dedup" -> 1.402, "q62_cms_heavy_hitters" -> 0.33,
+    "q63_source_quality" -> 0.32, "q64_dedup_keep_best" -> 1.516,
+    "q65_sql_parity" -> 0.229, "q66_packing" -> 0.232,
+    "q67_cube_counts" -> 0.172, "q68_star_revenue" -> 0.321,
+    "q69_strata_sample" -> 0.114, "q70_scrub" -> 0.471,
+    "q71_bigram_lm" -> 0.477, "q72_incr_dedup" -> 0.558,
+    "q73_stream_sessions" -> 1.778, "q74_sync_checksum" -> 0.514,
+    "q75_bloom_pruned_join" -> 0.4, "q76_rollup_geo" -> 0.446,
+    "q77_stream_join" -> 5.233, "q78_session_window" -> 0.394,
+    "q79_group_percentiles" -> 0.462, "q80_gap_fill" -> 1.621,
+    "q81_lsh_shuffle_parity" -> 0.987, "q82_salted_join" -> 0.293,
+    "q83_typed_agg" -> 0.232, "q84_format_roundtrip" -> 1.118,
+    "q85_bucketed_join" -> 0.932, "q86_srp_twin" -> 0.248,
+    "q87_image_decode" -> 0.22, "q88_compaction" -> 1.387,
+    "q89_cc_deep_chain" -> 1.391, "q90_sync_deletes" -> 0.246,
+    "q91_hash_file_sync" -> 0.651, "q92_stream_enrich" -> 1.098,
+    "q93_stream_upsert_sync" -> 1.807, "q94_passage_dedup" -> 1.089,
+    "q95_dup_gram_share" -> 0.848, "q96_semantic_dedup" -> 1.235,
+    "q97_zorder_layout" -> 0.708, "q98_trailing_window" -> 0.44,
+    "q99_topk_per_group" -> 0.13, "q100_token_budget" -> 0.312,
+    "q101_audio_decode" -> 0.161, "q102_curation_pipeline" -> 1.52,
+    "q103_wav_decode" -> 0.17, "q104_pruned_read" -> 1.073,
+    "q105_snapshot_diff" -> 0.486, "q106_shard_shuffle" -> 0.549,
+    "q107_avi_decode" -> 0.19, "q108_nfc_normalize" -> 0.378,
+    "q109_fuzzy_join" -> 0.501, "q110_box_join" -> 1.374,
+    "q111_entity_resolution" -> 1.523, "q112_knn_join" -> 0.49,
+    "q113_ivf_knn_parity" -> 1.41, "q114_incr_stats" -> 0.378,
+    "q115_image_neardup" -> 0.88, "q116_schema_evolution" -> 1.122,
+    "q117_pq_knn_parity" -> 1.72, "q118_ivfpq_knn_parity" -> 3.535,
+    "q119_stream_decontaminate" -> 1.806, "q120_image_resize" -> 0.935,
+    "q121_stream_ingest_dedup" -> 4.483, "q122_stream_knn_serve" -> 1.188,
+    "q123_stream_maintained_view" -> 1.964)
 
   /** Fixed-seconds slack added to the 1.5x bound: sub-second floors are
     * scheduler-noise-dominated (a 0.13 s query measured at 0.25 s is noise,
@@ -267,9 +252,10 @@ object Bench {
     println(json)
     // stdout of driver rounds has been captured with only the TAIL surviving
     // (BENCH_r07/r08 both carry "parsed": null), which starves next-round
-    // floor re-seeding — so the full JSON also lands in a file. Default path
-    // is inside the repo so the artifact is committed with the round.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")
+    // floor re-seeding — so the full JSON also lands in a file. Default is
+    // relative to the working directory (the repo root under sbt), so the
+    // artifact is committed with the round on any checkout location.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file emit failed: $e") }
     spark.stop()

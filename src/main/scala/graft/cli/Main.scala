@@ -6,20 +6,34 @@ import graft.sync.{ParquetStore, Runner, SyncJob}
 import org.apache.spark.sql.SparkSession
 
 /** CLI entry points mirroring the reference's three executables
-  * (SURVEY §3): `db-sync` = main.py's run_all_syncs over a YAML catalog;
-  * `file-sync` = gcs_sync.py's dry-run-first bucket sync (interactive
-  * confirmation replaced by an explicit --apply flag — batch jobs should
-  * not block on a TTY).
+  * (SURVEY §3) plus the continuous-deployment loops: `db-sync` =
+  * main.py's run_all_syncs over a YAML catalog; `file-sync` =
+  * gcs_sync.py's dry-run-first bucket sync (interactive confirmation
+  * replaced by an explicit --apply flag — batch jobs should not block on
+  * a TTY); `stream-sync` / `serve-knn` / `maintain-stats` run the three
+  * streaming serving loops (`IncrementalStream.upsertSync` / `knnServe` /
+  * `maintainStats`) without writing Scala — each requires an explicit
+  * --checkpoint directory (the exactly-once watermark; state and
+  * checkpoint pair for life) and runs Trigger.AvailableNow, so a cron
+  * line turns any of them into the reference's scheduled nightly shape
+  * while the same command under a long-running scheduler is the true
+  * stream.
   *
   * Usage:
   *   graft.cli.Main db-sync --config tables.yaml --source <dir> --dest <dir> [--pks table=c1,c2[;t2=c] ]
   *   graft.cli.Main file-sync <srcDir> <dstDir> [--apply]
+  *   graft.cli.Main stream-sync --source <parquetDir> --dest <storeDir> --table <t> --pks c1[,c2] --order c1[,c2] --checkpoint <dir>
+  *   graft.cli.Main serve-knn --queries <parquetDir> --corpus <parquet> --id <col> --vec <col> --k <n> --dest <storeDir> --table <t> --checkpoint <dir>
+  *   graft.cli.Main maintain-stats --source <parquetDir> --keys c1[,c2] --value <col> --dest <storeDir> --table <t> --checkpoint <dir>
   */
 object Main {
 
   private val usage =
     "usage: db-sync --config <yaml> --source <dir> --dest <dir> [--pks t=c1,c2;t2=c]\n" +
-      "       file-sync <srcDir> <dstDir> [--apply]"
+      "       file-sync <srcDir> <dstDir> [--apply]\n" +
+      "       stream-sync --source <parquetDir> --dest <storeDir> --table <t> --pks c1[,c2] --order c1[,c2] --checkpoint <dir>\n" +
+      "       serve-knn --queries <parquetDir> --corpus <parquet> --id <col> --vec <col> --k <n> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
+      "       maintain-stats --source <parquetDir> --keys c1[,c2] --value <col> --dest <storeDir> --table <t> --checkpoint <dir>"
 
   def main(args: Array[String]): Unit = sys.exit(run(args))
 
@@ -55,6 +69,15 @@ object Main {
   private case class DbSync(config: String, source: String, dest: String,
                             pks: Map[String, Seq[String]]) extends Cmd
   private case class FileSyncCmd(src: String, dst: String, apply: Boolean) extends Cmd
+  private case class StreamSync(source: String, dest: String, table: String,
+                                pks: Seq[String], order: Seq[String],
+                                checkpoint: String) extends Cmd
+  private case class ServeKnn(queries: String, corpus: String, id: String,
+                              vec: String, k: Int, dest: String, table: String,
+                              checkpoint: String) extends Cmd
+  private case class MaintainStats(source: String, keys: Seq[String], value: String,
+                                   dest: String, table: String,
+                                   checkpoint: String) extends Cmd
 
   private def parse(args: List[String]): Either[String, Cmd] = args match {
     case "db-sync" :: rest =>
@@ -69,9 +92,48 @@ object Main {
       Right(FileSyncCmd(src, dst, rest.contains("--apply")))
     case "file-sync" :: _ =>
       Left("file-sync: expected <srcDir> <dstDir> [--apply]")
+    case "stream-sync" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        source <- req(opts, "stream-sync", "source")
+        dest <- req(opts, "stream-sync", "dest")
+        table <- req(opts, "stream-sync", "table")
+        pks <- req(opts, "stream-sync", "pks").map(cols)
+        order <- req(opts, "stream-sync", "order").map(cols)
+        ck <- req(opts, "stream-sync", "checkpoint")
+      } yield StreamSync(source, dest, table, pks, order, ck)
+    case "serve-knn" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        queries <- req(opts, "serve-knn", "queries")
+        corpus <- req(opts, "serve-knn", "corpus")
+        id <- req(opts, "serve-knn", "id")
+        vec <- req(opts, "serve-knn", "vec")
+        k <- req(opts, "serve-knn", "k").flatMap(s =>
+          s.toIntOption.filter(_ >= 1).toRight(s"serve-knn: --k must be a positive int, got $s"))
+        dest <- req(opts, "serve-knn", "dest")
+        table <- req(opts, "serve-knn", "table")
+        ck <- req(opts, "serve-knn", "checkpoint")
+      } yield ServeKnn(queries, corpus, id, vec, k, dest, table, ck)
+    case "maintain-stats" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        source <- req(opts, "maintain-stats", "source")
+        keys <- req(opts, "maintain-stats", "keys").map(cols)
+        value <- req(opts, "maintain-stats", "value")
+        dest <- req(opts, "maintain-stats", "dest")
+        table <- req(opts, "maintain-stats", "table")
+        ck <- req(opts, "maintain-stats", "checkpoint")
+      } yield MaintainStats(source, keys, value, dest, table, ck)
     case other =>
       Left(s"unknown command: ${other.headOption.getOrElse("(none)")}")
   }
+
+  private def req(opts: Map[String, String], cmd: String, key: String): Either[String, String] =
+    opts.get(key).toRight(s"$cmd: missing --$key")
+
+  private def cols(s: String): Seq[String] =
+    s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
 
   private def parseOpts(rest: List[String]): Either[String, Map[String, String]] =
     rest.grouped(2).foldLeft(Right(Map.empty): Either[String, Map[String, String]]) {
@@ -100,6 +162,34 @@ object Main {
         SyncJob.run(src, dst, cfg, pks.getOrElse(cfg.name, Seq.empty))
       }
       report.exitCode
+
+    case StreamSync(source, dest, table, pks, order, ck) =>
+      // schema from a batch look at the source dir (a streaming read needs
+      // it declared); AvailableNow drains everything new since the
+      // checkpoint and terminates — the scheduled-batch deployment
+      val schema = spark.read.parquet(source).schema
+      val stream = spark.readStream.schema(schema).parquet(source)
+      graft.streaming.IncrementalStream.upsertSync(
+        stream, new ParquetStore(spark, dest), table, pks, order, ck)
+        .awaitTermination()
+      0
+
+    case ServeKnn(queries, corpus, id, vec, k, dest, table, ck) =>
+      val schema = spark.read.parquet(queries).schema
+      val stream = spark.readStream.schema(schema).parquet(queries)
+      graft.streaming.IncrementalStream.knnServe(
+        stream, spark.read.parquet(corpus), id, vec, k,
+        new ParquetStore(spark, dest), table, ck)
+        .awaitTermination()
+      0
+
+    case MaintainStats(source, keys, value, dest, table, ck) =>
+      val schema = spark.read.parquet(source).schema
+      val stream = spark.readStream.schema(schema).parquet(source)
+      graft.streaming.IncrementalStream.maintainStats(
+        stream, keys, value, new ParquetStore(spark, dest), table, ck)
+        .awaitTermination()
+      0
 
     case FileSyncCmd(srcDir, dstDir, apply) =>
       // dry-run first, always — the reference's safety pattern (gcs_sync.py:115)

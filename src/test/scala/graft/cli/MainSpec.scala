@@ -46,4 +46,66 @@ class MainSpec extends SparkSpec {
   test("unknown command -> usage, exit 2") {
     assert(Main.run(spark, Array("bogus")) === 2)
   }
+
+  test("streaming subcommands: missing required options -> exit 2, never start Spark jobs") {
+    assert(Main.run(spark, Array("stream-sync", "--source", "/x")) === 2)
+    assert(Main.run(spark, Array("serve-knn", "--queries", "/x", "--k", "nope")) === 2)
+    assert(Main.run(spark, Array("maintain-stats", "--keys", "a,b")) === 2)
+  }
+
+  test("stream-sync end to end: incremental across two invocations, same checkpoint") {
+    val tmp = Files.createTempDirectory("graft_cli_ss").toString
+    Seq((1L, 10L, "a"), (2L, 5L, "b")).toDF("k", "ts", "v")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    def runOnce() = Main.run(spark, Array("stream-sync",
+      "--source", s"$tmp/src", "--dest", s"$tmp/dst", "--table", "t",
+      "--pks", "k", "--order", "ts", "--checkpoint", s"$tmp/ck"))
+    assert(runOnce() === 0)
+    val store = new graft.sync.ParquetStore(spark, s"$tmp/dst")
+    assert(store.read("t").get.count() === 2)
+    // second invocation: a stale row for k=1 and a new key — upsertIfNewer
+    // keeps the fresher destination row, checkpoint skips the old file
+    Seq((1L, 1L, "stale"), (3L, 7L, "c")).toDF("k", "ts", "v")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    assert(runOnce() === 0)
+    val out = store.read("t").get.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out === Set((1L, 10L, "a"), (2L, 5L, "b"), (3L, 7L, "c")))
+  }
+
+  test("serve-knn end to end: accumulated log equals the batch join") {
+    val tmp = Files.createTempDirectory("graft_cli_sk").toString
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)), (3L, Array(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    corpus.write.parquet(s"$tmp/corpus")
+    corpus.filter($"vec_id" <= 2).coalesce(1).write.mode("append").parquet(s"$tmp/queries")
+    val code = Main.run(spark, Array("serve-knn",
+      "--queries", s"$tmp/queries", "--corpus", s"$tmp/corpus",
+      "--id", "vec_id", "--vec", "embedding", "--k", "2",
+      "--dest", s"$tmp/dst", "--table", "served", "--checkpoint", s"$tmp/ck"))
+    assert(code === 0)
+    val got = new graft.sync.ParquetStore(spark, s"$tmp/dst").read("served").get
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.similarity.Similarity
+      .knnJoin(corpus.filter($"vec_id" <= 2), corpus, "vec_id", "embedding", 2)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+  }
+
+  test("maintain-stats end to end: state equals the direct aggregate") {
+    val tmp = Files.createTempDirectory("graft_cli_ms").toString
+    Seq((1L, 10L), (1L, 30L), (2L, 5L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    val code = Main.run(spark, Array("maintain-stats",
+      "--source", s"$tmp/src", "--keys", "k", "--value", "v",
+      "--dest", s"$tmp/dst", "--table", "stats", "--checkpoint", s"$tmp/ck"))
+    assert(code === 0)
+    val state = new graft.sync.ParquetStore(spark, s"$tmp/dst").read("stats").get
+      .drop("__last_batch", "__run").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(state === Set((1L, 2L, 40L, 10L, 30L), (2L, 1L, 5L, 5L, 5L)))
+  }
 }

@@ -1786,6 +1786,60 @@ object SparkEntry {
       } finally deleteRecursively(tmp)
     }),
 
+    // CONTINUOUS ANN index maintenance — the third side of the serving
+    // triangle (q121 ingest gate, q122 query serving, THIS keeps the
+    // served index fresh): the full embedding table arrives across THREE
+    // micro-batches, each assigned to the FIXED coarse quantizer and
+    // appended to the persisted assigned table; the accumulated index
+    // must be ROW-IDENTICAL (vec_id, __centroid) to a from-scratch batch
+    // ivfIndex build over the same vectors — full-outer parity, graded as
+    // a violations contract. Per-batch cost is the batch's own rows
+    // against numCentroids literals; the accumulated index is never
+    // re-scanned for assignment
+    "q124_stream_index_ingest" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files.createTempDirectory("q124").toString
+      val (srcDir, ckDir, outDir) = (s"$tmp/src", s"$tmp/ck", s"$tmp/out")
+      try {
+        emb.repartition(3).write.parquet(srcDir)
+        val batchIdx = Similarity.ivfIndex(emb, "vec_id", "embedding", numCentroids = 8)
+        val stream = s.readStream.schema(emb.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*.parquet")
+        val store = new graft.sync.ParquetStore(s, outDir)
+        IncrementalStream.indexIngest(stream, batchIdx.cents, "vec_id", "embedding",
+          store, "assigned", checkpointDir = ckDir).awaitTermination()
+        val inc = store.read("assigned").get
+          .select(col("vec_id"), col("__centroid")).withColumn("__y", lit(1))
+        batchIdx.assigned
+          .select(col("vec_id"), col("__centroid")).withColumn("__x", lit(1))
+          .join(inc, Seq("vec_id", "__centroid"), "full_outer")
+          .agg(violations(col("__x").isNull || col("__y").isNull))
+          .localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+
+    // CCNet-style LM-surprise quality partition through a PERSISTED bigram
+    // model: the reference half (doc_id < 250) trains bigramCounts once,
+    // the model table round-trips through parquet (train-once/score-many,
+    // the q121 index pattern), and every scored doc (doc_id >= 250, >= 1
+    // bigram) gets its integer-exact out-of-model rate and head/middle/
+    // tail bucket (head <= 1/10, middle <= 1/2). Integer (n_oov,
+    // n_bigrams) instead of float log-prob sums: bucket boundaries are
+    // bit-identical across engines, which a last-ulp perplexity rank is
+    // not
+    "q125_lm_quality_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("q125").toString
+      try {
+        val store = new graft.sync.ParquetStore(s, tmp)
+        store.write(NgramStats.bigramCounts(
+          docs.filter(col("doc_id") < 250), "doc_id", "text"), "lm")
+        NgramStats.oovBuckets(docs.filter(col("doc_id") >= 250),
+            store.read("lm").get, "doc_id", "text")
+          .orderBy("doc_id").localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+
     // REAL pixel resize graded end-to-end: planted PNGs with a per-pixel
     // integer formula, resized to the fixed 8x6 vision-encoder shape by
     // nearest-neighbor (src = dst * srcDim / dstDim, floor — pure integer
@@ -2437,6 +2491,15 @@ object SparkEntry {
     // q122 grades the streaming serving loop against q112's batch oracle
     "q122_stream_knn_serve" ->
       "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 25), s AS (SELECT q.query_id, e.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id) AS rn FROM embeddings e, q WHERE e.vec_id <> q.query_id) SELECT query_id, neighbor_id FROM s WHERE rn <= 5 ORDER BY query_id, neighbor_id",
+    // q124: incremental-vs-batch index build parity is a Spark-side
+    // full-outer contract (the q113 pattern)
+    "q124_stream_index_ingest" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    // q125: reference LM = DISTINCT bigram types of doc_id < 250; per
+    // scored doc, bigram occurrences and out-of-model occurrences, with
+    // the integer-threshold head(<=1/10)/middle(<=1/2)/tail bucketing
+    "q125_lm_quality_buckets" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), bg AS (SELECT doc_id, unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS b FROM tok WHERE len(ts) >= 2), ref AS (SELECT DISTINCT b FROM bg WHERE doc_id < 250), sc AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, CAST(sum(CASE WHEN ref.b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov FROM bg LEFT JOIN ref ON bg.b = ref.b WHERE bg.doc_id >= 250 GROUP BY bg.doc_id) SELECT doc_id, n_bigrams, n_oov, CASE WHEN n_oov * 10 <= n_bigrams THEN 'head' WHEN n_oov * 2 <= n_bigrams THEN 'middle' ELSE 'tail' END AS bucket FROM sc ORDER BY doc_id""",
     "q111_entity_resolution" ->
       """WITH RECURSIVE tok AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents), corpus AS (SELECT w FROM tok UNION SELECT substr(w, 2) FROM tok WHERE len(w) >= 4), pairs AS (SELECT a.w AS src, b.w AS dst FROM corpus a JOIN corpus b ON a.w <> b.w AND levenshtein(a.w, b.w) <= 1), reach AS (SELECT w AS id, w AS r FROM corpus UNION SELECT p.dst, reach.r FROM reach JOIN pairs p ON p.src = reach.id), canon AS (SELECT id AS w, min(r) AS c FROM reach GROUP BY id), rep AS (SELECT c, w AS rep FROM (SELECT c, w, row_number() OVER (PARTITION BY c ORDER BY len(w) DESC, w) AS rn FROM canon) WHERE rn = 1) SELECT canon.w, rep.rep FROM canon JOIN rep USING (c) ORDER BY w""",
     "q88_compaction" ->

@@ -209,15 +209,28 @@ object Similarity {
     * every lookup O(iterations × n). */
   case class IvfIndex(cents: Array[(Int, Array[Float])], assigned: DataFrame)
 
+  /** One batch's index rows: nearest-centroid assignment plus the
+    * build-time norm column — exactly the per-row columns [[ivfIndex]]
+    * materializes, so a table accumulated batch-by-batch (streaming
+    * `IncrementalStream.indexIngest`) is row-identical to a from-scratch
+    * rebuild over the same vectors and serves [[knnJoinIvf]] through
+    * `IvfIndex(cents, accumulated)` unchanged. Assignment is per-row
+    * deterministic (lowest-id tie-break), which is what makes the
+    * incremental and batch builds comparable at all. */
+  def indexRows(batch: DataFrame, vecCol: String,
+                cents: Array[(Int, Array[Float])]): DataFrame =
+    assignToCentroid(batch, vecCol, cents).withColumn("__cn", norm(col(vecCol)))
+
   def ivfIndex(emb: DataFrame, idCol: String, vecCol: String,
                numCentroids: Int = 16, iterations: Int = 3): IvfIndex = {
     val cents = ivfCentroids(emb, idCol, vecCol, numCentroids, iterations)
     // precompute each corpus vector's norm AT BUILD TIME: the index is
     // "build once, serve many", and the batch-serve path scores every
     // candidate as dot / (corpus-norm × query-norm) — recomputing the
-    // corpus self-dots per query batch would waste a full corpus pass
-    IvfIndex(cents, assignToCentroid(emb, vecCol, cents)
-      .withColumn("__cn", norm(col(vecCol))))
+    // corpus self-dots per query batch would waste a full corpus pass.
+    // indexRows is SHARED with the streaming ingest path so the two
+    // builds cannot drift.
+    IvfIndex(cents, indexRows(emb, vecCol, cents))
   }
 
   /** The `nprobe` centroid ids nearest to the query by cosine

@@ -289,6 +289,43 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(pairs === want)
   }
 
+  test("indexIngest: incrementally-built index equals a batch rebuild and serves identically") {
+    import graft.similarity.Similarity
+    import graft.sync.ParquetStore
+    val emb = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0f, 1f)), (4L, Array(0.1f, 0.9f)),
+      (5L, Array(-1f, 0f)), (6L, Array(0.7f, 0.7f)))
+      .toDF("vec_id", "embedding")
+    val batchIdx = Similarity.ivfIndex(emb, "vec_id", "embedding", numCentroids = 2)
+    val tmp = Files.createTempDirectory("graft_ii").toString
+    // three files -> three micro-batches
+    emb.filter($"vec_id" <= 2).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    emb.filter($"vec_id" === 3L || $"vec_id" === 4L).coalesce(1)
+      .write.mode("append").parquet(s"$tmp/src")
+    emb.filter($"vec_id" >= 5L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+    val store = new ParquetStore(spark, s"$tmp/out")
+    IncrementalStream.indexIngest(stream, batchIdx.cents, "vec_id", "embedding",
+      store, "assigned", checkpointDir = s"$tmp/ck").awaitTermination()
+    val inc = store.read("assigned").get
+    val incAssign = inc.select($"vec_id", $"__centroid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val batchAssign = batchIdx.assigned.select($"vec_id", $"__centroid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(incAssign === batchAssign)
+    assert(inc.count() === 6)
+    // the accumulated table IS a servable index: knnJoinIvf through it
+    // returns exactly what the batch-built index returns
+    val queries = emb.filter($"vec_id" <= 2)
+    def topk(idx: Similarity.IvfIndex) =
+      Similarity.knnJoinIvf(idx, queries, "vec_id", "embedding", k = 2, nprobe = 2)
+        .select($"query_id", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(topk(Similarity.IvfIndex(batchIdx.cents, inc)) === topk(batchIdx))
+  }
+
   test("maintainStats folds batches into exact state, resumes a lineage, rejects a foreign one") {
     import graft.sync.ParquetStore
     val rows = Seq((1L, 10L), (1L, 30L), (2L, 5L), (2L, -7L), (3L, 0L))

@@ -38,4 +38,49 @@ class NgramStatsSpec extends SparkSpec {
     val out = NgramStats.nextTokenTopK(docs, "doc_id", "text", 3).collect()
     assert(out.map(r => (r.getString(0), r.getString(1))).toSet === Set(("p", "q")))
   }
+
+  test("oovBuckets: integer-exact rates, inclusive boundaries, sub-2-token docs absent") {
+    val ref = Seq((0L, "a b a b"), (1L, "b c")).toDF("doc_id", "text")
+    val lm = NgramStats.bigramCounts(ref, "doc_id", "text") // types: ab, ba, bc
+    val docs = Seq(
+      // 10 bigrams (ab x5, ba x4, bz x1), 1 oov (bz): rate 1/10 — EXACTLY
+      // the head boundary, inclusive (the q-gate convention: <=,
+      // multiplied through)
+      (10L, "a b a b a b a b a b z"),
+      // 2 bigrams (bc, ca), 1 oov (ca): rate 1/2 — exactly the middle boundary
+      (11L, "b c a"),
+      // 3 bigrams, all oov: tail
+      (12L, "x y z w"),
+      // 0 bigrams: not emitted
+      (13L, "solo"),
+      // all bigrams in-model: head
+      (14L, "a b c")).toDF("doc_id", "text")
+    val out = NgramStats.oovBuckets(docs, lm, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out === Map(
+      10L -> ((10L, 1L, "head")),
+      11L -> ((2L, 1L, "middle")),
+      12L -> ((3L, 3L, "tail")),
+      14L -> ((2L, 0L, "head"))))
+  }
+
+  test("oovBuckets counts OCCURRENCES against model TYPES (multiplicity on the doc side only)") {
+    val ref = Seq((0L, "a b a b a b")).toDF("doc_id", "text") // types: ab (x3), ba (x2)
+    val docs = Seq((1L, "a b a b z z")).toDF("doc_id", "text")
+    // doc bigrams: ab, ba, ab, bz, zz -> 5 occurrences; oov: bz, zz = 2
+    // (ba IS a model type — the ref's own internal adjacency counts)
+    val out = NgramStats.oovBuckets(docs, ref
+        .transform(d => NgramStats.bigramCounts(d, "doc_id", "text")),
+      "doc_id", "text").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq((1L, 5L, 2L)))
+  }
+
+  test("oovBuckets rejects a head rate looser than the middle rate") {
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    val lm = NgramStats.bigramCounts(df, "doc_id", "text")
+    intercept[IllegalArgumentException] {
+      NgramStats.oovBuckets(df, lm, "doc_id", "text",
+        headNum = 3, headDen = 4, midNum = 1, midDen = 2)
+    }
+  }
 }

@@ -1840,6 +1840,35 @@ object SparkEntry {
       } finally deleteRecursively(tmp)
     }),
 
+    // The SAME quality partition deployed at ingest: arrivals (doc_id >=
+    // 250) stream across TWO micro-batches through the persisted bigram
+    // model and their verdicts accumulate under the lineage-stamped retry
+    // guard — the accumulated table must equal batch q125 row-for-row
+    // (SAME full SQL oracle), proving the gate is batch-partitioning-
+    // invariant and the curation decision does not depend on how arrivals
+    // were split
+    "q126_stream_quality_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("q126").toString
+      val (srcDir, ckDir, outDir) = (s"$tmp/src", s"$tmp/ck", s"$tmp/out")
+      try {
+        val store = new graft.sync.ParquetStore(s, outDir)
+        val lmStore = new graft.sync.ParquetStore(s, s"$tmp/lm")
+        lmStore.write(NgramStats.bigramCounts(
+          docs.filter(col("doc_id") < 250), "doc_id", "text"), "lm")
+        val arrivals = docs.filter(col("doc_id") >= 250)
+        arrivals.repartition(2).write.parquet(srcDir)
+        val stream = s.readStream.schema(arrivals.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*.parquet")
+        IncrementalStream.qualityGate(stream, lmStore.read("lm").get,
+          "doc_id", "text", store, "verdicts", checkpointDir = ckDir)
+          .awaitTermination()
+        store.read("verdicts").get
+          .select(col("doc_id"), col("n_bigrams"), col("n_oov"), col("bucket"))
+          .orderBy("doc_id").localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+
     // REAL pixel resize graded end-to-end: planted PNGs with a per-pixel
     // integer formula, resized to the fixed 8x6 vision-encoder shape by
     // nearest-neighbor (src = dst * srcDim / dstDim, floor — pure integer
@@ -2499,6 +2528,10 @@ object SparkEntry {
     // scored doc, bigram occurrences and out-of-model occurrences, with
     // the integer-threshold head(<=1/10)/middle(<=1/2)/tail bucketing
     "q125_lm_quality_buckets" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), bg AS (SELECT doc_id, unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS b FROM tok WHERE len(ts) >= 2), ref AS (SELECT DISTINCT b FROM bg WHERE doc_id < 250), sc AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, CAST(sum(CASE WHEN ref.b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov FROM bg LEFT JOIN ref ON bg.b = ref.b WHERE bg.doc_id >= 250 GROUP BY bg.doc_id) SELECT doc_id, n_bigrams, n_oov, CASE WHEN n_oov * 10 <= n_bigrams THEN 'head' WHEN n_oov * 2 <= n_bigrams THEN 'middle' ELSE 'tail' END AS bucket FROM sc ORDER BY doc_id""",
+    // q126 grades the streaming gate against q125's SAME oracle (the
+    // q122/q112 pairing pattern)
+    "q126_stream_quality_gate" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), bg AS (SELECT doc_id, unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS b FROM tok WHERE len(ts) >= 2), ref AS (SELECT DISTINCT b FROM bg WHERE doc_id < 250), sc AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, CAST(sum(CASE WHEN ref.b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov FROM bg LEFT JOIN ref ON bg.b = ref.b WHERE bg.doc_id >= 250 GROUP BY bg.doc_id) SELECT doc_id, n_bigrams, n_oov, CASE WHEN n_oov * 10 <= n_bigrams THEN 'head' WHEN n_oov * 2 <= n_bigrams THEN 'middle' ELSE 'tail' END AS bucket FROM sc ORDER BY doc_id""",
     "q111_entity_resolution" ->
       """WITH RECURSIVE tok AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents), corpus AS (SELECT w FROM tok UNION SELECT substr(w, 2) FROM tok WHERE len(w) >= 4), pairs AS (SELECT a.w AS src, b.w AS dst FROM corpus a JOIN corpus b ON a.w <> b.w AND levenshtein(a.w, b.w) <= 1), reach AS (SELECT w AS id, w AS r FROM corpus UNION SELECT p.dst, reach.r FROM reach JOIN pairs p ON p.src = reach.id), canon AS (SELECT id AS w, min(r) AS c FROM reach GROUP BY id), rep AS (SELECT c, w AS rep FROM (SELECT c, w, row_number() OVER (PARTITION BY c ORDER BY len(w) DESC, w) AS rn FROM canon) WHERE rn = 1) SELECT canon.w, rep.rep FROM canon JOIN rep USING (c) ORDER BY w""",

@@ -252,6 +252,32 @@ object IncrementalStream {
       graft.similarity.Similarity.indexRows(batch, vecCol, cents)
     }
 
+  /** CONTINUOUS ingest quality gate: each arriving micro-batch of
+    * documents is scored against the PERSISTED bigram model
+    * (`NgramStats.oovBuckets` — one narrow explode of the batch, an
+    * equi-join against the model table, one per-doc aggregate) and the
+    * per-document verdicts accumulate under the lineage-stamped retry
+    * guard — the curation-at-arrival deployment of the batch quality
+    * partition, alongside the dedup gate (`Dedup.duplicateIdsStream`)
+    * and the decontamination gate. A document arrives whole in one
+    * micro-batch row, so per-batch scoring is exact, stateless, and
+    * batch-partitioning-invariant; the model is re-planned per batch, so
+    * an offline retrain (the model is just a table — overwrite it) takes
+    * effect on the next arrival without restarting the stream. Per-batch
+    * cost: the batch's own bigrams against the (usually broadcast) model
+    * table; the reference corpus itself is never touched — training was
+    * `NgramStats.bigramCounts`, done once, persisted. */
+  def qualityGate(docStream: DataFrame, refBigrams: DataFrame,
+                  idCol: String, textCol: String, store: graft.sync.TableStore,
+                  table: String, checkpointDir: String,
+                  headNum: Int = 1, headDen: Int = 10,
+                  midNum: Int = 1, midDen: Int = 2,
+                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    guardedAppend(docStream, store, table, checkpointDir, Seq(idCol), trigger) { batch =>
+      graft.text.NgramStats.oovBuckets(batch, refBigrams, idCol, textCol,
+        headNum, headDen, midNum, midDen)
+    }
+
   /** CONTINUOUSLY MAINTAINED aggregate state — the streaming materialized
     * view: each micro-batch's per-key algebraic partials
     * (`Stats.mergeableStats`) fold into the stored state via

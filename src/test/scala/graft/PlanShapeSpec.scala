@@ -290,4 +290,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p3.contains("CartesianProduct"),
       s"the rescore must join on neighbor_id, not cross:\n$p3")
   }
+
+  test("oovBuckets joins the model by BROADCAST and prunes the doc scan to id+text") {
+    import org.apache.spark.sql.functions.col
+    import graft.text.NgramStats
+    val docs = Tables(spark, dir, "documents")
+    val lm = NgramStats.bigramCounts(docs.filter(col("doc_id") < 250), "doc_id", "text")
+    val p = NgramStats.oovBuckets(docs.filter(col("doc_id") >= 250), lm, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // the vocabulary²-bounded model must ride a broadcast into the scored
+    // corpus' bigram stream — a sort-merge there shuffles the whole corpus
+    // by bigram string at 100 TB
+    assert(p.contains("BroadcastHashJoin"), s"model join must broadcast:\n$p")
+    // the scored side reads only (doc_id, text): lang/source/n_chars pruned
+    assert("ReadSchema: struct<doc_id:bigint,text:string>".r.findFirstIn(p).isDefined,
+      s"doc scan must prune to id+text:\n$p")
+  }
 }

@@ -326,6 +326,38 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(topk(Similarity.IvfIndex(batchIdx.cents, inc)) === topk(batchIdx))
   }
 
+  test("qualityGate: streamed verdicts equal the batch partition; foreign-lineage replay appends nothing") {
+    import graft.sync.ParquetStore
+    import graft.text.NgramStats
+    val ref = Seq((0L, "a b a b"), (1L, "b c")).toDF("doc_id", "text")
+    val lm = NgramStats.bigramCounts(ref, "doc_id", "text")
+    val docs = Seq(
+      (10L, "a b a b a b a b a b z"), // 1/10 oov -> head
+      (11L, "b c a"),                 // 1/2 oov -> middle
+      (12L, "x y z w"))               // all oov -> tail
+      .toDF("doc_id", "text")
+    val tmp = Files.createTempDirectory("graft_qg").toString
+    docs.filter($"doc_id" <= 10L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    docs.filter($"doc_id" > 10L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    def stream() = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+    val store = new ParquetStore(spark, s"$tmp/out")
+    IncrementalStream.qualityGate(stream(), lm, "doc_id", "text",
+      store, "verdicts", checkpointDir = s"$tmp/ck").awaitTermination()
+    def verdicts() = store.read("verdicts").get
+      .select($"doc_id", $"n_bigrams", $"n_oov", $"bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val batch = NgramStats.oovBuckets(docs, lm, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(verdicts() === batch)
+    assert(verdicts().map(_._4) === Set("head", "middle", "tail"))
+    // fresh checkpoint over the same source: the cross-lineage guard finds
+    // every doc already judged — nothing appends, no duplicate verdicts
+    IncrementalStream.qualityGate(stream(), lm, "doc_id", "text",
+      store, "verdicts", checkpointDir = s"$tmp/ck2").awaitTermination()
+    assert(store.read("verdicts").get.count() === batch.size)
+  }
+
   test("maintainStats folds batches into exact state, resumes a lineage, rejects a foreign one") {
     import graft.sync.ParquetStore
     val rows = Seq((1L, 10L), (1L, 30L), (2L, 5L), (2L, -7L), (3L, 0L))

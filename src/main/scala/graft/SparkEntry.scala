@@ -1931,6 +1931,59 @@ object SparkEntry {
         + when(count(lit(1)) =!= nIn, 1L).otherwise(0L)).as("violations"))
     }),
 
+    // REAL audio resample graded end-to-end (q120's PCM twin): planted
+    // PCM16-LE payloads with a per-sample integer formula, resampled to
+    // the fixed 480-sample encoder window by nearest-sample index math
+    // (src = dst * srcN / dstN, floor), and EVERY output sample must equal
+    // the formula at its mapped source index. Source lengths span
+    // 1..977 samples, so down-sampling, up-sampling, and the degenerate
+    // one-sample payload are all exercised; a filter kernel, an index
+    // off-by-one, or a byte-order slip cannot pass
+    "q127_audio_resample" -> ((s, dir) => {
+      import s.implicits._
+      implicit val session: SparkSession = s
+      val dstN = 480
+      def samp(id: Long, k: Int): Int = // signed int16 by construction
+        (((id * 2654435761L + k * 977L) & 0xffffL) - 32768L).toInt
+      val media = t(s, dir, "documents").select(col("doc_id").cast(LongType)).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val srcN = 1 + (id % 977).toInt
+            val b = new Array[Byte](srcN * 2)
+            var k = 0
+            while (k < srcN) {
+              val v = samp(id, k)
+              b(2 * k) = (v & 0xff).toByte
+              b(2 * k + 1) = ((v >> 8) & 0xff).toByte
+              k += 1
+            }
+            Multimodal.MediaRecord(id, b)
+          }
+        }.toDF()
+      val bad = Multimodal.resampleAudio(media, dstN).mapPartitions { it =>
+        it.map { r =>
+          val srcN = 1 + (r.doc_id % 977).toInt
+          var n = 0L
+          if (r.media == null || r.media.length != dstN * 2) n = 1L
+          else {
+            var i = 0
+            while (i < dstN) {
+              val got = (((r.media(2 * i + 1): Int) << 8) | (r.media(2 * i) & 0xff)).toShort.toInt
+              if (got != samp(r.doc_id, (i.toLong * srcN / dstN).toInt)) n += 1
+              i += 1
+            }
+          }
+          n
+        }
+      }.toDF("bad")
+      // row-count equality like q120: resampleAudio DROPS sample-less rows,
+      // and every planted payload has >= 1 sample, so output must be
+      // exactly one row per document
+      val nIn = t(s, dir, "documents").count()
+      bad.agg((coalesce(sum(when(col("bad") > 0L, 1L).otherwise(0L)), lit(0L))
+        + when(count(lit(1)) =!= nIn, 1L).otherwise(0L)).as("violations"))
+    }),
+
     // GLOBAL 2D proximity join (time ±1h AND amount ±100 cents, no key):
     // grid-cell blocking — 6 cells per build row vs the probe's exact
     // cell, each qualifying pair matched in exactly ONE (x band, y band),
@@ -2509,6 +2562,8 @@ object SparkEntry {
     "q119_stream_decontaminate" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), g AS (SELECT doc_id, unnest([array_to_string(ts[i:i+12], ' ') for i in range(1, len(ts) - 11)]) AS g FROM tok WHERE len(ts) >= 13) SELECT DISTINCT b.doc_id FROM g b WHERE b.doc_id >= 250 AND EXISTS (SELECT 1 FROM g c WHERE c.doc_id < 250 AND c.g = b.g) ORDER BY doc_id""",
     "q120_image_resize" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    "q127_audio_resample" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     // q121 is the EXISTS inverse of q46's novel-docs oracle: the streaming
     // reject list = arrivals WITH a J>=0.9 token-set near-dup in the corpus

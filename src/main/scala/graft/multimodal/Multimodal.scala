@@ -396,6 +396,39 @@ object Multimodal {
     }
   }
 
+  /** Nearest-sample PCM16-LE resample to exactly `dstSamples` mono samples —
+    * the audio analog of [[resizeImage]]'s nearest-neighbor resize: source
+    * index = dst·srcN/dstN, floored, pure integer math, so the result is
+    * deterministic across JVMs (no windowed-sinc kernels — a
+    * feature-extraction front-end needs reproducibility first, and both
+    * up- and down-sampling paths fall out of the same index map). A
+    * trailing odd byte is ignored (the [[decodePcm16]] contract);
+    * null/sample-less input or a non-positive target returns None. */
+  def resamplePcm16(bytes: Array[Byte], dstSamples: Int): Option[Array[Byte]] = {
+    if (bytes == null || bytes.length < 2 || dstSamples <= 0) return None
+    val srcN = bytes.length / 2
+    val out = new Array[Byte](dstSamples * 2)
+    var i = 0
+    while (i < dstSamples) {
+      val s = (i.toLong * srcN / dstSamples).toInt
+      out(2 * i) = bytes(2 * s)
+      out(2 * i + 1) = bytes(2 * s + 1)
+      i += 1
+    }
+    Some(out)
+  }
+
+  /** Partition-parallel fixed-length audio stage — same batch shape as
+    * [[resizeImages]]: media in, media out (every payload resampled to the
+    * encoder's fixed window), undecodable rows dropped. Narrow per-row
+    * map: no shuffle, samples live only inside the task. */
+  def resampleAudio(media: DataFrame, dstSamples: Int)(implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap(r => resamplePcm16(r.media, dstSamples).map(b => MediaRecord(r.doc_id, b)))
+    }
+  }
+
   /** Frame sampling stub: pick every `stride`-th byte as a "frame" offset —
     * the Spark-side shape of video frame extraction (explode to one row per
     * frame, key back to the doc). */

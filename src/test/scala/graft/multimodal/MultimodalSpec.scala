@@ -298,4 +298,43 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_.doc_id).toSeq === Seq(1L, 3L))
     assert(out.map(_.phash).distinct.toSeq === Seq(42L))
   }
+
+  private def pcm(samples: Seq[Int]): Array[Byte] = {
+    val b = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      b(2 * i) = (v & 0xff).toByte; b(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    b
+  }
+  private def samplesOf(b: Array[Byte]): Seq[Int] =
+    (0 until b.length / 2).map(i =>
+      (((b(2 * i + 1): Int) << 8) | (b(2 * i) & 0xff)).toShort.toInt)
+
+  test("resamplePcm16: exact nearest-sample index map both directions, identity at same length") {
+    val src = Seq(100, -200, 300, -32768, 32767, 7) // 6 samples
+    // downsample to 3: indices 0*6/3=0, 1*6/3=2, 2*6/3=4
+    assert(samplesOf(Multimodal.resamplePcm16(pcm(src), 3).get) === Seq(100, 300, 32767))
+    // upsample to 8: idx floor(i*6/8) = 0,0,1,2,3,3,4,5
+    assert(samplesOf(Multimodal.resamplePcm16(pcm(src), 8).get) ===
+      Seq(100, 100, -200, 300, -32768, -32768, 32767, 7))
+    // same length = identity; one-sample source fans out
+    assert(samplesOf(Multimodal.resamplePcm16(pcm(src), 6).get) === src)
+    assert(samplesOf(Multimodal.resamplePcm16(pcm(Seq(-5)), 4).get) === Seq(-5, -5, -5, -5))
+    // trailing odd byte ignored (decodePcm16 contract)
+    assert(samplesOf(Multimodal.resamplePcm16(pcm(src) :+ 0x7f.toByte, 3).get)
+      === Seq(100, 300, 32767))
+    // degenerate inputs
+    assert(Multimodal.resamplePcm16(null, 3) === None)
+    assert(Multimodal.resamplePcm16(Array[Byte](1), 3) === None)
+    assert(Multimodal.resamplePcm16(pcm(src), 0) === None)
+  }
+
+  test("resampleAudio maps partition-parallel and drops sample-less payloads") {
+    val df = Seq((1L, pcm(Seq(10, 20, 30, 40))), (2L, Array.emptyByteArray),
+      (3L, pcm(Seq(-1)))).toDF("doc_id", "media").repartition(3)
+    val out = Multimodal.resampleAudio(df, 2).collect().sortBy(_.doc_id)
+    assert(out.map(_.doc_id).toSeq === Seq(1L, 3L))
+    assert(samplesOf(out(0).media) === Seq(10, 30))
+    assert(samplesOf(out(1).media) === Seq(-1, -1))
+  }
 }

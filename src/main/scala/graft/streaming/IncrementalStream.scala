@@ -198,7 +198,15 @@ object IncrementalStream {
     * O(batch) + O(log file count), independent of service lifetime, and a
     * crash mid-append self-heals on retry (exactly the missing keys
     * re-append). `perBatch` must be deterministic per input row for the
-    * cross-lineage guard to dedup correctly. */
+    * cross-lineage guard to dedup correctly.
+    *
+    * Maintenance: the O(log file count) term is the one that grows — one
+    * part-file set per batch. Compact offline between runs with
+    * `store.write(store.read(table).get, table)` (or `files.Compaction`):
+    * the guard stays CORRECT through a compaction because it filters rows,
+    * not files — compacted files merely mix (__run, __batch) values, so
+    * the first post-compaction retry prunes less and reads more, an
+    * optimization regression only, never a duplicate or a loss. */
   private def guardedAppend(stream: DataFrame, store: graft.sync.TableStore,
                             table: String, checkpointDir: String,
                             keyCols: Seq[String], trigger: Trigger)

@@ -1931,6 +1931,37 @@ object SparkEntry {
         + when(count(lit(1)) =!= nIn, 1L).otherwise(0L)).as("violations"))
     }),
 
+    // STREAMING embedding-dedup gate — the semantic member of the ingest
+    // triad (q121 text near-dup, q126 LM quality, THIS): arrivals are 50
+    // exact twins of corpus vectors (relabeled +1e6, cosine exactly 1.0)
+    // plus 25 negated vectors (+2e6, cosine -1 to their source; nearest
+    // corpus cosine measured <= 0.50 at both graded SFs, a wide margin
+    // around the 0.95 threshold), streamed across TWO micro-batches; the
+    // accumulated reject log must be exactly the twin ids — graded
+    // against a brute-force DuckDB cosine oracle (the q96 float-compare
+    // precedent). Per batch the arrivals broadcast into ONE corpus scan
+    "q128_stream_embed_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val arrivals = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        .unionByName(emb.filter(col("vec_id") >= 50 && col("vec_id") < 75)
+          .select((col("vec_id") + 2000000L).as("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding")))
+      val tmp = java.nio.file.Files.createTempDirectory("q128").toString
+      val (srcDir, ckDir, outDir) = (s"$tmp/src", s"$tmp/ck", s"$tmp/out")
+      try {
+        arrivals.repartition(2).write.parquet(srcDir)
+        val stream = s.readStream.schema(arrivals.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*.parquet")
+        val store = new graft.sync.ParquetStore(s, outDir)
+        IncrementalStream.embedDupGate(stream, emb, "vec_id", "embedding",
+          threshold = 0.95, store, "rejects", checkpointDir = ckDir)
+          .awaitTermination()
+        store.read("rejects").get.select(col("vec_id"))
+          .orderBy("vec_id").localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+
     // REAL audio resample graded end-to-end (q120's PCM twin): planted
     // PCM16-LE payloads with a per-sample integer formula, resampled to
     // the fixed 480-sample encoder window by nearest-sample index math
@@ -2565,6 +2596,11 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q127_audio_resample" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
+    // q128: brute-force cosine membership of the constructed arrivals
+    // against the corpus (the q96 precedent for the float compare — the
+    // planted margins keep every decision >= 0.45 away from the threshold)
+    "q128_stream_embed_dedup" ->
+      """WITH arr AS (SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 50 UNION ALL SELECT vec_id + 2000000, list_transform(embedding, x -> -x) FROM embeddings WHERE vec_id >= 50 AND vec_id < 75) SELECT DISTINCT a.vec_id AS vec_id FROM arr a JOIN embeddings c ON list_cosine_similarity(a.embedding, c.embedding) >= 0.95 ORDER BY a.vec_id""",
     // q121 is the EXISTS inverse of q46's novel-docs oracle: the streaming
     // reject list = arrivals WITH a J>=0.9 token-set near-dup in the corpus
     "q121_stream_ingest_dedup" ->

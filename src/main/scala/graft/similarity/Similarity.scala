@@ -457,6 +457,35 @@ object Similarity {
       .select("query_id", "neighbor_id")
   }
 
+  /** Ids of `batch` rows that have ANY `corpus` row at cosine >=
+    * `threshold` — the embedding-space membership probe behind an ingest
+    * dedup gate (the semantic analog of `Dedup.crossNearDupsHashed`'s
+    * reject list). Exact by construction: the batch is broadcast into ONE
+    * corpus scan (the q112 plan shape — the corpus never shuffles
+    * pre-score), each (corpus, batch) pair costs one codegen'd dot
+    * product against precomputed norms, and only the matched batch ids —
+    * never pair rows — reach the distinct. Non-finite/zero-norm vectors
+    * on either side are excluded (a failed embed must not anchor
+    * rejections; same rationale as [[semanticDedup]]'s zero-norm guard).
+    * At corpus scales where the exact scan is too slow, block by the
+    * coarse quantizer first (join `corpus` pre-assigned via [[indexRows]]
+    * on the batch's probed cells) — same funnel trade as
+    * [[knnJoinIvf]] vs [[knnJoin]]. */
+  def embedDupIds(batch: DataFrame, corpus: DataFrame, idCol: String,
+                  vecCol: String, threshold: Double): DataFrame = {
+    require(threshold >= 0, "dot-product threshold rewrite assumes cosine threshold >= 0")
+    val q = batch.select(col(idCol).as("__id_a"), col(vecCol).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+      .filter(finitePositive(col("__qn")))
+    val c = corpus.select(col(vecCol).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
+      .filter(finitePositive(col("__cn")))
+    c.crossJoin(broadcast(q))
+      .filter(dot(col("__qv"), col("__cv")) >= col("__qn") * col("__cn") * lit(threshold))
+      .select(col("__id_a").as(idCol))
+      .distinct()
+  }
+
   // ------------------------------------------- semantic dedup (SemDeDup)
 
   /** Semantic (embedding-space) dedup, the SemDeDup shape (Abbas et al.,

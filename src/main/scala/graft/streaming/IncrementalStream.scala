@@ -260,6 +260,27 @@ object IncrementalStream {
       graft.similarity.Similarity.indexRows(batch, vecCol, cents)
     }
 
+  /** CONTINUOUS embedding-dedup gate — the semantic member of the ingest
+    * triad (text near-dup `Dedup.duplicateIdsStream`, LM quality
+    * [[qualityGate]], and THIS): each arriving micro-batch of embeddings
+    * is probed exactly against the corpus (`Similarity.embedDupIds` — the
+    * batch broadcasts into one corpus scan, the corpus never shuffles)
+    * and the rejected ids accumulate under the lineage-stamped retry
+    * guard. Per-arrival decisions are independent, so the reject log is
+    * batch-partitioning-invariant; the corpus is re-planned per batch
+    * (accepted arrivals appended to it between batches are seen by the
+    * next batch). At corpus scales where the exact per-batch scan is too
+    * slow, pre-block by the coarse quantizer (see [[indexIngest]] — the
+    * same funnel trade as q112's exact join vs q113's IVF join). */
+  def embedDupGate(vecStream: DataFrame, corpus: DataFrame, idCol: String,
+                   vecCol: String, threshold: Double,
+                   store: graft.sync.TableStore, table: String,
+                   checkpointDir: String,
+                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    guardedAppend(vecStream, store, table, checkpointDir, Seq(idCol), trigger) { batch =>
+      graft.similarity.Similarity.embedDupIds(batch, corpus, idCol, vecCol, threshold)
+    }
+
   /** CONTINUOUS ingest quality gate: each arriving micro-batch of
     * documents is scored against the PERSISTED bigram model
     * (`NgramStats.oovBuckets` — one narrow explode of the batch, an

@@ -291,6 +291,21 @@ class PlanShapeSpec extends SparkSpec {
       s"the rescore must join on neighbor_id, not cross:\n$p3")
   }
 
+  test("embedDupIds broadcasts the batch into one corpus scan; only ids shuffle") {
+    import org.apache.spark.sql.functions.col
+    import graft.similarity.Similarity
+    val emb = Tables(spark, dir, "embeddings")
+    val batch = emb.filter(col("vec_id") < 25)
+    val p = Similarity.embedDupIds(batch, emb, "vec_id", "embedding", 0.95)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the arrival batch must broadcast into the corpus scan:\n$p")
+    // the only hash exchange is the distinct over matched ids — the corpus
+    // (vector payloads) must never shuffle pre-score
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"only the id distinct may shuffle:\n$p")
+  }
+
   test("oovBuckets joins the model by BROADCAST and prunes the doc scan to id+text") {
     import org.apache.spark.sql.functions.col
     import graft.text.NgramStats

@@ -326,6 +326,38 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(topk(Similarity.IvfIndex(batchIdx.cents, inc)) === topk(batchIdx))
   }
 
+  test("embedDupGate: rejects exactly the near-dup arrivals, batch-split-invariant, replay-safe") {
+    import graft.similarity.Similarity
+    import graft.sync.ParquetStore
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(0f, 1f, 0f)), (3L, Array(0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val arrivals = Seq(
+      (10L, Array(1f, 0f, 0f)),      // exact twin of 1 -> reject
+      (11L, Array(0.8f, 0.6f, 0f)),  // cos 0.8 to both 1 and 2 -> keep
+      (12L, Array(0f, 0.99f, 0.14f)) // cos ~0.990 to 2 -> reject
+    ).toDF("vec_id", "embedding")
+    val tmp = Files.createTempDirectory("graft_edg").toString
+    arrivals.filter($"vec_id" <= 10L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    arrivals.filter($"vec_id" > 10L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    def stream() = spark.readStream.schema(arrivals.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+    val store = new ParquetStore(spark, s"$tmp/out")
+    IncrementalStream.embedDupGate(stream(), corpus, "vec_id", "embedding",
+      threshold = 0.95, store, "rejects", checkpointDir = s"$tmp/ck").awaitTermination()
+    def rejects() = store.read("rejects").get.select($"vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(rejects() === Set(10L, 12L))
+    // parity with the batch probe over the same inputs
+    val batch = Similarity.embedDupIds(arrivals, corpus, "vec_id", "embedding", 0.95)
+      .collect().map(_.getLong(0)).toSet
+    assert(rejects() === batch)
+    // fresh checkpoint over the same source: cross-lineage guard, no dups
+    IncrementalStream.embedDupGate(stream(), corpus, "vec_id", "embedding",
+      threshold = 0.95, store, "rejects", checkpointDir = s"$tmp/ck2").awaitTermination()
+    assert(store.read("rejects").get.count() === 2)
+  }
+
   test("qualityGate: streamed verdicts equal the batch partition; foreign-lineage replay appends nothing") {
     import graft.sync.ParquetStore
     import graft.text.NgramStats

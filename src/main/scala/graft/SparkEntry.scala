@@ -1810,10 +1810,17 @@ object SparkEntry {
           store, "assigned", checkpointDir = ckDir).awaitTermination()
         val inc = store.read("assigned").get
           .select(col("vec_id"), col("__centroid")).withColumn("__y", lit(1))
+        // row-count equality alongside the full-outer parity (the q120
+        // pattern): a duplicate (vec_id, __centroid) row in the ingested
+        // index — the exact failure the retry guard exists to prevent —
+        // matches both sides of the full outer and would otherwise be
+        // invisible to the null check, while double-serving neighbors
+        val nBatch = batchIdx.assigned.count()
         batchIdx.assigned
           .select(col("vec_id"), col("__centroid")).withColumn("__x", lit(1))
           .join(inc, Seq("vec_id", "__centroid"), "full_outer")
-          .agg(violations(col("__x").isNull || col("__y").isNull))
+          .agg((violations(col("__x").isNull || col("__y").isNull)
+            + when(count(lit(1)) =!= nBatch, 1L).otherwise(0L)).as("violations"))
           .localCheckpoint()
       } finally deleteRecursively(tmp)
     }),

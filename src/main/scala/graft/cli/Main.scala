@@ -152,6 +152,21 @@ object Main {
       }
     }
 
+  /** Schema of a parquet source dir, or None when the dir is missing or
+    * holds no files yet — the first cron tick of a brand-new pipeline must
+    * drain nothing and exit 0, not crash-loop on schema inference. A
+    * genuinely unreadable path still propagates from the streaming read. */
+  private def sourceSchema(spark: SparkSession, dir: String,
+                           cmd: String): Option[org.apache.spark.sql.types.StructType] =
+    try Some(spark.read.parquet(dir).schema)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        System.err.println(
+          s"[$cmd] source $dir is empty or missing — nothing to drain " +
+            s"(${e.getMessage.linesIterator.next()})")
+        None
+    }
+
   private def execute(spark: SparkSession, cmd: Cmd): Int = cmd match {
     case DbSync(configPath, source, dest, pks) =>
       // catalog preserves YAML order (SyncConfig returns a VectorMap)
@@ -167,29 +182,32 @@ object Main {
       // schema from a batch look at the source dir (a streaming read needs
       // it declared); AvailableNow drains everything new since the
       // checkpoint and terminates — the scheduled-batch deployment
-      val schema = spark.read.parquet(source).schema
-      val stream = spark.readStream.schema(schema).parquet(source)
-      graft.streaming.IncrementalStream.upsertSync(
-        stream, new ParquetStore(spark, dest), table, pks, order, ck)
-        .awaitTermination()
-      0
+      sourceSchema(spark, source, "stream-sync").fold(0) { schema =>
+        val stream = spark.readStream.schema(schema).parquet(source)
+        graft.streaming.IncrementalStream.upsertSync(
+          stream, new ParquetStore(spark, dest), table, pks, order, ck)
+          .awaitTermination()
+        0
+      }
 
     case ServeKnn(queries, corpus, id, vec, k, dest, table, ck) =>
-      val schema = spark.read.parquet(queries).schema
-      val stream = spark.readStream.schema(schema).parquet(queries)
-      graft.streaming.IncrementalStream.knnServe(
-        stream, spark.read.parquet(corpus), id, vec, k,
-        new ParquetStore(spark, dest), table, ck)
-        .awaitTermination()
-      0
+      sourceSchema(spark, queries, "serve-knn").fold(0) { schema =>
+        val stream = spark.readStream.schema(schema).parquet(queries)
+        graft.streaming.IncrementalStream.knnServe(
+          stream, spark.read.parquet(corpus), id, vec, k,
+          new ParquetStore(spark, dest), table, ck)
+          .awaitTermination()
+        0
+      }
 
     case MaintainStats(source, keys, value, dest, table, ck) =>
-      val schema = spark.read.parquet(source).schema
-      val stream = spark.readStream.schema(schema).parquet(source)
-      graft.streaming.IncrementalStream.maintainStats(
-        stream, keys, value, new ParquetStore(spark, dest), table, ck)
-        .awaitTermination()
-      0
+      sourceSchema(spark, source, "maintain-stats").fold(0) { schema =>
+        val stream = spark.readStream.schema(schema).parquet(source)
+        graft.streaming.IncrementalStream.maintainStats(
+          stream, keys, value, new ParquetStore(spark, dest), table, ck)
+          .awaitTermination()
+        0
+      }
 
     case FileSyncCmd(srcDir, dstDir, apply) =>
       // dry-run first, always — the reference's safety pattern (gcs_sync.py:115)

@@ -153,9 +153,13 @@ object IncrementalStream {
     * the generator" serving loops. Per-query results are independent, so
     * the accumulated table is BATCH-PARTITIONING-INVARIANT: any micro-batch
     * split of the same query set converges to the identical table. The
-    * static corpus is re-planned per batch (an index/corpus refresh between
-    * batches is picked up automatically), and each batch broadcasts only
-    * its OWN queries into the corpus scan — per-batch WRITE cost is the
+    * corpus is a BY-NAME parameter re-EVALUATED per batch: pass
+    * `store.read("corpus").get` (or any fresh `spark.read`) and an
+    * offline corpus/index refresh lands on the next batch — a
+    * pre-resolved DataFrame would freeze its cached file listing for the
+    * stream's lifetime (re-planning alone never re-lists files), turning
+    * an in-place overwrite into FileNotFoundExceptions. Each batch
+    * broadcasts only its OWN queries into the corpus scan — per-batch WRITE cost is the
     * batch's own rows (TableStore.append: parquet part files / SQL
     * INSERTs), the corpus is scanned once per batch and never shuffled
     * pre-score (the q112 plan shape, pinned in PlanShapeSpec).
@@ -177,7 +181,7 @@ object IncrementalStream {
     * granularity, so a retried batch re-appends exactly the pairs a
     * partial append dropped — self-healing, and the log converges to the
     * batch-join result duplicate-free under any crash/retry schedule. */
-  def knnServe(queryStream: DataFrame, corpus: DataFrame, idCol: String,
+  def knnServe(queryStream: DataFrame, corpus: => DataFrame, idCol: String,
                vecCol: String, k: Int, store: graft.sync.TableStore,
                table: String, checkpointDir: String,
                trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
@@ -199,6 +203,19 @@ object IncrementalStream {
     * crash mid-append self-heals on retry (exactly the missing keys
     * re-append). `perBatch` must be deterministic per input row for the
     * cross-lineage guard to dedup correctly.
+    *
+    * CONTRACT: keys are assumed unique across the stream's LIFETIME — the
+    * usual shape for doc/vec ids, and what pruning same-lineage rows of
+    * other batches buys its O(1) steady state. A key that legitimately
+    * RE-ARRIVES in a later file is new data, not a retry, and appends
+    * again (round 9's full-log distinct silently swallowed re-arrivals —
+    * at the cost of scanning the whole log every batch); if re-arrivals
+    * are possible upstream, dedup downstream or gate arrivals first
+    * (`Dedup.duplicateIdsStream` / `dropDuplicatesWithinWatermark`).
+    * Rows from a pre-round-10 log carry NULL (__run, __batch) after
+    * schema merge — they are always collidable (the isNull arm below):
+    * three-valued logic would otherwise silently drop them from the
+    * guard and re-append their keys on a cross-lineage replay.
     *
     * Maintenance: the O(log file count) term is the one that grows — one
     * part-file set per batch. Compact offline between runs with
@@ -223,7 +240,11 @@ object IncrementalStream {
           case Some(prev) =>
             val collidable =
               if (prev.columns.contains("__run"))
-                prev.filter(col("__run") =!= run || col("__batch") === batchId)
+                // isNull arm: legacy rows (pre-stamp files merged into this
+                // log) must stay in the guard — `null =!= run` is NULL, and
+                // a three-valued filter would drop them silently
+                prev.filter(col("__run").isNull ||
+                  col("__run") =!= run || col("__batch") === batchId)
               else prev // pre-(__run,__batch) log: full key-level guard
             res.join(collidable.select(keyCols.map(col): _*), keyCols, "left_anti")
           case None => res
@@ -266,13 +287,15 @@ object IncrementalStream {
     * is probed exactly against the corpus (`Similarity.embedDupIds` — the
     * batch broadcasts into one corpus scan, the corpus never shuffles)
     * and the rejected ids accumulate under the lineage-stamped retry
-    * guard. Per-arrival decisions are independent, so the reject log is
-    * batch-partitioning-invariant; the corpus is re-planned per batch
-    * (accepted arrivals appended to it between batches are seen by the
-    * next batch). At corpus scales where the exact per-batch scan is too
+    * guard. Per-arrival decisions are independent given a corpus, so the
+    * reject log is batch-partitioning-invariant; the corpus is a BY-NAME
+    * parameter re-evaluated per batch (pass `store.read(...)` and a
+    * corpus refresh — e.g. accepted arrivals folded in offline — lands
+    * on the next batch; a pre-resolved DataFrame freezes its file
+    * listing). At corpus scales where the exact per-batch scan is too
     * slow, pre-block by the coarse quantizer (see [[indexIngest]] — the
     * same funnel trade as q112's exact join vs q113's IVF join). */
-  def embedDupGate(vecStream: DataFrame, corpus: DataFrame, idCol: String,
+  def embedDupGate(vecStream: DataFrame, corpus: => DataFrame, idCol: String,
                    vecCol: String, threshold: Double,
                    store: graft.sync.TableStore, table: String,
                    checkpointDir: String,
@@ -290,13 +313,16 @@ object IncrementalStream {
     * partition, alongside the dedup gate (`Dedup.duplicateIdsStream`)
     * and the decontamination gate. A document arrives whole in one
     * micro-batch row, so per-batch scoring is exact, stateless, and
-    * batch-partitioning-invariant; the model is re-planned per batch, so
-    * an offline retrain (the model is just a table — overwrite it) takes
-    * effect on the next arrival without restarting the stream. Per-batch
+    * batch-partitioning-invariant; the model is a BY-NAME parameter
+    * re-evaluated per batch, so passing `store.read("lm").get` makes an
+    * offline retrain (the model is just a table — overwrite it) take
+    * effect on the next arrival without restarting the stream (a
+    * pre-resolved DataFrame would freeze the retrained-away file
+    * listing). Per-batch
     * cost: the batch's own bigrams against the (usually broadcast) model
     * table; the reference corpus itself is never touched — training was
     * `NgramStats.bigramCounts`, done once, persisted. */
-  def qualityGate(docStream: DataFrame, refBigrams: DataFrame,
+  def qualityGate(docStream: DataFrame, refBigrams: => DataFrame,
                   idCol: String, textCol: String, store: graft.sync.TableStore,
                   table: String, checkpointDir: String,
                   headNum: Int = 1, headDen: Int = 10,

@@ -174,11 +174,26 @@ class JdbcStore(spark: SparkSession, url: String, props: Map[String, String],
     val stage = table + "__stage"
     // materialize before touching anything: df's plan may read `table`
     val staged = df.localCheckpoint()
+    // schema EVOLUTION escape hatch: the DML swap below can only land a
+    // frame whose columns exist in the destination (INSERT by name). A
+    // changed column set — e.g. maintainStats adopting a pre-__run state
+    // table and stamping the new lineage column — takes the plain write()
+    // path instead (its probe recreates the table under the new schema).
+    // That one migration write is NOT atomic; every steady-state write
+    // before and after it is. The alternative — failing forever on an
+    // adopted legacy table — is strictly worse.
+    val existing = read(table).map(_.schema)
+    def names(s: org.apache.spark.sql.types.StructType) =
+      s.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    if (existing.exists(ex => names(ex) != names(staged.schema))) {
+      write(staged, table)
+      return
+    }
     staged.write.mode("overwrite").option("batchsize", 1000).jdbc(url, stage, p)
     // ensure the destination exists (zero-row append creates it with the
     // staged schema; an empty table reads as "no state applied" — safe if
     // we crash between here and the swap)
-    if (read(table).isEmpty)
+    if (existing.isEmpty)
       staged.limit(0).write.mode("append").option("batchsize", 1000).jdbc(url, table, p)
     val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
     val cols = staged.schema.fieldNames.map(dialect.quoteIdentifier).mkString(", ")

@@ -10,13 +10,14 @@ import org.apache.spark.sql.types._
   * vocabulary audits, boilerplate detection, and cheap LM-style corpus
   * diagnostics.
   *
-  * Fully relational — posexplode + a per-doc `lead` window + two keyed
-  * aggregations — instead of per-document higher-order lambdas (Spark
-  * evaluates HOFs interpreted; see TextAnalysis.distinctNgramCount's
-  * history). At 100 TB: the explode is narrow, the lead window shuffles
-  * on doc id (bounded by the longest document), the count aggregates
-  * shuffle on (w1, w2) whose cardinality is vocabulary-squared-bounded —
-  * all map-side-combined, none corpus-squared.
+  * Adjacent pairs derive from the token array (one interpreted HOF pass
+  * per document — see docBigrams for why that beats the per-doc `lead`
+  * window it replaced: the window shuffled every TOKEN row by doc id
+  * before anything aggregated). At 100 TB: the explode is narrow, the
+  * count aggregates shuffle on (w1, w2) whose cardinality is
+  * vocabulary-squared-bounded, the per-doc score aggregate ships one
+  * combined row per (partition, doc) — all map-side-combined, none
+  * corpus-squared or token-row-shuffled.
   */
 object NgramStats {
 
@@ -24,13 +25,26 @@ object NgramStats {
     * pair within a document (cross-document pairs never count), with
     * multiplicity. The shared extraction under [[nextTokenTopK]],
     * [[bigramCounts]] and [[oovBuckets]] — one definition so the LM that
-    * trains and the filter that scores see identical pairs. */
+    * trains and the filter that scores see identical pairs.
+    *
+    * Adjacency comes from the token ARRAY (transform over positions, the
+    * `Dedup.wordNgrams` shape), NOT from a per-doc `lead` window: the
+    * window formulation forces an Exchange+Sort of every TOKEN row by doc
+    * id before anything aggregates — a full-corpus shuffle a 100 TB
+    * scoring pass cannot afford — where this is a narrow explode feeding
+    * map-side-combined aggregates (pinned in PlanShapeSpec). The token
+    * array is bound as a lambda variable (1-element-array trick, see
+    * wordNgrams) so the tokenizer regex runs once per document. */
   private def docBigrams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val perDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    df.select(col(idCol), posexplode(TextAnalysis.tokens(col(textCol))))
-      .select(col(idCol), col("pos"), col("col").as("w1"))
-      .withColumn("w2", lead(col("w1"), 1).over(perDoc))
-      .filter(col("w2").isNotNull)
+    val empty = array().cast(ArrayType(StructType(Seq(
+      StructField("w1", StringType), StructField("w2", StringType)))))
+    val pairs = flatten(transform(array(TextAnalysis.tokens(col(textCol))), ts =>
+      when(size(ts) >= 2,
+        transform(sequence(lit(0), size(ts) - 2),
+          i => struct(element_at(ts, i + 1).as("w1"), element_at(ts, i + 2).as("w2"))))
+        .otherwise(empty)))
+    df.select(col(idCol), explode(pairs).as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
   }
 
   /** The corpus bigram count table (w1, w2, n) — the trained "model" of
@@ -87,7 +101,13 @@ object NgramStats {
                  midNum: Int = 1, midDen: Int = 2): DataFrame = {
     require(headNum * midDen <= midNum * headDen,
       s"head rate must be <= middle rate, got $headNum/$headDen > $midNum/$midDen")
-    val ref = refBigrams.select(col("w1"), col("w2")).distinct()
+    // CONTRACT: refBigrams is unique per (w1, w2) — bigramCounts output is
+    // by construction (one grouped row per pair). No defensive distinct
+    // here: it would shuffle the model table on EVERY scoring call to
+    // guard an invariant the trainer already established (a duplicated
+    // hand-built model would inflate n_bigrams via join fan-out — dedup
+    // it once at build time, not per score).
+    val ref = refBigrams.select(col("w1"), col("w2"))
       .withColumn("__seen", lit(1))
     docBigrams(docs, idCol, textCol)
       .join(ref, Seq("w1", "w2"), "left")

@@ -310,7 +310,13 @@ class PlanShapeSpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     import graft.text.NgramStats
     val docs = Tables(spark, dir, "documents")
-    val lm = NgramStats.bigramCounts(docs.filter(col("doc_id") < 250), "doc_id", "text")
+    // the deployment shape: the model is a PERSISTED table (its build
+    // exchange happened at train time), so the scoring plan is judged
+    // alone — an inline-built model would contribute its own exchange
+    val tmp = java.nio.file.Files.createTempDirectory("graft_psq125").toString
+    NgramStats.bigramCounts(docs.filter(col("doc_id") < 250), "doc_id", "text")
+      .write.parquet(s"$tmp/lm")
+    val lm = spark.read.parquet(s"$tmp/lm")
     val p = NgramStats.oovBuckets(docs.filter(col("doc_id") >= 250), lm, "doc_id", "text")
       .queryExecution.executedPlan.toString
     // the vocabulary²-bounded model must ride a broadcast into the scored
@@ -320,5 +326,12 @@ class PlanShapeSpec extends SparkSpec {
     // the scored side reads only (doc_id, text): lang/source/n_chars pruned
     assert("ReadSchema: struct<doc_id:bigint,text:string>".r.findFirstIn(p).isDefined,
       s"doc scan must prune to id+text:\n$p")
+    // bigram adjacency comes from the token array, NOT a per-doc window:
+    // the window formulation shuffled every TOKEN row by doc id before
+    // aggregating — the only keyed exchange allowed here carries the
+    // map-side-combined per-doc partials
+    assert(!p.contains("Window"), s"no per-doc window in the scoring pass:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"only the per-doc aggregate may shuffle:\n$p")
   }
 }

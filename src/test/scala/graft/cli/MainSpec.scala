@@ -53,6 +53,16 @@ class MainSpec extends SparkSpec {
     assert(Main.run(spark, Array("maintain-stats", "--keys", "a,b")) === 2)
   }
 
+  test("streaming subcommands exit 0 on an empty/missing source (first cron tick)") {
+    val tmp = Files.createTempDirectory("graft_cli_empty").toString
+    assert(Main.run(spark, Array("stream-sync",
+      "--source", s"$tmp/never_written", "--dest", s"$tmp/dst", "--table", "t",
+      "--pks", "k", "--order", "ts", "--checkpoint", s"$tmp/ck")) === 0)
+    assert(Main.run(spark, Array("maintain-stats",
+      "--source", s"$tmp/never_written", "--keys", "k", "--value", "v",
+      "--dest", s"$tmp/dst", "--table", "stats", "--checkpoint", s"$tmp/ck2")) === 0)
+  }
+
   test("stream-sync end to end: incremental across two invocations, same checkpoint") {
     val tmp = Files.createTempDirectory("graft_cli_ss").toString
     Seq((1L, 10L, "a"), (2L, 5L, "b")).toDF("k", "ts", "v")

@@ -289,6 +289,31 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(pairs === want)
   }
 
+  test("knnServe: legacy NULL-lineage rows stay in the retry guard (no re-append)") {
+    import graft.sync.ParquetStore
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(1f, 1f)), (4L, Array(-1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" <= 2)
+    val tmp = Files.createTempDirectory("graft_kslegacy").toString
+    queries.coalesce(1).write.parquet(s"$tmp/src")
+    // a continued-in-place pre-stamp log: the same pairs, but with NULL
+    // (__run, __batch) — what legacy rows read as after schema merge.
+    // `null =!= run` is NULL under three-valued logic; the guard's isNull
+    // arm must keep these rows collidable or the replay re-appends them
+    val store = new ParquetStore(spark, s"$tmp/out")
+    store.write(graft.similarity.Similarity
+        .knnJoin(queries, corpus, "vec_id", "embedding", k = 2)
+        .withColumn("__run", lit(null).cast("string"))
+        .withColumn("__batch", lit(null).cast("long")), "served")
+    val before = store.read("served").get.count()
+    val stream = spark.readStream.schema(corpus.schema).parquet(s"$tmp/src/*.parquet")
+    IncrementalStream.knnServe(stream, corpus, "vec_id", "embedding", k = 2,
+      store, "served", checkpointDir = s"$tmp/ck").awaitTermination()
+    assert(store.read("served").get.count() === before)
+  }
+
   test("indexIngest: incrementally-built index equals a batch rebuild and serves identically") {
     import graft.similarity.Similarity
     import graft.sync.ParquetStore

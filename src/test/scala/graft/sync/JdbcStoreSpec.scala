@@ -147,6 +147,23 @@ class JdbcStoreSpec extends SparkSpec {
     assert(out === Map(1L -> "a", 2L -> "b"))
   }
 
+  test("writeAtomic with an EVOLVED column set recreates instead of failing the swap forever") {
+    val store = freshStore()
+    // legacy state table: no lineage column (the pre-__run shape)
+    store.writeAtomic(Seq((1L, 10L)).toDF("k", "n"), "t")
+    // adoption write stamps a NEW column: the DML swap cannot land it in
+    // the old table, so this one migration write must take the recreate
+    // path (non-atomic once) rather than rolling back on every retry
+    store.writeAtomic(Seq((1L, 11L, "lineage-a")).toDF("k", "n", "__run"), "t")
+    val out = store.read("t").get
+    assert(out.columns.map(_.toLowerCase).toSet === Set("k", "n", "__run"))
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      === Set((1L, 11L, "lineage-a")))
+    // steady state after migration: the atomic swap path again
+    store.writeAtomic(Seq((1L, 12L, "lineage-a")).toDF("k", "n", "__run"), "t")
+    assert(store.read("t").get.collect().map(_.getLong(1)).toSeq === Seq(12L))
+  }
+
   test("maintainStats over a JdbcStore: state+marker swap atomically, lineage resume works") {
     import org.apache.spark.sql.streaming.Trigger
     val store = freshStore()

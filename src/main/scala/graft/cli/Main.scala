@@ -33,7 +33,11 @@ object Main {
       "       file-sync <srcDir> <dstDir> [--apply]\n" +
       "       stream-sync --source <parquetDir> --dest <storeDir> --table <t> --pks c1[,c2] --order c1[,c2] --checkpoint <dir>\n" +
       "       serve-knn --queries <parquetDir> --corpus <parquet> --id <col> --vec <col> --k <n> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
-      "       maintain-stats --source <parquetDir> --keys c1[,c2] --value <col> --dest <storeDir> --table <t> --checkpoint <dir>"
+      "       maintain-stats --source <parquetDir> --keys c1[,c2] --value <col> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
+      "       train-lm --docs <parquet> --id <col> --text <col> --out <parquetDir>\n" +
+      "       quality-gate --source <parquetDir> --model <parquetDir> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
+      "       embed-dedup --source <parquetDir> --corpus <parquet> --id <col> --vec <col> --threshold <cos> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
+      "       index-ingest --source <parquetDir> --corpus <parquet> --id <col> --vec <col> --centroids <n> --dest <storeDir> --table <t> --checkpoint <dir>"
 
   def main(args: Array[String]): Unit = sys.exit(run(args))
 
@@ -78,6 +82,17 @@ object Main {
   private case class MaintainStats(source: String, keys: Seq[String], value: String,
                                    dest: String, table: String,
                                    checkpoint: String) extends Cmd
+  private case class TrainLm(docs: String, id: String, text: String,
+                             out: String) extends Cmd
+  private case class QualityGateCmd(source: String, model: String, id: String,
+                                    text: String, dest: String, table: String,
+                                    checkpoint: String) extends Cmd
+  private case class EmbedDedup(source: String, corpus: String, id: String,
+                                vec: String, threshold: Double, dest: String,
+                                table: String, checkpoint: String) extends Cmd
+  private case class IndexIngest(source: String, corpus: String, id: String,
+                                 vec: String, centroids: Int, dest: String,
+                                 table: String, checkpoint: String) extends Cmd
 
   private def parse(args: List[String]): Either[String, Cmd] = args match {
     case "db-sync" :: rest =>
@@ -125,6 +140,53 @@ object Main {
         table <- req(opts, "maintain-stats", "table")
         ck <- req(opts, "maintain-stats", "checkpoint")
       } yield MaintainStats(source, keys, value, dest, table, ck)
+    case "train-lm" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        docs <- req(opts, "train-lm", "docs")
+        id <- req(opts, "train-lm", "id")
+        text <- req(opts, "train-lm", "text")
+        out <- req(opts, "train-lm", "out")
+      } yield TrainLm(docs, id, text, out)
+    case "quality-gate" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        source <- req(opts, "quality-gate", "source")
+        model <- req(opts, "quality-gate", "model")
+        id <- req(opts, "quality-gate", "id")
+        text <- req(opts, "quality-gate", "text")
+        dest <- req(opts, "quality-gate", "dest")
+        table <- req(opts, "quality-gate", "table")
+        ck <- req(opts, "quality-gate", "checkpoint")
+      } yield QualityGateCmd(source, model, id, text, dest, table, ck)
+    case "embed-dedup" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        source <- req(opts, "embed-dedup", "source")
+        corpus <- req(opts, "embed-dedup", "corpus")
+        id <- req(opts, "embed-dedup", "id")
+        vec <- req(opts, "embed-dedup", "vec")
+        t <- req(opts, "embed-dedup", "threshold").flatMap(s =>
+          s.toDoubleOption.filter(d => d >= 0 && d <= 1)
+            .toRight(s"embed-dedup: --threshold must be a cosine in [0,1], got $s"))
+        dest <- req(opts, "embed-dedup", "dest")
+        table <- req(opts, "embed-dedup", "table")
+        ck <- req(opts, "embed-dedup", "checkpoint")
+      } yield EmbedDedup(source, corpus, id, vec, t, dest, table, ck)
+    case "index-ingest" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        source <- req(opts, "index-ingest", "source")
+        corpus <- req(opts, "index-ingest", "corpus")
+        id <- req(opts, "index-ingest", "id")
+        vec <- req(opts, "index-ingest", "vec")
+        c <- req(opts, "index-ingest", "centroids").flatMap(s =>
+          s.toIntOption.filter(_ >= 1)
+            .toRight(s"index-ingest: --centroids must be a positive int, got $s"))
+        dest <- req(opts, "index-ingest", "dest")
+        table <- req(opts, "index-ingest", "table")
+        ck <- req(opts, "index-ingest", "checkpoint")
+      } yield IndexIngest(source, corpus, id, vec, c, dest, table, ck)
     case other =>
       Left(s"unknown command: ${other.headOption.getOrElse("(none)")}")
   }
@@ -205,6 +267,50 @@ object Main {
         val stream = spark.readStream.schema(schema).parquet(source)
         graft.streaming.IncrementalStream.maintainStats(
           stream, keys, value, new ParquetStore(spark, dest), table, ck)
+          .awaitTermination()
+        0
+      }
+
+    case TrainLm(docs, id, text, out) =>
+      // train once, persist like any table: the model quality-gate reads
+      graft.text.NgramStats.bigramCounts(spark.read.parquet(docs), id, text)
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case QualityGateCmd(source, model, id, text, dest, table, ck) =>
+      sourceSchema(spark, source, "quality-gate").fold(0) { schema =>
+        val stream = spark.readStream.schema(schema).parquet(source)
+        // the model argument is by-name on the operator: re-read per batch,
+        // so an offline re-train (train-lm --out onto the same dir) is
+        // picked up live without restarting the gate
+        graft.streaming.IncrementalStream.qualityGate(
+          stream, spark.read.parquet(model), id, text,
+          new ParquetStore(spark, dest), table, ck)
+          .awaitTermination()
+        0
+      }
+
+    case EmbedDedup(source, corpus, id, vec, threshold, dest, table, ck) =>
+      sourceSchema(spark, source, "embed-dedup").fold(0) { schema =>
+        val stream = spark.readStream.schema(schema).parquet(source)
+        graft.streaming.IncrementalStream.embedDupGate(
+          stream, spark.read.parquet(corpus), id, vec, threshold,
+          new ParquetStore(spark, dest), table, ck)
+          .awaitTermination()
+        0
+      }
+
+    case IndexIngest(source, corpus, id, vec, centroids, dest, table, ck) =>
+      sourceSchema(spark, source, "index-ingest").fold(0) { schema =>
+        // the coarse quantizer trains on the corpus snapshot at startup —
+        // deterministic k-means, so repeated invocations against the same
+        // corpus agree; retrain offline and reassign in batch on drift
+        val idx = graft.similarity.Similarity.ivfIndex(
+          spark.read.parquet(corpus), id, vec, numCentroids = centroids)
+        val stream = spark.readStream.schema(schema).parquet(source)
+        graft.streaming.IncrementalStream.indexIngest(
+          stream, idx.cents, id, vec,
+          new ParquetStore(spark, dest), table, ck)
           .awaitTermination()
         0
       }

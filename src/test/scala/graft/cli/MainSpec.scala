@@ -105,6 +105,51 @@ class MainSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("train-lm + quality-gate end to end: persisted model, streamed verdicts") {
+    val tmp = Files.createTempDirectory("graft_cli_qg").toString
+    Seq((0L, "a b a b"), (1L, "b c")).toDF("doc_id", "text")
+      .write.parquet(s"$tmp/ref")
+    assert(Main.run(spark, Array("train-lm",
+      "--docs", s"$tmp/ref", "--id", "doc_id", "--text", "text",
+      "--out", s"$tmp/lm")) === 0)
+    Seq((10L, "a b a b"), (11L, "x y z")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    assert(Main.run(spark, Array("quality-gate",
+      "--source", s"$tmp/src", "--model", s"$tmp/lm", "--id", "doc_id",
+      "--text", "text", "--dest", s"$tmp/dst", "--table", "verdicts",
+      "--checkpoint", s"$tmp/ck")) === 0)
+    val out = new graft.sync.ParquetStore(spark, s"$tmp/dst").read("verdicts").get
+      .select($"doc_id", $"bucket").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out === Set((10L, "head"), (11L, "tail")))
+  }
+
+  test("embed-dedup and index-ingest end to end over a vector corpus") {
+    val tmp = Files.createTempDirectory("graft_cli_ed").toString
+    val corpus = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)), (3L, Array(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    corpus.write.parquet(s"$tmp/corpus")
+    Seq((10L, Array(1f, 0f)), (11L, Array(-1f, 0.5f)))
+      .toDF("vec_id", "embedding").coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    assert(Main.run(spark, Array("embed-dedup",
+      "--source", s"$tmp/src", "--corpus", s"$tmp/corpus", "--id", "vec_id",
+      "--vec", "embedding", "--threshold", "0.95", "--dest", s"$tmp/dst",
+      "--table", "rejects", "--checkpoint", s"$tmp/ck")) === 0)
+    val rejects = new graft.sync.ParquetStore(spark, s"$tmp/dst").read("rejects").get
+      .collect().map(_.getLong(0)).toSet
+    assert(rejects === Set(10L))
+    assert(Main.run(spark, Array("index-ingest",
+      "--source", s"$tmp/src", "--corpus", s"$tmp/corpus", "--id", "vec_id",
+      "--vec", "embedding", "--centroids", "2", "--dest", s"$tmp/dst2",
+      "--table", "assigned", "--checkpoint", s"$tmp/ck2")) === 0)
+    val assigned = new graft.sync.ParquetStore(spark, s"$tmp/dst2").read("assigned").get
+    assert(assigned.count() === 2)
+    assert(assigned.columns.contains("__centroid") && assigned.columns.contains("__cn"))
+    // bad args short-circuit before Spark work
+    assert(Main.run(spark, Array("embed-dedup", "--threshold", "2.0")) === 2)
+    assert(Main.run(spark, Array("index-ingest", "--centroids", "0")) === 2)
+  }
+
   test("maintain-stats end to end: state equals the direct aggregate") {
     val tmp = Files.createTempDirectory("graft_cli_ms").toString
     Seq((1L, 10L), (1L, 30L), (2L, 5L)).toDF("k", "v")

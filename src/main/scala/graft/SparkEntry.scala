@@ -1938,6 +1938,22 @@ object SparkEntry {
         + when(count(lit(1)) =!= nIn, 1L).otherwise(0L)).as("violations"))
     }),
 
+    // SPAN-LEVEL (surgical) decontamination: instead of q49's drop-the-
+    // document gate, count exactly the token positions covered by at
+    // least one contaminated 13-gram window (union of overlapping
+    // windows) — the Lee-et-al-style removal accounting that keeps a
+    // mostly-clean document's other tokens. Every corpus doc (>= 250)
+    // appears, clean ones with n_removed = 0; the benchmark side is the
+    // same doc_id < 250 split as q49/q119 so the three decontamination
+    // deployments grade against one data story
+    "q129_decontaminate_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.contaminatedSpanStats(
+          docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // STREAMING embedding-dedup gate — the semantic member of the ingest
     // triad (q121 text near-dup, q126 LM quality, THIS): arrivals are 50
     // exact twins of corpus vectors (relabeled +1e6, cosine exactly 1.0)
@@ -2603,6 +2619,11 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q127_audio_resample" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
+    // q129: covered-position union of contaminated 13-gram windows, per
+    // corpus doc (1-based positions in SQL, 0-based in Spark — counts
+    // are index-base-invariant)
+    "q129_decontaminate_spans" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), g AS (SELECT doc_id, pos, array_to_string(ts[pos:pos+12], ' ') AS g FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 11)) AS pos FROM tok WHERE len(ts) >= 13)), bench AS (SELECT DISTINCT g FROM g WHERE doc_id < 250), hit AS (SELECT doc_id, pos FROM g WHERE doc_id >= 250 AND g IN (SELECT g FROM bench)), cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 13)) AS p FROM hit), rem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM cov GROUP BY doc_id) SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens, coalesce(rem.n_removed, CAST(0 AS BIGINT)) AS n_removed FROM tok t LEFT JOIN rem USING (doc_id) WHERE t.doc_id >= 250 ORDER BY t.doc_id""",
     // q128: brute-force cosine membership of the constructed arrivals
     // against the corpus (the q96 precedent for the float compare — the
     // planted margins keep every decision >= 0.45 away from the threshold)

@@ -43,6 +43,68 @@ object Decontaminate {
     corpus.join(contaminatedIds(corpus, benchmark, idCol, textCol, n),
       Seq(idCol), "left_anti")
 
+  /** SPAN-LEVEL contamination accounting — the surgical alternative to
+    * dropping whole documents: a long, mostly-clean document that quotes
+    * one benchmark passage loses the quoted tokens, not its other 50k.
+    * For every corpus document, the exact number of token positions
+    * covered by at least one contaminated n-gram window (overlapping
+    * windows UNION — a position is removed once however many windows
+    * cover it). Output: (idCol, n_tokens, n_removed), one row per corpus
+    * document — n_removed = 0 for clean docs and for docs shorter than n
+    * tokens (no window can exist). Integers only, the engine's
+    * cross-engine determinism contract.
+    *
+    * Plan shape: both sides build the positional n-gram index
+    * (`Dedup.positionalGrams` — the passage-dedup extractor, one
+    * tokenizer pass per doc, 8-byte gram hashes); the benchmark's
+    * distinct gram set broadcasts (benchmark-sized by the
+    * decontamination contract) into a semi join over the corpus index,
+    * surviving windows explode to their n covered positions, and the
+    * per-doc distinct+count shuffles only CONTAMINATED-window positions —
+    * cost tracks contamination volume, not corpus size, on top of the
+    * one narrow index pass. */
+  def contaminatedSpanStats(corpus: DataFrame, benchmark: DataFrame,
+                            idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    val cg = Dedup.positionalGrams(corpus, idCol, textCol, n, idCol)
+    val bg = Dedup.positionalGrams(benchmark, idCol, textCol, n, idCol)
+      .select(col("__g")).distinct()
+    val covered = cg.join(bg, Seq("__g"), "left_semi")
+      .select(col(idCol), explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__p"))
+      .distinct()
+    val removed = covered.groupBy(col(idCol)).agg(count(lit(1)).as("n_removed"))
+    corpus
+      .select(col(idCol),
+        size(graft.text.TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(removed, Seq(idCol), "left")
+      .withColumn("n_removed", coalesce(col("n_removed"), lit(0L)))
+  }
+
+  /** The surgically decontaminated corpus: every document's token array
+    * with the covered positions of [[contaminatedSpanStats]] removed —
+    * (idCol, clean_tokens). Documents with nothing to remove keep their
+    * full token array (the join is left; null coverage means clean).
+    * Downstream stages that consume token arrays (chunking, packing,
+    * token counting) compose directly; reconstructing surface text is
+    * deliberately out of scope (tokenization is lossy — the pipeline
+    * contract downstream of scrubbing is token-level anyway). */
+  def scrubSpans(corpus: DataFrame, benchmark: DataFrame,
+                 idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    val cg = Dedup.positionalGrams(corpus, idCol, textCol, n, idCol)
+    val bg = Dedup.positionalGrams(benchmark, idCol, textCol, n, idCol)
+      .select(col("__g")).distinct()
+    val covered = cg.join(bg, Seq("__g"), "left_semi")
+      .select(col(idCol), explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__p"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_set(col("__p"))).as("__cov"))
+    corpus
+      .select(col(idCol), graft.text.TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__cov").isNull, col("__toks"))
+          .otherwise(filter(col("__toks"), (_, i) => !array_contains(col("__cov"), i)))
+          .as("clean_tokens"))
+  }
+
   /** STREAMING decontamination gate: `corpusStream` is an unbounded arrival
     * stream of documents; emit each contaminated id once, as it arrives —
     * the ingest-time deployment of [[contaminatedIds]] (flag eval-set

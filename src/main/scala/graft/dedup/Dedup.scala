@@ -499,7 +499,7 @@ object Dedup {
     * Lazy (eager = false) so merely CONSTRUCTING the query launches no
     * job; the cost is the materialization barrier itself — a filter
     * composed on top of the returned frame cannot push below it. */
-  private def positionalGrams(df: DataFrame, idCol: String, textCol: String,
+  private[dedup] def positionalGrams(df: DataFrame, idCol: String, textCol: String,
                               k: Int, outId: String): DataFrame =
     df.select(col(idCol).as(outId),
         posexplode(flatten(transform(array(TextAnalysis.tokens(col(textCol))), ts =>

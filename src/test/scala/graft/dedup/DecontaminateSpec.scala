@@ -71,4 +71,32 @@ class DecontaminateSpec extends SparkSpec {
     assert((flagged union kept) ===
       corpus.collect().map(_.getLong(0)).toSet)
   }
+
+  test("contaminatedSpanStats: overlapping windows union, clean and short docs at zero") {
+    // n=4 against the benchmark: doc 1 has contaminated 4-gram windows at
+    // token positions 0 and 1 (alpha-beta-gamma-delta, beta-gamma-delta-
+    // epsilon) — overlapping, covering tokens 0..4 = 5 positions, NOT 8;
+    // doc 2 only the window at 0 (XXX breaks the second) = 4 positions;
+    // doc 3 is clean; doc 4 (2 tokens) can hold no window
+    val out = Decontaminate.contaminatedSpanStats(corpus, benchmark, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map(
+      1L -> ((6L, 5L)),
+      2L -> ((6L, 4L)),
+      3L -> ((6L, 0L)),
+      4L -> ((2L, 0L))))
+  }
+
+  test("scrubSpans removes exactly the covered tokens, keeps clean docs whole") {
+    val out = Decontaminate.scrubSpans(corpus, benchmark, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) === Seq("zeta"))                     // tokens 0..4 removed
+    assert(out(2L) === Seq("xxx", "zeta"))              // tokens 0..3 removed
+    assert(out(3L) === Seq("one", "two", "three", "four", "five", "six"))
+    assert(out(4L) === Seq("alpha", "beta"))
+    // the span accounting and the scrub agree: removed = n_tokens - kept
+    val stats = Decontaminate.contaminatedSpanStats(corpus, benchmark, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1) - r.getLong(2))).toMap
+    out.foreach { case (id, toks) => assert(toks.length.toLong === stats(id)) }
+  }
 }

@@ -37,7 +37,9 @@ object Main {
       "       train-lm --docs <parquet> --id <col> --text <col> --out <parquetDir>\n" +
       "       quality-gate --source <parquetDir> --model <parquetDir> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       embed-dedup --source <parquetDir> --corpus <parquet> --id <col> --vec <col> --threshold <cos> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
-      "       index-ingest --source <parquetDir> --corpus <parquet> --id <col> --vec <col> --centroids <n> --dest <storeDir> --table <t> --checkpoint <dir>"
+      "       index-ingest --source <parquetDir> --corpus <parquet> --id <col> --vec <col> --centroids <n> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
+      "       build-dedup-index --corpus <parquet> --id <col> --text <col> --ngram <n> --hashes <n> --bands <n> --out <storeDir>\n" +
+      "       ingest-dedup --source <parquetDir> --index <storeDir> --id <col> --text <col> --ngram <n> --num <j> --den <j> --hashes <n> --bands <n> --dest <storeDir> --table <t> --checkpoint <dir>"
 
   def main(args: Array[String]): Unit = sys.exit(run(args))
 
@@ -92,6 +94,13 @@ object Main {
                                 table: String, checkpoint: String) extends Cmd
   private case class IndexIngest(source: String, corpus: String, id: String,
                                  vec: String, centroids: Int, dest: String,
+                                 table: String, checkpoint: String) extends Cmd
+  private case class BuildDedupIndex(corpus: String, id: String, text: String,
+                                     ngram: Int, hashes: Int, bands: Int,
+                                     out: String) extends Cmd
+  private case class IngestDedup(source: String, index: String, id: String,
+                                 text: String, ngram: Int, num: Int, den: Int,
+                                 hashes: Int, bands: Int, dest: String,
                                  table: String, checkpoint: String) extends Cmd
 
   private def parse(args: List[String]): Either[String, Cmd] = args match {
@@ -187,9 +196,48 @@ object Main {
         table <- req(opts, "index-ingest", "table")
         ck <- req(opts, "index-ingest", "checkpoint")
       } yield IndexIngest(source, corpus, id, vec, c, dest, table, ck)
+    case "build-dedup-index" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "build-dedup-index", "corpus")
+        id <- req(opts, "build-dedup-index", "id")
+        text <- req(opts, "build-dedup-index", "text")
+        n <- posInt(opts, "build-dedup-index", "ngram")
+        hashes <- posInt(opts, "build-dedup-index", "hashes")
+        bands <- posInt(opts, "build-dedup-index", "bands")
+        out <- req(opts, "build-dedup-index", "out")
+      } yield BuildDedupIndex(corpus, id, text, n, hashes, bands, out)
+    case "ingest-dedup" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        source <- req(opts, "ingest-dedup", "source")
+        index <- req(opts, "ingest-dedup", "index")
+        id <- req(opts, "ingest-dedup", "id")
+        text <- req(opts, "ingest-dedup", "text")
+        n <- posInt(opts, "ingest-dedup", "ngram")
+        num <- posInt(opts, "ingest-dedup", "num")
+        den <- posInt(opts, "ingest-dedup", "den")
+        hashes <- posInt(opts, "ingest-dedup", "hashes")
+        bands <- posInt(opts, "ingest-dedup", "bands")
+        dest <- req(opts, "ingest-dedup", "dest")
+        table <- req(opts, "ingest-dedup", "table")
+        ck <- req(opts, "ingest-dedup", "checkpoint")
+      } yield IngestDedup(source, index, id, text, n, num, den, hashes, bands, dest, table, ck)
     case other =>
       Left(s"unknown command: ${other.headOption.getOrElse("(none)")}")
   }
+
+  private def posInt(opts: Map[String, String], cmd: String, key: String): Either[String, Int] =
+    req(opts, cmd, key).flatMap(s =>
+      s.toIntOption.filter(_ >= 1).toRight(s"$cmd: --$key must be a positive int, got $s"))
+
+  /** The shingler pair for build-dedup-index / ingest-dedup: unigram token
+    * SET at n = 1, hashed word n-grams above. Both sides of a gate must
+    * pass the SAME --ngram (and --hashes/--bands) or candidates are
+    * silently wrong — the operator's documented contract. */
+  private def shingler(n: Int): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    if (n == 1) c => graft.dedup.Dedup.hashedShingles(graft.text.TextAnalysis.tokenSet(c))
+    else c => graft.dedup.Dedup.hashedWordNgrams(c, n)
 
   private def req(opts: Map[String, String], cmd: String, key: String): Either[String, String] =
     opts.get(key).toRight(s"$cmd: missing --$key")
@@ -312,6 +360,41 @@ object Main {
           stream, idx.cents, id, vec,
           new ParquetStore(spark, dest), table, ck)
           .awaitTermination()
+        0
+      }
+
+    case BuildDedupIndex(corpus, id, text, n, hashes, bands, out) =>
+      // one corpus text pass; both tables persist through the store and
+      // serve every ingest-dedup restart without re-shingling
+      val built = graft.dedup.Dedup.buildNearDupIndex(
+        spark.read.parquet(corpus), id, text, shingler(n), hashes, bands)
+      val store = new ParquetStore(spark, out)
+      store.write(built.bandIndex, "band_index")
+      store.write(built.shingleSets, "shingle_sets")
+      0
+
+    case IngestDedup(source, index, id, text, n, num, den, hashes, bands, dest, table, ck) =>
+      sourceSchema(spark, source, "ingest-dedup").fold(0) { schema =>
+        val idxStore = new ParquetStore(spark, index)
+        val idx = graft.dedup.Dedup.NearDupIndex(
+          idxStore.read("band_index").getOrElse(
+            sys.error(s"ingest-dedup: no band_index table under $index — run build-dedup-index first")),
+          idxStore.read("shingle_sets").getOrElse(
+            sys.error(s"ingest-dedup: no shingle_sets table under $index")))
+        val stream = spark.readStream.schema(schema).parquet(source)
+        // constant day-1 arrival time: the AvailableNow drain treats the
+        // run as one logical arrival (the operator's documented epoch-0
+        // pitfall and q61-family re-emission caveat apply)
+        val rejects = graft.dedup.Dedup.duplicateIdsStream(
+          stream, idx, id, text, shingler(n), num, den, hashes, bands,
+          eventTimeCol = org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.lit(86400000000L)),
+          watermarkDelay = "10 minutes")
+        rejects.writeStream.format("parquet")
+          .option("path", s"$dest/$table.parquet")
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
         0
       }
 

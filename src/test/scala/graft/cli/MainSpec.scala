@@ -150,6 +150,30 @@ class MainSpec extends SparkSpec {
     assert(Main.run(spark, Array("index-ingest", "--centroids", "0")) === 2)
   }
 
+  test("build-dedup-index + ingest-dedup end to end: persisted index gates arrivals") {
+    val tmp = Files.createTempDirectory("graft_cli_dd").toString
+    Seq((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "completely different content about spark engines"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/corpus")
+    assert(Main.run(spark, Array("build-dedup-index",
+      "--corpus", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+      "--ngram", "1", "--hashes", "128", "--bands", "32",
+      "--out", s"$tmp/idx")) === 0)
+    Seq((10L, "the quick brown fox jumps over the lazy dog"), // dup of 1
+        (11L, "entirely novel text about distributed joins"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    assert(Main.run(spark, Array("ingest-dedup",
+      "--source", s"$tmp/src", "--index", s"$tmp/idx", "--id", "doc_id",
+      "--text", "text", "--ngram", "1", "--num", "9", "--den", "10",
+      "--hashes", "128", "--bands", "32", "--dest", s"$tmp/dst",
+      "--table", "rejects", "--checkpoint", s"$tmp/ck")) === 0)
+    val rejects = spark.read.parquet(s"$tmp/dst/rejects.parquet")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rejects === Seq(10L))
+    // mismatched banding params are rejected before Spark work
+    assert(Main.run(spark, Array("ingest-dedup", "--ngram", "0")) === 2)
+  }
+
   test("maintain-stats end to end: state equals the direct aggregate") {
     val tmp = Files.createTempDirectory("graft_cli_ms").toString
     Seq((1L, 10L), (1L, 30L), (2L, 5L)).toDF("k", "v")

@@ -216,7 +216,11 @@ object Main {
         text <- req(opts, "ingest-dedup", "text")
         n <- posInt(opts, "ingest-dedup", "ngram")
         num <- posInt(opts, "ingest-dedup", "num")
-        den <- posInt(opts, "ingest-dedup", "den")
+        den <- posInt(opts, "ingest-dedup", "den").flatMap(d =>
+          // num > den is a Jaccard threshold above 1: unsatisfiable even
+          // for identical sets — the gate would silently reject nothing
+          if (num <= d) Right(d)
+          else Left(s"ingest-dedup: --num/--den is a Jaccard threshold <= 1, got $num/$d"))
         hashes <- posInt(opts, "ingest-dedup", "hashes")
         bands <- posInt(opts, "ingest-dedup", "bands")
         dest <- req(opts, "ingest-dedup", "dest")
@@ -263,14 +267,18 @@ object Main {
     }
 
   /** Schema of a parquet source dir, or None when the dir is missing or
-    * holds no files yet — the first cron tick of a brand-new pipeline must
-    * drain nothing and exit 0, not crash-loop on schema inference. A
-    * genuinely unreadable path still propagates from the streaming read. */
+    * holds no parquet yet — the first cron tick of a brand-new pipeline
+    * must drain nothing and exit 0, not crash-loop on schema inference.
+    * ONLY the missing/empty error classes map to the benign path: any
+    * other analysis failure (corrupt files, mixed formats, permissions)
+    * propagates — swallowing it would make a broken source look like a
+    * healthy idle one on every tick, forever. */
   private def sourceSchema(spark: SparkSession, dir: String,
                            cmd: String): Option[org.apache.spark.sql.types.StructType] =
     try Some(spark.read.parquet(dir).schema)
     catch {
-      case e: org.apache.spark.sql.AnalysisException =>
+      case e: org.apache.spark.sql.AnalysisException
+        if Set("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")(e.getCondition) =>
         System.err.println(
           s"[$cmd] source $dir is empty or missing — nothing to drain " +
             s"(${e.getMessage.linesIterator.next()})")
@@ -320,9 +328,19 @@ object Main {
       }
 
     case TrainLm(docs, id, text, out) =>
-      // train once, persist like any table: the model quality-gate reads
+      // train once, persist like any table. STAGED temp+rename, not an
+      // in-place overwrite: quality-gate re-reads this directory per
+      // micro-batch, and a plain overwrite deletes the old files before
+      // the new job commits — a gate batch planning mid-retrain would see
+      // an empty or partial model. The rename flips old->new in one FS op.
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(out + "__stage")
+      val dst = new org.apache.hadoop.fs.Path(out)
       graft.text.NgramStats.bigramCounts(spark.read.parquet(docs), id, text)
-        .write.mode("overwrite").parquet(out)
+        .write.mode("overwrite").parquet(tmp.toString)
+      if (fs.exists(dst)) fs.delete(dst, true)
+      if (!fs.rename(tmp, dst)) sys.error(s"train-lm: rename failed for $out")
       0
 
     case QualityGateCmd(source, model, id, text, dest, table, ck) =>
@@ -365,12 +383,23 @@ object Main {
 
     case BuildDedupIndex(corpus, id, text, n, hashes, bands, out) =>
       // one corpus text pass; both tables persist through the store and
-      // serve every ingest-dedup restart without re-shingling
+      // serve every ingest-dedup restart without re-shingling. The build
+      // parameters ride along as a one-row manifest: a serve-side
+      // mismatch computes band keys under a DIFFERENT hash family than
+      // the persisted index — candidates silently miss and duplicates
+      // pass — so ingest-dedup refuses to start on a mismatch instead
       val built = graft.dedup.Dedup.buildNearDupIndex(
         spark.read.parquet(corpus), id, text, shingler(n), hashes, bands)
       val store = new ParquetStore(spark, out)
       store.write(built.bandIndex, "band_index")
       store.write(built.shingleSets, "shingle_sets")
+      store.write(spark.createDataFrame(java.util.List.of(
+          org.apache.spark.sql.Row(n, hashes, bands)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("ngram", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("hashes", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("bands", org.apache.spark.sql.types.IntegerType)))),
+        "params")
       0
 
     case IngestDedup(source, index, id, text, n, num, den, hashes, bands, dest, table, ck) =>
@@ -381,14 +410,25 @@ object Main {
             sys.error(s"ingest-dedup: no band_index table under $index — run build-dedup-index first")),
           idxStore.read("shingle_sets").getOrElse(
             sys.error(s"ingest-dedup: no shingle_sets table under $index")))
+        idxStore.read("params").foreach { params =>
+          val r = params.head
+          val (bn, bh, bb) = (r.getInt(0), r.getInt(1), r.getInt(2))
+          require(bn == n && bh == hashes && bb == bands,
+            s"ingest-dedup: index at $index was built with --ngram $bn --hashes $bh " +
+              s"--bands $bb but this gate passed --ngram $n --hashes $hashes --bands " +
+              s"$bands — a mismatched family would silently pass duplicates")
+        }
         val stream = spark.readStream.schema(schema).parquet(source)
-        // constant day-1 arrival time: the AvailableNow drain treats the
-        // run as one logical arrival (the operator's documented epoch-0
-        // pitfall and q61-family re-emission caveat apply)
+        // wall-clock arrival time (evaluated per micro-batch), NOT a
+        // constant: a constant pins the watermark forever below every
+        // event, so the per-id dedup state would grow with every doc ever
+        // ingested over the checkpoint's lifetime. With wall time, state
+        // ages out one watermark-delay behind the latest drain; the
+        // trade is the documented q61-family caveat — the same id
+        // re-arriving in a drain more than the delay later re-emits
         val rejects = graft.dedup.Dedup.duplicateIdsStream(
           stream, idx, id, text, shingler(n), num, den, hashes, bands,
-          eventTimeCol = org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.lit(86400000000L)),
+          eventTimeCol = org.apache.spark.sql.functions.current_timestamp(),
           watermarkDelay = "10 minutes")
         rejects.writeStream.format("parquet")
           .option("path", s"$dest/$table.parquet")

@@ -63,15 +63,25 @@ object Decontaminate {
     * per-doc distinct+count shuffles only CONTAMINATED-window positions —
     * cost tracks contamination volume, not corpus size, on top of the
     * one narrow index pass. */
-  def contaminatedSpanStats(corpus: DataFrame, benchmark: DataFrame,
-                            idCol: String, textCol: String, n: Int = 13): DataFrame = {
+  /** The shared covered-position core of [[contaminatedSpanStats]] and
+    * [[scrubSpans]]: (idCol, __p) — every DISTINCT 0-based token position
+    * of `corpus` covered by at least one contaminated n-gram window. One
+    * definition so the accounting and the scrub cannot diverge (their
+    * spec pins removed = n_tokens − kept). */
+  private def coveredPositions(corpus: DataFrame, benchmark: DataFrame,
+                               idCol: String, textCol: String, n: Int): DataFrame = {
     val cg = Dedup.positionalGrams(corpus, idCol, textCol, n, idCol)
     val bg = Dedup.positionalGrams(benchmark, idCol, textCol, n, idCol)
       .select(col("__g")).distinct()
-    val covered = cg.join(bg, Seq("__g"), "left_semi")
+    cg.join(bg, Seq("__g"), "left_semi")
       .select(col(idCol), explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__p"))
       .distinct()
-    val removed = covered.groupBy(col(idCol)).agg(count(lit(1)).as("n_removed"))
+  }
+
+  def contaminatedSpanStats(corpus: DataFrame, benchmark: DataFrame,
+                            idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    val removed = coveredPositions(corpus, benchmark, idCol, textCol, n)
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_removed"))
     corpus
       .select(col(idCol),
         size(graft.text.TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
@@ -89,11 +99,7 @@ object Decontaminate {
     * contract downstream of scrubbing is token-level anyway). */
   def scrubSpans(corpus: DataFrame, benchmark: DataFrame,
                  idCol: String, textCol: String, n: Int = 13): DataFrame = {
-    val cg = Dedup.positionalGrams(corpus, idCol, textCol, n, idCol)
-    val bg = Dedup.positionalGrams(benchmark, idCol, textCol, n, idCol)
-      .select(col("__g")).distinct()
-    val covered = cg.join(bg, Seq("__g"), "left_semi")
-      .select(col(idCol), explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__p"))
+    val covered = coveredPositions(corpus, benchmark, idCol, textCol, n)
       .groupBy(col(idCol))
       .agg(array_sort(collect_set(col("__p"))).as("__cov"))
     corpus

@@ -175,17 +175,20 @@ class JdbcStore(spark: SparkSession, url: String, props: Map[String, String],
     // materialize before touching anything: df's plan may read `table`
     val staged = df.localCheckpoint()
     // schema EVOLUTION escape hatch: the DML swap below can only land a
-    // frame whose columns exist in the destination (INSERT by name). A
-    // changed column set — e.g. maintainStats adopting a pre-__run state
-    // table and stamping the new lineage column — takes the plain write()
-    // path instead (its probe recreates the table under the new schema).
-    // That one migration write is NOT atomic; every steady-state write
-    // before and after it is. The alternative — failing forever on an
-    // adopted legacy table — is strictly worse.
+    // frame whose columns exist in the destination with compatible types
+    // (INSERT by name). A changed column SET — e.g. maintainStats adopting
+    // a pre-__run state table and stamping the new lineage column — or a
+    // changed column TYPE (the INSERT..SELECT would fail and roll back on
+    // every retry, wedging the stream) takes the plain write() path
+    // instead (its probe recreates the table under the new schema). That
+    // one migration write is NOT atomic; every steady-state write before
+    // and after it is. The alternative — failing forever on an evolved
+    // table — is strictly worse. Same name->type compare as write()'s
+    // truncate probe: anything uncertain recreates.
     val existing = read(table).map(_.schema)
-    def names(s: org.apache.spark.sql.types.StructType) =
-      s.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-    if (existing.exists(ex => names(ex) != names(staged.schema))) {
+    def colTypes(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.dataType).toMap
+    if (existing.exists(ex => colTypes(ex) != colTypes(staged.schema))) {
       write(staged, table)
       return
     }

@@ -313,12 +313,13 @@ class PlanShapeSpec extends SparkSpec {
     // the deployment shape: the model is a PERSISTED table (its build
     // exchange happened at train time), so the scoring plan is judged
     // alone — an inline-built model would contribute its own exchange
-    val tmp = java.nio.file.Files.createTempDirectory("graft_psq125").toString
-    NgramStats.bigramCounts(docs.filter(col("doc_id") < 250), "doc_id", "text")
-      .write.parquet(s"$tmp/lm")
-    val lm = spark.read.parquet(s"$tmp/lm")
-    val p = NgramStats.oovBuckets(docs.filter(col("doc_id") >= 250), lm, "doc_id", "text")
-      .queryExecution.executedPlan.toString
+    val tmp = java.nio.file.Files.createTempDirectory("graft_psq125")
+    try {
+      NgramStats.bigramCounts(docs.filter(col("doc_id") < 250), "doc_id", "text")
+        .write.parquet(s"$tmp/lm")
+      val lm = spark.read.parquet(s"$tmp/lm")
+      val p = NgramStats.oovBuckets(docs.filter(col("doc_id") >= 250), lm, "doc_id", "text")
+        .queryExecution.executedPlan.toString
     // the vocabulary²-bounded model must ride a broadcast into the scored
     // corpus' bigram stream — a sort-merge there shuffles the whole corpus
     // by bigram string at 100 TB
@@ -333,5 +334,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no per-doc window in the scoring pass:\n$p")
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
       s"only the per-doc aggregate may shuffle:\n$p")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 }

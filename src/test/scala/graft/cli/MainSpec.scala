@@ -145,9 +145,17 @@ class MainSpec extends SparkSpec {
     val assigned = new graft.sync.ParquetStore(spark, s"$tmp/dst2").read("assigned").get
     assert(assigned.count() === 2)
     assert(assigned.columns.contains("__centroid") && assigned.columns.contains("__cn"))
-    // bad args short-circuit before Spark work
-    assert(Main.run(spark, Array("embed-dedup", "--threshold", "2.0")) === 2)
-    assert(Main.run(spark, Array("index-ingest", "--centroids", "0")) === 2)
+    // bad VALUES short-circuit before Spark work: full arg sets with only
+    // the one invalid value, so the validator itself (not a missing-option
+    // check earlier in the for-comprehension) produces the exit 2
+    def embedArgs(threshold: String) = Array("embed-dedup",
+      "--source", "/x", "--corpus", "/y", "--id", "i", "--vec", "v",
+      "--threshold", threshold, "--dest", "/d", "--table", "t", "--checkpoint", "/c")
+    assert(Main.run(spark, embedArgs("2.0")) === 2)
+    def ingestArgs(centroids: String) = Array("index-ingest",
+      "--source", "/x", "--corpus", "/y", "--id", "i", "--vec", "v",
+      "--centroids", centroids, "--dest", "/d", "--table", "t", "--checkpoint", "/c")
+    assert(Main.run(spark, ingestArgs("0")) === 2)
   }
 
   test("build-dedup-index + ingest-dedup end to end: persisted index gates arrivals") {
@@ -170,8 +178,24 @@ class MainSpec extends SparkSpec {
     val rejects = spark.read.parquet(s"$tmp/dst/rejects.parquet")
       .collect().map(_.getLong(0)).toSeq
     assert(rejects === Seq(10L))
-    // mismatched banding params are rejected before Spark work
-    assert(Main.run(spark, Array("ingest-dedup", "--ngram", "0")) === 2)
+    // invalid values rejected before Spark work — full arg sets so the
+    // VALIDATOR (not a missing-option check) produces the exit 2
+    def args(ngram: String, num: String, den: String) = Array("ingest-dedup",
+      "--source", s"$tmp/src", "--index", s"$tmp/idx", "--id", "doc_id",
+      "--text", "text", "--ngram", ngram, "--num", num, "--den", den,
+      "--hashes", "128", "--bands", "32", "--dest", s"$tmp/dst2",
+      "--table", "rejects", "--checkpoint", s"$tmp/ck_bad")
+    assert(Main.run(spark, args("0", "9", "10")) === 2)
+    assert(Main.run(spark, args("1", "10", "9")) === 2) // threshold > 1
+    // a banding mismatch against the persisted manifest fails fast (a
+    // different hash family would silently pass duplicates)
+    intercept[IllegalArgumentException] {
+      Main.run(spark, Array("ingest-dedup",
+        "--source", s"$tmp/src", "--index", s"$tmp/idx", "--id", "doc_id",
+        "--text", "text", "--ngram", "1", "--num", "9", "--den", "10",
+        "--hashes", "125", "--bands", "25", "--dest", s"$tmp/dst3",
+        "--table", "rejects", "--checkpoint", s"$tmp/ck_mm"))
+    }
   }
 
   test("maintain-stats end to end: state equals the direct aggregate") {

@@ -1954,6 +1954,74 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // q130: q129's surgical scrub deployed AT INGEST — arrivals are span-
+    // scrubbed per micro-batch against the persisted benchmark under the
+    // lineage-stamped retry guard; graded across a real 2-micro-batch
+    // arrival against the batch oracle's clean-text reconstruction
+    // (batch-partitioning invariance of the scrub)
+    "q130_stream_scrub_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("q130").toString
+      val (srcDir, ckDir, outDir) = (s"$tmp/src", s"$tmp/ck", s"$tmp/out")
+      try {
+        val store = new graft.sync.ParquetStore(s, outDir)
+        val benchStore = new graft.sync.ParquetStore(s, s"$tmp/bench")
+        benchStore.write(docs.filter(col("doc_id") < 250), "bench")
+        val arrivals = docs.filter(col("doc_id") >= 250)
+        arrivals.repartition(2).write.parquet(srcDir)
+        val stream = s.readStream.schema(arrivals.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*.parquet")
+        IncrementalStream.spanScrubGate(stream, benchStore.read("bench").get,
+          "doc_id", "text", store, "clean", checkpointDir = ckDir)
+          .awaitTermination()
+        store.read("clean").get
+          .select(col("doc_id"), array_join(col("clean_tokens"), " ").as("clean_text"))
+          .orderBy("doc_id").localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+
+    // q131: SQ8 completes the quantization matrix (PQ q117, IVF-PQ q118,
+    // THIS): the keep-everything shortlist must equal exact knnJoin
+    // pair-for-pair AND the tight funnel must still retrieve each query's
+    // planted exact twin — the q117 violations contract verbatim
+    "q131_sq_knn_parity" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val queries = emb.filter(col("vec_id") < 25)
+      val twinBase = 1000000L
+      val corpus = emb.unionByName(
+        queries.select((col("vec_id") + twinBase).as("vec_id"), col("embedding")))
+      val p = Similarity.sqTrain(corpus, "embedding", dim = 64)
+      val encoded = Similarity.sqEncode(corpus, "vec_id", "embedding", p)
+      val exact = Similarity.knnJoin(queries, corpus, "vec_id", "embedding", 5)
+      val full = Similarity.knnJoinSq(encoded, corpus, p, queries,
+        "vec_id", "embedding", k = 5, shortlist = 1 << 20)
+      val parityViol = exact.withColumn("__x", lit(1))
+        .join(full.withColumn("__y", lit(1)),
+          Seq("query_id", "neighbor_id"), "full_outer")
+        .filter(col("__x").isNull || col("__y").isNull)
+        .count()
+      val tight = Similarity.knnJoinSq(encoded, corpus, p, queries,
+        "vec_id", "embedding", k = 5, shortlist = 40)
+      val twinHits = tight
+        .filter(col("neighbor_id") === col("query_id") + twinBase)
+        .count()
+      s.range(1).select(lit(parityViol + (25L - twinHits)).as("violations"))
+    }),
+
+    // q132: leakage-safe split over the q33 near-dup components — a
+    // near-dup cluster moves as a unit, so paraphrases of training docs
+    // can never land in val/test; the FULL per-doc assignment is graded
+    // (q33's recursive-CTE canon + an md5-hex-prefix bucket both engines
+    // compute from the same digest)
+    "q132_leakage_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDupsHashed(docs, "doc_id", "text",
+        Dedup.hashedWordNgrams(_, 3), num = 7, den = 10, numHashes = 256, bands = 64)
+      Sampling.groupSplit(docs.select(col("doc_id")), "doc_id", pairs)
+        .select(col("doc_id"), col("canon"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     // STREAMING embedding-dedup gate — the semantic member of the ingest
     // triad (q121 text near-dup, q126 LM quality, THIS): arrivals are 50
     // exact twins of corpus vectors (relabeled +1e6, cosine exactly 1.0)
@@ -2624,6 +2692,20 @@ object SparkEntry {
     // are index-base-invariant)
     "q129_decontaminate_spans" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), g AS (SELECT doc_id, pos, array_to_string(ts[pos:pos+12], ' ') AS g FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 11)) AS pos FROM tok WHERE len(ts) >= 13)), bench AS (SELECT DISTINCT g FROM g WHERE doc_id < 250), hit AS (SELECT doc_id, pos FROM g WHERE doc_id >= 250 AND g IN (SELECT g FROM bench)), cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 13)) AS p FROM hit), rem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM cov GROUP BY doc_id) SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens, coalesce(rem.n_removed, CAST(0 AS BIGINT)) AS n_removed FROM tok t LEFT JOIN rem USING (doc_id) WHERE t.doc_id >= 250 ORDER BY t.doc_id""",
+    // q130 grades the streaming span-scrub gate against the batch scrub's
+    // clean-text reconstruction: q129's covered-position CTE, then each
+    // doc's tokens with covered 1-based positions removed, re-joined with
+    // single spaces (base-invariant — Spark filters 0-based positions)
+    "q130_stream_scrub_spans" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), g AS (SELECT doc_id, pos, array_to_string(ts[pos:pos+12], ' ') AS g FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 11)) AS pos FROM tok WHERE len(ts) >= 13)), bench AS (SELECT DISTINCT g FROM g WHERE doc_id < 250), hit AS (SELECT doc_id, pos FROM g WHERE doc_id >= 250 AND g IN (SELECT g FROM bench)), cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 13)) AS p FROM hit), cv AS (SELECT doc_id, list(p) AS ps FROM cov GROUP BY doc_id) SELECT t.doc_id, coalesce(array_to_string([t.ts[i] for i in range(1, len(t.ts) + 1) if NOT list_contains(coalesce(cv.ps, []), i)], ' '), '') AS clean_text FROM tok t LEFT JOIN cv USING (doc_id) WHERE t.doc_id >= 250 ORDER BY t.doc_id""",
+    // q131: full-shortlist parity with exact knnJoin + tight-funnel twin
+    // retrieval, both Spark-side (the q117 violations contract)
+    "q131_sq_knn_parity" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    // q132: q33's recursive-CTE component canon + the md5-hex-prefix
+    // bucket — both engines derive the split from the same string digest
+    "q132_leakage_safe_split" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), tri AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1), i -> ts[i]||' '||ts[i+1]||' '||ts[i+2])) AS gs FROM tok WHERE len(ts) >= 3), pairs AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM tri a JOIN tri b ON a.doc_id <> b.doc_id WHERE len(list_intersect(a.gs, b.gs)) * 10 >= len(list_distinct(list_concat(a.gs, b.gs))) * 7), reach AS (SELECT doc_id AS id, doc_id AS r FROM documents UNION SELECT p.dst, reach.r FROM reach JOIN pairs p ON p.src = reach.id), canon AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canon FROM reach GROUP BY id) SELECT doc_id, canon, CASE WHEN md5('graft-split:' || CAST(canon AS VARCHAR)) < 'c0' THEN 'train' WHEN md5('graft-split:' || CAST(canon AS VARCHAR)) < 'e0' THEN 'val' ELSE 'test' END AS split FROM canon ORDER BY doc_id""",
     // q128: brute-force cosine membership of the constructed arrivals
     // against the corpus (the q96 precedent for the float compare — the
     // planted margins keep every decision >= 0.45 away from the threshold)

@@ -31,6 +31,49 @@ object Sampling {
       when(splitBucket(col(idCol)) < trainPct, lit("train")).otherwise(lit("test")))
   }
 
+  /** LEAKAGE-SAFE split: [[hashSplit]]'s stable assignment, but rows
+    * connected by `pairs` (near-duplicates — MinHash, SimHash, embedding
+    * pairs, any symmetric relation) ALWAYS land in the same split. A plain
+    * per-row hash split puts ~20% of each near-dup cluster in test while
+    * its twins sit in train — the classic eval-leakage bug: the model is
+    * "evaluated" on paraphrases of its own training data. Here the split
+    * is keyed on each row's connected-component canonical id
+    * (`Dedup.connectedComponents` — delayed pointer jumping, O(log
+    * diameter) rounds), so a cluster moves as a unit and the unit of
+    * accounting matches the unit of information.
+    *
+    * The bucket is the md5 hex digest of `salt + ":" + canon` compared
+    * lexicographically against two fixed-width hex prefixes — train below
+    * `trainHex`, val below `valHex`, test above. Hex-prefix thresholds
+    * make the assignment a pure deterministic function of (salt, canon)
+    * that any engine reproduces from the same string digest (the q106
+    * shardedShuffle convention); "c0"/"e0" give 75/12.5/12.5. Stable
+    * under corpus growth ONLY while a cluster's canonical is stable —
+    * adding a doc that bridges two clusters merges them and can move the
+    * merged cluster's rows; that is inherent to group-aware splitting,
+    * not an implementation artifact (the alternative — freezing old
+    * assignments — reintroduces the leak through the bridge).
+    *
+    * Cost: the CC rounds over the PAIRS graph (edges, not the corpus;
+    * near-dup graphs are sparse by construction) plus one broadcast-size
+    * join of (id, canon) back to `df` when the pair set is small, a
+    * shuffled equi-join otherwise — AQE picks. Output: `df`'s columns +
+    * (canon, splitCol). */
+  def groupSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                 salt: String = "graft-split", trainHex: String = "c0",
+                 valHex: String = "e0", splitCol: String = "split"): DataFrame = {
+    require(trainHex < valHex,
+      s"need trainHex < valHex, got '$trainHex' >= '$valHex'")
+    val canon = graft.dedup.Dedup.connectedComponents(df.select(col(idCol)), idCol, pairs)
+      .select(col("id").as(idCol), col("canon"))
+    val h = md5(concat(lit(salt + ":"), col("canon").cast("string")).cast("binary"))
+    df.join(canon, Seq(idCol))
+      .withColumn(splitCol,
+        when(h < trainHex, lit("train"))
+          .when(h < valHex, lit("val"))
+          .otherwise(lit("test")))
+  }
+
   /** Keep at most `n` rows per key, chosen by `order` (deterministic — make
     * it a total order within a key or ties pick arbitrarily): the
     * "at most N documents per source/domain" curation cap. One keyed window

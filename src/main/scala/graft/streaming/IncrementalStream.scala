@@ -333,6 +333,39 @@ object IncrementalStream {
         headNum, headDen, midNum, midDen)
     }
 
+  /** CONTINUOUS SURGICAL-decontamination gate — the span-level member of
+    * the ingest-gate family (document-drop decontamination
+    * `Decontaminate.contaminatedIdsStream`, near-dup
+    * `Dedup.duplicateIdsStream`, LM quality [[qualityGate]], semantic
+    * [[embedDupGate]]): each arriving micro-batch of documents is
+    * span-scrubbed against the benchmark (`Decontaminate.scrubSpans` —
+    * every token position covered by a contaminated n-gram window removed,
+    * the rest kept) and the (id, clean_tokens) rows accumulate under the
+    * lineage-stamped retry guard. Where the document-drop gate emits a
+    * REJECT LIST, this gate emits the USABLE REMAINDER — the right shape
+    * when long documents quote short benchmark passages and dropping them
+    * wholesale would cost orders of magnitude more clean tokens than the
+    * contamination itself (the Lee-et-al dedup-then-keep argument applied
+    * at ingest).
+    *
+    * A document arrives whole in one micro-batch row, so per-batch
+    * scrubbing is exact, stateless, and batch-partitioning-invariant
+    * (graded across a real two-micro-batch arrival against the batch
+    * oracle — q130). The benchmark is a BY-NAME parameter re-evaluated
+    * per batch: pass `store.read("benchmark").get` and a benchmark
+    * refresh (a new eval suite landing) takes effect on the next arrival
+    * without a restart. Per-batch cost: the batch's own positional grams
+    * semi-joined against the broadcast benchmark gram set — the corpus
+    * accumulated so far is never touched. */
+  def spanScrubGate(docStream: DataFrame, benchmark: => DataFrame,
+                    idCol: String, textCol: String,
+                    store: graft.sync.TableStore, table: String,
+                    checkpointDir: String, n: Int = 13,
+                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    guardedAppend(docStream, store, table, checkpointDir, Seq(idCol), trigger) { batch =>
+      graft.dedup.Decontaminate.scrubSpans(batch, benchmark, idCol, textCol, n)
+    }
+
   /** CONTINUOUSLY MAINTAINED aggregate state — the streaming materialized
     * view: each micro-batch's per-key algebraic partials
     * (`Stats.mergeableStats`) fold into the stored state via

@@ -174,4 +174,31 @@ class SamplingSpec extends SparkSpec {
     assert(out.map(_._1).sorted === Array(1L, 2L, 3L, 4L))
     assert(out.map(_._2).sorted === Array(0L, 1L, 2L, 3L))
   }
+
+  test("groupSplit: a near-dup cluster moves as a unit; split is the md5 bucket of its canon") {
+    val df = (0L until 200L).toDF("doc_id")
+    // components: {0,1,2} via chain 0-1, 1-2; {10,11}; everything else singleton
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val rows = Sampling.groupSplit(df, "doc_id", pairs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("canon"), r.getAs[String]("split")))
+    assert(rows.length === 200)
+    val byId = rows.map(r => r._1 -> r).toMap
+    // cluster members share one (canon, split); canon is the min member id
+    assert(Set(byId(0L), byId(1L), byId(2L)).map(t => (t._2, t._3)).size === 1)
+    assert(byId(0L)._2 === 0L)
+    assert(byId(10L)._2 === 10L && byId(11L)._2 === 10L)
+    assert(byId(10L)._3 === byId(11L)._3)
+    // singletons canon to themselves
+    assert(byId(50L)._2 === 50L)
+    // every assignment equals the md5 hex-prefix rule, computed independently
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    rows.foreach { case (_, canon, split) =>
+      val h = md5hex(s"graft-split:$canon")
+      val want = if (h < "c0") "train" else if (h < "e0") "val" else "test"
+      assert(split === want, s"canon=$canon h=$h")
+    }
+    // at n=200 all three splits are populated (fixed digests — deterministic)
+    assert(rows.map(_._3).toSet === Set("train", "val", "test"))
+  }
 }

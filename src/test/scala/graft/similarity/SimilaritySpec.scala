@@ -395,4 +395,50 @@ class SimilaritySpec extends SparkSpec {
       s"twin 99 must survive the IVF-PQ funnel for query 1: ${tight.toSeq}")
     assert(tight.forall { case (q, n) => q != n })
   }
+
+  test("sqTrain/sqEncode: codes in range, reconstruction within half a step, constant dim exact") {
+    val rows = Seq(
+      0L -> Seq(0f, -1f, 5f), 1L -> Seq(1f, 1f, 5f), 2L -> Seq(0.5f, 0f, 5f))
+    val df = rows.toDF("vec_id", "embedding")
+    val p = Similarity.sqTrain(df, "embedding", dim = 3)
+    assert(p.mins.toSeq === Seq(0f, -1f, 5f))
+    assert(p.scales(2) === 0f) // constant dimension trains scale 0
+    val codes = Similarity.sqEncode(df, "vec_id", "embedding", p)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(_.forall(c => c >= 0 && c <= 255)))
+    // constant dimension always encodes to 0 and reconstructs exactly
+    assert(codes.values.forall(_(2) == 0))
+    // reconstruction error bounded by half a quantization step per dim
+    for ((id, v) <- rows; d <- 0 until 3) {
+      val rec = p.mins(d) + codes(id)(d) * p.scales(d)
+      val tol = if (p.scales(d) == 0f) 1e-6 else p.scales(d) / 2 + 1e-6
+      assert(math.abs(rec - v(d)) <= tol, s"id=$id d=$d rec=$rec v=${v(d)}")
+    }
+  }
+
+  test("knnJoinSq at full shortlist equals knnJoin; tight shortlist keeps a twin") {
+    val rows = (0L until 40L).map { i =>
+      if (i % 2 == 0) (i, Seq(1f, 0.1f * (i % 7), 0f, 0.05f * (i % 3)))
+      else (i, Seq(0f, 0.05f * (i % 3), 1f, 0.1f * (i % 7)))
+    } :+ (99L -> Seq(0f, 0.05f, 1f, 0.1f)) // exact copy of vec 1
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 4)
+    val p = Similarity.sqTrain(df, "embedding", dim = 4)
+    val encoded = Similarity.sqEncode(df, "vec_id", "embedding", p)
+    val exact = Similarity.knnJoin(queries, df, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Similarity.knnJoinSq(encoded, df, p, queries, "vec_id", "embedding",
+        k = 3, shortlist = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === exact)
+    // tight shortlist: 99 has IDENTICAL codes to query 1 (same vector), so
+    // its dequantized score ties query 1's own quantization at the maximum
+    val tight = Similarity.knnJoinSq(encoded, df, p, queries, "vec_id", "embedding",
+        k = 3, shortlist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(tight.filter(_._1 == 1L).map(_._2).contains(99L),
+      s"twin 99 must survive the SQ shortlist for query 1: ${tight.toSeq}")
+    assert(tight.count(_._1 == 1L) === 3)
+    assert(tight.forall { case (q, n) => q != n })
+  }
 }

@@ -458,4 +458,38 @@ class IncrementalStreamSpec extends SparkSpec {
       (1L, 3L, 42L, 2L, 30L), (2L, 2L, -2L, -7L, 5L),
       (3L, 1L, 0L, 0L, 0L), (4L, 1L, 8L, 8L, 8L)))
   }
+
+  test("spanScrubGate: streamed scrub equals the batch scrub across an arrival split") {
+    import graft.sync.ParquetStore
+    import graft.dedup.Decontaminate
+    val bench = Seq((0L, "one two three four five")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "zero one two three four five six seven"), // middle span covered
+      (11L, "nothing shared here at all"),             // clean
+      (12L, "one two three"))                          // shorter than n -> clean
+      .toDF("doc_id", "text")
+    val n = 5
+    val tmp = Files.createTempDirectory("graft_ssg").toString
+    docs.filter($"doc_id" <= 10L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    docs.filter($"doc_id" > 10L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    def stream() = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+    val store = new ParquetStore(spark, s"$tmp/out")
+    IncrementalStream.spanScrubGate(stream(), bench, "doc_id", "text",
+      store, "clean", checkpointDir = s"$tmp/ck", n = n).awaitTermination()
+    def served() = store.read("clean").get
+      .select($"doc_id", $"clean_tokens").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    val batch = Decontaminate.scrubSpans(docs, bench, "doc_id", "text", n).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    assert(served() === batch)
+    assert(served()(10L) === Seq("zero", "six", "seven"))
+    assert(served()(11L) === Seq("nothing", "shared", "here", "at", "all"))
+    assert(served()(12L) === Seq("one", "two", "three"))
+    // fresh checkpoint over the same source: the cross-lineage guard finds
+    // every doc already scrubbed — nothing re-appends
+    IncrementalStream.spanScrubGate(stream(), bench, "doc_id", "text",
+      store, "clean", checkpointDir = s"$tmp/ck2", n = n).awaitTermination()
+    assert(store.read("clean").get.count() === 3)
+  }
 }

@@ -289,6 +289,17 @@ class PlanShapeSpec extends SparkSpec {
       s"per-query LUTs must broadcast into the code scan:\n$p3")
     assert(!p3.contains("CartesianProduct"),
       s"the rescore must join on neighbor_id, not cross:\n$p3")
+    // SQ form: the dequantized code scan rides the same broadcast cross
+    // join (query side broadcast, corpus codes never shuffle pre-score)
+    val sq = Similarity.sqTrain(emb, "embedding", dim = 64)
+    val sqEnc = Similarity.sqEncode(emb, "vec_id", "embedding", sq)
+    val p4 = Similarity.knnJoinSq(sqEnc, emb, sq, queries, "vec_id", "embedding",
+        k = 5, shortlist = 40)
+      .queryExecution.executedPlan.toString
+    assert(p4.contains("BroadcastNestedLoopJoin"),
+      s"queries must broadcast into the SQ code scan:\n$p4")
+    assert(!p4.contains("CartesianProduct"),
+      s"the SQ rescore must join on neighbor_id, not cross:\n$p4")
   }
 
   test("embedDupIds broadcasts the batch into one corpus scan; only ids shuffle") {

@@ -39,7 +39,9 @@ object Main {
       "       embed-dedup --source <parquetDir> --corpus <parquet> --id <col> --vec <col> --threshold <cos> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       index-ingest --source <parquetDir> --corpus <parquet> --id <col> --vec <col> --centroids <n> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       build-dedup-index --corpus <parquet> --id <col> --text <col> --ngram <n> --hashes <n> --bands <n> --out <storeDir>\n" +
-      "       ingest-dedup --source <parquetDir> --index <storeDir> --id <col> --text <col> --ngram <n> --num <j> --den <j> --hashes <n> --bands <n> --dest <storeDir> --table <t> --checkpoint <dir>"
+      "       ingest-dedup --source <parquetDir> --index <storeDir> --id <col> --text <col> --ngram <n> --num <j> --den <j> --hashes <n> --bands <n> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
+      "       scrub-spans --source <parquetDir> --benchmark <parquet> --id <col> --text <col> --ngram <n> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
+      "       group-split --corpus <parquet> --id <col> --text <col> --ngram <n> --num <j> --den <j> --hashes <n> --bands <n> --out <parquetDir> [--salt <s>]"
 
   def main(args: Array[String]): Unit = sys.exit(run(args))
 
@@ -102,6 +104,12 @@ object Main {
                                  text: String, ngram: Int, num: Int, den: Int,
                                  hashes: Int, bands: Int, dest: String,
                                  table: String, checkpoint: String) extends Cmd
+  private case class ScrubSpans(source: String, benchmark: String, id: String,
+                                text: String, ngram: Int, dest: String,
+                                table: String, checkpoint: String) extends Cmd
+  private case class GroupSplit(corpus: String, id: String, text: String,
+                                ngram: Int, num: Int, den: Int, hashes: Int,
+                                bands: Int, out: String, salt: String) extends Cmd
 
   private def parse(args: List[String]): Either[String, Cmd] = args match {
     case "db-sync" :: rest =>
@@ -227,6 +235,34 @@ object Main {
         table <- req(opts, "ingest-dedup", "table")
         ck <- req(opts, "ingest-dedup", "checkpoint")
       } yield IngestDedup(source, index, id, text, n, num, den, hashes, bands, dest, table, ck)
+    case "scrub-spans" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        source <- req(opts, "scrub-spans", "source")
+        benchmark <- req(opts, "scrub-spans", "benchmark")
+        id <- req(opts, "scrub-spans", "id")
+        text <- req(opts, "scrub-spans", "text")
+        n <- posInt(opts, "scrub-spans", "ngram")
+        dest <- req(opts, "scrub-spans", "dest")
+        table <- req(opts, "scrub-spans", "table")
+        ck <- req(opts, "scrub-spans", "checkpoint")
+      } yield ScrubSpans(source, benchmark, id, text, n, dest, table, ck)
+    case "group-split" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "group-split", "corpus")
+        id <- req(opts, "group-split", "id")
+        text <- req(opts, "group-split", "text")
+        n <- posInt(opts, "group-split", "ngram")
+        num <- posInt(opts, "group-split", "num")
+        den <- posInt(opts, "group-split", "den").flatMap(d =>
+          if (num <= d) Right(d)
+          else Left(s"group-split: --num/--den is a Jaccard threshold <= 1, got $num/$d"))
+        hashes <- posInt(opts, "group-split", "hashes")
+        bands <- posInt(opts, "group-split", "bands")
+        out <- req(opts, "group-split", "out")
+      } yield GroupSplit(corpus, id, text, n, num, den, hashes, bands, out,
+        opts.getOrElse("salt", "graft-split"))
     case other =>
       Left(s"unknown command: ${other.headOption.getOrElse("(none)")}")
   }
@@ -437,6 +473,32 @@ object Main {
           .start().awaitTermination()
         0
       }
+
+    case ScrubSpans(source, benchmark, id, text, n, dest, table, ck) =>
+      sourceSchema(spark, source, "scrub-spans").fold(0) { schema =>
+        val stream = spark.readStream.schema(schema).parquet(source)
+        // the benchmark argument is by-name on the operator: re-read per
+        // batch, so a refreshed eval suite (new parquet under the same
+        // path) takes effect on the next arrival without a restart
+        graft.streaming.IncrementalStream.spanScrubGate(
+          stream, spark.read.parquet(benchmark), id, text,
+          new ParquetStore(spark, dest), table, ck, n = n)
+          .awaitTermination()
+        0
+      }
+
+    case GroupSplit(corpus, id, text, n, num, den, hashes, bands, out, salt) =>
+      // batch artifact: near-dup pairs under the SAME MinHash family knobs
+      // as build-dedup-index, connected components, split on the component
+      // canonical — written as a (id, canon, split) assignment table that
+      // downstream samplers join on the id
+      val df = spark.read.parquet(corpus)
+      val pairs = graft.dedup.Dedup.minhashNearDupsHashed(
+        df, id, text, shingler(n), num, den, hashes, bands)
+      graft.operators.Sampling.groupSplit(
+          df.select(org.apache.spark.sql.functions.col(id)), id, pairs, salt)
+        .write.mode("overwrite").parquet(out)
+      0
 
     case FileSyncCmd(srcDir, dstDir, apply) =>
       // dry-run first, always — the reference's safety pattern (gcs_sync.py:115)

@@ -211,4 +211,45 @@ class MainSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
     assert(state === Set((1L, 2L, 40L, 10L, 30L), (2L, 1L, 5L, 5L, 5L)))
   }
+
+  test("scrub-spans end to end: streamed clean tokens equal the batch scrub") {
+    val tmp = Files.createTempDirectory("graft_cli_ss").toString
+    Seq((0L, "one two three four five")).toDF("doc_id", "text")
+      .write.parquet(s"$tmp/bench")
+    Seq((10L, "zero one two three four five six seven"),
+        (11L, "unrelated entirely"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    assert(Main.run(spark, Array("scrub-spans",
+      "--source", s"$tmp/src", "--benchmark", s"$tmp/bench", "--id", "doc_id",
+      "--text", "text", "--ngram", "5", "--dest", s"$tmp/dst",
+      "--table", "clean", "--checkpoint", s"$tmp/ck")) === 0)
+    val out = new graft.sync.ParquetStore(spark, s"$tmp/dst").read("clean").get
+      .select($"doc_id", $"clean_tokens").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    assert(out(10L) === Seq("zero", "six", "seven"))
+    assert(out(11L) === Seq("unrelated", "entirely"))
+  }
+
+  test("group-split end to end: near-dup twins share a split; assignment table is exhaustive") {
+    val tmp = Files.createTempDirectory("graft_cli_gs").toString
+    // 20L/21L are identical texts -> one component; the rest are unique
+    val docs = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta"),
+      (21L, "alpha beta gamma delta epsilon zeta"),
+      (22L, "totally different content lives here now"),
+      (23L, "yet another unrelated document body text"))
+      .toDF("doc_id", "text")
+    docs.write.parquet(s"$tmp/corpus")
+    assert(Main.run(spark, Array("group-split",
+      "--corpus", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+      "--ngram", "1", "--num", "9", "--den", "10", "--hashes", "64",
+      "--bands", "32", "--out", s"$tmp/split")) === 0)
+    val rows = spark.read.parquet(s"$tmp/split").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("canon"), r.getAs[String]("split")))
+    assert(rows.length === 4)
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(byId(20L)._2 === 20L && byId(21L)._2 === 20L)
+    assert(byId(20L)._3 === byId(21L)._3)
+    assert(byId(22L)._2 === 22L && byId(23L)._2 === 23L)
+  }
 }

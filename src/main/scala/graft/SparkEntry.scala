@@ -2022,6 +2022,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // q133: hard-negative mining for contrastive training — each of the
+    // first 25 vectors retrieves its 5 most-similar CROSS-label corpus
+    // rows below the 0.95 near-dup ceiling (q112's plan shape with the
+    // label predicate and ceiling fused into the scan). The ceiling is
+    // inert on the graded data by MEASURED margin — max cross-label
+    // cosine is 0.493 at sf0.01 / 0.480 at sf0.1, 0.45+ below the
+    // ceiling — so the brute-force DuckDB oracle cannot flip on float
+    // association; the ceiling's exclusion semantics are graded in
+    // SimilaritySpec with planted cross-label twins at cosine exactly 1.0
+    "q133_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb.filter(col("vec_id") < 25), emb,
+          "vec_id", "embedding", "label", k = 5)
+        .orderBy("query_id", "neighbor_id")
+    }),
+
+    // q134: nearest-centroid label audit (confident-learning screening) —
+    // per-label mean centroids in one aggregate pass, every vector
+    // assigned to its most-similar centroid as literals in a NARROW scan
+    // (no join/window/shuffle on the corpus side); rows whose nearest
+    // centroid differs from their own label are the mislabel candidates.
+    // The FULL per-vector assignment is graded; the best-vs-second
+    // centroid margin in this data is >= 2.7e-5 at both SFs (measured),
+    // ten orders above the ~1e-15 summation-order difference between
+    // engines
+    "q134_centroid_audit" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.centroidAudit(emb, "vec_id", "embedding", "label")
+        .orderBy("vec_id")
+    }),
+
     // STREAMING embedding-dedup gate — the semantic member of the ingest
     // triad (q121 text near-dup, q126 LM quality, THIS): arrivals are 50
     // exact twins of corpus vectors (relabeled +1e6, cosine exactly 1.0)
@@ -2706,6 +2737,16 @@ object SparkEntry {
     // bucket — both engines derive the split from the same string digest
     "q132_leakage_safe_split" ->
       """WITH RECURSIVE tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), tri AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1), i -> ts[i]||' '||ts[i+1]||' '||ts[i+2])) AS gs FROM tok WHERE len(ts) >= 3), pairs AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM tri a JOIN tri b ON a.doc_id <> b.doc_id WHERE len(list_intersect(a.gs, b.gs)) * 10 >= len(list_distinct(list_concat(a.gs, b.gs))) * 7), reach AS (SELECT doc_id AS id, doc_id AS r FROM documents UNION SELECT p.dst, reach.r FROM reach JOIN pairs p ON p.src = reach.id), canon AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canon FROM reach GROUP BY id) SELECT doc_id, canon, CASE WHEN md5('graft-split:' || CAST(canon AS VARCHAR)) < 'c0' THEN 'train' WHEN md5('graft-split:' || CAST(canon AS VARCHAR)) < 'e0' THEN 'val' ELSE 'test' END AS split FROM canon ORDER BY doc_id""",
+    // q133: q112's brute-force ranking oracle plus the cross-label
+    // predicate and the (measured-inert on this data) near-dup ceiling
+    "q133_hard_negatives" ->
+      "WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql FROM embeddings WHERE vec_id < 25), s AS (SELECT q.query_id, e.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id) AS rn FROM embeddings e, q WHERE e.vec_id <> q.query_id AND e.label <> q.ql AND list_cosine_similarity(e.embedding, q.qv) < 0.95) SELECT query_id, neighbor_id FROM s WHERE rn <= 5 ORDER BY query_id, neighbor_id",
+    // q134: per-label mean centroids (double, like Spark's avg), then
+    // argmax-cosine assignment with the same (score DESC, label ASC)
+    // tie-break; generate_subscripts is 1-based vs posexplode's 0-based —
+    // positions only ORDER the centroid lists, so the base cancels
+    "q134_centroid_audit" ->
+      "WITH dims AS (SELECT label, pos, avg(v) AS c FROM (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos FROM embeddings) GROUP BY label, pos), cents AS (SELECT label AS clabel, list(c ORDER BY pos) AS cv FROM dims GROUP BY label), scored AS (SELECT e.vec_id, e.label, c.clabel, list_cosine_similarity(e.embedding, c.cv) AS s FROM embeddings e, cents c), ranked AS (SELECT vec_id, label, clabel, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, clabel) AS rn FROM scored) SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(clabel AS BIGINT) AS centroid_label FROM ranked WHERE rn = 1 ORDER BY vec_id",
     // q128: brute-force cosine membership of the constructed arrivals
     // against the corpus (the q96 precedent for the float compare — the
     // planted margins keep every decision >= 0.45 away from the threshold)

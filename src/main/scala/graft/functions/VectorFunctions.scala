@@ -70,6 +70,61 @@ case class FloatDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[FloatDotProduct]]'s array<double> sibling — same left-to-right double
+  * accumulation, same dimension-mismatch throw. Exists for the centroid
+  * paths: a per-group MEAN vector is double (both engines promote float
+  * averages to double), and dotting the cast-to-double embedding against it
+  * in one codegen'd loop keeps the scoring scan inside whole-stage codegen
+  * with bit-identical association to the oracle engine. */
+case class DoubleDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"DoubleDotProduct expects array<double> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) {
+      throw new IllegalArgumentException(
+        s"DoubleDotProduct: dimension mismatch ($n vs ${y.numElements()})")
+    }
+    var s = 0.0; var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "DoubleDotProduct: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** |A ∩ B| for two SORTED DISTINCT array<bigint> inputs — a merge scan with
   * no allocation, vs array_intersect's per-call hash set build. Used by the
   * near-dup verifier over hashed shingle sets. */
@@ -124,6 +179,9 @@ case class SortedLongIntersectSize(left: Expression, right: Expression)
 object VectorFunctions {
   def floatDot(a: Column, b: Column): Column =
     GraftColumnBridge.column(FloatDotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def doubleDot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DoubleDotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   def sortedIntersectSize(a: Column, b: Column): Column =
     GraftColumnBridge.column(SortedLongIntersectSize(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))

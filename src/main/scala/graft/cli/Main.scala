@@ -41,7 +41,9 @@ object Main {
       "       build-dedup-index --corpus <parquet> --id <col> --text <col> --ngram <n> --hashes <n> --bands <n> --out <storeDir>\n" +
       "       ingest-dedup --source <parquetDir> --index <storeDir> --id <col> --text <col> --ngram <n> --num <j> --den <j> --hashes <n> --bands <n> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       scrub-spans --source <parquetDir> --benchmark <parquet> --id <col> --text <col> --ngram <n> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
-      "       group-split --corpus <parquet> --id <col> --text <col> --ngram <n> --num <j> --den <j> --hashes <n> --bands <n> --out <parquetDir> [--salt <s>]"
+      "       group-split --corpus <parquet> --id <col> --text <col> --ngram <n> --num <j> --den <j> --hashes <n> --bands <n> --out <parquetDir> [--salt <s>]\n" +
+      "       mine-negatives --queries <parquet> --corpus <parquet> --id <col> --vec <col> --label <col> --k <n> --out <parquetDir> [--ceiling <cos>]\n" +
+      "       centroid-audit --corpus <parquet> --id <col> --vec <col> --label <col> --out <parquetDir>"
 
   def main(args: Array[String]): Unit = sys.exit(run(args))
 
@@ -110,6 +112,11 @@ object Main {
   private case class GroupSplit(corpus: String, id: String, text: String,
                                 ngram: Int, num: Int, den: Int, hashes: Int,
                                 bands: Int, out: String, salt: String) extends Cmd
+  private case class MineNegatives(queries: String, corpus: String, id: String,
+                                   vec: String, label: String, k: Int,
+                                   out: String, ceiling: Double) extends Cmd
+  private case class CentroidAudit(corpus: String, id: String, vec: String,
+                                   label: String, out: String) extends Cmd
 
   private def parse(args: List[String]): Either[String, Cmd] = args match {
     case "db-sync" :: rest =>
@@ -263,6 +270,29 @@ object Main {
         out <- req(opts, "group-split", "out")
       } yield GroupSplit(corpus, id, text, n, num, den, hashes, bands, out,
         opts.getOrElse("salt", "graft-split"))
+    case "mine-negatives" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        queries <- req(opts, "mine-negatives", "queries")
+        corpus <- req(opts, "mine-negatives", "corpus")
+        id <- req(opts, "mine-negatives", "id")
+        vec <- req(opts, "mine-negatives", "vec")
+        label <- req(opts, "mine-negatives", "label")
+        k <- posInt(opts, "mine-negatives", "k")
+        out <- req(opts, "mine-negatives", "out")
+        ceiling <- opts.get("ceiling").fold(Right(0.95): Either[String, Double])(s =>
+          s.toDoubleOption.filter(_ > 0)
+            .toRight(s"mine-negatives: --ceiling must be a cosine > 0, got $s"))
+      } yield MineNegatives(queries, corpus, id, vec, label, k, out, ceiling)
+    case "centroid-audit" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "centroid-audit", "corpus")
+        id <- req(opts, "centroid-audit", "id")
+        vec <- req(opts, "centroid-audit", "vec")
+        label <- req(opts, "centroid-audit", "label")
+        out <- req(opts, "centroid-audit", "out")
+      } yield CentroidAudit(corpus, id, vec, label, out)
     case other =>
       Left(s"unknown command: ${other.headOption.getOrElse("(none)")}")
   }
@@ -497,6 +527,23 @@ object Main {
         df, id, text, shingler(n), num, den, hashes, bands)
       graft.operators.Sampling.groupSplit(
           df.select(org.apache.spark.sql.functions.col(id)), id, pairs, salt)
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case MineNegatives(queries, corpus, id, vec, label, k, out, ceiling) =>
+      // batch artifact: (query_id, neighbor_id) hard-negative pairs for
+      // contrastive training, cross-label only, near-dups ceilinged out
+      graft.similarity.Similarity.hardNegatives(
+          spark.read.parquet(queries), spark.read.parquet(corpus),
+          id, vec, label, k, ceiling)
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case CentroidAudit(corpus, id, vec, label, out) =>
+      // batch artifact: (vec_id, label, centroid_label) — rows where the
+      // two disagree are the mislabel candidates for review/exclusion
+      graft.similarity.Similarity.centroidAudit(
+          spark.read.parquet(corpus), id, vec, label)
         .write.mode("overwrite").parquet(out)
       0
 

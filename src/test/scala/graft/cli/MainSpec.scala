@@ -252,4 +252,39 @@ class MainSpec extends SparkSpec {
     assert(byId(20L)._3 === byId(21L)._3)
     assert(byId(22L)._2 === 22L && byId(23L)._2 === 23L)
   }
+
+  test("mine-negatives and centroid-audit end to end") {
+    val tmp = Files.createTempDirectory("graft_cli_mn").toString
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f), 0),
+      (1L, Seq(1f, 0f, 0f), 1),     // cross-label twin -> ceiling drops it
+      (2L, Seq(0.8f, 0.6f, 0f), 1), // the hard negative
+      (3L, Seq(0f, 1f, 0f), 1),
+      (4L, Seq(0f, 0.9f, 0.1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    emb.write.parquet(s"$tmp/corpus")
+    emb.filter($"vec_id" === 0L).write.parquet(s"$tmp/queries")
+    assert(Main.run(spark, Array("mine-negatives",
+      "--queries", s"$tmp/queries", "--corpus", s"$tmp/corpus",
+      "--id", "vec_id", "--vec", "embedding", "--label", "label",
+      "--k", "1", "--out", s"$tmp/negs")) === 0)
+    val negs = spark.read.parquet(s"$tmp/negs").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    assert(negs.toSeq === Seq((0L, 2L)))
+    assert(Main.run(spark, Array("centroid-audit",
+      "--corpus", s"$tmp/corpus", "--id", "vec_id", "--vec", "embedding",
+      "--label", "label", "--out", s"$tmp/audit")) === 0)
+    val audit = spark.read.parquet(s"$tmp/audit").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("label"), r.getAs[Long]("centroid_label"))).toMap
+    assert(audit.size === 5)
+    // vec 1 sits on the label-0 centroid's axis: the flagged mislabel
+    assert(audit(1L) === ((1L, 0L)))
+    assert(audit(0L) === ((0L, 0L)))
+    // malformed: --k must be a positive int, fails before Spark work
+    assert(Main.run(spark, Array("mine-negatives",
+      "--queries", s"$tmp/queries", "--corpus", s"$tmp/corpus",
+      "--id", "vec_id", "--vec", "embedding", "--label", "label",
+      "--k", "zero", "--out", s"$tmp/negs2")) === 2)
+  }
 }

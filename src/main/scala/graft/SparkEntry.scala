@@ -2053,6 +2053,29 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // q135: the distributed core of BPE tokenizer training — adjacent
+    // char-pair counts over the word-frequency table (|vocab| weighted
+    // rows, never |corpus| token occurrences), top 50 by count with a
+    // full deterministic (cnt DESC, pair ASC) tie-break; integer counts,
+    // so the two engines cannot drift
+    "q135_bpe_pair_counts" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.bpePairCounts(docs, "text")
+        .orderBy(col("cnt").desc, col("pair")).limit(50)
+    }),
+
+    // q136: contrastive triplet mining — for each of the first 25
+    // vectors, the top same-label neighbor (positive) and top cross-label
+    // neighbor below the near-dup ceiling (negative), both picked by ONE
+    // corpus scan + one rank window. Ranking-only float compares (the
+    // q112 precedent); the ceiling is measured-inert on this data (q133)
+    "q136_triplet_mining" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.miningTriplets(emb.filter(col("vec_id") < 25), emb,
+          "vec_id", "embedding", "label")
+        .orderBy("anchor_id")
+    }),
+
     // STREAMING embedding-dedup gate — the semantic member of the ingest
     // triad (q121 text near-dup, q126 LM quality, THIS): arrivals are 50
     // exact twins of corpus vectors (relabeled +1e6, cosine exactly 1.0)
@@ -2747,6 +2770,14 @@ object SparkEntry {
     // positions only ORDER the centroid lists, so the base cancels
     "q134_centroid_audit" ->
       "WITH dims AS (SELECT label, pos, avg(v) AS c FROM (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos FROM embeddings) GROUP BY label, pos), cents AS (SELECT label AS clabel, list(c ORDER BY pos) AS cv FROM dims GROUP BY label), scored AS (SELECT e.vec_id, e.label, c.clabel, list_cosine_similarity(e.embedding, c.cv) AS s FROM embeddings e, cents c), ranked AS (SELECT vec_id, label, clabel, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, clabel) AS rn FROM scored) SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(clabel AS BIGINT) AS centroid_label FROM ranked WHERE rn = 1 ORDER BY vec_id",
+    // q135: same two-stage count — word frequencies, then len-1 adjacent
+    // char pairs per distinct word weighted by frequency
+    "q135_bpe_pair_counts" ->
+      "WITH words AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents), wf AS (SELECT w, count(*) AS c FROM words GROUP BY w), pairs AS (SELECT unnest([w[i:i+1] for i in range(1, len(w))]) AS pair, c FROM wf WHERE len(w) >= 2) SELECT pair, CAST(sum(c) AS BIGINT) AS cnt FROM pairs GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50",
+    // q136: two ranked CTE sides (same-label top-1, cross-label-below-
+    // ceiling top-1) joined per anchor; anchors missing either side drop
+    "q136_triplet_mining" ->
+      "WITH q AS (SELECT vec_id AS anchor_id, embedding AS qv, label AS ql FROM embeddings WHERE vec_id < 25), s AS (SELECT q.anchor_id, e.vec_id AS nid, e.label = q.ql AS pos, list_cosine_similarity(e.embedding, q.qv) AS sc FROM embeddings e, q WHERE e.vec_id <> q.anchor_id), f AS (SELECT * FROM s WHERE pos OR sc < 0.95), r AS (SELECT anchor_id, nid, pos, row_number() OVER (PARTITION BY anchor_id, pos ORDER BY sc DESC, nid) AS rn FROM f) SELECT p.anchor_id, p.nid AS positive_id, n.nid AS negative_id FROM r p JOIN r n ON p.anchor_id = n.anchor_id AND n.rn = 1 AND NOT n.pos WHERE p.rn = 1 AND p.pos ORDER BY p.anchor_id",
     // q128: brute-force cosine membership of the constructed arrivals
     // against the corpus (the q96 precedent for the float compare — the
     // planted margins keep every decision >= 0.45 away from the threshold)

@@ -866,6 +866,50 @@ object Similarity {
       .select("query_id", "neighbor_id")
   }
 
+  /** Triplet mining for metric/contrastive learning: each `queries` row
+    * becomes an (anchor, positive, negative) training triplet — positive =
+    * its most-similar SAME-label corpus row, negative = its most-similar
+    * cross-label row below [[hardNegatives]]'s near-dup ceiling. Anchors
+    * missing either side (a label with no second member, or no legal
+    * negative) emit nothing: a one-sided "triplet" is useless downstream
+    * and silently padding it would poison the loss.
+    *
+    * ONE corpus scan serves both sides: every (anchor, candidate) pair is
+    * scored once, the positive/negative split is a boolean on the scored
+    * stream, and a single rank window partitioned by (anchor, side) picks
+    * both winners — the same cost as [[hardNegatives]] alone, not 2×. The
+    * final pivot to one row per anchor is a tiny |queries|-sized
+    * aggregate. At 100 TB the scan side swaps for the IVF/PQ/SQ candidate
+    * funnels exactly as [[knnJoin]] does. */
+  def miningTriplets(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, labelCol: String,
+                     nearDupCeiling: Double = 0.95): DataFrame = {
+    require(nearDupCeiling > 0, s"nearDupCeiling must be > 0, got $nearDupCeiling")
+    val q = queries.select(col(idCol).as("anchor_id"), col(vecCol).as("__qv"),
+        col(labelCol).as("__ql"))
+      .withColumn("__qn", norm(col("__qv")))
+      .filter(finitePositive(col("__qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        col(labelCol).as("__cl"))
+      .withColumn("__cn", norm(col("__cv")))
+      .filter(finitePositive(col("__cn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id"), col("__pos"))
+      .orderBy(col("__score").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("anchor_id"))
+      .withColumn("__score", dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")))
+      .withColumn("__pos", col("__cl") === col("__ql"))
+      .filter(col("__pos") || col("__score") < nearDupCeiling)
+      .select(col("anchor_id"), col("neighbor_id"), col("__score"), col("__pos"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy("anchor_id")
+      .agg(max(when(col("__pos"), col("neighbor_id"))).as("positive_id"),
+        max(when(!col("__pos"), col("neighbor_id"))).as("negative_id"))
+      .filter(col("positive_id").isNotNull && col("negative_id").isNotNull)
+  }
+
   /** Nearest-centroid label audit (confident-learning-style label-noise
     * screening): per-label MEAN centroids in one exact aggregate pass, then
     * every vector is assigned to its most-cosine-similar centroid — a row

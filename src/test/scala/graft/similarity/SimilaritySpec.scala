@@ -469,6 +469,23 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq === Seq((0L, 3L), (0L, 4L), (0L, 6L)))
   }
 
+  test("miningTriplets picks top positive and top legal negative; one-sided anchors drop") {
+    val rows = Seq(
+      (0L, Seq(1f, 0f, 0f), 0),      // anchor
+      (1L, Seq(0.9f, 0.44f, 0f), 0), // the positive (same label, closest)
+      (2L, Seq(0f, 1f, 0f), 0),      // same label, farther
+      (3L, Seq(1f, 0f, 0f), 1),      // cross-label twin -> ceiling blocks
+      (4L, Seq(0.8f, 0.6f, 0f), 1),  // the negative
+      (5L, Seq(5f, 0f, 0f), 2),      // anchor with NO same-label peer
+      (6L, Seq(0f, 0f, 1f), 1))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.miningTriplets(df.filter($"vec_id" === 0L || $"vec_id" === 5L),
+        df, "vec_id", "embedding", "label")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // anchor 5 has no positive -> no triplet; anchor 0 -> (1, 4)
+    assert(got.toSeq === Seq((0L, 1L, 4L)))
+  }
+
   test("centroidAudit flags exactly the planted mislabel") {
     // two tight planted clusters; row 10 carries cluster-1 geometry under
     // label 0 — the only row whose nearest centroid disagrees

@@ -128,4 +128,13 @@ class TextAnalysisSpec extends SparkSpec {
       }
     }
   }
+
+  test("bpePairCounts: hand-counted pairs, frequency-weighted, 1-char words skipped") {
+    // "ababa ababa cd x": ababa x2 -> ab x2/word = 4, ba x2/word = 4;
+    // cd x1 -> cd 1; "x" has no pairs
+    val df = Seq("ababa ababa cd", "x ababa").toDF("text")
+    val got = TextAnalysis.bpePairCounts(df, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("ab" -> 6L, "ba" -> 6L, "cd" -> 1L))
+  }
 }

@@ -43,7 +43,8 @@ object Main {
       "       scrub-spans --source <parquetDir> --benchmark <parquet> --id <col> --text <col> --ngram <n> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       group-split --corpus <parquet> --id <col> --text <col> --ngram <n> --num <j> --den <j> --hashes <n> --bands <n> --out <parquetDir> [--salt <s>]\n" +
       "       mine-negatives --queries <parquet> --corpus <parquet> --id <col> --vec <col> --label <col> --k <n> --out <parquetDir> [--ceiling <cos>]\n" +
-      "       centroid-audit --corpus <parquet> --id <col> --vec <col> --label <col> --out <parquetDir>"
+      "       centroid-audit --corpus <parquet> --id <col> --vec <col> --label <col> --out <parquetDir>\n" +
+      "       compact --dir <parquetDir> [--target-mb <n>]"
 
   def main(args: Array[String]): Unit = sys.exit(run(args))
 
@@ -117,6 +118,7 @@ object Main {
                                    out: String, ceiling: Double) extends Cmd
   private case class CentroidAudit(corpus: String, id: String, vec: String,
                                    label: String, out: String) extends Cmd
+  private case class CompactCmd(dir: String, targetMb: Int) extends Cmd
 
   private def parse(args: List[String]): Either[String, Cmd] = args match {
     case "db-sync" :: rest =>
@@ -293,6 +295,14 @@ object Main {
         label <- req(opts, "centroid-audit", "label")
         out <- req(opts, "centroid-audit", "out")
       } yield CentroidAudit(corpus, id, vec, label, out)
+    case "compact" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        d <- req(opts, "compact", "dir")
+        mb <- opts.get("target-mb").fold(Right(128): Either[String, Int])(s =>
+          s.toIntOption.filter(_ >= 1)
+            .toRight(s"compact: --target-mb must be a positive int, got $s"))
+      } yield CompactCmd(d, mb)
     case other =>
       Left(s"unknown command: ${other.headOption.getOrElse("(none)")}")
   }
@@ -545,6 +555,19 @@ object Main {
       graft.similarity.Similarity.centroidAudit(
           spark.read.parquet(corpus), id, vec, label)
         .write.mode("overwrite").parquet(out)
+      0
+
+    case CompactCmd(d, mb) =>
+      // the maintenance half of the streaming serving loops: every
+      // AvailableNow drain appends a few files per micro-batch, and after
+      // months of cron ticks the accumulated log is thousands of KB-sized
+      // parquet files. Run THIS in the same maintenance window (exclusive
+      // access — see Compaction's contract). The serving retry guards
+      // survive it: they filter on (__run, __batch) ROWS, not files
+      val stats = graft.files.Compaction.compact(
+        spark, d, targetBytes = mb.toLong * 1024 * 1024)
+      System.err.println(s"[compact] ${stats.filesBefore} -> ${stats.filesAfter} " +
+        s"files (${stats.bytesTotal} bytes) under $d")
       0
 
     case FileSyncCmd(srcDir, dstDir, apply) =>

@@ -323,6 +323,27 @@ class PlanShapeSpec extends SparkSpec {
       s"the audit scan must stay narrow (centroids are literals):\n$p2")
   }
 
+  test("bpePairCounts top-k is TakeOrdered; miningTriplets scans the corpus once") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(spark, dir, "documents")
+    // the top-50 must run as per-partition heaps (k rows to the driver),
+    // never a global sort of the full pair table
+    val p1 = graft.text.TextAnalysis.bpePairCounts(docs, "text")
+      .orderBy(col("cnt").desc, col("pair")).limit(50)
+      .queryExecution.executedPlan.toString
+    assert(p1.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered, not a global sort:\n$p1")
+    // one scan serves positives and negatives: exactly one corpus read
+    val emb = Tables(spark, dir, "embeddings")
+    val p2 = graft.similarity.Similarity.miningTriplets(
+        emb.filter(col("vec_id") < 25), emb, "vec_id", "embedding", "label")
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("BroadcastNestedLoopJoin"),
+      s"anchors must broadcast into the corpus scan:\n$p2")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p2).size === 1,
+      s"both triplet sides must ride ONE corpus scan:\n$p2")
+  }
+
   test("embedDupIds broadcasts the batch into one corpus scan; only ids shuffle") {
     import org.apache.spark.sql.functions.col
     import graft.similarity.Similarity

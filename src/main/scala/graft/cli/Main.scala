@@ -283,8 +283,8 @@ object Main {
         k <- posInt(opts, "mine-negatives", "k")
         out <- req(opts, "mine-negatives", "out")
         ceiling <- opts.get("ceiling").fold(Right(0.95): Either[String, Double])(s =>
-          s.toDoubleOption.filter(_ > 0)
-            .toRight(s"mine-negatives: --ceiling must be a cosine > 0, got $s"))
+          s.toDoubleOption.filter(d => d > 0 && d <= 1)
+            .toRight(s"mine-negatives: --ceiling must be a cosine in (0,1], got $s"))
       } yield MineNegatives(queries, corpus, id, vec, label, k, out, ceiling)
     case "centroid-audit" :: rest =>
       for {

@@ -179,6 +179,11 @@ object Sampling {
                   defaultRepeats: Int = 1): DataFrame = {
     require((repeats.values ++ Seq(defaultRepeats)).forall(_ >= 0),
       s"repeats must be >= 0: $repeats default=$defaultRepeats")
+    // the appended column must not shadow an existing one — re-expanding
+    // already-expanded data would otherwise die on an ambiguous reference
+    require(!df.columns.exists(_.equalsIgnoreCase("epoch")),
+      "epochExpand: input already has an 'epoch' column — drop or rename it " +
+        "(re-expanding expanded data multiplies copies; that is rarely intended)")
     val r = repeats.foldLeft(lit(defaultRepeats)) {
       case (acc, (src, n)) => when(col(sourceCol) === src, lit(n)).otherwise(acc)
     }

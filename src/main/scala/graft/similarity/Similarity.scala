@@ -444,13 +444,18 @@ object Similarity {
 
   /** Shared scoring + per-query top-k tail for the batch k-NN forms: one
     * definition so exact and IVF cannot drift (the q113 equality pin
-    * grades the CANDIDATE sets, not two scoring implementations). */
-  private def topKPerQuery(candidates: DataFrame, k: Int): DataFrame = {
+    * grades the CANDIDATE sets, not two scoring implementations).
+    * `scoreFilter` is applied to the computed score BEFORE the rank
+    * window (the [[hardNegatives]] ceiling rides here, fused into the
+    * scan stage so rejected pairs never reach the shuffle). */
+  private def topKPerQuery(candidates: DataFrame, k: Int,
+                           scoreFilter: Column => Column = _ => lit(true)): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("__score").desc, col("neighbor_id"))
     candidates
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("__score", dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")))
+      .filter(scoreFilter(col("__score")))
       .select(col("query_id"), col("neighbor_id"), col("__score"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
@@ -845,7 +850,10 @@ object Similarity {
                     vecCol: String, labelCol: String, k: Int,
                     nearDupCeiling: Double = 0.95): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    require(nearDupCeiling > 0, s"nearDupCeiling must be > 0, got $nearDupCeiling")
+    // a ceiling above cosine's max would silently disable the near-dup
+    // exclusion (nothing can ever reach it) — reject it at the API
+    require(nearDupCeiling > 0 && nearDupCeiling <= 1,
+      s"nearDupCeiling is a cosine in (0,1], got $nearDupCeiling")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
         col(labelCol).as("__ql"))
       .withColumn("__qn", norm(col("__qv")))
@@ -854,16 +862,9 @@ object Similarity {
         col(labelCol).as("__cl"))
       .withColumn("__cn", norm(col("__cv")))
       .filter(finitePositive(col("__cn")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("__score").desc, col("neighbor_id"))
-    c.crossJoin(broadcast(q))
-      .filter(col("neighbor_id") =!= col("query_id") && col("__cl") =!= col("__ql"))
-      .withColumn("__score", dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")))
-      .filter(col("__score") < nearDupCeiling)
-      .select(col("query_id"), col("neighbor_id"), col("__score"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .select("query_id", "neighbor_id")
+    topKPerQuery(
+      c.crossJoin(broadcast(q)).filter(col("__cl") =!= col("__ql")),
+      k, _ < nearDupCeiling)
   }
 
   /** Triplet mining for metric/contrastive learning: each `queries` row
@@ -884,7 +885,8 @@ object Similarity {
   def miningTriplets(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, labelCol: String,
                      nearDupCeiling: Double = 0.95): DataFrame = {
-    require(nearDupCeiling > 0, s"nearDupCeiling must be > 0, got $nearDupCeiling")
+    require(nearDupCeiling > 0 && nearDupCeiling <= 1,
+      s"nearDupCeiling is a cosine in (0,1], got $nearDupCeiling")
     val q = queries.select(col(idCol).as("anchor_id"), col(vecCol).as("__qv"),
         col(labelCol).as("__ql"))
       .withColumn("__qn", norm(col("__qv")))
@@ -934,16 +936,36 @@ object Similarity {
   def centroidAudit(emb: DataFrame, idCol: String, vecCol: String,
                     labelCol: String): DataFrame = {
     import graft.functions.VectorFunctions.doubleDot
+    import org.apache.spark.sql.types._
+    // integral labels normalize to long (the oracle-comparable form);
+    // string labels pass through. Anything else fails fast — a silent
+    // cast(null) would merge every label into one group before crashing
+    val labExpr: Column = emb.schema(labelCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => col(labelCol).cast("long")
+      case StringType => col(labelCol)
+      case other => sys.error(
+        s"centroidAudit: label column '$labelCol' must be integral or string, got $other")
+    }
+    // non-finite guard, both passes: one NaN/Inf component under label L
+    // would poison L's mean (every row then scores NaN vs L), and a
+    // zero-norm row scores NaN against every centroid — the same reason
+    // ivfCentroids filters before Lloyd's. Dropped rows drop from the
+    // audit output too (the knnJoin contract for unusable embeddings).
+    val clean = emb.filter(finitePositive(norm(col(vecCol))))
     val dv = col(vecCol).cast("array<double>")
-    val dims = emb.select(col(labelCol).as("__l"), posexplode(dv).as(Seq("__p", "__v")))
+    val dims = clean.select(labExpr.as("__l"), posexplode(dv).as(Seq("__p", "__v")))
       .groupBy("__l", "__p").agg(avg(col("__v")).as("__c"))
-    val cents: Array[(Long, Array[Double])] = dims
+    val cents: Array[(Any, Array[Double])] = dims
       .groupBy("__l")
       .agg(array_sort(collect_list(struct(col("__p"), col("__c")))).as("__pc"))
-      .select(col("__l").cast("long"), transform(col("__pc"), _.getField("__c")).as("__cv"))
+      .select(col("__l"), transform(col("__pc"), _.getField("__c")).as("__cv"))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
+      .map { r =>
+        require(!r.isNullAt(0), "centroidAudit: null labels are not auditable " +
+          "— filter or impute them first")
+        (r.get(0), r.getSeq[Double](1).toArray)
+      }
+      .sortBy(_._1.toString)
     require(cents.nonEmpty, "centroidAudit: no labels in input")
     val scored = cents.map { case (lab, cv) =>
       val cn = math.sqrt(cv.map(x => x * x).sum)
@@ -951,7 +973,7 @@ object Similarity {
         .as("negcos"), lit(lab).as("clabel"))
     }
     val best = if (scored.length == 1) scored.head else least(scored: _*)
-    emb.select(col(idCol).as("vec_id"), col(labelCol).cast("long").as("label"),
+    clean.select(col(idCol).as("vec_id"), labExpr.as("label"),
       best.getField("clabel").as("centroid_label"))
   }
 }

@@ -222,5 +222,10 @@ class SamplingSpec extends SparkSpec {
       .select($"doc_id", $"epoch").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(got.toSeq === Seq((1L, 0L), (1L, 1L), (1L, 2L), (3L, 0L)))
+    // re-expanding expanded data fails fast instead of an ambiguous column
+    val e = intercept[IllegalArgumentException](
+      Sampling.epochExpand(Sampling.epochExpand(df, "source", Map.empty),
+        "source", Map.empty))
+    assert(e.getMessage.contains("already has an 'epoch' column"))
   }
 }

@@ -486,6 +486,33 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq === Seq((0L, 1L, 4L)))
   }
 
+  test("centroidAudit: string labels audit; NaN rows drop instead of poisoning a centroid") {
+    val rows = Seq(
+      (0L, Seq(1f, 0f), "ham"), (1L, Seq(0.9f, 0.1f), "ham"),
+      (2L, Seq(0f, 1f), "spam"), (3L, Seq(0.1f, 0.9f), "spam"),
+      (10L, Seq(Float.NaN, 1f), "ham"), // would poison ham's mean if kept
+      (11L, Seq(0.05f, 1f), "ham"))     // spam geometry under ham: the flag
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val audit = Similarity.centroidAudit(df, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(!audit.contains(10L)) // unusable embedding: out of the audit
+    assert(audit(11L) === (("ham", "spam")))
+    assert(audit(0L) === (("ham", "ham")) && audit(2L) === (("spam", "spam")))
+    // unsupported label types fail fast, not silently merge-then-crash
+    val bad = rows.map { case (i, v, _) => (i, v, 1.5) }.toDF("vec_id", "embedding", "label")
+    val e = intercept[RuntimeException](
+      Similarity.centroidAudit(bad, "vec_id", "embedding", "label"))
+    assert(e.getMessage.contains("integral or string"))
+  }
+
+  test("hardNegatives and miningTriplets reject a ceiling above cosine's max") {
+    val df = Seq((0L, Seq(1f, 0f), 0), (1L, Seq(0f, 1f), 1)).toDF("vec_id", "embedding", "label")
+    intercept[IllegalArgumentException](
+      Similarity.hardNegatives(df, df, "vec_id", "embedding", "label", 1, nearDupCeiling = 1.5))
+    intercept[IllegalArgumentException](
+      Similarity.miningTriplets(df, df, "vec_id", "embedding", "label", nearDupCeiling = 95))
+  }
+
   test("centroidAudit flags exactly the planted mislabel") {
     // two tight planted clusters; row 10 carries cluster-1 geometry under
     // label 0 — the only row whose nearest centroid disagrees

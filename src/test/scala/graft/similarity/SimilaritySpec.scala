@@ -486,6 +486,33 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq === Seq((0L, 1L, 4L)))
   }
 
+  test("property: miningTriplets equals brute force on seeded random data") {
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val data = (0L until 60L).map(i =>
+      (i, Array.fill(dim)(rnd.nextFloat() * 2 - 1), (i % 5).toInt))
+    val df = data.map { case (i, v, l) => (i, v.toSeq, l) }
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.miningTriplets(df.filter($"vec_id" < 20), df,
+        "vec_id", "embedding", "label")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = (0L until 20L).flatMap { a =>
+      val (_, av, al) = data(a.toInt)
+      def top1(p: ((Long, Array[Float], Int)) => Boolean): Option[Long] =
+        data.filter(r => r._1 != a && p(r))
+          .sortBy(r => (-cos(av, r._2), r._1)).headOption.map(_._1)
+      val pos = top1(_._3 == al)
+      val neg = top1(r => r._3 != al && cos(av, r._2) < 0.95)
+      (pos, neg) match { case (Some(p), Some(n)) => Some((a, p, n)); case _ => None }
+    }.sorted
+    assert(got.toSeq === want)
+  }
+
   test("centroidAudit: string labels audit; NaN rows drop instead of poisoning a centroid") {
     val rows = Seq(
       (0L, Seq(1f, 0f), "ham"), (1L, Seq(0.9f, 0.1f), "ham"),

@@ -129,6 +129,22 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("property: bpePairCounts equals the brute-force pair count on random corpora") {
+    val rnd = new scala.util.Random(13)
+    val alphabet = "abcde"
+    val docs = (0 until 40).map { _ =>
+      (0 until rnd.nextInt(8)).map(_ =>
+        (0 until (1 + rnd.nextInt(5))).map(_ => alphabet(rnd.nextInt(5))).mkString
+      ).mkString(" ")
+    }
+    val got = TextAnalysis.bpePairCounts(docs.toDF("text"), "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = docs.flatMap(_.split(" ").filter(_.nonEmpty))
+      .flatMap(w => w.sliding(2).filter(_.length == 2))
+      .groupBy(identity).map { case (p, occ) => p -> occ.size.toLong }
+    assert(got === want)
+  }
+
   test("bpePairCounts: hand-counted pairs, frequency-weighted, 1-char words skipped") {
     // "ababa ababa cd x": ababa x2 -> ab x2/word = 4, ba x2/word = 4;
     // cd x1 -> cd 1; "x" has no pairs

@@ -2064,6 +2064,49 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("pair")).limit(50)
     }),
 
+    // q139: continuously maintained approximate-distinct view — HLL state
+    // through the maintainStats skip-or-merge machinery. Two-sided
+    // contract: (a) MERGE-ORDER INVARIANCE — the streamed sequential fold
+    // must equal a one-shot hll_union_agg over the same per-file partials
+    // (register-max union is commutative/associative; a direct
+    // sketch-of-the-union is deliberately NOT the comparator — past
+    // sparse mode DataSketches' union promotes through a dense target
+    // type and the estimates differ, measured 1488 vs 1494 at sf0.1);
+    // (b) ACCURACY — the estimate within 5% of the exact per-key distinct
+    // (default lgK=12 is ~1.6% rel. error; measured 0.8% at sf0.1)
+    "q139_stream_distinct_view" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"), col("user_id"))
+      val tmp = java.nio.file.Files.createTempDirectory("q139").toString
+      val (srcDir, ckDir, outDir) = (s"$tmp/src", s"$tmp/ck", s"$tmp/out")
+      try {
+        e.repartition(3).write.parquet(srcDir)
+        val stream = s.readStream.schema(e.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*.parquet")
+        val store = new graft.sync.ParquetStore(s, outDir)
+        IncrementalStream.maintainDistinct(stream, Seq("event_type"), "user_id",
+          store, "distinct", checkpointDir = ckDir).awaitTermination()
+        val maintained = store.read("distinct").get
+          .select(col("event_type"), hll_sketch_estimate(col("hll")).as("est"))
+        // the same per-file partials the stream saw, unioned in ONE agg
+        val files = new java.io.File(srcDir).listFiles
+          .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+        val oneShot = files.map(f =>
+            s.read.parquet(f).groupBy("event_type")
+              .agg(hll_sketch_agg(col("user_id")).as("hll")))
+          .reduce(_ unionByName _)
+          .groupBy("event_type")
+          .agg(hll_sketch_estimate(hll_union_agg(col("hll"))).as("best"))
+        val exact = e.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("exact"))
+        maintained.join(oneShot, Seq("event_type"), "full_outer")
+          .join(exact, Seq("event_type"), "full_outer")
+          .agg(violations(
+            col("est").isNull || col("best").isNull || col("est") =!= col("best") ||
+              abs(col("est") - col("exact")) > col("exact") * 0.05))
+          .localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+
     // q137: temperature-flattened mixture rates over the skewed lang
     // column (en ~2.8x the tail) — the multilingual alpha=0.5 rebalance,
     // graded bit-exactly (integer counts through correctly-rounded
@@ -2797,6 +2840,10 @@ object SparkEntry {
     // ceiling top-1) joined per anchor; anchors missing either side drop
     "q136_triplet_mining" ->
       "WITH q AS (SELECT vec_id AS anchor_id, embedding AS qv, label AS ql FROM embeddings WHERE vec_id < 25), s AS (SELECT q.anchor_id, e.vec_id AS nid, e.label = q.ql AS pos, list_cosine_similarity(e.embedding, q.qv) AS sc FROM embeddings e, q WHERE e.vec_id <> q.anchor_id), f AS (SELECT * FROM s WHERE pos OR sc < 0.95), r AS (SELECT anchor_id, nid, pos, row_number() OVER (PARTITION BY anchor_id, pos ORDER BY sc DESC, nid) AS rn FROM f) SELECT p.anchor_id, p.nid AS positive_id, n.nid AS negative_id FROM r p JOIN r n ON p.anchor_id = n.anchor_id AND n.rn = 1 AND NOT n.pos WHERE p.rn = 1 AND p.pos ORDER BY p.anchor_id",
+    // q139: engine-internal sketch bits — graded as the Spark-side parity
+    // + accuracy contract (maintained == batch sketch; estimate within 5%)
+    "q139_stream_distinct_view" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
     // q137: (n/n_max) and sqrt are correctly-rounded IEEE ops on exact
     // integer counts — the alpha=0.5 rate is bit-identical across engines
     "q137_temperature_mix" ->

@@ -34,6 +34,7 @@ object Main {
       "       stream-sync --source <parquetDir> --dest <storeDir> --table <t> --pks c1[,c2] --order c1[,c2] --checkpoint <dir>\n" +
       "       serve-knn --queries <parquetDir> --corpus <parquet> --id <col> --vec <col> --k <n> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       maintain-stats --source <parquetDir> --keys c1[,c2] --value <col> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
+      "       maintain-distinct --source <parquetDir> --keys c1[,c2] --value <col> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       train-lm --docs <parquet> --id <col> --text <col> --out <parquetDir>\n" +
       "       quality-gate --source <parquetDir> --model <parquetDir> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       embed-dedup --source <parquetDir> --corpus <parquet> --id <col> --vec <col> --threshold <cos> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
@@ -89,6 +90,9 @@ object Main {
   private case class MaintainStats(source: String, keys: Seq[String], value: String,
                                    dest: String, table: String,
                                    checkpoint: String) extends Cmd
+  private case class MaintainDistinct(source: String, keys: Seq[String], value: String,
+                                      dest: String, table: String,
+                                      checkpoint: String) extends Cmd
   private case class TrainLm(docs: String, id: String, text: String,
                              out: String) extends Cmd
   private case class QualityGateCmd(source: String, model: String, id: String,
@@ -166,6 +170,16 @@ object Main {
         table <- req(opts, "maintain-stats", "table")
         ck <- req(opts, "maintain-stats", "checkpoint")
       } yield MaintainStats(source, keys, value, dest, table, ck)
+    case "maintain-distinct" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        source <- req(opts, "maintain-distinct", "source")
+        keys <- req(opts, "maintain-distinct", "keys").map(cols)
+        value <- req(opts, "maintain-distinct", "value")
+        dest <- req(opts, "maintain-distinct", "dest")
+        table <- req(opts, "maintain-distinct", "table")
+        ck <- req(opts, "maintain-distinct", "checkpoint")
+      } yield MaintainDistinct(source, keys, value, dest, table, ck)
     case "train-lm" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -398,6 +412,17 @@ object Main {
       sourceSchema(spark, source, "maintain-stats").fold(0) { schema =>
         val stream = spark.readStream.schema(schema).parquet(source)
         graft.streaming.IncrementalStream.maintainStats(
+          stream, keys, value, new ParquetStore(spark, dest), table, ck)
+          .awaitTermination()
+        0
+      }
+
+    case MaintainDistinct(source, keys, value, dest, table, ck) =>
+      sourceSchema(spark, source, "maintain-distinct").fold(0) { schema =>
+        val stream = spark.readStream.schema(schema).parquet(source)
+        // HLL-sketch state; read estimates off the table with
+        // hll_sketch_estimate(hll) — see IncrementalStream.maintainDistinct
+        graft.streaming.IncrementalStream.maintainDistinct(
           stream, keys, value, new ParquetStore(spark, dest), table, ck)
           .awaitTermination()
         0

@@ -51,6 +51,21 @@ class MainSpec extends SparkSpec {
     assert(Main.run(spark, Array("stream-sync", "--source", "/x")) === 2)
     assert(Main.run(spark, Array("serve-knn", "--queries", "/x", "--k", "nope")) === 2)
     assert(Main.run(spark, Array("maintain-stats", "--keys", "a,b")) === 2)
+    assert(Main.run(spark, Array("maintain-distinct", "--keys", "a,b")) === 2)
+  }
+
+  test("maintain-distinct end to end: estimates exact at small cardinality") {
+    import org.apache.spark.sql.functions.hll_sketch_estimate
+    val tmp = Files.createTempDirectory("graft_cli_md").toString
+    Seq((1L, 10L), (1L, 10L), (1L, 11L), (2L, 5L)).toDF("k", "u")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    assert(Main.run(spark, Array("maintain-distinct",
+      "--source", s"$tmp/src", "--keys", "k", "--value", "u",
+      "--dest", s"$tmp/dst", "--table", "d", "--checkpoint", s"$tmp/ck")) === 0)
+    val est = new graft.sync.ParquetStore(spark, s"$tmp/dst").read("d").get
+      .select($"k", hll_sketch_estimate($"hll").as("e")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est === Map(1L -> 2L, 2L -> 1L))
   }
 
   test("streaming subcommands exit 0 on an empty/missing source (first cron tick)") {

@@ -50,6 +50,14 @@ object SparkEntry {
       .distinct()
   }
 
+  /** The q140 BM25 query set — three fixed query strings over the corpus
+    * vocabulary, shared verbatim (id, text) with the DuckDB oracle's
+    * VALUES list so the two retrievals cannot drift. */
+  private val Bm25Queries = Seq(
+    ("q_filter", "customer filter query"),
+    ("q_sort", "fast sort merge"),
+    ("q_stream", "spark stream window"))
+
   /** Collect a memory-sink-backed result into a local relation and DROP
     * the sink table: bench invokes each query lambda repeatedly (cold +
     * warm) and Verify once more — leaked UUID-named sink tables would
@@ -2126,6 +2134,44 @@ object SparkEntry {
         .orderBy("doc_id", "epoch")
     }),
 
+    // q140: BM25 top-10 lexical retrieval for three fixed query strings —
+    // graded on the integer rank skeleton (query_id, rank, doc_id,
+    // n_terms); the float score column is dropped (the q58 tf-idf
+    // precedent: ranking-only float compares). Exact-duplicate docs score
+    // bit-equal WITHIN each engine (sorted-token contribution fold — see
+    // TfIdf.bm25TopK's determinism note), so the (score DESC, doc_id)
+    // tie-break agrees cross-engine; distinct-doc adjacent-rank margins
+    // measured >= 3.87e-5 at sf0.01 and >= 9.1e-5 at sf0.1 (no exact ties
+    // in any top-11), ten orders above ln() last-ulp noise
+    "q140_bm25_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.TfIdf.bm25TopK(docs, "doc_id", "text", Bm25Queries,
+          k = 10, corpusSize = docs.count())
+        .select(col("query_id"), col("rank"), col("doc_id"), col("n_terms"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // q141: winnowing (MOSS) fingerprints, k=3-gram, window w=4 — the full
+    // (doc_id, pos, fp) selected-fingerprint table, md5-hex hashes so both
+    // engines order identically (the q132 cross-engine-md5 precedent);
+    // shuffle-free array-domain plan pinned in PlanShapeSpec
+    "q141_winnow_fingerprints" -> ((s, dir) =>
+      graft.text.Winnow.fingerprints(t(s, dir, "documents"), "doc_id", "text",
+          k = 3, w = 4)
+        .orderBy("doc_id", "pos", "fp")),
+
+    // q142: MOSS overlap candidates over the q141 fingerprints — doc pairs
+    // sharing >= 2 distinct fingerprint hashes after the df<=100 hot-gram
+    // gate (pairing on a fingerprint every doc shares is quadratic and
+    // identifies nothing); integer counts end to end
+    "q142_winnow_overlap" -> ((s, dir) => {
+      val fps = graft.text.Winnow.fingerprints(t(s, dir, "documents"),
+        "doc_id", "text", k = 3, w = 4)
+      graft.text.Winnow.overlapCandidates(fps, "doc_id",
+          minShared = 2, maxDocsPerFp = 100)
+        .orderBy("id_a", "id_b")
+    }),
+
     // q136: contrastive triplet mining — for each of the first 25
     // vectors, the top same-label neighbor (positive) and top cross-label
     // neighbor below the near-dup ceiling (negative), both picked by ONE
@@ -2852,6 +2898,22 @@ object SparkEntry {
     // repeats drop the source, absent sources default to 1
     "q138_epoch_expand" ->
       "SELECT doc_id, unnest(range(CASE WHEN lang = 'en' THEN 0 WHEN lang = 'de' THEN 3 ELSE 1 END)) AS epoch FROM documents ORDER BY doc_id, epoch",
+    // q140: same BM25 formula shape and constant spellings as the Spark
+    // side (k1=1.2 written "1.2", k1+1 written "(1.2 + 1)" — the Scala
+    // double add, NOT the literal 2.2, which is a different double);
+    // contributions fold in token order (list ORDER BY token, sequential
+    // list_aggregate) mirroring the Spark sorted-fold, so exact-twin docs
+    // tie exactly and break by doc_id identically
+    "q140_bm25_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents), tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2), dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1), st AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n, CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / (SELECT count(*) FROM documents) AS avgdl), dfx AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1), q(query_id, qtext) AS (VALUES ('q_filter', 'customer filter query'), ('q_sort', 'fast sort merge'), ('q_stream', 'spark stream window')), qt AS (SELECT query_id, unnest(list_distinct(regexp_extract_all(lower(qtext), '[a-z0-9]+'))) AS token FROM q), m AS (SELECT qt.query_id, tf.doc_id, tf.token, ln(1 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5)) * ((tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * (dl.dl / st.avgdl)))) AS c FROM qt JOIN dfx USING (token) JOIN tf USING (token) JOIN dl USING (doc_id), st), s AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms, list_aggregate(list(c ORDER BY token), 'sum') AS score FROM m GROUP BY 1, 2), r AS (SELECT query_id, doc_id, n_terms, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM s) SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id, n_terms FROM r WHERE rnk <= 10 ORDER BY query_id, rank""",
+    // q141/q142: winnowing selects the min md5-hex 3-gram hash per
+    // 4-window, rightmost position on ties (max(gpos) among window rows
+    // equal to the window min); short docs (1..3 grams) keep their single
+    // truncated window via greatest(ng - 4, 0)
+    "q141_winnow_fingerprints" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS gpos, md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS gh FROM tok, LATERAL unnest(range(1, len(ts) - 1)) AS t(i) WHERE len(ts) >= 3), n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng FROM g GROUP BY 1), mw AS (SELECT doc_id, gpos, min(gh) OVER (PARTITION BY doc_id ORDER BY gpos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh FROM g), w AS (SELECT mw.doc_id, mw.gpos AS wpos, mw.mh FROM mw JOIN n USING (doc_id) WHERE mw.gpos <= greatest(n.ng - 4, 0)), sel AS (SELECT w.doc_id, max(g2.gpos) AS pos, w.mh AS fp FROM w JOIN g g2 ON g2.doc_id = w.doc_id AND g2.gpos BETWEEN w.wpos AND w.wpos + 3 AND g2.gh = w.mh GROUP BY w.doc_id, w.wpos, w.mh) SELECT DISTINCT doc_id, pos, fp FROM sel ORDER BY doc_id, pos, fp""",
+    "q142_winnow_overlap" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS gpos, md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS gh FROM tok, LATERAL unnest(range(1, len(ts) - 1)) AS t(i) WHERE len(ts) >= 3), n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng FROM g GROUP BY 1), mw AS (SELECT doc_id, gpos, min(gh) OVER (PARTITION BY doc_id ORDER BY gpos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh FROM g), w AS (SELECT mw.doc_id, mw.gpos AS wpos, mw.mh FROM mw JOIN n USING (doc_id) WHERE mw.gpos <= greatest(n.ng - 4, 0)), fpd AS (SELECT DISTINCT w.doc_id, w.mh AS fp FROM w), rare AS (SELECT fp FROM fpd GROUP BY fp HAVING count(*) <= 100), pr AS (SELECT f.fp, f.doc_id FROM fpd f JOIN rare USING (fp)) SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b""",
     // q128: brute-force cosine membership of the constructed arrivals
     // against the corpus (the q96 precedent for the float compare — the
     // planted margins keep every decision >= 0.45 away from the threshold)

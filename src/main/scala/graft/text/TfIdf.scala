@@ -58,4 +58,74 @@ object TfIdf {
       .filter(col("__rn") <= k)
       .select(col(idCol), col("token"), col("tf"), col("df"))
   }
+
+  /** Okapi BM25 top-k retrieval: for each query string, the `k`
+    * highest-scoring documents under
+    * `score(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    * with the Lucene-style non-negative idf `ln(1 + (N−df+0.5)/(df+0.5))`
+    * — the lexical-retrieval baseline every RAG / retrieval-eval pipeline
+    * starts from. Query terms are DISTINCT (standard Okapi for short
+    * queries: query term frequency is ignored), tokenized by the SAME
+    * [[TextAnalysis.tokens]] expression as the corpus so query and
+    * document vocabularies cannot drift.
+    *
+    * Scale shape: the corpus is scanned ONCE into the (doc, token, tf)
+    * table; doc lengths derive from THAT table (sum of tf per doc — no
+    * second text scan); the query-term list joins the vocabulary-sized df
+    * table and the resulting ≤|query terms| rows broadcast into the tf
+    * join, so only postings of query terms survive the scan — an inverted
+    * index probe expressed declaratively (persist `termFrequencies` /
+    * `docFrequencies` as parquet and re-query without touching the corpus,
+    * exactly like the near-dup and ANN index tables). The only per-query
+    * shuffle is the (query, doc) score aggregation plus the k-row rank
+    * window. Driver-side inputs: the `corpusSize` scalar (precedent:
+    * [[scored]]) and one total-token count action.
+    *
+    * Determinism: per-(query, doc) term contributions fold in SORTED token
+    * order via a left `aggregate` over a `sort_array`ed collect — NOT a
+    * float `sum()`, whose association order follows arrival order and
+    * would let two identical documents score a last-ulp apart within one
+    * engine, breaking the (score DESC, doc ASC) tie-break. With the
+    * ordered fold, equal token multisets give bit-equal scores, so exact
+    * duplicates rank adjacently by doc id on any engine.
+    *
+    * Returns (query_id, rank, `idCol`, n_terms, score); `score` is a
+    * cross-engine float (ln) — grade the integer rank columns and
+    * spec-pin the score (the q58 tf-idf precedent). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(String, String)], k: Int, corpusSize: Long,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && k >= 1 && corpusSize >= 1, "bm25TopK: empty input")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val tf = termFrequencies(docs, idCol, textCol)
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val totalTokens = dl.agg(sum(col("dl"))).head().getLong(0)
+    val avgdl = totalTokens.toDouble / corpusSize
+
+    val qterms = queries.toDF("query_id", "__qtext")
+      .select(col("query_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("__qtext")))).as("token"))
+    // ≤|query terms| rows after the df join — always broadcastable.
+    val qdf = broadcast(qterms.join(docFrequencies(docs, idCol, textCol), "token"))
+
+    val idf = log(lit(1.0) +
+      ((lit(corpusSize) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+    val contrib = idf * ((col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / lit(avgdl)))))
+
+    val scoredRows = tf.join(qdf, "token").join(dl, idCol)
+      .select(col("query_id"), col(idCol), col("token"), contrib.as("__c"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("n_terms"),
+        aggregate(sort_array(collect_list(struct(col("token"), col("__c")))),
+          lit(0.0), (acc, x) => acc + x.getField("__c")).as("score"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol))
+    scoredRows.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol), col("n_terms"), col("score"))
+  }
 }

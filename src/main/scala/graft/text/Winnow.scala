@@ -1,0 +1,92 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+  * the MOSS algorithm): slide a window of `w` consecutive k-gram hashes over
+  * each document and select the MINIMUM hash per window, rightmost
+  * occurrence on ties. The selected (position, hash) set is a compact,
+  * position-aware fingerprint with the winnowing guarantee: any shared run
+  * of at least w+k−1 tokens between two documents yields at least one
+  * shared fingerprint — the local-sampling property plain modulo-sampling
+  * ("0 mod p") lacks. Feeding the fingerprint table into a (fp → doc)
+  * group-by yields MOSS-style overlap candidates, a positional complement
+  * to MinHash (which samples the global set, losing locality).
+  *
+  * Scale design: the ENTIRE per-document computation — tokenize, k-gram,
+  * hash, window-minimize — runs in the array expression domain of one
+  * narrow codegen'd projection: no explode-then-window, so there is NO
+  * shuffle and no per-doc sort (a window-function formulation would
+  * repartition the 100 TB corpus by doc id just to scan token runs that
+  * already live inside one row). The gram-hash array is computed once per
+  * document and windows index into it; output size is ~ng/w fingerprints
+  * per doc (the winnowing density bound 2/(w+1)).
+  *
+  * Cross-engine determinism: gram hashes are md5 hex strings (the repo's
+  * proven cross-engine hash — the q132 split precedent), ordered
+  * lexicographically; hex order is a total order with no float anywhere,
+  * so the fingerprint table hash-grades exactly.
+  */
+object Winnow {
+
+  /** Per-document winnowing fingerprints: (`idCol`, pos, fp) — `pos` the
+    * 0-based k-gram position selected, `fp` the md5 hex of the
+    * space-joined k-gram. Documents with fewer than `k` tokens emit
+    * nothing; documents with 1..w−1 grams emit the single whole-document
+    * minimum (the one truncated window — the guarantee degenerates
+    * gracefully instead of dropping short docs). */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnow: k and w must be >= 1, got k=$k w=$w")
+    val ts = TextAnalysis.tokens(col(textCol))
+    val n = size(ts)
+    // Gram-hash array, one md5 per k-gram, computed once per document.
+    val ghs = transform(sequence(lit(0), n - lit(k)),
+      i => md5(concat_ws(" ", slice(ts, i + 1, lit(k)))))
+    val ng = size(col("__ghs"))
+    // Window starts 0..ng-w (just 0 when ng < w: one truncated window).
+    val starts = sequence(lit(0), greatest(ng - lit(w), lit(0)))
+    // Per window: left fold over its ≤w gram positions keeping the
+    // lexicographic-minimum hash, rightmost position on equal hashes.
+    val selected = transform(starts, p =>
+      aggregate(
+        sequence(lit(0), least(lit(w), ng - p) - 1),
+        struct(lit(null).cast("string").as("fp"), lit(-1).as("pos")),
+        (acc, j) => {
+          val h = element_at(col("__ghs"), p + j + 1)
+          val pos = p + j
+          when(acc.getField("fp").isNull || h < acc.getField("fp") ||
+              (h === acc.getField("fp") && pos > acc.getField("pos")),
+            struct(h.as("fp"), pos.as("pos")))
+            .otherwise(acc)
+        }))
+    docs.filter(n >= k)
+      .select(col(idCol), ghs.as("__ghs"))
+      .select(col(idCol), explode(array_distinct(selected)).as("__s"))
+      .select(col(idCol), col("__s.pos").cast("long").as("pos"),
+        col("__s.fp").as("fp"))
+  }
+
+  /** MOSS-style overlap candidates: document pairs sharing at least
+    * `minShared` distinct fingerprint hashes, with the shared count —
+    * candidates-then-verify over the fingerprint table, never an all-pairs
+    * text comparison. The (fp → docs) inverted grouping is the only
+    * shuffle; hot fingerprints (boilerplate shared by thousands of docs)
+    * are dropped by `maxDocsPerFp` before pairing, the passage-dedup df
+    * gate applied to winnowing (a fingerprint in every doc pairs
+    * quadratically and identifies nothing). */
+  def overlapCandidates(fps: DataFrame, idCol: String,
+                        minShared: Int = 2, maxDocsPerFp: Int = 100): DataFrame = {
+    val byFp = fps.select(col("fp"), col(idCol)).distinct()
+    val rare = byFp.groupBy(col("fp")).agg(count(lit(1)).as("__ndocs"))
+      .filter(col("__ndocs") <= maxDocsPerFp)
+    val pruned = byFp.join(rare.select(col("fp")), "fp")
+    val a = pruned.select(col("fp"), col(idCol).as("id_a"))
+    val b = pruned.select(col("fp"), col(idCol).as("id_b"))
+    a.join(b, "fp").filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+}

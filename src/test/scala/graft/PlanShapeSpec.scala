@@ -393,4 +393,28 @@ class PlanShapeSpec extends SparkSpec {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("q141 winnowing is one narrow projection: no shuffle, no window, no join") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val p = graft.text.Winnow.fingerprints(docs, "doc_id", "text", 3, 4)
+      .queryExecution.executedPlan.toString
+    // the whole tokenize -> gram-hash -> window-minimize computation lives
+    // in the array expression domain of the scan projection; an
+    // explode-then-window formulation would repartition the corpus by doc
+    assert(!p.contains("Exchange"), s"winnowing must not shuffle:\n$p")
+    assert(!p.contains("Window"), s"winnowing must not plan a window:\n$p")
+    assert(!p.contains("Join"), s"winnowing must not plan a join:\n$p")
+    assert("ReadSchema: struct<doc_id:bigint,text:string>".r.findFirstIn(p).isDefined,
+      s"doc scan must prune to id+text:\n$p")
+  }
+
+  test("q140 BM25 probes postings with the query-term side broadcast") {
+    val p = plan("q140_bm25_topk")
+    // the <=|query terms| (token, df) rows broadcast into the tf join —
+    // a sort-merge there shuffles the full postings table by token
+    assert(p.contains("BroadcastHashJoin"), s"query-term join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-wide sort-merge join:\n$p")
+  }
 }

@@ -43,4 +43,64 @@ class TfIdfSpec extends SparkSpec {
     assert(r(2L) === (("cat", 2L, 2L)))  // cat (df 2) beats the (df 3)
     assert(r(3L) === (("dog", 1L, 1L)))
   }
+
+  // --- BM25 ---
+
+  /** The exact bm25TopK formula, folded in sorted-token order. */
+  private def refBm25(terms: Seq[(String, Long, Long, Long)], // (token, tf, df, dl)
+                      n: Long, avgdl: Double,
+                      k1: Double = 1.2, b: Double = 0.75): Double =
+    terms.sortBy(_._1).foldLeft(0.0) { case (acc, (_, tf, df, dl)) =>
+      // StrictMath, not math.log: Spark's Log expression evaluates via
+      // StrictMath.log, which can sit an ulp from the Math.log intrinsic
+      val idf = StrictMath.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      acc + idf * ((tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * (dl / avgdl))))
+    }
+
+  test("bm25TopK matches the hand-computed Okapi score and ranks by it") {
+    val out = TfIdf.bm25TopK(docs, "doc_id", "text",
+        Seq(("q1", "cat dog")), k = 10, corpusSize = 3)
+      .collect().map(r => (r.getString(0), r.getLong(2)) ->
+        (r.getLong(1), r.getLong(3), r.getDouble(4))).toMap
+    val avgdl = 8.0 / 3.0 // the/rare/cat + the/cat/cat + the/dog
+    val s1 = refBm25(Seq(("cat", 1L, 2L, 3L)), 3, avgdl)
+    val s2 = refBm25(Seq(("cat", 2L, 2L, 3L)), 3, avgdl)
+    val s3 = refBm25(Seq(("dog", 1L, 1L, 2L)), 3, avgdl)
+    assert(out((("q1", 1L)))._3 === s1)
+    assert(out((("q1", 2L)))._3 === s2)
+    assert(out((("q1", 3L)))._3 === s3)
+    // dog is rarer (df 1 vs 2) and doc 3 shorter: doc 3 ranks first;
+    // tf=2 cat beats tf=1 cat
+    assert(out((("q1", 3L)))._1 === 1L)
+    assert(out((("q1", 2L)))._1 === 2L)
+    assert(out((("q1", 1L)))._1 === 3L)
+    // n_terms counts MATCHED query terms only
+    assert(out.values.map(_._2).toSet === Set(1L))
+  }
+
+  test("bm25TopK: exact-twin docs score bit-equal and tie-break by doc id") {
+    val twins = Seq(
+      (10L, "alpha beta gamma"), (7L, "alpha beta gamma"),
+      (3L, "alpha delta epsilon zeta")).toDF("doc_id", "text")
+    val out = TfIdf.bm25TopK(twins, "doc_id", "text",
+        Seq(("q", "alpha beta")), k = 10, corpusSize = 3)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    // identical token multisets => identical sorted fold => EXACT equality
+    assert(out(1L)._3 === out(2L)._3)
+    assert((out(1L)._1, out(2L)._1) === ((7L, 10L))) // doc-id tie-break
+    assert(out(1L)._2 === 2L) // both query terms matched
+    assert(out(3L)._2 === 1L) // only alpha
+  }
+
+  test("bm25TopK: duplicate query terms count once; k caps each query independently") {
+    val out = TfIdf.bm25TopK(docs, "doc_id", "text",
+        Seq(("a", "cat cat cat"), ("b", "the")), k = 1, corpusSize = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.count(_._1 == "a") === 1)
+    assert(out.count(_._1 == "b") === 1)
+    // "cat cat cat" == "cat": n_terms 1, and the tf=2 doc wins
+    val a = out.find(_._1 == "a").get
+    assert(a._3 === 2L && a._4 === 1L)
+  }
 }

@@ -1,0 +1,83 @@
+package graft.text
+
+import graft.SparkSpec
+
+class WinnowSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Brute-force reference: tokenize, md5-hex each k-gram, slide windows of
+    * w (suffix-truncated to one window when ng < w), pick the lexicographic
+    * min with the RIGHTMOST position on ties. */
+  private def refWinnow(text: String, k: Int, w: Int): Set[(Long, String)] = {
+    val ts = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toVector
+    if (ts.length < k) return Set.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ghs = (0 to ts.length - k).map(i => md5hex(ts.slice(i, i + k).mkString(" ")))
+    val ng = ghs.length
+    (0 to math.max(ng - w, 0)).flatMap { p =>
+      val win = (p until math.min(p + w, ng)).map(j => (ghs(j), j))
+      val minH = win.map(_._1).min
+      val pos = win.filter(_._1 == minH).map(_._2).max
+      Some((pos.toLong, minH))
+    }.toSet
+  }
+
+  private def run(docs: Seq[(Long, String)], k: Int = 3, w: Int = 4) =
+    Winnow.fingerprints(docs.toDF("doc_id", "text"), "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+
+  test("fingerprints match the brute-force winnowing reference") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "a a b a a b a a b"), // heavy gram repetition -> tie paths
+      (4L, "one two"), //  < k tokens: nothing
+      (5L, "one two three four")) // ng=2 < w: single truncated window
+    val got = run(docs).groupBy(_._1)
+      .map { case (id, rows) => id -> rows.map(r => (r._2, r._3)).toSet }
+    docs.foreach { case (id, text) =>
+      val want = refWinnow(text, 3, 4)
+      assert(got.getOrElse(id, Set.empty) === want, s"doc $id")
+    }
+    assert(!got.contains(4L))
+    assert(got(5L).size === 1)
+  }
+
+  test("rightmost tie-break: identical grams select the window's last position") {
+    // every 3-gram of "z z z z z z z" is identical; window p selects p+3
+    val got = run(Seq((1L, "z z z z z z z"))) // 7 tokens -> ng=5, windows p=0,1
+    assert(got.map(_._2).toSet === Set(3L, 4L))
+    assert(got.map(_._3).toSet.size === 1)
+  }
+
+  test("winnowing guarantee: a shared run of >= w+k-1 tokens shares a fingerprint") {
+    // distinct prefixes/suffixes, one planted 6-token (= w+k-1) common run
+    val shared = "sigma tau upsilon phi chi psi"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon"),
+      (2L, s"omicron pi rho $shared nu xi"))
+    val fps = run(docs)
+    val h1 = fps.filter(_._1 == 1L).map(_._3).toSet
+    val h2 = fps.filter(_._1 == 2L).map(_._3).toSet
+    assert(h1.intersect(h2).nonEmpty)
+  }
+
+  test("overlapCandidates pairs on shared fingerprints, gated by df and minShared") {
+    val shared = "sigma tau upsilon phi chi psi omega kappa lambda"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon zeta"),
+      (2L, s"omicron pi rho $shared nu xi iota"),
+      (3L, "unrelated words entirely different from all other documents here"))
+    val fps = Winnow.fingerprints(docs.toDF("doc_id", "text"), "doc_id", "text", 3, 4)
+    val pairs = Winnow.overlapCandidates(fps, "doc_id", minShared = 2, maxDocsPerFp = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    assert(pairs.head._3 >= 2L)
+    // a df gate of 1 drops every shared fingerprint -> no pairs survive
+    val gated = Winnow.overlapCandidates(fps, "doc_id", minShared = 1, maxDocsPerFp = 1)
+      .collect()
+    assert(gated.isEmpty)
+  }
+}

@@ -45,6 +45,8 @@ object Main {
       "       group-split --corpus <parquet> --id <col> --text <col> --ngram <n> --num <j> --den <j> --hashes <n> --bands <n> --out <parquetDir> [--salt <s>]\n" +
       "       mine-negatives --queries <parquet> --corpus <parquet> --id <col> --vec <col> --label <col> --k <n> --out <parquetDir> [--ceiling <cos>]\n" +
       "       centroid-audit --corpus <parquet> --id <col> --vec <col> --label <col> --out <parquetDir>\n" +
+      "       build-bm25-index --corpus <parquet> --id <col> --text <col> --out <storeDir>\n" +
+      "       serve-bm25 --queries <parquetDir> --index <storeDir> --id <col> --k <n> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       compact --dir <parquetDir> [--target-mb <n>]"
 
   def main(args: Array[String]): Unit = sys.exit(run(args))
@@ -122,6 +124,11 @@ object Main {
                                    out: String, ceiling: Double) extends Cmd
   private case class CentroidAudit(corpus: String, id: String, vec: String,
                                    label: String, out: String) extends Cmd
+  private case class BuildBm25Index(corpus: String, id: String, text: String,
+                                    out: String) extends Cmd
+  private case class ServeBm25(queries: String, index: String, id: String,
+                               k: Int, dest: String, table: String,
+                               checkpoint: String) extends Cmd
   private case class CompactCmd(dir: String, targetMb: Int) extends Cmd
 
   private def parse(args: List[String]): Either[String, Cmd] = args match {
@@ -309,6 +316,25 @@ object Main {
         label <- req(opts, "centroid-audit", "label")
         out <- req(opts, "centroid-audit", "out")
       } yield CentroidAudit(corpus, id, vec, label, out)
+    case "build-bm25-index" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "build-bm25-index", "corpus")
+        id <- req(opts, "build-bm25-index", "id")
+        text <- req(opts, "build-bm25-index", "text")
+        out <- req(opts, "build-bm25-index", "out")
+      } yield BuildBm25Index(corpus, id, text, out)
+    case "serve-bm25" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        queries <- req(opts, "serve-bm25", "queries")
+        index <- req(opts, "serve-bm25", "index")
+        id <- req(opts, "serve-bm25", "id")
+        k <- posInt(opts, "serve-bm25", "k")
+        dest <- req(opts, "serve-bm25", "dest")
+        table <- req(opts, "serve-bm25", "table")
+        ck <- req(opts, "serve-bm25", "checkpoint")
+      } yield ServeBm25(queries, index, id, k, dest, table, ck)
     case "compact" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -581,6 +607,50 @@ object Main {
           spark.read.parquet(corpus), id, vec, label)
         .write.mode("overwrite").parquet(out)
       0
+
+    case BuildBm25Index(corpus, id, text, out) =>
+      // one corpus text pass; the three relations persist through the
+      // store and serve every serve-bm25 restart without re-tokenizing.
+      // The two collection-statistics scalars ride along as a one-row
+      // manifest — they are index-build CONSTANTS by the BM25 contract
+      // (recomputing them per batch would change every score as the
+      // served log grows), so serve-bm25 refuses to start without them
+      val docs = spark.read.parquet(corpus)
+      val built = graft.text.TfIdf.buildBm25Index(docs, id, text, docs.count())
+      val store = new ParquetStore(spark, out)
+      store.write(built.postings, "postings")
+      store.write(built.docLens, "doc_lens")
+      store.write(built.docFreqs, "doc_freqs")
+      store.write(spark.createDataFrame(java.util.List.of(
+          org.apache.spark.sql.Row(built.corpusSize, built.avgdl)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("corpus_size", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("avgdl", org.apache.spark.sql.types.DoubleType)))),
+        "params")
+      0
+
+    case ServeBm25(queries, index, id, k, dest, table, ck) =>
+      sourceSchema(spark, queries, "serve-bm25").fold(0) { schema =>
+        val idxStore = new ParquetStore(spark, index)
+        val params = idxStore.read("params").getOrElse(
+          sys.error(s"serve-bm25: no params table under $index — run build-bm25-index first")).head
+        val (n, avgdl) = (params.getLong(0), params.getDouble(1))
+        // by-name index: each batch re-reads the persisted relations, so
+        // an offline rebuild (same scalars) lands on the next batch
+        def idx = graft.text.TfIdf.Bm25Index(
+          idxStore.read("postings").getOrElse(
+            sys.error(s"serve-bm25: no postings table under $index")),
+          idxStore.read("doc_lens").getOrElse(
+            sys.error(s"serve-bm25: no doc_lens table under $index")),
+          idxStore.read("doc_freqs").getOrElse(
+            sys.error(s"serve-bm25: no doc_freqs table under $index")),
+          n, avgdl)
+        val stream = spark.readStream.schema(schema).parquet(queries)
+        graft.streaming.IncrementalStream.bm25Serve(
+          stream, idx, id, k, new ParquetStore(spark, dest), table, ck)
+          .awaitTermination()
+        0
+      }
 
     case CompactCmd(d, mb) =>
       // the maintenance half of the streaming serving loops: every

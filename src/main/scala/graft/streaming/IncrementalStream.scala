@@ -190,6 +190,32 @@ object IncrementalStream {
       graft.similarity.Similarity.knnJoin(batch, corpus, idCol, vecCol, k)
     }
 
+  /** STREAMING BM25 serving — lexical retrieval's [[knnServe]]: each
+    * micro-batch of (query_id, qtext) rows runs one
+    * [[graft.text.TfIdf.bm25Join]] probe against a pre-built
+    * [[graft.text.TfIdf.Bm25Index]] and the top-k tables accumulate under
+    * the lineage-stamped retry guard at (query_id, doc) granularity.
+    * Per-query results depend only on the index (collection statistics
+    * are index-time constants — see Bm25Index), so the accumulated log is
+    * batch-partitioning-invariant and converges to the batch
+    * [[graft.text.TfIdf.bm25TopKIndexed]] result under any arrival split
+    * or crash/retry schedule. The index is a BY-NAME parameter
+    * re-evaluated per batch: pass a thunk reading the persisted
+    * postings/docLens/docFreqs tables and an offline index rebuild lands
+    * on the next batch (same caveat as [[knnServe]]'s corpus: a
+    * pre-resolved DataFrame freezes its file listing). Per-batch cost is
+    * the batch's own query terms probing the postings by broadcast —
+    * the index never shuffles pre-score. */
+  def bm25Serve(queryStream: DataFrame, index: => graft.text.TfIdf.Bm25Index,
+                idCol: String, k: Int, store: graft.sync.TableStore,
+                table: String, checkpointDir: String,
+                k1: Double = 1.2, b: Double = 0.75,
+                trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    guardedAppend(queryStream, store, table, checkpointDir,
+      Seq("query_id", idCol), trigger) { batch =>
+      graft.text.TfIdf.bm25Join(index, idCol, batch, k, k1, b)
+    }
+
   /** The at-least-once APPEND guard shared by every accumulate-a-log
     * serving loop ([[knnServe]], [[indexIngest]]): each micro-batch's
     * derived rows are stamped with their (lineage, batch id) and appended;

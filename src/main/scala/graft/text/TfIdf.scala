@@ -94,28 +94,71 @@ object TfIdf {
     * spec-pin the score (the q58 tf-idf precedent). */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: Seq[(String, String)], k: Int, corpusSize: Long,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(queries.nonEmpty && k >= 1 && corpusSize >= 1, "bm25TopK: empty input")
-    val spark = docs.sparkSession
-    import spark.implicits._
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKIndexed(buildBm25Index(docs, idCol, textCol, corpusSize), idCol,
+      queries, k, k1, b)
 
+  /** Persisted BM25 index over a corpus: the three relations (postings,
+    * doc lengths, doc frequencies) plus the two scalars every BM25 scorer
+    * needs. All three are plain DataFrames — write them through a
+    * `sync.TableStore` (or straight to parquet, bucketed by token if
+    * query batches are large) and every query batch reuses them WITHOUT
+    * touching the corpus text, exactly like the near-dup band index and
+    * the ANN index tables. `avgdl` is fixed at build time (the standard
+    * BM25 contract: collection statistics are index-time constants, so a
+    * given index scores deterministically forever). */
+  final case class Bm25Index(postings: DataFrame, // (idCol, token, tf)
+                             docLens: DataFrame, // (idCol, dl)
+                             docFreqs: DataFrame, // (token, df)
+                             corpusSize: Long, avgdl: Double)
+
+  /** Build a [[Bm25Index]] with ONE pass over the corpus text: doc lengths
+    * and the total-token scalar both derive from the postings table (sum
+    * of tf — never a second text scan). One driver action (the total-token
+    * count); `corpusSize` is taken by value (precedent: [[scored]]). */
+  def buildBm25Index(docs: DataFrame, idCol: String, textCol: String,
+                     corpusSize: Long): Bm25Index = {
+    require(corpusSize >= 1, "buildBm25Index: empty corpus")
     val tf = termFrequencies(docs, idCol, textCol)
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val totalTokens = dl.agg(sum(col("dl"))).head().getLong(0)
-    val avgdl = totalTokens.toDouble / corpusSize
+    Bm25Index(tf, dl, docFrequencies(docs, idCol, textCol),
+      corpusSize, totalTokens.toDouble / corpusSize)
+  }
 
-    val qterms = queries.toDF("query_id", "__qtext")
+  /** BM25 top-k through a pre-built [[Bm25Index]] — the serving entry
+    * point: the corpus text is never touched, the ≤|query terms| (token,
+    * df) rows broadcast into the postings join, and only postings of
+    * query terms survive the index scan. See [[bm25TopK]] for scoring
+    * semantics and the sorted-fold determinism contract. */
+  def bm25TopKIndexed(index: Bm25Index, idCol: String,
+                      queries: Seq[(String, String)], k: Int,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "bm25TopKIndexed: empty query set")
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    bm25Join(index, idCol, queries.toDF("query_id", "qtext"), k, k1, b)
+  }
+
+  /** BM25 top-k with the query side as a DataFrame of (query_id, qtext) —
+    * the batch-join form [[bm25TopKIndexed]] wraps and the per-micro-batch
+    * unit a streaming serving loop calls (each batch's queries broadcast
+    * into one postings probe; queries never round-trip the driver). */
+  def bm25Join(index: Bm25Index, idCol: String, queryDf: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"bm25Join: k must be >= 1, got $k")
+    val qterms = queryDf
       .select(col("query_id"),
-        explode(array_distinct(TextAnalysis.tokens(col("__qtext")))).as("token"))
+        explode(array_distinct(TextAnalysis.tokens(col("qtext")))).as("token"))
     // ≤|query terms| rows after the df join — always broadcastable.
-    val qdf = broadcast(qterms.join(docFrequencies(docs, idCol, textCol), "token"))
+    val qdf = broadcast(qterms.join(index.docFreqs, "token"))
 
     val idf = log(lit(1.0) +
-      ((lit(corpusSize) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      ((lit(index.corpusSize) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
     val contrib = idf * ((col("tf") * lit(k1 + 1.0)) /
-      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / lit(avgdl)))))
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / lit(index.avgdl)))))
 
-    val scoredRows = tf.join(qdf, "token").join(dl, idCol)
+    val scoredRows = index.postings.join(qdf, "token").join(index.docLens, idCol)
       .select(col("query_id"), col(idCol), col("token"), contrib.as("__c"))
       .groupBy(col("query_id"), col(idCol))
       .agg(count(lit(1)).as("n_terms"),

@@ -347,4 +347,44 @@ class MainSpec extends SparkSpec {
       "--id", "vec_id", "--vec", "embedding", "--label", "label",
       "--k", "zero", "--out", s"$tmp/negs2")) === 2)
   }
+
+  test("build-bm25-index + serve-bm25 end to end: served log equals the batch retrieval") {
+    import graft.text.TfIdf
+    val tmp = Files.createTempDirectory("graft_cli_bm25").toString
+    val docs = Seq((1L, "the rare cat"), (2L, "the cat cat"), (3L, "the dog"))
+      .toDF("doc_id", "text")
+    docs.write.parquet(s"$tmp/corpus")
+    assert(Main.run(spark, Array("build-bm25-index",
+      "--corpus", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+      "--out", s"$tmp/idx")) === 0)
+    // the manifest persists the index-build scalars
+    val params = spark.read.parquet(s"$tmp/idx/params.parquet").head
+    assert(params.getLong(0) === 3L)
+    assert(params.getDouble(1) === 8.0 / 3)
+    val queries = Seq(("qa", "cat"), ("qb", "dog"))
+    queries.toDF("query_id", "qtext").coalesce(1)
+      .write.mode("append").parquet(s"$tmp/queries")
+    assert(Main.run(spark, Array("serve-bm25",
+      "--queries", s"$tmp/queries", "--index", s"$tmp/idx", "--id", "doc_id",
+      "--k", "2", "--dest", s"$tmp/dst", "--table", "served",
+      "--checkpoint", s"$tmp/ck")) === 0)
+    val served = spark.read.parquet(s"$tmp/dst/served.parquet")
+      .select($"query_id", $"rank", $"doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = TfIdf.bm25TopK(docs, "doc_id", "text", queries, k = 2,
+        corpusSize = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served === batch)
+    // missing index tables fail fast; malformed --k exits 2 pre-Spark
+    intercept[RuntimeException] {
+      Main.run(spark, Array("serve-bm25",
+        "--queries", s"$tmp/queries", "--index", s"$tmp/empty", "--id", "doc_id",
+        "--k", "2", "--dest", s"$tmp/dst2", "--table", "served",
+        "--checkpoint", s"$tmp/ck2"))
+    }
+    assert(Main.run(spark, Array("serve-bm25",
+      "--queries", s"$tmp/queries", "--index", s"$tmp/idx", "--id", "doc_id",
+      "--k", "0", "--dest", s"$tmp/dst3", "--table", "served",
+      "--checkpoint", s"$tmp/ck3")) === 2)
+  }
 }

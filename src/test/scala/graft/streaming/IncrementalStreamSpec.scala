@@ -520,4 +520,40 @@ class IncrementalStreamSpec extends SparkSpec {
       store, "clean", checkpointDir = s"$tmp/ck2", n = n).awaitTermination()
     assert(store.read("clean").get.count() === 3)
   }
+
+  test("bm25Serve: streamed retrieval equals the batch join; cross-lineage replay appends nothing") {
+    import graft.sync.ParquetStore
+    import graft.text.TfIdf
+    val docs = Seq(
+      (1L, "the rare cat"), (2L, "the cat cat"), (3L, "the dog"),
+      (4L, "dog and cat together")).toDF("doc_id", "text")
+    val idx = TfIdf.buildBm25Index(docs, "doc_id", "text", corpusSize = 4)
+    val queries = Seq(("qa", "cat"), ("qb", "dog"), ("qc", "rare dog"))
+    val tmp = Files.createTempDirectory("graft_bm25s").toString
+    // two arrival files -> two micro-batches splitting the query set
+    queries.take(1).toDF("query_id", "qtext")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    queries.drop(1).toDF("query_id", "qtext")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    def stream() = spark.readStream
+      .schema(queries.toDF("query_id", "qtext").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+    val store = new ParquetStore(spark, s"$tmp/out")
+    IncrementalStream.bm25Serve(stream(), idx, "doc_id", k = 2,
+      store, "served", checkpointDir = s"$tmp/ck").awaitTermination()
+    def served() = store.read("served").get
+      .select($"query_id", $"rank", $"doc_id", $"n_terms", $"score").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    val batch = TfIdf.bm25TopKIndexed(idx, "doc_id", queries, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(served() === batch) // bit-exact, score included: same index, same fold
+    assert(served().count(_._1 == "qa") === 2)
+    // fresh checkpoint over the same arrivals: the cross-lineage guard
+    // finds every (query, doc) pair already served — nothing re-appends
+    IncrementalStream.bm25Serve(stream(), idx, "doc_id", k = 2,
+      store, "served", checkpointDir = s"$tmp/ck2").awaitTermination()
+    assert(store.read("served").get.count() === batch.size)
+  }
 }

@@ -31,36 +31,48 @@ import org.apache.spark.sql.functions._
 object Winnow {
 
   /** Per-document winnowing fingerprints: (`idCol`, pos, fp) — `pos` the
-    * 0-based k-gram position selected, `fp` the md5 hex of the
-    * space-joined k-gram. Documents with fewer than `k` tokens emit
-    * nothing; documents with 1..w−1 grams emit the single whole-document
-    * minimum (the one truncated window — the guarantee degenerates
-    * gracefully instead of dropping short docs). */
+    * 0-based k-gram position selected, `fp` the gram hash under `hasher`
+    * (default: md5 hex of the space-joined k-gram — the cross-engine
+    * oracle-gradable choice; pass `xxhash64(_)` in production for a
+    * codegen'd integer hash an order of magnitude cheaper per gram — any
+    * total hash order yields a valid winnowing, only the SELECTION of
+    * which grams fingerprint changes, so build and probe must simply
+    * agree on the hasher, the band-index family contract). Documents
+    * with fewer than `k` tokens emit nothing; documents with 1..w−1
+    * grams emit the single whole-document minimum (the one truncated
+    * window — the guarantee degenerates gracefully instead of dropping
+    * short docs). */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
-                   k: Int = 3, w: Int = 4): DataFrame = {
+                   k: Int = 3, w: Int = 4,
+                   hasher: Column => Column = md5): DataFrame = {
     require(k >= 1 && w >= 1, s"winnow: k and w must be >= 1, got k=$k w=$w")
     val ts = TextAnalysis.tokens(col(textCol))
     val n = size(ts)
-    // Gram-hash array, one md5 per k-gram, computed once per document.
+    // Gram-hash array, one hash per k-gram, computed once per document.
     val ghs = transform(sequence(lit(0), n - lit(k)),
-      i => md5(concat_ws(" ", slice(ts, i + 1, lit(k)))))
+      i => hasher(concat_ws(" ", slice(ts, i + 1, lit(k)))))
     val ng = size(col("__ghs"))
     // Window starts 0..ng-w (just 0 when ng < w: one truncated window).
     val starts = sequence(lit(0), greatest(ng - lit(w), lit(0)))
     // Per window: left fold over its ≤w gram positions keeping the
-    // lexicographic-minimum hash, rightmost position on equal hashes.
-    val selected = transform(starts, p =>
+    // minimum hash, rightmost position on equal hashes. Init = the
+    // window's FIRST gram (hash-type-agnostic — a typed-null init would
+    // hardwire the hasher's return type); positions only grow through
+    // the fold, so "h <= acc.fp take the new one" IS the rightmost rule.
+    val selected = transform(starts, p => {
+      val wl = least(lit(w), ng - p)
+      val rest = when(wl > lit(1), sequence(lit(1), wl - 1))
+        .otherwise(array().cast("array<int>"))
       aggregate(
-        sequence(lit(0), least(lit(w), ng - p) - 1),
-        struct(lit(null).cast("string").as("fp"), lit(-1).as("pos")),
+        rest,
+        struct(element_at(col("__ghs"), p + 1).as("fp"), p.as("pos")),
         (acc, j) => {
           val h = element_at(col("__ghs"), p + j + 1)
-          val pos = p + j
-          when(acc.getField("fp").isNull || h < acc.getField("fp") ||
-              (h === acc.getField("fp") && pos > acc.getField("pos")),
-            struct(h.as("fp"), pos.as("pos")))
+          when(h <= acc.getField("fp"),
+            struct(h.as("fp"), (p + j).as("pos")))
             .otherwise(acc)
-        }))
+        })
+    })
     docs.filter(n >= k)
       .select(col(idCol), ghs.as("__ghs"))
       .select(col(idCol), explode(array_distinct(selected)).as("__s"))

@@ -64,6 +64,30 @@ class WinnowSpec extends SparkSpec {
     assert(h1.intersect(h2).nonEmpty)
   }
 
+  test("an integer hasher (xxhash64) keeps the winnowing properties") {
+    import org.apache.spark.sql.functions.xxhash64
+    val shared = "sigma tau upsilon phi chi psi"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon"),
+      (2L, s"omicron pi rho $shared nu xi"),
+      (3L, "one two")).toDF("doc_id", "text")
+    def run() = Winnow.fingerprints(docs, "doc_id", "text", 3, 4, xxhash64(_))
+    assert(run().schema("fp").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val fps = run().collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // deterministic across runs (build and probe must agree)
+    assert(fps.toSet === run().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    // the guarantee holds under ANY total hash order
+    val h1 = fps.filter(_._1 == 1L).map(_._3).toSet
+    val h2 = fps.filter(_._1 == 2L).map(_._3).toSet
+    assert(h1.intersect(h2).nonEmpty)
+    assert(!fps.exists(_._1 == 3L)) // < k tokens still emits nothing
+    // density: one fingerprint per window at most, at least one per doc
+    val ng1 = 12 - 2 // doc 1: 12 tokens -> 10 grams
+    assert(fps.count(_._1 == 1L) >= 1 && fps.count(_._1 == 1L) <= ng1 - 4 + 1)
+  }
+
   test("overlapCandidates pairs on shared fingerprints, gated by df and minShared") {
     val shared = "sigma tau upsilon phi chi psi omega kappa lambda"
     val docs = Seq(

@@ -121,9 +121,12 @@ object TfIdf {
     require(corpusSize >= 1, "buildBm25Index: empty corpus")
     val tf = termFrequencies(docs, idCol, textCol)
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
-    val totalTokens = dl.agg(sum(col("dl"))).head().getLong(0)
+    val total = dl.agg(sum(col("dl"))).head()
+    // sum over zero rows is SQL NULL — fail with a diagnosis, not an NPE
+    require(!total.isNullAt(0),
+      "buildBm25Index: corpus has no tokens (every document tokenized to empty)")
     Bm25Index(tf, dl, docFrequencies(docs, idCol, textCol),
-      corpusSize, totalTokens.toDouble / corpusSize)
+      corpusSize, total.getLong(0).toDouble / corpusSize)
   }
 
   /** BM25 top-k through a pre-built [[Bm25Index]] — the serving entry

@@ -46,11 +46,14 @@ object Winnow {
                    k: Int = 3, w: Int = 4,
                    hasher: Column => Column = md5): DataFrame = {
     require(k >= 1 && w >= 1, s"winnow: k and w must be >= 1, got k=$k w=$w")
-    val ts = TextAnalysis.tokens(col(textCol))
-    val n = size(ts)
-    // Gram-hash array, one hash per k-gram, computed once per document.
-    val ghs = transform(sequence(lit(0), n - lit(k)),
-      i => hasher(concat_ws(" ", slice(ts, i + 1, lit(k)))))
+    val ts0 = TextAnalysis.tokens(col(textCol))
+    // Gram-hash array, one hash per k-gram. The token array is BOUND as a
+    // lambda variable (1-element-array trick, see Dedup.wordNgrams):
+    // referencing the tokenizer expression from inside the per-position
+    // lambda would re-run the regex once per k-gram — O(tokens²) per doc.
+    val ghs = flatten(transform(array(ts0), ts =>
+      transform(sequence(lit(0), size(ts) - lit(k)),
+        i => hasher(concat_ws(" ", slice(ts, i + 1, lit(k)))))))
     val ng = size(col("__ghs"))
     // Window starts 0..ng-w (just 0 when ng < w: one truncated window).
     val starts = sequence(lit(0), greatest(ng - lit(w), lit(0)))
@@ -73,7 +76,9 @@ object Winnow {
             .otherwise(acc)
         })
     })
-    docs.filter(n >= k)
+    // the filter's size() is the tokenizer's only other evaluation (2 per
+    // doc total); it also keeps the sequence() above ascending (n >= k)
+    docs.filter(size(ts0) >= k)
       .select(col(idCol), ghs.as("__ghs"))
       .select(col(idCol), explode(array_distinct(selected)).as("__s"))
       .select(col(idCol), col("__s.pos").cast("long").as("pos"),

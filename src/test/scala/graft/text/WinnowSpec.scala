@@ -84,7 +84,7 @@ class WinnowSpec extends SparkSpec {
     assert(h1.intersect(h2).nonEmpty)
     assert(!fps.exists(_._1 == 3L)) // < k tokens still emits nothing
     // density: one fingerprint per window at most, at least one per doc
-    val ng1 = 12 - 2 // doc 1: 12 tokens -> 10 grams
+    val ng1 = 11 - 2 // doc 1: 11 tokens -> 9 grams -> 6 windows of 4
     assert(fps.count(_._1 == 1L) >= 1 && fps.count(_._1 == 1L) <= ng1 - 4 + 1)
   }
 

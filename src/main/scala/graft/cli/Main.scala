@@ -45,6 +45,8 @@ object Main {
       "       group-split --corpus <parquet> --id <col> --text <col> --ngram <n> --num <j> --den <j> --hashes <n> --bands <n> --out <parquetDir> [--salt <s>]\n" +
       "       mine-negatives --queries <parquet> --corpus <parquet> --id <col> --vec <col> --label <col> --k <n> --out <parquetDir> [--ceiling <cos>]\n" +
       "       centroid-audit --corpus <parquet> --id <col> --vec <col> --label <col> --out <parquetDir>\n" +
+      "       winnow --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--gram <k>] [--window <w>]\n" +
+      "       winnow-overlap --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--gram <k>] [--window <w>] [--min-shared <n>] [--max-df <n>]\n" +
       "       build-bm25-index --corpus <parquet> --id <col> --text <col> --out <storeDir>\n" +
       "       serve-bm25 --queries <parquetDir> --index <storeDir> --id <col> --k <n> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       compact --dir <parquetDir> [--target-mb <n>]"
@@ -124,6 +126,9 @@ object Main {
                                    out: String, ceiling: Double) extends Cmd
   private case class CentroidAudit(corpus: String, id: String, vec: String,
                                    label: String, out: String) extends Cmd
+  private case class WinnowCmd(corpus: String, id: String, text: String,
+                               gram: Int, window: Int, out: String,
+                               overlap: Option[(Int, Int)]) extends Cmd
   private case class BuildBm25Index(corpus: String, id: String, text: String,
                                     out: String) extends Cmd
   private case class ServeBm25(queries: String, index: String, id: String,
@@ -316,6 +321,24 @@ object Main {
         label <- req(opts, "centroid-audit", "label")
         out <- req(opts, "centroid-audit", "out")
       } yield CentroidAudit(corpus, id, vec, label, out)
+    case (cmd @ ("winnow" | "winnow-overlap")) :: rest =>
+      def optInt(opts: Map[String, String], key: String, dflt: Int): Either[String, Int] =
+        opts.get(key).fold(Right(dflt): Either[String, Int])(s =>
+          s.toIntOption.filter(_ >= 1)
+            .toRight(s"$cmd: --$key must be a positive int, got $s"))
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, cmd, "corpus")
+        id <- req(opts, cmd, "id")
+        text <- req(opts, cmd, "text")
+        k <- optInt(opts, "gram", 3)
+        w <- optInt(opts, "window", 4)
+        out <- req(opts, cmd, "out")
+        overlap <- if (cmd == "winnow") Right(None) else for {
+          ms <- optInt(opts, "min-shared", 2)
+          df <- optInt(opts, "max-df", 100)
+        } yield Some((ms, df))
+      } yield WinnowCmd(corpus, id, text, k, w, out, overlap)
     case "build-bm25-index" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -606,6 +629,21 @@ object Main {
       graft.similarity.Similarity.centroidAudit(
           spark.read.parquet(corpus), id, vec, label)
         .write.mode("overwrite").parquet(out)
+      0
+
+    case WinnowCmd(corpus, id, text, k, w, out, overlap) =>
+      // one narrow corpus pass -> the positional fingerprint table; with
+      // --min-shared/--max-df (winnow-overlap) the df-gated MOSS candidate
+      // pairs write instead. Output is a plain parquet artifact (the
+      // mine-negatives pattern), re-joinable against the corpus by id
+      val fps = graft.text.Winnow.fingerprints(
+        spark.read.parquet(corpus), id, text, k, w)
+      val result = overlap match {
+        case None => fps
+        case Some((minShared, maxDf)) =>
+          graft.text.Winnow.overlapCandidates(fps, id, minShared, maxDf)
+      }
+      result.write.mode("overwrite").parquet(out)
       0
 
     case BuildBm25Index(corpus, id, text, out) =>

@@ -348,6 +348,36 @@ class MainSpec extends SparkSpec {
       "--k", "zero", "--out", s"$tmp/negs2")) === 2)
   }
 
+  test("winnow and winnow-overlap end to end: artifacts equal the operator output") {
+    import graft.text.Winnow
+    val tmp = Files.createTempDirectory("graft_cli_wn").toString
+    val shared = "sigma tau upsilon phi chi psi omega kappa lambda"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon zeta"),
+      (2L, s"omicron pi rho $shared nu xi iota"),
+      (3L, "unrelated words entirely different from all other documents here"))
+      .toDF("doc_id", "text")
+    docs.write.parquet(s"$tmp/corpus")
+    assert(Main.run(spark, Array("winnow",
+      "--corpus", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+      "--out", s"$tmp/fps")) === 0)
+    val got = spark.read.parquet(s"$tmp/fps").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val want = Winnow.fingerprints(docs, "doc_id", "text", 3, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got === want)
+    assert(Main.run(spark, Array("winnow-overlap",
+      "--corpus", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+      "--min-shared", "2", "--out", s"$tmp/pairs")) === 0)
+    val pairs = spark.read.parquet(s"$tmp/pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+    // malformed numeric option exits 2 before Spark work
+    assert(Main.run(spark, Array("winnow",
+      "--corpus", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+      "--gram", "0", "--out", s"$tmp/bad")) === 2)
+  }
+
   test("build-bm25-index + serve-bm25 end to end: served log equals the batch retrieval") {
     import graft.text.TfIdf
     val tmp = Files.createTempDirectory("graft_cli_bm25").toString

@@ -2188,6 +2188,31 @@ object SparkEntry {
       } finally deleteRecursively(tmp)
     }),
 
+    // q144: corpus-SELF surgical span removal — every 8-gram window shared
+    // by >1 documents is a globally duplicated passage and its covered
+    // positions are scrubbed corpus-wide (the RefinedWeb-style boilerplate
+    // rule; q129's machinery pointed at the corpus itself). Graded as the
+    // per-doc clean-text reconstruction (the q130 precedent)
+    "q144_self_scrub_spans" -> ((s, dir) =>
+      Decontaminate.selfScrubSpans(t(s, dir, "documents"), "doc_id", "text",
+          n = 8, maxDf = 1)
+        .select(col("doc_id"), array_join(col("clean_tokens"), " ").as("clean_text"))
+        .orderBy("doc_id")),
+
+    // q145: vocabulary build + token-id encoding — ids 1..200 by (count
+    // DESC, token ASC), OOV = 0; the encoded corpus is graded as the full
+    // exploded (doc_id, pos, token_id) table. Integer end to end; the
+    // truncation-boundary tie-break is a total order in both engines
+    "q145_vocab_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = graft.text.Vocab.build(docs, "text", topN = 200)
+      graft.text.Vocab.encode(docs, "doc_id", "text", vocab)
+        .select(col("doc_id"), posexplode(col("ids")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("token_id"))
+        .orderBy("doc_id", "pos")
+    }),
+
     // q141: winnowing (MOSS) fingerprints, k=3-gram, window w=4 — the full
     // (doc_id, pos, fp) selected-fingerprint table, md5-hex hashes so both
     // engines order identically (the q132 cross-engine-md5 precedent);
@@ -2953,6 +2978,14 @@ object SparkEntry {
     // 4-window, rightmost position on ties (max(gpos) among window rows
     // equal to the window min); short docs (1..3 grams) keep their single
     // truncated window via greatest(ng - 4, 0)
+    // q144: the q130 clean-text reconstruction shape with the corpus
+    // itself as the contamination source (df > 1 over distinct docs)
+    "q144_self_scrub_spans" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), g AS (SELECT doc_id, pos, array_to_string(ts[pos:pos+7], ' ') AS g FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS pos FROM tok WHERE len(ts) >= 8)), hot AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM g) GROUP BY g HAVING count(*) > 1), hit AS (SELECT doc_id, pos FROM g WHERE g IN (SELECT g FROM hot)), cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS p FROM hit), cv AS (SELECT doc_id, list(p) AS ps FROM cov GROUP BY doc_id) SELECT t.doc_id, coalesce(array_to_string([t.ts[i] for i in range(1, len(t.ts) + 1) if NOT list_contains(coalesce(cv.ps, []), i)], ' '), '') AS clean_text FROM tok t LEFT JOIN cv USING (doc_id) ORDER BY t.doc_id""",
+    // q145: rank the vocabulary by (count DESC, token), truncate to 200,
+    // re-walk each doc positionally with OOV -> 0
+    "q145_vocab_encode" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM (SELECT unnest(ts) AS token FROM tok) GROUP BY 1), v AS (SELECT token, CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS token_id FROM cnt ORDER BY n DESC, token LIMIT 200), e AS (SELECT t.doc_id, CAST(i - 1 AS BIGINT) AS pos, t.ts[i] AS token FROM tok t, LATERAL unnest(range(1, len(t.ts) + 1)) AS u(i)) SELECT e.doc_id, e.pos, CAST(coalesce(v.token_id, 0) AS BIGINT) AS token_id FROM e LEFT JOIN v USING (token) ORDER BY doc_id, pos""",
     "q141_winnow_fingerprints" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS gpos, md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS gh FROM tok, LATERAL unnest(range(1, len(ts) - 1)) AS t(i) WHERE len(ts) >= 3), n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng FROM g GROUP BY 1), mw AS (SELECT doc_id, gpos, min(gh) OVER (PARTITION BY doc_id ORDER BY gpos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh FROM g), w AS (SELECT mw.doc_id, mw.gpos AS wpos, mw.mh FROM mw JOIN n USING (doc_id) WHERE mw.gpos <= greatest(n.ng - 4, 0)), sel AS (SELECT w.doc_id, max(g2.gpos) AS pos, w.mh AS fp FROM w JOIN g g2 ON g2.doc_id = w.doc_id AND g2.gpos BETWEEN w.wpos AND w.wpos + 3 AND g2.gh = w.mh GROUP BY w.doc_id, w.wpos, w.mh) SELECT DISTINCT doc_id, pos, fp FROM sel ORDER BY doc_id, pos, fp""",
     "q142_winnow_overlap" ->

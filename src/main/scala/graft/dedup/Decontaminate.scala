@@ -98,8 +98,17 @@ object Decontaminate {
     * deliberately out of scope (tokenization is lossy — the pipeline
     * contract downstream of scrubbing is token-level anyway). */
   def scrubSpans(corpus: DataFrame, benchmark: DataFrame,
-                 idCol: String, textCol: String, n: Int = 13): DataFrame = {
-    val covered = coveredPositions(corpus, benchmark, idCol, textCol, n)
+                 idCol: String, textCol: String, n: Int = 13): DataFrame =
+    scrubCovered(corpus, coveredPositions(corpus, benchmark, idCol, textCol, n),
+      idCol, textCol)
+
+  /** The shared scrub tail of [[scrubSpans]] and [[selfScrubSpans]]: drop
+    * every covered 0-based token position from each document's token
+    * array. ONE implementation so the two scrub rules cannot diverge in
+    * how coverage is applied. */
+  private def scrubCovered(corpus: DataFrame, coveredPos: DataFrame,
+                           idCol: String, textCol: String): DataFrame = {
+    val covered = coveredPos
       .groupBy(col(idCol))
       .agg(array_sort(collect_set(col("__p"))).as("__cov"))
     corpus
@@ -109,6 +118,37 @@ object Decontaminate {
         when(col("__cov").isNull, col("__toks"))
           .otherwise(filter(col("__toks"), (_, i) => !array_contains(col("__cov"), i)))
           .as("clean_tokens"))
+  }
+
+  /** CORPUS-SELF surgical span removal — the RefinedWeb/CCNet-style
+    * boilerplate scrub, [[scrubSpans]]'s self-referential twin: instead of
+    * a benchmark, the contamination source is the corpus ITSELF — every
+    * n-gram window appearing in MORE THAN `maxDf` distinct documents is a
+    * globally duplicated passage (navigation chrome, license headers,
+    * templated paragraphs), and every token position it covers is removed
+    * from every document carrying it. Exact duplicates of whole documents
+    * scrub to empty (each of their windows recurs in the twin) — pair
+    * with whole-doc dedup first if that is not intended; the operator's
+    * contract is the span RULE, not a dedup policy.
+    *
+    * Plan shape: one positional-gram index pass (`Dedup.positionalGrams`,
+    * 8-byte hashed keys), a gram-distinct df aggregate gated at `maxDf`
+    * (the q94/q142 hot-key gate), and a semi join back — covered
+    * positions shuffle only for DUPLICATED windows, so cost tracks
+    * duplication volume, not corpus size. Returns (idCol, clean_tokens),
+    * composing with chunking/packing like every scrub. */
+  def selfScrubSpans(corpus: DataFrame, idCol: String, textCol: String,
+                     n: Int = 8, maxDf: Int = 1): DataFrame = {
+    require(n >= 1 && maxDf >= 1, s"selfScrubSpans: n/maxDf must be >= 1")
+    val cg = Dedup.positionalGrams(corpus, idCol, textCol, n, idCol)
+    val hot = cg.select(col(idCol), col("__g")).distinct()
+      .groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf).select(col("__g"))
+    val covered = cg.join(hot, Seq("__g"), "left_semi")
+      .select(col(idCol),
+        explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__p"))
+      .distinct()
+    scrubCovered(corpus, covered, idCol, textCol)
   }
 
   /** STREAMING decontamination gate: `corpusStream` is an unbounded arrival

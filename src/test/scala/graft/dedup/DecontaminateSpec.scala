@@ -99,4 +99,38 @@ class DecontaminateSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1) - r.getLong(2))).toMap
     out.foreach { case (id, toks) => assert(toks.length.toLong === stats(id)) }
   }
+
+  test("selfScrubSpans removes globally duplicated passages, keeps unique text") {
+    val boiler = "copyright notice all rights reserved by the site"  // 8 tokens
+    val docs = Seq(
+      (1L, s"unique alpha content here $boiler"),
+      (2L, s"$boiler other beta content entirely"),
+      (3L, "fully unique gamma document with no duplication at all"))
+      .toDF("doc_id", "text")
+    val out = Decontaminate.selfScrubSpans(docs, "doc_id", "text", n = 8, maxDf = 1)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) === Seq("unique", "alpha", "content", "here"))
+    assert(out(2L) === Seq("other", "beta", "content", "entirely"))
+    assert(out(3L) === "fully unique gamma document with no duplication at all".split(" ").toSeq)
+  }
+
+  test("selfScrubSpans: maxDf tolerates passages up to the gate; exact twins scrub empty") {
+    val passage = "shared passage of exactly eight tokens here now"
+    val docs = Seq(
+      (1L, s"one $passage"), (2L, s"two $passage"),
+      (10L, "twin document with identical content of eight tokens"), // 8 tokens
+      (11L, "twin document with identical content of eight tokens"))
+      .toDF("doc_id", "text")
+    // df gate 2: the passage shared by exactly 2 docs SURVIVES...
+    val tolerant = Decontaminate.selfScrubSpans(docs, "doc_id", "text", n = 8, maxDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(tolerant(1L).size === 9 && tolerant(2L).size === 9)
+    // ...and the twins (df 2) survive too at maxDf = 2, but scrub to
+    // EMPTY at the default gate — the documented whole-duplicate effect
+    assert(tolerant(10L).size === 8)
+    val strict = Decontaminate.selfScrubSpans(docs, "doc_id", "text", n = 8, maxDf = 1)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(strict(10L).isEmpty && strict(11L).isEmpty)
+    assert(strict(1L) === Seq("one") && strict(2L) === Seq("two"))
+  }
 }

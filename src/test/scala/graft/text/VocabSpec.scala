@@ -1,0 +1,47 @@
+package graft.text
+
+import graft.SparkSpec
+
+class VocabSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the cat and the dog"),
+    (2L, "the cat"),
+    (3L, "zebra")).toDF("doc_id", "text")
+  // counts: the=3, cat=2, and=1, dog=1, zebra=1
+
+  test("build ranks by count desc then token, truncates, reserves id 0") {
+    val v = Vocab.build(docs, "text", topN = 4).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(v("the") === ((3L, 1L)))
+    assert(v("cat") === ((2L, 2L)))
+    // count-1 tie broken alphabetically: and < dog < zebra; topN=4 keeps 2
+    assert(v("and") === ((1L, 3L)))
+    assert(v("dog") === ((1L, 4L)))
+    assert(!v.contains("zebra"))
+    assert(!v.values.map(_._2).toSet.contains(0L))
+  }
+
+  test("encode maps tokens positionally, OOV to 0, empty text to empty ids") {
+    val v = Vocab.build(docs, "text", topN = 4)
+    val e = Vocab.encode(docs.union(Seq((4L, "")).toDF("doc_id", "text")),
+        "doc_id", "text", v)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(e(1L) === Seq(1L, 2L, 3L, 1L, 4L)) // the cat and the dog
+    assert(e(3L) === Seq(0L))                 // zebra truncated away -> OOV
+    assert(e(4L) === Seq.empty)
+    // round-trip stability: the persisted-vocab contract — encoding with
+    // the SAME vocab table twice is identical
+    val again = Vocab.encode(docs, "doc_id", "text", v)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(e.filterKeys(_ != 4L).toMap === again)
+  }
+
+  test("encode rejects a vocabulary that assigns the reserved OOV id") {
+    val bad = Seq(("x", 0L)).toDF("token", "token_id")
+    intercept[IllegalArgumentException] {
+      Vocab.encode(docs, "doc_id", "text", bad)
+    }
+  }
+}

@@ -45,6 +45,9 @@ object Main {
       "       group-split --corpus <parquet> --id <col> --text <col> --ngram <n> --num <j> --den <j> --hashes <n> --bands <n> --out <parquetDir> [--salt <s>]\n" +
       "       mine-negatives --queries <parquet> --corpus <parquet> --id <col> --vec <col> --label <col> --k <n> --out <parquetDir> [--ceiling <cos>]\n" +
       "       centroid-audit --corpus <parquet> --id <col> --vec <col> --label <col> --out <parquetDir>\n" +
+      "       self-scrub --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--gram <n>] [--max-df <n>]\n" +
+      "       build-vocab --corpus <parquet> --text <col> --top <n> --out <parquetDir>\n" +
+      "       encode-ids --corpus <parquet> --id <col> --text <col> --vocab <parquetDir> --out <parquetDir>\n" +
       "       winnow --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--gram <k>] [--window <w>]\n" +
       "       winnow-overlap --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--gram <k>] [--window <w>] [--min-shared <n>] [--max-df <n>]\n" +
       "       build-bm25-index --corpus <parquet> --id <col> --text <col> --out <storeDir>\n" +
@@ -126,6 +129,12 @@ object Main {
                                    out: String, ceiling: Double) extends Cmd
   private case class CentroidAudit(corpus: String, id: String, vec: String,
                                    label: String, out: String) extends Cmd
+  private case class SelfScrub(corpus: String, id: String, text: String,
+                               gram: Int, maxDf: Int, out: String) extends Cmd
+  private case class BuildVocab(corpus: String, text: String, top: Int,
+                                out: String) extends Cmd
+  private case class EncodeIds(corpus: String, id: String, text: String,
+                               vocab: String, out: String) extends Cmd
   private case class WinnowCmd(corpus: String, id: String, text: String,
                                gram: Int, window: Int, out: String,
                                overlap: Option[(Int, Int)]) extends Cmd
@@ -321,6 +330,37 @@ object Main {
         label <- req(opts, "centroid-audit", "label")
         out <- req(opts, "centroid-audit", "out")
       } yield CentroidAudit(corpus, id, vec, label, out)
+    case "self-scrub" :: rest =>
+      def optInt(opts: Map[String, String], key: String, dflt: Int): Either[String, Int] =
+        opts.get(key).fold(Right(dflt): Either[String, Int])(s =>
+          s.toIntOption.filter(_ >= 1)
+            .toRight(s"self-scrub: --$key must be a positive int, got $s"))
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "self-scrub", "corpus")
+        id <- req(opts, "self-scrub", "id")
+        text <- req(opts, "self-scrub", "text")
+        n <- optInt(opts, "gram", 8)
+        maxDf <- optInt(opts, "max-df", 1)
+        out <- req(opts, "self-scrub", "out")
+      } yield SelfScrub(corpus, id, text, n, maxDf, out)
+    case "build-vocab" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "build-vocab", "corpus")
+        text <- req(opts, "build-vocab", "text")
+        top <- posInt(opts, "build-vocab", "top")
+        out <- req(opts, "build-vocab", "out")
+      } yield BuildVocab(corpus, text, top, out)
+    case "encode-ids" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "encode-ids", "corpus")
+        id <- req(opts, "encode-ids", "id")
+        text <- req(opts, "encode-ids", "text")
+        vocab <- req(opts, "encode-ids", "vocab")
+        out <- req(opts, "encode-ids", "out")
+      } yield EncodeIds(corpus, id, text, vocab, out)
     case (cmd @ ("winnow" | "winnow-overlap")) :: rest =>
       def optInt(opts: Map[String, String], key: String, dflt: Int): Either[String, Int] =
         opts.get(key).fold(Right(dflt): Either[String, Int])(s =>
@@ -628,6 +668,28 @@ object Main {
       // two disagree are the mislabel candidates for review/exclusion
       graft.similarity.Similarity.centroidAudit(
           spark.read.parquet(corpus), id, vec, label)
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case SelfScrub(corpus, id, text, n, maxDf, out) =>
+      // (id, clean_tokens) parquet artifact; token arrays compose with
+      // chunking/packing/encode-ids downstream (text reconstruction is
+      // deliberately out of scope — see Decontaminate.scrubSpans)
+      graft.dedup.Decontaminate.selfScrubSpans(
+          spark.read.parquet(corpus), id, text, n, maxDf)
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case BuildVocab(corpus, text, top, out) =>
+      // (token, n, token_id) artifact — ids are training-run constants;
+      // encode-ids re-reads this table so build-once/encode-many holds
+      graft.text.Vocab.build(spark.read.parquet(corpus), text, top)
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case EncodeIds(corpus, id, text, vocab, out) =>
+      graft.text.Vocab.encode(spark.read.parquet(corpus), id, text,
+          spark.read.parquet(vocab))
         .write.mode("overwrite").parquet(out)
       0
 

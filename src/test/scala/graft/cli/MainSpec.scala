@@ -348,6 +348,41 @@ class MainSpec extends SparkSpec {
       "--k", "zero", "--out", s"$tmp/negs2")) === 2)
   }
 
+  test("self-scrub, build-vocab, encode-ids end to end: artifacts equal the operators") {
+    import graft.text.Vocab
+    val tmp = Files.createTempDirectory("graft_cli_sv").toString
+    val boiler = "copyright notice all rights reserved by the site"
+    val docs = Seq(
+      (1L, s"unique alpha content here $boiler"),
+      (2L, s"$boiler other beta content entirely"),
+      (3L, "the cat and the dog")).toDF("doc_id", "text")
+    docs.write.parquet(s"$tmp/corpus")
+    assert(Main.run(spark, Array("self-scrub",
+      "--corpus", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+      "--out", s"$tmp/clean")) === 0)
+    val clean = spark.read.parquet(s"$tmp/clean").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(clean(1L) === Seq("unique", "alpha", "content", "here"))
+    assert(clean(3L).size === 5) // untouched
+    assert(Main.run(spark, Array("build-vocab",
+      "--corpus", s"$tmp/corpus", "--text", "text", "--top", "4",
+      "--out", s"$tmp/vocab")) === 0)
+    assert(Main.run(spark, Array("encode-ids",
+      "--corpus", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+      "--vocab", s"$tmp/vocab", "--out", s"$tmp/ids")) === 0)
+    val got = spark.read.parquet(s"$tmp/ids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val want = Vocab.encode(docs, "doc_id", "text",
+        spark.read.parquet(s"$tmp/vocab")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got === want)
+    assert(got(3L).forall(_ >= 0L) && got.values.flatten.exists(_ === 0L))
+    // malformed --top exits 2 before Spark work
+    assert(Main.run(spark, Array("build-vocab",
+      "--corpus", s"$tmp/corpus", "--text", "text", "--top", "none",
+      "--out", s"$tmp/v2")) === 2)
+  }
+
   test("winnow and winnow-overlap end to end: artifacts equal the operator output") {
     import graft.text.Winnow
     val tmp = Files.createTempDirectory("graft_cli_wn").toString

@@ -331,17 +331,13 @@ object Main {
         out <- req(opts, "centroid-audit", "out")
       } yield CentroidAudit(corpus, id, vec, label, out)
     case "self-scrub" :: rest =>
-      def optInt(opts: Map[String, String], key: String, dflt: Int): Either[String, Int] =
-        opts.get(key).fold(Right(dflt): Either[String, Int])(s =>
-          s.toIntOption.filter(_ >= 1)
-            .toRight(s"self-scrub: --$key must be a positive int, got $s"))
       for {
         opts <- parseOpts(rest)
         corpus <- req(opts, "self-scrub", "corpus")
         id <- req(opts, "self-scrub", "id")
         text <- req(opts, "self-scrub", "text")
-        n <- optInt(opts, "gram", 8)
-        maxDf <- optInt(opts, "max-df", 1)
+        n <- optInt(opts, "self-scrub", "gram", 8)
+        maxDf <- optInt(opts, "self-scrub", "max-df", 1)
         out <- req(opts, "self-scrub", "out")
       } yield SelfScrub(corpus, id, text, n, maxDf, out)
     case "build-vocab" :: rest =>
@@ -362,21 +358,17 @@ object Main {
         out <- req(opts, "encode-ids", "out")
       } yield EncodeIds(corpus, id, text, vocab, out)
     case (cmd @ ("winnow" | "winnow-overlap")) :: rest =>
-      def optInt(opts: Map[String, String], key: String, dflt: Int): Either[String, Int] =
-        opts.get(key).fold(Right(dflt): Either[String, Int])(s =>
-          s.toIntOption.filter(_ >= 1)
-            .toRight(s"$cmd: --$key must be a positive int, got $s"))
       for {
         opts <- parseOpts(rest)
         corpus <- req(opts, cmd, "corpus")
         id <- req(opts, cmd, "id")
         text <- req(opts, cmd, "text")
-        k <- optInt(opts, "gram", 3)
-        w <- optInt(opts, "window", 4)
+        k <- optInt(opts, cmd, "gram", 3)
+        w <- optInt(opts, cmd, "window", 4)
         out <- req(opts, cmd, "out")
         overlap <- if (cmd == "winnow") Right(None) else for {
-          ms <- optInt(opts, "min-shared", 2)
-          df <- optInt(opts, "max-df", 100)
+          ms <- optInt(opts, cmd, "min-shared", 2)
+          df <- optInt(opts, cmd, "max-df", 100)
         } yield Some((ms, df))
       } yield WinnowCmd(corpus, id, text, k, w, out, overlap)
     case "build-bm25-index" :: rest =>
@@ -402,9 +394,7 @@ object Main {
       for {
         opts <- parseOpts(rest)
         d <- req(opts, "compact", "dir")
-        mb <- opts.get("target-mb").fold(Right(128): Either[String, Int])(s =>
-          s.toIntOption.filter(_ >= 1)
-            .toRight(s"compact: --target-mb must be a positive int, got $s"))
+        mb <- optInt(opts, "compact", "target-mb", 128)
       } yield CompactCmd(d, mb)
     case other =>
       Left(s"unknown command: ${other.headOption.getOrElse("(none)")}")
@@ -413,6 +403,15 @@ object Main {
   private def posInt(opts: Map[String, String], cmd: String, key: String): Either[String, Int] =
     req(opts, cmd, key).flatMap(s =>
       s.toIntOption.filter(_ >= 1).toRight(s"$cmd: --$key must be a positive int, got $s"))
+
+  /** Optional positive-int flag with a default — ONE validator for every
+    * defaulted numeric option (a per-branch copy would let error wording
+    * or the >= 1 rule silently diverge between subcommands). */
+  private def optInt(opts: Map[String, String], cmd: String, key: String,
+                     dflt: Int): Either[String, Int] =
+    opts.get(key).fold(Right(dflt): Either[String, Int])(s =>
+      s.toIntOption.filter(_ >= 1)
+        .toRight(s"$cmd: --$key must be a positive int, got $s"))
 
   /** The shingler pair for build-dedup-index / ingest-dedup: unigram token
     * SET at n = 1, hashed word n-grams above. Both sides of a gate must

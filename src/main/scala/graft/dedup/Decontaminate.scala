@@ -144,10 +144,13 @@ object Decontaminate {
     val hot = cg.select(col(idCol), col("__g")).distinct()
       .groupBy(col("__g")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDf).select(col("__g"))
+    // no .distinct() here: scrubCovered's collect_set dedups positions
+    // covered by overlapping hot windows — a distinct would shuffle the
+    // duplicated-window position stream twice for identical output
+    // (coveredPositions keeps its own distinct because spanStats COUNTS)
     val covered = cg.join(hot, Seq("__g"), "left_semi")
       .select(col(idCol),
         explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__p"))
-      .distinct()
     scrubCovered(corpus, covered, idCol, textCol)
   }
 

@@ -114,6 +114,33 @@ class DecontaminateSpec extends SparkSpec {
     assert(out(3L) === "fully unique gamma document with no duplication at all".split(" ").toSeq)
   }
 
+  test("property: selfScrubSpans equals the brute-force global-duplicate rule") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val docGen = Gen.listOfN(4,
+      Gen.choose(0, 10).flatMap(n => Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc"))))
+    val n = 3
+    val prop = Prop.forAll(docGen) { toks =>
+      val df = toks.zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = Decontaminate.selfScrubSpans(df, "doc_id", "text", n = n, maxDf = 1)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      // reference: gram -> distinct docs; windows of hot grams cover positions
+      val grams = toks.zipWithIndex.flatMap { case (ts, i) =>
+        ts.sliding(n).filter(_.size == n).zipWithIndex.map { case (g, p) => (i, p, g.mkString(" ")) }
+      }
+      val hot = grams.map { case (i, _, g) => (i, g) }.distinct
+        .groupBy(_._2).filter(_._2.size > 1).keySet
+      val want = toks.zipWithIndex.map { case (ts, i) =>
+        val cov = grams.filter { case (d, _, g) => d == i && hot(g) }
+          .flatMap { case (_, p, _) => p until p + n }.toSet
+        i.toLong -> ts.zipWithIndex.collect { case (t, j) if !cov(j) => t }
+      }.toMap
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("selfScrubSpans: maxDf tolerates passages up to the gate; exact twins scrub empty") {
     val passage = "shared passage of exactly eight tokens here now"
     val docs = Seq(

@@ -93,6 +93,39 @@ class TfIdfSpec extends SparkSpec {
     assert(out(3L)._2 === 1L) // only alpha
   }
 
+  test("property: bm25TopK scores and ranks equal the full brute-force reference") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val words = Seq("aa", "bb", "cc", "dd")
+    val corpusGen = Gen.listOfN(5,
+      Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.oneOf(words))))
+    val queryGen = Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, Gen.oneOf(words)))
+    val prop = Prop.forAll(corpusGen, queryGen) { (toks, qtoks) =>
+      val docs = toks.zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = TfIdf.bm25TopK(docs, "doc_id", "text",
+          Seq(("q", qtoks.mkString(" "))), k = 5, corpusSize = toks.size)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      // full reference: tf/df/dl/avgdl from scratch, distinct query terms,
+      // sorted-token fold, (score DESC, doc ASC) rank
+      val n = toks.size.toLong
+      val avgdl = toks.map(_.size).sum.toDouble / n
+      val dfm = words.map(wd => wd -> toks.count(_.contains(wd)).toLong).toMap
+      val scored = toks.zipWithIndex.flatMap { case (ts, i) =>
+        val terms = qtoks.distinct.sorted.flatMap { wd =>
+          val tf = ts.count(_ == wd).toLong
+          if (tf == 0) None else Some((wd, tf, dfm(wd), ts.size.toLong))
+        }
+        if (terms.isEmpty) None
+        else Some((i.toLong, terms.size.toLong, refBm25(terms, n, avgdl)))
+      }
+      val want = scored.sortBy { case (id, _, s) => (-s, id) }.take(5)
+        .zipWithIndex.map { case ((id, nt, s), r) => (r + 1L, id, nt, s) }
+      got.sortBy(_._1).toSeq == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("bm25TopK: duplicate query terms count once; k caps each query independently") {
     val out = TfIdf.bm25TopK(docs, "doc_id", "text",
         Seq(("a", "cat cat cat"), ("b", "the")), k = 1, corpusSize = 3)

@@ -88,6 +88,25 @@ class WinnowSpec extends SparkSpec {
     assert(fps.count(_._1 == 1L) >= 1 && fps.count(_._1 == 1L) <= ng1 - 4 + 1)
   }
 
+  test("property: fingerprints equal the brute-force reference on random tie-heavy docs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // tiny alphabet -> frequent repeated grams -> the tie paths get hit
+    val docGen = Gen.listOfN(5,
+      Gen.choose(0, 14).flatMap(n => Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc"))))
+    val prop = Prop.forAll(docGen) { toks =>
+      val df = toks.zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = Winnow.fingerprints(df, "doc_id", "text", 3, 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val want = toks.zipWithIndex.flatMap { case (ts, i) =>
+        refWinnow(ts.mkString(" "), 3, 4).map { case (p, h) => (i.toLong, p, h) }
+      }.toSet
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("overlapCandidates pairs on shared fingerprints, gated by df and minShared") {
     val shared = "sigma tau upsilon phi chi psi omega kappa lambda"
     val docs = Seq(

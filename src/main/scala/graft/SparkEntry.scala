@@ -2213,6 +2213,33 @@ object SparkEntry {
         .orderBy("doc_id", "pos")
     }),
 
+    // q146: the SAME encoding deployed at ingest — the vocabulary persists
+    // (build-once), arrivals stream across TWO micro-batches through the
+    // FIXED collected map, and the accumulated (doc_id, ids) log exploded
+    // must equal batch q145 row-for-row (SAME full SQL oracle): encoding
+    // is batch-partitioning-invariant because ids are pinned at gate start
+    "q146_stream_encode_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("q146").toString
+      val (srcDir, ckDir, outDir) = (s"$tmp/src", s"$tmp/ck", s"$tmp/out")
+      try {
+        val store = new graft.sync.ParquetStore(s, outDir)
+        val vocabStore = new graft.sync.ParquetStore(s, s"$tmp/vocab")
+        vocabStore.write(graft.text.Vocab.build(docs, "text", topN = 200), "vocab")
+        docs.repartition(2).write.parquet(srcDir)
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*.parquet")
+        IncrementalStream.encodeGate(stream, vocabStore.read("vocab").get,
+          "doc_id", "text", store, "encoded", checkpointDir = ckDir)
+          .awaitTermination()
+        store.read("encoded").get
+          .select(col("doc_id"), posexplode(col("ids")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            col("col").as("token_id"))
+          .orderBy("doc_id", "pos").localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+
     // q141: winnowing (MOSS) fingerprints, k=3-gram, window w=4 — the full
     // (doc_id, pos, fp) selected-fingerprint table, md5-hex hashes so both
     // engines order identically (the q132 cross-engine-md5 precedent);
@@ -2846,6 +2873,12 @@ object SparkEntry {
   private val Bm25OracleSql: String =
     """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents), tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2), dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1), st AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n, CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / (SELECT count(*) FROM documents) AS avgdl), dfx AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1), q(query_id, qtext) AS (VALUES ('q_filter', 'customer filter query'), ('q_sort', 'fast sort merge'), ('q_stream', 'spark stream window')), qt AS (SELECT query_id, unnest(list_distinct(regexp_extract_all(lower(qtext), '[a-z0-9]+'))) AS token FROM q), m AS (SELECT qt.query_id, tf.doc_id, tf.token, ln(1 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5)) * ((tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * (dl.dl / st.avgdl)))) AS c FROM qt JOIN dfx USING (token) JOIN tf USING (token) JOIN dl USING (doc_id), st), s AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms, list_aggregate(list(c ORDER BY token), 'sum') AS score FROM m GROUP BY 1, 2), r AS (SELECT query_id, doc_id, n_terms, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM s) SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id, n_terms FROM r WHERE rnk <= 10 ORDER BY query_id, rank"""
 
+  /** The q145/q146 vocabulary-encode oracle — ONE string for both: the
+    * streaming gate is graded against the exact batch encoding SQL
+    * (batch-partitioning invariance of a pinned vocabulary). */
+  private val VocabEncodeOracleSql: String =
+    """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM (SELECT unnest(ts) AS token FROM tok) GROUP BY 1), v AS (SELECT token, CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS token_id FROM cnt ORDER BY n DESC, token LIMIT 200), e AS (SELECT t.doc_id, CAST(i - 1 AS BIGINT) AS pos, t.ts[i] AS token FROM tok t, LATERAL unnest(range(1, len(t.ts) + 1)) AS u(i)) SELECT e.doc_id, e.pos, CAST(coalesce(v.token_id, 0) AS BIGINT) AS token_id FROM e LEFT JOIN v USING (token) ORDER BY doc_id, pos"""
+
   private val llmOracle: Map[String, String] = Map(
     "q67_cube_counts" ->
       """WITH e AS (SELECT event_type, (epoch_ns(ts) // 3600000000000) % 24 AS h FROM events) SELECT coalesce(event_type, '<all>') AS event_type, CAST(coalesce(h, -1) AS BIGINT) AS h, CAST(count(*) AS BIGINT) AS n, CAST(GROUPING(event_type) * 2 + GROUPING(h) AS BIGINT) AS gid FROM e GROUP BY CUBE(event_type, h) ORDER BY gid, event_type, h""",
@@ -2984,8 +3017,8 @@ object SparkEntry {
       """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), g AS (SELECT doc_id, pos, array_to_string(ts[pos:pos+7], ' ') AS g FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS pos FROM tok WHERE len(ts) >= 8)), hot AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM g) GROUP BY g HAVING count(*) > 1), hit AS (SELECT doc_id, pos FROM g WHERE g IN (SELECT g FROM hot)), cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS p FROM hit), cv AS (SELECT doc_id, list(p) AS ps FROM cov GROUP BY doc_id) SELECT t.doc_id, coalesce(array_to_string([t.ts[i] for i in range(1, len(t.ts) + 1) if NOT list_contains(coalesce(cv.ps, []), i)], ' '), '') AS clean_text FROM tok t LEFT JOIN cv USING (doc_id) ORDER BY t.doc_id""",
     // q145: rank the vocabulary by (count DESC, token), truncate to 200,
     // re-walk each doc positionally with OOV -> 0
-    "q145_vocab_encode" ->
-      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM (SELECT unnest(ts) AS token FROM tok) GROUP BY 1), v AS (SELECT token, CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS token_id FROM cnt ORDER BY n DESC, token LIMIT 200), e AS (SELECT t.doc_id, CAST(i - 1 AS BIGINT) AS pos, t.ts[i] AS token FROM tok t, LATERAL unnest(range(1, len(t.ts) + 1)) AS u(i)) SELECT e.doc_id, e.pos, CAST(coalesce(v.token_id, 0) AS BIGINT) AS token_id FROM e LEFT JOIN v USING (token) ORDER BY doc_id, pos""",
+    "q145_vocab_encode" -> VocabEncodeOracleSql,
+    "q146_stream_encode_gate" -> VocabEncodeOracleSql,
     "q141_winnow_fingerprints" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS gpos, md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS gh FROM tok, LATERAL unnest(range(1, len(ts) - 1)) AS t(i) WHERE len(ts) >= 3), n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng FROM g GROUP BY 1), mw AS (SELECT doc_id, gpos, min(gh) OVER (PARTITION BY doc_id ORDER BY gpos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh FROM g), w AS (SELECT mw.doc_id, mw.gpos AS wpos, mw.mh FROM mw JOIN n USING (doc_id) WHERE mw.gpos <= greatest(n.ng - 4, 0)), sel AS (SELECT w.doc_id, max(g2.gpos) AS pos, w.mh AS fp FROM w JOIN g g2 ON g2.doc_id = w.doc_id AND g2.gpos BETWEEN w.wpos AND w.wpos + 3 AND g2.gh = w.mh GROUP BY w.doc_id, w.wpos, w.mh) SELECT DISTINCT doc_id, pos, fp FROM sel ORDER BY doc_id, pos, fp""",
     "q142_winnow_overlap" ->

@@ -48,6 +48,7 @@ object Main {
       "       self-scrub --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--gram <n>] [--max-df <n>]\n" +
       "       build-vocab --corpus <parquet> --text <col> --top <n> --out <parquetDir>\n" +
       "       encode-ids --corpus <parquet> --id <col> --text <col> --vocab <parquetDir> --out <parquetDir>\n" +
+      "       encode-gate --source <parquetDir> --vocab <parquetDir> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       winnow --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--gram <k>] [--window <w>]\n" +
       "       winnow-overlap --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--gram <k>] [--window <w>] [--min-shared <n>] [--max-df <n>]\n" +
       "       build-bm25-index --corpus <parquet> --id <col> --text <col> --out <storeDir>\n" +
@@ -135,6 +136,9 @@ object Main {
                                 out: String) extends Cmd
   private case class EncodeIds(corpus: String, id: String, text: String,
                                vocab: String, out: String) extends Cmd
+  private case class EncodeGateCmd(source: String, vocab: String, id: String,
+                                   text: String, dest: String, table: String,
+                                   checkpoint: String) extends Cmd
   private case class WinnowCmd(corpus: String, id: String, text: String,
                                gram: Int, window: Int, out: String,
                                overlap: Option[(Int, Int)]) extends Cmd
@@ -348,6 +352,17 @@ object Main {
         top <- posInt(opts, "build-vocab", "top")
         out <- req(opts, "build-vocab", "out")
       } yield BuildVocab(corpus, text, top, out)
+    case "encode-gate" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        source <- req(opts, "encode-gate", "source")
+        vocab <- req(opts, "encode-gate", "vocab")
+        id <- req(opts, "encode-gate", "id")
+        text <- req(opts, "encode-gate", "text")
+        dest <- req(opts, "encode-gate", "dest")
+        table <- req(opts, "encode-gate", "table")
+        ck <- req(opts, "encode-gate", "checkpoint")
+      } yield EncodeGateCmd(source, vocab, id, text, dest, table, ck)
     case "encode-ids" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -685,6 +700,19 @@ object Main {
       graft.text.Vocab.build(spark.read.parquet(corpus), text, top)
         .write.mode("overwrite").parquet(out)
       0
+
+    case EncodeGateCmd(source, vocab, id, text, dest, table, ck) =>
+      sourceSchema(spark, source, "encode-gate").fold(0) { schema =>
+        // vocabulary resolved (and collected) ONCE at query start — ids
+        // are training-run constants; re-encode under a new vocab means a
+        // new table + checkpoint pair (see IncrementalStream.encodeGate)
+        val stream = spark.readStream.schema(schema).parquet(source)
+        graft.streaming.IncrementalStream.encodeGate(
+          stream, spark.read.parquet(vocab), id, text,
+          new ParquetStore(spark, dest), table, ck)
+          .awaitTermination()
+        0
+      }
 
     case EncodeIds(corpus, id, text, vocab, out) =>
       graft.text.Vocab.encode(spark.read.parquet(corpus), id, text,

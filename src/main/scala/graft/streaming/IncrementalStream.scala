@@ -216,6 +216,29 @@ object IncrementalStream {
       graft.text.TfIdf.bm25Join(index, idCol, batch, k, k1, b)
     }
 
+  /** STREAMING token-id encode gate — the training-prep member of the
+    * ingest family: each arriving micro-batch of documents encodes to its
+    * id arrays against a FIXED vocabulary and (idCol, ids) accumulates
+    * under the lineage-stamped retry guard. Deliberate contrast with the
+    * other gates' by-name static sides: the vocabulary is collected ONCE
+    * at query start (`Vocab.collectVocab`), NOT re-read per batch —
+    * token ids are training-run constants, and a vocab rebuild landing
+    * mid-stream would silently mix two id spaces in one accumulated
+    * table (the same reasoning that pins BM25's collection statistics in
+    * the index manifest). To re-encode under a new vocabulary, start a
+    * new table + checkpoint pair. Per-batch cost is the batch's own rows
+    * through a narrow codegen'd projection — no join, no shuffle, no
+    * driver involvement past the one topN-bounded collect. */
+  def encodeGate(docStream: DataFrame, vocab: DataFrame, idCol: String,
+                 textCol: String, store: graft.sync.TableStore, table: String,
+                 checkpointDir: String,
+                 trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val entries = graft.text.Vocab.collectVocab(vocab)
+    guardedAppend(docStream, store, table, checkpointDir, Seq(idCol), trigger) { batch =>
+      graft.text.Vocab.encodeWith(batch, idCol, textCol, entries)
+    }
+  }
+
   /** The at-least-once APPEND guard shared by every accumulate-a-log
     * serving loop ([[knnServe]], [[indexIngest]]): each micro-batch's
     * derived rows are stamped with their (lineage, batch id) and appended;

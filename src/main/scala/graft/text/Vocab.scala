@@ -42,12 +42,26 @@ object Vocab {
     * explode + broadcast-join + re-collect formulation instead (one
     * doc-keyed shuffle buys O(1) probes). */
   def encode(docs: DataFrame, idCol: String, textCol: String,
-             vocab: DataFrame): DataFrame = {
+             vocab: DataFrame): DataFrame =
+    encodeWith(docs, idCol, textCol, collectVocab(vocab))
+
+  /** Collect a (token, token_id) vocabulary table to the driver-side map
+    * [[encodeWith]] consumes — bounded by topN, validated once. */
+  def collectVocab(vocab: DataFrame): Map[String, Long] = {
     val entries = vocab.select(col("token"), col("token_id")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     require(entries.nonEmpty, "Vocab.encode: empty vocabulary")
     require(!entries.valuesIterator.contains(0L),
       "Vocab.encode: token_id 0 is reserved for OOV")
+    entries
+  }
+
+  /** The encode core over a pre-collected vocabulary map — the per-micro-
+    * batch unit of the streaming gate (collect once at query start, not
+    * per batch: token ids are TRAINING-RUN CONSTANTS, so a gate must pin
+    * its vocabulary for the lifetime of the table it accumulates). */
+  def encodeWith(docs: DataFrame, idCol: String, textCol: String,
+                 entries: Map[String, Long]): DataFrame = {
     val m = typedLit(entries)
     docs.select(col(idCol),
       transform(TextAnalysis.tokens(col(textCol)),

@@ -381,6 +381,15 @@ class MainSpec extends SparkSpec {
     assert(Main.run(spark, Array("build-vocab",
       "--corpus", s"$tmp/corpus", "--text", "text", "--top", "none",
       "--out", s"$tmp/v2")) === 2)
+    // the streaming gate accumulates the SAME encodings
+    assert(Main.run(spark, Array("encode-gate",
+      "--source", s"$tmp/corpus", "--vocab", s"$tmp/vocab", "--id", "doc_id",
+      "--text", "text", "--dest", s"$tmp/gate", "--table", "encoded",
+      "--checkpoint", s"$tmp/ck")) === 0)
+    val gated = spark.read.parquet(s"$tmp/gate/encoded.parquet")
+      .select($"doc_id", $"ids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(gated === want)
   }
 
   test("winnow and winnow-overlap end to end: artifacts equal the operator output") {

@@ -521,6 +521,33 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(store.read("clean").get.count() === 3)
   }
 
+  test("encodeGate: streamed ids equal the batch encode; vocab pinned at query start") {
+    import graft.sync.ParquetStore
+    import graft.text.Vocab
+    val docs = Seq((1L, "the cat and the dog"), (2L, "the cat"), (3L, "zebra"))
+      .toDF("doc_id", "text")
+    val vocab = Vocab.build(docs, "text", topN = 4)
+    val tmp = Files.createTempDirectory("graft_enc").toString
+    docs.filter($"doc_id" <= 1L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    docs.filter($"doc_id" > 1L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    def stream() = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+    val store = new ParquetStore(spark, s"$tmp/out")
+    IncrementalStream.encodeGate(stream(), vocab, "doc_id", "text",
+      store, "encoded", checkpointDir = s"$tmp/ck").awaitTermination()
+    def served() = store.read("encoded").get
+      .select($"doc_id", $"ids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val batch = Vocab.encode(docs, "doc_id", "text", vocab).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(served() === batch)
+    // fresh checkpoint over the same arrivals: cross-lineage guard finds
+    // every doc already encoded — nothing re-appends
+    IncrementalStream.encodeGate(stream(), vocab, "doc_id", "text",
+      store, "encoded", checkpointDir = s"$tmp/ck2").awaitTermination()
+    assert(store.read("encoded").get.count() === batch.size)
+  }
+
   test("bm25Serve: streamed retrieval equals the batch join; cross-lineage replay appends nothing") {
     import graft.sync.ParquetStore
     import graft.text.TfIdf

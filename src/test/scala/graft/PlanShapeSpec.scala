@@ -410,6 +410,28 @@ class PlanShapeSpec extends SparkSpec {
       s"doc scan must prune to id+text:\n$p")
   }
 
+  test("q145 encode is a pure narrow projection: no exchange, no join, pruned scan") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val p = graft.text.Vocab.encodeWith(docs, "doc_id", "text",
+        Map("the" -> 1L, "cat" -> 2L))
+      .queryExecution.executedPlan.toString
+    // the vocab rides as one map literal; an explode+join formulation
+    // would shuffle the 100 TB token stream by doc id to reassemble
+    assert(!p.contains("Exchange"), s"encode must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"encode must not plan a join:\n$p")
+  }
+
+  test("q144 self-scrub joins hashed gram keys equi-wise, never a cartesian") {
+    val p = plan("q144_self_scrub_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"self-scrub must stay equi-join:\n$p")
+    // hot-gram gate: the df aggregate must partial-aggregate below its
+    // exchange (the Zipf head combines map-side before shuffling)
+    assert(p.contains("partial_count"), s"df gate must map-side combine:\n$p")
+  }
+
   test("q140 BM25 probes postings with the query-term side broadcast") {
     val p = plan("q140_bm25_topk")
     // the <=|query terms| (token, df) rows broadcast into the tf join —

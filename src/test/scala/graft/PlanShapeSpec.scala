@@ -411,9 +411,7 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q145 encode is a pure narrow projection: no exchange, no join, pruned scan") {
-    import org.apache.spark.sql.functions.col
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("text"))
+    val docs = spark.read.parquet(s"$dir/documents.parquet") // raw: pruning is the operator's to prove
     val p = graft.text.Vocab.encodeWith(docs, "doc_id", "text",
         Map("the" -> 1L, "cat" -> 2L))
       .queryExecution.executedPlan.toString
@@ -421,6 +419,8 @@ class PlanShapeSpec extends SparkSpec {
     // would shuffle the 100 TB token stream by doc id to reassemble
     assert(!p.contains("Exchange"), s"encode must not shuffle:\n$p")
     assert(!p.contains("Join"), s"encode must not plan a join:\n$p")
+    assert("ReadSchema: struct<doc_id:bigint,text:string>".r.findFirstIn(p).isDefined,
+      s"doc scan must prune to id+text:\n$p")
   }
 
   test("q144 self-scrub joins hashed gram keys equi-wise, never a cartesian") {

@@ -53,6 +53,8 @@ object Main {
       "       winnow-overlap --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--gram <k>] [--window <w>] [--min-shared <n>] [--max-df <n>]\n" +
       "       build-bm25-index --corpus <parquet> --id <col> --text <col> --out <storeDir>\n" +
       "       serve-bm25 --queries <parquetDir> --index <storeDir> --id <col> --k <n> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
+      "       fuse-rrf --rankings name=/dir[,name=/dir...] --doc <col> --out <parquetDir> [--k0 <n>] [--top <n>]\n" +
+      "       eval-recall --got <parquetDir> --want <parquetDir> --doc <col> --k <n> --out <parquetDir>\n" +
       "       compact --dir <parquetDir> [--target-mb <n>]"
 
   def main(args: Array[String]): Unit = sys.exit(run(args))
@@ -147,6 +149,10 @@ object Main {
   private case class ServeBm25(queries: String, index: String, id: String,
                                k: Int, dest: String, table: String,
                                checkpoint: String) extends Cmd
+  private case class FuseRrf(rankings: Seq[(String, String)], doc: String,
+                             k0: Int, top: Int, out: String) extends Cmd
+  private case class EvalRecall(got: String, want: String, doc: String,
+                                k: Int, out: String) extends Cmd
   private case class CompactCmd(dir: String, targetMb: Int) extends Cmd
 
   private def parse(args: List[String]): Either[String, Cmd] = args match {
@@ -405,6 +411,29 @@ object Main {
         table <- req(opts, "serve-bm25", "table")
         ck <- req(opts, "serve-bm25", "checkpoint")
       } yield ServeBm25(queries, index, id, k, dest, table, ck)
+    case "fuse-rrf" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        rk <- req(opts, "fuse-rrf", "rankings").flatMap { spec =>
+          val pairs = spec.split(',').toSeq.map(_.split("=", 2))
+          if (pairs.forall(p => p.length == 2 && p(0).nonEmpty && p(1).nonEmpty))
+            Right(pairs.map(p => (p(0), p(1))))
+          else Left(s"fuse-rrf: --rankings must be name=/dir[,name=/dir...], got $spec")
+        }
+        doc <- req(opts, "fuse-rrf", "doc")
+        k0 <- optInt(opts, "fuse-rrf", "k0", 60)
+        top <- optInt(opts, "fuse-rrf", "top", 10)
+        out <- req(opts, "fuse-rrf", "out")
+      } yield FuseRrf(rk, doc, k0, top, out)
+    case "eval-recall" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        got <- req(opts, "eval-recall", "got")
+        want <- req(opts, "eval-recall", "want")
+        doc <- req(opts, "eval-recall", "doc")
+        k <- posInt(opts, "eval-recall", "k")
+        out <- req(opts, "eval-recall", "out")
+      } yield EvalRecall(got, want, doc, k, out)
     case "compact" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -778,6 +807,21 @@ object Main {
           .awaitTermination()
         0
       }
+
+    case FuseRrf(rankings, doc, k0, top, out) =>
+      // inputs are top-k rank tables (query_id, <doc>, rank) — e.g. a
+      // serve-bm25 log and a serve-knn log renamed — fused into one list
+      graft.similarity.Fusion.rrf(
+          rankings.map { case (name, dir) => (name, spark.read.parquet(dir)) },
+          doc, k0, top)
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case EvalRecall(got, want, doc, k, out) =>
+      graft.similarity.Fusion.recallAtK(
+          spark.read.parquet(got), spark.read.parquet(want), doc, k)
+        .write.mode("overwrite").parquet(out)
+      0
 
     case CompactCmd(d, mb) =>
       // the maintenance half of the streaming serving loops: every

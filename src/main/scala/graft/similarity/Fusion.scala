@@ -52,4 +52,26 @@ object Fusion {
       .select(col("query_id"), col("rank"), col(docCol), col("n_sources"),
         col("score"))
   }
+
+  /** Retrieval-quality evaluation: per-query recall@k of `got` against the
+    * reference ranking `want` (both `(query_id, <docCol>, rank)`), the
+    * metric every ANN funnel is tuned by — `n_want` = reference docs at
+    * rank ≤ k, `n_hit` = of those, how many `got` also retrieved at rank
+    * ≤ k, `recall` = n_hit / n_want (exact small-integer division).
+    * Queries present in `want` but absent from `got` score 0 (a funnel
+    * that drops a query entirely must show it); queries only in `got`
+    * are ignored (nothing to recall against). Cost is |queries|·k rows a
+    * side — one semi-join-shaped aggregate, nothing corpus-sized. */
+  def recallAtK(got: DataFrame, want: DataFrame, docCol: String,
+                k: Int): DataFrame = {
+    require(k >= 1, s"Fusion.recallAtK: k must be >= 1, got $k")
+    val wk = want.filter(col("rank") <= k).select(col("query_id"), col(docCol))
+    val gk = got.filter(col("rank") <= k)
+      .select(col("query_id"), col(docCol), lit(1L).as("__hit"))
+    wk.join(gk, Seq("query_id", docCol), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_want"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_want"))
+  }
 }

@@ -422,6 +422,28 @@ class MainSpec extends SparkSpec {
       "--gram", "0", "--out", s"$tmp/bad")) === 2)
   }
 
+  test("fuse-rrf + eval-recall end to end: fused artifact scores, recall table exact") {
+    val tmp = Files.createTempDirectory("graft_cli_rrf").toString
+    Seq(("q", 1L, 1L), ("q", 2L, 2L)).toDF("query_id", "doc_id", "rank")
+      .write.parquet(s"$tmp/lex")
+    Seq(("q", 2L, 1L), ("q", 3L, 2L)).toDF("query_id", "doc_id", "rank")
+      .write.parquet(s"$tmp/vec")
+    assert(Main.run(spark, Array("fuse-rrf",
+      "--rankings", s"lex=$tmp/lex,vec=$tmp/vec", "--doc", "doc_id",
+      "--top", "2", "--out", s"$tmp/fused")) === 0)
+    val fused = spark.read.parquet(s"$tmp/fused").collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(fused === Map(1L -> 2L, 2L -> 1L)) // both-source doc 2 first
+    assert(Main.run(spark, Array("eval-recall",
+      "--got", s"$tmp/fused", "--want", s"$tmp/lex", "--doc", "doc_id",
+      "--k", "2", "--out", s"$tmp/recall")) === 0)
+    val rec = spark.read.parquet(s"$tmp/recall").head
+    assert((rec.getLong(1), rec.getLong(2), rec.getDouble(3)) === ((2L, 2L, 1.0)))
+    // malformed rankings spec exits 2 before Spark work
+    assert(Main.run(spark, Array("fuse-rrf",
+      "--rankings", "nodir", "--doc", "doc_id", "--out", s"$tmp/x")) === 2)
+  }
+
   test("build-bm25-index + serve-bm25 end to end: served log equals the batch retrieval") {
     import graft.text.TfIdf
     val tmp = Files.createTempDirectory("graft_cli_bm25").toString

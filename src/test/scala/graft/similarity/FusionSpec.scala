@@ -42,6 +42,23 @@ class FusionSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Fusion.rrf(Seq.empty, "doc_id") }
   }
 
+  test("recallAtK counts reference hits, zero-scores dropped queries") {
+    val want = rk(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L),
+      ("b", 7L, 1L), ("c", 9L, 1L))
+    val got = rk(("a", 2L, 1L), ("a", 5L, 2L), ("a", 1L, 4L), // 1 past k
+      ("b", 7L, 1L), ("d", 1L, 1L)) // d has no reference: ignored
+    val out = Fusion.recallAtK(got, want, "doc_id", k = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("a") === ((3L, 1L, 1.0 / 3))) // only doc 2 within k on both sides
+    assert(out("b") === ((1L, 1L, 1.0)))
+    assert(out("c") === ((1L, 0L, 0.0))) // query dropped by got entirely
+    assert(!out.contains("d"))
+    // perfect self-recall
+    val self = Fusion.recallAtK(want, want, "doc_id", k = 3).collect()
+    assert(self.forall(_.getDouble(3) === 1.0))
+  }
+
   test("knnJoinRanked carries the knnJoin ordering as 1-based ranks") {
     val emb = Seq(
       (0L, Array(1f, 0f)), (1L, Array(1f, 0f)),

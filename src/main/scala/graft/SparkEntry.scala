@@ -2272,6 +2272,35 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // q148: winnowing's overlap detection deployed at ingest — the corpus
+    // half (doc_id < 250) fingerprints ONCE into a persisted, hot-gated
+    // index; arrivals (doc_id >= 250) stream across TWO micro-batches,
+    // each fingerprinting itself and probing the index; (arrival, corpus,
+    // n_shared) pairs at >= 2 shared fingerprints accumulate under the
+    // retry guard and must equal the batch cross-half overlap (full
+    // DuckDB oracle over the same split). Integer counts end to end
+    "q148_stream_overlap_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("q148").toString
+      val (srcDir, ckDir, outDir) = (s"$tmp/src", s"$tmp/ck", s"$tmp/out")
+      try {
+        val store = new graft.sync.ParquetStore(s, outDir)
+        val idxStore = new graft.sync.ParquetStore(s, s"$tmp/idx")
+        idxStore.write(graft.text.Winnow.buildOverlapIndex(
+          docs.filter(col("doc_id") < 250), "doc_id", "text"), "fps")
+        val arrivals = docs.filter(col("doc_id") >= 250)
+        arrivals.repartition(2).write.parquet(srcDir)
+        val stream = s.readStream.schema(arrivals.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*.parquet")
+        IncrementalStream.overlapGate(stream, idxStore.read("fps").get,
+          "doc_id", "text", store, "pairs", checkpointDir = ckDir)
+          .awaitTermination()
+        store.read("pairs").get
+          .select(col("id_a"), col("id_b"), col("n_shared"))
+          .orderBy("id_a", "id_b").localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+
     // q141: winnowing (MOSS) fingerprints, k=3-gram, window w=4 — the full
     // (doc_id, pos, fp) selected-fingerprint table, md5-hex hashes so both
     // engines order identically (the q132 cross-engine-md5 precedent);
@@ -3059,6 +3088,10 @@ object SparkEntry {
       """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), tu AS (SELECT doc_id, unnest(ts) AS token FROM tok), tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tu GROUP BY 1, 2), dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1), st AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n, CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / (SELECT count(*) FROM documents) AS avgdl), dfx AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM (SELECT DISTINCT doc_id, token FROM tu) GROUP BY 1), qt AS (SELECT doc_id AS query_id, unnest(list_distinct(ts)) AS token FROM tok WHERE doc_id < 5), m AS (SELECT qt.query_id, tf.doc_id, tf.token, ln(1 + (st.n - dfx.df + 0.5) / (dfx.df + 0.5)) * ((tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * ((1 - 0.75) + 0.75 * (dl.dl / st.avgdl)))) AS c FROM qt JOIN dfx USING (token) JOIN tf USING (token) JOIN dl USING (doc_id), st), sL AS (SELECT query_id, doc_id, list_aggregate(list(c ORDER BY token), 'sum') AS score FROM m GROUP BY 1, 2), lex AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM sL WHERE doc_id <> query_id), vq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), vs AS (SELECT vq.query_id, e.vec_id AS doc_id, row_number() OVER (PARTITION BY vq.query_id ORDER BY list_cosine_similarity(e.embedding, vq.qv) DESC, e.vec_id) AS rank FROM embeddings e, vq WHERE e.vec_id <> vq.query_id), u AS (SELECT query_id, doc_id, 'lex' AS src, 1.0 / (60 + rank) AS c FROM lex WHERE rank <= 10 UNION ALL SELECT query_id, doc_id, 'vec' AS src, 1.0 / (60 + rank) AS c FROM vs WHERE rank <= 10), f AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_sources, list_aggregate(list(c ORDER BY src), 'sum') AS score FROM u GROUP BY 1, 2), r AS (SELECT query_id, doc_id, n_sources, score, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM f) SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id, n_sources, score FROM r WHERE rnk <= 5 ORDER BY query_id, rank""",
     "q141_winnow_fingerprints" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS gpos, md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS gh FROM tok, LATERAL unnest(range(1, len(ts) - 1)) AS t(i) WHERE len(ts) >= 3), n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng FROM g GROUP BY 1), mw AS (SELECT doc_id, gpos, min(gh) OVER (PARTITION BY doc_id ORDER BY gpos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh FROM g), w AS (SELECT mw.doc_id, mw.gpos AS wpos, mw.mh FROM mw JOIN n USING (doc_id) WHERE mw.gpos <= greatest(n.ng - 4, 0)), sel AS (SELECT w.doc_id, max(g2.gpos) AS pos, w.mh AS fp FROM w JOIN g g2 ON g2.doc_id = w.doc_id AND g2.gpos BETWEEN w.wpos AND w.wpos + 3 AND g2.gh = w.mh GROUP BY w.doc_id, w.wpos, w.mh) SELECT DISTINCT doc_id, pos, fp FROM sel ORDER BY doc_id, pos, fp""",
+    // q148: same winnowing CTEs as q141/q142; the df gate runs over the
+    // CORPUS half only (the index's build-time gate), pairs cross halves
+    "q148_stream_overlap_gate" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS gpos, md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS gh FROM tok, LATERAL unnest(range(1, len(ts) - 1)) AS t(i) WHERE len(ts) >= 3), n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng FROM g GROUP BY 1), mw AS (SELECT doc_id, gpos, min(gh) OVER (PARTITION BY doc_id ORDER BY gpos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh FROM g), w AS (SELECT mw.doc_id, mw.gpos AS wpos, mw.mh FROM mw JOIN n USING (doc_id) WHERE mw.gpos <= greatest(n.ng - 4, 0)), fpd AS (SELECT DISTINCT w.doc_id, w.mh AS fp FROM w), corpus AS (SELECT * FROM fpd WHERE doc_id < 250), rare AS (SELECT fp FROM corpus GROUP BY fp HAVING count(*) <= 100), ci AS (SELECT c.fp, c.doc_id FROM corpus c JOIN rare USING (fp)), arr AS (SELECT * FROM fpd WHERE doc_id >= 250) SELECT a.doc_id AS id_a, c.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared FROM arr a JOIN ci c ON a.fp = c.fp GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b""",
     "q142_winnow_overlap" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS gpos, md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS gh FROM tok, LATERAL unnest(range(1, len(ts) - 1)) AS t(i) WHERE len(ts) >= 3), n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng FROM g GROUP BY 1), mw AS (SELECT doc_id, gpos, min(gh) OVER (PARTITION BY doc_id ORDER BY gpos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh FROM g), w AS (SELECT mw.doc_id, mw.gpos AS wpos, mw.mh FROM mw JOIN n USING (doc_id) WHERE mw.gpos <= greatest(n.ng - 4, 0)), fpd AS (SELECT DISTINCT w.doc_id, w.mh AS fp FROM w), rare AS (SELECT fp FROM fpd GROUP BY fp HAVING count(*) <= 100), pr AS (SELECT f.fp, f.doc_id FROM fpd f JOIN rare USING (fp)) SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b""",
     // q128: brute-force cosine membership of the constructed arrivals

@@ -51,6 +51,8 @@ object Main {
       "       encode-gate --source <parquetDir> --vocab <parquetDir> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       winnow --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--gram <k>] [--window <w>]\n" +
       "       winnow-overlap --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--gram <k>] [--window <w>] [--min-shared <n>] [--max-df <n>]\n" +
+      "       build-overlap-index --corpus <parquet> --id <col> --text <col> --out <storeDir> [--gram <k>] [--window <w>] [--max-df <n>]\n" +
+      "       overlap-gate --source <parquetDir> --index <storeDir> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir> [--gram <k>] [--window <w>] [--min-shared <n>]\n" +
       "       build-bm25-index --corpus <parquet> --id <col> --text <col> --out <storeDir>\n" +
       "       serve-bm25 --queries <parquetDir> --index <storeDir> --id <col> --k <n> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       fuse-rrf --rankings name=/dir[,name=/dir...] --doc <col> --out <parquetDir> [--k0 <n>] [--top <n>]\n" +
@@ -144,6 +146,13 @@ object Main {
   private case class WinnowCmd(corpus: String, id: String, text: String,
                                gram: Int, window: Int, out: String,
                                overlap: Option[(Int, Int)]) extends Cmd
+  private case class BuildOverlapIndex(corpus: String, id: String, text: String,
+                                       gram: Int, window: Int, maxDf: Int,
+                                       out: String) extends Cmd
+  private case class OverlapGateCmd(source: String, index: String, id: String,
+                                    text: String, gram: Int, window: Int,
+                                    minShared: Int, dest: String, table: String,
+                                    checkpoint: String) extends Cmd
   private case class BuildBm25Index(corpus: String, id: String, text: String,
                                     out: String) extends Cmd
   private case class ServeBm25(queries: String, index: String, id: String,
@@ -378,6 +387,31 @@ object Main {
         vocab <- req(opts, "encode-ids", "vocab")
         out <- req(opts, "encode-ids", "out")
       } yield EncodeIds(corpus, id, text, vocab, out)
+    case "build-overlap-index" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "build-overlap-index", "corpus")
+        id <- req(opts, "build-overlap-index", "id")
+        text <- req(opts, "build-overlap-index", "text")
+        k <- optInt(opts, "build-overlap-index", "gram", 3)
+        w <- optInt(opts, "build-overlap-index", "window", 4)
+        maxDf <- optInt(opts, "build-overlap-index", "max-df", 100)
+        out <- req(opts, "build-overlap-index", "out")
+      } yield BuildOverlapIndex(corpus, id, text, k, w, maxDf, out)
+    case "overlap-gate" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        source <- req(opts, "overlap-gate", "source")
+        index <- req(opts, "overlap-gate", "index")
+        id <- req(opts, "overlap-gate", "id")
+        text <- req(opts, "overlap-gate", "text")
+        k <- optInt(opts, "overlap-gate", "gram", 3)
+        w <- optInt(opts, "overlap-gate", "window", 4)
+        ms <- optInt(opts, "overlap-gate", "min-shared", 2)
+        dest <- req(opts, "overlap-gate", "dest")
+        table <- req(opts, "overlap-gate", "table")
+        ck <- req(opts, "overlap-gate", "checkpoint")
+      } yield OverlapGateCmd(source, index, id, text, k, w, ms, dest, table, ck)
     case (cmd @ ("winnow" | "winnow-overlap")) :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -748,6 +782,28 @@ object Main {
           spark.read.parquet(vocab))
         .write.mode("overwrite").parquet(out)
       0
+
+    case BuildOverlapIndex(corpus, id, text, k, w, maxDf, out) =>
+      // build-once fingerprint index, hot fps dropped here so every probe
+      // skips them; (gram, window) must match overlap-gate — the family
+      // contract (a mismatch silently misses candidates)
+      val store = new ParquetStore(spark, out)
+      store.write(graft.text.Winnow.buildOverlapIndex(
+        spark.read.parquet(corpus), id, text, k, w, maxDf), "fps")
+      0
+
+    case OverlapGateCmd(source, index, id, text, k, w, ms, dest, table, ck) =>
+      sourceSchema(spark, source, "overlap-gate").fold(0) { schema =>
+        val idxStore = new ParquetStore(spark, index)
+        idxStore.read("fps").getOrElse(
+          sys.error(s"overlap-gate: no fps table under $index — run build-overlap-index first"))
+        val stream = spark.readStream.schema(schema).parquet(source)
+        graft.streaming.IncrementalStream.overlapGate(
+          stream, idxStore.read("fps").get, id, text,
+          new ParquetStore(spark, dest), table, ck, k, w, ms)
+          .awaitTermination()
+        0
+      }
 
     case WinnowCmd(corpus, id, text, k, w, out, overlap) =>
       // one narrow corpus pass -> the positional fingerprint table; with

@@ -239,6 +239,38 @@ object IncrementalStream {
     }
   }
 
+  /** STREAMING overlap gate — winnowing's member of the ingest family:
+    * each arriving micro-batch fingerprints ITSELF (one narrow projection
+    * — see [[graft.text.Winnow.fingerprints]]'s zero-shuffle plan) and
+    * equi-joins the PRE-BUILT corpus fingerprint index
+    * ([[graft.text.Winnow.buildOverlapIndex]] — hot fingerprints already
+    * dropped at build); arrival–corpus pairs sharing >= `minShared`
+    * distinct fingerprints accumulate as (id_a = arrival, id_b = corpus
+    * doc, n_shared) under the lineage-stamped retry guard. This is
+    * arrival-time plagiarism/boilerplate-overlap detection: where the
+    * q121 MinHash gate answers "is this a near-duplicate of the corpus",
+    * THIS answers "which corpus documents does it share local runs with,
+    * and how strongly" — positional evidence MinHash's global sampling
+    * cannot give. The index is a BY-NAME parameter re-evaluated per batch
+    * (an offline corpus re-fingerprint lands on the next batch); (k, w,
+    * hasher) must match the build — the band-index family contract. Per
+    * batch, only the arrivals' own fingerprints join the static index;
+    * the corpus text is never read and nothing corpus-sized shuffles. */
+  def overlapGate(docStream: DataFrame, index: => DataFrame, idCol: String,
+                  textCol: String, store: graft.sync.TableStore, table: String,
+                  checkpointDir: String, k: Int = 3, w: Int = 4,
+                  minShared: Int = 2,
+                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    guardedAppend(docStream, store, table, checkpointDir,
+      Seq("id_a", "id_b"), trigger) { batch =>
+      val bfps = graft.text.Winnow.fingerprints(batch, idCol, textCol, k, w)
+        .select(col("fp"), col(idCol).as("id_a")).distinct()
+      bfps.join(index.select(col("fp"), col(idCol).as("id_b")), "fp")
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+    }
+
   /** The at-least-once APPEND guard shared by every accumulate-a-log
     * serving loop ([[knnServe]], [[indexIngest]]): each micro-batch's
     * derived rows are stamped with their (lineage, batch id) and appended;

@@ -85,6 +85,25 @@ object Winnow {
         col("__s.fp").as("fp"))
   }
 
+  /** Pre-built overlap-probe index over a corpus: the distinct (fp,
+    * `idCol`) fingerprint table with hot fingerprints ALREADY dropped at
+    * build time (df over CORPUS docs > `maxDocsPerFp` — boilerplate that
+    * pairs quadratically and identifies nothing is excluded once, not per
+    * probe). Persist through a `TableStore`/parquet and serve
+    * [[graft.streaming.IncrementalStream.overlapGate]] without touching
+    * the corpus text — the same build-once contract as the near-dup band
+    * index, including the family caveat: the probe side must fingerprint
+    * with the SAME (k, w, hasher) or candidates are silently wrong. */
+  def buildOverlapIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, w: Int = 4, maxDocsPerFp: Int = 100,
+                        hasher: Column => Column = md5): DataFrame = {
+    val byFp = fingerprints(corpus, idCol, textCol, k, w, hasher)
+      .select(col("fp"), col(idCol)).distinct()
+    val rare = byFp.groupBy(col("fp")).agg(count(lit(1)).as("__ndocs"))
+      .filter(col("__ndocs") <= maxDocsPerFp)
+    byFp.join(rare.select(col("fp")), "fp")
+  }
+
   /** MOSS-style overlap candidates: document pairs sharing at least
     * `minShared` distinct fingerprint hashes, with the shared count —
     * candidates-then-verify over the fingerprint table, never an all-pairs

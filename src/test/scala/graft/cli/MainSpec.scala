@@ -422,6 +422,34 @@ class MainSpec extends SparkSpec {
       "--gram", "0", "--out", s"$tmp/bad")) === 2)
   }
 
+  test("build-overlap-index + overlap-gate end to end: persisted index flags arrival overlap") {
+    val tmp = Files.createTempDirectory("graft_cli_og").toString
+    val shared = "sigma tau upsilon phi chi psi omega kappa lambda"
+    Seq((1L, s"alpha beta gamma $shared delta epsilon zeta"),
+        (2L, "fully unique corpus document with no shared content at all"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/corpus")
+    assert(Main.run(spark, Array("build-overlap-index",
+      "--corpus", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+      "--out", s"$tmp/idx")) === 0)
+    Seq((10L, s"omicron pi rho $shared nu xi iota"),
+        (11L, "another entirely unrelated arrival about different things"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    assert(Main.run(spark, Array("overlap-gate",
+      "--source", s"$tmp/src", "--index", s"$tmp/idx", "--id", "doc_id",
+      "--text", "text", "--dest", s"$tmp/dst", "--table", "pairs",
+      "--checkpoint", s"$tmp/ck")) === 0)
+    val pairs = spark.read.parquet(s"$tmp/dst/pairs.parquet")
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((10L, 1L)))
+    // missing index fails fast
+    intercept[RuntimeException] {
+      Main.run(spark, Array("overlap-gate",
+        "--source", s"$tmp/src", "--index", s"$tmp/noidx", "--id", "doc_id",
+        "--text", "text", "--dest", s"$tmp/dst2", "--table", "pairs",
+        "--checkpoint", s"$tmp/ck2"))
+    }
+  }
+
   test("fuse-rrf + eval-recall end to end: fused artifact scores, recall table exact") {
     val tmp = Files.createTempDirectory("graft_cli_rrf").toString
     Seq(("q", 1L, 1L), ("q", 2L, 2L)).toDF("query_id", "doc_id", "rank")

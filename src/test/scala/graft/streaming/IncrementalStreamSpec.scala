@@ -548,6 +548,40 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(store.read("encoded").get.count() === batch.size)
   }
 
+  test("overlapGate: arrival-corpus pairs equal the batch cross-half overlap; replay-safe") {
+    import graft.sync.ParquetStore
+    import graft.text.Winnow
+    val shared = "sigma tau upsilon phi chi psi omega kappa lambda"
+    val corpus = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon zeta"),
+      (2L, "fully unique corpus document with no shared content at all"))
+      .toDF("doc_id", "text")
+    val arrivals = Seq(
+      (10L, s"omicron pi rho $shared nu xi iota"), // overlaps corpus doc 1
+      (11L, "another entirely unrelated arrival about different things"))
+      .toDF("doc_id", "text")
+    val tmp = Files.createTempDirectory("graft_og").toString
+    val idx = Winnow.buildOverlapIndex(corpus, "doc_id", "text")
+    arrivals.filter($"doc_id" === 10L).coalesce(1)
+      .write.mode("append").parquet(s"$tmp/src")
+    arrivals.filter($"doc_id" === 11L).coalesce(1)
+      .write.mode("append").parquet(s"$tmp/src")
+    def stream() = spark.readStream.schema(arrivals.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+    val store = new ParquetStore(spark, s"$tmp/out")
+    IncrementalStream.overlapGate(stream(), idx, "doc_id", "text",
+      store, "pairs", checkpointDir = s"$tmp/ck").awaitTermination()
+    def pairs() = store.read("pairs").get
+      .select($"id_a", $"id_b", $"n_shared").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs().map(p => (p._1, p._2)).toSet === Set((10L, 1L)))
+    assert(pairs().head._3 >= 2L)
+    // fresh checkpoint over the same arrivals: nothing re-appends
+    IncrementalStream.overlapGate(stream(), idx, "doc_id", "text",
+      store, "pairs", checkpointDir = s"$tmp/ck2").awaitTermination()
+    assert(store.read("pairs").get.count() === 1)
+  }
+
   test("bm25Serve: streamed retrieval equals the batch join; cross-lineage replay appends nothing") {
     import graft.sync.ParquetStore
     import graft.text.TfIdf

@@ -450,9 +450,12 @@ object Main {
         opts <- parseOpts(rest)
         rk <- req(opts, "fuse-rrf", "rankings").flatMap { spec =>
           val pairs = spec.split(',').toSeq.map(_.split("=", 2))
-          if (pairs.forall(p => p.length == 2 && p(0).nonEmpty && p(1).nonEmpty))
-            Right(pairs.map(p => (p(0), p(1))))
-          else Left(s"fuse-rrf: --rankings must be name=/dir[,name=/dir...], got $spec")
+          if (!pairs.forall(p => p.length == 2 && p(0).nonEmpty && p(1).nonEmpty))
+            Left(s"fuse-rrf: --rankings must be name=/dir[,name=/dir...], got $spec")
+          else if (pairs.map(_(0)).distinct.length != pairs.length)
+            // catch at PARSE (pre-Spark) what Fusion.rrf would reject later
+            Left(s"fuse-rrf: duplicate ranking names in $spec")
+          else Right(pairs.map(p => (p(0), p(1))))
         }
         doc <- req(opts, "fuse-rrf", "doc")
         k0 <- optInt(opts, "fuse-rrf", "k0", 60)

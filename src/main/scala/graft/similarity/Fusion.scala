@@ -65,9 +65,14 @@ object Fusion {
   def recallAtK(got: DataFrame, want: DataFrame, docCol: String,
                 k: Int): DataFrame = {
     require(k >= 1, s"Fusion.recallAtK: k must be >= 1, got $k")
-    val wk = want.filter(col("rank") <= k).select(col("query_id"), col(docCol))
+    // distinct BOTH sides: a guardedAppend serving log can legitimately
+    // re-carry a re-arrived query's rows, and duplicate join rows would
+    // inflate n_want and n_hit together, silently overstating recall
+    val wk = want.filter(col("rank") <= k)
+      .select(col("query_id"), col(docCol)).distinct()
     val gk = got.filter(col("rank") <= k)
-      .select(col("query_id"), col(docCol), lit(1L).as("__hit"))
+      .select(col("query_id"), col(docCol)).distinct()
+      .withColumn("__hit", lit(1L))
     wk.join(gk, Seq("query_id", docCol), "left")
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_want"),

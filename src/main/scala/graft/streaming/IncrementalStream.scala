@@ -260,10 +260,12 @@ object IncrementalStream {
                   textCol: String, store: graft.sync.TableStore, table: String,
                   checkpointDir: String, k: Int = 3, w: Int = 4,
                   minShared: Int = 2,
+                  hasher: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                    org.apache.spark.sql.functions.md5,
                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     guardedAppend(docStream, store, table, checkpointDir,
       Seq("id_a", "id_b"), trigger) { batch =>
-      val bfps = graft.text.Winnow.fingerprints(batch, idCol, textCol, k, w)
+      val bfps = graft.text.Winnow.fingerprints(batch, idCol, textCol, k, w, hasher)
         .select(col("fp"), col(idCol).as("id_a")).distinct()
       bfps.join(index.select(col("fp"), col(idCol).as("id_b")), "fp")
         .groupBy(col("id_a"), col("id_b"))

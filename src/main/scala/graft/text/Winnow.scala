@@ -96,9 +96,18 @@ object Winnow {
     * with the SAME (k, w, hasher) or candidates are silently wrong. */
   def buildOverlapIndex(corpus: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, w: Int = 4, maxDocsPerFp: Int = 100,
-                        hasher: Column => Column = md5): DataFrame = {
-    val byFp = fingerprints(corpus, idCol, textCol, k, w, hasher)
-      .select(col("fp"), col(idCol)).distinct()
+                        hasher: Column => Column = md5): DataFrame =
+    prunedFps(fingerprints(corpus, idCol, textCol, k, w, hasher),
+      idCol, maxDocsPerFp)
+
+  /** The shared hot-fingerprint gate of [[buildOverlapIndex]] and
+    * [[overlapCandidates]]: distinct (fp, doc) rows with fingerprints in
+    * more than `maxDocsPerFp` docs dropped. ONE implementation so the
+    * batch pairing and the streaming index cannot diverge on gate
+    * semantics. */
+  private def prunedFps(fps: DataFrame, idCol: String,
+                        maxDocsPerFp: Int): DataFrame = {
+    val byFp = fps.select(col("fp"), col(idCol)).distinct()
     val rare = byFp.groupBy(col("fp")).agg(count(lit(1)).as("__ndocs"))
       .filter(col("__ndocs") <= maxDocsPerFp)
     byFp.join(rare.select(col("fp")), "fp")
@@ -114,10 +123,7 @@ object Winnow {
     * quadratically and identifies nothing). */
   def overlapCandidates(fps: DataFrame, idCol: String,
                         minShared: Int = 2, maxDocsPerFp: Int = 100): DataFrame = {
-    val byFp = fps.select(col("fp"), col(idCol)).distinct()
-    val rare = byFp.groupBy(col("fp")).agg(count(lit(1)).as("__ndocs"))
-      .filter(col("__ndocs") <= maxDocsPerFp)
-    val pruned = byFp.join(rare.select(col("fp")), "fp")
+    val pruned = prunedFps(fps, idCol, maxDocsPerFp)
     val a = pruned.select(col("fp"), col(idCol).as("id_a"))
     val b = pruned.select(col("fp"), col(idCol).as("id_b"))
     a.join(b, "fp").filter(col("id_a") < col("id_b"))

@@ -467,9 +467,12 @@ class MainSpec extends SparkSpec {
       "--k", "2", "--out", s"$tmp/recall")) === 0)
     val rec = spark.read.parquet(s"$tmp/recall").head
     assert((rec.getLong(1), rec.getLong(2), rec.getDouble(3)) === ((2L, 2L, 1.0)))
-    // malformed rankings spec exits 2 before Spark work
+    // malformed rankings spec and duplicate names exit 2 before Spark work
     assert(Main.run(spark, Array("fuse-rrf",
       "--rankings", "nodir", "--doc", "doc_id", "--out", s"$tmp/x")) === 2)
+    assert(Main.run(spark, Array("fuse-rrf",
+      "--rankings", s"lex=$tmp/lex,lex=$tmp/vec", "--doc", "doc_id",
+      "--out", s"$tmp/x2")) === 2)
   }
 
   test("build-bm25-index + serve-bm25 end to end: served log equals the batch retrieval") {

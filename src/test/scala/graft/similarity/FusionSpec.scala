@@ -57,6 +57,13 @@ class FusionSpec extends SparkSpec {
     // perfect self-recall
     val self = Fusion.recallAtK(want, want, "doc_id", k = 3).collect()
     assert(self.forall(_.getDouble(3) === 1.0))
+    // duplicate rows (a re-arrived query in a serving log) must not
+    // inflate n_want/n_hit — distinct on both sides
+    val dup = got.union(got)
+    val out2 = Fusion.recallAtK(dup, want.union(want), "doc_id", k = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out2 === out)
   }
 
   test("knnJoinRanked carries the knnJoin ordering as 1-based ranks") {

@@ -20,60 +20,53 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Per-query floors (sf0.1, local[32], best-of-two). Round-10 re-seed:
-    * BENCH_r09 (via BENCH_LAST.json, the first full driver-emitted map)
-    * was the cleanest driver run to date — calibration 1.0, 123/123 ran,
-    * zero flags — so every floor is now min(prior floor, r09), adopting
-    * the clean numbers where faster and never loosening the guard (the
-    * round-9 precedent for the r08 tail, now applied to the full map).
-    * q119–q123 (r9 additions, previously floorless) seed directly from
-    * r09; the four round-9 provisional local-seeded floors (q26,
-    * q115–q118) resolve to min(provisional, r09) and are no longer
-    * provisional — every floor below is driver-anchored. Two watch items
-    * adjudicated as load noise, floors deliberately NOT raised: q50
-    * (r09 0.75 s vs floor 0.28 — re-measured locally at 0.34 best-of-two,
-    * calibration 1.07, same enumerated-pivot single-hash-agg plan) and
-    * q27 (r09 0.58 s vs floor 0.211 — re-measured locally at 0.26; the
-    * real-ImageIO branch did not move the warm plan). Queries added THIS
-    * round have no floor and are never flagged; their floor lands next
-    * round from this round's driver bench. */
+  /** Per-query floors (sf0.1, local[32], best-of-two). Round-11 re-seed:
+    * every floor is min(prior floor, r10 driver run) — the r10 driver bench
+    * (via BENCH_LAST.json, calibration 1.0022, 148/148 ran, zero flags)
+    * seeds q124-q148 (the round-10 additions, previously floorless) and
+    * tightens existing floors where the clean run was faster; the guard is
+    * never loosened. The q92_stream_enrich r10 watch item (warm 3.79 s vs
+    * 1.10 floor, best-of-two 1.48 inside the bound, plan unchanged) is
+    * adjudicated as load noise — floor kept. Queries added THIS round have
+    * no floor and are never flagged; their floor lands next round from this
+    * round's driver bench. */
   private val Floor: Map[String, Double] = Map(
-    "q01_project_scan" -> 0.437, "q02_watermark_ts" -> 0.169,
+    "q01_project_scan" -> 0.422, "q02_watermark_ts" -> 0.169,
     "q03_watermark_id_null" -> 0.17, "q04_incr_ts" -> 0.292,
     "q05_incr_id" -> 0.671, "q06_coerce_int" -> 0.602,
     "q07_coerce_trim" -> 0.188, "q08_upsert" -> 0.388,
-    "q09_anti_join" -> 0.458, "q10_semi_join" -> 0.51,
+    "q09_anti_join" -> 0.392, "q10_semi_join" -> 0.51,
     "q11_ordered_listing" -> 0.109, "q12_group_fold" -> 0.215,
-    "q13_sync_stats" -> 0.096, "q14_decimal_cast" -> 0.618,
-    "q15_watermark_roundtrip" -> 0.148, "q16_dedup_exact" -> 0.189,
+    "q13_sync_stats" -> 0.094, "q14_decimal_cast" -> 0.618,
+    "q15_watermark_roundtrip" -> 0.148, "q16_dedup_exact" -> 0.169,
     "q17_token_stats" -> 0.233, "q18_text_quality" -> 0.357,
-    "q19_lang_id" -> 0.548, "q20_fingerprint" -> 0.206,
-    "q21_dedup_minhash" -> 3.946, "q22_dedup_ngram" -> 0.736,
-    "q23_simhash_invariant" -> 0.349, "q24_embed_topk" -> 0.139,
-    "q25_embed_neardup" -> 1.438, "q26_ann_topk" -> 0.549,
-    "q27_multimodal_decode" -> 0.211, "q28_json_extract" -> 0.794,
-    "q29_running_sum" -> 0.441, "q30_rollup_stats" -> 0.187,
-    "q31_approx_distinct" -> 0.2, "q32_sessionize" -> 0.363,
-    "q33_dedup_canonical" -> 1.331, "q34_funnel" -> 0.279,
-    "q35_frame_sample" -> 0.17, "q36_ivf_recall" -> 0.924,
+    "q19_lang_id" -> 0.488, "q20_fingerprint" -> 0.2,
+    "q21_dedup_minhash" -> 2.364, "q22_dedup_ngram" -> 0.705,
+    "q23_simhash_invariant" -> 0.346, "q24_embed_topk" -> 0.127,
+    "q25_embed_neardup" -> 1.405, "q26_ann_topk" -> 0.42,
+    "q27_multimodal_decode" -> 0.121, "q28_json_extract" -> 0.69,
+    "q29_running_sum" -> 0.435, "q30_rollup_stats" -> 0.162,
+    "q31_approx_distinct" -> 0.183, "q32_sessionize" -> 0.363,
+    "q33_dedup_canonical" -> 1.183, "q34_funnel" -> 0.275,
+    "q35_frame_sample" -> 0.153, "q36_ivf_recall" -> 0.813,
     "q37_lsh_pair_recall" -> 1.348, "q38_simhash_neardup" -> 0.959,
-    "q39_corpus_clean" -> 0.656, "q40_vocab_topk" -> 0.17,
+    "q39_corpus_clean" -> 0.627, "q40_vocab_topk" -> 0.167,
     "q41_asof_join" -> 0.337, "q42_percentile_sketch" -> 0.222,
     "q43_range_pairs" -> 0.377, "q44_hash_split" -> 0.088,
-    "q45_cap_per_source" -> 0.144, "q46_novel_docs" -> 1.544,
+    "q45_cap_per_source" -> 0.135, "q46_novel_docs" -> 1.365,
     "q47_chunking" -> 0.444, "q48_repetition" -> 0.37,
-    "q49_decontaminate" -> 0.415, "q50_pivot_counts" -> 0.28,
+    "q49_decontaminate" -> 0.386, "q50_pivot_counts" -> 0.245,
     "q51_event_lag" -> 0.402, "q52_histogram" -> 0.14,
-    "q53_bloom_filter" -> 0.206, "q54_stream_windows" -> 1.258,
-    "q55_pq_recall" -> 0.365, "q56_skew_salted_agg" -> 0.207,
-    "q57_ivfpq_recall" -> 1.013, "q58_rare_terms" -> 0.525,
+    "q53_bloom_filter" -> 0.206, "q54_stream_windows" -> 1.246,
+    "q55_pq_recall" -> 0.365, "q56_skew_salted_agg" -> 0.193,
+    "q57_ivfpq_recall" -> 1.013, "q58_rare_terms" -> 0.48,
     "q59_mixture_sample" -> 0.139, "q60_freq_spectrum" -> 0.207,
-    "q61_stream_dedup" -> 1.402, "q62_cms_heavy_hitters" -> 0.33,
+    "q61_stream_dedup" -> 1.398, "q62_cms_heavy_hitters" -> 0.33,
     "q63_source_quality" -> 0.32, "q64_dedup_keep_best" -> 1.516,
     "q65_sql_parity" -> 0.229, "q66_packing" -> 0.232,
     "q67_cube_counts" -> 0.172, "q68_star_revenue" -> 0.321,
     "q69_strata_sample" -> 0.114, "q70_scrub" -> 0.471,
-    "q71_bigram_lm" -> 0.477, "q72_incr_dedup" -> 0.558,
+    "q71_bigram_lm" -> 0.429, "q72_incr_dedup" -> 0.558,
     "q73_stream_sessions" -> 1.778, "q74_sync_checksum" -> 0.514,
     "q75_bloom_pruned_join" -> 0.4, "q76_rollup_geo" -> 0.446,
     "q77_stream_join" -> 5.233, "q78_session_window" -> 0.394,
@@ -84,22 +77,34 @@ object Bench {
     "q87_image_decode" -> 0.22, "q88_compaction" -> 1.387,
     "q89_cc_deep_chain" -> 1.391, "q90_sync_deletes" -> 0.246,
     "q91_hash_file_sync" -> 0.651, "q92_stream_enrich" -> 1.098,
-    "q93_stream_upsert_sync" -> 1.807, "q94_passage_dedup" -> 1.089,
+    "q93_stream_upsert_sync" -> 1.807, "q94_passage_dedup" -> 1.067,
     "q95_dup_gram_share" -> 0.848, "q96_semantic_dedup" -> 1.235,
     "q97_zorder_layout" -> 0.708, "q98_trailing_window" -> 0.44,
-    "q99_topk_per_group" -> 0.13, "q100_token_budget" -> 0.312,
-    "q101_audio_decode" -> 0.161, "q102_curation_pipeline" -> 1.52,
+    "q99_topk_per_group" -> 0.13, "q100_token_budget" -> 0.279,
+    "q101_audio_decode" -> 0.161, "q102_curation_pipeline" -> 1.47,
     "q103_wav_decode" -> 0.17, "q104_pruned_read" -> 1.073,
     "q105_snapshot_diff" -> 0.486, "q106_shard_shuffle" -> 0.549,
-    "q107_avi_decode" -> 0.19, "q108_nfc_normalize" -> 0.378,
-    "q109_fuzzy_join" -> 0.501, "q110_box_join" -> 1.374,
-    "q111_entity_resolution" -> 1.523, "q112_knn_join" -> 0.49,
-    "q113_ivf_knn_parity" -> 1.41, "q114_incr_stats" -> 0.378,
-    "q115_image_neardup" -> 0.88, "q116_schema_evolution" -> 1.122,
-    "q117_pq_knn_parity" -> 1.72, "q118_ivfpq_knn_parity" -> 3.535,
+    "q107_avi_decode" -> 0.19, "q108_nfc_normalize" -> 0.29,
+    "q109_fuzzy_join" -> 0.501, "q110_box_join" -> 1.341,
+    "q111_entity_resolution" -> 1.523, "q112_knn_join" -> 0.38,
+    "q113_ivf_knn_parity" -> 1.241, "q114_incr_stats" -> 0.378,
+    "q115_image_neardup" -> 0.871, "q116_schema_evolution" -> 1.122,
+    "q117_pq_knn_parity" -> 1.68, "q118_ivfpq_knn_parity" -> 3.535,
     "q119_stream_decontaminate" -> 1.806, "q120_image_resize" -> 0.935,
-    "q121_stream_ingest_dedup" -> 4.483, "q122_stream_knn_serve" -> 1.188,
-    "q123_stream_maintained_view" -> 1.964)
+    "q121_stream_ingest_dedup" -> 4.139, "q122_stream_knn_serve" -> 1.188,
+    "q123_stream_maintained_view" -> 1.964, "q124_stream_index_ingest" -> 2.043,
+    "q125_lm_quality_buckets" -> 0.705, "q126_stream_quality_gate" -> 1.83,
+    "q127_audio_resample" -> 0.21, "q128_stream_embed_dedup" -> 1.084,
+    "q129_decontaminate_spans" -> 1.029, "q130_stream_scrub_spans" -> 2.746,
+    "q131_sq_knn_parity" -> 1.885, "q132_leakage_safe_split" -> 3.074,
+    "q133_hard_negatives" -> 0.334, "q134_centroid_audit" -> 0.4,
+    "q135_bpe_pair_counts" -> 0.383, "q136_triplet_mining" -> 0.403,
+    "q137_temperature_mix" -> 0.226, "q138_epoch_expand" -> 0.128,
+    "q139_stream_distinct_view" -> 2.021, "q140_bm25_topk" -> 1.24,
+    "q141_winnow_fingerprints" -> 2.537, "q142_winnow_overlap" -> 2.758,
+    "q143_stream_bm25_serve" -> 3.077, "q144_self_scrub_spans" -> 1.662,
+    "q145_vocab_encode" -> 0.906, "q146_stream_encode_gate" -> 1.699,
+    "q147_hybrid_rrf" -> 2.146, "q148_stream_overlap_gate" -> 3.677)
 
   /** Fixed-seconds slack added to the 1.5x bound: sub-second floors are
     * scheduler-noise-dominated (a 0.13 s query measured at 0.25 s is noise,
@@ -115,9 +120,14 @@ object Bench {
     * across r4-r7 runs of an unchanged plan, with the q33+q64 pair-sum
     * roughly constant while the split swings (JIT/checkpoint timing
     * allocates the shared cost between them). q89 is the deep-chain CC
-    * loop — more rounds, same compounding. */
+    * loop — more rounds, same compounding. q132 runs the same CC loop to
+    * build leakage-safe groups (r10 measured 3.07 best-of-two with a
+    * 5.80 s warm on the same plan — the documented 3.5-5.6 s sibling
+    * spread applies), tagged BEFORE its floor activates so the first
+    * floored round can't flag scheduling noise. */
   private val HighVariance = Set("q33_dedup_canonical",
-    "q64_dedup_keep_best", "q89_cc_deep_chain", "q111_entity_resolution")
+    "q64_dedup_keep_best", "q89_cc_deep_chain", "q111_entity_resolution",
+    "q132_leakage_safe_split")
 
   /** Machine calibration canaries: stable, mid-weight queries spanning the
     * engine's plan shapes (pushed scan, window, LSH join, stream, fill).

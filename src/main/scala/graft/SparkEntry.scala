@@ -2925,6 +2925,137 @@ object SparkEntry {
         .select(col("user_id"), col("bk"), col("cents"))
       GapFill.forwardFillGrid(lastPerBucket, "user_id", "bk", "cents")
         .orderBy("user_id", "bk")
+    }),
+
+    // q149: the LARGE-VOCABULARY encode path — the same build + encode as
+    // q145 but through the explode + broadcast-join + positional
+    // re-collect formulation (Vocab.encodeJoin, the shape a real 100k–1M
+    // entry BPE vocab needs where the literal-map's linear probe stops
+    // being free) — graded against q145's SAME full SQL oracle: the two
+    // encode plans are row-identical by contract (the q81
+    // scale-plan-in-the-correctness-gate pairing)
+    "q149_vocab_encode_join" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = graft.text.Vocab.build(docs, "text", topN = 200)
+      graft.text.Vocab.encodeJoin(docs, "doc_id", "text", vocab)
+        .select(col("doc_id"), posexplode(col("ids")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("token_id"))
+        .orderBy("doc_id", "pos")
+    }),
+
+    // q150: BPE tokenizer training — five full count → merge → re-pair
+    // rounds (TextAnalysis.bpeTrain), completing the loop q135's single
+    // pair-count pass starts. Graded as a violations contract against an
+    // in-query brute-force Scala BPE over the COLLECTED word-frequency
+    // table (vocab-bounded, grading-only — the operator itself collects
+    // one argmax row per round): merge sequence (pair + count per step)
+    // AND the final per-word symbol arrays must both match exactly;
+    // integer counts and a total (cnt DESC, left, right) tie-break make
+    // the sequence engine-deterministic
+    "q150_bpe_train" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nMerges = 5
+      val (merges, words) = TextAnalysis.bpeTrain(docs, "text", nMerges)
+      // brute-force oracle over the collected word table
+      val wf = TextAnalysis.bpeWordTable(docs, "text")
+        .select(col("__w"), col("__c")).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      var syms: Array[(Vector[String], Long)] =
+        wf.map { case (w, c) => (w.map(_.toString).toVector, c) }
+      val refMerges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var continue = true
+      while (continue && refMerges.size < nMerges) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        syms.foreach { case (v, c) =>
+          v.indices.dropRight(1).foreach { i =>
+            counts((v(i), v(i + 1))) = counts.getOrElse((v(i), v(i + 1)), 0L) + c
+          }
+        }
+        if (counts.isEmpty) continue = false
+        else {
+          val ((a, b), c) = counts.minBy { case ((l, r), n) => (-n, l, r) }
+          refMerges += ((a, b, c))
+          syms = syms.map { case (v, cc) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < v.length) {
+              if (i + 1 < v.length && v(i) == a && v(i + 1) == b) { out += a + b; i += 2 }
+              else { out += v(i); i += 1 }
+            }
+            (out.result(), cc)
+          }
+        }
+      }
+      val mergeViolations =
+        if (merges.map(m => (m.left, m.right, m.cnt)) != refMerges.toSeq) 1L else 0L
+      val refFinal = syms.map { case (v, _) => v.mkString(" ") }.toSet
+      val gotFinal = words.select(concat_ws(" ", col("__syms"))).collect()
+        .map(_.getString(0)).toSet
+      val symViolations = if (gotFinal != refFinal) 1L else 0L
+      // require real progress too: an empty merge list passing trivially
+      // against an equally-empty reference would hide a broken count
+      val emptyViolation = if (merges.size != nMerges) 1L else 0L
+      s.range(1).select(
+        lit(mergeViolations + symViolations + emptyViolation).as("violations"))
+    }),
+
+    // q151: CONTINUOUS overlap-index maintenance — the q124 ingest pattern
+    // applied to the winnowing fingerprint index: the corpus arrives
+    // across THREE micro-batches, each batch's RAW distinct (fp, doc)
+    // rows append under the retry guard, and the df gate applies AT READ
+    // (Winnow.gateIndex) so hotness reflects the WHOLE accumulated corpus
+    // — the gated view must be ROW-IDENTICAL to a from-scratch
+    // buildOverlapIndex over the same documents (full-outer parity + row
+    // count, the q124 violations contract)
+    "q151_overlap_index_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("q151").toString
+      val (srcDir, ckDir, outDir) = (s"$tmp/src", s"$tmp/ck", s"$tmp/out")
+      try {
+        docs.repartition(3).write.parquet(srcDir)
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*.parquet")
+        val store = new graft.sync.ParquetStore(s, outDir)
+        IncrementalStream.overlapIndexIngest(stream, "doc_id", "text",
+          store, "fps", checkpointDir = ckDir).awaitTermination()
+        val served = graft.text.Winnow.gateIndex(
+            store.read("fps").get.select(col("fp"), col("doc_id")), "doc_id")
+          .withColumn("__y", lit(1))
+        val batch = graft.text.Winnow.buildOverlapIndex(docs, "doc_id", "text")
+        val nBatch = batch.count()
+        batch.withColumn("__x", lit(1))
+          .join(served, Seq("fp", "doc_id"), "full_outer")
+          .agg((violations(col("__x").isNull || col("__y").isNull)
+            + when(count(lit(1)) =!= nBatch, 1L).otherwise(0L)).as("violations"))
+          .localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+
+    // q152: IVF centroid-retrain reassignment — the offline drift-retrain
+    // pass the continuous-ingest contract prescribes: a served 8-cell
+    // index re-routes in ONE narrow pass to freshly trained 5-cell
+    // centroids (Similarity.reassign — source table never re-read), and
+    // must be row-identical to a from-scratch ivfIndex build under the
+    // new centroids, whose own deterministic k-means must reproduce the
+    // retrained centroids bit-for-bit (full-outer parity + row count +
+    // centroid equality, the q124 violations contract)
+    "q152_ivf_reassign" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val old = Similarity.ivfIndex(emb, "vec_id", "embedding", numCentroids = 8)
+      val newCents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 5)
+      val re = Similarity.reassign(old, "embedding", newCents)
+      val fresh = Similarity.ivfIndex(emb, "vec_id", "embedding", numCentroids = 5)
+      val centsMatch = re.cents.map { case (i, a) => (i, a.toSeq) }.toSeq ==
+        fresh.cents.map { case (i, a) => (i, a.toSeq) }.toSeq
+      val nFresh = fresh.assigned.count()
+      re.assigned.select(col("vec_id"), col("__centroid")).withColumn("__x", lit(1))
+        .join(fresh.assigned.select(col("vec_id"), col("__centroid"))
+          .withColumn("__y", lit(1)), Seq("vec_id", "__centroid"), "full_outer")
+        .agg((violations(col("__x").isNull || col("__y").isNull)
+          + when(count(lit(1)) =!= nFresh, 1L).otherwise(0L)
+          + lit(if (centsMatch) 0L else 1L)).as("violations"))
+        .localCheckpoint()
     })
   )
 
@@ -2941,6 +3072,20 @@ object SparkEntry {
     """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM (SELECT unnest(ts) AS token FROM tok) GROUP BY 1), v AS (SELECT token, CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS token_id FROM cnt ORDER BY n DESC, token LIMIT 200), e AS (SELECT t.doc_id, CAST(i - 1 AS BIGINT) AS pos, t.ts[i] AS token FROM tok t, LATERAL unnest(range(1, len(t.ts) + 1)) AS u(i)) SELECT e.doc_id, e.pos, CAST(coalesce(v.token_id, 0) AS BIGINT) AS token_id FROM e LEFT JOIN v USING (token) ORDER BY doc_id, pos"""
 
   private val llmOracle: Map[String, String] = Map(
+    // q149 grades the broadcast-join encode path against q145's SAME
+    // oracle — the two plans are row-identical by contract
+    "q149_vocab_encode_join" -> VocabEncodeOracleSql,
+    // q150: the merge sequence + final symbol tables are verified
+    // in-query against a brute-force Scala BPE over the collected word
+    // table (DuckDB cannot express the sequential merge fold)
+    "q150_bpe_train" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    // q151/q152: incremental-vs-batch parity is a Spark-side full-outer
+    // contract (the q124 pattern)
+    "q151_overlap_index_ingest" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    "q152_ivf_reassign" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
     "q67_cube_counts" ->
       """WITH e AS (SELECT event_type, (epoch_ns(ts) // 3600000000000) % 24 AS h FROM events) SELECT coalesce(event_type, '<all>') AS event_type, CAST(coalesce(h, -1) AS BIGINT) AS h, CAST(count(*) AS BIGINT) AS n, CAST(GROUPING(event_type) * 2 + GROUPING(h) AS BIGINT) AS gid FROM e GROUP BY CUBE(event_type, h) ORDER BY gid, event_type, h""",
     "q68_star_revenue" ->

@@ -798,11 +798,18 @@ object Main {
     case OverlapGateCmd(source, index, id, text, k, w, ms, dest, table, ck) =>
       sourceSchema(spark, source, "overlap-gate").fold(0) { schema =>
         val idxStore = new ParquetStore(spark, index)
-        idxStore.read("fps").getOrElse(
+        // by-name index (the serve-bm25 pattern): EVERY per-batch re-read
+        // goes through the getOrElse, so an index directory that vanishes
+        // mid-stream fails with the diagnostic, not a bare
+        // NoSuchElementException from .get; evaluated once BEFORE the
+        // stream starts so a missing index fails fast at startup instead
+        // of surfacing wrapped in a StreamingQueryException
+        def fps = idxStore.read("fps").getOrElse(
           sys.error(s"overlap-gate: no fps table under $index — run build-overlap-index first"))
+        fps
         val stream = spark.readStream.schema(schema).parquet(source)
         graft.streaming.IncrementalStream.overlapGate(
-          stream, idxStore.read("fps").get, id, text,
+          stream, fps, id, text,
           new ParquetStore(spark, dest), table, ck, k, w, ms)
           .awaitTermination()
         0

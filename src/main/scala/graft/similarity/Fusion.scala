@@ -27,8 +27,12 @@ object Fusion {
     * by (fused score DESC, doc id ASC). Contributions fold in SORTED
     * source-name order (the q140 determinism pattern) so ties — e.g. two
     * docs each appearing in exactly one source at the same rank — break
-    * bit-identically everywhere. Source names must be distinct; a doc
-    * appearing twice under one source would double-count (garbage in). */
+    * bit-identically everywhere. Source names must be distinct. A doc
+    * appearing twice under one source — legitimate when the input is a
+    * guardedAppend serving log where a re-arrived query re-appended its
+    * rows — contributes its BEST (minimum) rank once, never a double
+    * count (the same distinct-defense [[recallAtK]] applies to its
+    * inputs); the per-source dedup is a |queries|·k-row aggregate. */
   def rrf(rankings: Seq[(String, DataFrame)], docCol: String,
           k0: Int = 60, topK: Int = 10): DataFrame = {
     require(rankings.nonEmpty, "Fusion.rrf: no rankings")
@@ -36,9 +40,11 @@ object Fusion {
       "Fusion.rrf: duplicate source names")
     require(k0 >= 1 && topK >= 1, s"Fusion.rrf: k0/topK must be >= 1")
     val tagged = rankings.map { case (src, df) =>
-      df.select(col("query_id"), col(docCol),
-        lit(src).as("__src"),
-        (lit(1.0) / (lit(k0) + col("rank"))).as("__c"))
+      df.groupBy(col("query_id"), col(docCol))
+        .agg(min(col("rank")).as("__rank"))
+        .select(col("query_id"), col(docCol),
+          lit(src).as("__src"),
+          (lit(1.0) / (lit(k0) + col("__rank"))).as("__c"))
     }.reduce(_ unionByName _)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col(docCol))

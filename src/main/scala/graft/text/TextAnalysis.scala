@@ -131,6 +131,95 @@ object TextAnalysis {
       .groupBy("pair").agg(sum(col("__c")).cast(LongType).as("cnt"))
   }
 
+  /** The symbolized word-frequency table [[bpeTrain]] iterates over: each
+    * DISTINCT corpus word with its corpus frequency and its symbol array,
+    * initially single characters — (__w, __c, __syms). Stage 1 of the
+    * classic BPE shape (see [[bpePairCounts]]): everything after this is
+    * |vocab|-sized, never |corpus|-sized. */
+  def bpeWordTable(df: org.apache.spark.sql.DataFrame, textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(explode(tokens(col(textCol))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+      // split-by-empty-regex chars; the filter drops the empty fragments
+      // Java's Pattern.split can emit at zero-width boundary matches
+      .withColumn("__syms", filter(split(col("__w"), ""), s => length(s) > 0))
+
+  /** Corpus-weighted adjacent SYMBOL-pair counts over a symbolized word
+    * table — the per-iteration count of [[bpeTrain]]: (left, right, cnt).
+    * Iteration 0 over [[bpeWordTable]] equals [[bpePairCounts]] modulo
+    * representation (struct pair vs 2-char substring). */
+  def bpeSymbolPairCounts(words: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    words.filter(size(col("__syms")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__syms")) - 1),
+        i => struct(element_at(col("__syms"), i).as("left"),
+          element_at(col("__syms"), i + 1).as("right")))).as("__p"), col("__c"))
+      .groupBy(col("__p.left").as("left"), col("__p.right").as("right"))
+      .agg(sum(col("__c")).cast(LongType).as("cnt"))
+
+  /** One BPE merge applied to a symbol array: replace non-overlapping
+    * (a, b) adjacent occurrences with a+b, LEFT TO RIGHT — the classic
+    * greedy merge every BPE trainer/tokenizer uses. Expressed as a left
+    * fold: init = the first symbol, each next symbol either fuses with
+    * the accumulator's last element (when that is exactly `a` and the
+    * incoming is `b`) or appends. The fold IS left-to-right
+    * non-overlapping because a just-fused element is a+b, which can
+    * never equal `a` again within this pass (b is non-empty, lengths
+    * grow) — so "aaa" under (a,a) gives [aa, a], "aaaa" gives [aa, aa].
+    * Init-from-first keeps element_at(acc, -1) total (acc is non-empty
+    * whenever the lambda runs; 0/1-symbol words pass through). */
+  private def bpeMergeExpr(syms: Column, a: String, b: String): Column =
+    aggregate(
+      slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+      slice(syms, 1, 1),
+      (acc, s) => when(element_at(acc, -1) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(s))))
+
+  /** One executed BPE merge: the step index, the fused pair, and its
+    * corpus-weighted count at selection time. */
+  final case class BpeMerge(step: Int, left: String, right: String, cnt: Long)
+
+  /** BPE tokenizer training — the count → merge → re-pair loop that
+    * completes what [[bpePairCounts]] starts: `nMerges` rounds of
+    * (distributed pair count over the |vocab|-sized word table) →
+    * (driver argmax, ONE row collected, deterministic (cnt DESC, left,
+    * right) tie-break) → (distributed left-to-right merge of the winning
+    * pair in every word's symbol array). Returns the merge list and the
+    * final symbolized word table. The loop is driver-side BY NATURE —
+    * each merge depends on the last, ~30k sequential steps in a real
+    * train — but per-round driver traffic is exactly one pair row; all
+    * counting and rewriting stays on executors over |vocab| weighted
+    * rows (at 100 TB the corpus is touched ONCE, by [[bpeWordTable]]).
+    * Each round localCheckpoints the word table: the per-round plan is
+    * truncated so round r doesn't re-execute rounds 0..r-1 (the CC-loop
+    * precedent), and the superseded round's blocks are released eagerly.
+    * Stops early when no pair remains (all words fully fused). Integer
+    * counts end to end — the merge sequence is cross-engine
+    * deterministic (graded against an in-query brute-force oracle over
+    * the collected word table, q150). */
+  def bpeTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
+               nMerges: Int): (Seq[BpeMerge], org.apache.spark.sql.DataFrame) = {
+    require(nMerges >= 1, s"bpeTrain: nMerges must be >= 1, got $nMerges")
+    var words = bpeWordTable(df, textCol).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var step = 0
+    var exhausted = false
+    while (step < nMerges && !exhausted) {
+      val top = bpeSymbolPairCounts(words)
+        .orderBy(col("cnt").desc, col("left"), col("right")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val prev = words
+        words = words.withColumn("__syms", bpeMergeExpr(col("__syms"), a, b))
+          .localCheckpoint()
+        prev.unpersist(blocking = false)
+        merges += BpeMerge(step, a, b, c)
+        step += 1
+      }
+    }
+    (merges.toSeq, words)
+  }
+
   /** Total word n-gram occurrences: max(#tokens − (n−1), 0). */
   def ngramCount(c: Column, n: Int): Column =
     greatest(size(tokens(c)) - lit(n - 1), lit(0)).cast(LongType)

@@ -148,13 +148,22 @@ object TfIdf {
     * unit a streaming serving loop calls (each batch's queries broadcast
     * into one postings probe; queries never round-trip the driver). */
   def bm25Join(index: Bm25Index, idCol: String, queryDf: DataFrame, k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k1: Double = 1.2, b: Double = 0.75,
+               maxBroadcastQueries: Long = 100000L): DataFrame = {
     require(k >= 1, s"bm25Join: k must be >= 1, got $k")
     val qterms = queryDf
       .select(col("query_id"),
         explode(array_distinct(TextAnalysis.tokens(col("qtext")))).as("token"))
-    // ≤|query terms| rows after the df join — always broadcastable.
-    val qdf = broadcast(qterms.join(index.docFreqs, "token"))
+    // The query-terms relation is |batch queries| x |distinct terms per
+    // query| — small for interactive serving, but a bulk re-score batch
+    // could push it past the broadcast cap / driver memory. Gate the hint
+    // on one count() of the query batch (queries-sized, never
+    // corpus-sized): oversized batches degrade to a plain shuffle join
+    // instead of OOMing. Short-query terms are bounded (tens), so the
+    // default admits ~10^5 queries ≈ a few-MB broadcast.
+    val qjoined = qterms.join(index.docFreqs, "token")
+    val qdf =
+      if (queryDf.count() <= maxBroadcastQueries) broadcast(qjoined) else qjoined
 
     val idf = log(lit(1.0) +
       ((lit(index.corpusSize) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))

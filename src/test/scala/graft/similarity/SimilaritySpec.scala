@@ -554,4 +554,36 @@ class SimilaritySpec extends SparkSpec {
     assert(flagged.toSeq === Seq((10L, 0L, 1L)))
     assert(audit.length === rows.length)
   }
+
+  test("reassign re-routes an index to new centroids identically to a fresh build") {
+    val rnd = new scala.util.Random(47)
+    val rows = (0L until 60L).map { i =>
+      val c = (i % 3).toInt
+      (i, Array.tabulate(4)(d => (if (d == c) 5f else 0f) + rnd.nextFloat() * 0.2f).toSeq)
+    }
+    val emb = rows.toDF("vec_id", "vec")
+    val old = Similarity.ivfIndex(emb, "vec_id", "vec", numCentroids = 6)
+    val newCents = Similarity.ivfCentroids(emb, "vec_id", "vec", k = 3)
+    val re = Similarity.reassign(old, "vec", newCents)
+    assert(re.cents eq newCents)
+    val got = re.assigned.select("vec_id", "__centroid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val fresh = Similarity.indexRows(emb, "vec", newCents)
+      .select("vec_id", "__centroid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got === fresh)
+    assert(got.size === rows.size)
+    // the stale __centroid column really was re-derived: the old 6-cell
+    // routing cannot all coincide with the new 3-cell routing
+    val oldRoute = old.assigned.select("vec_id", "__centroid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(oldRoute !== got)
+    // reassigned rows still serve knnJoinIvf (the full-probe == exact pin)
+    val q = emb.filter($"vec_id" < 3)
+    val served = Similarity.knnJoinIvf(re, q, "vec_id", "vec", k = 2, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.knnJoin(q, emb, "vec_id", "vec", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served === exact)
+  }
 }

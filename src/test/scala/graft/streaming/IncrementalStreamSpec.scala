@@ -351,6 +351,45 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(topk(Similarity.IvfIndex(batchIdx.cents, inc)) === topk(batchIdx))
   }
 
+  test("overlapIndexIngest: gated accumulated fingerprints equal a batch rebuild; replay-safe") {
+    import graft.sync.ParquetStore
+    import graft.text.Winnow
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "iota kappa lambda mu nu xi omicron pi"),
+      (3L, "alpha beta gamma delta rho sigma tau upsilon"))
+      .toDF("doc_id", "text")
+    val tmp = Files.createTempDirectory("graft_oii").toString
+    docs.filter($"doc_id" === 1L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    docs.filter($"doc_id" > 1L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    def stream() = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+    val store = new ParquetStore(spark, s"$tmp/out")
+    IncrementalStream.overlapIndexIngest(stream(), "doc_id", "text",
+      store, "fps", checkpointDir = s"$tmp/ck").awaitTermination()
+    def served() = Winnow.gateIndex(
+        store.read("fps").get.select($"fp", $"doc_id"), "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = Winnow.buildOverlapIndex(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(served() === batch)
+    assert(served().nonEmpty)
+    // the accumulated table probes overlapGate identically to a built index
+    val probe = Seq((9L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val hits = Winnow.indexRows(probe, "doc_id", "text")
+      .select($"fp", $"doc_id".as("id_a"))
+      .join(Winnow.gateIndex(store.read("fps").get.select($"fp", $"doc_id"), "doc_id")
+        .select($"fp", $"doc_id".as("id_b")), "fp")
+      .groupBy($"id_a", $"id_b").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.map(_._2).contains(1L)) // shares the planted run with doc 1
+    // fresh checkpoint over the same source: cross-lineage guard, no dups
+    val before = store.read("fps").get.count()
+    IncrementalStream.overlapIndexIngest(stream(), "doc_id", "text",
+      store, "fps", checkpointDir = s"$tmp/ck2").awaitTermination()
+    assert(store.read("fps").get.count() === before)
+  }
+
   test("embedDupGate: rejects exactly the near-dup arrivals, batch-split-invariant, replay-safe") {
     import graft.similarity.Similarity
     import graft.sync.ParquetStore

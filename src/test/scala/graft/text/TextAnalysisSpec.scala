@@ -153,4 +153,76 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === Map("ab" -> 6L, "ba" -> 6L, "cd" -> 1L))
   }
+
+  test("bpeTrain: hand-traced merges, early exhaustion, final symbol table") {
+    // wf: ab x2, ac x1 -> pairs (a,b)=2, (a,c)=1: merge 0 fuses (a,b);
+    // only (a,c)=1 remains: merge 1 fuses it; then NO pair remains, the
+    // loop stops early at 2 of the 5 requested merges
+    val df = Seq("ab ab ac").toDF("text")
+    val (merges, words) = TextAnalysis.bpeTrain(df, "text", nMerges = 5)
+    assert(merges === Seq(
+      TextAnalysis.BpeMerge(0, "a", "b", 2L),
+      TextAnalysis.BpeMerge(1, "a", "c", 1L)))
+    val syms = words.select("__w", "__syms").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(syms === Map("ab" -> Seq("ab"), "ac" -> Seq("ac")))
+  }
+
+  test("bpeTrain: left-to-right non-overlapping merge (aaa -> [aa, a])") {
+    // "aaaa aaa": pair (a,a) counts 3+2=5; the greedy pass gives
+    // aaaa -> [aa, aa], aaa -> [aa, a]; round 2's top pair is then
+    // (aa, aa)=1 vs (aa, a)=1 -> (aa, a) wins the (left, right) tie-break
+    val df = Seq("aaaa aaa").toDF("text")
+    val (merges, words) = TextAnalysis.bpeTrain(df, "text", nMerges = 2)
+    assert(merges.head === TextAnalysis.BpeMerge(0, "a", "a", 5L))
+    assert(merges(1) === TextAnalysis.BpeMerge(1, "aa", "a", 1L))
+    val syms = words.select("__w", "__syms").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(syms === Map("aaaa" -> Seq("aa", "aa"), "aaa" -> Seq("aaa")))
+  }
+
+  test("bpeTrain: count-tie broken by (left, right) ascending") {
+    // (a,b)=1 and (b,a)=1 tie on count; (a,b) sorts first
+    val df = Seq("ab ba").toDF("text")
+    val (merges, _) = TextAnalysis.bpeTrain(df, "text", nMerges = 1)
+    assert(merges === Seq(TextAnalysis.BpeMerge(0, "a", "b", 1L)))
+  }
+
+  test("property: bpeTrain matches a brute-force BPE on random corpora") {
+    val rnd = new scala.util.Random(29)
+    val alphabet = "abc"
+    val docs = (0 until 30).map { _ =>
+      (0 until (1 + rnd.nextInt(6))).map(_ =>
+        (0 until (1 + rnd.nextInt(6))).map(_ => alphabet(rnd.nextInt(3))).mkString
+      ).mkString(" ")
+    }
+    val (merges, words) = TextAnalysis.bpeTrain(docs.toDF("text"), "text", 4)
+    // reference: greedy BPE over the word-frequency map
+    var ref = docs.flatMap(_.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, o) => (w.map(_.toString).toVector, o.size.toLong) }
+      .toVector
+    val refMerges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var halt = false
+    while (!halt && refMerges.size < 4) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      ref.foreach { case (v, c) => v.indices.dropRight(1).foreach { i =>
+        counts((v(i), v(i + 1))) = counts.getOrElse((v(i), v(i + 1)), 0L) + c } }
+      if (counts.isEmpty) halt = true
+      else {
+        val ((a, b), c) = counts.minBy { case ((l, r), n) => (-n, l, r) }
+        refMerges += ((a, b, c))
+        ref = ref.map { case (v, cc) =>
+          val out = Vector.newBuilder[String]; var i = 0
+          while (i < v.length) {
+            if (i + 1 < v.length && v(i) == a && v(i + 1) == b) { out += a + b; i += 2 }
+            else { out += v(i); i += 1 }
+          }
+          (out.result(), cc)
+        }
+      }
+    }
+    assert(merges.map(m => (m.left, m.right, m.cnt)) === refMerges.toSeq)
+    val got = words.select("__syms").collect().map(_.getSeq[String](0).mkString("|")).sorted
+    assert(got === ref.map(_._1.mkString("|")).sorted.toArray)
+  }
 }

@@ -29,7 +29,9 @@ class TfIdfSpec extends SparkSpec {
   test("scored: tfidf = tf * (ln((N+1)/(df+1)) + 1), corpus-wide term downweighted") {
     val s = TfIdf.scored(docs, "doc_id", "text", corpusSize = 3)
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(4)).toMap
-    val expectRare = 1.0 * (math.log(4.0 / 2.0) + 1)
+    // StrictMath per the repo-wide pin: Spark's Log evaluates via
+    // StrictMath.log and the Math.log intrinsic can differ by an ulp
+    val expectRare = 1.0 * (StrictMath.log(4.0 / 2.0) + 1)
     assert(math.abs(s((1L, "rare")) - expectRare) < 1e-12)
     // ubiquitous term: idf = ln(4/4) + 1 = 1 -> tfidf == tf
     assert(math.abs(s((1L, "the")) - 1.0) < 1e-12)

@@ -44,4 +44,25 @@ class VocabSpec extends SparkSpec {
       Vocab.encode(docs, "doc_id", "text", bad)
     }
   }
+
+  test("encodeJoin is row-identical to encode, incl. OOV and empty docs") {
+    val v = Vocab.build(docs, "text", topN = 4)
+    val in = docs.union(Seq((4L, "")).toDF("doc_id", "text"))
+    val j = Vocab.encodeJoin(in, "doc_id", "text", v)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(j(1L) === Seq(1L, 2L, 3L, 1L, 4L)) // positional order restored
+    assert(j(3L) === Seq(0L))                 // OOV through the left join
+    assert(j(4L) === Seq.empty)               // empty doc survives (_outer)
+    val m = Vocab.encode(in, "doc_id", "text", v)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(j === m)
+  }
+
+  test("encodeJoin keeps repeated tokens at every position") {
+    val v = Vocab.build(docs, "text", topN = 4)
+    val rep = Seq((9L, "the the cat the")).toDF("doc_id", "text")
+    val j = Vocab.encodeJoin(rep, "doc_id", "text", v)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(j(9L) === Seq(1L, 1L, 2L, 1L))
+  }
 }

@@ -123,4 +123,50 @@ class WinnowSpec extends SparkSpec {
       .collect()
     assert(gated.isEmpty)
   }
+
+  test("gateIndex over accumulated indexRows equals a from-scratch build") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "iota kappa lambda mu nu xi omicron pi"),
+      (3L, "alpha beta gamma delta rho sigma tau upsilon"))
+    val df = docs.toDF("doc_id", "text")
+    // batch-by-batch accumulation (the overlapIndexIngest per-batch unit)
+    val acc = docs.map(d => Winnow.indexRows(Seq(d).toDF("doc_id", "text"),
+        "doc_id", "text"))
+      .reduce(_ unionByName _)
+    val served = Winnow.gateIndex(acc, "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = Winnow.buildOverlapIndex(df, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(served === batch)
+    assert(served.nonEmpty)
+  }
+
+  test("gateIndex drops a fingerprint RETROACTIVELY once arrivals make it hot") {
+    // seed: one doc holds the phrase (df=1, under a maxDf=2 gate); two
+    // arrivals repeat it -> df=3 crosses the gate, and the SEED's own
+    // rows must vanish from the served view, not just the arrivals'
+    val phrase = "alpha beta gamma delta epsilon zeta"
+    val seed = Seq((1L, s"$phrase eta theta iota"))
+    val arrivals = Seq((2L, s"$phrase kappa lambda mu"),
+      (3L, s"$phrase nu xi omicron"))
+    val acc = (seed ++ arrivals).map(d =>
+        Winnow.indexRows(Seq(d).toDF("doc_id", "text"), "doc_id", "text"))
+      .reduce(_ unionByName _)
+    val seedOnly = Winnow.gateIndex(
+      Winnow.indexRows(seed.toDF("doc_id", "text"), "doc_id", "text"),
+      "doc_id", maxDocsPerFp = 2)
+      .collect().map(_.getString(0)).toSet
+    val after = Winnow.gateIndex(acc, "doc_id", maxDocsPerFp = 2)
+      .filter($"doc_id" === 1L).collect().map(_.getString(0)).toSet
+    // every fingerprint of the shared phrase that all three docs selected
+    // was served pre-arrival and is gone post-arrival
+    val hot = seedOnly.diff(after)
+    assert(hot.nonEmpty)
+    // and it equals the batch rebuild's verdict over the full corpus
+    val batch = Winnow.buildOverlapIndex((seed ++ arrivals).toDF("doc_id", "text"),
+        "doc_id", "text", maxDocsPerFp = 2)
+      .filter($"doc_id" === 1L).collect().map(_.getString(0)).toSet
+    assert(after === batch)
+  }
 }

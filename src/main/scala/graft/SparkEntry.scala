@@ -3032,6 +3032,22 @@ object SparkEntry {
       } finally deleteRecursively(tmp)
     }),
 
+    // q153: the GLOBAL running sum q29 deliberately avoided — computed by
+    // the q106 range-bucket + offset-join decomposition (hourly buckets
+    // are order-consistent with the (ts, event_id) total order; per-
+    // bucket windows run in parallel, the exclusive prefix sum over
+    // bucket totals is |buckets|-sized and broadcast back), removing the
+    // last documented single-partition-window trade. Integer cents;
+    // graded against DuckDB's direct one-window formulation
+    "q153_global_running_sum" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"), col("ts"),
+        round(col("value") * 100).cast(LongType).as("cents"))
+      PrefixSum.globalRunningSum(e, "cents",
+          expr("ts div 3600000000000"), Seq(col("ts"), col("event_id")))
+        .select(col("event_id"), col("running_cents"))
+        .orderBy("event_id")
+    }),
+
     // q152: IVF centroid-retrain reassignment — the offline drift-retrain
     // pass the continuous-ingest contract prescribes: a served 8-cell
     // index re-routes in ONE narrow pass to freshly trained 5-cell
@@ -3086,6 +3102,10 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q152_ivf_reassign" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
+    // q153: DuckDB runs the direct single-window formulation the operator
+    // decomposes — same total order, same integer cents
+    "q153_global_running_sum" ->
+      "SELECT event_id, CAST(sum(CAST(round(value*100) AS BIGINT)) OVER (ORDER BY epoch_ns(ts), event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents FROM events ORDER BY event_id",
     "q67_cube_counts" ->
       """WITH e AS (SELECT event_type, (epoch_ns(ts) // 3600000000000) % 24 AS h FROM events) SELECT coalesce(event_type, '<all>') AS event_type, CAST(coalesce(h, -1) AS BIGINT) AS h, CAST(count(*) AS BIGINT) AS n, CAST(GROUPING(event_type) * 2 + GROUPING(h) AS BIGINT) AS gid FROM e GROUP BY CUBE(event_type, h) ORDER BY gid, event_type, h""",
     "q68_star_revenue" ->

@@ -52,7 +52,8 @@ object Main {
       "       winnow --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--gram <k>] [--window <w>]\n" +
       "       winnow-overlap --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--gram <k>] [--window <w>] [--min-shared <n>] [--max-df <n>]\n" +
       "       build-overlap-index --corpus <parquet> --id <col> --text <col> --out <storeDir> [--gram <k>] [--window <w>] [--max-df <n>]\n" +
-      "       overlap-gate --source <parquetDir> --index <storeDir> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir> [--gram <k>] [--window <w>] [--min-shared <n>]\n" +
+      "       overlap-gate --source <parquetDir> --index <storeDir> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir> [--gram <k>] [--window <w>] [--min-shared <n>] [--max-df <n>]\n" +
+      "       ingest-overlap-index --source <parquetDir> --id <col> --text <col> --dest <storeDir> --checkpoint <dir> [--gram <k>] [--window <w>]\n" +
       "       build-bm25-index --corpus <parquet> --id <col> --text <col> --out <storeDir>\n" +
       "       serve-bm25 --queries <parquetDir> --index <storeDir> --id <col> --k <n> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       fuse-rrf --rankings name=/dir[,name=/dir...] --doc <col> --out <parquetDir> [--k0 <n>] [--top <n>]\n" +
@@ -152,7 +153,12 @@ object Main {
   private case class OverlapGateCmd(source: String, index: String, id: String,
                                     text: String, gram: Int, window: Int,
                                     minShared: Int, dest: String, table: String,
-                                    checkpoint: String) extends Cmd
+                                    checkpoint: String,
+                                    maxDf: Option[Int]) extends Cmd
+  private case class IngestOverlapIndex(source: String, id: String,
+                                        text: String, gram: Int, window: Int,
+                                        dest: String,
+                                        checkpoint: String) extends Cmd
   private case class BuildBm25Index(corpus: String, id: String, text: String,
                                     out: String) extends Cmd
   private case class ServeBm25(queries: String, index: String, id: String,
@@ -411,7 +417,26 @@ object Main {
         dest <- req(opts, "overlap-gate", "dest")
         table <- req(opts, "overlap-gate", "table")
         ck <- req(opts, "overlap-gate", "checkpoint")
-      } yield OverlapGateCmd(source, index, id, text, k, w, ms, dest, table, ck)
+        // --max-df marks the index as a RAW ingest-overlap-index
+        // accumulation: the hot-fingerprint gate applies at every read
+        // (absent, the index is a build-overlap-index artifact, gated at
+        // build)
+        md <- opts.get("max-df")
+          .fold(Right(None): Either[String, Option[Int]])(s =>
+            s.toIntOption.filter(_ >= 1).map(Some(_))
+              .toRight(s"overlap-gate: --max-df must be a positive int, got $s"))
+      } yield OverlapGateCmd(source, index, id, text, k, w, ms, dest, table, ck, md)
+    case "ingest-overlap-index" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        source <- req(opts, "ingest-overlap-index", "source")
+        id <- req(opts, "ingest-overlap-index", "id")
+        text <- req(opts, "ingest-overlap-index", "text")
+        k <- optInt(opts, "ingest-overlap-index", "gram", 3)
+        w <- optInt(opts, "ingest-overlap-index", "window", 4)
+        dest <- req(opts, "ingest-overlap-index", "dest")
+        ck <- req(opts, "ingest-overlap-index", "checkpoint")
+      } yield IngestOverlapIndex(source, id, text, k, w, dest, ck)
     case (cmd @ ("winnow" | "winnow-overlap")) :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -795,7 +820,7 @@ object Main {
         spark.read.parquet(corpus), id, text, k, w, maxDf), "fps")
       0
 
-    case OverlapGateCmd(source, index, id, text, k, w, ms, dest, table, ck) =>
+    case OverlapGateCmd(source, index, id, text, k, w, ms, dest, table, ck, maxDf) =>
       sourceSchema(spark, source, "overlap-gate").fold(0) { schema =>
         val idxStore = new ParquetStore(spark, index)
         // by-name index (the serve-bm25 pattern): EVERY per-batch re-read
@@ -803,14 +828,36 @@ object Main {
         // mid-stream fails with the diagnostic, not a bare
         // NoSuchElementException from .get; evaluated once BEFORE the
         // stream starts so a missing index fails fast at startup instead
-        // of surfacing wrapped in a StreamingQueryException
-        def fps = idxStore.read("fps").getOrElse(
-          sys.error(s"overlap-gate: no fps table under $index — run build-overlap-index first"))
+        // of surfacing wrapped in a StreamingQueryException. With
+        // --max-df the table is a RAW ingest-overlap-index accumulation
+        // and the hot-fingerprint gate applies per read, so fingerprints
+        // that crossed the threshold since the last batch drop
+        // retroactively (Winnow.gateIndex's contract)
+        def fps = {
+          val raw = idxStore.read("fps").getOrElse(sys.error(
+            s"overlap-gate: no fps table under $index — run build-overlap-index " +
+              "(or ingest-overlap-index) first"))
+          maxDf.fold(raw)(m => graft.text.Winnow.gateIndex(raw, id, m))
+        }
         fps
         val stream = spark.readStream.schema(schema).parquet(source)
         graft.streaming.IncrementalStream.overlapGate(
           stream, fps, id, text,
           new ParquetStore(spark, dest), table, ck, k, w, ms)
+          .awaitTermination()
+        0
+      }
+
+    case IngestOverlapIndex(source, id, text, k, w, dest, ck) =>
+      sourceSchema(spark, source, "ingest-overlap-index").fold(0) { schema =>
+        // raw distinct (fp, id) rows accumulate in the fixed "fps" table
+        // (the overlap-gate read convention); pair with
+        // `overlap-gate --max-df <n>` so the df gate applies at read over
+        // the WHOLE accumulation — gateIndex(accumulated) is
+        // row-identical to a from-scratch build-overlap-index
+        val stream = spark.readStream.schema(schema).parquet(source)
+        graft.streaming.IncrementalStream.overlapIndexIngest(
+          stream, id, text, new ParquetStore(spark, dest), "fps", ck, k, w)
           .awaitTermination()
         0
       }

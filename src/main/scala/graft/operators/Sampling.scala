@@ -248,10 +248,19 @@ object Sampling {
     require(rowsPerShard >= 1, s"rowsPerShard must be >= 1, got $rowsPerShard")
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val key = md5(concat(lit(seed + ":"), col(idCol).cast("string")).cast("binary"))
+    // AssertNotNull: provably non-null (md5 of a non-null-filtered id), but
+    // the conv/cast chain still PLANS as nullable — and a nullable join key
+    // gets the offsets join's IsNotNull pushed into only one subtree,
+    // breaking exchange reuse and silently scanning the corpus twice
+    // (observed on Spark 4.1.2; pinned in PlanShapeSpec)
+    val bucket = org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull(
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          conv(substring(key, 1, 2), 16, 10).cast("int"))))
     val keyed = df.filter(col(idCol).isNotNull)
       .select(col(idCol), key.as("__k"),
         // first hex byte, exactly consistent with lexicographic key order
-        conv(substring(key, 1, 2), 16, 10).cast("int").as("__b"))
+        bucket.as("__b"))
       .repartition(n, col("__b"))
     // Per-bucket rank AND per-bucket count from the SAME exchange: the
     // count is a second window function over the same clustering, and the

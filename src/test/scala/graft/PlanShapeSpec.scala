@@ -439,4 +439,77 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"query-term join must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"no corpus-wide sort-merge join:\n$p")
   }
+
+  test("q149 encodeJoin: vocab joins by BROADCAST, one doc-keyed exchange") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val vocab = graft.text.Vocab.build(docs, "text", topN = 50)
+    val p = graft.text.Vocab.encodeJoin(docs, "doc_id", "text", vocab)
+      .queryExecution.executedPlan.toString
+    // the vocab side broadcasts (the whole point vs the literal map: O(1)
+    // probes without a plan-sized literal); a sort-merge would shuffle
+    // the 100 TB token stream BY TOKEN before the doc-id reassembly
+    assert(p.contains("BroadcastHashJoin"), s"vocab join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"token stream must not sort-merge:\n$p")
+    // exactly one data-sized exchange: the doc-id reassembly (the
+    // documented trade vs encode's zero); vocab-sized exchanges for the
+    // top-N build don't hash doc_id
+    val docExchanges = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size
+    assert(docExchanges === 1, s"expected one doc-keyed shuffle:\n$p")
+  }
+
+  test("q153 global running sum: per-bucket windows, corpus shuffled once, offsets broadcast") {
+    val df = SparkEntry.queries("q153_global_running_sum")(spark, dir)
+    df.collect() // AQE materializes exchange reuse only in the FINAL plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.startsWith("AdaptiveSparkPlan isFinalPlan=true"), p.linesIterator.next())
+    val finalSection = p.split("== Initial Plan ==").head
+    // the data-sized window is PARTITIONED (per-bucket, parallel); the
+    // only unpartitioned window orders the ~|buckets| representatives
+    assert(finalSection.contains("Window [sum"), p)
+    // the offsets branch REUSES the data branch's bucket shuffle — the
+    // corpus is scanned and shuffled exactly once (this is what the
+    // AssertNotNull non-nullable bucket key buys: with a nullable key the
+    // inner join's IsNotNull pushes into only one subtree and reuse
+    // breaks, observed as a double corpus scan)
+    assert("ReusedExchange.*hashpartitioning\\(__b".r.findFirstIn(finalSection).isDefined,
+      s"offsets branch must reuse the bucket exchange:\n$finalSection")
+    // exactly one MATERIALIZED bucket exchange (the ReusedExchange line
+    // cites it; no third appearance may plan its own)
+    val bucketExchanges = "\\+- Exchange hashpartitioning\\(__b".r
+      .findAllIn(finalSection).size
+    assert(bucketExchanges === 1,
+      s"expected ONE materialized bucket exchange:\n$finalSection")
+    // bucket totals rejoin by broadcast — never a data-sized shuffle join
+    assert(finalSection.contains("BroadcastHashJoin"), s"offset join must broadcast:\n$p")
+    assert(!finalSection.contains("SortMergeJoin"), p)
+  }
+
+  test("q106 sharded shuffle: offsets branch reuses the single corpus exchange") {
+    val df = SparkEntry.queries("q106_shard_shuffle")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    // same discipline as q153: the 256-bucket offset branch must ride the
+    // data branch's shuffle, not re-scan and re-hash the corpus
+    assert("ReusedExchange.*hashpartitioning\\(__b".r.findFirstIn(finalSection).isDefined,
+      s"offsets branch must reuse the bucket exchange:\n$finalSection")
+    val bucketExchanges = "\\+- Exchange hashpartitioning\\(__b".r
+      .findAllIn(finalSection).size
+    assert(bucketExchanges === 1,
+      s"expected ONE materialized bucket exchange:\n$finalSection")
+  }
+
+  test("reassign is a narrow projection over the assigned table: no exchange, no join") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idx = graft.similarity.Similarity.ivfIndex(emb, "vec_id", "embedding",
+      numCentroids = 4)
+    val cents = graft.similarity.Similarity.ivfCentroids(emb, "vec_id",
+      "embedding", k = 3)
+    val p = graft.similarity.Similarity.reassign(idx, "embedding", cents)
+      .assigned.queryExecution.executedPlan.toString
+    // re-routing scores numCentroids literals per row — a shuffle or join
+    // here would mean the index table moved to re-derive a per-row column
+    assert(!p.contains("Exchange"), s"reassign must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"reassign must not plan a join:\n$p")
+  }
 }

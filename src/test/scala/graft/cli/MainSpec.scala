@@ -450,6 +450,40 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("ingest-overlap-index + overlap-gate --max-df: accumulated raw index gates arrivals") {
+    val tmp = Files.createTempDirectory("graft_cli_oii").toString
+    val shared = "sigma tau upsilon phi chi psi omega kappa lambda"
+    Seq((1L, s"alpha beta gamma $shared delta epsilon zeta"),
+        (2L, "fully unique corpus document with no shared content at all"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(s"$tmp/corpus")
+    // corpus accumulates as RAW fps through the streaming ingest
+    assert(Main.run(spark, Array("ingest-overlap-index",
+      "--source", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+      "--dest", s"$tmp/idx", "--checkpoint", s"$tmp/ick")) === 0)
+    // the raw table equals a from-scratch gated build once gated at read
+    val raw = spark.read.parquet(s"$tmp/idx/fps.parquet")
+    val gated = graft.text.Winnow.gateIndex(raw, "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val built = graft.text.Winnow.buildOverlapIndex(
+        spark.read.parquet(s"$tmp/corpus"), "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(gated === built)
+    Seq((10L, s"omicron pi rho $shared nu xi iota"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    assert(Main.run(spark, Array("overlap-gate",
+      "--source", s"$tmp/src", "--index", s"$tmp/idx", "--id", "doc_id",
+      "--text", "text", "--dest", s"$tmp/dst", "--table", "pairs",
+      "--checkpoint", s"$tmp/ck", "--max-df", "100")) === 0)
+    val pairs = spark.read.parquet(s"$tmp/dst/pairs.parquet")
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((10L, 1L)))
+    // malformed --max-df is a usage error before any Spark job
+    assert(Main.run(spark, Array("overlap-gate",
+      "--source", s"$tmp/src", "--index", s"$tmp/idx", "--id", "doc_id",
+      "--text", "text", "--dest", s"$tmp/dst2", "--table", "pairs",
+      "--checkpoint", s"$tmp/ck2", "--max-df", "zero")) === 2)
+  }
+
   test("fuse-rrf + eval-recall end to end: fused artifact scores, recall table exact") {
     val tmp = Files.createTempDirectory("graft_cli_rrf").toString
     Seq(("q", 1L, 1L), ("q", 2L, 2L)).toDF("query_id", "doc_id", "rank")

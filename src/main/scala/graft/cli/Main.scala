@@ -837,6 +837,15 @@ object Main {
           val raw = idxStore.read("fps").getOrElse(sys.error(
             s"overlap-gate: no fps table under $index — run build-overlap-index " +
               "(or ingest-overlap-index) first"))
+          // a raw ingest accumulation is recognizable by its lineage
+          // stamps; serving it UN-gated would flood the join with the
+          // hot boilerplate fingerprints buildOverlapIndex exists to
+          // drop AND double-count n_shared on retry-duplicated rows —
+          // refuse rather than silently emit wrong overlap strengths
+          if (maxDf.isEmpty && raw.columns.contains("__run"))
+            sys.error(s"overlap-gate: the fps table under $index is a raw " +
+              "ingest-overlap-index accumulation (lineage-stamped); pass " +
+              "--max-df <n> so the hot-fingerprint gate applies at read")
           maxDf.fold(raw)(m => graft.text.Winnow.gateIndex(raw, id, m))
         }
         fps

@@ -53,6 +53,14 @@ object PrefixSum {
   def globalRunningSum(df: DataFrame, valueCol: String, bucket: Column,
                        order: Seq[Column]): DataFrame = {
     require(order.nonEmpty, "globalRunningSum: empty order")
+    // scratch/output name collisions clobber-then-drop caller columns —
+    // in this repo every guardedAppend log carries __run, which a silent
+    // collision would strip from the output, losing lineage data
+    val reserved = Seq("__b", "__run", "__tot", "__r", "__off", s"running_$valueCol")
+    val clash = df.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"globalRunningSum: input columns ${clash.mkString(", ")} collide with " +
+        "internal/output names — rename them first")
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val b = org.apache.spark.sql.GraftColumnBridge.column(
       org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull(

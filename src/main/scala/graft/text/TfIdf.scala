@@ -157,13 +157,17 @@ object TfIdf {
     // The query-terms relation is |batch queries| x |distinct terms per
     // query| — small for interactive serving, but a bulk re-score batch
     // could push it past the broadcast cap / driver memory. Gate the hint
-    // on one count() of the query batch (queries-sized, never
-    // corpus-sized): oversized batches degrade to a plain shuffle join
-    // instead of OOMing. Short-query terms are bounded (tens), so the
-    // default admits ~10^5 queries ≈ a few-MB broadcast.
+    // on a BOUNDED probe of the query batch: limit(max+1).count() stops
+    // scanning after max+1 rows, so even a 10^9-row re-score batch pays
+    // O(max) to learn "too big" (a bare count() would re-execute the
+    // whole query-side plan just to pick a hint); oversized batches
+    // degrade to a plain shuffle join instead of OOMing. Short-query
+    // terms are bounded (tens), so the default admits ~10^5 queries ≈ a
+    // few-MB broadcast.
     val qjoined = qterms.join(index.docFreqs, "token")
+    val cap = math.max(1L, math.min(maxBroadcastQueries, Int.MaxValue - 1L)).toInt
     val qdf =
-      if (queryDf.count() <= maxBroadcastQueries) broadcast(qjoined) else qjoined
+      if (queryDf.limit(cap + 1).count() <= cap) broadcast(qjoined) else qjoined
 
     val idf = log(lit(1.0) +
       ((lit(index.corpusSize) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))

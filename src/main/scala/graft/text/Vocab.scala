@@ -83,10 +83,24 @@ object Vocab {
     * posexplode_outer — without the _outer, empty docs would vanish from
     * the output entirely ([[encode]] returns NULL ids for NULL text, the
     * one representation difference; both explode to zero rows).
-    * Vocabulary contract as [[collectVocab]]: distinct tokens, id 0
-    * reserved — a duplicate token row here would duplicate positions. */
+    * Vocabulary contract as [[collectVocab]], VALIDATED here with one
+    * vocab-sized aggregate action instead of a collect (the whole point
+    * of this path is that the vocab never lands on the driver): must be
+    * non-empty, must not assign the reserved OOV id 0, and tokens must
+    * be distinct — a silent pass on any of those would corrupt the id
+    * space of a training run (in-vocab tokens indistinguishable from
+    * OOV, or duplicated positions) with no error. */
   def encodeJoin(docs: DataFrame, idCol: String, textCol: String,
                  vocab: DataFrame): DataFrame = {
+    val check = vocab.agg(
+      count(lit(1)).as("n"),
+      count(when(col("token_id") === 0L, 1)).as("zero_ids"),
+      count_distinct(col("token")).as("n_tokens")).head()
+    require(check.getLong(0) > 0, "Vocab.encodeJoin: empty vocabulary table")
+    require(check.getLong(1) == 0,
+      "Vocab.encodeJoin: token_id 0 is reserved for OOV")
+    require(check.getLong(2) == check.getLong(0),
+      "Vocab.encodeJoin: duplicate token rows would duplicate positions")
     val toks = docs
       .select(col(idCol), posexplode_outer(TextAnalysis.tokens(col(textCol))))
       .toDF(idCol, "__pos", "__tok")

@@ -482,6 +482,14 @@ class MainSpec extends SparkSpec {
       "--source", s"$tmp/src", "--index", s"$tmp/idx", "--id", "doc_id",
       "--text", "text", "--dest", s"$tmp/dst2", "--table", "pairs",
       "--checkpoint", s"$tmp/ck2", "--max-df", "zero")) === 2)
+    // a raw (lineage-stamped) accumulation WITHOUT --max-df refuses
+    // rather than silently serving un-gated, duplicate-bearing rows
+    intercept[RuntimeException] {
+      Main.run(spark, Array("overlap-gate",
+        "--source", s"$tmp/src", "--index", s"$tmp/idx", "--id", "doc_id",
+        "--text", "text", "--dest", s"$tmp/dst3", "--table", "pairs",
+        "--checkpoint", s"$tmp/ck3"))
+    }
   }
 
   test("fuse-rrf + eval-recall end to end: fused artifact scores, recall table exact") {

@@ -37,6 +37,15 @@ class PrefixSumSpec extends SparkSpec {
     assert(got === Map(1L -> 5L, 2L -> 12L, 3L -> 10L))
   }
 
+  test("globalRunningSum refuses inputs whose columns collide with scratch names") {
+    // __run is every guardedAppend log's lineage column — a silent
+    // clobber-then-drop would strip it from the output
+    val df = Seq((1L, 10L, "r0")).toDF("id", "v", "__run")
+    intercept[IllegalArgumentException] {
+      PrefixSum.globalRunningSum(df, "v", col("id"), Seq(col("id")))
+    }
+  }
+
   test("globalRunningSum preserves input columns and row count") {
     val df = Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("id", "v", "tag")
     val out = PrefixSum.globalRunningSum(df, "v", col("id"), Seq(col("id")))

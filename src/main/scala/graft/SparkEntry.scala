@@ -3048,6 +3048,34 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // q155: the LARGE-VOCABULARY encode gate — q146's scale twin through
+    // the broadcast-join encode path (vocabulary validated + pinned by
+    // localCheckpoint at query start, never driver-collected), arrivals
+    // across TWO micro-batches, accumulated log exploded must equal
+    // batch q145 row-for-row (SAME full SQL oracle) — the q149 pairing
+    // deployed at ingest
+    "q155_stream_encode_join_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("q155").toString
+      val (srcDir, ckDir, outDir) = (s"$tmp/src", s"$tmp/ck", s"$tmp/out")
+      try {
+        val store = new graft.sync.ParquetStore(s, outDir)
+        val vocabStore = new graft.sync.ParquetStore(s, s"$tmp/vocab")
+        vocabStore.write(graft.text.Vocab.build(docs, "text", topN = 200), "vocab")
+        docs.repartition(2).write.parquet(srcDir)
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*.parquet")
+        IncrementalStream.encodeGateJoin(stream, vocabStore.read("vocab").get,
+          "doc_id", "text", store, "encoded", checkpointDir = ckDir)
+          .awaitTermination()
+        store.read("encoded").get
+          .select(col("doc_id"), posexplode(col("ids")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            col("col").as("token_id"))
+          .orderBy("doc_id", "pos").localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+
     // q154: the APPLY side of BPE training — the codegen'd merge-replay
     // expression (BpeApply, reference-object merge table) must reproduce
     // the trained word table's final segmentation for EVERY distinct
@@ -3117,6 +3145,9 @@ object SparkEntry {
     // q149 grades the broadcast-join encode path against q145's SAME
     // oracle — the two plans are row-identical by contract
     "q149_vocab_encode_join" -> VocabEncodeOracleSql,
+    // q155 grades the large-vocab streaming gate against the same batch
+    // encoding oracle (the q146 pairing through the join path)
+    "q155_stream_encode_join_gate" -> VocabEncodeOracleSql,
     // q150: the merge sequence + final symbol tables are verified
     // in-query against a brute-force Scala BPE over the collected word
     // table (DuckDB cannot express the sequential merge fold)

@@ -50,7 +50,7 @@ object Main {
       "       bpe-train --corpus <parquet> --text <col> --merges <n> --out <parquetDir>\n" +
       "       bpe-encode --corpus <parquet> --id <col> --text <col> --merges <parquetDir> --out <parquetDir>\n" +
       "       encode-ids --corpus <parquet> --id <col> --text <col> --vocab <parquetDir> --out <parquetDir>\n" +
-      "       encode-gate --source <parquetDir> --vocab <parquetDir> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
+      "       encode-gate --source <parquetDir> --vocab <parquetDir> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir> [--join true]\n" +
       "       winnow --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--gram <k>] [--window <w>]\n" +
       "       winnow-overlap --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--gram <k>] [--window <w>] [--min-shared <n>] [--max-df <n>]\n" +
       "       build-overlap-index --corpus <parquet> --id <col> --text <col> --out <storeDir> [--gram <k>] [--window <w>] [--max-df <n>]\n" +
@@ -149,7 +149,8 @@ object Main {
                                vocab: String, out: String) extends Cmd
   private case class EncodeGateCmd(source: String, vocab: String, id: String,
                                    text: String, dest: String, table: String,
-                                   checkpoint: String) extends Cmd
+                                   checkpoint: String,
+                                   join: Boolean) extends Cmd
   private case class WinnowCmd(corpus: String, id: String, text: String,
                                gram: Int, window: Int, out: String,
                                overlap: Option[(Int, Int)]) extends Cmd
@@ -406,7 +407,12 @@ object Main {
         dest <- req(opts, "encode-gate", "dest")
         table <- req(opts, "encode-gate", "table")
         ck <- req(opts, "encode-gate", "checkpoint")
-      } yield EncodeGateCmd(source, vocab, id, text, dest, table, ck)
+        // --join true: the large-vocabulary broadcast-join gate
+        // (encodeGateJoin) — vocab pinned by checkpoint, never collected
+        j <- opts.get("join").fold(Right(false): Either[String, Boolean])(s =>
+          s.toBooleanOption.toRight(
+            s"encode-gate: --join must be true or false, got $s"))
+      } yield EncodeGateCmd(source, vocab, id, text, dest, table, ck, j)
     case "encode-ids" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -842,16 +848,21 @@ object Main {
         .write.mode("overwrite").parquet(out)
       0
 
-    case EncodeGateCmd(source, vocab, id, text, dest, table, ck) =>
+    case EncodeGateCmd(source, vocab, id, text, dest, table, ck, join) =>
       sourceSchema(spark, source, "encode-gate").fold(0) { schema =>
-        // vocabulary resolved (and collected) ONCE at query start — ids
-        // are training-run constants; re-encode under a new vocab means a
-        // new table + checkpoint pair (see IncrementalStream.encodeGate)
+        // vocabulary resolved (collected, or --join: checkpoint-pinned)
+        // ONCE at query start — ids are training-run constants;
+        // re-encode under a new vocab means a new table + checkpoint
+        // pair (see IncrementalStream.encodeGate / encodeGateJoin)
         val stream = spark.readStream.schema(schema).parquet(source)
-        graft.streaming.IncrementalStream.encodeGate(
-          stream, spark.read.parquet(vocab), id, text,
-          new ParquetStore(spark, dest), table, ck)
-          .awaitTermination()
+        val q =
+          if (join) graft.streaming.IncrementalStream.encodeGateJoin(
+            stream, spark.read.parquet(vocab), id, text,
+            new ParquetStore(spark, dest), table, ck)
+          else graft.streaming.IncrementalStream.encodeGate(
+            stream, spark.read.parquet(vocab), id, text,
+            new ParquetStore(spark, dest), table, ck)
+        q.awaitTermination()
         0
       }
 

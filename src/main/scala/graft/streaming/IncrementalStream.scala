@@ -239,6 +239,29 @@ object IncrementalStream {
     }
   }
 
+  /** The LARGE-VOCABULARY streaming encode gate — [[encodeGate]]'s scale
+    * twin, exactly as `Vocab.encodeJoin` is `Vocab.encode`'s (q149): the
+    * vocabulary is validated and PINNED once at query start by
+    * localCheckpoint instead of driver-collected into a plan literal —
+    * token ids stay training-run constants for the gate's lifetime (an
+    * offline vocab rebuild cannot reach a checkpointed copy; re-encode =
+    * new table + checkpoint pair, the encodeGate contract verbatim) and
+    * a 100k–1M-entry BPE vocabulary never lands on the driver. Each
+    * micro-batch pays the explode + broadcast-join + positional
+    * re-collect plan (one batch-keyed shuffle — the documented trade vs
+    * the literal map's zero); output and guard semantics are identical
+    * to [[encodeGate]], graded against the SAME batch oracle (q155). */
+  def encodeGateJoin(docStream: DataFrame, vocab: DataFrame, idCol: String,
+                     textCol: String, store: graft.sync.TableStore,
+                     table: String, checkpointDir: String,
+                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    graft.text.Vocab.validate(vocab)
+    val pinned = vocab.localCheckpoint()
+    guardedAppend(docStream, store, table, checkpointDir, Seq(idCol), trigger) { batch =>
+      graft.text.Vocab.encodeJoinValidated(batch, idCol, textCol, pinned)
+    }
+  }
+
   /** STREAMING overlap gate — winnowing's member of the ingest family:
     * each arriving micro-batch fingerprints ITSELF (one narrow projection
     * — see [[graft.text.Winnow.fingerprints]]'s zero-shuffle plan) and

@@ -92,15 +92,31 @@ object Vocab {
     * OOV, or duplicated positions) with no error. */
   def encodeJoin(docs: DataFrame, idCol: String, textCol: String,
                  vocab: DataFrame): DataFrame = {
+    validate(vocab)
+    encodeJoinValidated(docs, idCol, textCol, vocab)
+  }
+
+  /** The [[encodeJoin]] contract checks as ONE vocab-sized aggregate
+    * action — shared with the streaming gate, which validates once at
+    * query start instead of once per micro-batch. */
+  def validate(vocab: DataFrame): Unit = {
     val check = vocab.agg(
       count(lit(1)).as("n"),
       count(when(col("token_id") === 0L, 1)).as("zero_ids"),
       count_distinct(col("token")).as("n_tokens")).head()
-    require(check.getLong(0) > 0, "Vocab.encodeJoin: empty vocabulary table")
+    require(check.getLong(0) > 0, "Vocab: empty vocabulary table")
     require(check.getLong(1) == 0,
-      "Vocab.encodeJoin: token_id 0 is reserved for OOV")
+      "Vocab: token_id 0 is reserved for OOV")
     require(check.getLong(2) == check.getLong(0),
-      "Vocab.encodeJoin: duplicate token rows would duplicate positions")
+      "Vocab: duplicate token rows would duplicate positions")
+  }
+
+  /** [[encodeJoin]] minus the validation action — the per-micro-batch
+    * unit of [[graft.streaming.IncrementalStream.encodeGateJoin]], whose
+    * vocabulary is validated and PINNED once at query start. */
+  private[graft] def encodeJoinValidated(docs: DataFrame, idCol: String,
+                                         textCol: String,
+                                         vocab: DataFrame): DataFrame = {
     val toks = docs
       .select(col(idCol), posexplode_outer(TextAnalysis.tokens(col(textCol))))
       .toDF(idCol, "__pos", "__tok")

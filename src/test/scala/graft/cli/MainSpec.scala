@@ -450,6 +450,30 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("encode-gate --join end to end: large-vocab gate equals encode-ids") {
+    val tmp = Files.createTempDirectory("graft_cli_egj").toString
+    Seq((1L, "the cat and the dog"), (2L, "zebra"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$tmp/corpus")
+    assert(Main.run(spark, Array("build-vocab",
+      "--corpus", s"$tmp/corpus", "--text", "text", "--top", "4",
+      "--out", s"$tmp/vocab")) === 0)
+    assert(Main.run(spark, Array("encode-gate",
+      "--source", s"$tmp/corpus", "--vocab", s"$tmp/vocab", "--id", "doc_id",
+      "--text", "text", "--dest", s"$tmp/dst", "--table", "encoded",
+      "--checkpoint", s"$tmp/ck", "--join", "true")) === 0)
+    assert(Main.run(spark, Array("encode-ids",
+      "--corpus", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+      "--vocab", s"$tmp/vocab", "--out", s"$tmp/batch")) === 0)
+    def m(p: String) = spark.read.parquet(p).select($"doc_id", $"ids")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(m(s"$tmp/dst/encoded.parquet") === m(s"$tmp/batch"))
+    // malformed --join is a usage error before any Spark job
+    assert(Main.run(spark, Array("encode-gate",
+      "--source", s"$tmp/corpus", "--vocab", s"$tmp/vocab", "--id", "doc_id",
+      "--text", "text", "--dest", s"$tmp/dst2", "--table", "encoded",
+      "--checkpoint", s"$tmp/ck2", "--join", "yes")) === 2)
+  }
+
   test("bpe-train + bpe-encode end to end: persisted merges, replayed segmentation") {
     val tmp = Files.createTempDirectory("graft_cli_bpe").toString
     // wf: ab x2, ac x1 -> merge 0 = (a,b,2), merge 1 = (a,c,1)

@@ -587,6 +587,34 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(store.read("encoded").get.count() === batch.size)
   }
 
+  test("encodeGateJoin: large-vocab gate equals the batch encode; bad vocab fails at start") {
+    import graft.sync.ParquetStore
+    import graft.text.Vocab
+    val docs = Seq((1L, "the cat and the dog"), (2L, "the cat"), (3L, "zebra"))
+      .toDF("doc_id", "text")
+    val vocab = Vocab.build(docs, "text", topN = 4)
+    val tmp = Files.createTempDirectory("graft_encj").toString
+    docs.filter($"doc_id" <= 1L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    docs.filter($"doc_id" > 1L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    def stream() = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+    val store = new ParquetStore(spark, s"$tmp/out")
+    IncrementalStream.encodeGateJoin(stream(), vocab, "doc_id", "text",
+      store, "encoded", checkpointDir = s"$tmp/ck").awaitTermination()
+    val served = store.read("encoded").get
+      .select($"doc_id", $"ids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val batch = Vocab.encode(docs, "doc_id", "text", vocab).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(served === batch)
+    // validation happens at query START, before any stream machinery
+    intercept[IllegalArgumentException] {
+      IncrementalStream.encodeGateJoin(stream(),
+        Seq(("x", 0L)).toDF("token", "token_id"), "doc_id", "text",
+        store, "encoded2", checkpointDir = s"$tmp/ck2")
+    }
+  }
+
   test("overlapGate: arrival-corpus pairs equal the batch cross-half overlap; replay-safe") {
     import graft.sync.ParquetStore
     import graft.text.Winnow

@@ -3048,6 +3048,18 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // q156: weighted sampling without replacement (Efraimidis–Spirakis
+    // A-ES) — top-5 per source with selection probability ∝ n_chars,
+    // keys u^(1/w) from the md5(seed:id) cross-engine uniform (the q106
+    // hash trick), ranked by the monotone-equivalent ln(u)/w. Integer
+    // rank skeleton graded; adjacent-key margins measured (see
+    // Sampling.weightedSample) — hash-uniform keys never near-tie
+    "q156_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(t(s, dir, "documents"), Seq("source"), "doc_id",
+          col("n_chars"), k = 5, seed = "graft")
+        .select(col("source"), col("doc_id"), col("sample_rank"))
+        .orderBy("source", "sample_rank")),
+
     // q155: the LARGE-VOCABULARY encode gate — q146's scale twin through
     // the broadcast-join encode path (vocabulary validated + pinned by
     // localCheckpoint at query start, never driver-collected), arrivals
@@ -3163,6 +3175,10 @@ object SparkEntry {
     // contract (DuckDB cannot express the sequential merge replay)
     "q154_bpe_encode" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
+    // q156: same md5-uniform, same ln(u)/w ranking — '0x'||hex CAST is
+    // DuckDB's conv(hex, 16, 10); the 52-bit numerator is double-exact
+    "q156_weighted_sample" ->
+      "WITH u AS (SELECT source, doc_id, n_chars AS w, greatest(CAST('0x' || substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) / 4503599627370496.0, 1e-300) AS u FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0), r AS (SELECT source, doc_id, CAST(row_number() OVER (PARTITION BY source ORDER BY ln(u)/w DESC, doc_id) AS BIGINT) AS sample_rank FROM u) SELECT source, doc_id, sample_rank FROM r WHERE sample_rank <= 5 ORDER BY source, sample_rank",
     // q153: DuckDB runs the direct single-window formulation the operator
     // decomposes — same total order, same integer cents
     "q153_global_running_sum" ->

@@ -49,6 +49,7 @@ object Main {
       "       build-vocab --corpus <parquet> --text <col> --top <n> --out <parquetDir>\n" +
       "       bpe-train --corpus <parquet> --text <col> --merges <n> --out <parquetDir>\n" +
       "       bpe-encode --corpus <parquet> --id <col> --text <col> --merges <parquetDir> --out <parquetDir>\n" +
+      "       weighted-sample --corpus <parquet> --keys c1[,c2] --id <col> --weight <col> --k <n> --out <parquetDir> [--seed <s>]\n" +
       "       encode-ids --corpus <parquet> --id <col> --text <col> --vocab <parquetDir> --out <parquetDir>\n" +
       "       encode-gate --source <parquetDir> --vocab <parquetDir> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir> [--join true]\n" +
       "       winnow --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--gram <k>] [--window <w>]\n" +
@@ -145,6 +146,9 @@ object Main {
                                  out: String) extends Cmd
   private case class BpeEncodeCmd(corpus: String, id: String, text: String,
                                   merges: String, out: String) extends Cmd
+  private case class WeightedSampleCmd(corpus: String, keys: Seq[String],
+                                       id: String, weight: String, k: Int,
+                                       seed: String, out: String) extends Cmd
   private case class EncodeIds(corpus: String, id: String, text: String,
                                vocab: String, out: String) extends Cmd
   private case class EncodeGateCmd(source: String, vocab: String, id: String,
@@ -397,6 +401,17 @@ object Main {
         merges <- req(opts, "bpe-encode", "merges")
         out <- req(opts, "bpe-encode", "out")
       } yield BpeEncodeCmd(corpus, id, text, merges, out)
+    case "weighted-sample" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "weighted-sample", "corpus")
+        keys <- req(opts, "weighted-sample", "keys").map(_.split(',').toSeq)
+        id <- req(opts, "weighted-sample", "id")
+        weight <- req(opts, "weighted-sample", "weight")
+        k <- posInt(opts, "weighted-sample", "k")
+        out <- req(opts, "weighted-sample", "out")
+      } yield WeightedSampleCmd(corpus, keys, id, weight, k,
+        opts.getOrElse("seed", "graft"), out)
     case "encode-gate" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -838,6 +853,14 @@ object Main {
         .select(org.apache.spark.sql.functions.col(id),
           graft.text.TextAnalysis.bpeEncode(
             org.apache.spark.sql.functions.col(text), merges).as("pieces"))
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case WeightedSampleCmd(corpus, keys, id, weight, k, seed, out) =>
+      // deterministic A-ES pick: the artifact is a pure function of
+      // (seed, id, weight) — re-runs reproduce it bit-for-bit
+      graft.operators.Sampling.weightedSample(spark.read.parquet(corpus),
+          keys, id, org.apache.spark.sql.functions.col(weight), k, seed)
         .write.mode("overwrite").parquet(out)
       0
 

@@ -217,6 +217,48 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** Deterministic WEIGHTED sampling without replacement (Efraimidis–
+    * Spirakis A-ES, IPL 2006): per row draw u ~ Uniform(0,1] and keep
+    * the k rows per group with the largest key u^(1/w) — provably
+    * equivalent to sequential weighted draws without replacement. The
+    * quality-weighted curation pick ("sample 10k docs per source,
+    * longer/higher-scoring docs proportionally more likely") that plain
+    * Bernoulli mixture sampling ([[mixtureSample]]) cannot express: it
+    * has no exact-k and no weights.
+    *
+    * Determinism and cross-engine grading: u derives from
+    * md5(seed:id) — first 13 hex digits (52 bits, exactly a double) over
+    * 2^52 — the same cross-engine-hash trick as [[shardedShuffle]], so
+    * the sample is a pure function of (seed, id, w): stable across runs,
+    * engines, layouts (`rand()` is none of those). Rows are ranked by
+    * ln(u)/w, monotone with u^(1/w) (both strictly increasing in u for
+    * w > 0) without the second transcendental; u clamps to >= 1e-300 so
+    * the 2^-52 u=0 corner cannot hit ln's domain edge (Spark would NULL,
+    * DuckDB -inf — divergent). ln is the one transcendental: engines may
+    * differ in its last ulp, so adjacent-rank decisions carry the q140
+    * measured-margin argument (hash-uniform keys — near-ties are
+    * vanishingly unlikely; measured min adjacent RELATIVE margin across
+    * every graded group's top-(k+1) is 2.1e-3 at sf0.01 and 2.6e-3 at
+    * sf0.1 — thirteen orders above ln's ~1e-16 relative ulp).
+    *
+    * Rows with NULL or non-positive weight are EXCLUDED (A-ES is
+    * undefined there; a zero-weight row must never be drawn). One keyed
+    * window shuffle — the [[capPerKey]] cost envelope. Output: input
+    * columns + `sample_rank` (1..k per group). */
+  def weightedSample(df: DataFrame, keys: Seq[String], idCol: String,
+                     weightCol: Column, k: Int, seed: String): DataFrame = {
+    require(k >= 1, s"weightedSample: k must be >= 1, got $k")
+    val u = greatest(
+      conv(substring(md5(concat(lit(seed + ":"), col(idCol).cast("string"))
+        .cast("binary")), 1, 13), 16, 10).cast("double") / lit(4503599627370496.0),
+      lit(1e-300))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((log(u) / weightCol).desc, col(idCol))
+    df.filter(weightCol.isNotNull && weightCol > 0)
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Deterministic global corpus shuffle + contiguous shard/position
     * assignment — the training-order step: every row gets a pseudo-random
     * but reproducible global rank (0-based), then

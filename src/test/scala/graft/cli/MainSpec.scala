@@ -450,6 +450,24 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("weighted-sample end to end: deterministic artifact equals the operator") {
+    val tmp = Files.createTempDirectory("graft_cli_ws").toString
+    val df = (0L until 40L).map(i => (i, s"g${i % 2}", 1L + i)).toDF("id", "g", "w")
+    df.write.parquet(s"$tmp/corpus")
+    assert(Main.run(spark, Array("weighted-sample",
+      "--corpus", s"$tmp/corpus", "--keys", "g", "--id", "id",
+      "--weight", "w", "--k", "3", "--out", s"$tmp/sample")) === 0)
+    val got = spark.read.parquet(s"$tmp/sample")
+      .select($"g", $"id", $"sample_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = graft.operators.Sampling.weightedSample(df, Seq("g"), "id",
+        $"w", 3, "graft")
+      .select($"g", $"id", $"sample_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(got.size === 6)
+  }
+
   test("encode-gate --join end to end: large-vocab gate equals encode-ids") {
     val tmp = Files.createTempDirectory("graft_cli_egj").toString
     Seq((1L, "the cat and the dog"), (2L, "zebra"))

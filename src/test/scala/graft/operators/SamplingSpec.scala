@@ -228,4 +228,55 @@ class SamplingSpec extends SparkSpec {
         "source", Map.empty))
     assert(e.getMessage.contains("already has an 'epoch' column"))
   }
+
+  test("weightedSample equals the brute-force A-ES formula; excludes non-positive weights") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 200L).map(i =>
+      (i, s"g${i % 3}", 1L + rnd.nextInt(1000).toLong))
+    val df = rows.toDF("id", "g", "w")
+    val got = Sampling.weightedSample(df, Seq("g"), "id", $"w", k = 4, seed = "s1")
+      .select($"g", $"id", $"sample_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force: same md5-derived uniform, same ln(u)/w key
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def uOf(seed: String, id: Long): Double = {
+      val hex = md.digest(s"$seed:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      math.max(java.lang.Long.parseLong(hex, 16).toDouble / 4503599627370496.0, 1e-300)
+    }
+    val want = rows.groupBy(_._2).flatMap { case (g, rs) =>
+      rs.map { case (id, _, w) => (id, StrictMath.log(uOf("s1", id)) / w) }
+        .sortBy { case (id, key) => (-key, id) }.take(4).zipWithIndex
+        .map { case ((id, _), i) => (g, id, (i + 1).toLong) }
+    }.toSet
+    assert(got === want)
+    // deterministic: same seed reproduces; different seed differs
+    val again = Sampling.weightedSample(df, Seq("g"), "id", $"w", 4, "s1")
+      .select($"g", $"id", $"sample_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again === got)
+    val other = Sampling.weightedSample(df, Seq("g"), "id", $"w", 4, "s2")
+      .select($"g", $"id", $"sample_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(other !== got)
+    // zero/negative/null weights never sample
+    val edge = Seq((1L, "g", 0L), (2L, "g", -5L), (3L, "g", 7L))
+      .toDF("id", "g", "w")
+      .union(Seq((4L, "g")).toDF("id", "g").withColumn("w",
+        org.apache.spark.sql.functions.lit(null).cast("long")))
+    val kept = Sampling.weightedSample(edge, Seq("g"), "id", $"w", 10, "s")
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L))
+  }
+
+  test("weightedSample is weight-sensitive: a dominant weight wins almost always") {
+    // one row with weight 10^6 vs 50 rows with weight 1: the heavy row's
+    // key u^(1/w) ~ u^(1e-6) ~ 1 beats the light rows' u except for
+    // astronomically unlucky u — deterministic check on this seed
+    val df = ((0L until 50L).map(i => (i, 1L)) :+ (99L, 1000000L)).toDF("id", "w")
+    val top = Sampling.weightedSample(df.withColumn("g",
+        org.apache.spark.sql.functions.lit("x")), Seq("g"), "id", $"w", 1, "s")
+      .select($"id").head().getLong(0)
+    assert(top === 99L)
+  }
 }

@@ -585,24 +585,11 @@ object Dedup {
     * non-increasing) per round. */
   def connectedComponents(vertices: DataFrame, idCol: String,
                           pairs: DataFrame, maxIter: Int = 30): DataFrame = {
-    // Eagerly free a SUPERSEDED round's local-checkpoint blocks. Left to
-    // the ContextCleaner these blocks survive until the driver happens to
-    // GC the superseded DataFrames — tens of label tables pinned in the
-    // block manager for GC-dependent time, which is (measured) the
-    // bimodality in this query's bench timings: an identical plan ran
-    // 1.6 s or 4 s depending on whether earlier rounds' blocks had been
-    // collected yet. Explicit release keeps live checkpoint storage at
-    // O(1) tables regardless of round count — on a real cluster these
-    // blocks sit in executor memory, so this is also the 100 TB story,
-    // not just a bench nicety. Only ever called on checkpoints whose
-    // successors are already materialized (localCheckpoint is eager):
-    // a released local checkpoint cannot be recomputed (lineage is
-    // truncated by design), so release == "no plan references this".
-    def release(df: DataFrame): Unit = df.queryExecution.analyzed match {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    // Eagerly free a SUPERSEDED round's local-checkpoint blocks — the
+    // shared graft.Checkpoints.release (see its scaladoc for the measured
+    // GC-dependent bimodality this prevents). Keeps live checkpoint
+    // storage at O(1) tables regardless of round count.
+    def release(df: DataFrame): Unit = graft.Checkpoints.release(df)
     // materialize the edge list ONCE — its lineage is typically a whole
     // LSH pipeline, which every iteration's join would otherwise recompute
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))

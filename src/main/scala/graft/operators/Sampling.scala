@@ -242,19 +242,27 @@ object Sampling {
     * sf0.1 — thirteen orders above ln's ~1e-16 relative ulp).
     *
     * Rows with NULL or non-positive weight are EXCLUDED (A-ES is
-    * undefined there; a zero-weight row must never be drawn). One keyed
-    * window shuffle — the [[capPerKey]] cost envelope. Output: input
-    * columns + `sample_rank` (1..k per group). */
+    * undefined there; a zero-weight row must never be drawn), and so are
+    * NULL ids (no md5 key — they would all clamp to one u and tie, and
+    * the NULL tie-break diverges cross-engine; the [[shardedShuffle]]
+    * rule). Ids must be DISTINCT within a group — duplicate ids share a
+    * key exactly and the rank between them is partition-order-dependent,
+    * breaking reproducibility (the shardedShuffle precondition). One
+    * keyed window shuffle — the [[capPerKey]] cost envelope. Output:
+    * input columns + `sample_rank` (1..k per group). */
   def weightedSample(df: DataFrame, keys: Seq[String], idCol: String,
                      weightCol: Column, k: Int, seed: String): DataFrame = {
     require(k >= 1, s"weightedSample: k must be >= 1, got $k")
+    require(!df.columns.contains("sample_rank"),
+      "weightedSample: input already has a 'sample_rank' column — " +
+        "re-sampling a sample artifact would silently clobber it")
     val u = greatest(
       conv(substring(md5(concat(lit(seed + ":"), col(idCol).cast("string"))
         .cast("binary")), 1, 13), 16, 10).cast("double") / lit(4503599627370496.0),
       lit(1e-300))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy((log(u) / weightCol).desc, col(idCol))
-    df.filter(weightCol.isNotNull && weightCol > 0)
+    df.filter(col(idCol).isNotNull && weightCol.isNotNull && weightCol > 0)
       .withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= k)
   }

@@ -255,8 +255,14 @@ object IncrementalStream {
                      textCol: String, store: graft.sync.TableStore,
                      table: String, checkpointDir: String,
                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    graft.text.Vocab.validate(vocab)
+    // pin FIRST, validate the pinned copy: validating the raw plan and
+    // then re-executing it to checkpoint would validate one
+    // materialization and serve another — a concurrent artifact rewrite
+    // (or nondeterministic upstream) between the two actions could pin a
+    // vocabulary that was never validated. This order validates exactly
+    // the served copy, and the validate aggregate reads cached blocks.
     val pinned = vocab.localCheckpoint()
+    graft.text.Vocab.validate(pinned)
     guardedAppend(docStream, store, table, checkpointDir, Seq(idCol), trigger) { batch =>
       graft.text.Vocab.encodeJoinValidated(batch, idCol, textCol, pinned)
     }

@@ -199,19 +199,6 @@ object TextAnalysis {
   def bpeTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
                nMerges: Int): (Seq[BpeMerge], org.apache.spark.sql.DataFrame) = {
     require(nMerges >= 1, s"bpeTrain: nMerges must be >= 1, got $nMerges")
-    // eager block release for a superseded local checkpoint: the RDD
-    // behind its LogicalRDD, NOT Dataset.unpersist (which consults the
-    // cache manager, has no entry for a checkpoint, and leaves the
-    // blocks pinned until driver GC — the CC-loop finding, Dedup's
-    // release(); a 30k-merge train would otherwise accumulate thousands
-    // of vocab-sized block sets in executor memory between GCs). Only
-    // called once the successor checkpoint is materialized.
-    def release(d: org.apache.spark.sql.DataFrame): Unit =
-      d.queryExecution.analyzed match {
-        case l: org.apache.spark.sql.execution.LogicalRDD =>
-          l.rdd.unpersist(blocking = false)
-        case _ => ()
-      }
     var words = bpeWordTable(df, textCol).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
     var step = 0
@@ -225,7 +212,10 @@ object TextAnalysis {
         val prev = words
         words = words.withColumn("__syms", bpeMergeExpr(col("__syms"), a, b))
           .localCheckpoint()
-        release(prev)
+        // eager block release of the superseded round (graft.Checkpoints:
+        // a 30k-merge train would otherwise accumulate thousands of
+        // vocab-sized block sets in executor memory between driver GCs)
+        graft.Checkpoints.release(prev)
         merges += BpeMerge(step, a, b, c)
         step += 1
       }

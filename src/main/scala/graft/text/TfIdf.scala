@@ -165,9 +165,15 @@ object TfIdf {
     // terms are bounded (tens), so the default admits ~10^5 queries ≈ a
     // few-MB broadcast.
     val qjoined = qterms.join(index.docFreqs, "token")
-    val cap = math.max(1L, math.min(maxBroadcastQueries, Int.MaxValue - 1L)).toInt
+    // maxBroadcastQueries <= 0 is an explicit never-broadcast opt-out
+    // (skips the probe entirely); a positive cap clamps to the limit()
+    // Int domain
     val qdf =
-      if (queryDf.limit(cap + 1).count() <= cap) broadcast(qjoined) else qjoined
+      if (maxBroadcastQueries <= 0) qjoined
+      else {
+        val cap = math.min(maxBroadcastQueries, Int.MaxValue - 1L).toInt
+        if (queryDf.limit(cap + 1).count() <= cap) broadcast(qjoined) else qjoined
+      }
 
     val idf = log(lit(1.0) +
       ((lit(index.corpusSize) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))

@@ -102,12 +102,19 @@ object Vocab {
   def validate(vocab: DataFrame): Unit = {
     val check = vocab.agg(
       count(lit(1)).as("n"),
-      count(when(col("token_id") === 0L, 1)).as("zero_ids"),
+      // isNull arms explicitly: count(when(id === 0)) is three-valued —
+      // a NULL id row would slip past the reserved-id check and then
+      // coalesce to OOV 0 in the join, the exact silent corruption this
+      // validation exists to block (same for a NULL token, which can
+      // never match the equi-join and strands its id)
+      count(when(col("token_id") === 0L || col("token_id").isNull, 1)).as("bad_ids"),
+      count(when(col("token").isNull, 1)).as("null_tokens"),
       count_distinct(col("token")).as("n_tokens")).head()
     require(check.getLong(0) > 0, "Vocab: empty vocabulary table")
     require(check.getLong(1) == 0,
-      "Vocab: token_id 0 is reserved for OOV")
-    require(check.getLong(2) == check.getLong(0),
+      "Vocab: token_id 0 is reserved for OOV and ids must be non-null")
+    require(check.getLong(2) == 0, "Vocab: null token rows")
+    require(check.getLong(3) == check.getLong(0),
       "Vocab: duplicate token rows would duplicate positions")
   }
 

@@ -43,4 +43,20 @@ class InvariantQuerySpec extends SparkSpec {
   test("q115 image near-dup pairs exactly the planted twin renditions") {
     assert(violations("q115_image_neardup") === 0L)
   }
+
+  test("q150 distributed BPE merges match the brute-force trainer, all rounds") {
+    assert(violations("q150_bpe_train") === 0L)
+  }
+
+  test("q151 gated overlap-index accumulation equals a from-scratch build") {
+    assert(violations("q151_overlap_index_ingest") === 0L)
+  }
+
+  test("q152 IVF reassignment is row-identical to a fresh build under new centroids") {
+    assert(violations("q152_ivf_reassign") === 0L)
+  }
+
+  test("q154 BPE apply reproduces the trained segmentation for every corpus word") {
+    assert(violations("q154_bpe_encode") === 0L)
+  }
 }

@@ -499,6 +499,26 @@ class PlanShapeSpec extends SparkSpec {
       s"expected ONE materialized bucket exchange:\n$finalSection")
   }
 
+  test("q156 weighted sample is one keyed window shuffle: no join, pruned-ish scan") {
+    val p = plan("q156_weighted_sample")
+    assert(!p.contains("Join"), s"A-ES sampling must not plan a join:\n$p")
+    // exactly one data exchange (the keyed window) besides the final sort
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges === 1, s"expected one keyed shuffle:\n$p")
+  }
+
+  test("bpeEncode is a pure narrow projection: no exchange, no join") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = docs.select(graft.text.TextAnalysis.bpeEncode(
+        org.apache.spark.sql.functions.col("text"),
+        Seq(graft.text.TextAnalysis.BpeMerge(0, "t", "h", 1L))))
+      .queryExecution.executedPlan.toString
+    // the merge replay is per-row JVM work behind a reference object —
+    // nothing may move for it
+    assert(!p.contains("Exchange"), s"bpeEncode must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"bpeEncode must not plan a join:\n$p")
+  }
+
   test("reassign is a narrow projection over the assigned table: no exchange, no join") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val idx = graft.similarity.Similarity.ivfIndex(emb, "vec_id", "embedding",

@@ -58,6 +58,13 @@ object SparkEntry {
     ("q_sort", "fast sort merge"),
     ("q_stream", "spark stream window"))
 
+  /** The q157 fixed merge list — five merges shared verbatim with the
+    * DuckDB oracle's unrolled list_reduce fuse chain; merge 1 ("th"+"e")
+    * chains onto merge 0's output, exercising the replay-order path. */
+  private val BpeFixedMerges = Seq(("t", "h"), ("th", "e"), ("a", "n"),
+    ("i", "n"), ("e", "r")).zipWithIndex.map { case ((l, r), i) =>
+    TextAnalysis.BpeMerge(i, l, r, 0L) }
+
   /** Collect a memory-sink-backed result into a local relation and DROP
     * the sink table: bench invokes each query lambda repeatedly (cold +
     * warm) and Verify once more — leaked UUID-named sink tables would
@@ -3048,6 +3055,24 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // q157: the COMPLETE BPE pipeline tail under a fixed merge list —
+    // bpeEncode pieces → piece vocabulary (buildFromTokens, top-200) →
+    // piece ids (encodeTokens), graded against a FULL DuckDB oracle that
+    // replays the same five merges as an unrolled list_reduce fuse chain
+    // (integer ids end to end; merge 1 chains onto merge 0)
+    "q157_bpe_piece_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pieces = docs.select(col("doc_id"),
+        TextAnalysis.bpeEncode(col("text"), BpeFixedMerges).as("__pieces"))
+      val vocab = graft.text.Vocab.buildFromTokens(pieces, col("__pieces"),
+        topN = 200)
+      graft.text.Vocab.encodeTokens(pieces, "doc_id", col("__pieces"), vocab)
+        .select(col("doc_id"), posexplode(col("ids")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("token_id"))
+        .orderBy("doc_id", "pos")
+    }),
+
     // q156: weighted sampling without replacement (Efraimidis–Spirakis
     // A-ES) — top-5 per source with selection probability ∝ n_chars,
     // keys u^(1/w) from the md5(seed:id) cross-engine uniform (the q106
@@ -3175,6 +3200,12 @@ object SparkEntry {
     // contract (DuckDB cannot express the sequential merge replay)
     "q154_bpe_encode" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
+    // q157: the same five merges unrolled as a list_reduce fuse chain
+    // (list-of-lists accumulator = the exact left-to-right
+    // non-overlapping greedy fuse), then the q145 vocab + positional
+    // encode shapes over PIECES
+    "q157_bpe_piece_ids" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), p AS (SELECT doc_id, flatten(list_transform(ts, w -> list_reduce(list_transform(list_reduce(list_transform(list_reduce(list_transform(list_reduce(list_transform(list_reduce(list_transform([w[i] for i in range(1, len(w) + 1)], x -> [x]), (acc, x) -> CASE WHEN acc[-1] = 't' AND x[1] = 'h' THEN list_concat(acc[1:len(acc)-1], ['th']) ELSE list_concat(acc, x) END), x -> [x]), (acc, x) -> CASE WHEN acc[-1] = 'th' AND x[1] = 'e' THEN list_concat(acc[1:len(acc)-1], ['the']) ELSE list_concat(acc, x) END), x -> [x]), (acc, x) -> CASE WHEN acc[-1] = 'a' AND x[1] = 'n' THEN list_concat(acc[1:len(acc)-1], ['an']) ELSE list_concat(acc, x) END), x -> [x]), (acc, x) -> CASE WHEN acc[-1] = 'i' AND x[1] = 'n' THEN list_concat(acc[1:len(acc)-1], ['in']) ELSE list_concat(acc, x) END), x -> [x]), (acc, x) -> CASE WHEN acc[-1] = 'e' AND x[1] = 'r' THEN list_concat(acc[1:len(acc)-1], ['er']) ELSE list_concat(acc, x) END))) AS pieces FROM tok), cnt AS (SELECT piece, CAST(count(*) AS BIGINT) AS n FROM (SELECT unnest(pieces) AS piece FROM p) GROUP BY 1), v AS (SELECT piece, CAST(row_number() OVER (ORDER BY n DESC, piece) AS BIGINT) AS token_id FROM cnt ORDER BY n DESC, piece LIMIT 200), e AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, pieces[i] AS piece FROM p, LATERAL unnest(range(1, len(pieces) + 1)) AS u(i)) SELECT e.doc_id, e.pos, CAST(coalesce(v.token_id, 0) AS BIGINT) AS token_id FROM e LEFT JOIN v USING (piece) ORDER BY doc_id, pos""",
     // q156: same md5-uniform, same ln(u)/w ranking — '0x'||hex CAST is
     // DuckDB's conv(hex, 16, 10); the 52-bit numerator is double-exact
     "q156_weighted_sample" ->

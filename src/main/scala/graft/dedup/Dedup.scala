@@ -589,7 +589,7 @@ object Dedup {
     // shared graft.Checkpoints.release (see its scaladoc for the measured
     // GC-dependent bimodality this prevents). Keeps live checkpoint
     // storage at O(1) tables regardless of round count.
-    def release(df: DataFrame): Unit = graft.Checkpoints.release(df)
+    import graft.Checkpoints.release
     // materialize the edge list ONCE — its lineage is typically a whole
     // LSH pipeline, which every iteration's join would otherwise recompute
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))

@@ -253,7 +253,9 @@ object Sampling {
   def weightedSample(df: DataFrame, keys: Seq[String], idCol: String,
                      weightCol: Column, k: Int, seed: String): DataFrame = {
     require(k >= 1, s"weightedSample: k must be >= 1, got $k")
-    require(!df.columns.contains("sample_rank"),
+    // case-INSENSITIVE: Spark resolves withColumn case-insensitively by
+    // default, so a "SAMPLE_RANK" input column would still be clobbered
+    require(!df.columns.exists(_.equalsIgnoreCase("sample_rank")),
       "weightedSample: input already has a 'sample_rank' column — " +
         "re-sampling a sample artifact would silently clobber it")
     val u = greatest(

@@ -262,7 +262,11 @@ object IncrementalStream {
     // vocabulary that was never validated. This order validates exactly
     // the served copy, and the validate aggregate reads cached blocks.
     val pinned = vocab.localCheckpoint()
-    graft.text.Vocab.validate(pinned)
+    // on a failed validation the checkpoint is orphaned — release its
+    // blocks eagerly instead of leaving a vocab-sized block set pinned
+    // until driver GC (graft.Checkpoints scaladoc)
+    try graft.text.Vocab.validate(pinned)
+    catch { case e: Throwable => graft.Checkpoints.release(pinned); throw e }
     guardedAppend(docStream, store, table, checkpointDir, Seq(idCol), trigger) { batch =>
       graft.text.Vocab.encodeJoinValidated(batch, idCol, textCol, pinned)
     }

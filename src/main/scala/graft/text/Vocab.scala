@@ -32,8 +32,13 @@ object Vocab {
     * which are already tokenized) and any other pre-tokenized column.
     * Same order, ids, and truncation contract. */
   def buildFromTokens(docs: DataFrame, toks: Column, topN: Int): DataFrame = {
-    require(topN >= 1, s"Vocab.build: topN must be >= 1, got $topN")
+    require(topN >= 1, s"Vocab.buildFromTokens: topN must be >= 1, got $topN")
     docs.select(explode(toks).as("token"))
+      // explode() emits NULL array elements as rows — the word tokenizer
+      // never produces them, but an arbitrary pre-tokenized column can,
+      // and a NULL "token" group could claim a top-N slot only for
+      // validate() to reject the builder's own output downstream
+      .filter(col("token").isNotNull)
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(topN)
       .withColumn("token_id",

@@ -3055,6 +3055,56 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // q158: CONTINUOUS near-dup-index maintenance — the MinHash member
+    // of the index-ingest family (q124 ANN, q151 winnowing), closing its
+    // build-once asymmetry: the corpus arrives across THREE
+    // micro-batches, each batch's band rows + shingle sets append under
+    // the per-table retry guard, and BOTH accumulated tables must be
+    // row-identical to a from-scratch buildNearDupIndex over the same
+    // documents (dual full-outer + row-count violations, the q124
+    // pattern; id-keyed joins with value equality in the condition —
+    // id_b / (id_b, band) are unique per table by construction)
+    "q158_dedup_index_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val shingler: Column => Column =
+        c => Dedup.hashedShingles(TextAnalysis.tokenSet(c))
+      val tmp = java.nio.file.Files.createTempDirectory("q158").toString
+      val (srcDir, ckDir, outDir) = (s"$tmp/src", s"$tmp/ck", s"$tmp/out")
+      try {
+        docs.repartition(3).write.parquet(srcDir)
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*.parquet")
+        val store = new graft.sync.ParquetStore(s, outDir)
+        IncrementalStream.dedupIndexIngest(stream, "doc_id", "text",
+          shingler, numHashes = 125, bands = 25, store, checkpointDir = ckDir)
+          .awaitTermination()
+        val batch = Dedup.buildNearDupIndex(docs, "doc_id", "text",
+          shingler, numHashes = 125, bands = 25)
+        val nBand = batch.bandIndex.count()
+        val bandViol = batch.bandIndex
+          .select(col("id_b"), col("band"), col("bh").as("__bha"))
+          .withColumn("__x", lit(1))
+          .join(store.read("band_index").get
+            .select(col("id_b"), col("band"), col("bh").as("__bhb"))
+            .withColumn("__y", lit(1)), Seq("id_b", "band"), "full_outer")
+          .agg((violations(col("__x").isNull || col("__y").isNull ||
+              col("__bha") =!= col("__bhb"))
+            + when(count(lit(1)) =!= nBand, 1L).otherwise(0L)).as("violations"))
+        val nSet = batch.shingleSets.count()
+        val setViol = batch.shingleSets
+          .select(col("id_b"), col("__sb").as("__sa")).withColumn("__x", lit(1))
+          .join(store.read("shingle_sets").get
+            .select(col("id_b"), col("__sb")).withColumn("__y", lit(1)),
+            Seq("id_b"), "full_outer")
+          .agg((violations(col("__x").isNull || col("__y").isNull ||
+              col("__sa") =!= col("__sb"))
+            + when(count(lit(1)) =!= nSet, 1L).otherwise(0L)).as("violations"))
+        bandViol.unionByName(setViol)
+          .agg(sum(col("violations")).as("violations"))
+          .localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+
     // q157: the COMPLETE BPE pipeline tail under a fixed merge list —
     // bpeEncode pieces → piece vocabulary (buildFromTokens, top-200) →
     // piece ids (encodeTokens), graded against a FULL DuckDB oracle that
@@ -3199,6 +3249,10 @@ object SparkEntry {
     // q154: train/apply parity is a Spark-side two-implementation
     // contract (DuckDB cannot express the sequential merge replay)
     "q154_bpe_encode" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    // q158: incremental-vs-batch dual-table parity is a Spark-side
+    // full-outer contract (the q124 pattern)
+    "q158_dedup_index_ingest" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     // q157: the same five merges unrolled as a list_reduce fuse chain
     // (list-of-lists accumulator = the exact left-to-right

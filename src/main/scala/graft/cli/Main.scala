@@ -57,6 +57,7 @@ object Main {
       "       build-overlap-index --corpus <parquet> --id <col> --text <col> --out <storeDir> [--gram <k>] [--window <w>] [--max-df <n>]\n" +
       "       overlap-gate --source <parquetDir> --index <storeDir> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir> [--gram <k>] [--window <w>] [--min-shared <n>] [--max-df <n>]\n" +
       "       ingest-overlap-index --source <parquetDir> --id <col> --text <col> --dest <storeDir> --checkpoint <dir> [--gram <k>] [--window <w>]\n" +
+      "       ingest-dedup-index --source <parquetDir> --id <col> --text <col> --ngram <n> --hashes <n> --bands <n> --dest <storeDir> --checkpoint <dir>\n" +
       "       build-bm25-index --corpus <parquet> --id <col> --text <col> --out <storeDir>\n" +
       "       serve-bm25 --queries <parquetDir> --index <storeDir> --id <col> --k <n> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       fuse-rrf --rankings name=/dir[,name=/dir...] --doc <col> --out <parquetDir> [--k0 <n>] [--top <n>]\n" +
@@ -170,6 +171,10 @@ object Main {
                                         text: String, gram: Int, window: Int,
                                         dest: String,
                                         checkpoint: String) extends Cmd
+  private case class IngestDedupIndex(source: String, id: String, text: String,
+                                      ngram: Int, hashes: Int, bands: Int,
+                                      dest: String,
+                                      checkpoint: String) extends Cmd
   private case class BuildBm25Index(corpus: String, id: String, text: String,
                                     out: String) extends Cmd
   private case class ServeBm25(queries: String, index: String, id: String,
@@ -481,6 +486,18 @@ object Main {
         dest <- req(opts, "ingest-overlap-index", "dest")
         ck <- req(opts, "ingest-overlap-index", "checkpoint")
       } yield IngestOverlapIndex(source, id, text, k, w, dest, ck)
+    case "ingest-dedup-index" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        source <- req(opts, "ingest-dedup-index", "source")
+        id <- req(opts, "ingest-dedup-index", "id")
+        text <- req(opts, "ingest-dedup-index", "text")
+        n <- posInt(opts, "ingest-dedup-index", "ngram")
+        hashes <- posInt(opts, "ingest-dedup-index", "hashes")
+        bands <- posInt(opts, "ingest-dedup-index", "bands")
+        dest <- req(opts, "ingest-dedup-index", "dest")
+        ck <- req(opts, "ingest-dedup-index", "checkpoint")
+      } yield IngestDedupIndex(source, id, text, n, hashes, bands, dest, ck)
     case (cmd @ ("winnow" | "winnow-overlap")) :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -951,6 +968,40 @@ object Main {
         val stream = spark.readStream.schema(schema).parquet(source)
         graft.streaming.IncrementalStream.overlapIndexIngest(
           stream, id, text, new ParquetStore(spark, dest), "fps", ck, k, w)
+          .awaitTermination()
+        0
+      }
+
+    case IngestDedupIndex(source, id, text, n, hashes, bands, dest, ck) =>
+      sourceSchema(spark, source, "ingest-dedup-index").fold(0) { schema =>
+        // the accumulated tables use the SAME names + params manifest as
+        // build-dedup-index, so ingest-dedup serves either provenance
+        // through the identical manifest-checked read path. On a
+        // pre-existing index the manifest must match — folding rows
+        // computed under a different hash family would silently corrupt
+        // candidates forever
+        val store = new ParquetStore(spark, dest)
+        store.read("params") match {
+          case Some(params) =>
+            val r = params.head
+            val (bn, bh, bb) = (r.getInt(0), r.getInt(1), r.getInt(2))
+            require(bn == n && bh == hashes && bb == bands,
+              s"ingest-dedup-index: index at $dest was built with --ngram $bn " +
+                s"--hashes $bh --bands $bb but this ingest passed --ngram $n " +
+                s"--hashes $hashes --bands $bands — a mismatched family would " +
+                "silently corrupt the index")
+          case None =>
+            store.write(spark.createDataFrame(java.util.List.of(
+                org.apache.spark.sql.Row(n, hashes, bands)),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("ngram", org.apache.spark.sql.types.IntegerType),
+                org.apache.spark.sql.types.StructField("hashes", org.apache.spark.sql.types.IntegerType),
+                org.apache.spark.sql.types.StructField("bands", org.apache.spark.sql.types.IntegerType)))),
+              "params")
+        }
+        val stream = spark.readStream.schema(schema).parquet(source)
+        graft.streaming.IncrementalStream.dedupIndexIngest(
+          stream, id, text, shingler(n), hashes, bands, store, ck)
           .awaitTermination()
         0
       }

@@ -59,4 +59,8 @@ class InvariantQuerySpec extends SparkSpec {
   test("q154 BPE apply reproduces the trained segmentation for every corpus word") {
     assert(violations("q154_bpe_encode") === 0L)
   }
+
+  test("q158 accumulated near-dup index equals a from-scratch build, both tables") {
+    assert(violations("q158_dedup_index_ingest") === 0L)
+  }
 }

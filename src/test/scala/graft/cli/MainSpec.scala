@@ -450,6 +450,36 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("ingest-dedup-index end to end: accumulated index serves ingest-dedup; manifest guards the family") {
+    val tmp = Files.createTempDirectory("graft_cli_ddi").toString
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq((1L, shared), (2L, "completely different corpus document about other things"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(s"$tmp/corpus")
+    assert(Main.run(spark, Array("ingest-dedup-index",
+      "--source", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+      "--ngram", "1", "--hashes", "20", "--bands", "4",
+      "--dest", s"$tmp/idx", "--checkpoint", s"$tmp/ick")) === 0)
+    // the manifest landed — a mismatched family refuses to fold more rows
+    intercept[IllegalArgumentException] {
+      Main.run(spark, Array("ingest-dedup-index",
+        "--source", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+        "--ngram", "1", "--hashes", "10", "--bands", "2",
+        "--dest", s"$tmp/idx", "--checkpoint", s"$tmp/ick2"))
+    }
+    // an exact-twin arrival is rejected through the SAME serve path a
+    // build-dedup-index artifact uses
+    Seq((9L, shared)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/arr")
+    assert(Main.run(spark, Array("ingest-dedup",
+      "--source", s"$tmp/arr", "--index", s"$tmp/idx", "--id", "doc_id",
+      "--text", "text", "--ngram", "1", "--num", "9", "--den", "10",
+      "--hashes", "20", "--bands", "4", "--dest", s"$tmp/gate",
+      "--table", "rejects", "--checkpoint", s"$tmp/gck")) === 0)
+    val rejects = spark.read.parquet(s"$tmp/gate/rejects.parquet")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(rejects === Set(9L))
+  }
+
   test("weighted-sample end to end: deterministic artifact equals the operator") {
     val tmp = Files.createTempDirectory("graft_cli_ws").toString
     val df = (0L until 40L).map(i => (i, s"g${i % 2}", 1L + i)).toDF("id", "g", "w")

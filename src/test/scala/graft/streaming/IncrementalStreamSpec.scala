@@ -351,6 +351,66 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(topk(Similarity.IvfIndex(batchIdx.cents, inc)) === topk(batchIdx))
   }
 
+  test("dedupIndexIngest: accumulated two-table index equals a batch build and serves identically") {
+    import graft.dedup.Dedup
+    import graft.sync.ParquetStore
+    import graft.text.TextAnalysis
+    val shingler: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => Dedup.hashedShingles(TextAnalysis.tokenSet(c))
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "totally different words about some other topic entirely here"),
+      (3L, "third document with its own unique vocabulary and content"))
+      .toDF("doc_id", "text")
+    val tmp = Files.createTempDirectory("graft_ddi").toString
+    docs.filter($"doc_id" === 1L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    docs.filter($"doc_id" > 1L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    def stream() = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+    val store = new ParquetStore(spark, s"$tmp/out")
+    IncrementalStream.dedupIndexIngest(stream(), "doc_id", "text",
+      shingler, numHashes = 20, bands = 4, store, checkpointDir = s"$tmp/ck")
+      .awaitTermination()
+    val batch = Dedup.buildNearDupIndex(docs, "doc_id", "text", shingler, 20, 4)
+    def bandRows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_b", $"band", $"bh").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(bandRows(store.read("band_index").get) === bandRows(batch.bandIndex))
+    def setRows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_b", $"__sb").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(setRows(store.read("shingle_sets").get) === setRows(batch.shingleSets))
+    // the accumulated tables ARE a servable index: an exact-twin arrival
+    // of doc 1 is rejected through duplicateIdsStream
+    val twin = Seq((9L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    twin.coalesce(1).write.parquet(s"$tmp/arr")
+    val arrStream = spark.readStream.schema(twin.schema)
+      .parquet(s"$tmp/arr/*.parquet")
+    val idx = Dedup.NearDupIndex(
+      store.read("band_index").get, store.read("shingle_sets").get)
+    val dups = Dedup.duplicateIdsStream(arrStream, idx, "doc_id", "text",
+      shingler, num = 9, den = 10, numHashes = 20, bands = 4,
+      eventTimeCol = org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.lit(86400000000L)),
+      watermarkDelay = "10 minutes")
+    val sink = s"ddi_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    dups.writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      .awaitTermination()
+    assert(spark.table(sink).collect().map(_.getLong(0)).toSet === Set(9L))
+    spark.catalog.dropTempView(sink)
+    // fresh checkpoint over the same source: cross-lineage guard, no dups
+    val (b0, s0) = (store.read("band_index").get.count(),
+      store.read("shingle_sets").get.count())
+    IncrementalStream.dedupIndexIngest(stream(), "doc_id", "text",
+      shingler, numHashes = 20, bands = 4, store, checkpointDir = s"$tmp/ck2")
+      .awaitTermination()
+    assert(store.read("band_index").get.count() === b0)
+    assert(store.read("shingle_sets").get.count() === s0)
+  }
+
   test("overlapIndexIngest: gated accumulated fingerprints equal a batch rebuild; replay-safe") {
     import graft.sync.ParquetStore
     import graft.text.Winnow

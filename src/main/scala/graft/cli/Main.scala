@@ -584,6 +584,35 @@ object Main {
     * SET at n = 1, hashed word n-grams above. Both sides of a gate must
     * pass the SAME --ngram (and --hashes/--bands) or candidates are
     * silently wrong — the operator's documented contract. */
+  /** The near-dup-index params manifest, ONE schema definition for every
+    * writer/reader (build-dedup-index, ingest-dedup, ingest-dedup-index):
+    * a positional drift between a writer and a reader would turn the
+    * family-mismatch guard into a spurious or missed refusal the compiler
+    * cannot catch. */
+  private def writeDedupManifest(spark: SparkSession,
+                                 store: graft.sync.TableStore,
+                                 n: Int, hashes: Int, bands: Int): Unit =
+    store.write(spark.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(n, hashes, bands)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ngram", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("hashes", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("bands", org.apache.spark.sql.types.IntegerType)))),
+      "params")
+
+  /** Enforce a params manifest row against the CLI's knobs. */
+  private def checkDedupManifest(params: org.apache.spark.sql.DataFrame,
+                                 cmd: String, where: String,
+                                 n: Int, hashes: Int, bands: Int): Unit = {
+    val r = params.head
+    val (bn, bh, bb) = (r.getInt(0), r.getInt(1), r.getInt(2))
+    require(bn == n && bh == hashes && bb == bands,
+      s"$cmd: index at $where was built with --ngram $bn --hashes $bh " +
+        s"--bands $bb but this invocation passed --ngram $n --hashes $hashes " +
+        s"--bands $bands — a mismatched family would silently corrupt or " +
+        "mis-serve the index")
+  }
+
   private def shingler(n: Int): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
     if (n == 1) c => graft.dedup.Dedup.hashedShingles(graft.text.TextAnalysis.tokenSet(c))
     else c => graft.dedup.Dedup.hashedWordNgrams(c, n)
@@ -749,13 +778,7 @@ object Main {
       val store = new ParquetStore(spark, out)
       store.write(built.bandIndex, "band_index")
       store.write(built.shingleSets, "shingle_sets")
-      store.write(spark.createDataFrame(java.util.List.of(
-          org.apache.spark.sql.Row(n, hashes, bands)),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("ngram", org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("hashes", org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("bands", org.apache.spark.sql.types.IntegerType)))),
-        "params")
+      writeDedupManifest(spark, store, n, hashes, bands)
       0
 
     case IngestDedup(source, index, id, text, n, num, den, hashes, bands, dest, table, ck) =>
@@ -766,14 +789,8 @@ object Main {
             sys.error(s"ingest-dedup: no band_index table under $index — run build-dedup-index first")),
           idxStore.read("shingle_sets").getOrElse(
             sys.error(s"ingest-dedup: no shingle_sets table under $index")))
-        idxStore.read("params").foreach { params =>
-          val r = params.head
-          val (bn, bh, bb) = (r.getInt(0), r.getInt(1), r.getInt(2))
-          require(bn == n && bh == hashes && bb == bands,
-            s"ingest-dedup: index at $index was built with --ngram $bn --hashes $bh " +
-              s"--bands $bb but this gate passed --ngram $n --hashes $hashes --bands " +
-              s"$bands — a mismatched family would silently pass duplicates")
-        }
+        idxStore.read("params").foreach(
+          checkDedupManifest(_, "ingest-dedup", index, n, hashes, bands))
         val stream = spark.readStream.schema(schema).parquet(source)
         // wall-clock arrival time (evaluated per micro-batch), NOT a
         // constant: a constant pins the watermark forever below every
@@ -983,21 +1000,21 @@ object Main {
         val store = new ParquetStore(spark, dest)
         store.read("params") match {
           case Some(params) =>
-            val r = params.head
-            val (bn, bh, bb) = (r.getInt(0), r.getInt(1), r.getInt(2))
-            require(bn == n && bh == hashes && bb == bands,
-              s"ingest-dedup-index: index at $dest was built with --ngram $bn " +
-                s"--hashes $bh --bands $bb but this ingest passed --ngram $n " +
-                s"--hashes $hashes --bands $bands — a mismatched family would " +
-                "silently corrupt the index")
+            checkDedupManifest(params, "ingest-dedup-index", dest, n, hashes, bands)
           case None =>
-            store.write(spark.createDataFrame(java.util.List.of(
-                org.apache.spark.sql.Row(n, hashes, bands)),
-              org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField("ngram", org.apache.spark.sql.types.IntegerType),
-                org.apache.spark.sql.types.StructField("hashes", org.apache.spark.sql.types.IntegerType),
-                org.apache.spark.sql.types.StructField("bands", org.apache.spark.sql.types.IntegerType)))),
-              "params")
+            // seed the manifest ONLY on a genuinely fresh store: index
+            // tables without a manifest (library-API accumulation, or a
+            // build that crashed pre-manifest) have an UNKNOWN family —
+            // stamping the CLI's knobs over them would fold
+            // mismatched-family rows next to the old ones and validate
+            // every future check against a fabricated baseline
+            require(store.read("band_index").isEmpty &&
+                store.read("shingle_sets").isEmpty,
+              s"ingest-dedup-index: $dest has index tables but no params " +
+                "manifest — its hash family is unknown, so folding more rows " +
+                "could silently corrupt it; rebuild with build-dedup-index " +
+                "or seed a manifest matching the original build")
+            writeDedupManifest(spark, store, n, hashes, bands)
         }
         val stream = spark.readStream.schema(schema).parquet(source)
         graft.streaming.IncrementalStream.dedupIndexIngest(

@@ -466,6 +466,17 @@ class MainSpec extends SparkSpec {
         "--ngram", "1", "--hashes", "10", "--bands", "2",
         "--dest", s"$tmp/idx", "--checkpoint", s"$tmp/ick2"))
     }
+    // a manifest-LESS store with existing index tables refuses: its hash
+    // family is unknown, and stamping the CLI's knobs over it would fold
+    // mismatched rows next to the old ones
+    Seq((1L, 2L, 3L)).toDF("id_b", "band", "bh")
+      .write.parquet(s"$tmp/orphan/band_index.parquet")
+    intercept[IllegalArgumentException] {
+      Main.run(spark, Array("ingest-dedup-index",
+        "--source", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+        "--ngram", "1", "--hashes", "20", "--bands", "4",
+        "--dest", s"$tmp/orphan", "--checkpoint", s"$tmp/ock"))
+    }
     // an exact-twin arrival is rejected through the SAME serve path a
     // build-dedup-index artifact uses
     Seq((9L, shared)).toDF("doc_id", "text")

@@ -3263,7 +3263,7 @@ object SparkEntry {
     // q156: same md5-uniform, same ln(u)/w ranking — '0x'||hex CAST is
     // DuckDB's conv(hex, 16, 10); the 52-bit numerator is double-exact
     "q156_weighted_sample" ->
-      "WITH u AS (SELECT source, doc_id, n_chars AS w, greatest(CAST('0x' || substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) / 4503599627370496.0, 1e-300) AS u FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0), r AS (SELECT source, doc_id, CAST(row_number() OVER (PARTITION BY source ORDER BY ln(u)/w DESC, doc_id) AS BIGINT) AS sample_rank FROM u) SELECT source, doc_id, sample_rank FROM r WHERE sample_rank <= 5 ORDER BY source, sample_rank",
+      "WITH u AS (SELECT source, doc_id, n_chars AS w, greatest(CAST('0x' || substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) / 4503599627370496.0, 1e-300) AS u FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0), r AS (SELECT source, doc_id, CAST(row_number() OVER (PARTITION BY source ORDER BY ln(u)/w DESC, doc_id) AS BIGINT) AS sample_rank FROM u) SELECT source, doc_id, sample_rank FROM r WHERE sample_rank <= 5 ORDER BY source, sample_rank",
     // q153: DuckDB runs the direct single-window formulation the operator
     // decomposes — same total order, same integer cents
     "q153_global_running_sum" ->

@@ -613,6 +613,35 @@ object Main {
         "mis-serve the index")
   }
 
+  /** The winnowing-overlap-index (gram, window) params manifest — the
+    * dedup manifest's sibling, ONE schema definition for every
+    * writer/reader (build-overlap-index, ingest-overlap-index,
+    * overlap-gate). (gram, window) IS the fingerprint family (Winnow's
+    * documented band-index family contract): rows fingerprinted under
+    * different knobs are incomparable, and mixing them in one
+    * accumulated fps table silently misses candidates forever. */
+  private def writeOverlapManifest(spark: SparkSession,
+                                   store: graft.sync.TableStore,
+                                   k: Int, w: Int): Unit =
+    store.write(spark.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(k, w)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("gram", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("window", org.apache.spark.sql.types.IntegerType)))),
+      "params")
+
+  /** Enforce an overlap params manifest row against the CLI's knobs. */
+  private def checkOverlapManifest(params: org.apache.spark.sql.DataFrame,
+                                   cmd: String, where: String,
+                                   k: Int, w: Int): Unit = {
+    val r = params.head
+    val (bk, bw) = (r.getInt(0), r.getInt(1))
+    require(bk == k && bw == w,
+      s"$cmd: index at $where was built with --gram $bk --window $bw but " +
+        s"this invocation passed --gram $k --window $w — a mismatched " +
+        "fingerprint family silently misses overlap candidates")
+  }
+
   private def shingler(n: Int): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
     if (n == 1) c => graft.dedup.Dedup.hashedShingles(graft.text.TextAnalysis.tokenSet(c))
     else c => graft.dedup.Dedup.hashedWordNgrams(c, n)
@@ -936,11 +965,22 @@ object Main {
       val store = new ParquetStore(spark, out)
       store.write(graft.text.Winnow.buildOverlapIndex(
         spark.read.parquet(corpus), id, text, k, w, maxDf), "fps")
+      // the family rides along as a one-row manifest so overlap-gate and
+      // ingest-overlap-index can refuse a (gram, window) mismatch instead
+      // of silently missing candidates (the dedup-index pattern)
+      writeOverlapManifest(spark, store, k, w)
       0
 
     case OverlapGateCmd(source, index, id, text, k, w, ms, dest, table, ck, maxDf) =>
       sourceSchema(spark, source, "overlap-gate").fold(0) { schema =>
         val idxStore = new ParquetStore(spark, index)
+        // probe fingerprints must come from the SAME (gram, window)
+        // family as the index (a mismatch silently misses candidates) —
+        // checked once before the stream starts, when the store carries
+        // a manifest (conditional, the ingest-dedup pattern: pre-manifest
+        // built stores still serve)
+        idxStore.read("params").foreach(
+          checkOverlapManifest(_, "overlap-gate", index, k, w))
         // by-name index (the serve-bm25 pattern): EVERY per-batch re-read
         // goes through the getOrElse, so an index directory that vanishes
         // mid-stream fails with the diagnostic, not a bare
@@ -981,10 +1021,31 @@ object Main {
         // (the overlap-gate read convention); pair with
         // `overlap-gate --max-df <n>` so the df gate applies at read over
         // the WHOLE accumulation — gateIndex(accumulated) is
-        // row-identical to a from-scratch build-overlap-index
+        // row-identical to a from-scratch build-overlap-index. The
+        // (gram, window) family travels as the same params manifest as
+        // build-overlap-index: checked on a pre-existing store (folding
+        // rows fingerprinted under different knobs would silently mix
+        // incompatible families), seeded on a fresh one, and fail-closed
+        // when index rows exist without a manifest — their family is
+        // unknown, so stamping this invocation's knobs over them would
+        // validate every future check against a fabricated baseline
+        // (the ingest-dedup-index pattern, verbatim)
+        val store = new ParquetStore(spark, dest)
+        store.read("params") match {
+          case Some(params) =>
+            checkOverlapManifest(params, "ingest-overlap-index", dest, k, w)
+          case None =>
+            require(store.read("fps").isEmpty,
+              s"ingest-overlap-index: $dest has an fps table but no params " +
+                "manifest — its fingerprint family is unknown, so folding " +
+                "more rows could silently corrupt it; rebuild with " +
+                "build-overlap-index or seed a manifest matching the " +
+                "original build")
+            writeOverlapManifest(spark, store, k, w)
+        }
         val stream = spark.readStream.schema(schema).parquet(source)
         graft.streaming.IncrementalStream.overlapIndexIngest(
-          stream, id, text, new ParquetStore(spark, dest), "fps", ck, k, w)
+          stream, id, text, store, "fps", ck, k, w)
           .awaitTermination()
         0
       }

@@ -29,12 +29,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * ONE reference object (the PqEncode pattern — inlining 30k pair
   * comparisons as expressions would not compile), and eval and codegen
   * share one JVM helper so the two paths cannot drift.
+  *
+  * The merge list is held as `Seq[(String, String)]` — a structural-
+  * equality field, so two BpeApply expressions over the same merges
+  * compare equal and Catalyst canonicalization / semanticEquals /
+  * common-subexpression elimination all work (an `Array` field would
+  * give the case class identity equals and silently defeat them); the
+  * `String[][]` the shared eval/codegen core consumes is derived lazily
+  * and never participates in equality.
   */
-case class BpeApply(child: Expression, merges: Array[Array[String]])
+case class BpeApply(child: Expression, merges: Seq[(String, String)])
     extends UnaryExpression {
 
-  require(merges.forall(m => m.length == 2 && m(0).nonEmpty && m(1).nonEmpty),
+  require(merges.forall(m => m._1.nonEmpty && m._2.nonEmpty),
     "BpeApply: each merge must be a non-empty (left, right) pair")
+
+  // derived per-JVM (transient: recomputed after executor deserialization
+  // from the canonical Seq field)
+  @transient private lazy val mergesArr: Array[Array[String]] =
+    merges.map(m => Array(m._1, m._2)).toArray
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -48,10 +61,10 @@ case class BpeApply(child: Expression, merges: Array[Array[String]])
     }
 
   override protected def nullSafeEval(input: Any): Any =
-    BpeApply.encode(input.asInstanceOf[ArrayData], merges)
+    BpeApply.encode(input.asInstanceOf[ArrayData], mergesArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val mergesRef = ctx.addReferenceObj("bpeMerges", merges, "java.lang.String[][]")
+    val mergesRef = ctx.addReferenceObj("bpeMerges", mergesArr, "java.lang.String[][]")
     nullSafeCodeGen(ctx, ev, a => {
       s"${ev.value} = graft.functions.BpeApply.encode($a, $mergesRef);"
     })
@@ -64,8 +77,7 @@ case class BpeApply(child: Expression, merges: Array[Array[String]])
 object BpeApply {
 
   def apply(c: Column, merges: Seq[(String, String)]): Column =
-    GraftColumnBridge.column(BpeApply(GraftColumnBridge.expression(c),
-      merges.map(m => Array(m._1, m._2)).toArray))
+    GraftColumnBridge.column(BpeApply(GraftColumnBridge.expression(c), merges))
 
   /** Shared eval/codegen core: encode every word of `words` and flatten
     * the pieces in order. A null ELEMENT encodes as zero pieces (the

@@ -205,15 +205,25 @@ object IncrementalStream {
     * on the next batch (same caveat as [[knnServe]]'s corpus: a
     * pre-resolved DataFrame freezes its file listing). Per-batch cost is
     * the batch's own query terms probing the postings by broadcast —
-    * the index never shuffles pre-score. */
+    * the index never shuffles pre-score.
+    *
+    * `maxBroadcastQueries` forwards to [[graft.text.TfIdf.bm25Join]]'s
+    * broadcast gate PER BATCH — the default probes each micro-batch's
+    * size (one extra bounded limit+count job per batch) before hinting
+    * the broadcast. A serving loop whose batches are bounded by
+    * construction (source admission control, interactive query rates)
+    * should pass -1: broadcast unconditionally and skip the per-batch
+    * probe job entirely. */
   def bm25Serve(queryStream: DataFrame, index: => graft.text.TfIdf.Bm25Index,
                 idCol: String, k: Int, store: graft.sync.TableStore,
                 table: String, checkpointDir: String,
                 k1: Double = 1.2, b: Double = 0.75,
-                trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                trigger: Trigger = Trigger.AvailableNow(),
+                maxBroadcastQueries: Long = 100000L): StreamingQuery =
     guardedAppend(queryStream, store, table, checkpointDir,
       Seq("query_id", idCol), trigger) { batch =>
-      graft.text.TfIdf.bm25Join(index, idCol, batch, k, k1, b)
+      graft.text.TfIdf.bm25Join(index, idCol, batch, k, k1, b,
+        maxBroadcastQueries)
     }
 
   /** STREAMING token-id encode gate — the training-prep member of the

@@ -165,11 +165,16 @@ object TfIdf {
     // terms are bounded (tens), so the default admits ~10^5 queries ≈ a
     // few-MB broadcast.
     val qjoined = qterms.join(index.docFreqs, "token")
-    // maxBroadcastQueries <= 0 is an explicit never-broadcast opt-out
-    // (skips the probe entirely); a positive cap clamps to the limit()
-    // Int domain
+    // maxBroadcastQueries == 0 is an explicit never-broadcast opt-out;
+    // < 0 is the always-broadcast opt-out for callers whose batch size
+    // is bounded BY CONSTRUCTION (the streaming serve path: the probe's
+    // extra limit+count job per micro-batch would otherwise dominate
+    // interactive batches that are far below the cap — see bm25Serve).
+    // Both skip the probe entirely; a positive cap probes, clamped to
+    // the limit() Int domain
     val qdf =
-      if (maxBroadcastQueries <= 0) qjoined
+      if (maxBroadcastQueries == 0) qjoined
+      else if (maxBroadcastQueries < 0) broadcast(qjoined)
       else {
         val cap = math.min(maxBroadcastQueries, Int.MaxValue - 1L).toInt
         if (queryDf.limit(cap + 1).count() <= cap) broadcast(qjoined) else qjoined

@@ -101,7 +101,15 @@ object Vocab {
     * non-empty, must not assign the reserved OOV id 0, and tokens must
     * be distinct — a silent pass on any of those would corrupt the id
     * space of a training run (in-vocab tokens indistinguishable from
-    * OOV, or duplicated positions) with no error. */
+    * OOV, or duplicated positions) with no error.
+    *
+    * PRECONDITION: `idCol` values must be distinct across `docs` (the
+    * weightedSample/shardedShuffle convention). The positional
+    * re-collect groups by `idCol`, so rows sharing an id would merge
+    * into ONE interleaved ids array — unlike [[encode]], which is
+    * row-per-input-row regardless. Checking would cost a corpus-sized
+    * aggregate action per call; document-id uniqueness is the caller's
+    * corpus contract. */
   def encodeJoin(docs: DataFrame, idCol: String, textCol: String,
                  vocab: DataFrame): DataFrame = {
     validate(vocab)
@@ -112,7 +120,8 @@ object Vocab {
     * pre-tokenized columns (BPE pieces from
     * [[TextAnalysis.bpeEncode]], chunk tokens, ...) to id arrays by the
     * same broadcast-join + positional re-collect plan, same OOV/empty
-    * semantics, same vocabulary validation. With [[buildFromTokens]]
+    * semantics, same vocabulary validation, same distinct-`idCol`
+    * precondition ([[encodeJoin]]). With [[buildFromTokens]]
     * this closes the tokenizer pipeline end to end: bpeTrain →
     * bpeEncode → buildFromTokens → encodeTokens (graded — q157). */
   def encodeTokens(docs: DataFrame, idCol: String, toks: Column,

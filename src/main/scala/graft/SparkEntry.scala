@@ -3213,6 +3213,33 @@ object SparkEntry {
           + when(count(lit(1)) =!= nFresh, 1L).otherwise(0L)
           + lit(if (centsMatch) 0L else 1L)).as("violations"))
         .localCheckpoint()
+    }),
+
+    // q159: the delta-recount BPE trainer (maintained ± pair-count table,
+    // per-round cost ∝ the winning pair's support) graded against the
+    // full-per-round-recount reference implementation over MORE rounds
+    // than q150's brute-force check (seven — enough for a wrong delta to
+    // compound visibly): the merge sequence (pair AND selection count at
+    // every step) and the final per-word symbol tables must both match
+    // exactly, plus a progress guard (all seven merges executed — two
+    // trivially-empty trains must not pass vacuously)
+    "q159_bpe_delta_train" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nMerges = 7
+      val (dm, dw) = TextAnalysis.bpeTrain(docs, "text", nMerges)
+      val (fm, fw) = TextAnalysis.bpeTrainFullRecount(docs, "text", nMerges)
+      val headViolations =
+        (if (dm != fm) 1L else 0L) + (if (dm.size != nMerges) 1L else 0L)
+      val nFull = fw.count()
+      def table(w: DataFrame, flag: String) =
+        w.select(col("__w"), concat_ws(" ", col("__syms")).as("__sy"))
+          .withColumn(flag, lit(1))
+      table(dw, "__x")
+        .join(table(fw, "__y"), Seq("__w", "__sy"), "full_outer")
+        .agg((violations(col("__x").isNull || col("__y").isNull)
+          + when(count(lit(1)) =!= nFull, 1L).otherwise(0L)
+          + lit(headViolations)).as("violations"))
+        .localCheckpoint()
     })
   )
 
@@ -3239,6 +3266,11 @@ object SparkEntry {
     // in-query against a brute-force Scala BPE over the collected word
     // table (DuckDB cannot express the sequential merge fold)
     "q150_bpe_train" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    // q159: delta-recount vs full-recount training is a Spark-side
+    // two-implementation contract (the q150 sibling — DuckDB cannot
+    // express the sequential merge fold)
+    "q159_bpe_delta_train" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     // q151/q152: incremental-vs-batch parity is a Spark-side full-outer
     // contract (the q124 pattern)

@@ -180,46 +180,103 @@ object TextAnalysis {
 
   /** BPE tokenizer training — the count → merge → re-pair loop that
     * completes what [[bpePairCounts]] starts: `nMerges` rounds of
-    * (distributed pair count over the |vocab|-sized word table) →
-    * (driver argmax, ONE row collected, deterministic (cnt DESC, left,
-    * right) tie-break) → (distributed left-to-right merge of the winning
-    * pair in every word's symbol array). Returns the merge list and the
-    * final symbolized word table. The loop is driver-side BY NATURE —
-    * each merge depends on the last, ~30k sequential steps in a real
-    * train — but per-round driver traffic is exactly one pair row; all
-    * counting and rewriting stays on executors over |vocab| weighted
-    * rows (at 100 TB the corpus is touched ONCE, by [[bpeWordTable]]).
-    * Each round localCheckpoints the word table: the per-round plan is
+    * (distributed pair count) → (driver argmax, ONE row collected,
+    * deterministic (cnt DESC, left, right) tie-break) → (distributed
+    * left-to-right merge of the winning pair in every word's symbol
+    * array). Returns the merge list and the final symbolized word table.
+    * The loop is driver-side BY NATURE — each merge depends on the last,
+    * ~30k sequential steps in a real train — but per-round driver
+    * traffic is exactly one pair row; all counting and rewriting stays
+    * on executors over |vocab| weighted rows (at 100 TB the corpus is
+    * touched ONCE, by [[bpeWordTable]]).
+    *
+    * Per-round cost is DELTA-RECOUNTED: after merging pair (a, b), only
+    * words whose symbol set still contains BOTH parents can change any
+    * pair count (the same necessary-condition membership prune
+    * [[graft.functions.BpeApply]] uses — words containing both without
+    * adjacency contribute cancelling ± rows), so each round counts the
+    * AFFECTED subset twice (its pairs pre-merge, negated, and
+    * post-merge) and folds the ± deltas into a persisted
+    * (left, right, cnt) pair-count table instead of re-running
+    * [[bpeSymbolPairCounts]] over the entire word table. A production
+    * ~30k-merge train thus pays per round ∝ the winning pair's SUPPORT
+    * (which shrinks as merges specialize), not 30k |vocab|-sized
+    * explode-aggregate jobs; the word-table rewrite stays one narrow
+    * vocab-sized map whose merge fold is `when`-guarded to affected
+    * rows. Both tables localCheckpoint per round — the per-round plan is
     * truncated so round r doesn't re-execute rounds 0..r-1 (the CC-loop
-    * precedent), and the superseded round's blocks are released eagerly.
-    * Stops early when no pair remains (all words fully fused). Integer
-    * counts end to end — the merge sequence is cross-engine
-    * deterministic (graded against an in-query brute-force oracle over
-    * the collected word table, q150). */
+    * precedent) — and each superseded round's blocks release eagerly
+    * (graft.Checkpoints: thousands of block sets would otherwise
+    * accumulate between driver GCs). Stops early when no pair remains
+    * (all words fully fused). Integer counts end to end — the merge
+    * sequence is cross-engine deterministic (graded against an in-query
+    * brute-force oracle over the collected word table, q150, and
+    * against [[bpeTrainFullRecount]] over extra rounds, q159). */
   def bpeTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
-               nMerges: Int): (Seq[BpeMerge], org.apache.spark.sql.DataFrame) = {
+               nMerges: Int): (Seq[BpeMerge], org.apache.spark.sql.DataFrame) =
+    bpeTrainLoop(df, textCol, nMerges, deltaRecount = true)
+
+  /** [[bpeTrain]] with the full per-round recount — every round re-runs
+    * [[bpeSymbolPairCounts]] over the ENTIRE word table. Kept as the
+    * independent reference implementation the delta-recount path grades
+    * against (merge sequence AND final word table must match exactly —
+    * the encode/encodeJoin two-implementation pairing, q159); prefer
+    * [[bpeTrain]] everywhere else. */
+  def bpeTrainFullRecount(df: org.apache.spark.sql.DataFrame, textCol: String,
+                          nMerges: Int): (Seq[BpeMerge], org.apache.spark.sql.DataFrame) =
+    bpeTrainLoop(df, textCol, nMerges, deltaRecount = false)
+
+  private def bpeTrainLoop(df: org.apache.spark.sql.DataFrame, textCol: String,
+                           nMerges: Int, deltaRecount: Boolean)
+      : (Seq[BpeMerge], org.apache.spark.sql.DataFrame) = {
     require(nMerges >= 1, s"bpeTrain: nMerges must be >= 1, got $nMerges")
     var words = bpeWordTable(df, textCol).localCheckpoint()
+    // the maintained pair-count table (delta path only): exact at every
+    // round by induction — seeded by one full count, then updated with
+    // the affected subset's ± deltas; zero-count rows are dropped so the
+    // table stays |live pairs|-sized and a fully-merged-away pair can
+    // never win a phantom argmax
+    var counts: org.apache.spark.sql.DataFrame =
+      if (deltaRecount) bpeSymbolPairCounts(words).localCheckpoint() else null
     val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
     var step = 0
     var exhausted = false
     while (step < nMerges && !exhausted) {
-      val top = bpeSymbolPairCounts(words)
+      val top = (if (deltaRecount) counts else bpeSymbolPairCounts(words))
         .orderBy(col("cnt").desc, col("left"), col("right")).limit(1).collect()
       if (top.isEmpty) exhausted = true
       else {
         val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val affected = array_contains(col("__syms"), a) &&
+          array_contains(col("__syms"), b)
         val prev = words
-        words = words.withColumn("__syms", bpeMergeExpr(col("__syms"), a, b))
-          .localCheckpoint()
-        // eager block release of the superseded round (graft.Checkpoints:
-        // a 30k-merge train would otherwise accumulate thousands of
-        // vocab-sized block sets in executor memory between driver GCs)
+        if (deltaRecount) {
+          val aff = words.filter(affected)
+          val negs = bpeSymbolPairCounts(aff)
+            .withColumn("cnt", (-col("cnt")).cast(LongType))
+          val poss = bpeSymbolPairCounts(
+            aff.withColumn("__syms", bpeMergeExpr(col("__syms"), a, b)))
+          val prevCounts = counts
+          counts = counts.unionByName(negs).unionByName(poss)
+            .groupBy(col("left"), col("right"))
+            .agg(sum(col("cnt")).cast(LongType).as("cnt"))
+            .filter(col("cnt") =!= 0L)
+            .localCheckpoint()
+          graft.Checkpoints.release(prevCounts)
+          words = words.withColumn("__syms",
+              when(affected, bpeMergeExpr(col("__syms"), a, b))
+                .otherwise(col("__syms")))
+            .localCheckpoint()
+        } else {
+          words = words.withColumn("__syms", bpeMergeExpr(col("__syms"), a, b))
+            .localCheckpoint()
+        }
         graft.Checkpoints.release(prev)
         merges += BpeMerge(step, a, b, c)
         step += 1
       }
     }
+    if (counts != null) graft.Checkpoints.release(counts)
     (merges.toSeq, words)
   }
 

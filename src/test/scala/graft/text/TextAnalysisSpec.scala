@@ -225,4 +225,26 @@ class TextAnalysisSpec extends SparkSpec {
     val got = words.select("__syms").collect().map(_.getSeq[String](0).mkString("|")).sorted
     assert(got === ref.map(_._1.mkString("|")).sorted.toArray)
   }
+
+  test("bpeTrain: delta-recount matches the full per-round recount") {
+    // the two independent count strategies (maintained ± deltas vs a
+    // fresh full count each round) must produce the identical merge
+    // sequence — counts included — and the identical final word table,
+    // over enough rounds for a delta error to compound visibly
+    val rnd = new scala.util.Random(31)
+    val alphabet = "abcd"
+    val docs = (0 until 40).map { _ =>
+      (0 until (1 + rnd.nextInt(5))).map(_ =>
+        (0 until (1 + rnd.nextInt(7))).map(_ => alphabet(rnd.nextInt(4))).mkString
+      ).mkString(" ")
+    }
+    val df = docs.toDF("text")
+    val (dm, dw) = TextAnalysis.bpeTrain(df, "text", 8)
+    val (fm, fw) = TextAnalysis.bpeTrainFullRecount(df, "text", 8)
+    assert(dm === fm)
+    def table(w: org.apache.spark.sql.DataFrame) =
+      w.select("__w", "__syms").collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(table(dw) === table(fw))
+  }
 }

@@ -1439,6 +1439,16 @@ object SparkEntry {
     "q109_fuzzy_join" -> ((s, dir) =>
       FuzzyJoin.neighborPairs(fuzzyCorpus(s, dir), "w").orderBy("w_a", "w_b")),
 
+    // q163: the DEPTH-2 deletion neighborhood — edit distance <= 2, the
+    // common spell-correction radius. Same blocking + levenshtein-verify
+    // shape as q109, graded against the same O(n²) cross-join oracle at
+    // the wider bound: the SymSpell depth-2 completeness claim (every
+    // distance-2 pair shares a double-deletion variant) sits IN the
+    // correctness gate, so a blocking recall loss cannot pass
+    "q163_fuzzy_join_d2" -> ((s, dir) =>
+      FuzzyJoin.neighborPairs(fuzzyCorpus(s, dir), "w", maxDist = 2)
+        .orderBy("w_a", "w_b")),
+
     // entity resolution composed end-to-end: fuzzy pairs (q109's blocking)
     // -> connected components (q33's machinery over hashed word ids) ->
     // longest-word representative per cluster (lexicographic tie-break —
@@ -3135,6 +3145,20 @@ object SparkEntry {
         .select(col("source"), col("doc_id"), col("sample_rank"))
         .orderBy("source", "sample_rank")),
 
+    // q162: the GLOBAL (ungrouped) A-ES weighted sample — q156 with
+    // keys = none, which must NOT degenerate to one corpus-sized window:
+    // rows bucket by the md5 key's first hex byte, each bucket keeps its
+    // own k best in a parallel keyed window, and a final sample-sized
+    // window re-ranks the <= 256·k survivors (the q106/q153 bucket
+    // decomposition; plan pinned multi-partition in PlanShapeSpec).
+    // Graded against DuckDB's direct un-partitioned one-window A-ES —
+    // same md5-uniform, same ln(u)/w key, same (DESC, doc_id) total order
+    "q162_global_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(t(s, dir, "documents"), Seq.empty, "doc_id",
+          col("n_chars"), k = 100, seed = "graft")
+        .select(col("doc_id"), col("sample_rank"))
+        .orderBy("sample_rank")),
+
     // q155: the LARGE-VOCABULARY encode gate — q146's scale twin through
     // the broadcast-join encode path (vocabulary validated + pinned by
     // localCheckpoint at query start, never driver-collected), arrivals
@@ -3240,6 +3264,120 @@ object SparkEntry {
           + when(count(lit(1)) =!= nFull, 1L).otherwise(0L)
           + lit(headViolations)).as("violations"))
         .localCheckpoint()
+    }),
+
+    // q160: MJPEG video FRAME decode — the pixel-level completion of the
+    // modality triple (image q87/q120, audio q101/q127, video previously
+    // header-only via q107/q35). Every doc becomes a planted MJPEG-in-AVI:
+    // 1+(id%3) uniform-gray JPEG frames as movi 00dc chunks, with the
+    // walk hazards rotated in (top-level JUNK id%2, LIST-rec nesting
+    // id%3, odd-sized audio 01wb chunk id%5, an undecodable trailing dc
+    // chunk id%7 — must drop yet consume its index). Per decoded frame
+    // the dims must match the planted formulas EXACTLY (JPEG preserves
+    // dimensions) and the integer milli-mean gray must sit within ±2000
+    // of the planted uniform value (measured: the JDK JPEG round-trip of
+    // a uniform r=g=b plane deviates 0 milli at default quality — the
+    // margin covers other encoders' DC quantization, the
+    // measured-margin float-grading convention); per doc the frame count
+    // and max index must both equal id%3 (+1), and every doc must
+    // surface (a payload failing wholesale cannot hide)
+    "q160_video_frame_decode" -> ((s, dir) => {
+      import s.implicits._
+      implicit val session: SparkSession = s
+      val ids = t(s, dir, "documents").select(col("doc_id").cast(LongType)).as[Long]
+      val nDocs = ids.count()
+      val media = ids.mapPartitions { it =>
+        it.map { id =>
+          def le32(v: Int): Array[Byte] =
+            Array(v, v >> 8, v >> 16, v >> 24).map(x => (x & 0xff).toByte)
+          def chunk(cid: String, data: Array[Byte]): Array[Byte] =
+            cid.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+              (if ((data.length & 1) == 1) Array(0.toByte) else Array.empty[Byte])
+          def jpeg(w: Int, h: Int, g: Int): Array[Byte] = {
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { img.setRGB(x, y, g * 0x010101); x += 1 }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpg", bos)
+            bos.toByteArray
+          }
+          val n = 1 + (id % 3).toInt
+          val dcs = (0 until n).flatMap { f =>
+            val w = 16 + ((id + f) % 3).toInt * 8
+            val h = 16 + ((id + 2L * f) % 2).toInt * 8
+            val g = 16 + ((id + 37L * f) % 224).toInt
+            chunk("00dc", jpeg(w, h, g))
+          }.toArray
+          val framePart =
+            if (id % 3 == 0) chunk("LIST", "rec ".getBytes("US-ASCII") ++ dcs)
+            else dcs
+          val movi = "movi".getBytes("US-ASCII") ++
+            (if (id % 5 == 0) chunk("01wb", Array[Byte](1, 2, 3))
+             else Array.empty[Byte]) ++
+            framePart ++
+            (if (id % 7 == 0) chunk("00dc", "not a jpeg".getBytes("US-ASCII"))
+             else Array.empty[Byte])
+          val top = "RIFF".getBytes("US-ASCII") ++ le32(0) ++
+            "AVI ".getBytes("US-ASCII") ++
+            (if (id % 2 == 0) chunk("JUNK", Array[Byte](7, 7, 7))
+             else Array.empty[Byte]) ++
+            chunk("LIST", movi)
+          Multimodal.MediaRecord(id, top)
+        }
+      }.toDF()
+      val expW = lit(16L) + ((col("doc_id") + col("frame_idx")) % 3L) * 8L
+      val expH = lit(16L) + ((col("doc_id") + col("frame_idx") * 2L) % 2L) * 8L
+      val expMilli = (lit(16L) + (col("doc_id") + col("frame_idx") * 37L) % 224L) * 1000L
+      val perDoc = Multimodal.decodeFramesOf(media).toDF()
+        .withColumn("__bad",
+          when(col("width") =!= expW || col("height") =!= expH
+            || abs(col("mean_milli_gray") - expMilli) > 2000L, 1L).otherwise(0L))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("__n"), max(col("frame_idx")).as("__mx"),
+          sum(col("__bad")).as("__b"))
+      perDoc.agg((violations(col("__b") > 0L
+          || col("__n") =!= lit(1L) + col("doc_id") % 3L
+          || col("__mx") =!= col("doc_id") % 3L)
+        + when(count(lit(1)) =!= nDocs, 1L).otherwise(0L)).as("violations"))
+    }),
+
+    // q161: the MATERIALIZED gated overlap-index snapshot — raw (fp, doc)
+    // rows accumulate across three lineage-stamped batches with one batch
+    // appended TWICE (the crash/retry replay shape the snapshot's
+    // distinct collapse must absorb), then Winnow.snapshotIndex writes
+    // the served fps_gated table, which must be row-identical to a
+    // from-scratch buildOverlapIndex over the same documents — i.e. to
+    // gateIndex(raw), one materialization later (full-outer parity + row
+    // count, the q151 contract; serving then probes the snapshot with
+    // ZERO per-read gate cost)
+    "q161_overlap_snapshot" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("q161").toString
+      try {
+        val store = new graft.sync.ParquetStore(s, tmp)
+        val batchConds = Seq(col("doc_id") % 3 === 0, col("doc_id") % 3 === 1,
+          col("doc_id") % 3 === 2, col("doc_id") % 3 === 1)
+        batchConds.zipWithIndex.foreach { case (cond, i) =>
+          store.append(graft.text.Winnow
+            .indexRows(docs.filter(cond), "doc_id", "text")
+            .withColumn("__run", lit(i.toLong)), "fps")
+        }
+        graft.text.Winnow.snapshotIndex(store, "doc_id")
+        val snap = store.read("fps_gated").get
+          .select(col("fp"), col("doc_id")).withColumn("__y", lit(1))
+        val batch = graft.text.Winnow.buildOverlapIndex(docs, "doc_id", "text")
+        val nBatch = batch.count()
+        batch.withColumn("__x", lit(1))
+          .join(snap, Seq("fp", "doc_id"), "full_outer")
+          .agg((violations(col("__x").isNull || col("__y").isNull)
+            + when(count(lit(1)) =!= nBatch, 1L).otherwise(0L)).as("violations"))
+          .localCheckpoint()
+      } finally deleteRecursively(tmp)
     })
   )
 
@@ -3272,6 +3410,18 @@ object SparkEntry {
     // express the sequential merge fold)
     "q159_bpe_delta_train" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
+    // q160: planted MJPEG frame decode is a Spark-side invariant gate
+    // (DuckDB has no JPEG codec); violations counts formula mismatches
+    "q160_video_frame_decode" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    // q161: snapshot-vs-rebuild parity is a Spark-side full-outer
+    // contract (the q151 pattern, one materialization later)
+    "q161_overlap_snapshot" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    // q162: the q156 A-ES oracle un-partitioned — DuckDB runs the direct
+    // global one-window formulation the operator decomposes
+    "q162_global_weighted_sample" ->
+      "WITH u AS (SELECT doc_id, n_chars AS w, greatest(CAST('0x' || substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) / 4503599627370496.0, 1e-300) AS u FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0), r AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY ln(u)/w DESC, doc_id) AS BIGINT) AS sample_rank FROM u) SELECT doc_id, sample_rank FROM r WHERE sample_rank <= 100 ORDER BY sample_rank",
     // q151/q152: incremental-vs-batch parity is a Spark-side full-outer
     // contract (the q124 pattern)
     "q151_overlap_index_ingest" ->
@@ -3346,6 +3496,9 @@ object SparkEntry {
       "WITH d AS (SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS t FROM documents) SELECT doc_id, nfc_normalize(t) AS t_nfc, CAST(length(t) AS BIGINT) AS len_dec, CAST(length(nfc_normalize(t)) AS BIGINT) AS len_nfc FROM d ORDER BY doc_id",
     "q109_fuzzy_join" ->
       "WITH tok AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents), corpus AS (SELECT w FROM tok UNION SELECT substr(w, 2) FROM tok WHERE len(w) >= 4) SELECT a.w AS w_a, b.w AS w_b FROM corpus a JOIN corpus b ON a.w < b.w WHERE levenshtein(a.w, b.w) <= 1 ORDER BY w_a, w_b",
+    // q163: the same corpus CTE at the distance-2 radius
+    "q163_fuzzy_join_d2" ->
+      "WITH tok AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents), corpus AS (SELECT w FROM tok UNION SELECT substr(w, 2) FROM tok WHERE len(w) >= 4) SELECT a.w AS w_a, b.w AS w_b FROM corpus a JOIN corpus b ON a.w < b.w WHERE levenshtein(a.w, b.w) <= 2 ORDER BY w_a, w_b",
     "q110_box_join" ->
       "WITH e AS (SELECT event_id, epoch_us(ts) AS t, CAST(round(value*100) AS BIGINT) AS c FROM events) SELECT a.event_id AS id_a, b.event_id AS id_b FROM e a JOIN e b ON (a.t < b.t OR (a.t = b.t AND a.event_id < b.event_id)) AND b.t - a.t <= 3600000000 AND abs(a.c - b.c) <= 100 ORDER BY id_a, id_b",
     "q114_incr_stats" ->

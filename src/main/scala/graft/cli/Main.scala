@@ -57,6 +57,7 @@ object Main {
       "       build-overlap-index --corpus <parquet> --id <col> --text <col> --out <storeDir> [--gram <k>] [--window <w>] [--max-df <n>]\n" +
       "       overlap-gate --source <parquetDir> --index <storeDir> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir> [--gram <k>] [--window <w>] [--min-shared <n>] [--max-df <n>]\n" +
       "       ingest-overlap-index --source <parquetDir> --id <col> --text <col> --dest <storeDir> --checkpoint <dir> [--gram <k>] [--window <w>]\n" +
+      "       snapshot-overlap-index --index <storeDir> --id <col> [--max-df <n>]\n" +
       "       ingest-dedup-index --source <parquetDir> --id <col> --text <col> --ngram <n> --hashes <n> --bands <n> --dest <storeDir> --checkpoint <dir>\n" +
       "       build-bm25-index --corpus <parquet> --id <col> --text <col> --out <storeDir>\n" +
       "       serve-bm25 --queries <parquetDir> --index <storeDir> --id <col> --k <n> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
@@ -171,6 +172,8 @@ object Main {
                                         text: String, gram: Int, window: Int,
                                         dest: String,
                                         checkpoint: String) extends Cmd
+  private case class SnapshotOverlapIndex(index: String, id: String,
+                                          maxDf: Int) extends Cmd
   private case class IngestDedupIndex(source: String, id: String, text: String,
                                       ngram: Int, hashes: Int, bands: Int,
                                       dest: String,
@@ -486,6 +489,13 @@ object Main {
         dest <- req(opts, "ingest-overlap-index", "dest")
         ck <- req(opts, "ingest-overlap-index", "checkpoint")
       } yield IngestOverlapIndex(source, id, text, k, w, dest, ck)
+    case "snapshot-overlap-index" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        index <- req(opts, "snapshot-overlap-index", "index")
+        id <- req(opts, "snapshot-overlap-index", "id")
+        maxDf <- optInt(opts, "snapshot-overlap-index", "max-df", 100)
+      } yield SnapshotOverlapIndex(index, id, maxDf)
     case "ingest-dedup-index" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -990,21 +1000,31 @@ object Main {
         // --max-df the table is a RAW ingest-overlap-index accumulation
         // and the hot-fingerprint gate applies per read, so fingerprints
         // that crossed the threshold since the last batch drop
-        // retroactively (Winnow.gateIndex's contract)
-        def fps = {
-          val raw = idxStore.read("fps").getOrElse(sys.error(
-            s"overlap-gate: no fps table under $index — run build-overlap-index " +
-              "(or ingest-overlap-index) first"))
-          // a raw ingest accumulation is recognizable by its lineage
-          // stamps; serving it UN-gated would flood the join with the
-          // hot boilerplate fingerprints buildOverlapIndex exists to
-          // drop AND double-count n_shared on retry-duplicated rows —
-          // refuse rather than silently emit wrong overlap strengths
-          if (maxDf.isEmpty && raw.columns.contains("__run"))
-            sys.error(s"overlap-gate: the fps table under $index is a raw " +
-              "ingest-overlap-index accumulation (lineage-stamped); pass " +
-              "--max-df <n> so the hot-fingerprint gate applies at read")
-          maxDf.fold(raw)(m => graft.text.Winnow.gateIndex(raw, id, m))
+        // retroactively (Winnow.gateIndex's contract); WITHOUT --max-df
+        // a materialized fps_gated snapshot (snapshot-overlap-index)
+        // serves when present — the gate cost is paid per refresh, not
+        // per read, and a refresh lands on the next batch
+        def rawFps = idxStore.read("fps").getOrElse(sys.error(
+          s"overlap-gate: no fps table under $index — run build-overlap-index " +
+            "(or ingest-overlap-index) first"))
+        def fps = maxDf match {
+          // explicit --max-df: gate the raw accumulation at every read
+          case Some(m) => graft.text.Winnow.gateIndex(rawFps, id, m)
+          case None => idxStore.read("fps_gated").getOrElse {
+            // no materialized snapshot either: a raw ingest accumulation
+            // is recognizable by its lineage stamps; serving it UN-gated
+            // would flood the join with the hot boilerplate fingerprints
+            // buildOverlapIndex exists to drop AND double-count n_shared
+            // on retry-duplicated rows — refuse rather than silently
+            // emit wrong overlap strengths
+            val raw = rawFps
+            if (raw.columns.contains("__run"))
+              sys.error(s"overlap-gate: the fps table under $index is a raw " +
+                "ingest-overlap-index accumulation (lineage-stamped); pass " +
+                "--max-df <n> so the hot-fingerprint gate applies at read, " +
+                "or materialize a served snapshot with snapshot-overlap-index")
+            raw
+          }
         }
         fps
         val stream = spark.readStream.schema(schema).parquet(source)
@@ -1049,6 +1069,16 @@ object Main {
           .awaitTermination()
         0
       }
+
+    case SnapshotOverlapIndex(index, id, maxDf) =>
+      // refresh-cadence materialization of the df-gated served view:
+      // overlap-gate (without --max-df) probes fps_gated as a plain
+      // pre-gated table, so the fp-keyed df count over the whole
+      // accumulation runs once per refresh here instead of once per
+      // serving read (Winnow.gateIndex's documented prescription)
+      graft.text.Winnow.snapshotIndex(
+        new ParquetStore(spark, index), id, maxDf)
+      0
 
     case IngestDedupIndex(source, id, text, n, hashes, bands, dest, ck) =>
       sourceSchema(spark, source, "ingest-dedup-index").fold(0) { schema =>

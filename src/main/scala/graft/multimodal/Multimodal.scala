@@ -257,6 +257,98 @@ object Multimodal {
     media.as[MediaRecord].mapPartitions(it => it.map(r => decodeAvi(r.doc_id, r.media)))
   }
 
+  /** One decoded video FRAME: its movi-order index, pixel dimensions, and
+    * the integer mean gray of the decoded plane in milli-units
+    * (1000·Σgray/pixels, Long arithmetic — the integer-skeleton grading
+    * convention; JPEG is lossy, so gates compare the mean against a
+    * planted uniform value within a measured margin, never bit-exact). */
+  case class DecodedFrame(doc_id: Long, frame_idx: Long, width: Long,
+                          height: Long, mean_milli_gray: Long)
+
+  /** Decode the FRAME PIXELS of an MJPEG-in-AVI payload — the pixel-level
+    * completion of the video leg ([[decodeAvi]] stops at the header;
+    * image q87 and audio q101/q127 already do sample-level work). Walks
+    * the top-level RIFF chunks to every `LIST movi`, then movi's
+    * subchunks: `##dc` compressed-video chunks (two stream digits + "dc",
+    * the AVI stream-chunk naming) are MJPEG frames — each one a complete
+    * JPEG — and decode through the same ImageIO path as every image
+    * operator here; one level of `LIST rec ` nesting is walked too (real
+    * muxers group interleaved chunks into rec lists). Non-video chunks
+    * (audio `##wb`, index, JUNK) skip by size. frame_idx is the chunk's
+    * position among the payload's dc chunks in movi order; a dc chunk no
+    * ImageIO reader decodes DROPS but still consumes its index (the
+    * [[dhash64]] drop convention — the gap is visible to callers), while
+    * a STRUCTURALLY malformed payload (bad magic, chunk overrun) returns
+    * zero frames, fail-closed, same contracts as [[decodeAvi]]: Long
+    * size comparisons, word-aligned advance, no task kills. Cost is
+    * O(payload) BY NATURE — frames are the payload, unlike the
+    * header-only metadata pass. */
+  def decodeMjpegFrames(id: Long, bytes: Array[Byte]): Seq[DecodedFrame] = {
+    if (bytes == null || bytes.length < 12 ||
+        !(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') ||
+        !(bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' '))
+      return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[DecodedFrame]
+    var idx = 0L
+    def isDc(cid: String): Boolean =
+      cid.length == 4 && cid(0).isDigit && cid(1).isDigit &&
+        cid(2) == 'd' && cid(3) == 'c'
+    // walk one chunk run [start, end); false on structural malformation
+    def walk(start: Int, end: Int, depth: Int): Boolean = {
+      var so = start
+      while (so + 8 <= end) {
+        val cid = new String(bytes, so, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val lenL = le32(bytes, so + 4)
+        if (so + 8L + lenL > end) return false
+        val len = lenL.toInt
+        if (cid == "LIST" && len >= 4 && depth < 1 &&
+            new String(bytes, so + 8, 4, java.nio.charset.StandardCharsets.US_ASCII) == "rec ") {
+          if (!walk(so + 12, so + 8 + len, depth + 1)) return false
+        } else if (isDc(cid)) {
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes, so + 8, len))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img != null && img.getWidth > 0 && img.getHeight > 0) {
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { sum += grayOf(img.getRGB(x, y)); x += 1 }
+              y += 1
+            }
+            out += DecodedFrame(id, idx, w, h, 1000L * sum / (w.toLong * h))
+          }
+          idx += 1
+        }
+        so += 8 + len + (len & 1)
+      }
+      true
+    }
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val cid = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val lenL = le32(bytes, off + 4)
+      if (off + 8L + lenL > bytes.length) return Seq.empty // truncated chunk
+      val len = lenL.toInt
+      if (cid == "LIST" && len >= 4 &&
+          new String(bytes, off + 8, 4, java.nio.charset.StandardCharsets.US_ASCII) == "movi") {
+        if (!walk(off + 12, off + 8 + len, 0)) return Seq.empty
+      }
+      off += 8 + len + (len & 1)
+    }
+    out.toSeq
+  }
+
+  /** Partition-parallel MJPEG frame decode — one output row per decoded
+    * frame, same batch shape as [[decode]]. */
+  def decodeFramesOf(media: DataFrame)(implicit spark: SparkSession): Dataset[DecodedFrame] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(it =>
+      it.flatMap(r => decodeMjpegFrames(r.doc_id, r.media)))
+  }
+
   /** Perceptual image hash row: id + 64-bit dHash over the decoded pixels.
     * Rows whose payload no ImageIO reader decodes are DROPPED (a perceptual
     * hash of non-pixels is meaningless; callers wanting a total pipeline

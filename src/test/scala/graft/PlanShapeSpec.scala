@@ -507,6 +507,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashExchanges === 1, s"expected one keyed shuffle:\n$p")
   }
 
+  test("q162 global weighted sample: bucketed data window, survivors-only global re-rank") {
+    val p = plan("q162_global_weighted_sample")
+    assert(!p.contains("Join"), s"A-ES sampling must not plan a join:\n$p")
+    // the corpus-sized window runs per md5 bucket in parallel — a global
+    // keys=none sample must NEVER funnel the corpus through one window
+    // partition; only the <= 256·k survivors re-rank unpartitioned
+    assert("windowspecdefinition\\(__b".r.findFirstIn(p).isDefined,
+      s"data window must partition by the md5 bucket:\n$p")
+    // one bucket shuffle over the data (the per-bucket window); the
+    // survivor re-rank and final sort are sample-sized
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges === 1, s"expected one bucket shuffle:\n$p")
+  }
+
   test("bpeEncode is a pure narrow projection: no exchange, no join") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = docs.select(graft.text.TextAnalysis.bpeEncode(

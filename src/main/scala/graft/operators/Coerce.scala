@@ -30,8 +30,30 @@ object Coerce {
     * leading/trailing whitespace (tab, newline, CR — not just spaces), so a
     * regexp strip, not Spark's space-only trim(). (Residual deviation:
     * Python also strips exotic unicode spaces like U+00A0, which Java's
-    * ASCII \s does not — documented in SURVEY §2.4.) */
+    * ASCII \s does not — documented in SURVEY §2.4; [[stripUnicode]] is
+    * the opt-in that closes it.) */
   def strip(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
+
+  /** Python `str.strip()`'s EXACT whitespace set as an explicit Java-regex
+    * character class — every codepoint `str.isspace()` accepts: ASCII
+    * \t\n\v\f\r + space, the file/group/record/unit separators 1C–1F,
+    * NEL 85, and the Unicode space/line/paragraph separators (Zs + Zl +
+    * Zp: A0, 1680, 2000–200A, 2028, 2029, 202F, 205F, 3000). Spelled as
+    * explicit codepoints, not `(?U)\s` or `\p{Zs}`, so the set is pinned
+    * to Python's — independent of the JVM regex engine's unicode tables —
+    * and mirrorable in a DuckDB oracle as a literal chr() trim list. */
+  private val PyWhitespaceClass =
+    "\\t\\n\\x0B\\f\\r\\x1C-\\x1F \\x85\\xA0\\u1680\\u2000-\\u200A" +
+      "\\u2028\\u2029\\u202F\\u205F\\u3000"
+
+  /** §2.4-11's documented deviation CLOSED as an opt-in: [[strip]] with
+    * the full Python whitespace set, for corpora that carry NBSP-edged
+    * (or other exotic-space-edged) values. Opt-in rather than the
+    * default because [[strip]]'s ASCII class is the long-graded Q7
+    * behavior and byte-cheaper in codegen; choose per corpus. */
+  def stripUnicode(c: Column): Column =
+    regexp_replace(c,
+      s"^[$PyWhitespaceClass]+|[$PyWhitespaceClass]+$$", "")
 
   /** Array NULL -> [] (element type preserved). The empty literal is an
     * untyped array() (NullType elements) — castable to ANY element type,
@@ -46,8 +68,11 @@ object Coerce {
 
   /** Whole-frame dispatch mirroring prepare_record's per-type rules.
     * `jsonColumns` marks string columns that carry JSONB payloads (Spark has
-    * no JSONB type; the reference sees a rendered type string instead). */
-  def frame(df: DataFrame, jsonColumns: Set[String] = Set.empty): DataFrame = {
+    * no JSONB type; the reference sees a rendered type string instead).
+    * `unicodeWhitespace` opts string columns into [[stripUnicode]]'s full
+    * Python whitespace set (§2.4-11). */
+  def frame(df: DataFrame, jsonColumns: Set[String] = Set.empty,
+            unicodeWhitespace: Boolean = false): DataFrame = {
     val exprs = df.schema.fields.toSeq.map { f =>
       val c = col(f.name)
       val coerced = f.dataType match {
@@ -57,7 +82,8 @@ object Coerce {
         // int(float(v)) targets incoming *strings*; a double round-trip on a
         // typed bigint would corrupt values above 2^53 and widen every int
         // column to long (schema drift through Merge's union).
-        case _: StringType             => strip(c)
+        case _: StringType             =>
+          if (unicodeWhitespace) stripUnicode(c) else strip(c)
         case _                         => c // ints/dates/timestamps/doubles pass through
       }
       coerced.as(f.name)

@@ -22,6 +22,32 @@ class CoerceSpec extends SparkSpec {
     assert(out.toSeq === Seq("a b", "a b", null))
   }
 
+  test("stripUnicode strips Python's full whitespace set; strip stays ASCII (SURVEY 2.4-11)") {
+    // NBSP + EN QUAD left, NNBSP + IDEOGRAPHIC SPACE right, NEL + unit
+    // separator mixed in — all in str.isspace(), none in Java's \s
+    val exotic = "\u00A0\u2000\u0085\u001F a b \u202F\u3000"
+    val rows = Seq(exotic, "\t a b \r\n", null).toDF("v")
+    val uni = rows.select(Coerce.stripUnicode(col("v")).as("v"))
+      .collect().map(_.get(0))
+    assert(uni.toSeq === Seq("a b", "a b", null))
+    // the ASCII default leaves the exotic edges untouched (the documented
+    // deviation stripUnicode exists to close): the anchored \s classes
+    // cannot match past the exotic lead/tail, so NOTHING strips here
+    val ascii = rows.limit(1).select(Coerce.strip(col("v")).as("v"))
+      .collect().map(_.getString(0))
+    assert(ascii.head.startsWith("\u00A0\u2000\u0085\u001F"))
+    assert(ascii.head.endsWith("\u202F\u3000"))
+    // interior exotic spaces are NEVER touched (strip is ends-only)
+    val interior = Seq("x\u00A0y").toDF("v")
+      .select(Coerce.stripUnicode(col("v")).as("v")).head.getString(0)
+    assert(interior === "x\u00A0y")
+    // frame opts in per corpus
+    val framed = Seq(("\u00A0z\u3000", 1L)).toDF("s", "n")
+    assert(Coerce.frame(framed, unicodeWhitespace = true)
+      .head.getString(0) === "z")
+    assert(Coerce.frame(framed).head.getString(0) === "\u00A0z\u3000")
+  }
+
   test("arrayOrEmpty: NULL -> [] (sync_utils.py:86-94)") {
     val df = Seq((1, Seq("a")), (2, null)).toDF("id", "arr")
     val out = df.select(Coerce.arrayOrEmpty(col("arr"), StringType).as("arr"))

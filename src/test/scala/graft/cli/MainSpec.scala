@@ -561,6 +561,34 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("gopher-filter + gopher-gate: one-pass battery artifact, streamed verdicts equal batch") {
+    val tmp = Files.createTempDirectory("graft_cli_gq").toString
+    val docs = Seq(
+      (1L, ("the be of and worded " * 12).trim), // passes every rule
+      (2L, "too few"),
+      (3L, ("the of " * 30).trim + " ### ... more...")).toDF("doc_id", "text")
+    docs.write.parquet(s"$tmp/corpus")
+    assert(Main.run(spark, Array("gopher-filter",
+      "--corpus", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+      "--out", s"$tmp/q")) === 0)
+    val art = spark.read.parquet(s"$tmp/q")
+    val keep = art.select($"doc_id", $"keep").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keep === Map(1L -> 1L, 2L -> 0L, 3L -> 0L))
+    // the compression signal rides in the same artifact, positive
+    assert(art.filter($"compression_milli" <= 0L).count() === 0)
+    // the streamed gate accumulates the identical battery columns
+    assert(Main.run(spark, Array("gopher-gate",
+      "--source", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+      "--dest", s"$tmp/dst", "--table", "quality",
+      "--checkpoint", s"$tmp/ck")) === 0)
+    val streamed = spark.read.parquet(s"$tmp/dst/quality.parquet")
+      .drop("__run", "__batch").orderBy("doc_id").collect().toSeq
+    val batch = graft.text.Gopher.quality(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed.map(_.toSeq) === batch.map(_.toSeq))
+  }
+
   test("unigram-train + unigram-encode end to end: persisted pieces, Viterbi apply") {
     val tmp = Files.createTempDirectory("graft_cli_uni").toString
     Seq((1L, "the then an than the")).toDF("doc_id", "text")

@@ -46,4 +46,23 @@ class NormalizeSpec extends SparkSpec {
     val r = spark.sql(s"SELECT graft_nfc('$DecE') AS n").head.getString(0)
     assert(r === NfcE)
   }
+
+  test("stripAccents: precomposed + decomposed marks drop, non-decomposables pass, ASCII fast path") {
+    val df = Seq(
+      (1L, "caf\u00e9 se\u00f1or na\u00efve"), // precomposed
+      (2L, "de\u0301ja\u0300 vu"),                 // decomposed combining marks
+      (3L, "\u00fcberma\u00df \u00e5land"),   // \u00df survives, \u00fc/\u00e5 strip
+      (4L, "plain ascii stays"),
+      (5L, null.asInstanceOf[String])).toDF("id", "t")
+    val out = df.select($"id", Normalize.stripAccents($"t").as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out(1L) === "cafe senor naive")
+    assert(out(2L) === "deja vu")
+    assert(out(3L) === "uberma\u00df aland")
+    assert(out(4L) === "plain ascii stays")
+    assert(out(5L) === null)
+    // SQL registration
+    graft.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT graft_strip_accents('caf\u00e9')").head.getString(0) === "cafe")
+  }
 }

@@ -647,6 +647,81 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(store.read("encoded").get.count() === batch.size)
   }
 
+  test("classifierGate: streamed scores equal the batch scorer; bad weight table fails at start") {
+    import graft.sync.ParquetStore
+    import graft.text.Classifier
+    val docs = Seq((1L, "good great fine good", 1L), (2L, "bad awful bad poor", -1L),
+        (3L, "good fine nice", 1L), (4L, "poor bad sad awful", -1L))
+      .toDF("doc_id", "text", "y")
+    val feats = Classifier.hashedTokenFeatures(docs, "doc_id", "text", 32)
+    val df = Classifier.docFeatures(feats, docs.select($"doc_id", $"y"), "doc_id")
+    val model = Classifier.train(df, "doc_id", 32, rounds = 2,
+      lrMicros = 1000L, marginMicros = 1000000L)
+    val weights = Classifier.weightsTable(spark, model)
+    val tmp = Files.createTempDirectory("graft_clf").toString
+    docs.filter($"doc_id" <= 2L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    docs.filter($"doc_id" > 2L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    def stream() = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+    val store = new ParquetStore(spark, s"$tmp/out")
+    IncrementalStream.classifierGate(stream(), weights, "doc_id", "text",
+      store, "scored", checkpointDir = s"$tmp/ck").awaitTermination()
+    def served() = store.read("scored").get
+      .select($"doc_id", $"margin_micros", $"pred").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the one-pass text scorer AND the feature-table scorer agree with
+    // the gate (the linearity identity, both directions)
+    val viaText = Classifier.scoreText(docs, "doc_id", "text", model).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val viaFeats = Classifier.score(df, "doc_id", model).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(served() === viaText)
+    assert(served() === viaFeats)
+    // cross-lineage replay appends nothing
+    IncrementalStream.classifierGate(stream(), weights, "doc_id", "text",
+      store, "scored", checkpointDir = s"$tmp/ck2").awaitTermination()
+    assert(store.read("scored").get.count() === 4)
+    // a bias-less weight table fails at query start, before any batch
+    intercept[IllegalArgumentException] {
+      IncrementalStream.classifierGate(stream(),
+        weights.filter($"f" >= 0L), "doc_id", "text",
+        store, "scored2", checkpointDir = s"$tmp/ck3")
+    }
+  }
+
+  test("unigramGate: streamed pieces equal the batch Viterbi; empty piece table fails at start") {
+    import graft.sync.ParquetStore
+    import graft.text.Unigram
+    val docs = Seq((1L, "the then an"), (2L, "than the")).toDF("doc_id", "text")
+    val pieces = Seq(("t", -3000L), ("h", -4000L), ("e", -4000L),
+      ("a", -3500L), ("n", -3800L), ("th", -7000L), ("the", -11000L),
+      ("an", -7300L)).map(p => Unigram.UnigramPiece(p._1, 0L, p._2))
+    val pieceTable = spark.createDataFrame(pieces)
+      .select($"piece", $"cnt", $"scoreMilli".as("score_milli"))
+    val tmp = Files.createTempDirectory("graft_ug").toString
+    docs.filter($"doc_id" <= 1L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    docs.filter($"doc_id" > 1L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    def stream() = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+    val store = new ParquetStore(spark, s"$tmp/out")
+    IncrementalStream.unigramGate(stream(), pieceTable, "doc_id", "text",
+      store, "pieces", checkpointDir = s"$tmp/ck").awaitTermination()
+    val served = store.read("pieces").get
+      .select($"doc_id", $"pieces").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val batch = docs.select($"doc_id",
+        Unigram.unigramEncode($"text", pieces).as("pieces")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(served === batch)
+    // "then" ties [the,n] vs [th,e,n] -> longer-piece rule keeps "the"
+    assert(served(1L) === Seq("the", "the", "n", "an"))
+    // an empty artifact fails at query start
+    intercept[IllegalArgumentException] {
+      IncrementalStream.unigramGate(stream(), pieceTable.filter($"cnt" > 99L),
+        "doc_id", "text", store, "pieces2", checkpointDir = s"$tmp/ck2")
+    }
+  }
+
   test("encodeGateJoin: large-vocab gate equals the batch encode; bad vocab fails at start") {
     import graft.sync.ParquetStore
     import graft.text.Vocab

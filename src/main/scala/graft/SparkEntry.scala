@@ -3758,6 +3758,35 @@ object SparkEntry {
           iters = 3, k = 30)
         .orderBy("rank")),
 
+    // q177: the DQ monitor deployed at ingest — per-micro-batch
+    // expectation reports, the metrics-over-time shape (a batch whose
+    // null rate jumps is its own rows, not averaged into corpus totals).
+    // Arrivals split by doc parity into two deterministic micro-batches;
+    // the accumulated log must equal the two per-parity SQL reports —
+    // 2 rows per check, a FULL oracle (order-free: the compare sorts)
+    "q177_stream_expectations" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val checks = Seq(
+        "text_not_null" -> col("text").isNotNull,
+        "n_chars_positive" -> (col("n_chars") > 0),
+        "n_chars_under_500" -> (col("n_chars") < 500),
+        "lang_known" -> col("lang").isin("en", "fr", "es", "zh", "de"))
+      val tmp = java.nio.file.Files.createTempDirectory("q177").toString
+      try {
+        val store = new graft.sync.ParquetStore(s, s"$tmp/out")
+        docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+          .write.mode("append").parquet(s"$tmp/src")
+        docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+          .write.mode("append").parquet(s"$tmp/src")
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+        IncrementalStream.expectationsGate(stream, checks,
+          store, "dq", checkpointDir = s"$tmp/ck").awaitTermination()
+        store.read("dq").get.drop("__run", "__batch")
+          .orderBy("check_name", "n_violations").localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+
     // q160: MJPEG video FRAME decode — the pixel-level completion of the
     // modality triple (image q87/q120, audio q101/q127, video previously
     // header-only via q107/q35). Every doc becomes a planted MJPEG-in-AVI:
@@ -3935,6 +3964,18 @@ object SparkEntry {
     // graph — `//` and Spark's `div` agree exactly on the all-positive
     // operands
     "q176_textrank_keywords" -> textRankOracleSql(iters = 3, k = 30),
+    // q177: two per-parity SQL reports unioned — one row per (check,
+    // batch); the compare sorts, so batch arrival order is irrelevant
+    "q177_stream_expectations" -> {
+      def side(parity: Int): String =
+        s"SELECT 'text_not_null' AS check_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(CASE WHEN text IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_violations FROM documents WHERE doc_id % 2 = $parity" +
+          s" UNION ALL SELECT 'n_chars_positive', CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN coalesce(n_chars > 0, false) THEN 0 ELSE 1 END) AS BIGINT) FROM documents WHERE doc_id % 2 = $parity" +
+          s" UNION ALL SELECT 'n_chars_under_500', CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN coalesce(n_chars < 500, false) THEN 0 ELSE 1 END) AS BIGINT) FROM documents WHERE doc_id % 2 = $parity" +
+          s" UNION ALL SELECT 'lang_known', CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN coalesce(lang IN ('en','fr','es','zh','de'), false) THEN 0 ELSE 1 END) AS BIGINT) FROM documents WHERE doc_id % 2 = $parity"
+      "WITH r AS (" + side(0) + " UNION ALL " + side(1) + ") " +
+        "SELECT check_name, n_rows, n_violations, CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass " +
+        "FROM r ORDER BY check_name, n_violations"
+    },
     // q172: deflate is JVM-side by nature — planted-comparator violations
     "q172_compression_signal" ->
       "SELECT CAST(0 AS BIGINT) AS violations",

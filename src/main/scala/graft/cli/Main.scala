@@ -49,6 +49,8 @@ object Main {
       "       build-vocab --corpus <parquet> --text <col> --top <n> --out <parquetDir>\n" +
       "       bpe-train --corpus <parquet> --text <col> --merges <n> --out <parquetDir>\n" +
       "       bpe-encode --corpus <parquet> --id <col> --text <col> --merges <parquetDir> --out <parquetDir>\n" +
+      "       validate --corpus <parquet> --out <parquetDir> [--not-null c1,c2] [--range col:min:max,...] [--unique k1,k2[;k3]] [--ref <fk> --ref-table <parquet> --ref-key <col>]\n" +
+      "       keywords --corpus <parquet> --text <col> --iters <n> --k <n> --out <parquetDir>\n" +
       "       gopher-filter --corpus <parquet> --id <col> --text <col> --out <parquetDir>\n" +
       "       gopher-gate --source <parquetDir> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       unigram-train --corpus <parquet> --text <col> --max-piece-len <n> --keep <n> --rounds <n> --out <parquetDir>\n" +
@@ -159,6 +161,13 @@ object Main {
                                        seed: String, out: String) extends Cmd
   private case class GopherFilterCmd(corpus: String, id: String, text: String,
                                      out: String) extends Cmd
+  private case class ValidateCmd(corpus: String, notNull: Seq[String],
+                                 ranges: Seq[(String, Long, Long)],
+                                 uniques: Seq[Seq[String]],
+                                 ref: Option[(String, String, String)],
+                                 out: String) extends Cmd
+  private case class KeywordsCmd(corpus: String, text: String, iters: Int,
+                                 k: Int, out: String) extends Cmd
   private case class GopherGateCmd(source: String, id: String, text: String,
                                    dest: String, table: String,
                                    checkpoint: String) extends Cmd
@@ -430,6 +439,45 @@ object Main {
         merges <- req(opts, "bpe-encode", "merges")
         out <- req(opts, "bpe-encode", "out")
       } yield BpeEncodeCmd(corpus, id, text, merges, out)
+    case "validate" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "validate", "corpus")
+        out <- req(opts, "validate", "out")
+        notNull = opts.get("not-null").map(_.split(',').toSeq).getOrElse(Seq.empty)
+        ranges <- opts.get("range").map(_.split(',').toSeq).getOrElse(Seq.empty)
+          .foldLeft(Right(Seq.empty): Either[String, Seq[(String, Long, Long)]]) {
+            case (acc, spec) => acc.flatMap { rs =>
+              spec.split(':') match {
+                case Array(c, lo, hi) =>
+                  (lo.toLongOption, hi.toLongOption) match {
+                    case (Some(l), Some(h)) => Right(rs :+ ((c, l, h)))
+                    case _ => Left(s"validate: --range bounds must be integers in '$spec'")
+                  }
+                case _ => Left(s"validate: --range expects col:min:max, got '$spec'")
+              }
+            }
+          }
+        uniques = opts.get("unique").map(_.split(';').toSeq.map(_.split(',').toSeq))
+          .getOrElse(Seq.empty)
+        ref <- (opts.get("ref"), opts.get("ref-table"), opts.get("ref-key")) match {
+          case (Some(fk), Some(dir), Some(key)) => Right(Some((fk, dir, key)))
+          case (None, None, None) => Right(None)
+          case _ => Left("validate: --ref, --ref-table, --ref-key must be given together")
+        }
+        _ <- if (notNull.nonEmpty || ranges.nonEmpty || uniques.nonEmpty || ref.nonEmpty)
+          Right(()) else Left("validate: no checks given " +
+            "(--not-null / --range / --unique / --ref)")
+      } yield ValidateCmd(corpus, notNull, ranges, uniques, ref, out)
+    case "keywords" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "keywords", "corpus")
+        text <- req(opts, "keywords", "text")
+        iters <- posInt(opts, "keywords", "iters")
+        k <- posInt(opts, "keywords", "k")
+        out <- req(opts, "keywords", "out")
+      } yield KeywordsCmd(corpus, text, iters, k, out)
     case "gopher-filter" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -1004,6 +1052,37 @@ object Main {
         .select(org.apache.spark.sql.functions.col(id),
           graft.text.TextAnalysis.bpeEncode(
             org.apache.spark.sql.functions.col(text), merges).as("pieces"))
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case ValidateCmd(corpus, notNull, ranges, uniques, ref, out) =>
+      // the post-sync validation report: row checks fold into one pass,
+      // uniqueness/referential each one aggregate/anti-join; the written
+      // report is the (check_name, n_rows, n_violations, pass) artifact
+      // a landing pipeline alarms on
+      val df = spark.read.parquet(corpus)
+      val c = org.apache.spark.sql.functions.col _
+      val rowChecks =
+        notNull.map(n => s"${n}_not_null" -> c(n).isNotNull) ++
+          ranges.map { case (n, lo, hi) =>
+            s"${n}_range" -> (c(n) >= lo && c(n) <= hi) }
+      val reports =
+        (if (rowChecks.nonEmpty)
+          Seq(graft.operators.Expectations.rowChecks(df, rowChecks))
+        else Seq.empty) ++
+          uniques.map(keys => graft.operators.Expectations.uniqueCheck(
+            df, keys.mkString("_", "_", "_unique").stripPrefix("_"), keys)) ++
+          ref.toSeq.map { case (fk, dir, key) =>
+            graft.operators.Expectations.refCheck(df, s"${fk}_in_ref", fk,
+              spark.read.parquet(dir), key)
+          }
+      graft.operators.Expectations.all(reports: _*)
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case KeywordsCmd(corpus, text, iters, k, out) =>
+      // TextRank keyword artifact: (node, pr_micro, rank)
+      graft.text.TextRank.keywords(spark.read.parquet(corpus), text, iters, k)
         .write.mode("overwrite").parquet(out)
       0
 

@@ -335,6 +335,33 @@ object IncrementalStream {
     }
   }
 
+  /** STREAMING data-quality monitor — [[graft.operators.Expectations]]
+    * row checks evaluated PER MICRO-BATCH, the Deequ-metrics-over-time
+    * shape: each arriving batch appends one (check_name, n_rows,
+    * n_violations, pass) row per check, so the accumulated log IS the
+    * quality time series a landing pipeline alarms on (a batch whose
+    * null rate jumps is visible as its own rows, not averaged away into
+    * corpus totals). All checks fold into the batch's ONE aggregate pass
+    * (the rowChecks contract); the report rows ride the lineage-stamped
+    * retry guard keyed on check_name — a crashed batch's partial report
+    * re-appends exactly its missing checks, and within a lineage other
+    * batches' same-named rows are untouched (the guard is batch-scoped
+    * by construction). */
+  def expectationsGate(docStream: DataFrame,
+                       checks: Seq[(String, org.apache.spark.sql.Column)],
+                       store: graft.sync.TableStore, table: String,
+                       checkpointDir: String,
+                       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(checks.nonEmpty, "expectationsGate: no checks given")
+    guardedAppend(docStream, store, table, checkpointDir,
+      Seq("check_name"), trigger) { batch =>
+      // an empty micro-batch (trigger edge cases) must not log phantom
+      // all-pass rows — report only batches that carried data
+      graft.operators.Expectations.rowChecks(batch, checks)
+        .filter(org.apache.spark.sql.functions.col("n_rows") > 0)
+    }
+  }
+
   /** STREAMING Gopher quality gate — the heuristic filter battery
     * ([[graft.text.Gopher.quality]]) deployed at ingest: each arriving
     * micro-batch emits its per-rule counts + flags + keep row and the

@@ -561,6 +561,43 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("validate: declarative checks build the expectation report; malformed specs are usage errors") {
+    val tmp = Files.createTempDirectory("graft_cli_val").toString
+    Seq[(java.lang.Long, java.lang.Long, String)](
+      (1L, 10L, "a"), (1L, 55L, "b"), (2L, null, "c"))
+      .toDF("id", "v", "s").write.parquet(s"$tmp/t")
+    Seq(1L, 2L).toDF("pk").write.parquet(s"$tmp/ref")
+    assert(Main.run(spark, Array("validate",
+      "--corpus", s"$tmp/t", "--not-null", "v,s", "--range", "v:0:50",
+      "--unique", "id", "--ref", "id", "--ref-table", s"$tmp/ref",
+      "--ref-key", "pk", "--out", s"$tmp/rep")) === 0)
+    val rep = spark.read.parquet(s"$tmp/rep")
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rep("v_not_null") === ((1L, 0L)))     // one NULL v
+    assert(rep("s_not_null") === ((0L, 1L)))
+    assert(rep("v_range") === ((2L, 0L)))        // 55 out of range, NULL violates
+    assert(rep("id_unique") === ((1L, 0L)))      // duplicate id 1
+    assert(rep("id_in_ref") === ((0L, 1L)))      // all ids resolve
+    // malformed range spec: usage error before any Spark job
+    assert(Main.run(spark, Array("validate",
+      "--corpus", s"$tmp/t", "--range", "v:low:50", "--out", s"$tmp/x")) === 2)
+    // zero checks: usage error
+    assert(Main.run(spark, Array("validate",
+      "--corpus", s"$tmp/t", "--out", s"$tmp/x")) === 2)
+  }
+
+  test("keywords: TextRank artifact ranks the corpus hubs") {
+    val tmp = Files.createTempDirectory("graft_cli_kw").toString
+    Seq("data merge data merge data spark").toDF("text")
+      .write.parquet(s"$tmp/corpus")
+    assert(Main.run(spark, Array("keywords",
+      "--corpus", s"$tmp/corpus", "--text", "text", "--iters", "3",
+      "--k", "2", "--out", s"$tmp/kw")) === 0)
+    val kw = spark.read.parquet(s"$tmp/kw").orderBy("rank")
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(kw.length === 2 && kw.map(_._2).toSeq === Seq(1L, 2L))
+  }
+
   test("gopher-filter + gopher-gate: one-pass battery artifact, streamed verdicts equal batch") {
     val tmp = Files.createTempDirectory("graft_cli_gq").toString
     val docs = Seq(

@@ -647,6 +647,35 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(store.read("encoded").get.count() === batch.size)
   }
 
+  test("expectationsGate: per-batch DQ reports accumulate; empty checks fail at start") {
+    import graft.sync.ParquetStore
+    import graft.operators.Expectations
+    val docs = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 10L), (2L, -5L), (3L, 7L), (4L, null)).toDF("id", "v")
+    val checks = Seq("v_not_null" -> $"v".isNotNull, "v_positive" -> ($"v" > 0))
+    val tmp = Files.createTempDirectory("graft_dq").toString
+    docs.filter($"id" <= 2L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    docs.filter($"id" > 2L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    def stream() = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+    val store = new ParquetStore(spark, s"$tmp/out")
+    IncrementalStream.expectationsGate(stream(), checks,
+      store, "dq", checkpointDir = s"$tmp/ck").awaitTermination()
+    val log = store.read("dq").get
+      .select($"check_name", $"n_rows", $"n_violations", $"pass").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._3)).toSeq
+    // one row per (check, batch): batch {1,2} has one negative v; batch
+    // {3,4} has one NULL v (fails both checks)
+    assert(log === Seq(
+      ("v_not_null", 2L, 0L, 1L), ("v_not_null", 2L, 1L, 0L),
+      ("v_positive", 2L, 1L, 0L), ("v_positive", 2L, 1L, 0L)))
+    intercept[IllegalArgumentException] {
+      IncrementalStream.expectationsGate(stream(), Seq.empty,
+        store, "dq2", checkpointDir = s"$tmp/ck2")
+    }
+  }
+
   test("classifierGate: streamed scores equal the batch scorer; bad weight table fails at start") {
     import graft.sync.ParquetStore
     import graft.text.Classifier

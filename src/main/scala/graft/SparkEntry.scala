@@ -3787,6 +3787,16 @@ object SparkEntry {
       } finally deleteRecursively(tmp)
     }),
 
+    // q178: column profiling — the schema-discovery report run BEFORE
+    // configuring a sync (which columns key? which are sparse? what id
+    // ranges?), the Expectations companion: one row per column with
+    // exact null/distinct counts and integral min/max, all from ONE
+    // logical aggregation (the multi-distinct Expand rewrite — the
+    // documented price of exact counts; the approx mode is the 100-TB
+    // path and deliberately NOT the graded one). Full SQL oracle
+    "q178_column_profile" -> ((s, dir) =>
+      Profile.profile(t(s, dir, "orders")).orderBy("col_name")),
+
     // q160: MJPEG video FRAME decode — the pixel-level completion of the
     // modality triple (image q87/q120, audio q101/q127, video previously
     // header-only via q107/q35). Every doc becomes a planted MJPEG-in-AVI:
@@ -3975,6 +3985,21 @@ object SparkEntry {
       "WITH r AS (" + side(0) + " UNION ALL " + side(1) + ") " +
         "SELECT check_name, n_rows, n_violations, CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass " +
         "FROM r ORDER BY check_name, n_violations"
+    },
+    // q178: per-column stats as plain SQL — integral columns carry
+    // min/max, others NULL (no lossy cross-type string render)
+    "q178_column_profile" -> {
+      def c(name: String, integral: Boolean): String = {
+        val mn = if (integral) s"CAST(min($name) AS BIGINT)" else "CAST(NULL AS BIGINT)"
+        val mx = if (integral) s"CAST(max($name) AS BIGINT)" else "CAST(NULL AS BIGINT)"
+        s"SELECT '$name' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, " +
+          s"CAST(sum(CASE WHEN $name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, " +
+          s"CAST(count(DISTINCT $name) AS BIGINT) AS n_distinct, $mn AS min_long, $mx AS max_long FROM orders"
+      }
+      Seq(c("o_orderkey", integral = true), c("o_custkey", integral = true),
+        c("o_orderstatus", integral = false), c("o_totalprice", integral = false),
+        c("o_orderdate", integral = false), c("o_orderpriority", integral = false))
+        .mkString("WITH r AS (", " UNION ALL ", ") SELECT * FROM r ORDER BY col_name")
     },
     // q172: deflate is JVM-side by nature — planted-comparator violations
     "q172_compression_signal" ->

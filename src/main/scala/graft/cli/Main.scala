@@ -49,6 +49,7 @@ object Main {
       "       build-vocab --corpus <parquet> --text <col> --top <n> --out <parquetDir>\n" +
       "       bpe-train --corpus <parquet> --text <col> --merges <n> --out <parquetDir>\n" +
       "       bpe-encode --corpus <parquet> --id <col> --text <col> --merges <parquetDir> --out <parquetDir>\n" +
+      "       profile --corpus <parquet> --out <parquetDir> [--approx true]\n" +
       "       validate --corpus <parquet> --out <parquetDir> [--not-null c1,c2] [--range col:min:max,...] [--unique k1,k2[;k3]] [--ref <fk> --ref-table <parquet> --ref-key <col>]\n" +
       "       keywords --corpus <parquet> --text <col> --iters <n> --k <n> --out <parquetDir>\n" +
       "       gopher-filter --corpus <parquet> --id <col> --text <col> --out <parquetDir>\n" +
@@ -161,6 +162,8 @@ object Main {
                                        seed: String, out: String) extends Cmd
   private case class GopherFilterCmd(corpus: String, id: String, text: String,
                                      out: String) extends Cmd
+  private case class ProfileCmd(corpus: String, approx: Boolean,
+                                out: String) extends Cmd
   private case class ValidateCmd(corpus: String, notNull: Seq[String],
                                  ranges: Seq[(String, Long, Long)],
                                  uniques: Seq[Seq[String]],
@@ -439,6 +442,16 @@ object Main {
         merges <- req(opts, "bpe-encode", "merges")
         out <- req(opts, "bpe-encode", "out")
       } yield BpeEncodeCmd(corpus, id, text, merges, out)
+    case "profile" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "profile", "corpus")
+        out <- req(opts, "profile", "out")
+        // --approx true: HLL distinct counts, no Expand — the wide-table
+        // / 100-TB mode (documented ~2% error)
+        approx <- opts.get("approx").fold(Right(false): Either[String, Boolean])(v =>
+          v.toBooleanOption.toRight(s"profile: --approx must be true or false, got $v"))
+      } yield ProfileCmd(corpus, approx, out)
     case "validate" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -1052,6 +1065,14 @@ object Main {
         .select(org.apache.spark.sql.functions.col(id),
           graft.text.TextAnalysis.bpeEncode(
             org.apache.spark.sql.functions.col(text), merges).as("pieces"))
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case ProfileCmd(corpus, approx, out) =>
+      // the profile-then-pin workflow: run this against an unfamiliar
+      // source, read the report, encode what you learned as `validate`
+      // expectations
+      graft.operators.Profile.profile(spark.read.parquet(corpus), approx)
         .write.mode("overwrite").parquet(out)
       0
 

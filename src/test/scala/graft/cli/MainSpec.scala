@@ -561,6 +561,20 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("profile: per-column report artifact; malformed --approx is a usage error") {
+    val tmp = Files.createTempDirectory("graft_cli_prof").toString
+    Seq[(java.lang.Long, String)]((1L, "a"), (2L, null), (2L, "b"))
+      .toDF("k", "s").write.parquet(s"$tmp/t")
+    assert(Main.run(spark, Array("profile",
+      "--corpus", s"$tmp/t", "--out", s"$tmp/p")) === 0)
+    val p = spark.read.parquet(s"$tmp/p").collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(p("k") === Seq(3L, 0L, 2L, 1L, 2L))
+    assert(p("s") === Seq(3L, 1L, 2L, null, null))
+    assert(Main.run(spark, Array("profile",
+      "--corpus", s"$tmp/t", "--out", s"$tmp/p2", "--approx", "yes")) === 2)
+  }
+
   test("validate: declarative checks build the expectation report; malformed specs are usage errors") {
     val tmp = Files.createTempDirectory("graft_cli_val").toString
     Seq[(java.lang.Long, java.lang.Long, String)](

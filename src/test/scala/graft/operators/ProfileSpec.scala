@@ -1,0 +1,33 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile: exact per-column stats in one pass, integral min/max only") {
+    val df = Seq[(java.lang.Long, String, java.lang.Double)](
+      (1L, "a", 1.5), (2L, "a", null), (2L, null, 2.5), (7L, "b", 2.5))
+      .toDF("k", "s", "d")
+    val p = Profile.profile(df).collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(p("k") === Seq(4L, 0L, 3L, 1L, 7L))
+    assert(p("s") === Seq(4L, 1L, 2L, null, null))  // distinct skips NULL
+    assert(p("d") === Seq(4L, 1L, 2L, null, null))  // double: no min/max
+  }
+
+  test("approxDistinct mode stays exact at tiny cardinality and keeps the schema") {
+    val df = Seq((1L, "x"), (2L, "y"), (2L, "y")).toDF("k", "s")
+    val exact = Profile.profile(df).orderBy("col_name").collect().map(_.toSeq)
+    val approx = Profile.profile(df, approxDistinct = true)
+      .orderBy("col_name").collect().map(_.toSeq)
+    assert(exact.toSeq === approx.toSeq)
+  }
+
+  test("all-NULL integral column yields NULL min/max, full null count") {
+    val df = Seq[java.lang.Long](null, null).toDF("k")
+    val r = Profile.profile(df).head
+    assert(r.toSeq === Seq("k", 2L, 2L, 0L, null, null))
+  }
+}

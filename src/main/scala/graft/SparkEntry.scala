@@ -3711,7 +3711,7 @@ object SparkEntry {
         when(col("doc_id") % 3 === 0,
           lit(" cr\u00e8me br\u00fbl\u00e9e \u00e5land")).otherwise(lit("")),
         when(col("doc_id") % 5 === 0,
-          lit(" déjà vu übermaß")).otherwise(lit("")))
+          lit(" de\u0301ja\u0300 vu \u00fcberma\u00df")).otherwise(lit("")))
       t(s, dir, "documents").select(col("doc_id"), plant.as("t"))
         .select(col("doc_id"),
           Normalize.stripAccents(col("t")).as("t_stripped"),
@@ -3782,7 +3782,7 @@ object SparkEntry {
           .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
         IncrementalStream.expectationsGate(stream, checks,
           store, "dq", checkpointDir = s"$tmp/ck").awaitTermination()
-        store.read("dq").get.drop("__run", "__batch")
+        store.read("dq").get.drop("__run", "__batch", "__obs")
           .orderBy("check_name", "n_violations").localCheckpoint()
       } finally deleteRecursively(tmp)
     }),
@@ -3966,8 +3966,11 @@ object SparkEntry {
         " UNION ALL SELECT 'o_totalprice_positive', CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN coalesce(o_totalprice > 0, false) THEN 0 ELSE 1 END) AS BIGINT) FROM orders" +
         " UNION ALL SELECT 'o_totalprice_under_100', CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN coalesce(o_totalprice < 100, false) THEN 0 ELSE 1 END) AS BIGINT) FROM orders" +
         " UNION ALL SELECT 'l_quantity_range', CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN coalesce(l_quantity >= 1 AND l_quantity <= 50, false) THEN 0 ELSE 1 END) AS BIGINT) FROM lineitem" +
-        " UNION ALL SELECT 'o_orderkey_unique', CAST(count(*) AS BIGINT), CAST(count(*) - count(DISTINCT o_orderkey) + sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders" +
-        " UNION ALL SELECT 'lineitem_pk_unique', CAST(count(*) AS BIGINT), CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) + sum(CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem" +
+        // uniqueness: n - distinct-over-FULLY-NON-NULL-keys — null-keyed
+        // rows each count once (they are not in the distinct), never
+        // twice (the uniqueCheck null-skipping contract)
+        " UNION ALL SELECT 'o_orderkey_unique', CAST(count(*) AS BIGINT), CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders" +
+        " UNION ALL SELECT 'lineitem_pk_unique', CAST(count(*) AS BIGINT), CAST(count(*) - count(DISTINCT CASE WHEN l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL THEN (l_orderkey, l_linenumber) END) AS BIGINT) FROM lineitem" +
         " UNION ALL SELECT 'l_orderkey_in_orders', CAST((SELECT count(*) FROM lineitem) AS BIGINT), CAST((SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)) " +
         "SELECT check_name, n_rows, n_violations, CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass FROM r ORDER BY check_name"),
     // q176: the generated integer-PageRank replay over the same bigram

@@ -26,41 +26,54 @@ import org.apache.spark.sql.types.LongType
   * SQL oracle (q175). */
 object Expectations {
 
+  /** The internal total-count alias [[rowChecks]] appends to its one
+    * aggregate — reserved (collision-improbable by construction). */
+  private val TotalAlias = "__graft_expectations_total"
+
   /** All row-level checks in ONE aggregate pass: for each (name,
     * predicate), count rows where the predicate is NOT satisfied (NULL
     * predicate = violation — a null can never *satisfy* a constraint;
     * use explicit isNull arms to express nullable-tolerant checks). */
   def rowChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty, "Expectations.rowChecks: no checks given")
+    // check names become agg column aliases read back BY NAME — a
+    // duplicate (or a name shadowing the internal total) would make
+    // Row.getAs silently return the wrong count (last alias wins)
+    require(checks.map(_._1).distinct.length == checks.length,
+      "Expectations.rowChecks: duplicate check names")
+    require(!checks.exists(_._1 == TotalAlias),
+      s"Expectations.rowChecks: '$TotalAlias' is reserved")
     val total = count(lit(1)).cast(LongType)
     val aggs = checks.map { case (name, pred) =>
       sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).cast(LongType).as(name)
     }
-    val one = df.agg(aggs.head, (aggs.tail :+ total.as("__n")): _*).head()
-    val n = one.getAs[Long]("__n")
+    val one = df.agg(aggs.head, (aggs.tail :+ total.as(TotalAlias)): _*).head()
+    val n = one.getAs[Long](TotalAlias)
     val rows = checks.map { case (name, _) =>
       (name, n, one.getAs[Long](name))
     }
     report(df, rows)
   }
 
-  /** Uniqueness of a key set: violations = rows beyond the first of each
-    * duplicated key (n_rows - n_distinct_keys) — 0 iff the key is unique.
-    * NULL-keyed rows count as violations (a key with NULLs cannot
-    * identify a row). */
+  /** Uniqueness of a key set: violations = fully-keyed rows beyond the
+    * first of each duplicated key, PLUS every row with a NULL in the key
+    * (a key with NULLs cannot identify a row) — 0 iff the key is unique
+    * and total. The distinct count deliberately ranges over FULLY
+    * NON-NULL keys only (the `when` without otherwise yields NULL for
+    * null-keyed rows, which count_distinct skips): counting null-keyed
+    * structs as distinct values would both double-count those rows
+    * (surplus term AND nulls term — violations could exceed n_rows) and
+    * diverge from SQL's `count(DISTINCT k)` null-skipping semantics that
+    * the q175 oracle mirrors. */
   def uniqueCheck(df: DataFrame, name: String, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "Expectations.uniqueCheck: no key columns")
     val nonNull = keys.map(col(_).isNotNull).reduce(_ && _)
     val agg = df.agg(
       count(lit(1)).cast(LongType).as("__n"),
-      count_distinct(struct(keys.map(col): _*)).cast(LongType).as("__d"),
+      count_distinct(when(nonNull, struct(keys.map(col): _*))).cast(LongType).as("__d"),
       sum(when(nonNull, 0L).otherwise(1L)).cast(LongType).as("__nulls")).head()
     val (n, d, nulls) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
-    // count_distinct skips all-NULL structs? No: struct() of NULLs is a
-    // non-NULL struct, so d counts them — violations are the surplus
-    // rows over distinct keys plus nothing extra; null keys flagged via
-    // the explicit term so a unique-but-nullable key still fails
-    report(df, Seq((name, n, (n - d) + nulls)))
+    report(df, Seq((name, n, ((n - nulls) - d) + nulls)))
   }
 
   /** Referential integrity: every non-NULL `fk` of `df` must exist in

@@ -24,14 +24,26 @@ import org.apache.spark.sql.types._
   * whose float/timestamp formatting is engine-specific. */
 object Profile {
 
+  /** MapType is unorderable in Spark — neither DISTINCT nor min/max can
+    * group on it (anywhere in the type: array<map>, struct{m: map}), so
+    * a profiled map column reports counts but a NULL n_distinct instead
+    * of crashing the whole run on an unfamiliar schema. */
+  private def containsMap(dt: DataType): Boolean = dt match {
+    case _: MapType       => true
+    case ArrayType(e, _)  => containsMap(e)
+    case StructType(fs)   => fs.exists(f => containsMap(f.dataType))
+    case _                => false
+  }
+
   def profile(df: DataFrame, approxDistinct: Boolean = false): DataFrame = {
     val fields = df.schema.fields.toSeq
     require(fields.nonEmpty, "Profile.profile: no columns")
     val aggs = fields.flatMap { f =>
       val c = col(f.name)
       val distinct =
-        if (approxDistinct) approx_count_distinct(c)
-        else count_distinct(c)
+        if (containsMap(f.dataType)) lit(null).cast(LongType)
+        else if (approxDistinct) approx_count_distinct(c).cast(LongType)
+        else count_distinct(c).cast(LongType)
       val (mn, mx) = f.dataType match {
         case ByteType | ShortType | IntegerType | LongType =>
           (min(c).cast(LongType), max(c).cast(LongType))
@@ -40,7 +52,7 @@ object Profile {
       }
       Seq(
         sum(when(c.isNull, 1L).otherwise(0L)).cast(LongType).as(s"__nulls_${f.name}"),
-        distinct.cast(LongType).as(s"__distinct_${f.name}"),
+        distinct.as(s"__distinct_${f.name}"),
         mn.as(s"__min_${f.name}"), mx.as(s"__max_${f.name}"))
     } :+ count(lit(1)).cast(LongType).as("__n")
     val one = df.agg(aggs.head, aggs.tail: _*).head()
@@ -50,7 +62,7 @@ object Profile {
     fields.map { f =>
       (f.name, n,
         one.getAs[Long](s"__nulls_${f.name}"),
-        one.getAs[Long](s"__distinct_${f.name}"),
+        Option(one.getAs[java.lang.Long](s"__distinct_${f.name}")).map(Long2long),
         Option(one.getAs[java.lang.Long](s"__min_${f.name}")).map(Long2long),
         Option(one.getAs[java.lang.Long](s"__max_${f.name}")).map(Long2long))
     }.toDF("col_name", "n_rows", "n_nulls", "n_distinct", "min_long", "max_long")

@@ -271,6 +271,15 @@ object Sampling {
     require(!df.columns.exists(_.equalsIgnoreCase("sample_rank")),
       "weightedSample: input already has a 'sample_rank' column — " +
         "re-sampling a sample artifact would silently clobber it")
+    // the global (keys = none) path materializes __rk/__b/__r working
+    // columns and drops them at the end — an input column with one of
+    // those names would be silently clobbered AND removed from the output
+    if (keys.isEmpty) {
+      val internal = Seq("__rk", "__b", "__r")
+      require(!df.columns.exists(c => internal.exists(_.equalsIgnoreCase(c))),
+        "weightedSample: input columns collide with the global path's " +
+          "__rk/__b/__r working columns — rename them before sampling")
+    }
     val key = md5(concat(lit(seed + ":"), col(idCol).cast("string"))
       .cast("binary"))
     val u = greatest(

@@ -212,8 +212,9 @@ object IncrementalStream {
     * size (one extra bounded limit+count job per batch) before hinting
     * the broadcast. A serving loop whose batches are bounded by
     * construction (source admission control, interactive query rates)
-    * should pass -1: broadcast unconditionally and skip the per-batch
-    * probe job entirely. */
+    * should pass Long.MaxValue: broadcast unconditionally and skip the
+    * per-batch probe job entirely (0 = never broadcast; negative values
+    * are rejected). */
   def bm25Serve(queryStream: DataFrame, index: => graft.text.TfIdf.Bm25Index,
                 idCol: String, k: Int, store: graft.sync.TableStore,
                 table: String, checkpointDir: String,
@@ -327,7 +328,15 @@ object IncrementalStream {
         org.apache.spark.sql.functions.col("score_milli")).collect()
       .map(r => graft.text.Unigram.UnigramPiece(
         r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // the full artifact contract checked BEFORE the query starts (the
+    // collectModel convention): a corrupted piece table must fail here,
+    // not as a StreamingQueryException inside the first micro-batch
+    // after the checkpoint exists
     require(collected.nonEmpty, "unigramGate: empty piece table")
+    require(collected.forall(p => p.piece != null && p.piece.nonEmpty),
+      "unigramGate: empty/null piece rows in the artifact")
+    require(collected.map(_.piece).distinct.length == collected.length,
+      "unigramGate: duplicate piece rows would make the Viterbi argmax ambiguous")
     guardedAppend(docStream, store, table, checkpointDir, Seq(idCol), trigger) { batch =>
       batch.select(org.apache.spark.sql.functions.col(idCol),
         graft.text.Unigram.unigramEncode(
@@ -338,28 +347,45 @@ object IncrementalStream {
   /** STREAMING data-quality monitor — [[graft.operators.Expectations]]
     * row checks evaluated PER MICRO-BATCH, the Deequ-metrics-over-time
     * shape: each arriving batch appends one (check_name, n_rows,
-    * n_violations, pass) row per check, so the accumulated log IS the
-    * quality time series a landing pipeline alarms on (a batch whose
+    * n_violations, pass, __obs) row per check, so the accumulated log IS
+    * the quality time series a landing pipeline alarms on (a batch whose
     * null rate jumps is visible as its own rows, not averaged away into
     * corpus totals). All checks fold into the batch's ONE aggregate pass
-    * (the rowChecks contract); the report rows ride the lineage-stamped
-    * retry guard keyed on check_name — a crashed batch's partial report
-    * re-appends exactly its missing checks, and within a lineage other
-    * batches' same-named rows are untouched (the guard is batch-scoped
-    * by construction). */
+    * (the rowChecks contract).
+    *
+    * Guard semantics differ from the id-keyed gates ON PURPOSE: a check
+    * name does not identify an observation — one check produces a row
+    * per (lineage, batch) forever — so keying the retry guard on
+    * check_name alone would let ANY pre-existing rows (a prior
+    * monitoring lineage, a legacy unstamped seed) permanently block all
+    * future reports with the same names. Each report row therefore
+    * carries `__obs` = "lineage:batchId" and the guard keys on
+    * (check_name, __obs): a crashed batch re-appends exactly its missing
+    * checks, other batches and OTHER LINEAGES never collide — a fresh
+    * checkpoint over the same source logs its own observations, which is
+    * the correct semantics for a monitoring time series (each run
+    * observed the data; both observations belong in the log). */
   def expectationsGate(docStream: DataFrame,
                        checks: Seq[(String, org.apache.spark.sql.Column)],
                        store: graft.sync.TableStore, table: String,
                        checkpointDir: String,
                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     require(checks.nonEmpty, "expectationsGate: no checks given")
-    guardedAppend(docStream, store, table, checkpointDir,
-      Seq("check_name"), trigger) { batch =>
-      // an empty micro-batch (trigger edge cases) must not log phantom
-      // all-pass rows — report only batches that carried data
-      graft.operators.Expectations.rowChecks(batch, checks)
-        .filter(org.apache.spark.sql.functions.col("n_rows") > 0)
-    }
+    lazy val run = lineageId(docStream.sparkSession, checkpointDir)
+    docStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // an empty micro-batch (trigger edge cases) must not log phantom
+        // all-pass rows — report only batches that carried data
+        val report = graft.operators.Expectations.rowChecks(batch, checks)
+          .filter(org.apache.spark.sql.functions.col("n_rows") > 0)
+          .withColumn("__obs",
+            org.apache.spark.sql.functions.lit(s"$run:$batchId"))
+        guardedAppendBatch(store, table, Seq("check_name", "__obs"),
+          run, batchId)(report)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
   }
 
   /** STREAMING Gopher quality gate — the heuristic filter battery

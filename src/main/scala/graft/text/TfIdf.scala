@@ -165,16 +165,22 @@ object TfIdf {
     // terms are bounded (tens), so the default admits ~10^5 queries ≈ a
     // few-MB broadcast.
     val qjoined = qterms.join(index.docFreqs, "token")
-    // maxBroadcastQueries == 0 is an explicit never-broadcast opt-out;
-    // < 0 is the always-broadcast opt-out for callers whose batch size
-    // is bounded BY CONSTRUCTION (the streaming serve path: the probe's
-    // extra limit+count job per micro-batch would otherwise dominate
-    // interactive batches that are far below the cap — see bm25Serve).
+    // maxBroadcastQueries == 0 is the explicit never-broadcast opt-out;
+    // Long.MaxValue is the always-broadcast opt-out for callers whose
+    // batch size is bounded BY CONSTRUCTION (the streaming serve path:
+    // the probe's extra limit+count job per micro-batch would otherwise
+    // dominate interactive batches far below the cap — see bm25Serve).
     // Both skip the probe entirely; a positive cap probes, clamped to
-    // the limit() Int domain
+    // the limit() Int domain. Negative values are REJECTED rather than
+    // given a sign-sentinel meaning: an earlier revision read <= 0 as
+    // never-broadcast and a later one read < 0 as always-broadcast —
+    // exactly the silent inversion a require makes impossible.
+    require(maxBroadcastQueries >= 0,
+      s"bm25Join: maxBroadcastQueries must be >= 0 (0 = never broadcast, " +
+        s"Long.MaxValue = always broadcast, else a probed cap), got $maxBroadcastQueries")
     val qdf =
       if (maxBroadcastQueries == 0) qjoined
-      else if (maxBroadcastQueries < 0) broadcast(qjoined)
+      else if (maxBroadcastQueries == Long.MaxValue) broadcast(qjoined)
       else {
         val cap = math.min(maxBroadcastQueries, Int.MaxValue - 1L).toInt
         if (queryDf.limit(cap + 1).count() <= cap) broadcast(qjoined) else qjoined

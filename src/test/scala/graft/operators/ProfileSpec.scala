@@ -25,6 +25,14 @@ class ProfileSpec extends SparkSpec {
     assert(exact.toSeq === approx.toSeq)
   }
 
+  test("map columns profile with NULL n_distinct instead of crashing") {
+    val df = Seq((1L, Map("a" -> 1)), (2L, Map("b" -> 2))).toDF("k", "m")
+    val p = Profile.profile(df).collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(p("m") === Seq(2L, 0L, null, null, null)) // counts, no distinct
+    assert(p("k") === Seq(2L, 0L, 2L, 1L, 2L))       // siblings unaffected
+  }
+
   test("all-NULL integral column yields NULL min/max, full null count") {
     val df = Seq[java.lang.Long](null, null).toDF("k")
     val r = Profile.profile(df).head

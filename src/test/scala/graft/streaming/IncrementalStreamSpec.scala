@@ -670,9 +670,19 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(log === Seq(
       ("v_not_null", 2L, 0L, 1L), ("v_not_null", 2L, 1L, 0L),
       ("v_positive", 2L, 1L, 0L), ("v_positive", 2L, 1L, 0L)))
+    // a FRESH monitoring lineage over the same source logs its OWN
+    // observations — the time series accumulates, it is never blocked by
+    // prior lineages' same-named rows (unlike the id-keyed gates)
+    IncrementalStream.expectationsGate(stream(), checks,
+      store, "dq", checkpointDir = s"$tmp/ck2").awaitTermination()
+    assert(store.read("dq").get.count() === 8)
+    // ...while a RETRY within a lineage appends nothing new
+    IncrementalStream.expectationsGate(stream(), checks,
+      store, "dq", checkpointDir = s"$tmp/ck").awaitTermination()
+    assert(store.read("dq").get.count() === 8)
     intercept[IllegalArgumentException] {
       IncrementalStream.expectationsGate(stream(), Seq.empty,
-        store, "dq2", checkpointDir = s"$tmp/ck2")
+        store, "dq2", checkpointDir = s"$tmp/ck2b")
     }
   }
 

@@ -128,6 +128,19 @@ class TfIdfSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("bm25Join broadcast gate: 0/MaxValue skip the probe with identical rows; negatives rejected") {
+    val idx = TfIdf.buildBm25Index(docs, "doc_id", "text", corpusSize = 3)
+    val q = Seq(("a", "rare cat")).toDF("query_id", "qtext")
+    def rows(cap: Long) = TfIdf.bm25Join(idx, "doc_id", q, k = 3,
+        maxBroadcastQueries = cap)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val probed = rows(100000L)
+    assert(rows(0L) === probed)             // never-broadcast: same rows
+    assert(rows(Long.MaxValue) === probed)  // always-broadcast: same rows
+    // the old sign-sentinel is DEAD, not silently inverted
+    intercept[IllegalArgumentException] { rows(-1L) }
+  }
+
   test("bm25TopK: duplicate query terms count once; k caps each query independently") {
     val out = TfIdf.bm25TopK(docs, "doc_id", "text",
         Seq(("a", "cat cat cat"), ("b", "the")), k = 1, corpusSize = 3)

@@ -3404,11 +3404,15 @@ object SparkEntry {
     // replay of the same per-word fuse), so the grade is a pure
     // two-implementations contract — JVM loop vs the catalyst array fold
     // training used. Eight full merges; full-outer + merge-count
-    // violations (the q124 pattern)
+    // violations (the q124 pattern). Trainer: the full-recount loop —
+    // this query grades BpeApply, not the trainer (q150 trains the delta
+    // path, q159 pins delta == full), and full recount is the cheaper
+    // harness at graded SF (fewer jobs/round), keeping the measurement
+    // comparable with the floor seeded before the delta trainer landed
     "q154_bpe_encode" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val nMerges = 8
-      val (merges, trained) = TextAnalysis.bpeTrain(docs, "text", nMerges)
+      val (merges, trained) = TextAnalysis.bpeTrainFullRecount(docs, "text", nMerges)
       val pairs = merges.sortBy(_.step).map(m => (m.left, m.right))
       val applied = docs
         .select(explode(TextAnalysis.tokens(col("text"))).as("__w")).distinct()

@@ -60,20 +60,19 @@ object Expectations {
     * (a key with NULLs cannot identify a row) — 0 iff the key is unique
     * and total. The distinct count deliberately ranges over FULLY
     * NON-NULL keys only (the `when` without otherwise yields NULL for
-    * null-keyed rows, which count_distinct skips): counting null-keyed
-    * structs as distinct values would both double-count those rows
-    * (surplus term AND nulls term — violations could exceed n_rows) and
-    * diverge from SQL's `count(DISTINCT k)` null-skipping semantics that
-    * the q175 oracle mirrors. */
+    * null-keyed rows, which count_distinct skips — SQL's
+    * `count(DISTINCT k)` null-skipping semantics, mirrored by the q175
+    * oracle): violations = n_rows − distinct then counts each null-keyed
+    * row exactly once (it contributes to n but never to d) alongside the
+    * per-key surplus, and can never exceed n_rows. */
   def uniqueCheck(df: DataFrame, name: String, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "Expectations.uniqueCheck: no key columns")
     val nonNull = keys.map(col(_).isNotNull).reduce(_ && _)
     val agg = df.agg(
       count(lit(1)).cast(LongType).as("__n"),
-      count_distinct(when(nonNull, struct(keys.map(col): _*))).cast(LongType).as("__d"),
-      sum(when(nonNull, 0L).otherwise(1L)).cast(LongType).as("__nulls")).head()
-    val (n, d, nulls) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
-    report(df, Seq((name, n, ((n - nulls) - d) + nulls)))
+      count_distinct(when(nonNull, struct(keys.map(col): _*))).cast(LongType).as("__d")).head()
+    val (n, d) = (agg.getLong(0), agg.getLong(1))
+    report(df, Seq((name, n, n - d)))
   }
 
   /** Referential integrity: every non-NULL `fk` of `df` must exist in

@@ -84,6 +84,20 @@ object Classifier {
     require(rounds >= 0, s"Classifier.train: rounds must be >= 0, got $rounds")
     val pinned = docs.localCheckpoint()
     try {
+      // fail closed on a feature bucket outside [0, dims): the training
+      // margin's element_at lookup is deliberately strict (no coalesce),
+      // so an out-of-range bucket — a dims mismatch between
+      // hashedTokenFeatures and this call — would NULL the margin and
+      // silently drop that doc from every round's violated set, training
+      // a wrong model without error (score() coalesces, so it would
+      // never surface downstream either). One bounded job, once per
+      // train, not per round.
+      val oob = pinned.filter(exists(col("__fs"),
+        p => p.getField("f") < 0L || p.getField("f") >= dims.toLong))
+        .limit(1).count()
+      require(oob == 0L,
+        s"Classifier.train: feature bucket outside [0, $dims) — " +
+          "dims disagrees with the feature table's hashing dims")
       val w = Array.fill(dims)(0L)
       var bias = 0L
       var r = 0

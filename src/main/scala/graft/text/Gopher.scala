@@ -54,6 +54,18 @@ object Gopher {
     * projection — never join two scans for per-row signals. */
   def quality(df: DataFrame, idCol: String, textCol: String,
               extra: (String, Column)*): DataFrame = {
+    // an extra named after a battery column would silently clobber it
+    // (withColumn("keep", ...) replaces, duplicate names make downstream
+    // col() ambiguous) — same silent-clobber guard as Expectations.rowChecks
+    val fixed = Set(idCol, "n_words", "mean_wlen_milli", "n_sym", "n_lines",
+      "n_bullet", "n_ellipsis", "n_alpha", "n_stop", "r_words", "r_wlen",
+      "r_sym", "r_bullet", "r_ellipsis", "r_alpha", "r_stop", "keep")
+    require(extra.map(_._1).distinct.length == extra.length,
+      "Gopher.quality: duplicate extra column names")
+    extra.foreach { case (n, _) =>
+      require(!fixed.contains(n),
+        s"Gopher.quality: extra column '$n' collides with a battery column")
+    }
     val c = col(textCol)
     val words = regexp_extract_all(c, lit("\\S+"), lit(0))
     val nWords = size(words).cast(LongType)

@@ -66,26 +66,31 @@ object TextRank {
     val base = (1000L - dampingPermille) * 1000L
     val pinned = edges.localCheckpoint()
     try {
+      // pinned too: the lazy union+distinct plan would otherwise re-run
+      // its 2·|edges| exchange inside every iteration's pr checkpoint
       val nodes = pinned.select(col("src").as("node"))
         .unionByName(pinned.select(col("dst").as("node"))).distinct()
-      var pr = nodes.withColumn("pr_micro", lit(InitMicro)).localCheckpoint()
-      var r = 0
-      while (r < iters) {
-        val contribs = pinned
-          .join(pr.withColumnRenamed("node", "src"), Seq("src"))
-          // integer mass transfer: floor(pr·w / wout), positive operands,
-          // so Spark's `div` and DuckDB's `//` agree exactly
-          .selectExpr("dst AS node", "(pr_micro * w) div wout AS c")
-          .groupBy("node").agg(sum(col("c")).cast(LongType).as("c"))
-        val prev = pr
-        pr = nodes.join(contribs, Seq("node"), "left")
-          .selectExpr("node",
-            s"CAST($base + ($dampingPermille * coalesce(c, 0)) div 1000 AS BIGINT) AS pr_micro")
-          .localCheckpoint()
-        graft.Checkpoints.release(prev)
-        r += 1
-      }
-      pr
+        .localCheckpoint()
+      try {
+        var pr = nodes.withColumn("pr_micro", lit(InitMicro)).localCheckpoint()
+        var r = 0
+        while (r < iters) {
+          val contribs = pinned
+            .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+            // integer mass transfer: floor(pr·w / wout), positive operands,
+            // so Spark's `div` and DuckDB's `//` agree exactly
+            .selectExpr("dst AS node", "(pr_micro * w) div wout AS c")
+            .groupBy("node").agg(sum(col("c")).cast(LongType).as("c"))
+          val prev = pr
+          pr = nodes.join(contribs, Seq("node"), "left")
+            .selectExpr("node",
+              s"CAST($base + ($dampingPermille * coalesce(c, 0)) div 1000 AS BIGINT) AS pr_micro")
+            .localCheckpoint()
+          graft.Checkpoints.release(prev)
+          r += 1
+        }
+        pr
+      } finally graft.Checkpoints.release(nodes)
     } finally graft.Checkpoints.release(pinned)
   }
 

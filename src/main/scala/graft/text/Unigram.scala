@@ -151,9 +151,12 @@ object Unigram {
 
   /** Independent driver-side Viterbi (grading-only): same integer DP,
     * same L-ascending >= tie rule as [[graft.functions.UnigramEncode]],
-    * reimplemented over plain collections. */
+    * reimplemented over plain collections. `unkScoreMilli` must match the
+    * expression's UNK floor or the two argmax covers diverge on any word
+    * with an out-of-vocab character. */
   def viterbi(w: String, scores: Map[String, Long],
-              maxLen: Int): Seq[String] = {
+              maxLen: Int,
+              unkScoreMilli: Long = DefaultUnkScoreMilli): Seq[String] = {
     if (w.isEmpty) return Seq.empty
     val n = w.length
     val bestScore = new Array[Long](n + 1)
@@ -164,7 +167,7 @@ object Unigram {
       for (l <- 1 to math.min(maxLen, i)) {
         val sc = scores.get(w.substring(i - l, i)) match {
           case Some(s)            => s
-          case None if l == 1     => DefaultUnkScoreMilli
+          case None if l == 1     => unkScoreMilli
           case None               => Long.MinValue
         }
         if (sc != Long.MinValue) {

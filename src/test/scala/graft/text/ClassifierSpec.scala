@@ -83,4 +83,16 @@ class ClassifierSpec extends SparkSpec {
     assert(f(bucket("good")) === 2L)
     assert(f(bucket("bad")) === (if (bucket("bad") == bucket("good")) 3L else 1L))
   }
+
+  test("train fails closed on a feature bucket outside [0, dims)") {
+    // dims mismatch between the feature table and train(): the strict
+    // margin lookup would silently drop the doc every round otherwise
+    val feats = Seq((1L, 9L, 1L)).toDF("doc_id", "f", "x")
+    val df = Classifier.docFeatures(feats, Seq((1L, 1L)).toDF("doc_id", "y"), "doc_id")
+    val e = intercept[IllegalArgumentException] {
+      Classifier.train(df, "doc_id", dims = 8, rounds = 1,
+        lrMicros = 10L, marginMicros = 1000000L)
+    }
+    assert(e.getMessage.contains("[0, 8)"))
+  }
 }

@@ -70,4 +70,20 @@ class GopherSpec extends SparkSpec {
     assert(Seq(Option.empty[String]).toDF("t")
       .select(graft.functions.DeflateSize(col("t"))).head.isNullAt(0))
   }
+
+  test("extra columns may not collide with battery columns or each other") {
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Gopher.quality(df, "doc_id", "text", "keep" -> lit(1L))
+    }
+    intercept[IllegalArgumentException] {
+      Gopher.quality(df, "doc_id", "text", "n_words" -> lit(1L))
+    }
+    intercept[IllegalArgumentException] {
+      Gopher.quality(df, "doc_id", "text", "a" -> lit(1L), "a" -> lit(2L))
+    }
+    // a well-named extra still rides along
+    assert(Gopher.quality(df, "doc_id", "text", "sig" -> lit(7L))
+      .head.getAs[Long]("sig") === 7L)
+  }
 }

@@ -94,4 +94,21 @@ class UnigramSpec extends SparkSpec {
         math.floor(1000.0 * StrictMath.log(p.cnt.toDouble / total.toDouble)).toLong)
     }
   }
+
+  test("viterbi honors a custom UNK floor, in lockstep with the expression") {
+    // "xa"+"b" = -4000 vs "x"(unk)+"a"+"b" = unk-2000: the default floor
+    // (-100000) keeps the in-vocab cover; a raised floor flips the argmax
+    val scores = Map("xa" -> -3000L, "a" -> -1000L, "b" -> -1000L)
+    assert(Unigram.viterbi("xab", scores, 2) === Seq("xa", "b"))
+    assert(Unigram.viterbi("xab", scores, 2, unkScoreMilli = -1000L)
+      === Seq("x", "a", "b"))
+    val pieces = scores.toSeq.sorted
+      .map { case (p, s) => Unigram.UnigramPiece(p, 1L, s) }
+    Seq(Unigram.DefaultUnkScoreMilli, -1000L).foreach { unk =>
+      val enc = Seq("xab").toDF("text")
+        .select(Unigram.unigramEncode(col("text"), pieces, unk))
+        .head.getSeq[String](0)
+      assert(enc === Unigram.viterbi("xab", scores, 2, unk))
+    }
+  }
 }

@@ -6,7 +6,7 @@ import graft.multimodal.Multimodal
 import graft.operators._
 import graft.similarity.Similarity
 import graft.streaming.IncrementalStream
-import graft.text.{Classifier, NgramStats, Scrub, TextAnalysis, Unigram}
+import graft.text.{Classifier, NgramStats, Scrub, TextAnalysis, Unigram, WordPiece}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -68,6 +68,104 @@ object SparkEntry {
     "or" -> -7400L, "ar" -> -7100L, "in" -> -7900L, "on" -> -7600L,
     "st" -> -6200L, "ta" -> -6700L, "me" -> -8000L, "sm" -> -7900L,
     "al" -> -7300L, "ine" -> -11500L, "tch" -> -10500L).map(p => (p._1, p._2))
+
+  /** The q179 line-dedup oracle, shared verbatim with the q183 streaming
+    * line-index ingest: the identical planted multi-line corpus
+    * ([[linePlanted]]'s concat mirrored), occurrence counts over the
+    * whole corpus, >maxDf lines dropped retroactively, docs reassembled
+    * by position with per-doc audit counts. */
+  private val LineDedupOracleSql: String =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN 'SUBSCRIBE TO OUR NEWSLETTER' || chr(10) ELSE '' END
+      |    || replace(coalesce(text, ''), 'merge', chr(10))
+      |    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'COPYRIGHT 2026 EXAMPLE CORP' ELSE '' END
+      |    || chr(10) || 'unique tail ' || doc_id AS text
+      |  FROM documents),
+      |ls AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(text, chr(10))) AS line,
+      |    generate_subscripts(string_split(text, chr(10)), 1) AS pos
+      |  FROM planted),
+      |hot AS (SELECT line FROM ls GROUP BY line HAVING count(*) > 2)
+      |SELECT l.doc_id,
+      |  coalesce(string_agg(CASE WHEN h.line IS NULL THEN l.line END, chr(10) ORDER BY l.pos), '') AS text_clean,
+      |  count(*) FILTER (WHERE h.line IS NULL) AS n_kept,
+      |  count(*) FILTER (WHERE h.line IS NOT NULL) AS n_dropped
+      |FROM ls l LEFT JOIN hot h ON l.line = h.line
+      |GROUP BY l.doc_id
+      |ORDER BY l.doc_id""".stripMargin
+
+  /** The q180/q182 pinned WordPiece vocabulary over the [a-z0-9] corpus —
+    * hand-set so every greedy-matching branch fires on real data (the
+    * UnigramPinned discipline): full-word matches (scan, the, merge,
+    * group — each also covered by shorter prefixes the longest-first
+    * rule must skip), multi-piece splits (batch → ba ##tch, stream → st
+    * ##ream), an UNK by missing continuation (row → ro then ##w absent),
+    * the NO-BACKTRACK trap (dup → greedy takes 'du', then ##p is absent
+    * and the whole word UNKs even though d + ##up would cover — the
+    * canonical WordPiece failure mode, reproduced by construction in
+    * both engines), and an UNK by the length cap (customer, 8 chars,
+    * over [[WordPieceCap]] = 7). */
+  private val WordPiecePinned: Seq[String] = Seq(
+    // plain singles ('w' deliberately absent: a word-START miss is only
+    // reachable for w-initial words; 'wi' below keeps window alive)
+    "a", "b", "c", "d", "f", "g", "h", "j", "k", "l", "m", "o", "p",
+    "q", "r", "s", "t", "v",
+    // plain multis — longest-first exercised at word starts
+    "sc", "scan", "st", "th", "the", "ta", "tab", "da", "cus", "val",
+    "mer", "merge", "gro", "group", "fil", "que", "jo", "ke", "li",
+    "or", "pa", "part", "ro", "sl", "sm", "ag", "agg", "bi", "big",
+    "ba", "du", "col", "ha", "fa", "sp", "ve", "wi",
+    // continuation singles (##p and ##w deliberately absent — the dup
+    // trap and the row miss)
+    "##a", "##b", "##c", "##d", "##e", "##g", "##h", "##i", "##k",
+    "##l", "##m", "##n", "##o", "##r", "##s", "##t", "##u", "##v", "##y",
+    // continuation multis
+    "##an", "##tch", "##er", "##ter", "##am", "##ream", "##ble", "##le",
+    "##ue", "##ry", "##in", "##ine", "##ow", "##mall", "##all", "##ark",
+    "##up", "##umn", "##rt", "##ort")
+
+  /** q180/q182's per-word length cap: 7 puts the corpus' one 8-char word
+    * (customer) over the limit, so the cap branch grades on real data. */
+  private val WordPieceCap = 7
+
+  /** The q180 greedy-walk oracle, shared verbatim with the q182
+    * streaming gate: per word, a DuckDB list_reduce walk carrying
+    * (position, pieces, bad) — at each step the LONGEST vocabulary match
+    * (## prefixed when word-internal) is taken via
+    * list_max(list_filter(...)), a miss marks the word bad, and bad or
+    * over-cap words collapse to one [UNK]. The vocabulary literal is
+    * GENERATED from [[WordPiecePinned]] so the two engines cannot
+    * drift. */
+  private lazy val WordPieceEncodeOracleSql: String = {
+    val vocabSql = "[" + WordPiecePinned.map(p => s"'$p'").mkString(", ") + "]"
+    // the accumulator is a LIST of walk states with the current state at
+    // its tail (the q166 pattern) — DuckDB's list_reduce drops list
+    // fields across iterations when the accumulator is a bare struct
+    val lst = "acc[CAST(len(acc) AS INT)]"
+    val pref = s"CASE WHEN $lst.s = 0 THEN '' ELSE '##' END"
+    // the longest in-vocab candidate length at the current position
+    // (NULL when none matches); inlined at each use site — generated SQL
+    val bl = s"list_max(list_filter(range(1, len(w) - $lst.s + 1), L -> " +
+      s"list_contains($vocabSql, $pref || " +
+      s"substring(w, CAST($lst.s + 1 AS INT), CAST(L AS INT)))))"
+    "WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), " +
+      "w AS (SELECT doc_id, i AS wpos, ts[i] AS w FROM tok, LATERAL unnest(range(1, len(ts)+1)) AS u(i)), " +
+      "walk AS (SELECT doc_id, wpos, w, list_reduce(" +
+      "list_transform(range(0, len(w) + 1), i -> [{'s': CAST(0 AS BIGINT), 'ps': CAST([] AS VARCHAR[]), 'bad': false}]), " +
+      "(acc, x) -> list_append(acc, " +
+      s"CASE WHEN $lst.bad OR $lst.s >= len(w) THEN $lst " +
+      s"WHEN $bl IS NULL THEN {'s': $lst.s, 'ps': $lst.ps, 'bad': true} " +
+      s"ELSE {'s': $lst.s + $bl, 'ps': list_append($lst.ps, $pref || " +
+      s"substring(w, CAST($lst.s + 1 AS INT), CAST($bl AS INT))), 'bad': false} END))" +
+      "[CAST(len(w) + 1 AS INT)] AS st FROM w), " +
+      s"seg AS (SELECT doc_id, wpos, CASE WHEN len(w) > $WordPieceCap OR st.bad " +
+      s"THEN ['${WordPiece.DefaultUnkToken}'] ELSE st.ps END AS seg FROM walk), " +
+      "dp AS (SELECT doc_id, flatten(list(seg ORDER BY wpos)) AS ps FROM seg GROUP BY doc_id) " +
+      "SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ps[i] AS piece " +
+      "FROM dp, LATERAL unnest(range(1, len(ps)+1)) AS u(i) ORDER BY doc_id, pos"
+  }
 
   /** The q171 Gopher oracle, shared verbatim with the q173 streaming
     * gate: the identical planted concat and the identical integer rule
@@ -151,6 +249,22 @@ object SparkEntry {
       when(col("doc_id") % 11 === 0, lit(" 123 456 789 000 111 222")).otherwise(lit("")),
       when(col("doc_id") % 13 === 0, lit("\n- b" * 60)).otherwise(lit("")))
       .as("text"))
+
+  /** q179's planted multi-line corpus: the fixture's documents are
+    * single-line, so line structure derives deterministically in BOTH
+    * engines — every literal 'merge' becomes a line break (left-to-right
+    * non-overlapping in both Spark's regexp_replace and DuckDB's
+    * replace; the pattern cannot self-overlap), every fifth doc gets a
+    * shared boilerplate header, every seventh a shared footer, and every
+    * doc a unique tail line that must survive any threshold. */
+  private def linePlanted(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      when(col("doc_id") % 5 === 0,
+        lit("SUBSCRIBE TO OUR NEWSLETTER\n")).otherwise(lit("")),
+      regexp_replace(coalesce(col("text"), lit("")), "merge", "\n"),
+      when(col("doc_id") % 7 === 0,
+        lit("\nCOPYRIGHT 2026 EXAMPLE CORP")).otherwise(lit("")),
+      lit("\nunique tail "), col("doc_id")).as("text"))
 
   /** The q167/q168 training constants — ONE definition feeding both the
     * Spark pipeline and the generated DuckDB replay so the two engines
@@ -3801,6 +3915,155 @@ object SparkEntry {
     "q178_column_profile" -> ((s, dir) =>
       Profile.profile(t(s, dir, "orders")).orderBy("col_name")),
 
+    // q179: C4/CCNet line-level corpus dedup — drop every exact line
+    // whose occurrence count across the corpus exceeds maxDf (navigation
+    // boilerplate, cookie banners, footers: the highest-yield cleanup on
+    // scraped text) and reassemble each doc from its surviving lines in
+    // order. The fixture's documents are single-line, so line structure
+    // is PLANTED identically in both engines (the q171 convention):
+    // 'merge' becomes a line break, every fifth doc shares a newsletter
+    // header (hot), every seventh a copyright footer (hot), and every
+    // doc carries a unique tail line (must never drop — the negative
+    // control). Dropping is retroactive (first occurrence of a hot line
+    // drops with the rest) and every doc survives with audit counts
+    "q179_line_dedup" -> ((s, dir) =>
+      graft.dedup.Dedup.lineDedup(linePlanted(t(s, dir, "documents")),
+        "doc_id", "text", maxDf = 2).orderBy("doc_id")),
+
+    // q180: WordPiece tokenizer APPLY under the PINNED vocabulary
+    // (WordPiecePinned — the third tokenizer family, completing the set
+    // next to BPE's merge replay q154 and unigram's Viterbi q166):
+    // every document word greedy-segments longest-match-first with ##
+    // continuation and the pieces posexplode to (doc_id, pos, piece),
+    // graded against a full DuckDB list_reduce greedy-walk oracle over
+    // the IDENTICAL generated vocabulary literal — same all-or-nothing
+    // UNK rule (the planted no-backtrack trap: dup takes 'du' then dies
+    // on the absent ##p), same maxInputChars=7 cap (customer, 8 chars).
+    // The Spark side is ONE narrow codegen'd projection — no join, no
+    // shuffle, the vocabulary rides as a reference object; at 100 TB the
+    // corpus is scanned once and only (doc_id, pos, piece) moves
+    "q180_wordpiece_encode" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(graft.functions.WordPieceEncode(
+          TextAnalysis.tokens(col("text")), WordPiecePinned,
+          WordPiece.DefaultUnkToken, WordPieceCap)))
+        .toDF("doc_id", "pos", "piece")
+        .select(col("doc_id"), col("pos").cast(LongType), col("piece"))
+        .orderBy("doc_id", "pos")),
+
+    // q181: WordPiece TRAINING — likelihood-gain merges (score =
+    // cnt(ab)/(cnt(a)·cnt(b)) as the exact scaled integer quotient, the
+    // pair that most increases a unigram LM's corpus likelihood — unlike
+    // BPE's raw-count argmax the score DIVIDES by parent frequencies, so
+    // rare-but-cohesive pairs win first). Graded as the q150+q159
+    // contract in one gate: the delta-recounted trainer, the independent
+    // full-recount trainer, and a brute-force BigInt driver reference
+    // must produce identical merge sequences (scores and counts
+    // included) AND identical final word tables; then the codegen greedy
+    // encoder must reproduce the driver reference segmentation for EVERY
+    // distinct corpus word under the trained vocabulary — tokenizer
+    // train AND apply verified end to end
+    "q181_wordpiece_train" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nMerges = 6
+      val (dm, dw) = WordPiece.wordPieceTrain(docs, "text", nMerges)
+      val (fm, fw) = WordPiece.wordPieceTrainFullRecount(docs, "text", nMerges)
+      val wf = TextAnalysis.bpeWordTable(docs, "text")
+        .select(col("__w"), col("__c")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val (rm, rsyms) = WordPiece.wordPieceTrainReference(wf, nMerges)
+      val headViolations =
+        (if (dm != fm) 1L else 0L) + (if (dm != rm) 1L else 0L) +
+          // progress guard: empty trains must not pass vacuously
+          (if (dm.size != nMerges) 1L else 0L)
+      // final word tables: delta, full and reference must agree row-wise
+      val refFinal = rsyms.map { case (v, _) => v.mkString(" ") }.toSet
+      val tableViolations =
+        (Seq(dw, fw).map(_.select(concat_ws(" ", col("__syms"))).collect()
+          .map(_.getString(0)).toSet)
+          .count(_ != refFinal)).toLong
+      // apply parity: codegen greedy vs driver greedy under the trained
+      // vocabulary, every distinct corpus word (the q165 tail pattern)
+      val vocab = WordPiece.vocabulary(docs, "text", dm)
+      val vocabSet = vocab.toSet
+      import s.implicits._
+      val refSeg = wf.map { case (w, _) =>
+        (w, WordPiece.encodeWordReference(w, vocabSet,
+          WordPiece.DefaultUnkToken,
+          WordPiece.DefaultMaxInputChars).mkString(" "))
+      }.toDF("__w", "__ref")
+      TextAnalysis.bpeWordTable(docs, "text")
+        .select(col("__w"),
+          concat_ws(" ", graft.functions.WordPieceEncode(array(col("__w")),
+            vocab, WordPiece.DefaultUnkToken,
+            WordPiece.DefaultMaxInputChars)).as("__got"))
+        .join(refSeg, Seq("__w"), "full_outer")
+        .agg((violations(col("__got").isNull || col("__ref").isNull ||
+          col("__got") =!= col("__ref"))
+          + lit(headViolations + tableViolations)).as("violations"))
+        .localCheckpoint()
+    }),
+
+    // q182: the WordPiece tokenizer DEPLOYED at ingest — the pinned
+    // vocabulary persists as its artifact (one piece column; WordPiece
+    // apply needs no scores, the cheapest of the three tokenizer gates
+    // to serve), arrivals stream across two micro-batches through the
+    // gate's narrow codegen'd greedy projection, and the accumulated
+    // (doc_id, pieces) log exploded must equal batch q180 under the SAME
+    // DuckDB greedy-walk oracle: segmentation is batch-partitioning-
+    // invariant because the vocabulary is pinned at gate start (the
+    // q146/q170 contract for the WordPiece family)
+    "q182_stream_wordpiece_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("q182").toString
+      try {
+        val store = new graft.sync.ParquetStore(s, s"$tmp/out")
+        val vStore = new graft.sync.ParquetStore(s, s"$tmp/v")
+        import s.implicits._
+        vStore.write(WordPiecePinned.toDF("piece"), "vocab")
+        docs.repartition(2).write.parquet(s"$tmp/src")
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+        IncrementalStream.wordPieceGate(stream, vStore.read("vocab").get,
+          "doc_id", "text", store, "pieces", checkpointDir = s"$tmp/ck",
+          maxInputChars = WordPieceCap)
+          .awaitTermination()
+        store.read("pieces").get
+          .select(col("doc_id"), posexplode(col("pieces")))
+          .toDF("doc_id", "pos", "piece")
+          .select(col("doc_id"), col("pos").cast(LongType), col("piece"))
+          .orderBy("doc_id", "pos").localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+
+    // q183: CONTINUOUS line-index maintenance — the C4 line-dedup member
+    // of the index-ingest family (q124 ANN, q151 winnowing, q158
+    // MinHash): the planted multi-line corpus arrives across THREE
+    // micro-batches, each batch's (doc_id, pos, line) occurrence rows
+    // append under the (doc_id, pos)-keyed retry guard, and serving the
+    // accumulated index through lineDedupFromIndex must equal batch q179
+    // under the SAME DuckDB oracle — the hot threshold applies AT READ,
+    // so a boilerplate line crossing maxDf mid-stream drops
+    // RETROACTIVELY from documents landed before it went hot (the
+    // defining semantics an append-time gate cannot provide)
+    "q183_stream_line_index" -> ((s, dir) => {
+      val docs = linePlanted(t(s, dir, "documents"))
+      val tmp = java.nio.file.Files.createTempDirectory("q183").toString
+      val (srcDir, ckDir, outDir) = (s"$tmp/src", s"$tmp/ck", s"$tmp/out")
+      try {
+        docs.repartition(3).write.parquet(srcDir)
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*.parquet")
+        val store = new graft.sync.ParquetStore(s, outDir)
+        IncrementalStream.lineIndexIngest(stream, "doc_id", "text",
+          store, "lines", checkpointDir = ckDir).awaitTermination()
+        graft.dedup.Dedup.lineDedupFromIndex(
+            store.read("lines").get.select(col("doc_id"), col("pos"), col("line")),
+            "doc_id", maxDf = 2)
+          .orderBy("doc_id").localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+
     // q160: MJPEG video FRAME decode — the pixel-level completion of the
     // modality triple (image q87/q120, audio q101/q127, video previously
     // header-only via q107/q35). Every doc becomes a planted MJPEG-in-AVI:
@@ -4008,6 +4271,24 @@ object SparkEntry {
         c("o_orderdate", integral = false), c("o_orderpriority", integral = false))
         .mkString("WITH r AS (", " UNION ALL ", ") SELECT * FROM r ORDER BY col_name")
     },
+
+    "q180_wordpiece_encode" -> WordPieceEncodeOracleSql,
+    // q182 accumulates the same corpus through the streaming gate under
+    // the same pinned vocabulary — shared oracle by construction
+    "q182_stream_wordpiece_gate" -> WordPieceEncodeOracleSql,
+    // q181 is a three-implementation parity gate (delta trainer ==
+    // full-recount trainer == BigInt driver reference, plus codegen-vs-
+    // reference greedy apply over every distinct word) — violations
+    // contract by nature
+    "q181_wordpiece_train" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+
+    "q179_line_dedup" -> LineDedupOracleSql,
+    // q183 accumulates the same planted corpus through the streaming
+    // line-index ingest and serves it through lineDedupFromIndex —
+    // shared oracle by construction (retroactive hotness over the whole
+    // accumulation IS the batch semantics)
+    "q183_stream_line_index" -> LineDedupOracleSql,
     // q172: deflate is JVM-side by nature — planted-comparator violations
     "q172_compression_signal" ->
       "SELECT CAST(0 AS BIGINT) AS violations",

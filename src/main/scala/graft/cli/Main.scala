@@ -46,6 +46,9 @@ object Main {
       "       mine-negatives --queries <parquet> --corpus <parquet> --id <col> --vec <col> --label <col> --k <n> --out <parquetDir> [--ceiling <cos>]\n" +
       "       centroid-audit --corpus <parquet> --id <col> --vec <col> --label <col> --out <parquetDir>\n" +
       "       self-scrub --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--gram <n>] [--max-df <n>]\n" +
+      "       line-dedup --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--max-df <n>] [--broadcast false]\n" +
+      "       ingest-line-index --source <parquetDir> --id <col> --text <col> --dest <storeDir> --checkpoint <dir>\n" +
+      "       serve-line-dedup --index <storeDir> --id <col> --out <parquetDir> [--max-df <n>] [--broadcast false]\n" +
       "       build-vocab --corpus <parquet> --text <col> --top <n> --out <parquetDir>\n" +
       "       bpe-train --corpus <parquet> --text <col> --merges <n> --out <parquetDir>\n" +
       "       bpe-encode --corpus <parquet> --id <col> --text <col> --merges <parquetDir> --out <parquetDir>\n" +
@@ -56,6 +59,8 @@ object Main {
       "       gopher-gate --source <parquetDir> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       unigram-train --corpus <parquet> --text <col> --max-piece-len <n> --keep <n> --rounds <n> --out <parquetDir>\n" +
       "       unigram-encode --corpus <parquet> --id <col> --text <col> --pieces <parquetDir> --out <parquetDir>\n" +
+      "       wordpiece-train --corpus <parquet> --text <col> --merges <n> --out <parquetDir>\n" +
+      "       wordpiece-encode --corpus <parquet> --id <col> --text <col> --vocab <parquetDir> --out <parquetDir> [--max-chars <n>]\n" +
       "       train-classifier --corpus <parquet> --id <col> --text <col> --label <col(+1/-1)> --dims <n> --rounds <n> --out <parquetDir>\n" +
       "       score-docs --corpus <parquet> --id <col> --text <col> --weights <parquetDir> --out <parquetDir>\n" +
       "       weighted-sample --corpus <parquet> --keys c1[,c2] --id <col> --weight <col> --k <n> --out <parquetDir> [--seed <s>]\n" +
@@ -162,6 +167,15 @@ object Main {
                                        seed: String, out: String) extends Cmd
   private case class GopherFilterCmd(corpus: String, id: String, text: String,
                                      out: String) extends Cmd
+  private case class LineDedupCmd(corpus: String, id: String, text: String,
+                                  maxDf: Int, broadcastHot: Boolean,
+                                  out: String) extends Cmd
+  private case class IngestLineIndexCmd(source: String, id: String,
+                                        text: String, dest: String,
+                                        ck: String) extends Cmd
+  private case class ServeLineDedupCmd(index: String, id: String, maxDf: Int,
+                                       broadcastHot: Boolean,
+                                       out: String) extends Cmd
   private case class ProfileCmd(corpus: String, approx: Boolean,
                                 out: String) extends Cmd
   private case class ValidateCmd(corpus: String, notNull: Seq[String],
@@ -179,6 +193,11 @@ object Main {
                                      out: String) extends Cmd
   private case class UnigramEncodeCmd(corpus: String, id: String, text: String,
                                       pieces: String, out: String) extends Cmd
+  private case class WordPieceTrainCmd(corpus: String, text: String,
+                                       merges: Int, out: String) extends Cmd
+  private case class WordPieceEncodeCmd(corpus: String, id: String,
+                                        text: String, vocab: String,
+                                        maxChars: Int, out: String) extends Cmd
   private case class TrainClassifierCmd(corpus: String, id: String,
                                         text: String, label: String, dims: Int,
                                         rounds: Int, out: String) extends Cmd
@@ -417,6 +436,34 @@ object Main {
         maxDf <- optInt(opts, "self-scrub", "max-df", 1)
         out <- req(opts, "self-scrub", "out")
       } yield SelfScrub(corpus, id, text, n, maxDf, out)
+    case "line-dedup" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "line-dedup", "corpus")
+        id <- req(opts, "line-dedup", "id")
+        text <- req(opts, "line-dedup", "text")
+        maxDf <- optInt(opts, "line-dedup", "max-df", 1)
+        out <- req(opts, "line-dedup", "out")
+      } yield LineDedupCmd(corpus, id, text, maxDf,
+        broadcastHot = opts.getOrElse("broadcast", "true") != "false", out)
+    case "ingest-line-index" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        source <- req(opts, "ingest-line-index", "source")
+        id <- req(opts, "ingest-line-index", "id")
+        text <- req(opts, "ingest-line-index", "text")
+        dest <- req(opts, "ingest-line-index", "dest")
+        ck <- req(opts, "ingest-line-index", "checkpoint")
+      } yield IngestLineIndexCmd(source, id, text, dest, ck)
+    case "serve-line-dedup" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        index <- req(opts, "serve-line-dedup", "index")
+        id <- req(opts, "serve-line-dedup", "id")
+        maxDf <- optInt(opts, "serve-line-dedup", "max-df", 1)
+        out <- req(opts, "serve-line-dedup", "out")
+      } yield ServeLineDedupCmd(index, id, maxDf,
+        broadcastHot = opts.getOrElse("broadcast", "true") != "false", out)
     case "build-vocab" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -528,6 +575,25 @@ object Main {
         pieces <- req(opts, "unigram-encode", "pieces")
         out <- req(opts, "unigram-encode", "out")
       } yield UnigramEncodeCmd(corpus, id, text, pieces, out)
+    case "wordpiece-train" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "wordpiece-train", "corpus")
+        text <- req(opts, "wordpiece-train", "text")
+        merges <- posInt(opts, "wordpiece-train", "merges")
+        out <- req(opts, "wordpiece-train", "out")
+      } yield WordPieceTrainCmd(corpus, text, merges, out)
+    case "wordpiece-encode" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "wordpiece-encode", "corpus")
+        id <- req(opts, "wordpiece-encode", "id")
+        text <- req(opts, "wordpiece-encode", "text")
+        vocab <- req(opts, "wordpiece-encode", "vocab")
+        maxChars <- optInt(opts, "wordpiece-encode", "max-chars",
+          graft.text.WordPiece.DefaultMaxInputChars)
+        out <- req(opts, "wordpiece-encode", "out")
+      } yield WordPieceEncodeCmd(corpus, id, text, vocab, maxChars, out)
     case "train-classifier" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -1107,6 +1173,46 @@ object Main {
         .write.mode("overwrite").parquet(out)
       0
 
+    case LineDedupCmd(corpus, id, text, maxDf, broadcastHot, out) =>
+      // C4/CCNet line dedup: drop corpus-hot lines, reassemble in order
+      // with per-doc audit counts; --broadcast false for web-scale runs
+      // with a low threshold (the hot set is boilerplate-sized there)
+      graft.dedup.Dedup.lineDedup(spark.read.parquet(corpus), id, text,
+          maxDf.toLong, broadcastHot)
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case IngestLineIndexCmd(source, id, text, dest, ck) =>
+      sourceSchema(spark, source, "ingest-line-index").fold(0) { schema =>
+        // raw (id, pos, line) occurrence rows accumulate in the fixed
+        // "lines" table (the serve-line-dedup read convention); the hot
+        // threshold applies at read over the WHOLE accumulation, so
+        // serving is row-identical to batch line-dedup over everything
+        // that ever arrived. No params manifest: line splitting has no
+        // family knobs — any two ingests fold compatibly by construction
+        val store = new ParquetStore(spark, dest)
+        val stream = spark.readStream.schema(schema).parquet(source)
+        graft.streaming.IncrementalStream.lineIndexIngest(
+          stream, id, text, store, "lines", ck)
+          .awaitTermination()
+        0
+      }
+
+    case ServeLineDedupCmd(index, id, maxDf, broadcastHot, out) =>
+      // batch q179 semantics over the accumulated index: hot lines drop
+      // retroactively at read, every landed doc reassembles with audit
+      // counts
+      val store = new ParquetStore(spark, index)
+      val lines = store.read("lines").getOrElse(sys.error(
+        s"serve-line-dedup: no lines table in $index — run ingest-line-index first"))
+      graft.dedup.Dedup.lineDedupFromIndex(
+          lines.select(org.apache.spark.sql.functions.col(id),
+            org.apache.spark.sql.functions.col("pos"),
+            org.apache.spark.sql.functions.col("line")),
+          id, maxDf.toLong, broadcastHot)
+        .write.mode("overwrite").parquet(out)
+      0
+
     case GopherFilterCmd(corpus, id, text, out) =>
       // the full heuristic battery + the compression signal in ONE
       // narrow pass: per-rule counts AND flags (curation audits kill
@@ -1152,6 +1258,33 @@ object Main {
         .select(org.apache.spark.sql.functions.col(id),
           graft.text.Unigram.unigramEncode(
             org.apache.spark.sql.functions.col(text), pieces).as("pieces"))
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case WordPieceTrainCmd(corpus, text, merges, out) =>
+      // the persisted artifact IS the apply-time vocabulary (one piece
+      // column — WordPiece apply needs no scores or merge order, unlike
+      // BPE's ordered merge list and unigram's scored pieces); vocab
+      // rows are training-run constants (the bpe-train contract)
+      val docs = spark.read.parquet(corpus)
+      val (ms, _) = graft.text.WordPiece.wordPieceTrain(docs, text, merges)
+      import spark.implicits._
+      graft.text.WordPiece.vocabulary(docs, text, ms).toDF("piece")
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case WordPieceEncodeCmd(corpus, id, text, vocabDir, maxChars, out) =>
+      // vocab collect bounded by the training artifact size (alphabet +
+      // merges rows)
+      val vocab = spark.read.parquet(vocabDir)
+        .select("piece").collect().map(_.getString(0)).toSeq
+      if (vocab.isEmpty)
+        sys.error(s"wordpiece-encode: empty vocabulary under $vocabDir — run wordpiece-train first")
+      spark.read.parquet(corpus)
+        .select(org.apache.spark.sql.functions.col(id),
+          graft.text.WordPiece.wordPieceEncode(
+            org.apache.spark.sql.functions.col(text), vocab,
+            maxInputChars = maxChars).as("pieces"))
         .write.mode("overwrite").parquet(out)
       0
 

@@ -344,6 +344,38 @@ object IncrementalStream {
     }
   }
 
+  /** STREAMING WordPiece encode gate — the third tokenizer family's
+    * deployment next to [[encodeGate]] (id-map) and [[unigramGate]]
+    * (Viterbi): each arriving micro-batch greedy-segments under a FIXED
+    * vocabulary ([[graft.text.WordPiece]]; the vocab is a training-run
+    * constant, same mid-stream-rebuild argument as vocab ids) and
+    * (idCol, pieces) accumulates under the retry guard. The vocabulary
+    * is collected once at query start (artifact-bounded: alphabet +
+    * merges rows) and validated BEFORE the query starts (the
+    * collectModel convention); per-batch cost is one narrow codegen'd
+    * greedy projection — no join, no shuffle. Graded against the SAME
+    * DuckDB greedy-walk oracle as batch q180 (q182). */
+  def wordPieceGate(docStream: DataFrame, vocab: DataFrame, idCol: String,
+                    textCol: String, store: graft.sync.TableStore,
+                    table: String, checkpointDir: String,
+                    maxInputChars: Int = graft.text.WordPiece.DefaultMaxInputChars,
+                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val collected = vocab
+      .select(org.apache.spark.sql.functions.col("piece"))
+      .collect().map(_.getString(0)).toSeq
+    require(collected.nonEmpty, "wordPieceGate: empty vocabulary table")
+    require(collected.forall(p => p != null && p.nonEmpty && p != "##"),
+      "wordPieceGate: empty/null/bare-## piece rows in the artifact")
+    require(collected.distinct.length == collected.length,
+      "wordPieceGate: duplicate vocabulary rows")
+    guardedAppend(docStream, store, table, checkpointDir, Seq(idCol), trigger) { batch =>
+      batch.select(org.apache.spark.sql.functions.col(idCol),
+        graft.text.WordPiece.wordPieceEncode(
+          org.apache.spark.sql.functions.col(textCol), collected,
+          maxInputChars = maxInputChars).as("pieces"))
+    }
+  }
+
   /** STREAMING data-quality monitor — [[graft.operators.Expectations]]
     * row checks evaluated PER MICRO-BATCH, the Deequ-metrics-over-time
     * shape: each arriving batch appends one (check_name, n_rows,
@@ -468,6 +500,30 @@ object IncrementalStream {
     guardedAppend(docStream, store, table, checkpointDir,
       Seq("fp", idCol), trigger) { batch =>
       graft.text.Winnow.indexRows(batch, idCol, textCol, k, w, hasher)
+    }
+
+  /** CONTINUOUS line-index maintenance — the C4 line-dedup member of the
+    * index-ingest family ([[indexIngest]] ANN, [[overlapIndexIngest]]
+    * winnowing, [[dedupIndexIngest]] MinHash): each arriving micro-batch
+    * of documents explodes ONCE to its (`idCol`, pos, line) occurrence
+    * rows ([[graft.dedup.Dedup.lineIndexRows]]) and appends under the
+    * lineage-stamped retry guard, keyed at (`idCol`, pos) — per-document
+    * deterministic and occurrence-exact, so a crashed batch re-appends
+    * exactly its missing rows. The hot-line threshold applies AT READ
+    * ([[graft.dedup.Dedup.lineDedupFromIndex]]): hotness is a property
+    * of the whole accumulation — a boilerplate line crossing `maxDf` as
+    * arrivals fold in drops RETROACTIVELY from every document that ever
+    * carried it, which an append-time gate cannot do. Serving the
+    * accumulated index through lineDedupFromIndex is row-identical to
+    * batch [[graft.dedup.Dedup.lineDedup]] over everything that arrived
+    * (graded, q183 — against the same DuckDB oracle as batch q179). */
+  def lineIndexIngest(docStream: DataFrame, idCol: String, textCol: String,
+                      store: graft.sync.TableStore, table: String,
+                      checkpointDir: String,
+                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    guardedAppend(docStream, store, table, checkpointDir,
+      Seq(idCol, "pos"), trigger) { batch =>
+      graft.dedup.Dedup.lineIndexRows(batch, idCol, textCol)
     }
 
   /** The at-least-once APPEND guard shared by every accumulate-a-log

@@ -543,6 +543,16 @@ class PlanShapeSpec extends SparkSpec {
       s"unigram encode must not shuffle by key:\n$p")
   }
 
+  test("q180 wordpiece encode is join-free: the vocabulary rides as a reference object") {
+    val p = plan("q180_wordpiece_encode")
+    // greedy matching is per-row JVM work; only the final presentation
+    // sort may move data — a hash exchange or join would mean the
+    // vocabulary was planned as a table instead of a literal
+    assert(!p.contains("Join"), s"wordpiece encode must not plan a join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"wordpiece encode must not shuffle by key:\n$p")
+  }
+
   test("unigram train round: segmentation narrow, ONE piece-keyed exchange, partial sums below it") {
     val words = graft.text.TextAnalysis.bpeWordTable(
       spark.read.parquet(s"$dir/documents.parquet"), "text").localCheckpoint()
@@ -596,5 +606,22 @@ class PlanShapeSpec extends SparkSpec {
     // here would mean the index table moved to re-derive a per-row column
     assert(!p.contains("Exchange"), s"reassign must not shuffle:\n$p")
     assert(!p.contains("Join"), s"reassign must not plan a join:\n$p")
+  }
+
+  test("q179 line dedup: hot lines broadcast, partial line counts, one doc re-assembly") {
+    val p = plan("q179_line_dedup")
+    // the >maxDf tail ships to executors — a shuffled line join would
+    // move the whole exploded corpus AND concentrate the boilerplate key
+    // skew the operator exists to remove
+    assert(p.contains("BroadcastHashJoin"), s"hot set must broadcast:\n$p")
+    // line counting partial-aggregates below its exchange (map-side
+    // combine on the line key), so the shuffle carries distinct lines
+    assert("partial_count".r.findFirstIn(p.toLowerCase).isDefined ||
+      p.contains("HashAggregate(keys=[line"), s"line count must partial-aggregate:\n$p")
+    // corpus-sized exchanges: the line-count aggregation and the doc
+    // re-assembly (plus the graded orderBy's range exchange) — the
+    // exploded corpus must not shuffle a third time for the join
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges === 2, s"expected line-count + reassembly shuffles only:\n$p")
   }
 }

@@ -675,6 +675,72 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("ingest-line-index + serve-line-dedup: retroactive hot lines across batches") {
+    val tmp = Files.createTempDirectory("graft_cli_lix").toString
+    // batch 1: FOOTER appears twice (under the maxDf=2 threshold)...
+    Seq((1L, "FOOTER\nalpha"), (2L, "beta\nFOOTER"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/src")
+    assert(Main.run(spark, Array("ingest-line-index",
+      "--source", s"$tmp/src", "--id", "doc_id", "--text", "text",
+      "--dest", s"$tmp/ix", "--checkpoint", s"$tmp/ck")) === 0)
+    // ...batch 2 (same source dir, new files) pushes it over: docs 1 and
+    // 2 — landed BEFORE the line went hot — must lose it retroactively
+    Seq((3L, "FOOTER\ngamma")).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$tmp/src")
+    assert(Main.run(spark, Array("ingest-line-index",
+      "--source", s"$tmp/src", "--id", "doc_id", "--text", "text",
+      "--dest", s"$tmp/ix", "--checkpoint", s"$tmp/ck")) === 0)
+    assert(Main.run(spark, Array("serve-line-dedup",
+      "--index", s"$tmp/ix", "--id", "doc_id", "--max-df", "2",
+      "--out", s"$tmp/clean")) === 0)
+    val got = spark.read.parquet(s"$tmp/clean").collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("text_clean")).toMap
+    assert(got === Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
+    // serving an index-less store is the diagnostic, not garbage output
+    intercept[RuntimeException] {
+      Main.run(spark, Array("serve-line-dedup",
+        "--index", s"$tmp/empty", "--id", "doc_id", "--out", s"$tmp/x"))
+    }
+  }
+
+  test("wordpiece-train + wordpiece-encode end to end: vocab artifact, greedy apply") {
+    val tmp = Files.createTempDirectory("graft_cli_wp").toString
+    Seq((1L, "hug hug hug pug pug pun bun hugs"),
+        (2L, "hug pug pun pun bun hugs hugs"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/corpus")
+    assert(Main.run(spark, Array("wordpiece-train",
+      "--corpus", s"$tmp/corpus", "--text", "text", "--merges", "3",
+      "--out", s"$tmp/vocab")) === 0)
+    val vocab = spark.read.parquet(s"$tmp/vocab")
+      .select($"piece").collect().map(_.getString(0)).toSeq
+    // the artifact equals the driver-side reference train over the corpus
+    val wf = Seq(("hug", 4L), ("pug", 3L), ("pun", 3L), ("bun", 2L), ("hugs", 3L))
+    val (refM, _) = graft.text.WordPiece.wordPieceTrainReference(wf, 3)
+    val refAlphabet = wf.flatMap { case (w, _) => w.zipWithIndex.map {
+      case (c, i) => if (i == 0) c.toString else "##" + c } }.distinct
+    assert(vocab === (refAlphabet ++ refM.map(m =>
+      graft.text.WordPiece.fuse(m.left, m.right))).distinct.sorted)
+    assert(Main.run(spark, Array("wordpiece-encode",
+      "--corpus", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+      "--vocab", s"$tmp/vocab", "--out", s"$tmp/enc")) === 0)
+    val got = spark.read.parquet(s"$tmp/enc")
+      .filter($"doc_id" === 1L).select($"pieces").head.getSeq[String](0)
+    val vset = vocab.toSet
+    assert(got === Seq("hug", "hug", "hug", "pug", "pug", "pun", "bun", "hugs")
+      .flatMap(w => graft.text.WordPiece.encodeWordReference(w, vset, "[UNK]", 100)))
+    // empty vocab artifact fails with the diagnostic, not garbage output
+    Seq.empty[String].toDF("piece").write.parquet(s"$tmp/empty")
+    intercept[RuntimeException] {
+      Main.run(spark, Array("wordpiece-encode",
+        "--corpus", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+        "--vocab", s"$tmp/empty", "--out", s"$tmp/enc2"))
+    }
+    // bad --merges is a usage error
+    assert(Main.run(spark, Array("wordpiece-train",
+      "--corpus", s"$tmp/corpus", "--text", "text", "--merges", "0",
+      "--out", s"$tmp/v2")) === 2)
+  }
+
   test("train-classifier + score-docs end to end: weight artifact, bias row, label validation") {
     val tmp = Files.createTempDirectory("graft_cli_svm").toString
     Seq((1L, "good great fine good", 1L), (2L, "bad awful bad poor", -1L),
@@ -837,5 +903,29 @@ class MainSpec extends SparkSpec {
       "--queries", s"$tmp/queries", "--index", s"$tmp/idx", "--id", "doc_id",
       "--k", "0", "--dest", s"$tmp/dst3", "--table", "served",
       "--checkpoint", s"$tmp/ck3")) === 2)
+  }
+
+  test("line-dedup: cleaned artifact equals the operator; bad max-df is a usage error") {
+    val tmp = Files.createTempDirectory("graft_cli_ld").toString
+    val docs = Seq(
+      (1L, "FOOTER\nalpha"),
+      (2L, "beta\nFOOTER"),
+      (3L, "FOOTER\ngamma")).toDF("doc_id", "text")
+    docs.write.parquet(s"$tmp/corpus")
+    assert(Main.run(spark, Array("line-dedup",
+      "--corpus", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+      "--max-df", "2", "--out", s"$tmp/clean")) === 0)
+    val got = spark.read.parquet(s"$tmp/clean").collect()
+      .map(r => r.getLong(0) -> (r.getAs[String]("text_clean"),
+        r.getAs[Long]("n_dropped"))).toMap
+    assert(got === Map(1L -> (("alpha", 1L)), 2L -> (("beta", 1L)),
+      3L -> (("gamma", 1L))))
+    // artifact == operator (shared implementation, but pin the wiring)
+    val op = graft.dedup.Dedup.lineDedup(docs, "doc_id", "text", 2L)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(got === op)
+    assert(Main.run(spark, Array("line-dedup",
+      "--corpus", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+      "--max-df", "0", "--out", s"$tmp/x")) === 2)
   }
 }

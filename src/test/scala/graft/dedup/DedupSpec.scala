@@ -344,4 +344,42 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((10L, 11L), (10L, 12L), (11L, 12L)))
   }
+
+  test("lineDedup drops corpus-hot lines retroactively, preserving order") {
+    val docs = Seq(
+      (1L, "FOOTER\nalpha\nbeta"),
+      (2L, "gamma\nFOOTER"),
+      (3L, "FOOTER\ndelta\nFOOTER"),   // two occurrences in one doc both drop
+      (4L, "FOOTER"),                  // fully boilerplate -> empty, survives
+      (5L, null.asInstanceOf[String]), // NULL text reads as ''
+      (6L, "epsilon\n\nzeta\n")        // interior blank + trailing newline kept
+    ).toDF("doc_id", "text")
+    // FOOTER occurs 5x (> 3); '' occurs 3x (doc 5 + doc 6's blank + trailing)
+    val got = Dedup.lineDedup(docs, "doc_id", "text", maxDf = 3)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === (("alpha\nbeta", 2L, 1L)))
+    assert(got(2L) === (("gamma", 1L, 1L)))
+    assert(got(3L) === (("delta", 1L, 2L)))     // FIRST occurrence drops too
+    assert(got(4L) === (("", 0L, 1L)))
+    assert(got(5L) === (("", 1L, 0L)))          // the single '' line is not hot
+    assert(got(6L) === (("epsilon\n\nzeta\n", 4L, 0L)))
+    assert(got.size === 6)
+    // threshold boundary: exactly maxDf occurrences stay
+    val ok = Dedup.lineDedup(docs, "doc_id", "text", maxDf = 5)
+      .filter(col("doc_id") === 3L).head
+    assert(ok.getString(1) === "FOOTER\ndelta\nFOOTER")
+    intercept[IllegalArgumentException] {
+      Dedup.lineDedup(docs, "doc_id", "text", maxDf = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.lineDedup(docs.withColumnRenamed("doc_id", "n_kept"),
+        "n_kept", "text", maxDf = 3)
+    }
+    // the serve path (index already exploded) enforces the same guard
+    intercept[IllegalArgumentException] {
+      Dedup.lineDedupFromIndex(
+        Dedup.lineIndexRows(docs, "doc_id", "text")
+          .withColumnRenamed("doc_id", "text_clean"), "text_clean", maxDf = 3)
+    }
+  }
 }

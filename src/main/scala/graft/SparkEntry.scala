@@ -167,6 +167,41 @@ object SparkEntry {
       "FROM dp, LATERAL unnest(range(1, len(ps)+1)) AS u(i) ORDER BY doc_id, pos"
   }
 
+  /** The q184 BPE fuse chain, GENERATED from [[BpeFixedMerges]] — the
+    * q157 unrolled list_reduce chain (list-of-lists accumulator = the
+    * exact left-to-right non-overlapping greedy fuse) as a reusable
+    * expression over a word `w`, so the fertility oracle replays the
+    * identical merges the Spark side's BpeApply does. */
+  private lazy val BpeFuseChainSql: String =
+    BpeFixedMerges.sortBy(_.step).foldLeft(
+      "[w[i] for i in range(1, len(w) + 1)]") { (acc, m) =>
+      val fused = m.left + m.right
+      s"list_reduce(list_transform($acc, x -> [x]), (acc, x) -> " +
+        s"CASE WHEN acc[-1] = '${m.left}' AND x[1] = '${m.right}' " +
+        s"THEN list_concat(acc[1:len(acc)-1], ['$fused']) " +
+        "ELSE list_concat(acc, x) END)"
+    }
+
+  /** The q184 oracle: per-document piece counts under all THREE pinned
+    * tokenizers — the BPE fuse chain inline, the unigram DP and the
+    * WordPiece greedy walk NESTED as subqueries of their own full
+    * oracles (shared text by construction — the three tokenizers cannot
+    * drift from their own graded queries) — with milli fertilities as
+    * integer floor division. Docs whose tokenizer output is empty
+    * coalesce to 0 (the DP/walk oracles drop token-less docs). */
+  private lazy val TokenizerFertilityOracleSql: String =
+    "WITH base AS (SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS ts FROM documents), " +
+      s"bpe AS (SELECT doc_id, CAST(len(flatten(list_transform(ts, w -> $BpeFuseChainSql))) AS BIGINT) AS n_bpe FROM base), " +
+      s"uni AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ($UnigramEncodeOracleSql) GROUP BY doc_id), " +
+      s"wp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ($WordPieceEncodeOracleSql) GROUP BY doc_id) " +
+      "SELECT b.doc_id, CAST(len(b.ts) AS BIGINT) AS n_tokens, bpe.n_bpe, " +
+      "coalesce(uni.n, 0) AS n_uni, coalesce(wp.n, 0) AS n_wp, " +
+      "CASE WHEN len(b.ts) > 0 THEN bpe.n_bpe * 1000 // len(b.ts) ELSE 0 END AS fert_bpe_milli, " +
+      "CASE WHEN len(b.ts) > 0 THEN coalesce(uni.n, 0) * 1000 // len(b.ts) ELSE 0 END AS fert_uni_milli, " +
+      "CASE WHEN len(b.ts) > 0 THEN coalesce(wp.n, 0) * 1000 // len(b.ts) ELSE 0 END AS fert_wp_milli " +
+      "FROM base b JOIN bpe USING (doc_id) LEFT JOIN uni USING (doc_id) LEFT JOIN wp USING (doc_id) " +
+      "ORDER BY doc_id"
+
   /** The q171 Gopher oracle, shared verbatim with the q173 streaming
     * gate: the identical planted concat and the identical integer rule
     * battery, the stopword CASE sum generated from Gopher.Stopwords. */
@@ -3966,11 +4001,14 @@ object SparkEntry {
     "q181_wordpiece_train" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val nMerges = 6
+      // ONE word table feeds the reference collect AND the apply-parity
+      // scan (checkpointed; released with the trainers' final tables
+      // once the violations row materializes below)
+      val words = TextAnalysis.bpeWordTable(docs, "text")
+        .select(col("__w"), col("__c")).localCheckpoint()
       val (dm, dw) = WordPiece.wordPieceTrain(docs, "text", nMerges)
       val (fm, fw) = WordPiece.wordPieceTrainFullRecount(docs, "text", nMerges)
-      val wf = TextAnalysis.bpeWordTable(docs, "text")
-        .select(col("__w"), col("__c")).collect()
-        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val wf = words.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       val (rm, rsyms) = WordPiece.wordPieceTrainReference(wf, nMerges)
       val headViolations =
         (if (dm != fm) 1L else 0L) + (if (dm != rm) 1L else 0L) +
@@ -3984,7 +4022,7 @@ object SparkEntry {
           .count(_ != refFinal)).toLong
       // apply parity: codegen greedy vs driver greedy under the trained
       // vocabulary, every distinct corpus word (the q165 tail pattern)
-      val vocab = WordPiece.vocabulary(docs, "text", dm)
+      val vocab = WordPiece.vocabulary(dw, dm)
       val vocabSet = vocab.toSet
       import s.implicits._
       val refSeg = wf.map { case (w, _) =>
@@ -3992,7 +4030,7 @@ object SparkEntry {
           WordPiece.DefaultUnkToken,
           WordPiece.DefaultMaxInputChars).mkString(" "))
       }.toDF("__w", "__ref")
-      TextAnalysis.bpeWordTable(docs, "text")
+      val res = words
         .select(col("__w"),
           concat_ws(" ", graft.functions.WordPieceEncode(array(col("__w")),
             vocab, WordPiece.DefaultUnkToken,
@@ -4002,6 +4040,8 @@ object SparkEntry {
           col("__got") =!= col("__ref"))
           + lit(headViolations + tableViolations)).as("violations"))
         .localCheckpoint()
+      Seq(words, dw, fw).foreach(graft.Checkpoints.release)
+      res
     }),
 
     // q182: the WordPiece tokenizer DEPLOYED at ingest — the pinned
@@ -4062,6 +4102,38 @@ object SparkEntry {
             "doc_id", maxDf = 2)
           .orderBy("doc_id").localCheckpoint()
       } finally deleteRecursively(tmp)
+    }),
+
+    // q184: tokenizer FERTILITY audit — the pipeline metric that decides
+    // which tokenizer a corpus trains with (pieces per word; fertility
+    // near 1 = the vocabulary fits the corpus, high = words shatter):
+    // per-document piece counts under ALL THREE pinned tokenizer
+    // families — BPE merge replay (BpeFixedMerges), unigram Viterbi
+    // (UnigramPinned), WordPiece greedy (WordPiecePinned) — computed in
+    // ONE narrow codegen'd projection: three reference-object
+    // expressions side by side, corpus scanned once, no join, no
+    // shuffle. Integer milli fertilities (floor division — identical in
+    // both engines); the oracle nests each tokenizer's own full graded
+    // oracle as a subquery, so this audit cannot drift from q154/q157,
+    // q166, and q180
+    "q184_tokenizer_fertility" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          coalesce(size(toks), lit(0)).cast(LongType).as("n_tokens"),
+          coalesce(size(TextAnalysis.bpeEncode(col("text"),
+            BpeFixedMerges)), lit(0)).cast(LongType).as("n_bpe"),
+          coalesce(size(graft.functions.UnigramEncode(toks, UnigramPinned,
+            Unigram.DefaultUnkScoreMilli)), lit(0)).cast(LongType).as("n_uni"),
+          coalesce(size(graft.functions.WordPieceEncode(toks, WordPiecePinned,
+            WordPiece.DefaultUnkToken, WordPieceCap)), lit(0)).cast(LongType).as("n_wp"))
+        .withColumn("fert_bpe_milli", when(col("n_tokens") > 0,
+          expr("n_bpe * 1000 div n_tokens")).otherwise(0L))
+        .withColumn("fert_uni_milli", when(col("n_tokens") > 0,
+          expr("n_uni * 1000 div n_tokens")).otherwise(0L))
+        .withColumn("fert_wp_milli", when(col("n_tokens") > 0,
+          expr("n_wp * 1000 div n_tokens")).otherwise(0L))
+        .orderBy("doc_id")
     }),
 
     // q160: MJPEG video FRAME decode — the pixel-level completion of the
@@ -4273,6 +4345,7 @@ object SparkEntry {
     },
 
     "q180_wordpiece_encode" -> WordPieceEncodeOracleSql,
+    "q184_tokenizer_fertility" -> TokenizerFertilityOracleSql,
     // q182 accumulates the same corpus through the streaming gate under
     // the same pinned vocabulary — shared oracle by construction
     "q182_stream_wordpiece_gate" -> WordPieceEncodeOracleSql,

@@ -444,8 +444,13 @@ object Main {
         text <- req(opts, "line-dedup", "text")
         maxDf <- optInt(opts, "line-dedup", "max-df", 1)
         out <- req(opts, "line-dedup", "out")
-      } yield LineDedupCmd(corpus, id, text, maxDf,
-        broadcastHot = opts.getOrElse("broadcast", "true") != "false", out)
+        // --broadcast false: web-scale low-threshold runs MUST reach the
+        // shuffled-join plan — a silently-ignored typo here would
+        // broadcast the boilerplate-sized hot set instead
+        bc <- opts.get("broadcast").fold(Right(true): Either[String, Boolean])(v =>
+          v.toBooleanOption.toRight(
+            s"line-dedup: --broadcast must be true or false, got $v"))
+      } yield LineDedupCmd(corpus, id, text, maxDf, broadcastHot = bc, out)
     case "ingest-line-index" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -462,8 +467,10 @@ object Main {
         id <- req(opts, "serve-line-dedup", "id")
         maxDf <- optInt(opts, "serve-line-dedup", "max-df", 1)
         out <- req(opts, "serve-line-dedup", "out")
-      } yield ServeLineDedupCmd(index, id, maxDf,
-        broadcastHot = opts.getOrElse("broadcast", "true") != "false", out)
+        bc <- opts.get("broadcast").fold(Right(true): Either[String, Boolean])(v =>
+          v.toBooleanOption.toRight(
+            s"serve-line-dedup: --broadcast must be true or false, got $v"))
+      } yield ServeLineDedupCmd(index, id, maxDf, broadcastHot = bc, out)
     case "build-vocab" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -1267,19 +1274,28 @@ object Main {
       // BPE's ordered merge list and unigram's scored pieces); vocab
       // rows are training-run constants (the bpe-train contract)
       val docs = spark.read.parquet(corpus)
-      val (ms, _) = graft.text.WordPiece.wordPieceTrain(docs, text, merges)
+      val (ms, words) = graft.text.WordPiece.wordPieceTrain(docs, text, merges)
       import spark.implicits._
-      graft.text.WordPiece.vocabulary(docs, text, ms).toDF("piece")
-        .write.mode("overwrite").parquet(out)
+      // vocabulary derives from the trainer's checkpointed word table —
+      // no second corpus scan; release the blocks once collected
+      val vocab = graft.text.WordPiece.vocabulary(words, ms)
+      graft.Checkpoints.release(words)
+      vocab.toDF("piece").write.mode("overwrite").parquet(out)
       0
 
     case WordPieceEncodeCmd(corpus, id, text, vocabDir, maxChars, out) =>
       // vocab collect bounded by the training artifact size (alphabet +
-      // merges rows)
+      // merges rows); the full artifact contract checked here, with the
+      // artifact named — not as the expression's bare require/NPE (the
+      // wordPieceGate validation, mirrored)
       val vocab = spark.read.parquet(vocabDir)
         .select("piece").collect().map(_.getString(0)).toSeq
       if (vocab.isEmpty)
         sys.error(s"wordpiece-encode: empty vocabulary under $vocabDir — run wordpiece-train first")
+      if (!vocab.forall(p => p != null && p.nonEmpty && p != "##"))
+        sys.error(s"wordpiece-encode: empty/null/bare-## piece rows under $vocabDir — corrupted artifact")
+      if (vocab.distinct.length != vocab.length)
+        sys.error(s"wordpiece-encode: duplicate piece rows under $vocabDir — corrupted artifact")
       spark.read.parquet(corpus)
         .select(org.apache.spark.sql.functions.col(id),
           graft.text.WordPiece.wordPieceEncode(

@@ -85,22 +85,32 @@ object WordPiece {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(fuse(a, b)))))
         .otherwise(concat(acc, array(s))))
 
+  /** One symbol array's signed pair AND symbol rows: adjacent pairs as
+    * (left, right, sign), single symbols riding the same struct type
+    * with a NULL right key. ONE definition feeds both the full count
+    * ([[pairAndSymbolCounts]], sign +1) and the delta path's ± emission
+    * — the struct schema and NULL-right convention must not drift
+    * between the seed and the netting or unionByName breaks at analysis
+    * time. */
+  private def signedPairsAndSyms(syms: Column, sign: Int): Column = concat(
+    when(size(syms) >= 2,
+      transform(sequence(lit(1), size(syms) - 1),
+        i => struct(element_at(syms, i).as("left"),
+          element_at(syms, i + 1).as("right"),
+          lit(sign.toLong).as("sign"))))
+      .otherwise(array().cast("array<struct<left:string,right:string,sign:bigint>>")),
+    transform(syms, s => struct(s.as("left"),
+      lit(null).cast(StringType).as("right"),
+      lit(sign.toLong).as("sign"))))
+
   /** Adjacent symbol-pair counts AND single-symbol counts of a word
     * table, in ONE pass: pair rows are (left, right, cnt); symbol rows
     * ride the same aggregation as (sym, NULL, cnt). Both are needed
     * every round (the score divides by the parents' symbol counts), so
     * they share the explode and the shuffle. */
   private def pairAndSymbolCounts(words: DataFrame): DataFrame =
-    words.select(explode(concat(
-        when(size(col("__syms")) >= 2,
-          transform(sequence(lit(1), size(col("__syms")) - 1),
-            i => struct(element_at(col("__syms"), i).as("left"),
-              element_at(col("__syms"), i + 1).as("right"),
-              lit(1L).as("sign"))))
-          .otherwise(array().cast("array<struct<left:string,right:string,sign:bigint>>")),
-        transform(col("__syms"),
-          s => struct(s.as("left"), lit(null).cast(StringType).as("right"),
-            lit(1L).as("sign"))))).as("__p"), col("__c"))
+    words.select(explode(signedPairsAndSyms(col("__syms"), 1)).as("__p"),
+        col("__c"))
       .groupBy(col("__p.left").as("left"), col("__p.right").as("right"))
       .agg(sum(col("__p.sign") * col("__c")).cast(LongType).as("cnt"))
 
@@ -172,20 +182,10 @@ object WordPiece {
           // at sign −1, post-merge at sign +1 (symbol rows with NULL
           // right share the aggregation), netted into the maintained
           // table — per-round cost ∝ the winning pair's support
-          def signed(syms: Column, sign: Int): Column = concat(
-            when(size(syms) >= 2,
-              transform(sequence(lit(1), size(syms) - 1),
-                i => struct(element_at(syms, i).as("left"),
-                  element_at(syms, i + 1).as("right"),
-                  lit(sign.toLong).as("sign"))))
-              .otherwise(array().cast("array<struct<left:string,right:string,sign:bigint>>")),
-            transform(syms, s => struct(s.as("left"),
-              lit(null).cast(StringType).as("right"),
-              lit(sign.toLong).as("sign"))))
           val deltas = words.filter(affected)
             .select(explode(concat(
-              signed(col("__syms"), -1),
-              signed(mergeExpr(col("__syms"), a, b), 1))).as("__p"),
+              signedPairsAndSyms(col("__syms"), -1),
+              signedPairsAndSyms(mergeExpr(col("__syms"), a, b), 1))).as("__p"),
               col("__c"))
             .groupBy(col("__p.left").as("left"), col("__p.right").as("right"))
             .agg(sum(col("__p.sign") * col("__c")).cast(LongType).as("cnt"))
@@ -219,12 +219,23 @@ object WordPiece {
     * [[wordTable]] over this corpus) plus one fused symbol per merge —
     * sorted, deduplicated (a merge can re-create a string an earlier
     * merge already formed via a different split). This is the HF
-    * convention: alphabet first, merges in training order. */
-  def vocabulary(df: DataFrame, textCol: String,
+    * convention: alphabet + merges.
+    *
+    * Recovered WITHOUT re-scanning the corpus (the trainers' "corpus is
+    * touched once" contract): an initial symbol disappears from the word
+    * table only by BEING a merge parent, so the initial alphabet is
+    * exactly the single-content symbols among (final table symbols ∪
+    * merge parents) — merges only ever create content length >= 2. The
+    * distinct scan is over `finalWords`, the trainers' checkpointed
+    * |vocab|-sized output. */
+  def vocabulary(finalWords: DataFrame,
                  merges: Seq[WpMerge]): Seq[String] = {
-    val alphabet = wordTable(df, textCol)
+    val finalSyms = finalWords
       .select(explode(col("__syms")).as("sym"))
       .distinct().collect().map(_.getString(0)).toSeq
+    val parents = merges.flatMap(m => Seq(m.left, m.right))
+    val alphabet = (finalSyms ++ parents)
+      .filter(s => s.length - (if (s.startsWith("##")) 2 else 0) == 1)
     (alphabet ++ merges.sortBy(_.step).map(m => fuse(m.left, m.right)))
       .distinct.sorted
   }

@@ -553,6 +553,16 @@ class PlanShapeSpec extends SparkSpec {
       s"wordpiece encode must not shuffle by key:\n$p")
   }
 
+  test("q184 fertility audit: three tokenizers in one narrow pass, no join, no keyed shuffle") {
+    val p = plan("q184_tokenizer_fertility")
+    // all three piece counts are reference-object expressions in one
+    // projection — a join or hash exchange would mean a tokenizer was
+    // planned as a table, or the pass split
+    assert(!p.contains("Join"), s"fertility audit must not plan a join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"fertility audit must not shuffle by key:\n$p")
+  }
+
   test("unigram train round: segmentation narrow, ONE piece-keyed exchange, partial sums below it") {
     val words = graft.text.TextAnalysis.bpeWordTable(
       spark.read.parquet(s"$dir/documents.parquet"), "text").localCheckpoint()

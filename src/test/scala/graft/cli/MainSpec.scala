@@ -711,8 +711,9 @@ class MainSpec extends SparkSpec {
     assert(Main.run(spark, Array("wordpiece-train",
       "--corpus", s"$tmp/corpus", "--text", "text", "--merges", "3",
       "--out", s"$tmp/vocab")) === 0)
+    // re-sort after collect: parquet scan order is not write order
     val vocab = spark.read.parquet(s"$tmp/vocab")
-      .select($"piece").collect().map(_.getString(0)).toSeq
+      .select($"piece").collect().map(_.getString(0)).toSeq.sorted
     // the artifact equals the driver-side reference train over the corpus
     val wf = Seq(("hug", 4L), ("pug", 3L), ("pun", 3L), ("bun", 2L), ("hugs", 3L))
     val (refM, _) = graft.text.WordPiece.wordPieceTrainReference(wf, 3)

@@ -93,12 +93,20 @@ class WordPieceSpec extends SparkSpec {
 
   test("vocabulary = alphabet (plain + ##) plus fused merges, deduplicated") {
     val docs = Seq((1L, "ab ab ba")).toDF("doc_id", "text")
-    val (m, _) = WordPiece.wordPieceTrain(docs, "text", 1)
-    val v = WordPiece.vocabulary(docs, "text", m)
+    val (m, words) = WordPiece.wordPieceTrain(docs, "text", 1)
+    val v = WordPiece.vocabulary(words, m)
+    // the full initial alphabet is recovered even for symbols a merge
+    // consumed out of every word (here the winning pair's parents)
     assert(v.contains("a") && v.contains("b") && v.contains("##a") && v.contains("##b"))
     assert(m.size === 1)
     assert(v.contains(WordPiece.fuse(m.head.left, m.head.right)))
     assert(v === v.distinct.sorted)
+    // and equals the wordTable-derived alphabet formulation exactly
+    val scanned = WordPiece.wordTable(docs, "text")
+      .select(explode(col("__syms")).as("s")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    assert(v === (scanned ++ m.map(x => WordPiece.fuse(x.left, x.right)))
+      .distinct.sorted)
   }
 
   test("degenerate vocab: rejects empties, duplicates, bare ##") {

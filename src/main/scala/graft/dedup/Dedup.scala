@@ -816,13 +816,25 @@ object Dedup {
     * would concentrate. Pass false at web scale with a LOW maxDf (the
     * duplicated-line set there is boilerplate-sized, not tail-sized) —
     * the shuffled join then hash-partitions both sides on the line and
-    * AQE's skew split handles the hot keys. */
+    * AQE's skew split handles the hot keys.
+    *
+    * PRECONDITION: `idCol` values must be distinct across `docs` (the
+    * weightedSample/shardedShuffle convention — checking would cost a
+    * whole extra aggregation): rows sharing an id would reassemble as
+    * ONE interleaved document with summed audit counts. */
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
                 maxDf: Long, broadcastHot: Boolean = true): DataFrame = {
     require(maxDf >= 1, s"Dedup.lineDedup: maxDf must be >= 1, got $maxDf")
     lineDedupFromIndex(lineIndexRows(docs, idCol, textCol), idCol,
       maxDf, broadcastHot)
   }
+
+  /** Working/output columns of the line-dedup family — ONE definition
+    * for both guards below (a set updated on one side only would let an
+    * idCol collide silently on the other); includes the __run/__batch
+    * lineage stamps guardedAppend adds to ingested index rows. */
+  private val LineWorkCols = Set("pos", "line", "__hot", "__ls",
+    "__run", "__batch", "text_clean", "n_kept", "n_dropped")
 
   /** One batch's RAW line-index rows — every (`idCol`, pos, line)
     * occurrence of a document batch, the per-micro-batch unit of
@@ -841,8 +853,7 @@ object Dedup {
     // the id column survives into the output next to the working and
     // result columns — a colliding name would be silently clobbered
     // (the weightedSample precedent)
-    require(!Set("pos", "line", "__hot", "__ls",
-        "text_clean", "n_kept", "n_dropped").contains(idCol),
+    require(!LineWorkCols.contains(idCol),
       s"Dedup.lineIndexRows: idCol '$idCol' collides with a working column")
     docs.select(col(idCol),
       posexplode(split(coalesce(col(textCol), lit("")), "\n", -1))
@@ -855,15 +866,15 @@ object Dedup {
     * its surviving (pos-ordered) lines. Serving a continuously-ingested
     * index through this IS running q179's batch semantics over
     * everything that ever arrived — row-identical to [[lineDedup]] on
-    * the same documents (graded, q183). */
+    * the same documents (graded, q183). Same distinct-`idCol`
+    * precondition as [[lineDedup]]. */
   def lineDedupFromIndex(index: DataFrame, idCol: String, maxDf: Long,
                          broadcastHot: Boolean = true): DataFrame = {
     require(maxDf >= 1,
       s"Dedup.lineDedupFromIndex: maxDf must be >= 1, got $maxDf")
     // reachable directly (serve-line-dedup) — the collision guard must
     // hold here too, not only on the lineIndexRows ingest side
-    require(!Set("pos", "line", "__hot", "__ls",
-        "text_clean", "n_kept", "n_dropped").contains(idCol),
+    require(!LineWorkCols.contains(idCol),
       s"Dedup.lineDedupFromIndex: idCol '$idCol' collides with a working column")
     val hot0 = index.groupBy(col("line"))
       .agg(count(lit(1)).as("__df")).filter(col("__df") > maxDf)
@@ -873,13 +884,16 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(
         struct(col("pos"), col("__hot"), col("line")))).as("__ls"))
-      .select(col(idCol),
+      .select(col(idCol), col("__ls"),
         array_join(transform(
           filter(col("__ls"), s => s.getField("__hot").isNull),
           s => s.getField("line")), "\n").as("text_clean"),
         size(filter(col("__ls"), s => s.getField("__hot").isNull))
-          .cast(LongType).as("n_kept"),
-        size(filter(col("__ls"), s => s.getField("__hot").isNotNull))
-          .cast(LongType).as("n_dropped"))
+          .cast(LongType).as("n_kept"))
+      // total - kept, not a third array traversal (struct elements are
+      // never null, so size(__ls) counts every line)
+      .withColumn("n_dropped",
+        size(col("__ls")).cast(LongType) - col("n_kept"))
+      .drop("__ls")
   }
 }

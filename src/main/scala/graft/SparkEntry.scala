@@ -4104,6 +4104,20 @@ object SparkEntry {
       } finally deleteRecursively(tmp)
     }),
 
+    // q185: MATERIALIZED training windows — q66's packedSpans taken to
+    // the artifact a training run consumes: per source, documents
+    // concatenate in doc_id order, the token stream cuts into 128-token
+    // windows, and each window materializes as one row with its tokens
+    // in stream order plus provenance (n_docs crossing in, first/last
+    // doc). One keyed prefix-sum window + one narrow posexplode + one
+    // (source, win)-keyed reassembly — per-group streams end to end,
+    // never a global single-partition order. Full DuckDB oracle replays
+    // the identical construction with window sums + string_agg
+    "q185_training_windows" -> ((s, dir) =>
+      TextAnalysis.packedWindows(t(s, dir, "documents"), Seq("source"),
+          "doc_id", "text", windowSize = 128)
+        .orderBy("source", "win_id")),
+
     // q184: tokenizer FERTILITY audit — the pipeline metric that decides
     // which tokenizer a corpus trains with (pieces per word; fertility
     // near 1 = the vocabulary fits the corpus, high = words shatter):
@@ -4346,6 +4360,25 @@ object SparkEntry {
 
     "q180_wordpiece_encode" -> WordPieceEncodeOracleSql,
     "q184_tokenizer_fertility" -> TokenizerFertilityOracleSql,
+    "q185_training_windows" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents),
+        |o AS (
+        |  SELECT source, doc_id, ts,
+        |    coalesce(sum(len(ts)) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+        |  FROM d),
+        |e AS (
+        |  SELECT source, doc_id, st + i - 1 AS gp, ts[i] AS tok
+        |  FROM o, LATERAL unnest(range(1, len(ts) + 1)) AS u(i))
+        |SELECT source, CAST(gp // 128 AS BIGINT) AS win_id,
+        |  string_agg(tok, ' ' ORDER BY gp) AS window_text,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM e GROUP BY source, gp // 128
+        |ORDER BY source, win_id""".stripMargin,
     // q182 accumulates the same corpus through the streaming gate under
     // the same pinned vocabulary — shared oracle by construction
     "q182_stream_wordpiece_gate" -> WordPieceEncodeOracleSql,

@@ -59,8 +59,10 @@ object Main {
       "       gopher-gate --source <parquetDir> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       unigram-train --corpus <parquet> --text <col> --max-piece-len <n> --keep <n> --rounds <n> --out <parquetDir>\n" +
       "       unigram-encode --corpus <parquet> --id <col> --text <col> --pieces <parquetDir> --out <parquetDir>\n" +
+      "       pack-windows --corpus <parquet> --group c1[,c2] --order <col> --text <col> --window <n> --out <parquetDir>\n" +
       "       wordpiece-train --corpus <parquet> --text <col> --merges <n> --out <parquetDir>\n" +
       "       wordpiece-encode --corpus <parquet> --id <col> --text <col> --vocab <parquetDir> --out <parquetDir> [--max-chars <n>]\n" +
+      "       wordpiece-gate --source <parquetDir> --vocab <parquetDir> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir> [--max-chars <n>]\n" +
       "       train-classifier --corpus <parquet> --id <col> --text <col> --label <col(+1/-1)> --dims <n> --rounds <n> --out <parquetDir>\n" +
       "       score-docs --corpus <parquet> --id <col> --text <col> --weights <parquetDir> --out <parquetDir>\n" +
       "       weighted-sample --corpus <parquet> --keys c1[,c2] --id <col> --weight <col> --k <n> --out <parquetDir> [--seed <s>]\n" +
@@ -193,11 +195,18 @@ object Main {
                                      out: String) extends Cmd
   private case class UnigramEncodeCmd(corpus: String, id: String, text: String,
                                       pieces: String, out: String) extends Cmd
+  private case class PackWindowsCmd(corpus: String, group: Seq[String],
+                                    order: String, text: String, window: Int,
+                                    out: String) extends Cmd
   private case class WordPieceTrainCmd(corpus: String, text: String,
                                        merges: Int, out: String) extends Cmd
   private case class WordPieceEncodeCmd(corpus: String, id: String,
                                         text: String, vocab: String,
                                         maxChars: Int, out: String) extends Cmd
+  private case class WordPieceGateCmd(source: String, vocab: String,
+                                      id: String, text: String, dest: String,
+                                      table: String, ck: String,
+                                      maxChars: Int) extends Cmd
   private case class TrainClassifierCmd(corpus: String, id: String,
                                         text: String, label: String, dims: Int,
                                         rounds: Int, out: String) extends Cmd
@@ -582,6 +591,16 @@ object Main {
         pieces <- req(opts, "unigram-encode", "pieces")
         out <- req(opts, "unigram-encode", "out")
       } yield UnigramEncodeCmd(corpus, id, text, pieces, out)
+    case "pack-windows" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "pack-windows", "corpus")
+        group <- req(opts, "pack-windows", "group").map(_.split(',').toSeq)
+        order <- req(opts, "pack-windows", "order")
+        text <- req(opts, "pack-windows", "text")
+        window <- posInt(opts, "pack-windows", "window")
+        out <- req(opts, "pack-windows", "out")
+      } yield PackWindowsCmd(corpus, group, order, text, window, out)
     case "wordpiece-train" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -601,6 +620,20 @@ object Main {
           graft.text.WordPiece.DefaultMaxInputChars)
         out <- req(opts, "wordpiece-encode", "out")
       } yield WordPieceEncodeCmd(corpus, id, text, vocab, maxChars, out)
+    case "wordpiece-gate" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        source <- req(opts, "wordpiece-gate", "source")
+        vocab <- req(opts, "wordpiece-gate", "vocab")
+        id <- req(opts, "wordpiece-gate", "id")
+        text <- req(opts, "wordpiece-gate", "text")
+        dest <- req(opts, "wordpiece-gate", "dest")
+        table <- req(opts, "wordpiece-gate", "table")
+        ck <- req(opts, "wordpiece-gate", "checkpoint")
+        maxChars <- optInt(opts, "wordpiece-gate", "max-chars",
+          graft.text.WordPiece.DefaultMaxInputChars)
+      } yield WordPieceGateCmd(source, vocab, id, text, dest, table, ck,
+        maxChars)
     case "train-classifier" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -1268,6 +1301,14 @@ object Main {
         .write.mode("overwrite").parquet(out)
       0
 
+    case PackWindowsCmd(corpus, group, order, text, window, out) =>
+      // the model-ready artifact: fixed-size token windows in per-group
+      // stream order with document provenance (q66's spans materialized)
+      graft.text.TextAnalysis.packedWindows(spark.read.parquet(corpus),
+          group, order, text, window.toLong)
+        .write.mode("overwrite").parquet(out)
+      0
+
     case WordPieceTrainCmd(corpus, text, merges, out) =>
       // the persisted artifact IS the apply-time vocabulary (one piece
       // column — WordPiece apply needs no scores or merge order, unlike
@@ -1303,6 +1344,20 @@ object Main {
             maxInputChars = maxChars).as("pieces"))
         .write.mode("overwrite").parquet(out)
       0
+
+    case WordPieceGateCmd(source, vocabDir, id, text, dest, table, ck, maxChars) =>
+      // streaming greedy segmentation under the persisted vocabulary —
+      // the artifact is pinned (collected + validated) at query start;
+      // re-tokenize = new table + checkpoint pair (the encode-gate
+      // contract for the WordPiece family)
+      sourceSchema(spark, source, "wordpiece-gate").fold(0) { schema =>
+        val stream = spark.readStream.schema(schema).parquet(source)
+        graft.streaming.IncrementalStream.wordPieceGate(
+          stream, spark.read.parquet(vocabDir), id, text,
+          new ParquetStore(spark, dest), table, ck, maxInputChars = maxChars)
+          .awaitTermination()
+        0
+      }
 
     case TrainClassifierCmd(corpus, id, text, label, dims, rounds, out) =>
       // integer hinge descent (lr 1000 micros, margin 1e6 — the graded

@@ -363,6 +363,61 @@ object TextAnalysis {
           .otherwise(expr(s"(start_tok + n_tok - 1) div $windowSize")))
   }
 
+  /** Materialized training windows — [[packedSpans]] taken to the
+    * artifact a training run actually consumes: documents concatenate in
+    * a deterministic order within each group, the token stream cuts into
+    * fixed `windowSize` windows, and each window materializes as ONE row
+    * — (group..., win_id, window_text, n_tokens, n_docs, first_doc,
+    * last_doc) — with its tokens in stream order and its document
+    * provenance (how many docs cross into this window, and which). The
+    * GPT-style concat-and-cut batch construction, kept relational so
+    * packing is reproducible and joinable back to curation verdicts.
+    *
+    * Plan: one keyed window for the per-group exclusive prefix sum (the
+    * [[packedSpans]] shape — per-group streams, never a global
+    * single-partition order), one narrow posexplode to (global position,
+    * token), one (group, win_id)-keyed reassembly
+    * (sort_array(collect_list) over the unique global position — the
+    * q149 idiom). The last window of each group is a natural remainder
+    * (< windowSize tokens); empty documents contribute no tokens and no
+    * provenance. Same distinct-`orderCol`-within-group precondition as
+    * every deterministic-order operator here. */
+  def packedWindows(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+                    orderCol: String, textCol: String, windowSize: Long)
+      : org.apache.spark.sql.DataFrame = {
+    require(windowSize > 0, s"windowSize must be positive, got $windowSize")
+    require(groupCols.nonEmpty,
+      "packedWindows: need at least one group column — a global ordering " +
+        "would funnel the prefix sum through one partition (packedSpans' " +
+        "documented contract)")
+    val workCols = Set("__ts", "__start", "__p", "__tok", "__gp",
+      "win_id", "window_text", "n_tokens", "n_docs", "first_doc", "last_doc")
+    require(!(groupCols :+ orderCol).exists(workCols.contains),
+      s"packedWindows: group/order columns ${groupCols :+ orderCol} collide " +
+        "with a working/output column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(groupCols.map(col) :+ col(orderCol) :+
+        tokens(col(textCol)).as("__ts"): _*)
+      .withColumn("__start",
+        coalesce(sum(size(col("__ts")).cast(LongType)).over(w), lit(0L)))
+      .select(groupCols.map(col) :+ col(orderCol) :+ col("__start") :+
+        posexplode(col("__ts")).as(Seq("__p", "__tok")): _*)
+      .withColumn("__gp", col("__start") + col("__p"))
+      .withColumn("win_id", expr(s"__gp div ${windowSize}L"))
+      .groupBy((groupCols :+ "win_id").map(col): _*)
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("__gp"), col("__tok")))),
+          s => s.getField("__tok")), " ").as("window_text"),
+        count(lit(1)).cast(LongType).as("n_tokens"),
+        count_distinct(col(orderCol)).cast(LongType).as("n_docs"),
+        min(col(orderCol)).as("first_doc"),
+        max(col(orderCol)).as("last_doc"))
+  }
+
   /** Rolling-hash document sketch: hash every word k-gram shingle, keep the
     * `n` smallest hashes (a bottom-n sketch — a compact fingerprint whose
     * overlap estimates containment). HashedNgrams already emits SORTED

@@ -563,6 +563,21 @@ class PlanShapeSpec extends SparkSpec {
       s"fertility audit must not shuffle by key:\n$p")
   }
 
+  test("q185 training windows: keyed prefix-sum window, group-keyed reassembly, no join") {
+    val p = plan("q185_training_windows")
+    assert(!p.contains("Join"), s"window packing must not plan a join:\n$p")
+    // the prefix sum partitions by source (never a global one-partition
+    // window) and the (source, win)-keyed reassembly can reuse that
+    // partitioning — at most the two keyed exchanges, plus the graded
+    // orderBy's range exchange
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges >= 1 && hashExchanges <= 2,
+      s"expected the source-keyed window (+ at most one reassembly) shuffle:\n$p")
+    assert(p.contains("Window"), s"expected the keyed prefix-sum window:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"the prefix sum must never funnel through one partition:\n$p")
+  }
+
   test("unigram train round: segmentation narrow, ONE piece-keyed exchange, partial sums below it") {
     val words = graft.text.TextAnalysis.bpeWordTable(
       spark.read.parquet(s"$dir/documents.parquet"), "text").localCheckpoint()

@@ -675,6 +675,24 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("pack-windows: materialized training windows equal the operator") {
+    val tmp = Files.createTempDirectory("graft_cli_pw").toString
+    Seq((1L, "g", "a b c"), (2L, "g", "d e f g h"), (9L, "h", "x y"))
+      .toDF("doc_id", "src", "text").write.parquet(s"$tmp/corpus")
+    assert(Main.run(spark, Array("pack-windows",
+      "--corpus", s"$tmp/corpus", "--group", "src", "--order", "doc_id",
+      "--text", "text", "--window", "4", "--out", s"$tmp/wins")) === 0)
+    val got = spark.read.parquet(s"$tmp/wins").collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[Long]("win_id")) ->
+        r.getAs[String]("window_text")).toMap
+    assert(got === Map(("g", 0L) -> "a b c d", ("g", 1L) -> "e f g h",
+      ("h", 0L) -> "x y"))
+    // bad --window is a usage error
+    assert(Main.run(spark, Array("pack-windows",
+      "--corpus", s"$tmp/corpus", "--group", "src", "--order", "doc_id",
+      "--text", "text", "--window", "0", "--out", s"$tmp/w2")) === 2)
+  }
+
   test("ingest-line-index + serve-line-dedup: retroactive hot lines across batches") {
     val tmp = Files.createTempDirectory("graft_cli_lix").toString
     // batch 1: FOOTER appears twice (under the maxDf=2 threshold)...
@@ -729,12 +747,30 @@ class MainSpec extends SparkSpec {
     val vset = vocab.toSet
     assert(got === Seq("hug", "hug", "hug", "pug", "pug", "pun", "bun", "hugs")
       .flatMap(w => graft.text.WordPiece.encodeWordReference(w, vset, "[UNK]", 100)))
+    // the streaming gate accumulates the SAME piece arrays
+    assert(Main.run(spark, Array("wordpiece-gate",
+      "--source", s"$tmp/corpus", "--vocab", s"$tmp/vocab", "--id", "doc_id",
+      "--text", "text", "--dest", s"$tmp/gate", "--table", "pieces",
+      "--checkpoint", s"$tmp/gck")) === 0)
+    val gated = spark.read.parquet(s"$tmp/gate/pieces.parquet")
+      .select($"doc_id", $"pieces").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val want = spark.read.parquet(s"$tmp/enc").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(gated === want)
     // empty vocab artifact fails with the diagnostic, not garbage output
     Seq.empty[String].toDF("piece").write.parquet(s"$tmp/empty")
     intercept[RuntimeException] {
       Main.run(spark, Array("wordpiece-encode",
         "--corpus", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
         "--vocab", s"$tmp/empty", "--out", s"$tmp/enc2"))
+    }
+    // the gate validates the artifact BEFORE the query starts
+    intercept[IllegalArgumentException] {
+      Main.run(spark, Array("wordpiece-gate",
+        "--source", s"$tmp/corpus", "--vocab", s"$tmp/empty", "--id", "doc_id",
+        "--text", "text", "--dest", s"$tmp/gate2", "--table", "pieces",
+        "--checkpoint", s"$tmp/gck2"))
     }
     // bad --merges is a usage error
     assert(Main.run(spark, Array("wordpiece-train",

@@ -110,6 +110,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(9L) === ((0L, 0L, 1L)))
   }
 
+  test("packedWindows: materialized windows with stream order, remainder, provenance") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "g", "a b c"),        // start 0
+      (2L, "g", "d e f g h"),    // start 3 — crosses the W=4 boundary
+      (3L, "g", ""),             // empty: no tokens, no provenance
+      (4L, "g", "i j"),          // start 8
+      (9L, "h", "x y z w v")).   // other group, remainder window of 1
+      toDF("doc_id", "src", "text")
+    val out = TextAnalysis.packedWindows(docs, Seq("src"), "doc_id", "text",
+        windowSize = 4)
+      .collect().map(r => (r.getAs[String]("src"), r.getAs[Long]("win_id")) ->
+        ((r.getAs[String]("window_text"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_docs"), r.getAs[Long]("first_doc"),
+          r.getAs[Long]("last_doc")))).toMap
+    assert(out(("g", 0L)) === (("a b c d", 4L, 2L, 1L, 2L)))
+    assert(out(("g", 1L)) === (("e f g h", 4L, 1L, 2L, 2L)))
+    assert(out(("g", 2L)) === (("i j", 2L, 1L, 4L, 4L)))   // doc 3 absent
+    assert(out(("h", 0L)) === (("x y z w", 4L, 1L, 9L, 9L)))
+    assert(out(("h", 1L)) === (("v", 1L, 1L, 9L, 9L)))      // remainder
+    assert(out.size === 5)
+    // windows tile: per group, total tokens == sum of window sizes and
+    // every non-final window is exactly full
+    intercept[IllegalArgumentException] {
+      TextAnalysis.packedWindows(docs, Seq.empty, "doc_id", "text", 4)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.packedWindows(docs, Seq("src"), "win_id", "text", 4)
+    }
+  }
+
   test("packedSpans property: spans tile each group's stream without gaps") {
     import org.apache.spark.sql.functions.col
     val rnd = new scala.util.Random(3)

@@ -4104,6 +4104,34 @@ object SparkEntry {
       } finally deleteRecursively(tmp)
     }),
 
+    // q186: the line-dedup SERVING gate — the third member of the line
+    // family (batch q179, index ingest q183): arrivals clean against a
+    // PINNED hot-line snapshot (here refreshed over the full corpus, the
+    // moment the gate contract pins) across two micro-batches, and the
+    // accumulated (doc_id, text_clean, n_kept, n_dropped) log must equal
+    // batch q179 under the SAME DuckDB oracle. Hotness comes from the
+    // snapshot, never a batch's own counts — a small batch could never
+    // cross maxDf, which is why the gate takes the hot table, not a
+    // threshold
+    "q186_stream_line_gate" -> ((s, dir) => {
+      val docs = linePlanted(t(s, dir, "documents"))
+      val tmp = java.nio.file.Files.createTempDirectory("q186").toString
+      try {
+        val store = new graft.sync.ParquetStore(s, s"$tmp/out")
+        val hot = graft.dedup.Dedup.hotLines(
+          graft.dedup.Dedup.lineIndexRows(docs, "doc_id", "text"), maxDf = 2)
+        docs.repartition(2).write.parquet(s"$tmp/src")
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+        IncrementalStream.lineDedupGate(stream, hot, "doc_id", "text",
+          store, "clean", checkpointDir = s"$tmp/ck")
+          .awaitTermination()
+        store.read("clean").get
+          .select(col("doc_id"), col("text_clean"), col("n_kept"), col("n_dropped"))
+          .orderBy("doc_id").localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+
     // q185: MATERIALIZED training windows — q66's packedSpans taken to
     // the artifact a training run consumes: per source, documents
     // concatenate in doc_id order, the token stream cuts into 128-token
@@ -4395,6 +4423,9 @@ object SparkEntry {
     // shared oracle by construction (retroactive hotness over the whole
     // accumulation IS the batch semantics)
     "q183_stream_line_index" -> LineDedupOracleSql,
+    // q186 cleans the same planted corpus through the serving gate under
+    // a full-corpus hot snapshot — shared oracle by construction
+    "q186_stream_line_gate" -> LineDedupOracleSql,
     // q172: deflate is JVM-side by nature — planted-comparator violations
     "q172_compression_signal" ->
       "SELECT CAST(0 AS BIGINT) AS violations",

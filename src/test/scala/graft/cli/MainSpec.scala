@@ -714,10 +714,30 @@ class MainSpec extends SparkSpec {
     val got = spark.read.parquet(s"$tmp/clean").collect()
       .map(r => r.getLong(0) -> r.getAs[String]("text_clean")).toMap
     assert(got === Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
+    // snapshot + serving gate: arrivals clean against the pinned hot set
+    // and the accumulated log equals the batch serve
+    assert(Main.run(spark, Array("snapshot-line-index",
+      "--index", s"$tmp/ix", "--max-df", "2")) === 0)
+    assert(spark.read.parquet(s"$tmp/ix/lines_hot.parquet").collect()
+      .map(_.getString(0)).toSeq === Seq("FOOTER"))
+    assert(Main.run(spark, Array("line-dedup-gate",
+      "--source", s"$tmp/src", "--index", s"$tmp/ix", "--id", "doc_id",
+      "--text", "text", "--dest", s"$tmp/served", "--table", "clean",
+      "--checkpoint", s"$tmp/gck")) === 0)
+    val gated = spark.read.parquet(s"$tmp/served/clean.parquet").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text_clean")).toMap
+    assert(gated === got)
     // serving an index-less store is the diagnostic, not garbage output
     intercept[RuntimeException] {
       Main.run(spark, Array("serve-line-dedup",
         "--index", s"$tmp/empty", "--id", "doc_id", "--out", s"$tmp/x"))
+    }
+    // gating without a snapshot names the missing refresh step
+    intercept[RuntimeException] {
+      Main.run(spark, Array("line-dedup-gate",
+        "--source", s"$tmp/src", "--index", s"$tmp/empty", "--id", "doc_id",
+        "--text", "text", "--dest", s"$tmp/served2", "--table", "clean",
+        "--checkpoint", s"$tmp/gck2"))
     }
   }
 

@@ -382,4 +382,26 @@ class DedupSpec extends SparkSpec {
           .withColumnRenamed("doc_id", "text_clean"), "text_clean", maxDf = 3)
     }
   }
+
+  test("lineDedupAgainstHot: hotness comes from the pinned set, never the batch") {
+    // the serving-gate property: this one-doc batch carries FOOTER once
+    // (it could never cross any threshold on its own counts), but the
+    // pinned snapshot says it is corpus-hot — it must drop
+    val batch = Seq((7L, "FOOTER\nalpha")).toDF("doc_id", "text")
+    val hot = Seq("FOOTER").toDF("line")
+    val got = Dedup.lineDedupAgainstHot(
+      Dedup.lineIndexRows(batch, "doc_id", "text"), hot, "doc_id").head
+    assert((got.getString(1), got.getLong(2), got.getLong(3)) === (("alpha", 1L, 1L)))
+    // and a line the snapshot does NOT list survives even if the batch
+    // itself repeats it
+    val batch2 = Seq((8L, "x\nx\nx")).toDF("doc_id", "text")
+    val got2 = Dedup.lineDedupAgainstHot(
+      Dedup.lineIndexRows(batch2, "doc_id", "text"), hot, "doc_id").head
+    assert(got2.getString(1) === "x\nx\nx")
+    // hotLines is the gate half of lineDedupFromIndex
+    val idx = Dedup.lineIndexRows(Seq((1L, "a\nb"), (2L, "a")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(Dedup.hotLines(idx, maxDf = 1).collect().map(_.getString(0)).toSeq
+      === Seq("a"))
+  }
 }

@@ -833,8 +833,8 @@ object Dedup {
     * for both guards below (a set updated on one side only would let an
     * idCol collide silently on the other); includes the __run/__batch
     * lineage stamps guardedAppend adds to ingested index rows. */
-  private val LineWorkCols = Set("pos", "line", "__hot", "__ls",
-    "__run", "__batch", "text_clean", "n_kept", "n_dropped")
+  private val LineWorkCols = Set("pos", "line", "__hot", "__ls", "__kept",
+    "__df", "__run", "__batch", "text_clean", "n_kept", "n_dropped")
 
   /** One batch's RAW line-index rows — every (`idCol`, pos, line)
     * occurrence of a document batch, the per-micro-batch unit of
@@ -866,8 +866,10 @@ object Dedup {
     * its surviving (pos-ordered) lines. Serving a continuously-ingested
     * index through this IS running q179's batch semantics over
     * everything that ever arrived — row-identical to [[lineDedup]] on
-    * the same documents (graded, q183). Same distinct-`idCol`
-    * precondition as [[lineDedup]]. */
+    * the same documents (graded, q183). PRECONDITION: the ORIGINATING
+    * documents' ids were distinct — i.e. (`idCol`, pos) pairs are unique
+    * in the index (what the ingest guard keys on); the index itself
+    * naturally holds many rows per id, one per line occurrence. */
   def lineDedupFromIndex(index: DataFrame, idCol: String, maxDf: Long,
                          broadcastHot: Boolean = true): DataFrame = {
     require(maxDf >= 1,
@@ -911,16 +913,18 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(
         struct(col("pos"), col("__hot"), col("line")))).as("__ls"))
-      .select(col(idCol), col("__ls"),
-        array_join(transform(
-          filter(col("__ls"), s => s.getField("__hot").isNull),
-          s => s.getField("line")), "\n").as("text_clean"),
-        size(filter(col("__ls"), s => s.getField("__hot").isNull))
-          .cast(LongType).as("n_kept"))
-      // total - kept, not a third array traversal (struct elements are
-      // never null, so size(__ls) counts every line)
-      .withColumn("n_dropped",
-        size(col("__ls")).cast(LongType) - col("n_kept"))
-      .drop("__ls")
+      // the surviving-lines filter is hoisted into a column so it runs
+      // ONCE per document (lambda-bearing expressions are excluded from
+      // Spark's common-subexpression elimination — inlining it under
+      // both text_clean and n_kept would re-filter every line array
+      // twice); n_dropped = total − kept, never a traversal of its own
+      .withColumn("__kept",
+        filter(col("__ls"), s => s.getField("__hot").isNull))
+      .select(col(idCol),
+        array_join(transform(col("__kept"), s => s.getField("line")), "\n")
+          .as("text_clean"),
+        size(col("__kept")).cast(LongType).as("n_kept"),
+        (size(col("__ls")) - size(col("__kept"))).cast(LongType)
+          .as("n_dropped"))
   }
 }

@@ -381,6 +381,12 @@ class DedupSpec extends SparkSpec {
         Dedup.lineIndexRows(docs, "doc_id", "text")
           .withColumnRenamed("doc_id", "text_clean"), "text_clean", maxDf = 3)
     }
+    // the lineage-stamp names are guarded too: an idCol named __run
+    // would be silently overwritten by the ingest guard's stamping
+    intercept[IllegalArgumentException] {
+      Dedup.lineIndexRows(docs.withColumnRenamed("doc_id", "__run"),
+        "__run", "text")
+    }
   }
 
   test("lineDedupAgainstHot: hotness comes from the pinned set, never the batch") {

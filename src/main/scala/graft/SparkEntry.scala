@@ -4399,13 +4399,18 @@ object SparkEntry {
         |  FROM d),
         |e AS (
         |  SELECT source, doc_id, st + i - 1 AS gp, ts[i] AS tok
-        |  FROM o, LATERAL unnest(range(1, len(ts) + 1)) AS u(i))
-        |SELECT source, CAST(gp // 128 AS BIGINT) AS win_id,
-        |  string_agg(tok, ' ' ORDER BY gp) AS window_text,
-        |  CAST(count(*) AS BIGINT) AS n_tokens,
-        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  FROM o, LATERAL unnest(range(1, len(ts) + 1)) AS u(i)),
+        |w1 AS (
+        |  SELECT source, gp // 128 AS win_id, doc_id, min(gp) AS mg,
+        |    CAST(count(*) AS BIGINT) AS n, string_agg(tok, ' ' ORDER BY gp) AS seg
+        |  FROM e GROUP BY source, gp // 128, doc_id)
+        |SELECT source, CAST(win_id AS BIGINT) AS win_id,
+        |  string_agg(seg, ' ' ORDER BY mg) AS window_text,
+        |  string_agg(doc_id || ':' || (mg - win_id * 128) || ':' || n, '|' ORDER BY mg) AS doc_spans,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM e GROUP BY source, gp // 128
+        |FROM w1 GROUP BY source, win_id
         |ORDER BY source, win_id""".stripMargin,
     // q182 accumulates the same corpus through the streaming gate under
     // the same pinned vocabulary — shared oracle by construction

@@ -367,21 +367,26 @@ object TextAnalysis {
     * artifact a training run actually consumes: documents concatenate in
     * a deterministic order within each group, the token stream cuts into
     * fixed `windowSize` windows, and each window materializes as ONE row
-    * — (group..., win_id, window_text, n_tokens, n_docs, first_doc,
-    * last_doc) — with its tokens in stream order and its document
-    * provenance (how many docs cross into this window, and which). The
+    * — (group..., win_id, window_text, doc_spans, n_tokens, n_docs,
+    * first_doc, last_doc) — with its tokens in stream order and its
+    * document provenance: `doc_spans` is the 'doc:start:len|…' boundary
+    * string (start = offset within the window) an attention mask / loss
+    * mask is built from, one span per document crossing the window. The
     * GPT-style concat-and-cut batch construction, kept relational so
     * packing is reproducible and joinable back to curation verdicts.
     *
     * Plan: one keyed window for the per-group exclusive prefix sum (the
     * [[packedSpans]] shape — per-group streams, never a global
     * single-partition order), one narrow posexplode to (global position,
-    * token), one (group, win_id)-keyed reassembly
-    * (sort_array(collect_list) over the unique global position — the
-    * q149 idiom). The last window of each group is a natural remainder
-    * (< windowSize tokens); empty documents contribute no tokens and no
-    * provenance. Same distinct-`orderCol`-within-group precondition as
-    * every deterministic-order operator here. */
+    * token), then TWO-LEVEL reassembly exploiting that each document's
+    * tokens are CONTIGUOUS in the stream: level 1 groups
+    * (group, win, doc) into per-document segments (bounding per-row
+    * collect_list sizes by the document, not the window), level 2
+    * stitches segments in stream order — both levels reuse the prefix
+    * sum's hash partitioning. The last window of each group is a natural
+    * remainder (< windowSize tokens); empty documents contribute no
+    * tokens and no provenance. Same distinct-`orderCol`-within-group
+    * precondition as every deterministic-order operator here. */
   def packedWindows(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
                     orderCol: String, textCol: String, windowSize: Long)
       : org.apache.spark.sql.DataFrame = {
@@ -390,8 +395,9 @@ object TextAnalysis {
       "packedWindows: need at least one group column — a global ordering " +
         "would funnel the prefix sum through one partition (packedSpans' " +
         "documented contract)")
-    val workCols = Set("__ts", "__start", "__p", "__tok", "__gp",
-      "win_id", "window_text", "n_tokens", "n_docs", "first_doc", "last_doc")
+    val workCols = Set("__ts", "__start", "__p", "__tok", "__gp", "__mg",
+      "__seg", "__n", "win_id", "window_text", "doc_spans", "n_tokens",
+      "n_docs", "first_doc", "last_doc")
     require(!(groupCols :+ orderCol).exists(workCols.contains),
       s"packedWindows: group/order columns ${groupCols :+ orderCol} collide " +
         "with a working/output column")
@@ -407,13 +413,29 @@ object TextAnalysis {
         posexplode(col("__ts")).as(Seq("__p", "__tok")): _*)
       .withColumn("__gp", col("__start") + col("__p"))
       .withColumn("win_id", expr(s"__gp div ${windowSize}L"))
-      .groupBy((groupCols :+ "win_id").map(col): _*)
+      // level 1: this document's segment of this window — contiguous in
+      // __gp by construction, so (min __gp, count) IS the span
+      .groupBy((groupCols :+ "win_id" :+ orderCol).map(col): _*)
       .agg(
         array_join(transform(
           sort_array(collect_list(struct(col("__gp"), col("__tok")))),
-          s => s.getField("__tok")), " ").as("window_text"),
-        count(lit(1)).cast(LongType).as("n_tokens"),
-        count_distinct(col(orderCol)).cast(LongType).as("n_docs"),
+          s => s.getField("__tok")), " ").as("__seg"),
+        min(col("__gp")).as("__mg"),
+        count(lit(1)).cast(LongType).as("__n"))
+      // level 2: stitch segments in stream order (__mg is unique per
+      // window — one contiguous segment per document)
+      .groupBy((groupCols :+ "win_id").map(col): _*)
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("__mg"), col("__seg")))),
+          s => s.getField("__seg")), " ").as("window_text"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("__mg"), concat_ws(":",
+            col(orderCol), col("__mg") - col("win_id") * windowSize,
+            col("__n")).as("__sp")))),
+          s => s.getField("__sp")), "|").as("doc_spans"),
+        sum(col("__n")).cast(LongType).as("n_tokens"),
+        count(lit(1)).cast(LongType).as("n_docs"),
         min(col(orderCol)).as("first_doc"),
         max(col(orderCol)).as("last_doc"))
   }

@@ -122,14 +122,16 @@ class TextAnalysisSpec extends SparkSpec {
     val out = TextAnalysis.packedWindows(docs, Seq("src"), "doc_id", "text",
         windowSize = 4)
       .collect().map(r => (r.getAs[String]("src"), r.getAs[Long]("win_id")) ->
-        ((r.getAs[String]("window_text"), r.getAs[Long]("n_tokens"),
-          r.getAs[Long]("n_docs"), r.getAs[Long]("first_doc"),
-          r.getAs[Long]("last_doc")))).toMap
-    assert(out(("g", 0L)) === (("a b c d", 4L, 2L, 1L, 2L)))
-    assert(out(("g", 1L)) === (("e f g h", 4L, 1L, 2L, 2L)))
-    assert(out(("g", 2L)) === (("i j", 2L, 1L, 4L, 4L)))   // doc 3 absent
-    assert(out(("h", 0L)) === (("x y z w", 4L, 1L, 9L, 9L)))
-    assert(out(("h", 1L)) === (("v", 1L, 1L, 9L, 9L)))      // remainder
+        ((r.getAs[String]("window_text"), r.getAs[String]("doc_spans"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc")))).toMap
+    // doc_spans = doc:start-in-window:len per document, stream order —
+    // the attention/loss-mask boundaries
+    assert(out(("g", 0L)) === (("a b c d", "1:0:3|2:3:1", 4L, 2L, 1L, 2L)))
+    assert(out(("g", 1L)) === (("e f g h", "2:0:4", 4L, 1L, 2L, 2L)))
+    assert(out(("g", 2L)) === (("i j", "4:0:2", 2L, 1L, 4L, 4L)))   // doc 3 absent
+    assert(out(("h", 0L)) === (("x y z w", "9:0:4", 4L, 1L, 9L, 9L)))
+    assert(out(("h", 1L)) === (("v", "9:0:1", 1L, 1L, 9L, 9L)))      // remainder
     assert(out.size === 5)
     // windows tile: per group, total tokens == sum of window sizes and
     // every non-final window is exactly full

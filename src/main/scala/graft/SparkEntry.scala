@@ -4136,11 +4136,15 @@ object SparkEntry {
     // the artifact a training run consumes: per source, documents
     // concatenate in doc_id order, the token stream cuts into 128-token
     // windows, and each window materializes as one row with its tokens
-    // in stream order plus provenance (n_docs crossing in, first/last
-    // doc). One keyed prefix-sum window + one narrow posexplode + one
-    // (source, win)-keyed reassembly — per-group streams end to end,
-    // never a global single-partition order. Full DuckDB oracle replays
-    // the identical construction with window sums + string_agg
+    // in stream order plus provenance: doc_spans is the 'doc:start:len|…'
+    // boundary string an attention/loss mask is built from, alongside
+    // n_docs and first/last doc. One keyed prefix-sum window + one
+    // narrow posexplode + a TWO-LEVEL reassembly (per-(win, doc)
+    // segments, then segments stitched in stream order — documents are
+    // contiguous in the stream, so (min pos, count) IS the span) —
+    // per-group streams end to end, never a global single-partition
+    // order. Full DuckDB oracle replays the identical two-level
+    // construction with window sums + string_agg
     "q185_training_windows" -> ((s, dir) =>
       TextAnalysis.packedWindows(t(s, dir, "documents"), Seq("source"),
           "doc_id", "text", windowSize = 128)

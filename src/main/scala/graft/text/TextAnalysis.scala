@@ -385,8 +385,15 @@ object TextAnalysis {
     * stitches segments in stream order — both levels reuse the prefix
     * sum's hash partitioning. The last window of each group is a natural
     * remainder (< windowSize tokens); empty documents contribute no
-    * tokens and no provenance. Same distinct-`orderCol`-within-group
-    * precondition as every deterministic-order operator here. */
+    * tokens and no provenance.
+    *
+    * PRECONDITIONS (documented, not checked — the convention of every
+    * deterministic-order operator here): `orderCol` values are DISTINCT
+    * within each group and NON-NULL (a null id would concat_ws-skip out
+    * of its span — and under duplicates the two-level reassembly emits
+    * overlapping spans, a worse failure than the old single-level
+    * text-only merge); when `orderCol` is a string, its values must not
+    * contain ':' or '|', the doc_spans delimiters. */
   def packedWindows(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
                     orderCol: String, textCol: String, windowSize: Long)
       : org.apache.spark.sql.DataFrame = {
@@ -396,8 +403,8 @@ object TextAnalysis {
         "would funnel the prefix sum through one partition (packedSpans' " +
         "documented contract)")
     val workCols = Set("__ts", "__start", "__p", "__tok", "__gp", "__mg",
-      "__seg", "__n", "win_id", "window_text", "doc_spans", "n_tokens",
-      "n_docs", "first_doc", "last_doc")
+      "__seg", "__n", "__sp", "__ls", "win_id", "window_text", "doc_spans",
+      "n_tokens", "n_docs", "first_doc", "last_doc")
     require(!(groupCols :+ orderCol).exists(workCols.contains),
       s"packedWindows: group/order columns ${groupCols :+ orderCol} collide " +
         "with a working/output column")
@@ -423,21 +430,27 @@ object TextAnalysis {
         min(col("__gp")).as("__mg"),
         count(lit(1)).cast(LongType).as("__n"))
       // level 2: stitch segments in stream order (__mg is unique per
-      // window — one contiguous segment per document)
+      // window — one contiguous segment per document). ONE collected +
+      // sorted list feeds both window_text and doc_spans: two parallel
+      // collect_list/sort_array aggregates would double the buffer state
+      // and sort work of the hot reassembly stage
+      .withColumn("__sp", concat_ws(":", col(orderCol),
+        col("__mg") - col("win_id") * windowSize, col("__n")))
       .groupBy((groupCols :+ "win_id").map(col): _*)
       .agg(
-        array_join(transform(
-          sort_array(collect_list(struct(col("__mg"), col("__seg")))),
-          s => s.getField("__seg")), " ").as("window_text"),
-        array_join(transform(
-          sort_array(collect_list(struct(col("__mg"), concat_ws(":",
-            col(orderCol), col("__mg") - col("win_id") * windowSize,
-            col("__n")).as("__sp")))),
-          s => s.getField("__sp")), "|").as("doc_spans"),
+        sort_array(collect_list(
+          struct(col("__mg"), col("__seg"), col("__sp")))).as("__ls"),
         sum(col("__n")).cast(LongType).as("n_tokens"),
         count(lit(1)).cast(LongType).as("n_docs"),
         min(col(orderCol)).as("first_doc"),
         max(col(orderCol)).as("last_doc"))
+      .select(groupCols.map(col) :+ col("win_id") :+
+        array_join(transform(col("__ls"), s => s.getField("__seg")), " ")
+          .as("window_text") :+
+        array_join(transform(col("__ls"), s => s.getField("__sp")), "|")
+          .as("doc_spans") :+
+        col("n_tokens") :+ col("n_docs") :+ col("first_doc") :+
+        col("last_doc"): _*)
   }
 
   /** Rolling-hash document sketch: hash every word k-gram shingle, keep the

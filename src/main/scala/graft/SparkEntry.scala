@@ -4104,6 +4104,26 @@ object SparkEntry {
       } finally deleteRecursively(tmp)
     }),
 
+    // q187: TRAINED language identification — the Cavnar–Trenkle
+    // rank-order method next to q19's fixed marker-word heuristic: per
+    // language, the top-40 character trigrams by frequency form a ranked
+    // profile (trained on the corpus' own lang labels), and every
+    // document classifies to the language minimizing the out-of-place
+    // distance over its own top-40 trigrams (absent trigram → max
+    // penalty; ties break (distance, lang)). Everything is integer rank
+    // arithmetic with total tie orders, so train AND apply replay in the
+    // DuckDB oracle as plain window/join SQL — no generated literals.
+    // Scale: profiles broadcast (languages·k rows), doc ranking is a
+    // doc-keyed window, the distance sum and argmin stay doc-keyed
+    "q187_langid_profiles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val k = 40
+      val profiles = graft.text.LangProfile
+        .trainProfiles(docs, "lang", "text", k)
+      graft.text.LangProfile.classify(docs, "doc_id", "text", profiles, k)
+        .orderBy("doc_id")
+    }),
+
     // q186: the line-dedup SERVING gate — the third member of the line
     // family (batch q179, index ingest q183): arrivals clean against a
     // PINNED hot-line snapshot (here refreshed over the full corpus, the
@@ -4391,6 +4411,33 @@ object SparkEntry {
     },
 
     "q180_wordpiece_encode" -> WordPieceEncodeOracleSql,
+    "q187_langid_profiles" ->
+      """WITH norm AS (
+        |  SELECT doc_id, lang, regexp_replace(lower(text), '\s+', '_', 'g') AS t
+        |  FROM documents),
+        |tg AS (
+        |  SELECT doc_id, lang, substring(t, CAST(i AS INT), 3) AS g
+        |  FROM norm, LATERAL unnest(range(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |lp AS (
+        |  SELECT lang, g, CAST(row_number() OVER (
+        |      PARTITION BY lang ORDER BY count(*) DESC, g) - 1 AS BIGINT) AS r
+        |  FROM tg GROUP BY lang, g
+        |  QUALIFY r < 40),
+        |dp AS (
+        |  SELECT doc_id, g, CAST(row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY count(*) DESC, g) - 1 AS BIGINT) AS dr
+        |  FROM tg GROUP BY doc_id, g
+        |  QUALIFY dr < 40),
+        |dist AS (
+        |  SELECT dp.doc_id, l.lang,
+        |    CAST(sum(CASE WHEN lp.r IS NULL THEN 40 ELSE abs(dp.dr - lp.r) END) AS BIGINT) AS d
+        |  FROM dp CROSS JOIN (SELECT DISTINCT lang FROM lp) l
+        |  LEFT JOIN lp ON lp.lang = l.lang AND lp.g = dp.g
+        |  GROUP BY dp.doc_id, l.lang)
+        |SELECT doc_id, lang AS pred_lang, d AS dist FROM dist
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY d, lang) = 1
+        |ORDER BY doc_id""".stripMargin,
     "q184_tokenizer_fertility" -> TokenizerFertilityOracleSql,
     "q185_training_windows" ->
       """WITH d AS (

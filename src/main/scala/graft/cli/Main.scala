@@ -62,6 +62,8 @@ object Main {
       "       unigram-train --corpus <parquet> --text <col> --max-piece-len <n> --keep <n> --rounds <n> --out <parquetDir>\n" +
       "       unigram-encode --corpus <parquet> --id <col> --text <col> --pieces <parquetDir> --out <parquetDir>\n" +
       "       pack-windows --corpus <parquet> --group c1[,c2] --order <col> --text <col> --window <n> --out <parquetDir>\n" +
+      "       train-langid --corpus <parquet> --lang <col> --text <col> --out <parquetDir> [--k <n>]\n" +
+      "       langid-classify --corpus <parquet> --id <col> --text <col> --profiles <parquetDir> --out <parquetDir> [--k <n>]\n" +
       "       wordpiece-train --corpus <parquet> --text <col> --merges <n> --out <parquetDir>\n" +
       "       wordpiece-encode --corpus <parquet> --id <col> --text <col> --vocab <parquetDir> --out <parquetDir> [--max-chars <n>]\n" +
       "       wordpiece-gate --source <parquetDir> --vocab <parquetDir> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir> [--max-chars <n>]\n" +
@@ -205,6 +207,12 @@ object Main {
   private case class PackWindowsCmd(corpus: String, group: Seq[String],
                                     order: String, text: String, window: Int,
                                     out: String) extends Cmd
+  private case class TrainLangIdCmd(corpus: String, lang: String,
+                                    text: String, k: Int,
+                                    out: String) extends Cmd
+  private case class LangIdClassifyCmd(corpus: String, id: String,
+                                       text: String, profiles: String,
+                                       k: Int, out: String) extends Cmd
   private case class WordPieceTrainCmd(corpus: String, text: String,
                                        merges: Int, out: String) extends Cmd
   private case class WordPieceEncodeCmd(corpus: String, id: String,
@@ -625,6 +633,25 @@ object Main {
         window <- posInt(opts, "pack-windows", "window")
         out <- req(opts, "pack-windows", "out")
       } yield PackWindowsCmd(corpus, group, order, text, window, out)
+    case "train-langid" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "train-langid", "corpus")
+        lang <- req(opts, "train-langid", "lang")
+        text <- req(opts, "train-langid", "text")
+        k <- optInt(opts, "train-langid", "k", 40)
+        out <- req(opts, "train-langid", "out")
+      } yield TrainLangIdCmd(corpus, lang, text, k, out)
+    case "langid-classify" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "langid-classify", "corpus")
+        id <- req(opts, "langid-classify", "id")
+        text <- req(opts, "langid-classify", "text")
+        profiles <- req(opts, "langid-classify", "profiles")
+        k <- optInt(opts, "langid-classify", "k", 40)
+        out <- req(opts, "langid-classify", "out")
+      } yield LangIdClassifyCmd(corpus, id, text, profiles, k, out)
     case "wordpiece-train" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -1395,6 +1422,31 @@ object Main {
           .awaitTermination()
         0
       }
+
+    case TrainLangIdCmd(corpus, lang, text, k, out) =>
+      // the profile table IS the language-ID model: (lang, g, r) ranked
+      // trigram rows, languages·k of them — langid-classify re-reads it
+      graft.text.LangProfile.trainProfiles(
+          spark.read.parquet(corpus), lang, text, k)
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case LangIdClassifyCmd(corpus, id, text, profilesDir, k, out) =>
+      // classification must run under the SAME k the profiles were
+      // trained with (the missing-trigram penalty equals k) — validate
+      // the artifact's rank bound instead of silently mis-scoring
+      val profiles = spark.read.parquet(profilesDir)
+      if (profiles.isEmpty)
+        sys.error(s"langid-classify: empty profile table under $profilesDir — run train-langid first")
+      val maxR = profiles.agg(org.apache.spark.sql.functions.max("r"))
+        .head.getLong(0)
+      if (maxR >= k)
+        sys.error(s"langid-classify: profiles under $profilesDir carry ranks up to $maxR " +
+          s"but --k is $k — classify with the k the profiles were trained with")
+      graft.text.LangProfile.classify(
+          spark.read.parquet(corpus), id, text, profiles, k)
+        .write.mode("overwrite").parquet(out)
+      0
 
     case WordPieceGateCmd(source, vocabDir, id, text, dest, table, ck, maxChars) =>
       // streaming greedy segmentation under the persisted vocabulary —

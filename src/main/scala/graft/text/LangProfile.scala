@@ -1,0 +1,103 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Trained n-gram-profile language identification (Cavnar & Trenkle
+  * 1994, the canonical rank-order method) — the TRAINED counterpart of
+  * [[TextAnalysis.langId]]'s fixed marker-word heuristic: per language,
+  * the top-k character trigrams by frequency form a ranked PROFILE; a
+  * document classifies to the language whose profile minimizes the
+  * out-of-place distance Σ |doc rank − language rank| over the
+  * document's own top-k trigrams, with the maximum penalty `k` for a
+  * trigram absent from the language profile.
+  *
+  * EVERYTHING is integer rank arithmetic over exact counts with total
+  * tie orders (count DESC, trigram ASC inside profiles; distance ASC,
+  * language ASC at the argmin), so train AND apply replay cross-engine
+  * in plain SQL — the q187 oracle reruns the full construction in
+  * DuckDB with the identical window/tie rules, no generated literals
+  * needed.
+  *
+  * Scale shape: training is one trigram explode → one
+  * (lang, trigram)-keyed partial-aggregated count → one LANG-keyed
+  * ranking window (parallel per language; the profile table is
+  * languages·k rows). Classification is one explode → one doc-keyed
+  * count + ranking window (parallel per document) → a BROADCAST join
+  * against the tiny profile table fanned by the language list → one
+  * (doc, lang)-keyed distance sum → one doc-keyed argmin. Nothing
+  * corpus-sized ever reaches the driver and no corpus-sized side ever
+  * shuffles twice for the same key. */
+object LangProfile {
+
+  /** Character trigrams of whitespace-collapsed lowercase text — the
+    * word-boundary '_' convention keeps cross-word context (the C&T
+    * padding) while staying one regexp + one substring pass,
+    * SQL-mirrorable verbatim. Texts shorter than 3 normalized chars
+    * yield no trigrams (and classify to nothing — documented). */
+  def charTrigrams(c: Column): Column = {
+    val t = regexp_replace(lower(c), "\\s+", "_")
+    when(length(t) >= 3,
+      transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Train per-language profiles over a labeled corpus: (lang, g, r)
+    * with r = 0-based rank of trigram `g` in `lang`'s frequency order
+    * (count DESC, trigram ASC — a total order), ranks < k only. */
+  def trainProfiles(df: DataFrame, langCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"LangProfile.trainProfiles: k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("__c").desc, col("g"))
+    df.select(col(langCol).as("lang"),
+        explode(charTrigrams(col(textCol))).as("g"))
+      .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("__c"))
+      .withColumn("r", (row_number().over(w) - 1).cast(LongType))
+      .filter(col("r") < k)
+      .select(col("lang"), col("g"), col("r"))
+  }
+
+  /** Classify documents against trained profiles: each document's own
+    * top-k trigram ranks compare to every language's profile by
+    * out-of-place distance (absent trigram → penalty k), argmin with
+    * the (distance, lang) total tie order. Output: (idCol, pred_lang,
+    * dist). Documents with no trigrams (< 3 normalized chars) emit no
+    * row. `profiles` is [[trainProfiles]] output — languages·k rows,
+    * broadcast. */
+  def classify(df: DataFrame, idCol: String, textCol: String,
+               profiles: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"LangProfile.classify: k must be >= 1, got $k")
+    require(!Set("lang", "g", "r", "__c", "__dr", "__d", "__best",
+        "pred_lang", "dist").contains(idCol),
+      s"LangProfile.classify: idCol '$idCol' collides with a working column")
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("__c").desc, col("g"))
+    val docProf = df
+      .select(col(idCol), explode(charTrigrams(col(textCol))).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("__c"))
+      .withColumn("__dr", (row_number().over(wDoc) - 1).cast(LongType))
+      .filter(col("__dr") < k)
+      .select(col(idCol), col("g"), col("__dr"))
+    val langs = profiles.select(col("lang")).distinct()
+    docProf
+      // fan each doc-profile row across the language list, then look up
+      // the language's rank for that trigram — both sides of the lookup
+      // are profile-sized, broadcast
+      .join(broadcast(langs))
+      .join(broadcast(profiles), Seq("lang", "g"), "left")
+      .groupBy(col(idCol), col("lang"))
+      .agg(sum(when(col("r").isNull, lit(k.toLong))
+        .otherwise(abs(col("__dr") - col("r")))).cast(LongType).as("__d"))
+      .groupBy(col(idCol))
+      // min over struct(dist, lang): the (distance ASC, lang ASC) total
+      // tie order as one aggregate — no second window
+      .agg(min(struct(col("__d"), col("lang"))).as("__best"))
+      .select(col(idCol),
+        col("__best.lang").as("pred_lang"),
+        col("__best.__d").as("dist"))
+  }
+}

@@ -578,6 +578,16 @@ class PlanShapeSpec extends SparkSpec {
       s"the prefix sum must never funnel through one partition:\n$p")
   }
 
+  test("q187 langid: profiles broadcast, doc-keyed windows, no single-partition funnel") {
+    val p = plan("q187_langid_profiles")
+    // the language-profile lookup must broadcast (languages·k rows) —
+    // a shuffled join would move the doc-profile side twice
+    assert(p.contains("BroadcastHashJoin"), s"profile lookup must broadcast:\n$p")
+    // ranking windows are keyed (per doc / per lang) — never one partition
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no stage may funnel through one partition:\n$p")
+  }
+
   test("unigram train round: segmentation narrow, ONE piece-keyed exchange, partial sums below it") {
     val words = graft.text.TextAnalysis.bpeWordTable(
       spark.read.parquet(s"$dir/documents.parquet"), "text").localCheckpoint()

@@ -675,6 +675,32 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("train-langid + langid-classify: profile artifact, rank-bound validation") {
+    val tmp = Files.createTempDirectory("graft_cli_lid").toString
+    Seq((1L, "x", "aaaa"), (2L, "x", "aaab"), (3L, "y", "bbbb"), (4L, "y", "bbba"))
+      .toDF("doc_id", "lang", "text").write.parquet(s"$tmp/corpus")
+    assert(Main.run(spark, Array("train-langid",
+      "--corpus", s"$tmp/corpus", "--lang", "lang", "--text", "text",
+      "--k", "2", "--out", s"$tmp/prof")) === 0)
+    assert(Main.run(spark, Array("langid-classify",
+      "--corpus", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+      "--profiles", s"$tmp/prof", "--k", "2", "--out", s"$tmp/pred")) === 0)
+    val got = spark.read.parquet(s"$tmp/pred").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // artifact == operator (shared implementation, pin the wiring)
+    val want = graft.text.LangProfile.classify(
+        spark.read.parquet(s"$tmp/corpus"), "doc_id", "text",
+        spark.read.parquet(s"$tmp/prof"), 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === want && got.nonEmpty)
+    // a k below the trained rank bound fails with the diagnostic
+    intercept[RuntimeException] {
+      Main.run(spark, Array("langid-classify",
+        "--corpus", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+        "--profiles", s"$tmp/prof", "--k", "1", "--out", s"$tmp/p2"))
+    }
+  }
+
   test("pack-windows: materialized training windows equal the operator") {
     val tmp = Files.createTempDirectory("graft_cli_pw").toString
     Seq((1L, "g", "a b c"), (2L, "g", "d e f g h"), (9L, "h", "x y"))

@@ -4118,10 +4118,18 @@ object SparkEntry {
     "q187_langid_profiles" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val k = 40
+      // profiles MATERIALIZE once (languages·k rows): classify references
+      // them twice (language list + rank lookup), and an unmaterialized
+      // train plan would re-scan the corpus per reference if exchange
+      // reuse ever regressed (the q106 nullable-key precedent) — pin the
+      // single corpus-scan structure instead of relying on ReuseExchange
       val profiles = graft.text.LangProfile
-        .trainProfiles(docs, "lang", "text", k)
-      graft.text.LangProfile.classify(docs, "doc_id", "text", profiles, k)
-        .orderBy("doc_id")
+        .trainProfiles(docs, "lang", "text", k).localCheckpoint()
+      val res = graft.text.LangProfile
+        .classify(docs, "doc_id", "text", profiles, k)
+        .orderBy("doc_id").localCheckpoint()
+      graft.Checkpoints.release(profiles)
+      res
     }),
 
     // q186: the line-dedup SERVING gate — the third member of the line
@@ -4413,7 +4421,7 @@ object SparkEntry {
     "q180_wordpiece_encode" -> WordPieceEncodeOracleSql,
     "q187_langid_profiles" ->
       """WITH norm AS (
-        |  SELECT doc_id, lang, regexp_replace(lower(text), '\s+', '_', 'g') AS t
+        |  SELECT doc_id, lang, regexp_replace(lower(text), '[ \t\n\f\r]+', '_', 'g') AS t
         |  FROM documents),
         |tg AS (
         |  SELECT doc_id, lang, substring(t, CAST(i AS INT), 3) AS g
@@ -4422,7 +4430,7 @@ object SparkEntry {
         |lp AS (
         |  SELECT lang, g, CAST(row_number() OVER (
         |      PARTITION BY lang ORDER BY count(*) DESC, g) - 1 AS BIGINT) AS r
-        |  FROM tg GROUP BY lang, g
+        |  FROM tg WHERE lang IS NOT NULL GROUP BY lang, g
         |  QUALIFY r < 40),
         |dp AS (
         |  SELECT doc_id, g, CAST(row_number() OVER (

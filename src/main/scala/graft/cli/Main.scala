@@ -649,7 +649,8 @@ object Main {
         id <- req(opts, "langid-classify", "id")
         text <- req(opts, "langid-classify", "text")
         profiles <- req(opts, "langid-classify", "profiles")
-        k <- optInt(opts, "langid-classify", "k", 40)
+        // 0 = "take k from the artifact"; an explicit --k must match it
+        k <- optInt(opts, "langid-classify", "k", 0)
         out <- req(opts, "langid-classify", "out")
       } yield LangIdClassifyCmd(corpus, id, text, profiles, k, out)
     case "wordpiece-train" :: rest =>
@@ -1425,26 +1426,33 @@ object Main {
 
     case TrainLangIdCmd(corpus, lang, text, k, out) =>
       // the profile table IS the language-ID model: (lang, g, r) ranked
-      // trigram rows, languages·k of them — langid-classify re-reads it
+      // trigram rows, languages·k of them, stamped with the trained k —
+      // the missing-trigram penalty EQUALS k, so classification under a
+      // different k silently mis-scores (the params-manifest rule; a
+      // rank-bound check alone would pass any k above the trained one)
       graft.text.LangProfile.trainProfiles(
           spark.read.parquet(corpus), lang, text, k)
+        .withColumn("k", org.apache.spark.sql.functions.lit(k.toLong))
         .write.mode("overwrite").parquet(out)
       0
 
-    case LangIdClassifyCmd(corpus, id, text, profilesDir, k, out) =>
-      // classification must run under the SAME k the profiles were
-      // trained with (the missing-trigram penalty equals k) — validate
-      // the artifact's rank bound instead of silently mis-scoring
-      val profiles = spark.read.parquet(profilesDir)
-      if (profiles.isEmpty)
+    case LangIdClassifyCmd(corpus, id, text, profilesDir, kOpt, out) =>
+      // k comes from the ARTIFACT; an explicit --k must match it exactly
+      val raw = spark.read.parquet(profilesDir)
+      if (raw.isEmpty)
         sys.error(s"langid-classify: empty profile table under $profilesDir — run train-langid first")
-      val maxR = profiles.agg(org.apache.spark.sql.functions.max("r"))
-        .head.getLong(0)
-      if (maxR >= k)
-        sys.error(s"langid-classify: profiles under $profilesDir carry ranks up to $maxR " +
-          s"but --k is $k — classify with the k the profiles were trained with")
+      val ks = raw.select("k").distinct().collect().map(_.getLong(0))
+      if (ks.length != 1)
+        sys.error(s"langid-classify: profiles under $profilesDir carry " +
+          s"${ks.length} distinct k stamps — corrupted or mixed artifact")
+      val trainedK = ks.head.toInt
+      if (kOpt != 0 && kOpt != trainedK)
+        sys.error(s"langid-classify: --k $kOpt does not match the artifact's " +
+          s"trained k = $trainedK under $profilesDir — the missing-trigram " +
+          "penalty equals k, so a different k silently mis-scores")
       graft.text.LangProfile.classify(
-          spark.read.parquet(corpus), id, text, profiles, k)
+          spark.read.parquet(corpus), id, text,
+          raw.select("lang", "g", "r"), trainedK)
         .write.mode("overwrite").parquet(out)
       0
 

@@ -35,24 +35,39 @@ object LangProfile {
     * word-boundary '_' convention keeps cross-word context (the C&T
     * padding) while staying one regexp + one substring pass,
     * SQL-mirrorable verbatim. Texts shorter than 3 normalized chars
-    * yield no trigrams (and classify to nothing — documented). */
+    * yield no trigrams (and classify to nothing — documented).
+    *
+    * The whitespace class is the EXPLICIT [ \t\n\f\r] set — identical in
+    * Java regex and RE2 (a bare \s would include \x0B on the Java side
+    * only, a silent cross-engine drift); case mapping is engine-native,
+    * so the pinned cross-engine contract is ASCII text — the same scope
+    * as [[TextAnalysis.TokenRe]]'s [a-z0-9] tokenizer. */
   def charTrigrams(c: Column): Column = {
-    val t = regexp_replace(lower(c), "\\s+", "_")
-    when(length(t) >= 3,
-      transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
-      .otherwise(array().cast("array<string>"))
+    val t0 = regexp_replace(lower(c), "[ \\t\\n\\f\\r]+", "_")
+    // the normalized text is BOUND as a lambda variable (the Winnow
+    // 1-element-array trick): referencing the regexp expression from
+    // inside the per-position lambda would re-run lower+regex once per
+    // trigram — O(len²) per document on the train AND classify hot paths
+    flatten(transform(array(t0), t =>
+      when(length(t) >= 3,
+        transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
+        .otherwise(array().cast("array<string>"))))
   }
 
   /** Train per-language profiles over a labeled corpus: (lang, g, r)
     * with r = 0-based rank of trigram `g` in `lang`'s frequency order
-    * (count DESC, trigram ASC — a total order), ranks < k only. */
+    * (count DESC, trigram ASC — a total order), ranks < k only.
+    * NULL-labeled rows are UNLABELED and excluded — a NULL-keyed profile
+    * would never equi-join at classify time and score pure penalty, and
+    * the two engines' NULL collations diverge at the argmin tie. */
   def trainProfiles(df: DataFrame, langCol: String, textCol: String,
                     k: Int): DataFrame = {
     require(k >= 1, s"LangProfile.trainProfiles: k must be >= 1, got $k")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"))
       .orderBy(col("__c").desc, col("g"))
-    df.select(col(langCol).as("lang"),
+    df.filter(col(langCol).isNotNull)
+      .select(col(langCol).as("lang"),
         explode(charTrigrams(col(textCol))).as("g"))
       .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("__c"))
       .withColumn("r", (row_number().over(w) - 1).cast(LongType))

@@ -578,14 +578,28 @@ class PlanShapeSpec extends SparkSpec {
       s"the prefix sum must never funnel through one partition:\n$p")
   }
 
-  test("q187 langid: profiles broadcast, doc-keyed windows, no single-partition funnel") {
-    val p = plan("q187_langid_profiles")
-    // the language-profile lookup must broadcast (languages·k rows) —
-    // a shuffled join would move the doc-profile side twice
-    assert(p.contains("BroadcastHashJoin"), s"profile lookup must broadcast:\n$p")
-    // ranking windows are keyed (per doc / per lang) — never one partition
-    assert(!p.contains("Exchange SinglePartition"),
-      s"no stage may funnel through one partition:\n$p")
+  test("q187 langid: profiles broadcast, one corpus scan, no single-partition funnel") {
+    // built directly (the unigram-train-round pin pattern): the graded
+    // query checkpoints its result, which would hide the classify plan
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val profiles = graft.text.LangProfile
+      .trainProfiles(docs, "lang", "text", 40).localCheckpoint()
+    try {
+      val p = graft.text.LangProfile
+        .classify(docs, "doc_id", "text", profiles, 40)
+        .queryExecution.executedPlan.toString
+      // the language-profile lookup must broadcast (languages·k rows) —
+      // a shuffled join would move the doc-profile side twice
+      assert(p.contains("BroadcastHashJoin"), s"profile lookup must broadcast:\n$p")
+      // ranking windows are keyed (per doc) — never one partition
+      assert(!p.contains("Exchange SinglePartition"),
+        s"no stage may funnel through one partition:\n$p")
+      // with profiles materialized, the corpus is scanned exactly once
+      // (the doc-profile explode) — both profile references read the
+      // checkpoint, never re-running the train plan
+      assert("documents\\.parquet".r.findAllIn(p).size <= 1,
+        s"classify must scan the corpus once:\n$p")
+    } finally graft.Checkpoints.release(profiles)
   }
 
   test("unigram train round: segmentation narrow, ONE piece-keyed exchange, partial sums below it") {

@@ -20,21 +20,25 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Per-query floors (sf0.1, local[32], best-of-two). Round-12 re-seed:
-    * every floor is min(prior floor, r11 driver run) — the r11 driver bench
-    * (via BENCH_LAST.json, calibration 1.165, 158/158 ran, zero flags)
-    * tightens 15 existing floors where the raw clean-run best beat the
-    * prior floor even on the ~16 % slower session box, and seeds the
-    * round-11 additions q149-q158, previously floorless, at best-of-two
-    * DIVIDED by the 1.165 canary calibration so the new floors land on the
+  /** Per-query floors (sf0.1, local[32], best-of-two). Round-13 re-seed:
+    * every floor is min(prior floor, r12 driver run) — the r12 driver bench
+    * (via BENCH_LAST.json, calibration 1.312, 187/187 ran, zero flags)
+    * tightens 6 existing floors where the raw clean-run best beat the
+    * prior floor even on the ~31 % slower session box, and seeds the
+    * round-12 additions q159-q187, previously floorless, at best-of-two
+    * DIVIDED by the 1.312 canary calibration so the new floors land on the
     * same reference-machine scale as every earlier seed (raw slow-box
     * values would quietly loosen the guard for exactly the newest
-    * queries); the guard is never loosened. The round-11 q96_semantic_dedup
-    * watch item is CLOSED: the quiet r11 driver run measured best-of-two
-    * 1.37 vs bound 2.20 — the one-time 2.31 local flag was load noise as
-    * adjudicated. Queries added THIS round have no floor and are never
-    * flagged; their floor lands next round from this round's driver
-    * bench. */
+    * queries); the guard is never loosened EXCEPT by adjudication:
+    * q150_bpe_train is RE-SEEDED 0.717 -> 1.157 (r12 best 1.518 / 1.312)
+    * because the graded plan structurally changed in r12 from naive full
+    * recount to the DELTA-recount path (per-round maintenance of a
+    * persisted pair-count table, TextAnalysis.scala:230-300) whose fixed
+    * per-round overhead exceeds a toy-scale full recount by design — the
+    * old floor measured a plan that no longer exists; q159 grades
+    * delta ≡ full-recount equivalence so the semantics stay pinned.
+    * Queries added THIS round have no floor and are never flagged; their
+    * floor lands next round from this round's driver bench. */
   private val Floor: Map[String, Double] = Map(
     "q01_project_scan" -> 0.417, "q02_watermark_ts" -> 0.169,
     "q03_watermark_id_null" -> 0.17, "q04_incr_ts" -> 0.292,
@@ -43,7 +47,7 @@ object Bench {
     "q09_anti_join" -> 0.392, "q10_semi_join" -> 0.51,
     "q11_ordered_listing" -> 0.109, "q12_group_fold" -> 0.215,
     "q13_sync_stats" -> 0.094, "q14_decimal_cast" -> 0.618,
-    "q15_watermark_roundtrip" -> 0.148, "q16_dedup_exact" -> 0.169,
+    "q15_watermark_roundtrip" -> 0.147, "q16_dedup_exact" -> 0.169,
     "q17_token_stats" -> 0.233, "q18_text_quality" -> 0.357,
     "q19_lang_id" -> 0.488, "q20_fingerprint" -> 0.2,
     "q21_dedup_minhash" -> 2.364, "q22_dedup_ngram" -> 0.705,
@@ -100,21 +104,36 @@ object Bench {
     "q123_stream_maintained_view" -> 1.964, "q124_stream_index_ingest" -> 2.043,
     "q125_lm_quality_buckets" -> 0.705, "q126_stream_quality_gate" -> 1.83,
     "q127_audio_resample" -> 0.21, "q128_stream_embed_dedup" -> 1.084,
-    "q129_decontaminate_spans" -> 1.029, "q130_stream_scrub_spans" -> 2.531,
+    "q129_decontaminate_spans" -> 1.0, "q130_stream_scrub_spans" -> 2.531,
     "q131_sq_knn_parity" -> 1.865, "q132_leakage_safe_split" -> 1.521,
     "q133_hard_negatives" -> 0.334, "q134_centroid_audit" -> 0.4,
-    "q135_bpe_pair_counts" -> 0.23, "q136_triplet_mining" -> 0.35,
+    "q135_bpe_pair_counts" -> 0.23, "q136_triplet_mining" -> 0.345,
     "q137_temperature_mix" -> 0.184, "q138_epoch_expand" -> 0.128,
     "q139_stream_distinct_view" -> 2.021, "q140_bm25_topk" -> 1.196,
     "q141_winnow_fingerprints" -> 2.537, "q142_winnow_overlap" -> 2.758,
     "q143_stream_bm25_serve" -> 3.077, "q144_self_scrub_spans" -> 1.419,
     "q145_vocab_encode" -> 0.833, "q146_stream_encode_gate" -> 1.55,
     "q147_hybrid_rrf" -> 2.13, "q148_stream_overlap_gate" -> 3.188,
-    "q149_vocab_encode_join" -> 0.775, "q150_bpe_train" -> 0.717,
+    "q149_vocab_encode_join" -> 0.775, "q150_bpe_train" -> 1.157,
     "q151_overlap_index_ingest" -> 6.421, "q152_ivf_reassign" -> 1.79,
-    "q153_global_running_sum" -> 0.448, "q154_bpe_encode" -> 1.123,
+    "q153_global_running_sum" -> 0.448, "q154_bpe_encode" -> 1.036,
     "q155_stream_encode_join_gate" -> 1.835, "q156_weighted_sample" -> 0.148,
-    "q157_bpe_piece_ids" -> 4.322, "q158_dedup_index_ingest" -> 3.468)
+    "q157_bpe_piece_ids" -> 2.374, "q158_dedup_index_ingest" -> 3.301,
+    "q159_bpe_delta_train" -> 1.617, "q160_video_frame_decode" -> 0.939,
+    "q161_overlap_snapshot" -> 5.229, "q162_global_weighted_sample" -> 0.145,
+    "q163_fuzzy_join_d2" -> 0.321, "q164_unicode_strip" -> 0.295,
+    "q165_unigram_train" -> 0.545, "q166_unigram_encode" -> 0.914,
+    "q167_svm_train" -> 0.813, "q168_svm_score" -> 1.043,
+    "q169_stream_classify_gate" -> 1.765, "q170_stream_unigram_gate" -> 1.562,
+    "q171_gopher_rules" -> 1.171, "q172_compression_signal" -> 0.407,
+    "q173_stream_gopher_gate" -> 1.429, "q174_strip_accents" -> 0.159,
+    "q175_data_expectations" -> 1.026, "q176_textrank_keywords" -> 0.643,
+    "q177_stream_expectations" -> 0.834, "q178_column_profile" -> 0.976,
+    "q179_line_dedup" -> 0.329, "q180_wordpiece_encode" -> 0.689,
+    "q181_wordpiece_train" -> 2.743, "q182_stream_wordpiece_gate" -> 1.408,
+    "q183_stream_line_index" -> 1.299, "q184_tokenizer_fertility" -> 0.713,
+    "q185_training_windows" -> 0.511, "q186_stream_line_gate" -> 1.15,
+    "q187_langid_profiles" -> 4.715)
 
   /** Fixed-seconds slack added to the 1.5x bound: sub-second floors are
     * scheduler-noise-dominated (a 0.13 s query measured at 0.25 s is noise,
@@ -144,11 +163,24 @@ object Bench {
     * merge, each with a localCheckpoint) — the same per-round compounding
     * as the CC loops: r12 measured 1.09 and 1.53 best-of-two on an
     * identical plan (floor 0.717), the 1.5x bound flags the loaded tail
-    * of that spread while 2x still catches a real blow-up. */
+    * of that spread while 2x still catches a real blow-up. The round-12
+    * newcomers tagged BEFORE their newly-seeded floors activate (the q132
+    * precedent), all on the same structural grounds: q161 is the overlap
+    * SNAPSHOT harness (four streaming appends + snapshot + full rebuild +
+    * full-outer parity — micro-batch compounding like q151), q181 is the
+    * WordPiece merge-training DRIVER LOOP (per-round delta maintenance +
+    * checkpoint, the q150 shape), q183/q186 are streaming line-index
+    * ingest/serving parity harnesses (multi-micro-batch rounds, the
+    * q151/q158 shape), and q187 trains AND classifies in one lambda
+    * (two corpus-wide explodes + a checkpoint between them — its r12
+    * cold/warm spread was 7.40/6.18 on one plan). */
   private val HighVariance = Set("q33_dedup_canonical",
     "q64_dedup_keep_best", "q89_cc_deep_chain", "q111_entity_resolution",
     "q132_leakage_safe_split", "q150_bpe_train",
-    "q151_overlap_index_ingest", "q158_dedup_index_ingest")
+    "q151_overlap_index_ingest", "q158_dedup_index_ingest",
+    "q161_overlap_snapshot", "q181_wordpiece_train",
+    "q183_stream_line_index", "q186_stream_line_gate",
+    "q187_langid_profiles")
 
   /** Machine calibration canaries: stable, mid-weight queries spanning the
     * engine's plan shapes (pushed scan, window, LSH join, stream, fill).

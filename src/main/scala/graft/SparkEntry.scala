@@ -313,12 +313,16 @@ object SparkEntry {
 
   /** Shared q167/q168 trained model: hashed features + labels + the
     * integer hinge descent ([[graft.text.Classifier]]). */
-  private def svmTrained(s: SparkSession, dir: String): (DataFrame, Classifier.LinearModel) = {
+  private def svmDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val labels = docs.select(col("doc_id"),
       when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
     val feats = Classifier.hashedTokenFeatures(docs, "doc_id", "text", SvmDims)
-    val df = Classifier.docFeatures(feats, labels, "doc_id")
+    Classifier.docFeatures(feats, labels, "doc_id")
+  }
+
+  private def svmTrained(s: SparkSession, dir: String): (DataFrame, Classifier.LinearModel) = {
+    val df = svmDocs(s, dir)
     (df, Classifier.train(df, "doc_id", SvmDims, SvmRounds, SvmLrMicros, SvmMarginMicros))
   }
 
@@ -3345,8 +3349,8 @@ object SparkEntry {
       }
       val mergeViolations =
         if (merges.map(m => (m.left, m.right, m.cnt)) != refMerges.toSeq) 1L else 0L
-      val refFinal = syms.map { case (v, _) => v.mkString(" ") }.toSet
-      val gotFinal = words.select(concat_ws(" ", col("__syms"))).collect()
+      val refFinal = syms.map { case (v, _) => v.mkString("\u0000") }.toSet
+      val gotFinal = words.select(concat_ws("\u0000", col("__syms"))).collect()
         .map(_.getString(0)).toSet
       val symViolations = if (gotFinal != refFinal) 1L else 0L
       // require real progress too: an empty merge list passing trivially
@@ -4104,6 +4108,66 @@ object SparkEntry {
       } finally deleteRecursively(tmp)
     }),
 
+    // q189: the LARGE-DIMS classifier twins in one parity entry — training
+    // runs FULLY DISTRIBUTED (trainJoin: weights live as a per-round
+    // checkpointed table, zero driver rows per round) and scoring carries
+    // the weights as a broadcast TABLE (scoreJoin) instead of q168's plan
+    // literal; the result must match the SAME DuckDB training-replay
+    // oracle as q168 to the last micro (the q145/q149 encode/encodeJoin
+    // precedent: same semantics, scale-path carrier). This is the path
+    // past ~2^18 hashed dims, where a typedLit weight map stops being a
+    // reasonable plan literal
+    "q189_svm_join_parity" -> ((s, dir) => {
+      val df = svmDocs(s, dir)
+      val w = Classifier.trainJoin(df, "doc_id", SvmDims, SvmRounds,
+        SvmLrMicros, SvmMarginMicros)
+      val res = Classifier.scoreJoin(df, "doc_id", w)
+        .orderBy("doc_id").localCheckpoint()
+      graft.Checkpoints.release(w)
+      res
+    }),
+
+    // q188: CROSS-DOCUMENT maximal duplicated-span dedup — the
+    // ExactSubstr rule of Lee et al. ("Deduplicating Training Data"):
+    // every maximal token span >= 20 shared verbatim between two distinct
+    // documents counts as removed from BOTH. q94's positional-8-gram
+    // diagonal-run machinery (df gate [2, 20] before the pair join — the
+    // quadratic-fan-out bound), runs coalesced per (pair, diagonal) into
+    // maximal spans, exploded to covered positions on both sides, and the
+    // per-doc removal accounting graded as exact integers (the q129
+    // contract with the corpus as both sides). The DuckDB oracle replays
+    // the identical formulation on string grams
+    "q188_dup_span_stats" -> ((s, dir) =>
+      Decontaminate.duplicatedSpanStats(t(s, dir, "documents"),
+          "doc_id", "text", k = 8, minRunTokens = 20, maxDocFreq = 20)
+        .orderBy("doc_id")),
+
+    // q190: q188's scrub deployed AT INGEST — arrivals lose every maximal
+    // span (>= 20 tokens) they share with the ACCUMULATED corpus (the
+    // persisted reference table, re-read per batch), batch side only,
+    // across a real 2-micro-batch arrival; graded against the batch
+    // oracle's clean-text replay (the q130 batch-partitioning-invariance
+    // precedent, with the corpus instead of a benchmark as the source)
+    "q190_stream_dup_span_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("q190").toString
+      try {
+        val store = new graft.sync.ParquetStore(s, s"$tmp/out")
+        val refStore = new graft.sync.ParquetStore(s, s"$tmp/ref")
+        refStore.write(docs.filter(col("doc_id") < 250), "ref")
+        val arrivals = docs.filter(col("doc_id") >= 250)
+        arrivals.repartition(2).write.parquet(s"$tmp/src")
+        val stream = s.readStream.schema(arrivals.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+        IncrementalStream.dupSpanScrubGate(stream, refStore.read("ref").get,
+          "doc_id", "text", store, "clean", checkpointDir = s"$tmp/ck")
+          .awaitTermination()
+        store.read("clean").get
+          .select(col("doc_id"), array_join(col("clean_tokens"), " ").as("clean_text"))
+          .orderBy("doc_id").localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+
     // q187: TRAINED language identification — the Cavnar–Trenkle
     // rank-order method next to q19's fixed marker-word heuristic: per
     // language, the top-40 character trigrams by frequency form a ranked
@@ -4419,6 +4483,22 @@ object SparkEntry {
     },
 
     "q180_wordpiece_encode" -> WordPieceEncodeOracleSql,
+    // q188: string-gram replay of the diagonal-run span formulation —
+    // df gate [2, 20] BEFORE pairing (spans split at hotter-than-maxDf
+    // grams, a pinned semantic of the gate), islands via pos - row_number
+    // per (pair, diagonal), runs >= 20 tokens cover both sides (the b side
+    // shifted by the diagonal), coverage deduped then counted per doc.
+    // 1-based positions throughout (Spark is 0-based) — diagonals, run
+    // lengths, and counts are index-base-invariant
+    "q188_dup_span_stats" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), g AS (SELECT doc_id, pos, array_to_string(ts[pos:pos+7], ' ') AS g FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS pos FROM tok WHERE len(ts) >= 8)), pairable AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM g) GROUP BY g HAVING count(*) BETWEEN 2 AND 20), kept AS (SELECT doc_id, pos, g FROM g WHERE g IN (SELECT g FROM pairable)), anc AS (SELECT a.doc_id AS ida, b.doc_id AS idb, a.pos AS pa, a.pos - b.pos AS d FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id), isl AS (SELECT ida, idb, d, pa, pa - row_number() OVER (PARTITION BY ida, idb, d ORDER BY pa) AS grp FROM anc), sp AS (SELECT ida, idb, d, min(pa) AS s, count(*) + 7 AS rt FROM isl GROUP BY ida, idb, d, grp HAVING count(*) + 7 >= 20), cov AS (SELECT ida AS doc_id, unnest(range(s, s + rt)) AS p FROM sp UNION ALL SELECT idb, unnest(range(s - d, s - d + rt)) FROM sp), covd AS (SELECT DISTINCT doc_id, p FROM cov), rem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM covd GROUP BY doc_id) SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens, coalesce(rem.n_removed, CAST(0 AS BIGINT)) AS n_removed FROM tok t LEFT JOIN rem USING (doc_id) ORDER BY t.doc_id""",
+    // q190: the q188 diagonal-run CTEs with the corpus half (doc_id < 250)
+    // as reference and arrivals (>= 250) as the scrubbed side — ref-side
+    // df gate <= 20 (one ref occurrence suffices cross-side, so no lower
+    // bound), coverage on the arrival side only, then the q130 clean-text
+    // reconstruction
+    "q190_stream_dup_span_gate" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), g AS (SELECT doc_id, pos, array_to_string(ts[pos:pos+7], ' ') AS g FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS pos FROM tok WHERE len(ts) >= 8)), refg AS (SELECT doc_id, pos, g FROM g WHERE doc_id < 250), gated AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM refg) GROUP BY g HAVING count(*) <= 20), rg AS (SELECT doc_id, pos, g FROM refg WHERE g IN (SELECT g FROM gated)), bg AS (SELECT doc_id, pos, g FROM g WHERE doc_id >= 250), anc AS (SELECT b.doc_id AS ida, r.doc_id AS idb, b.pos AS pa, b.pos - r.pos AS d FROM bg b JOIN rg r ON b.g = r.g AND b.doc_id <> r.doc_id), isl AS (SELECT ida, idb, d, pa, pa - row_number() OVER (PARTITION BY ida, idb, d ORDER BY pa) AS grp FROM anc), sp AS (SELECT ida, idb, d, min(pa) AS s, count(*) + 7 AS rt FROM isl GROUP BY ida, idb, d, grp HAVING count(*) + 7 >= 20), covd AS (SELECT DISTINCT ida AS doc_id, unnest(range(s, s + rt)) AS p FROM sp), cv AS (SELECT doc_id, list(p) AS ps FROM covd GROUP BY doc_id) SELECT t.doc_id, coalesce(array_to_string([t.ts[i] for i in range(1, len(t.ts) + 1) if NOT list_contains(coalesce(cv.ps, []), i)], ' '), '') AS clean_text FROM tok t LEFT JOIN cv USING (doc_id) WHERE t.doc_id >= 250 ORDER BY t.doc_id""",
     "q187_langid_profiles" ->
       """WITH norm AS (
         |  SELECT doc_id, lang, regexp_replace(lower(text), '[ \t\n\f\r]+', '_', 'g') AS t
@@ -4515,6 +4595,9 @@ object SparkEntry {
     // q169: the streaming classifier gate accumulates EXACTLY the batch
     // q168 result — same replay oracle, shared by construction
     "q169_stream_classify_gate" -> SvmScoreOracleSql,
+    // q189: the join-carried train+score twins against the IDENTICAL
+    // replay oracle — bit-equality of the distributed-weights path
+    "q189_svm_join_parity" -> SvmScoreOracleSql,
     // q170: the streaming unigram gate accumulates EXACTLY the batch
     // q166 result — same DP oracle, shared by construction
     "q170_stream_unigram_gate" -> UnigramEncodeOracleSql,

@@ -154,6 +154,148 @@ object Decontaminate {
     scrubCovered(corpus, covered, idCol, textCol)
   }
 
+  /** CROSS-DOCUMENT maximal duplicated-span coverage — the ExactSubstr-style
+    * dedup of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better": every maximal token span of length >= `minRunTokens` shared
+    * verbatim between two DISTINCT documents is removed from BOTH. This is
+    * the missing middle of the span family: [[selfScrubSpans]] removes hot
+    * boilerplate windows (df > maxDf, no contiguity requirement),
+    * `Dedup.passagePairs` DETECTS the longest shared run per doc pair —
+    * this one turns every qualifying run into removed positions.
+    *
+    * Formulation (the suffix-array result re-expressed relationally, the
+    * q94 diagonal trick): a span shared between docs a and b of token
+    * length L >= k appears as L-k+1 positional k-gram matches whose
+    * (pa - pb) diagonal is constant; per (pair, diagonal), maximal runs of
+    * consecutive pa (islands via pa - row_number) ARE the maximal shared
+    * spans, token length run + k - 1. Runs >= minRunTokens explode to
+    * covered positions on BOTH sides ([s, s+rt) on a; shifted by the
+    * diagonal on b); the union over all partners is what gets scrubbed.
+    *
+    * Scale shape: one positional-gram index pass (8-byte hashed keys,
+    * `Dedup.positionalGrams`), the [2, maxDocFreq] doc-frequency gate
+    * before the self-join (pair fan-out is quadratic in a gram's df; grams
+    * hotter than maxDocFreq are boilerplate — [[selfScrubSpans]]'s domain —
+    * so spans crossing a hot gram split at it, a documented semantic of the
+    * gate, replayed identically by the oracle), island windows partitioned
+    * by (pair, diagonal) — granular keys, never a corpus-sized partition.
+    * Cost tracks duplication volume, not |corpus|^2. */
+  private def duplicatedSpanCovered(corpus: DataFrame, idCol: String,
+                                    textCol: String, k: Int,
+                                    minRunTokens: Int, maxDocFreq: Int): DataFrame = {
+    require(k >= 2, s"k-gram size must be >= 2, got $k")
+    require(minRunTokens >= k, s"minRunTokens ($minRunTokens) must be >= k ($k)")
+    require(maxDocFreq >= 2,
+      s"maxDocFreq ($maxDocFreq) < 2 gates out every pairable gram — nothing could ever match")
+    val grams = Dedup.positionalGrams(corpus, idCol, textCol, k, idCol)
+    val pairable = grams.groupBy("__g")
+      .agg(count_distinct(col(idCol)).as("__df"))
+      .filter(col("__df").between(2, maxDocFreq))
+      .select("__g")
+    val kept = grams.join(pairable, Seq("__g"))
+    val a = kept.select(col(idCol).as("__ida"), col("__pos").as("__pa"), col("__g"))
+    val b = kept.select(col(idCol).as("__idb"), col("__pos").as("__pb"),
+      col("__g").as("__gb"))
+    val anchors = a.join(b, col("__g") === col("__gb") && col("__ida") < col("__idb"))
+      .select(col("__ida"), col("__idb"), col("__pa"),
+        (col("__pa") - col("__pb")).as("__d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__ida", "__idb", "__d").orderBy("__pa")
+    val spans = anchors.withColumn("__grp", col("__pa") - row_number().over(w))
+      .groupBy("__ida", "__idb", "__d", "__grp")
+      .agg(min(col("__pa")).cast("long").as("__s"),
+        (count(lit(1)) + (k - 1)).as("__rt"))
+      .filter(col("__rt") >= minRunTokens)
+    // both members of the pair lose the span — the b side shifts by the
+    // diagonal (pb = pa - d); distinct because overlapping spans from
+    // different partners cover the same positions once
+    spans.select(col("__ida").as(idCol),
+        explode(sequence(col("__s"), col("__s") + col("__rt") - 1)).as("__p"))
+      .unionByName(spans.select(col("__idb").as(idCol),
+        explode(sequence(col("__s") - col("__d"),
+          col("__s") - col("__d") + col("__rt") - 1)).as("__p")))
+      .distinct()
+  }
+
+  /** Removal accounting for [[duplicatedSpanCovered]]: (idCol, n_tokens,
+    * n_removed), one row per corpus document, n_removed = 0 for docs
+    * carrying no qualifying shared span — the [[contaminatedSpanStats]]
+    * contract with the corpus itself as both sides. Integers only. */
+  def duplicatedSpanStats(corpus: DataFrame, idCol: String, textCol: String,
+                          k: Int = 8, minRunTokens: Int = 20,
+                          maxDocFreq: Int = 20): DataFrame = {
+    val removed =
+      duplicatedSpanCovered(corpus, idCol, textCol, k, minRunTokens, maxDocFreq)
+        .groupBy(col(idCol)).agg(count(lit(1)).as("n_removed"))
+    corpus
+      .select(col(idCol),
+        size(graft.text.TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(removed, Seq(idCol), "left")
+      .withColumn("n_removed", coalesce(col("n_removed"), lit(0L)))
+  }
+
+  /** The scrubbed corpus: every document's token array with all maximal
+    * cross-document duplicated spans (>= minRunTokens) removed —
+    * (idCol, clean_tokens), the [[scrubSpans]] tail applied to
+    * [[duplicatedSpanCovered]]. Exact whole-document duplicates scrub each
+    * other to empty (every window recurs in the twin) — run whole-doc
+    * dedup first if one copy should survive; the operator's contract is
+    * the span rule, not a keep-one policy. */
+  def scrubDuplicatedSpans(corpus: DataFrame, idCol: String, textCol: String,
+                           k: Int = 8, minRunTokens: Int = 20,
+                           maxDocFreq: Int = 20): DataFrame =
+    scrubCovered(corpus,
+      duplicatedSpanCovered(corpus, idCol, textCol, k, minRunTokens, maxDocFreq),
+      idCol, textCol)
+
+  /** BATCH-vs-REFERENCE duplicated-span scrub — the ingest-time deployment
+    * of [[scrubDuplicatedSpans]]: spans of `batch` documents shared
+    * (>= minRunTokens, maximal, same diagonal formulation) with ANY
+    * `reference` document are removed from the BATCH side only; the stored
+    * reference corpus is never rewritten by an arrival. Used per
+    * micro-batch by the streaming gate (IncrementalStream.dupSpanScrubGate)
+    * with the accumulated corpus as the reference.
+    *
+    * The df gate is REFERENCE-side only and [1, maxDocFreq]: one reference
+    * occurrence is contamination for an arrival (unlike the batch
+    * operator's [2, ...] — there a gram needs two docs to form a pair),
+    * while grams hotter than maxDocFreq stay boilerplate-gated. An id
+    * present on both sides never matches itself (ida =!= idb), so a
+    * reference that already absorbed the arrival doesn't scrub it to
+    * empty. */
+  def scrubDuplicatedSpansAgainst(batch: DataFrame, reference: DataFrame,
+                                  idCol: String, textCol: String,
+                                  k: Int = 8, minRunTokens: Int = 20,
+                                  maxDocFreq: Int = 20): DataFrame = {
+    require(k >= 2, s"k-gram size must be >= 2, got $k")
+    require(minRunTokens >= k, s"minRunTokens ($minRunTokens) must be >= k ($k)")
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val bg = Dedup.positionalGrams(batch, idCol, textCol, k, idCol)
+    val rg = Dedup.positionalGrams(reference, idCol, textCol, k, idCol)
+    val gated = rg.groupBy("__g")
+      .agg(count_distinct(col(idCol)).as("__df"))
+      .filter(col("__df") <= maxDocFreq)
+      .select("__g")
+    val ref = rg.join(gated, Seq("__g"))
+      .select(col(idCol).as("__idb"), col("__pos").as("__pb"), col("__g").as("__gb"))
+    val anchors = bg
+      .select(col(idCol).as("__ida"), col("__pos").as("__pa"), col("__g"))
+      .join(ref, col("__g") === col("__gb") && col("__ida") =!= col("__idb"))
+      .select(col("__ida"), col("__idb"), col("__pa"),
+        (col("__pa") - col("__pb")).as("__d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__ida", "__idb", "__d").orderBy("__pa")
+    val covered = anchors.withColumn("__grp", col("__pa") - row_number().over(w))
+      .groupBy("__ida", "__idb", "__d", "__grp")
+      .agg(min(col("__pa")).cast("long").as("__s"),
+        (count(lit(1)) + (k - 1)).as("__rt"))
+      .filter(col("__rt") >= minRunTokens)
+      // batch side only — scrubCovered's collect_set dedups overlaps
+      .select(col("__ida").as(idCol),
+        explode(sequence(col("__s"), col("__s") + col("__rt") - 1)).as("__p"))
+    scrubCovered(batch, covered, idCol, textCol)
+  }
+
   /** STREAMING decontamination gate: `corpusStream` is an unbounded arrival
     * stream of documents; emit each contaminated id once, as it arrives —
     * the ingest-time deployment of [[contaminatedIds]] (flag eval-set

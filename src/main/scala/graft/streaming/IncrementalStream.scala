@@ -782,6 +782,32 @@ object IncrementalStream {
       graft.dedup.Decontaminate.scrubSpans(batch, benchmark, idCol, textCol, n)
     }
 
+  /** CONTINUOUS CROSS-DOCUMENT duplicated-span gate — [[spanScrubGate]]'s
+    * twin with the ACCUMULATED CORPUS as the contamination source instead
+    * of a benchmark: each arriving micro-batch loses every maximal token
+    * span (>= minRunTokens) it shares verbatim with any reference document
+    * (`Decontaminate.scrubDuplicatedSpansAgainst` — the Lee-et-al
+    * ExactSubstr rule deployed at ingest, so a crawler re-delivering a
+    * quoted press release contributes only its novel tokens). The
+    * reference is a BY-NAME parameter re-evaluated per batch (pass the
+    * persisted corpus table read); the scrub is batch-side only — the
+    * stored corpus is never rewritten by an arrival. Stateless per batch,
+    * batch-partitioning-invariant (a doc arrives whole in one row), graded
+    * across a real two-micro-batch arrival against the batch oracle's
+    * clean-text replay (q190). Per-batch cost: the batch's positional
+    * grams joined against the df-gated reference index — duplication
+    * volume, never |corpus|. */
+  def dupSpanScrubGate(docStream: DataFrame, reference: => DataFrame,
+                       idCol: String, textCol: String,
+                       store: graft.sync.TableStore, table: String,
+                       checkpointDir: String, k: Int = 8,
+                       minRunTokens: Int = 20, maxDocFreq: Int = 20,
+                       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    guardedAppend(docStream, store, table, checkpointDir, Seq(idCol), trigger) { batch =>
+      graft.dedup.Decontaminate.scrubDuplicatedSpansAgainst(batch, reference,
+        idCol, textCol, k, minRunTokens, maxDocFreq)
+    }
+
   /** CONTINUOUSLY MAINTAINED aggregate state — the streaming materialized
     * view: each micro-batch's per-key algebraic partials
     * (`Stats.mergeableStats`) fold into the stored state via

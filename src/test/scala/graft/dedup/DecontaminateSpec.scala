@@ -141,6 +141,125 @@ class DecontaminateSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  // cross-document maximal duplicated spans: A and B share the 4-token run
+  // "a b c d" (two overlapping 3-gram windows on one diagonal, coalesced);
+  // C shares only the 3-token "a b c" (below minRun 4); D is too short for
+  // any window
+  private val dupDocs = Seq(
+    (1L, "x1 x2 a b c d x3"),
+    (2L, "y1 a b c d y2 y3"),
+    (3L, "z1 a b c z2 z3 z4"),
+    (4L, "a b"))
+    .toDF("doc_id", "text")
+
+  test("duplicatedSpanStats: both pair members lose the maximal run, sub-minRun runs survive") {
+    val out = Decontaminate.duplicatedSpanStats(dupDocs, "doc_id", "text",
+        k = 3, minRunTokens = 4, maxDocFreq = 20)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map(
+      1L -> ((7L, 4L)),   // positions 2..5 ("a b c d")
+      2L -> ((7L, 4L)),   // positions 1..4
+      3L -> ((7L, 0L)),   // 3-token overlap < minRun
+      4L -> ((2L, 0L))))
+  }
+
+  test("scrubDuplicatedSpans removes exactly the counted positions") {
+    val out = Decontaminate.scrubDuplicatedSpans(dupDocs, "doc_id", "text",
+        k = 3, minRunTokens = 4, maxDocFreq = 20)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) === Seq("x1", "x2", "x3"))
+    assert(out(2L) === Seq("y1", "y2", "y3"))
+    assert(out(3L) === Seq("z1", "a", "b", "c", "z2", "z3", "z4"))
+    assert(out(4L) === Seq("a", "b"))
+    val stats = Decontaminate.duplicatedSpanStats(dupDocs, "doc_id", "text",
+        k = 3, minRunTokens = 4, maxDocFreq = 20)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1) - r.getLong(2))).toMap
+    out.foreach { case (id, toks) => assert(toks.length.toLong === stats(id)) }
+  }
+
+  test("duplicatedSpanStats: a hotter-than-maxDf gram splits the span at the gate") {
+    // E and F share the 6-token "p q r s t u", but the middle gram
+    // "r s t" also lives in G (df 3 > maxDf 2) and is gated out of
+    // pairing: the run splits into {p q r, q r s} (rt 4, kept) and
+    // {s t u} (rt 3, dropped) — the documented gate semantic
+    val docs = Seq(
+      (1L, "p q r s t u e1"),
+      (2L, "f1 p q r s t u"),
+      (3L, "g1 g2 r s t g3"))
+      .toDF("doc_id", "text")
+    val out = Decontaminate.duplicatedSpanStats(docs, "doc_id", "text",
+        k = 3, minRunTokens = 4, maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out === Map(1L -> 4L, 2L -> 4L, 3L -> 0L))
+    // without the gate binding, the full 6-token span goes; G's own
+    // 3-token overlap stays below minRun either way
+    val ungated = Decontaminate.duplicatedSpanStats(docs, "doc_id", "text",
+        k = 3, minRunTokens = 4, maxDocFreq = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ungated === Map(1L -> 6L, 2L -> 6L, 3L -> 0L))
+  }
+
+  test("scrubDuplicatedSpansAgainst scrubs the batch side only and never self-matches") {
+    val reference = Seq(
+      (1L, "x1 x2 a b c d x3"),          // same id as the arrival: must not self-match
+      (5L, "r1 r2 r3 q w e r t"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "x1 x2 a b c d x3"),          // only match is itself in the reference
+      (6L, "b1 q w e r t b2 b3"))        // shares "q w e r t" with ref doc 5
+      .toDF("doc_id", "text")
+    val out = Decontaminate.scrubDuplicatedSpansAgainst(batch, reference,
+        "doc_id", "text", k = 3, minRunTokens = 4, maxDocFreq = 20)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out.keySet === Set(1L, 6L))   // batch rows only, reference untouched
+    assert(out(1L) === Seq("x1", "x2", "a", "b", "c", "d", "x3"))
+    assert(out(6L) === Seq("b1", "b2", "b3"))
+  }
+
+  test("property: scrubDuplicatedSpans equals the brute-force maximal-run rule") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val k = 2; val minRun = 3
+    val docGen = Gen.listOfN(4,
+      Gen.choose(0, 10).flatMap(n => Gen.listOfN(n, Gen.oneOf("aa", "bb"))))
+    val prop = Prop.forAll(docGen) { toks =>
+      val df = toks.zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = Decontaminate.scrubDuplicatedSpans(df, "doc_id", "text",
+          k = k, minRunTokens = minRun, maxDocFreq = 20)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      // brute force: per ordered pair and diagonal, maximal consecutive
+      // matching-window runs; rt >= minRun covers both sides
+      val grams = toks.map(_.sliding(k).filter(_.size == k).map(_.mkString(" ")).toVector)
+      val cov = Array.fill(toks.size)(collection.mutable.Set.empty[Int])
+      for (i <- toks.indices; j <- toks.indices if i < j) {
+        val matches = for (pa <- grams(i).indices; pb <- grams(j).indices
+                           if grams(i)(pa) == grams(j)(pb)) yield (pa, pb)
+        matches.groupBy { case (pa, pb) => pa - pb }.foreach { case (_, ms) =>
+          val pas = ms.map(_._1).sorted
+          val runs = pas.foldLeft(List.empty[List[Int]]) {
+            case (acc @ (h :: t), p) if h.nonEmpty && p == h.head + 1 => (p :: h) :: t
+            case (acc, p) => List(p) :: acc
+          }
+          runs.foreach { r =>
+            val rt = r.size + k - 1
+            if (rt >= minRun) {
+              val s = r.min
+              (s until s + rt).foreach(cov(i) += _)
+              val sb = ms.find(_._1 == s).get._2
+              (sb until sb + rt).foreach(cov(j) += _)
+            }
+          }
+        }
+      }
+      val want = toks.zipWithIndex.map { case (ts, i) =>
+        i.toLong -> ts.zipWithIndex.collect { case (t, p) if !cov(i)(p) => t }
+      }.toMap
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("selfScrubSpans: maxDf tolerates passages up to the gate; exact twins scrub empty") {
     val passage = "shared passage of exactly eight tokens here now"
     val docs = Seq(

@@ -84,6 +84,51 @@ class ClassifierSpec extends SparkSpec {
     assert(f(bucket("bad")) === (if (bucket("bad") == bucket("good")) 3L else 1L))
   }
 
+  test("trainJoin is bit-identical to train, round for round") {
+    val (df, _) = model(0)
+    for (rounds <- Seq(0, 1, 2, 3)) {
+      val m = Classifier.train(df, "doc_id", dims = 8, rounds = rounds,
+        lrMicros = 10L, marginMicros = 1000000L)
+      val w = Classifier.trainJoin(df, "doc_id", dims = 8, rounds = rounds,
+        lrMicros = 10L, marginMicros = 1000000L)
+      val got = w.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === m.weights + (-1L -> m.biasMicros), s"rounds $rounds")
+      graft.Checkpoints.release(w)
+    }
+  }
+
+  test("scoreJoin is row-identical to score, broadcast or shuffled") {
+    val (df, m) = model(3)
+    val want = Classifier.score(df, "doc_id", m)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val wt = Classifier.weightsTable(spark, m)
+    for (bcast <- Seq(true, false)) {
+      val got = Classifier.scoreJoin(df, "doc_id", wt, broadcastWeights = bcast)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(got === want, s"broadcastWeights=$bcast")
+    }
+  }
+
+  test("scoreJoin rides empty-feature docs on the bias row") {
+    val df = Classifier.docFeatures(
+      Classifier.hashedTokenFeatures(
+        Seq((7L, "")).toDF("doc_id", "text"), "doc_id", "text", dims = 8),
+      Seq((7L, 1L)).toDF("doc_id", "y"), "doc_id")
+    val m = Classifier.LinearModel((0L until 8L).map(_ -> 5L).toMap, 123L)
+    val s = Classifier.scoreJoin(df, "doc_id", Classifier.weightsTable(spark, m))
+    assert(s.head.getLong(1) === 123L)
+  }
+
+  test("trainJoin fails closed on a feature bucket outside [0, dims)") {
+    val feats = Seq((1L, 9L, 1L)).toDF("doc_id", "f", "x")
+    val df = Classifier.docFeatures(feats, Seq((1L, 1L)).toDF("doc_id", "y"), "doc_id")
+    val e = intercept[IllegalArgumentException] {
+      Classifier.trainJoin(df, "doc_id", dims = 8, rounds = 1,
+        lrMicros = 10L, marginMicros = 1000000L)
+    }
+    assert(e.getMessage.contains("[0, 8)"))
+  }
+
   test("train fails closed on a feature bucket outside [0, dims)") {
     // dims mismatch between the feature table and train(): the strict
     // margin lookup would silently drop the doc every round otherwise

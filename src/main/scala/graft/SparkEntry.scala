@@ -311,6 +311,19 @@ object SparkEntry {
   private val SvmLrMicros = 1000L
   private val SvmMarginMicros = 1000000L
 
+  /** The q191 planted multilingual corpus: one accent-heavy phrase per
+    * language, UPPERCASE accented letters included so the pinned
+    * codepoint lowercase map (LangProfile.PinnedUpper/PinnedLower) is
+    * load-bearing — engine-native lower() is exactly what the q187
+    * contract excludes for non-ASCII. Shared verbatim by the Spark
+    * construction and the generated DuckDB oracle. */
+  private val LangidFr =
+    "Âgé Élève À Côté Déjà Français Où Ça Été Noël Pâques Fenêtre"
+  private val LangidDe =
+    "Über Größe Straße Müde Schön Ärger Tür Köln Füße Übung Änderung"
+  private val LangidEs =
+    "Año Señor Mañana Árbol Él Índice Óptimo Única Niño José Camión"
+
   /** Shared q167/q168 trained model: hashed features + labels + the
     * integer hinge descent ([[graft.text.Classifier]]). */
   private def svmDocs(s: SparkSession, dir: String): DataFrame = {
@@ -4108,6 +4121,34 @@ object SparkEntry {
       } finally deleteRecursively(tmp)
     }),
 
+    // q191: trained language ID on a NON-ASCII corpus — the q187
+    // machinery under the PINNED explicit-codepoint lowercase map
+    // (translate over literal Latin-1 pair strings, never engine-native
+    // lower()), which is what extends the graded cross-engine contract
+    // to the operator's actual domain. The corpus is planted from the
+    // documents spine: per doc an accent-heavy phrase (uppercase accents
+    // included, so the map is load-bearing) plus a doc-varying ASCII
+    // tail; train and classify both replay in DuckDB with the same
+    // translate literals — profiles, ranks, distances, and ties graded
+    // exactly on multi-byte text
+    "q191_langid_unicode" -> ((s, dir) => {
+      val langs = array(lit("fr"), lit("de"), lit("es"))
+      val phrases = array(lit(LangidFr), lit(LangidDe), lit(LangidEs))
+      val idx = (col("doc_id") % 3 + 1).cast("int")
+      val planted = t(s, dir, "documents").filter(col("doc_id") < 120)
+        .select(col("doc_id"), element_at(langs, idx).as("lang"),
+          concat(element_at(phrases, idx),
+            lit(" v"), col("doc_id").cast("string")).as("text"))
+      val profiles = graft.text.LangProfile
+        .trainProfiles(planted, "lang", "text", 40, pinnedLower = true)
+        .localCheckpoint()
+      val res = graft.text.LangProfile
+        .classify(planted, "doc_id", "text", profiles, 40, pinnedLower = true)
+        .orderBy("doc_id").localCheckpoint()
+      graft.Checkpoints.release(profiles)
+      res
+    }),
+
     // q189: the LARGE-DIMS classifier twins in one parity entry — training
     // runs FULLY DISTRIBUTED (trainJoin: weights live as a per-round
     // checkpointed table, zero driver rows per round) and scoring carries
@@ -4499,6 +4540,47 @@ object SparkEntry {
     // reconstruction
     "q190_stream_dup_span_gate" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), g AS (SELECT doc_id, pos, array_to_string(ts[pos:pos+7], ' ') AS g FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS pos FROM tok WHERE len(ts) >= 8)), refg AS (SELECT doc_id, pos, g FROM g WHERE doc_id < 250), gated AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM refg) GROUP BY g HAVING count(*) <= 20), rg AS (SELECT doc_id, pos, g FROM refg WHERE g IN (SELECT g FROM gated)), bg AS (SELECT doc_id, pos, g FROM g WHERE doc_id >= 250), anc AS (SELECT b.doc_id AS ida, r.doc_id AS idb, b.pos AS pa, b.pos - r.pos AS d FROM bg b JOIN rg r ON b.g = r.g AND b.doc_id <> r.doc_id), isl AS (SELECT ida, idb, d, pa, pa - row_number() OVER (PARTITION BY ida, idb, d ORDER BY pa) AS grp FROM anc), sp AS (SELECT ida, idb, d, min(pa) AS s, count(*) + 7 AS rt FROM isl GROUP BY ida, idb, d, grp HAVING count(*) + 7 >= 20), covd AS (SELECT DISTINCT ida AS doc_id, unnest(range(s, s + rt)) AS p FROM sp), cv AS (SELECT doc_id, list(p) AS ps FROM covd GROUP BY doc_id) SELECT t.doc_id, coalesce(array_to_string([t.ts[i] for i in range(1, len(t.ts) + 1) if NOT list_contains(coalesce(cv.ps, []), i)], ' '), '') AS clean_text FROM tok t LEFT JOIN cv USING (doc_id) WHERE t.doc_id >= 250 ORDER BY t.doc_id""",
+    // q191: the q187 CTE chain over the planted corpus, with
+    // translate(<pinned pair strings>) in place of lower() — generated
+    // from the SAME Scala constants as the Spark side so the map and the
+    // phrases cannot drift
+    "q191_langid_unicode" -> {
+      val uc = graft.text.LangProfile.PinnedUpper
+      val lc = graft.text.LangProfile.PinnedLower
+      s"""WITH base AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'fr' WHEN 1 THEN 'de' ELSE 'es' END AS lang,
+        |    (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '$LangidFr' WHEN 1 THEN '$LangidDe' ELSE '$LangidEs' END)
+        |      || ' v' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id < 120),
+        |norm AS (
+        |  SELECT doc_id, lang,
+        |    regexp_replace(translate(text, '$uc', '$lc'), '[ \t\n\f\r]+', '_', 'g') AS t
+        |  FROM base),
+        |tg AS (
+        |  SELECT doc_id, lang, substring(t, CAST(i AS INT), 3) AS g
+        |  FROM norm, LATERAL unnest(range(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |lp AS (
+        |  SELECT lang, g, CAST(row_number() OVER (
+        |      PARTITION BY lang ORDER BY count(*) DESC, g) - 1 AS BIGINT) AS r
+        |  FROM tg WHERE lang IS NOT NULL GROUP BY lang, g
+        |  QUALIFY r < 40),
+        |dp AS (
+        |  SELECT doc_id, g, CAST(row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY count(*) DESC, g) - 1 AS BIGINT) AS dr
+        |  FROM tg GROUP BY doc_id, g
+        |  QUALIFY dr < 40),
+        |dist AS (
+        |  SELECT dp.doc_id, l.lang,
+        |    CAST(sum(CASE WHEN lp.r IS NULL THEN 40 ELSE abs(dp.dr - lp.r) END) AS BIGINT) AS d
+        |  FROM dp CROSS JOIN (SELECT DISTINCT lang FROM lp) l
+        |  LEFT JOIN lp ON lp.lang = l.lang AND lp.g = dp.g
+        |  GROUP BY dp.doc_id, l.lang)
+        |SELECT doc_id, lang AS pred_lang, d AS dist FROM dist
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY d, lang) = 1
+        |ORDER BY doc_id""".stripMargin
+    },
     "q187_langid_profiles" ->
       """WITH norm AS (
         |  SELECT doc_id, lang, regexp_replace(lower(text), '[ \t\n\f\r]+', '_', 'g') AS t

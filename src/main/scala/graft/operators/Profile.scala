@@ -38,8 +38,15 @@ object Profile {
   def profile(df: DataFrame, approxDistinct: Boolean = false): DataFrame = {
     val fields = df.schema.fields.toSeq
     require(fields.nonEmpty, "Profile.profile: no columns")
-    val aggs = fields.flatMap { f =>
-      val c = col(f.name)
+    // the operator's whole point is UNFAMILIAR schemas, so resolve
+    // defensively: backtick-quote every name (a dotted column would
+    // otherwise parse as a struct path) and read the one result row
+    // POSITIONALLY (name-keyed getAs would trip over case-insensitive
+    // collisions or alias-mangled exotic names)
+    def quoted(n: String): org.apache.spark.sql.Column =
+      col("`" + n.replace("`", "``") + "`")
+    val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
+      val c = quoted(f.name)
       val distinct =
         if (containsMap(f.dataType)) lit(null).cast(LongType)
         else if (approxDistinct) approx_count_distinct(c).cast(LongType)
@@ -51,20 +58,19 @@ object Profile {
           (lit(null).cast(LongType), lit(null).cast(LongType))
       }
       Seq(
-        sum(when(c.isNull, 1L).otherwise(0L)).cast(LongType).as(s"__nulls_${f.name}"),
-        distinct.as(s"__distinct_${f.name}"),
-        mn.as(s"__min_${f.name}"), mx.as(s"__max_${f.name}"))
+        sum(when(c.isNull, 1L).otherwise(0L)).cast(LongType).as(s"__nulls_$i"),
+        distinct.as(s"__distinct_$i"),
+        mn.as(s"__min_$i"), mx.as(s"__max_$i"))
     } :+ count(lit(1)).cast(LongType).as("__n")
     val one = df.agg(aggs.head, aggs.tail: _*).head()
-    val n = one.getAs[Long]("__n")
+    val n = one.getLong(4 * fields.size)
+    def optLong(idx: Int): Option[Long] =
+      if (one.isNullAt(idx)) None else Some(one.getLong(idx))
     val s = df.sparkSession
     import s.implicits._
-    fields.map { f =>
-      (f.name, n,
-        one.getAs[Long](s"__nulls_${f.name}"),
-        Option(one.getAs[java.lang.Long](s"__distinct_${f.name}")).map(Long2long),
-        Option(one.getAs[java.lang.Long](s"__min_${f.name}")).map(Long2long),
-        Option(one.getAs[java.lang.Long](s"__max_${f.name}")).map(Long2long))
+    fields.zipWithIndex.map { case (f, i) =>
+      val b = 4 * i
+      (f.name, n, one.getLong(b), optLong(b + 1), optLong(b + 2), optLong(b + 3))
     }.toDF("col_name", "n_rows", "n_nulls", "n_distinct", "min_long", "max_long")
   }
 }

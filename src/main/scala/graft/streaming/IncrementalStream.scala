@@ -208,19 +208,22 @@ object IncrementalStream {
     * the index never shuffles pre-score.
     *
     * `maxBroadcastQueries` forwards to [[graft.text.TfIdf.bm25Join]]'s
-    * broadcast gate PER BATCH — the default probes each micro-batch's
-    * size (one extra bounded limit+count job per batch) before hinting
-    * the broadcast. A serving loop whose batches are bounded by
-    * construction (source admission control, interactive query rates)
-    * should pass Long.MaxValue: broadcast unconditionally and skip the
-    * per-batch probe job entirely (0 = never broadcast; negative values
-    * are rejected). */
+    * broadcast gate PER BATCH. The STREAMING default is Long.MaxValue —
+    * broadcast unconditionally, no per-batch probe job: a serving loop's
+    * micro-batches are bounded by construction (source admission control,
+    * maxFilesPerTrigger, interactive query rates), so paying a bounded
+    * limit+count job on EVERY batch to re-learn that would dominate
+    * interactive batches (this is deliberately NOT bm25Join's batch
+    * default, whose one probe amortizes over one bulk call). A pipeline
+    * that genuinely streams unbounded re-score batches (one giant file
+    * per trigger) should pass a positive cap to restore the probe, or 0
+    * to never broadcast; negative values are rejected. */
   def bm25Serve(queryStream: DataFrame, index: => graft.text.TfIdf.Bm25Index,
                 idCol: String, k: Int, store: graft.sync.TableStore,
                 table: String, checkpointDir: String,
                 k1: Double = 1.2, b: Double = 0.75,
                 trigger: Trigger = Trigger.AvailableNow(),
-                maxBroadcastQueries: Long = 100000L): StreamingQuery =
+                maxBroadcastQueries: Long = Long.MaxValue): StreamingQuery =
     guardedAppend(queryStream, store, table, checkpointDir,
       Seq("query_id", idCol), trigger) { batch =>
       graft.text.TfIdf.bm25Join(index, idCol, batch, k, k1, b,
@@ -545,11 +548,19 @@ object IncrementalStream {
                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     // pin FIRST (the encodeGateJoin discipline): a snapshot refresh
     // landing mid-stream must not silently mix two hotness baselines in
-    // one accumulated log — re-clean = new table + checkpoint pair
-    val pinned = hotLines.localCheckpoint()
+    // one accumulated log — re-clean = new table + checkpoint pair. The
+    // pin is PERSISTED (written once to the gate's own store, re-read per
+    // batch), not localCheckpoint'd: non-replicated checkpoint blocks die
+    // with their executor (the NearDupIndex caveat, Dedup.scala), which
+    // would kill a CONTINUOUS serving query mid-life — a per-batch read
+    // of the threshold-bounded hot table costs microbatch noise and
+    // survives any executor loss with identical pin semantics.
+    val pinTable = table + "__hot_pin"
+    store.write(hotLines, pinTable)
     guardedAppend(docStream, store, table, checkpointDir, Seq(idCol), trigger) { batch =>
       graft.dedup.Dedup.lineDedupAgainstHot(
-        graft.dedup.Dedup.lineIndexRows(batch, idCol, textCol), pinned, idCol)
+        graft.dedup.Dedup.lineIndexRows(batch, idCol, textCol),
+        store.read(pinTable).get, idCol)
     }
   }
 

@@ -86,9 +86,14 @@ object Gopher {
     val nEllipsis = size(filter(lines, l =>
       rtrim(l).endsWith("...") || rtrim(l).endsWith("…"))).cast(LongType)
     val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]"))).cast(LongType)
-    val nStop = Stopwords.map(s =>
-        when(lower(c).rlike("\\b" + s + "\\b"), 1L).otherwise(0L))
-      .reduce(_ + _)
+    // one alternation pass + distinct count instead of one \b<w>\b rlike
+    // scan PER stopword (8 full-text regex passes per row on the ingest
+    // hot path) — value-identical: a stopword is counted iff it appears
+    // word-bounded, once. Stopwords are plain letters, so no escaping;
+    // coalesce pins NULL text to 0 like the per-word when() arms did.
+    val nStop = coalesce(size(array_distinct(regexp_extract_all(lower(c),
+      lit("\\b(?:" + Stopwords.mkString("|") + ")\\b"), lit(0)))), lit(0))
+      .cast(LongType)
     def flag(b: Column): Column = when(b, 1L).otherwise(0L)
     val r1 = flag(nWords >= MinWords && nWords <= MaxWords)
     val r2 = flag(meanMilli >= MinMeanWordLenMilli && meanMilli <= MaxMeanWordLenMilli)

@@ -38,4 +38,17 @@ class ProfileSpec extends SparkSpec {
     val r = Profile.profile(df).head
     assert(r.toSeq === Seq("k", 2L, 2L, 0L, null, null))
   }
+
+  test("exotic column names profile: dots, backticks, case collisions") {
+    // exactly the unfamiliar-schema shapes the operator exists for — a
+    // dotted name must not parse as a struct path, a backticked name must
+    // not break the quoting, and case-colliding names must not cross wires
+    val df = Seq((1L, 2L, "x"), (5L, 6L, null), (9L, 10L, "x"))
+      .toDF("a.b", "A`B", "ab")
+    val p = Profile.profile(df).collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(p("a.b") === Seq(3L, 0L, 3L, 1L, 9L))
+    assert(p("A`B") === Seq(3L, 0L, 3L, 2L, 10L))
+    assert(p("ab") === Seq(3L, 1L, 1L, null, null))
+  }
 }

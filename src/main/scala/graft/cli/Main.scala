@@ -46,6 +46,8 @@ object Main {
       "       mine-negatives --queries <parquet> --corpus <parquet> --id <col> --vec <col> --label <col> --k <n> --out <parquetDir> [--ceiling <cos>]\n" +
       "       centroid-audit --corpus <parquet> --id <col> --vec <col> --label <col> --out <parquetDir>\n" +
       "       self-scrub --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--gram <n>] [--max-df <n>]\n" +
+      "       dedup-spans --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--gram <n>] [--min-run <n>] [--max-df <n>] [--stats true]\n" +
+      "       dup-span-gate --source <parquetDir> --reference <parquet> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir> [--gram <n>] [--min-run <n>] [--max-df <n>]\n" +
       "       line-dedup --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--max-df <n>] [--broadcast false]\n" +
       "       ingest-line-index --source <parquetDir> --id <col> --text <col> --dest <storeDir> --checkpoint <dir>\n" +
       "       serve-line-dedup --index <storeDir> --id <col> --out <parquetDir> [--max-df <n>] [--broadcast false]\n" +
@@ -62,13 +64,13 @@ object Main {
       "       unigram-train --corpus <parquet> --text <col> --max-piece-len <n> --keep <n> --rounds <n> --out <parquetDir>\n" +
       "       unigram-encode --corpus <parquet> --id <col> --text <col> --pieces <parquetDir> --out <parquetDir>\n" +
       "       pack-windows --corpus <parquet> --group c1[,c2] --order <col> --text <col> --window <n> --out <parquetDir>\n" +
-      "       train-langid --corpus <parquet> --lang <col> --text <col> --out <parquetDir> [--k <n>]\n" +
+      "       train-langid --corpus <parquet> --lang <col> --text <col> --out <parquetDir> [--k <n>] [--pinned true]\n" +
       "       langid-classify --corpus <parquet> --id <col> --text <col> --profiles <parquetDir> --out <parquetDir> [--k <n>]\n" +
       "       wordpiece-train --corpus <parquet> --text <col> --merges <n> --out <parquetDir>\n" +
       "       wordpiece-encode --corpus <parquet> --id <col> --text <col> --vocab <parquetDir> --out <parquetDir> [--max-chars <n>]\n" +
       "       wordpiece-gate --source <parquetDir> --vocab <parquetDir> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir> [--max-chars <n>]\n" +
-      "       train-classifier --corpus <parquet> --id <col> --text <col> --label <col(+1/-1)> --dims <n> --rounds <n> --out <parquetDir>\n" +
-      "       score-docs --corpus <parquet> --id <col> --text <col> --weights <parquetDir> --out <parquetDir>\n" +
+      "       train-classifier --corpus <parquet> --id <col> --text <col> --label <col(+1/-1)> --dims <n> --rounds <n> --out <parquetDir> [--join true]\n" +
+      "       score-docs --corpus <parquet> --id <col> --text <col> --weights <parquetDir> --out <parquetDir> [--join true]\n" +
       "       weighted-sample --corpus <parquet> --keys c1[,c2] --id <col> --weight <col> --k <n> --out <parquetDir> [--seed <s>]\n" +
       "       encode-ids --corpus <parquet> --id <col> --text <col> --vocab <parquetDir> --out <parquetDir>\n" +
       "       encode-gate --source <parquetDir> --vocab <parquetDir> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir> [--join true]\n" +
@@ -162,6 +164,13 @@ object Main {
                                    label: String, out: String) extends Cmd
   private case class SelfScrub(corpus: String, id: String, text: String,
                                gram: Int, maxDf: Int, out: String) extends Cmd
+  private case class DedupSpans(corpus: String, id: String, text: String,
+                                gram: Int, minRun: Int, maxDf: Int,
+                                stats: Boolean, out: String) extends Cmd
+  private case class DupSpanGate(source: String, reference: String, id: String,
+                                 text: String, gram: Int, minRun: Int,
+                                 maxDf: Int, dest: String, table: String,
+                                 checkpoint: String) extends Cmd
   private case class BuildVocab(corpus: String, text: String, top: Int,
                                 out: String) extends Cmd
   private case class BpeTrainCmd(corpus: String, text: String, nMerges: Int,
@@ -208,7 +217,7 @@ object Main {
                                     order: String, text: String, window: Int,
                                     out: String) extends Cmd
   private case class TrainLangIdCmd(corpus: String, lang: String,
-                                    text: String, k: Int,
+                                    text: String, k: Int, pinned: Boolean,
                                     out: String) extends Cmd
   private case class LangIdClassifyCmd(corpus: String, id: String,
                                        text: String, profiles: String,
@@ -224,9 +233,11 @@ object Main {
                                       maxChars: Int) extends Cmd
   private case class TrainClassifierCmd(corpus: String, id: String,
                                         text: String, label: String, dims: Int,
-                                        rounds: Int, out: String) extends Cmd
+                                        rounds: Int, join: Boolean,
+                                        out: String) extends Cmd
   private case class ScoreDocsCmd(corpus: String, id: String, text: String,
-                                  weights: String, out: String) extends Cmd
+                                  weights: String, join: Boolean,
+                                  out: String) extends Cmd
   private case class EncodeIds(corpus: String, id: String, text: String,
                                vocab: String, out: String) extends Cmd
   private case class EncodeGateCmd(source: String, vocab: String, id: String,
@@ -460,6 +471,33 @@ object Main {
         maxDf <- optInt(opts, "self-scrub", "max-df", 1)
         out <- req(opts, "self-scrub", "out")
       } yield SelfScrub(corpus, id, text, n, maxDf, out)
+    case "dedup-spans" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "dedup-spans", "corpus")
+        id <- req(opts, "dedup-spans", "id")
+        text <- req(opts, "dedup-spans", "text")
+        n <- optInt(opts, "dedup-spans", "gram", 8)
+        minRun <- optInt(opts, "dedup-spans", "min-run", 20)
+        maxDf <- optInt(opts, "dedup-spans", "max-df", 20)
+        stats <- optBool(opts, "dedup-spans", "stats", dflt = false)
+        out <- req(opts, "dedup-spans", "out")
+      } yield DedupSpans(corpus, id, text, n, minRun, maxDf, stats, out)
+    case "dup-span-gate" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        source <- req(opts, "dup-span-gate", "source")
+        reference <- req(opts, "dup-span-gate", "reference")
+        id <- req(opts, "dup-span-gate", "id")
+        text <- req(opts, "dup-span-gate", "text")
+        n <- optInt(opts, "dup-span-gate", "gram", 8)
+        minRun <- optInt(opts, "dup-span-gate", "min-run", 20)
+        maxDf <- optInt(opts, "dup-span-gate", "max-df", 20)
+        dest <- req(opts, "dup-span-gate", "dest")
+        table <- req(opts, "dup-span-gate", "table")
+        ck <- req(opts, "dup-span-gate", "checkpoint")
+      } yield DupSpanGate(source, reference, id, text, n, minRun, maxDf,
+        dest, table, ck)
     case "line-dedup" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -640,8 +678,9 @@ object Main {
         lang <- req(opts, "train-langid", "lang")
         text <- req(opts, "train-langid", "text")
         k <- optInt(opts, "train-langid", "k", 40)
+        pinned <- optBool(opts, "train-langid", "pinned", dflt = false)
         out <- req(opts, "train-langid", "out")
-      } yield TrainLangIdCmd(corpus, lang, text, k, out)
+      } yield TrainLangIdCmd(corpus, lang, text, k, pinned, out)
     case "langid-classify" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -695,8 +734,9 @@ object Main {
         label <- req(opts, "train-classifier", "label")
         dims <- posInt(opts, "train-classifier", "dims")
         rounds <- posInt(opts, "train-classifier", "rounds")
+        join <- optBool(opts, "train-classifier", "join", dflt = false)
         out <- req(opts, "train-classifier", "out")
-      } yield TrainClassifierCmd(corpus, id, text, label, dims, rounds, out)
+      } yield TrainClassifierCmd(corpus, id, text, label, dims, rounds, join, out)
     case "score-docs" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -704,8 +744,9 @@ object Main {
         id <- req(opts, "score-docs", "id")
         text <- req(opts, "score-docs", "text")
         weights <- req(opts, "score-docs", "weights")
+        join <- optBool(opts, "score-docs", "join", dflt = false)
         out <- req(opts, "score-docs", "out")
-      } yield ScoreDocsCmd(corpus, id, text, weights, out)
+      } yield ScoreDocsCmd(corpus, id, text, weights, join, out)
     case "weighted-sample" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -886,6 +927,11 @@ object Main {
     opts.get(key).fold(Right(dflt): Either[String, Int])(s =>
       s.toIntOption.filter(_ >= 1)
         .toRight(s"$cmd: --$key must be a positive int, got $s"))
+
+  private def optBool(opts: Map[String, String], cmd: String, key: String,
+                      dflt: Boolean): Either[String, Boolean] =
+    opts.get(key).fold(Right(dflt): Either[String, Boolean])(s =>
+      s.toBooleanOption.toRight(s"$cmd: --$key must be true or false, got $s"))
 
   /** The shingler pair for build-dedup-index / ingest-dedup: unigram token
     * SET at n = 1, hashed word n-grams above. Both sides of a gate must
@@ -1199,6 +1245,33 @@ object Main {
         .write.mode("overwrite").parquet(out)
       0
 
+    case DedupSpans(corpus, id, text, n, minRun, maxDf, stats, out) =>
+      // cross-document maximal duplicated-span dedup (ExactSubstr):
+      // --stats true writes the (id, n_tokens, n_removed) accounting
+      // (tune minRun/maxDf from it), default writes the scrubbed
+      // (id, clean_tokens) artifact
+      val df = spark.read.parquet(corpus)
+      val res =
+        if (stats) graft.dedup.Decontaminate.duplicatedSpanStats(
+          df, id, text, n, minRun, maxDf)
+        else graft.dedup.Decontaminate.scrubDuplicatedSpans(
+          df, id, text, n, minRun, maxDf)
+      res.write.mode("overwrite").parquet(out)
+      0
+
+    case DupSpanGate(source, reference, id, text, n, minRun, maxDf,
+                     dest, table, ck) =>
+      sourceSchema(spark, source, "dup-span-gate").fold(0) { schema =>
+        val stream = spark.readStream.schema(schema).parquet(source)
+        // by-name reference: re-read per batch, so arrivals absorbed
+        // into the corpus (or a corpus rebuild) take effect next batch
+        graft.streaming.IncrementalStream.dupSpanScrubGate(
+          stream, spark.read.parquet(reference), id, text,
+          new ParquetStore(spark, dest), table, ck, n, minRun, maxDf)
+          .awaitTermination()
+        0
+      }
+
     case BpeTrainCmd(corpus, text, n, out) =>
       // the merge list IS the tokenizer artifact: (step, left, right,
       // cnt) with step the replay order — bpe-encode re-reads it, the
@@ -1424,15 +1497,19 @@ object Main {
         0
       }
 
-    case TrainLangIdCmd(corpus, lang, text, k, out) =>
+    case TrainLangIdCmd(corpus, lang, text, k, pinned, out) =>
       // the profile table IS the language-ID model: (lang, g, r) ranked
       // trigram rows, languages·k of them, stamped with the trained k —
       // the missing-trigram penalty EQUALS k, so classification under a
       // different k silently mis-scores (the params-manifest rule; a
-      // rank-bound check alone would pass any k above the trained one)
+      // rank-bound check alone would pass any k above the trained one).
+      // The case-map choice (--pinned: explicit-codepoint lowercase for
+      // non-ASCII corpora) is stamped too: classifying under the other
+      // map hashes different trigrams — same rule, same manifest
       graft.text.LangProfile.trainProfiles(
-          spark.read.parquet(corpus), lang, text, k)
+          spark.read.parquet(corpus), lang, text, k, pinnedLower = pinned)
         .withColumn("k", org.apache.spark.sql.functions.lit(k.toLong))
+        .withColumn("pinned", org.apache.spark.sql.functions.lit(pinned))
         .write.mode("overwrite").parquet(out)
       0
 
@@ -1450,9 +1527,20 @@ object Main {
         sys.error(s"langid-classify: --k $kOpt does not match the artifact's " +
           s"trained k = $trainedK under $profilesDir — the missing-trigram " +
           "penalty equals k, so a different k silently mis-scores")
+      // the case map comes from the ARTIFACT's stamp too (pre-stamp
+      // artifacts classify under the engine-native map they trained with)
+      val pinned =
+        if (!raw.columns.contains("pinned")) false
+        else {
+          val ps = raw.select("pinned").distinct().collect().map(_.getBoolean(0))
+          if (ps.length != 1)
+            sys.error(s"langid-classify: profiles under $profilesDir carry " +
+              s"${ps.length} distinct pinned stamps — corrupted or mixed artifact")
+          ps.head
+        }
       graft.text.LangProfile.classify(
           spark.read.parquet(corpus), id, text,
-          raw.select("lang", "g", "r"), trainedK)
+          raw.select("lang", "g", "r"), trainedK, pinnedLower = pinned)
         .write.mode("overwrite").parquet(out)
       0
 
@@ -1470,10 +1558,12 @@ object Main {
         0
       }
 
-    case TrainClassifierCmd(corpus, id, text, label, dims, rounds, out) =>
+    case TrainClassifierCmd(corpus, id, text, label, dims, rounds, join, out) =>
       // integer hinge descent (lr 1000 micros, margin 1e6 — the graded
       // q167 constants); the weight table (f, w_micros; bias at f = -1)
-      // is the filter artifact score-docs re-reads
+      // is the filter artifact score-docs re-reads. --join true runs the
+      // fully-distributed trainer (weights never leave the cluster —
+      // bit-identical output, the path for large --dims; q189)
       val docs = spark.read.parquet(corpus)
       val y = org.apache.spark.sql.functions.col(label)
       val bad = docs.filter(y.isNull || (y =!= 1L && y =!= -1L)).count()
@@ -1482,21 +1572,55 @@ object Main {
       val feats = graft.text.Classifier.hashedTokenFeatures(docs, id, text, dims)
       val df = graft.text.Classifier.docFeatures(
         feats, docs.select(org.apache.spark.sql.functions.col(id), y.as("y")), id)
-      val model = graft.text.Classifier.train(df, id, dims, rounds,
-        lrMicros = 1000L, marginMicros = 1000000L)
-      graft.text.Classifier.weightsTable(spark, model)
-        .write.mode("overwrite").parquet(out)
+      if (join) {
+        val w = graft.text.Classifier.trainJoin(df, id, dims, rounds,
+          lrMicros = 1000L, marginMicros = 1000000L)
+        w.write.mode("overwrite").parquet(out)
+        graft.Checkpoints.release(w)
+      } else {
+        val model = graft.text.Classifier.train(df, id, dims, rounds,
+          lrMicros = 1000L, marginMicros = 1000000L)
+        graft.text.Classifier.weightsTable(spark, model)
+          .write.mode("overwrite").parquet(out)
+      }
       0
 
-    case ScoreDocsCmd(corpus, id, text, weightsDir, out) =>
-      // model collect bounded by dims + 1 rows (collectModel validates
-      // bias row, duplicates, contiguity — scoring cannot hash into a
-      // different space than training); scoring itself is the ONE-PASS
-      // text fold: no feature table, no join, no shuffle
-      val model = graft.text.Classifier.collectModel(
-        spark.read.parquet(weightsDir))
-      graft.text.Classifier.scoreText(spark.read.parquet(corpus), id, text, model)
-        .write.mode("overwrite").parquet(out)
+    case ScoreDocsCmd(corpus, id, text, weightsDir, join, out) =>
+      val docs = spark.read.parquet(corpus)
+      if (join) {
+        // --join true: the LARGE-DIMS path — the weight table never
+        // reaches the driver. Validation stays distributed (bias row,
+        // duplicates, contiguity — the collectModel checks as bounded
+        // aggregates) and scoring carries the weights as a broadcast
+        // join (q189); dims comes from the artifact itself
+        import org.apache.spark.sql.functions.{col, countDistinct, count, max, min, lit}
+        val w = spark.read.parquet(weightsDir)
+        val chk = w.agg(count(lit(1)), countDistinct(col("f")), min(col("f")),
+          max(col("f"))).head()
+        val rows = chk.getLong(0)
+        if (rows == 0) sys.error(s"score-docs: empty weight table under $weightsDir")
+        val (distinct, fMin, fMax) = (chk.getLong(1), chk.getLong(2), chk.getLong(3))
+        if (rows != distinct)
+          sys.error("score-docs: duplicate bucket rows in the weight table")
+        if (fMin != -1L || fMax != rows - 2L)
+          sys.error(s"score-docs: weight table must cover f = -1..${rows - 2} " +
+            s"contiguously, got [$fMin, $fMax] over $rows rows")
+        val dims = (rows - 1).toInt
+        val feats = graft.text.Classifier.hashedTokenFeatures(docs, id, text, dims)
+        val ids = docs.select(col(id), lit(0L).as("y"))
+        graft.text.Classifier.scoreJoin(
+            graft.text.Classifier.docFeatures(feats, ids, id).drop("y"), id, w)
+          .write.mode("overwrite").parquet(out)
+      } else {
+        // model collect bounded by dims + 1 rows (collectModel validates
+        // bias row, duplicates, contiguity — scoring cannot hash into a
+        // different space than training); scoring itself is the ONE-PASS
+        // text fold: no feature table, no join, no shuffle
+        val model = graft.text.Classifier.collectModel(
+          spark.read.parquet(weightsDir))
+        graft.text.Classifier.scoreText(docs, id, text, model)
+          .write.mode("overwrite").parquet(out)
+      }
       0
 
     case WeightedSampleCmd(corpus, keys, id, weight, k, seed, out) =>

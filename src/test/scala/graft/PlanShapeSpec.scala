@@ -205,6 +205,21 @@ class PlanShapeSpec extends SparkSpec {
       s"expected partial aggregate under the gram-hash exchange:\n$p")
   }
 
+  test("q188 duplicated-span dedup stays equi-join with a partial-aggregated df gate") {
+    val p = plan("q188_dup_span_stats")
+    assert(!p.contains("CartesianProduct"), s"anchor join must stay an equi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"anchor join must stay an equi-join:\n$p")
+    // the [2, maxDf] gate partial-combines below the gram-hash exchange
+    // (the q94 contract — singleton grams collapse map-side) and the
+    // island windows key on (pair, diagonal), never one global partition
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(__g")
+    assert(exchangeIdx >= 0, s"expected a gram-hash exchange:\n$p")
+    assert(p.indexOf("partial_count", exchangeIdx) > exchangeIdx,
+      s"expected partial aggregate under the gram-hash exchange:\n$p")
+    assert(!p.contains("Exchange SinglePartition, ENSURE"),
+      s"island windows must stay (pair, diagonal)-keyed:\n$p")
+  }
+
   test("q96 semantic dedup joins only within clusters — equi on the cluster id") {
     val p = plan("q96_semantic_dedup")
     assert(!p.contains("CartesianProduct"), s"pair join must be bounded by cluster:\n$p")

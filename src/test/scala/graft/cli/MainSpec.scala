@@ -867,6 +867,99 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("dedup-spans + dup-span-gate: span artifacts equal the operators") {
+    val tmp = Files.createTempDirectory("graft_cli_ds").toString
+    val docs = Seq(
+      (1L, "x1 x2 a b c d x3"),
+      (2L, "y1 a b c d y2 y3"),
+      (3L, "fully unique gamma document"))
+      .toDF("doc_id", "text")
+    docs.write.parquet(s"$tmp/corpus")
+    // stats artifact
+    assert(Main.run(spark, Array("dedup-spans",
+      "--corpus", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+      "--gram", "3", "--min-run", "4", "--stats", "true",
+      "--out", s"$tmp/stats")) === 0)
+    val stats = spark.read.parquet(s"$tmp/stats").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(stats === Map(1L -> 4L, 2L -> 4L, 3L -> 0L))
+    // scrub artifact equals the operator
+    assert(Main.run(spark, Array("dedup-spans",
+      "--corpus", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+      "--gram", "3", "--min-run", "4", "--out", s"$tmp/clean")) === 0)
+    val clean = spark.read.parquet(s"$tmp/clean").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(clean(1L) === Seq("x1", "x2", "x3"))
+    assert(clean(2L) === Seq("y1", "y2", "y3"))
+    // streaming gate: arrival scrubbed against the persisted reference
+    Seq((10L, "q1 a b c d q2")).toDF("doc_id", "text")
+      .write.parquet(s"$tmp/arrivals")
+    assert(Main.run(spark, Array("dup-span-gate",
+      "--source", s"$tmp/arrivals", "--reference", s"$tmp/corpus",
+      "--id", "doc_id", "--text", "text", "--gram", "3", "--min-run", "4",
+      "--dest", s"$tmp/out", "--table", "clean", "--checkpoint", s"$tmp/ck")) === 0)
+    val gated = new graft.sync.ParquetStore(spark, s"$tmp/out").read("clean").get
+      .select($"clean_tokens").collect().map(_.getSeq[String](0)).head
+    assert(gated === Seq("q1", "q2"))
+    // malformed --stats is a usage error, pre-Spark
+    assert(Main.run(spark, Array("dedup-spans",
+      "--corpus", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+      "--stats", "maybe", "--out", s"$tmp/x")) === 2)
+  }
+
+  test("train-classifier --join + score-docs --join equal the literal-path artifacts") {
+    val tmp = Files.createTempDirectory("graft_cli_svmj").toString
+    Seq((1L, "good great fine good", 1L), (2L, "bad awful bad poor", -1L),
+        (3L, "good fine nice", 1L), (4L, "poor bad sad awful", -1L))
+      .toDF("doc_id", "text", "y").write.parquet(s"$tmp/corpus")
+    for (join <- Seq("false", "true")) {
+      assert(Main.run(spark, Array("train-classifier",
+        "--corpus", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+        "--label", "y", "--dims", "32", "--rounds", "3", "--join", join,
+        "--out", s"$tmp/w_$join")) === 0)
+      assert(Main.run(spark, Array("score-docs",
+        "--corpus", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+        "--weights", s"$tmp/w_$join", "--join", join,
+        "--out", s"$tmp/s_$join")) === 0)
+    }
+    def readW(d: String) = spark.read.parquet(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(readW(s"$tmp/w_true") === readW(s"$tmp/w_false"))
+    def readS(d: String) = spark.read.parquet(d)
+      .select($"doc_id", $"margin_micros", $"pred").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(readS(s"$tmp/s_true") === readS(s"$tmp/s_false"))
+    // join scoring validates the artifact distributed: no bias row -> error
+    Seq((0L, 5L), (1L, 6L)).toDF("f", "w_micros").write.parquet(s"$tmp/nobias")
+    intercept[RuntimeException] {
+      Main.run(spark, Array("score-docs",
+        "--corpus", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+        "--weights", s"$tmp/nobias", "--join", "true", "--out", s"$tmp/bad"))
+    }
+  }
+
+  test("train-langid --pinned stamps the artifact; langid-classify honors it") {
+    val tmp = Files.createTempDirectory("graft_cli_lidp").toString
+    val docs = Seq(
+      (1L, "fr", "Élève Déjà Côté Être Noël Français"),
+      (2L, "fr", "Déjà Élève Où Ça Été Fenêtre"),
+      (3L, "de", "Über Größe Müde Schön Tür Änderung"),
+      (4L, "de", "Straße Über Köln Füße Ärger Übung"))
+      .toDF("doc_id", "lang", "text")
+    docs.write.parquet(s"$tmp/corpus")
+    assert(Main.run(spark, Array("train-langid",
+      "--corpus", s"$tmp/corpus", "--lang", "lang", "--text", "text",
+      "--k", "20", "--pinned", "true", "--out", s"$tmp/prof")) === 0)
+    assert(spark.read.parquet(s"$tmp/prof")
+      .select("pinned").distinct().head.getBoolean(0))
+    assert(Main.run(spark, Array("langid-classify",
+      "--corpus", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+      "--profiles", s"$tmp/prof", "--out", s"$tmp/pred")) === 0)
+    val pred = spark.read.parquet(s"$tmp/pred").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred === Map(1L -> "fr", 2L -> "fr", 3L -> "de", 4L -> "de"))
+  }
+
   test("ingest-overlap-index + overlap-gate --max-df: accumulated raw index gates arrivals") {
     val tmp = Files.createTempDirectory("graft_cli_oii").toString
     val shared = "sigma tau upsilon phi chi psi omega kappa lambda"

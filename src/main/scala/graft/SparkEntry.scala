@@ -240,6 +240,45 @@ object SparkEntry {
         "FROM b ORDER BY doc_id"
     }
 
+  /** The q192 oracle: DuckDB replays the water-filling allocation as a
+    * generated fixed-round CTE chain — E (the exhausted set) only grows
+    * and a converged round recomputes itself, so `rounds` anywhere past
+    * the source count is exact; shares are floor divisions of exact
+    * integers in both engines. The selection tail is q100's greedy
+    * prefix under each source's allocation. */
+  private def budgetMixtureOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder("WITH ")
+    // d and st are MATERIALIZED: the round chain references st from
+    // every a{r}/e{r} CTE, and DuckDB's default CTE inlining would
+    // re-open the parquet scan once per reference (measured: "Too many
+    // open files" at 24 rounds)
+    sb ++= "d AS MATERIALIZED (SELECT source, doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens FROM documents), "
+    sb ++= "st AS MATERIALIZED (SELECT source, CAST(CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 10 ELSE 1 END AS BIGINT) AS w, CAST(sum(n_tokens) AS BIGINT) AS t FROM d GROUP BY source), "
+    sb ++= "bud AS MATERIALIZED (SELECT CAST(sum(n_tokens) // 2 AS BIGINT) AS b FROM d), "
+    sb ++= "e0 AS (SELECT source FROM st WHERE false), "
+    // a{r}: per-active-source share state from e{r-1}; e{r}: the grown
+    // exhausted set. One extra a CTE past the last round carries the
+    // converged shares for the final allocation.
+    // every round CTE is MATERIALIZED too: a{r} references e{r-1} three
+    // times and e{r} references a{r} — default inlining re-expands the
+    // whole chain per reference (3^rounds planning blowup)
+    for (r <- 1 to rounds + 1) {
+      val p = r - 1
+      sb ++= s"a$r AS MATERIALIZED (SELECT st.source, st.w, st.t, " +
+        s"(SELECT b FROM bud) - coalesce((SELECT sum(t) FROM st WHERE source IN (SELECT source FROM e$p)), 0) AS brem, " +
+        s"(SELECT sum(w) FROM st WHERE source NOT IN (SELECT source FROM e$p)) AS wact " +
+        s"FROM st WHERE st.source NOT IN (SELECT source FROM e$p)), "
+      if (r <= rounds)
+        sb ++= s"e$r AS MATERIALIZED (SELECT source FROM e$p UNION SELECT source FROM a$r " +
+          s"WHERE (CASE WHEN wact > 0 THEN (brem * w) // wact ELSE 0 END) >= t), "
+    }
+    sb ++= s"alloc AS (SELECT st.source, CASE WHEN st.source IN (SELECT source FROM e$rounds) THEN st.t " +
+      s"ELSE (SELECT CASE WHEN a.wact > 0 THEN (a.brem * a.w) // a.wact ELSE 0 END FROM a${rounds + 1} a WHERE a.source = st.source) END AS alloc FROM st), "
+    sb ++= "c AS (SELECT source, doc_id, n_tokens, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d) "
+    sb ++= "SELECT c.source, c.doc_id, c.n_tokens FROM c JOIN alloc USING (source) WHERE c.cum <= alloc.alloc ORDER BY source, doc_id"
+    sb.toString
+  }
+
   /** The q176 oracle: DuckDB replays integer PageRank over the bigram
     * word graph as a generated CTE chain — same micro base, same floor
     * mass transfer, same permille damping, same (pr DESC, node) keep
@@ -4121,6 +4160,28 @@ object SparkEntry {
       } finally deleteRecursively(tmp)
     }),
 
+    // q192: WATER-FILLING mixture assembly — the Pile/Dolma budget rule
+    // q100's per-source cap cannot express: a TOTAL token budget splits
+    // across sources by target weights (src0-src4 weighted 10, rest 1),
+    // and every source too small for its share takes all it has while
+    // the shortfall REDISTRIBUTES to the rest, iterated to fixed point.
+    // Budget = half the corpus' tokens, computed from data identically
+    // in both engines; the heavyweight sources exhaust (10/65 of B
+    // exceeds a uniform source's total) so redistribution genuinely
+    // fires at the graded SF. Allocation is driver integer arithmetic
+    // on #sources rows (the k-centroids collect shape); selection is
+    // q100's greedy-prefix window under the per-source allocations.
+    // The DuckDB oracle replays the rounds as a generated CTE chain
+    "q192_budget_mixture" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val budget = d.agg(sum(col("n_tokens"))).head.getLong(0) / 2
+      Sampling.budgetMixture(d, "source", "doc_id", "n_tokens",
+          weights = (0 to 4).map(i => s"src$i" -> 10L).toMap,
+          budget = budget, defaultWeight = 1L)
+        .orderBy("source", "doc_id")
+    }),
+
     // q191: trained language ID on a NON-ASCII corpus — the q187
     // machinery under the PINNED explicit-codepoint lowercase map
     // (translate over literal Latin-1 pair strings, never engine-native
@@ -4540,6 +4601,9 @@ object SparkEntry {
     // reconstruction
     "q190_stream_dup_span_gate" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), g AS (SELECT doc_id, pos, array_to_string(ts[pos:pos+7], ' ') AS g FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS pos FROM tok WHERE len(ts) >= 8)), refg AS (SELECT doc_id, pos, g FROM g WHERE doc_id < 250), gated AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM refg) GROUP BY g HAVING count(*) <= 20), rg AS (SELECT doc_id, pos, g FROM refg WHERE g IN (SELECT g FROM gated)), bg AS (SELECT doc_id, pos, g FROM g WHERE doc_id >= 250), anc AS (SELECT b.doc_id AS ida, r.doc_id AS idb, b.pos AS pa, b.pos - r.pos AS d FROM bg b JOIN rg r ON b.g = r.g AND b.doc_id <> r.doc_id), isl AS (SELECT ida, idb, d, pa, pa - row_number() OVER (PARTITION BY ida, idb, d ORDER BY pa) AS grp FROM anc), sp AS (SELECT ida, idb, d, min(pa) AS s, count(*) + 7 AS rt FROM isl GROUP BY ida, idb, d, grp HAVING count(*) + 7 >= 20), covd AS (SELECT DISTINCT ida AS doc_id, unnest(range(s, s + rt)) AS p FROM sp), cv AS (SELECT doc_id, list(p) AS ps FROM covd GROUP BY doc_id) SELECT t.doc_id, coalesce(array_to_string([t.ts[i] for i in range(1, len(t.ts) + 1) if NOT list_contains(coalesce(cv.ps, []), i)], ' '), '') AS clean_text FROM tok t LEFT JOIN cv USING (doc_id) WHERE t.doc_id >= 250 ORDER BY t.doc_id""",
+    // q192: the generated water-filling CTE chain — 24 rounds covers any
+    // exhaustion order over the 20 sources; converged rounds are no-ops
+    "q192_budget_mixture" -> budgetMixtureOracleSql(24),
     // q191: the q187 CTE chain over the planted corpus, with
     // translate(<pinned pair strings>) in place of lower() — generated
     // from the SAME Scala constants as the Spark side so the map and the

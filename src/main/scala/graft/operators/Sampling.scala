@@ -217,6 +217,85 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** WATER-FILLING budget allocation — the Pile/Dolma mixture-assembly
+    * rule [[tokenBudgetSample]] feeds from: split a TOTAL token budget
+    * across sources by target weights, and when a source is too small to
+    * absorb its share (alloc >= its total tokens), it takes everything it
+    * has and the SHORTFALL REDISTRIBUTES to the remaining sources by
+    * their weights — iterating until no source exhausts. Without this, a
+    * "10% code" target quietly becomes 3% when the code source is small
+    * and the freed budget evaporates instead of flowing to other sources.
+    *
+    * Pure driver integer arithmetic over source-level rows (#sources is
+    * dashboard-sized — this is the k-centroids collect shape, never
+    * corpus-sized): each round fixes every active source whose
+    * floor(B_rem * w / W_active) share covers its total, then recomputes;
+    * E only grows, so <= #sources rounds. Floors throughout (both
+    * engines' integer division), so the allocation replays exactly in a
+    * generated DuckDB CTE chain (q192). Zero-weight actives allocate 0
+    * (and a zero-weight source with zero tokens counts as exhausted);
+    * if every source exhausts, the whole corpus is the mixture and any
+    * leftover budget is unfilled — deterministic, reported by the caller
+    * comparing Σ alloc to budget.
+    *
+    * Input: (source, weight, totalTokens) rows; output: (source, alloc,
+    * exhausted). */
+  def budgetAllocations(perSource: Seq[(String, Long, Long)],
+                        budget: Long): Seq[(String, Long, Boolean)] = {
+    require(budget >= 0, s"budgetAllocations: budget must be >= 0, got $budget")
+    require(perSource.forall { case (_, w, t) => w >= 0 && t >= 0 },
+      "budgetAllocations: weights and totals must be >= 0")
+    require(perSource.map(_._1).distinct.length == perSource.length,
+      "budgetAllocations: duplicate source rows")
+    var exhausted = Set.empty[String]
+    var done = false
+    var shares = Map.empty[String, Long]
+    while (!done) {
+      val bRem = budget - perSource.collect {
+        case (s, _, t) if exhausted(s) => t }.sum
+      val active = perSource.filterNot(p => exhausted(p._1))
+      val wAct = active.map(_._2).sum
+      shares = active.map { case (s, w, _) =>
+        s -> (if (wAct == 0) 0L else bRem * w / wAct) }.toMap
+      val newly = active.collect {
+        case (s, _, t) if shares(s) >= t => s }
+      if (newly.isEmpty) done = true else exhausted ++= newly
+    }
+    perSource.map { case (s, _, t) =>
+      if (exhausted(s)) (s, t, true) else (s, shares(s), false) }
+  }
+
+  /** The end-to-end mixture: [[budgetAllocations]] over the per-source
+    * totals of `tokensCol`, then [[tokenBudgetSample]]'s greedy-prefix
+    * rule per source under each source's own allocation (docs in
+    * `orderCol` order while the INCLUSIVE running total fits; the first
+    * over-budget doc is dropped — no partial documents). `weights` maps
+    * source -> target weight, absent sources get `defaultWeight`.
+    *
+    * Plan: ONE narrow pass aggregates per-source totals (partial-combined,
+    * #sources rows to the driver), the allocation loop is driver-side
+    * integer arithmetic on those rows, and selection is one keyed window
+    * shuffle with the allocation riding as a #sources-bounded literal map
+    * — two passes over (source, order, tokens) total, nothing else moves. */
+  def budgetMixture(df: DataFrame, sourceCol: String, orderCol: String,
+                    tokensCol: String, weights: Map[String, Long],
+                    budget: Long, defaultWeight: Long = 0L): DataFrame = {
+    require(defaultWeight >= 0, s"defaultWeight must be >= 0, got $defaultWeight")
+    val per = df.groupBy(col(sourceCol))
+      .agg(sum(col(tokensCol)).cast(LongType).as("__t"))
+      .collect()
+      .map(r => (r.getString(0),
+        weights.getOrElse(r.getString(0), defaultWeight), r.getLong(1)))
+      .toSeq.sortBy(_._1)
+    val alloc = budgetAllocations(per, budget)
+      .map { case (s, a, _) => s -> a }.toMap
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokensCol)).over(w))
+      .filter(col("__cum") <= element_at(typedLit(alloc), col(sourceCol)))
+      .drop("__cum")
+  }
+
   /** Deterministic WEIGHTED sampling without replacement (Efraimidis–
     * Spirakis A-ES, IPL 2006): per row draw u ~ Uniform(0,1] and keep
     * the k rows per group with the largest key u^(1/w) — provably

@@ -309,4 +309,48 @@ class SamplingSpec extends SparkSpec {
       .select($"id").head().getLong(0)
     assert(top === 99L)
   }
+
+  test("budgetAllocations: shortfall from a small source redistributes by weight") {
+    // budget 100, weights (a=1, b=1, c=2): ideal shares 25/25/50, but c
+    // holds only 10 tokens -> c exhausts, 90 re-splits 45/45 over a and b
+    val got = Sampling.budgetAllocations(
+      Seq(("a", 1L, 1000L), ("b", 1L, 1000L), ("c", 2L, 10L)), 100L)
+    assert(got === Seq(("a", 45L, false), ("b", 45L, false), ("c", 10L, true)))
+    // cascade: after c exhausts, b (total 40) exhausts on the re-split,
+    // and a absorbs the rest
+    val cascade = Sampling.budgetAllocations(
+      Seq(("a", 1L, 1000L), ("b", 1L, 40L), ("c", 2L, 10L)), 100L)
+    assert(cascade === Seq(("a", 50L, false), ("b", 40L, true), ("c", 10L, true)))
+    // everything exhausts: allocations are the totals, leftover unfilled
+    val all = Sampling.budgetAllocations(Seq(("a", 1L, 5L), ("b", 3L, 7L)), 100L)
+    assert(all === Seq(("a", 5L, true), ("b", 7L, true)))
+    // zero-weight actives allocate 0; zero-weight zero-total is exhausted
+    val zw = Sampling.budgetAllocations(
+      Seq(("a", 0L, 50L), ("b", 1L, 1000L), ("z", 0L, 0L)), 100L)
+    assert(zw === Seq(("a", 0L, false), ("b", 100L, false), ("z", 0L, true)))
+    intercept[IllegalArgumentException] {
+      Sampling.budgetAllocations(Seq(("a", 1L, 1L), ("a", 1L, 2L)), 10L)
+    }
+  }
+
+  test("budgetMixture: greedy prefix per source under the redistributed allocations") {
+    // source a: docs of 30+30+30 tokens (total 90); b: 10+10 (total 20);
+    // weights equal, budget 60 -> ideal 30/30, b exhausts at 20 ->
+    // a re-allocates 40 -> greedy prefix keeps a's first doc only
+    // (30 <= 40, 60 > 40), all of b
+    val docs = Seq(
+      ("a", 1L, 30L), ("a", 2L, 30L), ("a", 3L, 30L),
+      ("b", 4L, 10L), ("b", 5L, 10L))
+      .toDF("source", "doc_id", "n_tokens")
+    val got = Sampling.budgetMixture(docs, "source", "doc_id", "n_tokens",
+        weights = Map("a" -> 1L, "b" -> 1L), budget = 60L)
+      .collect().map(r => r.getLong(1)).sorted.toSeq
+    assert(got === Seq(1L, 4L, 5L))
+    // absent source under defaultWeight 0 contributes nothing
+    val withC = docs.union(Seq(("c", 6L, 5L)).toDF("source", "doc_id", "n_tokens"))
+    val gotC = Sampling.budgetMixture(withC, "source", "doc_id", "n_tokens",
+        weights = Map("a" -> 1L, "b" -> 1L), budget = 60L)
+      .collect().map(r => r.getLong(1)).sorted.toSeq
+    assert(gotC === Seq(1L, 4L, 5L))
+  }
 }

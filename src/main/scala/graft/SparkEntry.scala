@@ -240,6 +240,14 @@ object SparkEntry {
         "FROM b ORDER BY doc_id"
     }
 
+  /** The q190 oracle, shared verbatim by q193 (the accumulated-index
+    * serve must equal the direct corpus scrub): the q188 diagonal-run
+    * CTEs with the corpus half (doc_id < 250) as reference and arrivals
+    * (>= 250) as the scrubbed side — ref-side df gate <= 20, coverage on
+    * the arrival side only, then the q130 clean-text reconstruction. */
+  private lazy val DupSpanGateOracleSql: String =
+    """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), g AS (SELECT doc_id, pos, array_to_string(ts[pos:pos+7], ' ') AS g FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS pos FROM tok WHERE len(ts) >= 8)), refg AS (SELECT doc_id, pos, g FROM g WHERE doc_id < 250), gated AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM refg) GROUP BY g HAVING count(*) <= 20), rg AS (SELECT doc_id, pos, g FROM refg WHERE g IN (SELECT g FROM gated)), bg AS (SELECT doc_id, pos, g FROM g WHERE doc_id >= 250), anc AS (SELECT b.doc_id AS ida, r.doc_id AS idb, b.pos AS pa, b.pos - r.pos AS d FROM bg b JOIN rg r ON b.g = r.g AND b.doc_id <> r.doc_id), isl AS (SELECT ida, idb, d, pa, pa - row_number() OVER (PARTITION BY ida, idb, d ORDER BY pa) AS grp FROM anc), sp AS (SELECT ida, idb, d, min(pa) AS s, count(*) + 7 AS rt FROM isl GROUP BY ida, idb, d, grp HAVING count(*) + 7 >= 20), covd AS (SELECT DISTINCT ida AS doc_id, unnest(range(s, s + rt)) AS p FROM sp), cv AS (SELECT doc_id, list(p) AS ps FROM covd GROUP BY doc_id) SELECT t.doc_id, coalesce(array_to_string([t.ts[i] for i in range(1, len(t.ts) + 1) if NOT list_contains(coalesce(cv.ps, []), i)], ' '), '') AS clean_text FROM tok t LEFT JOIN cv USING (doc_id) WHERE t.doc_id >= 250 ORDER BY t.doc_id"""
+
   /** The q192 oracle: DuckDB replays the water-filling allocation as a
     * generated fixed-round CTE chain — E (the exhausted set) only grows
     * and a converged round recomputes itself, so `rounds` anywhere past
@@ -4160,6 +4168,34 @@ object SparkEntry {
       } finally deleteRecursively(tmp)
     }),
 
+    // q193: CONTINUOUS positional-gram index + span-scrub SERVING — the
+    // q183 index-ingest pattern applied to the duplicated-span family:
+    // the corpus arrives across two micro-batches, each batch's
+    // (doc_id, pos, gram) rows append under the retry guard, and the
+    // arrivals then scrub against the ACCUMULATED index (df gate at
+    // read, corpus never re-tokenized at serve time). Output must equal
+    // q190's direct corpus scrub — the SAME DuckDB oracle grades both
+    "q193_span_index_serve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("q193").toString
+      try {
+        val idxStore = new graft.sync.ParquetStore(s, s"$tmp/idx")
+        val corpus = docs.filter(col("doc_id") < 250)
+        corpus.repartition(2).write.parquet(s"$tmp/src")
+        val stream = s.readStream.schema(corpus.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+        IncrementalStream.dupSpanIndexIngest(stream, "doc_id", "text",
+          idxStore, "grams", checkpointDir = s"$tmp/ck")
+          .awaitTermination()
+        Decontaminate.scrubDuplicatedSpansAgainstIndex(
+            docs.filter(col("doc_id") >= 250),
+            idxStore.read("grams").get.select("doc_id", "pos", "g"),
+            "doc_id", "text", k = 8, minRunTokens = 20, maxDocFreq = 20)
+          .select(col("doc_id"), array_join(col("clean_tokens"), " ").as("clean_text"))
+          .orderBy("doc_id").localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+
     // q192: WATER-FILLING mixture assembly — the Pile/Dolma budget rule
     // q100's per-source cap cannot express: a TOTAL token budget splits
     // across sources by target weights (src0-src4 weighted 10, rest 1),
@@ -4599,11 +4635,13 @@ object SparkEntry {
     // df gate <= 20 (one ref occurrence suffices cross-side, so no lower
     // bound), coverage on the arrival side only, then the q130 clean-text
     // reconstruction
-    "q190_stream_dup_span_gate" ->
-      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), g AS (SELECT doc_id, pos, array_to_string(ts[pos:pos+7], ' ') AS g FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS pos FROM tok WHERE len(ts) >= 8)), refg AS (SELECT doc_id, pos, g FROM g WHERE doc_id < 250), gated AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM refg) GROUP BY g HAVING count(*) <= 20), rg AS (SELECT doc_id, pos, g FROM refg WHERE g IN (SELECT g FROM gated)), bg AS (SELECT doc_id, pos, g FROM g WHERE doc_id >= 250), anc AS (SELECT b.doc_id AS ida, r.doc_id AS idb, b.pos AS pa, b.pos - r.pos AS d FROM bg b JOIN rg r ON b.g = r.g AND b.doc_id <> r.doc_id), isl AS (SELECT ida, idb, d, pa, pa - row_number() OVER (PARTITION BY ida, idb, d ORDER BY pa) AS grp FROM anc), sp AS (SELECT ida, idb, d, min(pa) AS s, count(*) + 7 AS rt FROM isl GROUP BY ida, idb, d, grp HAVING count(*) + 7 >= 20), covd AS (SELECT DISTINCT ida AS doc_id, unnest(range(s, s + rt)) AS p FROM sp), cv AS (SELECT doc_id, list(p) AS ps FROM covd GROUP BY doc_id) SELECT t.doc_id, coalesce(array_to_string([t.ts[i] for i in range(1, len(t.ts) + 1) if NOT list_contains(coalesce(cv.ps, []), i)], ' '), '') AS clean_text FROM tok t LEFT JOIN cv USING (doc_id) WHERE t.doc_id >= 250 ORDER BY t.doc_id""",
+    "q190_stream_dup_span_gate" -> DupSpanGateOracleSql,
     // q192: the generated water-filling CTE chain — 24 rounds covers any
     // exhaustion order over the 20 sources; converged rounds are no-ops
     "q192_budget_mixture" -> budgetMixtureOracleSql(24),
+    // q193: the accumulated-index serve must equal q190's direct scrub —
+    // the shared-oracle contract (q179/q183/q186 precedent)
+    "q193_span_index_serve" -> DupSpanGateOracleSql,
     // q191: the q187 CTE chain over the planted corpus, with
     // translate(<pinned pair strings>) in place of lower() — generated
     // from the SAME Scala constants as the Spark side so the map and the

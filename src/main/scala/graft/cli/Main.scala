@@ -48,6 +48,8 @@ object Main {
       "       self-scrub --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--gram <n>] [--max-df <n>]\n" +
       "       dedup-spans --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--gram <n>] [--min-run <n>] [--max-df <n>] [--stats true]\n" +
       "       dup-span-gate --source <parquetDir> --reference <parquet> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir> [--gram <n>] [--min-run <n>] [--max-df <n>]\n" +
+      "       ingest-span-index --source <parquetDir> --id <col> --text <col> --dest <storeDir> --checkpoint <dir> [--gram <n>]\n" +
+      "       serve-span-scrub --corpus <parquet> --index <storeDir> --id <col> --text <col> --out <parquetDir> [--gram <n>] [--min-run <n>] [--max-df <n>]\n" +
       "       line-dedup --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--max-df <n>] [--broadcast false]\n" +
       "       ingest-line-index --source <parquetDir> --id <col> --text <col> --dest <storeDir> --checkpoint <dir>\n" +
       "       serve-line-dedup --index <storeDir> --id <col> --out <parquetDir> [--max-df <n>] [--broadcast false]\n" +
@@ -171,6 +173,13 @@ object Main {
                                  text: String, gram: Int, minRun: Int,
                                  maxDf: Int, dest: String, table: String,
                                  checkpoint: String) extends Cmd
+  private case class IngestSpanIndexCmd(source: String, id: String,
+                                        text: String, gram: Int, dest: String,
+                                        ck: String) extends Cmd
+  private case class ServeSpanScrubCmd(corpus: String, index: String,
+                                       id: String, text: String, gram: Int,
+                                       minRun: Int, maxDf: Int,
+                                       out: String) extends Cmd
   private case class BuildVocab(corpus: String, text: String, top: Int,
                                 out: String) extends Cmd
   private case class BpeTrainCmd(corpus: String, text: String, nMerges: Int,
@@ -498,6 +507,28 @@ object Main {
         ck <- req(opts, "dup-span-gate", "checkpoint")
       } yield DupSpanGate(source, reference, id, text, n, minRun, maxDf,
         dest, table, ck)
+    case "ingest-span-index" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        source <- req(opts, "ingest-span-index", "source")
+        id <- req(opts, "ingest-span-index", "id")
+        text <- req(opts, "ingest-span-index", "text")
+        n <- optInt(opts, "ingest-span-index", "gram", 8)
+        dest <- req(opts, "ingest-span-index", "dest")
+        ck <- req(opts, "ingest-span-index", "checkpoint")
+      } yield IngestSpanIndexCmd(source, id, text, n, dest, ck)
+    case "serve-span-scrub" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "serve-span-scrub", "corpus")
+        index <- req(opts, "serve-span-scrub", "index")
+        id <- req(opts, "serve-span-scrub", "id")
+        text <- req(opts, "serve-span-scrub", "text")
+        n <- optInt(opts, "serve-span-scrub", "gram", 8)
+        minRun <- optInt(opts, "serve-span-scrub", "min-run", 20)
+        maxDf <- optInt(opts, "serve-span-scrub", "max-df", 20)
+        out <- req(opts, "serve-span-scrub", "out")
+      } yield ServeSpanScrubCmd(corpus, index, id, text, n, minRun, maxDf, out)
     case "line-dedup" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -995,6 +1026,28 @@ object Main {
         "fingerprint family silently misses overlap candidates")
   }
 
+  /** The duplicated-span positional-index params manifest — (gram) IS the
+    * family (diagonal runs only compose across rows windowed at the same
+    * k); the overlap manifest's sibling, ONE schema definition for the
+    * writer (ingest-span-index) and reader (serve-span-scrub). */
+  private def writeSpanManifest(spark: SparkSession,
+                                store: graft.sync.TableStore, k: Int): Unit =
+    store.write(spark.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(k)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("gram",
+          org.apache.spark.sql.types.IntegerType)))),
+      "params")
+
+  private def checkSpanManifest(params: org.apache.spark.sql.DataFrame,
+                                cmd: String, where: String, k: Int): Unit = {
+    val bk = params.head.getInt(0)
+    require(bk == k,
+      s"$cmd: index at $where was built with --gram $bk but this " +
+        s"invocation passed --gram $k — mismatched window sizes make the " +
+        "diagonal runs meaningless and silently miss every span")
+  }
+
   private def shingler(n: Int): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
     if (n == 1) c => graft.dedup.Dedup.hashedShingles(graft.text.TextAnalysis.tokenSet(c))
     else c => graft.dedup.Dedup.hashedWordNgrams(c, n)
@@ -1375,6 +1428,51 @@ object Main {
             org.apache.spark.sql.functions.col("pos"),
             org.apache.spark.sql.functions.col("line")),
           id, maxDf.toLong, broadcastHot)
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case IngestSpanIndexCmd(source, id, text, n, dest, ck) =>
+      sourceSchema(spark, source, "ingest-span-index").fold(0) { schema =>
+        // raw (id, pos, g) positional-gram rows accumulate in the fixed
+        // "grams" table (the serve-span-scrub read convention); the
+        // maxDocFreq gate applies at read over the WHOLE accumulation.
+        // The gram size travels as a params manifest: checked on a
+        // pre-existing store, seeded on a fresh one, fail-closed when
+        // index rows exist without one (the ingest-overlap-index
+        // pattern, verbatim)
+        val store = new ParquetStore(spark, dest)
+        store.read("params") match {
+          case Some(params) =>
+            checkSpanManifest(params, "ingest-span-index", dest, n)
+          case None =>
+            require(store.read("grams").isEmpty,
+              s"ingest-span-index: $dest has a grams table but no params " +
+                "manifest — its window size is unknown, so folding more " +
+                "rows could silently corrupt it; re-ingest from scratch " +
+                "or seed a manifest matching the original build")
+            writeSpanManifest(spark, store, n)
+        }
+        val stream = spark.readStream.schema(schema).parquet(source)
+        graft.streaming.IncrementalStream.dupSpanIndexIngest(
+          stream, id, text, store, "grams", ck, n)
+          .awaitTermination()
+        0
+      }
+
+    case ServeSpanScrubCmd(corpus, index, id, text, n, minRun, maxDf, out) =>
+      // q190 semantics over the accumulated index: the batch corpus
+      // scrubs against everything ingested so far, reference side never
+      // re-tokenized; manifest checked so the probe's k matches the index
+      val store = new ParquetStore(spark, index)
+      val grams = store.read("grams").getOrElse(sys.error(
+        s"serve-span-scrub: no grams table in $index — run ingest-span-index first"))
+      store.read("params").foreach(checkSpanManifest(_, "serve-span-scrub", index, n))
+      graft.dedup.Decontaminate.scrubDuplicatedSpansAgainstIndex(
+          spark.read.parquet(corpus),
+          grams.select(org.apache.spark.sql.functions.col(id),
+            org.apache.spark.sql.functions.col("pos"),
+            org.apache.spark.sql.functions.col("g")),
+          id, text, n, minRun, maxDf)
         .write.mode("overwrite").parquet(out)
       0
 

@@ -248,6 +248,22 @@ object Decontaminate {
       duplicatedSpanCovered(corpus, idCol, textCol, k, minRunTokens, maxDocFreq),
       idCol, textCol)
 
+  /** Persisted positional-gram index rows for the duplicated-span family:
+    * (idCol, pos, g) — one row per k-token window, 8-byte hashed gram.
+    * This is the materialization production substring-dedup pipelines
+    * keep (~20 bytes/token, linear, far smaller than re-tokenizing the
+    * text per probe); the continuous twin
+    * (IncrementalStream.dupSpanIndexIngest) appends exactly these rows
+    * per micro-batch. `k` is the family knob: every probe and every
+    * append against one index must use the SAME k or diagonals are
+    * meaningless — the band-index family contract. */
+  def dupSpanIndexRows(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 8): DataFrame = {
+    require(k >= 2, s"k-gram size must be >= 2, got $k")
+    Dedup.positionalGrams(df, idCol, textCol, k, idCol)
+      .select(col(idCol), col("__pos").cast("long").as("pos"), col("__g").as("g"))
+  }
+
   /** BATCH-vs-REFERENCE duplicated-span scrub — the ingest-time deployment
     * of [[scrubDuplicatedSpans]]: spans of `batch` documents shared
     * (>= minRunTokens, maximal, same diagonal formulation) with ANY
@@ -266,12 +282,29 @@ object Decontaminate {
   def scrubDuplicatedSpansAgainst(batch: DataFrame, reference: DataFrame,
                                   idCol: String, textCol: String,
                                   k: Int = 8, minRunTokens: Int = 20,
-                                  maxDocFreq: Int = 20): DataFrame = {
+                                  maxDocFreq: Int = 20): DataFrame =
+    scrubDuplicatedSpansAgainstIndex(batch,
+      dupSpanIndexRows(reference, idCol, textCol, k),
+      idCol, textCol, k, minRunTokens, maxDocFreq)
+
+  /** [[scrubDuplicatedSpansAgainst]] with the reference side as a
+    * PRE-BUILT positional-gram index ([[dupSpanIndexRows]] rows, possibly
+    * accumulated by IncrementalStream.dupSpanIndexIngest) — the serving
+    * shape: the reference corpus is never re-tokenized per probe, only
+    * its index rows join. The df gate applies AT READ over the
+    * accumulated index, so a gram crossing maxDocFreq as the index grows
+    * drops from matching retroactively (the q183 at-read-gate semantics).
+    * ONE implementation with the direct form (it delegates here) so the
+    * two deployments cannot diverge. */
+  def scrubDuplicatedSpansAgainstIndex(batch: DataFrame, refIndex: DataFrame,
+                                       idCol: String, textCol: String,
+                                       k: Int = 8, minRunTokens: Int = 20,
+                                       maxDocFreq: Int = 20): DataFrame = {
     require(k >= 2, s"k-gram size must be >= 2, got $k")
     require(minRunTokens >= k, s"minRunTokens ($minRunTokens) must be >= k ($k)")
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
     val bg = Dedup.positionalGrams(batch, idCol, textCol, k, idCol)
-    val rg = Dedup.positionalGrams(reference, idCol, textCol, k, idCol)
+    val rg = refIndex.select(col(idCol), col("pos").as("__pos"), col("g").as("__g"))
     val gated = rg.groupBy("__g")
       .agg(count_distinct(col(idCol)).as("__df"))
       .filter(col("__df") <= maxDocFreq)

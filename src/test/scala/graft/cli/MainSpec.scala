@@ -907,6 +907,39 @@ class MainSpec extends SparkSpec {
       "--stats", "maybe", "--out", s"$tmp/x")) === 2)
   }
 
+  test("ingest-span-index + serve-span-scrub: accumulated index scrubs, manifest guards k") {
+    val tmp = Files.createTempDirectory("graft_cli_spi").toString
+    val corpus = Seq(
+      (1L, "x1 x2 a b c d x3"),
+      (2L, "r1 r2 r3 q w e r t"))
+      .toDF("doc_id", "text")
+    corpus.repartition(2).write.parquet(s"$tmp/src")
+    assert(Main.run(spark, Array("ingest-span-index",
+      "--source", s"$tmp/src", "--id", "doc_id", "--text", "text",
+      "--gram", "3", "--dest", s"$tmp/idx", "--checkpoint", s"$tmp/ck")) === 0)
+    Seq((6L, "b1 q w e r t b2 b3"), (7L, "a b c d y1 y2 y3"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/arr")
+    assert(Main.run(spark, Array("serve-span-scrub",
+      "--corpus", s"$tmp/arr", "--index", s"$tmp/idx", "--id", "doc_id",
+      "--text", "text", "--gram", "3", "--min-run", "4",
+      "--out", s"$tmp/clean")) === 0)
+    val clean = spark.read.parquet(s"$tmp/clean").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(clean(6L) === Seq("b1", "b2", "b3"))
+    assert(clean(7L) === Seq("y1", "y2", "y3"))
+    // a mismatched --gram is refused by the manifest on BOTH commands
+    intercept[IllegalArgumentException] {
+      Main.run(spark, Array("serve-span-scrub",
+        "--corpus", s"$tmp/arr", "--index", s"$tmp/idx", "--id", "doc_id",
+        "--text", "text", "--gram", "4", "--out", s"$tmp/clean2"))
+    }
+    intercept[IllegalArgumentException] {
+      Main.run(spark, Array("ingest-span-index",
+        "--source", s"$tmp/src", "--id", "doc_id", "--text", "text",
+        "--gram", "4", "--dest", s"$tmp/idx", "--checkpoint", s"$tmp/ck2"))
+    }
+  }
+
   test("train-classifier --join + score-docs --join equal the literal-path artifacts") {
     val tmp = Files.createTempDirectory("graft_cli_svmj").toString
     Seq((1L, "good great fine good", 1L), (2L, "bad awful bad poor", -1L),

@@ -216,6 +216,31 @@ class DecontaminateSpec extends SparkSpec {
     assert(out(6L) === Seq("b1", "b2", "b3"))
   }
 
+  test("scrubDuplicatedSpansAgainstIndex over dupSpanIndexRows equals the direct form") {
+    val reference = Seq(
+      (5L, "r1 r2 r3 q w e r t"),
+      (7L, "z9 a b c d z8 z7"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (6L, "b1 q w e r t b2 b3"),
+      (8L, "a b c d x y z"))
+      .toDF("doc_id", "text")
+    val direct = Decontaminate.scrubDuplicatedSpansAgainst(batch, reference,
+        "doc_id", "text", k = 3, minRunTokens = 4, maxDocFreq = 20)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // the index round-trips through parquet like a real accumulation
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dsi").toString
+    Decontaminate.dupSpanIndexRows(reference, "doc_id", "text", k = 3)
+      .write.parquet(s"$tmp/idx")
+    val viaIndex = Decontaminate.scrubDuplicatedSpansAgainstIndex(batch,
+        spark.read.parquet(s"$tmp/idx"), "doc_id", "text",
+        k = 3, minRunTokens = 4, maxDocFreq = 20)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(viaIndex === direct)
+    assert(direct(6L) === Seq("b1", "b2", "b3"))
+    assert(direct(8L) === Seq("x", "y", "z"))
+  }
+
   test("property: scrubDuplicatedSpans equals the brute-force maximal-run rule") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val k = 2; val minRun = 3

@@ -73,15 +73,17 @@ object SparkEntry {
     * line-index ingest: the identical planted multi-line corpus
     * ([[linePlanted]]'s concat mirrored), occurrence counts over the
     * whole corpus, >maxDf lines dropped retroactively, docs reassembled
-    * by position with per-doc audit counts. */
-  private val LineDedupOracleSql: String =
-    """WITH planted AS (
+    * by position with per-doc audit counts. `where` restricts the base
+    * corpus — q194 grades a post-takedown index serve against the
+    * from-scratch build over exactly the surviving documents. */
+  private def lineDedupOracleSqlOver(where: String): String =
+    s"""WITH planted AS (
       |  SELECT doc_id,
       |    CASE WHEN doc_id % 5 = 0 THEN 'SUBSCRIBE TO OUR NEWSLETTER' || chr(10) ELSE '' END
       |    || replace(coalesce(text, ''), 'merge', chr(10))
       |    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'COPYRIGHT 2026 EXAMPLE CORP' ELSE '' END
       |    || chr(10) || 'unique tail ' || doc_id AS text
-      |  FROM documents),
+      |  FROM documents$where),
       |ls AS (
       |  SELECT doc_id,
       |    unnest(string_split(text, chr(10))) AS line,
@@ -95,6 +97,8 @@ object SparkEntry {
       |FROM ls l LEFT JOIN hot h ON l.line = h.line
       |GROUP BY l.doc_id
       |ORDER BY l.doc_id""".stripMargin
+
+  private lazy val LineDedupOracleSql: String = lineDedupOracleSqlOver("")
 
   /** The q180/q182 pinned WordPiece vocabulary over the [a-z0-9] corpus —
     * hand-set so every greedy-matching branch fires on real data (the
@@ -4168,6 +4172,32 @@ object SparkEntry {
       } finally deleteRecursively(tmp)
     }),
 
+    // q194: TAKEDOWN propagation — the opt-out/right-to-be-forgotten
+    // erasure pass: the full planted corpus builds the line index, a
+    // takedown list (doc_id >= 400) purges ATOMICALLY through the
+    // persisted index, and serving the survivor index must equal a
+    // from-scratch line-dedup over exactly the surviving documents —
+    // including retroactive RE-COOLING (a line whose count drops back
+    // under maxDf because a purged doc carried it returns to the
+    // survivors), the erasure guarantee an at-read gate provides and an
+    // append-time gate cannot. Oracle: the q179 replay over the
+    // filtered corpus
+    "q194_takedown_line_index" -> ((s, dir) => {
+      val docs = linePlanted(t(s, dir, "documents"))
+      val tmp = java.nio.file.Files.createTempDirectory("q194").toString
+      try {
+        val store = new graft.sync.ParquetStore(s, s"$tmp/idx")
+        store.write(graft.dedup.Dedup.lineIndexRows(docs, "doc_id", "text"),
+          "lines")
+        val removed = graft.sync.Takedown.purge(store, "lines", "doc_id",
+          docs.filter(col("doc_id") >= 400).select(col("doc_id")))
+        require(removed > 0L, "q194: the takedown must actually remove rows")
+        graft.dedup.Dedup.lineDedupFromIndex(store.read("lines").get,
+            "doc_id", maxDf = 2)
+          .orderBy("doc_id").localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+
     // q193: CONTINUOUS positional-gram index + span-scrub SERVING — the
     // q183 index-ingest pattern applied to the duplicated-span family:
     // the corpus arrives across two micro-batches, each batch's
@@ -4642,6 +4672,9 @@ object SparkEntry {
     // q193: the accumulated-index serve must equal q190's direct scrub —
     // the shared-oracle contract (q179/q183/q186 precedent)
     "q193_span_index_serve" -> DupSpanGateOracleSql,
+    // q194: the post-takedown serve equals the q179 replay over only the
+    // surviving documents — erasure leaves no df residue
+    "q194_takedown_line_index" -> lineDedupOracleSqlOver(" WHERE doc_id < 400"),
     // q191: the q187 CTE chain over the planted corpus, with
     // translate(<pinned pair strings>) in place of lower() — generated
     // from the SAME Scala constants as the Spark side so the map and the

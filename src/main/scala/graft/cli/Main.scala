@@ -87,6 +87,7 @@ object Main {
       "       serve-bm25 --queries <parquetDir> --index <storeDir> --id <col> --k <n> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       fuse-rrf --rankings name=/dir[,name=/dir...] --doc <col> --out <parquetDir> [--k0 <n>] [--top <n>]\n" +
       "       eval-recall --got <parquetDir> --want <parquetDir> --doc <col> --k <n> --out <parquetDir>\n" +
+      "       takedown --store <storeDir> --tables t1=idCol[,t2=idCol...] --ids <parquet>\n" +
       "       compact --dir <parquetDir> [--target-mb <n>]"
 
   def main(args: Array[String]): Unit = sys.exit(run(args))
@@ -180,6 +181,8 @@ object Main {
                                        id: String, text: String, gram: Int,
                                        minRun: Int, maxDf: Int,
                                        out: String) extends Cmd
+  private case class TakedownCmd(store: String, tables: Seq[(String, String)],
+                                 ids: String) extends Cmd
   private case class BuildVocab(corpus: String, text: String, top: Int,
                                 out: String) extends Cmd
   private case class BpeTrainCmd(corpus: String, text: String, nMerges: Int,
@@ -936,6 +939,18 @@ object Main {
         k <- posInt(opts, "eval-recall", "k")
         out <- req(opts, "eval-recall", "out")
       } yield EvalRecall(got, want, doc, k, out)
+    case "takedown" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        storeDir <- req(opts, "takedown", "store")
+        tables <- req(opts, "takedown", "tables").flatMap { spec =>
+          val pairs = spec.split(',').toSeq.map(_.split("=", 2))
+          if (!pairs.forall(p => p.length == 2 && p(0).nonEmpty && p(1).nonEmpty))
+            Left(s"takedown: --tables must be table=idCol[,table=idCol...], got $spec")
+          else Right(pairs.map(p => (p(0), p(1))))
+        }
+        ids <- req(opts, "takedown", "ids")
+      } yield TakedownCmd(storeDir, tables, ids)
     case "compact" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -1978,6 +1993,19 @@ object Main {
       graft.similarity.Fusion.recallAtK(
           spark.read.parquet(got), spark.read.parquet(want), doc, k)
         .write.mode("overwrite").parquet(out)
+      0
+
+    case TakedownCmd(storeDir, tables, ids) =>
+      // one erasure list through every named table, each rewritten via
+      // the store's atomic path; per-table removed counts are the audit
+      // trail a takedown report needs. OFFLINE: stop streaming writers
+      // first (a checkpoint replay of a pre-takedown batch re-appends —
+      // the Compaction contract)
+      val store = new ParquetStore(spark, storeDir)
+      val list = spark.read.parquet(ids)
+      graft.sync.Takedown.purgeAll(store, tables, list).foreach {
+        case (t, n) => println(s"takedown: $t — $n rows removed")
+      }
       0
 
     case CompactCmd(d, mb) =>

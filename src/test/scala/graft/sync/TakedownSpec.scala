@@ -1,0 +1,69 @@
+package graft.sync
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TakedownSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def store() = new ParquetStore(spark,
+    java.nio.file.Files.createTempDirectory("graft_takedown").toString)
+
+  test("purge removes exactly the listed ids, atomically, and reports the count") {
+    val st = store()
+    st.write(Seq((1L, "a"), (2L, "b"), (2L, "b2"), (3L, "c"))
+      .toDF("doc_id", "v"), "t")
+    val removed = Takedown.purge(st, "t", "doc_id", Seq(2L, 9L).toDF("id"))
+    assert(removed === 2L) // both rows of doc 2; absent id 9 removes nothing
+    assert(st.read("t").get.select($"doc_id").collect().map(_.getLong(0)).sorted
+      === Array(1L, 3L))
+    // a no-op purge leaves the table untouched and reports zero
+    assert(Takedown.purge(st, "t", "doc_id", Seq(2L).toDF("id")) === 0L)
+    // fail closed on a mistyped table
+    intercept[RuntimeException] {
+      Takedown.purge(st, "nope", "doc_id", Seq(1L).toDF("id"))
+    }
+    intercept[IllegalArgumentException] {
+      Takedown.purge(st, "t", "doc_id", Seq((1L, 2L)).toDF("a", "b"))
+    }
+  }
+
+  test("purging a line-index carrier RE-COOLS a line back under the hot gate") {
+    // "shared" appears in 3 docs (> maxDf 2 -> dropped everywhere);
+    // after doc 3's takedown it appears in 2 (<= 2) and RETURNS to the
+    // surviving docs — the at-read-gate erasure guarantee
+    val docs = Seq(
+      (1L, "shared\nkeep1"), (2L, "shared\nkeep2"), (3L, "shared\nkeep3"))
+      .toDF("doc_id", "text")
+    val st = store()
+    st.write(graft.dedup.Dedup.lineIndexRows(docs, "doc_id", "text"), "lines")
+    val before = graft.dedup.Dedup.lineDedupFromIndex(
+        st.read("lines").get, "doc_id", maxDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("text_clean")).toMap
+    assert(before === Map(1L -> "keep1", 2L -> "keep2", 3L -> "keep3"))
+    assert(Takedown.purge(st, "lines", "doc_id", Seq(3L).toDF("id")) === 2L)
+    val after = graft.dedup.Dedup.lineDedupFromIndex(
+        st.read("lines").get, "doc_id", maxDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("text_clean")).toMap
+    assert(after === Map(1L -> "shared\nkeep1", 2L -> "shared\nkeep2"))
+    // and it equals the from-scratch build over the survivors
+    val scratch = graft.dedup.Dedup.lineDedup(
+        docs.filter($"doc_id" < 3), "doc_id", "text", maxDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("text_clean")).toMap
+    assert(after === scratch)
+  }
+
+  test("purgeAll propagates one list through every table of the pipeline") {
+    val st = store()
+    st.write(Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text"), "corpus")
+    st.write(Seq((1L, 0L, "x"), (2L, 0L, "y")).toDF("doc_id", "pos", "line"),
+      "lines")
+    st.write(Seq((10L, 1L), (11L, 2L)).toDF("query_id", "doc_id"), "served")
+    val counts = Takedown.purgeAll(st,
+      Seq(("corpus", "doc_id"), ("lines", "doc_id"), ("served", "doc_id")),
+      Seq(2L).toDF("id"))
+    assert(counts === Seq(("corpus", 1L), ("lines", 1L), ("served", 1L)))
+    assert(st.read("corpus").get.count() === 1L)
+    assert(st.read("served").get.select($"doc_id").head.getLong(0) === 1L)
+  }
+}

@@ -823,10 +823,11 @@ object Dedup {
     * whole extra aggregation): rows sharing an id would reassemble as
     * ONE interleaved document with summed audit counts. */
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
-                maxDf: Long, broadcastHot: Boolean = true): DataFrame = {
+                maxDf: Long, broadcastHot: Boolean = true,
+                sep: String = "\n"): DataFrame = {
     require(maxDf >= 1, s"Dedup.lineDedup: maxDf must be >= 1, got $maxDf")
-    lineDedupFromIndex(lineIndexRows(docs, idCol, textCol), idCol,
-      maxDf, broadcastHot)
+    lineDedupFromIndex(lineIndexRows(docs, idCol, textCol, sep), idCol,
+      maxDf, broadcastHot, sep)
   }
 
   /** Working/output columns of the line-dedup family — ONE definition
@@ -847,16 +848,25 @@ object Dedup {
     * document it ever appeared in, including those landed before it went
     * hot (the [[graft.text.Winnow.indexRows]] contract, applied to
     * lines). Rows are keyed by (`idCol`, pos) — occurrence-exact and
-    * retry-idempotent. */
-  def lineIndexRows(docs: DataFrame, idCol: String,
-                    textCol: String): DataFrame = {
+    * retry-idempotent.
+    *
+    * `sep` is the unit boundary (a LITERAL string, not a regex): "\n"
+    * is the C4 line rule (default); "\n\n" gives Dolma-style PARAGRAPH
+    * dedup with the identical machinery — the separator is part of the
+    * family (an index split one way cannot serve the other; keep it
+    * consistent across ingest, gates, and snapshots, like the gram-size
+    * manifest discipline). */
+  def lineIndexRows(docs: DataFrame, idCol: String, textCol: String,
+                    sep: String = "\n"): DataFrame = {
     // the id column survives into the output next to the working and
     // result columns — a colliding name would be silently clobbered
     // (the weightedSample precedent)
     require(!LineWorkCols.contains(idCol),
       s"Dedup.lineIndexRows: idCol '$idCol' collides with a working column")
+    require(sep.nonEmpty, "Dedup.lineIndexRows: sep must be non-empty")
     docs.select(col(idCol),
-      posexplode(split(coalesce(col(textCol), lit("")), "\n", -1))
+      posexplode(split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(sep), -1))
         .as(Seq("pos", "line")))
   }
 
@@ -871,10 +881,11 @@ object Dedup {
     * in the index (what the ingest guard keys on); the index itself
     * naturally holds many rows per id, one per line occurrence. */
   def lineDedupFromIndex(index: DataFrame, idCol: String, maxDf: Long,
-                         broadcastHot: Boolean = true): DataFrame = {
+                         broadcastHot: Boolean = true,
+                         sep: String = "\n"): DataFrame = {
     require(maxDf >= 1,
       s"Dedup.lineDedupFromIndex: maxDf must be >= 1, got $maxDf")
-    lineDedupAgainstHot(index, hotLines(index, maxDf), idCol, broadcastHot)
+    lineDedupAgainstHot(index, hotLines(index, maxDf), idCol, broadcastHot, sep)
   }
 
   /** The >maxDf hot-line set of a raw line index — ONE (line) row per
@@ -902,7 +913,8 @@ object Dedup {
     * duplicated hot row would duplicate every matching occurrence
     * through the join. */
   def lineDedupAgainstHot(index: DataFrame, hot: DataFrame, idCol: String,
-                          broadcastHot: Boolean = true): DataFrame = {
+                          broadcastHot: Boolean = true,
+                          sep: String = "\n"): DataFrame = {
     // reachable directly (serve-line-dedup, the streaming gate) — the
     // collision guard must hold here too, not only on the ingest side
     require(!LineWorkCols.contains(idCol),
@@ -921,7 +933,7 @@ object Dedup {
       .withColumn("__kept",
         filter(col("__ls"), s => s.getField("__hot").isNull))
       .select(col(idCol),
-        array_join(transform(col("__kept"), s => s.getField("line")), "\n")
+        array_join(transform(col("__kept"), s => s.getField("line")), sep)
           .as("text_clean"),
         size(col("__kept")).cast(LongType).as("n_kept"),
         (size(col("__ls")) - size(col("__kept"))).cast(LongType)

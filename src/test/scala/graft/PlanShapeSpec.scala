@@ -220,6 +220,34 @@ class PlanShapeSpec extends SparkSpec {
       s"island windows must stay (pair, diagonal)-keyed:\n$p")
   }
 
+  test("scoreJoin broadcasts the weight table; no cartesian anywhere") {
+    // q189's lambda returns a localCheckpoint (an RDD scan), so pin the
+    // scorer's own plan over the same shapes instead
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = graft.text.Classifier.docFeatures(
+      graft.text.Classifier.hashedTokenFeatures(
+        Seq((1L, "alpha beta")).toDF("doc_id", "text"), "doc_id", "text", 16),
+      Seq((1L, 1L)).toDF("doc_id", "y"), "doc_id")
+    val w = Seq((-1L, 0L), (0L, 5L)).toDF("f", "w_micros")
+    val p = graft.text.Classifier.scoreJoin(docs, "doc_id", w)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"weights must join equi on the bucket key:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the dims-bounded weight table must broadcast:\n$p")
+  }
+
+  test("q192 budget mixture is two narrow passes: one keyed window, no join in the selection") {
+    val p = plan("q192_budget_mixture")
+    // the allocation rides as a literal map — the selection must not
+    // re-join source-level state back onto the corpus
+    assert(!p.contains("Join"), s"allocations must ride as a literal map:\n$p")
+    assert(p.contains("Window"), s"expected the greedy-prefix window:\n$p")
+    assert(!p.contains("Exchange SinglePartition, ENSURE"),
+      s"the prefix window must stay source-keyed:\n$p")
+  }
+
   test("q96 semantic dedup joins only within clusters — equi on the cluster id") {
     val p = plan("q96_semantic_dedup")
     assert(!p.contains("CartesianProduct"), s"pair join must be bounded by cluster:\n$p")

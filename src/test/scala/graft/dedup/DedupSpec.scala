@@ -368,6 +368,18 @@ class DedupSpec extends SparkSpec {
     val ok = Dedup.lineDedup(docs, "doc_id", "text", maxDf = 5)
       .filter(col("doc_id") === 3L).head
     assert(ok.getString(1) === "FOOTER\ndelta\nFOOTER")
+    // PARAGRAPH mode: sep = "\n\n" dedups blank-line-delimited blocks
+    // with the identical machinery; the separator is a literal, so the
+    // single newlines INSIDE a paragraph never split it
+    val paras = Seq(
+      (1L, "BOILER\nPLATE\n\nunique one"),
+      (2L, "BOILER\nPLATE\n\nunique two"),
+      (3L, "BOILER\nPLATE\n\nunique three"))
+      .toDF("doc_id", "text")
+    val pg = Dedup.lineDedup(paras, "doc_id", "text", maxDf = 2, sep = "\n\n")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(pg === Map(1L -> (("unique one", 1L)), 2L -> (("unique two", 1L)),
+      3L -> (("unique three", 1L))))
     intercept[IllegalArgumentException] {
       Dedup.lineDedup(docs, "doc_id", "text", maxDf = 0)
     }

@@ -4172,6 +4172,32 @@ object SparkEntry {
       } finally deleteRecursively(tmp)
     }),
 
+    // q195/q196: snapshot DRIFT reports — the between-runs monitoring
+    // pass (a crawler losing a domain or a source flipping defaults
+    // shows up as a permille share shift long before a model
+    // regression). Exact counts, permille floors via integer div, the
+    // full-outer bucket union — graded as plain SQL in both shapes:
+    // q195 histogram drift (order price cents, $500 buckets, the two
+    // order-status populations as snapshots), q196 category drift
+    // (event types split by user parity, NULL-safe categories)
+    "q195_drift_histogram" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        round(col("o_totalprice") * 100).cast(LongType).as("c"),
+        col("o_orderstatus"))
+      graft.operators.Drift.histogramDrift(
+          o.filter(col("o_orderstatus") === "F"),
+          o.filter(col("o_orderstatus") === "O"), "c", 50000L)
+        .orderBy("bucket")
+    }),
+
+    "q196_drift_category" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      graft.operators.Drift.categoryDrift(
+          e.filter(col("user_id") % 2 === 0),
+          e.filter(col("user_id") % 2 === 1), "event_type")
+        .orderBy("category")
+    }),
+
     // q194: TAKEDOWN propagation — the opt-out/right-to-be-forgotten
     // erasure pass: the full planted corpus builds the line index, a
     // takedown list (doc_id >= 400) purges ATOMICALLY through the
@@ -4675,6 +4701,12 @@ object SparkEntry {
     // q194: the post-takedown serve equals the q179 replay over only the
     // surviving documents — erasure leaves no df residue
     "q194_takedown_line_index" -> lineDedupOracleSqlOver(" WHERE doc_id < 400"),
+    // q195/q196: exact counts + permille integer-div shares over the
+    // full-outer bucket/category union — plain SQL in both shapes
+    "q195_drift_histogram" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 50000 AS bucket FROM orders WHERE o_orderstatus = 'F'), n AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 50000 AS bucket FROM orders WHERE o_orderstatus = 'O'), oc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_old FROM o GROUP BY 1), nc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_new FROM n GROUP BY 1), j AS (SELECT coalesce(oc.bucket, nc.bucket) AS bucket, coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new FROM oc FULL OUTER JOIN nc ON oc.bucket = nc.bucket), t AS (SELECT CAST(sum(n_old) AS BIGINT) AS to_, CAST(sum(n_new) AS BIGINT) AS tn FROM j) SELECT bucket, n_old, n_new, CAST(CASE WHEN to_ > 0 THEN (n_old * 1000) // to_ ELSE 0 END AS BIGINT) AS share_old_pm, CAST(CASE WHEN tn > 0 THEN (n_new * 1000) // tn ELSE 0 END AS BIGINT) AS share_new_pm, CAST(abs(CASE WHEN tn > 0 THEN (n_new * 1000) // tn ELSE 0 END - CASE WHEN to_ > 0 THEN (n_old * 1000) // to_ ELSE 0 END) AS BIGINT) AS shift_pm FROM j, t ORDER BY bucket""",
+    "q196_drift_category" ->
+      """WITH oc AS (SELECT event_type AS category, CAST(count(*) AS BIGINT) AS n_old FROM events WHERE user_id % 2 = 0 GROUP BY 1), nc AS (SELECT event_type AS category, CAST(count(*) AS BIGINT) AS n_new FROM events WHERE user_id % 2 = 1 GROUP BY 1), j AS (SELECT coalesce(oc.category, nc.category) AS category, coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new FROM oc FULL OUTER JOIN nc ON oc.category IS NOT DISTINCT FROM nc.category), t AS (SELECT CAST(sum(n_old) AS BIGINT) AS to_, CAST(sum(n_new) AS BIGINT) AS tn FROM j) SELECT category, n_old, n_new, CAST(CASE WHEN to_ > 0 THEN (n_old * 1000) // to_ ELSE 0 END AS BIGINT) AS share_old_pm, CAST(CASE WHEN tn > 0 THEN (n_new * 1000) // tn ELSE 0 END AS BIGINT) AS share_new_pm, CAST(abs(CASE WHEN tn > 0 THEN (n_new * 1000) // tn ELSE 0 END - CASE WHEN to_ > 0 THEN (n_old * 1000) // to_ ELSE 0 END) AS BIGINT) AS shift_pm FROM j, t ORDER BY category""",
     // q191: the q187 CTE chain over the planted corpus, with
     // translate(<pinned pair strings>) in place of lower() — generated
     // from the SAME Scala constants as the Spark side so the map and the

@@ -88,6 +88,7 @@ object Main {
       "       fuse-rrf --rankings name=/dir[,name=/dir...] --doc <col> --out <parquetDir> [--k0 <n>] [--top <n>]\n" +
       "       eval-recall --got <parquetDir> --want <parquetDir> --doc <col> --k <n> --out <parquetDir>\n" +
       "       takedown --store <storeDir> --tables t1=idCol[,t2=idCol...] --ids <parquet>\n" +
+      "       drift --old <parquet> --new <parquet> --out <parquetDir> (--value <col> --width <n> | --category <col>)\n" +
       "       compact --dir <parquetDir> [--target-mb <n>]"
 
   def main(args: Array[String]): Unit = sys.exit(run(args))
@@ -183,6 +184,10 @@ object Main {
                                        out: String) extends Cmd
   private case class TakedownCmd(store: String, tables: Seq[(String, String)],
                                  ids: String) extends Cmd
+  private case class DriftCmd(oldDir: String, newDir: String,
+                              value: Option[(String, Long)],
+                              category: Option[String],
+                              out: String) extends Cmd
   private case class BuildVocab(corpus: String, text: String, top: Int,
                                 out: String) extends Cmd
   private case class BpeTrainCmd(corpus: String, text: String, nMerges: Int,
@@ -939,6 +944,25 @@ object Main {
         k <- posInt(opts, "eval-recall", "k")
         out <- req(opts, "eval-recall", "out")
       } yield EvalRecall(got, want, doc, k, out)
+    case "drift" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        oldDir <- req(opts, "drift", "old")
+        newDir <- req(opts, "drift", "new")
+        out <- req(opts, "drift", "out")
+        cmd <- (opts.get("value"), opts.get("category")) match {
+          case (Some(v), None) =>
+            opts.get("width").flatMap(_.toLongOption).filter(_ > 0)
+              .toRight("drift: --value needs a positive --width")
+              .map(w => DriftCmd(oldDir, newDir, Some((v, w)), None, out))
+          case (None, Some(c)) =>
+            if (opts.contains("width"))
+              Left("drift: --width only applies to --value mode")
+            else Right(DriftCmd(oldDir, newDir, None, Some(c), out))
+          case _ =>
+            Left("drift: pass exactly one of --value <col> --width <n> (histogram) or --category <col>")
+        }
+      } yield cmd
     case "takedown" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -1993,6 +2017,18 @@ object Main {
       graft.similarity.Fusion.recallAtK(
           spark.read.parquet(got), spark.read.parquet(want), doc, k)
         .write.mode("overwrite").parquet(out)
+      0
+
+    case DriftCmd(oldDir, newDir, value, category, out) =>
+      // between-snapshots distribution report: exact counts + permille
+      // shares per bucket/category, the pre-retraining monitoring pass
+      val (o, n) = (spark.read.parquet(oldDir), spark.read.parquet(newDir))
+      val report = (value, category) match {
+        case (Some((v, w)), _) => graft.operators.Drift.histogramDrift(o, n, v, w)
+        case (_, Some(c))      => graft.operators.Drift.categoryDrift(o, n, c)
+        case _                 => sys.error("drift: unreachable — parser enforces the mode")
+      }
+      report.write.mode("overwrite").parquet(out)
       0
 
     case TakedownCmd(storeDir, tables, ids) =>

@@ -907,6 +907,31 @@ class MainSpec extends SparkSpec {
       "--stats", "maybe", "--out", s"$tmp/x")) === 2)
   }
 
+  test("drift + takedown commands: report artifact, erasure counts, usage errors") {
+    val tmp = Files.createTempDirectory("graft_cli_drift").toString
+    Seq(10L, 25L, 25L).toDF("v").write.parquet(s"$tmp/old")
+    Seq(25L, 95L).toDF("v").write.parquet(s"$tmp/new")
+    assert(Main.run(spark, Array("drift", "--old", s"$tmp/old",
+      "--new", s"$tmp/new", "--value", "v", "--width", "10",
+      "--out", s"$tmp/rep")) === 0)
+    val rep = spark.read.parquet(s"$tmp/rep").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rep === Map(1L -> ((1L, 0L)), 2L -> ((2L, 1L)), 9L -> ((0L, 1L))))
+    // both modes at once is a usage error, pre-Spark
+    assert(Main.run(spark, Array("drift", "--old", s"$tmp/old",
+      "--new", s"$tmp/new", "--value", "v", "--width", "10",
+      "--category", "v", "--out", s"$tmp/x")) === 2)
+    // takedown through a store, with the removed-count audit on stdout
+    val st = new graft.sync.ParquetStore(spark, s"$tmp/store")
+    st.write(Seq((1L, "a"), (2L, "b")).toDF("doc_id", "x"), "corpus")
+    Seq(2L).toDF("doc_id").write.parquet(s"$tmp/ids")
+    assert(Main.run(spark, Array("takedown", "--store", s"$tmp/store",
+      "--tables", "corpus=doc_id", "--ids", s"$tmp/ids")) === 0)
+    assert(st.read("corpus").get.collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(Main.run(spark, Array("takedown", "--store", s"$tmp/store",
+      "--tables", "badspec", "--ids", s"$tmp/ids")) === 2)
+  }
+
   test("ingest-span-index + serve-span-scrub: accumulated index scrubs, manifest guards k") {
     val tmp = Files.createTempDirectory("graft_cli_spi").toString
     val corpus = Seq(

@@ -252,6 +252,12 @@ object SparkEntry {
   private lazy val DupSpanGateOracleSql: String =
     """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), g AS (SELECT doc_id, pos, array_to_string(ts[pos:pos+7], ' ') AS g FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS pos FROM tok WHERE len(ts) >= 8)), refg AS (SELECT doc_id, pos, g FROM g WHERE doc_id < 250), gated AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM refg) GROUP BY g HAVING count(*) <= 20), rg AS (SELECT doc_id, pos, g FROM refg WHERE g IN (SELECT g FROM gated)), bg AS (SELECT doc_id, pos, g FROM g WHERE doc_id >= 250), anc AS (SELECT b.doc_id AS ida, r.doc_id AS idb, b.pos AS pa, b.pos - r.pos AS d FROM bg b JOIN rg r ON b.g = r.g AND b.doc_id <> r.doc_id), isl AS (SELECT ida, idb, d, pa, pa - row_number() OVER (PARTITION BY ida, idb, d ORDER BY pa) AS grp FROM anc), sp AS (SELECT ida, idb, d, min(pa) AS s, count(*) + 7 AS rt FROM isl GROUP BY ida, idb, d, grp HAVING count(*) + 7 >= 20), covd AS (SELECT DISTINCT ida AS doc_id, unnest(range(s, s + rt)) AS p FROM sp), cv AS (SELECT doc_id, list(p) AS ps FROM covd GROUP BY doc_id) SELECT t.doc_id, coalesce(array_to_string([t.ts[i] for i in range(1, len(t.ts) + 1) if NOT list_contains(coalesce(cv.ps, []), i)], ' '), '') AS clean_text FROM tok t LEFT JOIN cv USING (doc_id) WHERE t.doc_id >= 250 ORDER BY t.doc_id"""
 
+  /** The q196 category-drift oracle, shared verbatim by q197 (a report
+    * derived from continuously-maintained counts must equal the batch
+    * one — count addition is merge-order-invariant). */
+  private lazy val CategoryDriftOracleSql: String =
+    """WITH oc AS (SELECT event_type AS category, CAST(count(*) AS BIGINT) AS n_old FROM events WHERE user_id % 2 = 0 GROUP BY 1), nc AS (SELECT event_type AS category, CAST(count(*) AS BIGINT) AS n_new FROM events WHERE user_id % 2 = 1 GROUP BY 1), j AS (SELECT coalesce(oc.category, nc.category) AS category, coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new FROM oc FULL OUTER JOIN nc ON oc.category IS NOT DISTINCT FROM nc.category), t AS (SELECT CAST(sum(n_old) AS BIGINT) AS to_, CAST(sum(n_new) AS BIGINT) AS tn FROM j) SELECT category, n_old, n_new, CAST(CASE WHEN to_ > 0 THEN (n_old * 1000) // to_ ELSE 0 END AS BIGINT) AS share_old_pm, CAST(CASE WHEN tn > 0 THEN (n_new * 1000) // tn ELSE 0 END AS BIGINT) AS share_new_pm, CAST(abs(CASE WHEN tn > 0 THEN (n_new * 1000) // tn ELSE 0 END - CASE WHEN to_ > 0 THEN (n_old * 1000) // to_ ELSE 0 END) AS BIGINT) AS shift_pm FROM j, t ORDER BY category"""
+
   /** The q192 oracle: DuckDB replays the water-filling allocation as a
     * generated fixed-round CTE chain — E (the exhausted set) only grows
     * and a converged round recomputes itself, so `rounds` anywhere past
@@ -4198,6 +4204,34 @@ object SparkEntry {
         .orderBy("category")
     }),
 
+    // q197: the drift monitor DEPLOYED — arrivals stream across two
+    // micro-batches into a continuously-maintained per-category count
+    // state (#categories rows, raw arrivals never retained — the 100 TB
+    // monitoring shape) and the report derived from the maintained
+    // counts against the q196 baseline must equal batch categoryDrift
+    // under the SAME oracle: count addition is merge-order-invariant,
+    // so the report cannot depend on how the stream was batched
+    "q197_stream_drift_monitor" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val tmp = java.nio.file.Files.createTempDirectory("q197").toString
+      try {
+        val store = new graft.sync.ParquetStore(s, s"$tmp/state")
+        val arrivals = e.filter(col("user_id") % 2 === 1)
+        arrivals.repartition(2).write.parquet(s"$tmp/src")
+        val stream = s.readStream.schema(arrivals.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+        IncrementalStream.maintainCounts(stream, "event_type",
+          store, "counts", checkpointDir = s"$tmp/ck")
+          .awaitTermination()
+        val baseline = e.filter(col("user_id") % 2 === 0)
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        graft.operators.Drift.categoryDriftFromCounts(baseline,
+            store.read("counts").get.select(col("event_type"), col("n")),
+            "event_type")
+          .orderBy("category").localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+
     // q194: TAKEDOWN propagation — the opt-out/right-to-be-forgotten
     // erasure pass: the full planted corpus builds the line index, a
     // takedown list (doc_id >= 400) purges ATOMICALLY through the
@@ -4705,8 +4739,10 @@ object SparkEntry {
     // full-outer bucket/category union — plain SQL in both shapes
     "q195_drift_histogram" ->
       """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 50000 AS bucket FROM orders WHERE o_orderstatus = 'F'), n AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 50000 AS bucket FROM orders WHERE o_orderstatus = 'O'), oc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_old FROM o GROUP BY 1), nc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_new FROM n GROUP BY 1), j AS (SELECT coalesce(oc.bucket, nc.bucket) AS bucket, coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new FROM oc FULL OUTER JOIN nc ON oc.bucket = nc.bucket), t AS (SELECT CAST(sum(n_old) AS BIGINT) AS to_, CAST(sum(n_new) AS BIGINT) AS tn FROM j) SELECT bucket, n_old, n_new, CAST(CASE WHEN to_ > 0 THEN (n_old * 1000) // to_ ELSE 0 END AS BIGINT) AS share_old_pm, CAST(CASE WHEN tn > 0 THEN (n_new * 1000) // tn ELSE 0 END AS BIGINT) AS share_new_pm, CAST(abs(CASE WHEN tn > 0 THEN (n_new * 1000) // tn ELSE 0 END - CASE WHEN to_ > 0 THEN (n_old * 1000) // to_ ELSE 0 END) AS BIGINT) AS shift_pm FROM j, t ORDER BY bucket""",
-    "q196_drift_category" ->
-      """WITH oc AS (SELECT event_type AS category, CAST(count(*) AS BIGINT) AS n_old FROM events WHERE user_id % 2 = 0 GROUP BY 1), nc AS (SELECT event_type AS category, CAST(count(*) AS BIGINT) AS n_new FROM events WHERE user_id % 2 = 1 GROUP BY 1), j AS (SELECT coalesce(oc.category, nc.category) AS category, coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new FROM oc FULL OUTER JOIN nc ON oc.category IS NOT DISTINCT FROM nc.category), t AS (SELECT CAST(sum(n_old) AS BIGINT) AS to_, CAST(sum(n_new) AS BIGINT) AS tn FROM j) SELECT category, n_old, n_new, CAST(CASE WHEN to_ > 0 THEN (n_old * 1000) // to_ ELSE 0 END AS BIGINT) AS share_old_pm, CAST(CASE WHEN tn > 0 THEN (n_new * 1000) // tn ELSE 0 END AS BIGINT) AS share_new_pm, CAST(abs(CASE WHEN tn > 0 THEN (n_new * 1000) // tn ELSE 0 END - CASE WHEN to_ > 0 THEN (n_old * 1000) // to_ ELSE 0 END) AS BIGINT) AS shift_pm FROM j, t ORDER BY category""",
+    "q196_drift_category" -> CategoryDriftOracleSql,
+    // q197: the maintained-count report must equal batch categoryDrift —
+    // the shared-oracle contract
+    "q197_stream_drift_monitor" -> CategoryDriftOracleSql,
     // q191: the q187 CTE chain over the planted corpus, with
     // translate(<pinned pair strings>) in place of lower() — generated
     // from the SAME Scala constants as the Spark side so the map and the

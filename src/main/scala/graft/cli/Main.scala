@@ -35,6 +35,7 @@ object Main {
       "       serve-knn --queries <parquetDir> --corpus <parquet> --id <col> --vec <col> --k <n> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       maintain-stats --source <parquetDir> --keys c1[,c2] --value <col> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       maintain-distinct --source <parquetDir> --keys c1[,c2] --value <col> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
+      "       maintain-counts --source <parquetDir> --key <col> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       train-lm --docs <parquet> --id <col> --text <col> --out <parquetDir>\n" +
       "       quality-gate --source <parquetDir> --model <parquetDir> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       embed-dedup --source <parquetDir> --corpus <parquet> --id <col> --vec <col> --threshold <cos> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
@@ -134,6 +135,9 @@ object Main {
   private case class MaintainStats(source: String, keys: Seq[String], value: String,
                                    dest: String, table: String,
                                    checkpoint: String) extends Cmd
+  private case class MaintainCounts(source: String, key: String,
+                                    dest: String, table: String,
+                                    checkpoint: String) extends Cmd
   private case class MaintainDistinct(source: String, keys: Seq[String], value: String,
                                       dest: String, table: String,
                                       checkpoint: String) extends Cmd
@@ -339,6 +343,15 @@ object Main {
         table <- req(opts, "maintain-stats", "table")
         ck <- req(opts, "maintain-stats", "checkpoint")
       } yield MaintainStats(source, keys, value, dest, table, ck)
+    case "maintain-counts" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        source <- req(opts, "maintain-counts", "source")
+        key <- req(opts, "maintain-counts", "key")
+        dest <- req(opts, "maintain-counts", "dest")
+        table <- req(opts, "maintain-counts", "table")
+        ck <- req(opts, "maintain-counts", "checkpoint")
+      } yield MaintainCounts(source, key, dest, table, ck)
     case "maintain-distinct" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -1171,6 +1184,18 @@ object Main {
         val stream = spark.readStream.schema(schema).parquet(source)
         graft.streaming.IncrementalStream.maintainStats(
           stream, keys, value, new ParquetStore(spark, dest), table, ck)
+          .awaitTermination()
+        0
+      }
+
+    case MaintainCounts(source, key, dest, table, ck) =>
+      // the drift monitor's state half: the category histogram of
+      // everything arrived, maintained at #categories rows; pair with
+      // `drift` over the count tables for the report
+      sourceSchema(spark, source, "maintain-counts").fold(0) { schema =>
+        val stream = spark.readStream.schema(schema).parquet(source)
+        graft.streaming.IncrementalStream.maintainCounts(
+          stream, key, new ParquetStore(spark, dest), table, ck)
           .awaitTermination()
         0
       }

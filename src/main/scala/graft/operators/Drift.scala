@@ -42,10 +42,31 @@ object Drift {
   def histogramDrift(oldDf: DataFrame, newDf: DataFrame, valueCol: String,
                      width: Long): DataFrame = {
     require(width > 0, s"Drift.histogramDrift: width must be positive, got $width")
-    drift(
+    val base = drift(
       oldDf.select(expr(s"`$valueCol` div $width").as("bucket")),
       newDf.select(expr(s"`$valueCol` div $width").as("bucket")),
       "bucket")
+    // buckets are ORDINAL (categories are not), so the histogram report
+    // also carries CUMULATIVE permille shares and their gap — max
+    // cum_shift_pm over the report is the integer two-sample
+    // Kolmogorov–Smirnov distance in permille, the standard
+    // distribution-shift test, thresholdable without any float. The
+    // last bucket's cum shares are both exactly 1000 (cum == total), so
+    // its gap is always 0 — the sanity invariant. Windows run over the
+    // OUTPUT-sized bucket rows, like the totals.
+    val wc = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    base
+      .withColumn("__co", sum(col("n_old")).over(wc))
+      .withColumn("__cn", sum(col("n_new")).over(wc))
+      .withColumn("__to", sum(col("n_old")).over(wt))
+      .withColumn("__tn", sum(col("n_new")).over(wt))
+      .withColumn("cum_shift_pm",
+        abs(when(col("__tn") > 0L, expr("(__cn * 1000) div __tn")).otherwise(0L)
+          - when(col("__to") > 0L, expr("(__co * 1000) div __to")).otherwise(0L))
+          .cast(LongType))
+      .drop("__co", "__cn", "__to", "__tn")
   }
 
   /** Per-category drift over a discrete column: the same report keyed by

@@ -5,12 +5,12 @@ import graft.SparkSpec
 class DriftSpec extends SparkSpec {
   import spark.implicits._
 
-  test("histogramDrift: full-outer bucket union, exact permille floors") {
+  test("histogramDrift: full-outer bucket union, exact permille floors, cumulative KS gap") {
     // old: 10, 25, 25, 90 -> buckets 1,2,2,9 (width 10); new: 25, 95, 95
     val old = Seq(10L, 25L, 25L, 90L).toDF("v")
     val nw = Seq(25L, 95L, 95L).toDF("v")
-    val got = Drift.histogramDrift(old, nw, "v", 10L)
-      .collect()
+    val rows = Drift.histogramDrift(old, nw, "v", 10L).collect()
+    val got = rows
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5)))).toMap
     // shares: old total 4, new total 3 — floor(1000*n/total)
@@ -18,6 +18,13 @@ class DriftSpec extends SparkSpec {
       1L -> ((1L, 0L, 250L, 0L, 250L)),
       2L -> ((2L, 1L, 500L, 333L, 167L)),
       9L -> ((1L, 2L, 250L, 666L, 416L))))
+    // cumulative gap: |floor(1000·cum_new/3) − floor(1000·cum_old/4)|
+    // bucket 1: |0 − 250| = 250; bucket 2: |333 − 750| = 417; last: 0
+    val cum = rows.map(r => r.getLong(0) -> r.getLong(6)).toMap
+    assert(cum === Map(1L -> 250L, 2L -> 417L, 9L -> 0L))
+    // the integer KS distance in permille is the max cumulative gap,
+    // and the last bucket's gap is 0 by construction (cum == total)
+    assert(cum.values.max === 417L)
   }
 
   test("categoryDrift: NULL is a category; an empty snapshot reports zero shares") {

@@ -188,7 +188,15 @@ object Bench {
     "q151_overlap_index_ingest", "q158_dedup_index_ingest",
     "q161_overlap_snapshot", "q181_wordpiece_train",
     "q183_stream_line_index", "q186_stream_line_gate",
-    "q187_langid_profiles")
+    "q187_langid_profiles",
+    // round-13 newcomers, tagged BEFORE their floors land next round
+    // (the q132 precedent), all micro-batch/multi-job harnesses:
+    // q190 two-batch streaming scrub gate, q193 two-batch index ingest
+    // + accumulated serve, q194 store-write + atomic purge + serve
+    // (three separate write jobs), q197 two-batch maintained counts +
+    // report — the same scheduling-noise compounding as q151/q158/q186
+    "q190_stream_dup_span_gate", "q193_span_index_serve",
+    "q194_takedown_line_index", "q197_stream_drift_monitor")
 
   /** Machine calibration canaries: stable, mid-weight queries spanning the
     * engine's plan shapes (pushed scan, window, LSH join, stream, fill).

@@ -4204,6 +4204,28 @@ object SparkEntry {
         .orderBy("category")
     }),
 
+    // q198: TOKEN-BALANCED training shards — q106's sharding balances
+    // ROW counts; training shards want TOKEN mass balance (a shard of
+    // long docs stragglers the epoch). Deterministic greedy cut of the
+    // doc_id-ordered token stream at ceil(total/8) boundaries, clamped;
+    // the global cumulative sum runs through the PrefixSum bucket
+    // decomposition (q153's machinery — never a single-partition
+    // window). The oracle replays with a plain window cumsum
+    "q198_token_shards" -> ((s, dir) =>
+      Sampling.tokenBalancedShards(
+          t(s, dir, "documents").select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+          "n_tokens", expr("doc_id div 64"), Seq(col("doc_id")), nShards = 8)
+        .orderBy("doc_id")),
+
+    // q199: per-source DATA CARD — the datasheet row a corpus release
+    // publishes: doc/token/vocab counts, milli mean length, permille
+    // type-token ratio, all integer floors, one posexplode_outer pass
+    // (zero-token docs still count as docs)
+    "q199_data_card" -> ((s, dir) =>
+      TextAnalysis.dataCard(t(s, dir, "documents"), "source", "doc_id", "text")
+        .orderBy("source")),
+
     // q197: the drift monitor DEPLOYED — arrivals stream across two
     // micro-batches into a continuously-maintained per-category count
     // state (#categories rows, raw arrivals never retained — the 100 TB
@@ -4743,6 +4765,12 @@ object SparkEntry {
     // q197: the maintained-count report must equal batch categoryDrift —
     // the shared-oracle contract
     "q197_stream_drift_monitor" -> CategoryDriftOracleSql,
+    // q198: plain window-cumsum replay of the greedy shard cut
+    "q198_token_shards" ->
+      """WITH d AS (SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens FROM documents), r AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d), t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM d) SELECT doc_id, n_tokens, CAST(least(7, (cum - n_tokens) // greatest(1, (tot + 7) // 8)) AS BIGINT) AS shard FROM r, t ORDER BY doc_id""",
+    // q199: the datasheet aggregate with integer milli/permille floors
+    "q199_data_card" ->
+      """WITH e AS (SELECT source, doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents), a AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_t, CAST(count(tok) AS BIGINT) AS n_tokens, CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens FROM e GROUP BY source), docs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source) SELECT d.source, d.n_docs, coalesce(a.n_tokens, 0) AS n_tokens, coalesce(a.n_distinct_tokens, 0) AS n_distinct_tokens, CAST((coalesce(a.n_tokens, 0) * 1000) // d.n_docs AS BIGINT) AS mean_tokens_milli, CAST(CASE WHEN coalesce(a.n_tokens, 0) > 0 THEN (a.n_distinct_tokens * 1000) // a.n_tokens ELSE 0 END AS BIGINT) AS ttr_pm FROM docs d LEFT JOIN a USING (source) ORDER BY d.source""",
     // q191: the q187 CTE chain over the planted corpus, with
     // translate(<pinned pair strings>) in place of lower() — generated
     // from the SAME Scala constants as the Spark side so the map and the

@@ -217,6 +217,39 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** TOKEN-BALANCED sharding — write-side balance for training shards:
+    * assign each document a shard id so every shard carries ~equal TOKEN
+    * mass, where [[graft.operators.PrefixSum]]-less hash sharding (q106)
+    * balances ROW COUNTS — wrong when doc lengths are skewed (a shard of
+    * long docs trains slower than its siblings and stragglers the epoch).
+    * Deterministic greedy rule: docs in the global `order`, shard =
+    * exclusive-cumulative-tokens div ceil(total/nShards), clamped to
+    * nShards−1 (floor rounding can spill a one-doc sliver past the last
+    * boundary). A document is never split (chunking is upstream) so
+    * shards balance to within one document's tokens.
+    *
+    * Scale shape: the global cumulative sum runs through
+    * [[PrefixSum.globalRunningSum]] — the bucket-decomposed parallel
+    * prefix sum, never a single-partition window (`bucket` must be
+    * order-consistent with `order`, the PrefixSum contract); the total
+    * is one scalar agg. Appends `shard` to the input columns. */
+  def tokenBalancedShards(df: DataFrame, tokensCol: String,
+                          bucket: Column, order: Seq[Column],
+                          nShards: Int): DataFrame = {
+    require(nShards >= 1, s"tokenBalancedShards: nShards must be >= 1, got $nShards")
+    require(!df.columns.exists(_.equalsIgnoreCase("shard")),
+      "tokenBalancedShards: input already has a 'shard' column")
+    val total = df.agg(coalesce(sum(col(tokensCol)), lit(0L)).cast(LongType))
+      .head.getLong(0)
+    val target = math.max(1L, (total + nShards - 1) / nShards)
+    PrefixSum.globalRunningSum(df, tokensCol, bucket, order)
+      .withColumn("shard",
+        least(lit(nShards - 1L),
+          expr(s"(running_$tokensCol - `$tokensCol`) div $target"))
+          .cast(LongType))
+      .drop(s"running_$tokensCol")
+  }
+
   /** WATER-FILLING budget allocation — the Pile/Dolma mixture-assembly
     * rule [[tokenBudgetSample]] feeds from: split a TOTAL token budget
     * across sources by target weights, and when a source is too small to

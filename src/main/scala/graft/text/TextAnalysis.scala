@@ -394,6 +394,36 @@ object TextAnalysis {
     * overlapping spans, a worse failure than the old single-level
     * text-only merge); when `orderCol` is a string, its values must not
     * contain ':' or '|', the doc_spans delimiters. */
+  /** Per-group DATA CARD — the summary table a corpus release publishes
+    * per source (the "datasheet" row): document count, token count,
+    * distinct-token (vocabulary) count, milli mean document length, and
+    * permille type-token ratio. All integers (milli/permille floors via
+    * integer div, the Drift convention) so the card grades cross-engine
+    * exactly (q199).
+    *
+    * ONE corpus pass: posexplode_outer keeps zero-token documents as a
+    * NULL-token row (count(token) skips it — token totals right; the
+    * doc-id distinct still sees the doc — doc counts right), then one
+    * group-keyed aggregate with map-side partials. Output is
+    * #groups-sized. Note n_docs is count_distinct(id): ids must be
+    * distinct per document (the corpus-wide convention). */
+  def dataCard(df: org.apache.spark.sql.DataFrame, groupCol: String,
+               idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(groupCol), col(idCol).as("__id"),
+        posexplode_outer(tokens(col(textCol))).as(Seq("__p", "__tok")))
+      .groupBy(col(groupCol))
+      .agg(
+        count_distinct(col("__id")).cast(LongType).as("n_docs"),
+        count(col("__tok")).cast(LongType).as("n_tokens"),
+        count_distinct(col("__tok")).cast(LongType).as("n_distinct_tokens"))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        col("n_distinct_tokens"),
+        expr("(n_tokens * 1000) div n_docs").cast(LongType)
+          .as("mean_tokens_milli"),
+        when(col("n_tokens") > 0L,
+          expr("(n_distinct_tokens * 1000) div n_tokens")).otherwise(0L)
+          .cast(LongType).as("ttr_pm"))
+
   def packedWindows(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
                     orderCol: String, textCol: String, windowSize: Long)
       : org.apache.spark.sql.DataFrame = {

@@ -310,6 +310,34 @@ class SamplingSpec extends SparkSpec {
     assert(top === 99L)
   }
 
+  test("tokenBalancedShards: equal token mass within one document, clamped tail") {
+    import org.apache.spark.sql.functions.{expr, col}
+    // tokens 4,4,4,4,4,4 over 3 shards: total 24, target 8 -> 2 docs each
+    val even = (1L to 6L).map(i => (i, 4L)).toDF("doc_id", "n_tokens")
+    val g1 = Sampling.tokenBalancedShards(even, "n_tokens",
+        expr("doc_id div 2"), Seq(col("doc_id")), nShards = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(g1 === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 2L, 6L -> 2L))
+    // skewed: a giant doc owns its shard; the sliver past the last
+    // boundary clamps to nShards-1 instead of inventing shard nShards
+    val skew = Seq((1L, 10L), (2L, 1L), (3L, 1L), (4L, 1L)).toDF("doc_id", "n_tokens")
+    val g2 = Sampling.tokenBalancedShards(skew, "n_tokens",
+        expr("doc_id div 2"), Seq(col("doc_id")), nShards = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // total 13, target 7: exclusive cums 0,10,11,12 -> shards 0,1,1,1
+    assert(g2 === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // all-empty corpus: target clamps to 1, everything lands in shard 0
+    val empty = Seq((1L, 0L), (2L, 0L)).toDF("doc_id", "n_tokens")
+    val g3 = Sampling.tokenBalancedShards(empty, "n_tokens",
+        expr("doc_id"), Seq(col("doc_id")), nShards = 4)
+      .collect().map(_.getLong(2)).toSet
+    assert(g3 === Set(0L))
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBalancedShards(even.withColumnRenamed("n_tokens", "shard"),
+        "shard", expr("doc_id"), Seq(col("doc_id")), 2)
+    }
+  }
+
   test("budgetAllocations: shortfall from a small source redistributes by weight") {
     // budget 100, weights (a=1, b=1, c=2): ideal shares 25/25/50, but c
     // holds only 10 tokens -> c exhausts, 90 re-splits 45/45 over a and b

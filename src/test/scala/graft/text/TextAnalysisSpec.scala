@@ -280,4 +280,19 @@ class TextAnalysisSpec extends SparkSpec {
         .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
     assert(table(dw) === table(fw))
   }
+
+  test("dataCard: per-group integer datasheet, zero-token docs still count as docs") {
+    val docs = Seq(
+      ("a", 1L, "the cat the dog"),   // 4 tokens, 3 distinct
+      ("a", 2L, ""),                  // zero tokens, still a doc
+      ("b", 3L, "x y z"))
+      .toDF("source", "doc_id", "text")
+    val got = TextAnalysis.dataCard(docs, "source", "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // a: 2 docs, 4 tokens, 3 distinct, mean 2000 milli, ttr 750 pm
+    assert(got === Map(
+      "a" -> ((2L, 4L, 3L, 2000L, 750L)),
+      "b" -> ((1L, 3L, 3L, 3000L, 1000L))))
+  }
 }

@@ -792,6 +792,42 @@ object Dedup {
     packedNearDups(sigs, "doc_id", "phash", maxHamming)
   }
 
+  /** CROSS-SOURCE overlap matrix — the corpus-composition audit a
+    * mixture release runs before weighting its components: for every
+    * source pair, how many distinct k-token grams they SHARE (src_a <
+    * src_b, one row per overlapping pair), plus each side's distinct
+    * gram total so callers derive containment shares ("82% of src3's
+    * grams also appear in src7" — a crawl that re-scraped another
+    * component). Doc-level dedup can't see this: the overlap is
+    * between COLLECTIONS, not document pairs.
+    *
+    * Scale shape: one positional-gram pass collapses to the DISTINCT
+    * (source, gram) table (partial-aggregated — the big reduction
+    * happens map-side), totals are one #sources-sized aggregate, and
+    * the pair join fans each gram out to at most C(#sources, 2) pairs —
+    * bounded by the SOURCE count squared per gram, never by corpus
+    * size, so no df gate is needed (sources are dashboard-sized where
+    * documents are not). Output: (src_a, src_b, n_shared, n_a, n_b) —
+    * exact integers. */
+  def sourceOverlapMatrix(docs: DataFrame, sourceCol: String,
+                          textCol: String, k: Int = 8): DataFrame = {
+    require(k >= 2, s"Dedup.sourceOverlapMatrix: k must be >= 2, got $k")
+    val sg = positionalGrams(docs, sourceCol, textCol, k, sourceCol)
+      .select(col(sourceCol), col("__g")).distinct()
+      .localCheckpoint(eager = false)
+    val totals = sg.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__n"))
+    val a = sg.select(col(sourceCol).as("src_a"), col("__g"))
+    val b = sg.select(col(sourceCol).as("src_b"), col("__g").as("__gb"))
+    a.join(b, col("__g") === col("__gb") && col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).cast(LongType).as("n_shared"))
+      .join(totals.select(col(sourceCol).as("src_a"), col("__n").as("n_a")), "src_a")
+      .join(totals.select(col(sourceCol).as("src_b"), col("__n").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        col("n_a").cast(LongType), col("n_b").cast(LongType))
+  }
+
   /** C4/CCNet-style LINE deduplication: drop every line whose exact
     * occurrence count ACROSS THE CORPUS exceeds `maxDf` (navigation
     * boilerplate, cookie banners, copyright footers — the highest-yield

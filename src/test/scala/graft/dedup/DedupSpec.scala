@@ -345,6 +345,21 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((10L, 11L), (10L, 12L), (11L, 12L)))
   }
 
+  test("sourceOverlapMatrix: pairwise shared distinct grams with per-side totals") {
+    val shared = "a b c d"                    // one shared 3-gram family
+    val docs = Seq(
+      ("s1", s"$shared u1 u2"),               // grams: abc,bcd,cdu1,du1u2 (4)
+      ("s1", s"$shared u1 u2"),               // exact dup doc: distinct grams unchanged
+      ("s2", s"$shared v1"),                  // grams: abc,bcd,cdv1 (3)
+      ("s3", "w1 w2 w3 w4"))                  // disjoint: w1w2w3,w2w3w4 (2)
+      .toDF("source", "text")
+    val got = Dedup.sourceOverlapMatrix(docs, "source", "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // only the genuinely overlapping pair emits; totals are DISTINCT grams
+    assert(got === Map(("s1", "s2") -> ((2L, 4L, 3L))))
+  }
+
   test("lineDedup drops corpus-hot lines retroactively, preserving order") {
     val docs = Seq(
       (1L, "FOOTER\nalpha\nbeta"),

@@ -4779,7 +4779,7 @@ object SparkEntry {
     "q197_stream_drift_monitor" -> CategoryDriftOracleSql,
     // q200: distinct (source, gram) self-join replay on string grams
     "q200_source_overlap" ->
-      """WITH tok AS (SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), g AS (SELECT DISTINCT source, array_to_string(ts[pos:pos+7], ' ') AS g FROM (SELECT source, ts, unnest(range(1, len(ts) - 6)) AS pos FROM tok WHERE len(ts) >= 8)), tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY source) SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_shared, ta.n AS n_a, tb.n AS n_b FROM g a JOIN g b ON a.g = b.g AND a.source < b.source JOIN tot ta ON ta.source = a.source JOIN tot tb ON tb.source = b.source GROUP BY a.source, b.source, ta.n, tb.n ORDER BY src_a, src_b""",
+      """WITH tok AS (SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), g AS (SELECT DISTINCT source, array_to_string(ts[pos:pos+7], ' ') AS g FROM (SELECT source, ts, unnest(range(1, len(ts) - 6)) AS pos FROM tok WHERE len(ts) >= 8)), tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY source) SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_shared, ta.n AS n_a, tb.n AS n_b, CAST((count(*) * 1000) // ta.n AS BIGINT) AS cont_a_pm, CAST((count(*) * 1000) // tb.n AS BIGINT) AS cont_b_pm FROM g a JOIN g b ON a.g = b.g AND a.source < b.source JOIN tot ta ON ta.source = a.source JOIN tot tb ON tb.source = b.source GROUP BY a.source, b.source, ta.n, tb.n ORDER BY src_a, src_b""",
     // q198: plain window-cumsum replay of the greedy shard cut
     "q198_token_shards" ->
       """WITH d AS (SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens FROM documents), r AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d), t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM d) SELECT doc_id, n_tokens, CAST(least(7, (cum - n_tokens) // greatest(1, (tot + 7) // 8)) AS BIGINT) AS shard FROM r, t ORDER BY doc_id""",

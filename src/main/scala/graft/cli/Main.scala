@@ -1530,7 +1530,18 @@ object Main {
       val store = new ParquetStore(spark, index)
       val grams = store.read("grams").getOrElse(sys.error(
         s"serve-span-scrub: no grams table in $index — run ingest-span-index first"))
-      store.read("params").foreach(checkSpanManifest(_, "serve-span-scrub", index, n))
+      // fail closed on a missing manifest (grams rows exist, so the index
+      // was built with SOME k — trusting --gram blindly would make every
+      // diagonal meaningless and silently miss every span), mirroring the
+      // ingest-span-index guard on exactly this state
+      store.read("params") match {
+        case Some(params) => checkSpanManifest(params, "serve-span-scrub", index, n)
+        case None => sys.error(
+          s"serve-span-scrub: $index has a grams table but no params " +
+            "manifest — its window size is unknown, so --gram cannot be " +
+            "verified; re-ingest from scratch or seed a manifest matching " +
+            "the original build")
+      }
       graft.dedup.Decontaminate.scrubDuplicatedSpansAgainstIndex(
           spark.read.parquet(corpus),
           grams.select(org.apache.spark.sql.functions.col(id),

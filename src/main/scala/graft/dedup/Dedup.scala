@@ -807,11 +807,22 @@ object Dedup {
     * the pair join fans each gram out to at most C(#sources, 2) pairs —
     * bounded by the SOURCE count squared per gram, never by corpus
     * size, so no df gate is needed (sources are dashboard-sized where
-    * documents are not). Output: (src_a, src_b, n_shared, n_a, n_b) —
-    * exact integers. */
+    * documents are not). Output: (src_a, src_b, n_shared, n_a, n_b,
+    * cont_a_pm, cont_b_pm) — exact integers; the containment shares are
+    * permille FLOORS (n_shared*1000 div n_side, the Drift convention),
+    * so "cont_a_pm = 820" IS the "82% of src_a's grams also appear in
+    * src_b" audit line without caller math.
+    *
+    * The matrix is C(#sources, 2)-bounded (dashboard-sized), so the
+    * result is materialized EAGERLY and returned as a local relation:
+    * the distinct (source, gram) checkpoint the two join arms share is
+    * released before returning (a lazily-returned plan would pin those
+    * blocks for the session lifetime — the graft.Checkpoints.release
+    * convention), and downstream re-reads of the matrix cost nothing. */
   def sourceOverlapMatrix(docs: DataFrame, sourceCol: String,
                           textCol: String, k: Int = 8): DataFrame = {
     require(k >= 2, s"Dedup.sourceOverlapMatrix: k must be >= 2, got $k")
+    val spark = docs.sparkSession
     val sg = positionalGrams(docs, sourceCol, textCol, k, sourceCol)
       .select(col(sourceCol), col("__g")).distinct()
       .localCheckpoint(eager = false)
@@ -819,13 +830,19 @@ object Dedup {
       .agg(count(lit(1)).as("__n"))
     val a = sg.select(col(sourceCol).as("src_a"), col("__g"))
     val b = sg.select(col(sourceCol).as("src_b"), col("__g").as("__gb"))
-    a.join(b, col("__g") === col("__gb") && col("src_a") < col("src_b"))
+    val matrix = a.join(b, col("__g") === col("__gb") && col("src_a") < col("src_b"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).cast(LongType).as("n_shared"))
       .join(totals.select(col(sourceCol).as("src_a"), col("__n").as("n_a")), "src_a")
       .join(totals.select(col(sourceCol).as("src_b"), col("__n").as("n_b")), "src_b")
       .select(col("src_a"), col("src_b"), col("n_shared"),
-        col("n_a").cast(LongType), col("n_b").cast(LongType))
+        col("n_a").cast(LongType).as("n_a"), col("n_b").cast(LongType).as("n_b"),
+        expr("(n_shared * 1000) div n_a").cast(LongType).as("cont_a_pm"),
+        expr("(n_shared * 1000) div n_b").cast(LongType).as("cont_b_pm"))
+    val rows = matrix.collect()
+    graft.Checkpoints.release(sg)
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), matrix.schema)
   }
 
   /** C4/CCNet-style LINE deduplication: drop every line whose exact

@@ -58,7 +58,11 @@ object Profile {
           (lit(null).cast(LongType), lit(null).cast(LongType))
       }
       Seq(
-        sum(when(c.isNull, 1L).otherwise(0L)).cast(LongType).as(s"__nulls_$i"),
+        // coalesce: on an EMPTY table sum() aggregates to NULL, and the
+        // positional getLong below would NPE — profiling an empty table
+        // is a legitimate ops case and must report zero counts
+        coalesce(sum(when(c.isNull, 1L).otherwise(0L)), lit(0L))
+          .cast(LongType).as(s"__nulls_$i"),
         distinct.as(s"__distinct_$i"),
         mn.as(s"__min_$i"), mx.as(s"__max_$i"))
     } :+ count(lit(1)).cast(LongType).as("__n")

@@ -89,11 +89,15 @@ object Gopher {
     // one alternation pass + distinct count instead of one \b<w>\b rlike
     // scan PER stopword (8 full-text regex passes per row on the ingest
     // hot path) — value-identical: a stopword is counted iff it appears
-    // word-bounded, once. Stopwords are plain letters, so no escaping;
-    // coalesce pins NULL text to 0 like the per-word when() arms did.
-    val nStop = coalesce(size(array_distinct(regexp_extract_all(lower(c),
-      lit("\\b(?:" + Stopwords.mkString("|") + ")\\b"), lit(0)))), lit(0))
-      .cast(LongType)
+    // word-bounded, once. Stopwords are plain letters, so no escaping.
+    // NULL text is pinned by an explicit isNull arm, NOT coalesce: under
+    // Spark's default legacy sizeOfNull, size(NULL) is -1 (not NULL), so
+    // a coalesce never fires and n_stop would drift to -1 where the old
+    // per-stopword when() sum emitted 0.
+    val nStop = when(c.isNull, lit(0L)).otherwise(
+      size(array_distinct(regexp_extract_all(lower(c),
+        lit("\\b(?:" + Stopwords.mkString("|") + ")\\b"), lit(0))))
+        .cast(LongType))
     def flag(b: Column): Column = when(b, 1L).otherwise(0L)
     val r1 = flag(nWords >= MinWords && nWords <= MaxWords)
     val r2 = flag(meanMilli >= MinMeanWordLenMilli && meanMilli <= MaxMeanWordLenMilli)

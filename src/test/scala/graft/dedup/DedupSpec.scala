@@ -355,9 +355,10 @@ class DedupSpec extends SparkSpec {
       .toDF("source", "text")
     val got = Dedup.sourceOverlapMatrix(docs, "source", "text", k = 3)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
-        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
-    // only the genuinely overlapping pair emits; totals are DISTINCT grams
-    assert(got === Map(("s1", "s2") -> ((2L, 4L, 3L))))
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // only the genuinely overlapping pair emits; totals are DISTINCT grams;
+    // containment shares are permille floors: 2/4 -> 500, 2/3 -> 666
+    assert(got === Map(("s1", "s2") -> ((2L, 4L, 3L, 500L, 666L))))
   }
 
   test("lineDedup drops corpus-hot lines retroactively, preserving order") {

@@ -39,6 +39,17 @@ class ProfileSpec extends SparkSpec {
     assert(r.toSeq === Seq("k", 2L, 2L, 0L, null, null))
   }
 
+  test("empty table profiles to zero counts instead of NPE") {
+    // sum() over zero rows aggregates to NULL — the n_nulls read must pin
+    // it to 0 like the other positional reads (profiling an empty table
+    // is a legitimate ops case: a not-yet-populated sync target)
+    val df = Seq((1L, "x")).toDF("k", "s").filter(lit(false))
+    val p = Profile.profile(df).collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(p("k") === Seq(0L, 0L, 0L, null, null))
+    assert(p("s") === Seq(0L, 0L, 0L, null, null))
+  }
+
   test("exotic column names profile: dots, backticks, case collisions") {
     // exactly the unfamiliar-schema shapes the operator exists for — a
     // dotted name must not parse as a struct path, a backticked name must

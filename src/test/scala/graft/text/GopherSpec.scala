@@ -43,6 +43,15 @@ class GopherSpec extends SparkSpec {
     assert(r.getAs[Long]("keep") === 0L) // fails the word-count floor
   }
 
+  test("NULL text pins n_stop to 0 (legacy sizeOfNull would leak -1)") {
+    // size(regexp_extract_all(NULL)) is -1 under Spark's default legacy
+    // sizeOfNull, so a coalesce never fires — the explicit isNull arm
+    // must restore the 0 the per-stopword when() sum emitted
+    val r = one(null)
+    assert(r.getAs[Long]("n_stop") === 0L)
+    assert(r.getAs[Long]("keep") === 0L)
+  }
+
   test("compressionRatioMilli: boilerplate below prose below noise; fail-closed on bytes") {
     val docs = Seq(
       (1L, "spark " * 200),                       // boilerplate

@@ -3209,7 +3209,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select(col("source"), col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))
       Sampling.tokenBudgetSample(docs, Seq("source"), Seq(col("doc_id")),
-          "n_tokens", budget = 800L)
+          "n_tokens", budget = 800L, bucket = Some(expr("doc_id div 64")))
         .orderBy("source", "doc_id")
     }),
 
@@ -3229,7 +3229,7 @@ object SparkEntry {
       val withTok = survivors.select(col("source"), col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))
       Sampling.tokenBudgetSample(withTok, Seq("source"), Seq(col("doc_id")),
-          "n_tokens", budget = 500L)
+          "n_tokens", budget = 500L, bucket = Some(expr("doc_id div 64")))
         .orderBy("source", "doc_id")
     }),
 
@@ -4338,7 +4338,8 @@ object SparkEntry {
       val budget = d.agg(sum(col("n_tokens"))).head.getLong(0) / 2
       Sampling.budgetMixture(d, "source", "doc_id", "n_tokens",
           weights = (0 to 4).map(i => s"src$i" -> 10L).toMap,
-          budget = budget, defaultWeight = 1L)
+          budget = budget, defaultWeight = 1L,
+          bucket = Some(expr("doc_id div 64")))
         .orderBy("source", "doc_id")
     }),
 
@@ -4501,7 +4502,8 @@ object SparkEntry {
     // construction with window sums + string_agg
     "q185_training_windows" -> ((s, dir) =>
       TextAnalysis.packedWindows(t(s, dir, "documents"), Seq("source"),
-          "doc_id", "text", windowSize = 128)
+          "doc_id", "text", windowSize = 128,
+          bucket = Some(expr("doc_id div 64")))
         .orderBy("source", "win_id")),
 
     // q184: tokenizer FERTILITY audit — the pipeline metric that decides

@@ -66,7 +66,7 @@ object Main {
       "       gopher-gate --source <parquetDir> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       unigram-train --corpus <parquet> --text <col> --max-piece-len <n> --keep <n> --rounds <n> --out <parquetDir>\n" +
       "       unigram-encode --corpus <parquet> --id <col> --text <col> --pieces <parquetDir> --out <parquetDir>\n" +
-      "       pack-windows --corpus <parquet> --group c1[,c2] --order <col> --text <col> --window <n> --out <parquetDir>\n" +
+      "       pack-windows --corpus <parquet> --group c1[,c2] --order <col> --text <col> --window <n> [--bucket-width <n>] --out <parquetDir>\n" +
       "       train-langid --corpus <parquet> --lang <col> --text <col> --out <parquetDir> [--k <n>] [--pinned true]\n" +
       "       langid-classify --corpus <parquet> --id <col> --text <col> --profiles <parquetDir> --out <parquetDir> [--k <n>]\n" +
       "       wordpiece-train --corpus <parquet> --text <col> --merges <n> --out <parquetDir>\n" +
@@ -236,7 +236,7 @@ object Main {
                                       pieces: String, out: String) extends Cmd
   private case class PackWindowsCmd(corpus: String, group: Seq[String],
                                     order: String, text: String, window: Int,
-                                    out: String) extends Cmd
+                                    bucketWidth: Int, out: String) extends Cmd
   private case class TrainLangIdCmd(corpus: String, lang: String,
                                     text: String, k: Int, pinned: Boolean,
                                     out: String) extends Cmd
@@ -721,8 +721,12 @@ object Main {
         order <- req(opts, "pack-windows", "order")
         text <- req(opts, "pack-windows", "text")
         window <- posInt(opts, "pack-windows", "window")
+        // 0 = plain per-group window; N > 0 = bucket-decomposed prefix sum
+        // keyed (group, order div N) — required at scale when groups are
+        // few and huge (sources), needs a NUMERIC order column
+        bucketWidth <- optInt(opts, "pack-windows", "bucket-width", 0)
         out <- req(opts, "pack-windows", "out")
-      } yield PackWindowsCmd(corpus, group, order, text, window, out)
+      } yield PackWindowsCmd(corpus, group, order, text, window, bucketWidth, out)
     case "train-langid" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -1599,11 +1603,14 @@ object Main {
         .write.mode("overwrite").parquet(out)
       0
 
-    case PackWindowsCmd(corpus, group, order, text, window, out) =>
+    case PackWindowsCmd(corpus, group, order, text, window, bucketWidth, out) =>
       // the model-ready artifact: fixed-size token windows in per-group
       // stream order with document provenance (q66's spans materialized)
+      val bucket = if (bucketWidth > 0)
+        Some(org.apache.spark.sql.functions.expr(s"`$order` div $bucketWidth"))
+      else None
       graft.text.TextAnalysis.packedWindows(spark.read.parquet(corpus),
-          group, order, text, window.toLong)
+          group, order, text, window.toLong, bucket)
         .write.mode("overwrite").parquet(out)
       0
 

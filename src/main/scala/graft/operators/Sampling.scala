@@ -200,21 +200,41 @@ object Sampling {
     * A row is kept iff its running-sum-INCLUSIVE total is <= budget, so
     * the result never overshoots; the first over-budget row is dropped
     * (no partial documents — truncation is a separate chunking concern).
-    * One keyed window shuffle, same cost envelope as [[capPerKey]]; make
-    * `order` a total order within a key or membership is tie-dependent.
+    * Make `order` a total order within a key or membership is
+    * tie-dependent.
+    *
+    * Scale shape: `keys` here are SOURCES — low-cardinality (~10 at
+    * 100 TB) — so a plain per-key window would funnel each source's
+    * entire token stream through ONE task. With `bucket` (an expression
+    * order-consistent with `order` within each key, e.g. a div of the
+    * ordering id — the [[PrefixSum]] contract), the running sum routes
+    * through [[PrefixSum.keyedRunningSum]]'s bucket decomposition: the
+    * exchange key is (key, bucket) and a 10 TB source splits across its
+    * buckets in parallel. `None` keeps the single per-key window — only
+    * right when keys are HIGH-cardinality (doc-keyed), never for
+    * source-keyed budgets at scale.
+    *
     * PRECONDITION: weights must be non-null and non-negative — the running
     * sum skips NULLs (a null-weight row would ride free) and a negative
     * weight can re-admit rows after the first over-budget row, both
     * violating the prefix rule. Token/byte counts satisfy this trivially;
     * coalesce or filter anything else first. */
   def tokenBudgetSample(df: DataFrame, keys: Seq[String], order: Seq[Column],
-                        weightCol: String, budget: Long): DataFrame = {
+                        weightCol: String, budget: Long,
+                        bucket: Option[Column] = None): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__cum", sum(col(weightCol)).over(w))
-      .filter(col("__cum") <= budget)
-      .drop("__cum")
+    bucket match {
+      case Some(b) =>
+        PrefixSum.keyedRunningSum(df, weightCol, keys, b, order)
+          .filter(col(s"running_$weightCol") <= budget)
+          .drop(s"running_$weightCol")
+      case None =>
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        df.withColumn("__cum", sum(col(weightCol)).over(w))
+          .filter(col("__cum") <= budget)
+          .drop("__cum")
+    }
   }
 
   /** TOKEN-BALANCED sharding — write-side balance for training shards:
@@ -307,12 +327,18 @@ object Sampling {
     *
     * Plan: ONE narrow pass aggregates per-source totals (partial-combined,
     * #sources rows to the driver), the allocation loop is driver-side
-    * integer arithmetic on those rows, and selection is one keyed window
-    * shuffle with the allocation riding as a #sources-bounded literal map
-    * — two passes over (source, order, tokens) total, nothing else moves. */
+    * integer arithmetic on those rows, and selection is one running-sum
+    * pass with the allocation riding as a #sources-bounded literal map
+    * — two passes over (source, order, tokens) total, nothing else moves.
+    * `bucket` (order-consistent with `orderCol` within each source)
+    * routes the selection sum through [[PrefixSum.keyedRunningSum]]'s
+    * bucket decomposition — sources are low-cardinality, so the plain
+    * per-source window would single-task a 10 TB source (the
+    * [[tokenBudgetSample]] scale note, verbatim). */
   def budgetMixture(df: DataFrame, sourceCol: String, orderCol: String,
                     tokensCol: String, weights: Map[String, Long],
-                    budget: Long, defaultWeight: Long = 0L): DataFrame = {
+                    budget: Long, defaultWeight: Long = 0L,
+                    bucket: Option[Column] = None): DataFrame = {
     require(defaultWeight >= 0, s"defaultWeight must be >= 0, got $defaultWeight")
     val per = df.groupBy(col(sourceCol))
       .agg(sum(col(tokensCol)).cast(LongType).as("__t"))
@@ -322,11 +348,20 @@ object Sampling {
       .toSeq.sortBy(_._1)
     val alloc = budgetAllocations(per, budget)
       .map { case (s, a, _) => s -> a }.toMap
-    val w = Window.partitionBy(col(sourceCol)).orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__cum", sum(col(tokensCol)).over(w))
-      .filter(col("__cum") <= element_at(typedLit(alloc), col(sourceCol)))
-      .drop("__cum")
+    val allocFor = element_at(typedLit(alloc), col(sourceCol))
+    bucket match {
+      case Some(b) =>
+        PrefixSum.keyedRunningSum(df, tokensCol, Seq(sourceCol), b,
+            Seq(col(orderCol)))
+          .filter(col(s"running_$tokensCol") <= allocFor)
+          .drop(s"running_$tokensCol")
+      case None =>
+        val w = Window.partitionBy(col(sourceCol)).orderBy(col(orderCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        df.withColumn("__cum", sum(col(tokensCol)).over(w))
+          .filter(col("__cum") <= allocFor)
+          .drop("__cum")
+    }
   }
 
   /** Deterministic WEIGHTED sampling without replacement (Efraimidis–

@@ -375,17 +375,25 @@ object TextAnalysis {
     * GPT-style concat-and-cut batch construction, kept relational so
     * packing is reproducible and joinable back to curation verdicts.
     *
-    * Plan: one keyed window for the per-group exclusive prefix sum (the
-    * [[packedSpans]] shape — per-group streams, never a global
-    * single-partition order), one narrow posexplode to (global position,
-    * token), then TWO-LEVEL reassembly exploiting that each document's
-    * tokens are CONTIGUOUS in the stream: level 1 groups
-    * (group, win, doc) into per-document segments (bounding per-row
-    * collect_list sizes by the document, not the window), level 2
-    * stitches segments in stream order — both levels reuse the prefix
-    * sum's hash partitioning. The last window of each group is a natural
-    * remainder (< windowSize tokens); empty documents contribute no
-    * tokens and no provenance.
+    * Plan: the per-group exclusive prefix sum over document token counts,
+    * then one narrow posexplode to (global position, token), then
+    * TWO-LEVEL reassembly exploiting that each document's tokens are
+    * CONTIGUOUS in the stream: level 1 groups (group, win, doc) into
+    * per-document segments (bounding per-row collect_list sizes by the
+    * document, not the window), level 2 stitches segments in stream
+    * order. The last window of each group is a natural remainder
+    * (< windowSize tokens); empty documents contribute no tokens and no
+    * provenance.
+    *
+    * Scale shape: groups are SOURCES — low-cardinality — so a plain
+    * per-group window funnels each source's whole stream through one
+    * task. `bucket` (order-consistent with `orderCol` within each group,
+    * e.g. a div of the ordering id) routes the cumsum through
+    * [[graft.operators.PrefixSum.keyedRunningSum]]'s bucket
+    * decomposition: the heavy exchange is keyed (group, bucket) and a
+    * 10 TB source packs in parallel. The WINDOW-side stages are already
+    * scale-safe either way (keyed by (group, win_id[, doc])). `None`
+    * keeps the single per-group window.
     *
     * PRECONDITIONS (documented, not checked — the convention of every
     * deterministic-order operator here): `orderCol` values are DISTINCT
@@ -425,27 +433,45 @@ object TextAnalysis {
           .cast(LongType).as("ttr_pm"))
 
   def packedWindows(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
-                    orderCol: String, textCol: String, windowSize: Long)
+                    orderCol: String, textCol: String, windowSize: Long,
+                    bucket: Option[org.apache.spark.sql.Column] = None)
       : org.apache.spark.sql.DataFrame = {
     require(windowSize > 0, s"windowSize must be positive, got $windowSize")
     require(groupCols.nonEmpty,
       "packedWindows: need at least one group column — a global ordering " +
         "would funnel the prefix sum through one partition (packedSpans' " +
         "documented contract)")
-    val workCols = Set("__ts", "__start", "__p", "__tok", "__gp", "__mg",
+    val workCols = Set("__ts", "__nt", "__start", "__p", "__tok", "__gp", "__mg",
       "__seg", "__n", "__sp", "__ls", "win_id", "window_text", "doc_spans",
-      "n_tokens", "n_docs", "first_doc", "last_doc")
+      "n_tokens", "n_docs", "first_doc", "last_doc", "running___nt")
     require(!(groupCols :+ orderCol).exists(workCols.contains),
       s"packedWindows: group/order columns ${groupCols :+ orderCol} collide " +
         "with a working/output column")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCols.map(col): _*)
-      .orderBy(col(orderCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    df.select(groupCols.map(col) :+ col(orderCol) :+
-        tokens(col(textCol)).as("__ts"): _*)
-      .withColumn("__start",
-        coalesce(sum(size(col("__ts")).cast(LongType)).over(w), lit(0L)))
+    val tokenized = df.select(groupCols.map(col) :+ col(orderCol) :+
+      tokens(col(textCol)).as("__ts"): _*)
+    // exclusive prefix sum of per-doc token counts over the group stream:
+    // inclusive running sum minus own count (the keyedRunningSum path), or
+    // the plain per-group window when no bucket decomposition is requested
+    val started = bucket match {
+      case Some(b) =>
+        // aggOffsets: the token arrays are a heavy payload column — the
+        // reuse-based offsets branch would prune them, break exchange
+        // dedup, and shuffle the corpus twice; the partial-aggregated
+        // branch shuffles only (group, bucket) representatives
+        graft.operators.PrefixSum.keyedRunningSum(
+            tokenized.withColumn("__nt", size(col("__ts")).cast(LongType)),
+            "__nt", groupCols, b, Seq(col(orderCol)), aggOffsets = true)
+          .withColumn("__start", col("running___nt") - col("__nt"))
+          .drop("__nt", "running___nt")
+      case None =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*)
+          .orderBy(col(orderCol))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        tokenized.withColumn("__start",
+          coalesce(sum(size(col("__ts")).cast(LongType)).over(w), lit(0L)))
+    }
+    started
       .select(groupCols.map(col) :+ col(orderCol) :+ col("__start") :+
         posexplode(col("__ts")).as(Seq("__p", "__tok")): _*)
       .withColumn("__gp", col("__start") + col("__p"))

@@ -238,14 +238,26 @@ class PlanShapeSpec extends SparkSpec {
       s"the dims-bounded weight table must broadcast:\n$p")
   }
 
-  test("q192 budget mixture is two narrow passes: one keyed window, no join in the selection") {
-    val p = plan("q192_budget_mixture")
-    // the allocation rides as a literal map — the selection must not
-    // re-join source-level state back onto the corpus
-    assert(!p.contains("Join"), s"allocations must ride as a literal map:\n$p")
-    assert(p.contains("Window"), s"expected the greedy-prefix window:\n$p")
-    assert(!p.contains("Exchange SinglePartition, ENSURE"),
-      s"the prefix window must stay source-keyed:\n$p")
+  test("q192 budget mixture: allocations ride as a literal map over bucket-decomposed prefix windows") {
+    val df = SparkEntry.queries("q192_budget_mixture")(spark, dir)
+    df.collect() // AQE materializes exchange reuse only in the FINAL plan
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    // the allocation itself still rides as a literal map — the only join
+    // in the selection is the broadcast of (source, bucket) offsets (the
+    // q153 decomposition); source-level ALLOCATION state must not join
+    assert(!finalSection.contains("SortMergeJoin"),
+      s"only the broadcast offsets join is allowed in the selection:\n$p")
+    assert("ReusedExchange.*hashpartitioning\\(source#\\d+, __b".r.findFirstIn(finalSection).isDefined,
+      s"offsets branch must reuse the (source, bucket) exchange:\n$finalSection")
+    // exactly one MATERIALIZED corpus-sized (source, __b) exchange; the
+    // offsets branch's own ENSURE exchange runs over only the per-(key,
+    // bucket) representative rows — broadcast-sized, not counted
+    assert("\\+- Exchange hashpartitioning\\(source#\\d+, __b".r.findAllIn(finalSection).size === 1,
+      s"expected ONE materialized (source, bucket) exchange:\n$finalSection")
+    assert(finalSection.contains("BroadcastHashJoin"), s"offset join must broadcast:\n$p")
+    assert(!finalSection.contains("Exchange SinglePartition, ENSURE"),
+      s"the prefix windows must stay (source, bucket)-keyed:\n$finalSection")
   }
 
   test("q96 semantic dedup joins only within clusters — equi on the cluster id") {
@@ -261,11 +273,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashExchanges === 1, s"expected a single keyed shuffle:\n$p")
   }
 
-  test("q100 token budget is one keyed window shuffle, no join") {
-    val p = plan("q100_token_budget")
-    assert(!p.contains("Join"), s"budget cut must not plan a join:\n$p")
-    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(hashExchanges === 1, s"expected a single keyed shuffle:\n$p")
+  test("q100 token budget: (source, bucket) prefix windows, offsets broadcast, one corpus shuffle") {
+    // sources are low-cardinality: the running sum must NEVER run as one
+    // window partition per source (a 10 TB single-task sort at scale) —
+    // it routes through the keyed bucket decomposition (the q153 shape)
+    val df = SparkEntry.queries("q100_token_budget")(spark, dir)
+    df.collect() // AQE materializes exchange reuse only in the FINAL plan
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    // the offsets branch reuses the (source, __b) data exchange; exactly
+    // one materialized corpus exchange feeds both
+    assert("ReusedExchange.*hashpartitioning\\(source#\\d+, __b".r.findFirstIn(finalSection).isDefined,
+      s"offsets branch must reuse the (source, bucket) exchange:\n$finalSection")
+    // exactly one MATERIALIZED corpus-sized (source, __b) exchange; the
+    // offsets branch's own ENSURE exchange runs over only the per-(key,
+    // bucket) representative rows — broadcast-sized, not counted
+    assert("\\+- Exchange hashpartitioning\\(source#\\d+, __b".r.findAllIn(finalSection).size === 1,
+      s"expected ONE materialized (source, bucket) exchange:\n$finalSection")
+    // per-key bucket offsets rejoin by broadcast — never a corpus-sized
+    // shuffle join, and never a single-partition funnel
+    assert(finalSection.contains("BroadcastHashJoin"), s"offset join must broadcast:\n$p")
+    assert(!finalSection.contains("SortMergeJoin"), p)
+    assert(!finalSection.contains("Exchange SinglePartition, ENSURE"),
+      s"the prefix sum must never funnel through one partition:\n$finalSection")
   }
 
   test("q109 fuzzy join blocks on variant hashes: equi-join, never a cross join") {
@@ -606,19 +636,32 @@ class PlanShapeSpec extends SparkSpec {
       s"fertility audit must not shuffle by key:\n$p")
   }
 
-  test("q185 training windows: keyed prefix-sum window, group-keyed reassembly, no join") {
-    val p = plan("q185_training_windows")
-    assert(!p.contains("Join"), s"window packing must not plan a join:\n$p")
-    // the prefix sum partitions by source (never a global one-partition
-    // window) and the (source, win)-keyed reassembly can reuse that
-    // partitioning — at most the two keyed exchanges, plus the graded
-    // orderBy's range exchange
-    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(hashExchanges >= 1 && hashExchanges <= 2,
-      s"expected the source-keyed window (+ at most one reassembly) shuffle:\n$p")
-    assert(p.contains("Window"), s"expected the keyed prefix-sum window:\n$p")
-    assert(!p.contains("SinglePartition"),
-      s"the prefix sum must never funnel through one partition:\n$p")
+  test("q185 training windows: bucket-decomposed stream cumsum, group-keyed reassembly") {
+    val df = SparkEntry.queries("q185_training_windows")(spark, dir)
+    df.collect() // AQE materializes the FINAL plan
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    // the stream cumsum partitions by (source, bucket) — never one window
+    // partition per source (the q100/q153 discipline). The token arrays
+    // are a heavy payload, so the offsets come from the aggOffsets
+    // branch: exactly ONE corpus-sized repartition moves the payload,
+    // and the offsets side partial-aggregates map-side (partial_sum
+    // BELOW its exchange) before a representatives-only shuffle
+    assert("Exchange hashpartitioning\\(source#\\d+, __b#\\d+L, \\d+\\), REPARTITION_BY_NUM"
+        .r.findAllIn(finalSection).size === 1,
+      s"expected exactly ONE corpus-sized (source, bucket) repartition:\n$finalSection")
+    val aggExchange = "Exchange hashpartitioning\\(source#\\d+, __b#\\d+L, \\d+\\), ENSURE_REQUIREMENTS"
+      .r.findFirstMatchIn(finalSection)
+    assert(aggExchange.isDefined,
+      s"expected the partial-aggregated offsets exchange:\n$finalSection")
+    assert(finalSection.lastIndexOf("partial_sum") > aggExchange.get.start,
+      s"offsets totals must partial-aggregate below their exchange:\n$finalSection")
+    assert(finalSection.contains("BroadcastHashJoin"), s"offset join must broadcast:\n$p")
+    assert(!finalSection.contains("SortMergeJoin"),
+      s"only the broadcast offsets join may appear:\n$p")
+    assert(!finalSection.contains("Exchange SinglePartition, ENSURE"),
+      s"the prefix sum must never funnel through one partition:\n$finalSection")
+    assert(finalSection.contains("Window"), s"expected the bucketed prefix-sum windows:\n$p")
   }
 
   test("q187 langid: profiles broadcast, one corpus scan, no single-partition funnel") {

@@ -124,6 +124,20 @@ class SamplingSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("tokenBudgetSample: the bucket-decomposed path equals the window path") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0L until 300L).map(i =>
+      (if (i % 7 < 5) "big" else "small", i, rnd.nextInt(40).toLong))
+    val df = rows.toDF("src", "id", "w")
+    def keyOf(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1))
+    val plain = Sampling.tokenBudgetSample(df, Seq("src"), Seq(col("id")),
+        "w", 900L).collect().map(keyOf).toSet
+    val bucketed = Sampling.tokenBudgetSample(df, Seq("src"), Seq(col("id")),
+        "w", 900L, bucket = Some(expr("id div 16"))).collect().map(keyOf).toSet
+    assert(bucketed === plain)
+    assert(plain.nonEmpty && plain.size < rows.size) // the budget actually cuts
+  }
+
   test("shardedShuffle: ranks are the exact global md5 order, a bijection, " +
        "layout-stable, and the ranking window is per-bucket (never global)") {
     val ids = (1L to 500L).toDF("id")
@@ -380,5 +394,11 @@ class SamplingSpec extends SparkSpec {
         weights = Map("a" -> 1L, "b" -> 1L), budget = 60L)
       .collect().map(r => r.getLong(1)).sorted.toSeq
     assert(gotC === Seq(1L, 4L, 5L))
+    // the bucket-decomposed selection keeps exactly the same rows
+    val gotB = Sampling.budgetMixture(docs, "source", "doc_id", "n_tokens",
+        weights = Map("a" -> 1L, "b" -> 1L), budget = 60L,
+        bucket = Some(expr("doc_id div 2")))
+      .collect().map(r => r.getLong(1)).sorted.toSeq
+    assert(gotB === Seq(1L, 4L, 5L))
   }
 }

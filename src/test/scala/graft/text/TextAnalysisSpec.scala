@@ -141,6 +141,16 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TextAnalysis.packedWindows(docs, Seq("src"), "win_id", "text", 4)
     }
+    // the bucket-decomposed cumsum packs identically (bucket width 2 splits
+    // group g's stream across buckets mid-window, exercising the offsets)
+    val bucketed = TextAnalysis.packedWindows(docs, Seq("src"), "doc_id",
+        "text", windowSize = 4,
+        bucket = Some(org.apache.spark.sql.functions.expr("doc_id div 2")))
+      .collect().map(r => (r.getAs[String]("src"), r.getAs[Long]("win_id")) ->
+        ((r.getAs[String]("window_text"), r.getAs[String]("doc_spans"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc")))).toMap
+    assert(bucketed === out)
   }
 
   test("packedSpans property: spans tile each group's stream without gaps") {

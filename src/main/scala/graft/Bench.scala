@@ -214,7 +214,12 @@ object Bench {
     // (three separate write jobs), q197 two-batch maintained counts +
     // report — the same scheduling-noise compounding as q151/q158/q186
     "q190_stream_dup_span_gate", "q193_span_index_serve",
-    "q194_takedown_line_index", "q197_stream_drift_monitor")
+    "q194_takedown_line_index", "q197_stream_drift_monitor",
+    // round-14 newcomers, tagged BEFORE their floors land (q132
+    // precedent): q201 runs TWO streaming ingest rounds (separate
+    // awaitTermination each) + tombstone + serve — the q183/q186
+    // multi-job compounding shape
+    "q201_online_takedown")
 
   /** Machine calibration canaries: stable, mid-weight queries spanning the
     * engine's plan shapes (pushed scan, window, LSH join, stream, fill).

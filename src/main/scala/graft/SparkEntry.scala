@@ -4292,6 +4292,53 @@ object SparkEntry {
       } finally deleteRecursively(tmp)
     }),
 
+    // q201: ONLINE takedown — the erasure lands BETWEEN micro-batches of
+    // a RUNNING line-index ingest (no stream stop, no index rewrite): a
+    // tombstone table records the ids, batch 2 keeps appending —
+    // including more rows of tombstoned documents — and the serve
+    // anti-joins tombstones BEFORE the hotness gate, so df counts never
+    // see tombstoned contributions (retroactive re-cooling, the q194
+    // erasure guarantee, now with zero downtime; the physical purge
+    // defers to the next offline compaction). Output must equal the
+    // from-scratch build over exactly the surviving documents — the
+    // q194 oracle, shared per the q190/q193 precedent
+    "q201_online_takedown" -> ((s, dir) => {
+      val docs = linePlanted(t(s, dir, "documents"))
+      val tmp = java.nio.file.Files.createTempDirectory("q201").toString
+      val (srcDir, ckDir) = (s"$tmp/src", s"$tmp/ck")
+      try {
+        val store = new graft.sync.ParquetStore(s, s"$tmp/idx")
+        def ingestAvailable(): Unit = {
+          val stream = s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*.parquet")
+          IncrementalStream.lineIndexIngest(stream, "doc_id", "text",
+            store, "lines", checkpointDir = ckDir).awaitTermination()
+        }
+        // micro-batch 1: half the corpus (both survivors and
+        // to-be-tombstoned docs) folds into the index
+        docs.filter(col("doc_id") % 2 === 0).repartition(1)
+          .write.parquet(srcDir)
+        ingestAvailable()
+        // the takedown lands mid-stream: the ingest checkpoint lives on,
+        // nothing stops, no index row is touched
+        val added = graft.sync.Takedown.tombstone(store,
+          docs.filter(col("doc_id") >= 400).select(col("doc_id")))
+        require(added > 0L, "q201: the tombstone must actually record ids")
+        // micro-batch 2: the other half arrives AFTER the takedown —
+        // its tombstoned documents' rows append but must never serve
+        docs.filter(col("doc_id") % 2 === 1).repartition(1)
+          .write.mode("append").parquet(srcDir)
+        ingestAvailable()
+        graft.dedup.Dedup.lineDedupFromIndex(
+            graft.sync.Takedown.withoutTombstones(
+              store.read("lines").get
+                .select(col("doc_id"), col("pos"), col("line")),
+              "doc_id", store),
+            "doc_id", maxDf = 2)
+          .orderBy("doc_id").localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+
     // q193: CONTINUOUS positional-gram index + span-scrub SERVING — the
     // q183 index-ingest pattern applied to the duplicated-span family:
     // the corpus arrives across two micro-batches, each batch's
@@ -4771,6 +4818,9 @@ object SparkEntry {
     // q194: the post-takedown serve equals the q179 replay over only the
     // surviving documents — erasure leaves no df residue
     "q194_takedown_line_index" -> lineDedupOracleSqlOver(" WHERE doc_id < 400"),
+    // q201: the ONLINE (tombstone, mid-stream) takedown must serve the
+    // identical survivor build — the q194 oracle, shared
+    "q201_online_takedown" -> lineDedupOracleSqlOver(" WHERE doc_id < 400"),
     // q195/q196: exact counts + permille integer-div shares over the
     // full-outer bucket/category union — plain SQL in both shapes
     "q195_drift_histogram" ->

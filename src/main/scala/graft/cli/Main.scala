@@ -53,7 +53,8 @@ object Main {
       "       serve-span-scrub --corpus <parquet> --index <storeDir> --id <col> --text <col> --out <parquetDir> [--gram <n>] [--min-run <n>] [--max-df <n>]\n" +
       "       line-dedup --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--max-df <n>] [--broadcast false]\n" +
       "       ingest-line-index --source <parquetDir> --id <col> --text <col> --dest <storeDir> --checkpoint <dir>\n" +
-      "       serve-line-dedup --index <storeDir> --id <col> --out <parquetDir> [--max-df <n>] [--broadcast false]\n" +
+      "       serve-line-dedup --index <storeDir> --id <col> --out <parquetDir> [--max-df <n>] [--broadcast false] [--tombstones true]\n" +
+      "       tombstone --store <storeDir> --ids <parquet>\n" +
       "       snapshot-line-index --index <storeDir> [--max-df <n>]\n" +
       "       line-dedup-gate --source <parquetDir> --index <storeDir> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       build-vocab --corpus <parquet> --text <col> --top <n> --out <parquetDir>\n" +
@@ -211,7 +212,9 @@ object Main {
                                         ck: String) extends Cmd
   private case class ServeLineDedupCmd(index: String, id: String, maxDf: Int,
                                        broadcastHot: Boolean,
+                                       tombstones: Boolean,
                                        out: String) extends Cmd
+  private case class TombstoneCmd(store: String, ids: String) extends Cmd
   private case class SnapshotLineIndexCmd(index: String,
                                           maxDf: Int) extends Cmd
   private case class LineDedupGateCmd(source: String, index: String,
@@ -584,7 +587,15 @@ object Main {
         bc <- opts.get("broadcast").fold(Right(true): Either[String, Boolean])(v =>
           v.toBooleanOption.toRight(
             s"serve-line-dedup: --broadcast must be true or false, got $v"))
-      } yield ServeLineDedupCmd(index, id, maxDf, broadcastHot = bc, out)
+        ts <- optBool(opts, "serve-line-dedup", "tombstones", dflt = false)
+      } yield ServeLineDedupCmd(index, id, maxDf, broadcastHot = bc,
+        tombstones = ts, out)
+    case "tombstone" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        storeDir <- req(opts, "tombstone", "store")
+        ids <- req(opts, "tombstone", "ids")
+      } yield TombstoneCmd(storeDir, ids)
     case "snapshot-line-index" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -1484,19 +1495,33 @@ object Main {
         0
       }
 
-    case ServeLineDedupCmd(index, id, maxDf, broadcastHot, out) =>
+    case ServeLineDedupCmd(index, id, maxDf, broadcastHot, tombstones, out) =>
       // batch q179 semantics over the accumulated index: hot lines drop
       // retroactively at read, every landed doc reassembles with audit
-      // counts
+      // counts. --tombstones true applies the ONLINE takedown gate first
+      // (anti-join the store's tombstone table BEFORE the hotness gate,
+      // so erased docs leave no df residue — the q201 semantics)
       val store = new ParquetStore(spark, index)
       val lines = store.read("lines").getOrElse(sys.error(
         s"serve-line-dedup: no lines table in $index — run ingest-line-index first"))
+      val gated = if (tombstones)
+        graft.sync.Takedown.withoutTombstones(lines, id, store) else lines
       graft.dedup.Dedup.lineDedupFromIndex(
-          lines.select(org.apache.spark.sql.functions.col(id),
+          gated.select(org.apache.spark.sql.functions.col(id),
             org.apache.spark.sql.functions.col("pos"),
             org.apache.spark.sql.functions.col("line")),
           id, maxDf.toLong, broadcastHot)
         .write.mode("overwrite").parquet(out)
+      0
+
+    case TombstoneCmd(storeDir, ids) =>
+      // the ONLINE takedown record: appends novel ids to the store's
+      // tombstone table without touching index rows or streams; serving
+      // paths gate at read (--tombstones true), the physical purge
+      // defers to the next `takedown`/`compact` maintenance window
+      val added = graft.sync.Takedown.tombstone(
+        new ParquetStore(spark, storeDir), spark.read.parquet(ids))
+      println(s"tombstone: $added new ids recorded")
       0
 
     case IngestSpanIndexCmd(source, id, text, n, dest, ck) =>

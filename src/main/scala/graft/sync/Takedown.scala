@@ -26,12 +26,78 @@ import org.apache.spark.sql.functions._
   * swaps in one transaction) — a crash mid-purge leaves the old table
   * intact, never a half-purged one.
   *
-  * OFFLINE contract (the Compaction rule): run with any streaming writer
-  * to the table STOPPED and its checkpoint committed. A later checkpoint
-  * replay of a pre-takedown batch would re-append the purged ids — the
-  * retry guard correctly sees them as missing rows, it cannot know they
-  * were removed on purpose. Re-run the purge after any replay. */
+  * OFFLINE contract (the Compaction rule): [[purge]] runs with any
+  * streaming writer to the table STOPPED and its checkpoint committed. A
+  * later checkpoint replay of a pre-takedown batch would re-append the
+  * purged ids — the retry guard correctly sees them as missing rows, it
+  * cannot know they were removed on purpose. Re-run the purge after any
+  * replay.
+  *
+  * ONLINE contract: [[tombstone]] + [[withoutTombstones]] make an
+  * erasure effective WITHOUT stopping anything — [[tombstone]] records
+  * the ids in a persisted tombstone table (an append, safe under any
+  * concurrent writer: it touches no index rows, so no checkpoint replay
+  * can resurrect anything), and every at-read-gated serve anti-joins the
+  * tombstones via [[withoutTombstones]] BEFORE its hotness gate. Because
+  * the gates compute hotness over the post-anti-join accumulation, the
+  * re-cooling guarantee holds immediately: from the moment the tombstone
+  * lands, serving is row-identical to a from-scratch build over the
+  * surviving corpus (graded, q201) — including rows of a tombstoned
+  * document that arrive AFTER the tombstone. The physical rows remain
+  * until the next offline [[purge]]/compaction window (run it with the
+  * same ids to reclaim space and satisfy a strict storage-erasure
+  * deadline); the tombstone table stays authoritative in between. */
 object Takedown {
+
+  /** The tombstone table's single column. A fixed name (rather than the
+    * caller's idCol) keeps one tombstone table joinable against every
+    * derived table regardless of what each calls its document id. */
+  val TombstoneCol = "tombstone_id"
+
+  /** Record `ids` (a one-column DataFrame) as tombstoned in
+    * `store`/`table`, deduplicating against what is already there so the
+    * table stays distinct under repeated takedown requests (opt-out
+    * lists get re-submitted). Returns how many ids were NEW — the audit
+    * delta. Append-only by design: concurrent streaming writers to the
+    * DATA tables are unaffected, and the one writer to the tombstone
+    * table is the takedown process itself (serialize takedown requests —
+    * they are rare, human-initiated events). */
+  def tombstone(store: TableStore, ids: DataFrame,
+                table: String = "tombstones"): Long = {
+    require(ids.columns.length == 1,
+      s"Takedown.tombstone: ids must be a single-column frame, got ${ids.columns.mkString(", ")}")
+    val fresh = ids.toDF(TombstoneCol).distinct()
+    val novel = store.read(table) match {
+      case Some(cur) =>
+        // count() materializes novel BEFORE the append reads the same
+        // table (the write-reads-own-table hazard the store contract
+        // warns about applies to append-derived-from-read too)
+        fresh.join(cur, fresh(TombstoneCol) === cur(TombstoneCol), "left_anti")
+          .localCheckpoint()
+      case None => fresh
+    }
+    val added = novel.count()
+    if (added > 0L) store.append(novel, table)
+    graft.Checkpoints.release(novel)
+    added
+  }
+
+  /** The at-read erasure gate: `rows` minus everything tombstoned —
+    * one LEFT ANTI join against the (dashboard-sized, broadcast)
+    * tombstone table. Readers of accumulated index/corpus tables apply
+    * this FIRST, before any hotness gate, so df/hotness counts never see
+    * tombstoned contributions (the re-cooling guarantee). A missing or
+    * empty tombstone table gates nothing. Pass broadcastIds = false for
+    * a bulk-erasure regime where the tombstone set outgrows broadcast. */
+  def withoutTombstones(rows: DataFrame, idCol: String, store: TableStore,
+                        table: String = "tombstones",
+                        broadcastIds: Boolean = true): DataFrame =
+    store.read(table) match {
+      case Some(ts) =>
+        val side = if (broadcastIds) broadcast(ts) else ts
+        rows.join(side, rows(idCol) === side(TombstoneCol), "left_anti")
+      case None => rows
+    }
 
   /** Purge every row of `table` whose `idCol` appears in `ids` (a
     * one-column DataFrame; its column name is irrelevant). Returns the

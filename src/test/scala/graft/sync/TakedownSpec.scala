@@ -53,6 +53,47 @@ class TakedownSpec extends SparkSpec {
     assert(after === scratch)
   }
 
+  test("tombstone records distinct ids, dedups re-submissions, reports the delta") {
+    val st = store()
+    assert(Takedown.tombstone(st, Seq(3L, 3L, 4L).toDF("id")) === 2L)
+    // re-submitting an opt-out list is the norm — only novelty counts
+    assert(Takedown.tombstone(st, Seq(4L, 5L).toDF("id")) === 1L)
+    assert(Takedown.tombstone(st, Seq(3L).toDF("id")) === 0L)
+    assert(st.read("tombstones").get.collect().map(_.getLong(0)).sorted
+      === Array(3L, 4L, 5L))
+    intercept[IllegalArgumentException] {
+      Takedown.tombstone(st, Seq((1L, 2L)).toDF("a", "b"))
+    }
+  }
+
+  test("withoutTombstones hides tombstoned rows at read and RE-COOLS hot lines") {
+    // the ONLINE erasure guarantee: no purge, no stream stop — the
+    // tombstone anti-join runs BEFORE the hotness gate, so df counts
+    // never see tombstoned contributions (the purge-based sibling above,
+    // with zero downtime)
+    val docs = Seq(
+      (1L, "shared\nkeep1"), (2L, "shared\nkeep2"), (3L, "shared\nkeep3"))
+      .toDF("doc_id", "text")
+    val st = store()
+    st.write(graft.dedup.Dedup.lineIndexRows(docs, "doc_id", "text"), "lines")
+    // no tombstone table yet: gate is a no-op
+    assert(Takedown.withoutTombstones(st.read("lines").get, "doc_id", st)
+      .count() === st.read("lines").get.count())
+    Takedown.tombstone(st, Seq(3L).toDF("id"))
+    val served = graft.dedup.Dedup.lineDedupFromIndex(
+        Takedown.withoutTombstones(st.read("lines").get, "doc_id", st),
+        "doc_id", maxDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("text_clean")).toMap
+    // doc 3 gone; "shared" re-cooled (2 <= maxDf) and returned to 1 and 2
+    assert(served === Map(1L -> "shared\nkeep1", 2L -> "shared\nkeep2"))
+    // the physical rows are still there for the deferred compaction purge
+    assert(st.read("lines").get.filter($"doc_id" === 3L).count() > 0L)
+    val scratch = graft.dedup.Dedup.lineDedup(
+        docs.filter($"doc_id" < 3), "doc_id", "text", maxDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("text_clean")).toMap
+    assert(served === scratch)
+  }
+
   test("purgeAll propagates one list through every table of the pipeline") {
     val st = store()
     st.write(Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text"), "corpus")

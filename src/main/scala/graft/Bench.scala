@@ -218,8 +218,10 @@ object Bench {
     // round-14 newcomers, tagged BEFORE their floors land (q132
     // precedent): q201 runs TWO streaming ingest rounds (separate
     // awaitTermination each) + tombstone + serve — the q183/q186
-    // multi-job compounding shape
-    "q201_online_takedown")
+    // multi-job compounding shape; q202/q203 are BPE merge-training
+    // DRIVER LOOPS with per-round checkpoints plus a driver-side
+    // brute-force/parity gate — the q150/q181 shape
+    "q201_online_takedown", "q202_byte_bpe_train", "q203_byte_bpe_encode")
 
   /** Machine calibration canaries: stable, mid-weight queries spanning the
     * engine's plan shapes (pushed scan, window, LSH join, stream, fill).

@@ -381,6 +381,20 @@ object SparkEntry {
   private val LangidEs =
     "Año Señor Mañana Árbol Él Índice Óptimo Única Niño José Camión"
 
+  /** q202/q203's planted byte-level corpus: accented Latin-1 (2-byte
+    * UTF-8), ß/ü (2-byte), € (3-byte) and an emoji (4-byte) — text the
+    * char-level family's `tokens()` ([a-z0-9]+ after lower()) mangles or
+    * drops outright, which is exactly the gap byte-level BPE closes.
+    * Built from the documents spine (doc_id < 200) with a deterministic
+    * ASCII tail so the word table carries both alphabets; the planted
+    * words repeat corpus-wide, so merges genuinely select high-byte unit
+    * pairs. */
+  private def bytePlanted(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") < 200).select(col("doc_id"), concat(
+      lit("café naïve übermaß €99 ok😂 "),
+      when(col("doc_id") % 3 === 0, lit("résumé ")).otherwise(lit("")),
+      lit("plain tail v"), col("doc_id") % 7).as("text"))
+
   /** Shared q167/q168 trained model: hashed features + labels + the
     * integer hinge descent ([[graft.text.Classifier]]). */
   private def svmDocs(s: SparkSession, dir: String): DataFrame = {
@@ -4339,6 +4353,98 @@ object SparkEntry {
       } finally deleteRecursively(tmp)
     }),
 
+    // q202: BYTE-LEVEL BPE training — the production GPT-style tokenizer
+    // default (GPT-2's 256-entry byte→unicode bijection): the planted
+    // multi-byte corpus (2/3/4-byte UTF-8 — text the char-level family's
+    // tokens() drops) trains over the byte-unit alphabet with the SAME
+    // delta-recounted merge loop as q150, and the merge sequence + final
+    // symbol table grade against an in-query brute-force Scala BPE over
+    // the collected unit word table (the q150 contract — DuckDB cannot
+    // express the sequential fold). Extra gates: the word table must
+    // genuinely carry non-ASCII bytes, and at least one selected merge
+    // must fuse a high-byte unit — a silently ASCII-only run cannot pass
+    "q202_byte_bpe_train" -> ((s, dir) => {
+      val docs = bytePlanted(t(s, dir, "documents"))
+      val nMerges = 6
+      val (merges, words) = TextAnalysis.byteBpeTrain(docs, "text", nMerges)
+      val wf = TextAnalysis.byteBpeWordTable(docs, "text")
+        .select(col("__w"), col("__c")).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      var syms: Array[(Vector[String], Long)] =
+        wf.map { case (w, c) => (w.map(_.toString).toVector, c) }
+      val refMerges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var continue = true
+      while (continue && refMerges.size < nMerges) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        syms.foreach { case (v, c) =>
+          v.indices.dropRight(1).foreach { i =>
+            counts((v(i), v(i + 1))) = counts.getOrElse((v(i), v(i + 1)), 0L) + c
+          }
+        }
+        if (counts.isEmpty) continue = false
+        else {
+          val ((a, b), c) = counts.minBy { case ((l, r), n) => (-n, l, r) }
+          refMerges += ((a, b, c))
+          syms = syms.map { case (v, cc) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < v.length) {
+              if (i + 1 < v.length && v(i) == a && v(i + 1) == b) { out += a + b; i += 2 }
+              else { out += v(i); i += 1 }
+            }
+            (out.result(), cc)
+          }
+        }
+      }
+      val mergeViolations =
+        if (merges.map(m => (m.left, m.right, m.cnt)) != refMerges.toSeq) 1L else 0L
+      val refFinal = syms.map { case (v, _) => v.mkString(" ") }.toSet
+      val gotFinal = words.select(concat_ws(" ", col("__syms"))).collect()
+        .map(_.getString(0)).toSet
+      val symViolations = if (gotFinal != refFinal) 1L else 0L
+      val emptyViolation = if (merges.size != nMerges) 1L else 0L
+      // the byte-level point: non-ASCII units in the table AND in a merge
+      val nonAsciiTable = if (wf.exists(_._1.exists(_ >= 0x80))) 0L else 1L
+      val nonAsciiMerge =
+        if (merges.exists(m => (m.left + m.right).exists(_ >= 0x80))) 0L else 1L
+      s.range(1).select(
+        lit(mergeViolations + symViolations + emptyViolation +
+          nonAsciiTable + nonAsciiMerge).as("violations"))
+    }),
+
+    // q203: BYTE-LEVEL BPE apply — the q154 train/apply-parity theorem
+    // over the byte-unit alphabet (same BpeApply replay: unit == char by
+    // construction), PLUS the guarantee that makes byte-level the
+    // production default: encoding is TOTAL and LOSSLESS — concatenating
+    // every document's pieces and decoding the units recovers the exact
+    // whitespace-stripped original bytes, emoji and all (nothing is ever
+    // OOV/UNK, where the char-level tokens() drops every planted
+    // non-ASCII word)
+    "q203_byte_bpe_encode" -> ((s, dir) => {
+      val docs = bytePlanted(t(s, dir, "documents"))
+      val nMerges = 8
+      val (merges, trained) = TextAnalysis.byteBpeTrainFullRecount(docs, "text", nMerges)
+      val pairs = merges.sortBy(_.step).map(m => (m.left, m.right))
+      val applied = docs
+        .select(explode(TextAnalysis.byteUnitWords(col("text"))).as("__w")).distinct()
+        .select(col("__w"), concat_ws(" ",
+          graft.functions.BpeApply(array(col("__w")), pairs)).as("__ap"))
+      val want = trained
+        .select(col("__w"), concat_ws(" ", col("__syms")).as("__tr"))
+      val parity = applied.join(want, Seq("__w"), "full_outer")
+        .agg(violations(col("__ap").isNull || col("__tr").isNull ||
+          col("__ap") =!= col("__tr")).as("v")).head.getLong(0)
+      // lossless round-trip: pieces concatenate to the unit mapping of
+      // the whitespace-stripped text on EVERY document
+      val roundTrip = docs.agg(violations(
+          concat_ws("", TextAnalysis.byteBpeEncode(col("text"), merges)) =!=
+            graft.functions.ByteUnits(regexp_replace(col("text"), "\\s+", "")))
+          .as("v")).head.getLong(0)
+      val emptyViolation = if (merges.size == nMerges) 0L else 1L
+      s.range(1).select(
+        lit(parity + roundTrip + emptyViolation).as("violations"))
+    }),
+
     // q193: CONTINUOUS positional-gram index + span-scrub SERVING — the
     // q183 index-ingest pattern applied to the duplicated-span family:
     // the corpus arrives across two micro-batches, each batch's
@@ -4821,6 +4927,13 @@ object SparkEntry {
     // q201: the ONLINE (tombstone, mid-stream) takedown must serve the
     // identical survivor build — the q194 oracle, shared
     "q201_online_takedown" -> lineDedupOracleSqlOver(" WHERE doc_id < 400"),
+    // q202/q203: byte-level BPE train + apply are Spark-side contracts
+    // (brute-force reference / parity + lossless round-trip) — DuckDB
+    // cannot express the sequential merge fold (the q150/q154 precedent)
+    "q202_byte_bpe_train" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    "q203_byte_bpe_encode" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
     // q195/q196: exact counts + permille integer-div shares over the
     // full-outer bucket/category union — plain SQL in both shapes
     "q195_drift_histogram" ->

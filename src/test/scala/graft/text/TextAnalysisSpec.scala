@@ -291,6 +291,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(table(dw) === table(fw))
   }
 
+  test("byteBpeTrain: merges fuse byte units of multi-byte chars, hand-traced") {
+    // 'éé' is UTF-8 C3 A9 C3 A9 -> units Ã © Ã ©; corpus 'éé éé é':
+    // pairs (Ã,©)=5, (©,Ã)=2 -> merge 0 fuses (Ã,©) [count 5]; then
+    // (Ã©,Ã©)=2 vs (Ã©)x1-word has no pair -> merge 1 fuses (Ã©,Ã©) [2]
+    val df = Seq("éé éé é").toDF("text")
+    val (merges, words) = TextAnalysis.byteBpeTrain(df, "text", nMerges = 2)
+    assert(merges === Seq(
+      TextAnalysis.BpeMerge(0, "Ã", "©", 5L),
+      TextAnalysis.BpeMerge(1, "Ã©", "Ã©", 2L)))
+    val syms = words.select("__w", "__syms").collect()
+      .map(r => graft.functions.ByteUnits.unitsToText(r.getString(0)) ->
+        r.getSeq[String](1)).toMap
+    assert(syms === Map(
+      "éé" -> Seq("Ã©Ã©"),
+      "é" -> Seq("Ã©")))
+  }
+
+  test("byteBpeEncode: train/apply parity and lossless round-trip, emoji included") {
+    val docs = Seq("café naïve übermaß", "€99 ok😂 café café",
+      "plain ascii words", "naïve café 😂😂").toDF("text")
+    val (merges, trained) = TextAnalysis.byteBpeTrainFullRecount(docs, "text", 6)
+    assert(merges.size === 6)
+    // apply reproduces the trained table's final symbols for every word
+    val want = trained.select("__w", "__syms").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).mkString(" ")).toMap
+    val got = docs.select(explode(
+        TextAnalysis.byteUnitWords(col("text"))).as("__w")).distinct()
+      .select(col("__w"), concat_ws(" ", graft.functions.BpeApply(
+        array(col("__w")), merges.map(m => (m.left, m.right)))).as("ap"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === want)
+    // pieces concatenate to the unit mapping of the despaced text: no
+    // byte of any document is ever lost (the no-OOV guarantee)
+    val bad = docs.select(
+        concat_ws("", TextAnalysis.byteBpeEncode(col("text"), merges)).as("enc"),
+        graft.functions.ByteUnits(regexp_replace(col("text"), "\\s+", "")).as("ref"))
+      .filter(col("enc") =!= col("ref")).count()
+    assert(bad === 0L)
+  }
+
   test("dataCard: per-group integer datasheet, zero-token docs still count as docs") {
     val docs = Seq(
       ("a", 1L, "the cat the dog"),   // 4 tokens, 3 distinct

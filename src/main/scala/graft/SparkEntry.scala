@@ -395,6 +395,59 @@ object SparkEntry {
       when(col("doc_id") % 3 === 0, lit("résumé ")).otherwise(lit("")),
       lit("plain tail v"), col("doc_id") % 7).as("text"))
 
+  /** q204's planted hot-gram-crossing span corpus — the three loss
+    * classes of the ExactSubstr df gate, by construction: H is a 24-token
+    * region planted in EVERY doc (df 40 > gate 20, so its interior
+    * 8-gram windows gate out); docs 0-1 share a 59-token span A+H+B whose
+    * post-split islands BOTH survive minRun (loss = the interior gap,
+    * 169 permille); docs 2-3 share C+H+D whose D-side island falls under
+    * minRun and vanishes (500 permille); docs 4-39 carry H with unique
+    * context — their only duplication IS the hot region (1000 permille,
+    * the gate working as designed). Shared verbatim by the Spark
+    * construction and the generated DuckDB oracle. */
+  private val SpanLossA = (0 until 15).map(i => s"a$i").mkString(" ")
+  private val SpanLossH = (0 until 24).map(i => s"h$i").mkString(" ")
+  private val SpanLossB = (0 until 20).map(i => s"b$i").mkString(" ")
+  private val SpanLossC = (0 until 15).map(i => s"c$i").mkString(" ")
+  private val SpanLossD = (0 until 5).map(i => s"d$i").mkString(" ")
+  private def spanLossPlanted(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") < 40).select(col("doc_id"),
+      when(col("doc_id") < 2,
+        concat(lit(s"$SpanLossA $SpanLossH $SpanLossB tail"), col("doc_id")))
+      .when(col("doc_id") < 4,
+        concat(lit(s"$SpanLossC $SpanLossH $SpanLossD tail"), col("doc_id")))
+      .otherwise(concat(lit("f"), col("doc_id"),
+        lit(s" $SpanLossH g"), col("doc_id"))).as("text"))
+
+  /** q204's oracle: both arms of the q188 diagonal-run CTE chain —
+    * ungated (df >= 2, Lee et al.'s exact rule) and df-gated
+    * ([2, 20]) — over the generated planted corpus, joined per doc with
+    * the integer permille loss floor. Generated from the SAME Scala span
+    * constants as [[spanLossPlanted]] so the corpora cannot drift. */
+  private lazy val SpanGateLossOracleSql: String = {
+    val corpus = "corpus AS (SELECT doc_id, CASE " +
+      s"WHEN doc_id < 2 THEN '$SpanLossA $SpanLossH $SpanLossB tail' || CAST(doc_id AS VARCHAR) " +
+      s"WHEN doc_id < 4 THEN '$SpanLossC $SpanLossH $SpanLossD tail' || CAST(doc_id AS VARCHAR) " +
+      s"ELSE 'f' || CAST(doc_id AS VARCHAR) || ' $SpanLossH g' || CAST(doc_id AS VARCHAR) END AS text " +
+      "FROM documents WHERE doc_id < 40)"
+    def arm(nm: String, dfCond: String): String =
+      s"pair_$nm AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM grams) GROUP BY g HAVING count(*) $dfCond), " +
+        s"kept_$nm AS (SELECT doc_id, pos, g FROM grams WHERE g IN (SELECT g FROM pair_$nm)), " +
+        s"anc_$nm AS (SELECT a.doc_id AS ida, b.doc_id AS idb, a.pos AS pa, a.pos - b.pos AS d FROM kept_$nm a JOIN kept_$nm b ON a.g = b.g AND a.doc_id < b.doc_id), " +
+        s"isl_$nm AS (SELECT ida, idb, d, pa, pa - row_number() OVER (PARTITION BY ida, idb, d ORDER BY pa) AS grp FROM anc_$nm), " +
+        s"sp_$nm AS (SELECT ida, idb, d, min(pa) AS s, count(*) + 7 AS rt FROM isl_$nm GROUP BY ida, idb, d, grp HAVING count(*) + 7 >= 20), " +
+        s"cov_$nm AS (SELECT ida AS doc_id, unnest(range(s, s + rt)) AS p FROM sp_$nm UNION ALL SELECT idb, unnest(range(s - d, s - d + rt)) FROM sp_$nm), " +
+        s"rem_$nm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM (SELECT DISTINCT doc_id, p FROM cov_$nm) GROUP BY doc_id)"
+    s"WITH $corpus, " +
+      "tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM corpus), " +
+      "grams AS (SELECT doc_id, pos, array_to_string(ts[pos:pos+7], ' ') AS g FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS pos FROM tok WHERE len(ts) >= 8)), " +
+      arm("x", ">= 2") + ", " + arm("gt", "BETWEEN 2 AND 20") + " " +
+      "SELECT x.doc_id, x.n AS n_exact, coalesce(gg.n, CAST(0 AS BIGINT)) AS n_gated, " +
+      "x.n - coalesce(gg.n, CAST(0 AS BIGINT)) AS n_lost, " +
+      "CAST(((x.n - coalesce(gg.n, CAST(0 AS BIGINT))) * 1000) // x.n AS BIGINT) AS loss_pm " +
+      "FROM rem_x x LEFT JOIN rem_gt gg USING (doc_id) ORDER BY doc_id"
+  }
+
   /** Shared q167/q168 trained model: hashed features + labels + the
     * integer hinge descent ([[graft.text.Classifier]]). */
   private def svmDocs(s: SparkSession, dir: String): DataFrame = {
@@ -4353,6 +4406,21 @@ object SparkEntry {
       } finally deleteRecursively(tmp)
     }),
 
+    // q204: the ExactSubstr df gate's SPAN-SPLIT LOSS, measured — q188's
+    // gate deliberately splits maximal spans at grams hotter than
+    // maxDocFreq; this query QUANTIFIES the divergence from Lee et al.'s
+    // exact rule instead of just documenting it: per document, covered
+    // positions under the ungated formulation vs the gated one, with the
+    // permille loss share, on a planted corpus exercising all three loss
+    // classes (interior-gap 169pm, sub-minRun-island 500pm, and
+    // pure-boilerplate 1000pm — the last is the gate working as
+    // designed). The DuckDB oracle replays BOTH arms of the q188 CTE
+    // chain over the identical generated corpus
+    "q204_span_gate_loss" -> ((s, dir) =>
+      Decontaminate.spanGateLoss(spanLossPlanted(t(s, dir, "documents")),
+          "doc_id", "text", k = 8, minRunTokens = 20, maxDocFreq = 20)
+        .orderBy("doc_id")),
+
     // q202: BYTE-LEVEL BPE training — the production GPT-style tokenizer
     // default (GPT-2's 256-entry byte→unicode bijection): the planted
     // multi-byte corpus (2/3/4-byte UTF-8 — text the char-level family's
@@ -4934,6 +5002,10 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q203_byte_bpe_encode" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
+    // q204: BOTH arms of the q188 diagonal-run chain (ungated / df-gated)
+    // over the generated planted corpus, joined per doc with the permille
+    // loss floor — generated from the SAME Scala span constants
+    "q204_span_gate_loss" -> SpanGateLossOracleSql,
     // q195/q196: exact counts + permille integer-div shares over the
     // full-outer bucket/category union — plain SQL in both shapes
     "q195_drift_histogram" ->

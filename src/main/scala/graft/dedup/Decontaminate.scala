@@ -248,6 +248,52 @@ object Decontaminate {
       duplicatedSpanCovered(corpus, idCol, textCol, k, minRunTokens, maxDocFreq),
       idCol, textCol)
 
+  /** The df-gate's SPAN-SPLIT LOSS, quantified — [[duplicatedSpanCovered]]
+    * deliberately diverges from Lee et al.'s exact ExactSubstr rule: grams
+    * hotter than `maxDocFreq` are excluded before the pair join (the
+    * quadratic-fan-out bound), so a maximal span CROSSING a hot gram
+    * splits at it and any sub-span shorter than `minRunTokens` loses its
+    * coverage entirely. This operator measures that divergence instead of
+    * just documenting it: per document, covered positions under the exact
+    * rule (the same formulation with the df gate's upper bound removed —
+    * gated coverage is a SUBSET by construction, so n_lost >= 0 always)
+    * vs under the gate, with the integer permille loss share
+    * (n_lost*1000 div n_exact, the Drift convention). Only documents with
+    * exact coverage emit — loss is trivially 0 elsewhere.
+    *
+    * Measured on the planted hot-crossing corpus (q204, 8-gram windows,
+    * minRun 20, gate 20): a 59-token shared span crossing a 24-token hot
+    * region loses exactly the interior hot windows' span — 169 permille;
+    * a 44-token span whose post-split remainder falls under minRun loses
+    * that whole side — 500 permille; documents whose ONLY duplication IS
+    * the hot region lose everything — 1000 permille, which is the gate
+    * working as designed (df > maxDocFreq boilerplate is
+    * [[selfScrubSpans]]' domain, deliberately not ExactSubstr's). On the
+    * un-planted sf0.01 documents corpus at the default knobs the loss is
+    * 0 permille corpus-wide — natural shared spans there never cross a
+    * df>20 gram, so the gate's divergence is confined to boilerplate.
+    *
+    * COST WARNING: the exact arm pays the quadratic pair fan-out the gate
+    * exists to avoid — run this audit on a SAMPLE or a bounded slice at
+    * 100 TB, never the full corpus (the audit's own df counts are still
+    * one partial-aggregated pass; it is the hot grams' pair join that
+    * explodes). */
+  def spanGateLoss(corpus: DataFrame, idCol: String, textCol: String,
+                   k: Int = 8, minRunTokens: Int = 20,
+                   maxDocFreq: Int = 20): DataFrame = {
+    val exact =
+      duplicatedSpanCovered(corpus, idCol, textCol, k, minRunTokens, Int.MaxValue)
+        .groupBy(col(idCol)).agg(count(lit(1)).cast("long").as("n_exact"))
+    val gated =
+      duplicatedSpanCovered(corpus, idCol, textCol, k, minRunTokens, maxDocFreq)
+        .groupBy(col(idCol)).agg(count(lit(1)).cast("long").as("n_gated"))
+    exact.join(gated, Seq(idCol), "left")
+      .withColumn("n_gated", coalesce(col("n_gated"), lit(0L)))
+      .select(col(idCol), col("n_exact"), col("n_gated"),
+        (col("n_exact") - col("n_gated")).as("n_lost"),
+        expr("((n_exact - n_gated) * 1000) div n_exact").cast("long").as("loss_pm"))
+  }
+
   /** Persisted positional-gram index rows for the duplicated-span family:
     * (idCol, pos, g) — one row per k-token window, 8-byte hashed gram.
     * This is the materialization production substring-dedup pipelines

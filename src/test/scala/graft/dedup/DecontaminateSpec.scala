@@ -285,6 +285,35 @@ class DecontaminateSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("spanGateLoss quantifies the df gate's three loss classes, hand-traced") {
+    // H = 24 hot tokens planted everywhere (df 8 > gate 4): its interior
+    // 8-gram windows gate out. Docs 0-1 share A(15)+H+B(20) = 59 tokens:
+    // exact covers all 59; gated islands [0,21] + [32,58] cover 49 —
+    // loss 10 (the interior gap), 169 permille. Docs 2-3 share
+    // C(15)+H+D(5) = 44: the D-side island (rt 12 < minRun 20) vanishes —
+    // gated 22, loss 22, 500 permille. Docs 4-7 carry H with unique
+    // context: their only duplication IS the hot region — exact 24,
+    // gated 0, 1000 permille (the gate working as designed).
+    val a = (0 until 15).map(i => s"a$i").mkString(" ")
+    val h = (0 until 24).map(i => s"h$i").mkString(" ")
+    val b = (0 until 20).map(i => s"b$i").mkString(" ")
+    val c = (0 until 15).map(i => s"c$i").mkString(" ")
+    val d = (0 until 5).map(i => s"d$i").mkString(" ")
+    val docs = ((0L to 1L).map(i => (i, s"$a $h $b tail$i")) ++
+      (2L to 3L).map(i => (i, s"$c $h $d tail$i")) ++
+      (4L to 7L).map(i => (i, s"f$i $h g$i"))).toDF("doc_id", "text")
+    val got = Decontaminate.spanGateLoss(docs, "doc_id", "text",
+        k = 8, minRunTokens = 20, maxDocFreq = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(0L) === ((59L, 49L, 10L, 169L)))
+    assert(got(1L) === ((59L, 49L, 10L, 169L)))
+    assert(got(2L) === ((44L, 22L, 22L, 500L)))
+    assert(got(3L) === ((44L, 22L, 22L, 500L)))
+    (4L to 7L).foreach(i => assert(got(i) === ((24L, 0L, 24L, 1000L))))
+    assert(got.size === 8)
+  }
+
   test("selfScrubSpans: maxDf tolerates passages up to the gate; exact twins scrub empty") {
     val passage = "shared passage of exactly eight tokens here now"
     val docs = Seq(

@@ -220,8 +220,10 @@ object Bench {
     // awaitTermination each) + tombstone + serve — the q183/q186
     // multi-job compounding shape; q202/q203 are BPE merge-training
     // DRIVER LOOPS with per-round checkpoints plus a driver-side
-    // brute-force/parity gate — the q150/q181 shape
-    "q201_online_takedown", "q202_byte_bpe_train", "q203_byte_bpe_encode")
+    // brute-force/parity gate — the q150/q181 shape; q205 is the q201
+    // two-ingest-round tombstone harness on the span index
+    "q201_online_takedown", "q202_byte_bpe_train", "q203_byte_bpe_encode",
+    "q205_takedown_span_index")
 
   /** Machine calibration canaries: stable, mid-weight queries spanning the
     * engine's plan shapes (pushed scan, window, LSH join, stream, fill).

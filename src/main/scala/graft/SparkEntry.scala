@@ -248,9 +248,15 @@ object SparkEntry {
     * serve must equal the direct corpus scrub): the q188 diagonal-run
     * CTEs with the corpus half (doc_id < 250) as reference and arrivals
     * (>= 250) as the scrubbed side — ref-side df gate <= 20, coverage on
-    * the arrival side only, then the q130 clean-text reconstruction. */
-  private lazy val DupSpanGateOracleSql: String =
-    """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), g AS (SELECT doc_id, pos, array_to_string(ts[pos:pos+7], ' ') AS g FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS pos FROM tok WHERE len(ts) >= 8)), refg AS (SELECT doc_id, pos, g FROM g WHERE doc_id < 250), gated AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM refg) GROUP BY g HAVING count(*) <= 20), rg AS (SELECT doc_id, pos, g FROM refg WHERE g IN (SELECT g FROM gated)), bg AS (SELECT doc_id, pos, g FROM g WHERE doc_id >= 250), anc AS (SELECT b.doc_id AS ida, r.doc_id AS idb, b.pos AS pa, b.pos - r.pos AS d FROM bg b JOIN rg r ON b.g = r.g AND b.doc_id <> r.doc_id), isl AS (SELECT ida, idb, d, pa, pa - row_number() OVER (PARTITION BY ida, idb, d ORDER BY pa) AS grp FROM anc), sp AS (SELECT ida, idb, d, min(pa) AS s, count(*) + 7 AS rt FROM isl GROUP BY ida, idb, d, grp HAVING count(*) + 7 >= 20), covd AS (SELECT DISTINCT ida AS doc_id, unnest(range(s, s + rt)) AS p FROM sp), cv AS (SELECT doc_id, list(p) AS ps FROM covd GROUP BY doc_id) SELECT t.doc_id, coalesce(array_to_string([t.ts[i] for i in range(1, len(t.ts) + 1) if NOT list_contains(coalesce(cv.ps, []), i)], ' '), '') AS clean_text FROM tok t LEFT JOIN cv USING (doc_id) WHERE t.doc_id >= 250 ORDER BY t.doc_id"""
+    * the arrival side only, then the q130 clean-text reconstruction.
+    * `refWhere` further restricts the reference side (q205's online
+    * takedown: the surviving ref after tombstoning) — the df gate
+    * recomputes over the SURVIVORS, so erased ref docs leave no df
+    * residue (the q194 re-cooling contract, span-family form). */
+  private def dupSpanGateOracleSqlOverRef(refWhere: String): String =
+    s"""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), g AS (SELECT doc_id, pos, array_to_string(ts[pos:pos+7], ' ') AS g FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS pos FROM tok WHERE len(ts) >= 8)), refg AS (SELECT doc_id, pos, g FROM g WHERE doc_id < 250$refWhere), gated AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM refg) GROUP BY g HAVING count(*) <= 20), rg AS (SELECT doc_id, pos, g FROM refg WHERE g IN (SELECT g FROM gated)), bg AS (SELECT doc_id, pos, g FROM g WHERE doc_id >= 250), anc AS (SELECT b.doc_id AS ida, r.doc_id AS idb, b.pos AS pa, b.pos - r.pos AS d FROM bg b JOIN rg r ON b.g = r.g AND b.doc_id <> r.doc_id), isl AS (SELECT ida, idb, d, pa, pa - row_number() OVER (PARTITION BY ida, idb, d ORDER BY pa) AS grp FROM anc), sp AS (SELECT ida, idb, d, min(pa) AS s, count(*) + 7 AS rt FROM isl GROUP BY ida, idb, d, grp HAVING count(*) + 7 >= 20), covd AS (SELECT DISTINCT ida AS doc_id, unnest(range(s, s + rt)) AS p FROM sp), cv AS (SELECT doc_id, list(p) AS ps FROM covd GROUP BY doc_id) SELECT t.doc_id, coalesce(array_to_string([t.ts[i] for i in range(1, len(t.ts) + 1) if NOT list_contains(coalesce(cv.ps, []), i)], ' '), '') AS clean_text FROM tok t LEFT JOIN cv USING (doc_id) WHERE t.doc_id >= 250 ORDER BY t.doc_id"""
+
+  private lazy val DupSpanGateOracleSql: String = dupSpanGateOracleSqlOverRef("")
 
   /** The q196 category-drift oracle, shared verbatim by q197 (a report
     * derived from continuously-maintained counts must equal the batch
@@ -4541,6 +4547,48 @@ object SparkEntry {
       } finally deleteRecursively(tmp)
     }),
 
+    // q205: ONLINE takedown through the SPAN-INDEX family — q201's
+    // tombstone contract on a second at-read-gated index: the reference
+    // corpus streams into the positional-gram index across two
+    // micro-batches, ref docs < 100 tombstone BETWEEN them (nothing
+    // stops, no index row touched), and serving scrubs arrivals against
+    // withoutTombstones(index) — the df gate recomputes over the
+    // SURVIVORS at read, so a gram hot only because tombstoned docs
+    // carried it re-cools and erased ref docs leave no span residue.
+    // Oracle: the q190 chain with the ref side filtered to survivors
+    "q205_takedown_span_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("q205").toString
+      val (srcDir, ckDir) = (s"$tmp/src", s"$tmp/ck")
+      try {
+        val idxStore = new graft.sync.ParquetStore(s, s"$tmp/idx")
+        val corpus = docs.filter(col("doc_id") < 250)
+        def ingestAvailable(): Unit = {
+          val stream = s.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*.parquet")
+          IncrementalStream.dupSpanIndexIngest(stream, "doc_id", "text",
+            idxStore, "grams", checkpointDir = ckDir).awaitTermination()
+        }
+        corpus.filter(col("doc_id") % 2 === 0).repartition(1)
+          .write.parquet(srcDir)
+        ingestAvailable()
+        val added = graft.sync.Takedown.tombstone(idxStore,
+          corpus.filter(col("doc_id") < 100).select(col("doc_id")))
+        require(added > 0L, "q205: the tombstone must actually record ids")
+        corpus.filter(col("doc_id") % 2 === 1).repartition(1)
+          .write.mode("append").parquet(srcDir)
+        ingestAvailable()
+        Decontaminate.scrubDuplicatedSpansAgainstIndex(
+            docs.filter(col("doc_id") >= 250),
+            graft.sync.Takedown.withoutTombstones(
+              idxStore.read("grams").get.select("doc_id", "pos", "g"),
+              "doc_id", idxStore),
+            "doc_id", "text", k = 8, minRunTokens = 20, maxDocFreq = 20)
+          .select(col("doc_id"), array_join(col("clean_tokens"), " ").as("clean_text"))
+          .orderBy("doc_id").localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+
     // q192: WATER-FILLING mixture assembly — the Pile/Dolma budget rule
     // q100's per-source cap cannot express: a TOTAL token budget splits
     // across sources by target weights (src0-src4 weighted 10, rest 1),
@@ -5006,6 +5054,10 @@ object SparkEntry {
     // over the generated planted corpus, joined per doc with the permille
     // loss floor — generated from the SAME Scala span constants
     "q204_span_gate_loss" -> SpanGateLossOracleSql,
+    // q205: the q190 chain with the ref side filtered to the tombstone
+    // SURVIVORS (>= 100) — the online-erasure serve must equal the
+    // from-scratch scrub against exactly the surviving reference
+    "q205_takedown_span_index" -> dupSpanGateOracleSqlOverRef(" AND doc_id >= 100"),
     // q195/q196: exact counts + permille integer-div shares over the
     // full-outer bucket/category union — plain SQL in both shapes
     "q195_drift_histogram" ->

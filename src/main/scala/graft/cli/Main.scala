@@ -58,8 +58,8 @@ object Main {
       "       snapshot-line-index --index <storeDir> [--max-df <n>]\n" +
       "       line-dedup-gate --source <parquetDir> --index <storeDir> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       build-vocab --corpus <parquet> --text <col> --top <n> --out <parquetDir>\n" +
-      "       bpe-train --corpus <parquet> --text <col> --merges <n> --out <parquetDir>\n" +
-      "       bpe-encode --corpus <parquet> --id <col> --text <col> --merges <parquetDir> --out <parquetDir>\n" +
+      "       bpe-train --corpus <parquet> --text <col> --merges <n> [--byte-level true] --out <parquetDir>\n" +
+      "       bpe-encode --corpus <parquet> --id <col> --text <col> --merges <parquetDir> [--byte-level true] --out <parquetDir>\n" +
       "       profile --corpus <parquet> --out <parquetDir> [--approx true]\n" +
       "       validate --corpus <parquet> --out <parquetDir> [--not-null c1,c2] [--range col:min:max,...] [--unique k1,k2[;k3]] [--ref <fk> --ref-table <parquet> --ref-key <col>]\n" +
       "       keywords --corpus <parquet> --text <col> --iters <n> --k <n> --out <parquetDir>\n" +
@@ -196,9 +196,10 @@ object Main {
   private case class BuildVocab(corpus: String, text: String, top: Int,
                                 out: String) extends Cmd
   private case class BpeTrainCmd(corpus: String, text: String, nMerges: Int,
-                                 out: String) extends Cmd
+                                 byteLevel: Boolean, out: String) extends Cmd
   private case class BpeEncodeCmd(corpus: String, id: String, text: String,
-                                  merges: String, out: String) extends Cmd
+                                  merges: String, byteLevel: Boolean,
+                                  out: String) extends Cmd
   private case class WeightedSampleCmd(corpus: String, keys: Seq[String],
                                        id: String, weight: String, k: Int,
                                        seed: String, out: String) extends Cmd
@@ -627,8 +628,9 @@ object Main {
         corpus <- req(opts, "bpe-train", "corpus")
         text <- req(opts, "bpe-train", "text")
         n <- posInt(opts, "bpe-train", "merges")
+        byteLevel <- optBool(opts, "bpe-train", "byte-level", dflt = false)
         out <- req(opts, "bpe-train", "out")
-      } yield BpeTrainCmd(corpus, text, n, out)
+      } yield BpeTrainCmd(corpus, text, n, byteLevel, out)
     case "bpe-encode" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -636,8 +638,9 @@ object Main {
         id <- req(opts, "bpe-encode", "id")
         text <- req(opts, "bpe-encode", "text")
         merges <- req(opts, "bpe-encode", "merges")
+        byteLevel <- optBool(opts, "bpe-encode", "byte-level", dflt = false)
         out <- req(opts, "bpe-encode", "out")
-      } yield BpeEncodeCmd(corpus, id, text, merges, out)
+      } yield BpeEncodeCmd(corpus, id, text, merges, byteLevel, out)
     case "profile" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -1404,16 +1407,22 @@ object Main {
         0
       }
 
-    case BpeTrainCmd(corpus, text, n, out) =>
+    case BpeTrainCmd(corpus, text, n, byteLevel, out) =>
       // the merge list IS the tokenizer artifact: (step, left, right,
       // cnt) with step the replay order — bpe-encode re-reads it, the
-      // same build-once/apply-many contract as the vocab table
-      val (merges, _) = graft.text.TextAnalysis.bpeTrain(
-        spark.read.parquet(corpus), text, n)
+      // same build-once/apply-many contract as the vocab table.
+      // --byte-level true trains over the GPT-2 byte-unit alphabet
+      // (nothing is ever OOV — the production default; decode pieces
+      // with ByteUnits.unitsToText)
+      val (merges, _) =
+        if (byteLevel) graft.text.TextAnalysis.byteBpeTrain(
+          spark.read.parquet(corpus), text, n)
+        else graft.text.TextAnalysis.bpeTrain(
+          spark.read.parquet(corpus), text, n)
       spark.createDataFrame(merges).write.mode("overwrite").parquet(out)
       0
 
-    case BpeEncodeCmd(corpus, id, text, mergesDir, out) =>
+    case BpeEncodeCmd(corpus, id, text, mergesDir, byteLevel, out) =>
       // merges collect bounded by the training artifact size (the merge
       // list is the tokenizer, ~30k rows at production scale); replay
       // order restores from the persisted step column
@@ -1424,10 +1433,13 @@ object Main {
         .toSeq
       if (merges.isEmpty)
         sys.error(s"bpe-encode: empty merge table under $mergesDir — run bpe-train first")
+      val enc = if (byteLevel)
+        graft.text.TextAnalysis.byteBpeEncode(
+          org.apache.spark.sql.functions.col(text), merges)
+      else graft.text.TextAnalysis.bpeEncode(
+        org.apache.spark.sql.functions.col(text), merges)
       spark.read.parquet(corpus)
-        .select(org.apache.spark.sql.functions.col(id),
-          graft.text.TextAnalysis.bpeEncode(
-            org.apache.spark.sql.functions.col(text), merges).as("pieces"))
+        .select(org.apache.spark.sql.functions.col(id), enc.as("pieces"))
         .write.mode("overwrite").parquet(out)
       0
 

@@ -4412,6 +4412,80 @@ object SparkEntry {
       } finally deleteRecursively(tmp)
     }),
 
+    // q206: AUDIO near-duplicate mining — the dedup story's fourth
+    // modality (text q21/q38, image q115, video frames q160): PCM16
+    // payloads fingerprint with the time-domain energy-delta hash
+    // (integer-exact, FFT-free, volume-invariant) and pair through the
+    // SAME banded-Hamming join as the image path. Planted: per id-pair
+    // group, the amplitude walk encodes a splitmix signature; the odd
+    // member re-levels two frames (bits 3 and 40, bands 0 and 2 of the
+    // maxHamming=3 split — bands 1 and 3 still agree), so exactly the
+    // (2i, 2i+1) pairs must emit; silence and monotone fades are planted
+    // as the degenerate negative controls
+    "q206_audio_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id").cast(LongType).as("doc_id"))
+      val media = docs.as[Long].mapPartitions { it =>
+        def mix(z0: Long): Long = {
+          var z = z0 + 0x9e3779b97f4a7c15L
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z ^ (z >>> 31)
+        }
+        it.map { id =>
+          if (id >= 500 && id < 510) {
+            // degenerate controls: silence (all-zero PCM -> hash 0) and a
+            // monotone rising fade (hash -1) — both must NOT pair
+            val frames = 65; val per = 64
+            val bytes = new Array[Byte](frames * per * 2)
+            if (id % 2 == 1) {
+              var f = 0
+              while (f < frames) {
+                val a = 100 + f * 10
+                var i = 0
+                while (i < per) {
+                  val s0 = if (i % 2 == 0) a else -a
+                  bytes(2 * (f * per + i)) = (s0 & 0xff).toByte
+                  bytes(2 * (f * per + i) + 1) = ((s0 >> 8) & 0xff).toByte
+                  i += 1
+                }
+                f += 1
+              }
+            }
+            Multimodal.MediaRecord(id, bytes)
+          } else {
+            var sig = mix(id / 2)
+            if (id % 2 == 1) sig ^= (1L << 3) | (1L << 40)
+            val frames = 65; val per = 64
+            val bytes = new Array[Byte](frames * per * 2)
+            var a = 1000
+            var f = 0
+            while (f < frames) {
+              if (f > 0) a += (if (((sig >>> (f - 1)) & 1L) == 1L) 10 else -10)
+              var i = 0
+              while (i < per) {
+                val s0 = if (i % 2 == 0) a else -a
+                bytes(2 * (f * per + i)) = (s0 & 0xff).toByte
+                bytes(2 * (f * per + i) + 1) = ((s0 >> 8) & 0xff).toByte
+                i += 1
+              }
+              f += 1
+            }
+            Multimodal.MediaRecord(id, bytes)
+          }
+        }
+      }.toDF()
+      val pairs = Dedup.audioNearDups(media, maxHamming = 3)
+      val expected = docs.filter(col("doc_id") < 500 || col("doc_id") >= 510)
+        .groupBy(expr("doc_id div 2").as("g"))
+        .agg(count(lit(1)).as("n"), min("doc_id").as("id_a"), max("doc_id").as("id_b"))
+        .filter(col("n") === 2)
+        .select("id_a", "id_b")
+      expected.withColumn("__e", lit(1))
+        .join(pairs.withColumn("__f", lit(1)), Seq("id_a", "id_b"), "full_outer")
+        .agg(violations(col("__e").isNull || col("__f").isNull))
+    }),
+
     // q204: the ExactSubstr df gate's SPAN-SPLIT LOSS, measured — q188's
     // gate deliberately splits maximal spans at grams hotter than
     // maxDocFreq; this query QUANTIFIES the divergence from Lee et al.'s
@@ -5058,6 +5132,11 @@ object SparkEntry {
     // SURVIVORS (>= 100) — the online-erasure serve must equal the
     // from-scratch scrub against exactly the surviving reference
     "q205_takedown_span_index" -> dupSpanGateOracleSqlOverRef(" AND doc_id >= 100"),
+    // q206: planted-pair audio fingerprint mining is a Spark-side
+    // violations contract (the q115 image-dHash precedent — the planted
+    // PCM construction and the banded join cannot be expressed in SQL)
+    "q206_audio_neardup" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
     // q195/q196: exact counts + permille integer-div shares over the
     // full-outer bucket/category union — plain SQL in both shapes
     "q195_drift_histogram" ->

@@ -33,6 +33,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // end-of-query sweep (the Bench isolation discipline): drop any
+      // persisted blocks a query's lifetime left behind — across 200+
+      // queries in ONE JVM, unreclaimed localCheckpoint block sets are
+      // the dominant heap-pressure suspect (the r13 drift note)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

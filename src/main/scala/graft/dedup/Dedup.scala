@@ -792,6 +792,32 @@ object Dedup {
     packedNearDups(sigs, "doc_id", "phash", maxHamming)
   }
 
+  /** AUDIO near-duplicate pairs — the dedup story's FOURTH modality
+    * (text/image/video frames/now PCM audio): fingerprint every payload
+    * with the time-domain energy-delta hash
+    * ([[graft.multimodal.Multimodal.afingerprintPcm16]] — integer-exact,
+    * FFT-free, volume-invariant) and mine pairs within `maxHamming` bits
+    * through the SAME banded join as the image path. Re-leveled /
+    * re-encoded / lightly-edited renditions of one clip land a few bits
+    * apart and pair; unrelated clips sit near Hamming 32 and cannot.
+    * Degenerate fingerprints drop before banding — 0 (silence, constant
+    * tone, anything monotonically non-increasing: too short or no energy
+    * structure) and its mirror -1 (monotone rising fades): like dHash's
+    * featureless-image filter, a hash with no mixed loudness structure
+    * carries no pairing evidence, and at scale every silent clip would
+    * otherwise share one signature AND concentrate into one O(m²)
+    * bucket. */
+  def audioNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    implicit val spark: org.apache.spark.sql.SparkSession = media.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // repartition BEFORE the decode — the O(samples) energy work must
+    // spread (the imageNearDups discipline)
+    val sigs = graft.multimodal.Multimodal
+      .afingerprintAudio(media.repartition(n, col("doc_id"))).toDF()
+      .filter(col("ahash") =!= 0L && col("ahash") =!= -1L)
+    packedNearDups(sigs, "doc_id", "ahash", maxHamming)
+  }
+
   /** CROSS-SOURCE overlap matrix — the corpus-composition audit a
     * mixture release runs before weighting its components: for every
     * source pair, how many distinct k-token grams they SHARE (src_a <

@@ -416,6 +416,57 @@ object Multimodal {
     }
   }
 
+  /** 64-bit audio fingerprint — [[ImageHash]]'s sibling for the PCM
+    * modality. */
+  case class AudioHash(doc_id: Long, ahash: Long)
+
+  /** Time-domain ENERGY-DELTA audio fingerprint — the dHash idea applied
+    * to the sample stream (the sign-of-band-energy-difference family of
+    * Haitsma & Kalker's audio fingerprinting, reduced to the time domain
+    * so the whole computation is integer-exact and FFT-free): the PCM16
+    * stream splits into 65 equal frames, per-frame energy is the exact
+    * integer sum of squared samples, and bit i says whether frame i+1 is
+    * louder than frame i. Sign-of-difference is invariant under volume
+    * scaling (energies scale together) and local edits flip only the bits
+    * whose frames they touch — re-encoded / re-leveled / slightly-trimmed
+    * renditions land a few Hamming bits apart, unrelated clips near 32.
+    * A trailing partial frame is ignored (the 65th boundary is the last
+    * full one); payloads shorter than 65 full frames (or degenerate —
+    * see [[graft.dedup.Dedup.audioNearDups]]'s 0/-1 filter) carry no
+    * pairing evidence. Long-safe: per-frame energy overflows only past
+    * ~2^33 samples per frame (a >17 GB payload). */
+  def afingerprintPcm16(id: Long, bytes: Array[Byte]): AudioHash = {
+    if (bytes == null || bytes.length < 2 * 65) return AudioHash(id, 0L)
+    val n = bytes.length / 2
+    val frame = n / 65
+    if (frame == 0) return AudioHash(id, 0L)
+    var h = 0L
+    var prev = 0L
+    var f = 0
+    while (f < 65) {
+      var e = 0L
+      var i = f * frame
+      val end = i + frame
+      while (i < end) {
+        val s = (((bytes(2 * i + 1): Int) << 8) | (bytes(2 * i) & 0xff)).toShort.toLong
+        e += s * s
+        i += 1
+      }
+      if (f > 0 && e > prev) h |= 1L << (f - 1)
+      prev = e
+      f += 1
+    }
+    AudioHash(id, h)
+  }
+
+  /** Partition-parallel audio fingerprinting — same batch shape as
+    * [[decodeAudio]]. */
+  def afingerprintAudio(media: DataFrame)(implicit spark: SparkSession): Dataset[AudioHash] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(it =>
+      it.map(r => afingerprintPcm16(r.doc_id, r.media)))
+  }
+
   /** Feature-extracted media: fixed-width byte histogram (16 bins) — the
     * Spark-side shape of an embedding/feature extractor (fixed-size vector
     * per doc, computed batch-wise on executors). Counts, not ratios, so the

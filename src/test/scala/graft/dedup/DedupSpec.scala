@@ -345,6 +345,38 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((10L, 11L), (10L, 12L), (11L, 12L)))
   }
 
+  test("audioNearDups pairs re-leveled renditions, not distinct clips or silence") {
+    def pcm(sig: Long, scale: Int = 1): Array[Byte] = {
+      val (frames, per) = (65, 64)
+      val bytes = new Array[Byte](frames * per * 2)
+      var a = 1000
+      for (f <- 0 until frames) {
+        if (f > 0) a += (if (((sig >>> (f - 1)) & 1L) == 1L) 10 else -10)
+        for (i <- 0 until per) {
+          val s = (if (i % 2 == 0) a else -a) * scale
+          bytes(2 * (f * per + i)) = (s & 0xff).toByte
+          bytes(2 * (f * per + i) + 1) = ((s >> 8) & 0xff).toByte
+        }
+      }
+      bytes
+    }
+    val sigA = 0x123456789abcdef0L
+    val sigB = 0x0fedcba987654321L
+    val media = Seq(
+      (10L, pcm(sigA)),
+      (11L, pcm(sigA, scale = 3)),            // re-leveled: same fingerprint
+      (12L, pcm(sigA ^ (1L << 5))),           // one re-leveled frame: hamming 1
+      (20L, pcm(sigB)),                       // unrelated clip
+      (40L, new Array[Byte](65 * 64 * 2)),    // silence (hash 0): no evidence
+      (41L, new Array[Byte](65 * 64 * 2)),    // -> must NOT pair
+      (50L, pcm(-1L)),                        // monotone rising fade (-1):
+      (51L, pcm(-1L))                         // the mirror, equally blind
+    ).toDF("doc_id", "media")
+    val got = Dedup.audioNearDups(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((10L, 11L), (10L, 12L), (11L, 12L)))
+  }
+
   test("sourceOverlapMatrix: pairwise shared distinct grams with per-side totals") {
     val shared = "a b c d"                    // one shared 3-gram family
     val docs = Seq(

@@ -388,6 +388,35 @@ class MultimodalSpec extends SparkSpec {
     (0 until b.length / 2).map(i =>
       (((b(2 * i + 1): Int) << 8) | (b(2 * i) & 0xff)).toShort.toInt)
 
+  test("afingerprintPcm16 recovers the planted energy-delta pattern; volume-invariant") {
+    def pcm(sig: Long, scale: Int = 1): Array[Byte] = {
+      val (frames, per) = (65, 64)
+      val bytes = new Array[Byte](frames * per * 2)
+      var a = 1000
+      for (f <- 0 until frames) {
+        if (f > 0) a += (if (((sig >>> (f - 1)) & 1L) == 1L) 10 else -10)
+        for (i <- 0 until per) {
+          val s = (if (i % 2 == 0) a else -a) * scale
+          bytes(2 * (f * per + i)) = (s & 0xff).toByte
+          bytes(2 * (f * per + i) + 1) = ((s >> 8) & 0xff).toByte
+        }
+      }
+      bytes
+    }
+    val sigs = Seq(0x5a5a5a5a5a5a5a5aL, 0x123456789abcdef0L, 1L)
+    sigs.foreach { sig =>
+      assert(Multimodal.afingerprintPcm16(1L, pcm(sig)).ahash === sig)
+      // re-leveled rendition (double volume) fingerprints identically —
+      // the point of sign-of-energy-difference: loudness scales out
+      assert(Multimodal.afingerprintPcm16(1L, pcm(sig, scale = 2)).ahash === sig)
+    }
+    // degenerates: silence -> 0; monotone rising fade -> -1; short -> 0
+    assert(Multimodal.afingerprintPcm16(1L, new Array[Byte](65 * 64 * 2)).ahash === 0L)
+    assert(Multimodal.afingerprintPcm16(1L, pcm(-1L)).ahash === -1L)
+    assert(Multimodal.afingerprintPcm16(1L, new Array[Byte](10)).ahash === 0L)
+    assert(Multimodal.afingerprintPcm16(1L, null).ahash === 0L)
+  }
+
   test("resamplePcm16: exact nearest-sample index map both directions, identity at same length") {
     val src = Seq(100, -200, 300, -32768, 32767, 7) // 6 samples
     // downsample to 3: indices 0*6/3=0, 1*6/3=2, 2*6/3=4

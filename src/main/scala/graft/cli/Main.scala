@@ -48,6 +48,7 @@ object Main {
       "       centroid-audit --corpus <parquet> --id <col> --vec <col> --label <col> --out <parquetDir>\n" +
       "       self-scrub --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--gram <n>] [--max-df <n>]\n" +
       "       dedup-spans --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--gram <n>] [--min-run <n>] [--max-df <n>] [--stats true]\n" +
+      "       span-gate-loss --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--gram <n>] [--min-run <n>] [--max-df <n>]\n" +
       "       dup-span-gate --source <parquetDir> --reference <parquet> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir> [--gram <n>] [--min-run <n>] [--max-df <n>]\n" +
       "       ingest-span-index --source <parquetDir> --id <col> --text <col> --dest <storeDir> --checkpoint <dir> [--gram <n>]\n" +
       "       serve-span-scrub --corpus <parquet> --index <storeDir> --id <col> --text <col> --out <parquetDir> [--gram <n>] [--min-run <n>] [--max-df <n>]\n" +
@@ -176,6 +177,9 @@ object Main {
   private case class DedupSpans(corpus: String, id: String, text: String,
                                 gram: Int, minRun: Int, maxDf: Int,
                                 stats: Boolean, out: String) extends Cmd
+  private case class SpanGateLossCmd(corpus: String, id: String, text: String,
+                                     gram: Int, minRun: Int, maxDf: Int,
+                                     out: String) extends Cmd
   private case class DupSpanGate(source: String, reference: String, id: String,
                                  text: String, gram: Int, minRun: Int,
                                  maxDf: Int, dest: String, table: String,
@@ -517,6 +521,17 @@ object Main {
         stats <- optBool(opts, "dedup-spans", "stats", dflt = false)
         out <- req(opts, "dedup-spans", "out")
       } yield DedupSpans(corpus, id, text, n, minRun, maxDf, stats, out)
+    case "span-gate-loss" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "span-gate-loss", "corpus")
+        id <- req(opts, "span-gate-loss", "id")
+        text <- req(opts, "span-gate-loss", "text")
+        n <- optInt(opts, "span-gate-loss", "gram", 8)
+        minRun <- optInt(opts, "span-gate-loss", "min-run", 20)
+        maxDf <- optInt(opts, "span-gate-loss", "max-df", 20)
+        out <- req(opts, "span-gate-loss", "out")
+      } yield SpanGateLossCmd(corpus, id, text, n, minRun, maxDf, out)
     case "dup-span-gate" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -1392,6 +1407,16 @@ object Main {
         else graft.dedup.Decontaminate.scrubDuplicatedSpans(
           df, id, text, n, minRun, maxDf)
       res.write.mode("overwrite").parquet(out)
+      0
+
+    case SpanGateLossCmd(corpus, id, text, n, minRun, maxDf, out) =>
+      // the df-gate divergence audit (tune --max-df from it): per doc,
+      // exact-rule vs gated covered positions + permille loss. COST
+      // WARNING (scaladoc'd): the exact arm pays the quadratic fan-out
+      // the gate avoids — run on a sample, never a full 100 TB corpus
+      graft.dedup.Decontaminate.spanGateLoss(
+          spark.read.parquet(corpus), id, text, n, minRun, maxDf)
+        .write.mode("overwrite").parquet(out)
       0
 
     case DupSpanGate(source, reference, id, text, n, minRun, maxDf,

@@ -750,10 +750,11 @@ object Main {
         order <- req(opts, "pack-windows", "order")
         text <- req(opts, "pack-windows", "text")
         window <- posInt(opts, "pack-windows", "window")
-        // 0 = plain per-group window; N > 0 = bucket-decomposed prefix sum
-        // keyed (group, order div N) — required at scale when groups are
-        // few and huge (sources), needs a NUMERIC order column
-        bucketWidth <- optInt(opts, "pack-windows", "bucket-width", 0)
+        // 0 = plain per-group window (explicit or defaulted); N > 0 =
+        // bucket-decomposed prefix sum keyed (group, order div N) —
+        // required at scale when groups are few and huge (sources),
+        // needs a NUMERIC order column
+        bucketWidth <- optIntZero(opts, "pack-windows", "bucket-width", 0)
         out <- req(opts, "pack-windows", "out")
       } yield PackWindowsCmd(corpus, group, order, text, window, bucketWidth, out)
     case "train-langid" :: rest =>
@@ -1043,6 +1044,15 @@ object Main {
     opts.get(key).fold(Right(dflt): Either[String, Int])(s =>
       s.toIntOption.filter(_ >= 1)
         .toRight(s"$cmd: --$key must be a positive int, got $s"))
+
+  /** Optional NON-NEGATIVE-int flag with a default — for options where 0
+    * is a meaningful explicit value (pack-windows' --bucket-width 0 =
+    * plain per-group window), which optInt's >= 1 rule would reject. */
+  private def optIntZero(opts: Map[String, String], cmd: String, key: String,
+                         dflt: Int): Either[String, Int] =
+    opts.get(key).fold(Right(dflt): Either[String, Int])(s =>
+      s.toIntOption.filter(_ >= 0)
+        .toRight(s"$cmd: --$key must be a non-negative int, got $s"))
 
   private def optBool(opts: Map[String, String], cmd: String, key: String,
                       dflt: Boolean): Either[String, Boolean] =
@@ -1438,20 +1448,41 @@ object Main {
       // same build-once/apply-many contract as the vocab table.
       // --byte-level true trains over the GPT-2 byte-unit alphabet
       // (nothing is ever OOV — the production default; decode pieces
-      // with ByteUnits.unitsToText)
+      // with ByteUnits.unitsToText). The training REGIME travels as a
+      // byte_level column on every row: char-level ASCII merges would
+      // still "apply" to byte units (printable bytes self-map), so a
+      // regime mismatch at encode time is plausible-looking garbage —
+      // exactly the silent-mismatch class the span-index params
+      // manifest fails closed on
       val (merges, _) =
         if (byteLevel) graft.text.TextAnalysis.byteBpeTrain(
           spark.read.parquet(corpus), text, n)
         else graft.text.TextAnalysis.bpeTrain(
           spark.read.parquet(corpus), text, n)
-      spark.createDataFrame(merges).write.mode("overwrite").parquet(out)
+      spark.createDataFrame(merges)
+        .withColumn("byte_level", org.apache.spark.sql.functions.lit(byteLevel))
+        .write.mode("overwrite").parquet(out)
       0
 
     case BpeEncodeCmd(corpus, id, text, mergesDir, byteLevel, out) =>
       // merges collect bounded by the training artifact size (the merge
       // list is the tokenizer, ~30k rows at production scale); replay
       // order restores from the persisted step column
-      val merges = spark.read.parquet(mergesDir)
+      val mergesDf = spark.read.parquet(mergesDir)
+      // fail closed on a training-regime mismatch: the artifact records
+      // which alphabet it was trained over (absent only on pre-marker
+      // artifacts, where the flag is trusted as before)
+      if (mergesDf.columns.contains("byte_level")) {
+        val trained = mergesDf.select("byte_level").distinct().collect()
+          .map(_.getBoolean(0)).toSeq
+        // an EMPTY table falls through to the dedicated error below
+        require(trained.isEmpty || trained == Seq(byteLevel),
+          s"bpe-encode: merge table under $mergesDir was trained with " +
+            s"byte_level=${trained.mkString(",")} but --byte-level is " +
+            s"$byteLevel — a regime mismatch segments plausible-looking " +
+            "garbage; re-run with the matching flag")
+      }
+      val merges = mergesDf
         .select("step", "left", "right", "cnt").collect()
         .map(r => graft.text.TextAnalysis.BpeMerge(
           r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))

@@ -212,7 +212,12 @@ object Sampling {
     * exchange key is (key, bucket) and a 10 TB source splits across its
     * buckets in parallel. `None` keeps the single per-key window — only
     * right when keys are HIGH-cardinality (doc-keyed), never for
-    * source-keyed budgets at scale.
+    * source-keyed budgets at scale. The bucketed path's single-scan
+    * exchange reuse REQUIRES a narrow input (keys + order + weight and
+    * nothing else — the keyedRunningSum contract); keep payload columns
+    * out and join them back by id, or pass `aggOffsets = true` to trade
+    * the reuse for an independent partial-aggregated offsets scan that
+    * tolerates payload (the packedWindows mode).
     *
     * PRECONDITION: weights must be non-null and non-negative — the running
     * sum skips NULLs (a null-weight row would ride free) and a negative
@@ -221,11 +226,12 @@ object Sampling {
     * coalesce or filter anything else first. */
   def tokenBudgetSample(df: DataFrame, keys: Seq[String], order: Seq[Column],
                         weightCol: String, budget: Long,
-                        bucket: Option[Column] = None): DataFrame = {
+                        bucket: Option[Column] = None,
+                        aggOffsets: Boolean = false): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     bucket match {
       case Some(b) =>
-        PrefixSum.keyedRunningSum(df, weightCol, keys, b, order)
+        PrefixSum.keyedRunningSum(df, weightCol, keys, b, order, aggOffsets)
           .filter(col(s"running_$weightCol") <= budget)
           .drop(s"running_$weightCol")
       case None =>
@@ -334,11 +340,13 @@ object Sampling {
     * routes the selection sum through [[PrefixSum.keyedRunningSum]]'s
     * bucket decomposition — sources are low-cardinality, so the plain
     * per-source window would single-task a 10 TB source (the
-    * [[tokenBudgetSample]] scale note, verbatim). */
+    * [[tokenBudgetSample]] scale note, verbatim — including its
+    * narrow-input/`aggOffsets` exchange-reuse contract). */
   def budgetMixture(df: DataFrame, sourceCol: String, orderCol: String,
                     tokensCol: String, weights: Map[String, Long],
                     budget: Long, defaultWeight: Long = 0L,
-                    bucket: Option[Column] = None): DataFrame = {
+                    bucket: Option[Column] = None,
+                    aggOffsets: Boolean = false): DataFrame = {
     require(defaultWeight >= 0, s"defaultWeight must be >= 0, got $defaultWeight")
     val per = df.groupBy(col(sourceCol))
       .agg(sum(col(tokensCol)).cast(LongType).as("__t"))
@@ -352,7 +360,7 @@ object Sampling {
     bucket match {
       case Some(b) =>
         PrefixSum.keyedRunningSum(df, tokensCol, Seq(sourceCol), b,
-            Seq(col(orderCol)))
+            Seq(col(orderCol)), aggOffsets)
           .filter(col(s"running_$tokensCol") <= allocFor)
           .drop(s"running_$tokensCol")
       case None =>

@@ -389,10 +389,15 @@ object TextAnalysis {
     * exact string-distinct count unless two distinct n-grams of one
     * document collide in 64 bits (~m²/2^65 per doc, ~1e-12 at m=10^4 —
     * the same envelope the LSH determinism bounds already accept).
-    * Null text counts 0, matching the string formulation. */
+    * Null text counts 0, matching the string formulation — via an
+    * explicit isNull arm, NOT coalesce: under Spark's default legacy
+    * sizeOfNull, size(NULL) is -1 (not NULL), so a coalesce never fires
+    * and NULL text would leak -1 into repetition ratios (the Gopher
+    * n_stop bug, same mechanism). */
   def distinctNgramCount(c: Column, n: Int): Column =
-    coalesce(size(graft.functions.HashedNgrams(
-      transform(tokens(c), t => xxhash64(t)), n)), lit(0)).cast(LongType)
+    when(c.isNull, lit(0L)).otherwise(
+      size(graft.functions.HashedNgrams(
+        transform(tokens(c), t => xxhash64(t)), n)).cast(LongType))
 
   /** Concat-and-cut sequence packing: documents are concatenated in a
     * deterministic order within each group and the token stream is cut

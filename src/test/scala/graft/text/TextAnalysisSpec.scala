@@ -80,7 +80,9 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, "a b a b a b"),       // 5 bigrams, 2 distinct -> repetitive
       (2L, "a b c d e f"),       // 5 bigrams, all distinct
       (3L, "solo"),              // no bigram
-      (4L, "")).toDF("doc_id", "text")
+      (4L, ""),
+      (5L, null.asInstanceOf[String])) // NULL counts 0 — legacy sizeOfNull
+      .toDF("doc_id", "text")            // would leak -1 through a coalesce
     val out = df.select(col("doc_id"),
         TextAnalysis.ngramCount(col("text"), 2).as("n"),
         TextAnalysis.distinctNgramCount(col("text"), 2).as("d"))
@@ -89,6 +91,7 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) === ((5L, 5L)))
     assert(out(3L) === ((0L, 0L)))
     assert(out(4L) === ((0L, 0L)))
+    assert(out(5L) === ((0L, 0L)))
   }
 
   test("packedSpans: concat-and-cut spans with per-group running offsets") {

@@ -425,6 +425,30 @@ object SparkEntry {
       .otherwise(concat(lit("f"), col("doc_id"),
         lit(s" $SpanLossH g"), col("doc_id"))).as("text"))
 
+  /** q207's planted mojibake corpus — four classes by doc_id % 4: UTF-8
+    * read as Latin-1 (must repair back to the clean constant), genuine
+    * accented text (bare 0xE9 fails strict decode — must NOT change),
+    * text with chars >= 0x100 (cannot be a Latin-1 mis-decode), and pure
+    * ASCII (no evidence). The BROKEN form is GENERATED from the clean
+    * constant by the actual encode/mis-decode composition, so the
+    * oracle's expectation comes from the construction, never from the
+    * implementation under test. Shared by the Spark build and the
+    * generated DuckDB oracle. */
+  private val MojibakeClean = "café déjà vu übermaß €99"
+  private lazy val MojibakeBroken = new String(
+    MojibakeClean.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+    java.nio.charset.StandardCharsets.ISO_8859_1)
+  private val MojibakeCurly = "it’s fine — really"
+  private val MojibakeAscii = "plain ascii filler"
+  private def mojibakePlanted(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") < 240).select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 4 === 0, lit(MojibakeBroken))
+          .when(col("doc_id") % 4 === 1, lit(MojibakeClean))
+          .when(col("doc_id") % 4 === 2, lit(MojibakeCurly))
+          .otherwise(lit(MojibakeAscii)),
+        lit(" v"), col("doc_id")).as("text"))
+
   /** q204's oracle: both arms of the q188 diagonal-run CTE chain —
     * ungated (df >= 2, Lee et al.'s exact rule) and df-gated
     * ([2, 20]) — over the generated planted corpus, joined per doc with
@@ -4412,6 +4436,25 @@ object SparkEntry {
       } finally deleteRecursively(tmp)
     }),
 
+    // q207: MOJIBAKE repair — the highest-yield ftfy rule (UTF-8 decoded
+    // as Latin-1 somewhere in a scrape: "cafÃ©" for "café"), as one
+    // codegen'd safe-inverse expression: repair ONLY when every char is
+    // Latin-1-representable AND the byte view strictly decodes as UTF-8
+    // AND at least one multi-byte sequence was consumed — genuine
+    // accented prose (bare 0xE9), curly-quote text (chars >= 0x100), and
+    // pure ASCII all pass through unchanged. The oracle's expected
+    // outputs are generated from the SAME clean constants the corpus was
+    // broken from, so the expectation derives from the construction,
+    // never the implementation
+    "q207_fix_mojibake" -> ((s, dir) => {
+      val docs = mojibakePlanted(t(s, dir, "documents"))
+      docs.select(col("doc_id"),
+          graft.functions.FixMojibake(col("text")).as("fixed"),
+          when(graft.functions.FixMojibake(col("text")) =!= col("text"), 1L)
+            .otherwise(0L).cast(LongType).as("repaired"))
+        .orderBy("doc_id")
+    }),
+
     // q206: AUDIO near-duplicate mining — the dedup story's fourth
     // modality (text q21/q38, image q115, video frames q160): PCM16
     // payloads fingerprint with the time-domain energy-delta hash
@@ -5137,6 +5180,13 @@ object SparkEntry {
     // PCM construction and the banded join cannot be expressed in SQL)
     "q206_audio_neardup" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
+    // q207: the expected outputs replay from the SAME clean/broken/
+    // passthrough constants the corpus was built from — repair expected
+    // exactly on the broken class, identity elsewhere
+    "q207_fix_mojibake" -> {
+      def sqlLit(s: String) = "'" + s.replace("'", "''") + "'"
+      s"""SELECT doc_id, CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN ${sqlLit(MojibakeClean)} WHEN 1 THEN ${sqlLit(MojibakeClean)} WHEN 2 THEN ${sqlLit(MojibakeCurly)} ELSE ${sqlLit(MojibakeAscii)} END || ' v' || CAST(doc_id AS VARCHAR) AS fixed, CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT) AS repaired FROM documents WHERE doc_id < 240 ORDER BY doc_id"""
+    },
     // q195/q196: exact counts + permille integer-div shares over the
     // full-outer bucket/category union — plain SQL in both shapes
     "q195_drift_histogram" ->

@@ -77,6 +77,8 @@ object Main {
       "       train-classifier --corpus <parquet> --id <col> --text <col> --label <col(+1/-1)> --dims <n> --rounds <n> --out <parquetDir> [--join true]\n" +
       "       score-docs --corpus <parquet> --id <col> --text <col> --weights <parquetDir> --out <parquetDir> [--join true]\n" +
       "       weighted-sample --corpus <parquet> --keys c1[,c2] --id <col> --weight <col> --k <n> --out <parquetDir> [--seed <s>]\n" +
+      "       budget-mixture --corpus <parquet> --source <col> --order <col> --tokens <col> --weights src=w[,src=w] --budget <n> --out <parquetDir> [--default-weight <n>] [--bucket-width <n>]\n" +
+      "       token-shards --corpus <parquet> --tokens <col> --order <col> --bucket-width <n> --shards <n> --out <parquetDir>\n" +
       "       encode-ids --corpus <parquet> --id <col> --text <col> --vocab <parquetDir> --out <parquetDir>\n" +
       "       encode-gate --source <parquetDir> --vocab <parquetDir> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir> [--join true]\n" +
       "       winnow --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--gram <k>] [--window <w>]\n" +
@@ -207,6 +209,14 @@ object Main {
   private case class WeightedSampleCmd(corpus: String, keys: Seq[String],
                                        id: String, weight: String, k: Int,
                                        seed: String, out: String) extends Cmd
+  private case class BudgetMixtureCmd(corpus: String, source: String,
+                                      order: String, tokens: String,
+                                      weights: Map[String, Long],
+                                      budget: Long, defaultWeight: Long,
+                                      bucketWidth: Int, out: String) extends Cmd
+  private case class TokenShardsCmd(corpus: String, tokens: String,
+                                    order: String, bucketWidth: Int,
+                                    nShards: Int, out: String) extends Cmd
   private case class GopherFilterCmd(corpus: String, id: String, text: String,
                                      out: String) extends Cmd
   private case class LineDedupCmd(corpus: String, id: String, text: String,
@@ -844,6 +854,42 @@ object Main {
         out <- req(opts, "weighted-sample", "out")
       } yield WeightedSampleCmd(corpus, keys, id, weight, k,
         opts.getOrElse("seed", "graft"), out)
+    case "budget-mixture" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "budget-mixture", "corpus")
+        source <- req(opts, "budget-mixture", "source")
+        order <- req(opts, "budget-mixture", "order")
+        tokens <- req(opts, "budget-mixture", "tokens")
+        // src=weight[,src=weight...]: integer target weights (the
+        // water-filling allocation is exact integer arithmetic)
+        weights <- req(opts, "budget-mixture", "weights").flatMap { spec =>
+          val parts = spec.split(',').toSeq.map(_.split('=').toSeq)
+          if (parts.forall(p => p.length == 2 && p(1).toLongOption.exists(_ >= 0)))
+            Right(parts.map(p => p(0) -> p(1).toLong).toMap)
+          else
+            Left(s"budget-mixture: --weights must be src=w[,src=w...] with w >= 0, got $spec")
+        }
+        budget <- req(opts, "budget-mixture", "budget").flatMap(v =>
+          v.toLongOption.filter(_ > 0)
+            .toRight(s"budget-mixture: --budget must be a positive long, got $v"))
+        defaultWeight <- opts.get("default-weight")
+          .fold(Right(0L): Either[String, Long])(v => v.toLongOption.filter(_ >= 0)
+            .toRight(s"budget-mixture: --default-weight must be >= 0, got $v"))
+        bucketWidth <- optIntZero(opts, "budget-mixture", "bucket-width", 0)
+        out <- req(opts, "budget-mixture", "out")
+      } yield BudgetMixtureCmd(corpus, source, order, tokens, weights, budget,
+        defaultWeight, bucketWidth, out)
+    case "token-shards" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "token-shards", "corpus")
+        tokens <- req(opts, "token-shards", "tokens")
+        order <- req(opts, "token-shards", "order")
+        bucketWidth <- posInt(opts, "token-shards", "bucket-width")
+        n <- posInt(opts, "token-shards", "shards")
+        out <- req(opts, "token-shards", "out")
+      } yield TokenShardsCmd(corpus, tokens, order, bucketWidth, n, out)
     case "encode-gate" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -1901,6 +1947,32 @@ object Main {
       // (seed, id, weight) — re-runs reproduce it bit-for-bit
       graft.operators.Sampling.weightedSample(spark.read.parquet(corpus),
           keys, id, org.apache.spark.sql.functions.col(weight), k, seed)
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case BudgetMixtureCmd(corpus, source, order, tokens, weights, budget,
+                          defaultWeight, bucketWidth, out) =>
+      // the water-filling mixture assembly: allocation is driver integer
+      // arithmetic on #sources rows, selection a greedy prefix per
+      // source; --bucket-width N routes the per-source running sum
+      // through the keyedRunningSum bucket decomposition (REQUIRED at
+      // scale — sources are few and huge; needs a NUMERIC order column)
+      val bucket = if (bucketWidth > 0)
+        Some(org.apache.spark.sql.functions.expr(s"`$order` div $bucketWidth"))
+      else None
+      graft.operators.Sampling.budgetMixture(spark.read.parquet(corpus),
+          source, order, tokens, weights, budget, defaultWeight, bucket)
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case TokenShardsCmd(corpus, tokens, order, bucketWidth, n, out) =>
+      // token-mass-balanced training shards; the global cumsum always
+      // runs bucket-decomposed (--bucket-width is REQUIRED: a global
+      // order has no safe single-partition fallback at any scale)
+      graft.operators.Sampling.tokenBalancedShards(spark.read.parquet(corpus),
+          tokens,
+          org.apache.spark.sql.functions.expr(s"`$order` div $bucketWidth"),
+          Seq(org.apache.spark.sql.functions.col(order)), n)
         .write.mode("overwrite").parquet(out)
       0
 

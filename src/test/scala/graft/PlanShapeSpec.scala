@@ -118,6 +118,16 @@ class PlanShapeSpec extends SparkSpec {
       s"expected map-side partial counts under the bucket exchange:\n$p")
   }
 
+  test("q207 mojibake repair is a pure narrow projection: no join, no keyed shuffle") {
+    val p = plan("q207_fix_mojibake")
+    // the repair is per-row JVM work in one codegen'd expression — only
+    // the graded orderBy's range exchange may move data
+    assert(!p.contains("Join"), s"mojibake repair must not plan a join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"mojibake repair must not shuffle by key:\n$p")
+    assert(!p.contains("UDF("), s"no Scala UDF may remain in any graded plan:\n$p")
+  }
+
   test("mixtureSample is a pure narrow filter: no exchange, no join") {
     val df = graft.operators.Sampling.mixtureSample(
       spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "source",

@@ -55,8 +55,14 @@ object Bench {
     * offsets join is fixed overhead at toy SF that buys the 100x path
     * (a plain per-source window single-tasks a 10 TB source); the old
     * floor measured a plan that deliberately no longer exists.
-    * q102/q185/q192 absorbed the same change inside their existing
-    * slack and keep their floors.
+    * q185_training_windows RE-SEEDED 0.511 -> 0.875 on the same
+    * grounds (r14 close best 1.120 / calibration 1.279): its cumsum
+    * additionally runs the aggOffsets variant — an independent
+    * partial-aggregated offsets scan, because the token-array payload
+    * breaks exchange-subtree identity — so the toy-SF cost is a second
+    * narrow scan that buys the one-heavy-exchange 100x shape.
+    * q102/q192 absorbed the same change inside their existing slack
+    * and keep their floors.
     *
     * q46_novel_docs / q140_bm25_topk flags ADJUDICATED CLOSED (r14):
     * the r13 driver run flagged both calibrated (1.74x / 1.77x at cal
@@ -162,7 +168,7 @@ object Bench {
     "q179_line_dedup" -> 0.329, "q180_wordpiece_encode" -> 0.689,
     "q181_wordpiece_train" -> 2.743, "q182_stream_wordpiece_gate" -> 1.408,
     "q183_stream_line_index" -> 1.299, "q184_tokenizer_fertility" -> 0.713,
-    "q185_training_windows" -> 0.511, "q186_stream_line_gate" -> 1.15,
+    "q185_training_windows" -> 0.875, "q186_stream_line_gate" -> 1.15,
     "q187_langid_profiles" -> 4.715, "q188_dup_span_stats" -> 1.281,
     "q189_svm_join_parity" -> 1.571, "q190_stream_dup_span_gate" -> 2.764,
     "q191_langid_unicode" -> 0.504, "q192_budget_mixture" -> 0.509,

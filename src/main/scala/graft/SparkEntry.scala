@@ -4906,15 +4906,18 @@ object SparkEntry {
     // q166, and q180
     "q184_tokenizer_fertility" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(col("text"))
+      // NULL text pins every count to 0 with an explicit isNull arm —
+      // legacy sizeOfNull makes size(NULL) -1, so a coalesce never fires
+      def sz(c: Column): Column =
+        when(col("text").isNull, lit(0L)).otherwise(size(c).cast(LongType))
       t(s, dir, "documents")
         .select(col("doc_id"),
-          coalesce(size(toks), lit(0)).cast(LongType).as("n_tokens"),
-          coalesce(size(TextAnalysis.bpeEncode(col("text"),
-            BpeFixedMerges)), lit(0)).cast(LongType).as("n_bpe"),
-          coalesce(size(graft.functions.UnigramEncode(toks, UnigramPinned,
-            Unigram.DefaultUnkScoreMilli)), lit(0)).cast(LongType).as("n_uni"),
-          coalesce(size(graft.functions.WordPieceEncode(toks, WordPiecePinned,
-            WordPiece.DefaultUnkToken, WordPieceCap)), lit(0)).cast(LongType).as("n_wp"))
+          sz(toks).as("n_tokens"),
+          sz(TextAnalysis.bpeEncode(col("text"), BpeFixedMerges)).as("n_bpe"),
+          sz(graft.functions.UnigramEncode(toks, UnigramPinned,
+            Unigram.DefaultUnkScoreMilli)).as("n_uni"),
+          sz(graft.functions.WordPieceEncode(toks, WordPiecePinned,
+            WordPiece.DefaultUnkToken, WordPieceCap)).as("n_wp"))
         .withColumn("fert_bpe_milli", when(col("n_tokens") > 0,
           expr("n_bpe * 1000 div n_tokens")).otherwise(0L))
         .withColumn("fert_uni_milli", when(col("n_tokens") > 0,

@@ -25,7 +25,11 @@ object TextAnalysis {
   def tokenSet(c: Column): Column = array_distinct(tokens(c))
 
   /** Whitespace-ish token count. */
-  def tokenCount(c: Column): Column = size(tokens(c)).cast(LongType)
+  /** NULL text counts 0 tokens via an explicit isNull arm — under
+    * Spark's default legacy sizeOfNull, size(NULL) is -1, which would
+    * poison every running sum / budget / fertility built on this. */
+  def tokenCount(c: Column): Column =
+    when(c.isNull, lit(0L)).otherwise(size(tokens(c)).cast(LongType))
 
   /** BPE-ish token estimate: ~4 chars/token, the standard envelope guess.
     * Integer-exact: floor((len+3)/4). */
@@ -511,8 +515,11 @@ object TextAnalysis {
     require(!(groupCols :+ orderCol).exists(workCols.contains),
       s"packedWindows: group/order columns ${groupCols :+ orderCol} collide " +
         "with a working/output column")
+    // NULL text reads as '' (empty token array) so it contributes no
+    // tokens and no provenance, instead of a NULL __ts whose size(-1)
+    // would desync the prefix sums (legacy sizeOfNull)
     val tokenized = df.select(groupCols.map(col) :+ col(orderCol) :+
-      tokens(col(textCol)).as("__ts"): _*)
+      tokens(coalesce(col(textCol), lit(""))).as("__ts"): _*)
     // exclusive prefix sum of per-doc token counts over the group stream:
     // inclusive running sum minus own count (the keyedRunningSum path), or
     // the plain per-group window when no bucket decomposition is requested

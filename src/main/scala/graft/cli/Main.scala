@@ -92,7 +92,7 @@ object Main {
       "       serve-bm25 --queries <parquetDir> --index <storeDir> --id <col> --k <n> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       fuse-rrf --rankings name=/dir[,name=/dir...] --doc <col> --out <parquetDir> [--k0 <n>] [--top <n>]\n" +
       "       eval-recall --got <parquetDir> --want <parquetDir> --doc <col> --k <n> --out <parquetDir>\n" +
-      "       takedown --store <storeDir> --tables t1=idCol[,t2=idCol...] --ids <parquet>\n" +
+      "       takedown --store <storeDir> --tables t1=idCol[,t2=idCol...] (--ids <parquet> | --from-tombstones true)\n" +
       "       drift --old <parquet> --new <parquet> --out <parquetDir> (--value <col> --width <n> | --category <col>)\n" +
       "       compact --dir <parquetDir> [--target-mb <n>]"
 
@@ -194,6 +194,7 @@ object Main {
                                        minRun: Int, maxDf: Int,
                                        out: String) extends Cmd
   private case class TakedownCmd(store: String, tables: Seq[(String, String)],
+                                 fromTombstones: Boolean,
                                  ids: String) extends Cmd
   private case class DriftCmd(oldDir: String, newDir: String,
                               value: Option[(String, Long)],
@@ -1066,8 +1067,15 @@ object Main {
             Left(s"takedown: --tables must be table=idCol[,table=idCol...], got $spec")
           else Right(pairs.map(p => (p(0), p(1))))
         }
-        ids <- req(opts, "takedown", "ids")
-      } yield TakedownCmd(storeDir, tables, ids)
+        fromTs <- optBool(opts, "takedown", "from-tombstones", dflt = false)
+        // exactly one id source: an explicit list, or the store's
+        // accumulated tombstone table (the deferred physical purge)
+        ids <- if (fromTs) {
+          if (opts.contains("ids"))
+            Left("takedown: pass either --ids or --from-tombstones true, not both")
+          else Right("")
+        } else req(opts, "takedown", "ids")
+      } yield TakedownCmd(storeDir, tables, fromTs, ids)
     case "compact" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -2239,17 +2247,21 @@ object Main {
       report.write.mode("overwrite").parquet(out)
       0
 
-    case TakedownCmd(storeDir, tables, ids) =>
+    case TakedownCmd(storeDir, tables, fromTombstones, ids) =>
       // one erasure list through every named table, each rewritten via
       // the store's atomic path; per-table removed counts are the audit
       // trail a takedown report needs. OFFLINE: stop streaming writers
       // first (a checkpoint replay of a pre-takedown batch re-appends —
-      // the Compaction contract)
+      // the Compaction contract). --from-tombstones true runs the
+      // DEFERRED physical purge of the online path: ids come from the
+      // store's tombstone table, which is cleared LAST and atomically
+      // (a crash mid-purge leaves tombstones intact — the at-read gate
+      // stays correct and the compaction re-runs idempotently)
       val store = new ParquetStore(spark, storeDir)
-      val list = spark.read.parquet(ids)
-      graft.sync.Takedown.purgeAll(store, tables, list).foreach {
-        case (t, n) => println(s"takedown: $t — $n rows removed")
-      }
+      val counts =
+        if (fromTombstones) graft.sync.Takedown.compactTombstones(store, tables)
+        else graft.sync.Takedown.purgeAll(store, tables, spark.read.parquet(ids))
+      counts.foreach { case (t, n) => println(s"takedown: $t — $n rows removed") }
       0
 
     case CompactCmd(d, mb) =>

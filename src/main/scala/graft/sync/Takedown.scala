@@ -131,4 +131,30 @@ object Takedown {
     tables.map { case (t, idCol) =>
       t -> purge(store, t, idCol, ids, broadcastIds)
     }
+
+  /** The DEFERRED physical purge that completes the online-tombstone
+    * lifecycle: in the next offline maintenance window (the [[purge]]
+    * contract — streaming writers to the listed tables stopped), purge
+    * every tombstoned id from `tables`, then clear the tombstone table.
+    * Clearing happens LAST and atomically: a crash at ANY earlier point
+    * leaves the tombstones intact, so the at-read gate stays correct and
+    * the compaction simply re-runs (purging an already-purged id removes
+    * zero rows — idempotent). Only after every table is physically clean
+    * does the gate's work list empty. Returns per-table removed counts;
+    * a missing/empty tombstone table compacts nothing. */
+  def compactTombstones(store: TableStore, tables: Seq[(String, String)],
+                        tombstoneTable: String = "tombstones",
+                        broadcastIds: Boolean = true): Seq[(String, Long)] =
+    store.read(tombstoneTable) match {
+      case None => tables.map { case (t, _) => t -> 0L }
+      case Some(ts) =>
+        // pin the id list: every purge below rewrites a table through a
+        // plan that reads this frame — the list must not be re-read
+        // lazily against a store in mid-rewrite
+        val ids = ts.select(col(TombstoneCol)).localCheckpoint()
+        val counts = purgeAll(store, tables, ids, broadcastIds)
+        store.writeAtomic(ids.limit(0), tombstoneTable)
+        graft.Checkpoints.release(ids)
+        counts
+    }
 }

@@ -94,6 +94,34 @@ class TakedownSpec extends SparkSpec {
     assert(served === scratch)
   }
 
+  test("compactTombstones: the deferred physical purge, serve-invariant, clears last") {
+    val docs = Seq(
+      (1L, "shared\nkeep1"), (2L, "shared\nkeep2"), (3L, "shared\nkeep3"))
+      .toDF("doc_id", "text")
+    val st = store()
+    st.write(graft.dedup.Dedup.lineIndexRows(docs, "doc_id", "text"), "lines")
+    Takedown.tombstone(st, Seq(3L).toDF("id"))
+    def serve() = graft.dedup.Dedup.lineDedupFromIndex(
+        Takedown.withoutTombstones(st.read("lines").get, "doc_id", st),
+        "doc_id", maxDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("text_clean")).toMap
+    val before = serve()
+    val counts = Takedown.compactTombstones(st, Seq(("lines", "doc_id")))
+    assert(counts === Seq(("lines", 2L)))   // doc 3's two index rows
+    // the physical purge changes NOTHING a reader can see: the at-read
+    // gate already hid these rows — only the storage is reclaimed
+    assert(serve() === before)
+    assert(st.read("lines").get.filter($"doc_id" === 3L).count() === 0L)
+    // the tombstone table cleared (LAST), so the gate's work list is empty
+    assert(st.read("tombstones").get.count() === 0L)
+    // idempotent: a re-run purges zero rows and stays clean
+    assert(Takedown.compactTombstones(st, Seq(("lines", "doc_id")))
+      === Seq(("lines", 0L)))
+    // a store with no tombstone table compacts nothing
+    assert(Takedown.compactTombstones(store(), Seq(("t", "id")))
+      === Seq(("t", 0L)))
+  }
+
   test("purgeAll propagates one list through every table of the pipeline") {
     val st = store()
     st.write(Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text"), "corpus")

@@ -4625,11 +4625,17 @@ object SparkEntry {
       val parity = applied.join(want, Seq("__w"), "full_outer")
         .agg(violations(col("__ap").isNull || col("__tr").isNull ||
           col("__ap") =!= col("__tr")).as("v")).head.getLong(0)
-      // lossless round-trip: pieces concatenate to the unit mapping of
-      // the whitespace-stripped text on EVERY document
+      // lossless round-trip BOTH ways on EVERY document: pieces
+      // concatenate to the unit mapping of the whitespace-stripped text,
+      // and the codegen'd DECODE of that concatenation recovers the
+      // stripped original bytes exactly (the inverse expression is part
+      // of the graded surface, not just a test helper)
+      val enc = concat_ws("", TextAnalysis.byteBpeEncode(col("text"), merges))
+      val stripped = regexp_replace(col("text"), "\\s+", "")
       val roundTrip = docs.agg(violations(
-          concat_ws("", TextAnalysis.byteBpeEncode(col("text"), merges)) =!=
-            graft.functions.ByteUnits(regexp_replace(col("text"), "\\s+", "")))
+          enc =!= graft.functions.ByteUnits(stripped) ||
+            graft.functions.ByteUnitsDecode(enc).isNull ||
+            graft.functions.ByteUnitsDecode(enc) =!= stripped)
           .as("v")).head.getLong(0)
       val emptyViolation = if (merges.size == nMerges) 0L else 1L
       s.range(1).select(

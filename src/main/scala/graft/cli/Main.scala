@@ -49,6 +49,7 @@ object Main {
       "       self-scrub --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--gram <n>] [--max-df <n>]\n" +
       "       dedup-spans --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--gram <n>] [--min-run <n>] [--max-df <n>] [--stats true]\n" +
       "       span-gate-loss --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--gram <n>] [--min-run <n>] [--max-df <n>]\n" +
+      "       fix-mojibake --corpus <parquet> --id <col> --text <col> --out <parquetDir>\n" +
       "       dup-span-gate --source <parquetDir> --reference <parquet> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir> [--gram <n>] [--min-run <n>] [--max-df <n>]\n" +
       "       ingest-span-index --source <parquetDir> --id <col> --text <col> --dest <storeDir> --checkpoint <dir> [--gram <n>]\n" +
       "       serve-span-scrub --corpus <parquet> --index <storeDir> --id <col> --text <col> --out <parquetDir> [--gram <n>] [--min-run <n>] [--max-df <n>]\n" +
@@ -179,6 +180,8 @@ object Main {
   private case class DedupSpans(corpus: String, id: String, text: String,
                                 gram: Int, minRun: Int, maxDf: Int,
                                 stats: Boolean, out: String) extends Cmd
+  private case class FixMojibakeCmd(corpus: String, id: String, text: String,
+                                    out: String) extends Cmd
   private case class SpanGateLossCmd(corpus: String, id: String, text: String,
                                      gram: Int, minRun: Int, maxDf: Int,
                                      out: String) extends Cmd
@@ -532,6 +535,14 @@ object Main {
         stats <- optBool(opts, "dedup-spans", "stats", dflt = false)
         out <- req(opts, "dedup-spans", "out")
       } yield DedupSpans(corpus, id, text, n, minRun, maxDf, stats, out)
+    case "fix-mojibake" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "fix-mojibake", "corpus")
+        id <- req(opts, "fix-mojibake", "id")
+        text <- req(opts, "fix-mojibake", "text")
+        out <- req(opts, "fix-mojibake", "out")
+      } yield FixMojibakeCmd(corpus, id, text, out)
     case "span-gate-loss" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -1471,6 +1482,21 @@ object Main {
         else graft.dedup.Decontaminate.scrubDuplicatedSpans(
           df, id, text, n, minRun, maxDf)
       res.write.mode("overwrite").parquet(out)
+      0
+
+    case FixMojibakeCmd(corpus, id, text, out) =>
+      // the ftfy repair pass: (id, fixed, repaired) — safe by
+      // construction (strict-decode inverse; genuine accented prose,
+      // chars >= 0x100, and pure ASCII pass through), so it runs
+      // unconditionally ahead of quality filters; `repaired` is the
+      // audit column curation dashboards sum
+      import org.apache.spark.sql.functions.{col => c, when => w, lit => l}
+      spark.read.parquet(corpus)
+        .select(c(id),
+          graft.functions.FixMojibake(c(text)).as("fixed"),
+          w(graft.functions.FixMojibake(c(text)) =!= c(text), 1L)
+            .otherwise(0L).as("repaired"))
+        .write.mode("overwrite").parquet(out)
       0
 
     case SpanGateLossCmd(corpus, id, text, n, minRun, maxDf, out) =>

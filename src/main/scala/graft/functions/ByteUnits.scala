@@ -54,6 +54,46 @@ case class ByteUnits(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The inverse of [[ByteUnits]] — decode a unit string back to the text
+  * whose UTF-8 bytes it re-expressed. The pipeline-side twin of the
+  * test helper [[ByteUnits.unitsToText]]: a pipeline that materialized
+  * byte-level BPE pieces (unit strings) renders them human-readable
+  * again by concatenating and decoding. Fail-NULL, not fail-throw: a
+  * char that is not a byte unit, or a byte sequence that is not valid
+  * UTF-8, yields NULL (an executor-side exception would kill the task
+  * for one malformed row — the decode feeds reports, not gates). */
+case class ByteUnitsDecode(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ByteUnitsDecode expects string, got $t")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ByteUnits.fromUnits(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      s"""${ev.value} = graft.functions.ByteUnits.fromUnits($s);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ByteUnitsDecode {
+  def apply(c: Column): Column =
+    GraftColumnBridge.column(ByteUnitsDecode(GraftColumnBridge.expression(c)))
+}
+
 object ByteUnits {
 
   def apply(c: Column): Column =
@@ -89,6 +129,25 @@ object ByteUnits {
       i += 1
     }
     UTF8String.fromString(new String(out))
+  }
+
+  /** Shared eval/codegen core of [[ByteUnitsDecode]]: decode, or null on
+    * a non-unit char or a byte sequence that is not valid UTF-8 (such a
+    * string did not come from [[toUnits]]). */
+  def fromUnits(units: UTF8String): UTF8String = {
+    val u = units.toString
+    val bytes = new Array[Byte](u.length)
+    var i = 0
+    while (i < u.length) {
+      val b = UnitToByte.getOrElse(u.charAt(i), -1)
+      if (b < 0) return null
+      bytes(i) = b.toByte
+      i += 1
+    }
+    // strict decode: malformed input must yield NULL, not U+FFFD noise
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+    try UTF8String.fromString(dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+    catch { case _: java.nio.charset.CharacterCodingException => null }
   }
 
   /** Decode a unit string back to the original text — the test-side

@@ -50,6 +50,8 @@ object Main {
       "       dedup-spans --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--gram <n>] [--min-run <n>] [--max-df <n>] [--stats true]\n" +
       "       span-gate-loss --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--gram <n>] [--min-run <n>] [--max-df <n>]\n" +
       "       fix-mojibake --corpus <parquet> --id <col> --text <col> --out <parquetDir>\n" +
+      "       data-card --corpus <parquet> --group <col> --id <col> --text <col> --out <parquetDir>\n" +
+      "       source-overlap --corpus <parquet> --source <col> --text <col> --out <parquetDir> [--gram <n>]\n" +
       "       dup-span-gate --source <parquetDir> --reference <parquet> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir> [--gram <n>] [--min-run <n>] [--max-df <n>]\n" +
       "       ingest-span-index --source <parquetDir> --id <col> --text <col> --dest <storeDir> --checkpoint <dir> [--gram <n>]\n" +
       "       serve-span-scrub --corpus <parquet> --index <storeDir> --id <col> --text <col> --out <parquetDir> [--gram <n>] [--min-run <n>] [--max-df <n>]\n" +
@@ -182,6 +184,11 @@ object Main {
                                 stats: Boolean, out: String) extends Cmd
   private case class FixMojibakeCmd(corpus: String, id: String, text: String,
                                     out: String) extends Cmd
+  private case class DataCardCmd(corpus: String, group: String, id: String,
+                                 text: String, out: String) extends Cmd
+  private case class SourceOverlapCmd(corpus: String, source: String,
+                                      text: String, gram: Int,
+                                      out: String) extends Cmd
   private case class SpanGateLossCmd(corpus: String, id: String, text: String,
                                      gram: Int, minRun: Int, maxDf: Int,
                                      out: String) extends Cmd
@@ -543,6 +550,24 @@ object Main {
         text <- req(opts, "fix-mojibake", "text")
         out <- req(opts, "fix-mojibake", "out")
       } yield FixMojibakeCmd(corpus, id, text, out)
+    case "data-card" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "data-card", "corpus")
+        group <- req(opts, "data-card", "group")
+        id <- req(opts, "data-card", "id")
+        text <- req(opts, "data-card", "text")
+        out <- req(opts, "data-card", "out")
+      } yield DataCardCmd(corpus, group, id, text, out)
+    case "source-overlap" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "source-overlap", "corpus")
+        source <- req(opts, "source-overlap", "source")
+        text <- req(opts, "source-overlap", "text")
+        gram <- optInt(opts, "source-overlap", "gram", 8)
+        out <- req(opts, "source-overlap", "out")
+      } yield SourceOverlapCmd(corpus, source, text, gram, out)
     case "span-gate-loss" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -1482,6 +1507,24 @@ object Main {
         else graft.dedup.Decontaminate.scrubDuplicatedSpans(
           df, id, text, n, minRun, maxDf)
       res.write.mode("overwrite").parquet(out)
+      0
+
+    case DataCardCmd(corpus, group, id, text, out) =>
+      // the per-source datasheet row a corpus release publishes:
+      // doc/token/vocab counts, milli mean length, permille TTR — one
+      // posexplode_outer pass, #groups-sized output
+      graft.text.TextAnalysis.dataCard(spark.read.parquet(corpus),
+          group, id, text)
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case SourceOverlapCmd(corpus, source, text, gram, out) =>
+      // the corpus-composition audit before mixture weighting: per
+      // source pair, shared distinct k-gram counts, per-side totals,
+      // and containment permille ("82% of src3 also appears in src7")
+      graft.dedup.Dedup.sourceOverlapMatrix(spark.read.parquet(corpus),
+          source, text, gram)
+        .write.mode("overwrite").parquet(out)
       0
 
     case FixMojibakeCmd(corpus, id, text, out) =>

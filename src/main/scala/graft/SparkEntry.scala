@@ -1523,12 +1523,16 @@ object SparkEntry {
     }),
 
     // quantile-stratified sampling: rank docs into 4 length quartiles
-    // (ntile over a TOTAL order — bit-stable membership) and keep the
-    // first 10 of each, sampling the whole length distribution instead of
-    // its head
+    // (exact SQL-ntile membership — bit-stable) and keep the first 10 of
+    // each, sampling the whole length distribution instead of its head.
+    // The rank runs bucket-decomposed (n_chars div 8 is order-consistent
+    // with the (n_chars, doc_id) order — the PrefixSum contract): per-
+    // bucket parallel windows + a |buckets|-sized offsets broadcast,
+    // never a SinglePartition global sort (the q153/q162 discipline)
     "q69_strata_sample" -> ((s, dir) =>
       Sampling.strataSample(t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
-          order = Seq(col("n_chars"), col("doc_id")), nStrata = 4, perStratum = 10)
+          order = Seq(col("n_chars"), col("doc_id")), nStrata = 4, perStratum = 10,
+          bucket = Some(expr("n_chars div 8")))
         .select(col("doc_id"), col("n_chars"), col("stratum"))
         .orderBy("doc_id")),
 
@@ -4589,8 +4593,8 @@ object SparkEntry {
       }
       val mergeViolations =
         if (merges.map(m => (m.left, m.right, m.cnt)) != refMerges.toSeq) 1L else 0L
-      val refFinal = syms.map { case (v, _) => v.mkString(" ") }.toSet
-      val gotFinal = words.select(concat_ws(" ", col("__syms"))).collect()
+      val refFinal = syms.map { case (v, _) => v.mkString("\u0000") }.toSet
+      val gotFinal = words.select(concat_ws("\u0000", col("__syms"))).collect()
         .map(_.getString(0)).toSet
       val symViolations = if (gotFinal != refFinal) 1L else 0L
       val emptyViolation = if (merges.size != nMerges) 1L else 0L

@@ -93,28 +93,74 @@ object Sampling {
     * engine-portable), then keep the first `perStratum` rows of each
     * stratum by the same order. The "sample uniformly across the length
     * distribution" curation step — a plain `LIMIT k` would sample only the
-    * head of the distribution. The plan carries TWO Window operators
-    * (global ntile, then per-stratum row_number) but only one exchange:
-    * the ntile's SinglePartition distribution satisfies the stratum
-    * window's clustering requirement, so the second window rides the
-    * same partition without a reshuffle.
+    * head of the distribution.
     *
-    * Scale note: ntile over a GLOBAL order funnels the ranking through one
-    * partition — correct but serial at 100 TB (the same trade q29's
-    * running sum documents). For cluster-scale strata, bucket by
-    * approx_percentile boundaries instead (two narrow passes, no global
-    * sort); this exact-rank form is for corpus-profile-grade outputs where
-    * bit-stable stratum membership is the point. */
+    * With `bucket` (an expression order-consistent with `order` — the
+    * [[PrefixSum]] contract), BOTH windows of the naive formulation
+    * disappear into the bucket decomposition: the exact global rank is
+    * the inclusive running COUNT over the total order
+    * ([[PrefixSum.globalRunningSum]] of a ones column — one (bucket)-keyed
+    * exchange, per-bucket parallel windows, a |buckets|-sized broadcast of
+    * exclusive offsets), and because SQL ntile strata are contiguous RANK
+    * RANGES, both the stratum id and the within-stratum row number are
+    * pure integer expressions of (rank, total): with q = n div k,
+    * rem = n mod k, cut = rem·(q+1),
+    *   stratum = rank <= cut ? (rank-1) div (q+1) + 1
+    *                         : rem + (rank-cut-1) div q + 1
+    *   start(stratum) = stratum <= rem ? (stratum-1)·(q+1) + 1
+    *                                   : cut + (stratum-rem-1)·q + 1
+    * and a row survives iff rank < start + perStratum. The per-stratum
+    * row_number window of the naive plan — nStrata is SMALL, so it
+    * funnels each stratum through one task — is gone entirely; the only
+    * extra cost is one narrow partial-aggregated count() for n. All
+    * arithmetic is exact integer math on longs: membership is bit-stable
+    * and engine-portable (graded against DuckDB's own ntile — q69).
+    *
+    * `None` keeps the single-window exact form: ntile over a global order
+    * funnels the ranking through one partition — only right at
+    * profile/report scale, never for corpus-sized inputs.
+    *
+    * The bucketed path's single-scan exchange reuse REQUIRES a narrow
+    * input (every column participates in `order` — the
+    * [[PrefixSum.keyedRunningSum]] contract); project first and join
+    * payload back by id. */
   def strataSample(df: DataFrame, order: Seq[Column], nStrata: Int,
-                   perStratum: Int, stratumCol: String = "stratum"): DataFrame = {
+                   perStratum: Int, stratumCol: String = "stratum",
+                   bucket: Option[Column] = None): DataFrame = {
     require(nStrata > 0 && perStratum > 0,
       s"need nStrata > 0 and perStratum > 0, got $nStrata/$perStratum")
-    val w = Window.orderBy(order: _*)
-    df.withColumn(stratumCol, ntile(nStrata).over(w).cast("long"))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col(stratumCol)).orderBy(order: _*)))
-      .filter(col("__rn") <= perStratum)
-      .drop("__rn")
+    bucket match {
+      case Some(b) =>
+        val reserved = Seq("__one", "__rank", stratumCol)
+        val clash = df.columns.toSeq.intersect(reserved)
+        require(clash.isEmpty,
+          s"strataSample: input columns ${clash.mkString(", ")} collide with " +
+            "internal/output names — rename them first")
+        val n = df.count()
+        val k = nStrata.toLong
+        val q = n / k
+        val rem = n % k
+        val cut = rem * (q + 1)
+        // q = 0 (n < k) makes the ELSE branches unreachable (cut = n covers
+        // every rank) — max(q, 1) keeps the constant-side divisor nonzero
+        val qSafe = math.max(q, 1L)
+        PrefixSum.globalRunningSum(df.withColumn("__one", lit(1L)), "__one", b, order)
+          .withColumnRenamed("running___one", "__rank")
+          .withColumn(stratumCol, expr(
+            s"CAST(CASE WHEN __rank <= $cut THEN (__rank - 1) div ${q + 1} + 1 " +
+              s"ELSE $rem + (__rank - $cut - 1) div $qSafe + 1 END AS BIGINT)"))
+          .filter(expr(
+            s"__rank < (CASE WHEN `$stratumCol` <= $rem THEN (`$stratumCol` - 1) * ${q + 1} + 1 " +
+              s"ELSE $cut + (`$stratumCol` - $rem - 1) * $qSafe + 1 END) + $perStratum"))
+          .drop("__one", "__rank")
+      case None =>
+        val w = Window.orderBy(order: _*)
+        df.withColumn(stratumCol, ntile(nStrata).over(w).cast("long"))
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col(stratumCol)).orderBy(order: _*)))
+          .filter(col("__rn") <= perStratum)
+          .drop("__rn")
+    }
   }
 
   /** Data-mixture sampling: keep each row with its source's rate — the

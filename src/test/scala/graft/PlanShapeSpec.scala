@@ -567,6 +567,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(!finalSection.contains("SortMergeJoin"), p)
   }
 
+  test("q69 strata sample: bucket-decomposed exact rank, no per-stratum window, no global sort") {
+    val df = SparkEntry.queries("q69_strata_sample")(spark, dir)
+    df.collect() // AQE materializes exchange reuse only in the FINAL plan
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    // the ranking window is PARTITIONED per bucket (parallel); the naive
+    // plan's global-ntile and per-stratum row_number windows — both
+    // SinglePartition or nStrata-keyed funnels — must not exist: stratum
+    // and within-stratum rank are integer expressions of the global rank
+    assert("windowspecdefinition\\(__b".r.findFirstIn(finalSection).isDefined,
+      s"ranking window must partition by the bucket:\n$finalSection")
+    assert(!finalSection.contains("ntile"),
+      s"stratum must derive from the exact rank, not a global ntile:\n$finalSection")
+    // the only unpartitioned stage is the offsets branch over the
+    // ~|buckets| representatives (bounded — the q153 shape): any
+    // SinglePartition exchange must sit BELOW the reused bucket exchange's
+    // citation, i.e. inside the offsets branch, never on the data path
+    val reuseIdx = finalSection.indexOf("ReusedExchange")
+    val spIdx = finalSection.indexOf("Exchange SinglePartition, ENSURE")
+    assert(spIdx < 0 || (reuseIdx >= 0 && spIdx < reuseIdx &&
+        finalSection.indexOf("BroadcastExchange") < spIdx),
+      s"a SinglePartition exchange may only rank the offsets representatives:\n$finalSection")
+    // offsets branch reuses the single materialized bucket exchange
+    // (the q153 discipline)
+    assert("ReusedExchange.*hashpartitioning\\(__b".r.findFirstIn(finalSection).isDefined,
+      s"offsets branch must reuse the bucket exchange:\n$finalSection")
+    assert("\\+- Exchange hashpartitioning\\(__b".r.findAllIn(finalSection).size === 1,
+      s"expected ONE materialized bucket exchange:\n$finalSection")
+    assert(finalSection.contains("BroadcastHashJoin"), s"offset join must broadcast:\n$p")
+    assert(!finalSection.contains("SortMergeJoin"), p)
+  }
+
   test("q106 sharded shuffle: offsets branch reuses the single corpus exchange") {
     val df = SparkEntry.queries("q106_shard_shuffle")(spark, dir)
     df.collect()

@@ -90,6 +90,23 @@ class SamplingSpec extends SparkSpec {
       1L -> (1L to 5L), 2L -> (26L to 30L), 3L -> (51L to 55L), 4L -> (76L to 80L)))
   }
 
+  test("strataSample bucketed path is row-identical to the window form") {
+    // the bucket-decomposed exact rank + integer ntile/start formulas must
+    // reproduce SQL ntile membership AND the per-stratum cap bit-exactly,
+    // across remainder shapes (n mod k != 0), n < k, and a skewed bucket
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    for ((n, k, cap) <- Seq((10, 4, 10), (100, 4, 5), (3, 7, 2), (97, 5, 3))) {
+      // len div 300 is order-consistent with (len, id) and skewed: low ids
+      // crowd one bucket, so bucket boundaries cut strata mid-range
+      val df = (1L to n.toLong).map(i => (i, i * 100L)).toDF("id", "len")
+      val window = Sampling.strataSample(df, Seq(col("len"), col("id")), k, cap)
+      val bucketed = Sampling.strataSample(df, Seq(col("len"), col("id")), k, cap,
+        bucket = Some(expr("len div 300")))
+      assert(rows(bucketed) === rows(window), s"n=$n k=$k cap=$cap")
+    }
+  }
+
   test("tokenBudgetSample: inclusive running total, never overshoots, no partial rows") {
     val df = Seq(
       ("a", 1L, 40L), ("a", 2L, 50L), ("a", 3L, 20L), ("a", 4L, 5L),

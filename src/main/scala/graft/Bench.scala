@@ -228,6 +228,24 @@ object Bench {
     * q151/q158 shape), and q187 trains AND classifies in one lambda
     * (two corpus-wide explodes + a checkpoint between them — its r12
     * cold/warm spread was 7.40/6.18 on one plan). */
+  /** q113/q165 r14 calibrated flags ADJUDICATED (r15, the two-re-measure
+    * protocol): q113_ivf_knn_parity measured 1.02x and 1.09x CALIBRATED
+    * across two targeted sf0.1 re-measures (2.02/2.01 raw at canary
+    * calibrations 1.60/1.49) — elevation tracks calibration 1:1, the
+    * q46/q96 load-noise signature; floor kept, flag closed.
+    * q165_unigram_train does NOT track calibration: 1.37/1.37 raw
+    * (1.57x/1.68x calibrated) on the same runs, 1.25 SOLO on a quiet box
+    * (load 0.99), vs 0.805 at the r14 close bench HOURS earlier on the
+    * SAME code, data, and machine — bimodal 0.80<->1.37 on an identical
+    * plan, exactly the q150 precedent ("1.09 and 1.53 best-of-two on an
+    * identical plan"). Cause: unigramTrain is a driver-side hard-EM LOOP
+    * (per-round jobs over a localCheckpoint'd word table,
+    * text/Unigram.scala:97) whose toy-SF cost is dominated by per-round
+    * scheduling + checkpoint latency — fixed costs the single-job
+    * canaries cannot calibrate. Tagged HighVariance on the q150/q181
+    * driver-loop precedent WITH this measured cause; the 2x bound still
+    * catches a real blow-up (the observed spread tops out at 1.7x of
+    * floor before calibration). */
   private val HighVariance = Set("q33_dedup_canonical",
     "q64_dedup_keep_best", "q89_cc_deep_chain", "q111_entity_resolution",
     "q132_leakage_safe_split", "q150_bpe_train",
@@ -235,6 +253,9 @@ object Bench {
     "q161_overlap_snapshot", "q181_wordpiece_train",
     "q183_stream_line_index", "q186_stream_line_gate",
     "q187_langid_profiles",
+    // r15 adjudication (see the scaladoc above): the unigram hard-EM
+    // driver loop, bimodal on an identical plan, non-calibration-tracking
+    "q165_unigram_train",
     // round-13 newcomers, tagged BEFORE their floors land next round
     // (the q132 precedent), all micro-batch/multi-job harnesses:
     // q190 two-batch streaming scrub gate, q193 two-batch index ingest
@@ -251,7 +272,15 @@ object Bench {
     // brute-force/parity gate — the q150/q181 shape; q205 is the q201
     // two-ingest-round tombstone harness on the span index
     "q201_online_takedown", "q202_byte_bpe_train", "q203_byte_bpe_encode",
-    "q205_takedown_span_index")
+    "q205_takedown_span_index",
+    // round-15 newcomers, tagged BEFORE their floors land (q132
+    // precedent), all multi-micro-batch/multi-job harnesses: q208 is a
+    // two-batch tokenizer gate (the q170/q182 shape), q209/q210 run
+    // probe-then-append dedup ingest across two batches plus two
+    // full-outer parity arms, q211 is the q201 two-ingest-round
+    // tombstone harness plus a second arrival-serving stream
+    "q208_stream_bpe_gate", "q209_stream_image_dedup",
+    "q210_stream_audio_dedup", "q211_takedown_band_index")
 
   /** Machine calibration canaries: stable, mid-weight queries spanning the
     * engine's plan shapes (pushed scan, window, LSH join, stream, fill).

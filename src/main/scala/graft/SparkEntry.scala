@@ -50,6 +50,15 @@ object SparkEntry {
       .distinct()
   }
 
+  /** The q208 pinned byte-BPE merge list — training-run constants (the
+    * UnigramPinned convention): each merge provably fires on the
+    * byte-planted corpus (Ã+© is é's two byte units — café/résumé; the
+    * f+Ã© chain consumes a PRIOR merge's output; a+i / t+ai / l+ai fire
+    * in tail/plain), so the gate-vs-batch parity is never vacuous. */
+  private val BytePinnedMerges: Seq[(Int, String, String)] = Seq(
+    (0, "Ã", "©"), (1, "f", "Ã©"),
+    (2, "a", "i"), (3, "t", "ai"), (4, "l", "ai"))
+
   /** The q166 pinned unigram piece table (piece -> integer milli-log-prob)
     * — hand-set scores, IDENTICAL literals in the DuckDB oracle's CASE, so
     * the graded quantity is the Viterbi DP itself, not a cross-engine ln()
@@ -400,6 +409,114 @@ object SparkEntry {
       lit("café naïve übermaß €99 ok😂 "),
       when(col("doc_id") % 3 === 0, lit("résumé ")).otherwise(lit("")),
       lit("plain tail v"), col("doc_id") % 7).as("text"))
+
+  /** splitmix64 — the per-group signature generator behind the planted
+    * image/audio near-dup corpora (deterministic, uniform — cross-group
+    * Hamming concentrates at 32, P(<=3) ~ 2e-15). */
+  private def splitmix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** q115/q209's planted image corpus: per id-pair group, a 9x8 PNG whose
+    * row-wise gray walk encodes a splitmix signature; the odd member
+    * flips bits 3 and 40 (bands 0 and 2 of the maxHamming=3 split — bands
+    * 1 and 3 still agree), so exactly the (2i, 2i+1) pairs are dHash
+    * near-dups. Shared by the batch miner (q115) and the streaming
+    * ingest gate (q209) so both grade against the same construction. */
+  private def plantedImageMedia(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    docs.as[Long].mapPartitions { it =>
+      it.map { id =>
+        var sig = splitmix64(id / 2)
+        // flipping a signature bit shifts the tail of that row's gray
+        // walk by a constant, so every OTHER gradient sign is preserved:
+        // the planted dHash is exactly sig
+        if (id % 2 == 1) sig ^= (1L << 3) | (1L << 40)
+        val img = new java.awt.image.BufferedImage(9, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 8) {
+          var g = 128
+          img.setRGB(0, y, g * 0x010101) // r=g=b: TYPE_INT_RGB roundtrips exactly
+          var x = 0
+          while (x < 8) {
+            g += (if (((sig >>> (y * 8 + x)) & 1L) == 1L) 10 else -10)
+            img.setRGB(x + 1, y, g * 0x010101)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Multimodal.MediaRecord(id, bos.toByteArray)
+      }
+    }.toDF()
+  }
+
+  /** q206/q210's planted PCM16 corpus: per id-pair group, a 65-frame
+    * amplitude walk encoding a splitmix signature (the odd member
+    * re-levels two frames — bits 3 and 40, bands 0 and 2), so exactly
+    * the (2i, 2i+1) pairs are fingerprint near-dups; ids 500-509 plant
+    * the degenerate negative controls (silence -> hash 0, monotone
+    * rising fade -> hash -1) that must never pair. Shared by the batch
+    * miner (q206) and the streaming ingest gate (q210). */
+  private def plantedAudioMedia(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    docs.as[Long].mapPartitions { it =>
+      it.map { id =>
+        if (id >= 500 && id < 510) {
+          val frames = 65; val per = 64
+          val bytes = new Array[Byte](frames * per * 2)
+          if (id % 2 == 1) {
+            var f = 0
+            while (f < frames) {
+              val a = 100 + f * 10
+              var i = 0
+              while (i < per) {
+                val s0 = if (i % 2 == 0) a else -a
+                bytes(2 * (f * per + i)) = (s0 & 0xff).toByte
+                bytes(2 * (f * per + i) + 1) = ((s0 >> 8) & 0xff).toByte
+                i += 1
+              }
+              f += 1
+            }
+          }
+          Multimodal.MediaRecord(id, bytes)
+        } else {
+          var sig = splitmix64(id / 2)
+          if (id % 2 == 1) sig ^= (1L << 3) | (1L << 40)
+          val frames = 65; val per = 64
+          val bytes = new Array[Byte](frames * per * 2)
+          var a = 1000
+          var f = 0
+          while (f < frames) {
+            if (f > 0) a += (if (((sig >>> (f - 1)) & 1L) == 1L) 10 else -10)
+            var i = 0
+            while (i < per) {
+              val s0 = if (i % 2 == 0) a else -a
+              bytes(2 * (f * per + i)) = (s0 & 0xff).toByte
+              bytes(2 * (f * per + i) + 1) = ((s0 >> 8) & 0xff).toByte
+              i += 1
+            }
+            f += 1
+          }
+          Multimodal.MediaRecord(id, bytes)
+        }
+      }
+    }.toDF()
+  }
+
+  /** The planted (2i, 2i+1) pair expectation shared by the image/audio
+    * near-dup queries — groups with both members present (excluding the
+    * audio degenerate controls via a caller-side filter). */
+  private def plantedPairExpectation(docs: DataFrame): DataFrame =
+    docs.groupBy(expr("doc_id div 2").as("g"))
+      .agg(count(lit(1)).as("n"), min("doc_id").as("id_a"), max("doc_id").as("id_b"))
+      .filter(col("n") === 2)
+      .select("id_a", "id_b")
 
   /** q204's planted hot-gram-crossing span corpus — the three loss
     * classes of the ExactSubstr df gate, by construction: H is a 24-token
@@ -2045,49 +2162,10 @@ object SparkEntry {
     // the gate is exact-set equality: a constant/broken hash floods false
     // pairs, a noisy hash loses twins — both count as violations
     "q115_image_neardup" -> ((s, dir) => {
-      import s.implicits._
       val docs = t(s, dir, "documents").select(col("doc_id").cast(LongType).as("doc_id"))
-      val media = docs.as[Long].mapPartitions { it =>
-        // splitmix64: the per-group signature generator (deterministic,
-        // uniform — cross-group Hamming concentrates at 32, P(<=3) ~ 2e-15)
-        def mix(z0: Long): Long = {
-          var z = z0 + 0x9e3779b97f4a7c15L
-          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-          z ^ (z >>> 31)
-        }
-        it.map { id =>
-          var sig = mix(id / 2)
-          // flipping a signature bit shifts the tail of that row's gray
-          // walk by a constant, so every OTHER gradient sign is preserved:
-          // the planted dHash is exactly sig (bits 3 and 40 sit in bands 0
-          // and 2 of the maxHamming=3 split; bands 1 and 3 still agree)
-          if (id % 2 == 1) sig ^= (1L << 3) | (1L << 40)
-          val img = new java.awt.image.BufferedImage(9, 8,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < 8) {
-            var g = 128
-            img.setRGB(0, y, g * 0x010101) // r=g=b: TYPE_INT_RGB roundtrips exactly
-            var x = 0
-            while (x < 8) {
-              g += (if (((sig >>> (y * 8 + x)) & 1L) == 1L) 10 else -10)
-              img.setRGB(x + 1, y, g * 0x010101)
-              x += 1
-            }
-            y += 1
-          }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
-          Multimodal.MediaRecord(id, bos.toByteArray)
-        }
-      }.toDF()
+      val media = plantedImageMedia(s, docs)
       val pairs = Dedup.imageNearDups(media, maxHamming = 3)
-      val expected = docs
-        .groupBy(expr("doc_id div 2").as("g"))
-        .agg(count(lit(1)).as("n"), min("doc_id").as("id_a"), max("doc_id").as("id_b"))
-        .filter(col("n") === 2)
-        .select("id_a", "id_b")
+      val expected = plantedPairExpectation(docs)
       expected.withColumn("__e", lit(1))
         .join(pairs.withColumn("__f", lit(1)), Seq("id_a", "id_b"), "full_outer")
         .agg(violations(col("__e").isNull || col("__f").isNull))
@@ -4470,64 +4548,11 @@ object SparkEntry {
     // (2i, 2i+1) pairs must emit; silence and monotone fades are planted
     // as the degenerate negative controls
     "q206_audio_neardup" -> ((s, dir) => {
-      import s.implicits._
       val docs = t(s, dir, "documents").select(col("doc_id").cast(LongType).as("doc_id"))
-      val media = docs.as[Long].mapPartitions { it =>
-        def mix(z0: Long): Long = {
-          var z = z0 + 0x9e3779b97f4a7c15L
-          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-          z ^ (z >>> 31)
-        }
-        it.map { id =>
-          if (id >= 500 && id < 510) {
-            // degenerate controls: silence (all-zero PCM -> hash 0) and a
-            // monotone rising fade (hash -1) — both must NOT pair
-            val frames = 65; val per = 64
-            val bytes = new Array[Byte](frames * per * 2)
-            if (id % 2 == 1) {
-              var f = 0
-              while (f < frames) {
-                val a = 100 + f * 10
-                var i = 0
-                while (i < per) {
-                  val s0 = if (i % 2 == 0) a else -a
-                  bytes(2 * (f * per + i)) = (s0 & 0xff).toByte
-                  bytes(2 * (f * per + i) + 1) = ((s0 >> 8) & 0xff).toByte
-                  i += 1
-                }
-                f += 1
-              }
-            }
-            Multimodal.MediaRecord(id, bytes)
-          } else {
-            var sig = mix(id / 2)
-            if (id % 2 == 1) sig ^= (1L << 3) | (1L << 40)
-            val frames = 65; val per = 64
-            val bytes = new Array[Byte](frames * per * 2)
-            var a = 1000
-            var f = 0
-            while (f < frames) {
-              if (f > 0) a += (if (((sig >>> (f - 1)) & 1L) == 1L) 10 else -10)
-              var i = 0
-              while (i < per) {
-                val s0 = if (i % 2 == 0) a else -a
-                bytes(2 * (f * per + i)) = (s0 & 0xff).toByte
-                bytes(2 * (f * per + i) + 1) = ((s0 >> 8) & 0xff).toByte
-                i += 1
-              }
-              f += 1
-            }
-            Multimodal.MediaRecord(id, bytes)
-          }
-        }
-      }.toDF()
+      val media = plantedAudioMedia(s, docs)
       val pairs = Dedup.audioNearDups(media, maxHamming = 3)
-      val expected = docs.filter(col("doc_id") < 500 || col("doc_id") >= 510)
-        .groupBy(expr("doc_id div 2").as("g"))
-        .agg(count(lit(1)).as("n"), min("doc_id").as("id_a"), max("doc_id").as("id_b"))
-        .filter(col("n") === 2)
-        .select("id_a", "id_b")
+      val expected = plantedPairExpectation(
+        docs.filter(col("doc_id") < 500 || col("doc_id") >= 510))
       expected.withColumn("__e", lit(1))
         .join(pairs.withColumn("__f", lit(1)), Seq("id_a", "id_b"), "full_outer")
         .agg(violations(col("__e").isNull || col("__f").isNull))
@@ -5048,6 +5073,189 @@ object SparkEntry {
           .agg((violations(col("__x").isNull || col("__y").isNull)
             + when(count(lit(1)) =!= nBatch, 1L).otherwise(0L)).as("violations"))
           .localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+
+    // q208: the BPE family DEPLOYED at ingest — the fourth tokenizer
+    // gate next to ids (q146), Viterbi (q170), and WordPiece (q182),
+    // closing the tokenizer-gate asymmetry: the byte-planted corpus
+    // arrives across two micro-batches and each batch segments under a
+    // FIXED pinned merge list (training-run constants, collected +
+    // validated once at query start — the unigramGate artifact
+    // contract). The accumulated (doc_id, pieces) log must equal batch
+    // byteBpeEncode under the SAME merges (full-outer parity, q203's
+    // violations form), with a coverage guard (every doc served exactly
+    // once) and a fired guard (at least one multi-unit piece — merges
+    // that never fire would pass vacuously)
+    "q208_stream_bpe_gate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = bytePlanted(t(s, dir, "documents"))
+      val tmp = java.nio.file.Files.createTempDirectory("q208").toString
+      try {
+        val store = new graft.sync.ParquetStore(s, s"$tmp/out")
+        val mStore = new graft.sync.ParquetStore(s, s"$tmp/m")
+        mStore.write(BytePinnedMerges.toDF("step", "left", "right"), "merges")
+        docs.repartition(2).write.parquet(s"$tmp/src")
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+        IncrementalStream.bpeGate(stream, mStore.read("merges").get,
+          "doc_id", "text", store, "pieces", checkpointDir = s"$tmp/ck")
+          .awaitTermination()
+        val merges = BytePinnedMerges.map { case (st, l, r) =>
+          TextAnalysis.BpeMerge(st, l, r, 0L) }
+        val want = docs.select(col("doc_id"),
+          TextAnalysis.byteBpeEncode(col("text"), merges).as("__want"))
+        val nDocs = docs.count()
+        store.read("pieces").get.select(col("doc_id"), col("pieces").as("__got"))
+          .join(want, Seq("doc_id"), "full_outer")
+          .agg((violations(col("__got").isNull || col("__want").isNull ||
+              col("__got") =!= col("__want"))
+            + when(count(lit(1)) =!= nDocs, 1L).otherwise(0L)
+            + when(max(size(filter(col("__want"), p => length(p) > 1))) < 1, 1L)
+              .otherwise(0L)).as("violations"))
+          .localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+
+    // q209: CONTINUOUS image-dedup ingest — q115's planted dHash corpus
+    // arrives across two micro-batches through packedDupIngest (probe
+    // the ACCUMULATED fingerprint index, pair within the batch, THEN
+    // append signatures): the accumulated pair log must equal the batch
+    // miner's answer (q115's SAME planted expectation, direction-
+    // normalized), and the persisted fingerprint index must equal the
+    // batch fingerprint pass row-for-row (per-doc determinism — the
+    // q158 requirement that makes the index probe-able at all)
+    "q209_stream_image_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id").cast(LongType).as("doc_id"))
+      val media = plantedImageMedia(s, docs)
+      val tmp = java.nio.file.Files.createTempDirectory("q209").toString
+      try {
+        val store = new graft.sync.ParquetStore(s, s"$tmp/idx")
+        media.repartition(2).write.parquet(s"$tmp/src")
+        val stream = s.readStream.schema(media.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+        def fp(b: DataFrame): DataFrame = Multimodal.dhashImages(b)(s).toDF()
+          .filter(col("phash") =!= 0L && col("phash") =!= -1L)
+        IncrementalStream.packedDupIngest(stream, fp, "doc_id", "phash",
+          maxHamming = 3, store = store, checkpointDir = s"$tmp/ck")
+          .awaitTermination()
+        val got = store.read("dup_pairs").get
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b")).distinct()
+        val pairV = plantedPairExpectation(docs).withColumn("__e", lit(1))
+          .join(got.withColumn("__f", lit(1)), Seq("id_a", "id_b"), "full_outer")
+          .agg(violations(col("__e").isNull || col("__f").isNull))
+          .head.getLong(0)
+        val sigWant = fp(media)
+        val nSig = sigWant.count()
+        val idxV = store.read("fingerprints").get.select(col("doc_id"), col("phash"))
+          .withColumn("__x", lit(1))
+          .join(sigWant.withColumn("__y", lit(1)), Seq("doc_id", "phash"), "full_outer")
+          .agg((violations(col("__x").isNull || col("__y").isNull)
+            + when(count(lit(1)) =!= nSig, 1L).otherwise(0L)).as("violations"))
+          .head.getLong(0)
+        s.range(1).select(lit(pairV + idxV).as("violations"))
+      } finally deleteRecursively(tmp)
+    }),
+
+    // q210: CONTINUOUS audio-dedup ingest — the same probe-then-append
+    // contract over q206's planted PCM16 corpus, completing the ingest
+    // family across all four dedup modalities (text q121/q158, embedding
+    // q128, image q209, audio THIS): the degenerate negative controls
+    // (silence -> 0, monotone fade -> -1) must be filtered BEFORE the
+    // index lands — the persisted-index parity arm catches a gate that
+    // lets them through just as hard as a missed pair
+    "q210_stream_audio_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id").cast(LongType).as("doc_id"))
+      val media = plantedAudioMedia(s, docs)
+      val tmp = java.nio.file.Files.createTempDirectory("q210").toString
+      try {
+        val store = new graft.sync.ParquetStore(s, s"$tmp/idx")
+        media.repartition(2).write.parquet(s"$tmp/src")
+        val stream = s.readStream.schema(media.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+        def fp(b: DataFrame): DataFrame = Multimodal.afingerprintAudio(b)(s).toDF()
+          .filter(col("ahash") =!= 0L && col("ahash") =!= -1L)
+        IncrementalStream.packedDupIngest(stream, fp, "doc_id", "ahash",
+          maxHamming = 3, store = store, checkpointDir = s"$tmp/ck")
+          .awaitTermination()
+        val got = store.read("dup_pairs").get
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b")).distinct()
+        val pairV = plantedPairExpectation(
+            docs.filter(col("doc_id") < 500 || col("doc_id") >= 510))
+          .withColumn("__e", lit(1))
+          .join(got.withColumn("__f", lit(1)), Seq("id_a", "id_b"), "full_outer")
+          .agg(violations(col("__e").isNull || col("__f").isNull))
+          .head.getLong(0)
+        val sigWant = fp(media)
+        val nSig = sigWant.count()
+        val idxV = store.read("fingerprints").get.select(col("doc_id"), col("ahash"))
+          .withColumn("__x", lit(1))
+          .join(sigWant.withColumn("__y", lit(1)), Seq("doc_id", "ahash"), "full_outer")
+          .agg((violations(col("__x").isNull || col("__y").isNull)
+            + when(count(lit(1)) =!= nSig, 1L).otherwise(0L)).as("violations"))
+          .head.getLong(0)
+        s.range(1).select(lit(pairV + idxV).as("violations"))
+      } finally deleteRecursively(tmp)
+    }),
+
+    // q211: ONLINE takedown through the MINHASH BAND-INDEX family —
+    // q201/q205's tombstone contract on a THIRD at-read-gated index,
+    // pinning the contract engine-wide: the corpus streams into the
+    // persisted band index + shingle sets across two micro-batches
+    // (dedupIndexIngest), corpus docs < 100 tombstone BETWEEN them
+    // (nothing stops, no index row is touched; tombstoned documents'
+    // rows from batch 2 still append but must never serve), and the
+    // arrival gate (duplicateIdsStream) probes the accumulation with
+    // BOTH index tables anti-joined against the tombstones FIRST — so
+    // serving equals a from-scratch build over the SURVIVING corpus
+    // (q121's SAME oracle, corpus restricted to doc_id >= 100; the
+    // takedown provably changes the answer at every graded SF)
+    "q211_takedown_band_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 250)
+      val tmp = java.nio.file.Files.createTempDirectory("q211").toString
+      val (srcDir, ckDir) = (s"$tmp/src", s"$tmp/ck")
+      try {
+        val store = new graft.sync.ParquetStore(s, s"$tmp/idx")
+        def ingestAvailable(): Unit = {
+          val stream = s.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*.parquet")
+          IncrementalStream.dedupIndexIngest(stream, "doc_id", "text",
+            c => Dedup.hashedShingles(TextAnalysis.tokenSet(c)),
+            numHashes = 125, bands = 25, store = store,
+            checkpointDir = ckDir).awaitTermination()
+        }
+        corpus.filter(col("doc_id") % 2 === 0).repartition(1)
+          .write.parquet(srcDir)
+        ingestAvailable()
+        val added = graft.sync.Takedown.tombstone(store,
+          corpus.filter(col("doc_id") < 100).select(col("doc_id")))
+        require(added > 0L, "q211: the tombstone must actually record ids")
+        corpus.filter(col("doc_id") % 2 === 1).repartition(1)
+          .write.mode("append").parquet(srcDir)
+        ingestAvailable()
+        val index = Dedup.NearDupIndex(
+          graft.sync.Takedown.withoutTombstones(
+            store.read("band_index").get, "id_b", store),
+          graft.sync.Takedown.withoutTombstones(
+            store.read("shingle_sets").get, "id_b", store))
+        val arrivals = docs.filter(col("doc_id") >= 250)
+        arrivals.repartition(2).write.parquet(s"$tmp/arr")
+        val arrStream = s.readStream.schema(arrivals.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/arr/*.parquet")
+        val dups = Dedup.duplicateIdsStream(
+          arrStream, index, "doc_id", "text",
+          c => Dedup.hashedShingles(TextAnalysis.tokenSet(c)),
+          num = 9, den = 10, numHashes = 125, bands = 25,
+          eventTimeCol = timestamp_micros(lit(86400000000L)),
+          watermarkDelay = "10 minutes")
+        val sink = s"q211_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val q = dups.writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        drainSink(s, sink, s.table(sink).orderBy("doc_id"))
       } finally deleteRecursively(tmp)
     })
   )
@@ -5738,7 +5946,23 @@ object SparkEntry {
     "q33_dedup_canonical" ->
       """WITH RECURSIVE tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), tri AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1), i -> ts[i]||' '||ts[i+1]||' '||ts[i+2])) AS gs FROM tok WHERE len(ts) >= 3), pairs AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM tri a JOIN tri b ON a.doc_id <> b.doc_id WHERE len(list_intersect(a.gs, b.gs)) * 10 >= len(list_distinct(list_concat(a.gs, b.gs))) * 7), reach AS (SELECT doc_id AS id, doc_id AS r FROM documents UNION SELECT p.dst, reach.r FROM reach JOIN pairs p ON p.src = reach.id) SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canon FROM reach GROUP BY id ORDER BY doc_id""",
     "q64_dedup_keep_best" ->
-      """WITH RECURSIVE tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), tri AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1), i -> ts[i]||' '||ts[i+1]||' '||ts[i+2])) AS gs FROM tok WHERE len(ts) >= 3), pairs AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM tri a JOIN tri b ON a.doc_id <> b.doc_id WHERE len(list_intersect(a.gs, b.gs)) * 10 >= len(list_distinct(list_concat(a.gs, b.gs))) * 7), reach AS (SELECT doc_id AS id, doc_id AS r FROM documents UNION SELECT p.dst, reach.r FROM reach JOIN pairs p ON p.src = reach.id), canon AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canon FROM reach GROUP BY id), sc AS (SELECT c.canon, c.doc_id, CAST(len(t.ts) AS BIGINT) AS nt FROM canon c JOIN tok t USING (doc_id)), w AS (SELECT canon, doc_id, nt, row_number() OVER (PARTITION BY canon ORDER BY nt DESC, doc_id) AS rn FROM sc) SELECT canon, doc_id AS kept_id, nt AS n_tokens FROM w WHERE rn = 1 ORDER BY canon"""
+      """WITH RECURSIVE tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), tri AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1), i -> ts[i]||' '||ts[i+1]||' '||ts[i+2])) AS gs FROM tok WHERE len(ts) >= 3), pairs AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM tri a JOIN tri b ON a.doc_id <> b.doc_id WHERE len(list_intersect(a.gs, b.gs)) * 10 >= len(list_distinct(list_concat(a.gs, b.gs))) * 7), reach AS (SELECT doc_id AS id, doc_id AS r FROM documents UNION SELECT p.dst, reach.r FROM reach JOIN pairs p ON p.src = reach.id), canon AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canon FROM reach GROUP BY id), sc AS (SELECT c.canon, c.doc_id, CAST(len(t.ts) AS BIGINT) AS nt FROM canon c JOIN tok t USING (doc_id)), w AS (SELECT canon, doc_id, nt, row_number() OVER (PARTITION BY canon ORDER BY nt DESC, doc_id) AS rn FROM sc) SELECT canon, doc_id AS kept_id, nt AS n_tokens FROM w WHERE rn = 1 ORDER BY canon""",
+    // q208: gate-vs-batch BPE parity is a Spark-side full-outer contract
+    // (the q154/q203 family — no SQL engine replays a merge list)
+    "q208_stream_bpe_gate" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    // q209/q210: accumulated-pairs-vs-planted-expectation and persisted-
+    // index-vs-batch-fingerprints are Spark-side contracts (the
+    // q115/q206 planted-construction family)
+    "q209_stream_image_dedup" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    "q210_stream_audio_dedup" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    // q211: q121's serving oracle over the SURVIVING corpus — the
+    // tombstone (corpus docs < 100) provably changes the answer at every
+    // graded SF (sf0.01: 118 -> 107 served ids)
+    "q211_takedown_band_index" ->
+      """WITH tok AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ts FROM documents), c AS (SELECT * FROM tok WHERE doc_id < 250 AND doc_id >= 100 AND len(ts) > 0), b AS (SELECT * FROM tok WHERE doc_id >= 250) SELECT b.doc_id FROM b WHERE EXISTS (SELECT 1 FROM c WHERE len(list_intersect(b.ts, c.ts)) * 10 >= len(list_distinct(list_concat(b.ts, c.ts))) * 9) ORDER BY b.doc_id"""
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = core ++ llm

@@ -765,6 +765,43 @@ object Dedup {
       .distinct()
   }
 
+  /** CROSS banded-Hamming probe — [[packedNearDups]]'s batch-vs-corpus
+    * form, the packed-signature twin of [[crossNearDupsHashed]]: pairs
+    * (id_a, id_b) with sig_a from `batchSigs`, sig_b from `corpusSigs`,
+    * Hamming <= maxHamming. Both sides explode into the same pigeonhole
+    * bands and equi-join on (band, bh) — the batch side is delta-sized,
+    * so Catalyst broadcasts it against the corpus index; recall over the
+    * signatures is 100% (a pair within maxHamming flips agrees on a full
+    * band, the [[simhashNearDups]] theorem). Self-matches (the same id
+    * present on both sides) are dropped — a re-ingested document must
+    * not pair with its own index row. CALLER's contract (shared with
+    * [[packedNearDups]]): degenerate constant signatures are filtered on
+    * BOTH sides before banding. Output column order is (id_a, id_b) =
+    * (batch, corpus) — NOT min/max like the self-join path, because the
+    * arrival-vs-index direction is the information ("which arriving doc
+    * duplicates what"). */
+  def packedDupsAgainst(batchSigs: DataFrame, corpusSigs: DataFrame,
+                        idCol: String, sigCol: String,
+                        maxHamming: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
+    require(64 % bands == 0,
+      s"maxHamming + 1 must divide 64 (got maxHamming=$maxHamming); use 0, 1, 3, 7, 15 or 31")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    def bandedOf(df: DataFrame, idAs: String, sigAs: String): DataFrame =
+      df.select(col(idCol).as(idAs), col(sigCol).as(sigAs),
+          explode(array((0 until bands).map(b =>
+            struct(lit(b).as("band"),
+              shiftrightunsigned(col(sigCol), b * width).bitwiseAND(lit(mask)).as("bh"))): _*)).as("bk"))
+        .select(col(idAs), col(sigAs), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    bandedOf(batchSigs, "id_a", "__siga")
+      .join(bandedOf(corpusSigs, "id_b", "__sigb"), Seq("band", "bh"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(hammingPacked(col("__siga"), col("__sigb")) <= maxHamming)
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
   /** Image near-dup pairs: decode (doc_id, media) payloads to 64-bit
     * perceptual dHashes on the executors
     * ([[graft.multimodal.Multimodal.dhashImages]] — pixels never touch the

@@ -683,6 +683,133 @@ object IncrementalStream {
       .start()
   }
 
+  /** CONTINUOUS packed-fingerprint dedup ingest — the image/audio member
+    * of the index-ingest family ([[dedupIndexIngest]] MinHash,
+    * [[lineIndexIngest]] lines, [[dupSpanIndexIngest]] grams), closing the
+    * batch-only asymmetry of the dHash (q115) and audio-fingerprint
+    * (q206) modalities: each arriving micro-batch of (id, media) payloads
+    * fingerprints ONCE via `fingerprinter` (the caller passes the same
+    * decode + degenerate-hash filter as its batch path — dHash 0/-1 and
+    * silence hashes must never reach the index, the
+    * [[graft.dedup.Dedup.packedNearDups]] contract), PROBES, then APPENDS:
+    *
+    *  1. cross pairs: the batch's signatures against the ACCUMULATED
+    *     index ([[graft.dedup.Dedup.packedDupsAgainst]] — banded
+    *     pigeonhole equi-join, batch side delta-sized and broadcast);
+    *  2. intra pairs: the batch against itself
+    *     ([[graft.dedup.Dedup.packedNearDups]]) — two docs arriving in
+    *     ONE batch must still pair (the accumulated index cannot see
+    *     them yet);
+    *  3. the batch's signatures append to the index table.
+    *
+    * Probe-before-append keeps the decomposition exact: every pair over
+    * the full ingest is found exactly once (same batch → intra; across
+    * batches → cross, from the later arrival), so the accumulated pair
+    * log equals the batch miner over everything ingested — graded by
+    * q209/q210 against the q115/q206 planted oracles. The log is
+    * DIRECTION-NORMALIZED to (min, max) before landing: a directional
+    * (arrival, indexed) log would break idempotence under a FRESH
+    * checkpoint over re-ingested documents — the re-probe finds each
+    * cross pair from the opposite side and the (id_a, id_b)-keyed guard
+    * cannot match the flipped row (observed: a 2-pair log grew to 3 on a
+    * lineage restart). Arrival order stays recoverable from the sig
+    * table's __batch stamps. Retry-safe per table under the
+    * lineage-stamped guard: a crash between the two appends re-appends
+    * exactly what is missing (pairs are re-derivable — signatures append
+    * LAST, so a replayed probe can only re-find already-guarded pairs).
+    * Per-batch cost: the batch's own decode + two delta-sized joins; the
+    * accumulated index is never re-fingerprinted. (fingerprinter,
+    * maxHamming) must match every probe — the band-family contract. */
+  def packedDupIngest(mediaStream: DataFrame,
+                      fingerprinter: DataFrame => DataFrame,
+                      idCol: String, sigCol: String, maxHamming: Int,
+                      store: graft.sync.TableStore, checkpointDir: String,
+                      sigTable: String = "fingerprints",
+                      pairTable: String = "dup_pairs",
+                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    lazy val run = lineageId(mediaStream.sparkSession, checkpointDir)
+    mediaStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // fingerprint ONCE, pin: three consumers below (cross probe,
+        // intra probe, index append) must see one materialization — a
+        // lazy plan would decode the batch's media three times
+        val sigs = fingerprinter(batch)
+          .select(col(idCol), col(sigCol)).localCheckpoint()
+        try {
+          val cross = store.read(sigTable) match {
+            case Some(idx) =>
+              // id_b anti-joins the batch's OWN ids: on a replay after a
+              // crash between the sig append and the checkpoint commit,
+              // the accumulated index already contains this batch — the
+              // cross probe would re-find every intra pair in BOTH
+              // directions, and the (id_a, id_b)-keyed guard only blocks
+              // the direction the first attempt appended
+              val own = sigs.select(col(idCol).as("id_b"))
+              graft.dedup.Dedup.packedDupsAgainst(
+                  sigs, idx, idCol, sigCol, maxHamming)
+                .join(broadcast(own), Seq("id_b"), "left_anti")
+            case None =>
+              sigs.select(col(idCol).as("id_a"), col(idCol).as("id_b")).limit(0)
+          }
+          val intra = graft.dedup.Dedup.packedNearDups(
+            sigs, idCol, sigCol, maxHamming)
+          guardedAppendBatch(store, pairTable, Seq("id_a", "id_b"), run, batchId)(
+            cross.unionByName(intra)
+              .select(least(col("id_a"), col("id_b")).as("id_a"),
+                greatest(col("id_a"), col("id_b")).as("id_b"))
+              .distinct())
+          guardedAppendBatch(store, sigTable, Seq(idCol), run, batchId)(sigs)
+        } finally graft.Checkpoints.release(sigs)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** STREAMING BPE encode gate — the FOURTH tokenizer family's deployment
+    * next to [[encodeGate]] (vocab ids), [[unigramGate]] (Viterbi), and
+    * [[wordPieceGate]] (greedy): each arriving micro-batch segments under
+    * a FIXED merge list ([[graft.text.TextAnalysis.byteBpeEncode]] /
+    * [[graft.text.TextAnalysis.bpeEncode]] — the in-order
+    * [[graft.functions.BpeApply]] replay; merges are training-run
+    * constants, the same mid-stream-rebuild argument as vocab ids: a
+    * retrain landing mid-stream would silently mix two segmentations in
+    * one accumulated log; re-encode = new table + checkpoint pair) and
+    * (idCol, pieces) accumulates under the retry guard. The merge table
+    * is collected once at query start (artifact-bounded: nMerges rows)
+    * and validated BEFORE the query starts (the collectModel convention:
+    * a corrupted artifact fails here, not as a StreamingQueryException
+    * after the checkpoint exists). Per-batch cost is one narrow codegen'd
+    * replay projection — no join, no shuffle. `byteLevel` picks the word
+    * stream: byte units (total, no OOV — the production default) or the
+    * char-level [[graft.text.TextAnalysis.tokens]] fast path. Graded
+    * against the batch byteBpeEncode full-outer parity (q208 — the
+    * q170/q182 contract for the BPE family, in q203's violations form). */
+  def bpeGate(docStream: DataFrame, merges: DataFrame, idCol: String,
+              textCol: String, store: graft.sync.TableStore,
+              table: String, checkpointDir: String,
+              byteLevel: Boolean = true,
+              trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val collected = merges
+      .select(col("step").cast("int"), col("left"), col("right")).collect()
+      .map(r => graft.text.TextAnalysis.BpeMerge(
+        r.getInt(0), r.getString(1), r.getString(2), 0L)).toSeq
+    require(collected.nonEmpty, "bpeGate: empty merge table")
+    require(collected.forall(m =>
+        m.left != null && m.left.nonEmpty && m.right != null && m.right.nonEmpty),
+      "bpeGate: empty/null merge sides in the artifact")
+    require(collected.map(_.step).distinct.length == collected.length,
+      "bpeGate: duplicate step rows would make the replay order ambiguous")
+    guardedAppend(docStream, store, table, checkpointDir, Seq(idCol), trigger) { batch =>
+      val enc =
+        if (byteLevel) graft.text.TextAnalysis.byteBpeEncode(
+          org.apache.spark.sql.functions.col(textCol), collected)
+        else graft.text.TextAnalysis.bpeEncode(
+          org.apache.spark.sql.functions.col(textCol), collected)
+      batch.select(org.apache.spark.sql.functions.col(idCol), enc.as("pieces"))
+    }
+  }
+
   /** CONTINUOUS ANN index maintenance — the third side of the serving
     * triangle (ingest gate [[graft.dedup.Dedup.duplicateIdsStream]], query
     * serving [[knnServe]], and THIS: keeping the served index fresh as new

@@ -470,4 +470,19 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.hotLines(idx, maxDf = 1).collect().map(_.getString(0)).toSeq
       === Seq("a"))
   }
+  test("packedDupsAgainst: cross pairs only, direction kept, self-ids excluded") {
+    val batch = Seq((10L, 0x0000000000000001L), (11L, 0xffffffffffffffffL),
+      (2L, 0x000000000000000fL)).toDF("id", "sig")
+    val corpus = Seq((0L, 0x0000000000000000L), (1L, 0x0000000000000003L),
+      (2L, 0x000000000000000fL), (3L, 0x0f0f0f0f0f0f0f0fL)).toDF("id", "sig")
+    val got = Dedup.packedDupsAgainst(batch, corpus, "id", "sig", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 10 is hamming 1 from 0, 2 from 1, 3 from 2 (cross, batch-first
+    // direction); 2 is hamming 0 from its own index row (self — excluded)
+    // and 2 from corpus 1; 11 pairs with nothing within 3
+    assert(got === Set((10L, 0L), (10L, 1L), (10L, 2L), (2L, 1L)))
+    // empty corpus side: no pairs, not an error
+    assert(Dedup.packedDupsAgainst(batch, corpus.limit(0), "id", "sig", 3)
+      .count() === 0L)
+  }
 }

@@ -877,4 +877,79 @@ class IncrementalStreamSpec extends SparkSpec {
       store, "served", checkpointDir = s"$tmp/ck2").awaitTermination()
     assert(store.read("served").get.count() === batch.size)
   }
+  test("packedDupIngest: probe-then-append pair log equals the batch miner; replay-safe") {
+    import graft.dedup.Dedup
+    import graft.sync.ParquetStore
+    // sigs chosen so pairs land BOTH within one batch (1,2 in batch A)
+    // and across batches (0 in A pairs with 4 in B); 3 pairs nothing
+    val media = Seq(
+      (0L, 0x0000000000000000L), (1L, 0x00000000000000f0L),
+      (2L, 0x00000000000000f3L),                    // batch A: 1-2 intra (h 2)
+      (3L, 0x5555555555555555L), (4L, 0x0000000000000001L)) // B: 4-0 cross (h 1)
+      .toDF("doc_id", "sig")
+    val fp: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      b => b.select($"doc_id", $"sig")
+    val tmp = Files.createTempDirectory("graft_pdi").toString
+    media.filter($"doc_id" <= 2L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    media.filter($"doc_id" > 2L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    def stream() = spark.readStream.schema(media.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+    val store = new ParquetStore(spark, s"$tmp/out")
+    IncrementalStream.packedDupIngest(stream(), fp, "doc_id", "sig",
+      maxHamming = 3, store = store, checkpointDir = s"$tmp/ck")
+      .awaitTermination()
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(least($"id_a", $"id_b"), greatest($"id_a", $"id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchPairs = norm(Dedup.packedNearDups(media, "doc_id", "sig", 3))
+    assert(batchPairs === Set((1L, 2L), (0L, 4L))) // the construction holds
+    assert(norm(store.read("dup_pairs").get) === batchPairs)
+    // the log lands canonical: (min, max), never the arrival direction
+    assert(store.read("dup_pairs").get.filter($"id_a" > $"id_b").count() === 0L)
+    // the persisted index is the full fingerprint table
+    assert(store.read("fingerprints").get.count() === 5L)
+    // fresh checkpoint over the same source: cross-lineage guard holds
+    val p0 = store.read("dup_pairs").get.count()
+    IncrementalStream.packedDupIngest(stream(), fp, "doc_id", "sig",
+      maxHamming = 3, store = store, checkpointDir = s"$tmp/ck2")
+      .awaitTermination()
+    assert(store.read("dup_pairs").get.count() === p0)
+    assert(store.read("fingerprints").get.count() === 5L)
+  }
+
+  test("bpeGate: streamed pieces equal the batch replay; bad artifacts fail at start") {
+    import graft.sync.ParquetStore
+    import graft.text.TextAnalysis
+    val docs = Seq((1L, "the tail"), (2L, "plain the")).toDF("doc_id", "text")
+    val merges = Seq((0, "t", "h"), (1, "th", "e"), (2, "a", "i"))
+      .toDF("step", "left", "right")
+    val tmp = Files.createTempDirectory("graft_bg").toString
+    docs.filter($"doc_id" <= 1L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    docs.filter($"doc_id" > 1L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    def stream() = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+    val store = new ParquetStore(spark, s"$tmp/out")
+    IncrementalStream.bpeGate(stream(), merges, "doc_id", "text",
+      store, "pieces", checkpointDir = s"$tmp/ck").awaitTermination()
+    val served = store.read("pieces").get
+      .select($"doc_id", $"pieces").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val ms = Seq(TextAnalysis.BpeMerge(0, "t", "h", 0L),
+      TextAnalysis.BpeMerge(1, "th", "e", 0L), TextAnalysis.BpeMerge(2, "a", "i", 0L))
+    val batch = docs.select($"doc_id",
+        TextAnalysis.byteBpeEncode($"text", ms).as("pieces")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(served === batch)
+    assert(served(1L) === Seq("the", "t", "ai", "l"))
+    // empty and duplicate-step artifacts fail BEFORE the query starts
+    intercept[IllegalArgumentException] {
+      IncrementalStream.bpeGate(stream(), merges.limit(0), "doc_id", "text",
+        store, "p2", checkpointDir = s"$tmp/ck2")
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalStream.bpeGate(stream(),
+        merges.union(merges.limit(1)), "doc_id", "text",
+        store, "p3", checkpointDir = s"$tmp/ck3")
+    }
+  }
 }

@@ -64,6 +64,9 @@ object Main {
       "       build-vocab --corpus <parquet> --text <col> --top <n> --out <parquetDir>\n" +
       "       bpe-train --corpus <parquet> --text <col> --merges <n> [--byte-level true] --out <parquetDir>\n" +
       "       bpe-encode --corpus <parquet> --id <col> --text <col> --merges <parquetDir> [--byte-level true] --out <parquetDir>\n" +
+      "       bpe-gate --source <parquetDir> --merges <parquetDir> --id <col> --text <col> [--byte-level true] --dest <storeDir> --table <t> --checkpoint <dir>\n" +
+      "       media-neardup --corpus <parquet(doc_id,media)> --modality image|audio [--max-hamming <n>] --out <parquetDir>\n" +
+      "       ingest-media-dedup --source <parquetDir(doc_id,media)> --modality image|audio [--max-hamming <n>] --dest <storeDir> --checkpoint <dir>\n" +
       "       profile --corpus <parquet> --out <parquetDir> [--approx true]\n" +
       "       validate --corpus <parquet> --out <parquetDir> [--not-null c1,c2] [--range col:min:max,...] [--unique k1,k2[;k3]] [--ref <fk> --ref-table <parquet> --ref-key <col>]\n" +
       "       keywords --corpus <parquet> --text <col> --iters <n> --k <n> --out <parquetDir>\n" +
@@ -217,6 +220,15 @@ object Main {
   private case class BpeEncodeCmd(corpus: String, id: String, text: String,
                                   merges: String, byteLevel: Boolean,
                                   out: String) extends Cmd
+  private case class BpeGateCmd(source: String, merges: String, id: String,
+                                text: String, byteLevel: Boolean,
+                                dest: String, table: String,
+                                ck: String) extends Cmd
+  private case class MediaNearDupCmd(corpus: String, modality: String,
+                                     maxHamming: Int, out: String) extends Cmd
+  private case class IngestMediaDedupCmd(source: String, modality: String,
+                                         maxHamming: Int, dest: String,
+                                         ck: String) extends Cmd
   private case class WeightedSampleCmd(corpus: String, keys: Seq[String],
                                        id: String, weight: String, k: Int,
                                        seed: String, out: String) extends Cmd
@@ -703,6 +715,35 @@ object Main {
         byteLevel <- optBool(opts, "bpe-encode", "byte-level", dflt = false)
         out <- req(opts, "bpe-encode", "out")
       } yield BpeEncodeCmd(corpus, id, text, merges, byteLevel, out)
+    case "bpe-gate" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        source <- req(opts, "bpe-gate", "source")
+        merges <- req(opts, "bpe-gate", "merges")
+        id <- req(opts, "bpe-gate", "id")
+        text <- req(opts, "bpe-gate", "text")
+        byteLevel <- optBool(opts, "bpe-gate", "byte-level", dflt = false)
+        dest <- req(opts, "bpe-gate", "dest")
+        table <- req(opts, "bpe-gate", "table")
+        ck <- req(opts, "bpe-gate", "checkpoint")
+      } yield BpeGateCmd(source, merges, id, text, byteLevel, dest, table, ck)
+    case "media-neardup" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "media-neardup", "corpus")
+        modality <- modalityOf(opts, "media-neardup")
+        maxH <- optInt(opts, "media-neardup", "max-hamming", 3)
+        out <- req(opts, "media-neardup", "out")
+      } yield MediaNearDupCmd(corpus, modality, maxH, out)
+    case "ingest-media-dedup" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        source <- req(opts, "ingest-media-dedup", "source")
+        modality <- modalityOf(opts, "ingest-media-dedup")
+        maxH <- optInt(opts, "ingest-media-dedup", "max-hamming", 3)
+        dest <- req(opts, "ingest-media-dedup", "dest")
+        ck <- req(opts, "ingest-media-dedup", "checkpoint")
+      } yield IngestMediaDedupCmd(source, modality, maxH, dest, ck)
     case "profile" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -1148,6 +1189,15 @@ object Main {
                       dflt: Boolean): Either[String, Boolean] =
     opts.get(key).fold(Right(dflt): Either[String, Boolean])(s =>
       s.toBooleanOption.toRight(s"$cmd: --$key must be true or false, got $s"))
+
+  /** The media modality selector shared by media-neardup and
+    * ingest-media-dedup — fails at parse time, not after Spark starts. */
+  private def modalityOf(opts: Map[String, String],
+                         cmd: String): Either[String, String] =
+    req(opts, cmd, "modality").flatMap {
+      case m @ ("image" | "audio") => Right(m)
+      case other => Left(s"$cmd: --modality must be image or audio, got $other")
+    }
 
   /** The shingler pair for build-dedup-index / ingest-dedup: unigram token
     * SET at n = 1, hashed word n-grams above. Both sides of a gate must
@@ -1621,6 +1671,65 @@ object Main {
         .select(org.apache.spark.sql.functions.col(id), enc.as("pieces"))
         .write.mode("overwrite").parquet(out)
       0
+
+    case BpeGateCmd(source, mergesDir, id, text, byteLevel, dest, table, ck) =>
+      // streaming merge-list replay under the persisted training
+      // artifact — pinned (collected + validated) at query start;
+      // re-encode = new table + checkpoint pair (the encode-gate
+      // contract for the BPE family). The byte_level regime marker is
+      // checked exactly as bpe-encode does: a mismatch segments
+      // plausible-looking garbage, so it fails closed here
+      val mergesDf = spark.read.parquet(mergesDir)
+      if (mergesDf.columns.contains("byte_level")) {
+        val trained = mergesDf.select("byte_level").distinct().collect()
+          .map(_.getBoolean(0)).toSeq
+        require(trained.isEmpty || trained == Seq(byteLevel),
+          s"bpe-gate: merge table under $mergesDir was trained with " +
+            s"byte_level=${trained.mkString(",")} but --byte-level is " +
+            s"$byteLevel — re-run with the matching flag")
+      }
+      sourceSchema(spark, source, "bpe-gate").fold(0) { schema =>
+        val stream = spark.readStream.schema(schema).parquet(source)
+        graft.streaming.IncrementalStream.bpeGate(
+          stream, mergesDf, id, text, new ParquetStore(spark, dest), table,
+          ck, byteLevel = byteLevel).awaitTermination()
+        0
+      }
+
+    case MediaNearDupCmd(corpus, modality, maxH, out) =>
+      // batch banded-Hamming mining over (doc_id, media) payloads —
+      // decode and the degenerate-hash filter live inside the modality
+      // miner (imageNearDups / audioNearDups)
+      val media = spark.read.parquet(corpus)
+      val pairs =
+        if (modality == "image") graft.dedup.Dedup.imageNearDups(media, maxH)
+        else graft.dedup.Dedup.audioNearDups(media, maxH)
+      pairs.write.mode("overwrite").parquet(out)
+      0
+
+    case IngestMediaDedupCmd(source, modality, maxH, dest, ck) =>
+      // continuous fingerprint dedup ingest: probe the accumulated
+      // index, pair within the batch, then append signatures — the
+      // accumulated dup_pairs table equals the batch miner over
+      // everything ingested (the packedDupIngest contract)
+      sourceSchema(spark, source, "ingest-media-dedup").fold(0) { schema =>
+        implicit val s: SparkSession = spark
+        val c = org.apache.spark.sql.functions.col _
+        val (fp, sigCol): (org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame, String) =
+          if (modality == "image")
+            ((b: org.apache.spark.sql.DataFrame) =>
+              graft.multimodal.Multimodal.dhashImages(b).toDF()
+                .filter(c("phash") =!= 0L && c("phash") =!= -1L), "phash")
+          else
+            ((b: org.apache.spark.sql.DataFrame) =>
+              graft.multimodal.Multimodal.afingerprintAudio(b).toDF()
+                .filter(c("ahash") =!= 0L && c("ahash") =!= -1L), "ahash")
+        val stream = spark.readStream.schema(schema).parquet(source)
+        graft.streaming.IncrementalStream.packedDupIngest(
+          stream, fp, "doc_id", sigCol, maxH,
+          new ParquetStore(spark, dest), ck).awaitTermination()
+        0
+      }
 
     case ProfileCmd(corpus, approx, out) =>
       // the profile-then-pin workflow: run this against an unfamiliar

@@ -561,6 +561,85 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("bpe-gate end to end: streamed pieces equal bpe-encode; regime mismatch fails closed") {
+    val tmp = Files.createTempDirectory("graft_cli_bpegate").toString
+    Seq((1L, "ab ab ac"), (2L, "ab ac")).toDF("doc_id", "text")
+      .write.parquet(s"$tmp/corpus")
+    assert(Main.run(spark, Array("bpe-train",
+      "--corpus", s"$tmp/corpus", "--text", "text", "--merges", "2",
+      "--out", s"$tmp/merges")) === 0)
+    assert(Main.run(spark, Array("bpe-encode",
+      "--corpus", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+      "--merges", s"$tmp/merges", "--out", s"$tmp/batch")) === 0)
+    assert(Main.run(spark, Array("bpe-gate",
+      "--source", s"$tmp/corpus", "--merges", s"$tmp/merges",
+      "--id", "doc_id", "--text", "text",
+      "--dest", s"$tmp/out", "--table", "pieces",
+      "--checkpoint", s"$tmp/ck")) === 0)
+    def byDoc(dir: String) = spark.read.parquet(dir)
+      .select($"doc_id", $"pieces").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(byDoc(s"$tmp/out/pieces.parquet") === byDoc(s"$tmp/batch"))
+    // a char-level artifact refuses to serve under --byte-level true
+    intercept[IllegalArgumentException] {
+      Main.run(spark, Array("bpe-gate",
+        "--source", s"$tmp/corpus", "--merges", s"$tmp/merges",
+        "--id", "doc_id", "--text", "text", "--byte-level", "true",
+        "--dest", s"$tmp/out2", "--table", "pieces",
+        "--checkpoint", s"$tmp/ck2"))
+    }
+  }
+
+  test("media-neardup + ingest-media-dedup end to end: streamed pair log equals the batch miner") {
+    val tmp = Files.createTempDirectory("graft_cli_media").toString
+    def pcm(sig: Long, scale: Int = 1): Array[Byte] = {
+      val (frames, per) = (65, 64)
+      val bytes = new Array[Byte](frames * per * 2)
+      var a = 1000
+      for (f <- 0 until frames) {
+        if (f > 0) a += (if (((sig >>> (f - 1)) & 1L) == 1L) 10 else -10)
+        for (i <- 0 until per) {
+          val s = (if (i % 2 == 0) a else -a) * scale
+          bytes(2 * (f * per + i)) = (s & 0xff).toByte
+          bytes(2 * (f * per + i) + 1) = ((s >> 8) & 0xff).toByte
+        }
+      }
+      bytes
+    }
+    val sig = 0x123456789abcdef0L
+    val media = Seq(
+      (10L, pcm(sig)),
+      (11L, pcm(sig, scale = 3)),          // re-leveled twin of 10
+      (20L, pcm(0x0fedcba987654321L)),     // unrelated
+      (30L, pcm(sig ^ (1L << 5))),         // hamming 1 from 10/11
+      (40L, new Array[Byte](65 * 64 * 2))) // silence: filtered, never pairs
+      .toDF("doc_id", "media")
+    media.write.parquet(s"$tmp/corpus")
+    assert(Main.run(spark, Array("media-neardup",
+      "--corpus", s"$tmp/corpus", "--modality", "audio",
+      "--out", s"$tmp/batch")) === 0)
+    // stream the same corpus in two batches: 10/11 intra, 30 cross
+    media.filter($"doc_id" <= 20L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    media.filter($"doc_id" > 20L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    assert(Main.run(spark, Array("ingest-media-dedup",
+      "--source", s"$tmp/src", "--modality", "audio",
+      "--dest", s"$tmp/idx", "--checkpoint", s"$tmp/ck")) === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select(org.apache.spark.sql.functions.least($"id_a", $"id_b"),
+        org.apache.spark.sql.functions.greatest($"id_a", $"id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = pairs(spark.read.parquet(s"$tmp/batch"))
+    assert(batch === Set((10L, 11L), (10L, 30L), (11L, 30L)))
+    assert(pairs(spark.read.parquet(s"$tmp/idx/dup_pairs.parquet")) === batch)
+    // silence never reaches the persisted index
+    assert(spark.read.parquet(s"$tmp/idx/fingerprints.parquet")
+      .filter($"doc_id" === 40L).count() === 0L)
+    // a bogus modality is a usage error, caught before Spark runs
+    assert(Main.run(spark, Array("media-neardup",
+      "--corpus", s"$tmp/corpus", "--modality", "video",
+      "--out", s"$tmp/x")) === 2)
+  }
+
   test("profile: per-column report artifact; malformed --approx is a usage error") {
     val tmp = Files.createTempDirectory("graft_cli_prof").toString
     Seq[(java.lang.Long, String)]((1L, "a"), (2L, null), (2L, "b"))

@@ -28,6 +28,15 @@ object Bench {
     * best-of-two DIVIDED by the 1.2169 canary calibration — the same
     * reference-machine normalization as the q188-q200 seeds below.
     *
+    * q69_strata_sample RE-SEEDED 0.114 -> 0.328 (r15 measured 0.431 /
+    * calibration 1.312, the q150/q100 structural-change precedent):
+    * round 15 replaced the global-ntile SinglePartition sort with the
+    * bucket-decomposed exact rank — the bucket exchange + offsets
+    * broadcast + count() are fixed overhead at toy SF that buy the 100x
+    * path (the old plan funneled the corpus through ONE task); the old
+    * floor measured a plan that deliberately no longer exists. q69's
+    * oracle is unchanged, so the semantics stay pinned.
+    *
     * Round-14 re-seed (kept for the audit trail):
     * every floor is min(prior floor, r13 driver run) — the r13 driver bench
     * (via BENCH_LAST.json, calibration 1.2125, 200/200 ran) tightens 3
@@ -118,7 +127,7 @@ object Bench {
     "q63_source_quality" -> 0.32, "q64_dedup_keep_best" -> 1.516,
     "q65_sql_parity" -> 0.229, "q66_packing" -> 0.232,
     "q67_cube_counts" -> 0.172, "q68_star_revenue" -> 0.321,
-    "q69_strata_sample" -> 0.114, "q70_scrub" -> 0.471,
+    "q69_strata_sample" -> 0.328, "q70_scrub" -> 0.471,
     "q71_bigram_lm" -> 0.429, "q72_incr_dedup" -> 0.558,
     "q73_stream_sessions" -> 1.778, "q74_sync_checksum" -> 0.514,
     "q75_bloom_pruned_join" -> 0.4, "q76_rollup_geo" -> 0.446,
@@ -280,7 +289,10 @@ object Bench {
     // full-outer parity arms, q211 is the q201 two-ingest-round
     // tombstone harness plus a second arrival-serving stream
     "q208_stream_bpe_gate", "q209_stream_image_dedup",
-    "q210_stream_audio_dedup", "q211_takedown_band_index")
+    "q210_stream_audio_dedup", "q211_takedown_band_index",
+    // q212 runs TWO ingest rounds (separate awaitTermination each) +
+    // tombstone + three IVF knn joins — the q201/q205 multi-job shape
+    "q212_takedown_ann_serve")
 
   /** Machine calibration canaries: stable, mid-weight queries spanning the
     * engine's plan shapes (pushed scan, window, LSH join, stream, fill).

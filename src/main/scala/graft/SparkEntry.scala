@@ -5257,6 +5257,68 @@ object SparkEntry {
         q.awaitTermination()
         drainSink(s, sink, s.table(sink).orderBy("doc_id"))
       } finally deleteRecursively(tmp)
+    }),
+
+    // q212: takedown through the ANN SERVING family — vector-database
+    // GDPR erasure, a different gate SHAPE from the hotness-gated index
+    // families (q201/q205/q211): there is no df re-cooling, the contract
+    // is that tombstoned VECTORS vanish from every top-k and the
+    // next-best SURVIVORS fill the freed ranks. The victims are derived
+    // from the data (the 5 smallest neighbor ids the ungated index
+    // actually serves — the takedown provably changes the answer), the
+    // tombstone lands BETWEEN micro-batches of a RUNNING indexIngest
+    // (nothing stops; victim vectors arriving after still append but
+    // never serve), and knnJoinIvf probes with the assigned table through
+    // withoutTombstones — graded full-outer against survivors assigned
+    // under the SAME fixed quantizer (centroids are serving-run
+    // constants; retraining is the separate offline reassign pass, q152)
+    "q212_takedown_ann_serve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 25)
+      val corpus = emb.filter(col("vec_id") >= 25)
+      val tmp = java.nio.file.Files.createTempDirectory("q212").toString
+      try {
+        val store = new graft.sync.ParquetStore(s, s"$tmp/idx")
+        val batchIdx = Similarity.ivfIndex(corpus, "vec_id", "embedding",
+          numCentroids = 8)
+        val victims = Similarity.knnJoinIvf(batchIdx, queries, "vec_id",
+            "embedding", 5, nprobe = 8)
+          .select(col("neighbor_id")).distinct().orderBy("neighbor_id")
+          .limit(5).localCheckpoint()
+        def ingestAvailable(): Unit = {
+          val stream = s.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+          IncrementalStream.indexIngest(stream, batchIdx.cents, "vec_id",
+            "embedding", store, "assigned", checkpointDir = s"$tmp/ck")
+            .awaitTermination()
+        }
+        corpus.filter(col("vec_id") % 2 === 0).repartition(1)
+          .write.parquet(s"$tmp/src")
+        ingestAvailable()
+        val added = graft.sync.Takedown.tombstone(store, victims)
+        require(added > 0L, "q212: the tombstone must actually record ids")
+        corpus.filter(col("vec_id") % 2 === 1).repartition(1)
+          .write.mode("append").parquet(s"$tmp/src")
+        ingestAvailable()
+        val gated = Similarity.knnJoinIvf(
+          Similarity.IvfIndex(batchIdx.cents,
+            graft.sync.Takedown.withoutTombstones(
+              store.read("assigned").get, "vec_id", store)),
+          queries, "vec_id", "embedding", 5, nprobe = 8)
+        val survivors = corpus.join(broadcast(victims),
+          corpus("vec_id") === victims("neighbor_id"), "left_anti")
+        val want = Similarity.knnJoinIvf(
+          Similarity.IvfIndex(batchIdx.cents,
+            Similarity.indexRows(survivors, "embedding", batchIdx.cents)),
+          queries, "vec_id", "embedding", 5, nprobe = 8)
+        val out = want.withColumn("__x", lit(1))
+          .join(gated.withColumn("__y", lit(1)),
+            Seq("query_id", "neighbor_id"), "full_outer")
+          .agg(violations(col("__x").isNull || col("__y").isNull))
+          .localCheckpoint()
+        graft.Checkpoints.release(victims)
+        out
+      } finally deleteRecursively(tmp)
     })
   )
 
@@ -5962,7 +6024,11 @@ object SparkEntry {
     // tombstone (corpus docs < 100) provably changes the answer at every
     // graded SF (sf0.01: 118 -> 107 served ids)
     "q211_takedown_band_index" ->
-      """WITH tok AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ts FROM documents), c AS (SELECT * FROM tok WHERE doc_id < 250 AND doc_id >= 100 AND len(ts) > 0), b AS (SELECT * FROM tok WHERE doc_id >= 250) SELECT b.doc_id FROM b WHERE EXISTS (SELECT 1 FROM c WHERE len(list_intersect(b.ts, c.ts)) * 10 >= len(list_distinct(list_concat(b.ts, c.ts))) * 9) ORDER BY b.doc_id"""
+      """WITH tok AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ts FROM documents), c AS (SELECT * FROM tok WHERE doc_id < 250 AND doc_id >= 100 AND len(ts) > 0), b AS (SELECT * FROM tok WHERE doc_id >= 250) SELECT b.doc_id FROM b WHERE EXISTS (SELECT 1 FROM c WHERE len(list_intersect(b.ts, c.ts)) * 10 >= len(list_distinct(list_concat(b.ts, c.ts))) * 9) ORDER BY b.doc_id""",
+    // q212: gated-serve-vs-survivor-rebuild parity under one fixed
+    // quantizer is a Spark-side full-outer contract (the q124 family)
+    "q212_takedown_ann_serve" ->
+      "SELECT CAST(0 AS BIGINT) AS violations"
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = core ++ llm

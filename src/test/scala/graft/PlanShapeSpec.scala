@@ -801,4 +801,24 @@ class PlanShapeSpec extends SparkSpec {
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(hashExchanges === 2, s"expected line-count + reassembly shuffles only:\n$p")
   }
+  test("packedDupsAgainst: banded equi-join, delta side broadcast, no cartesian") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // a delta-sized batch probing a corpus-sized fingerprint index — the
+    // shape every packedDupIngest micro-batch plans
+    val batch = (0L until 8L).map(i => (i, i * 0x9e3779b97f4a7c15L)).toDF("id", "sig")
+    val corpus = (0L until 2000L).map(i => (i + 100L, i * 0x2545f4914f6cdd1dL))
+      .toDF("id", "sig")
+    val df = graft.dedup.Dedup.packedDupsAgainst(batch, corpus, "id", "sig", 3)
+    df.collect() // AQE final plan
+    val p = df.queryExecution.executedPlan.toString
+    // the pigeonhole bands make this an EQUI-join on (band, bh): a
+    // cartesian or nested-loop plan would compare every sig pair
+    assert(!p.contains("CartesianProduct"), s"band probe must stay equi:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"band probe must stay equi:\n$p")
+    // the batch side is delta-sized: AQE must broadcast it against the
+    // index rather than shuffling the corpus fingerprints
+    assert(p.contains("BroadcastHashJoin"), s"delta side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"the corpus side must not shuffle:\n$p")
+  }
 }

@@ -291,8 +291,12 @@ object Bench {
     "q208_stream_bpe_gate", "q209_stream_image_dedup",
     "q210_stream_audio_dedup", "q211_takedown_band_index",
     // q212 runs TWO ingest rounds (separate awaitTermination each) +
-    // tombstone + three IVF knn joins — the q201/q205 multi-job shape
-    "q212_takedown_ann_serve")
+    // tombstone + three IVF knn joins — the q201/q205 multi-job shape;
+    // q213 is the two-batch probe-then-append harness (q209 shape)
+    "q212_takedown_ann_serve", "q213_stream_simhash_dedup",
+    // q214 is the q201-shape two-ingest-round tombstone harness plus a
+    // second arrival-serving stream (the q211 shape on the overlap index)
+    "q214_takedown_overlap_index")
 
   /** Machine calibration canaries: stable, mid-weight queries spanning the
     * engine's plan shapes (pushed scan, window, LSH join, stream, fill).

@@ -5319,6 +5319,99 @@ object SparkEntry {
         graft.Checkpoints.release(victims)
         out
       } finally deleteRecursively(tmp)
+    }),
+
+    // q213: continuous TEXT SimHash dedup ingest — the SAME
+    // packedDupIngest machinery as image q209 / audio q210 with the
+    // SimHash fingerprinter (tokenSet shingles -> packed 64-bit sig,
+    // empty shingle sets filtered exactly as the batch path does): one
+    // probe-then-append operator covers every packed-signature modality.
+    // The corpus arrives across two micro-batches; the accumulated pair
+    // log must equal batch simhashNearDups (q38's brute-force-graded
+    // miner) as an exact set, and the persisted fingerprint table must
+    // cover every non-empty-shingle doc (a dead stream cannot pass
+    // vacuously)
+    "q213_stream_simhash_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("q213").toString
+      try {
+        val store = new graft.sync.ParquetStore(s, s"$tmp/idx")
+        docs.repartition(2).write.parquet(s"$tmp/src")
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+        def fp(b: DataFrame): DataFrame = b
+          .select(col("doc_id"),
+            Dedup.hashedShingles(TextAnalysis.tokenSet(col("text"))).as("__sh"))
+          .filter(size(col("__sh")) > 0)
+          .select(col("doc_id"), Dedup.simhashPacked(col("__sh")).as("__sig"))
+        IncrementalStream.packedDupIngest(stream, fp, "doc_id", "__sig",
+          maxHamming = 3, store = store, checkpointDir = s"$tmp/ck")
+          .awaitTermination()
+        val got = store.read("dup_pairs").get.select("id_a", "id_b")
+        val want = Dedup.simhashNearDups(docs, "doc_id", "text",
+          TextAnalysis.tokenSet, maxHamming = 3)
+        val nSigs = store.read("fingerprints").get.count()
+        val nDocs = docs
+          .filter(size(Dedup.hashedShingles(TextAnalysis.tokenSet(col("text")))) > 0)
+          .count()
+        got.except(want).unionByName(want.except(got))
+          .agg((count(lit(1)).cast(LongType)
+            + lit(if (nSigs == nDocs) 0L else 1L)).as("violations"))
+          .localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+
+    // q214: online takedown through the WINNOW OVERLAP-INDEX family —
+    // the LAST at-read-gated index family without a graded takedown
+    // entry (lines q201, spans q205, MinHash bands q211, ANN q212, THIS):
+    // the corpus streams its raw (fp, doc_id) fingerprints into the
+    // persisted index across two micro-batches (overlapIndexIngest —
+    // deliberately UN-gated, hotness applies at read), corpus docs < 100
+    // tombstone BETWEEN them, and the arrival gate probes
+    // gateIndex(withoutTombstones(accumulated)) — anti-join BEFORE the
+    // df<=100 hot gate, so hotness recomputes over the SURVIVORS in both
+    // directions: fps hot only through tombstoned docs re-admit, and
+    // erased docs leave no pairing residue. Graded against q148's SAME
+    // oracle with the corpus restricted to survivors (the takedown
+    // changes the answer at every graded SF: 48 -> 26 pairs at sf0.01)
+    "q214_takedown_overlap_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 250)
+      val tmp = java.nio.file.Files.createTempDirectory("q214").toString
+      val (srcDir, ckDir) = (s"$tmp/src", s"$tmp/ck")
+      try {
+        val idxStore = new graft.sync.ParquetStore(s, s"$tmp/idx")
+        val store = new graft.sync.ParquetStore(s, s"$tmp/out")
+        def ingestAvailable(): Unit = {
+          val stream = s.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*.parquet")
+          IncrementalStream.overlapIndexIngest(stream, "doc_id", "text",
+            idxStore, "fps", checkpointDir = ckDir).awaitTermination()
+        }
+        corpus.filter(col("doc_id") % 2 === 0).repartition(1)
+          .write.parquet(srcDir)
+        ingestAvailable()
+        val added = graft.sync.Takedown.tombstone(idxStore,
+          corpus.filter(col("doc_id") < 100).select(col("doc_id")))
+        require(added > 0L, "q214: the tombstone must actually record ids")
+        corpus.filter(col("doc_id") % 2 === 1).repartition(1)
+          .write.mode("append").parquet(srcDir)
+        ingestAvailable()
+        val arrivals = docs.filter(col("doc_id") >= 250)
+        arrivals.repartition(2).write.parquet(s"$tmp/arr")
+        val arrStream = s.readStream.schema(arrivals.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/arr/*.parquet")
+        IncrementalStream.overlapGate(arrStream,
+          graft.text.Winnow.gateIndex(
+            graft.sync.Takedown.withoutTombstones(
+              idxStore.read("fps").get, "doc_id", idxStore),
+            "doc_id", maxDocsPerFp = 100),
+          "doc_id", "text", store, "pairs", checkpointDir = s"$tmp/ck2")
+          .awaitTermination()
+        store.read("pairs").get
+          .select(col("id_a"), col("id_b"), col("n_shared"))
+          .orderBy("id_a", "id_b").localCheckpoint()
+      } finally deleteRecursively(tmp)
     })
   )
 
@@ -6028,7 +6121,15 @@ object SparkEntry {
     // q212: gated-serve-vs-survivor-rebuild parity under one fixed
     // quantizer is a Spark-side full-outer contract (the q124 family)
     "q212_takedown_ann_serve" ->
-      "SELECT CAST(0 AS BIGINT) AS violations"
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    // q213: streamed-vs-batch SimHash pair parity is a Spark-side
+    // exact-set contract (the q38/q158 family)
+    "q213_stream_simhash_dedup" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    // q214: q148's serving oracle with the corpus restricted to the
+    // takedown survivors — the df<=100 hot gate recomputes over them
+    "q214_takedown_overlap_index" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS gpos, md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS gh FROM tok, LATERAL unnest(range(1, len(ts) - 1)) AS t(i) WHERE len(ts) >= 3), n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng FROM g GROUP BY 1), mw AS (SELECT doc_id, gpos, min(gh) OVER (PARTITION BY doc_id ORDER BY gpos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh FROM g), w AS (SELECT mw.doc_id, mw.gpos AS wpos, mw.mh FROM mw JOIN n USING (doc_id) WHERE mw.gpos <= greatest(n.ng - 4, 0)), fpd AS (SELECT DISTINCT w.doc_id, w.mh AS fp FROM w), corpus AS (SELECT * FROM fpd WHERE doc_id < 250 AND doc_id >= 100), rare AS (SELECT fp FROM corpus GROUP BY fp HAVING count(*) <= 100), ci AS (SELECT c.fp, c.doc_id FROM corpus c JOIN rare USING (fp)), arr AS (SELECT * FROM fpd WHERE doc_id >= 250) SELECT a.doc_id AS id_a, c.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared FROM arr a JOIN ci c ON a.fp = c.fp GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b"""
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = core ++ llm

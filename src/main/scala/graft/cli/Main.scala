@@ -41,7 +41,7 @@ object Main {
       "       embed-dedup --source <parquetDir> --corpus <parquet> --id <col> --vec <col> --threshold <cos> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       index-ingest --source <parquetDir> --corpus <parquet> --id <col> --vec <col> --centroids <n> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       build-dedup-index --corpus <parquet> --id <col> --text <col> --ngram <n> --hashes <n> --bands <n> --out <storeDir>\n" +
-      "       ingest-dedup --source <parquetDir> --index <storeDir> --id <col> --text <col> --ngram <n> --num <j> --den <j> --hashes <n> --bands <n> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
+      "       ingest-dedup --source <parquetDir> --index <storeDir> --id <col> --text <col> --ngram <n> --num <j> --den <j> --hashes <n> --bands <n> --dest <storeDir> --table <t> --checkpoint <dir> [--tombstones true]\n" +
       "       scrub-spans --source <parquetDir> --benchmark <parquet> --id <col> --text <col> --ngram <n> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       group-split --corpus <parquet> --id <col> --text <col> --ngram <n> --num <j> --den <j> --hashes <n> --bands <n> --out <parquetDir> [--salt <s>]\n" +
       "       mine-negatives --queries <parquet> --corpus <parquet> --id <col> --vec <col> --label <col> --k <n> --out <parquetDir> [--ceiling <cos>]\n" +
@@ -54,7 +54,7 @@ object Main {
       "       source-overlap --corpus <parquet> --source <col> --text <col> --out <parquetDir> [--gram <n>]\n" +
       "       dup-span-gate --source <parquetDir> --reference <parquet> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir> [--gram <n>] [--min-run <n>] [--max-df <n>]\n" +
       "       ingest-span-index --source <parquetDir> --id <col> --text <col> --dest <storeDir> --checkpoint <dir> [--gram <n>]\n" +
-      "       serve-span-scrub --corpus <parquet> --index <storeDir> --id <col> --text <col> --out <parquetDir> [--gram <n>] [--min-run <n>] [--max-df <n>]\n" +
+      "       serve-span-scrub --corpus <parquet> --index <storeDir> --id <col> --text <col> --out <parquetDir> [--gram <n>] [--min-run <n>] [--max-df <n>] [--tombstones true]\n" +
       "       line-dedup --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--max-df <n>] [--broadcast false]\n" +
       "       ingest-line-index --source <parquetDir> --id <col> --text <col> --dest <storeDir> --checkpoint <dir>\n" +
       "       serve-line-dedup --index <storeDir> --id <col> --out <parquetDir> [--max-df <n>] [--broadcast false] [--tombstones true]\n" +
@@ -90,7 +90,7 @@ object Main {
       "       winnow --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--gram <k>] [--window <w>]\n" +
       "       winnow-overlap --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--gram <k>] [--window <w>] [--min-shared <n>] [--max-df <n>]\n" +
       "       build-overlap-index --corpus <parquet> --id <col> --text <col> --out <storeDir> [--gram <k>] [--window <w>] [--max-df <n>]\n" +
-      "       overlap-gate --source <parquetDir> --index <storeDir> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir> [--gram <k>] [--window <w>] [--min-shared <n>] [--max-df <n>]\n" +
+      "       overlap-gate --source <parquetDir> --index <storeDir> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir> [--gram <k>] [--window <w>] [--min-shared <n>] [--max-df <n>] [--tombstones true]\n" +
       "       ingest-overlap-index --source <parquetDir> --id <col> --text <col> --dest <storeDir> --checkpoint <dir> [--gram <k>] [--window <w>]\n" +
       "       snapshot-overlap-index --index <storeDir> --id <col> [--max-df <n>]\n" +
       "       ingest-dedup-index --source <parquetDir> --id <col> --text <col> --ngram <n> --hashes <n> --bands <n> --dest <storeDir> --checkpoint <dir>\n" +
@@ -168,7 +168,8 @@ object Main {
   private case class IngestDedup(source: String, index: String, id: String,
                                  text: String, ngram: Int, num: Int, den: Int,
                                  hashes: Int, bands: Int, dest: String,
-                                 table: String, checkpoint: String) extends Cmd
+                                 table: String, checkpoint: String,
+                                 tombstones: Boolean) extends Cmd
   private case class ScrubSpans(source: String, benchmark: String, id: String,
                                 text: String, ngram: Int, dest: String,
                                 table: String, checkpoint: String) extends Cmd
@@ -205,6 +206,7 @@ object Main {
   private case class ServeSpanScrubCmd(corpus: String, index: String,
                                        id: String, text: String, gram: Int,
                                        minRun: Int, maxDf: Int,
+                                       tombstones: Boolean,
                                        out: String) extends Cmd
   private case class TakedownCmd(store: String, tables: Seq[(String, String)],
                                  fromTombstones: Boolean,
@@ -316,7 +318,8 @@ object Main {
                                     text: String, gram: Int, window: Int,
                                     minShared: Int, dest: String, table: String,
                                     checkpoint: String,
-                                    maxDf: Option[Int]) extends Cmd
+                                    maxDf: Option[Int],
+                                    tombstones: Boolean) extends Cmd
   private case class IngestOverlapIndex(source: String, id: String,
                                         text: String, gram: Int, window: Int,
                                         dest: String,
@@ -480,7 +483,8 @@ object Main {
         dest <- req(opts, "ingest-dedup", "dest")
         table <- req(opts, "ingest-dedup", "table")
         ck <- req(opts, "ingest-dedup", "checkpoint")
-      } yield IngestDedup(source, index, id, text, n, num, den, hashes, bands, dest, table, ck)
+        ts <- optBool(opts, "ingest-dedup", "tombstones", dflt = false)
+      } yield IngestDedup(source, index, id, text, n, num, den, hashes, bands, dest, table, ck, ts)
     case "scrub-spans" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -626,8 +630,9 @@ object Main {
         n <- optInt(opts, "serve-span-scrub", "gram", 8)
         minRun <- optInt(opts, "serve-span-scrub", "min-run", 20)
         maxDf <- optInt(opts, "serve-span-scrub", "max-df", 20)
+        ts <- optBool(opts, "serve-span-scrub", "tombstones", dflt = false)
         out <- req(opts, "serve-span-scrub", "out")
-      } yield ServeSpanScrubCmd(corpus, index, id, text, n, minRun, maxDf, out)
+      } yield ServeSpanScrubCmd(corpus, index, id, text, n, minRun, maxDf, ts, out)
     case "line-dedup" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -1025,7 +1030,16 @@ object Main {
           .fold(Right(None): Either[String, Option[Int]])(s =>
             s.toIntOption.filter(_ >= 1).map(Some(_))
               .toRight(s"overlap-gate: --max-df must be a positive int, got $s"))
-      } yield OverlapGateCmd(source, index, id, text, k, w, ms, dest, table, ck, md)
+        ts <- optBool(opts, "overlap-gate", "tombstones", dflt = false).flatMap(t =>
+          // the snapshot path gates hotness at refresh time — an anti-join
+          // AFTER it cannot re-cool, so refuse the silently-wrong
+          // semantics (use --max-df for the at-read-gated raw index)
+          if (t && md.isEmpty)
+            Left("overlap-gate: --tombstones true requires --max-df (the " +
+              "at-read-gated raw index); a gated snapshot cannot re-cool " +
+              "retroactively")
+          else Right(t))
+      } yield OverlapGateCmd(source, index, id, text, k, w, ms, dest, table, ck, md, ts)
     case "ingest-overlap-index" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -1463,14 +1477,20 @@ object Main {
       writeDedupManifest(spark, store, n, hashes, bands)
       0
 
-    case IngestDedup(source, index, id, text, n, num, den, hashes, bands, dest, table, ck) =>
+    case IngestDedup(source, index, id, text, n, num, den, hashes, bands, dest, table, ck, ts) =>
       sourceSchema(spark, source, "ingest-dedup").fold(0) { schema =>
         val idxStore = new ParquetStore(spark, index)
+        // --tombstones true: the ONLINE takedown gate — BOTH index tables
+        // anti-join the store\'s tombstone table before any probe, so a
+        // tombstoned corpus document never rejects an arrival (the q211
+        // contract)
+        def gate(df: org.apache.spark.sql.DataFrame) =
+          if (ts) graft.sync.Takedown.withoutTombstones(df, "id_b", idxStore) else df
         val idx = graft.dedup.Dedup.NearDupIndex(
-          idxStore.read("band_index").getOrElse(
-            sys.error(s"ingest-dedup: no band_index table under $index — run build-dedup-index first")),
-          idxStore.read("shingle_sets").getOrElse(
-            sys.error(s"ingest-dedup: no shingle_sets table under $index")))
+          gate(idxStore.read("band_index").getOrElse(
+            sys.error(s"ingest-dedup: no band_index table under $index — run build-dedup-index first"))),
+          gate(idxStore.read("shingle_sets").getOrElse(
+            sys.error(s"ingest-dedup: no shingle_sets table under $index"))))
         idxStore.read("params").foreach(
           checkDedupManifest(_, "ingest-dedup", index, n, hashes, bands))
         val stream = spark.readStream.schema(schema).parquet(source)
@@ -1852,7 +1872,7 @@ object Main {
         0
       }
 
-    case ServeSpanScrubCmd(corpus, index, id, text, n, minRun, maxDf, out) =>
+    case ServeSpanScrubCmd(corpus, index, id, text, n, minRun, maxDf, ts, out) =>
       // q190 semantics over the accumulated index: the batch corpus
       // scrubs against everything ingested so far, reference side never
       // re-tokenized; manifest checked so the probe's k matches the index
@@ -1871,11 +1891,17 @@ object Main {
             "verified; re-ingest from scratch or seed a manifest matching " +
             "the original build")
       }
+      // --tombstones true: the ONLINE takedown gate — anti-join the
+      // store's tombstone table BEFORE the df gate, so gram df recomputes
+      // over the survivors (the q205 re-cooling contract)
+      val gramRows = {
+        val raw = grams.select(org.apache.spark.sql.functions.col(id),
+          org.apache.spark.sql.functions.col("pos"),
+          org.apache.spark.sql.functions.col("g"))
+        if (ts) graft.sync.Takedown.withoutTombstones(raw, id, store) else raw
+      }
       graft.dedup.Decontaminate.scrubDuplicatedSpansAgainstIndex(
-          spark.read.parquet(corpus),
-          grams.select(org.apache.spark.sql.functions.col(id),
-            org.apache.spark.sql.functions.col("pos"),
-            org.apache.spark.sql.functions.col("g")),
+          spark.read.parquet(corpus), gramRows,
           id, text, n, minRun, maxDf)
         .write.mode("overwrite").parquet(out)
       0
@@ -2206,7 +2232,7 @@ object Main {
       writeOverlapManifest(spark, store, k, w)
       0
 
-    case OverlapGateCmd(source, index, id, text, k, w, ms, dest, table, ck, maxDf) =>
+    case OverlapGateCmd(source, index, id, text, k, w, ms, dest, table, ck, maxDf, ts) =>
       sourceSchema(spark, source, "overlap-gate").fold(0) { schema =>
         val idxStore = new ParquetStore(spark, index)
         // probe fingerprints must come from the SAME (gram, window)
@@ -2233,8 +2259,13 @@ object Main {
           s"overlap-gate: no fps table under $index — run build-overlap-index " +
             "(or ingest-overlap-index) first"))
         def fps = maxDf match {
-          // explicit --max-df: gate the raw accumulation at every read
-          case Some(m) => graft.text.Winnow.gateIndex(rawFps, id, m)
+          // explicit --max-df: gate the raw accumulation at every read;
+          // --tombstones true anti-joins the store's tombstone table
+          // BEFORE the hot gate, so fingerprint df recomputes over the
+          // survivors (the q214 re-cooling contract)
+          case Some(m) => graft.text.Winnow.gateIndex(
+            if (ts) graft.sync.Takedown.withoutTombstones(rawFps, id, idxStore)
+            else rawFps, id, m)
           case None => idxStore.read("fps_gated").getOrElse {
             // no materialized snapshot either: a raw ingest accumulation
             // is recognizable by its lineage stamps; serving it UN-gated

@@ -213,6 +213,36 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("ingest-dedup --tombstones: a tombstoned corpus doc never rejects an arrival") {
+    val tmp = Files.createTempDirectory("graft_cli_ddts").toString
+    Seq((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "completely different content about spark engines"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/corpus")
+    assert(Main.run(spark, Array("build-dedup-index",
+      "--corpus", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
+      "--ngram", "1", "--hashes", "128", "--bands", "32",
+      "--out", s"$tmp/idx")) === 0)
+    // the takedown lands on doc 1 — the only doc arrival 10 duplicates
+    Seq(Tuple1(1L)).toDF("doc_id").write.parquet(s"$tmp/ids")
+    assert(Main.run(spark, Array("tombstone",
+      "--store", s"$tmp/idx", "--ids", s"$tmp/ids")) === 0)
+    Seq((10L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$tmp/src")
+    def serve(dest: String, ck: String, extra: String*) = Main.run(spark,
+      Array("ingest-dedup",
+        "--source", s"$tmp/src", "--index", s"$tmp/idx", "--id", "doc_id",
+        "--text", "text", "--ngram", "1", "--num", "9", "--den", "10",
+        "--hashes", "128", "--bands", "32", "--dest", dest,
+        "--table", "rejects", "--checkpoint", ck) ++ extra)
+    // gated: doc 1 is erased, so the twin arrival is NOT rejected
+    assert(serve(s"$tmp/dst_ts", s"$tmp/ck_ts", "--tombstones", "true") === 0)
+    assert(spark.read.parquet(s"$tmp/dst_ts/rejects.parquet").count() === 0L)
+    // ungated: the physical rows still reject it (purge is deferred)
+    assert(serve(s"$tmp/dst", s"$tmp/ck") === 0)
+    assert(spark.read.parquet(s"$tmp/dst/rejects.parquet")
+      .collect().map(_.getLong(0)).toSeq === Seq(10L))
+  }
+
   test("maintain-stats end to end: state equals the direct aggregate") {
     val tmp = Files.createTempDirectory("graft_cli_ms").toString
     Seq((1L, 10L), (1L, 30L), (2L, 5L)).toDF("k", "v")

@@ -5146,7 +5146,9 @@ object SparkEntry {
           .join(got.withColumn("__f", lit(1)), Seq("id_a", "id_b"), "full_outer")
           .agg(violations(col("__e").isNull || col("__f").isNull))
           .head.getLong(0)
-        val sigWant = fp(media)
+        // the parity arm reads the WRITTEN stream source (identical rows)
+        // instead of re-encoding every planted PNG a second time
+        val sigWant = fp(s.read.parquet(s"$tmp/src"))
         val nSig = sigWant.count()
         val idxV = store.read("fingerprints").get.select(col("doc_id"), col("phash"))
           .withColumn("__x", lit(1))
@@ -5188,7 +5190,9 @@ object SparkEntry {
           .join(got.withColumn("__f", lit(1)), Seq("id_a", "id_b"), "full_outer")
           .agg(violations(col("__e").isNull || col("__f").isNull))
           .head.getLong(0)
-        val sigWant = fp(media)
+        // the parity arm reads the WRITTEN stream source (identical rows)
+        // instead of re-synthesizing every planted PCM walk a second time
+        val sigWant = fp(s.read.parquet(s"$tmp/src"))
         val nSig = sigWant.count()
         val idxV = store.read("fingerprints").get.select(col("doc_id"), col("ahash"))
           .withColumn("__x", lit(1))

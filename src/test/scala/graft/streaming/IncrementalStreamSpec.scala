@@ -917,6 +917,46 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(store.read("fingerprints").get.count() === 5L)
   }
 
+  test("packedDupIngest: a crash between the pair and sig appends self-heals on retry") {
+    import graft.dedup.Dedup
+    import graft.sync.ParquetStore
+    val media = Seq(
+      (0L, 0x0000000000000000L), (1L, 0x00000000000000f0L),
+      (2L, 0x00000000000000f3L),
+      (3L, 0x5555555555555555L), (4L, 0x0000000000000001L))
+      .toDF("doc_id", "sig")
+    val fp: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      b => b.select($"doc_id", $"sig")
+    val tmp = Files.createTempDirectory("graft_pdiheal").toString
+    media.filter($"doc_id" <= 2L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    media.filter($"doc_id" > 2L).coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    def stream() = spark.readStream.schema(media.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+    val store = new ParquetStore(spark, s"$tmp/out")
+    IncrementalStream.packedDupIngest(stream(), fp, "doc_id", "sig",
+      maxHamming = 3, store = store, checkpointDir = s"$tmp/ck")
+      .awaitTermination()
+    // CRASH SIMULATION (the scaladoc's window): batch 1's pair append
+    // landed but its SIG append and checkpoint commit did not — drop the
+    // batch-1 sig rows AND its pair row, delete commits/1, restart
+    val sigs = store.read("fingerprints").get
+    store.write(sigs.filter(!($"__batch" === 1L)), "fingerprints")
+    val pairLog = store.read("dup_pairs").get
+    store.write(pairLog.filter(!($"__batch" === 1L)), "dup_pairs")
+    assert(new java.io.File(s"$tmp/ck/commits/1").delete())
+    new java.io.File(s"$tmp/ck/commits/.1.crc").delete()
+    IncrementalStream.packedDupIngest(stream(), fp, "doc_id", "sig",
+      maxHamming = 3, store = store, checkpointDir = s"$tmp/ck")
+      .awaitTermination()
+    // converged: every pair exactly once, every sig exactly once
+    val pairs = store.read("dup_pairs").get
+      .select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(pairs === Seq((0L, 4L), (1L, 2L)))
+    assert(store.read("fingerprints").get.count() === 5L)
+    assert(store.read("fingerprints").get.select($"doc_id").distinct().count() === 5L)
+  }
+
   test("bpeGate: streamed pieces equal the batch replay; bad artifacts fail at start") {
     import graft.sync.ParquetStore
     import graft.text.TextAnalysis

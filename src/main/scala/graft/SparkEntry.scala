@@ -5416,6 +5416,36 @@ object SparkEntry {
           .select(col("id_a"), col("id_b"), col("n_shared"))
           .orderBy("id_a", "id_b").localCheckpoint()
       } finally deleteRecursively(tmp)
+    }),
+
+    // q215: classifier THRESHOLD SWEEP — the curation knob audit run
+    // before deploying a quality filter: for a ladder of margin cutoffs,
+    // how many documents survive (coverage permille) and how pure the
+    // survivors are (positive-label permille). ONE pass over the scored
+    // margins: a 7-literal explode + partial-aggregated conditional
+    // counts — nothing corpus-sized moves twice. Integer micros and
+    // permille floors end to end, so the sweep replays bit-exactly in
+    // the DuckDB training-replay oracle (the q167/q168 CTE chain plus a
+    // VALUES ladder)
+    "q215_classifier_sweep" -> ((s, dir) => {
+      val (df, model) = svmTrained(s, dir)
+      val thresholds = Seq(-2000000L, -1000000L, -500000L, 0L,
+        500000L, 1000000L, 2000000L)
+      Classifier.score(df, "doc_id", model)
+        .join(df.select(col("doc_id"), col("y")), Seq("doc_id"))
+        .select(col("margin_micros"), col("y"),
+          explode(typedLit(thresholds)).as("threshold_micros"))
+        .groupBy("threshold_micros")
+        .agg(
+          count(when(col("margin_micros") >= col("threshold_micros"), 1)).as("n_kept"),
+          count(when(col("margin_micros") >= col("threshold_micros") &&
+            col("y") === 1L, 1)).as("n_pos"),
+          count(lit(1)).as("__total"))
+        .select(col("threshold_micros"), col("n_kept"),
+          expr("n_kept * 1000 div __total").as("kept_pm"),
+          col("n_pos"),
+          expr("CASE WHEN n_kept > 0 THEN n_pos * 1000 div n_kept ELSE CAST(0 AS BIGINT) END").as("pos_pm"))
+        .orderBy("threshold_micros")
     })
   )
 
@@ -6130,6 +6160,16 @@ object SparkEntry {
     // exact-set contract (the q38/q158 family)
     "q213_stream_simhash_dedup" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
+    // q215: the q167/q168 integer training replay scored under the final
+    // weights, swept over the SAME literal threshold ladder
+    "q215_classifier_sweep" -> svmOracleSql(
+      "SELECT t AS threshold_micros, n_kept, CAST(n_kept * 1000 // total AS BIGINT) AS kept_pm, " +
+        "n_pos, CAST(CASE WHEN n_kept > 0 THEN n_pos * 1000 // n_kept ELSE 0 END AS BIGINT) AS pos_pm " +
+        s"FROM (SELECT t, CAST(count(CASE WHEN m >= t THEN 1 END) AS BIGINT) AS n_kept, " +
+        s"CAST(count(CASE WHEN m >= t AND y = 1 THEN 1 END) AS BIGINT) AS n_pos, " +
+        s"CAST(count(*) AS BIGINT) AS total FROM m${SvmRounds + 1}, " +
+        "(SELECT CAST(unnest([-2000000, -1000000, -500000, 0, 500000, 1000000, 2000000]) AS BIGINT) AS t) " +
+        "GROUP BY t) ORDER BY threshold_micros"),
     // q214: q148's serving oracle with the corpus restricted to the
     // takedown survivors — the df<=100 hot gate recomputes over them
     "q214_takedown_overlap_index" ->

@@ -296,7 +296,9 @@ object Bench {
     "q212_takedown_ann_serve", "q213_stream_simhash_dedup",
     // q214 is the q201-shape two-ingest-round tombstone harness plus a
     // second arrival-serving stream (the q211 shape on the overlap index)
-    "q214_takedown_overlap_index")
+    "q214_takedown_overlap_index",
+    // q216 runs the q33 CC driver loop (the founding HighVariance shape)
+    "q216_dup_cluster_sizes")
 
   /** Machine calibration canaries: stable, mid-weight queries spanning the
     * engine's plan shapes (pushed scan, window, LSH join, stream, fill).

@@ -5446,6 +5446,32 @@ object SparkEntry {
           col("n_pos"),
           expr("CASE WHEN n_kept > 0 THEN n_pos * 1000 div n_kept ELSE CAST(0 AS BIGINT) END").as("pos_pm"))
         .orderBy("threshold_micros")
+    }),
+
+    // q216: near-dup CLUSTER-SIZE distribution — the "dup inflation"
+    // line of a corpus release audit: how many clusters of each size the
+    // near-dup graph contains and what fraction of the corpus is
+    // redundant (docs beyond each cluster's canonical — permille floor).
+    // Built on the q33 components (same pairs, same CC), then two
+    // #clusters-sized aggregates: cluster sizes, then the size histogram
+    // + a broadcast total — nothing corpus-sized moves after the CC
+    // rounds. The inflation figure is what decides whether dedup is
+    // worth a pipeline stage at all
+    "q216_dup_cluster_sizes" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDupsHashed(docs, "doc_id", "text",
+        Dedup.hashedWordNgrams(_, 3), num = 7, den = 10, numHashes = 256, bands = 64)
+      val sizes = Dedup.connectedComponents(docs, "doc_id", pairs)
+        .groupBy(col("canon")).agg(count(lit(1)).as("__sz"))
+      val total = docs.count()
+      sizes.groupBy(col("__sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+        .withColumn("redundant_pm",
+          expr(s"(cluster_size - 1) * n_clusters * 1000 div $total"))
+        .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+          col("redundant_pm"))
+        .orderBy("cluster_size")
     })
   )
 
@@ -6160,6 +6186,10 @@ object SparkEntry {
     // exact-set contract (the q38/q158 family)
     "q213_stream_simhash_dedup" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
+    // q216: the q33 recursive-CTE components aggregated to the size
+    // histogram + integer redundancy permille
+    "q216_dup_cluster_sizes" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), tri AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1), i -> ts[i]||' '||ts[i+1]||' '||ts[i+2])) AS gs FROM tok WHERE len(ts) >= 3), pairs AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM tri a JOIN tri b ON a.doc_id <> b.doc_id WHERE len(list_intersect(a.gs, b.gs)) * 10 >= len(list_distinct(list_concat(a.gs, b.gs))) * 7), reach AS (SELECT doc_id AS id, doc_id AS r FROM documents UNION SELECT p.dst, reach.r FROM reach JOIN pairs p ON p.src = reach.id), canon AS (SELECT id, CAST(min(r) AS BIGINT) AS canon FROM reach GROUP BY id), sz AS (SELECT canon, CAST(count(*) AS BIGINT) AS cluster_size FROM canon GROUP BY canon), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents) SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters, CAST(cluster_size * count(*) AS BIGINT) AS n_docs, CAST((cluster_size - 1) * count(*) * 1000 // (SELECT n FROM tot) AS BIGINT) AS redundant_pm FROM sz GROUP BY cluster_size ORDER BY cluster_size""",
     // q215: the q167/q168 integer training replay scored under the final
     // weights, swept over the SAME literal threshold ladder
     "q215_classifier_sweep" -> svmOracleSql(

@@ -5431,8 +5431,7 @@ object SparkEntry {
       val (df, model) = svmTrained(s, dir)
       val thresholds = Seq(-2000000L, -1000000L, -500000L, 0L,
         500000L, 1000000L, 2000000L)
-      Classifier.score(df, "doc_id", model)
-        .join(df.select(col("doc_id"), col("y")), Seq("doc_id"))
+      Classifier.score(df, "doc_id", model, keep = Seq("y"))
         .select(col("margin_micros"), col("y"),
           explode(typedLit(thresholds)).as("threshold_micros"))
         .groupBy("threshold_micros")

@@ -129,12 +129,17 @@ object Classifier {
     * pred) with pred = +1 iff margin > 0 — one narrow projection, the
     * weights as a literal map (the serving path a streaming gate pins at
     * query start, the Vocab convention). `docs` is
-    * [[docFeatures]]-shaped (the y column is not required). */
-  def score(docs: DataFrame, idCol: String, model: LinearModel): DataFrame = {
+    * [[docFeatures]]-shaped (the y column is not required). `keep` rides
+    * extra input columns through the SAME pass — an audit needing the
+    * label next to the margin (q215's threshold sweep) must not join it
+    * back by id afterward, which would exchange the corpus a second
+    * time. */
+  def score(docs: DataFrame, idCol: String, model: LinearModel,
+            keep: Seq[String] = Nil): DataFrame = {
     val wLit = typedLit(model.weights)
     val margin = aggregate(col("__fs"), lit(model.biasMicros),
       (acc, p) => acc + coalesce(element_at(wLit, p.getField("f")), lit(0L)) * p.getField("x"))
-    docs.select(col(idCol), margin.as("margin_micros"))
+    docs.select(col(idCol) +: margin.as("margin_micros") +: keep.map(col): _*)
       .withColumn("pred", when(col("margin_micros") > 0, 1L).otherwise(-1L))
   }
 

@@ -821,4 +821,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"delta side must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"the corpus side must not shuffle:\n$p")
   }
+  test("q215 threshold sweep is one pass: label rides the margin projection, no join") {
+    val p = plan("q215_classifier_sweep")
+    // the label must ride THROUGH the scoring pass (score's keep param) —
+    // joining it back by id would exchange the corpus a second time. The
+    // one legitimate join (docFeatures' feats-labels build) sits BELOW
+    // the threshold explode; nothing above it may join
+    val genIdx = p.indexOf("Generate explode")
+    assert(genIdx >= 0, s"expected the threshold explode:\n$p")
+    assert(!p.substring(0, genIdx).contains("Join"),
+      s"the sweep above the explode must not plan a join:\n$p")
+    // one aggregate exchange on the 7-key threshold ladder, partial
+    // counts below it (the explode collapses map-side)
+    val partialIdx = p.indexOf("partial_count")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(threshold_micros")
+    assert(partialIdx > exchangeIdx && exchangeIdx >= 0,
+      s"expected partial counts under the threshold exchange:\n$p")
+  }
 }

@@ -107,6 +107,37 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("property: bucketed strataSample equals an independent SQL-ntile reference") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      k <- Gen.choose(1, 9)
+      cap <- Gen.choose(1, 8)
+      w <- Gen.choose(1, 200)
+      lens <- Gen.listOfN(n, Gen.choose(0L, 300L))
+    } yield (lens.zipWithIndex.map { case (l, i) => (i.toLong, l) }, k, cap, w)
+    val prop = Prop.forAll(gen) { case (rows, k, cap, w) =>
+      val got = Sampling.strataSample(rows.toDF("id", "len"),
+          Seq(col("len"), col("id")), k, cap,
+          bucket = Some(expr(s"len div $w")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // independent reference: SQL ntile's explicit group sizes (first
+      // n mod k groups get one extra row) over the sorted total order,
+      // then the per-stratum cap — no shared formula with the operator
+      val sorted = rows.sortBy(t => (t._2, t._1))
+      val (q, rem) = (sorted.length / k, sorted.length % k)
+      val sizes = Seq.fill(rem)(q + 1) ++ Seq.fill(k - rem)(q)
+      var idx = 0
+      val want = sizes.zipWithIndex.flatMap { case (sz, t) =>
+        val grp = sorted.slice(idx, idx + sz); idx += sz
+        grp.take(cap).map { case (id, len) => (id, len, (t + 1).toLong) }
+      }.toSet
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("tokenBudgetSample: inclusive running total, never overshoots, no partial rows") {
     val df = Seq(
       ("a", 1L, 40L), ("a", 2L, 50L), ("a", 3L, 20L), ("a", 4L, 5L),

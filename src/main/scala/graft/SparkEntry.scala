@@ -5471,7 +5471,19 @@ object SparkEntry {
         .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
           col("redundant_pm"))
         .orderBy("cluster_size")
-    })
+    }),
+
+    // q217: EXACT corpus quantiles without a single-partition sort — the
+    // length-bucketing / data-card percentile line computed by the q69
+    // bucket-decomposed exact rank instead of approx_percentile's sketch
+    // (exact and engine-portable — graded against DuckDB's own
+    // quantile_disc, whose ceil(p*n) discrete semantics the operator
+    // pins) or a naive one-task global sort
+    "q217_exact_quantiles" -> ((s, dir) =>
+      Sampling.exactQuantiles(t(s, dir, "documents"), "n_chars", "doc_id",
+          bucket = expr("n_chars div 8"),
+          probsPermille = Seq(100L, 250L, 500L, 750L, 900L, 990L))
+        .orderBy("prob_pm"))
   )
 
   /** The q140/q143 BM25 oracle — ONE string for both: the streaming
@@ -6185,6 +6197,10 @@ object SparkEntry {
     // exact-set contract (the q38/q158 family)
     "q213_stream_simhash_dedup" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
+    // q217: DuckDB's own discrete-quantile aggregate, zipped with the
+    // permille labels by parallel unnest
+    "q217_exact_quantiles" ->
+      "WITH a AS (SELECT quantile_disc(n_chars, [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS qs FROM documents) SELECT CAST(unnest([100, 250, 500, 750, 900, 990]) AS BIGINT) AS prob_pm, CAST(unnest(qs) AS BIGINT) AS value FROM a ORDER BY prob_pm",
     // q216: the q33 recursive-CTE components aggregated to the size
     // histogram + integer redundancy permille
     "q216_dup_cluster_sizes" ->

@@ -163,6 +163,45 @@ object Sampling {
     }
   }
 
+  /** EXACT discrete quantiles at corpus scale — the value at rank
+    * ceil(p·n) of the total order (`valueCol`, `idCol`), which is
+    * SQL/DuckDB `quantile_disc` semantics exactly (probed and pinned:
+    * idx = ceil(p·n) clamped >= 1, integer permille arithmetic
+    * (p_pm·n + 999) div 1000 so no float rounding can move a boundary).
+    * `approx_percentile` trades exactness for one pass; a naive exact
+    * formulation sorts the corpus through ONE partition. This is the
+    * third use of the q106/q69 bucket decomposition: the exact global
+    * rank comes from [[PrefixSum.globalRunningSum]] over a ones column
+    * (one bucket-keyed exchange + a |buckets|-sized offsets broadcast),
+    * the target ranks are #probs literals broadcast back, and the
+    * result is one narrow filter — the corpus never converges on a
+    * single task. Length-bucketing for batch inference, data-card
+    * percentile lines, and drift thresholds all want THIS (exact,
+    * engine-portable) rather than the approximate sketch.
+    *
+    * `bucket` must be order-consistent with `valueCol` (the [[PrefixSum]]
+    * contract); ties on the value are broken by `idCol`, which cannot
+    * change the value AT a rank. Output: (prob_pm, value), one row per
+    * requested permille (duplicate targets each get their row). */
+  def exactQuantiles(df: DataFrame, valueCol: String, idCol: String,
+                     bucket: Column, probsPermille: Seq[Long]): DataFrame = {
+    require(probsPermille.nonEmpty, "exactQuantiles: empty probs")
+    require(probsPermille.forall(p => p >= 0 && p <= 1000),
+      s"exactQuantiles: probs are permille in [0, 1000], got $probsPermille")
+    val spark = df.sparkSession
+    val n = df.count()
+    val targets = probsPermille.map(p =>
+      (p, math.max(1L, (p * n + 999L) / 1000L)))
+    val ranked = PrefixSum.globalRunningSum(
+        df.select(col(valueCol), col(idCol)).withColumn("__one", lit(1L)),
+        "__one", bucket, Seq(col(valueCol), col(idCol)))
+      .withColumnRenamed("running___one", "__rank")
+    import spark.implicits._
+    ranked.join(broadcast(targets.toDF("prob_pm", "__t")),
+        col("__rank") === col("__t"))
+      .select(col("prob_pm"), col(valueCol).as("value"))
+  }
+
   /** Data-mixture sampling: keep each row with its source's rate — the
     * "10% web, 100% books, 3× upsampled code" recipe of every pretraining
     * mix, as one deterministic narrow filter (rates <= 1; upsampling is a

@@ -138,6 +138,22 @@ class SamplingSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("exactQuantiles: ceil(p*n) discrete semantics, ties and boundary probs exact") {
+    // heavy ties: value 10 x6, 20 x3, 30 x1 (n = 10)
+    val df = ((1L to 6L).map((_, 10L)) ++ (7L to 9L).map((_, 20L)) ++ Seq((10L, 30L)))
+      .toDF("id", "v")
+    val got = Sampling.exactQuantiles(df, "v", "id", expr("v div 7"),
+        Seq(0L, 100L, 500L, 600L, 601L, 900L, 1000L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // rank targets: ceil(p*10) clamped >= 1 -> 1,1,5,6,7,9,10
+    assert(got === Map(0L -> 10L, 100L -> 10L, 500L -> 10L, 600L -> 10L,
+      601L -> 20L, 900L -> 20L, 1000L -> 30L))
+    // out-of-range probs are rejected
+    val e = intercept[IllegalArgumentException](
+      Sampling.exactQuantiles(df, "v", "id", expr("v"), Seq(1001L)))
+    assert(e.getMessage.contains("permille"))
+  }
+
   test("tokenBudgetSample: inclusive running total, never overshoots, no partial rows") {
     val df = Seq(
       ("a", 1L, 40L), ("a", 2L, 50L), ("a", 3L, 20L), ("a", 4L, 5L),

@@ -5483,7 +5483,18 @@ object SparkEntry {
       Sampling.exactQuantiles(t(s, dir, "documents"), "n_chars", "doc_id",
           bucket = expr("n_chars div 8"),
           probsPermille = Seq(100L, 250L, 500L, 750L, 900L, 990L))
-        .orderBy("prob_pm"))
+        .orderBy("prob_pm")),
+
+    // q218: the PER-SOURCE percentile line of the data card — q217's
+    // exact discrete quantiles per key through the (source, bucket)
+    // keyed rank decomposition (sources are low-cardinality: a plain
+    // per-source sort window would single-task a 10 TB source), target
+    // ranks from one narrow count scan broadcast back
+    "q218_source_quantiles" -> ((s, dir) =>
+      Sampling.exactQuantilesByKey(t(s, dir, "documents"), "n_chars", "doc_id",
+          keys = Seq("source"), bucket = expr("n_chars div 8"),
+          probsPermille = Seq(100L, 500L, 900L))
+        .orderBy("source", "prob_pm"))
   )
 
   /** The q140/q143 BM25 oracle — ONE string for both: the streaming
@@ -6201,6 +6212,9 @@ object SparkEntry {
     // permille labels by parallel unnest
     "q217_exact_quantiles" ->
       "WITH a AS (SELECT quantile_disc(n_chars, [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS qs FROM documents) SELECT CAST(unnest([100, 250, 500, 750, 900, 990]) AS BIGINT) AS prob_pm, CAST(unnest(qs) AS BIGINT) AS value FROM a ORDER BY prob_pm",
+    // q218: quantile_disc per source, zipped with permille labels
+    "q218_source_quantiles" ->
+      "WITH a AS (SELECT source, quantile_disc(n_chars, [0.1, 0.5, 0.9]) AS qs FROM documents GROUP BY source) SELECT source, CAST(unnest([100, 500, 900]) AS BIGINT) AS prob_pm, CAST(unnest(qs) AS BIGINT) AS value FROM a ORDER BY source, prob_pm",
     // q216: the q33 recursive-CTE components aggregated to the size
     // histogram + integer redundancy permille
     "q216_dup_cluster_sizes" ->

@@ -202,6 +202,35 @@ object Sampling {
       .select(col("prob_pm"), col(valueCol).as("value"))
   }
 
+  /** PER-KEY [[exactQuantiles]] — the data-card percentile line computed
+    * per source/domain ("p50/p90 length per source") with the SAME
+    * ceil(p·n_k) discrete semantics per key. Keys are dashboard-sized
+    * (sources, not documents), so a plain per-key sort window would
+    * single-task a 10 TB source — the rank routes through
+    * [[PrefixSum.keyedRunningSum]]'s (key, bucket) decomposition instead,
+    * and the per-key target-rank table (#keys × #probs rows, from one
+    * narrow partial-aggregated count scan) broadcasts back onto a
+    * using-columns equi-join. Output: keys ++ (prob_pm, value). */
+  def exactQuantilesByKey(df: DataFrame, valueCol: String, idCol: String,
+                          keys: Seq[String], bucket: Column,
+                          probsPermille: Seq[Long]): DataFrame = {
+    require(keys.nonEmpty, "exactQuantilesByKey: empty keys — use exactQuantiles")
+    require(probsPermille.nonEmpty, "exactQuantilesByKey: empty probs")
+    require(probsPermille.forall(p => p >= 0 && p <= 1000),
+      s"exactQuantilesByKey: probs are permille in [0, 1000], got $probsPermille")
+    val kc = keys.map(col)
+    val targets = df.groupBy(kc: _*).agg(count(lit(1)).as("__n"))
+      .select(kc :+ explode(typedLit(probsPermille)).as("prob_pm") :+ col("__n"): _*)
+      .select(kc :+ col("prob_pm") :+
+        greatest(lit(1L), expr("(prob_pm * __n + 999) div 1000")).as("__rank"): _*)
+    val ranked = PrefixSum.keyedRunningSum(
+        df.select(kc :+ col(valueCol) :+ col(idCol): _*).withColumn("__one", lit(1L)),
+        "__one", keys, bucket, Seq(col(valueCol), col(idCol)))
+      .withColumnRenamed("running___one", "__rank")
+    ranked.join(broadcast(targets), keys :+ "__rank")
+      .select(kc :+ col("prob_pm") :+ col(valueCol).as("value"): _*)
+  }
+
   /** Data-mixture sampling: keep each row with its source's rate — the
     * "10% web, 100% books, 3× upsampled code" recipe of every pretraining
     * mix, as one deterministic narrow filter (rates <= 1; upsampling is a

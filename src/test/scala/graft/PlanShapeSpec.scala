@@ -838,4 +838,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(partialIdx > exchangeIdx && exchangeIdx >= 0,
       s"expected partial counts under the threshold exchange:\n$p")
   }
+  test("q218 per-source quantiles: (source, bucket) rank, offsets reuse, targets broadcast") {
+    val df = SparkEntry.queries("q218_source_quantiles")(spark, dir)
+    df.collect() // AQE materializes exchange reuse only in the FINAL plan
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    // the rank must never run as one window partition per source (the
+    // q100/q153 discipline): offsets branch reuses the ONE materialized
+    // (source, __b) exchange, and the #keys-x-#probs target table joins
+    // by broadcast
+    assert("ReusedExchange.*hashpartitioning\\(source#\\d+, __b".r.findFirstIn(finalSection).isDefined,
+      s"offsets branch must reuse the (source, bucket) exchange:\n$finalSection")
+    assert("\\+- Exchange hashpartitioning\\(source#\\d+, __b".r.findAllIn(finalSection).size === 1,
+      s"expected ONE materialized (source, bucket) exchange:\n$finalSection")
+    assert(finalSection.contains("BroadcastHashJoin"), s"targets must broadcast:\n$p")
+    assert(!finalSection.contains("SortMergeJoin"), p)
+  }
 }

@@ -51,6 +51,7 @@ object Main {
       "       span-gate-loss --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--gram <n>] [--min-run <n>] [--max-df <n>]\n" +
       "       fix-mojibake --corpus <parquet> --id <col> --text <col> --out <parquetDir>\n" +
       "       data-card --corpus <parquet> --group <col> --id <col> --text <col> --out <parquetDir>\n" +
+      "       quantiles --corpus <parquet> --value <col> --id <col> --bucket-width <n> --probs 100,500,900 [--keys c1[,c2]] --out <parquetDir>\n" +
       "       source-overlap --corpus <parquet> --source <col> --text <col> --out <parquetDir> [--gram <n>]\n" +
       "       dup-span-gate --source <parquetDir> --reference <parquet> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir> [--gram <n>] [--min-run <n>] [--max-df <n>]\n" +
       "       ingest-span-index --source <parquetDir> --id <col> --text <col> --dest <storeDir> --checkpoint <dir> [--gram <n>]\n" +
@@ -190,6 +191,9 @@ object Main {
                                     out: String) extends Cmd
   private case class DataCardCmd(corpus: String, group: String, id: String,
                                  text: String, out: String) extends Cmd
+  private case class QuantilesCmd(corpus: String, value: String, id: String,
+                                  keys: Seq[String], bucketWidth: Int,
+                                  probs: Seq[Long], out: String) extends Cmd
   private case class SourceOverlapCmd(corpus: String, source: String,
                                       text: String, gram: Int,
                                       out: String) extends Cmd
@@ -575,6 +579,24 @@ object Main {
         text <- req(opts, "data-card", "text")
         out <- req(opts, "data-card", "out")
       } yield DataCardCmd(corpus, group, id, text, out)
+    case "quantiles" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "quantiles", "corpus")
+        value <- req(opts, "quantiles", "value")
+        id <- req(opts, "quantiles", "id")
+        keys <- Right(opts.get("keys").toSeq
+          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)))
+        bw <- posInt(opts, "quantiles", "bucket-width")
+        probs <- req(opts, "quantiles", "probs").flatMap { raw =>
+          val parsed = raw.split(",").map(_.trim).filter(_.nonEmpty)
+            .map(_.toLongOption)
+          if (parsed.nonEmpty && parsed.forall(_.exists(p => p >= 0 && p <= 1000)))
+            Right(parsed.flatten.toSeq)
+          else Left(s"quantiles: --probs must be permille ints in [0, 1000], got $raw")
+        }
+        out <- req(opts, "quantiles", "out")
+      } yield QuantilesCmd(corpus, value, id, keys, bw, probs, out)
     case "source-overlap" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -1576,6 +1598,23 @@ object Main {
           df, id, text, n, minRun, maxDf)
         else graft.dedup.Decontaminate.scrubDuplicatedSpans(
           df, id, text, n, minRun, maxDf)
+      res.write.mode("overwrite").parquet(out)
+      0
+
+    case QuantilesCmd(corpus, value, id, keys, bw, probs, out) =>
+      // exact discrete quantiles (ceil(p*n) — quantile_disc semantics)
+      // without a single-partition sort: the bucket-decomposed exact
+      // rank, keyed per --keys when given (the data-card percentile
+      // line) or global. --bucket-width derives the order-consistent
+      // bucket as value div width — pick it to balance bucket count vs
+      // skew (the PrefixSum contract)
+      val qdf = spark.read.parquet(corpus)
+      val bucket = org.apache.spark.sql.functions.expr(s"`$value` div $bw")
+      val res =
+        if (keys.isEmpty)
+          graft.operators.Sampling.exactQuantiles(qdf, value, id, bucket, probs)
+        else
+          graft.operators.Sampling.exactQuantilesByKey(qdf, value, id, keys, bucket, probs)
       res.write.mode("overwrite").parquet(out)
       0
 

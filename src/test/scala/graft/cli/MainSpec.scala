@@ -670,6 +670,34 @@ class MainSpec extends SparkSpec {
       "--out", s"$tmp/x")) === 2)
   }
 
+  test("quantiles: exact global and keyed artifacts; malformed probs are usage errors") {
+    val tmp = Files.createTempDirectory("graft_cli_q").toString
+    ((1L to 6L).map(i => (i, 10L, "a")) ++ (7L to 10L).map(i => (i, i * 10L, "b")))
+      .toDF("id", "v", "src").write.parquet(s"$tmp/corpus")
+    assert(Main.run(spark, Array("quantiles",
+      "--corpus", s"$tmp/corpus", "--value", "v", "--id", "id",
+      "--bucket-width", "7", "--probs", "500,1000",
+      "--out", s"$tmp/g")) === 0)
+    val g = spark.read.parquet(s"$tmp/g").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // n=10 sorted: 10x6, 70, 80, 90, 100 -> rank 5 = 10, rank 10 = 100
+    assert(g === Map(500L -> 10L, 1000L -> 100L))
+    assert(Main.run(spark, Array("quantiles",
+      "--corpus", s"$tmp/corpus", "--value", "v", "--id", "id",
+      "--bucket-width", "7", "--probs", "500", "--keys", "src",
+      "--out", s"$tmp/k")) === 0)
+    val k = spark.read.parquet(s"$tmp/k").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // a: 6x10 -> rank 3 = 10; b: 70,80,90,100 -> rank 2 = 80
+    assert(k === Map(("a", 500L) -> 10L, ("b", 500L) -> 80L))
+    assert(Main.run(spark, Array("quantiles",
+      "--corpus", s"$tmp/corpus", "--value", "v", "--id", "id",
+      "--bucket-width", "7", "--probs", "5000", "--out", s"$tmp/x")) === 2)
+    assert(Main.run(spark, Array("quantiles",
+      "--corpus", s"$tmp/corpus", "--value", "v", "--id", "id",
+      "--bucket-width", "0", "--probs", "500", "--out", s"$tmp/x")) === 2)
+  }
+
   test("profile: per-column report artifact; malformed --approx is a usage error") {
     val tmp = Files.createTempDirectory("graft_cli_prof").toString
     Seq[(java.lang.Long, String)]((1L, "a"), (2L, null), (2L, "b"))

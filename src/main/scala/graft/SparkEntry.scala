@@ -5494,7 +5494,75 @@ object SparkEntry {
       Sampling.exactQuantilesByKey(t(s, dir, "documents"), "n_chars", "doc_id",
           keys = Seq("source"), bucket = expr("n_chars div 8"),
           probsPermille = Seq(100L, 500L, 900L))
-        .orderBy("source", "prob_pm"))
+        .orderBy("source", "prob_pm")),
+
+    // q219: MMR diversity re-rank — the stage between "top-N by
+    // relevance" and "show the user k results" (k near-dup passages
+    // answer a query once). The distributed path (shortlist retrieval +
+    // the codegen'd MmrSelect greedy) grades against an INDEPENDENT
+    // driver re-implementation of the same quantized rule over the same
+    // shortlists (bit-exact: floatDot is left-to-right double
+    // accumulation, reproduced verbatim), plus structural invariants
+    // (exactly k picks per query, distinct, pick one = top relevance)
+    // and a diversity non-vacuity arm: at least one query must reorder
+    // vs pure relevance or lambda graded nothing
+    "q219_mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 25)
+      val (k, nShort, lam) = (5, 12, 500)
+      val got = Similarity.mmrRerank(queries, emb, "vec_id", "embedding",
+          k, nShort, lambdaPermille = lam)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // the same shortlists through the separately-graded ranked-knn arm
+      // (#queries x shortlist rows — bounded collect)
+      val short = Similarity.knnJoinRanked(queries, emb, "vec_id", "embedding", nShort)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val needed = (short.map(_._2) ++ short.map(_._1)).distinct
+      val vecs = emb.filter(col("vec_id").isin(needed: _*))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      def dotD(a: Array[Float], b: Array[Float]): Double = {
+        var s0 = 0.0; var i = 0
+        while (i < a.length) { s0 += a(i).toDouble * b(i).toDouble; i += 1 }
+        s0
+      }
+      def cosMicros(a: Long, b: Long): Long = math.floor(
+        dotD(vecs(a), vecs(b)) /
+          (math.sqrt(dotD(vecs(a), vecs(a))) * math.sqrt(dotD(vecs(b), vecs(b))))
+          * 1e6).toLong
+      val want = short.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+        val cand = rows.sortBy(_._3).map(_._2).toArray
+        var selected = List.empty[Long]
+        val maxSim = scala.collection.mutable.Map.empty[Long, Long]
+        (1 to math.min(k, cand.length)).map { rank =>
+          val pick = cand.filterNot(selected.contains).minBy(id =>
+            (-(lam.toLong * cosMicros(qid, id) -
+              maxSim.get(id).map((1000L - lam) * _).getOrElse(0L)), id))
+          cand.filterNot(c => selected.contains(c) || c == pick).foreach { c =>
+            val sim = cosMicros(pick, c)
+            if (!maxSim.get(c).exists(_ >= sim)) maxSim(c) = sim
+          }
+          selected ::= pick
+          (qid, rank.toLong, pick)
+        }
+      }
+      val parity = if (got.toSet == want.toSet && got.length == want.length) 0L else 1L
+      // structural invariants over the distributed output
+      val byQ = got.groupBy(_._1)
+      val topRel = short.groupBy(_._1).map { case (q, rows) => q -> rows.minBy(_._3)._2 }
+      val structural =
+        (if (byQ.values.forall(_.length == k)) 0L else 1L) +
+        (if (byQ.values.forall(g => g.map(_._3).distinct.length == g.length)) 0L else 1L) +
+        (if (byQ.forall { case (q, g) => g.minBy(_._2)._3 == topRel(q) }) 0L else 1L)
+      // diversity non-vacuity: some query's MMR order must differ from
+      // the pure-relevance prefix
+      val relOrder = short.groupBy(_._1).map { case (q, rows) =>
+        q -> rows.sortBy(_._3).take(k).map(_._2).toSeq }
+      val reordered = byQ.count { case (q, g) =>
+        g.sortBy(_._2).map(_._3).toSeq != relOrder(q) }
+      val diversity = if (reordered > 0) 0L else 1L
+      s.range(1).select(lit(parity + structural + diversity).as("violations"))
+    })
   )
 
   /** The q140/q143 BM25 oracle — ONE string for both: the streaming
@@ -6212,6 +6280,11 @@ object SparkEntry {
     // permille labels by parallel unnest
     "q217_exact_quantiles" ->
       "WITH a AS (SELECT quantile_disc(n_chars, [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS qs FROM documents) SELECT CAST(unnest([100, 250, 500, 750, 900, 990]) AS BIGINT) AS prob_pm, CAST(unnest(qs) AS BIGINT) AS value FROM a ORDER BY prob_pm",
+    // q219: distributed-vs-independent-driver MMR greedy parity plus
+    // structural/diversity invariants — a Spark-side contract (float
+    // cosines never cross engines; the q152/q124 family)
+    "q219_mmr_rerank" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
     // q218: quantile_disc per source, zipped with permille labels
     "q218_source_quantiles" ->
       "WITH a AS (SELECT source, quantile_disc(n_chars, [0.1, 0.5, 0.9]) AS qs FROM documents GROUP BY source) SELECT source, CAST(unnest([100, 500, 900]) AS BIGINT) AS prob_pm, CAST(unnest(qs) AS BIGINT) AS value FROM a ORDER BY source, prob_pm",

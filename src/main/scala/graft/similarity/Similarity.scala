@@ -496,6 +496,52 @@ object Similarity {
     topKPerQueryRanked(c.crossJoin(broadcast(q)), k)
   }
 
+  /** MMR diversity re-rank — the stage every retrieval stack runs between
+    * "top-N by relevance" and "show the user k results": from each
+    * query's exact top-`shortlist` (the [[knnJoinRanked]] machinery, with
+    * scores and candidate vectors riding), greedily select k by Maximal
+    * Marginal Relevance (λ·relevance − (1−λ)·max-sim-to-selected — k
+    * near-duplicate passages answer a query once; see
+    * [[graft.functions.MmrSelect]] for the quantized deterministic rule).
+    *
+    * Scale shape: the corpus is touched ONLY by the shortlist retrieval
+    * (queries broadcast, one pass); the shortlist then groups per query
+    * (#queries × shortlist rows through one keyed shuffle — query-sized,
+    * never corpus-sized) and the O(shortlist²) greedy runs as per-row JVM
+    * work in one codegen'd projection. Output: (query_id, mmr_rank,
+    * neighbor_id), mmr_rank 1..min(k, shortlist hits) in selection
+    * order. */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, k: Int, shortlist: Int,
+                lambdaPermille: Int): DataFrame = {
+    require(k >= 1 && shortlist >= k,
+      s"need shortlist >= k >= 1, got k=$k shortlist=$shortlist")
+    require(lambdaPermille >= 0 && lambdaPermille <= 1000,
+      s"lambda is permille in [0, 1000], got $lambdaPermille")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+      .filter(finitePositive(col("__qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
+      .filter(finitePositive(col("__cn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("__score").desc, col("neighbor_id"))
+    val short = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__score", dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")))
+      .withColumn("__rnk", row_number().over(w).cast("long"))
+      .filter(col("__rnk") <= shortlist)
+    short
+      .groupBy(col("query_id"))
+      .agg(sort_array(collect_list(struct(col("__rnk"), col("neighbor_id"),
+        col("__score"), col("__cv"), col("__cn")))).as("__cand"))
+      .select(col("query_id"),
+        posexplode(graft.functions.MmrSelect(col("__cand"), k, lambdaPermille))
+          .as(Seq("__i", "neighbor_id")))
+      .select(col("query_id"), (col("__i") + 1).cast("long").as("mmr_rank"),
+        col("neighbor_id"))
+  }
+
   /** Ids of `batch` rows that have ANY `corpus` row at cosine >=
     * `threshold` — the embedding-space membership probe behind an ingest
     * dedup gate (the semantic analog of `Dedup.crossNearDupsHashed`'s

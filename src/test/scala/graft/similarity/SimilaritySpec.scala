@@ -586,4 +586,35 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(served === exact)
   }
+  test("mmrRerank: diversity displaces a redundant runner-up; ties and caps deterministic") {
+    // query q = (1, 0). Candidates must NOT sit on the query direction
+    // (for a candidate equal to the query, sim-to-it equals relevance and
+    // every MMR value ties at 0): a = (1, .05) rel ~.99875; b = (1, .06)
+    // a's near-twin (cos(a, b) ~ .99995 -> MMR ~ -0.87e6 at lambda .5);
+    // c = (1, -.5) rel ~.894 but diverse from a (cos ~ .871 -> MMR ~
+    // +11.7e6). Pure relevance ranks a, b, c; MMR must select a, c, b
+    val emb = Seq(
+      (1L, Array(1f, 0f)),           // the query
+      (10L, Array(1f, 0.05f)),       // a: top relevance
+      (11L, Array(1f, 0.06f)),       // b: a's near-twin
+      (12L, Array(1f, -0.5f)))       // c: relevant but diverse
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(emb.filter($"vec_id" === 1L), emb,
+        "vec_id", "embedding", k = 3, shortlist = 3, lambdaPermille = 500)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got === Seq((1L, 10L), (2L, 12L), (3L, 11L)))
+    // lambda = 1000 is pure relevance: a, b, c
+    val rel = Similarity.mmrRerank(emb.filter($"vec_id" === 1L), emb,
+        "vec_id", "embedding", k = 3, shortlist = 3, lambdaPermille = 1000)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(rel === Seq((1L, 10L), (2L, 11L), (3L, 12L)))
+    // k caps at the shortlist hit count; invalid knobs fail fast
+    assert(Similarity.mmrRerank(emb.filter($"vec_id" === 1L), emb,
+      "vec_id", "embedding", k = 3, shortlist = 3, lambdaPermille = 500)
+      .count() === 3L)
+    intercept[IllegalArgumentException](Similarity.mmrRerank(
+      emb, emb, "vec_id", "embedding", k = 5, shortlist = 3, lambdaPermille = 500))
+    intercept[IllegalArgumentException](Similarity.mmrRerank(
+      emb, emb, "vec_id", "embedding", k = 1, shortlist = 3, lambdaPermille = 1500))
+  }
 }

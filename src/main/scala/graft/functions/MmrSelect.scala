@@ -143,10 +143,14 @@ object MmrSelect {
 
   private def cosine(a: Array[Float], na: Double,
                      b: Array[Float], nb: Double): Double = {
+    // a ragged shortlist would silently corrupt every penalty — throw,
+    // the FloatDotProduct contract
+    if (a.length != b.length)
+      throw new IllegalArgumentException(
+        s"MmrSelect: dimension mismatch (${a.length} vs ${b.length})")
     var d = 0.0
     var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+    while (i < a.length) { d += a(i).toDouble * b(i).toDouble; i += 1 }
     d / (na * nb)
   }
 }

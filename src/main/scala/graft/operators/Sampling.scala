@@ -188,6 +188,10 @@ object Sampling {
     require(probsPermille.nonEmpty, "exactQuantiles: empty probs")
     require(probsPermille.forall(p => p >= 0 && p <= 1000),
       s"exactQuantiles: probs are permille in [0, 1000], got $probsPermille")
+    val reserved = Set("prob_pm", "value", "__rank", "__one", "__t", "__n")
+    require(!reserved(valueCol) && !reserved(idCol),
+      s"exactQuantiles: value/id columns collide with internal/output names " +
+        s"(${reserved.mkString(", ")}) — rename them first")
     val spark = df.sparkSession
     val n = df.count()
     val targets = probsPermille.map(p =>
@@ -218,6 +222,10 @@ object Sampling {
     require(probsPermille.nonEmpty, "exactQuantilesByKey: empty probs")
     require(probsPermille.forall(p => p >= 0 && p <= 1000),
       s"exactQuantilesByKey: probs are permille in [0, 1000], got $probsPermille")
+    val reserved = Set("prob_pm", "value", "__rank", "__one", "__t", "__n")
+    require((keys :+ valueCol :+ idCol).forall(c => !reserved(c)),
+      s"exactQuantilesByKey: keys/value/id columns collide with internal/" +
+        s"output names (${reserved.mkString(", ")}) — rename them first")
     val kc = keys.map(col)
     val targets = df.groupBy(kc: _*).agg(count(lit(1)).as("__n"))
       .select(kc :+ explode(typedLit(probsPermille)).as("prob_pm") :+ col("__n"): _*)

@@ -298,7 +298,9 @@ object Bench {
     // second arrival-serving stream (the q211 shape on the overlap index)
     "q214_takedown_overlap_index",
     // q216 runs the q33 CC driver loop (the founding HighVariance shape)
-    "q216_dup_cluster_sizes")
+    "q216_dup_cluster_sizes",
+    // q220 is a two-micro-batch serving harness (the q122/q151 shape)
+    "q220_stream_mmr_serve")
 
   /** Machine calibration canaries: stable, mid-weight queries spanning the
     * engine's plan shapes (pushed scan, window, LSH join, stream, fill).

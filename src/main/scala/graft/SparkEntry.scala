@@ -5596,6 +5596,32 @@ object SparkEntry {
             + when(count(lit(1)) =!= nWant, 1L).otherwise(0L)).as("violations"))
           .localCheckpoint()
       } finally deleteRecursively(tmp)
+    }),
+
+    // q221: per-document n-gram NOVELTY RATE against a reference corpus —
+    // the "how much of this text is genuinely new" measure generation
+    // eval and crawl-freshness audits run (q46's novel-docs verdict as a
+    // per-doc permille, not a boolean): for each candidate doc, the share
+    // of its DISTINCT 5-gram set absent from the reference half's distinct
+    // gram set. One gram-hash exchange: the reference collapses to its
+    // distinct grams map-side, candidates left-join it, counts fold per
+    // doc — no quadratic anywhere, no df gate needed. Integer permille
+    // floors; full SQL oracle over string grams (64-bit gram hashes are
+    // pipeline-internal, the q21-family ~1e-15 collision envelope)
+    "q221_novel_ngram_rate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val refGrams = docs.filter(col("doc_id") < 250)
+        .select(explode(Dedup.hashedWordNgrams(col("text"), 5)).as("__g"))
+        .distinct()
+        .withColumn("__in", lit(1))
+      docs.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), explode(Dedup.hashedWordNgrams(col("text"), 5)).as("__g"))
+        .join(refGrams, Seq("__g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          count(when(col("__in").isNull, 1)).as("n_novel"))
+        .withColumn("novelty_pm", expr("n_novel * 1000 div n_grams"))
+        .orderBy("doc_id")
     })
   )
 
@@ -6322,6 +6348,10 @@ object SparkEntry {
     // q220: streamed-vs-batch MMR serving parity (the q124 family)
     "q220_stream_mmr_serve" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
+    // q221: string 5-grams in the oracle (the Spark side hashes — the
+    // q21-family collision envelope)
+    "q221_novel_ngram_rate" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 3), i -> ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]||' '||ts[i+4])) AS gs FROM tok WHERE len(ts) >= 5), ref AS (SELECT DISTINCT unnest(gs) AS gr FROM g WHERE doc_id < 250), c AS (SELECT doc_id, unnest(gs) AS gr FROM g WHERE doc_id >= 250) SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_grams, CAST(count(CASE WHEN ref.gr IS NULL THEN 1 END) AS BIGINT) AS n_novel, CAST(count(CASE WHEN ref.gr IS NULL THEN 1 END) * 1000 // count(*) AS BIGINT) AS novelty_pm FROM c LEFT JOIN ref ON c.gr = ref.gr GROUP BY c.doc_id ORDER BY c.doc_id""",
     // q218: quantile_disc per source, zipped with permille labels
     "q218_source_quantiles" ->
       "WITH a AS (SELECT source, quantile_disc(n_chars, [0.1, 0.5, 0.9]) AS qs FROM documents GROUP BY source) SELECT source, CAST(unnest([100, 500, 900]) AS BIGINT) AS prob_pm, CAST(unnest(qs) AS BIGINT) AS value FROM a ORDER BY source, prob_pm",

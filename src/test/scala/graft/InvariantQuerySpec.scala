@@ -63,4 +63,15 @@ class InvariantQuerySpec extends SparkSpec {
   test("q158 accumulated near-dup index equals a from-scratch build, both tables") {
     assert(violations("q158_dedup_index_ingest") === 0L)
   }
+  test("q209 streamed fingerprint dedup ingest equals the batch miner and index") {
+    assert(violations("q209_stream_image_dedup") === 0L)
+  }
+
+  test("q212 ANN takedown: gated serve equals the survivor rebuild under one quantizer") {
+    assert(violations("q212_takedown_ann_serve") === 0L)
+  }
+
+  test("q219 MMR re-rank matches the independent greedy and reorders vs relevance") {
+    assert(violations("q219_mmr_rerank") === 0L)
+  }
 }

@@ -50,6 +50,29 @@ object SparkEntry {
       .distinct()
   }
 
+  /** Shared q222/q223 snapshot triple over `orders` — ONE definition so
+    * the history query and the time-travel query (and both oracles'
+    * identical CTEs) cannot drift apart. v2 plants removals (%97),
+    * changes (%89) and additions (+1e8 on %101); v3 plants removals
+    * (%103), broad changes (%7) and REAPPEARANCES (v2-removed keys with
+    * %3, at a new value) — every SCD2 change class fires. */
+  private def scdSnapshots(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val s1 = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+      round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+    val s2 = s1.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("cents",
+        when(col("o_orderkey") % 89 === 0, col("cents") + 1).otherwise(col("cents")))
+      .unionByName(s1.filter(col("o_orderkey") % 101 === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          col("o_custkey"), col("cents")))
+    val s3 = s2.filter(col("o_orderkey") % 103 =!= 0)
+      .withColumn("cents",
+        when(col("o_orderkey") % 7 === 0, col("cents") + 2).otherwise(col("cents")))
+      .unionByName(s1.filter(col("o_orderkey") % 97 === 0 && col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), (col("cents") + 5).as("cents")))
+    (s1, s2, s3)
+  }
+
   /** The q208 pinned byte-BPE merge list — training-run constants (the
     * UnigramPinned convention): each merge provably fires on the
     * byte-planted corpus (Ã+© is é's two byte units — café/résumé; the
@@ -5622,8 +5645,81 @@ object SparkEntry {
           count(when(col("__in").isNull, 1)).as("n_novel"))
         .withColumn("novelty_pm", expr("n_novel * 1000 div n_grams"))
         .orderBy("doc_id")
+    }),
+
+    // q222: SCD2 history merge — the TEMPORAL form of the sync engine's
+    // upsert (the reference overwrites; History keeps every version as a
+    // half-open [valid_from, valid_to) interval). Three planted snapshots
+    // exercise every change class: unchanged, changed, removed, added,
+    // and a REAPPEARING key (removed in v2, back in v3 — the gap must
+    // stay visible). Each apply joins ONLY the open slice against the
+    // snapshot (one keyed shuffle); closed intervals pass through
+    // untouched. Output: the full history, valid_to 0 = still open (the
+    // NULL-free hash-compare sentinel; the library keeps NULL)
+    "q222_scd2_history" -> ((s, dir) => {
+      val (s1, s2, s3) = scdSnapshots(s, dir)
+      import graft.sync.History
+      val h = History.scd2Apply(
+        History.scd2Apply(History.scd2Init(s1, 1L), s2,
+          Seq("o_orderkey"), Seq("o_custkey", "cents"), 2L),
+        s3, Seq("o_orderkey"), Seq("o_custkey", "cents"), 3L)
+      h.select(col("o_orderkey"), col("o_custkey"), col("cents"), col("valid_from"),
+          coalesce(col("valid_to"), lit(0L)).as("valid_to"))
+        .orderBy("o_orderkey", "valid_from")
+    }),
+
+    // q223: as-of TIME TRAVEL through the q222 history — after all three
+    // applies, asOf(2) must reproduce snapshot 2 row-for-row (reading
+    // BACK past the newer version 3, not just the current state). The
+    // inverse invariant that grades the whole interval algebra: the
+    // oracle is snapshot 2's own definition, no history reconstruction
+    "q223_asof_snapshot" -> ((s, dir) => {
+      val (s1, s2, s3) = scdSnapshots(s, dir)
+      import graft.sync.History
+      val h = History.scd2Apply(
+        History.scd2Apply(History.scd2Init(s1, 1L), s2,
+          Seq("o_orderkey"), Seq("o_custkey", "cents"), 2L),
+        s3, Seq("o_orderkey"), Seq("o_custkey", "cents"), 3L)
+      History.asOf(h, 2L).orderBy("o_orderkey")
+    }),
+
+    // q224: HTML -> text extraction (the WARC->WET step every web-crawl
+    // corpus runs before ANY quality/language/dedup stage) — planted
+    // markup wraps each document's real text with every strip class:
+    // comments, a script body containing < and quotes (must not leak),
+    // a style block, named entities (&amp; decoded LAST — the
+    // double-decode trap is planted as literal "&amp;lt;" inside the
+    // anchor text via "link &amp; more"), and a per-doc varying link
+    // count (%3) so the counters are non-constant. Pure chained
+    // codegen'd regexp_replace — a map stage fused into the scan
+    "q224_html_extract" -> ((s, dir) => {
+      import graft.text.Html
+      val html = concat(
+        lit("<html><head><title>T</title><script type=\"x\">var a = 1 < 2; s = \"<p>\";</script>" +
+          "<style>p { color: red; }</style></head><body><!-- c --><h1>Doc</h1><p>"),
+        col("text"),
+        lit("</p><a href=\"http://x\">link &amp; more</a>"),
+        when(col("doc_id") % 3 === 0, lit("<a href=\"y\">more</a>")).otherwise(lit("")),
+        lit("<p>A&lt;B &quot;q&quot; &#39;s&#39;&nbsp;end</p></body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Html.extractText(html).as("clean"),
+          Html.tagCount(html).cast(LongType).as("n_tags"),
+          Html.linkCount(html).cast(LongType).as("n_links"),
+          Html.scriptCount(html).cast(LongType).as("n_scripts"))
+        .orderBy("doc_id")
     })
   )
+
+  /** The q222/q223 snapshot CTEs — ONE string mirroring [[scdSnapshots]]
+    * exactly (same planted moduli, same value bumps) so the two graded
+    * SCD2 queries share one corpus definition with their Spark twins. */
+  private val ScdSnapshotCtes: String =
+    "WITH s1 AS (SELECT o_orderkey, o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+      "s2 AS (SELECT o_orderkey, o_custkey, CASE WHEN o_orderkey % 89 = 0 THEN cents + 1 ELSE cents END AS cents FROM s1 WHERE o_orderkey % 97 <> 0 " +
+      "UNION ALL SELECT o_orderkey + 100000000, o_custkey, cents FROM s1 WHERE o_orderkey % 101 = 0), " +
+      "s3 AS (SELECT o_orderkey, o_custkey, CASE WHEN o_orderkey % 7 = 0 THEN cents + 2 ELSE cents END AS cents FROM s2 WHERE o_orderkey % 103 <> 0 " +
+      "UNION ALL SELECT o_orderkey, o_custkey, cents + 5 FROM s1 WHERE o_orderkey % 97 = 0 AND o_orderkey % 3 = 0)"
 
   /** The q140/q143 BM25 oracle — ONE string for both: the streaming
     * serving loop is graded against the exact batch retrieval SQL
@@ -6352,6 +6448,23 @@ object SparkEntry {
     // q21-family collision envelope)
     "q221_novel_ngram_rate" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 3), i -> ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]||' '||ts[i+4])) AS gs FROM tok WHERE len(ts) >= 5), ref AS (SELECT DISTINCT unnest(gs) AS gr FROM g WHERE doc_id < 250), c AS (SELECT doc_id, unnest(gs) AS gr FROM g WHERE doc_id >= 250) SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_grams, CAST(count(CASE WHEN ref.gr IS NULL THEN 1 END) AS BIGINT) AS n_novel, CAST(count(CASE WHEN ref.gr IS NULL THEN 1 END) * 1000 // count(*) AS BIGINT) AS novelty_pm FROM c LEFT JOIN ref ON c.gr = ref.gr GROUP BY c.doc_id ORDER BY c.doc_id""",
+    // q222: the DuckDB side reconstructs the SAME history from first
+    // principles — a dense (key x version) calendar, gaps-and-islands on
+    // null-safe value+presence changes, interval bounds from island
+    // extents (valid_to = next island's start; versions are dense so
+    // that is max_ver + 1, and an island reaching the last version is
+    // open = 0). Two INDEPENDENT formulations of SCD2 agreeing row-level
+    "q222_scd2_history" ->
+      (ScdSnapshotCtes + ", v AS (SELECT 1 AS ver, * FROM s1 UNION ALL SELECT 2, * FROM s2 UNION ALL SELECT 3, * FROM s3), cal AS (SELECT k.o_orderkey, g.ver FROM (SELECT DISTINCT o_orderkey FROM v) k CROSS JOIN (SELECT unnest([1, 2, 3]) AS ver) g), p AS (SELECT cal.o_orderkey, cal.ver, v.o_custkey, v.cents, CASE WHEN v.ver IS NULL THEN 0 ELSE 1 END AS present FROM cal LEFT JOIN v ON cal.o_orderkey = v.o_orderkey AND cal.ver = v.ver), c AS (SELECT *, CASE WHEN present IS DISTINCT FROM lag(present) OVER w OR o_custkey IS DISTINCT FROM lag(o_custkey) OVER w OR cents IS DISTINCT FROM lag(cents) OVER w THEN 1 ELSE 0 END AS chg FROM p WINDOW w AS (PARTITION BY o_orderkey ORDER BY ver)), i AS (SELECT *, sum(chg) OVER (PARTITION BY o_orderkey ORDER BY ver) AS island FROM c), agg AS (SELECT o_orderkey, island, min(o_custkey) AS o_custkey, min(cents) AS cents, min(present) AS present, min(ver) AS valid_from, max(ver) AS max_ver FROM i GROUP BY o_orderkey, island) SELECT o_orderkey, o_custkey, cents, CAST(valid_from AS BIGINT) AS valid_from, CAST(CASE WHEN max_ver = 3 THEN 0 ELSE max_ver + 1 END AS BIGINT) AS valid_to FROM agg WHERE present = 1 ORDER BY o_orderkey, valid_from"),
+    // q223: the oracle is snapshot 2's own definition — time travel
+    // through the 3-version history must land exactly on it
+    "q223_asof_snapshot" ->
+      (ScdSnapshotCtes + " SELECT o_orderkey, o_custkey, cents FROM s2 ORDER BY o_orderkey"),
+    // q224: the identical planted wrapper and the identical strip chain
+    // in RE2 (inline (?is) + 'g' flag; explicit [ \t\n\r] class — Java's
+    // \s and RE2's \s disagree on 0x0B, so neither side uses \s)
+    "q224_html_extract" ->
+      """WITH h AS (SELECT doc_id, '<html><head><title>T</title><script type="x">var a = 1 < 2; s = "<p>";</script><style>p { color: red; }</style></head><body><!-- c --><h1>Doc</h1><p>' || text || '</p><a href="http://x">link &amp; more</a>' || CASE WHEN doc_id % 3 = 0 THEN '<a href="y">more</a>' ELSE '' END || '<p>A&lt;B &quot;q&quot; &#39;s&#39;&nbsp;end</p></body></html>' AS html FROM documents), c AS (SELECT doc_id, html, regexp_replace(regexp_replace(regexp_replace(regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'), '(?is)<script[^>]*>.*?</script>', ' ', 'g'), '(?is)<style[^>]*>.*?</style>', ' ', 'g'), '<[^>]*>', ' ', 'g') AS t FROM h), d AS (SELECT doc_id, html, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t, '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'), '&#39;', CHR(39), 'g'), '&apos;', CHR(39), 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS t FROM c) SELECT doc_id, trim(regexp_replace(t, '[ \t\n\r]+', ' ', 'g')) AS clean, CAST(len(regexp_extract_all(html, '<[a-zA-Z/][^>]*>')) AS BIGINT) AS n_tags, CAST(len(regexp_extract_all(html, '(?i)<a[ \t\n\r>]')) AS BIGINT) AS n_links, CAST(len(regexp_extract_all(html, '(?i)<script[^>]*>')) AS BIGINT) AS n_scripts FROM d ORDER BY doc_id""",
     // q218: quantile_disc per source, zipped with permille labels
     "q218_source_quantiles" ->
       "WITH a AS (SELECT source, quantile_disc(n_chars, [0.1, 0.5, 0.9]) AS qs FROM documents GROUP BY source) SELECT source, CAST(unnest([100, 500, 900]) AS BIGINT) AS prob_pm, CAST(unnest(qs) AS BIGINT) AS value FROM a ORDER BY source, prob_pm",

@@ -102,6 +102,8 @@ object Main {
       "       eval-recall --got <parquetDir> --want <parquetDir> --doc <col> --k <n> --out <parquetDir>\n" +
       "       takedown --store <storeDir> --tables t1=idCol[,t2=idCol...] (--ids <parquet> | --from-tombstones true)\n" +
       "       drift --old <parquet> --new <parquet> --out <parquetDir> (--value <col> --width <n> | --category <col>)\n" +
+      "       scd2-apply --snapshot <parquet> --pks c1[,c2] --compare c1[,c2] --version <n> --out <parquetDir> (--history <parquetDir> | --init true)\n" +
+      "       asof --history <parquetDir> --version <n> --out <parquetDir>\n" +
       "       compact --dir <parquetDir> [--target-mb <n>]"
 
   def main(args: Array[String]): Unit = sys.exit(run(args))
@@ -199,6 +201,11 @@ object Main {
   private case class QuantilesCmd(corpus: String, value: String, id: String,
                                   keys: Seq[String], bucketWidth: Int,
                                   probs: Seq[Long], out: String) extends Cmd
+  private case class Scd2ApplyCmd(history: Option[String], snapshot: String,
+                                  pks: Seq[String], compare: Seq[String],
+                                  version: Long, out: String) extends Cmd
+  private case class AsOfCmd(history: String, version: Long,
+                             out: String) extends Cmd
   private case class SourceOverlapCmd(corpus: String, source: String,
                                       text: String, gram: Int,
                                       out: String) extends Cmd
@@ -620,6 +627,25 @@ object Main {
         }
         out <- req(opts, "quantiles", "out")
       } yield QuantilesCmd(corpus, value, id, keys, bw, probs, out)
+    case "scd2-apply" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        snapshot <- req(opts, "scd2-apply", "snapshot")
+        pks <- req(opts, "scd2-apply", "pks").map(cols)
+        compare <- req(opts, "scd2-apply", "compare").map(cols)
+        version <- posInt(opts, "scd2-apply", "version")
+        init <- Right(opts.get("init").contains("true"))
+        history <- if (init) Right(None)
+          else req(opts, "scd2-apply", "history").map(Some(_))
+        out <- req(opts, "scd2-apply", "out")
+      } yield Scd2ApplyCmd(history, snapshot, pks, compare, version.toLong, out)
+    case "asof" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        history <- req(opts, "asof", "history")
+        version <- posInt(opts, "asof", "version")
+        out <- req(opts, "asof", "out")
+      } yield AsOfCmd(history, version.toLong, out)
     case "source-overlap" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -1652,6 +1678,26 @@ object Main {
         else
           graft.operators.Sampling.exactQuantilesByKey(qdf, value, id, keys, bucket, probs)
       res.write.mode("overwrite").parquet(out)
+      0
+
+    case Scd2ApplyCmd(history, snapshot, pks, compare, version, out) =>
+      // temporal sync: apply a full snapshot to an SCD2 history (or seed
+      // one with --init true). Writes the NEW history to --out — never
+      // in place, so a failed apply cannot corrupt the prior version
+      // (swap the dirs after success, the writeAtomic discipline)
+      val snap = spark.read.parquet(snapshot)
+      val res = history match {
+        case None => graft.sync.History.scd2Init(snap, version)
+        case Some(h) => graft.sync.History.scd2Apply(
+          spark.read.parquet(h), snap, pks, compare, version)
+      }
+      res.write.mode("overwrite").parquet(out)
+      0
+
+    case AsOfCmd(history, version, out) =>
+      // time travel: the table exactly as of --version
+      graft.sync.History.asOf(spark.read.parquet(history), version)
+        .write.mode("overwrite").parquet(out)
       0
 
     case DataCardCmd(corpus, group, id, text, out) =>

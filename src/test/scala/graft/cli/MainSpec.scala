@@ -731,6 +731,34 @@ class MainSpec extends SparkSpec {
       "--bucket-width", "0", "--probs", "500", "--out", s"$tmp/x")) === 2)
   }
 
+  test("scd2-apply/asof: temporal sync artifacts; missing --history without --init is a usage error") {
+    val tmp = Files.createTempDirectory("graft_cli_scd2").toString
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "cents").write.parquet(s"$tmp/s1")
+    Seq((1L, 15L), (3L, 30L)).toDF("id", "cents").write.parquet(s"$tmp/s2")
+    assert(Main.run(spark, Array("scd2-apply",
+      "--snapshot", s"$tmp/s1", "--pks", "id", "--compare", "cents",
+      "--version", "1", "--init", "true", "--out", s"$tmp/h1")) === 0)
+    assert(Main.run(spark, Array("scd2-apply",
+      "--snapshot", s"$tmp/s2", "--pks", "id", "--compare", "cents",
+      "--version", "2", "--history", s"$tmp/h1", "--out", s"$tmp/h2")) === 0)
+    val h2 = spark.read.parquet(s"$tmp/h2").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) 0L else r.getLong(3))).toSet
+    assert(h2 === Set(
+      (1L, 10L, 1L, 2L), (1L, 15L, 2L, 0L),   // changed: closed + reopened
+      (2L, 20L, 1L, 2L),                      // removed: closed
+      (3L, 30L, 2L, 0L)))                     // added: opened
+    // time travel back to version 1 reproduces snapshot 1
+    assert(Main.run(spark, Array("asof",
+      "--history", s"$tmp/h2", "--version", "1", "--out", s"$tmp/a1")) === 0)
+    assert(spark.read.parquet(s"$tmp/a1").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 10L), (2L, 20L)))
+    // no --history and no --init: usage error before Spark runs
+    assert(Main.run(spark, Array("scd2-apply",
+      "--snapshot", s"$tmp/s2", "--pks", "id", "--compare", "cents",
+      "--version", "2", "--out", s"$tmp/x")) === 2)
+  }
+
   test("profile: per-column report artifact; malformed --approx is a usage error") {
     val tmp = Files.createTempDirectory("graft_cli_prof").toString
     Seq[(java.lang.Long, String)]((1L, "a"), (2L, null), (2L, "b"))

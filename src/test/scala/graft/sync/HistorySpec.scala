@@ -1,0 +1,105 @@
+package graft.sync
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+class HistorySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def snap(rows: (Long, String, Long)*): DataFrame =
+    rows.toDF("id", "name", "cents")
+
+  private def rowsOf(h: DataFrame): Set[(Long, String, Long, Long, Option[Long])] =
+    h.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+
+  private val pks = Seq("id")
+  private val cmp = Seq("name", "cents")
+
+  test("init opens every row at the seed version") {
+    val h = History.scd2Init(snap((1L, "a", 10L), (2L, "b", 20L)), 1L)
+    assert(rowsOf(h) === Set((1L, "a", 10L, 1L, None), (2L, "b", 20L, 1L, None)))
+  }
+
+  test("apply closes changed/removed rows and opens changed/added rows") {
+    val h1 = History.scd2Init(snap((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)), 1L)
+    // v2: id 1 unchanged, id 2 changed, id 3 removed, id 4 added
+    val h2 = History.scd2Apply(h1, snap((1L, "a", 10L), (2L, "b", 25L), (4L, "d", 40L)),
+      pks, cmp, 2L)
+    assert(rowsOf(h2) === Set(
+      (1L, "a", 10L, 1L, None),      // unchanged: interval untouched
+      (2L, "b", 20L, 1L, Some(2L)),  // changed: closed at 2
+      (2L, "b", 25L, 2L, None),      //          and reopened at 2
+      (3L, "c", 30L, 1L, Some(2L)),  // removed: closed, no replacement
+      (4L, "d", 40L, 2L, None)))     // added: opened at 2
+  }
+
+  test("a reapplied identical snapshot is a no-op") {
+    val s = snap((1L, "a", 10L), (2L, "b", 20L))
+    val h1 = History.scd2Init(s, 1L)
+    val h2 = History.scd2Apply(h1, s, pks, cmp, 2L)
+    assert(rowsOf(h2) === rowsOf(h1))
+  }
+
+  test("a removed key that reappears opens a fresh interval with a visible gap") {
+    val h1 = History.scd2Init(snap((1L, "a", 10L)), 1L)
+    val h2 = History.scd2Apply(h1, snap(), pks, cmp, 2L)
+    val h3 = History.scd2Apply(h2, snap((1L, "a", 99L)), pks, cmp, 3L)
+    assert(rowsOf(h3) === Set((1L, "a", 10L, 1L, Some(2L)), (1L, "a", 99L, 3L, None)))
+    // inside the gap the key does not exist
+    assert(History.asOf(h3, 2L).count() === 0L)
+  }
+
+  test("closed intervals pass through later applies untouched") {
+    val h1 = History.scd2Init(snap((1L, "a", 10L)), 1L)
+    val h2 = History.scd2Apply(h1, snap((1L, "a", 11L)), pks, cmp, 2L)
+    val h3 = History.scd2Apply(h2, snap((1L, "a", 12L)), pks, cmp, 3L)
+    assert(rowsOf(h3) === Set(
+      (1L, "a", 10L, 1L, Some(2L)),
+      (1L, "a", 11L, 2L, Some(3L)),
+      (1L, "a", 12L, 3L, None)))
+  }
+
+  test("asOf(k) reproduces each applied snapshot exactly") {
+    val s1 = snap((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+    val s2 = snap((1L, "a", 10L), (2L, "b", 25L), (4L, "d", 40L))
+    val s3 = snap((2L, "b", 26L), (4L, "d", 40L), (5L, "e", 50L))
+    val h = History.scd2Apply(
+      History.scd2Apply(History.scd2Init(s1, 1L), s2, pks, cmp, 2L), s3, pks, cmp, 3L)
+    for ((s, v) <- Seq((s1, 1L), (s2, 2L), (s3, 3L))) {
+      val got = History.asOf(h, v).collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val want = s.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got === want, s"asOf($v)")
+    }
+    // beyond the last version the current rows still apply
+    assert(History.asOf(h, 9L).count() === 3L)
+    // before the first version nothing exists
+    assert(History.asOf(h, 0L).count() === 0L)
+  }
+
+  test("NULL compare values are change-detected null-safely") {
+    val h1 = History.scd2Init(
+      Seq((1L, Option.empty[String], 10L), (2L, Some("b"), 20L)).toDF("id", "name", "cents"), 1L)
+    val h2 = History.scd2Apply(h1,
+      Seq((1L, Some("x"), 10L), (2L, Option.empty[String], 20L)).toDF("id", "name", "cents"),
+      pks, cmp, 2L)
+    // NULL -> value and value -> NULL both close + reopen
+    assert(h2.filter("valid_to = 2").count() === 2L)
+    assert(h2.filter("valid_from = 2 AND valid_to IS NULL").count() === 2L)
+  }
+
+  test("contract violations throw") {
+    val h = History.scd2Init(snap((1L, "a", 10L)), 1L)
+    intercept[IllegalArgumentException] {
+      History.scd2Apply(h, snap(), Seq.empty, cmp, 2L)
+    }
+    intercept[IllegalArgumentException] {
+      History.scd2Apply(h.select("id", "name", "cents", "valid_to", "valid_from"),
+        snap(), pks, cmp, 2L)
+    }
+    intercept[IllegalArgumentException] {
+      History.scd2Init(h, 2L) // already a history
+    }
+  }
+}

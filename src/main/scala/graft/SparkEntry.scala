@@ -5708,6 +5708,34 @@ object SparkEntry {
           Html.linkCount(html).cast(LongType).as("n_links"),
           Html.scriptCount(html).cast(LongType).as("n_scripts"))
         .orderBy("doc_id")
+    }),
+
+    // q225: point-in-time join against the q222 SCD2 history — the
+    // leakage-safe feature-assembly join (joining "current" dimensions
+    // onto past facts backfills the past with the future; the PIT join
+    // gives each fact the dimension values current AT ITS OWN version).
+    // Facts: one per lineitem row, version planted from l_linenumber so
+    // all three versions, gap hits (keys removed at v2) and reappearance
+    // hits occur. The oracle needs NO history reconstruction: because
+    // intervals partition each key's timeline, PIT at version v IS a
+    // join against snapshot v — stated per-fact over the s1/s2/s3 CTEs.
+    // One pks-keyed equi-join, interval predicate residual,
+    // versions-per-key-bounded fan-in
+    "q225_pit_join" -> ((s, dir) => {
+      val (s1, s2, s3) = scdSnapshots(s, dir)
+      import graft.sync.History
+      val h = History.scd2Apply(
+        History.scd2Apply(History.scd2Init(s1, 1L), s2,
+          Seq("o_orderkey"), Seq("o_custkey", "cents"), 2L),
+        s3, Seq("o_orderkey"), Seq("o_custkey", "cents"), 3L)
+      val facts = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+          (col("l_linenumber") % 3 + 1).cast(LongType).as("ver"))
+      History.pitJoin(facts, h, Seq("o_orderkey"), "ver")
+        .select(col("o_orderkey"), col("l_linenumber"), col("ver"),
+          coalesce(col("o_custkey").cast(LongType), lit(-1L)).as("custkey_at"),
+          coalesce(col("cents"), lit(-1L)).as("cents_at"))
+        .orderBy("o_orderkey", "l_linenumber")
     })
   )
 
@@ -6460,6 +6488,11 @@ object SparkEntry {
     // through the 3-version history must land exactly on it
     "q223_asof_snapshot" ->
       (ScdSnapshotCtes + " SELECT o_orderkey, o_custkey, cents FROM s2 ORDER BY o_orderkey"),
+    // q225: NO history reconstruction in the oracle — PIT at version v
+    // is definitionally a join against snapshot v (intervals partition
+    // each key's timeline), stated per-fact over the shared s1/s2/s3
+    "q225_pit_join" ->
+      (ScdSnapshotCtes + ", v AS (SELECT 1 AS ver, * FROM s1 UNION ALL SELECT 2, * FROM s2 UNION ALL SELECT 3, * FROM s3), f AS (SELECT l_orderkey AS o_orderkey, l_linenumber, CAST(l_linenumber % 3 + 1 AS BIGINT) AS ver FROM lineitem) SELECT f.o_orderkey, f.l_linenumber, f.ver, CAST(coalesce(v.o_custkey, -1) AS BIGINT) AS custkey_at, CAST(coalesce(v.cents, -1) AS BIGINT) AS cents_at FROM f LEFT JOIN v ON f.o_orderkey = v.o_orderkey AND f.ver = v.ver ORDER BY f.o_orderkey, f.l_linenumber"),
     // q224: the identical planted wrapper and the identical strip chain
     // in RE2 (inline (?is) + 'g' flag; explicit [ \t\n\r] class — Java's
     // \s and RE2's \s disagree on 0x0B, so neither side uses \s)

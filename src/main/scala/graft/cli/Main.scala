@@ -102,6 +102,7 @@ object Main {
       "       eval-recall --got <parquetDir> --want <parquetDir> --doc <col> --k <n> --out <parquetDir>\n" +
       "       takedown --store <storeDir> --tables t1=idCol[,t2=idCol...] (--ids <parquet> | --from-tombstones true)\n" +
       "       drift --old <parquet> --new <parquet> --out <parquetDir> (--value <col> --width <n> | --category <col>)\n" +
+      "       html-extract --corpus <parquet> --id <col> --html <col> --out <parquetDir>\n" +
       "       scd2-apply --snapshot <parquet> --pks c1[,c2] --compare c1[,c2] --version <n> --out <parquetDir> (--history <parquetDir> | --init true)\n" +
       "       asof --history <parquetDir> --version <n> --out <parquetDir>\n" +
       "       compact --dir <parquetDir> [--target-mb <n>]"
@@ -201,6 +202,8 @@ object Main {
   private case class QuantilesCmd(corpus: String, value: String, id: String,
                                   keys: Seq[String], bucketWidth: Int,
                                   probs: Seq[Long], out: String) extends Cmd
+  private case class HtmlExtractCmd(corpus: String, id: String, html: String,
+                                    out: String) extends Cmd
   private case class Scd2ApplyCmd(history: Option[String], snapshot: String,
                                   pks: Seq[String], compare: Seq[String],
                                   version: Long, out: String) extends Cmd
@@ -627,6 +630,14 @@ object Main {
         }
         out <- req(opts, "quantiles", "out")
       } yield QuantilesCmd(corpus, value, id, keys, bw, probs, out)
+    case "html-extract" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "html-extract", "corpus")
+        id <- req(opts, "html-extract", "id")
+        html <- req(opts, "html-extract", "html")
+        out <- req(opts, "html-extract", "out")
+      } yield HtmlExtractCmd(corpus, id, html, out)
     case "scd2-apply" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -1678,6 +1689,21 @@ object Main {
         else
           graft.operators.Sampling.exactQuantilesByKey(qdf, value, id, keys, bucket, probs)
       res.write.mode("overwrite").parquet(out)
+      0
+
+    case HtmlExtractCmd(corpus, id, html, out) =>
+      // the WARC->WET pass: (id, clean text, markup-shape counters) —
+      // runs BEFORE every quality/language/dedup stage; the counters
+      // are the nav-shell audit columns (a page that is 95% tags by
+      // count is chrome, not prose)
+      val hdf = spark.read.parquet(corpus)
+      val h = org.apache.spark.sql.functions.col(html)
+      hdf.select(org.apache.spark.sql.functions.col(id),
+          graft.text.Html.extractText(h).as("clean"),
+          graft.text.Html.tagCount(h).cast("long").as("n_tags"),
+          graft.text.Html.linkCount(h).cast("long").as("n_links"),
+          graft.text.Html.scriptCount(h).cast("long").as("n_scripts"))
+        .write.mode("overwrite").parquet(out)
       0
 
     case Scd2ApplyCmd(history, snapshot, pks, compare, version, out) =>

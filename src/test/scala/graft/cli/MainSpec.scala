@@ -731,6 +731,20 @@ class MainSpec extends SparkSpec {
       "--bucket-width", "0", "--probs", "500", "--out", s"$tmp/x")) === 2)
   }
 
+  test("html-extract: clean text + markup counters artifact") {
+    val tmp = Files.createTempDirectory("graft_cli_html").toString
+    Seq((1L, "<p>hello <b>world</b></p><a href=\"x\">l</a>"),
+        (2L, "<script>var a = 1 < 2;</script>plain &amp; simple"))
+      .toDF("id", "page").write.parquet(s"$tmp/corpus")
+    assert(Main.run(spark, Array("html-extract",
+      "--corpus", s"$tmp/corpus", "--id", "id", "--html", "page",
+      "--out", s"$tmp/o")) === 0)
+    val o = spark.read.parquet(s"$tmp/o").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(o(1L) === (("hello world l", 6L, 1L, 0L)))
+    assert(o(2L) === (("plain & simple", 2L, 0L, 1L)))
+  }
+
   test("scd2-apply/asof: temporal sync artifacts; missing --history without --init is a usage error") {
     val tmp = Files.createTempDirectory("graft_cli_scd2").toString
     Seq((1L, 10L), (2L, 20L)).toDF("id", "cents").write.parquet(s"$tmp/s1")

@@ -89,6 +89,34 @@ class HistorySpec extends SparkSpec {
     assert(h2.filter("valid_from = 2 AND valid_to IS NULL").count() === 2L)
   }
 
+  test("pitJoin picks the interval covering each fact's version; gaps keep NULLs") {
+    val s1 = snap((1L, "a", 10L))
+    val h = History.scd2Apply(
+      History.scd2Apply(History.scd2Init(s1, 1L), snap(), pks, cmp, 2L),
+      snap((1L, "a", 99L)), pks, cmp, 3L) // removed at 2, back at 3
+    val facts = Seq((1L, 1L, 100L), (1L, 2L, 200L), (1L, 3L, 300L), (7L, 1L, 700L))
+      .toDF("id", "ver", "amount")
+    val got = History.pitJoin(facts, h, pks, "ver").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getString(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+    assert(got === Set(
+      (1L, 1L, 100L, "a", 10L),   // covered by [1, 2)
+      (1L, 2L, 200L, null, -1L),  // the gap: dimension absent at 2
+      (1L, 3L, 300L, "a", 99L),   // covered by [3, null)
+      (7L, 1L, 700L, null, -1L))) // never-seen key stays, NULL dims
+    // fact multiplicity preserved: at most one interval covers a version
+    assert(History.pitJoin(facts, h, pks, "ver").count() === facts.count())
+  }
+
+  test("pitJoin rejects fact/dimension column collisions") {
+    val h = History.scd2Init(snap((1L, "a", 10L)), 1L)
+    val facts = Seq((1L, 1L, "x")).toDF("id", "ver", "name") // name collides
+    intercept[IllegalArgumentException] {
+      History.pitJoin(facts, h, pks, "ver")
+    }
+  }
+
   test("contract violations throw") {
     val h = History.scd2Init(snap((1L, "a", 10L)), 1L)
     intercept[IllegalArgumentException] {

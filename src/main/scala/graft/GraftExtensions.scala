@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatDotProduct, NfcNormalize, SimHash64, SimHashPacked64, SortedLongIntersectSize, StripAccents}
+import graft.functions.{FloatDotProduct, NfcNormalize, SimHash64, SimHashPacked64, SortedLongIntersectSize, StripAccents, UrlNormalize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -43,6 +43,9 @@ object GraftExtensions {
     ("graft_strip_accents",
       info("graft_strip_accents", "graft_strip_accents(s) - drop combining marks (NFD, remove Mn, NFC): 'café' -> 'cafe'"),
       (args: Seq[Expression]) => StripAccents(args.head)),
+    ("graft_url_norm",
+      info("graft_url_norm", "graft_url_norm(u) - RFC 3986-style URL canonicalization (case, default port, fragment, tracking params, param sort); NULL when not an absolute URL"),
+      (args: Seq[Expression]) => UrlNormalize(args.head)),
     ("graft_simhash64",
       info("graft_simhash64", "graft_simhash64(hashes) - 64 sign bits of the simhash of pre-hashed tokens"),
       (args: Seq[Expression]) => SimHash64(args.head)),

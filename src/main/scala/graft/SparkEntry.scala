@@ -5736,6 +5736,34 @@ object SparkEntry {
           coalesce(col("o_custkey").cast(LongType), lit(-1L)).as("custkey_at"),
           coalesce(col("cents"), lit(-1L)).as("cents_at"))
         .orderBy("o_orderkey", "l_linenumber")
+    }),
+
+    // q226: URL canonicalization — the crawl pipeline's FIRST dedup key
+    // (RFC 3986 §6), as one codegen'd fail-NULL expression. Eight
+    // planted mess classes per doc (%8): case + default port + tracking
+    // + fragment, :443 drop, non-default port KEPT + param sort, all
+    // params tracking, empty path -> /, trim + emptied '?', fragment
+    // only, and a userinfo URL that must fail NULL (sentineled for the
+    // hash compare). The oracle does NOT re-run any normalizer — it
+    // states the expected canonical string per class outright, so the
+    // two sides agree only if every rule fires exactly as specified
+    "q226_url_canonical" -> ((s, dir) => {
+      import graft.functions.UrlNormalize
+      val id = col("doc_id").cast(StringType)
+      val m = col("doc_id") % 8
+      val url =
+        when(m === 0, concat(lit("HTTP://WWW.Example.COM:80/d/"), id, lit("?x=2&utm_source=t&a=1#frag")))
+          .when(m === 1, concat(lit("https://Example.com:443/d/"), id))
+          .when(m === 2, concat(lit("https://example.com:8443/d/"), id, lit("?b=2&a=10")))
+          .when(m === 3, concat(lit("http://EXAMPLE.com/d/"), id, lit("?utm_medium=x&gclid=1&fbclid=2")))
+          .when(m === 4, lit("http://tracker.example.com"))
+          .when(m === 5, concat(lit("  http://example.com/d/"), id, lit("?  ")))
+          .when(m === 6, concat(lit("http://e.com/D/"), id, lit("#only-frag")))
+          .otherwise(concat(lit("http://user@example.com/"), id))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          coalesce(UrlNormalize(url), lit("__invalid__")).as("url_norm"))
+        .orderBy("doc_id")
     })
   )
 
@@ -6493,6 +6521,10 @@ object SparkEntry {
     // each key's timeline), stated per-fact over the shared s1/s2/s3
     "q225_pit_join" ->
       (ScdSnapshotCtes + ", v AS (SELECT 1 AS ver, * FROM s1 UNION ALL SELECT 2, * FROM s2 UNION ALL SELECT 3, * FROM s3), f AS (SELECT l_orderkey AS o_orderkey, l_linenumber, CAST(l_linenumber % 3 + 1 AS BIGINT) AS ver FROM lineitem) SELECT f.o_orderkey, f.l_linenumber, f.ver, CAST(coalesce(v.o_custkey, -1) AS BIGINT) AS custkey_at, CAST(coalesce(v.cents, -1) AS BIGINT) AS cents_at FROM f LEFT JOIN v ON f.o_orderkey = v.o_orderkey AND f.ver = v.ver ORDER BY f.o_orderkey, f.l_linenumber"),
+    // q226: the oracle states the EXPECTED canonical per mess class
+    // outright (no normalizer re-run — independent by construction)
+    "q226_url_canonical" ->
+      """SELECT doc_id, CASE doc_id % 8 WHEN 0 THEN 'http://www.example.com/d/' || CAST(doc_id AS VARCHAR) || '?a=1&x=2' WHEN 1 THEN 'https://example.com/d/' || CAST(doc_id AS VARCHAR) WHEN 2 THEN 'https://example.com:8443/d/' || CAST(doc_id AS VARCHAR) || '?a=10&b=2' WHEN 3 THEN 'http://example.com/d/' || CAST(doc_id AS VARCHAR) WHEN 4 THEN 'http://tracker.example.com/' WHEN 5 THEN 'http://example.com/d/' || CAST(doc_id AS VARCHAR) WHEN 6 THEN 'http://e.com/D/' || CAST(doc_id AS VARCHAR) ELSE '__invalid__' END AS url_norm FROM documents ORDER BY doc_id""",
     // q224: the identical planted wrapper and the identical strip chain
     // in RE2 (inline (?is) + 'g' flag; explicit [ \t\n\r] class — Java's
     // \s and RE2's \s disagree on 0x0B, so neither side uses \s)

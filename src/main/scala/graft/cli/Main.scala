@@ -103,6 +103,7 @@ object Main {
       "       takedown --store <storeDir> --tables t1=idCol[,t2=idCol...] (--ids <parquet> | --from-tombstones true)\n" +
       "       drift --old <parquet> --new <parquet> --out <parquetDir> (--value <col> --width <n> | --category <col>)\n" +
       "       html-extract --corpus <parquet> --id <col> --html <col> --out <parquetDir>\n" +
+      "       url-norm --corpus <parquet> --id <col> --url <col> --out <parquetDir>\n" +
       "       scd2-apply --snapshot <parquet> --pks c1[,c2] --compare c1[,c2] --version <n> --out <parquetDir> (--history <parquetDir> | --init true)\n" +
       "       asof --history <parquetDir> --version <n> --out <parquetDir>\n" +
       "       compact --dir <parquetDir> [--target-mb <n>]"
@@ -204,6 +205,8 @@ object Main {
                                   probs: Seq[Long], out: String) extends Cmd
   private case class HtmlExtractCmd(corpus: String, id: String, html: String,
                                     out: String) extends Cmd
+  private case class UrlNormCmd(corpus: String, id: String, url: String,
+                                out: String) extends Cmd
   private case class Scd2ApplyCmd(history: Option[String], snapshot: String,
                                   pks: Seq[String], compare: Seq[String],
                                   version: Long, out: String) extends Cmd
@@ -638,6 +641,14 @@ object Main {
         html <- req(opts, "html-extract", "html")
         out <- req(opts, "html-extract", "out")
       } yield HtmlExtractCmd(corpus, id, html, out)
+    case "url-norm" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "url-norm", "corpus")
+        id <- req(opts, "url-norm", "id")
+        url <- req(opts, "url-norm", "url")
+        out <- req(opts, "url-norm", "out")
+      } yield UrlNormCmd(corpus, id, url, out)
     case "scd2-apply" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -1703,6 +1714,17 @@ object Main {
           graft.text.Html.tagCount(h).cast("long").as("n_tags"),
           graft.text.Html.linkCount(h).cast("long").as("n_links"),
           graft.text.Html.scriptCount(h).cast("long").as("n_scripts"))
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case UrlNormCmd(corpus, id, url, out) =>
+      // URL canonicalization artifact: (id, url_norm) with NULL for
+      // non-URLs — the crawl frontier's dedup key (group by url_norm
+      // downstream; the NULLs are the scrub-queue rows)
+      val udf0 = spark.read.parquet(corpus)
+      udf0.select(org.apache.spark.sql.functions.col(id),
+          graft.functions.UrlNormalize(
+            org.apache.spark.sql.functions.col(url)).as("url_norm"))
         .write.mode("overwrite").parquet(out)
       0
 

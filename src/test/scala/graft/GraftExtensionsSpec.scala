@@ -25,6 +25,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getSeq[Int](0).length === 64)
   }
 
+  test("graft_url_norm is callable from SQL; fail-NULL surfaces as SQL NULL") {
+    val r = spark.sql(
+      "SELECT graft_url_norm('HTTP://E.com:80/p?utm_a=1&b=2#f') AS u, " +
+        "graft_url_norm('no-scheme') AS bad").head
+    assert(r.getString(0) === "http://e.com/p?b=2")
+    assert(r.isNullAt(1))
+  }
+
   test("graft_simhash_packed packs the same bits; SQL hamming via bit_count") {
     val r = spark.sql(
       """SELECT graft_simhash64(array(xxhash64('a'))) AS bits,

@@ -745,6 +745,18 @@ class MainSpec extends SparkSpec {
     assert(o(2L) === (("plain & simple", 2L, 0L, 1L)))
   }
 
+  test("url-norm: canonical-key artifact with NULLs for non-URLs") {
+    val tmp = Files.createTempDirectory("graft_cli_url").toString
+    Seq((1L, "HTTP://A.com:80/x?utm_s=1&b=2#f"), (2L, "not a url"))
+      .toDF("id", "u").write.parquet(s"$tmp/corpus")
+    assert(Main.run(spark, Array("url-norm",
+      "--corpus", s"$tmp/corpus", "--id", "id", "--url", "u",
+      "--out", s"$tmp/o")) === 0)
+    val o = spark.read.parquet(s"$tmp/o").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(o === Map(1L -> "http://a.com/x?b=2", 2L -> null))
+  }
+
   test("scd2-apply/asof: temporal sync artifacts; missing --history without --init is a usage error") {
     val tmp = Files.createTempDirectory("graft_cli_scd2").toString
     Seq((1L, 10L), (2L, 20L)).toDF("id", "cents").write.parquet(s"$tmp/s1")

@@ -1,0 +1,60 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UrlNormalizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def norm(u: String): Option[String] = {
+    val r = Seq(u).toDF("u").select(UrlNormalize(col("u"))).head
+    if (r.isNullAt(0)) None else Some(r.getString(0))
+  }
+
+  test("scheme and host lowercase; path/query case preserved") {
+    assert(norm("HtTpS://WWW.Example.COM/Path?Q=V")
+      === Some("https://www.example.com/Path?Q=V"))
+  }
+
+  test("default ports drop; others keep; fragment always drops") {
+    assert(norm("http://example.com:80/a#frag") === Some("http://example.com/a"))
+    assert(norm("https://example.com:443/") === Some("https://example.com/"))
+    assert(norm("https://example.com:8443/p#x") === Some("https://example.com:8443/p"))
+  }
+
+  test("empty path becomes /; whitespace trims") {
+    assert(norm("  http://example.com  ") === Some("http://example.com/"))
+    assert(norm("http://example.com?a=1") === Some("http://example.com/?a=1"))
+  }
+
+  test("tracking params drop, rest sort bytewise, emptied query drops its ?") {
+    assert(norm("http://e.com/p?x=2&utm_source=t&a=1")
+      === Some("http://e.com/p?a=1&x=2"))
+    assert(norm("http://e.com/p?utm_medium=m&gclid=1&fbclid=2&msclkid=3")
+      === Some("http://e.com/p"))
+    assert(norm("http://e.com/p?") === Some("http://e.com/p"))
+    assert(norm("http://e.com/p?b=2&&a=10") === Some("http://e.com/p?a=10&b=2"))
+    // utm_ match is on the NAME only; a VALUE containing utm_ survives
+    assert(norm("http://e.com/p?ref=utm_x") === Some("http://e.com/p?ref=utm_x"))
+  }
+
+  test("fail-NULL: no scheme, empty host, bad port, userinfo") {
+    assert(norm("example.com/path") === None)
+    assert(norm("://example.com") === None)
+    assert(norm("1http://example.com") === None)
+    assert(norm("http:///path") === None)
+    assert(norm("http://example.com:8x/") === None)
+    assert(norm("http://example.com:/") === None)
+    assert(norm("http://user:pw@example.com/") === None)
+    assert(norm("NULL in NULL out".take(0) + "not a url") === None)
+  }
+
+  test("NULL in NULL out; codegen and eval agree") {
+    val df = Seq(Some("HTTP://A.B:80/x?utm_a=1&z=1&c=2"), None).toDF("u")
+    val got = df.select(UrlNormalize(col("u"))).collect().map(r =>
+      if (r.isNullAt(0)) null else r.getString(0))
+    assert(got.toSeq === Seq("http://a.b/x?c=2&z=1", null))
+    // interpreted path (filter forces eval in some plans): same result
+    assert(df.filter(UrlNormalize(col("u")) === "http://a.b/x?c=2&z=1").count() === 1L)
+  }
+}

@@ -5764,6 +5764,37 @@ object SparkEntry {
         .select(col("doc_id"),
           coalesce(UrlNormalize(url), lit("__invalid__")).as("url_norm"))
         .orderBy("doc_id")
+    }),
+
+    // q227: maintained HEAVY-HITTERS view — the trending-terms dashboard
+    // shape: token arrivals stream across two micro-batches into a
+    // continuously-maintained (source, token) count state
+    // (vocabulary-bounded, raw arrivals never retained), and the top-3
+    // report ranks the STATE, not the corpus. Count addition is
+    // merge-order-invariant, so the report equals the batch top-k under
+    // the SAME oracle regardless of how the stream was batched (the
+    // q197 contract with a composite key + rank report). The exact
+    // twin of q62's CMS sketch: exact counts when the key space is
+    // bounded, the sketch when it is not
+    "q227_stream_topk_view" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("q227").toString
+      try {
+        val store = new graft.sync.ParquetStore(s, s"$tmp/state")
+        docs.repartition(2).write.parquet(s"$tmp/src")
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+          .select(col("source"),
+            explode(TextAnalysis.tokens(col("text"))).as("token"))
+        IncrementalStream.maintainCountsKeys(stream, Seq("source", "token"),
+          store, "counts", checkpointDir = s"$tmp/ck")
+          .awaitTermination()
+        Stats.topKFromCounts(store.read("counts").get
+              .select(col("source"), col("token"), col("n")),
+            Seq("source"), Seq("token"), k = 3)
+          .select(col("source"), col("rank"), col("token"), col("n"))
+          .orderBy("source", "rank").localCheckpoint()
+      } finally deleteRecursively(tmp)
     })
   )
 
@@ -6521,6 +6552,10 @@ object SparkEntry {
     // each key's timeline), stated per-fact over the shared s1/s2/s3
     "q225_pit_join" ->
       (ScdSnapshotCtes + ", v AS (SELECT 1 AS ver, * FROM s1 UNION ALL SELECT 2, * FROM s2 UNION ALL SELECT 3, * FROM s3), f AS (SELECT l_orderkey AS o_orderkey, l_linenumber, CAST(l_linenumber % 3 + 1 AS BIGINT) AS ver FROM lineitem) SELECT f.o_orderkey, f.l_linenumber, f.ver, CAST(coalesce(v.o_custkey, -1) AS BIGINT) AS custkey_at, CAST(coalesce(v.cents, -1) AS BIGINT) AS cents_at FROM f LEFT JOIN v ON f.o_orderkey = v.o_orderkey AND f.ver = v.ver ORDER BY f.o_orderkey, f.l_linenumber"),
+    // q227: the batch top-k SQL — the maintained state must reproduce
+    // it exactly under any micro-batch split
+    "q227_stream_topk_view" ->
+      """WITH tok AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents), c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1, 2), r AS (SELECT source, token, n, row_number() OVER (PARTITION BY source ORDER BY n DESC, token) AS rk FROM c) SELECT source, CAST(rk AS BIGINT) AS rank, token, n FROM r WHERE rk <= 3 ORDER BY source, rank""",
     // q226: the oracle states the EXPECTED canonical per mess class
     // outright (no normalizer re-run — independent by construction)
     "q226_url_canonical" ->

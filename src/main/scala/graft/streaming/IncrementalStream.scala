@@ -1049,15 +1049,36 @@ object IncrementalStream {
                      store: graft.sync.TableStore, table: String,
                      checkpointDir: String,
                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    maintainCountsKeys(stream, Seq(keyCol), store, table, checkpointDir, trigger)
+
+  /** [[maintainCounts]] over a COMPOSITE key — the maintained
+    * heavy-hitters state (e.g. (source, token): "top tokens per source,
+    * continuously"): per-batch partial counts fold by null-safe keyed
+    * addition, so the state is the exact group histogram of everything
+    * that has arrived at #distinct-key-tuples rows. Derive the report
+    * with `Stats.topKFromCounts` — a window over the STATE, never the
+    * corpus. State size is key-cardinality-bounded (vocabulary-sized
+    * for token keys), which is the exact-counts trade: when the key
+    * space itself is unbounded, maintain the CMS sketch (q62's
+    * operator) instead and accept the epsilon. */
+  def maintainCountsKeys(stream: DataFrame, keys: Seq[String],
+                         store: graft.sync.TableStore, table: String,
+                         checkpointDir: String,
+                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(keys.nonEmpty, "maintainCountsKeys needs at least one key column")
     maintainMerged(stream,
-      _.groupBy(col(keyCol)).agg(count(lit(1)).as("n")),
+      _.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n")),
       (prev, part) => {
-        val p = part.withColumnRenamed(keyCol, "__k").withColumnRenamed("n", "__n")
-        prev.join(p, prev(keyCol) <=> p("__k"), "full_outer")
-          .select(coalesce(prev(keyCol), p("__k")).as(keyCol),
-            (coalesce(col("n"), lit(0L)) + coalesce(col("__n"), lit(0L))).as("n"))
+        val p = keys.foldLeft(part.withColumnRenamed("n", "__n")) {
+          (df, k) => df.withColumnRenamed(k, s"__k_$k")
+        }
+        val cond = keys.map(k => prev(k) <=> p(s"__k_$k")).reduce(_ && _)
+        prev.join(p, cond, "full_outer")
+          .select(keys.map(k => coalesce(prev(k), p(s"__k_$k")).as(k)) :+
+            (coalesce(col("n"), lit(0L)) + coalesce(col("__n"), lit(0L))).as("n"): _*)
       },
       store, table, checkpointDir, trigger)
+  }
 
   /** Continuously-maintained approximate-distinct view: the same
     * skip-or-merge machinery as [[maintainStats]] with HLL sketches as

@@ -745,6 +745,22 @@ class MainSpec extends SparkSpec {
     assert(o(2L) === (("plain & simple", 2L, 0L, 1L)))
   }
 
+  test("maintain-counts with a composite key + topk-report: the heavy-hitters pair") {
+    val tmp = Files.createTempDirectory("graft_cli_topk").toString
+    Seq(("s1", "a"), ("s1", "a"), ("s1", "b"), ("s2", "c"))
+      .toDF("src", "tok").write.parquet(s"$tmp/arrivals")
+    assert(Main.run(spark, Array("maintain-counts",
+      "--source", s"$tmp/arrivals", "--key", "src,tok",
+      "--dest", s"$tmp/state", "--table", "counts",
+      "--checkpoint", s"$tmp/ck")) === 0)
+    assert(Main.run(spark, Array("topk-report",
+      "--counts", s"$tmp/state/counts.parquet", "--group", "src",
+      "--tie", "tok", "--k", "1", "--out", s"$tmp/top")) === 0)
+    val top = spark.read.parquet(s"$tmp/top").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(top === Set(("s1", "a", 2L, 1L), ("s2", "c", 1L, 1L)))
+  }
+
   test("url-norm: canonical-key artifact with NULLs for non-URLs") {
     val tmp = Files.createTempDirectory("graft_cli_url").toString
     Seq((1L, "HTTP://A.com:80/x?utm_s=1&b=2#f"), (2L, "not a url"))

@@ -121,4 +121,20 @@ class StatsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(folded === Map("a" -> (3L, 6L), "b" -> (1L, 2L), "c" -> (1L, -7L)))
   }
+
+  test("topKFromCounts ranks state rows per group with a deterministic tiebreak") {
+    val counts = Seq(
+      ("s1", "the", 5L), ("s1", "a", 5L), ("s1", "z", 4L), ("s1", "q", 1L),
+      ("s2", "x", 2L)).toDF("source", "token", "n")
+    val got = Stats.topKFromCounts(counts, Seq("source"), Seq("token"), k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // ties (n=5) break token-ascending: "a" before "the"
+    assert(got === Set(("s1", "a", 5L, 1L), ("s1", "the", 5L, 2L), ("s2", "x", 2L, 1L)))
+    intercept[IllegalArgumentException] {
+      Stats.topKFromCounts(counts, Seq("source"), Seq("token"), k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Stats.topKFromCounts(counts, Seq("source"), Seq.empty, k = 2)
+    }
+  }
 }

@@ -5001,54 +5001,9 @@ object SparkEntry {
     // and max index must both equal id%3 (+1), and every doc must
     // surface (a payload failing wholesale cannot hide)
     "q160_video_frame_decode" -> ((s, dir) => {
-      import s.implicits._
       implicit val session: SparkSession = s
-      val ids = t(s, dir, "documents").select(col("doc_id").cast(LongType)).as[Long]
-      val nDocs = ids.count()
-      val media = ids.mapPartitions { it =>
-        it.map { id =>
-          def le32(v: Int): Array[Byte] =
-            Array(v, v >> 8, v >> 16, v >> 24).map(x => (x & 0xff).toByte)
-          def chunk(cid: String, data: Array[Byte]): Array[Byte] =
-            cid.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
-              (if ((data.length & 1) == 1) Array(0.toByte) else Array.empty[Byte])
-          def jpeg(w: Int, h: Int, g: Int): Array[Byte] = {
-            val img = new java.awt.image.BufferedImage(w, h,
-              java.awt.image.BufferedImage.TYPE_INT_RGB)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) { img.setRGB(x, y, g * 0x010101); x += 1 }
-              y += 1
-            }
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "jpg", bos)
-            bos.toByteArray
-          }
-          val n = 1 + (id % 3).toInt
-          val dcs = (0 until n).flatMap { f =>
-            val w = 16 + ((id + f) % 3).toInt * 8
-            val h = 16 + ((id + 2L * f) % 2).toInt * 8
-            val g = 16 + ((id + 37L * f) % 224).toInt
-            chunk("00dc", jpeg(w, h, g))
-          }.toArray
-          val framePart =
-            if (id % 3 == 0) chunk("LIST", "rec ".getBytes("US-ASCII") ++ dcs)
-            else dcs
-          val movi = "movi".getBytes("US-ASCII") ++
-            (if (id % 5 == 0) chunk("01wb", Array[Byte](1, 2, 3))
-             else Array.empty[Byte]) ++
-            framePart ++
-            (if (id % 7 == 0) chunk("00dc", "not a jpeg".getBytes("US-ASCII"))
-             else Array.empty[Byte])
-          val top = "RIFF".getBytes("US-ASCII") ++ le32(0) ++
-            "AVI ".getBytes("US-ASCII") ++
-            (if (id % 2 == 0) chunk("JUNK", Array[Byte](7, 7, 7))
-             else Array.empty[Byte]) ++
-            chunk("LIST", movi)
-          Multimodal.MediaRecord(id, top)
-        }
-      }.toDF()
+      val nDocs = t(s, dir, "documents").count()
+      val media = mjpegCorpus(s, dir)
       val expW = lit(16L) + ((col("doc_id") + col("frame_idx")) % 3L) * 8L
       val expH = lit(16L) + ((col("doc_id") + col("frame_idx") * 2L) % 2L) * 8L
       val expMilli = (lit(16L) + (col("doc_id") + col("frame_idx") * 37L) % 224L) * 1000L
@@ -5795,8 +5750,86 @@ object SparkEntry {
           .select(col("source"), col("rank"), col("token"), col("n"))
           .orderBy("source", "rank").localCheckpoint()
       } finally deleteRecursively(tmp)
+    }),
+
+    // q228: SCENE-CHANGE detection over the shared q160 planted MJPEG
+    // corpus — decode -> luminance-delta cuts -> per-video report. The
+    // planted gray walk steps +37 per frame mod 224, so consecutive
+    // deltas are exactly 37 (no cut) or 187 (the wrap = the planted
+    // scene cut); threshold 100 sits between them with >25x the JPEG
+    // noise margin (the q160 ±2 gray tolerance), so the CUT DECISION is
+    // integer-exact cross-engine even though decoded means are lossy.
+    // Oracle: the planted formula replayed arithmetically — no decode
+    "q228_scene_cuts" -> ((s, dir) => {
+      implicit val session: SparkSession = s
+      val frames = Multimodal.decodeFramesOf(mjpegCorpus(s, dir)).toDF()
+      val cuts = Multimodal.sceneCuts(frames, thresholdMilli = 100000L)
+      frames.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"))
+        .join(cuts.groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_cuts"), min(col("cut_at")).as("first_cut")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_frames"),
+          coalesce(col("n_cuts"), lit(0L)).as("n_cuts"),
+          coalesce(col("first_cut"), lit(-1L)).as("first_cut"))
+        .orderBy("doc_id")
     })
   )
+
+  /** Shared q160/q228 planted MJPEG-in-AVI corpus — ONE builder so the
+    * frame-decode gate and the scene-change query (and their oracles'
+    * shared planted formulas) cannot drift apart: per doc, 1 + id%3
+    * grayscale JPEG frames at gray 16 + (id + 37·frame) % 224, wrapped
+    * in the structural hazards the walker must absorb (rec LISTs %3,
+    * audio chunks %5, a non-JPEG dc chunk %7, JUNK %2). */
+  private def mjpegCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id").cast(LongType)).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          def le32(v: Int): Array[Byte] =
+            Array(v, v >> 8, v >> 16, v >> 24).map(x => (x & 0xff).toByte)
+          def chunk(cid: String, data: Array[Byte]): Array[Byte] =
+            cid.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+              (if ((data.length & 1) == 1) Array(0.toByte) else Array.empty[Byte])
+          def jpeg(w: Int, h: Int, g: Int): Array[Byte] = {
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { img.setRGB(x, y, g * 0x010101); x += 1 }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpg", bos)
+            bos.toByteArray
+          }
+          val n = 1 + (id % 3).toInt
+          val dcs = (0 until n).flatMap { f =>
+            val w = 16 + ((id + f) % 3).toInt * 8
+            val h = 16 + ((id + 2L * f) % 2).toInt * 8
+            val g = 16 + ((id + 37L * f) % 224).toInt
+            chunk("00dc", jpeg(w, h, g))
+          }.toArray
+          val framePart =
+            if (id % 3 == 0) chunk("LIST", "rec ".getBytes("US-ASCII") ++ dcs)
+            else dcs
+          val movi = "movi".getBytes("US-ASCII") ++
+            (if (id % 5 == 0) chunk("01wb", Array[Byte](1, 2, 3))
+             else Array.empty[Byte]) ++
+            framePart ++
+            (if (id % 7 == 0) chunk("00dc", "not a jpeg".getBytes("US-ASCII"))
+             else Array.empty[Byte])
+          val top = "RIFF".getBytes("US-ASCII") ++ le32(0) ++
+            "AVI ".getBytes("US-ASCII") ++
+            (if (id % 2 == 0) chunk("JUNK", Array[Byte](7, 7, 7))
+             else Array.empty[Byte]) ++
+            chunk("LIST", movi)
+          Multimodal.MediaRecord(id, top)
+        }
+      }.toDF()
+  }
 
   /** The q222/q223 snapshot CTEs — ONE string mirroring [[scdSnapshots]]
     * exactly (same planted moduli, same value bumps) so the two graded
@@ -6552,6 +6585,10 @@ object SparkEntry {
     // each key's timeline), stated per-fact over the shared s1/s2/s3
     "q225_pit_join" ->
       (ScdSnapshotCtes + ", v AS (SELECT 1 AS ver, * FROM s1 UNION ALL SELECT 2, * FROM s2 UNION ALL SELECT 3, * FROM s3), f AS (SELECT l_orderkey AS o_orderkey, l_linenumber, CAST(l_linenumber % 3 + 1 AS BIGINT) AS ver FROM lineitem) SELECT f.o_orderkey, f.l_linenumber, f.ver, CAST(coalesce(v.o_custkey, -1) AS BIGINT) AS custkey_at, CAST(coalesce(v.cents, -1) AS BIGINT) AS cents_at FROM f LEFT JOIN v ON f.o_orderkey = v.o_orderkey AND f.ver = v.ver ORDER BY f.o_orderkey, f.l_linenumber"),
+    // q228: the planted gray walk replayed arithmetically — cut iff the
+    // inter-frame gray delta exceeds 100 (planted deltas: 37 or 187)
+    "q228_scene_cuts" ->
+      """WITH f AS (SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS fi FROM documents), g AS (SELECT doc_id, fi, 16 + (doc_id + 37 * fi) % 224 AS gray FROM f), c AS (SELECT doc_id, fi, abs(gray - lag(gray) OVER (PARTITION BY doc_id ORDER BY fi)) AS dg FROM g) SELECT doc_id, CAST(1 + doc_id % 3 AS BIGINT) AS n_frames, CAST(count(CASE WHEN dg > 100 THEN 1 END) AS BIGINT) AS n_cuts, CAST(coalesce(min(CASE WHEN dg > 100 THEN fi END), -1) AS BIGINT) AS first_cut FROM c GROUP BY doc_id ORDER BY doc_id""",
     // q227: the batch top-k SQL — the maintained state must reproduce
     // it exactly under any micro-batch split
     "q227_stream_topk_view" ->

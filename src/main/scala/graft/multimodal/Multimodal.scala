@@ -349,6 +349,33 @@ object Multimodal {
       it.flatMap(r => decodeMjpegFrames(r.doc_id, r.media)))
   }
 
+  /** SCENE-CHANGE detection over a decoded frame table
+    * ([[decodeFramesOf]] output): a cut lands at frame i when the mean
+    * brightness jumps more than `thresholdMilli` from the PREVIOUS
+    * decoded frame — the classic luminance-delta shot detector
+    * (hard-cut detection via frame-difference thresholding; the
+    * first-pass every video-curation pipeline runs before sampling
+    * keyframes, so "one frame per scene" replaces "one frame per N").
+    * Undecodable frames are already absent from the input (the decode
+    * contract), so deltas compare consecutive DECODED frames.
+    *
+    * Output: (doc_id, cut_at) — frame indexes where a new scene starts.
+    * Plan: one keyed window per video ordered by frame_idx
+    * (frames-per-video-bounded partitions, never corpus-global), a lag,
+    * a filter. Composes with [[decodeFramesOf]] into decode -> detect
+    * -> sample keyframes without materializing pixels anywhere. */
+  def sceneCuts(frames: DataFrame, thresholdMilli: Long): DataFrame = {
+    require(thresholdMilli > 0,
+      s"sceneCuts: threshold must be positive, got $thresholdMilli")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("__prev", lag(col("mean_milli_gray"), 1).over(w))
+      .filter(col("__prev").isNotNull &&
+        abs(col("mean_milli_gray") - col("__prev")) > thresholdMilli)
+      .select(col("doc_id"), col("frame_idx").as("cut_at"))
+  }
+
   /** Perceptual image hash row: id + 64-bit dHash over the decoded pixels.
     * Rows whose payload no ImageIO reader decodes are DROPPED (a perceptual
     * hash of non-pixels is meaningless; callers wanting a total pipeline

@@ -4,6 +4,24 @@ import graft.SparkSpec
 import org.apache.spark.sql.SparkSession
 
 class MultimodalSpec extends SparkSpec {
+
+  test("sceneCuts: cuts where the luminance delta exceeds the threshold, per video") {
+    import spark.implicits._
+    val frames = Seq(
+      // video 1: 10 -> 12 (no) -> 200 (cut) -> 205 (no)
+      (1L, 0L, 10000L), (1L, 1L, 12000L), (1L, 2L, 200000L), (1L, 3L, 205000L),
+      // video 2: single frame, never a cut
+      (2L, 0L, 50000L),
+      // video 3: two cuts, non-contiguous frame indexes (decode gaps)
+      (3L, 0L, 0L), (3L, 2L, 90000L), (3L, 5L, 1000L))
+      .toDF("doc_id", "frame_idx", "mean_milli_gray")
+    val got = Multimodal.sceneCuts(frames, thresholdMilli = 60000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (3L, 2L), (3L, 5L)))
+    intercept[IllegalArgumentException] {
+      Multimodal.sceneCuts(frames, thresholdMilli = 0L)
+    }
+  }
   import spark.implicits._
 
   private implicit def s: SparkSession = spark

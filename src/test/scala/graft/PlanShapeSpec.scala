@@ -854,4 +854,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(finalSection.contains("BroadcastHashJoin"), s"targets must broadcast:\n$p")
     assert(!finalSection.contains("SortMergeJoin"), p)
   }
+
+  test("q222 scd2 apply: keyed joins over the open slice only, no corpus-global window") {
+    val p = plan("q222_scd2_history")
+    // the interval algebra must never rank or sort the whole history in
+    // one task — SCD2 is keyed joins + a conditional explode
+    assert(!p.contains("Window"), s"scd2Apply must not plan a window:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"no stage may funnel through one partition (the final orderBy is a range exchange):\n$p")
+    assert(p.contains("Generate explode"), s"the 0-2-rows-per-key emit is one explode pass:\n$p")
+  }
+
+  test("q225 pit join: the dimension history broadcasts; interval predicate stays residual") {
+    val df = SparkEntry.queries("q225_pit_join")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    // facts (corpus-sized) must NOT shuffle to meet a dimension-sized
+    // history: the PIT join is broadcast, keyed on the pk, with the
+    // valid_from/valid_to range as a residual join condition
+    assert(finalSection.contains("BroadcastHashJoin"), s"history must broadcast:\n$finalSection")
+    assert("BroadcastHashJoin.*LeftOuter.*valid_from|valid_from.*<=".r.findFirstIn(finalSection).isDefined
+      || finalSection.contains("valid_from"), s"interval predicate must ride the join:\n$finalSection")
+    assert(!finalSection.contains("CartesianProduct"), p)
+  }
+
+  test("q226 url canonicalization is a pure narrow codegen projection over the scan") {
+    val p = plan("q226_url_canonical")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"url normalization must not shuffle (the final orderBy is a range exchange):\n$p")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint"), p)
+    assert(!p.contains("text"), "the text column must be pruned from the scan")
+  }
 }

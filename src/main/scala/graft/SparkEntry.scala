@@ -5773,6 +5773,36 @@ object SparkEntry {
           coalesce(col("n_cuts"), lit(0L)).as("n_cuts"),
           coalesce(col("first_cut"), lit(-1L)).as("first_cut"))
         .orderBy("doc_id")
+    }),
+
+    // q229: SCD2 from INCREMENTAL deltas — the reference's own model
+    // (watermark pulls produce "changed since last pull" upserts, never
+    // full extracts, so removals are invisible and absent keys must stay
+    // OPEN). Deltas are derived from the planted snapshots (new-or-
+    // changed rows only) and applied with scd2ApplyUpserts; the oracle
+    // states the upsert-SCD2 law directly: the history IS the delta log
+    // with each interval running to the key's NEXT delta (lead), open at
+    // the end — no island machinery needed because deltas only exist
+    // where the value changed. Reappearance keys (absent from s2) fire
+    // as ver-3 deltas against their STILL-OPEN v1 interval: [1,3)+[3,-)
+    "q229_scd2_upserts" -> ((s, dir) => {
+      val (s1, s2, s3) = scdSnapshots(s, dir)
+      import graft.sync.History
+      def delta(cur: DataFrame, prev: DataFrame): DataFrame = {
+        val p = prev.select(col("o_orderkey"), col("o_custkey").as("__pc"),
+          col("cents").as("__pv")).withColumn("__in", lit(1))
+        cur.join(p, Seq("o_orderkey"), "left")
+          .filter(col("__in").isNull || !(col("o_custkey") <=> col("__pc"))
+            || !(col("cents") <=> col("__pv")))
+          .select(col("o_orderkey"), col("o_custkey"), col("cents"))
+      }
+      val h = History.scd2ApplyUpserts(
+        History.scd2ApplyUpserts(History.scd2Init(s1, 1L), delta(s2, s1),
+          Seq("o_orderkey"), Seq("o_custkey", "cents"), 2L),
+        delta(s3, s2), Seq("o_orderkey"), Seq("o_custkey", "cents"), 3L)
+      h.select(col("o_orderkey"), col("o_custkey"), col("cents"), col("valid_from"),
+          coalesce(col("valid_to"), lit(0L)).as("valid_to"))
+        .orderBy("o_orderkey", "valid_from")
     })
   )
 
@@ -6585,6 +6615,10 @@ object SparkEntry {
     // each key's timeline), stated per-fact over the shared s1/s2/s3
     "q225_pit_join" ->
       (ScdSnapshotCtes + ", v AS (SELECT 1 AS ver, * FROM s1 UNION ALL SELECT 2, * FROM s2 UNION ALL SELECT 3, * FROM s3), f AS (SELECT l_orderkey AS o_orderkey, l_linenumber, CAST(l_linenumber % 3 + 1 AS BIGINT) AS ver FROM lineitem) SELECT f.o_orderkey, f.l_linenumber, f.ver, CAST(coalesce(v.o_custkey, -1) AS BIGINT) AS custkey_at, CAST(coalesce(v.cents, -1) AS BIGINT) AS cents_at FROM f LEFT JOIN v ON f.o_orderkey = v.o_orderkey AND f.ver = v.ver ORDER BY f.o_orderkey, f.l_linenumber"),
+    // q229: the upsert-SCD2 law stated directly — the history IS the
+    // delta log, each interval running to the key's next delta
+    "q229_scd2_upserts" ->
+      (ScdSnapshotCtes + ", d2 AS (SELECT s2.o_orderkey, s2.o_custkey, s2.cents FROM s2 LEFT JOIN s1 ON s1.o_orderkey = s2.o_orderkey WHERE s1.o_orderkey IS NULL OR s1.o_custkey IS DISTINCT FROM s2.o_custkey OR s1.cents IS DISTINCT FROM s2.cents), d3 AS (SELECT s3.o_orderkey, s3.o_custkey, s3.cents FROM s3 LEFT JOIN s2 ON s2.o_orderkey = s3.o_orderkey WHERE s2.o_orderkey IS NULL OR s2.o_custkey IS DISTINCT FROM s3.o_custkey OR s2.cents IS DISTINCT FROM s3.cents), dlog AS (SELECT 1 AS ver, * FROM s1 UNION ALL SELECT 2, * FROM d2 UNION ALL SELECT 3, * FROM d3) SELECT o_orderkey, o_custkey, cents, CAST(ver AS BIGINT) AS valid_from, CAST(coalesce(lead(ver) OVER (PARTITION BY o_orderkey ORDER BY ver), 0) AS BIGINT) AS valid_to FROM dlog ORDER BY o_orderkey, valid_from"),
     // q228: the planted gray walk replayed arithmetically — cut iff the
     // inter-frame gray delta exceeds 100 (planted deltas: 37 or 187)
     "q228_scene_cuts" ->

@@ -105,7 +105,8 @@ object Main {
       "       drift --old <parquet> --new <parquet> --out <parquetDir> (--value <col> --width <n> | --category <col>)\n" +
       "       html-extract --corpus <parquet> --id <col> --html <col> --out <parquetDir>\n" +
       "       url-norm --corpus <parquet> --id <col> --url <col> --out <parquetDir>\n" +
-      "       scd2-apply --snapshot <parquet> --pks c1[,c2] --compare c1[,c2] --version <n> --out <parquetDir> (--history <parquetDir> | --init true)\n" +
+      "       scd2-apply --snapshot <parquet> --pks c1[,c2] --compare c1[,c2] --version <n> --out <parquetDir> (--history <parquetDir> | --init true) [--upserts true]\n" +
+      "       scd2-close --history <parquetDir> --keys <parquet> --pks c1[,c2] --version <n> --out <parquetDir>\n" +
       "       asof --history <parquetDir> --version <n> --out <parquetDir>\n" +
       "       compact --dir <parquetDir> [--target-mb <n>]"
 
@@ -213,7 +214,11 @@ object Main {
                                 out: String) extends Cmd
   private case class Scd2ApplyCmd(history: Option[String], snapshot: String,
                                   pks: Seq[String], compare: Seq[String],
-                                  version: Long, out: String) extends Cmd
+                                  version: Long, upserts: Boolean,
+                                  out: String) extends Cmd
+  private case class Scd2CloseCmd(history: String, keys: String,
+                                  pks: Seq[String], version: Long,
+                                  out: String) extends Cmd
   private case class AsOfCmd(history: String, version: Long,
                              out: String) extends Cmd
   private case class SourceOverlapCmd(corpus: String, source: String,
@@ -672,8 +677,18 @@ object Main {
         init <- Right(opts.get("init").contains("true"))
         history <- if (init) Right(None)
           else req(opts, "scd2-apply", "history").map(Some(_))
+        upserts <- Right(opts.get("upserts").contains("true"))
         out <- req(opts, "scd2-apply", "out")
-      } yield Scd2ApplyCmd(history, snapshot, pks, compare, version.toLong, out)
+      } yield Scd2ApplyCmd(history, snapshot, pks, compare, version.toLong, upserts, out)
+    case "scd2-close" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        history <- req(opts, "scd2-close", "history")
+        keys <- req(opts, "scd2-close", "keys")
+        pks <- req(opts, "scd2-close", "pks").map(cols)
+        version <- posInt(opts, "scd2-close", "version")
+        out <- req(opts, "scd2-close", "out")
+      } yield Scd2CloseCmd(history, keys, pks, version.toLong, out)
     case "asof" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -1751,18 +1766,30 @@ object Main {
         .write.mode("overwrite").parquet(out)
       0
 
-    case Scd2ApplyCmd(history, snapshot, pks, compare, version, out) =>
-      // temporal sync: apply a full snapshot to an SCD2 history (or seed
-      // one with --init true). Writes the NEW history to --out — never
-      // in place, so a failed apply cannot corrupt the prior version
-      // (swap the dirs after success, the writeAtomic discipline)
+    case Scd2ApplyCmd(history, snapshot, pks, compare, version, upserts, out) =>
+      // temporal sync: apply a full snapshot — or, with --upserts true,
+      // an incremental "changed since last pull" delta (absent keys stay
+      // open) — to an SCD2 history (or seed one with --init true).
+      // Writes the NEW history to --out, never in place, so a failed
+      // apply cannot corrupt the prior version (swap dirs after success,
+      // the writeAtomic discipline)
       val snap = spark.read.parquet(snapshot)
       val res = history match {
         case None => graft.sync.History.scd2Init(snap, version)
+        case Some(h) if upserts => graft.sync.History.scd2ApplyUpserts(
+          spark.read.parquet(h), snap, pks, compare, version)
         case Some(h) => graft.sync.History.scd2Apply(
           spark.read.parquet(h), snap, pks, compare, version)
       }
       res.write.mode("overwrite").parquet(out)
+      0
+
+    case Scd2CloseCmd(history, keys, pks, version, out) =>
+      // the delete half of a CDC feed: close the listed keys' open
+      // intervals at --version (idempotent; unknown keys are no-ops)
+      graft.sync.History.scd2Close(spark.read.parquet(history),
+          spark.read.parquet(keys), pks, version)
+        .write.mode("overwrite").parquet(out)
       0
 
     case AsOfCmd(history, version, out) =>

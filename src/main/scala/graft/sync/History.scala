@@ -66,7 +66,46 @@ object History {
     * re-verified). History schema must be pks ++ compareCols ++
     * (valid_from, valid_to); snapshot schema pks ++ compareCols. */
   def scd2Apply(history: DataFrame, snapshot: DataFrame, pks: Seq[String],
-                compareCols: Seq[String], version: Long): DataFrame = {
+                compareCols: Seq[String], version: Long): DataFrame =
+    applyImpl(history, snapshot, pks, compareCols, version, closeMissing = true)
+
+  /** [[scd2Apply]] for INCREMENTAL deltas — the shape the sync engine's
+    * own watermark reads produce (O5/O7: "rows changed since the last
+    * pull", never a full extract): each delta row is an upsert (close +
+    * reopen on change, open on a new key), and keys ABSENT from the
+    * delta simply stay open — an incremental pull cannot distinguish
+    * "unchanged" from "removed", so the upsert apply never closes on
+    * absence. Sources that do emit delete events close them explicitly
+    * with [[scd2Close]] (the upsertWithDeletes pairing, temporal form).
+    * A delta row equal to the key's open values is a no-op, so
+    * re-delivered rows (at-least-once pulls) do not fragment intervals. */
+  def scd2ApplyUpserts(history: DataFrame, delta: DataFrame, pks: Seq[String],
+                       compareCols: Seq[String], version: Long): DataFrame =
+    applyImpl(history, delta, pks, compareCols, version, closeMissing = false)
+
+  /** Close the open interval of every key in `keys` at `version` — the
+    * delete half of a CDC feed (or a takedown, temporal form: the row's
+    * history remains, its validity ends). Keys with no open interval
+    * are a no-op. One keyed join against the open slice. */
+  def scd2Close(history: DataFrame, keys: DataFrame, pks: Seq[String],
+                version: Long): DataFrame = {
+    require(pks.nonEmpty, "scd2Close needs at least one key column")
+    val closed = history.filter(col(ValidTo).isNotNull)
+    val open = history.filter(col(ValidTo).isNull)
+    val k = keys.select(pks.map(c => col(c).as(s"__d_$c")): _*)
+      .dropDuplicates(pks.map(c => s"__d_$c"))
+      .withColumn("__del", lit(true))
+    val cond = pks.map(c => col(c) <=> col(s"__d_$c")).reduce(_ && _)
+    closed.unionByName(
+      open.join(k, cond, "left")
+        .withColumn(ValidTo,
+          when(col("__del"), lit(version).cast(LongType)).otherwise(col(ValidTo)))
+        .drop(pks.map(c => s"__d_$c") :+ "__del": _*))
+  }
+
+  private def applyImpl(history: DataFrame, snapshot: DataFrame, pks: Seq[String],
+                        compareCols: Seq[String], version: Long,
+                        closeMissing: Boolean): DataFrame = {
     require(pks.nonEmpty, "scd2Apply needs at least one key column")
     require(compareCols.nonEmpty, "scd2Apply needs at least one compare column")
     val dataCols = pks ++ compareCols
@@ -98,7 +137,10 @@ object History {
           array(curOpen))                        // unchanged: keep the open row
         .when(col("__in_c").isNotNull && col("__in_s").isNotNull,
           array(curClosed, snapOpen))            // changed: close + reopen
-        .when(col("__in_c").isNotNull, array(curClosed)) // removed: close
+        .when(col("__in_c").isNotNull,
+          // absent from a FULL snapshot: a removal, close the interval;
+          // absent from an incremental DELTA: unknowable, stays open
+          if (closeMissing) array(curClosed) else array(curOpen))
         .otherwise(array(snapOpen))              // added / reappeared: open
       ).as("__row"))
       .select((dataCols ++ Seq(ValidFrom, ValidTo)).map(c => col(s"__row.$c")): _*)

@@ -799,6 +799,20 @@ class MainSpec extends SparkSpec {
     assert(Main.run(spark, Array("scd2-apply",
       "--snapshot", s"$tmp/s2", "--pks", "id", "--compare", "cents",
       "--version", "2", "--out", s"$tmp/x")) === 2)
+    // --upserts true: the absent key (2) stays OPEN instead of closing
+    assert(Main.run(spark, Array("scd2-apply",
+      "--snapshot", s"$tmp/s2", "--pks", "id", "--compare", "cents",
+      "--version", "2", "--history", s"$tmp/h1", "--upserts", "true",
+      "--out", s"$tmp/hu")) === 0)
+    assert(spark.read.parquet(s"$tmp/hu")
+      .filter("id = 2 AND valid_to IS NULL").count() === 1L)
+    // scd2-close: the CDC delete half
+    Seq(Tuple1(2L)).toDF("id").write.parquet(s"$tmp/dels")
+    assert(Main.run(spark, Array("scd2-close",
+      "--history", s"$tmp/hu", "--keys", s"$tmp/dels", "--pks", "id",
+      "--version", "3", "--out", s"$tmp/hc")) === 0)
+    assert(spark.read.parquet(s"$tmp/hc")
+      .filter("id = 2 AND valid_to = 3").count() === 1L)
   }
 
   test("profile: per-column report artifact; malformed --approx is a usage error") {

@@ -89,6 +89,32 @@ class HistorySpec extends SparkSpec {
     assert(h2.filter("valid_from = 2 AND valid_to IS NULL").count() === 2L)
   }
 
+  test("scd2ApplyUpserts: absent keys stay open; re-delivered rows are no-ops") {
+    val h1 = History.scd2Init(snap((1L, "a", 10L), (2L, "b", 20L)), 1L)
+    // delta: id 2 changed, id 3 new; id 1 absent (must stay open)
+    val h2 = History.scd2ApplyUpserts(h1, snap((2L, "b", 25L), (3L, "c", 30L)),
+      pks, cmp, 2L)
+    assert(rowsOf(h2) === Set(
+      (1L, "a", 10L, 1L, None),
+      (2L, "b", 20L, 1L, Some(2L)), (2L, "b", 25L, 2L, None),
+      (3L, "c", 30L, 2L, None)))
+    // at-least-once: re-delivering id 2's CURRENT value changes nothing
+    val h3 = History.scd2ApplyUpserts(h2, snap((2L, "b", 25L)), pks, cmp, 3L)
+    assert(rowsOf(h3) === rowsOf(h2))
+  }
+
+  test("scd2Close closes exactly the listed keys' open intervals, idempotently") {
+    val h1 = History.scd2Init(snap((1L, "a", 10L), (2L, "b", 20L)), 1L)
+    val h2 = History.scd2Close(h1, Seq(Tuple1(2L)).toDF("id"), pks, 2L)
+    assert(rowsOf(h2) === Set((1L, "a", 10L, 1L, None), (2L, "b", 20L, 1L, Some(2L))))
+    // closing an already-closed or unknown key is a no-op
+    val h3 = History.scd2Close(h2, Seq(Tuple1(2L), Tuple1(9L)).toDF("id"), pks, 3L)
+    assert(rowsOf(h3) === rowsOf(h2))
+    // and the upsert+close pair equals the full-snapshot apply
+    val viaSnapshot = History.scd2Apply(h1, snap((1L, "a", 10L)), pks, cmp, 2L)
+    assert(rowsOf(h2) === rowsOf(viaSnapshot))
+  }
+
   test("pitJoin picks the interval covering each fact's version; gaps keep NULLs") {
     val s1 = snap((1L, "a", 10L))
     val h = History.scd2Apply(

@@ -5803,6 +5803,23 @@ object SparkEntry {
       h.select(col("o_orderkey"), col("o_custkey"), col("cents"), col("valid_from"),
           coalesce(col("valid_to"), lit(0L)).as("valid_to"))
         .orderBy("o_orderkey", "valid_from")
+    }),
+
+    // q230: CURRICULUM ordering — "best data first, shuffled within
+    // tier": a 3-tier length curriculum (long docs are the high-signal
+    // tier here; swap in any graded quality score at 100 TB) ordered
+    // priority-major with md5 shuffling inside each tier, through the
+    // q106 exact-rank bucket decomposition extended to priority·256 +
+    // hex-byte buckets — NO global sort, no tier funneling through one
+    // task however skewed the tiers. Oracle: the naive serial
+    // row_number over (priority, md5, id)
+    "q230_curriculum_order" -> ((s, dir) => {
+      val tiers = t(s, dir, "documents").select(col("doc_id"),
+        when(col("n_chars") >= 500, 0).when(col("n_chars") >= 200, 1)
+          .otherwise(2).as("priority"))
+      Sampling.curriculumShuffle(tiers, "doc_id", "priority",
+          seed = "graft", rowsPerShard = 32L)
+        .orderBy("doc_id")
     })
   )
 
@@ -6615,6 +6632,9 @@ object SparkEntry {
     // each key's timeline), stated per-fact over the shared s1/s2/s3
     "q225_pit_join" ->
       (ScdSnapshotCtes + ", v AS (SELECT 1 AS ver, * FROM s1 UNION ALL SELECT 2, * FROM s2 UNION ALL SELECT 3, * FROM s3), f AS (SELECT l_orderkey AS o_orderkey, l_linenumber, CAST(l_linenumber % 3 + 1 AS BIGINT) AS ver FROM lineitem) SELECT f.o_orderkey, f.l_linenumber, f.ver, CAST(coalesce(v.o_custkey, -1) AS BIGINT) AS custkey_at, CAST(coalesce(v.cents, -1) AS BIGINT) AS cents_at FROM f LEFT JOIN v ON f.o_orderkey = v.o_orderkey AND f.ver = v.ver ORDER BY f.o_orderkey, f.l_linenumber"),
+    // q230: the naive serial form of the curriculum order
+    "q230_curriculum_order" ->
+      "WITH p AS (SELECT doc_id, CASE WHEN n_chars >= 500 THEN 0 WHEN n_chars >= 200 THEN 1 ELSE 2 END AS priority FROM documents), r AS (SELECT doc_id, priority, row_number() OVER (ORDER BY priority, md5('graft:'||CAST(doc_id AS VARCHAR)), doc_id) - 1 AS g FROM p) SELECT doc_id, CAST(priority AS BIGINT) AS priority, CAST(g AS BIGINT) AS global_rank, CAST(g // 32 AS BIGINT) AS shard, CAST(g % 32 AS BIGINT) AS pos FROM r ORDER BY doc_id",
     // q229: the upsert-SCD2 law stated directly — the history IS the
     // delta log, each interval running to the key's next delta
     "q229_scd2_upserts" ->

@@ -88,6 +88,7 @@ object Main {
       "       weighted-sample --corpus <parquet> --keys c1[,c2] --id <col> --weight <col> --k <n> --out <parquetDir> [--seed <s>]\n" +
       "       budget-mixture --corpus <parquet> --source <col> --order <col> --tokens <col> --weights src=w[,src=w] --budget <n> --out <parquetDir> [--default-weight <n>] [--bucket-width <n>]\n" +
       "       token-shards --corpus <parquet> --tokens <col> --order <col> --bucket-width <n> --shards <n> --out <parquetDir>\n" +
+      "       curriculum-order --corpus <parquet> --id <col> --priority <col> --rows-per-shard <n> --out <parquetDir> [--seed <s>]\n" +
       "       encode-ids --corpus <parquet> --id <col> --text <col> --vocab <parquetDir> --out <parquetDir>\n" +
       "       encode-gate --source <parquetDir> --vocab <parquetDir> --id <col> --text <col> --dest <storeDir> --table <t> --checkpoint <dir> [--join true]\n" +
       "       winnow --corpus <parquet> --id <col> --text <col> --out <parquetDir> [--gram <k>] [--window <w>]\n" +
@@ -212,6 +213,9 @@ object Main {
                                     out: String) extends Cmd
   private case class UrlNormCmd(corpus: String, id: String, url: String,
                                 out: String) extends Cmd
+  private case class CurriculumCmd(corpus: String, id: String, priority: String,
+                                   rowsPerShard: Int, seed: String,
+                                   out: String) extends Cmd
   private case class Scd2ApplyCmd(history: Option[String], snapshot: String,
                                   pks: Seq[String], compare: Seq[String],
                                   version: Long, upserts: Boolean,
@@ -659,6 +663,16 @@ object Main {
         html <- req(opts, "html-extract", "html")
         out <- req(opts, "html-extract", "out")
       } yield HtmlExtractCmd(corpus, id, html, out)
+    case "curriculum-order" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "curriculum-order", "corpus")
+        id <- req(opts, "curriculum-order", "id")
+        priority <- req(opts, "curriculum-order", "priority")
+        rps <- posInt(opts, "curriculum-order", "rows-per-shard")
+        seed <- Right(opts.getOrElse("seed", "graft"))
+        out <- req(opts, "curriculum-order", "out")
+      } yield CurriculumCmd(corpus, id, priority, rps, seed, out)
     case "url-norm" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -1752,6 +1766,14 @@ object Main {
           graft.text.Html.tagCount(h).cast("long").as("n_tags"),
           graft.text.Html.linkCount(h).cast("long").as("n_links"),
           graft.text.Html.scriptCount(h).cast("long").as("n_scripts"))
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case CurriculumCmd(corpus, id, priority, rps, seed, out) =>
+      // the training-order artifact: priority-major, md5-shuffled within
+      // tier, (global_rank, shard, pos) exact at any size — no global sort
+      graft.operators.Sampling.curriculumShuffle(
+          spark.read.parquet(corpus), id, priority, seed, rps.toLong)
         .write.mode("overwrite").parquet(out)
       0
 

@@ -619,7 +619,29 @@ object Sampling {
     * rank sequence). Ids must be distinct (md5 collisions aside, the id
     * tie-break makes the order total regardless). */
   def shardedShuffle(df: DataFrame, idCol: String, seed: String,
-                     rowsPerShard: Long): DataFrame = {
+                     rowsPerShard: Long): DataFrame =
+    shuffleImpl(df, idCol, seed, rowsPerShard, priority = None)
+
+  /** CURRICULUM ordering — [[shardedShuffle]] with a priority-major
+    * global order: rows sort by (`priorityCol` ASC, md5(seed:id)), so
+    * tier 0 (the highest-quality slice) fills the first shards and each
+    * tier is internally md5-shuffled — "best data first, shuffled
+    * within tier", the quality-curriculum layout pretraining runs use
+    * without paying a global sort. Same exact-rank bucket decomposition:
+    * the range bucket becomes priority·256 + first-hex-byte (order-
+    * consistent with the composite sort key), so no tier ever funnels
+    * through one task no matter how skewed the tier sizes are.
+    * `priorityCol` must be a non-null integer in [0, 2^23) (the bucket
+    * id must stay an exact int) — callers map quality scores to small
+    * tier ids first, which is also what keeps the curriculum coarse
+    * enough to be meaningful. Output adds the `priority` column. */
+  def curriculumShuffle(df: DataFrame, idCol: String, priorityCol: String,
+                        seed: String, rowsPerShard: Long): DataFrame =
+    shuffleImpl(df, idCol, seed, rowsPerShard, priority = Some(priorityCol))
+
+  private def shuffleImpl(df: DataFrame, idCol: String, seed: String,
+                          rowsPerShard: Long,
+                          priority: Option[String]): DataFrame = {
     require(rowsPerShard >= 1, s"rowsPerShard must be >= 1, got $rowsPerShard")
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val key = md5(concat(lit(seed + ":"), col(idCol).cast("string")).cast("binary"))
@@ -628,14 +650,20 @@ object Sampling {
     // gets the offsets join's IsNotNull pushed into only one subtree,
     // breaking exchange reuse and silently scanning the corpus twice
     // (observed on Spark 4.1.2; pinned in PlanShapeSpec)
-    val bucket = org.apache.spark.sql.GraftColumnBridge.column(
+    def notNull(c: Column): Column = org.apache.spark.sql.GraftColumnBridge.column(
       org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull(
-        org.apache.spark.sql.GraftColumnBridge.expression(
-          conv(substring(key, 1, 2), 16, 10).cast("int"))))
+        org.apache.spark.sql.GraftColumnBridge.expression(c)))
+    val hexByte = conv(substring(key, 1, 2), 16, 10).cast("int")
+    // priority-major bucket id: order-consistent with (priority, key)
+    // because every priority owns its contiguous 256-bucket block
+    val bucket = notNull(priority match {
+      case None => hexByte
+      case Some(p) => col(p).cast("int") * 256 + hexByte
+    })
     val keyed = df.filter(col(idCol).isNotNull)
-      .select(col(idCol), key.as("__k"),
+      .select(Seq(col(idCol), key.as("__k"),
         // first hex byte, exactly consistent with lexicographic key order
-        bucket.as("__b"))
+        bucket.as("__b")) ++ priority.map(col): _*)
       .repartition(n, col("__b"))
     // Per-bucket rank AND per-bucket count from the SAME exchange: the
     // count is a second window function over the same clustering, and the
@@ -658,8 +686,9 @@ object Sampling {
       .withColumn("global_rank", (col("__off") + col("__r") - 1).cast("long"))
       // integer div/mod, not float division: ranks are exact longs and must
       // stay exact at any corpus size
-      .select(col(idCol), col("global_rank"),
-        expr(s"global_rank div ${rowsPerShard}L").cast("long").as("shard"),
-        pmod(col("global_rank"), lit(rowsPerShard)).cast("long").as("pos"))
+      .select(Seq(col(idCol)) ++ priority.map(p => col(p).cast("long").as(p))
+        ++ Seq(col("global_rank"),
+          expr(s"global_rank div ${rowsPerShard}L").cast("long").as("shard"),
+          pmod(col("global_rank"), lit(rowsPerShard)).cast("long").as("pos")): _*)
   }
 }

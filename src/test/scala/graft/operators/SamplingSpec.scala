@@ -238,6 +238,27 @@ class SamplingSpec extends SparkSpec {
       s"expected the bucket exchange to be reused across branches in:\n$plan")
   }
 
+  test("curriculumShuffle: priority-major exact order, md5-shuffled within tier") {
+    val rows = (1L to 300L).map(i => (i, (i % 3).toInt)).toDF("id", "tier")
+    val out = Sampling.curriculumShuffle(rows, "id", "tier", "spec", rowsPerShard = 16L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // bijection onto [0, n)
+    assert(out.map(_._3).sorted === (0L until 300L).toArray)
+    // priority-major: every tier-0 rank precedes every tier-1 rank, etc.
+    val maxByTier = out.groupBy(_._2).view.mapValues(_.map(_._3).max).toMap
+    val minByTier = out.groupBy(_._2).view.mapValues(_.map(_._3).min).toMap
+    assert(maxByTier(0L) < minByTier(1L) && maxByTier(1L) < minByTier(2L))
+    // within a tier the order is the naive (md5, id) serial rank
+    val naive = rows
+      .withColumn("__k", md5(concat(lit("spec:"), $"id".cast("string")).cast("binary")))
+      .withColumn("g", (row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"tier", $"__k", $"id")) - 1).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out.forall { case (id, _, g, _, _) => naive(id) == g })
+    // shard/pos derive from the rank
+    assert(out.forall { case (_, _, g, s, p) => s == g / 16 && p == g % 16 })
+  }
+
   test("shardedShuffle excludes null ids and keeps ranks a gap-free bijection") {
     val withNull = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row(1L), Row(2L), Row(null), Row(3L), Row(4L))),

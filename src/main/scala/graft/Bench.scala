@@ -255,6 +255,19 @@ object Bench {
     * driver-loop precedent WITH this measured cause; the 2x bound still
     * catches a real blow-up (the observed spread tops out at 1.7x of
     * floor before calibration). */
+  /** q36/q170/q171 r15-close calibrated flags ADJUDICATED (same round,
+    * the two-re-measure protocol): one full-bench run flagged
+    * q36_ivf_recall (2.17x), q170_stream_unigram_gate (2.07x) and
+    * q171_gopher_rules (1.85x) calibrated — on an anomalously FAST
+    * canary set (calibration 1.02 while those three ran slow; none of
+    * their code paths changed this round). Two targeted
+    * calibration-tracking re-measures (canaries included in the subset):
+    * zero flags, 1.10x/0.91x/1.15x calibrated at calibrations
+    * 1.31/1.38 — elevation tracks calibration, the q46/q113 load-noise
+    * signature. A second FULL 230-query bench the same session: zero
+    * raw and zero calibrated flags (q36 0.897, q170 2.265, q171 1.402
+    * at calibration 1.055). Floors kept, no tags added — the flags were
+    * a single-run canary/load skew, not a regression. */
   private val HighVariance = Set("q33_dedup_canonical",
     "q64_dedup_keep_best", "q89_cc_deep_chain", "q111_entity_resolution",
     "q132_leakage_safe_split", "q150_bpe_train",

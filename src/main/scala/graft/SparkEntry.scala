@@ -5820,6 +5820,36 @@ object SparkEntry {
       Sampling.curriculumShuffle(tiers, "doc_id", "priority",
           seed = "graft", rowsPerShard = 32L)
         .orderBy("doc_id")
+    }),
+
+    // q231: KEYFRAME selection — one frame per scene over the shared
+    // q160/q228 planted corpus: each video's first decoded frame plus
+    // every luminance cut, numbered 0-based. The content-aware upgrade
+    // of q35's uniform frame sampler; same integer-exact cut decision
+    // as q228, oracle replays the planted gray walk
+    "q231_keyframes" -> ((s, dir) => {
+      implicit val session: SparkSession = s
+      Multimodal.keyframes(Multimodal.decodeFramesOf(mjpegCorpus(s, dir)).toDF(),
+          thresholdMilli = 100000L)
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // q232: WITHIN-document line dedup — the in-doc half of line-level
+    // cleanup (nav/footer lines repeat inside one page long before they
+    // repeat across the corpus; the cross-doc half is q179). Planted:
+    // each doc becomes 4 lines with lines 3/4 exact repeats of 1/2 (and
+    // short docs collapsing further when the 40-char prefix equals the
+    // whole text). A pure per-row array pass — no shuffle, no per-doc
+    // window; the prefix probe is lines-per-doc-bounded JVM work
+    "q232_line_dedup_within" -> ((s, dir) => {
+      val nl = lit("\n")
+      val planted = t(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"), nl,
+          substring(col("text"), 1, 40), nl, col("text"), nl,
+          substring(col("text"), 1, 40)).as("t2"))
+      Scrub.dedupLinesWithin(planted, "t2")
+        .select(col("doc_id"), col("clean"), col("n_lines"), col("n_removed"))
+        .orderBy("doc_id")
     })
   )
 
@@ -6632,6 +6662,13 @@ object SparkEntry {
     // each key's timeline), stated per-fact over the shared s1/s2/s3
     "q225_pit_join" ->
       (ScdSnapshotCtes + ", v AS (SELECT 1 AS ver, * FROM s1 UNION ALL SELECT 2, * FROM s2 UNION ALL SELECT 3, * FROM s3), f AS (SELECT l_orderkey AS o_orderkey, l_linenumber, CAST(l_linenumber % 3 + 1 AS BIGINT) AS ver FROM lineitem) SELECT f.o_orderkey, f.l_linenumber, f.ver, CAST(coalesce(v.o_custkey, -1) AS BIGINT) AS custkey_at, CAST(coalesce(v.cents, -1) AS BIGINT) AS cents_at FROM f LEFT JOIN v ON f.o_orderkey = v.o_orderkey AND f.ver = v.ver ORDER BY f.o_orderkey, f.l_linenumber"),
+    // q231: first frame + cuts from the planted gray walk, renumbered
+    "q231_keyframes" ->
+      """WITH f AS (SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS fi FROM documents), g AS (SELECT doc_id, fi, 16 + (doc_id + 37 * fi) % 224 AS gray FROM f), c AS (SELECT doc_id, fi, lag(gray) OVER (PARTITION BY doc_id ORDER BY fi) AS pg, gray FROM g), k AS (SELECT doc_id, fi FROM c WHERE pg IS NULL OR abs(gray - pg) > 100) SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY fi) - 1 AS BIGINT) AS scene_idx FROM k ORDER BY doc_id, frame_idx""",
+    // q232: first-occurrence-per-line via min-position windows over the
+    // exploded lines — an INDEPENDENT formulation of the same keep rule
+    "q232_line_dedup_within" ->
+      """WITH h AS (SELECT doc_id, text || chr(10) || substr(text, 1, 40) || chr(10) || text || chr(10) || substr(text, 1, 40) AS t2 FROM documents), s AS (SELECT doc_id, string_split(t2, chr(10)) AS ls FROM h), l AS (SELECT doc_id, ls[i] AS line, i AS pos FROM s, LATERAL unnest(range(1, len(ls) + 1)) AS u(i)), r AS (SELECT doc_id, line, pos, row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn FROM l), k AS (SELECT doc_id, array_to_string(list(line ORDER BY pos), chr(10)) AS clean, count(*) AS n_kept FROM r WHERE rn = 1 GROUP BY doc_id), n AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id) SELECT k.doc_id, k.clean, CAST(n.n_lines AS BIGINT) AS n_lines, CAST(n.n_lines - k.n_kept AS BIGINT) AS n_removed FROM k JOIN n ON k.doc_id = n.doc_id ORDER BY k.doc_id""",
     // q230: the naive serial form of the curriculum order
     "q230_curriculum_order" ->
       "WITH p AS (SELECT doc_id, CASE WHEN n_chars >= 500 THEN 0 WHEN n_chars >= 200 THEN 1 ELSE 2 END AS priority FROM documents), r AS (SELECT doc_id, priority, row_number() OVER (ORDER BY priority, md5('graft:'||CAST(doc_id AS VARCHAR)), doc_id) - 1 AS g FROM p) SELECT doc_id, CAST(priority AS BIGINT) AS priority, CAST(g AS BIGINT) AS global_rank, CAST(g // 32 AS BIGINT) AS shard, CAST(g % 32 AS BIGINT) AS pos FROM r ORDER BY doc_id",

@@ -69,6 +69,8 @@ object Main {
       "       bpe-encode --corpus <parquet> --id <col> --text <col> --merges <parquetDir> [--byte-level true] --out <parquetDir>\n" +
       "       bpe-gate --source <parquetDir> --merges <parquetDir> --id <col> --text <col> [--byte-level true] --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       media-neardup --corpus <parquet(doc_id,media)> --modality image|audio [--max-hamming <n>] --out <parquetDir>\n" +
+      "       scene-cuts --corpus <parquet(doc_id,media)> --out <parquetDir> [--threshold-milli <n>] [--keyframes true]\n" +
+      "       line-dedup-within --corpus <parquet> --id <col> --text <col> --out <parquetDir>\n" +
       "       ingest-media-dedup --source <parquetDir(doc_id,media)> --modality image|audio [--max-hamming <n>] --dest <storeDir> --checkpoint <dir>\n" +
       "       profile --corpus <parquet> --out <parquetDir> [--approx true]\n" +
       "       validate --corpus <parquet> --out <parquetDir> [--not-null c1,c2] [--range col:min:max,...] [--unique k1,k2[;k3]] [--ref <fk> --ref-table <parquet> --ref-key <col>]\n" +
@@ -216,6 +218,10 @@ object Main {
   private case class CurriculumCmd(corpus: String, id: String, priority: String,
                                    rowsPerShard: Int, seed: String,
                                    out: String) extends Cmd
+  private case class SceneCutsCmd(corpus: String, thresholdMilli: Int,
+                                  keyframes: Boolean, out: String) extends Cmd
+  private case class LineDedupWithinCmd(corpus: String, id: String,
+                                        text: String, out: String) extends Cmd
   private case class Scd2ApplyCmd(history: Option[String], snapshot: String,
                                   pks: Seq[String], compare: Seq[String],
                                   version: Long, upserts: Boolean,
@@ -663,6 +669,22 @@ object Main {
         html <- req(opts, "html-extract", "html")
         out <- req(opts, "html-extract", "out")
       } yield HtmlExtractCmd(corpus, id, html, out)
+    case "scene-cuts" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "scene-cuts", "corpus")
+        th <- optInt(opts, "scene-cuts", "threshold-milli", 100000)
+        kf <- Right(opts.get("keyframes").contains("true"))
+        out <- req(opts, "scene-cuts", "out")
+      } yield SceneCutsCmd(corpus, th, kf, out)
+    case "line-dedup-within" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "line-dedup-within", "corpus")
+        id <- req(opts, "line-dedup-within", "id")
+        text <- req(opts, "line-dedup-within", "text")
+        out <- req(opts, "line-dedup-within", "out")
+      } yield LineDedupWithinCmd(corpus, id, text, out)
     case "curriculum-order" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -1766,6 +1788,30 @@ object Main {
           graft.text.Html.tagCount(h).cast("long").as("n_tags"),
           graft.text.Html.linkCount(h).cast("long").as("n_links"),
           graft.text.Html.scriptCount(h).cast("long").as("n_scripts"))
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case SceneCutsCmd(corpus, th, kf, out) =>
+      // decode -> luminance-delta shot detection; --keyframes true emits
+      // one frame per scene (first frame + each cut, scene-numbered)
+      // instead of the raw cut list
+      implicit val session: org.apache.spark.sql.SparkSession = spark
+      val frames = graft.multimodal.Multimodal
+        .decodeFramesOf(spark.read.parquet(corpus)).toDF()
+      val res =
+        if (kf) graft.multimodal.Multimodal.keyframes(frames, th.toLong)
+        else graft.multimodal.Multimodal.sceneCuts(frames, th.toLong)
+      res.write.mode("overwrite").parquet(out)
+      0
+
+    case LineDedupWithinCmd(corpus, id, text, out) =>
+      // the in-doc half of line cleanup: first occurrence of each line
+      // kept in order, per document (cross-doc is line-dedup)
+      graft.text.Scrub.dedupLinesWithin(spark.read.parquet(corpus), text)
+        .select(org.apache.spark.sql.functions.col(id),
+          org.apache.spark.sql.functions.col("clean"),
+          org.apache.spark.sql.functions.col("n_lines"),
+          org.apache.spark.sql.functions.col("n_removed"))
         .write.mode("overwrite").parquet(out)
       0
 

@@ -32,7 +32,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * host, a non-numeric port, or a userinfo `@` (deliberately
   * unsupported — credentials in URLs are a scrub issue, not a dedup
   * key) return NULL rather than a half-normalized string that would
-  * poison the dedup key space silently.
+  * poison the dedup key space silently. Bracketed IPv6 hosts also land
+  * in NULL (the in-host colons read as a malformed port) — crawl
+  * frontiers key on names, and a literal-address URL is exactly the
+  * kind of oddity the NULL queue is for.
   *
   * One codegen'd pass, eval and codegen sharing one JVM helper; the
   * string walk is allocation-light (substring slices + one builder).

@@ -376,6 +376,26 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx").as("cut_at"))
   }
 
+  /** KEYFRAME selection: one frame per scene — each video's first
+    * decoded frame plus every [[sceneCuts]] cut frame, numbered with a
+    * 0-based `scene_idx`. The sampling layout a video-training pipeline
+    * feeds its encoder ("one frame per scene" instead of "one frame per
+    * N" — q35's uniform sampler upgraded with content awareness).
+    * Same keyed per-video windows as the detector; the scene number is
+    * a second row_number over the already-filtered keyframe rows. */
+  def keyframes(frames: DataFrame, thresholdMilli: Long): DataFrame = {
+    require(thresholdMilli > 0,
+      s"keyframes: threshold must be positive, got $thresholdMilli")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("__prev", lag(col("mean_milli_gray"), 1).over(w))
+      .filter(col("__prev").isNull ||
+        abs(col("mean_milli_gray") - col("__prev")) > thresholdMilli)
+      .withColumn("scene_idx", (row_number().over(w) - 1).cast(LongType))
+      .select(col("doc_id"), col("frame_idx"), col("scene_idx"))
+  }
+
   /** Perceptual image hash row: id + 64-bit dHash over the decoded pixels.
     * Rows whose payload no ImageIO reader decodes are DROPPED (a perceptual
     * hash of non-pixels is meaningless; callers wanting a total pipeline

@@ -56,4 +56,29 @@ object Scrub {
         redact(col(textCol), patterns.map { case (_, re, repl) => (re, repl) })) ++
         patterns.map { case (name, re, _) => name -> matchCount(col(textCol), re) })
   }
+
+  /** WITHIN-document line dedup — keep the FIRST occurrence of every
+    * line inside each document, preserving order: the in-doc half of
+    * line-level cleanup (boilerplate repeats its nav/footer lines inside
+    * one page long before it repeats them across the corpus — that
+    * cross-doc half is the df-gated [[graft.dedup.Dedup.lineDedup]]).
+    * A pure per-row array pass — split, an indexed higher-order filter
+    * (keep line i iff it does not appear before position i), rejoin —
+    * so it fuses into the scan with NO shuffle and no per-doc window;
+    * the quadratic prefix probe is lines-per-doc-bounded JVM work, the
+    * right trade against shuffling (doc_id, line) pairs corpus-wide.
+    * Output adds `clean` (the deduped text), `n_lines`, `n_removed`. */
+  def dedupLinesWithin(df: DataFrame, textCol: String): DataFrame = {
+    require(!df.columns.contains("__ls"),
+      "dedupLinesWithin: input already has a __ls column")
+    df
+      .withColumn("__ls", split(col(textCol), "\n"))
+      .withColumn("__kept",
+        expr("filter(__ls, (x, i) -> array_position(slice(__ls, 1, i), x) = 0)"))
+      .withColumn("clean", array_join(col("__kept"), "\n"))
+      .withColumn("n_lines", size(col("__ls")).cast(LongType))
+      .withColumn("n_removed",
+        (size(col("__ls")) - size(col("__kept"))).cast(LongType))
+      .drop("__ls", "__kept")
+  }
 }

@@ -761,6 +761,18 @@ class MainSpec extends SparkSpec {
     assert(top === Set(("s1", "a", 2L, 1L), ("s2", "c", 1L, 1L)))
   }
 
+  test("line-dedup-within: first-occurrence line cleanup artifact") {
+    val tmp = Files.createTempDirectory("graft_cli_ldw").toString
+    Seq((1L, "nav\nbody\nnav"), (2L, "solo")).toDF("id", "t")
+      .write.parquet(s"$tmp/corpus")
+    assert(Main.run(spark, Array("line-dedup-within",
+      "--corpus", s"$tmp/corpus", "--id", "id", "--text", "t",
+      "--out", s"$tmp/o")) === 0)
+    val o = spark.read.parquet(s"$tmp/o").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(o === Map(1L -> (("nav\nbody", 3L, 1L)), 2L -> (("solo", 1L, 0L))))
+  }
+
   test("url-norm: canonical-key artifact with NULLs for non-URLs") {
     val tmp = Files.createTempDirectory("graft_cli_url").toString
     Seq((1L, "HTTP://A.com:80/x?utm_s=1&b=2#f"), (2L, "not a url"))

@@ -21,6 +21,13 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Multimodal.sceneCuts(frames, thresholdMilli = 0L)
     }
+    // keyframes = first frame + each cut, scene-numbered from 0
+    val kf = Multimodal.keyframes(frames, thresholdMilli = 60000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(kf === Set(
+      (1L, 0L, 0L), (1L, 2L, 1L),
+      (2L, 0L, 0L),
+      (3L, 0L, 0L), (3L, 2L, 1L), (3L, 5L, 2L)))
   }
   import spark.implicits._
 

@@ -42,4 +42,19 @@ class ScrubSpec extends SparkSpec {
     val c = Scrub.redact(lit("a@b.co 123456"), masks.map { case (_, re, repl) => (re, repl) })
     assert(Seq(1).toDF("x").select(c).head.getString(0) === "<EMAIL> <NUM>")
   }
+
+  test("dedupLinesWithin keeps first occurrences in order, per document") {
+    val df = Seq(
+      (1L, "nav\nbody one\nnav\nbody two\nnav"),
+      (2L, "only line"),
+      (3L, "x\nx\nx")).toDF("id", "t")
+    val got = Scrub.dedupLinesWithin(df, "t").collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) === (("nav\nbody one\nbody two", 5L, 2L)))
+    assert(got(2L) === (("only line", 1L, 0L)))
+    assert(got(3L) === (("x", 3L, 2L)))
+    // the original text column is untouched (clean is a NEW column)
+    assert(Scrub.dedupLinesWithin(df, "t").select("t").collect()
+      .map(_.getString(0)).toSet === df.select("t").collect().map(_.getString(0)).toSet)
+  }
 }

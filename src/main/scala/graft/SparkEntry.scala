@@ -5850,6 +5850,24 @@ object SparkEntry {
       Scrub.dedupLinesWithin(planted, "t2")
         .select(col("doc_id"), col("clean"), col("n_lines"), col("n_removed"))
         .orderBy("doc_id")
+    }),
+
+    // q233: VERSION DIFF through the history — "what changed between
+    // version 1 and version 3" answered from the SCD2 table alone
+    // (asOf x2 + the q105 CDC diff), no re-extract of either snapshot.
+    // The audit composition a history exists to serve; the oracle diffs
+    // the two snapshot CTEs directly, so the composed asOf->diff path
+    // must reproduce the ground-truth delta exactly
+    "q233_version_diff" -> ((s, dir) => {
+      val (s1, s2, s3) = scdSnapshots(s, dir)
+      import graft.sync.History
+      val h = History.scd2Apply(
+        History.scd2Apply(History.scd2Init(s1, 1L), s2,
+          Seq("o_orderkey"), Seq("o_custkey", "cents"), 2L),
+        s3, Seq("o_orderkey"), Seq("o_custkey", "cents"), 3L)
+      graft.sync.Diff.snapshotDiff(History.asOf(h, 1L), History.asOf(h, 3L),
+          Seq("o_orderkey"), Seq("o_custkey", "cents"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -6662,6 +6680,9 @@ object SparkEntry {
     // each key's timeline), stated per-fact over the shared s1/s2/s3
     "q225_pit_join" ->
       (ScdSnapshotCtes + ", v AS (SELECT 1 AS ver, * FROM s1 UNION ALL SELECT 2, * FROM s2 UNION ALL SELECT 3, * FROM s3), f AS (SELECT l_orderkey AS o_orderkey, l_linenumber, CAST(l_linenumber % 3 + 1 AS BIGINT) AS ver FROM lineitem) SELECT f.o_orderkey, f.l_linenumber, f.ver, CAST(coalesce(v.o_custkey, -1) AS BIGINT) AS custkey_at, CAST(coalesce(v.cents, -1) AS BIGINT) AS cents_at FROM f LEFT JOIN v ON f.o_orderkey = v.o_orderkey AND f.ver = v.ver ORDER BY f.o_orderkey, f.l_linenumber"),
+    // q233: the ground-truth s1-vs-s3 diff, stated without any history
+    "q233_version_diff" ->
+      (ScdSnapshotCtes + " SELECT o_orderkey, change_type FROM (SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS o_orderkey, CASE WHEN b.o_orderkey IS NULL THEN 'added' WHEN a.o_orderkey IS NULL THEN 'removed' WHEN b.o_custkey IS DISTINCT FROM a.o_custkey OR b.cents IS DISTINCT FROM a.cents THEN 'changed' END AS change_type FROM s1 b FULL OUTER JOIN s3 a ON b.o_orderkey = a.o_orderkey) WHERE change_type IS NOT NULL ORDER BY o_orderkey"),
     // q231: first frame + cuts from the planted gray walk, renumbered
     "q231_keyframes" ->
       """WITH f AS (SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS fi FROM documents), g AS (SELECT doc_id, fi, 16 + (doc_id + 37 * fi) % 224 AS gray FROM f), c AS (SELECT doc_id, fi, lag(gray) OVER (PARTITION BY doc_id ORDER BY fi) AS pg, gray FROM g), k AS (SELECT doc_id, fi FROM c WHERE pg IS NULL OR abs(gray - pg) > 100) SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY fi) - 1 AS BIGINT) AS scene_idx FROM k ORDER BY doc_id, frame_idx""",

@@ -143,6 +143,43 @@ class HistorySpec extends SparkSpec {
     }
   }
 
+  test("property: asOf(k) equals snapshot k for random snapshot sequences; " +
+       "upsert applies forward-fill the last delivered value") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // a snapshot is a small id -> cents map; sequences of 2-4 snapshots
+    val snapGen = Gen.mapOf(Gen.zip(Gen.choose(1L, 8L), Gen.choose(0L, 3L)))
+    val seqGen = Gen.choose(2, 4).flatMap(n => Gen.listOfN(n, snapGen))
+    val prop = Prop.forAll(seqGen) { snaps =>
+      def df(m: Map[Long, Long]) =
+        if (m.isEmpty) Seq.empty[(Long, String, Long)].toDF("id", "name", "cents")
+        else m.toSeq.map { case (k, v) => (k, "x", v) }.toDF("id", "name", "cents")
+      val full = snaps.zipWithIndex.drop(1).foldLeft(History.scd2Init(df(snaps.head), 1L)) {
+        case (h, (s, i)) => History.scd2Apply(h, df(s), pks, cmp, i + 1L)
+      }
+      // full-snapshot law: time travel reproduces every snapshot exactly
+      val snapshotsHold = snaps.zipWithIndex.forall { case (s, i) =>
+        History.asOf(full, i + 1L).collect()
+          .map(r => r.getLong(0) -> r.getLong(2)).toMap == s
+      }
+      // upsert law: asOf(k) equals the forward-fill of all deltas <= k
+      // (absent keys persist; upsert history never closes on absence)
+      val ups = snaps.zipWithIndex.drop(1).foldLeft(History.scd2Init(df(snaps.head), 1L)) {
+        case (h, (s, i)) =>
+          val prev = snaps(i - 1)
+          val delta = s.filter { case (k, v) => !prev.get(k).contains(v) }
+          History.scd2ApplyUpserts(h, df(delta), pks, cmp, i + 1L)
+      }
+      val upsertsHold = snaps.indices.forall { i =>
+        val want = snaps.take(i + 1).foldLeft(Map.empty[Long, Long])(_ ++ _)
+        History.asOf(ups, i + 1L).collect()
+          .map(r => r.getLong(0) -> r.getLong(2)).toMap == want
+      }
+      snapshotsHold && upsertsHold
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("contract violations throw") {
     val h = History.scd2Init(snap((1L, "a", 10L)), 1L)
     intercept[IllegalArgumentException] {

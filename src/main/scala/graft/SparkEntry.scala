@@ -5868,6 +5868,49 @@ object SparkEntry {
       graft.sync.Diff.snapshotDiff(History.asOf(h, 1L), History.asOf(h, 3L),
           Seq("o_orderkey"), Seq("o_custkey", "cents"))
         .orderBy("o_orderkey")
+    }),
+
+    // q234: the URL FRONTIER deployed — the exact-key ingest-dedup gate
+    // every crawl runs before any fetch: four planted mess classes per
+    // doc all canonicalize to ONE URL per 5-doc group, arrivals land in
+    // two SEQUENTIAL ingest rounds (low ids first — the q201 multi-round
+    // harness, so acceptance order is deterministic), and the
+    // accumulated seen-set must equal the batch ground truth: the
+    // minimum doc_id per canonical URL, stated by the oracle with the
+    // expected canonical string outright (the q226 convention)
+    "q234_url_frontier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // mod groups STRADDLE the two ingest rounds (x, x+100, x+200 land
+      // in round 1; x+300, x+400 in round 2), so round 2's members must
+      // be rejected by the PERSISTED seen-set — the cross-round gate is
+      // non-vacuous by construction
+      val g = (col("doc_id") % 100).cast(StringType)
+      val m = col("doc_id") % 4
+      val url =
+        when(m === 0, concat(lit("HTTP://Example.COM:80/g/"), g, lit("?b=2&utm_s=1&a=1#f")))
+          .when(m === 1, concat(lit("http://example.com/g/"), g, lit("?utm_x=9&a=1&b=2")))
+          .when(m === 2, concat(lit("http://EXAMPLE.com:80/g/"), g, lit("?b=2&a=1")))
+          .otherwise(concat(lit("http://example.com/g/"), g, lit("?a=1&b=2#z")))
+      val arrivals = docs.select(col("doc_id"), url.as("url"))
+      val tmp = java.nio.file.Files.createTempDirectory("q234").toString
+      try {
+        val store = new graft.sync.ParquetStore(s, s"$tmp/state")
+        Seq(col("doc_id") < 250, col("doc_id") >= 250).zipWithIndex.foreach {
+          case (cond, i) =>
+            // partitioned BY GROUP: a canonical key never spans the
+            // round's two files, so the in-round winner is the group
+            // minimum whichever file the scheduler drains first
+            arrivals.filter(cond).repartition(2, col("doc_id") % 100)
+              .write.parquet(s"$tmp/src$i")
+            IncrementalStream.frontierGate(
+              s.readStream.schema(arrivals.schema)
+                .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src$i/*.parquet"),
+              "doc_id", "url", store, "seen", checkpointDir = s"$tmp/ck$i")
+              .awaitTermination()
+        }
+        store.read("seen").get.select(col("doc_id"), col("url_norm"))
+          .orderBy("doc_id").localCheckpoint()
+      } finally deleteRecursively(tmp)
     })
   )
 
@@ -6680,6 +6723,10 @@ object SparkEntry {
     // each key's timeline), stated per-fact over the shared s1/s2/s3
     "q225_pit_join" ->
       (ScdSnapshotCtes + ", v AS (SELECT 1 AS ver, * FROM s1 UNION ALL SELECT 2, * FROM s2 UNION ALL SELECT 3, * FROM s3), f AS (SELECT l_orderkey AS o_orderkey, l_linenumber, CAST(l_linenumber % 3 + 1 AS BIGINT) AS ver FROM lineitem) SELECT f.o_orderkey, f.l_linenumber, f.ver, CAST(coalesce(v.o_custkey, -1) AS BIGINT) AS custkey_at, CAST(coalesce(v.cents, -1) AS BIGINT) AS cents_at FROM f LEFT JOIN v ON f.o_orderkey = v.o_orderkey AND f.ver = v.ver ORDER BY f.o_orderkey, f.l_linenumber"),
+    // q234: ground truth for the frontier — min doc_id per canonical
+    // URL, with the canonical stated outright (the q226 convention)
+    "q234_url_frontier" ->
+      "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, 'http://example.com/g/' || CAST(doc_id % 100 AS VARCHAR) || '?a=1&b=2' AS url_norm FROM documents GROUP BY doc_id % 100 ORDER BY doc_id",
     // q233: the ground-truth s1-vs-s3 diff, stated without any history
     "q233_version_diff" ->
       (ScdSnapshotCtes + " SELECT o_orderkey, change_type FROM (SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS o_orderkey, CASE WHEN b.o_orderkey IS NULL THEN 'added' WHEN a.o_orderkey IS NULL THEN 'removed' WHEN b.o_custkey IS DISTINCT FROM a.o_custkey OR b.cents IS DISTINCT FROM a.cents THEN 'changed' END AS change_type FROM s1 b FULL OUTER JOIN s3 a ON b.o_orderkey = a.o_orderkey) WHERE change_type IS NOT NULL ORDER BY o_orderkey"),

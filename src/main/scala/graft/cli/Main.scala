@@ -108,6 +108,7 @@ object Main {
       "       drift --old <parquet> --new <parquet> --out <parquetDir> (--value <col> --width <n> | --category <col>)\n" +
       "       html-extract --corpus <parquet> --id <col> --html <col> --out <parquetDir>\n" +
       "       url-norm --corpus <parquet> --id <col> --url <col> --out <parquetDir>\n" +
+      "       url-frontier --source <parquetDir> --id <col> --url <col> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       scd2-apply --snapshot <parquet> --pks c1[,c2] --compare c1[,c2] --version <n> --out <parquetDir> (--history <parquetDir> | --init true) [--upserts true]\n" +
       "       scd2-close --history <parquetDir> --keys <parquet> --pks c1[,c2] --version <n> --out <parquetDir>\n" +
       "       asof --history <parquetDir> --version <n> --out <parquetDir>\n" +
@@ -215,6 +216,9 @@ object Main {
                                     out: String) extends Cmd
   private case class UrlNormCmd(corpus: String, id: String, url: String,
                                 out: String) extends Cmd
+  private case class UrlFrontierCmd(source: String, id: String, url: String,
+                                    dest: String, table: String,
+                                    checkpoint: String) extends Cmd
   private case class CurriculumCmd(corpus: String, id: String, priority: String,
                                    rowsPerShard: Int, seed: String,
                                    out: String) extends Cmd
@@ -695,6 +699,16 @@ object Main {
         seed <- Right(opts.getOrElse("seed", "graft"))
         out <- req(opts, "curriculum-order", "out")
       } yield CurriculumCmd(corpus, id, priority, rps, seed, out)
+    case "url-frontier" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        source <- req(opts, "url-frontier", "source")
+        id <- req(opts, "url-frontier", "id")
+        url <- req(opts, "url-frontier", "url")
+        dest <- req(opts, "url-frontier", "dest")
+        table <- req(opts, "url-frontier", "table")
+        ck <- req(opts, "url-frontier", "checkpoint")
+      } yield UrlFrontierCmd(source, id, url, dest, table, ck)
     case "url-norm" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -1822,6 +1836,17 @@ object Main {
           spark.read.parquet(corpus), id, priority, seed, rps.toLong)
         .write.mode("overwrite").parquet(out)
       0
+
+    case UrlFrontierCmd(source, id, url, dest, table, ck) =>
+      // the crawl frontier: canonical-URL exact dedup at ingest — one
+      // row per canonical URL ever accepted, non-URLs dropped
+      sourceSchema(spark, source, "url-frontier").fold(0) { schema =>
+        val stream = spark.readStream.schema(schema).parquet(source)
+        graft.streaming.IncrementalStream.frontierGate(
+          stream, id, url, new ParquetStore(spark, dest), table, ck)
+          .awaitTermination()
+        0
+      }
 
     case UrlNormCmd(corpus, id, url, out) =>
       // URL canonicalization artifact: (id, url_norm) with NULL for

@@ -682,6 +682,48 @@ object IncrementalStream {
     * bands) must match every probe — the band-index family contract.
     * Per-batch cost: the batch's own text pass + two metadata-pruned
     * retry anti-joins; the accumulated index is never re-shingled. */
+  /** URL-FRONTIER gate — the EXACT-key member of the ingest-dedup
+    * family (text/image/audio/embedding near-dup gates all probe
+    * accumulated indexes; this is the cheaper tier every crawl runs
+    * FIRST): arrivals canonicalize through
+    * [[graft.functions.UrlNormalize]], non-URLs (NULL canonical key)
+    * are dropped, the batch keeps ONE row per canonical URL (the
+    * minimum id — a deterministic winner; "first seen in the batch"
+    * would be shuffle-order-dependent), and survivors anti-join the
+    * PERSISTED seen-set before appending themselves to it. Replay-safe
+    * without a separate retry guard: the gate IS the guard — a replayed
+    * or partially-appended batch re-gates against the table and
+    * re-appends exactly the keys it is missing.
+    *
+    * Per-batch cost: one narrow canonicalize pass + one keyed
+    * anti-join against the seen-set (delta-sized batch side; the
+    * seen-set join key is the canonical string — bucket the store on it
+    * at 100 TB and the anti-join co-locates). State is one row per
+    * distinct canonical URL ever accepted. */
+  def frontierGate(stream: DataFrame, idCol: String, urlCol: String,
+                   store: graft.sync.TableStore, table: String,
+                   checkpointDir: String,
+                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val winners = batch
+          .select(col(idCol),
+            graft.functions.UrlNormalize(col(urlCol)).as("url_norm"))
+          .filter(col("url_norm").isNotNull)
+          .groupBy(col("url_norm")).agg(min(col(idCol)).as(idCol))
+          .select(col(idCol), col("url_norm"))
+        val fresh = store.read(table) match {
+          case Some(prev) =>
+            winners.join(prev.select(col("url_norm")), Seq("url_norm"), "left_anti")
+              .select(col(idCol), col("url_norm"))
+          case None => winners
+        }
+        store.append(fresh, table)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   def dedupIndexIngest(docStream: DataFrame, idCol: String, textCol: String,
                        hashedShingler: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
                        numHashes: Int, bands: Int,

@@ -30,6 +30,39 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(out === Set((1L, "A"), (2L, "B"), (3L, "C")))
   }
 
+  test("frontierGate: canonical dedup across batches, NULL urls dropped, replay-safe") {
+    import graft.sync.ParquetStore
+    val src = Files.createTempDirectory("graft_fg_src").toString
+    val cp = Files.createTempDirectory("graft_fg_cp").toString
+    val store = new ParquetStore(spark, Files.createTempDirectory("graft_fg_st").toString)
+    // batch 1: two mess forms of ONE canonical url + a non-url
+    Seq((7L, "HTTP://A.com:80/x?utm_s=1&b=2"), (3L, "http://a.com/x?b=2"),
+        (9L, "not a url"))
+      .toDF("id", "u").coalesce(1).write.mode("append").parquet(src)
+    // batch 2: the same canonical again (must be rejected) + a new one
+    Seq((1L, "http://A.COM/x?b=2#f"), (5L, "https://b.org/y"))
+      .toDF("id", "u").coalesce(1).write.mode("append").parquet(src)
+    def stream() = spark.readStream
+      .schema(Seq((0L, "")).toDF("id", "u").schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    IncrementalStream.frontierGate(stream(), "id", "u", store, "seen",
+      checkpointDir = cp).awaitTermination()
+    val out = store.read("seen").get.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // NOTE file order is modification-time-arbitrary for same-ms writes,
+    // but the canonical key's winner is 3 regardless only if batch 1 wins
+    // the race — so assert the INVARIANTS instead: exactly one row per
+    // canonical, the non-url dropped, and the winner is one of the
+    // same-canonical ids with the in-batch minimum guarantee
+    assert(out.map(_._2) === Set("http://a.com/x?b=2", "https://b.org/y"))
+    assert(out.forall { case (id, u) =>
+      if (u == "https://b.org/y") id == 5L else Set(1L, 3L).contains(id) })
+    // rerun over the SAME checkpoint: nothing re-appends (exactly-once)
+    IncrementalStream.frontierGate(stream(), "id", "u", store, "seen",
+      checkpointDir = cp).awaitTermination()
+    assert(store.read("seen").get.count() === 2L)
+  }
+
   test("upsertSync: multi-batch continuous sync converges to latest-per-key, any file order") {
     import graft.sync.ParquetStore
     val src = Files.createTempDirectory("graft_us_src").toString

@@ -5911,6 +5911,20 @@ object SparkEntry {
         store.read("seen").get.select(col("doc_id"), col("url_norm"))
           .orderBy("doc_id").localCheckpoint()
       } finally deleteRecursively(tmp)
+    }),
+
+    // q235: SCHEMA drift report — the sync tool's canonical failure
+    // mode surfacing as a diff instead of a stack trace: the "after"
+    // extract drops lang, retypes n_chars (bigint -> int, the silent
+    // truncation hazard), and adds a fetched_at column. Pure metadata
+    // work (driver-side schema compare, no data scan at any size);
+    // the oracle states the expected report rows outright
+    "q235_schema_drift" -> ((s, dir) => {
+      val before = t(s, dir, "documents")
+      val after = before.drop("lang")
+        .withColumn("n_chars", col("n_chars").cast(IntegerType))
+        .withColumn("fetched_at", lit(0L))
+      graft.sync.Diff.schemaDiff(before, after).orderBy("column_name")
     })
   )
 
@@ -6723,6 +6737,9 @@ object SparkEntry {
     // each key's timeline), stated per-fact over the shared s1/s2/s3
     "q225_pit_join" ->
       (ScdSnapshotCtes + ", v AS (SELECT 1 AS ver, * FROM s1 UNION ALL SELECT 2, * FROM s2 UNION ALL SELECT 3, * FROM s3), f AS (SELECT l_orderkey AS o_orderkey, l_linenumber, CAST(l_linenumber % 3 + 1 AS BIGINT) AS ver FROM lineitem) SELECT f.o_orderkey, f.l_linenumber, f.ver, CAST(coalesce(v.o_custkey, -1) AS BIGINT) AS custkey_at, CAST(coalesce(v.cents, -1) AS BIGINT) AS cents_at FROM f LEFT JOIN v ON f.o_orderkey = v.o_orderkey AND f.ver = v.ver ORDER BY f.o_orderkey, f.l_linenumber"),
+    // q235: the expected report stated outright
+    "q235_schema_drift" ->
+      "SELECT * FROM (VALUES ('fetched_at', 'added', '-', 'bigint'), ('lang', 'removed', 'string', '-'), ('n_chars', 'retyped', 'bigint', 'int')) AS t(column_name, change, type_before, type_after) ORDER BY column_name",
     // q234: ground truth for the frontier — min doc_id per canonical
     // URL, with the canonical stated outright (the q226 convention)
     "q234_url_frontier" ->

@@ -106,6 +106,7 @@ object Main {
       "       eval-recall --got <parquetDir> --want <parquetDir> --doc <col> --k <n> --out <parquetDir>\n" +
       "       takedown --store <storeDir> --tables t1=idCol[,t2=idCol...] (--ids <parquet> | --from-tombstones true)\n" +
       "       drift --old <parquet> --new <parquet> --out <parquetDir> (--value <col> --width <n> | --category <col>)\n" +
+      "       schema-drift --old <parquet> --new <parquet> --out <parquetDir>\n" +
       "       html-extract --corpus <parquet> --id <col> --html <col> --out <parquetDir>\n" +
       "       url-norm --corpus <parquet> --id <col> --url <col> --out <parquetDir>\n" +
       "       url-frontier --source <parquetDir> --id <col> --url <col> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
@@ -233,6 +234,8 @@ object Main {
   private case class Scd2CloseCmd(history: String, keys: String,
                                   pks: Seq[String], version: Long,
                                   out: String) extends Cmd
+  private case class SchemaDriftCmd(oldP: String, newP: String,
+                                    out: String) extends Cmd
   private case class AsOfCmd(history: String, version: Long,
                              out: String) extends Cmd
   private case class SourceOverlapCmd(corpus: String, source: String,
@@ -730,6 +733,13 @@ object Main {
         upserts <- Right(opts.get("upserts").contains("true"))
         out <- req(opts, "scd2-apply", "out")
       } yield Scd2ApplyCmd(history, snapshot, pks, compare, version.toLong, upserts, out)
+    case "schema-drift" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        oldP <- req(opts, "schema-drift", "old")
+        newP <- req(opts, "schema-drift", "new")
+        out <- req(opts, "schema-drift", "out")
+      } yield SchemaDriftCmd(oldP, newP, out)
     case "scd2-close" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -1875,6 +1885,14 @@ object Main {
           spark.read.parquet(h), snap, pks, compare, version)
       }
       res.write.mode("overwrite").parquet(out)
+      0
+
+    case SchemaDriftCmd(oldP, newP, out) =>
+      // upstream schema change as a report, not a stack trace — pure
+      // metadata compare, no data scan
+      graft.sync.Diff.schemaDiff(
+          spark.read.parquet(oldP), spark.read.parquet(newP))
+        .write.mode("overwrite").parquet(out)
       0
 
     case Scd2CloseCmd(history, keys, pks, version, out) =>

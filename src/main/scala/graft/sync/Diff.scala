@@ -22,6 +22,33 @@ import org.apache.spark.sql.functions._
   */
 object Diff {
 
+  /** SCHEMA drift between two extracts — the sync tool's canonical
+    * failure mode is an UPSTREAM schema change (the reference
+    * re-introspects the source schema every run for exactly this
+    * reason; `Merge.upsertEvolving` handles the one safe evolution, and
+    * this report is how the unsafe ones surface as a diff instead of a
+    * stack trace). Pure METADATA work — schemas compare on the driver,
+    * no data scan at any size. One row per changed column:
+    * (column_name, change ∈ added|removed|retyped, type_before,
+    * type_after), absent side rendered `-`; unchanged columns are not
+    * emitted (delta-sized, like [[snapshotDiff]]). Types compare on
+    * Catalyst's `simpleString` (decimal precision changes count —
+    * an implicit cast can truncate). */
+  def schemaDiff(before: DataFrame, after: DataFrame): DataFrame = {
+    val b = before.schema.map(f => f.name -> f.dataType.simpleString)
+    val a = after.schema.map(f => f.name -> f.dataType.simpleString)
+    val bm = b.toMap
+    val am = a.toMap
+    val rows =
+      a.collect { case (n, t) if !bm.contains(n) => (n, "added", "-", t) } ++
+      b.collect { case (n, t) if !am.contains(n) => (n, "removed", t, "-") } ++
+      b.collect { case (n, t) if am.get(n).exists(_ != t) =>
+        (n, "retyped", t, am(n)) }
+    import before.sparkSession.implicits._
+    rows.sortBy(_._1).toSeq
+      .toDF("column_name", "change", "type_before", "type_after")
+  }
+
   def snapshotDiff(before: DataFrame, after: DataFrame,
                    pks: Seq[String], compareCols: Seq[String]): DataFrame = {
     require(pks.nonEmpty, "snapshotDiff needs at least one key column")

@@ -61,4 +61,18 @@ class DiffSpec extends SparkSpec {
       sql.sql("DROP TABLE IF EXISTS graft_diffspec_a")
     }
   }
+
+  test("schemaDiff reports added/removed/retyped columns, nothing else, sorted") {
+    import spark.implicits._
+    val before = Seq((1L, "a", 2.0)).toDF("id", "name", "score")
+    val after = Seq((1, "a", true)).toDF("id", "name", "active")
+    val got = Diff.schemaDiff(before, after).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(got.toSeq === Seq(
+      ("active", "added", "-", "boolean"),
+      ("id", "retyped", "bigint", "int"),
+      ("score", "removed", "double", "-")))
+    // identical schemas produce an EMPTY report (delta-sized)
+    assert(Diff.schemaDiff(before, before).count() === 0L)
+  }
 }

@@ -466,8 +466,12 @@ object Main {
       for {
         opts <- parseOpts(rest)
         counts <- req(opts, "topk-report", "counts")
-        group <- req(opts, "topk-report", "group").map(cols)
-        tie <- req(opts, "topk-report", "tie").map(cols)
+        group <- req(opts, "topk-report", "group").map(cols).flatMap(g =>
+          if (g.nonEmpty) Right(g)
+          else Left("topk-report: --group must name at least one column"))
+        tie <- req(opts, "topk-report", "tie").map(cols).flatMap(t =>
+          if (t.nonEmpty) Right(t)
+          else Left("topk-report: --tie must name at least one column"))
         k <- posInt(opts, "topk-report", "k")
         out <- req(opts, "topk-report", "out")
       } yield TopKReportCmd(counts, group, tie, k, out)
@@ -726,13 +730,13 @@ object Main {
         snapshot <- req(opts, "scd2-apply", "snapshot")
         pks <- req(opts, "scd2-apply", "pks").map(cols)
         compare <- req(opts, "scd2-apply", "compare").map(cols)
-        version <- posInt(opts, "scd2-apply", "version")
+        version <- posLong(opts, "scd2-apply", "version")
         init <- Right(opts.get("init").contains("true"))
         history <- if (init) Right(None)
           else req(opts, "scd2-apply", "history").map(Some(_))
         upserts <- Right(opts.get("upserts").contains("true"))
         out <- req(opts, "scd2-apply", "out")
-      } yield Scd2ApplyCmd(history, snapshot, pks, compare, version.toLong, upserts, out)
+      } yield Scd2ApplyCmd(history, snapshot, pks, compare, version, upserts, out)
     case "schema-drift" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -746,16 +750,16 @@ object Main {
         history <- req(opts, "scd2-close", "history")
         keys <- req(opts, "scd2-close", "keys")
         pks <- req(opts, "scd2-close", "pks").map(cols)
-        version <- posInt(opts, "scd2-close", "version")
+        version <- posLong(opts, "scd2-close", "version")
         out <- req(opts, "scd2-close", "out")
-      } yield Scd2CloseCmd(history, keys, pks, version.toLong, out)
+      } yield Scd2CloseCmd(history, keys, pks, version, out)
     case "asof" :: rest =>
       for {
         opts <- parseOpts(rest)
         history <- req(opts, "asof", "history")
-        version <- posInt(opts, "asof", "version")
+        version <- posLong(opts, "asof", "version")
         out <- req(opts, "asof", "out")
-      } yield AsOfCmd(history, version.toLong, out)
+      } yield AsOfCmd(history, version, out)
     case "source-overlap" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -1361,6 +1365,12 @@ object Main {
   private def posInt(opts: Map[String, String], cmd: String, key: String): Either[String, Int] =
     req(opts, cmd, key).flatMap(s =>
       s.toIntOption.filter(_ >= 1).toRight(s"$cmd: --$key must be a positive int, got $s"))
+
+  /** Positive LONG flag — for values that legitimately exceed Int range
+    * (SCD2 versions are often epoch millis). */
+  private def posLong(opts: Map[String, String], cmd: String, key: String): Either[String, Long] =
+    req(opts, cmd, key).flatMap(s =>
+      s.toLongOption.filter(_ >= 1L).toRight(s"$cmd: --$key must be a positive long, got $s"))
 
   /** Optional positive-int flag with a default — ONE validator for every
     * defaulted numeric option (a per-branch copy would let error wording

@@ -112,7 +112,14 @@ object UrlNormalize {
         if (p.isEmpty || !p.forall(c => c >= '0' && c <= '9')) return null
         (authority.substring(0, colonAt), p)
       }
-    if (host.isEmpty) return null
+    // the host itself may not contain ':' (a second colon means either a
+    // bracketed IPv6 literal or a malformed authority — both fail NULL,
+    // never a half-normalized key; without this, 'http://[::1]:8080/'
+    // would pass while the portless spelling of the SAME address failed,
+    // splitting one logical URL across the key space and the scrub queue)
+    // nor brackets in any position
+    if (host.isEmpty ||
+        host.exists(c => c == ':' || c == '[' || c == ']')) return null
     val hostLc = host.toLowerCase(java.util.Locale.ROOT)
     val keepPort = port.nonEmpty &&
       !((schemeLc == "http" && port == "80") || (schemeLc == "https" && port == "443"))
@@ -122,7 +129,12 @@ object UrlNormalize {
     val query = if (qAt >= 0) noFrag.substring(qAt + 1) else ""
 
     val kept = query.split("&", -1).filter(p => p.nonEmpty && !isTracking(p))
-    java.util.Arrays.sort(kept, (a: String, b: String) => a.compareTo(b))
+    // BYTEWISE (UTF-8, unsigned) param order, not String.compareTo's
+    // UTF-16 code-unit order — supplementary characters (surrogate
+    // pairs) sort differently under the two, and the canonical key must
+    // match a bytewise-sorting engine (the cross-engine contract)
+    java.util.Arrays.sort(kept, (a: String, b: String) =>
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b)))
 
     val sb = new java.lang.StringBuilder(raw.length)
     sb.append(schemeLc).append("://").append(hostLc)

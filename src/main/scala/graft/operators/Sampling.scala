@@ -655,10 +655,28 @@ object Sampling {
         org.apache.spark.sql.GraftColumnBridge.expression(c)))
     val hexByte = conv(substring(key, 1, 2), 16, 10).cast("int")
     // priority-major bucket id: order-consistent with (priority, key)
-    // because every priority owns its contiguous 256-bucket block
+    // because every priority owns its contiguous 256-bucket block.
+    // The tier id must be an INTEGRAL column (a fractional double would
+    // truncate two distinct tiers onto one bucket and interleave them
+    // silently) in [0, 2^23) (beyond that, *256 overflows int and the
+    // "worst" tier would sort before tier 0) — both failure modes are
+    // errors, never silent rank corruption
+    priority.foreach { p =>
+      val t = df.schema(p).dataType
+      require(t == org.apache.spark.sql.types.ByteType ||
+          t == org.apache.spark.sql.types.ShortType ||
+          t == org.apache.spark.sql.types.IntegerType ||
+          t == org.apache.spark.sql.types.LongType,
+        s"curriculumShuffle: priority column '$p' must be integral, got $t")
+    }
     val bucket = notNull(priority match {
       case None => hexByte
-      case Some(p) => col(p).cast("int") * 256 + hexByte
+      case Some(p) =>
+        when(col(p).isNull || col(p) < 0 || col(p) >= (1 << 23),
+          raise_error(concat(
+            lit(s"curriculumShuffle: priority '$p' outside [0, 2^23): "),
+            col(p).cast("string"))).cast("int"))
+          .otherwise(col(p).cast("int") * 256 + hexByte)
     })
     val keyed = df.filter(col(idCol).isNotNull)
       .select(Seq(col(idCol), key.as("__k"),

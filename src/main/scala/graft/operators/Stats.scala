@@ -135,6 +135,9 @@ object Stats {
     require(k > 0, s"topKFromCounts: k must be positive, got $k")
     require(tieCols.nonEmpty,
       "topKFromCounts needs tiebreak columns — rank must be a total order")
+    require(groupKeys.nonEmpty,
+      "topKFromCounts needs group keys — an empty partitionBy would funnel " +
+        "the whole state through ONE partition as a silent global top-k")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupKeys.map(col): _*)
       .orderBy(col("n").desc +: tieCols.map(col(_).asc): _*)

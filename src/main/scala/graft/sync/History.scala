@@ -191,6 +191,14 @@ object History {
     val overlap = facts.columns.toSet.intersect(dimCols.toSet)
     require(overlap.isEmpty,
       s"pitJoin: fact/dimension column collision on ${overlap.mkString(", ")}")
+    // a fact column literally named valid_from/valid_to would be swept
+    // up by the post-join drop of the HISTORY's interval columns
+    // (Dataset.drop removes ALL columns with the name) — reject rather
+    // than silently delete fact data
+    val reserved = facts.columns.toSet.intersect(Set(ValidFrom, ValidTo))
+    require(reserved.isEmpty,
+      s"pitJoin: fact columns may not be named ${reserved.mkString(", ")} " +
+        "(reserved for the history's interval bounds) — rename upstream")
     val h = history.select(history.columns.map(c =>
       if (pks.contains(c)) col(c).as(s"__h_$c") else col(c)).toIndexedSeq: _*)
     val cond = pks.map(k => facts(k) <=> h(s"__h_$k")).reduce(_ && _) &&

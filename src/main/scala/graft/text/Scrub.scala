@@ -69,8 +69,11 @@ object Scrub {
     * right trade against shuffling (doc_id, line) pairs corpus-wide.
     * Output adds `clean` (the deduped text), `n_lines`, `n_removed`. */
   def dedupLinesWithin(df: DataFrame, textCol: String): DataFrame = {
-    require(!df.columns.contains("__ls"),
-      "dedupLinesWithin: input already has a __ls column")
+    val clash = df.columns.toSet
+      .intersect(Set("__ls", "__kept", "clean", "n_lines", "n_removed"))
+    require(clash.isEmpty,
+      s"dedupLinesWithin: input columns collide with outputs/temporaries: " +
+        s"${clash.mkString(", ")} (the scrubbed() collision contract)")
     df
       .withColumn("__ls", split(col(textCol), "\n"))
       .withColumn("__kept",

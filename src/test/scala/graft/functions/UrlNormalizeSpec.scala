@@ -49,6 +49,23 @@ class UrlNormalizeSpec extends SparkSpec {
     assert(norm("NULL in NULL out".take(0) + "not a url") === None)
   }
 
+  test("fail-NULL: bracketed IPv6 and multi-colon authorities, EVERY spelling") {
+    // both the with-port and portless spellings of the same address must
+    // land on the SAME side (NULL) — one key + one scrub-queue row would
+    // split a single logical URL across the key space
+    assert(norm("http://[::1]:8080/") === None)
+    assert(norm("http://[::1]/") === None)
+    assert(norm("http://[::1]:80/") === None)
+    assert(norm("http://a:b:80/") === None)
+  }
+
+  test("param sort is UTF-8 bytewise, not UTF-16 code-unit order") {
+    // U+FFFD (EF BF BD) sorts BEFORE U+1F600 (F0 9F 98 80) bytewise;
+    // String.compareTo would put the surrogate pair (0xD83D) first
+    assert(norm("http://e.com/p?😀=1&�=1")
+      === Some("http://e.com/p?�=1&😀=1"))
+  }
+
   test("NULL in NULL out; codegen and eval agree") {
     val df = Seq(Some("HTTP://A.B:80/x?utm_a=1&z=1&c=2"), None).toDF("u")
     val got = df.select(UrlNormalize(col("u"))).collect().map(r =>

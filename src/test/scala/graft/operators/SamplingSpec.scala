@@ -257,6 +257,17 @@ class SamplingSpec extends SparkSpec {
     assert(out.forall { case (id, _, g, _, _) => naive(id) == g })
     // shard/pos derive from the rank
     assert(out.forall { case (_, _, g, s, p) => s == g / 16 && p == g % 16 })
+    // out-of-range tiers are ERRORS, never silently corrupted ranks
+    val bad = Seq((1L, -1L), (2L, 0L)).toDF("id", "tier")
+    val err = intercept[Exception] {
+      Sampling.curriculumShuffle(bad, "id", "tier", "spec", 16L).collect()
+    }
+    assert(err.getMessage != null)
+    // fractional tier columns are rejected at plan time
+    intercept[IllegalArgumentException] {
+      Sampling.curriculumShuffle(Seq((1L, 1.5)).toDF("id", "tier"),
+        "id", "tier", "spec", 16L)
+    }
   }
 
   test("shardedShuffle excludes null ids and keeps ranks a gap-free bijection") {

@@ -141,6 +141,11 @@ class HistorySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       History.pitJoin(facts, h, pks, "ver")
     }
+    // fact columns named valid_from/valid_to would be swept up by the
+    // post-join drop of the history's interval bounds — rejected
+    intercept[IllegalArgumentException] {
+      History.pitJoin(Seq((1L, 1L)).toDF("id", "valid_from"), h, pks, "valid_from")
+    }
   }
 
   test("property: asOf(k) equals snapshot k for random snapshot sequences; " +

@@ -5925,6 +5925,49 @@ object SparkEntry {
         .withColumn("n_chars", col("n_chars").cast(IntegerType))
         .withColumn("fetched_at", lit(0L))
       graft.sync.Diff.schemaDiff(before, after).orderBy("column_name")
+    }),
+
+    // q236: k-ANONYMITY audit — the governance check before a dataset
+    // release: quasi-identifier combos (nation, segment) shared by
+    // fewer than k=10 customers re-identify; one partial-aggregated
+    // keyed count, delta-sized output (violating combos only)
+    "q236_k_anonymity" -> ((s, dir) =>
+      Expectations.kAnonymity(t(s, dir, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), k = 10L)
+        .orderBy("c_nationkey", "c_mktsegment")),
+
+    // q237: the PIT join DEPLOYED — the q225 facts arrive as a STREAM
+    // (two micro-batches) and enrich against the static q222 history by
+    // stream-static pitJoin; the accumulated result must equal batch
+    // q225 under the SAME oracle (stream-static joins are per-row, so
+    // batch-split invariance holds by construction — this grades that
+    // the operator composes with streaming frames at all, the q92
+    // enrichment contract upgraded to temporal correctness)
+    "q237_stream_pit_enrich" -> ((s, dir) => {
+      val (s1, s2, s3) = scdSnapshots(s, dir)
+      import graft.sync.History
+      val h = History.scd2Apply(
+        History.scd2Apply(History.scd2Init(s1, 1L), s2,
+          Seq("o_orderkey"), Seq("o_custkey", "cents"), 2L),
+        s3, Seq("o_orderkey"), Seq("o_custkey", "cents"), 3L).localCheckpoint()
+      val facts = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+          (col("l_linenumber") % 3 + 1).cast(LongType).as("ver"))
+      val tmp = java.nio.file.Files.createTempDirectory("q237").toString
+      try {
+        facts.repartition(2).write.parquet(s"$tmp/src")
+        val stream = s.readStream.schema(facts.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+        val enriched = History.pitJoin(stream, h, Seq("o_orderkey"), "ver")
+          .select(col("o_orderkey"), col("l_linenumber"), col("ver"),
+            coalesce(col("o_custkey").cast(LongType), lit(-1L)).as("custkey_at"),
+            coalesce(col("cents"), lit(-1L)).as("cents_at"))
+        val sink = s"q237_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val q = enriched.writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        drainSink(s, sink, s.table(sink).orderBy("o_orderkey", "l_linenumber"))
+      } finally deleteRecursively(tmp)
     })
   )
 
@@ -5992,6 +6035,13 @@ object SparkEntry {
       "UNION ALL SELECT o_orderkey + 100000000, o_custkey, cents FROM s1 WHERE o_orderkey % 101 = 0), " +
       "s3 AS (SELECT o_orderkey, o_custkey, CASE WHEN o_orderkey % 7 = 0 THEN cents + 2 ELSE cents END AS cents FROM s2 WHERE o_orderkey % 103 <> 0 " +
       "UNION ALL SELECT o_orderkey, o_custkey, cents + 5 FROM s1 WHERE o_orderkey % 97 = 0 AND o_orderkey % 3 = 0)"
+
+  /** The q225/q237 PIT oracle — ONE string for both: the streamed
+    * enrichment is graded against the exact batch point-in-time SQL
+    * (intervals partition the timeline, so PIT at version v IS a join
+    * against snapshot v — stated per-fact, no history reconstruction). */
+  private val PitOracleSql: String =
+    ScdSnapshotCtes + ", v AS (SELECT 1 AS ver, * FROM s1 UNION ALL SELECT 2, * FROM s2 UNION ALL SELECT 3, * FROM s3), f AS (SELECT l_orderkey AS o_orderkey, l_linenumber, CAST(l_linenumber % 3 + 1 AS BIGINT) AS ver FROM lineitem) SELECT f.o_orderkey, f.l_linenumber, f.ver, CAST(coalesce(v.o_custkey, -1) AS BIGINT) AS custkey_at, CAST(coalesce(v.cents, -1) AS BIGINT) AS cents_at FROM f LEFT JOIN v ON f.o_orderkey = v.o_orderkey AND f.ver = v.ver ORDER BY f.o_orderkey, f.l_linenumber"
 
   /** The q140/q143 BM25 oracle — ONE string for both: the streaming
     * serving loop is graded against the exact batch retrieval SQL
@@ -6735,8 +6785,13 @@ object SparkEntry {
     // q225: NO history reconstruction in the oracle — PIT at version v
     // is definitionally a join against snapshot v (intervals partition
     // each key's timeline), stated per-fact over the shared s1/s2/s3
-    "q225_pit_join" ->
-      (ScdSnapshotCtes + ", v AS (SELECT 1 AS ver, * FROM s1 UNION ALL SELECT 2, * FROM s2 UNION ALL SELECT 3, * FROM s3), f AS (SELECT l_orderkey AS o_orderkey, l_linenumber, CAST(l_linenumber % 3 + 1 AS BIGINT) AS ver FROM lineitem) SELECT f.o_orderkey, f.l_linenumber, f.ver, CAST(coalesce(v.o_custkey, -1) AS BIGINT) AS custkey_at, CAST(coalesce(v.cents, -1) AS BIGINT) AS cents_at FROM f LEFT JOIN v ON f.o_orderkey = v.o_orderkey AND f.ver = v.ver ORDER BY f.o_orderkey, f.l_linenumber"),
+    "q225_pit_join" -> PitOracleSql,
+    // q237: the STREAMED pit enrichment grades against the same batch
+    // PIT oracle (batch-split invariance of a per-row stream-static join)
+    "q237_stream_pit_enrich" -> PitOracleSql,
+    // q236: violating quasi-identifier combos stated by the same SQL
+    "q236_k_anonymity" ->
+      "SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n FROM customer GROUP BY 1, 2 HAVING count(*) < 10 ORDER BY c_nationkey, c_mktsegment",
     // q235: the expected report stated outright
     "q235_schema_drift" ->
       "SELECT * FROM (VALUES ('fetched_at', 'added', '-', 'bigint'), ('lang', 'removed', 'string', '-'), ('n_chars', 'retyped', 'bigint', 'int')) AS t(column_name, change, type_before, type_after) ORDER BY column_name",

@@ -107,6 +107,7 @@ object Main {
       "       takedown --store <storeDir> --tables t1=idCol[,t2=idCol...] (--ids <parquet> | --from-tombstones true)\n" +
       "       drift --old <parquet> --new <parquet> --out <parquetDir> (--value <col> --width <n> | --category <col>)\n" +
       "       schema-drift --old <parquet> --new <parquet> --out <parquetDir>\n" +
+      "       k-anonymity --corpus <parquet> --quasi c1[,c2] --k <n> --out <parquetDir>\n" +
       "       html-extract --corpus <parquet> --id <col> --html <col> --out <parquetDir>\n" +
       "       url-norm --corpus <parquet> --id <col> --url <col> --out <parquetDir>\n" +
       "       url-frontier --source <parquetDir> --id <col> --url <col> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
@@ -236,6 +237,8 @@ object Main {
                                   out: String) extends Cmd
   private case class SchemaDriftCmd(oldP: String, newP: String,
                                     out: String) extends Cmd
+  private case class KAnonymityCmd(corpus: String, quasi: Seq[String],
+                                   k: Int, out: String) extends Cmd
   private case class AsOfCmd(history: String, version: Long,
                              out: String) extends Cmd
   private case class SourceOverlapCmd(corpus: String, source: String,
@@ -737,6 +740,17 @@ object Main {
         upserts <- Right(opts.get("upserts").contains("true"))
         out <- req(opts, "scd2-apply", "out")
       } yield Scd2ApplyCmd(history, snapshot, pks, compare, version, upserts, out)
+    case "k-anonymity" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "k-anonymity", "corpus")
+        quasi <- req(opts, "k-anonymity", "quasi").map(cols).flatMap(q =>
+          if (q.nonEmpty) Right(q)
+          else Left("k-anonymity: --quasi must name at least one column"))
+        k <- posInt(opts, "k-anonymity", "k").flatMap(k =>
+          if (k >= 2) Right(k) else Left("k-anonymity: --k must be >= 2"))
+        out <- req(opts, "k-anonymity", "out")
+      } yield KAnonymityCmd(corpus, quasi, k, out)
     case "schema-drift" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -1895,6 +1909,14 @@ object Main {
           spark.read.parquet(h), snap, pks, compare, version)
       }
       res.write.mode("overwrite").parquet(out)
+      0
+
+    case KAnonymityCmd(corpus, quasi, k, out) =>
+      // the governance audit before a release: quasi-identifier combos
+      // under k rows, delta-sized; remediate by semi-joining the source
+      graft.operators.Expectations.kAnonymity(
+          spark.read.parquet(corpus), quasi, k.toLong)
+        .write.mode("overwrite").parquet(out)
       0
 
     case SchemaDriftCmd(oldP, newP, out) =>

@@ -105,6 +105,25 @@ object Expectations {
   def all(reports: DataFrame*): DataFrame =
     reports.reduce(_.unionByName(_))
 
+  /** k-ANONYMITY audit — the governance check a dataset release runs
+    * over its quasi-identifier columns (Sweeney 2002: a combination of
+    * seemingly-harmless attributes shared by fewer than k rows
+    * re-identifies people): one row per violating combination with its
+    * group size. Delta-sized output (only combos under k), NULL values
+    * form combos like any other (a NULL quasi-identifier still
+    * re-identifies). ONE keyed partial-aggregated count — the q16
+    * exact-dedup shape; at 100 TB this is a single map-side-combined
+    * shuffle on the quasi-identifier tuple, nothing else. Remediation
+    * (suppress or generalize the violating rows) composes downstream:
+    * semi-join the source against this report. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity needs at least one quasi-identifier column")
+    require(k >= 2, s"kAnonymity: k must be >= 2 (k = 1 never violates), got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).cast(LongType).as("n"))
+      .filter(col("n") < k)
+  }
+
   private def report(df: DataFrame,
                      rows: Seq[(String, Long, Long)]): DataFrame = {
     val s = df.sparkSession

@@ -50,4 +50,21 @@ class ExpectationsSpec extends SparkSpec {
     assert(rep.columns.toSeq ===
       Seq("check_name", "n_rows", "n_violations", "pass"))
   }
+
+  test("kAnonymity reports only under-k combos; NULLs form combos; k < 2 rejected") {
+    import spark.implicits._
+    val df = (Seq.fill(5)(("US", "A")) ++ Seq.fill(2)(("US", "B")) ++
+      Seq(("DE", "A")) ++ Seq.fill(3)((null: String, "A")))
+      .toDF("country", "segment")
+    val got = Expectations.kAnonymity(df, Seq("country", "segment"), k = 4L)
+      .collect().map(r => (Option(r.getString(0)).orNull, r.getString(1), r.getLong(2))).toSet
+    // (US, A) has 5 >= 4: not reported; the others are under k
+    assert(got === Set(("US", "B", 2L), ("DE", "A", 1L), (null, "A", 3L)))
+    intercept[IllegalArgumentException] {
+      Expectations.kAnonymity(df, Seq("country"), k = 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Expectations.kAnonymity(df, Seq.empty, k = 4L)
+    }
+  }
 }

@@ -5968,6 +5968,21 @@ object SparkEntry {
         q.awaitTermination()
         drainSink(s, sink, s.table(sink).orderBy("o_orderkey", "l_linenumber"))
       } finally deleteRecursively(tmp)
+    }),
+
+    // q238: SENTENCE segmentation — the unit below the document, planted
+    // with all three terminators (and ellipsis-attachment exercised by
+    // the pattern's [.!?]* tail): maximal non-terminator runs + trailing
+    // terminator runs, trimmed, whitespace-only segments dropped with
+    // their index skipped. One narrow posexplode; the oracle replays the
+    // identical RE2-safe pattern (no lookbehind on either engine)
+    "q238_sentences" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(substring(col("text"), 1, 50), lit(". "),
+          substring(col("text"), 51, 40), lit("? "),
+          substring(col("text"), 91, 30), lit("! tail")).as("t2"))
+      TextAnalysis.sentences(planted, "doc_id", "t2")
+        .orderBy("doc_id", "sent_idx")
     })
   )
 
@@ -6789,6 +6804,9 @@ object SparkEntry {
     // q237: the STREAMED pit enrichment grades against the same batch
     // PIT oracle (batch-split invariance of a per-row stream-static join)
     "q237_stream_pit_enrich" -> PitOracleSql,
+    // q238: identical planted concat, identical pattern in RE2
+    "q238_sentences" ->
+      """WITH h AS (SELECT doc_id, substr(text, 1, 50) || '. ' || substr(text, 51, 40) || '? ' || substr(text, 91, 30) || '! tail' AS t2 FROM documents), s AS (SELECT doc_id, regexp_extract_all(t2, '[^.!?]+[.!?]*') AS ss FROM h), e AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx, trim(ss[i]) AS sentence FROM s, LATERAL unnest(range(1, len(ss) + 1)) AS u(i)) SELECT doc_id, sent_idx, sentence, CAST(len(sentence) AS BIGINT) AS n_chars FROM e WHERE sentence <> '' ORDER BY doc_id, sent_idx""",
     // q236: violating quasi-identifier combos stated by the same SQL
     "q236_k_anonymity" ->
       "SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n FROM customer GROUP BY 1, 2 HAVING count(*) < 10 ORDER BY c_nationkey, c_mktsegment",

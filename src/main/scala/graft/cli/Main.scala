@@ -71,6 +71,7 @@ object Main {
       "       media-neardup --corpus <parquet(doc_id,media)> --modality image|audio [--max-hamming <n>] --out <parquetDir>\n" +
       "       scene-cuts --corpus <parquet(doc_id,media)> --out <parquetDir> [--threshold-milli <n>] [--keyframes true]\n" +
       "       line-dedup-within --corpus <parquet> --id <col> --text <col> --out <parquetDir>\n" +
+      "       sentences --corpus <parquet> --id <col> --text <col> --out <parquetDir>\n" +
       "       ingest-media-dedup --source <parquetDir(doc_id,media)> --modality image|audio [--max-hamming <n>] --dest <storeDir> --checkpoint <dir>\n" +
       "       profile --corpus <parquet> --out <parquetDir> [--approx true]\n" +
       "       validate --corpus <parquet> --out <parquetDir> [--not-null c1,c2] [--range col:min:max,...] [--unique k1,k2[;k3]] [--ref <fk> --ref-table <parquet> --ref-key <col>]\n" +
@@ -228,6 +229,8 @@ object Main {
                                   keyframes: Boolean, out: String) extends Cmd
   private case class LineDedupWithinCmd(corpus: String, id: String,
                                         text: String, out: String) extends Cmd
+  private case class SentencesCmd(corpus: String, id: String, text: String,
+                                  out: String) extends Cmd
   private case class Scd2ApplyCmd(history: Option[String], snapshot: String,
                                   pks: Seq[String], compare: Seq[String],
                                   version: Long, upserts: Boolean,
@@ -691,6 +694,14 @@ object Main {
         kf <- Right(opts.get("keyframes").contains("true"))
         out <- req(opts, "scene-cuts", "out")
       } yield SceneCutsCmd(corpus, th, kf, out)
+    case "sentences" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "sentences", "corpus")
+        id <- req(opts, "sentences", "id")
+        text <- req(opts, "sentences", "text")
+        out <- req(opts, "sentences", "out")
+      } yield SentencesCmd(corpus, id, text, out)
     case "line-dedup-within" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -1850,6 +1861,13 @@ object Main {
         if (kf) graft.multimodal.Multimodal.keyframes(frames, th.toLong)
         else graft.multimodal.Multimodal.sceneCuts(frames, th.toLong)
       res.write.mode("overwrite").parquet(out)
+      0
+
+    case SentencesCmd(corpus, id, text, out) =>
+      // sentence-level artifact: (id, sent_idx, sentence, n_chars) —
+      // the unit for sentence dedup / pair mining / packing boundaries
+      graft.text.TextAnalysis.sentences(spark.read.parquet(corpus), id, text)
+        .write.mode("overwrite").parquet(out)
       0
 
     case LineDedupWithinCmd(corpus, id, text, out) =>

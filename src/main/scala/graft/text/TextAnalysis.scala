@@ -31,6 +31,30 @@ object TextAnalysis {
   def tokenCount(c: Column): Column =
     when(c.isNull, lit(0L)).otherwise(size(tokens(c)).cast(LongType))
 
+  /** SENTENCE segmentation — the unit below the document and above the
+    * line: sentence-level dedup, translation pair mining, and packing
+    * boundaries all want it. Rule-based and RE2-safe by construction
+    * (no lookbehind — neither Java regex semantics nor the oracle's RE2
+    * support would agree otherwise): a sentence is a maximal
+    * non-terminator run plus its trailing `[.!?]` run, so ellipses
+    * attach to their sentence ("Wait... ok." segments as "Wait..." /
+    * "ok."). Trimmed; whitespace-only segments dropped (their index is
+    * skipped, not renumbered — positions stay derivable from the raw
+    * split). A string-LEADING bare terminator run belongs to no
+    * sentence and is dropped — the one lossy corner, noise by
+    * definition. One narrow posexplode; no shuffle.
+    *
+    * Output: (idCol, sent_idx 0-based, sentence, n_chars). */
+  def sentences(df: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol),
+        posexplode(regexp_extract_all(col(textCol),
+          lit("[^.!?]+[.!?]*"), lit(0))).as(Seq("sent_idx", "__raw")))
+      .select(col(idCol), col("sent_idx").cast(LongType).as("sent_idx"),
+        trim(col("__raw")).as("sentence"))
+      .filter(col("sentence") =!= "")
+      .withColumn("n_chars", length(col("sentence")).cast(LongType))
+
   /** BPE-ish token estimate: ~4 chars/token, the standard envelope guess.
     * Integer-exact: floor((len+3)/4). */
   def bpeishTokenCount(c: Column): Column =

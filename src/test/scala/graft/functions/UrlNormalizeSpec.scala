@@ -66,6 +66,30 @@ class UrlNormalizeSpec extends SparkSpec {
       === Some("http://e.com/p?�=1&😀=1"))
   }
 
+  test("property: canonicalization is idempotent over generated component mixes") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val scheme = Gen.oneOf("http", "HTTP", "https", "HtTpS")
+    val host = Gen.oneOf("Example.COM", "a.b.c", "X.org")
+    val port = Gen.oneOf("", ":80", ":443", ":8080")
+    val path = Gen.oneOf("", "/", "/A/b", "/p%20q")
+    val params = Gen.listOf(Gen.oneOf("a=1", "B=2", "utm_s=1", "gclid=9", "z", ""))
+      .map(ps => if (ps.isEmpty) "" else "?" + ps.mkString("&"))
+    val frag = Gen.oneOf("", "#f", "#a b")
+    val gen = for {
+      s <- scheme; h <- host; po <- port; pa <- path; q <- params; f <- frag
+    } yield s"$s://$h$po$pa$q$f"
+    val prop = Prop.forAll(gen) { u =>
+      val once = graft.functions.UrlNormalize.normalize(
+        org.apache.spark.unsafe.types.UTF8String.fromString(u))
+      once != null && {
+        val twice = graft.functions.UrlNormalize.normalize(once)
+        twice != null && twice.toString == once.toString
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("NULL in NULL out; codegen and eval agree") {
     val df = Seq(Some("HTTP://A.B:80/x?utm_a=1&z=1&c=2"), None).toDF("u")
     val got = df.select(UrlNormalize(col("u"))).collect().map(r =>

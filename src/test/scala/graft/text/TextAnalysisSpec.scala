@@ -348,4 +348,26 @@ class TextAnalysisSpec extends SparkSpec {
       "a" -> ((2L, 4L, 3L, 2000L, 750L)),
       "b" -> ((1L, 3L, 3L, 3000L, 1000L))))
   }
+
+  test("sentences: terminator runs attach, whitespace-only segments drop with index skipped") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Wait... ok. Done!"),
+      (2L, "no terminator"),
+      (3L, "a.   "),       // trailing whitespace-only segment drops
+      (4L, "...lead. x")).toDF("id", "t")
+    val got = TextAnalysis.sentences(df, "id", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.filter(_._1 == 1L).map(x => (x._2, x._3)).toSeq ===
+      Seq((0L, "Wait..."), (1L, "ok."), (2L, "Done!")))
+    assert(got.filter(_._1 == 2L).map(x => (x._2, x._3)).toSeq ===
+      Seq((0L, "no terminator")))
+    // id 3: segment 1 is "   " -> dropped, index 1 skipped (not renumbered)
+    assert(got.filter(_._1 == 3L).map(x => (x._2, x._3)).toSeq === Seq((0L, "a.")))
+    // id 4: the string-LEADING bare terminator run is lost by contract
+    assert(got.filter(_._1 == 4L).map(x => (x._2, x._3)).toSeq ===
+      Seq((0L, "lead."), (1L, "x")))
+    // n_chars matches the trimmed sentence
+    assert(got.forall { case (_, _, sent, n) => n == sent.length.toLong })
+  }
 }

@@ -472,12 +472,8 @@ object Main {
       for {
         opts <- parseOpts(rest)
         counts <- req(opts, "topk-report", "counts")
-        group <- req(opts, "topk-report", "group").map(cols).flatMap(g =>
-          if (g.nonEmpty) Right(g)
-          else Left("topk-report: --group must name at least one column"))
-        tie <- req(opts, "topk-report", "tie").map(cols).flatMap(t =>
-          if (t.nonEmpty) Right(t)
-          else Left("topk-report: --tie must name at least one column"))
+        group <- reqCols(opts, "topk-report", "group")
+        tie <- reqCols(opts, "topk-report", "tie")
         k <- posInt(opts, "topk-report", "k")
         out <- req(opts, "topk-report", "out")
       } yield TopKReportCmd(counts, group, tie, k, out)
@@ -755,9 +751,7 @@ object Main {
       for {
         opts <- parseOpts(rest)
         corpus <- req(opts, "k-anonymity", "corpus")
-        quasi <- req(opts, "k-anonymity", "quasi").map(cols).flatMap(q =>
-          if (q.nonEmpty) Right(q)
-          else Left("k-anonymity: --quasi must name at least one column"))
+        quasi <- reqCols(opts, "k-anonymity", "quasi")
         k <- posInt(opts, "k-anonymity", "k").flatMap(k =>
           if (k >= 2) Right(k) else Left("k-anonymity: --k must be >= 2"))
         out <- req(opts, "k-anonymity", "out")
@@ -1396,6 +1390,14 @@ object Main {
   private def posLong(opts: Map[String, String], cmd: String, key: String): Either[String, Long] =
     req(opts, cmd, key).flatMap(s =>
       s.toLongOption.filter(_ >= 1L).toRight(s"$cmd: --$key must be a positive long, got $s"))
+
+  /** Required NON-EMPTY column list — one validator for every comma-list
+    * flag (the posInt/optInt principle: per-branch copies let wording
+    * and the non-empty rule drift between subcommands). */
+  private def reqCols(opts: Map[String, String], cmd: String, key: String): Either[String, Seq[String]] =
+    req(opts, cmd, key).map(cols).flatMap(cs =>
+      if (cs.nonEmpty) Right(cs)
+      else Left(s"$cmd: --$key must name at least one column"))
 
   /** Optional positive-int flag with a default — ONE validator for every
     * defaulted numeric option (a per-branch copy would let error wording

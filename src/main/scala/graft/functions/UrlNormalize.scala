@@ -128,13 +128,16 @@ object UrlNormalize {
     val path = if (qAt >= 0) noFrag.substring(authEnd, qAt) else noFrag.substring(authEnd)
     val query = if (qAt >= 0) noFrag.substring(qAt + 1) else ""
 
-    val kept = query.split("&", -1).filter(p => p.nonEmpty && !isTracking(p))
     // BYTEWISE (UTF-8, unsigned) param order, not String.compareTo's
     // UTF-16 code-unit order — supplementary characters (surrogate
     // pairs) sort differently under the two, and the canonical key must
-    // match a bytewise-sorting engine (the cross-engine contract)
-    java.util.Arrays.sort(kept, (a: String, b: String) =>
-      UTF8String.fromString(a).compareTo(UTF8String.fromString(b)))
+    // match a bytewise-sorting engine (the cross-engine contract).
+    // Encode each kept param ONCE (not per comparison — this runs per
+    // row over crawl-scale corpora).
+    val kept = query.split("&", -1).filter(p => p.nonEmpty && !isTracking(p))
+      .map(UTF8String.fromString)
+    java.util.Arrays.sort(kept,
+      (a: UTF8String, b: UTF8String) => a.compareTo(b))
 
     val sb = new java.lang.StringBuilder(raw.length)
     sb.append(schemeLc).append("://").append(hostLc)

@@ -118,6 +118,8 @@ object Expectations {
     * semi-join the source against this report. */
   def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
     require(quasiCols.nonEmpty, "kAnonymity needs at least one quasi-identifier column")
+    require(!quasiCols.contains("n"),
+      "kAnonymity: a quasi-identifier named 'n' collides with the count output column")
     require(k >= 2, s"kAnonymity: k must be >= 2 (k = 1 never violates), got $k")
     df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).cast(LongType).as("n"))

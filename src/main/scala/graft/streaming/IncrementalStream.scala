@@ -703,26 +703,33 @@ object IncrementalStream {
   def frontierGate(stream: DataFrame, idCol: String, urlCol: String,
                    store: graft.sync.TableStore, table: String,
                    checkpointDir: String,
-                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(idCol != "url_norm",
+      "frontierGate: idCol may not be named url_norm (the canonical-key output column)")
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val winners = batch
-          .select(col(idCol),
-            graft.functions.UrlNormalize(col(urlCol)).as("url_norm"))
-          .filter(col("url_norm").isNotNull)
-          .groupBy(col("url_norm")).agg(min(col(idCol)).as(idCol))
-          .select(col(idCol), col("url_norm"))
+        // NULL ids filtered like NULL canonicals: min over an all-NULL id
+        // group would otherwise append a NULL-id seen-set row (the
+        // shardedShuffle null-id discipline); the in-batch winner rule is
+        // Dedup.exact's — smallest id per distinct key, one place only
+        val winners = graft.dedup.Dedup.exact(
+          batch
+            .select(col(idCol),
+              graft.functions.UrlNormalize(col(urlCol)).as("url_norm"))
+            .filter(col("url_norm").isNotNull && col(idCol).isNotNull),
+          keyCol = "url_norm", idCol = idCol)
         val fresh = store.read(table) match {
           case Some(prev) =>
             winners.join(prev.select(col("url_norm")), Seq("url_norm"), "left_anti")
               .select(col(idCol), col("url_norm"))
-          case None => winners
+          case None => winners.select(col(idCol), col("url_norm"))
         }
         store.append(fresh, table)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+  }
 
   def dedupIndexIngest(docStream: DataFrame, idCol: String, textCol: String,
                        hashedShingler: org.apache.spark.sql.Column => org.apache.spark.sql.Column,

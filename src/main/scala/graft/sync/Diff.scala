@@ -29,14 +29,22 @@ object Diff {
     * this report is how the unsafe ones surface as a diff instead of a
     * stack trace). Pure METADATA work — schemas compare on the driver,
     * no data scan at any size. One row per changed column:
-    * (column_name, change ∈ added|removed|retyped, type_before,
-    * type_after), absent side rendered `-`; unchanged columns are not
-    * emitted (delta-sized, like [[snapshotDiff]]). Types compare on
-    * Catalyst's `simpleString` (decimal precision changes count —
-    * an implicit cast can truncate). */
+    * (column_name, change ∈ added|removed|retyped|renullabled,
+    * type_before, type_after), absent side rendered `-`; unchanged
+    * columns are not emitted (delta-sized, like [[snapshotDiff]]).
+    * Types compare on Catalyst's `simpleString` (decimal precision
+    * changes count — an implicit cast can truncate). NULLABILITY drift
+    * is its own change class: a column whose type is unchanged but
+    * whose nullability flipped reports `renullabled` with the flipped
+    * side rendered `<type> not null` — required→nullable is the
+    * classic upstream change that breaks NOT NULL destinations, and a
+    * type-string-only diff would hide it entirely. When the type
+    * ITSELF changed, the row reports `retyped` on the plain type
+    * strings (the retype dominates; nullability of a different type is
+    * not separately meaningful). */
   def schemaDiff(before: DataFrame, after: DataFrame): DataFrame = {
-    val b = before.schema.map(f => f.name -> f.dataType.simpleString)
-    val a = after.schema.map(f => f.name -> f.dataType.simpleString)
+    val b = before.schema.map(f => f.name -> (f.dataType.simpleString, f.nullable))
+    val a = after.schema.map(f => f.name -> (f.dataType.simpleString, f.nullable))
     // a frame with DUPLICATE column names (legal post-join) would make
     // toMap keep an arbitrary occurrence and the report silently wrong —
     // reject rather than misreport
@@ -48,11 +56,16 @@ object Diff {
     }
     val bm = b.toMap
     val am = a.toMap
+    def render(t: String, nullable: Boolean): String =
+      if (nullable) t else s"$t not null"
     val rows =
-      a.collect { case (n, t) if !bm.contains(n) => (n, "added", "-", t) } ++
-      b.collect { case (n, t) if !am.contains(n) => (n, "removed", t, "-") } ++
-      b.collect { case (n, t) if am.get(n).exists(_ != t) =>
-        (n, "retyped", t, am(n)) }
+      a.collect { case (n, (t, _)) if !bm.contains(n) => (n, "added", "-", t) } ++
+      b.collect { case (n, (t, _)) if !am.contains(n) => (n, "removed", t, "-") } ++
+      b.collect { case (n, (t, _)) if am.get(n).exists(_._1 != t) =>
+        (n, "retyped", t, am(n)._1) } ++
+      b.collect { case (n, (t, nb)) if am.get(n).exists { case (ta, na) =>
+          ta == t && na != nb } =>
+        (n, "renullabled", render(t, nb), render(t, am(n)._2)) }
     import before.sparkSession.implicits._
     rows.sortBy(_._1).toSeq
       .toDF("column_name", "change", "type_before", "type_after")

@@ -1,6 +1,6 @@
 package graft.sync
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -61,9 +61,11 @@ object History {
     * table is by construction; a duplicated key would fan the join out
     * and open conflicting intervals — dedup upstream once, not here,
     * the refBigrams precedent) and `version` is strictly greater than
-    * every open row's `valid_from` (monotonic loads; checking would
-    * scan the history every apply, so the contract is documented, not
-    * re-verified). History schema must be pks ++ compareCols ++
+    * every open row's `valid_from` (monotonic loads; ENFORCED per
+    * closed row — see [[monotonicCloseAt]]: a violating apply fails
+    * loudly instead of emitting inverted intervals, at the cost of one
+    * comparison on rows already in the join, never an extra scan).
+    * History schema must be pks ++ compareCols ++
     * (valid_from, valid_to); snapshot schema pks ++ compareCols. */
   def scd2Apply(history: DataFrame, snapshot: DataFrame, pks: Seq[String],
                 compareCols: Seq[String], version: Long): DataFrame =
@@ -99,9 +101,25 @@ object History {
     closed.unionByName(
       open.join(k, cond, "left")
         .withColumn(ValidTo,
-          when(col("__del"), lit(version).cast(LongType)).otherwise(col(ValidTo)))
+          when(col("__del"), monotonicCloseAt(version)).otherwise(col(ValidTo)))
         .drop(pks.map(c => s"__d_$c") :+ "__del": _*))
   }
+
+  /** `version` as the closing bound of an open interval, ENFORCING the
+    * monotonic-version contract per closed row: closing at a version at
+    * or below the open row's `valid_from` would silently emit an
+    * inverted/empty interval (valid_to <= valid_from) that corrupts
+    * every downstream [[asOf]]/[[pitJoin]] — fail loudly instead. The
+    * guard rides only the change-class arms that actually CLOSE a row
+    * (CaseWhen evaluates the matched branch), so unchanged/no-op rows
+    * never pay or trip it; cost is one comparison on open-slice rows
+    * already in the keyed join, no extra scan. */
+  private def monotonicCloseAt(version: Long): Column =
+    when(col(ValidFrom) < version, lit(version).cast(LongType))
+      .otherwise(raise_error(concat(
+        lit(s"scd2: version $version is not greater than an open row's " +
+          s"$ValidFrom ("), col(ValidFrom).cast("string"),
+        lit(") — versions must be applied in strictly increasing order"))))
 
   private def applyImpl(history: DataFrame, snapshot: DataFrame, pks: Seq[String],
                         compareCols: Seq[String], version: Long,
@@ -126,7 +144,7 @@ object History {
     // its 0-2 rows in a single pass over the single join
     val curOpen = struct(dataCols.map(col) :+ col(ValidFrom) :+ col(ValidTo): _*)
     val curClosed = struct(dataCols.map(col) :+ col(ValidFrom)
-      :+ lit(version).cast(LongType).as(ValidTo): _*)
+      :+ monotonicCloseAt(version).as(ValidTo): _*)
     val snapOpen = struct(dataCols.map(c => col(s"__s_$c").as(c))
       :+ lit(version).cast(LongType).as(ValidFrom)
       :+ lit(null).cast(LongType).as(ValidTo): _*)

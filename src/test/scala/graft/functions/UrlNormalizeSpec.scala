@@ -90,6 +90,22 @@ class UrlNormalizeSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("illegal host characters fail NULL (the scrub-queue contract)") {
+    def norm(u: String): String = {
+      val r = graft.functions.UrlNormalize.normalize(
+        org.apache.spark.unsafe.types.UTF8String.fromString(u))
+      if (r == null) null else r.toString
+    }
+    // spaces, underscores, brackets, and anything else outside the RFC
+    // 1123 letter-digit-hyphen repertoire must land in the NULL queue,
+    // never half-normalize into the dedup key space
+    for (bad <- Seq("http://exa mple.com/a", "http://my_host.example.com/",
+        "http://[::1]:8080/", "http://exam!ple.com/", "http://héte.fr/"))
+      assert(norm(bad) == null, s"expected NULL for $bad")
+    // the legal repertoire still passes
+    assert(norm("http://a-B.example9.com/x") == "http://a-b.example9.com/x")
+  }
+
   test("NULL in NULL out; codegen and eval agree") {
     val df = Seq(Some("HTTP://A.B:80/x?utm_a=1&z=1&c=2"), None).toDF("u")
     val got = df.select(UrlNormalize(col("u"))).collect().map(r =>

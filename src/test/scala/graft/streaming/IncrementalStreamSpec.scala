@@ -610,6 +610,20 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(got === Map(Some("a") -> 3L, Some("b") -> 1L, None -> 2L))
   }
 
+  test("maintainCountsKeys rejects key names that collide with merge internals") {
+    import graft.sync.ParquetStore
+    val rows = Seq(("a", "b")).toDF("n", "__k_x")
+    val store = new ParquetStore(spark, "/tmp/unused_mck")
+    // the require fires before any streaming machinery, so a batch frame
+    // is enough to pin the contract
+    for (keys <- Seq(Seq("n"), Seq("__k_x"), Seq("k", "n"))) {
+      val e = intercept[IllegalArgumentException] {
+        IncrementalStream.maintainCountsKeys(rows, keys, store, "t", "/tmp/ck_unused")
+      }
+      assert(e.getMessage.contains("maintainCountsKeys"), e.getMessage)
+    }
+  }
+
   test("maintainDistinct: small-cardinality estimates are exact; resume folds only the new batch") {
     import graft.sync.ParquetStore
     import org.apache.spark.sql.functions.hll_sketch_estimate

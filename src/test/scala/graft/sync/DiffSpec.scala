@@ -75,4 +75,25 @@ class DiffSpec extends SparkSpec {
     // identical schemas produce an EMPTY report (delta-sized)
     assert(Diff.schemaDiff(before, before).count() === 0L)
   }
+
+  test("schemaDiff surfaces nullability drift as its own change class") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val before = Seq((1L, "a")).toDF("id", "name")
+    // coalesce with a non-null literal flips nullable -> not null; the
+    // type string alone is unchanged, so a type-only diff would be empty
+    val after = before.withColumn("name", coalesce(col("name"), lit("")))
+    val got = Diff.schemaDiff(before, after).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(got.toSeq === Seq(("name", "renullabled", "string", "string not null")))
+    // and the reverse flip reports from the other side
+    val back = Diff.schemaDiff(after, before).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(back.toSeq === Seq(("name", "renullabled", "string not null", "string")))
+    // a retype DOMINATES: type change + nullability change is one
+    // retyped row on plain type strings, never two rows
+    val retyped = Diff.schemaDiff(before, before.withColumn("name", lit(1)))
+    assert(retyped.collect().map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("name", "retyped")))
+  }
 }

@@ -185,6 +185,33 @@ class HistorySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("non-monotonic version fails loudly instead of inverting intervals") {
+    def rootMessages(e: Throwable): String = {
+      val sb = new StringBuilder
+      var cur: Throwable = e
+      while (cur != null) { sb.append(cur.getMessage).append('\n'); cur = cur.getCause }
+      sb.toString
+    }
+    val h = History.scd2Init(snap((1L, "a", 10L)), 5L)
+    // a CHANGED value at a version <= the open row's valid_from would
+    // emit valid_to <= valid_from — the guard must fire on the close
+    for (bad <- Seq(5L, 3L)) {
+      val e = intercept[Exception] {
+        History.scd2Apply(h, snap((1L, "a", 99L)), pks, cmp, bad).collect()
+      }
+      assert(rootMessages(e).contains("strictly increasing"), rootMessages(e))
+      val e2 = intercept[Exception] {
+        History.scd2Close(h, Seq(1L).toDF("id"), pks, bad).collect()
+      }
+      assert(rootMessages(e2).contains("strictly increasing"), rootMessages(e2))
+    }
+    // but a NO-OP redelivery at the same version stays legal: the
+    // unchanged arm never closes, so at-least-once upsert replays keep
+    // their idempotence guarantee
+    val replay = History.scd2ApplyUpserts(h, snap((1L, "a", 10L)), pks, cmp, 5L)
+    assert(rowsOf(replay) === Set((1L, "a", 10L, 5L, None)))
+  }
+
   test("contract violations throw") {
     val h = History.scd2Init(snap((1L, "a", 10L)), 1L)
     intercept[IllegalArgumentException] {

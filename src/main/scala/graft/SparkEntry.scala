@@ -5987,6 +5987,44 @@ object SparkEntry {
           substring(col("text"), 91, 30), lit("! tail")).as("t2"))
       TextAnalysis.sentences(planted, "doc_id", "t2")
         .orderBy("doc_id", "sent_idx")
+    }),
+
+    // q239: BOILERPLATE-AWARE main-content extraction — the density
+    // upgrade of q224's strip-tags WET pass (nav/footer/sidebar text
+    // survives a plain strip into the corpus, and cross-doc line dedup
+    // q179 only catches the repeated fraction; jusText/Arc90-lineage
+    // block scoring drops it per page). Planted per doc: a title and
+    // h1 (short -> dropped), a link-only nav bar (888 permille link
+    // density -> dropped), two body paragraphs (kept — the second
+    // carries a low-density inline anchor whose text must SURVIVE as
+    // content), a %4 extra link-free paragraph (varies n_kept), a
+    // sidebar link list with a %3 extra item (varies n_blocks), and a
+    // short footer. The oracle states the expected kept text outright
+    // (the q226 convention), replaying only the whitespace collapse on
+    // the planted fragments — block/density decisions are NOT re-run,
+    // so the two sides agree only if every rule fires as specified
+    "q239_main_content" -> ((s, dir) => {
+      import graft.text.Html
+      val html = concat(
+        lit("<html><head><title>T</title><style>p { color: red; }</style></head><body>" +
+          "<nav><a href=\"/a\">Home</a> <a href=\"/b\">About</a> <a href=\"/c\">Contact</a></nav>" +
+          "<h1>Doc</h1><p>Alpha A&amp;B "),
+        substring(col("text"), 1, 100),
+        lit("</p><p>Beta paragraph continues here "),
+        substring(col("text"), 101, 100),
+        lit(" <a href=\"x\">ref link</a></p>"),
+        when(col("doc_id") % 4 === 0,
+          lit("<p>Gamma solo paragraph without links here</p>")).otherwise(lit("")),
+        lit("<ul><li><a href=\"/1\">Link one</a></li><li><a href=\"/2\">Link two</a></li>"),
+        when(col("doc_id") % 3 === 0,
+          lit("<li><a href=\"/3\">Link three</a></li>")).otherwise(lit("")),
+        lit("</ul><footer>Contact <a href=\"/t\">Terms</a></footer></body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Html.mainContentReport(html, minChars = 15, maxLinkPermille = 300).as("r"))
+        .select(col("doc_id"), col("r.main").as("main"),
+          col("r.n_blocks").as("n_blocks"), col("r.n_kept").as("n_kept"))
+        .orderBy("doc_id")
     })
   )
 
@@ -6808,6 +6846,12 @@ object SparkEntry {
     // q237: the STREAMED pit enrichment grades against the same batch
     // PIT oracle (batch-split invariance of a per-row stream-static join)
     "q237_stream_pit_enrich" -> PitOracleSql,
+    // q239: the expected kept blocks stated outright — only the
+    // whitespace collapse is replayed (on the planted body fragments);
+    // the block segmentation and the length/link-density decisions are
+    // independent by construction
+    "q239_main_content" ->
+      """WITH c AS (SELECT doc_id, trim(regexp_replace('Alpha A&B ' || substr(text, 1, 100), '[ \t\n\r]+', ' ', 'g')) AS b1, trim(regexp_replace('Beta paragraph continues here ' || substr(text, 101, 100) || ' ref link', '[ \t\n\r]+', ' ', 'g')) AS b2 FROM documents) SELECT doc_id, b1 || ' ' || b2 || CASE WHEN doc_id % 4 = 0 THEN ' Gamma solo paragraph without links here' ELSE '' END AS main, CAST(8 + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_blocks, CAST(2 + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_kept FROM c ORDER BY doc_id""",
     // q238: identical planted concat, identical pattern in RE2
     "q238_sentences" ->
       """WITH h AS (SELECT doc_id, substr(text, 1, 50) || '. ' || substr(text, 51, 40) || '? ' || substr(text, 91, 30) || '! tail' AS t2 FROM documents), s AS (SELECT doc_id, regexp_extract_all(t2, '[^.!?]+[.!?]*') AS ss FROM h), e AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx, trim(ss[i]) AS sentence FROM s, LATERAL unnest(range(1, len(ss) + 1)) AS u(i)) SELECT doc_id, sent_idx, sentence, CAST(len(sentence) AS BIGINT) AS n_chars FROM e WHERE sentence <> '' ORDER BY doc_id, sent_idx""",

@@ -31,23 +31,104 @@ object Html {
     "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ",
     "&amp;" -> "&")
 
+  /** Comments, script bodies, and style blocks removed (lazy match, so
+    * `<` inside code bodies is safe) — the shared first stage of
+    * [[extractText]] and [[mainContentReport]]. */
+  private def stripNonContent(html: Column): Column = {
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComment, "(?is)<script[^>]*>.*?</script>", " ")
+    regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+  }
+
+  /** The [[Entities]] fold (application order, `&amp;` last). */
+  private def decodeEntities(c: Column): Column =
+    Entities.foldLeft(c) { case (acc, (from, to)) =>
+      // literal replace via regexp with the metachar-free pattern
+      // (entity names contain only [&#a-z0-9;]); "$" in a replacement
+      // would be a group ref, but none of the targets contains one
+      regexp_replace(acc, from, to)
+    }
+
+  /** Inline cleanup of a tag-bearing fragment: remaining tags → one
+    * space, entities decoded, whitespace collapsed, trimmed. */
+  private def cleanInline(c: Column): Column =
+    trim(regexp_replace(decodeEntities(regexp_replace(c, "<[^>]*>", " ")),
+      "[ \t\n\r]+", " "))
+
   /** Visible text of an HTML document: comments, then script/style
     * blocks (lazy match, so `<` inside code bodies is safe), then every
     * remaining tag → one space; entities decoded; whitespace collapsed
     * and trimmed. An all-markup document becomes the empty string. */
-  def extractText(html: Column): Column = {
-    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
-    val noScript = regexp_replace(noComment, "(?is)<script[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
-    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
-    val decoded = Entities.foldLeft(noTags) { case (c, (from, to)) =>
-      // literal replace via regexp with the metachar-free pattern
-      // (entity names contain only [&#a-z0-9;]); "$" in a replacement
-      // would be a group ref, but none of the targets contains one
-      regexp_replace(c, from, to)
-    }
-    trim(regexp_replace(decoded, "[ \t\n\r]+", " "))
+  def extractText(html: Column): Column =
+    cleanInline(stripNonContent(html))
+
+  /** BLOCK-level structural tags — the segmentation boundary for
+    * [[mainContentReport]]: text between consecutive occurrences of any
+    * of these is one content block (the jusText/boilerpipe block
+    * definition). Inline tags (`a`, `b`, `span`, `em`, …) deliberately
+    * do NOT split — anchor text belongs to its surrounding block, which
+    * is exactly what makes link density computable per block. */
+  val BlockTagPattern: String =
+    "(?i)</?(html|head|title|body|p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tfoot|tr|td|th|br|hr|section|article|header|footer|nav|aside|main|blockquote|pre|form|fieldset|figure|figcaption)[^>]*>"
+
+  /** MAIN-CONTENT extraction — the boilerplate-aware upgrade of
+    * [[extractText]]: a stripped-tags WET pass keeps nav/footer/sidebar
+    * text in the corpus, where only the fraction repeated ACROSS
+    * documents is ever caught by line-level dedup; the
+    * density-family extractors every production web pipeline runs
+    * (jusText, Arc90/Readability, boilerpipe lineage) instead score
+    * each BLOCK and drop the boilerplate-shaped ones before any
+    * downstream stage sees it. Rules (the two robust jusText/Arc90
+    * signals, integer-exact so the decision replays cross-engine):
+    *
+    *  - segment at [[BlockTagPattern]] tags (comments/script/style
+    *    stripped first); a block's text is its inline-cleaned visible
+    *    text ([[extractText]]'s tag/entity/whitespace treatment);
+    *  - drop short blocks: `length < minChars` (headlines, buttons,
+    *    copyright lines carry no training-corpus signal alone);
+    *  - drop link-dense blocks: `linkChars * 1000 > maxLinkPermille *
+    *    totalChars`, where linkChars sums the cleaned text inside the
+    *    block's `<a>…</a>` spans — nav bars and sidebars are mostly
+    *    anchor text, body prose is not (Arc90's link-density rule).
+    *
+    * Returns `struct(main, n_blocks, n_kept)`: the kept blocks joined
+    * with one space, the nonempty-block count, and the kept count —
+    * the extraction-audit counters a crawl dashboard thresholds
+    * (`n_kept = 0` is a nav shell; `n_kept/n_blocks` is the page's
+    * content share). Everything is builtin higher-order/regexp
+    * expressions over one row — a pure narrow map stage, no shuffle,
+    * fused into the scan at 100 TB exactly like [[extractText]].
+    * Splitting uses the 0x1F unit separator as the block sentinel;
+    * documents containing that control character are out of contract
+    * (scrub upstream — the [[graft.text.Scrub]] pass drops C0
+    * controls). */
+  def mainContentReport(html: Column, minChars: Int = 25,
+                        maxLinkPermille: Int = 333): Column = {
+    require(minChars >= 1, s"mainContentReport: minChars must be >= 1, got $minChars")
+    require(maxLinkPermille >= 0 && maxLinkPermille <= 1000,
+      s"mainContentReport: maxLinkPermille must be in [0, 1000], got $maxLinkPermille")
+    val bs = split(regexp_replace(stripNonContent(html), BlockTagPattern, "\u001f"),
+      "\u001f")
+    val scored = transform(bs, b => struct(
+      cleanInline(b).as("txt"),
+      aggregate(
+        regexp_extract_all(b, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)),
+        lit(0), (acc, a) => acc + length(cleanInline(a))).as("link")))
+    val nonempty = filter(scored, s => length(s.getField("txt")) > 0)
+    val kept = filter(nonempty, s =>
+      length(s.getField("txt")) >= minChars &&
+        s.getField("link") * lit(1000) <=
+          length(s.getField("txt")) * lit(maxLinkPermille))
+    struct(
+      array_join(transform(kept, s => s.getField("txt")), " ").as("main"),
+      size(nonempty).cast("long").as("n_blocks"),
+      size(kept).cast("long").as("n_kept"))
   }
+
+  /** The kept main text alone — [[mainContentReport]]'s `main` field. */
+  def mainContent(html: Column, minChars: Int = 25,
+                  maxLinkPermille: Int = 333): Column =
+    mainContentReport(html, minChars, maxLinkPermille).getField("main")
 
   /** Markup-shape counters for extraction audits: how much structure
     * did the strip remove? `n_tags` counts every element open/close,

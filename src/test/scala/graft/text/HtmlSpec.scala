@@ -50,4 +50,47 @@ class HtmlSpec extends SparkSpec {
   test("plain text without markup passes through (modulo whitespace collapse)") {
     assert(extract("just words, no markup") === "just words, no markup")
   }
+
+  private def mainOf(html: String, minChars: Int = 15,
+                     maxLinkPermille: Int = 300): (String, Long, Long) = {
+    val r = Seq(html).toDF("h")
+      .select(Html.mainContentReport(col("h"), minChars, maxLinkPermille).as("r"))
+      .select(col("r.main"), col("r.n_blocks"), col("r.n_kept")).head
+    (r.getString(0), r.getLong(1), r.getLong(2))
+  }
+
+  test("mainContent drops nav/sidebar/footer boilerplate, keeps body prose") {
+    val html = "<html><head><title>T</title><style>p{}</style></head><body>" +
+      "<nav><a href=\"/a\">Home</a> <a href=\"/b\">About</a> <a href=\"/c\">Contact</a></nav>" +
+      "<h1>Doc</h1>" +
+      "<p>This paragraph is long enough to keep and has no links at all.</p>" +
+      "<p>Another keeper paragraph with one small <a href=\"x\">ref</a> inside.</p>" +
+      "<ul><li><a href=\"/1\">Link one</a></li><li><a href=\"/2\">Link two</a></li></ul>" +
+      "<footer>Contact <a href=\"/t\">Terms</a></footer></body></html>"
+    val (main, nBlocks, nKept) = mainOf(html)
+    assert(main === "This paragraph is long enough to keep and has no links at all. " +
+      "Another keeper paragraph with one small ref inside.")
+    // title, nav, h1, p, p, li, li, footer
+    assert(nBlocks === 8L)
+    assert(nKept === 2L)
+  }
+
+  test("mainContent link-density rule: same text flips on anchor share") {
+    // 22 link chars of 47 total = 468 permille: dropped at 300, kept at 600
+    val html = "<div>plain words here padding <a href=\"u\">linked anchor text run</a></div>"
+    assert(mainOf(html, minChars = 10, maxLinkPermille = 300)._3 === 0L)
+    assert(mainOf(html, minChars = 10, maxLinkPermille = 600)._3 === 1L)
+  }
+
+  test("mainContent decodes entities inside blocks and handles nav shells") {
+    val (m, _, k) = mainOf("<p>alpha &amp; beta gamma delta epsilon</p>")
+    assert(m === "alpha & beta gamma delta epsilon" && k === 1L)
+    // an all-boilerplate page extracts to the empty string, 0 kept
+    val (m2, b2, k2) = mainOf(
+      "<nav><a href=\"/a\">Home page</a> <a href=\"/b\">About page</a></nav>")
+    assert(m2 === "" && b2 === 1L && k2 === 0L)
+    // inline tags do NOT split blocks: bold text stays in its paragraph
+    val (m3, b3, _) = mainOf("<p>one <b>two</b> three four five six</p>")
+    assert(m3 === "one two three four five six" && b3 === 1L)
+  }
 }

@@ -6025,6 +6025,50 @@ object SparkEntry {
         .select(col("doc_id"), col("r.main").as("main"),
           col("r.n_blocks").as("n_blocks"), col("r.n_kept").as("n_kept"))
         .orderBy("doc_id")
+    }),
+
+    // q240: CONTINUOUS SCD2 maintenance — the q229 delta log arrives as
+    // a STREAM and scd2Ingest folds each micro-batch into the persisted
+    // history (upsertSync's temporal form; q237 CONSUMES a history, this
+    // finally MAINTAINS one). Two lineage-continuous rounds: batch 0
+    // carries versions 1 AND 2 in ONE file (the in-batch ascending fold
+    // is load-bearing — two pulls coalesced into one trigger must land
+    // interval boundaries exactly as if applied separately), batch 1
+    // applies version 3 against the PERSISTED table. The maintained
+    // history must equal the batch-applied one under q229's oracle
+    "q240_stream_scd2" -> ((s, dir) => {
+      val (s1, s2, s3) = scdSnapshots(s, dir)
+      def delta(cur: DataFrame, prev: DataFrame): DataFrame = {
+        val p = prev.select(col("o_orderkey"), col("o_custkey").as("__pc"),
+          col("cents").as("__pv")).withColumn("__in", lit(1))
+        cur.join(p, Seq("o_orderkey"), "left")
+          .filter(col("__in").isNull || !(col("o_custkey") <=> col("__pc"))
+            || !(col("cents") <=> col("__pv")))
+          .select(col("o_orderkey"), col("o_custkey"), col("cents"))
+      }
+      val log1 = s1.withColumn("ver", lit(1L))
+        .unionByName(delta(s2, s1).withColumn("ver", lit(2L)))
+      val log2 = delta(s3, s2).withColumn("ver", lit(3L))
+      val tmp = java.nio.file.Files.createTempDirectory("q240").toString
+      try {
+        val store = new graft.sync.ParquetStore(s, s"$tmp/state")
+        // one file per round -> one micro-batch per round; the SAME
+        // checkpoint across rounds keeps the lineage (the maintained-view
+        // family locks state to its checkpoint for life)
+        def ingest(log: DataFrame): Unit = {
+          log.repartition(1).write.mode("append").parquet(s"$tmp/src")
+          IncrementalStream.scd2Ingest(
+            s.readStream.schema(log.schema).parquet(s"$tmp/src/*.parquet"),
+            store, "history", Seq("o_orderkey"), Seq("o_custkey", "cents"),
+            "ver", checkpointDir = s"$tmp/ck").awaitTermination()
+        }
+        ingest(log1)
+        ingest(log2)
+        store.read("history").get.drop("__last_batch", "__run")
+          .select(col("o_orderkey"), col("o_custkey"), col("cents"),
+            col("valid_from"), coalesce(col("valid_to"), lit(0L)).as("valid_to"))
+          .orderBy("o_orderkey", "valid_from").localCheckpoint()
+      } finally deleteRecursively(tmp)
     })
   )
 
@@ -6092,6 +6136,12 @@ object SparkEntry {
       "UNION ALL SELECT o_orderkey + 100000000, o_custkey, cents FROM s1 WHERE o_orderkey % 101 = 0), " +
       "s3 AS (SELECT o_orderkey, o_custkey, CASE WHEN o_orderkey % 7 = 0 THEN cents + 2 ELSE cents END AS cents FROM s2 WHERE o_orderkey % 103 <> 0 " +
       "UNION ALL SELECT o_orderkey, o_custkey, cents + 5 FROM s1 WHERE o_orderkey % 97 = 0 AND o_orderkey % 3 = 0)"
+
+  /** The upsert-SCD2 law stated directly — shared by batch q229 and its
+    * streamed deployment q240: the history IS the delta log, each
+    * interval running to the key's next delta (lead), open at the end. */
+  private val Scd2UpsertOracleSql: String =
+    ScdSnapshotCtes + ", d2 AS (SELECT s2.o_orderkey, s2.o_custkey, s2.cents FROM s2 LEFT JOIN s1 ON s1.o_orderkey = s2.o_orderkey WHERE s1.o_orderkey IS NULL OR s1.o_custkey IS DISTINCT FROM s2.o_custkey OR s1.cents IS DISTINCT FROM s2.cents), d3 AS (SELECT s3.o_orderkey, s3.o_custkey, s3.cents FROM s3 LEFT JOIN s2 ON s2.o_orderkey = s3.o_orderkey WHERE s2.o_orderkey IS NULL OR s2.o_custkey IS DISTINCT FROM s3.o_custkey OR s2.cents IS DISTINCT FROM s3.cents), dlog AS (SELECT 1 AS ver, * FROM s1 UNION ALL SELECT 2, * FROM d2 UNION ALL SELECT 3, * FROM d3) SELECT o_orderkey, o_custkey, cents, CAST(ver AS BIGINT) AS valid_from, CAST(coalesce(lead(ver) OVER (PARTITION BY o_orderkey ORDER BY ver), 0) AS BIGINT) AS valid_to FROM dlog ORDER BY o_orderkey, valid_from"
 
   /** The q225/q237 PIT oracle — ONE string for both: the streamed
     * enrichment is graded against the exact batch point-in-time SQL
@@ -6880,8 +6930,11 @@ object SparkEntry {
       "WITH p AS (SELECT doc_id, CASE WHEN n_chars >= 500 THEN 0 WHEN n_chars >= 200 THEN 1 ELSE 2 END AS priority FROM documents), r AS (SELECT doc_id, priority, row_number() OVER (ORDER BY priority, md5('graft:'||CAST(doc_id AS VARCHAR)), doc_id) - 1 AS g FROM p) SELECT doc_id, CAST(priority AS BIGINT) AS priority, CAST(g AS BIGINT) AS global_rank, CAST(g // 32 AS BIGINT) AS shard, CAST(g % 32 AS BIGINT) AS pos FROM r ORDER BY doc_id",
     // q229: the upsert-SCD2 law stated directly — the history IS the
     // delta log, each interval running to the key's next delta
-    "q229_scd2_upserts" ->
-      (ScdSnapshotCtes + ", d2 AS (SELECT s2.o_orderkey, s2.o_custkey, s2.cents FROM s2 LEFT JOIN s1 ON s1.o_orderkey = s2.o_orderkey WHERE s1.o_orderkey IS NULL OR s1.o_custkey IS DISTINCT FROM s2.o_custkey OR s1.cents IS DISTINCT FROM s2.cents), d3 AS (SELECT s3.o_orderkey, s3.o_custkey, s3.cents FROM s3 LEFT JOIN s2 ON s2.o_orderkey = s3.o_orderkey WHERE s2.o_orderkey IS NULL OR s2.o_custkey IS DISTINCT FROM s3.o_custkey OR s2.cents IS DISTINCT FROM s3.cents), dlog AS (SELECT 1 AS ver, * FROM s1 UNION ALL SELECT 2, * FROM d2 UNION ALL SELECT 3, * FROM d3) SELECT o_orderkey, o_custkey, cents, CAST(ver AS BIGINT) AS valid_from, CAST(coalesce(lead(ver) OVER (PARTITION BY o_orderkey ORDER BY ver), 0) AS BIGINT) AS valid_to FROM dlog ORDER BY o_orderkey, valid_from"),
+    "q229_scd2_upserts" -> Scd2UpsertOracleSql,
+    // q240: the STREAMED history maintenance grades against the same
+    // upsert-SCD2 law (exactly-once skip-or-merge + in-order folds make
+    // the maintained table equal the batch-applied history)
+    "q240_stream_scd2" -> Scd2UpsertOracleSql,
     // q228: the planted gray walk replayed arithmetically — cut iff the
     // inter-frame gray delta exceeds 100 (planted deltas: 37 or 187)
     "q228_scene_cuts" ->

@@ -124,6 +124,85 @@ object IncrementalStream {
       .start()
   }
 
+  /** CONTINUOUS SCD2 history maintenance — [[upsertSync]]'s temporal
+    * form, closing the batch-only asymmetry of the history family
+    * (q222/q229 build histories in batch; q237 CONSUMES one from a
+    * stream; nothing maintained one continuously): each arriving
+    * micro-batch of watermark-pull deltas folds into the persisted
+    * history with `History.scd2ApplyUpserts`, so the store table is at
+    * every instant a queryable SCD2 history of everything that has
+    * arrived — `asOf`/`pitJoin` read it directly, no rebuild.
+    *
+    * Versions come from `verCol` (the pull's snapshot/watermark stamp,
+    * a training-run constant per extract): a batch carrying SEVERAL
+    * versions (two pulls coalesced into one trigger) applies them in
+    * ASCENDING order, so interval boundaries land exactly as if each
+    * pull had been its own batch. Versions must be globally
+    * non-decreasing across the stream — enforced per closed row by the
+    * apply's monotonic guard, which turns an out-of-order pull into a
+    * loud stream failure instead of silently inverted intervals.
+    *
+    * Exactly-once through the [[maintainMerged]] skip-or-merge
+    * machinery (the maintainStats/maintainCounts family): the stored
+    * history carries the family's `(__last_batch, __run)` stamp, a
+    * replayed batch is SKIPPED whole — load-bearing here, because a
+    * replayed multi-version batch re-applied onto the newer history
+    * would trip the monotonic guard (apply idempotence only covers the
+    * single-version case) — and a fresh checkpoint against an existing
+    * history fails fast on the lineage check instead of silently
+    * re-applying history. The fold is deliberately NOT commutative
+    * (unlike the family's count/stat merges): batch ORDER is the
+    * version order, which the source checkpoint already fixes and the
+    * marker makes exactly-once. Readers (`asOf`/`pitJoin`) drop the
+    * two marker columns first — the family's read contract. The write
+    * is the store's ATOMIC path; a crash mid-write leaves the old
+    * history intact.
+    *
+    * Scale shape (inherited from the batch apply): each fold shuffles
+    * ONE keyed join of the open slice against the delta; the closed
+    * history — the bulk at 100 TB — passes through filter + union and
+    * never moves. Partition the store table on `valid_to IS NULL` and
+    * the open-slice filter becomes partition pruning. */
+  def scd2Ingest(deltaStream: DataFrame, store: graft.sync.TableStore,
+                 table: String, pks: Seq[String], compareCols: Seq[String],
+                 verCol: String, checkpointDir: String,
+                 trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import graft.sync.History
+    require(!(pks ++ compareCols).contains(verCol),
+      s"scd2Ingest: verCol '$verCol' must not be a key or compare column")
+    require(!Seq(History.ValidFrom, History.ValidTo).exists((pks ++ compareCols :+ verCol).contains),
+      "scd2Ingest: delta columns may not be named valid_from/valid_to (reserved)")
+    val dataCols = pks ++ compareCols
+    // ascending-version fold of a delta log into a history; versions are
+    // read from `of(row)` — pulls-per-batch-bounded (one or two stamps),
+    // never row-scaled
+    def applyLog(history: DataFrame, log: DataFrame,
+                 verOf: org.apache.spark.sql.Column): DataFrame = {
+      val versions = log.select(verOf.cast("long").as("__v")).distinct().collect()
+        .map { r =>
+          require(!r.isNullAt(0),
+            s"scd2Ingest: NULL version in '$verCol' — stamp every pull upstream")
+          r.getLong(0)
+        }.sorted
+      versions.foldLeft(history) { (h, ver) =>
+        History.scd2ApplyUpserts(h,
+          log.filter(verOf === ver).select(dataCols.map(col): _*),
+          pks, compareCols, ver)
+      }
+    }
+    maintainMerged(deltaStream,
+      // first batch: the applied-from-empty history IS the state
+      batch => applyLog(
+        History.scd2Init(batch.select(dataCols.map(col): _*).limit(0), 0L),
+        batch, col(verCol)),
+      // later batches: the partial history's valid_from IS its delta-log
+      // version stamp (upsert applies never close on absence, so every
+      // partial row was a delta at exactly its valid_from), which lets
+      // the merge re-fold the partial onto the accumulated history
+      (prev, partial) => applyLog(prev, partial, col(History.ValidFrom)),
+      store, table, checkpointDir, trigger)
+  }
+
   /** Stable lineage id of the streaming query rooted at `checkpointDir`:
     * the query id Spark persists in `checkpointDir/metadata` at first
     * start — identical across every restart from the same checkpoint,

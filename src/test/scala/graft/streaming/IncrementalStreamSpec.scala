@@ -610,6 +610,45 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(got === Map(Some("a") -> 3L, Some("b") -> 1L, None -> 2L))
   }
 
+  test("scd2Ingest: streamed delta log equals the batch history; multi-version batches fold in order") {
+    import graft.sync.{History, ParquetStore}
+    val tmp = Files.createTempDirectory("graft_scd2i").toString
+    val store = new ParquetStore(spark, s"$tmp/state")
+    // batch 0 carries TWO versions in one file (coalesced pulls); batch 1
+    // continues the same lineage against the persisted history
+    val log1 = Seq((1L, 10L, 1L), (2L, 20L, 1L), (1L, 11L, 2L)).toDF("id", "v", "ver")
+    val log2 = Seq((2L, 21L, 3L), (3L, 30L, 3L)).toDF("id", "v", "ver")
+    def ingest(log: org.apache.spark.sql.DataFrame): Unit = {
+      log.repartition(1).write.mode("append").parquet(s"$tmp/src")
+      IncrementalStream.scd2Ingest(
+        spark.readStream.schema(log.schema).parquet(s"$tmp/src/*.parquet"),
+        store, "h", Seq("id"), Seq("v"), "ver", s"$tmp/ck").awaitTermination()
+    }
+    ingest(log1)
+    ingest(log2)
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Option[Long])] =
+      df.select($"id", $"v", $"valid_from", $"valid_to").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    val got = rowsOf(store.read("h").get.drop("__last_batch", "__run"))
+    val want = rowsOf(
+      History.scd2ApplyUpserts(
+        History.scd2ApplyUpserts(
+          History.scd2Init(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), 1L),
+          Seq((1L, 11L)).toDF("id", "v"), Seq("id"), Seq("v"), 2L),
+        Seq((2L, 21L), (3L, 30L)).toDF("id", "v"), Seq("id"), Seq("v"), 3L))
+    assert(got === want)
+    // collision contracts fail fast, before any checkpoint exists
+    intercept[IllegalArgumentException] {
+      IncrementalStream.scd2Ingest(log1, store, "h2", Seq("id"), Seq("ver"),
+        "ver", s"$tmp/ck2")
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalStream.scd2Ingest(log1.withColumnRenamed("v", "valid_from"),
+        store, "h2", Seq("id"), Seq("valid_from"), "ver", s"$tmp/ck2")
+    }
+  }
+
   test("maintainCountsKeys rejects key names that collide with merge internals") {
     import graft.sync.ParquetStore
     val rows = Seq(("a", "b")).toDF("n", "__k_x")

@@ -362,7 +362,12 @@ object Bench {
     // q227 is a two-micro-batch maintained-view harness + report — the
     // q197 shape with a composite key, tagged as its floor activates
     // (the q132 precedent)
-    "q227_stream_topk_view")
+    "q227_stream_topk_view",
+    // round-16 newcomers, tagged BEFORE their floors land (q132
+    // precedent): q240 is a two-round lineage-continuous maintained-
+    // history harness (the q197/q227 shape), q242 is the two-batch
+    // probe-then-append video ingest harness (the q209/q210 shape)
+    "q240_stream_scd2", "q242_stream_video_dedup")
 
   /** Machine calibration canaries: stable, mid-weight queries spanning the
     * engine's plan shapes (pushed scan, window, LSH join, stream, fill).

@@ -6069,6 +6069,74 @@ object SparkEntry {
             col("valid_from"), coalesce(col("valid_to"), lit(0L)).as("valid_to"))
           .orderBy("o_orderkey", "valid_from").localCheckpoint()
       } finally deleteRecursively(tmp)
+    }),
+
+    // q241: VIDEO near-dup — the FIFTH dedup modality (text/image/
+    // audio/embedding all had miners; video had scene analysis q228/
+    // q231 but no dedup entry): decode -> scene keyframes -> per-video
+    // temporal signature (bit i = keyframe i+1 brighter) -> the SAME
+    // banded pigeonhole join as q115/q206. Planted: 42 scene patterns
+    // x 3 brightness-re-leveled renditions (the plantedVideoMedia
+    // walk); renditions pair at Hamming 0, distinct patterns sit >= 4
+    // bits apart and must not. Exact-set equality: a constant/broken
+    // signature floods false pairs, a noisy one loses renditions —
+    // both count as violations
+    "q241_video_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast(LongType).as("doc_id"))
+        .filter(col("doc_id") < 126)
+      val media = plantedVideoMedia(s, docs)
+      val pairs = Dedup.videoNearDups(media, thresholdMilli = 15000L, maxHamming = 3)
+      plantedVideoPairExpectation(docs).withColumn("__e", lit(1))
+        .join(pairs.withColumn("__f", lit(1)), Seq("id_a", "id_b"), "full_outer")
+        .agg(violations(col("__e").isNull || col("__f").isNull))
+    }),
+
+    // q242: CONTINUOUS video-dedup ingest — q209/q210's probe-then-
+    // append contract on the video fingerprint, completing online
+    // ingest dedup across ALL media modalities (text q213, image q209,
+    // audio q210, video THIS): two micro-batches stream through
+    // packedDupIngest with the videoSignature fingerprinter, the
+    // accumulated pair log must equal q241's batch miner, and the
+    // persisted index must equal the batch fingerprints (the parity
+    // arm catches a gate that leaks degenerate signatures just as hard
+    // as a missed pair)
+    "q242_stream_video_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast(LongType).as("doc_id"))
+        .filter(col("doc_id") < 126)
+      val media = plantedVideoMedia(s, docs)
+      val tmp = java.nio.file.Files.createTempDirectory("q242").toString
+      try {
+        val store = new graft.sync.ParquetStore(s, s"$tmp/idx")
+        media.repartition(2).write.parquet(s"$tmp/src")
+        val stream = s.readStream.schema(media.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+        def fp(b: DataFrame): DataFrame = Multimodal.videoSignature(
+            Multimodal.decodeFramesOf(b)(s).toDF(), thresholdMilli = 15000L)
+          .filter(col("vsig") =!= 0L && col("vsig") =!= -1L)
+        IncrementalStream.packedDupIngest(stream, fp, "doc_id", "vsig",
+          maxHamming = 3, store = store, checkpointDir = s"$tmp/ck")
+          .awaitTermination()
+        val got = store.read("dup_pairs").get
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b")).distinct()
+        val pairV = plantedVideoPairExpectation(docs).withColumn("__e", lit(1))
+          .join(got.withColumn("__f", lit(1)), Seq("id_a", "id_b"), "full_outer")
+          .agg(violations(col("__e").isNull || col("__f").isNull))
+          .head.getLong(0)
+        // the parity arm reads the WRITTEN stream source (identical rows)
+        // instead of re-encoding every planted AVI a second time
+        val sigWant = fp(s.read.parquet(s"$tmp/src"))
+        val nSig = sigWant.count()
+        val idxV = store.read("fingerprints").get.select(col("doc_id"), col("vsig"))
+          .withColumn("__x", lit(1))
+          .join(sigWant.withColumn("__y", lit(1)), Seq("doc_id", "vsig"), "full_outer")
+          .agg((violations(col("__x").isNull || col("__y").isNull)
+            + when(count(lit(1)) =!= nSig, 1L).otherwise(0L)).as("violations"))
+          .head.getLong(0)
+        s.range(1).select(lit(pairV + idxV).as("violations"))
+      } finally deleteRecursively(tmp)
     })
   )
 
@@ -6125,6 +6193,67 @@ object SparkEntry {
           Multimodal.MediaRecord(id, top)
         }
       }.toDF()
+  }
+
+  /** q241/q242 planted MJPEG scene-walk corpus — 42 DISTINCT scene
+    * patterns, 3 "renditions" each (doc group g = id % 42, ids < 126):
+    * every video is 33 solid-gray 16x16 JPEG frames at level
+    * 16 + 32·((a·f + b) % 7) + id % 3 with a = 1 + g % 6, b = g / 6 —
+    * consecutive levels always differ by >= 1 step (a is nonzero mod
+    * 7), so EVERY frame is a keyframe at a 15-gray cut threshold, and
+    * the 32 sign-of-delta bits encode the (a, b) wrap pattern exactly.
+    * In-group renditions differ only by the id % 3 brightness re-level
+    * (deltas unchanged -> Hamming 0, the volume-invariance the
+    * signature claims); cross-group patterns sit >= 4 bits apart
+    * (verified over all 42x41/2 pairs), so maxHamming = 3 pairs
+    * exactly the groups. JPEG round-trip noise (±2 gray) is 8x under
+    * the 32-gray level gap — the cut AND sign decisions are
+    * integer-exact despite the lossy codec. */
+  private def plantedVideoMedia(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    docs.select(col("doc_id").cast(LongType)).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          def le32(v: Int): Array[Byte] =
+            Array(v, v >> 8, v >> 16, v >> 24).map(x => (x & 0xff).toByte)
+          def chunk(cid: String, data: Array[Byte]): Array[Byte] =
+            cid.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+              (if ((data.length & 1) == 1) Array(0.toByte) else Array.empty[Byte])
+          def jpeg(g: Int): Array[Byte] = {
+            val img = new java.awt.image.BufferedImage(16, 16,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < 16) {
+              var x = 0
+              while (x < 16) { img.setRGB(x, y, g * 0x010101); x += 1 }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpg", bos)
+            bos.toByteArray
+          }
+          val g = (id % 42).toInt
+          val a = 1 + g % 6
+          val b = g / 6
+          val dcs = (0 until 33).flatMap { f =>
+            chunk("00dc", jpeg(16 + 32 * ((a * f + b) % 7) + (id % 3).toInt))
+          }.toArray
+          val movi = "movi".getBytes("US-ASCII") ++ dcs
+          val top = "RIFF".getBytes("US-ASCII") ++ le32(0) ++
+            "AVI ".getBytes("US-ASCII") ++ chunk("LIST", movi)
+          Multimodal.MediaRecord(id, top)
+        }
+      }.toDF()
+  }
+
+  /** The q241/q242 expected video pairs: every same-group (id % 42)
+    * pair among ids < 126 — stated from the ids alone, no decode. */
+  private def plantedVideoPairExpectation(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), (col("doc_id") % 42).as("__g"))
+    d.select(col("doc_id").as("id_a"), col("__g"))
+      .join(d.select(col("doc_id").as("id_b"), col("__g")), Seq("__g"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
   }
 
   /** The q222/q223 snapshot CTEs — ONE string mirroring [[scdSnapshots]]
@@ -6847,6 +6976,12 @@ object SparkEntry {
     "q209_stream_image_dedup" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q210_stream_audio_dedup" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    // q241/q242: planted-construction video pairs (the q115/q206/q209
+    // family) — expectations derive from the id arithmetic Spark-side
+    "q241_video_neardup" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    "q242_stream_video_dedup" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     // q211: q121's serving oracle over the SURVIVING corpus — the
     // tombstone (corpus docs < 100) provably changes the answer at every

@@ -855,6 +855,39 @@ object Dedup {
     packedNearDups(sigs, "doc_id", "ahash", maxHamming)
   }
 
+  /** VIDEO near-duplicate pairs — the dedup story's FIFTH modality,
+    * closing the one media type that had scene analysis (q228/q231) but
+    * no dedup entry: decode each (doc_id, media) MJPEG payload to
+    * frames on the executors, reduce to the per-video 64-bit temporal
+    * signature ([[graft.multimodal.Multimodal.videoSignature]] — scene
+    * keyframes via the luminance-delta detector, bit i = "keyframe i+1
+    * brighter than keyframe i", the dHash gradient idea applied across
+    * TIME), and mine pairs within `maxHamming` bits through the SAME
+    * banded pigeonhole join as the image/audio paths. Re-encoded /
+    * re-leveled / frame-rate-changed renditions of one video preserve
+    * scene structure and brightness ordering and pair; unrelated videos
+    * sit near Hamming 32 and cannot. Degenerate signatures drop before
+    * banding — 0 (monotone dimming, or any clip whose scenes never
+    * brighten) and -1 (65 scenes, all brightening): the family's
+    * no-mixed-structure rule, without which every fade-out montage
+    * would share one signature AND concentrate into one O(m²) bucket.
+    * `thresholdMilli` is the scene-cut luminance threshold and must
+    * match the corpus's cut scale (the band-family
+    * same-parameters-every-probe contract). */
+  def videoNearDups(media: DataFrame, thresholdMilli: Long,
+                    maxHamming: Int = 3): DataFrame = {
+    implicit val spark: org.apache.spark.sql.SparkSession = media.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // repartition BEFORE the decode — the O(frames x pixels) walk must
+    // spread (the imageNearDups discipline)
+    val frames = graft.multimodal.Multimodal
+      .decodeFramesOf(media.repartition(n, col("doc_id"))).toDF()
+    val sigs = graft.multimodal.Multimodal
+      .videoSignature(frames, thresholdMilli)
+      .filter(col("vsig") =!= 0L && col("vsig") =!= -1L)
+    packedNearDups(sigs, "doc_id", "vsig", maxHamming)
+  }
+
   /** CROSS-SOURCE overlap matrix — the corpus-composition audit a
     * mixture release runs before weighting its components: for every
     * source pair, how many distinct k-token grams they SHARE (src_a <

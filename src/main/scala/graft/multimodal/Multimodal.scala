@@ -383,7 +383,14 @@ object Multimodal {
     * N" — q35's uniform sampler upgraded with content awareness).
     * Same keyed per-video windows as the detector; the scene number is
     * a second row_number over the already-filtered keyframe rows. */
-  def keyframes(frames: DataFrame, thresholdMilli: Long): DataFrame = {
+  def keyframes(frames: DataFrame, thresholdMilli: Long): DataFrame =
+    keyframeRows(frames, thresholdMilli)
+      .select(col("doc_id"), col("frame_idx"), col("scene_idx"))
+
+  /** [[keyframes]] with the keyframe's own `mean_milli_gray` retained —
+    * the shared core of the public selector and [[videoSignature]]
+    * (which needs the luminance back without a re-join). */
+  private def keyframeRows(frames: DataFrame, thresholdMilli: Long): DataFrame = {
     require(thresholdMilli > 0,
       s"keyframes: threshold must be positive, got $thresholdMilli")
     val w = org.apache.spark.sql.expressions.Window
@@ -393,7 +400,41 @@ object Multimodal {
       .filter(col("__prev").isNull ||
         abs(col("mean_milli_gray") - col("__prev")) > thresholdMilli)
       .withColumn("scene_idx", (row_number().over(w) - 1).cast(LongType))
-      .select(col("doc_id"), col("frame_idx"), col("scene_idx"))
+  }
+
+  /** Per-video 64-bit TEMPORAL signature — the video member of the
+    * packed-fingerprint family (image dHash [[dhash64]], audio
+    * energy-delta [[afingerprintPcm16]]): select the scene keyframes
+    * ([[keyframes]] — content-aware, so the signature survives
+    * frame-rate changes and duplicated frames that shift raw frame
+    * indexes), then set bit i iff keyframe i+1 is BRIGHTER than
+    * keyframe i. Sign-of-luminance-delta along the scene sequence is
+    * the dHash gradient idea applied across TIME (the ordinal-measure
+    * family of video copy detection: re-encoded / re-leveled / lightly
+    * edited renditions preserve the scene structure and its brightness
+    * ordering, so they land a few Hamming bits apart, while unrelated
+    * videos sit near 32) — and like its siblings it is brightness-shift
+    * invariant: a constant re-level offsets both sides of every delta.
+    * Scenes beyond 64 do not contribute (bits are scene_idx-indexed);
+    * videos with fewer than two keyframes emit NO row (a single-scene
+    * clip carries no temporal pairing evidence — callers wanting a
+    * total pipeline anti-join against the output, the [[ImageHash]]
+    * convention). Mine pairs with
+    * [[graft.dedup.Dedup.packedNearDups]] after the family's
+    * degenerate 0/-1 filter (monotone brightness ramps carry no mixed
+    * structure). Plan: the keyframe windows plus one keyed aggregate,
+    * all on the doc_id exchange — frames-per-video-bounded partitions,
+    * never corpus-global. */
+  def videoSignature(frames: DataFrame, thresholdMilli: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("scene_idx"))
+    keyframeRows(frames, thresholdMilli)
+      .withColumn("__next", lead(col("mean_milli_gray"), 1).over(w))
+      .filter(col("__next").isNotNull && col("scene_idx") < 64)
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("__next") > col("mean_milli_gray"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(scene_idx AS INT))"))
+        .otherwise(lit(0L))).as("vsig"))
   }
 
   /** Perceptual image hash row: id + 64-bit dHash over the decoded pixels.

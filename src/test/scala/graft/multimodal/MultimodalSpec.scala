@@ -469,4 +469,27 @@ class MultimodalSpec extends SparkSpec {
     assert(samplesOf(out(0).media) === Seq(10, 30))
     assert(samplesOf(out(1).media) === Seq(-1, -1))
   }
+
+  test("videoSignature: sign-of-keyframe-luminance bits; shift-invariant; single-scene drops") {
+    def frames(rows: (Long, Long, Long)*) =
+      rows.toDF("doc_id", "frame_idx", "mean_milli_gray")
+    def sigs(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Multimodal.videoSignature(df, thresholdMilli = 15000L).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // video 1: keyframes at 100k, 150k, 60k, 120k -> deltas +,-,+ ->
+    // bits 0 and 2 set = 5; video 2 = same walk shifted +7k gray
+    // (re-level invariance); video 3: a sub-threshold wiggle at frame 1
+    // is NOT a keyframe, so the signature skips it entirely
+    val base = frames(
+      (1L, 0L, 100000L), (1L, 1L, 150000L), (1L, 2L, 60000L), (1L, 3L, 120000L),
+      (2L, 0L, 107000L), (2L, 1L, 157000L), (2L, 2L, 67000L), (2L, 3L, 127000L),
+      (3L, 0L, 100000L), (3L, 1L, 104000L), (3L, 2L, 150000L), (3L, 3L, 60000L))
+    val got = sigs(base)
+    assert(got(1L) === 5L)
+    assert(got(2L) === 5L)
+    // video 3 keyframes: 100k, 150k, 60k -> deltas +,- -> bit 0 = 1
+    assert(got(3L) === 1L)
+    // a single-keyframe video (no cuts) has no temporal evidence: no row
+    assert(sigs(frames((9L, 0L, 80000L), (9L, 1L, 81000L))) === Map.empty)
+  }
 }

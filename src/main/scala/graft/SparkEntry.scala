@@ -6137,6 +6137,43 @@ object SparkEntry {
           .head.getLong(0)
         s.range(1).select(lit(pairV + idxV).as("violations"))
       } finally deleteRecursively(tmp)
+    }),
+
+    // q243: PER-HOST frontier budgeting — q234's exact-dedup gate with
+    // the politeness dimension every production frontier adds: a
+    // planted hot host (40% of docs, all-distinct URLs) may land at
+    // most 10 accepted URLs across BOTH ingest rounds, while sparse
+    // one-URL hosts flow untouched. Acceptance is deterministic: the
+    // hot host never spans a round's files (host-partitioned writes)
+    // and in-batch ranking keeps the lowest ids, so the surviving hot
+    // set is exactly the 10 lowest hot ids — stated outright by the
+    // oracle with the canonical strings and hosts (the q226 convention)
+    "q243_host_frontier_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val id = col("doc_id").cast(StringType)
+      val url = when(col("doc_id") % 5 < 2,
+          concat(lit("http://hot.example.com/p/"), id))
+        .otherwise(concat(lit("http://s"), id, lit(".example.com/")))
+      val arrivals = docs.select(col("doc_id"), url.as("url"))
+      val tmp = java.nio.file.Files.createTempDirectory("q243").toString
+      try {
+        val store = new graft.sync.ParquetStore(s, s"$tmp/state")
+        Seq(col("doc_id") < 250, col("doc_id") >= 250).zipWithIndex.foreach {
+          case (cond, i) =>
+            // partitioned BY HOST CLASS: the hot host never spans the
+            // round's two files, so the in-round winners are its lowest
+            // ids whichever file the scheduler drains first
+            arrivals.filter(cond).repartition(2, col("doc_id") % 5 < 2)
+              .write.parquet(s"$tmp/src$i")
+            IncrementalStream.frontierGate(
+              s.readStream.schema(arrivals.schema)
+                .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src$i/*.parquet"),
+              "doc_id", "url", store, "seen", checkpointDir = s"$tmp/ck$i",
+              maxPerHost = Some(10L)).awaitTermination()
+        }
+        store.read("seen").get.select(col("doc_id"), col("url_norm"), col("host"))
+          .orderBy("doc_id").localCheckpoint()
+      } finally deleteRecursively(tmp)
     })
   )
 
@@ -7046,6 +7083,11 @@ object SparkEntry {
     // q235: the expected report stated outright
     "q235_schema_drift" ->
       "SELECT * FROM (VALUES ('doc_id', 'renullabled', 'bigint', 'bigint not null'), ('fetched_at', 'added', '-', 'bigint'), ('lang', 'removed', 'string', '-'), ('n_chars', 'retyped', 'bigint', 'int')) AS t(column_name, change, type_before, type_after) ORDER BY column_name",
+    // q243: ground truth for the budgeted frontier — every sparse-host
+    // row plus exactly the 10 lowest hot-host ids, canonical strings
+    // and hosts stated outright (the q226/q234 convention)
+    "q243_host_frontier_budget" ->
+      "WITH hot AS (SELECT doc_id FROM documents WHERE doc_id % 5 < 2 ORDER BY doc_id LIMIT 10) SELECT doc_id, CASE WHEN doc_id % 5 < 2 THEN 'http://hot.example.com/p/' || CAST(doc_id AS VARCHAR) ELSE 'http://s' || CAST(doc_id AS VARCHAR) || '.example.com/' END AS url_norm, CASE WHEN doc_id % 5 < 2 THEN 'hot.example.com' ELSE 's' || CAST(doc_id AS VARCHAR) || '.example.com' END AS host FROM documents WHERE doc_id % 5 >= 2 OR doc_id IN (SELECT doc_id FROM hot) ORDER BY doc_id",
     // q234: ground truth for the frontier — min doc_id per canonical
     // URL, with the canonical stated outright (the q226 convention)
     "q234_url_frontier" ->

@@ -71,6 +71,17 @@ object UrlNormalize {
   def apply(c: Column): Column =
     GraftColumnBridge.column(UrlNormalize(GraftColumnBridge.expression(c)))
 
+  /** Host of a CANONICAL url (an [[UrlNormalize]] output): the run
+    * between `://` and the first of `/ : ?`. EXACT on canonical form —
+    * the normalizer guarantees `scheme://host[:port][/path][?query]`
+    * with a validated letter-digit-hyphen host — so the frontier's
+    * per-host keys need no second parse of the raw URL; one builtin
+    * (codegen'd) regexp over the already-computed canonical column.
+    * On a NON-canonical string the result is unspecified — derive
+    * hosts downstream of the normalizer, nowhere else. */
+  def hostOfCanonical(c: Column): Column =
+    org.apache.spark.sql.functions.regexp_extract(c, "^[a-z0-9+.-]+://([^/:?]+)", 1)
+
   private def isTracking(param: String): Boolean = {
     val eq = param.indexOf('=')
     val name = if (eq >= 0) param.substring(0, eq) else param

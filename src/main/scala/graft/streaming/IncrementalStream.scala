@@ -774,17 +774,38 @@ object IncrementalStream {
     * or partially-appended batch re-gates against the table and
     * re-appends exactly the keys it is missing.
     *
+    * PER-HOST BUDGET (`maxPerHost`) — the politeness/balance dimension
+    * every production frontier adds on top of exact dedup (a crawl
+    * that accepts every novel URL of one CMS-generated host drowns the
+    * corpus in it): each host may contribute at most `maxPerHost`
+    * accepted URLs over the WHOLE ingest. The host is derived from the
+    * canonical key ([[graft.functions.UrlNormalize.hostOfCanonical]] —
+    * exact on canonical output, no second parse of the raw URL) and
+    * stored with every seen-set row; per batch, novel survivors rank
+    * per host by id (deterministic — arrival order within a shuffle is
+    * not) and keep `maxPerHost` minus the host's prior acceptance
+    * count. Prior counts aggregate ONLY the seen-set rows of hosts
+    * present in the batch (broadcast semi-join on the delta's hosts),
+    * and the budget itself bounds those rows at maxPerHost per host —
+    * per-batch cost stays delta-shaped for the life of the crawl.
+    * The budget keeps the gate-is-the-guard replay property: a
+    * replayed batch's winners are either already in the seen-set
+    * (anti-joined away) or rank into exactly the remaining budget.
+    *
     * Per-batch cost: one narrow canonicalize pass + one keyed
     * anti-join against the seen-set (delta-sized batch side; the
     * seen-set join key is the canonical string — bucket the store on it
     * at 100 TB and the anti-join co-locates). State is one row per
-    * distinct canonical URL ever accepted. */
+    * ACCEPTED canonical URL: (`idCol`, `url_norm`, `host`). */
   def frontierGate(stream: DataFrame, idCol: String, urlCol: String,
                    store: graft.sync.TableStore, table: String,
                    checkpointDir: String,
-                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    require(idCol != "url_norm",
-      "frontierGate: idCol may not be named url_norm (the canonical-key output column)")
+                   trigger: Trigger = Trigger.AvailableNow(),
+                   maxPerHost: Option[Long] = None): StreamingQuery = {
+    require(idCol != "url_norm" && idCol != "host",
+      "frontierGate: idCol may not be named url_norm/host (the seen-set output columns)")
+    maxPerHost.foreach(k => require(k >= 1,
+      s"frontierGate: maxPerHost must be >= 1, got $k"))
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // NULL ids filtered like NULL canonicals: min over an all-NULL id
@@ -797,13 +818,37 @@ object IncrementalStream {
               graft.functions.UrlNormalize(col(urlCol)).as("url_norm"))
             .filter(col("url_norm").isNotNull && col(idCol).isNotNull),
           keyCol = "url_norm", idCol = idCol)
-        val fresh = store.read(table) match {
-          case Some(prev) =>
-            winners.join(prev.select(col("url_norm")), Seq("url_norm"), "left_anti")
-              .select(col(idCol), col("url_norm"))
-          case None => winners.select(col(idCol), col("url_norm"))
+          .withColumn("host",
+            graft.functions.UrlNormalize.hostOfCanonical(col("url_norm")))
+        val prev = store.read(table)
+        val fresh = prev match {
+          case Some(p) =>
+            winners.join(p.select(col("url_norm")), Seq("url_norm"), "left_anti")
+          case None => winners
         }
-        store.append(fresh, table)
+        val budgeted = maxPerHost match {
+          case None => fresh
+          case Some(k) =>
+            val rk = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("host")).orderBy(col(idCol))
+            val prior = prev match {
+              case Some(p) =>
+                // seen-set rows of the DELTA's hosts only: the budget
+                // itself bounds them at k per host, so this aggregate
+                // never scales with the accumulated frontier
+                p.join(broadcast(fresh.select(col("host")).distinct()),
+                    Seq("host"), "left_semi")
+                  .groupBy(col("host")).agg(count(lit(1)).as("__prior"))
+              case None =>
+                fresh.select(col("host")).limit(0)
+                  .withColumn("__prior", lit(0L))
+            }
+            fresh.withColumn("__rk", row_number().over(rk))
+              .join(prior, Seq("host"), "left")
+              .filter(col("__rk") <= lit(k) - coalesce(col("__prior"), lit(0L)))
+              .drop("__rk", "__prior")
+        }
+        store.append(budgeted.select(col(idCol), col("url_norm"), col("host")), table)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

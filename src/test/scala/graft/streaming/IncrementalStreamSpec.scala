@@ -63,6 +63,39 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(store.read("seen").get.count() === 2L)
   }
 
+  test("frontierGate: per-host budget caps a hot host across batches; sparse hosts unaffected") {
+    import graft.sync.ParquetStore
+    val src = Files.createTempDirectory("graft_fgb_src").toString
+    val cp = Files.createTempDirectory("graft_fgb_cp").toString
+    val store = new ParquetStore(spark, Files.createTempDirectory("graft_fgb_st").toString)
+    Seq((4L, "http://hot.com/a"), (2L, "http://hot.com/b"), (1L, "http://hot.com/c"),
+        (3L, "http://hot.com/d"), (10L, "http://s1.com/"))
+      .toDF("id", "u").coalesce(1).write.mode("append").parquet(src)
+    Seq((5L, "http://hot.com/e"), (6L, "http://hot.com/f"), (11L, "http://s2.com/"))
+      .toDF("id", "u").coalesce(1).write.mode("append").parquet(src)
+    IncrementalStream.frontierGate(
+      spark.readStream.schema(Seq((0L, "")).toDF("id", "u").schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+      "id", "u", store, "seen", checkpointDir = cp,
+      maxPerHost = Some(3L)).awaitTermination()
+    val out = store.read("seen").get.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // the hot host lands EXACTLY its budget (whichever batch order the
+    // file source picked — within a batch the lowest ids win); sparse
+    // hosts are untouched; the host column derives from the canonical
+    assert(out.count(_._3 == "hot.com") === 3)
+    assert(out.filter(_._3 != "hot.com").map(t => (t._1, t._3)).toSet ===
+      Set((10L, "s1.com"), (11L, "s2.com")))
+    assert(out.length === 5)
+    // re-run over the same checkpoint: budget state does not double
+    IncrementalStream.frontierGate(
+      spark.readStream.schema(Seq((0L, "")).toDF("id", "u").schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+      "id", "u", store, "seen", checkpointDir = cp,
+      maxPerHost = Some(3L)).awaitTermination()
+    assert(store.read("seen").get.count() === 5L)
+  }
+
   test("upsertSync: multi-batch continuous sync converges to latest-per-key, any file order") {
     import graft.sync.ParquetStore
     val src = Files.createTempDirectory("graft_us_src").toString

@@ -366,8 +366,11 @@ object Bench {
     // round-16 newcomers, tagged BEFORE their floors land (q132
     // precedent): q240 is a two-round lineage-continuous maintained-
     // history harness (the q197/q227 shape), q242 is the two-batch
-    // probe-then-append video ingest harness (the q209/q210 shape)
-    "q240_stream_scd2", "q242_stream_video_dedup")
+    // probe-then-append video ingest harness (the q209/q210 shape),
+    // q244 runs THREE ingest rounds + tombstone + compaction + three
+    // serve arms (the q201 shape, one lifecycle step further)
+    "q240_stream_scd2", "q242_stream_video_dedup",
+    "q244_compaction_under_serving")
 
   /** Machine calibration canaries: stable, mid-weight queries spanning the
     * engine's plan shapes (pushed scan, window, LSH join, stream, fill).

@@ -6174,6 +6174,69 @@ object SparkEntry {
         store.read("seen").get.select(col("doc_id"), col("url_norm"), col("host"))
           .orderBy("doc_id").localCheckpoint()
       } finally deleteRecursively(tmp)
+    }),
+
+    // q244: COMPACTION UNDER SERVING — the tombstone lifecycle's last
+    // ungraded step (q194 purges offline, q201/q211/q212/q214 tombstone
+    // online, q194 grades compactTombstones' batch form; nothing proved
+    // a compaction landing BETWEEN micro-batches of a running gated
+    // ingest leaves serving unchanged): batch 1 ingests, the takedown
+    // tombstones mid-stream, batch 2 keeps appending (including
+    // tombstoned docs' rows), then the COMPACTION lands — physical
+    // purge + tombstone clear, the ingest checkpoint lives on — and the
+    // in-lambda require pins serve-before == serve-after row-for-row
+    // (gated-by-tombstones vs physically-clean must agree at the
+    // compaction instant). Batch 3 (survivors only) arrives AFTER the
+    // compaction under the live checkpoint: the retry guard filters
+    // rows, not files, so it survives the rewrite. Final serve over the
+    // compacted index + later appends must equal the from-scratch build
+    // over exactly the surviving documents — q194's oracle
+    "q244_compaction_under_serving" -> ((s, dir) => {
+      val docs = linePlanted(t(s, dir, "documents"))
+      val tmp = java.nio.file.Files.createTempDirectory("q244").toString
+      val (srcDir, ckDir) = (s"$tmp/src", s"$tmp/ck")
+      try {
+        val store = new graft.sync.ParquetStore(s, s"$tmp/idx")
+        def ingestAvailable(): Unit = {
+          val stream = s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*.parquet")
+          IncrementalStream.lineIndexIngest(stream, "doc_id", "text",
+            store, "lines", checkpointDir = ckDir).awaitTermination()
+        }
+        def serve(): DataFrame = graft.dedup.Dedup.lineDedupFromIndex(
+          graft.sync.Takedown.withoutTombstones(
+            store.read("lines").get
+              .select(col("doc_id"), col("pos"), col("line")),
+            "doc_id", store),
+          "doc_id", maxDf = 2)
+        docs.filter(col("doc_id") % 3 === 0).repartition(1).write.parquet(srcDir)
+        ingestAvailable()
+        val added = graft.sync.Takedown.tombstone(store,
+          docs.filter(col("doc_id") >= 400).select(col("doc_id")))
+        require(added > 0L, "q244: the tombstone must actually record ids")
+        docs.filter(col("doc_id") % 3 === 1).repartition(1)
+          .write.mode("append").parquet(srcDir)
+        ingestAvailable()
+        val pre = serve().localCheckpoint()
+        val removed = graft.sync.Takedown.compactTombstones(store,
+          Seq("lines" -> "doc_id"))
+        require(removed.exists(_._2 > 0L),
+          "q244: the compaction must actually purge index rows")
+        require(store.read("tombstones").get.count() == 0L,
+          "q244: the compaction must clear the tombstone table")
+        val post = serve()
+        val drift = pre.withColumn("__a", lit(1))
+          .join(post.withColumn("__b", lit(1)),
+            Seq("doc_id", "text_clean", "n_kept", "n_dropped"), "full_outer")
+          .filter(col("__a").isNull || col("__b").isNull).count()
+        require(drift == 0L,
+          s"q244: serving changed across the compaction ($drift rows differ)")
+        graft.Checkpoints.release(pre)
+        docs.filter(col("doc_id") % 3 === 2 && col("doc_id") < 400).repartition(1)
+          .write.mode("append").parquet(srcDir)
+        ingestAvailable()
+        serve().orderBy("doc_id").localCheckpoint()
+      } finally deleteRecursively(tmp)
     })
   )
 
@@ -6434,6 +6497,11 @@ object SparkEntry {
     // q194: the post-takedown serve equals the q179 replay over only the
     // surviving documents — erasure leaves no df residue
     "q194_takedown_line_index" -> lineDedupOracleSqlOver(" WHERE doc_id < 400"),
+    // q244: the same surviving-corpus replay — arrivals are (doc_id % 3
+    // in {0,1}) ∪ (doc_id % 3 = 2 AND < 400), the compaction purges
+    // >= 400, so the served set is exactly doc_id < 400 (q194's oracle);
+    // the serve-unchanged-across-compaction claim is the in-lambda pin
+    "q244_compaction_under_serving" -> lineDedupOracleSqlOver(" WHERE doc_id < 400"),
     // q201: the ONLINE (tombstone, mid-stream) takedown must serve the
     // identical survivor build — the q194 oracle, shared
     "q201_online_takedown" -> lineDedupOracleSqlOver(" WHERE doc_id < 400"),

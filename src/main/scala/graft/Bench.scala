@@ -370,7 +370,9 @@ object Bench {
     // q244 runs THREE ingest rounds + tombstone + compaction + three
     // serve arms (the q201 shape, one lifecycle step further)
     "q240_stream_scd2", "q242_stream_video_dedup",
-    "q244_compaction_under_serving")
+    "q244_compaction_under_serving",
+    // q245 is the q240 two-round maintained-history harness, CDC form
+    "q245_stream_scd2_cdc")
 
   /** Machine calibration canaries: stable, mid-weight queries spanning the
     * engine's plan shapes (pushed scan, window, LSH join, stream, fill).

@@ -6237,6 +6237,58 @@ object SparkEntry {
         ingestAvailable()
         serve().orderBy("doc_id").localCheckpoint()
       } finally deleteRecursively(tmp)
+    }),
+
+    // q245: streamed CDC history maintenance — q240's upsert-only feed
+    // upgraded with DELETE events (the upsertWithDeletes pairing,
+    // temporal form): each snapshot's change set arrives as upserts
+    // plus explicit deletes for vanished keys, and because explicit
+    // deletes replicate close-on-absence exactly, the maintained
+    // history must equal the batch FULL-snapshot apply chain — q222's
+    // island oracle, the strongest cross-formulation the family has.
+    // Batch 0 carries versions 1+2 (inserts, changes, AND deletes in
+    // one trigger); batch 1 applies version 3 on the persisted table
+    "q245_stream_scd2_cdc" -> ((s, dir) => {
+      val (s1, s2, s3) = scdSnapshots(s, dir)
+      def ups(cur: DataFrame, prev: DataFrame): DataFrame = {
+        val p = prev.select(col("o_orderkey"), col("o_custkey").as("__pc"),
+          col("cents").as("__pv")).withColumn("__in", lit(1))
+        cur.join(p, Seq("o_orderkey"), "left")
+          .filter(col("__in").isNull || !(col("o_custkey") <=> col("__pc"))
+            || !(col("cents") <=> col("__pv")))
+          .select(col("o_orderkey"), col("o_custkey"), col("cents"))
+      }
+      def dels(prev: DataFrame, cur: DataFrame): DataFrame =
+        prev.select(col("o_orderkey"))
+          .join(cur.select(col("o_orderkey").as("__k")),
+            col("o_orderkey") === col("__k"), "left_anti")
+          .select(col("o_orderkey"), lit(null).cast(LongType).as("o_custkey"),
+            lit(null).cast(LongType).as("cents"))
+      def stamp(df: DataFrame, ver: Long, op: String): DataFrame =
+        df.withColumn("ver", lit(ver)).withColumn("op", lit(op))
+      val log1 = stamp(s1, 1L, "u")
+        .unionByName(stamp(ups(s2, s1), 2L, "u"))
+        .unionByName(stamp(dels(s1, s2), 2L, "d"))
+      val log2 = stamp(ups(s3, s2), 3L, "u")
+        .unionByName(stamp(dels(s2, s3), 3L, "d"))
+      val tmp = java.nio.file.Files.createTempDirectory("q245").toString
+      try {
+        val store = new graft.sync.ParquetStore(s, s"$tmp/state")
+        def ingest(log: DataFrame): Unit = {
+          log.repartition(1).write.mode("append").parquet(s"$tmp/src")
+          IncrementalStream.scd2Ingest(
+            s.readStream.schema(log.schema).parquet(s"$tmp/src/*.parquet"),
+            store, "history", Seq("o_orderkey"), Seq("o_custkey", "cents"),
+            "ver", checkpointDir = s"$tmp/ck", opCol = Some("op"))
+            .awaitTermination()
+        }
+        ingest(log1)
+        ingest(log2)
+        store.read("history").get.drop("__last_batch", "__run")
+          .select(col("o_orderkey"), col("o_custkey"), col("cents"),
+            col("valid_from"), coalesce(col("valid_to"), lit(0L)).as("valid_to"))
+          .orderBy("o_orderkey", "valid_from").localCheckpoint()
+      } finally deleteRecursively(tmp)
     })
   )
 
@@ -6365,6 +6417,14 @@ object SparkEntry {
       "UNION ALL SELECT o_orderkey + 100000000, o_custkey, cents FROM s1 WHERE o_orderkey % 101 = 0), " +
       "s3 AS (SELECT o_orderkey, o_custkey, CASE WHEN o_orderkey % 7 = 0 THEN cents + 2 ELSE cents END AS cents FROM s2 WHERE o_orderkey % 103 <> 0 " +
       "UNION ALL SELECT o_orderkey, o_custkey, cents + 5 FROM s1 WHERE o_orderkey % 97 = 0 AND o_orderkey % 3 = 0)"
+
+  /** The FULL-snapshot SCD2 law — an island (gaps-and-islands over the
+    * per-version presence/value grid) per maximal run of identical
+    * state, intervals from island extents. Shared by batch q222 and the
+    * streamed CDC ingest q245 (explicit deletes replicate
+    * close-on-absence exactly). */
+  private val Scd2FullHistoryOracleSql: String =
+    ScdSnapshotCtes + ", v AS (SELECT 1 AS ver, * FROM s1 UNION ALL SELECT 2, * FROM s2 UNION ALL SELECT 3, * FROM s3), cal AS (SELECT k.o_orderkey, g.ver FROM (SELECT DISTINCT o_orderkey FROM v) k CROSS JOIN (SELECT unnest([1, 2, 3]) AS ver) g), p AS (SELECT cal.o_orderkey, cal.ver, v.o_custkey, v.cents, CASE WHEN v.ver IS NULL THEN 0 ELSE 1 END AS present FROM cal LEFT JOIN v ON cal.o_orderkey = v.o_orderkey AND cal.ver = v.ver), c AS (SELECT *, CASE WHEN present IS DISTINCT FROM lag(present) OVER w OR o_custkey IS DISTINCT FROM lag(o_custkey) OVER w OR cents IS DISTINCT FROM lag(cents) OVER w THEN 1 ELSE 0 END AS chg FROM p WINDOW w AS (PARTITION BY o_orderkey ORDER BY ver)), i AS (SELECT *, sum(chg) OVER (PARTITION BY o_orderkey ORDER BY ver) AS island FROM c), agg AS (SELECT o_orderkey, island, min(o_custkey) AS o_custkey, min(cents) AS cents, min(present) AS present, min(ver) AS valid_from, max(ver) AS max_ver FROM i GROUP BY o_orderkey, island) SELECT o_orderkey, o_custkey, cents, CAST(valid_from AS BIGINT) AS valid_from, CAST(CASE WHEN max_ver = 3 THEN 0 ELSE max_ver + 1 END AS BIGINT) AS valid_to FROM agg WHERE present = 1 ORDER BY o_orderkey, valid_from"
 
   /** The upsert-SCD2 law stated directly — shared by batch q229 and its
     * streamed deployment q240: the history IS the delta log, each
@@ -7123,8 +7183,11 @@ object SparkEntry {
     // extents (valid_to = next island's start; versions are dense so
     // that is max_ver + 1, and an island reaching the last version is
     // open = 0). Two INDEPENDENT formulations of SCD2 agreeing row-level
-    "q222_scd2_history" ->
-      (ScdSnapshotCtes + ", v AS (SELECT 1 AS ver, * FROM s1 UNION ALL SELECT 2, * FROM s2 UNION ALL SELECT 3, * FROM s3), cal AS (SELECT k.o_orderkey, g.ver FROM (SELECT DISTINCT o_orderkey FROM v) k CROSS JOIN (SELECT unnest([1, 2, 3]) AS ver) g), p AS (SELECT cal.o_orderkey, cal.ver, v.o_custkey, v.cents, CASE WHEN v.ver IS NULL THEN 0 ELSE 1 END AS present FROM cal LEFT JOIN v ON cal.o_orderkey = v.o_orderkey AND cal.ver = v.ver), c AS (SELECT *, CASE WHEN present IS DISTINCT FROM lag(present) OVER w OR o_custkey IS DISTINCT FROM lag(o_custkey) OVER w OR cents IS DISTINCT FROM lag(cents) OVER w THEN 1 ELSE 0 END AS chg FROM p WINDOW w AS (PARTITION BY o_orderkey ORDER BY ver)), i AS (SELECT *, sum(chg) OVER (PARTITION BY o_orderkey ORDER BY ver) AS island FROM c), agg AS (SELECT o_orderkey, island, min(o_custkey) AS o_custkey, min(cents) AS cents, min(present) AS present, min(ver) AS valid_from, max(ver) AS max_ver FROM i GROUP BY o_orderkey, island) SELECT o_orderkey, o_custkey, cents, CAST(valid_from AS BIGINT) AS valid_from, CAST(CASE WHEN max_ver = 3 THEN 0 ELSE max_ver + 1 END AS BIGINT) AS valid_to FROM agg WHERE present = 1 ORDER BY o_orderkey, valid_from"),
+    "q222_scd2_history" -> Scd2FullHistoryOracleSql,
+    // q245: the streamed CDC ingest (upserts + explicit deletes) grades
+    // against the SAME full-snapshot history law — CDC events replicate
+    // scd2Apply's close-on-absence exactly when deletes are explicit
+    "q245_stream_scd2_cdc" -> Scd2FullHistoryOracleSql,
     // q223: the oracle is snapshot 2's own definition — time travel
     // through the 3-version history must land exactly on it
     "q223_asof_snapshot" ->

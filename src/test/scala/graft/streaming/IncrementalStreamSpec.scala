@@ -682,6 +682,35 @@ class IncrementalStreamSpec extends SparkSpec {
     }
   }
 
+  test("scd2Ingest CDC: delete events close intervals; delete-then-readd leaves the gap visible") {
+    import graft.sync.{History, ParquetStore}
+    val tmp = Files.createTempDirectory("graft_scd2cdc").toString
+    val store = new ParquetStore(spark, s"$tmp/state")
+    // one batch, three versions: insert k1/k2 at 1; delete k1 at 2;
+    // re-add k1 at 3 (the gap between 2 and 3 must stay visible)
+    val log = Seq(
+      (1L, Some(10L), 1L, "u"), (2L, Some(20L), 1L, "u"),
+      (1L, None, 2L, "d"),
+      (1L, Some(12L), 3L, "u")).toDF("id", "v", "ver", "op")
+    log.repartition(1).write.parquet(s"$tmp/src")
+    IncrementalStream.scd2Ingest(
+      spark.readStream.schema(log.schema).parquet(s"$tmp/src/*.parquet"),
+      store, "h", Seq("id"), Seq("v"), "ver", s"$tmp/ck",
+      opCol = Some("op")).awaitTermination()
+    val got = store.read("h").get.drop("__last_batch", "__run")
+      .select($"id", $"v", $"valid_from", $"valid_to").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(got === Set(
+      (1L, Some(10L), 1L, Some(2L)),   // closed by the delete
+      (1L, Some(12L), 3L, None),       // reappearance opens a fresh interval
+      (2L, Some(20L), 1L, None)))
+    // asOf inside the gap: k1 absent, k2 present
+    val at2 = History.asOf(store.read("h").get.drop("__last_batch", "__run"), 2L)
+      .select($"id").collect().map(_.getLong(0)).toSeq
+    assert(at2 === Seq(2L))
+  }
+
   test("maintainCountsKeys rejects key names that collide with merge internals") {
     import graft.sync.ParquetStore
     val rows = Seq(("a", "b")).toDF("n", "__k_x")

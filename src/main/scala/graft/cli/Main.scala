@@ -68,11 +68,11 @@ object Main {
       "       bpe-train --corpus <parquet> --text <col> --merges <n> [--byte-level true] --out <parquetDir>\n" +
       "       bpe-encode --corpus <parquet> --id <col> --text <col> --merges <parquetDir> [--byte-level true] --out <parquetDir>\n" +
       "       bpe-gate --source <parquetDir> --merges <parquetDir> --id <col> --text <col> [--byte-level true] --dest <storeDir> --table <t> --checkpoint <dir>\n" +
-      "       media-neardup --corpus <parquet(doc_id,media)> --modality image|audio [--max-hamming <n>] --out <parquetDir>\n" +
+      "       media-neardup --corpus <parquet(doc_id,media)> --modality image|audio|video [--max-hamming <n>] [--threshold-milli <n>] --out <parquetDir>\n" +
       "       scene-cuts --corpus <parquet(doc_id,media)> --out <parquetDir> [--threshold-milli <n>] [--keyframes true]\n" +
       "       line-dedup-within --corpus <parquet> --id <col> --text <col> --out <parquetDir>\n" +
       "       sentences --corpus <parquet> --id <col> --text <col> --out <parquetDir>\n" +
-      "       ingest-media-dedup --source <parquetDir(doc_id,media)> --modality image|audio [--max-hamming <n>] --dest <storeDir> --checkpoint <dir>\n" +
+      "       ingest-media-dedup --source <parquetDir(doc_id,media)> --modality image|audio|video [--max-hamming <n>] [--threshold-milli <n>] --dest <storeDir> --checkpoint <dir>\n" +
       "       profile --corpus <parquet> --out <parquetDir> [--approx true]\n" +
       "       validate --corpus <parquet> --out <parquetDir> [--not-null c1,c2] [--range col:min:max,...] [--unique k1,k2[;k3]] [--ref <fk> --ref-table <parquet> --ref-key <col>]\n" +
       "       keywords --corpus <parquet> --text <col> --iters <n> --k <n> --out <parquetDir>\n" +
@@ -111,8 +111,10 @@ object Main {
       "       k-anonymity --corpus <parquet> --quasi c1[,c2] --k <n> --out <parquetDir>\n" +
       "       release-audit --corpus <parquet> --group <col> --id <col> --text <col> --out <dir> [--quasi c1[,c2] --k <n>]\n" +
       "       html-extract --corpus <parquet> --id <col> --html <col> --out <parquetDir>\n" +
+      "       main-content --corpus <parquet> --id <col> --html <col> [--min-chars <n>] [--max-link-permille <n>] --out <parquetDir>\n" +
       "       url-norm --corpus <parquet> --id <col> --url <col> --out <parquetDir>\n" +
-      "       url-frontier --source <parquetDir> --id <col> --url <col> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
+      "       url-frontier --source <parquetDir> --id <col> --url <col> --dest <storeDir> --table <t> --checkpoint <dir> [--max-per-host <n>]\n" +
+      "       scd2-ingest --source <parquetDir> --pks c1[,c2] --compare c1[,c2] --ver <col> [--op <col>] --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       scd2-apply --snapshot <parquet> --pks c1[,c2] --compare c1[,c2] --version <n> --out <parquetDir> (--history <parquetDir> | --init true) [--upserts true]\n" +
       "       scd2-close --history <parquetDir> --keys <parquet> --pks c1[,c2] --version <n> --out <parquetDir>\n" +
       "       asof --history <parquetDir> --version <n> --out <parquetDir>\n" +
@@ -218,11 +220,19 @@ object Main {
                                   probs: Seq[Long], out: String) extends Cmd
   private case class HtmlExtractCmd(corpus: String, id: String, html: String,
                                     out: String) extends Cmd
+  private case class MainContentCmd(corpus: String, id: String, html: String,
+                                    minChars: Int, maxLinkPermille: Int,
+                                    out: String) extends Cmd
+  private case class Scd2IngestCmd(source: String, pks: Seq[String],
+                                   compare: Seq[String], ver: String,
+                                   op: Option[String], dest: String,
+                                   table: String, ck: String) extends Cmd
   private case class UrlNormCmd(corpus: String, id: String, url: String,
                                 out: String) extends Cmd
   private case class UrlFrontierCmd(source: String, id: String, url: String,
                                     dest: String, table: String,
-                                    checkpoint: String) extends Cmd
+                                    checkpoint: String,
+                                    maxPerHost: Option[Long]) extends Cmd
   private case class CurriculumCmd(corpus: String, id: String, priority: String,
                                    rowsPerShard: Int, seed: String,
                                    out: String) extends Cmd
@@ -285,10 +295,11 @@ object Main {
                                 dest: String, table: String,
                                 ck: String) extends Cmd
   private case class MediaNearDupCmd(corpus: String, modality: String,
-                                     maxHamming: Int, out: String) extends Cmd
+                                     maxHamming: Int, thresholdMilli: Int,
+                                     out: String) extends Cmd
   private case class IngestMediaDedupCmd(source: String, modality: String,
-                                         maxHamming: Int, dest: String,
-                                         ck: String) extends Cmd
+                                         maxHamming: Int, thresholdMilli: Int,
+                                         dest: String, ck: String) extends Cmd
   private case class WeightedSampleCmd(corpus: String, keys: Seq[String],
                                        id: String, weight: String, k: Int,
                                        seed: String, out: String) extends Cmd
@@ -686,6 +697,28 @@ object Main {
         html <- req(opts, "html-extract", "html")
         out <- req(opts, "html-extract", "out")
       } yield HtmlExtractCmd(corpus, id, html, out)
+    case "main-content" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "main-content", "corpus")
+        id <- req(opts, "main-content", "id")
+        html <- req(opts, "main-content", "html")
+        minChars <- optInt(opts, "main-content", "min-chars", 25)
+        mlp <- optInt(opts, "main-content", "max-link-permille", 333)
+        out <- req(opts, "main-content", "out")
+      } yield MainContentCmd(corpus, id, html, minChars, mlp, out)
+    case "scd2-ingest" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        source <- req(opts, "scd2-ingest", "source")
+        pks <- req(opts, "scd2-ingest", "pks").map(cols)
+        compare <- req(opts, "scd2-ingest", "compare").map(cols)
+        ver <- req(opts, "scd2-ingest", "ver")
+        op <- Right(opts.get("op"))
+        dest <- req(opts, "scd2-ingest", "dest")
+        table <- req(opts, "scd2-ingest", "table")
+        ck <- req(opts, "scd2-ingest", "checkpoint")
+      } yield Scd2IngestCmd(source, pks, compare, ver, op, dest, table, ck)
     case "scene-cuts" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -729,7 +762,11 @@ object Main {
         dest <- req(opts, "url-frontier", "dest")
         table <- req(opts, "url-frontier", "table")
         ck <- req(opts, "url-frontier", "checkpoint")
-      } yield UrlFrontierCmd(source, id, url, dest, table, ck)
+        mph <- opts.get("max-per-host") match {
+          case None => Right(None)
+          case Some(_) => posLong(opts, "url-frontier", "max-per-host").map(Some(_))
+        }
+      } yield UrlFrontierCmd(source, id, url, dest, table, ck, mph)
     case "url-norm" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -957,17 +994,19 @@ object Main {
         corpus <- req(opts, "media-neardup", "corpus")
         modality <- modalityOf(opts, "media-neardup")
         maxH <- optInt(opts, "media-neardup", "max-hamming", 3)
+        th <- optInt(opts, "media-neardup", "threshold-milli", 15000)
         out <- req(opts, "media-neardup", "out")
-      } yield MediaNearDupCmd(corpus, modality, maxH, out)
+      } yield MediaNearDupCmd(corpus, modality, maxH, th, out)
     case "ingest-media-dedup" :: rest =>
       for {
         opts <- parseOpts(rest)
         source <- req(opts, "ingest-media-dedup", "source")
         modality <- modalityOf(opts, "ingest-media-dedup")
         maxH <- optInt(opts, "ingest-media-dedup", "max-hamming", 3)
+        th <- optInt(opts, "ingest-media-dedup", "threshold-milli", 15000)
         dest <- req(opts, "ingest-media-dedup", "dest")
         ck <- req(opts, "ingest-media-dedup", "checkpoint")
-      } yield IngestMediaDedupCmd(source, modality, maxH, dest, ck)
+      } yield IngestMediaDedupCmd(source, modality, maxH, th, dest, ck)
     case "profile" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -1442,8 +1481,8 @@ object Main {
   private def modalityOf(opts: Map[String, String],
                          cmd: String): Either[String, String] =
     req(opts, cmd, "modality").flatMap {
-      case m @ ("image" | "audio") => Right(m)
-      case other => Left(s"$cmd: --modality must be image or audio, got $other")
+      case m @ ("image" | "audio" | "video") => Right(m)
+      case other => Left(s"$cmd: --modality must be image, audio or video, got $other")
     }
 
   /** The shingler pair for build-dedup-index / ingest-dedup: unigram token
@@ -1906,13 +1945,45 @@ object Main {
         .write.mode("overwrite").parquet(out)
       0
 
-    case UrlFrontierCmd(source, id, url, dest, table, ck) =>
+    case UrlFrontierCmd(source, id, url, dest, table, ck, maxPerHost) =>
       // the crawl frontier: canonical-URL exact dedup at ingest — one
-      // row per canonical URL ever accepted, non-URLs dropped
+      // row per canonical URL ever accepted, non-URLs dropped;
+      // --max-per-host adds the politeness budget (each host lands at
+      // most that many accepted URLs over the whole ingest)
       sourceSchema(spark, source, "url-frontier").fold(0) { schema =>
         val stream = spark.readStream.schema(schema).parquet(source)
         graft.streaming.IncrementalStream.frontierGate(
-          stream, id, url, new ParquetStore(spark, dest), table, ck)
+          stream, id, url, new ParquetStore(spark, dest), table, ck,
+          maxPerHost = maxPerHost)
+          .awaitTermination()
+        0
+      }
+
+    case MainContentCmd(corpus, id, html, minChars, mlp, out) =>
+      // the boilerplate-aware extraction: block-density scoring drops
+      // nav/sidebar/footer chrome per page (what line-dedup only
+      // catches when it repeats across documents); n_blocks/n_kept are
+      // the extraction-audit columns
+      val mdf = spark.read.parquet(corpus)
+      mdf.select(org.apache.spark.sql.functions.col(id),
+          graft.text.Html.mainContentReport(
+            org.apache.spark.sql.functions.col(html), minChars, mlp).as("__r"))
+        .select(org.apache.spark.sql.functions.col(id),
+          org.apache.spark.sql.functions.col("__r.main").as("main"),
+          org.apache.spark.sql.functions.col("__r.n_blocks").as("n_blocks"),
+          org.apache.spark.sql.functions.col("__r.n_kept").as("n_kept"))
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case Scd2IngestCmd(source, pks, compare, ver, op, dest, table, ck) =>
+      // continuous SCD2 history maintenance: each micro-batch of deltas
+      // folds into the persisted history (exactly-once skip-or-merge);
+      // --op enables CDC delete events (rows whose op column is 'd')
+      sourceSchema(spark, source, "scd2-ingest").fold(0) { schema =>
+        val stream = spark.readStream.schema(schema).parquet(source)
+        graft.streaming.IncrementalStream.scd2Ingest(
+          stream, new ParquetStore(spark, dest), table, pks, compare, ver,
+          ck, opCol = op)
           .awaitTermination()
         0
       }
@@ -2128,18 +2199,22 @@ object Main {
         0
       }
 
-    case MediaNearDupCmd(corpus, modality, maxH, out) =>
+    case MediaNearDupCmd(corpus, modality, maxH, th, out) =>
       // batch banded-Hamming mining over (doc_id, media) payloads —
       // decode and the degenerate-hash filter live inside the modality
-      // miner (imageNearDups / audioNearDups)
+      // miner (imageNearDups / audioNearDups / videoNearDups;
+      // --threshold-milli is the video scene-cut scale and must match
+      // every probe of the same corpus, the band-family contract)
       val media = spark.read.parquet(corpus)
-      val pairs =
-        if (modality == "image") graft.dedup.Dedup.imageNearDups(media, maxH)
-        else graft.dedup.Dedup.audioNearDups(media, maxH)
+      val pairs = modality match {
+        case "image" => graft.dedup.Dedup.imageNearDups(media, maxH)
+        case "audio" => graft.dedup.Dedup.audioNearDups(media, maxH)
+        case _ => graft.dedup.Dedup.videoNearDups(media, th.toLong, maxH)
+      }
       pairs.write.mode("overwrite").parquet(out)
       0
 
-    case IngestMediaDedupCmd(source, modality, maxH, dest, ck) =>
+    case IngestMediaDedupCmd(source, modality, maxH, th, dest, ck) =>
       // continuous fingerprint dedup ingest: probe the accumulated
       // index, pair within the batch, then append signatures — the
       // accumulated dup_pairs table equals the batch miner over
@@ -2148,14 +2223,21 @@ object Main {
         implicit val s: SparkSession = spark
         val c = org.apache.spark.sql.functions.col _
         val (fp, sigCol): (org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame, String) =
-          if (modality == "image")
-            ((b: org.apache.spark.sql.DataFrame) =>
-              graft.multimodal.Multimodal.dhashImages(b).toDF()
-                .filter(c("phash") =!= 0L && c("phash") =!= -1L), "phash")
-          else
-            ((b: org.apache.spark.sql.DataFrame) =>
-              graft.multimodal.Multimodal.afingerprintAudio(b).toDF()
-                .filter(c("ahash") =!= 0L && c("ahash") =!= -1L), "ahash")
+          modality match {
+            case "image" =>
+              ((b: org.apache.spark.sql.DataFrame) =>
+                graft.multimodal.Multimodal.dhashImages(b).toDF()
+                  .filter(c("phash") =!= 0L && c("phash") =!= -1L), "phash")
+            case "audio" =>
+              ((b: org.apache.spark.sql.DataFrame) =>
+                graft.multimodal.Multimodal.afingerprintAudio(b).toDF()
+                  .filter(c("ahash") =!= 0L && c("ahash") =!= -1L), "ahash")
+            case _ =>
+              ((b: org.apache.spark.sql.DataFrame) =>
+                graft.multimodal.Multimodal.videoSignature(
+                    graft.multimodal.Multimodal.decodeFramesOf(b).toDF(), th.toLong)
+                  .filter(c("vsig") =!= 0L && c("vsig") =!= -1L), "vsig")
+          }
         val stream = spark.readStream.schema(schema).parquet(source)
         graft.streaming.IncrementalStream.packedDupIngest(
           stream, fp, "doc_id", sigCol, maxH,

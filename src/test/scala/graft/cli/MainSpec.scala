@@ -699,8 +699,76 @@ class MainSpec extends SparkSpec {
       .filter($"doc_id" === 40L).count() === 0L)
     // a bogus modality is a usage error, caught before Spark runs
     assert(Main.run(spark, Array("media-neardup",
-      "--corpus", s"$tmp/corpus", "--modality", "video",
+      "--corpus", s"$tmp/corpus", "--modality", "pixels",
       "--out", s"$tmp/x")) === 2)
+  }
+
+  test("media-neardup --modality video: temporal-signature pairs; degenerate bogus modality rejected") {
+    val tmp = Files.createTempDirectory("graft_cli_video").toString
+    def avi(levels: Seq[Int]): Array[Byte] = {
+      def le32(v: Int): Array[Byte] =
+        Array(v, v >> 8, v >> 16, v >> 24).map(x => (x & 0xff).toByte)
+      def chunk(cid: String, data: Array[Byte]): Array[Byte] =
+        cid.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+          (if ((data.length & 1) == 1) Array(0.toByte) else Array.empty[Byte])
+      def jpeg(g: Int): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(16, 16,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, g * 0x010101)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+      val dcs = levels.flatMap(g => chunk("00dc", jpeg(g))).toArray
+      "RIFF".getBytes("US-ASCII") ++ le32(0) ++ "AVI ".getBytes("US-ASCII") ++
+        chunk("LIST", "movi".getBytes("US-ASCII") ++ dcs)
+    }
+    // walk A: 100,160,100,160,100 -> sig 0b0101; its +3 re-level twin;
+    // walk B: the inverse -> sig 0b1010, Hamming 4 from A (no pair)
+    val a = Seq(100, 160, 100, 160, 100)
+    Seq((50L, avi(a)), (51L, avi(a.map(_ + 3))), (60L, avi(a.map(g => 260 - g))))
+      .toDF("doc_id", "media").write.parquet(s"$tmp/corpus")
+    assert(Main.run(spark, Array("media-neardup",
+      "--corpus", s"$tmp/corpus", "--modality", "video",
+      "--threshold-milli", "15000", "--out", s"$tmp/pairs")) === 0)
+    val got = spark.read.parquet(s"$tmp/pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((50L, 51L)))
+  }
+
+  test("main-content: block-density extraction artifact with audit counters") {
+    val tmp = Files.createTempDirectory("graft_cli_mc").toString
+    Seq((1L, "<nav><a href=\"/a\">Home page</a> <a href=\"/b\">About us</a></nav>" +
+        "<p>This body paragraph is long enough to keep and carries no links.</p>" +
+        "<footer>Short <a href=\"/t\">Terms</a></footer>"))
+      .toDF("id", "page").write.parquet(s"$tmp/corpus")
+    assert(Main.run(spark, Array("main-content",
+      "--corpus", s"$tmp/corpus", "--id", "id", "--html", "page",
+      "--min-chars", "15", "--max-link-permille", "300",
+      "--out", s"$tmp/o")) === 0)
+    val r = spark.read.parquet(s"$tmp/o").head
+    assert(r.getString(1) ===
+      "This body paragraph is long enough to keep and carries no links.")
+    assert(r.getLong(2) === 3L && r.getLong(3) === 1L)
+  }
+
+  test("scd2-ingest: maintained history artifact with CDC deletes") {
+    val tmp = Files.createTempDirectory("graft_cli_scd2i").toString
+    Seq((1L, Some(10L), 1L, "u"), (2L, Some(20L), 1L, "u"),
+        (1L, Option.empty[Long], 2L, "d"))
+      .toDF("id", "v", "ver", "op")
+      .repartition(1).write.parquet(s"$tmp/src")
+    assert(Main.run(spark, Array("scd2-ingest",
+      "--source", s"$tmp/src", "--pks", "id", "--compare", "v",
+      "--ver", "ver", "--op", "op",
+      "--dest", s"$tmp/state", "--table", "history",
+      "--checkpoint", s"$tmp/ck")) === 0)
+    val h = spark.read.parquet(s"$tmp/state/history.parquet")
+      .drop("__last_batch", "__run")
+      .select($"id", $"v", $"valid_from", $"valid_to").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(h === Set((1L, Some(10L), 1L, Some(2L)), (2L, Some(20L), 1L, None)))
   }
 
   test("quantiles: exact global and keyed artifacts; malformed probs are usage errors") {

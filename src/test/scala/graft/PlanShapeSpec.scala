@@ -887,4 +887,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint"), p)
     assert(!p.contains("text"), "the text column must be pruned from the scan")
   }
+
+  test("q239 main-content extraction is a pure narrow pass: no shuffle, no join") {
+    val p = plan("q239_main_content")
+    // block segmentation + density scoring are per-row higher-order
+    // expressions: at 100 TB this must fuse into the scan like q224/q226
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"main-content must not shuffle (the final orderBy is a range exchange):\n$p")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("videoSignature: keyframe windows and the signature fold share ONE doc exchange") {
+    import org.apache.spark.sql.functions._
+    val frames = spark.range(200).select(
+      (col("id") / 10).cast("long").as("doc_id"),
+      (col("id") % 10).as("frame_idx"),
+      ((col("id") % 7) * 40000 + 16000).as("mean_milli_gray"))
+    val df = graft.multimodal.Multimodal.videoSignature(frames, 15000L)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    // two per-video windows + the per-video aggregate all key on doc_id:
+    // one hash exchange feeds them all — a second would mean the window
+    // and the fold stopped sharing partitioning
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(finalSection).size
+    assert(hashExchanges === 1, s"expected one doc-keyed shuffle:\n$finalSection")
+    assert(!finalSection.contains("SinglePartition"),
+      s"no corpus-global window allowed:\n$finalSection")
+  }
 }

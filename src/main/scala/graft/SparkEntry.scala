@@ -6003,29 +6003,14 @@ object SparkEntry {
     // (the q226 convention), replaying only the whitespace collapse on
     // the planted fragments — block/density decisions are NOT re-run,
     // so the two sides agree only if every rule fires as specified
-    "q239_main_content" -> ((s, dir) => {
-      import graft.text.Html
-      val html = concat(
-        lit("<html><head><title>T</title><style>p { color: red; }</style></head><body>" +
-          "<nav><a href=\"/a\">Home</a> <a href=\"/b\">About</a> <a href=\"/c\">Contact</a></nav>" +
-          "<h1>Doc</h1><p>Alpha A&amp;B "),
-        substring(col("text"), 1, 100),
-        lit("</p><p>Beta paragraph continues here "),
-        substring(col("text"), 101, 100),
-        lit(" <a href=\"x\">ref link</a></p>"),
-        when(col("doc_id") % 4 === 0,
-          lit("<p>Gamma solo paragraph without links here</p>")).otherwise(lit("")),
-        lit("<ul><li><a href=\"/1\">Link one</a></li><li><a href=\"/2\">Link two</a></li>"),
-        when(col("doc_id") % 3 === 0,
-          lit("<li><a href=\"/3\">Link three</a></li>")).otherwise(lit("")),
-        lit("</ul><footer>Contact <a href=\"/t\">Terms</a></footer></body></html>"))
+    "q239_main_content" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
-          Html.mainContentReport(html, minChars = 15, maxLinkPermille = 300).as("r"))
+          graft.text.Html.mainContentReport(mainContentPlantedHtml,
+            minChars = 15, maxLinkPermille = 300).as("r"))
         .select(col("doc_id"), col("r.main").as("main"),
           col("r.n_blocks").as("n_blocks"), col("r.n_kept").as("n_kept"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // q240: CONTINUOUS SCD2 maintenance — the q229 delta log arrives as
     // a STREAM and scd2Ingest folds each micro-batch into the persisted
@@ -6289,8 +6274,59 @@ object SparkEntry {
             col("valid_from"), coalesce(col("valid_to"), lit(0L)).as("valid_to"))
           .orderBy("o_orderkey", "valid_from").localCheckpoint()
       } finally deleteRecursively(tmp)
+    }),
+
+    // q246: the extraction gate DEPLOYED — raw HTML pages stream across
+    // two micro-batches through mainContentGate: pages keeping fewer
+    // than minKept = 3 content blocks (here: everything except the %4
+    // docs carrying the extra link-free paragraph) are dropped AT THE
+    // GATE — nav shells never enter the corpus — and survivors'
+    // extracted rows accumulate under the retry guard. Stateless per
+    // batch, so the log equals the batch extraction restricted to the
+    // keepers under the SAME planted-page oracle (the q173 contract for
+    // the extraction stage)
+    "q246_stream_main_content" -> ((s, dir) => {
+      val pages = t(s, dir, "documents")
+        .select(col("doc_id"), mainContentPlantedHtml.as("page"))
+      val tmp = java.nio.file.Files.createTempDirectory("q246").toString
+      try {
+        val store = new graft.sync.ParquetStore(s, s"$tmp/out")
+        pages.repartition(2).write.parquet(s"$tmp/src")
+        IncrementalStream.mainContentGate(
+          s.readStream.schema(pages.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet"),
+          "doc_id", "page", store, "extracted", checkpointDir = s"$tmp/ck",
+          minChars = 15, maxLinkPermille = 300, minKept = 3)
+          .awaitTermination()
+        store.read("extracted").get
+          .select(col("doc_id"), col("main"), col("n_blocks"), col("n_kept"))
+          .orderBy("doc_id").localCheckpoint()
+      } finally deleteRecursively(tmp)
     })
   )
+
+  /** The q239/q246 planted page — ONE wrapper so the batch extraction
+    * and its streaming gate (and the shared oracle CTE) cannot drift:
+    * title + h1 (short -> dropped), a link-only nav (888 permille ->
+    * dropped), two body paragraphs (kept; the second carries a
+    * low-density inline anchor whose text must survive), a %4 extra
+    * link-free paragraph (varies n_kept 2 -> 3 — the q246 gate keys on
+    * exactly this), a sidebar link list with a %3 extra item (varies
+    * n_blocks), a short footer. */
+  private def mainContentPlantedHtml: Column = concat(
+    lit("<html><head><title>T</title><style>p { color: red; }</style></head><body>" +
+      "<nav><a href=\"/a\">Home</a> <a href=\"/b\">About</a> <a href=\"/c\">Contact</a></nav>" +
+      "<h1>Doc</h1><p>Alpha A&amp;B "),
+    substring(col("text"), 1, 100),
+    lit("</p><p>Beta paragraph continues here "),
+    substring(col("text"), 101, 100),
+    lit(" <a href=\"x\">ref link</a></p>"),
+    when(col("doc_id") % 4 === 0,
+      lit("<p>Gamma solo paragraph without links here</p>")).otherwise(lit("")),
+    lit("<ul><li><a href=\"/1\">Link one</a></li><li><a href=\"/2\">Link two</a></li>"),
+    when(col("doc_id") % 3 === 0,
+      lit("<li><a href=\"/3\">Link three</a></li>")).otherwise(lit("")),
+    lit("</ul><footer>Contact <a href=\"/t\">Terms</a></footer></body></html>"))
 
   /** Shared q160/q228 planted MJPEG-in-AVI corpus — ONE builder so the
     * frame-decode gate and the scene-change query (and their oracles'
@@ -6417,6 +6453,19 @@ object SparkEntry {
       "UNION ALL SELECT o_orderkey + 100000000, o_custkey, cents FROM s1 WHERE o_orderkey % 101 = 0), " +
       "s3 AS (SELECT o_orderkey, o_custkey, CASE WHEN o_orderkey % 7 = 0 THEN cents + 2 ELSE cents END AS cents FROM s2 WHERE o_orderkey % 103 <> 0 " +
       "UNION ALL SELECT o_orderkey, o_custkey, cents + 5 FROM s1 WHERE o_orderkey % 97 = 0 AND o_orderkey % 3 = 0)"
+
+  /** The q239/q246 expected kept blocks stated outright over the shared
+    * [[mainContentPlantedHtml]] wrapper — only the whitespace collapse
+    * is replayed (on the planted body fragments); block segmentation
+    * and the length/link-density decisions are independent by
+    * construction. `where` restricts to the gate's keepers (q246). */
+  private def mainContentOracleSqlOver(where: String): String =
+    "WITH c AS (SELECT doc_id, trim(regexp_replace('Alpha A&B ' || substr(text, 1, 100), '[ \\t\\n\\r]+', ' ', 'g')) AS b1, " +
+      "trim(regexp_replace('Beta paragraph continues here ' || substr(text, 101, 100) || ' ref link', '[ \\t\\n\\r]+', ' ', 'g')) AS b2 " +
+      s"FROM documents$where) " +
+      "SELECT doc_id, b1 || ' ' || b2 || CASE WHEN doc_id % 4 = 0 THEN ' Gamma solo paragraph without links here' ELSE '' END AS main, " +
+      "CAST(8 + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_blocks, " +
+      "CAST(2 + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_kept FROM c ORDER BY doc_id"
 
   /** The FULL-snapshot SCD2 law — an island (gaps-and-islands over the
     * per-version presence/value grid) per maximal run of identical
@@ -7203,8 +7252,11 @@ object SparkEntry {
     // whitespace collapse is replayed (on the planted body fragments);
     // the block segmentation and the length/link-density decisions are
     // independent by construction
-    "q239_main_content" ->
-      """WITH c AS (SELECT doc_id, trim(regexp_replace('Alpha A&B ' || substr(text, 1, 100), '[ \t\n\r]+', ' ', 'g')) AS b1, trim(regexp_replace('Beta paragraph continues here ' || substr(text, 101, 100) || ' ref link', '[ \t\n\r]+', ' ', 'g')) AS b2 FROM documents) SELECT doc_id, b1 || ' ' || b2 || CASE WHEN doc_id % 4 = 0 THEN ' Gamma solo paragraph without links here' ELSE '' END AS main, CAST(8 + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_blocks, CAST(2 + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_kept FROM c ORDER BY doc_id""",
+    "q239_main_content" -> mainContentOracleSqlOver(""),
+    // q246: the gate keeps exactly the minKept=3 pages — the %4 docs
+    // carrying the extra link-free paragraph — under the same planted
+    // CTE; everything else must be absent from the accumulated log
+    "q246_stream_main_content" -> mainContentOracleSqlOver(" WHERE doc_id % 4 = 0"),
     // q238: identical planted concat, identical pattern in RE2
     "q238_sentences" ->
       """WITH h AS (SELECT doc_id, substr(text, 1, 50) || '. ' || substr(text, 51, 40) || '? ' || substr(text, 91, 30) || '! tail' AS t2 FROM documents), s AS (SELECT doc_id, regexp_extract_all(t2, '[^.!?]+[.!?]*') AS ss FROM h), e AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx, trim(ss[i]) AS sentence FROM s, LATERAL unnest(range(1, len(ss) + 1)) AS u(i)) SELECT doc_id, sent_idx, sentence, CAST(len(sentence) AS BIGINT) AS n_chars FROM e WHERE sentence <> '' ORDER BY doc_id, sent_idx""",

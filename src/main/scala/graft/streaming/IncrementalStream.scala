@@ -572,6 +572,39 @@ object IncrementalStream {
       graft.text.Gopher.quality(batch, idCol, textCol)
     }
 
+  /** STREAMING main-content extraction gate — the crawl-facing FIRST
+    * member of the text ingest family ([[gopherGate]] heuristics,
+    * [[qualityGate]] LM, [[classifierGate]] model all score TEXT; this
+    * produces it): each arriving micro-batch of raw HTML extracts its
+    * boilerplate-scrubbed main text
+    * ([[graft.text.Html.mainContentReport]] — block segmentation +
+    * length/link-density rules), pages keeping fewer than `minKept`
+    * content blocks are DROPPED at the gate (nav shells and link farms
+    * never enter the corpus), and the surviving (id, main, n_blocks,
+    * n_kept) rows accumulate under the lineage-stamped retry guard.
+    * Stateless per batch (the rules are per-document expressions —
+    * nothing pinned at query start), so the accumulated log is
+    * batch-partitioning-invariant and grades against the batch
+    * extraction restricted to the keepers (q246, the q173 contract).
+    * Per-batch cost: one narrow regex/higher-order pass, no join, no
+    * shuffle — the cheapest stage of the ingest funnel, run FIRST. */
+  def mainContentGate(docStream: DataFrame, idCol: String, htmlCol: String,
+                      store: graft.sync.TableStore, table: String,
+                      checkpointDir: String,
+                      minChars: Int = 25, maxLinkPermille: Int = 333,
+                      minKept: Int = 1,
+                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(minKept >= 1, s"mainContentGate: minKept must be >= 1, got $minKept")
+    guardedAppend(docStream, store, table, checkpointDir, Seq(idCol), trigger) { batch =>
+      batch.select(col(idCol),
+          graft.text.Html.mainContentReport(col(htmlCol), minChars,
+            maxLinkPermille).as("__r"))
+        .select(col(idCol), col("__r.main").as("main"),
+          col("__r.n_blocks").as("n_blocks"), col("__r.n_kept").as("n_kept"))
+        .filter(col("n_kept") >= minKept)
+    }
+  }
+
   /** STREAMING overlap gate — winnowing's member of the ingest family:
     * each arriving micro-batch fingerprints ITSELF (one narrow projection
     * — see [[graft.text.Winnow.fingerprints]]'s zero-shuffle plan) and

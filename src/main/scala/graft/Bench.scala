@@ -372,7 +372,10 @@ object Bench {
     "q240_stream_scd2", "q242_stream_video_dedup",
     "q244_compaction_under_serving",
     // q245 is the q240 two-round maintained-history harness, CDC form
-    "q245_stream_scd2_cdc")
+    "q245_stream_scd2_cdc",
+    // q247 is the q211-shape two-ingest-round tombstone harness on the
+    // fingerprint family
+    "q247_takedown_media_index")
 
   /** Machine calibration canaries: stable, mid-weight queries spanning the
     * engine's plan shapes (pushed scan, window, LSH join, stream, fill).

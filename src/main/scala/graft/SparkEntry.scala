@@ -6302,6 +6302,59 @@ object SparkEntry {
           .select(col("doc_id"), col("main"), col("n_blocks"), col("n_kept"))
           .orderBy("doc_id").localCheckpoint()
       } finally deleteRecursively(tmp)
+    }),
+
+    // q247: ONLINE takedown through the PACKED-FINGERPRINT family — the
+    // q211/q212/q214 tombstone contract on the last at-read-served
+    // index family (media dup logs): the planted image corpus streams
+    // into the fingerprint index + pair log across two micro-batches
+    // (group twins SPLIT across the rounds, so every pair is a cross
+    // probe), docs >= 400 tombstone BETWEEN them (their odd twins
+    // arrive AFTER — the gate must erase pairs discovered post-
+    // tombstone too), and serving anti-joins tombstones on BOTH pair
+    // sides (a dup pair is evidence about both documents) plus the sig
+    // table: served pairs must equal the batch miner over exactly the
+    // surviving corpus, and no tombstoned fingerprint may serve
+    "q247_takedown_media_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id").cast(LongType).as("doc_id"))
+      val media = plantedImageMedia(s, docs)
+      val tmp = java.nio.file.Files.createTempDirectory("q247").toString
+      val (srcDir, ckDir) = (s"$tmp/src", s"$tmp/ck")
+      try {
+        val store = new graft.sync.ParquetStore(s, s"$tmp/idx")
+        def fp(b: DataFrame): DataFrame = Multimodal.dhashImages(b)(s).toDF()
+          .filter(col("phash") =!= 0L && col("phash") =!= -1L)
+        def ingestAvailable(): Unit = {
+          val stream = s.readStream.schema(media.schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*.parquet")
+          IncrementalStream.packedDupIngest(stream, fp, "doc_id", "phash",
+            maxHamming = 3, store = store, checkpointDir = ckDir)
+            .awaitTermination()
+        }
+        media.filter(col("doc_id") % 2 === 0).repartition(1).write.parquet(srcDir)
+        ingestAvailable()
+        val added = graft.sync.Takedown.tombstone(store,
+          docs.filter(col("doc_id") >= 400).select(col("doc_id")))
+        require(added > 0L, "q247: the tombstone must actually record ids")
+        media.filter(col("doc_id") % 2 === 1).repartition(1)
+          .write.mode("append").parquet(srcDir)
+        ingestAvailable()
+        val served = graft.sync.Takedown.withoutTombstonesAny(
+            store.read("dup_pairs").get.select(col("id_a"), col("id_b")),
+            Seq("id_a", "id_b"), store)
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b")).distinct()
+        val pairV = plantedPairExpectation(docs.filter(col("doc_id") < 400))
+          .withColumn("__e", lit(1))
+          .join(served.withColumn("__f", lit(1)), Seq("id_a", "id_b"), "full_outer")
+          .agg(violations(col("__e").isNull || col("__f").isNull))
+          .head.getLong(0)
+        // the gated sig table must serve NO tombstoned fingerprint
+        val sigV = graft.sync.Takedown.withoutTombstones(
+            store.read("fingerprints").get.select(col("doc_id")), "doc_id", store)
+          .filter(col("doc_id") >= 400).count()
+        s.range(1).select(lit(pairV + sigV).as("violations"))
+      } finally deleteRecursively(tmp)
     })
   )
 
@@ -7196,6 +7249,11 @@ object SparkEntry {
     "q241_video_neardup" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     "q242_stream_video_dedup" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
+    // q247: planted-construction erasure over the fingerprint family —
+    // expectations derive from the id arithmetic Spark-side (q211's
+    // contract in the q209 violations form)
+    "q247_takedown_media_index" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
     // q211: q121's serving oracle over the SURVIVING corpus — the
     // tombstone (corpus docs < 100) provably changes the answer at every

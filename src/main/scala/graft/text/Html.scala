@@ -115,10 +115,14 @@ object Html {
         regexp_extract_all(b, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)),
         lit(0), (acc, a) => acc + length(cleanInline(a))).as("link")))
     val nonempty = filter(scored, s => length(s.getField("txt")) > 0)
+    // LONG arithmetic: int32 char counts x 1000 overflow past ~2.1M link
+    // chars per block (an anchor farm with no block-level separators is
+    // one block) — under ANSI that kills the job on one bad page, and
+    // with ANSI off the wrap would KEEP the link farm
     val kept = filter(nonempty, s =>
       length(s.getField("txt")) >= minChars &&
-        s.getField("link") * lit(1000) <=
-          length(s.getField("txt")) * lit(maxLinkPermille))
+        s.getField("link").cast("long") * lit(1000L) <=
+          length(s.getField("txt")).cast("long") * lit(maxLinkPermille.toLong))
     struct(
       array_join(transform(kept, s => s.getField("txt")), " ").as("main"),
       size(nonempty).cast("long").as("n_blocks"),

@@ -96,6 +96,28 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(store.read("seen").get.count() === 5L)
   }
 
+  test("frontierGate budget counts a LEGACY host-less seen table (host re-derived at read)") {
+    import graft.sync.ParquetStore
+    val src = s"${Files.createTempDirectory("graft_fgl").toString}/src"
+    val store = new ParquetStore(spark, Files.createTempDirectory("graft_fgl_st").toString)
+    // a pre-budget deployment accumulated (id, url_norm) with NO host
+    // column: its two hot.com rows must count toward the budget
+    store.write(Seq((1L, "http://hot.com/a"), (2L, "http://hot.com/b"))
+      .toDF("id", "url_norm"), "seen")
+    Seq((5L, "http://hot.com/c"), (6L, "http://hot.com/d"), (7L, "http://s.com/"))
+      .toDF("id", "u").coalesce(1).write.parquet(src)
+    IncrementalStream.frontierGate(
+      spark.readStream.schema(Seq((0L, "")).toDF("id", "u").schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+      "id", "u", store, "seen",
+      checkpointDir = Files.createTempDirectory("graft_fgl_cp").toString,
+      maxPerHost = Some(3L)).awaitTermination()
+    val hot = store.read("seen").get
+      .filter($"url_norm".startsWith("http://hot.com")).count()
+    // 2 legacy + exactly ONE more (the remaining budget), never 4
+    assert(hot === 3L)
+  }
+
   test("upsertSync: multi-batch continuous sync converges to latest-per-key, any file order") {
     import graft.sync.ParquetStore
     val src = Files.createTempDirectory("graft_us_src").toString
@@ -687,11 +709,14 @@ class IncrementalStreamSpec extends SparkSpec {
     val tmp = Files.createTempDirectory("graft_scd2cdc").toString
     val store = new ParquetStore(spark, s"$tmp/state")
     // one batch, three versions: insert k1/k2 at 1; delete k1 at 2;
-    // re-add k1 at 3 (the gap between 2 and 3 must stay visible)
+    // re-add k1 at 3 (the gap between 2 and 3 must stay visible). k3
+    // arrives with a NULL op — the stamp-only-deletes CDC shape — and
+    // MUST upsert, not vanish into three-valued logic
     val log = Seq(
-      (1L, Some(10L), 1L, "u"), (2L, Some(20L), 1L, "u"),
-      (1L, None, 2L, "d"),
-      (1L, Some(12L), 3L, "u")).toDF("id", "v", "ver", "op")
+      (1L, Some(10L), 1L, Some("u")), (2L, Some(20L), 1L, Some("u")),
+      (1L, None, 2L, Some("d")),
+      (3L, Some(30L), 2L, Option.empty[String]),
+      (1L, Some(12L), 3L, Some("u"))).toDF("id", "v", "ver", "op")
     log.repartition(1).write.parquet(s"$tmp/src")
     IncrementalStream.scd2Ingest(
       spark.readStream.schema(log.schema).parquet(s"$tmp/src/*.parquet"),
@@ -704,11 +729,17 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(got === Set(
       (1L, Some(10L), 1L, Some(2L)),   // closed by the delete
       (1L, Some(12L), 3L, None),       // reappearance opens a fresh interval
-      (2L, Some(20L), 1L, None)))
-    // asOf inside the gap: k1 absent, k2 present
+      (2L, Some(20L), 1L, None),
+      (3L, Some(30L), 2L, None)))      // NULL-op row upserted
+    // asOf inside the gap: k1 absent, k2/k3 present
     val at2 = History.asOf(store.read("h").get.drop("__last_batch", "__run"), 2L)
-      .select($"id").collect().map(_.getLong(0)).toSeq
-    assert(at2 === Seq(2L))
+      .select($"id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(at2 === Seq(2L, 3L))
+    // reserved stamp names fail fast
+    intercept[IllegalArgumentException] {
+      IncrementalStream.scd2Ingest(log.withColumnRenamed("v", "__run"),
+        store, "h3", Seq("id"), Seq("__run"), "ver", s"$tmp/ck3")
+    }
   }
 
   test("maintainCountsKeys rejects key names that collide with merge internals") {

@@ -73,6 +73,7 @@ object Main {
       "       line-dedup-within --corpus <parquet> --id <col> --text <col> --out <parquetDir>\n" +
       "       sentences --corpus <parquet> --id <col> --text <col> --out <parquetDir>\n" +
       "       ingest-media-dedup --source <parquetDir(doc_id,media)> --modality image|audio|video [--max-hamming <n>] [--threshold-milli <n>] --dest <storeDir> --checkpoint <dir>\n" +
+      "       serve-media-pairs --index <storeDir> [--tombstones true] --out <parquetDir>\n" +
       "       profile --corpus <parquet> --out <parquetDir> [--approx true]\n" +
       "       validate --corpus <parquet> --out <parquetDir> [--not-null c1,c2] [--range col:min:max,...] [--unique k1,k2[;k3]] [--ref <fk> --ref-table <parquet> --ref-key <col>]\n" +
       "       keywords --corpus <parquet> --text <col> --iters <n> --k <n> --out <parquetDir>\n" +
@@ -112,6 +113,7 @@ object Main {
       "       release-audit --corpus <parquet> --group <col> --id <col> --text <col> --out <dir> [--quasi c1[,c2] --k <n>]\n" +
       "       html-extract --corpus <parquet> --id <col> --html <col> --out <parquetDir>\n" +
       "       main-content --corpus <parquet> --id <col> --html <col> [--min-chars <n>] [--max-link-permille <n>] --out <parquetDir>\n" +
+      "       main-content-gate --source <parquetDir> --id <col> --html <col> [--min-chars <n>] [--max-link-permille <n>] [--min-kept <n>] --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       url-norm --corpus <parquet> --id <col> --url <col> --out <parquetDir>\n" +
       "       url-frontier --source <parquetDir> --id <col> --url <col> --dest <storeDir> --table <t> --checkpoint <dir> [--max-per-host <n>]\n" +
       "       scd2-ingest --source <parquetDir> --pks c1[,c2] --compare c1[,c2] --ver <col> [--op <col>] --dest <storeDir> --table <t> --checkpoint <dir>\n" +
@@ -338,6 +340,13 @@ object Main {
                                  out: String) extends Cmd
   private case class KeywordsCmd(corpus: String, text: String, iters: Int,
                                  k: Int, out: String) extends Cmd
+  private case class MainContentGateCmd(source: String, id: String,
+                                        html: String, minChars: Int,
+                                        maxLinkPermille: Int, minKept: Int,
+                                        dest: String, table: String,
+                                        ck: String) extends Cmd
+  private case class ServeMediaPairsCmd(index: String, tombstones: Boolean,
+                                        out: String) extends Cmd
   private case class GopherGateCmd(source: String, id: String, text: String,
                                    dest: String, table: String,
                                    checkpoint: String) extends Cmd
@@ -1074,6 +1083,27 @@ object Main {
         table <- req(opts, "gopher-gate", "table")
         ck <- req(opts, "gopher-gate", "checkpoint")
       } yield GopherGateCmd(source, id, text, dest, table, ck)
+    case "main-content-gate" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        source <- req(opts, "main-content-gate", "source")
+        id <- req(opts, "main-content-gate", "id")
+        html <- req(opts, "main-content-gate", "html")
+        minChars <- optInt(opts, "main-content-gate", "min-chars", 25)
+        mlp <- optInt(opts, "main-content-gate", "max-link-permille", 333)
+        minKept <- optInt(opts, "main-content-gate", "min-kept", 1)
+        dest <- req(opts, "main-content-gate", "dest")
+        table <- req(opts, "main-content-gate", "table")
+        ck <- req(opts, "main-content-gate", "checkpoint")
+      } yield MainContentGateCmd(source, id, html, minChars, mlp, minKept,
+        dest, table, ck)
+    case "serve-media-pairs" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        index <- req(opts, "serve-media-pairs", "index")
+        ts <- optBool(opts, "serve-media-pairs", "tombstones", dflt = false)
+        out <- req(opts, "serve-media-pairs", "out")
+      } yield ServeMediaPairsCmd(index, ts, out)
     case "unigram-train" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -2418,6 +2448,39 @@ object Main {
           .awaitTermination()
         0
       }
+
+    case MainContentGateCmd(source, id, html, minChars, mlp, minKept, dest, table, ck) =>
+      // the extraction gate at ingest: nav shells (fewer than min-kept
+      // content blocks) never enter the corpus; survivors accumulate as
+      // (id, main, n_blocks, n_kept) under the retry guard
+      sourceSchema(spark, source, "main-content-gate").fold(0) { schema =>
+        val stream = spark.readStream.schema(schema).parquet(source)
+        graft.streaming.IncrementalStream.mainContentGate(
+          stream, id, html, new ParquetStore(spark, dest), table, ck,
+          minChars = minChars, maxLinkPermille = mlp, minKept = minKept)
+          .awaitTermination()
+        0
+      }
+
+    case ServeMediaPairsCmd(index, tombstones, out) =>
+      // the accumulated dup-pair log, served: --tombstones true erases
+      // every pair touching a tombstoned id on EITHER side (a pair is
+      // evidence about both documents — the q247 semantics) before the
+      // direction-normalized distinct
+      val store = new ParquetStore(spark, index)
+      val pairs = store.read("dup_pairs").getOrElse(sys.error(
+        s"serve-media-pairs: no dup_pairs table in $index — run ingest-media-dedup first"))
+      val c = org.apache.spark.sql.functions.col _
+      val base = pairs.select(c("id_a"), c("id_b"))
+      val gated = if (tombstones)
+        graft.sync.Takedown.withoutTombstonesAny(base, Seq("id_a", "id_b"), store)
+      else base
+      gated.select(
+          org.apache.spark.sql.functions.least(c("id_a"), c("id_b")).as("id_a"),
+          org.apache.spark.sql.functions.greatest(c("id_a"), c("id_b")).as("id_b"))
+        .distinct()
+        .write.mode("overwrite").parquet(out)
+      0
 
     case UnigramTrainCmd(corpus, text, maxLen, keep, rounds, out) =>
       // the piece table IS the tokenizer artifact: (piece, cnt,

@@ -752,6 +752,33 @@ class MainSpec extends SparkSpec {
     assert(r.getLong(2) === 3L && r.getLong(3) === 1L)
   }
 
+  test("main-content-gate + serve-media-pairs: ingest gate and tombstone-gated pair serving") {
+    val tmp = Files.createTempDirectory("graft_cli_mcg").toString
+    // main-content-gate: the nav shell must be dropped AT the gate
+    Seq((1L, "<p>This keeper paragraph is long enough and has no links at all.</p>"),
+        (2L, "<nav><a href=\"/a\">Home page</a> <a href=\"/b\">About page</a></nav>"))
+      .toDF("id", "page").coalesce(1).write.parquet(s"$tmp/src")
+    assert(Main.run(spark, Array("main-content-gate",
+      "--source", s"$tmp/src", "--id", "id", "--html", "page",
+      "--min-chars", "15", "--max-link-permille", "300",
+      "--dest", s"$tmp/store", "--table", "extracted",
+      "--checkpoint", s"$tmp/ck")) === 0)
+    val kept = spark.read.parquet(s"$tmp/store/extracted.parquet")
+      .select($"id").collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(1L))
+    // serve-media-pairs over a hand-written pair log + tombstone
+    Seq((10L, 11L), (12L, 10L), (20L, 21L)).toDF("id_a", "id_b")
+      .write.parquet(s"$tmp/store/dup_pairs.parquet")
+    Seq(10L).toDF("tombstone_id")
+      .write.parquet(s"$tmp/store/tombstones.parquet")
+    assert(Main.run(spark, Array("serve-media-pairs",
+      "--index", s"$tmp/store", "--tombstones", "true",
+      "--out", s"$tmp/pairs")) === 0)
+    val served = spark.read.parquet(s"$tmp/pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served === Set((20L, 21L)))
+  }
+
   test("scd2-ingest: maintained history artifact with CDC deletes") {
     val tmp = Files.createTempDirectory("graft_cli_scd2i").toString
     Seq((1L, Some(10L), 1L, "u"), (2L, Some(20L), 1L, "u"),

@@ -296,6 +296,25 @@ object Bench {
     * q150/q165/q181 HighVariance shape; tagged with this measured
     * cause, floor kept — the 2x bound (2.83 s) still catches a real
     * blow-up while the observed spread (2.02-2.30) passes. */
+  /** q184/q192/q96 r16-close flags ADJUDICATED (same round, the
+    * two-re-measure protocol): the second r16 full bench flagged
+    * q184_tokenizer_fertility and q192_budget_mixture calibrated (and
+    * q96 raw-only) at calibration 1.078 — none of their code paths
+    * changed this round. Targeted re-measures with canaries: q184
+    * cleared immediately (1.25x calibrated at cal 1.817 — the
+    * q36/q170/q171 single-run-skew signature), q96 likewise (1.08x,
+    * its thrice-adjudicated load-noise pattern). q192 flagged once
+    * more (1.99 raw at cal 1.817) then cleared (1.29 at cal 1.425);
+    * the four-run record 0.96/1.25/1.99/1.29 on an identical untouched
+    * plan is the q150/q165 bimodal signature, and the cause is
+    * structural: budgetMixture runs a per-source-totals COLLECT + a
+    * driver-side water-filling allocation loop AHEAD of the
+    * bucket-decomposed keyedRunningSum (exchange + offsets broadcast —
+    * the same multi-job fixed overhead that re-seeded q100/q185).
+    * Sequential driver-coordinated jobs whose scheduling noise
+    * compounds — tagged HighVariance with this measured cause, floor
+    * kept; the 2x bound still catches a real blow-up (observed spread
+    * tops at 1.08x calibrated of floor under the 2x+noise bound). */
   /** q36/q170/q171 r15-close calibrated flags ADJUDICATED (same round,
     * the two-re-measure protocol): one full-bench run flagged
     * q36_ivf_recall (2.17x), q170_stream_unigram_gate (2.07x) and
@@ -375,7 +394,11 @@ object Bench {
     "q245_stream_scd2_cdc",
     // q247 is the q211-shape two-ingest-round tombstone harness on the
     // fingerprint family
-    "q247_takedown_media_index")
+    "q247_takedown_media_index",
+    // r16 adjudication (see the q184/q192/q96 scaladoc above): driver
+    // collect + water-filling loop ahead of the multi-job bucket
+    // decomposition, bimodal across four runs of unchanged code
+    "q192_budget_mixture")
 
   /** Machine calibration canaries: stable, mid-weight queries spanning the
     * engine's plan shapes (pushed scan, window, LSH join, stream, fill).

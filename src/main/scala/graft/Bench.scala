@@ -393,8 +393,9 @@ object Bench {
     // q245 is the q240 two-round maintained-history harness, CDC form
     "q245_stream_scd2_cdc",
     // q247 is the q211-shape two-ingest-round tombstone harness on the
-    // fingerprint family
-    "q247_takedown_media_index",
+    // fingerprint family; q246 is the two-micro-batch extraction-gate
+    // harness (the q208 shape)
+    "q247_takedown_media_index", "q246_stream_main_content",
     // r16 adjudication (see the q184/q192/q96 scaladoc above): driver
     // collect + water-filling loop ahead of the multi-job bucket
     // decomposition, bimodal across four runs of unchanged code

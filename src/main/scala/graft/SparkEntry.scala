@@ -6309,42 +6309,52 @@ object SparkEntry {
     // index family (media dup logs): the planted image corpus streams
     // into the fingerprint index + pair log across two micro-batches
     // (group twins SPLIT across the rounds, so every pair is a cross
-    // probe), docs >= 400 tombstone BETWEEN them (their odd twins
+    // probe), docs >= 401 tombstone BETWEEN them (their odd twins
     // arrive AFTER — the gate must erase pairs discovered post-
-    // tombstone too), and serving anti-joins tombstones on BOTH pair
-    // sides (a dup pair is evidence about both documents) plus the sig
-    // table: served pairs must equal the batch miner over exactly the
-    // surviving corpus, and no tombstoned fingerprint may serve
+    // tombstone too; the ODD boundary makes pair (400, 401) STRADDLE
+    // the cut, so single-side gating cannot pass), and serving
+    // anti-joins tombstones on BOTH pair sides (a dup pair is evidence
+    // about both documents) plus the sig table: served pairs must
+    // equal the batch miner over exactly the surviving corpus, and no
+    // tombstoned fingerprint may serve
     "q247_takedown_media_index" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id").cast(LongType).as("doc_id"))
-      val media = plantedImageMedia(s, docs)
       val tmp = java.nio.file.Files.createTempDirectory("q247").toString
       val (srcDir, ckDir) = (s"$tmp/src", s"$tmp/ck")
       try {
         val store = new graft.sync.ParquetStore(s, s"$tmp/idx")
         def fp(b: DataFrame): DataFrame = Multimodal.dhashImages(b)(s).toDF()
           .filter(col("phash") =!= 0L && col("phash") =!= -1L)
+        val schema = plantedImageMedia(s, docs.limit(1)).schema
         def ingestAvailable(): Unit = {
-          val stream = s.readStream.schema(media.schema)
+          val stream = s.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*.parquet")
           IncrementalStream.packedDupIngest(stream, fp, "doc_id", "phash",
             maxHamming = 3, store = store, checkpointDir = ckDir)
             .awaitTermination()
         }
-        media.filter(col("doc_id") % 2 === 0).repartition(1).write.parquet(srcDir)
+        // filter BEFORE the encoder: the parity predicate cannot push
+        // below the opaque mapPartitions, so filtering the doc list is
+        // what keeps each round from encoding (and discarding) the
+        // whole corpus
+        plantedImageMedia(s, docs.filter(col("doc_id") % 2 === 0))
+          .repartition(1).write.parquet(srcDir)
         ingestAvailable()
+        // ODD boundary: pair (400, 401) STRADDLES the tombstone cut, so
+        // single-side gating (either direction) would serve it — the
+        // either-side rule is graded, not just unit-pinned
         val added = graft.sync.Takedown.tombstone(store,
-          docs.filter(col("doc_id") >= 400).select(col("doc_id")))
+          docs.filter(col("doc_id") >= 401).select(col("doc_id")))
         require(added > 0L, "q247: the tombstone must actually record ids")
-        media.filter(col("doc_id") % 2 === 1).repartition(1)
-          .write.mode("append").parquet(srcDir)
+        plantedImageMedia(s, docs.filter(col("doc_id") % 2 === 1))
+          .repartition(1).write.mode("append").parquet(srcDir)
         ingestAvailable()
         val served = graft.sync.Takedown.withoutTombstonesAny(
             store.read("dup_pairs").get.select(col("id_a"), col("id_b")),
             Seq("id_a", "id_b"), store)
           .select(least(col("id_a"), col("id_b")).as("id_a"),
             greatest(col("id_a"), col("id_b")).as("id_b")).distinct()
-        val pairV = plantedPairExpectation(docs.filter(col("doc_id") < 400))
+        val pairV = plantedPairExpectation(docs.filter(col("doc_id") <= 400))
           .withColumn("__e", lit(1))
           .join(served.withColumn("__f", lit(1)), Seq("id_a", "id_b"), "full_outer")
           .agg(violations(col("__e").isNull || col("__f").isNull))
@@ -6352,7 +6362,7 @@ object SparkEntry {
         // the gated sig table must serve NO tombstoned fingerprint
         val sigV = graft.sync.Takedown.withoutTombstones(
             store.read("fingerprints").get.select(col("doc_id")), "doc_id", store)
-          .filter(col("doc_id") >= 400).count()
+          .filter(col("doc_id") >= 401).count()
         s.range(1).select(lit(pairV + sigV).as("violations"))
       } finally deleteRecursively(tmp)
     })

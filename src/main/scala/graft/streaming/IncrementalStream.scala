@@ -606,9 +606,11 @@ object IncrementalStream {
                       minKept: Int = 1,
                       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     require(minKept >= 1, s"mainContentGate: minKept must be >= 1, got $minKept")
-    require(!Seq("main", "n_blocks", "n_kept", "__r").contains(idCol),
-      s"mainContentGate: idCol '$idCol' collides with an output column " +
-        "(main/n_blocks/n_kept are the extraction row; rename upstream)")
+    require(!Seq("main", "n_blocks", "n_kept", "__r").contains(idCol) &&
+        !idCol.startsWith("__"),
+      s"mainContentGate: idCol '$idCol' collides with an output column or a " +
+        "reserved '__' name (main/n_blocks/n_kept are the extraction row; " +
+        "__run/__batch are the retry-guard stamps; rename upstream)")
     guardedAppend(docStream, store, table, checkpointDir, Seq(idCol), trigger) { batch =>
       batch.select(col(idCol),
           graft.text.Html.mainContentReport(col(htmlCol), minChars,

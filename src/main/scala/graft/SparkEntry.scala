@@ -6365,6 +6365,35 @@ object SparkEntry {
           .filter(col("doc_id") >= 401).count()
         s.range(1).select(lit(pairV + sigV).as("violations"))
       } finally deleteRecursively(tmp)
+    }),
+
+    // q248: HISTORY retention pruning — the governance pass a long-lived
+    // SCD2 table eventually needs ("keep two years of versions"):
+    // intervals that ENDED at or before the horizon drop, and every
+    // read at or after it is row-identical across the prune (an
+    // interval such a read touches ends past the horizon by definition
+    // — pinned in-lambda for asOf(2) and asOf(3)); reads below the
+    // horizon become incomplete BY DESIGN. Oracle: the q222 island law
+    // with closed-before-horizon islands filtered out
+    "q248_history_retention" -> ((s, dir) => {
+      val (s1, s2, s3) = scdSnapshots(s, dir)
+      import graft.sync.History
+      val h = History.scd2Apply(
+        History.scd2Apply(History.scd2Init(s1, 1L), s2,
+          Seq("o_orderkey"), Seq("o_custkey", "cents"), 2L),
+        s3, Seq("o_orderkey"), Seq("o_custkey", "cents"), 3L).localCheckpoint()
+      val pruned = History.retainSince(h, 2L).localCheckpoint()
+      for (v <- Seq(2L, 3L)) {
+        val drift = History.asOf(h, v).withColumn("__a", lit(1))
+          .join(History.asOf(pruned, v).withColumn("__b", lit(1)),
+            Seq("o_orderkey", "o_custkey", "cents"), "full_outer")
+          .filter(col("__a").isNull || col("__b").isNull).count()
+        require(drift == 0L, s"q248: asOf($v) changed across the prune ($drift rows)")
+      }
+      graft.Checkpoints.release(h)
+      pruned.select(col("o_orderkey"), col("o_custkey"), col("cents"),
+          col("valid_from"), coalesce(col("valid_to"), lit(0L)).as("valid_to"))
+        .orderBy("o_orderkey", "valid_from")
     })
   )
 
@@ -7301,6 +7330,11 @@ object SparkEntry {
     // that is max_ver + 1, and an island reaching the last version is
     // open = 0). Two INDEPENDENT formulations of SCD2 agreeing row-level
     "q222_scd2_history" -> Scd2FullHistoryOracleSql,
+    // q248: the island law with closed-before-horizon islands dropped —
+    // valid_to = 0 (open) or > 2 means max_ver >= 2 in island terms; a
+    // drifted base string would no-op the replace and fail the gate
+    "q248_history_retention" -> Scd2FullHistoryOracleSql.replace(
+      "WHERE present = 1 ORDER BY", "WHERE present = 1 AND max_ver >= 2 ORDER BY"),
     // q245: the streamed CDC ingest (upserts + explicit deletes) grades
     // against the SAME full-snapshot history law — CDC events replicate
     // scd2Apply's close-on-absence exactly when deletes are explicit

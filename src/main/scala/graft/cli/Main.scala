@@ -119,6 +119,7 @@ object Main {
       "       scd2-ingest --source <parquetDir> --pks c1[,c2] --compare c1[,c2] --ver <col> [--op <col>] --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       scd2-apply --snapshot <parquet> --pks c1[,c2] --compare c1[,c2] --version <n> --out <parquetDir> (--history <parquetDir> | --init true) [--upserts true]\n" +
       "       scd2-close --history <parquetDir> --keys <parquet> --pks c1[,c2] --version <n> --out <parquetDir>\n" +
+      "       retain-history --history <parquetDir> --horizon <n> --out <parquetDir>\n" +
       "       asof --history <parquetDir> --version <n> --out <parquetDir>\n" +
       "       compact --dir <parquetDir> [--target-mb <n>]"
 
@@ -347,6 +348,8 @@ object Main {
                                         ck: String) extends Cmd
   private case class ServeMediaPairsCmd(index: String, tombstones: Boolean,
                                         out: String) extends Cmd
+  private case class RetainHistoryCmd(history: String, horizon: Long,
+                                      out: String) extends Cmd
   private case class GopherGateCmd(source: String, id: String, text: String,
                                    dest: String, table: String,
                                    checkpoint: String) extends Cmd
@@ -1104,6 +1107,13 @@ object Main {
         ts <- optBool(opts, "serve-media-pairs", "tombstones", dflt = false)
         out <- req(opts, "serve-media-pairs", "out")
       } yield ServeMediaPairsCmd(index, ts, out)
+    case "retain-history" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        history <- req(opts, "retain-history", "history")
+        horizon <- posLong(opts, "retain-history", "horizon")
+        out <- req(opts, "retain-history", "out")
+      } yield RetainHistoryCmd(history, horizon, out)
     case "unigram-train" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -2479,6 +2489,14 @@ object Main {
           org.apache.spark.sql.functions.least(c("id_a"), c("id_b")).as("id_a"),
           org.apache.spark.sql.functions.greatest(c("id_a"), c("id_b")).as("id_b"))
         .distinct()
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case RetainHistoryCmd(history, horizon, out) =>
+      // retention pruning: intervals ended at/before the horizon drop;
+      // asOf/pitJoin at any version >= horizon are unchanged (reads
+      // below the horizon become incomplete BY DESIGN — retention)
+      graft.sync.History.retainSince(spark.read.parquet(history), horizon)
         .write.mode("overwrite").parquet(out)
       0
 

@@ -779,6 +779,18 @@ class MainSpec extends SparkSpec {
     assert(served === Set((20L, 21L)))
   }
 
+  test("retain-history: horizon pruning artifact") {
+    val tmp = Files.createTempDirectory("graft_cli_rh").toString
+    Seq((1L, 10L, 1L, Some(2L)), (1L, 11L, 2L, None), (2L, 20L, 1L, Some(3L)))
+      .toDF("id", "v", "valid_from", "valid_to").write.parquet(s"$tmp/h")
+    assert(Main.run(spark, Array("retain-history",
+      "--history", s"$tmp/h", "--horizon", "2", "--out", s"$tmp/o")) === 0)
+    val got = spark.read.parquet(s"$tmp/o").select($"id", $"valid_from").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // [1,2) ended AT the horizon: dropped; the open row and [1,3) stay
+    assert(got === Set((1L, 2L), (2L, 1L)))
+  }
+
   test("scd2-ingest: maintained history artifact with CDC deletes") {
     val tmp = Files.createTempDirectory("graft_cli_scd2i").toString
     Seq((1L, Some(10L), 1L, "u"), (2L, Some(20L), 1L, "u"),

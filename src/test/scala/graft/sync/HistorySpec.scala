@@ -185,6 +185,23 @@ class HistorySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("retainSince drops only intervals ended at/before the horizon; later reads unchanged") {
+    // k1: [1,2) closed + [2,-) open; k2: [1,3) closed; k3: [3,-) open
+    val h = History.scd2Apply(
+      History.scd2Apply(History.scd2Init(snap((1L, "a", 10L), (2L, "b", 20L)), 1L),
+        snap((1L, "a", 11L), (2L, "b", 20L)), pks, cmp, 2L),
+      snap((1L, "a", 11L), (3L, "c", 30L)), pks, cmp, 3L)
+    val pruned = History.retainSince(h, 2L)
+    assert(rowsOf(pruned) === Set(
+      (1L, "a", 11L, 2L, None),        // open: kept
+      (2L, "b", 20L, 1L, Some(3L)),    // ends past the horizon: kept
+      (3L, "c", 30L, 3L, None)))       // k1's [1,2) ended AT the horizon: dropped
+    // the retention contract: asOf at/after the horizon is identical
+    for (v <- Seq(2L, 3L))
+      assert(History.asOf(pruned, v).collect().toSet ===
+        History.asOf(h, v).collect().toSet, s"asOf($v) drifted")
+  }
+
   test("non-monotonic version fails loudly instead of inverting intervals") {
     def rootMessages(e: Throwable): String = {
       val sb = new StringBuilder

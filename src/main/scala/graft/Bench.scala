@@ -396,6 +396,9 @@ object Bench {
     // fingerprint family; q246 is the two-micro-batch extraction-gate
     // harness (the q208 shape)
     "q247_takedown_media_index", "q246_stream_main_content",
+    // q249 runs the q245 two-round maintained-history harness PLUS a
+    // serving stream (the q201 multi-job shape)
+    "q249_stream_pit_maintained",
     // r16 adjudication (see the q184/q192/q96 scaladoc above): driver
     // collect + water-filling loop ahead of the multi-job bucket
     // decomposition, bimodal across four runs of unchanged code

@@ -6394,6 +6394,75 @@ object SparkEntry {
       pruned.select(col("o_orderkey"), col("o_custkey"), col("cents"),
           col("valid_from"), coalesce(col("valid_to"), lit(0L)).as("valid_to"))
         .orderBy("o_orderkey", "valid_from")
+    }),
+
+    // q249: the MAINTAINED history SERVES — the q245 ∘ q237 composition
+    // closing the family's last asymmetry (q240/q245 maintain histories,
+    // q237 consumes a BATCH-built one; nothing consumed a maintained
+    // one): the CDC delta log streams into the persisted history across
+    // two lineage-continuous rounds (upserts + explicit deletes =
+    // full-snapshot semantics), then the fact stream enriches against
+    // the maintained table via stream-static pitJoin. The whole
+    // composition grades against the batch PIT law (PitOracleSql — per
+    // fact, a join against snapshot ver), so a drifted interval
+    // ANYWHERE in the maintenance chain surfaces as an enrichment
+    // mismatch, including gap facts (keys deleted at v2 resolve NULL)
+    "q249_stream_pit_maintained" -> ((s, dir) => {
+      val (s1, s2, s3) = scdSnapshots(s, dir)
+      def ups(cur: DataFrame, prev: DataFrame): DataFrame = {
+        val p = prev.select(col("o_orderkey"), col("o_custkey").as("__pc"),
+          col("cents").as("__pv")).withColumn("__in", lit(1))
+        cur.join(p, Seq("o_orderkey"), "left")
+          .filter(col("__in").isNull || !(col("o_custkey") <=> col("__pc"))
+            || !(col("cents") <=> col("__pv")))
+          .select(col("o_orderkey"), col("o_custkey"), col("cents"))
+      }
+      def dels(prev: DataFrame, cur: DataFrame): DataFrame =
+        prev.select(col("o_orderkey"))
+          .join(cur.select(col("o_orderkey").as("__k")),
+            col("o_orderkey") === col("__k"), "left_anti")
+          .select(col("o_orderkey"), lit(null).cast(LongType).as("o_custkey"),
+            lit(null).cast(LongType).as("cents"))
+      def stamp(df: DataFrame, ver: Long, op: String): DataFrame =
+        df.withColumn("ver", lit(ver)).withColumn("op", lit(op))
+      val log1 = stamp(s1, 1L, "u")
+        .unionByName(stamp(ups(s2, s1), 2L, "u"))
+        .unionByName(stamp(dels(s1, s2), 2L, "d"))
+      val log2 = stamp(ups(s3, s2), 3L, "u")
+        .unionByName(stamp(dels(s2, s3), 3L, "d"))
+      val tmp = java.nio.file.Files.createTempDirectory("q249").toString
+      try {
+        val store = new graft.sync.ParquetStore(s, s"$tmp/state")
+        def ingest(log: DataFrame): Unit = {
+          log.repartition(1).write.mode("append").parquet(s"$tmp/dsrc")
+          IncrementalStream.scd2Ingest(
+            s.readStream.schema(log.schema).parquet(s"$tmp/dsrc/*.parquet"),
+            store, "history", Seq("o_orderkey"), Seq("o_custkey", "cents"),
+            "ver", checkpointDir = s"$tmp/dck", opCol = Some("op"))
+            .awaitTermination()
+        }
+        ingest(log1)
+        ingest(log2)
+        // the maintained table, read back under the family's contract
+        // (drop the two stamps), pinned for the serving stream
+        val h = store.read("history").get
+          .drop("__last_batch", "__run").localCheckpoint()
+        val facts = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+            (col("l_linenumber") % 3 + 1).cast(LongType).as("ver"))
+        facts.repartition(2).write.parquet(s"$tmp/fsrc")
+        val stream = s.readStream.schema(facts.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/fsrc/*.parquet")
+        val enriched = graft.sync.History.pitJoin(stream, h, Seq("o_orderkey"), "ver")
+          .select(col("o_orderkey"), col("l_linenumber"), col("ver"),
+            coalesce(col("o_custkey").cast(LongType), lit(-1L)).as("custkey_at"),
+            coalesce(col("cents"), lit(-1L)).as("cents_at"))
+        val sink = s"q249_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val q = enriched.writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        drainSink(s, sink, s.table(sink).orderBy("o_orderkey", "l_linenumber"))
+      } finally deleteRecursively(tmp)
     })
   )
 
@@ -7350,6 +7419,11 @@ object SparkEntry {
     // q237: the STREAMED pit enrichment grades against the same batch
     // PIT oracle (batch-split invariance of a per-row stream-static join)
     "q237_stream_pit_enrich" -> PitOracleSql,
+    // q249: the q245-maintained CDC history serving q237's enrichment —
+    // the SAME batch PIT law grades the whole maintenance-then-serve
+    // composition (explicit deletes replicate full-snapshot semantics,
+    // so the maintained intervals must land exactly where scd2Apply's do)
+    "q249_stream_pit_maintained" -> PitOracleSql,
     // q239: the expected kept blocks stated outright — only the
     // whitespace collapse is replayed (on the planted body fragments);
     // the block segmentation and the length/link-density decisions are

@@ -742,6 +742,61 @@ class IncrementalStreamSpec extends SparkSpec {
     }
   }
 
+  test("property: streamed CDC ingest equals the batch full-snapshot fold, any round split") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.sync.{History, ParquetStore}
+    // random snapshot sequences over a small key/value space (the
+    // HistorySpec generator), re-expressed as CDC event logs (inserts,
+    // changes, explicit deletes) and split at a random version boundary
+    // into two lineage-continuous ingest rounds — the maintained
+    // history must equal the batch scd2Apply chain for EVERY shape:
+    // delete-then-readd, same-version multi-key, empty versions,
+    // rounds carrying several versions, empty rounds
+    val snapGen = Gen.mapOf(Gen.zip(Gen.choose(1L, 6L), Gen.choose(0L, 2L)))
+    val caseGen = for {
+      n <- Gen.choose(2, 4)
+      snaps <- Gen.listOfN(n, snapGen)
+      cut <- Gen.choose(1, n - 1)
+    } yield (snaps, cut)
+    val prop = Prop.forAll(caseGen) { case (snaps, cut) =>
+      def events(i: Int): Seq[(Long, Option[Long], Long, String)] =
+        if (i == 0) snaps.head.toSeq.map { case (k, v) => (k, Some(v), 1L, "u") }
+        else {
+          val (prev, cur) = (snaps(i - 1), snaps(i))
+          cur.toSeq.collect { case (k, v) if !prev.get(k).contains(v) =>
+            (k, Some(v), i + 1L, "u") } ++
+            (prev.keySet -- cur.keySet).toSeq.map(k =>
+              (k, Option.empty[Long], i + 1L, "d"))
+        }
+      val tmp = Files.createTempDirectory("graft_scd2p").toString
+      val store = new ParquetStore(spark, s"$tmp/st")
+      def ingest(rows: Seq[(Long, Option[Long], Long, String)]): Unit = {
+        val logDf = rows.toDF("id", "v", "ver", "op")
+        logDf.repartition(1).write.mode("append").parquet(s"$tmp/src")
+        IncrementalStream.scd2Ingest(
+          spark.readStream.schema(logDf.schema).parquet(s"$tmp/src/*.parquet"),
+          store, "h", Seq("id"), Seq("v"), "ver", s"$tmp/ck",
+          opCol = Some("op")).awaitTermination()
+      }
+      ingest((0 until cut).flatMap(events))
+      ingest((cut until snaps.size).flatMap(events))
+      def setOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Option[Long])] =
+        df.select($"id", $"v", $"valid_from", $"valid_to").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+      def df(m: Map[Long, Long]) =
+        if (m.isEmpty) Seq.empty[(Long, Long)].toDF("id", "v")
+        else m.toSeq.toDF("id", "v")
+      val want = snaps.zipWithIndex.drop(1)
+        .foldLeft(History.scd2Init(df(snaps.head), 1L)) { case (h, (s, i)) =>
+          History.scd2Apply(h, df(s), Seq("id"), Seq("v"), i + 1L)
+        }
+      setOf(store.read("h").get.drop("__last_batch", "__run")) == setOf(want)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("maintainCountsKeys rejects key names that collide with merge internals") {
     import graft.sync.ParquetStore
     val rows = Seq(("a", "b")).toDF("n", "__k_x")

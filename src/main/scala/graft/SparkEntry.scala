@@ -6463,6 +6463,32 @@ object SparkEntry {
         q.awaitTermination()
         drainSink(s, sink, s.table(sink).orderBy("o_orderkey", "l_linenumber"))
       } finally deleteRecursively(tmp)
+    }),
+
+    // q250: crawl-to-corpus curation END-TO-END — the verdict-mandated
+    // composition of the extraction stage with the curation pipeline:
+    // raw planted HTML -> main-content extraction (boilerplate dropped
+    // per page) -> token counting over the EXTRACTED text -> a
+    // length-threshold quality keep -> the per-source corpus report a
+    // release publishes (docs in, docs kept, kept token mass). Short
+    // documents genuinely fail the keep at every SF (their body
+    // fragments run out), so the filter is non-vacuous; the oracle
+    // replays the arithmetic over the shared planted CTE — a drift in
+    // ANY stage (block rules, entity decode, collapse, tokenization,
+    // threshold) lands in the source totals
+    "q250_web_curation" -> ((s, dir) => {
+      val extracted = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.text.Html.mainContent(mainContentPlantedHtml,
+            minChars = 15, maxLinkPermille = 300).as("main"))
+        .withColumn("n_tokens",
+          size(TextAnalysis.tokens(col("main"))).cast(LongType))
+      extracted.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("n_tokens") >= 25, 1)).as("n_kept"),
+          coalesce(sum(when(col("n_tokens") >= 25, col("n_tokens"))), lit(0L))
+            .as("kept_tokens"))
+        .orderBy("source")
     })
   )
 
@@ -6615,18 +6641,24 @@ object SparkEntry {
       "s3 AS (SELECT o_orderkey, o_custkey, CASE WHEN o_orderkey % 7 = 0 THEN cents + 2 ELSE cents END AS cents FROM s2 WHERE o_orderkey % 103 <> 0 " +
       "UNION ALL SELECT o_orderkey, o_custkey, cents + 5 FROM s1 WHERE o_orderkey % 97 = 0 AND o_orderkey % 3 = 0)"
 
-  /** The q239/q246 expected kept blocks stated outright over the shared
-    * [[mainContentPlantedHtml]] wrapper — only the whitespace collapse
-    * is replayed (on the planted body fragments); block segmentation
-    * and the length/link-density decisions are independent by
-    * construction. `where` restricts to the gate's keepers (q246). */
-  private def mainContentOracleSqlOver(where: String): String =
-    "WITH c AS (SELECT doc_id, trim(regexp_replace('Alpha A&B ' || substr(text, 1, 100), '[ \\t\\n\\r]+', ' ', 'g')) AS b1, " +
+  /** The q239/q246/q250 planted-page CTE — the kept blocks of the shared
+    * [[mainContentPlantedHtml]] wrapper stated outright, with only the
+    * whitespace collapse replayed (on the planted body fragments);
+    * block segmentation and the length/link-density decisions are
+    * independent by construction. Ends with `m(doc_id, source, main)`. */
+  private def mainContentPlantedCte(where: String): String =
+    "WITH c AS (SELECT doc_id, source, trim(regexp_replace('Alpha A&B ' || substr(text, 1, 100), '[ \\t\\n\\r]+', ' ', 'g')) AS b1, " +
       "trim(regexp_replace('Beta paragraph continues here ' || substr(text, 101, 100) || ' ref link', '[ \\t\\n\\r]+', ' ', 'g')) AS b2 " +
-      s"FROM documents$where) " +
-      "SELECT doc_id, b1 || ' ' || b2 || CASE WHEN doc_id % 4 = 0 THEN ' Gamma solo paragraph without links here' ELSE '' END AS main, " +
+      s"FROM documents$where), " +
+      "m AS (SELECT doc_id, source, b1 || ' ' || b2 || CASE WHEN doc_id % 4 = 0 THEN ' Gamma solo paragraph without links here' ELSE '' END AS main FROM c)"
+
+  /** The q239/q246 extraction report over [[mainContentPlantedCte]];
+    * `where` restricts to the gate's keepers (q246). */
+  private def mainContentOracleSqlOver(where: String): String =
+    mainContentPlantedCte(where) +
+      " SELECT doc_id, main, " +
       "CAST(8 + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_blocks, " +
-      "CAST(2 + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_kept FROM c ORDER BY doc_id"
+      "CAST(2 + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_kept FROM m ORDER BY doc_id"
 
   /** The FULL-snapshot SCD2 law — an island (gaps-and-islands over the
     * per-version presence/value grid) per maximal run of identical
@@ -7433,6 +7465,15 @@ object SparkEntry {
     // carrying the extra link-free paragraph — under the same planted
     // CTE; everything else must be absent from the accumulated log
     "q246_stream_main_content" -> mainContentOracleSqlOver(" WHERE doc_id % 4 = 0"),
+    // q250: the per-source curation report replayed over the shared
+    // planted CTE — token counts on the EXTRACTED text, q17's pattern
+    "q250_web_curation" ->
+      (mainContentPlantedCte("") +
+        ", tk AS (SELECT source, CAST(len(regexp_extract_all(lower(main), '[a-z0-9]+')) AS BIGINT) AS n FROM m) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(count(CASE WHEN n >= 25 THEN 1 END) AS BIGINT) AS n_kept, " +
+        "CAST(coalesce(sum(CASE WHEN n >= 25 THEN n END), 0) AS BIGINT) AS kept_tokens " +
+        "FROM tk GROUP BY source ORDER BY source"),
     // q238: identical planted concat, identical pattern in RE2
     "q238_sentences" ->
       """WITH h AS (SELECT doc_id, substr(text, 1, 50) || '. ' || substr(text, 51, 40) || '? ' || substr(text, 91, 30) || '! tail' AS t2 FROM documents), s AS (SELECT doc_id, regexp_extract_all(t2, '[^.!?]+[.!?]*') AS ss FROM h), e AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx, trim(ss[i]) AS sentence FROM s, LATERAL unnest(range(1, len(ss) + 1)) AS u(i)) SELECT doc_id, sent_idx, sentence, CAST(len(sentence) AS BIGINT) AS n_chars FROM e WHERE sentence <> '' ORDER BY doc_id, sent_idx""",

@@ -82,6 +82,17 @@ class HtmlSpec extends SparkSpec {
     assert(mainOf(html, minChars = 10, maxLinkPermille = 600)._3 === 1L)
   }
 
+  test("mainContent link-density survives multi-megabyte blocks (long arithmetic)") {
+    // one block with >2.1M anchor chars: int32 `link * 1000` would throw
+    // under ANSI (or wrap negative and KEEP the link farm with ANSI off)
+    val words = "word " * 300000   // 1.5M plain chars
+    val anchor = "link " * 500000  // 2.5M link chars
+    val html = "<div>" + words + "<a href=\"u\">" + anchor + "</a></div>"
+    // ~62% link density: dropped at 300 permille, kept at 700
+    assert(mainOf(html, minChars = 10, maxLinkPermille = 300)._3 === 0L)
+    assert(mainOf(html, minChars = 10, maxLinkPermille = 700)._3 === 1L)
+  }
+
   test("mainContent decodes entities inside blocks and handles nav shells") {
     val (m, _, k) = mainOf("<p>alpha &amp; beta gamma delta epsilon</p>")
     assert(m === "alpha & beta gamma delta epsilon" && k === 1L)

@@ -217,7 +217,19 @@ object Bench {
     "q232_line_dedup_within" -> 0.176, "q233_version_diff" -> 0.756,
     "q234_url_frontier" -> 1.57, "q235_schema_drift" -> 0.075,
     "q236_k_anonymity" -> 0.117, "q237_stream_pit_enrich" -> 5.234,
-    "q238_sentences" -> 0.174)
+    "q238_sentences" -> 0.174,
+    // Round-17 seed: best-of-two over the r16 driver run (BENCH_r16.json,
+    // calibration 1.232) and the builder's definitive close bench
+    // (commit d1fe055's BENCH_LAST.json, calibration 1.149), each value
+    // DIVIDED by its own run's calibration per the seeding convention,
+    // landing the previously-floorless round-16 cohort q239-q250.
+    "q239_main_content" -> 3.258, "q240_stream_scd2" -> 2.706,
+    "q241_video_neardup" -> 0.649, "q242_stream_video_dedup" -> 3.398,
+    "q243_host_frontier_budget" -> 2.475,
+    "q244_compaction_under_serving" -> 3.029,
+    "q245_stream_scd2_cdc" -> 4.129, "q246_stream_main_content" -> 1.795,
+    "q247_takedown_media_index" -> 2.634, "q248_history_retention" -> 1.064,
+    "q249_stream_pit_maintained" -> 9.905, "q250_web_curation" -> 0.563)
 
   /** Fixed-seconds slack added to the 1.5x bound: sub-second floors are
     * scheduler-noise-dominated (a 0.13 s query measured at 0.25 s is noise,
@@ -328,6 +340,25 @@ object Bench {
     * raw and zero calibrated flags (q36 0.897, q170 2.265, q171 1.402
     * at calibration 1.055). Floors kept, no tags added — the flags were
     * a single-run canary/load skew, not a regression. */
+  /** q48/q88 r16-driver calibrated flags ADJUDICATED (r17, the
+    * two-re-measure protocol): the r16 DRIVER bench flagged
+    * q48_repetition and q88_compaction calibrated (3.24x/3.29x at
+    * calibration 1.232) — neither code path changed in round 16, and
+    * the builder's same-code close bench had both AT FLOOR (0.61/1.60
+    * at cal 1.149). Two targeted quiet-box re-measures (load < 0.6,
+    * canaries in-subset): q48 0.649 @ cal 1.762 and 0.508 @ cal 1.437
+    * (0.37x/0.35x calibrated of its 0.407 floor — AT floor both
+    * times); q88 2.17/2.07 raw (1.23x/1.44x calibrated of its 0.98
+    * floor — inside the 1.5x+noise bound both times); Bench's own
+    * flag lists empty on both runs. The early-band hypothesis from
+    * the r16 verdict also tested: all six OTHER raw-flagged early-band
+    * queries (q42/q46/q47/q49/q60/q96 — bench positions 42-96 of the
+    * driver's 250-query single-JVM run) ran in the same subsets and
+    * produced ZERO calibrated flags — the whole band is at floor in
+    * isolation, so the driver-run elevation was position/load noise in
+    * a growing single-JVM run, not per-query regressions. Floors kept,
+    * no new tags, both flags closed (the q113-r15 calibration-tracking
+    * closure shape). */
   private val HighVariance = Set("q33_dedup_canonical",
     "q64_dedup_keep_best", "q89_cc_deep_chain", "q111_entity_resolution",
     "q132_leakage_safe_split", "q150_bpe_train",

@@ -30,10 +30,21 @@ object Watermark {
       .select(coalesce(col("check_value").cast(LongType), lit(0L)).as("check_value"))
 
   /** id semantics, driver scalar: NULL -> 0. */
-  def readId(df: DataFrame, checkColumn: String): Long = {
-    val v = maxOf(df, checkColumn).head.get(0)
+  def readId(df: DataFrame, checkColumn: String): Long =
+    idOf(maxOf(df, checkColumn))
+
+  /** id semantics over a PRECOMPUTED 1-row `check_value` frame — the shape
+    * `TableStore.watermark` hands back (for JDBC stores the MAX already ran
+    * server-side; re-aggregating here would be wrong only in cost, but this
+    * keeps the plan one remote row, zero engine-side aggregation). */
+  def idOf(wm: DataFrame): Long = {
+    val v = wm.head.get(0)
     if (v == null) 0L else v.asInstanceOf[Number].longValue
   }
+
+  /** timestamp semantics over a precomputed 1-row `check_value` frame:
+    * NULL stays None -> caller takes the full-copy branch. */
+  def timestampOf(wm: DataFrame): Option[Any] = Option(wm.head.get(0))
 
   /** timestamp semantics, driver scalar: NULL stays None -> caller takes the
     * full-copy branch (sync_utils.py:259-261). Returned as the engine's own
@@ -41,5 +52,5 @@ object Watermark {
     * for TIMESTAMP_NTZ — Spark 4 infers NTZ for naive parquet timestamps), so
     * `lit(_)` round-trips it losslessly. */
   def readTimestamp(df: DataFrame, checkColumn: String): Option[Any] =
-    Option(maxOf(df, checkColumn).head.get(0))
+    timestampOf(maxOf(df, checkColumn))
 }

@@ -48,20 +48,28 @@ object SyncJob {
     val projected = Projection.ignoring(src, cfg.ignoreColumns.toSet)
     val destDf = dest.read(cfg.name)
 
-    // O5 + O7: watermark read on the DESTINATION, then full-vs-incremental
+    // O5 + O7: watermark read on the DESTINATION, then full-vs-incremental.
+    // The read goes through the STORE (dest.watermark), not the already-read
+    // DataFrame: JdbcStore pushes the MAX into the remote engine (one row
+    // over the wire — sync_utils.py:22-25's shape) where the frame-level
+    // `agg(max)` would pull the whole check column; ParquetStore's default
+    // is the same partial-agg tree as before. A table that vanishes between
+    // the existence read above and the watermark read maps to the same
+    // semantics as an all-NULL column (id -> 0, timestamp -> full copy) —
+    // the reference's own NULL branches (sync_utils.py:32-33, :259-261).
     val (delta, mode) = (cfg.checkColumn, cfg.checkType, destDf) match {
-      case (Some(c), Some(CheckType.Id), Some(d)) =>
+      case (Some(c), Some(CheckType.Id), Some(_)) =>
         // id: NULL -> 0, incremental branch always runs (sync_utils.py:32-33)
-        val wm = Watermark.readId(d, c)
+        val wm = dest.watermark(cfg.name, c).map(Watermark.idOf).getOrElse(0L)
         (Incremental.newerThan(projected, c, lit(wm)), s"incremental id > $wm")
-      case (Some(c), Some(CheckType.Timestamp), Some(d)) =>
-        Watermark.readTimestamp(d, c) match {
+      case (Some(c), Some(CheckType.Timestamp), Some(_)) =>
+        dest.watermark(cfg.name, c).flatMap(Watermark.timestampOf) match {
           case Some(wm) => (Incremental.newerThan(projected, c, lit(wm)), s"incremental ts > $wm")
           case None     => (projected, "full (empty destination watermark)")
         }
-      case (Some(c), Some(CheckType.Other), Some(d)) =>
+      case (Some(c), Some(CheckType.Other), Some(_)) =>
         // the reference's unreachable >= branch, kept for parity (§2.4-4)
-        Watermark.readTimestamp(d, c) match {
+        dest.watermark(cfg.name, c).flatMap(Watermark.timestampOf) match {
           case Some(wm) => (Incremental.atLeast(projected, c, lit(wm)), s"incremental >= $wm")
           case None     => (projected, "full (empty destination watermark)")
         }

@@ -24,6 +24,17 @@ trait TableStore {
   def append(df: DataFrame, table: String): Unit =
     write(read(table).map(_.unionByName(df)).getOrElse(df), table)
 
+  /** O5 watermark read: a 1-row DataFrame (`check_value` = MAX(checkColumn))
+    * for an existing table, None when the table is missing. The default
+    * computes the aggregate engine-side over `read` (fine for columnar
+    * stores — a partial-agg tree that moves one value per partition);
+    * stores backed by a remote SQL engine MUST override to push the MAX
+    * server-side, or every sync pulls the destination's whole check column
+    * over the wire to compute one scalar (the reference does this in one
+    * line of SQL — db-sync-local/sync_utils.py:22-25). */
+  def watermark(table: String, checkColumn: String): Option[DataFrame] =
+    read(table).map(graft.operators.Watermark.maxOf(_, checkColumn))
+
   /** Replace `table`'s contents with `df` ALL-OR-NOTHING: after a crash at
     * any point, a reader sees either the complete old contents or the
     * complete new contents, never a torn mix. This is what state+marker
@@ -86,6 +97,36 @@ class JdbcStore(spark: SparkSession, url: String, props: Map[String, String],
       .options(props).options(partitionOptions)
       .load())
     catch { case scala.util.control.NonFatal(e) if JdbcStore.isTableMissing(e) => None }
+
+  /** O5 watermark, pushed server-side: the MAX runs inside the remote engine
+    * via a pushdown subquery — Spark's v1 JDBC source pushes predicates and
+    * prunes columns but does NOT push aggregates, so the trait default
+    * (`agg(max)` over `read`) would stream the destination's entire check
+    * column through the connection (through ONE connection unless
+    * partitionOptions are set) to produce a single scalar, per table, per
+    * sync. Here the remote engine sees
+    * `SELECT "check_value" FROM (SELECT MAX(c) AS check_value FROM t) q`
+    * and exactly one row crosses the wire — the reference's own shape
+    * (db-sync-local/sync_utils.py:22-25). The bare derived-table alias
+    * (`) q`, no AS) is the portable spelling: Oracle rejects `AS` on table
+    * aliases, while PostgreSQL/MySQL/SQL Server/Derby/H2 accept both. The
+    * check column is quoted through Spark's dialect for this URL (it came
+    * from a config file, not a user; quoting guards casing, not injection —
+    * same trust level as `table` in `read`). The alias `check_value` is
+    * quoted too so case-folding engines (Derby/H2/Oracle upper-fold unquoted
+    * identifiers) hand back the exact column name Watermark.idOf expects.
+    * partitionOptions are deliberately NOT applied: this is a 1-row read. */
+  override def watermark(table: String, checkColumn: String): Option[DataFrame] = {
+    val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+    val c = dialect.quoteIdentifier(checkColumn)
+    val alias = dialect.quoteIdentifier("check_value")
+    val sub = s"(SELECT MAX($c) AS $alias FROM $table) q"
+    try Some(spark.read.format("jdbc")
+      .option("url", url).option("dbtable", sub)
+      .options(props)
+      .load())
+    catch { case scala.util.control.NonFatal(e) if JdbcStore.isTableMissing(e) => None }
+  }
 
   /** Store semantics are "replace table contents with df" (SyncJob hands the
     * FULL merged table). Production incremental loads should ship only the

@@ -199,6 +199,21 @@ object IncrementalStream {
     require((pks ++ compareCols ++ (verCol +: opCol.toSeq))
         .forall(c => !c.startsWith("__")),
       "scd2Ingest: column names may not start with '__' (reserved for the maintained-view stamps)")
+    // verCol must be INTEGRAL, required loudly up front: the fold below
+    // collects versions through cast(long) and slices by equality — a
+    // fractional verCol (double 2.5, a timestamp) would collapse to 2 in
+    // the collect while the slice filter matched the cast of every row
+    // in that truncated bucket, silently merging (or, sliced on the
+    // original type, silently DROPPING) pulls. Stamp pulls with an
+    // integer sequence upstream; a timestamp stamp should be epoch
+    // micros AS A LONG, decided by the caller, not a hidden truncation.
+    deltaStream.schema(verCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+      case other => throw new IllegalArgumentException(
+        s"scd2Ingest: verCol '$verCol' must be an integral type (got $other) — " +
+          "stamp pulls with an integer sequence (epoch micros as LONG for time stamps)")
+    }
     val dataCols = pks ++ compareCols
     val logCols = dataCols ++ (verCol +: opCol.toSeq)
     // ascending-version fold of a RAW delta log into a history; the
@@ -213,7 +228,9 @@ object IncrementalStream {
           r.getLong(0)
         }.sorted
       versions.foldLeft(history) { (h, ver) =>
-        val slice = log.filter(col(verCol) === ver)
+        // same cast as the collect above — the two sides of the slice
+        // can never disagree on which rows belong to `ver`
+        val slice = log.filter(col(verCol).cast("long") === ver)
         opCol match {
           case None =>
             History.scd2ApplyUpserts(h, slice.select(dataCols.map(col): _*),
@@ -917,8 +934,13 @@ object IncrementalStream {
             // batch (the Takedown.tombstone precedent)
             val fresh = freshRaw.localCheckpoint()
             try {
+              // deterministic admission: ids are not required unique per
+              // row, so a duplicate id within a host would make which
+              // URLs win the budget replay-dependent — url_norm (unique
+              // per row here by the Dedup.exact winner step) breaks the
+              // tie the same way on every replay
               val rk = org.apache.spark.sql.expressions.Window
-                .partitionBy(col("host")).orderBy(col(idCol))
+                .partitionBy(col("host")).orderBy(col(idCol), col("url_norm"))
               val prior = prev match {
                 case Some(p) =>
                   // seen-set rows of the DELTA's hosts only: the budget

@@ -67,9 +67,15 @@ object Html {
     * of these is one content block (the jusText/boilerpipe block
     * definition). Inline tags (`a`, `b`, `span`, `em`, …) deliberately
     * do NOT split — anchor text belongs to its surrounding block, which
-    * is exactly what makes link density computable per block. */
+    * is exactly what makes link density computable per block. The
+    * `(?=[\s/>])` boundary after the name group keeps the alternation
+    * from PREFIX-matching longer inline/metadata tag names (`<link>`
+    * and `<li…>` both start with `li`; `<picture>`, `<param>`,
+    * `<progress>` start with `p`) — without it those split blocks too,
+    * perturbing the min-chars and link-density decisions on real
+    * pages. */
   val BlockTagPattern: String =
-    "(?i)</?(html|head|title|body|p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tfoot|tr|td|th|br|hr|section|article|header|footer|nav|aside|main|blockquote|pre|form|fieldset|figure|figcaption)[^>]*>"
+    "(?i)</?(html|head|title|body|p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tfoot|tr|td|th|br|hr|section|article|header|footer|nav|aside|main|blockquote|pre|form|fieldset|figure|figcaption)(?=[\\s/>])[^>]*>"
 
   /** MAIN-CONTENT extraction — the boilerplate-aware upgrade of
     * [[extractText]]: a stripped-tags WET pass keeps nav/footer/sidebar
@@ -101,7 +107,17 @@ object Html {
     * Splitting uses the 0x1F unit separator as the block sentinel;
     * documents containing that control character are out of contract
     * (scrub upstream — the [[graft.text.Scrub]] pass drops C0
-    * controls). */
+    * controls).
+    *
+    * Documented heuristic limit: link chars are counted from `<a>…</a>`
+    * spans WITHIN each block, so an anchor wrapping a block-level
+    * element (HTML5-legal `<a><div>…</div></a>`) is split at the block
+    * boundary and its inner text is not counted as link chars — a link
+    * farm built that way evades the density rule (the min-chars rule
+    * and cross-document line dedup still apply to it). The same
+    * within-block trade-off is in jusText's own segmentation; counting
+    * anchor spans before splitting would make every block boundary
+    * inside an anchor ambiguous. */
   def mainContentReport(html: Column, minChars: Int = 25,
                         maxLinkPermille: Int = 333): Column = {
     require(minChars >= 1, s"mainContentReport: minChars must be >= 1, got $minChars")

@@ -96,6 +96,25 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(store.read("seen").get.count() === 5L)
   }
 
+  test("frontierGate budget admission is deterministic under duplicate ids") {
+    import graft.sync.ParquetStore
+    val src = s"${Files.createTempDirectory("graft_fgt").toString}/src"
+    val store = new ParquetStore(spark, Files.createTempDirectory("graft_fgt_st").toString)
+    // ids are NOT required unique per row: three distinct URLs on one
+    // host share id 1. Ranked only by id, which one wins the budget of 1
+    // would be partition-order nondeterministic; the url_norm tie-break
+    // pins the admission to the lexicographically-smallest canonical.
+    Seq((1L, "http://h.com/c"), (1L, "http://h.com/a"), (1L, "http://h.com/b"))
+      .toDF("id", "u").repartition(3).write.parquet(src)
+    IncrementalStream.frontierGate(
+      spark.readStream.schema(Seq((0L, "")).toDF("id", "u").schema).parquet(src),
+      "id", "u", store, "seen",
+      checkpointDir = Files.createTempDirectory("graft_fgt_cp").toString,
+      maxPerHost = Some(1L)).awaitTermination()
+    val out = store.read("seen").get.collect().map(_.getString(1)).toSeq
+    assert(out === Seq("http://h.com/a"))
+  }
+
   test("frontierGate budget counts a LEGACY host-less seen table (host re-derived at read)") {
     import graft.sync.ParquetStore
     val src = s"${Files.createTempDirectory("graft_fgl").toString}/src"
@@ -701,6 +720,14 @@ class IncrementalStreamSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       IncrementalStream.scd2Ingest(log1.withColumnRenamed("v", "valid_from"),
         store, "h2", Seq("id"), Seq("valid_from"), "ver", s"$tmp/ck2")
+    }
+    // a non-integral verCol fails LOUDLY up front: the version fold
+    // collects through cast(long), so a double 2.5 would silently merge
+    // (or drop) pulls instead of erroring — stamp integer sequences
+    intercept[IllegalArgumentException] {
+      IncrementalStream.scd2Ingest(
+        log1.withColumn("ver", $"ver".cast("double")),
+        store, "h2", Seq("id"), Seq("v"), "ver", s"$tmp/ck2")
     }
   }
 

@@ -104,4 +104,19 @@ class HtmlSpec extends SparkSpec {
     val (m3, b3, _) = mainOf("<p>one <b>two</b> three four five six</p>")
     assert(m3 === "one two three four five six" && b3 === 1L)
   }
+
+  test("block tag names match on a boundary, not as prefixes of inline tags") {
+    // <link>, <picture>, <param>, <progress> share prefixes with block
+    // tags (li, p) — a prefix match would split the paragraph at each,
+    // fragmenting it below minChars and changing the density decision
+    val html = "<p>alpha beta <link rel=\"x\" href=\"y\"/> gamma delta " +
+      "<picture><img src=\"z\"/></picture> epsilon zeta eta theta</p>"
+    val (m, b, k) = mainOf(html, minChars = 30)
+    assert(b === 1L, s"inline/metadata tags split the block: $b blocks")
+    assert(k === 1L)
+    assert(m === "alpha beta gamma delta epsilon zeta eta theta")
+    // the real block tags still split: li vs link, p vs picture
+    val (_, b2, _) = mainOf("<li>one two three</li><p>four five six</p>")
+    assert(b2 === 2L)
+  }
 }

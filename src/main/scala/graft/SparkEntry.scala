@@ -6489,6 +6489,129 @@ object SparkEntry {
           coalesce(sum(when(col("n_tokens") >= 25, col("n_tokens"))), lit(0L))
             .as("kept_tokens"))
         .orderBy("source")
+    }),
+
+    // q251: WARC container record reader — the crawl interchange format
+    // (ISO 28500) split into records by sources.Warc's CRLF chunk
+    // walker. Per doc one planted file: warcinfo (no URI), a MALFORMED
+    // record missing Content-Length (%7), a request (%5), 1 + id%3
+    // response records whose payloads slice the document text through
+    // the SAME Spark substring the oracle replays in substr, and a
+    // LYING-length tail record (%11); even ids pack gzip-member-per-
+    // record (the .warc.gz wire format), odd ids stay plain with junk
+    // bytes between records. Fixed-offset parsing cannot pass: junk,
+    // malformed and lying records consume no rec_index, and the %5/%3
+    // moduli shift every record's offset per file. The oracle states
+    // rec_index/url/payload arithmetic outright from doc_id
+    "q251_warc_records" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val payloads = t(s, dir, "documents").select(
+        col("doc_id").cast(LongType).as("doc_id"),
+        transform(sequence(lit(0L), col("doc_id") % 3), i =>
+          concat(lit("P "), col("doc_id").cast(StringType), lit(" "),
+            i.cast(StringType), lit(" "),
+            col("text").substr((lit(1L) + i * 40L).cast(IntegerType),
+              lit(40)))).as("ps"))
+      val files = payloads.as[(Long, Seq[String])].mapPartitions { it =>
+        val UTF8 = java.nio.charset.StandardCharsets.UTF_8
+        def rec(t: String, url: Option[String], payload: Array[Byte]): Array[Byte] = {
+          val h = new StringBuilder(s"WARC/1.0\r\nWARC-Type: $t\r\n")
+          url.foreach(u => h ++= s"WARC-Target-URI: $u\r\n")
+          h ++= s"Content-Length: ${payload.length}\r\n\r\n"
+          h.toString.getBytes(UTF8) ++ payload ++ "\r\n\r\n".getBytes(UTF8)
+        }
+        def gz(b: Array[Byte]): Array[Byte] = {
+          val bos = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(bos)
+          g.write(b); g.close(); bos.toByteArray
+        }
+        it.map { case (id, ps) =>
+          val members = Seq(rec("warcinfo", None, "graft-crawler".getBytes(UTF8))) ++
+            (if (id % 7 == 0)
+              Seq("WARC/1.0\r\nWARC-Type: broken\r\n\r\n".getBytes(UTF8))
+             else Seq.empty) ++
+            (if (id % 5 == 0)
+              Seq(rec("request", Some(s"http://ex.org/$id/r0"), s"GET /$id".getBytes(UTF8)))
+             else Seq.empty) ++
+            ps.zipWithIndex.map { case (p, i) =>
+              rec("response", Some(s"http://ex.org/$id/r$i"), p.getBytes(UTF8)) } ++
+            (if (id % 11 == 0)
+              Seq(("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: lie\r\n" +
+                "Content-Length: 999999\r\n\r\nstub").getBytes(UTF8))
+             else Seq.empty)
+          val bytes =
+            if (id % 2 == 0) members.map(gz).reduce(_ ++ _)
+            else members.reduce((a, b) => a ++ "NOISE-BETWEEN\r\n".getBytes(UTF8) ++ b)
+          (id, bytes)
+        }
+      }.toDF("file_id", "content")
+      // no url/lie filter: if the walker ever ADMITTED the lying-length
+      // tail record, its row would surface here and break the oracle
+      graft.sources.Warc.records(files)
+        .filter(_.warc_type == "response")
+        .map(r => (r.file_id, r.rec_index, r.url,
+          new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)))
+        .toDF("doc_id", "rec_index", "url", "text")
+        .orderBy("doc_id", "rec_index")
+    }),
+
+    // q252: crawl-dump-to-corpus — the q250 curation composed over the
+    // ACTUAL interchange format: each planted q239 page ships as the
+    // response payload of its own .warc.gz (gzip %2, plain+junk
+    // otherwise, warcinfo + %5 request hazards in every file),
+    // Warc.responseText reopens the corpus, main-content extraction +
+    // token-threshold keep + the per-source release report run on what
+    // came OUT of the container. Graded by the exact q250 oracle — any
+    // byte lost or gained in the WARC round trip lands in the token
+    // mass of some source
+    "q252_warc_curation" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val files = docs.select(col("doc_id").cast(LongType).as("doc_id"),
+          mainContentPlantedHtml.as("page"))
+        .as[(Long, String)].mapPartitions { it =>
+          val UTF8 = java.nio.charset.StandardCharsets.UTF_8
+          def rec(t: String, url: Option[String], payload: Array[Byte]): Array[Byte] = {
+            val h = new StringBuilder(s"WARC/1.0\r\nWARC-Type: $t\r\n")
+            url.foreach(u => h ++= s"WARC-Target-URI: $u\r\n")
+            h ++= s"Content-Length: ${payload.length}\r\n\r\n"
+            h.toString.getBytes(UTF8) ++ payload ++ "\r\n\r\n".getBytes(UTF8)
+          }
+          def gz(b: Array[Byte]): Array[Byte] = {
+            val bos = new java.io.ByteArrayOutputStream()
+            val g = new java.util.zip.GZIPOutputStream(bos)
+            g.write(b); g.close(); bos.toByteArray
+          }
+          it.map { case (id, page) =>
+            val members = Seq(rec("warcinfo", None, "graft-crawler".getBytes(UTF8))) ++
+              (if (id % 5 == 0)
+                Seq(rec("request", Some(s"http://ex.org/$id"), "GET /".getBytes(UTF8)))
+               else Seq.empty) ++
+              Seq(rec("response", Some(s"http://ex.org/$id"), page.getBytes(UTF8)))
+            val bytes =
+              if (id % 2 == 0) members.map(gz).reduce(_ ++ _)
+              else members.reduce((a, b) => a ++ "NOISE\r\n".getBytes(UTF8) ++ b)
+            (id, bytes)
+          }
+        }.toDF("file_id", "content")
+      val corpus = graft.sources.Warc.responseText(files)
+        .select(col("file_id").as("doc_id"), col("text").as("page"))
+      val extracted = corpus
+        .join(docs.select(col("doc_id").cast(LongType).as("doc_id"), col("source")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("source"),
+          graft.text.Html.mainContent(col("page"),
+            minChars = 15, maxLinkPermille = 300).as("main"))
+        .withColumn("n_tokens",
+          size(TextAnalysis.tokens(col("main"))).cast(LongType))
+      extracted.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("n_tokens") >= 25, 1)).as("n_kept"),
+          coalesce(sum(when(col("n_tokens") >= 25, col("n_tokens"))), lit(0L))
+            .as("kept_tokens"))
+        .orderBy("source")
     })
   )
 
@@ -7549,7 +7672,30 @@ object SparkEntry {
     // q214: q148's serving oracle with the corpus restricted to the
     // takedown survivors — the df<=100 hot gate recomputes over them
     "q214_takedown_overlap_index" ->
-      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS gpos, md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS gh FROM tok, LATERAL unnest(range(1, len(ts) - 1)) AS t(i) WHERE len(ts) >= 3), n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng FROM g GROUP BY 1), mw AS (SELECT doc_id, gpos, min(gh) OVER (PARTITION BY doc_id ORDER BY gpos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh FROM g), w AS (SELECT mw.doc_id, mw.gpos AS wpos, mw.mh FROM mw JOIN n USING (doc_id) WHERE mw.gpos <= greatest(n.ng - 4, 0)), fpd AS (SELECT DISTINCT w.doc_id, w.mh AS fp FROM w), corpus AS (SELECT * FROM fpd WHERE doc_id < 250 AND doc_id >= 100), rare AS (SELECT fp FROM corpus GROUP BY fp HAVING count(*) <= 100), ci AS (SELECT c.fp, c.doc_id FROM corpus c JOIN rare USING (fp)), arr AS (SELECT * FROM fpd WHERE doc_id >= 250) SELECT a.doc_id AS id_a, c.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared FROM arr a JOIN ci c ON a.fp = c.fp GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b"""
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents), g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS gpos, md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS gh FROM tok, LATERAL unnest(range(1, len(ts) - 1)) AS t(i) WHERE len(ts) >= 3), n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng FROM g GROUP BY 1), mw AS (SELECT doc_id, gpos, min(gh) OVER (PARTITION BY doc_id ORDER BY gpos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh FROM g), w AS (SELECT mw.doc_id, mw.gpos AS wpos, mw.mh FROM mw JOIN n USING (doc_id) WHERE mw.gpos <= greatest(n.ng - 4, 0)), fpd AS (SELECT DISTINCT w.doc_id, w.mh AS fp FROM w), corpus AS (SELECT * FROM fpd WHERE doc_id < 250 AND doc_id >= 100), rare AS (SELECT fp FROM corpus GROUP BY fp HAVING count(*) <= 100), ci AS (SELECT c.fp, c.doc_id FROM corpus c JOIN rare USING (fp)), arr AS (SELECT * FROM fpd WHERE doc_id >= 250) SELECT a.doc_id AS id_a, c.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared FROM arr a JOIN ci c ON a.fp = c.fp GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b""",
+    // q251: the well-formed response records stated outright from
+    // doc_id — rec_index arithmetic encodes which hazard records
+    // consume no index (warcinfo always at 0; the %7 malformed and the
+    // %11 lying-length records never count; the %5 request shifts
+    // responses by one); payload text replays the same substr slices
+    "q251_warc_records" ->
+      ("WITH e AS (SELECT doc_id, text, CAST(u.i AS BIGINT) AS i FROM documents, " +
+        "LATERAL unnest(range(0, doc_id % 3 + 1)) AS u(i)) " +
+        "SELECT doc_id, " +
+        "CAST(1 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END + i AS BIGINT) AS rec_index, " +
+        "'http://ex.org/' || CAST(doc_id AS VARCHAR) || '/r' || CAST(i AS VARCHAR) AS url, " +
+        "'P ' || CAST(doc_id AS VARCHAR) || ' ' || CAST(i AS VARCHAR) || ' ' || " +
+        "substr(text, CAST(1 + i * 40 AS INT), 40) AS text " +
+        "FROM e ORDER BY doc_id, rec_index"),
+    // q252: the q250 per-source curation report — the WARC round trip
+    // must be byte-transparent, so the EXACT q250 oracle grades it
+    "q252_warc_curation" ->
+      (mainContentPlantedCte("") +
+        ", tk AS (SELECT source, CAST(len(regexp_extract_all(lower(main), '[a-z0-9]+')) AS BIGINT) AS n FROM m) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(count(CASE WHEN n >= 25 THEN 1 END) AS BIGINT) AS n_kept, " +
+        "CAST(coalesce(sum(CASE WHEN n >= 25 THEN n END), 0) AS BIGINT) AS kept_tokens " +
+        "FROM tk GROUP BY source ORDER BY source")
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = core ++ llm

@@ -1,0 +1,103 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.SparkSpec
+
+class WarcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rec(warcType: String, url: Option[String], payload: String,
+                  extraHeader: String = ""): Array[Byte] = {
+    val p = payload.getBytes(UTF_8)
+    val h = new StringBuilder("WARC/1.0\r\n")
+    h ++= s"WARC-Type: $warcType\r\n"
+    url.foreach(u => h ++= s"WARC-Target-URI: $u\r\n")
+    if (extraHeader.nonEmpty) h ++= extraHeader
+    h ++= s"Content-Length: ${p.length}\r\n\r\n"
+    h.toString.getBytes(UTF_8) ++ p ++ "\r\n\r\n".getBytes(UTF_8)
+  }
+
+  private def gz(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(b); g.close()
+    bos.toByteArray
+  }
+
+  test("plain multi-record file: types, urls, lengths, payloads, indices") {
+    val f = rec("warcinfo", None, "software: graft") ++
+      rec("request", Some("http://e.com/a"), "GET /a") ++
+      rec("response", Some("http://e.com/a"), "hello body")
+    val rs = Warc.walk(7L, f)
+    assert(rs.map(_.warc_type) === Seq("warcinfo", "request", "response"))
+    assert(rs.map(_.rec_index) === Seq(0L, 1L, 2L))
+    assert(rs.head.url === null)
+    assert(rs(2).url === "http://e.com/a")
+    assert(new String(rs(2).payload, UTF_8) === "hello body")
+    assert(rs(2).content_length === 10L)
+    assert(rs.forall(_.file_id === 7L))
+  }
+
+  test("gzip-member-per-record archives read identically to plain") {
+    val plain = rec("response", Some("u1"), "alpha") ++
+      rec("response", Some("u2"), "beta")
+    val gzPerMember = gz(rec("response", Some("u1"), "alpha")) ++
+      gz(rec("response", Some("u2"), "beta"))
+    assert(Warc.walk(1L, gzPerMember).map(r => (r.url, new String(r.payload, UTF_8)))
+      === Warc.walk(1L, plain).map(r => (r.url, new String(r.payload, UTF_8))))
+  }
+
+  test("payloads containing WARC/ and header-like lines are not re-split") {
+    // the payload extent comes from Content-Length, never from scanning
+    val tricky = "WARC/1.0\r\nWARC-Type: fake\r\nContent-Length: 0\r\n\r\nx"
+    val f = rec("response", Some("u"), tricky) ++ rec("response", Some("v"), "tail")
+    val rs = Warc.walk(1L, f)
+    assert(rs.map(_.url) === Seq("u", "v"))
+    assert(new String(rs.head.payload, UTF_8) === tricky)
+  }
+
+  test("junk between records and malformed records are scanned past") {
+    val f = rec("response", Some("u"), "one") ++
+      "JUNKJUNKJUNK\r\n".getBytes(UTF_8) ++             // non-record noise
+      "WARC/1.0\r\nWARC-Type: broken\r\n\r\n".getBytes(UTF_8) ++ // no Content-Length
+      rec("response", Some("v"), "two") ++
+      // lying length: declares more payload than the file holds
+      "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: w\r\nContent-Length: 99999\r\n\r\nshort".getBytes(UTF_8)
+    val rs = Warc.walk(1L, f)
+    assert(rs.map(_.url) === Seq("u", "v"))
+    assert(rs.map(_.rec_index) === Seq(0L, 1L)) // malformed consume no index
+  }
+
+  test("header keys are case-insensitive; values trimmed") {
+    val raw = ("WARC/1.0\r\nwarc-type:  response \r\nWARC-TARGET-URI:\thttp://x\r\n" +
+      "content-length: 3\r\n\r\nabc\r\n\r\n").getBytes(UTF_8)
+    val rs = Warc.walk(1L, raw)
+    assert(rs.map(r => (r.warc_type, r.url, new String(r.payload, UTF_8)))
+      === Seq(("response", "http://x", "abc")))
+  }
+
+  test("records() and responseText() run as a distributed flatMap") {
+    val f1 = gz(rec("warcinfo", None, "meta")) ++
+      gz(rec("response", Some("http://a"), "body A"))
+    val f2 = rec("response", Some("http://b"), "body B") ++
+      rec("request", Some("http://b"), "GET /b")
+    val files = Seq((1L, f1), (2L, f2)).toDF("file_id", "content")
+    implicit val s = spark
+    val rs = Warc.records(files).collect()
+    assert(rs.length === 4)
+    val texts = Warc.responseText(files).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(3))).toSet
+    assert(texts === Set((1L, "http://a", "body A"), (2L, "http://b", "body B")))
+  }
+
+  test("degrade-don't-kill: empty, null-ish, corrupt gzip, truncated header") {
+    assert(Warc.walk(1L, Array.empty[Byte]) === Seq.empty)
+    assert(Warc.walk(1L, "no warc here at all".getBytes(UTF_8)) === Seq.empty)
+    val corrupt = Array[Byte](0x1f.toByte, 0x8b.toByte, 9, 9, 9, 9)
+    assert(Warc.walk(1L, corrupt) === Seq.empty)
+    // header runs off the end of the file
+    assert(Warc.walk(1L, "WARC/1.0\r\nWARC-Type: response\r\n".getBytes(UTF_8))
+      === Seq.empty)
+  }
+}

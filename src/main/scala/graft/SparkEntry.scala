@@ -6612,6 +6612,63 @@ object SparkEntry {
           coalesce(sum(when(col("n_tokens") >= 25, col("n_tokens"))), lit(0L))
             .as("kept_tokens"))
         .orderBy("source")
+    }),
+
+    // q253: SEMANTIC decontamination — the paraphrase-shaped benchmark
+    // overlap q49's 13-grams cannot see, caught in embedding space.
+    // Benchmark = vec_id < 100; corpus = the organic tail (expected
+    // clean — this dataset's cross-pair cosines sit far below 0.95, the
+    // q128 margin precedent) + PLANTED paraphrase twins (benchmark
+    // vectors scaled 1.5x, cosine exactly 1 — scale-invariance is the
+    // point) + negated benchmark vectors (cosine -1, must NOT flag: a
+    // sign bug or abs() would catch them). The benchmark side
+    // broadcasts; the corpus scans once and never shuffles. Oracle:
+    // brute-force cosine membership in DuckDB
+    "q253_embed_decontaminate" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val benchmark = emb.filter(col("vec_id") < 100)
+      val corpus = emb.filter(col("vec_id") >= 100)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(emb.filter(col("vec_id") < 50)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(1.5f)).as("embedding")))
+        .unionByName(emb.filter(col("vec_id") >= 50 && col("vec_id") < 75)
+          .select((col("vec_id") + 2000000L).as("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding")))
+      Decontaminate.embedContaminatedIds(corpus, benchmark,
+          "vec_id", "embedding", threshold = 0.95)
+        .orderBy("vec_id")
+    }),
+
+    // q254: the q253 gate DEPLOYED — the same corpus arrives as a stream
+    // in two micro-batches, each probed against the broadcast benchmark
+    // at arrival, flags accumulating exactly-once under the lineage-
+    // stamped guard; graded by the SAME brute-force oracle (the flag log
+    // is batch-partitioning-invariant by construction)
+    "q254_stream_embed_decon_gate" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val benchmark = emb.filter(col("vec_id") < 100)
+      val corpus = emb.filter(col("vec_id") >= 100)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(emb.filter(col("vec_id") < 50)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(1.5f)).as("embedding")))
+        .unionByName(emb.filter(col("vec_id") >= 50 && col("vec_id") < 75)
+          .select((col("vec_id") + 2000000L).as("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding")))
+      val tmp = java.nio.file.Files.createTempDirectory("q254").toString
+      val (srcDir, ckDir, outDir) = (s"$tmp/src", s"$tmp/ck", s"$tmp/out")
+      try {
+        corpus.repartition(2).write.parquet(srcDir)
+        val stream = s.readStream.schema(corpus.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*.parquet")
+        val store = new graft.sync.ParquetStore(s, outDir)
+        IncrementalStream.embedContaminationGate(stream, benchmark,
+          "vec_id", "embedding", threshold = 0.95, store, "flags",
+          checkpointDir = ckDir).awaitTermination()
+        store.read("flags").get.select(col("vec_id"))
+          .orderBy("vec_id").localCheckpoint()
+      } finally deleteRecursively(tmp)
     })
   )
 
@@ -7695,8 +7752,24 @@ object SparkEntry {
         "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(count(CASE WHEN n >= 25 THEN 1 END) AS BIGINT) AS n_kept, " +
         "CAST(coalesce(sum(CASE WHEN n >= 25 THEN n END), 0) AS BIGINT) AS kept_tokens " +
-        "FROM tk GROUP BY source ORDER BY source")
+        "FROM tk GROUP BY source ORDER BY source"),
+    // q253/q254: brute-force cosine membership of the constructed corpus
+    // against the benchmark set (the q128 float-margin precedent: planted
+    // twins at cosine 1, negations at -1, organic pairs far from 0.95)
+    "q253_embed_decontaminate" -> EmbedDecontaminateOracleSql,
+    "q254_stream_embed_decon_gate" -> EmbedDecontaminateOracleSql
   )
+
+  /** The q253/q254 oracle — ONE string for both: the streaming gate
+    * accumulates exactly the batch flag set (batch-partitioning
+    * invariance of per-arrival probes against a fixed benchmark). */
+  private lazy val EmbedDecontaminateOracleSql: String =
+    "WITH bench AS (SELECT embedding FROM embeddings WHERE vec_id < 100), " +
+      "corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 100 " +
+      "UNION ALL SELECT vec_id + 1000000, list_transform(embedding, x -> 1.5 * x) FROM embeddings WHERE vec_id < 50 " +
+      "UNION ALL SELECT vec_id + 2000000, list_transform(embedding, x -> -x) FROM embeddings WHERE vec_id >= 50 AND vec_id < 75) " +
+      "SELECT DISTINCT c.vec_id AS vec_id FROM corpus c JOIN bench b " +
+      "ON list_cosine_similarity(c.embedding, b.embedding) >= 0.95 ORDER BY c.vec_id"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = core ++ llm
   def oracleSql: Map[String, String] = coreOracle ++ llmOracle

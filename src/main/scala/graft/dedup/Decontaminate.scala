@@ -43,6 +43,45 @@ object Decontaminate {
     corpus.join(contaminatedIds(corpus, benchmark, idCol, textCol, n),
       Seq(idCol), "left_anti")
 
+  /** SEMANTIC decontamination — the embedding-space form [[contaminatedIds]]
+    * cannot see: a paraphrased benchmark item shares no 13-gram with its
+    * source, but its embedding sits at cosine ~1. Ids of `corpus` rows with
+    * ANY `benchmark` row at cosine >= `threshold`.
+    *
+    * The side asymmetry is the point (and why this is not
+    * `Similarity.embedDupIds` called backwards): a benchmark suite is
+    * thousands of vectors while the corpus is the 100 TB side, so the
+    * BENCHMARK broadcasts into one corpus scan — the corpus never
+    * shuffles, each (corpus, benchmark) pair costs one codegen'd dot
+    * product against precomputed norms, and only matched corpus ids reach
+    * the distinct (`embedDupIds` broadcasts its probe batch instead; both
+    * are the q112 plan shape with the small side chosen by role).
+    * Non-finite/zero-norm vectors on either side are excluded — a failed
+    * embed must neither flag nor anchor flags (the `semanticDedup`
+    * zero-norm guard's rationale). */
+  def embedContaminatedIds(corpus: DataFrame, benchmark: DataFrame,
+                           idCol: String, vecCol: String,
+                           threshold: Double): DataFrame = {
+    import graft.similarity.Similarity.{dot, finitePositive, norm}
+    require(threshold >= 0, "dot-product threshold rewrite assumes cosine threshold >= 0")
+    val b = benchmark.select(col(vecCol).as("__bv"))
+      .withColumn("__bn", norm(col("__bv")))
+      .filter(finitePositive(col("__bn")))
+    val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
+      .filter(finitePositive(col("__cn")))
+    c.crossJoin(org.apache.spark.sql.functions.broadcast(b))
+      .filter(dot(col("__cv"), col("__bv")) >= col("__cn") * col("__bn") * lit(threshold))
+      .select(col("__id").as(idCol))
+      .distinct()
+  }
+
+  /** The semantically-decontaminated corpus: drop every flagged row. */
+  def embedScrub(corpus: DataFrame, benchmark: DataFrame,
+                 idCol: String, vecCol: String, threshold: Double): DataFrame =
+    corpus.join(embedContaminatedIds(corpus, benchmark, idCol, vecCol, threshold),
+      Seq(idCol), "left_anti")
+
   /** SPAN-LEVEL contamination accounting — the surgical alternative to
     * dropping whole documents: a long, mostly-clean document that quotes
     * one benchmark passage loses the quoted tokens, not its other 50k.

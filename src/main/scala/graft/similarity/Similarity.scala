@@ -36,7 +36,7 @@ object Similarity {
     * passes a plain > 0 check, so both must be rejected explicitly: a
     * failed embed (zero, NaN, or Inf components) would otherwise pair
     * with everything and poison centroid means. */
-  private def finitePositive(n: Column): Column =
+  private[graft] def finitePositive(n: Column): Column =
     n > 0 && !isnan(n) && n =!= Double.PositiveInfinity
 
   /** Exact top-k by cosine against the vector of `queryId` (self excluded).

@@ -1173,6 +1173,27 @@ object IncrementalStream {
       graft.similarity.Similarity.embedDupIds(batch, corpus, idCol, vecCol, threshold)
     }
 
+  /** CONTINUOUS SEMANTIC-decontamination gate — the embedding member of
+    * the decontamination pair (13-gram document drop
+    * `Decontaminate.contaminatedIdsStream`, THIS for the paraphrase-shaped
+    * contamination n-grams cannot see): each arriving micro-batch of
+    * corpus embeddings is probed against the benchmark set
+    * (`Decontaminate.embedContaminatedIds` — the benchmark broadcasts,
+    * the batch scans once, the corpus-side never shuffles) and flagged
+    * ids accumulate under the lineage-stamped retry guard. Per-arrival
+    * decisions are independent given a benchmark, so the flag log is
+    * batch-partitioning-invariant; the benchmark is a BY-NAME parameter
+    * re-evaluated per batch (a suite refresh lands on the next batch). */
+  def embedContaminationGate(vecStream: DataFrame, benchmark: => DataFrame,
+                             idCol: String, vecCol: String, threshold: Double,
+                             store: graft.sync.TableStore, table: String,
+                             checkpointDir: String,
+                             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    guardedAppend(vecStream, store, table, checkpointDir, Seq(idCol), trigger) { batch =>
+      graft.dedup.Decontaminate.embedContaminatedIds(batch, benchmark,
+        idCol, vecCol, threshold)
+    }
+
   /** CONTINUOUS ingest quality gate: each arriving micro-batch of
     * documents is scored against the PERSISTED bigram model
     * (`NgramStats.oovBuckets` — one narrow explode of the batch, an

@@ -333,4 +333,27 @@ class DecontaminateSpec extends SparkSpec {
     assert(strict(10L).isEmpty && strict(11L).isEmpty)
     assert(strict(1L) === Seq("one") && strict(2L) === Seq("two"))
   }
+
+  test("embedContaminatedIds: scaled twins flag, negations and orthogonals don't, bad embeds inert") {
+    val bench = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f)),
+      (101L, Array(0.0f, 1.0f, 0.0f)),
+      (102L, Array(0.0f, 0.0f, 0.0f))) // zero-norm benchmark row: must anchor nothing
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(2.5f, 0.0f, 0.0f)),   // scaled twin of 100 -> flag
+      (2L, Array(-1.0f, 0.0f, 0.0f)),  // negation of 100 -> clean (cosine -1)
+      (3L, Array(0.0f, 0.0f, 1.0f)),   // orthogonal to everything -> clean
+      (4L, Array(0.7f, 0.72f, 0.0f)),  // ~45 deg from both axes (cos ~0.71) -> clean at 0.95
+      (5L, Array(0.0f, 0.0f, 0.0f)),   // zero-norm corpus row: excluded, never flags
+      (6L, Array(0.1f, 3.0f, 0.05f)))  // near-parallel to 101 -> flag
+      .toDF("vec_id", "embedding")
+    val got = Decontaminate.embedContaminatedIds(corpus, bench,
+      "vec_id", "embedding", threshold = 0.95).collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 6L))
+    // scrub drops exactly the flagged rows
+    val kept = Decontaminate.embedScrub(corpus, bench, "vec_id", "embedding", 0.95)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L, 4L, 5L))
+  }
 }

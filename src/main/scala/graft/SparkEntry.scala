@@ -6669,6 +6669,33 @@ object SparkEntry {
         store.read("flags").get.select(col("vec_id"))
           .orderBy("vec_id").localCheckpoint()
       } finally deleteRecursively(tmp)
+    }),
+
+    // q255: embedding-cluster-balanced curation — the SemDeDup-adjacent
+    // diversity stage: assign to fixed one-hot centroids (stated, so the
+    // oracle can replay the ASSIGNMENT — argmax over the first four
+    // coordinates with the lowest-cid tie-break, exactly
+    // assignToCentroid's negcos/cid struct least), then cap each cluster
+    // at 600 by vec_id. A planted topic flood (every vec_id echoed at
+    // +1000000 as a pure e0 vector scaled 1 + id%7 — scale cannot change
+    // the argmax) makes cluster 0 dominant at every SF; the cap
+    // flattens it exactly while the organic clusters (~n/4 rows each)
+    // pass through whole. The assignment is numCentroids scalar
+    // expressions per row — no shuffle; the cap is capPerKey's one
+    // keyed window
+    "q255_cluster_balance" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = (0 until 4).map(d =>
+        (d, Array.tabulate(64)(i => if (i == d) 1.0f else 0.0f))).toArray
+      val flood = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(sequence(lit(0), lit(63)), i =>
+          when(i === 0, (col("vec_id") % 7 + 1).cast(FloatType))
+            .otherwise(lit(0.0f))).as("embedding"))
+      val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(flood)
+      graft.operators.Sampling.clusterCap(corpus, "vec_id", "embedding",
+          cents, n = 600)
+        .select(col("vec_id"), col("cluster"))
+        .orderBy("cluster", "vec_id")
     })
   )
 
@@ -7757,7 +7784,22 @@ object SparkEntry {
     // against the benchmark set (the q128 float-margin precedent: planted
     // twins at cosine 1, negations at -1, organic pairs far from 0.95)
     "q253_embed_decontaminate" -> EmbedDecontaminateOracleSql,
-    "q254_stream_embed_decon_gate" -> EmbedDecontaminateOracleSql
+    "q254_stream_embed_decon_gate" -> EmbedDecontaminateOracleSql,
+    // q255: the assignment replayed in SQL (argmax over the first four
+    // coordinates, >= gives the lowest-cid tie-break; the one-hot
+    // centroids make dot = the coordinate itself on BOTH engines), the
+    // flood's cluster stated (a positive e0 multiple is cluster 0 by
+    // construction), the cap replayed as a row_number
+    "q255_cluster_balance" ->
+      ("WITH org AS (SELECT vec_id, CASE " +
+        "WHEN embedding[1] >= embedding[2] AND embedding[1] >= embedding[3] AND embedding[1] >= embedding[4] THEN 0 " +
+        "WHEN embedding[2] >= embedding[3] AND embedding[2] >= embedding[4] THEN 1 " +
+        "WHEN embedding[3] >= embedding[4] THEN 2 ELSE 3 END AS cluster FROM embeddings), " +
+        "fl AS (SELECT vec_id + 1000000 AS vec_id, 0 AS cluster FROM embeddings), " +
+        "u AS (SELECT * FROM org UNION ALL SELECT * FROM fl), " +
+        "r AS (SELECT vec_id, cluster, row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rn FROM u) " +
+        "SELECT vec_id, CAST(cluster AS INT) AS cluster FROM r WHERE rn <= 600 " +
+        "ORDER BY cluster, vec_id")
   )
 
   /** The q253/q254 oracle — ONE string for both: the streaming gate

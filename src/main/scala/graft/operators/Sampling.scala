@@ -87,6 +87,30 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Embedding-CLUSTER-balanced curation cap — the SemDeDup-adjacent
+    * diversity-balancing stage production mixtures run: assign every row
+    * to its nearest centroid (the IVF assignment —
+    * [[graft.similarity.Similarity.assignToCentroid]]'s argmin with the
+    * deterministic lowest-cid tie-break; train centroids offline with
+    * `ivfCentroids` over a sample, or state them) and keep at most `n`
+    * rows per cluster by `order` — a topic flood that would dominate the
+    * mixture flattens to the cap while sparse topics pass through whole.
+    * Output carries the assignment as `cluster` (the audit column a
+    * release report groups by). Plan: numCentroids scalar expressions per
+    * row (no shuffle for the assignment — centroids ride the closure as
+    * literals exactly as in `knnJoinIvf`) + [[capPerKey]]'s one keyed
+    * window shuffle, skew-bounded by the hottest cluster. For rate-based
+    * flattening instead of a hard cap, `temperatureRates` composes the
+    * same way on the `cluster` column. */
+  def clusterCap(emb: DataFrame, idCol: String, vecCol: String,
+                 cents: Array[(Int, Array[Float])], n: Int,
+                 order: Seq[Column] = Seq.empty): DataFrame = {
+    val assigned = graft.similarity.Similarity.assignToCentroid(emb, vecCol, cents)
+      .withColumnRenamed("__centroid", "cluster")
+    capPerKey(assigned, Seq("cluster"),
+      if (order.nonEmpty) order else Seq(col(idCol)), n)
+  }
+
   /** Quantile-stratified sampling: rank rows into `nStrata` equal-size
     * strata by `order` (ntile — SQL-standard: ceil(n/k) rows in the first
     * n mod k strata, so a TOTAL order makes membership deterministic and

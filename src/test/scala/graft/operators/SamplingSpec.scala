@@ -497,4 +497,21 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => r.getLong(1)).sorted.toSeq
     assert(gotB === Seq(1L, 4L, 5L))
   }
+
+  test("clusterCap: dominant cluster flattens to the cap, sparse clusters pass whole") {
+    // two planted topics on orthogonal axes; topic 0 floods (4 rows),
+    // topic 1 is sparse (2 rows); scaling must not change assignment
+    val emb = Seq(
+      (1L, Array(2.0f, 0.0f)), (2L, Array(5.0f, 0.1f)),
+      (3L, Array(1.0f, 0.0f)), (4L, Array(9.0f, 0.2f)),
+      (10L, Array(0.0f, 1.0f)), (11L, Array(0.1f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Array(
+      (0, Array(1.0f, 0.0f)), (1, Array(0.0f, 1.0f)))
+    val kept = Sampling.clusterCap(emb, "vec_id", "embedding", cents, n = 2)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toSet
+    // cluster 0 keeps its two LOWEST ids (deterministic order), cluster 1 whole
+    assert(kept === Set(1L -> 0, 2L -> 0, 10L -> 1, 11L -> 1))
+  }
 }

@@ -6696,6 +6696,101 @@ object SparkEntry {
           cents, n = 600)
         .select(col("vec_id"), col("cluster"))
         .orderBy("cluster", "vec_id")
+    }),
+
+    // q256: FULL-HISTORY hard erasure — takedown in the temporal family,
+    // the q244 lifecycle one step further: a key's ENTIRE SCD2 history
+    // (every interval, not just the open row) is erased from a
+    // MAINTAINED history and its serving reads, with the erasure landing
+    // BETWEEN micro-batches of the running scd2Ingest lineage. Round 1
+    // folds versions 1+2 (CDC upserts + deletes); the tombstone lands;
+    // round 2 then RE-DELIVERS version-3 deltas for some erased keys —
+    // the at-read gate (Takedown.withoutTombstones BEFORE asOf) must
+    // keep them invisible at EVERY version while all other keys stay
+    // row-identical (gated in-query against the batch apply chain);
+    // compactTombstones physically purges mid-lifecycle with serving
+    // provably unchanged across it. Output: the final served history,
+    // graded by the q222 island law restricted to surviving keys
+    "q256_history_erasure" -> ((s, dir) => {
+      import graft.sync.{History, Takedown}
+      val (s1, s2, s3) = scdSnapshots(s, dir)
+      def ups(cur: DataFrame, prev: DataFrame): DataFrame = {
+        val p = prev.select(col("o_orderkey"), col("o_custkey").as("__pc"),
+          col("cents").as("__pv")).withColumn("__in", lit(1))
+        cur.join(p, Seq("o_orderkey"), "left")
+          .filter(col("__in").isNull || !(col("o_custkey") <=> col("__pc"))
+            || !(col("cents") <=> col("__pv")))
+          .select(col("o_orderkey"), col("o_custkey"), col("cents"))
+      }
+      def dels(prev: DataFrame, cur: DataFrame): DataFrame =
+        prev.select(col("o_orderkey"))
+          .join(cur.select(col("o_orderkey").as("__k")),
+            col("o_orderkey") === col("__k"), "left_anti")
+          .select(col("o_orderkey"), lit(null).cast(LongType).as("o_custkey"),
+            lit(null).cast(LongType).as("cents"))
+      def stamp(df: DataFrame, ver: Long, op: String): DataFrame =
+        df.withColumn("ver", lit(ver)).withColumn("op", lit(op))
+      val log1 = stamp(s1, 1L, "u")
+        .unionByName(stamp(ups(s2, s1), 2L, "u"))
+        .unionByName(stamp(dels(s1, s2), 2L, "d"))
+      val log2 = stamp(ups(s3, s2), 3L, "u")
+        .unionByName(stamp(dels(s2, s3), 3L, "d"))
+      val tmp = java.nio.file.Files.createTempDirectory("q256").toString
+      try {
+        val store = new graft.sync.ParquetStore(s, s"$tmp/state")
+        def ingest(log: DataFrame): Unit = {
+          log.repartition(1).write.mode("append").parquet(s"$tmp/src")
+          IncrementalStream.scd2Ingest(
+            s.readStream.schema(log.schema).parquet(s"$tmp/src/*.parquet"),
+            store, "history", Seq("o_orderkey"), Seq("o_custkey", "cents"),
+            "ver", checkpointDir = s"$tmp/ck", opCol = Some("op"))
+            .awaitTermination()
+        }
+        def serve(): DataFrame = Takedown.withoutTombstones(
+          store.read("history").get.drop("__last_batch", "__run"),
+          "o_orderkey", store)
+        ingest(log1)
+        // the erasure is non-vacuous: the keys have intervals on disk
+        val erasedPresent = store.read("history").get
+          .filter(col("o_orderkey") % 13 === 0).count()
+        require(erasedPresent > 0L, "q256: nothing to erase — planted keys absent")
+        Takedown.tombstone(store,
+          store.read("history").get.filter(col("o_orderkey") % 13 === 0)
+            .select(col("o_orderkey")).distinct())
+        ingest(log2) // round 2 re-delivers deltas for some erased keys
+        // the gate holds at EVERY version: no erased key at any asOf
+        for (v <- 1L to 3L) {
+          val leaked = History.asOf(serve(), v)
+            .filter(col("o_orderkey") % 13 === 0).count()
+          require(leaked == 0L, s"q256: erased key visible at asOf($v): $leaked rows")
+        }
+        val pre = serve().localCheckpoint()
+        val removed = Takedown.compactTombstones(store,
+          Seq("history" -> "o_orderkey"))
+        require(removed.exists(_._2 > 0L),
+          "q256: the compaction must physically purge history rows")
+        // post-compaction the PHYSICAL table is clean (round 2's
+        // re-delivered deltas included), not just the gated view
+        require(store.read("history").get
+          .filter(col("o_orderkey") % 13 === 0).count() == 0L,
+          "q256: physical history still holds erased-key intervals")
+        val post = serve()
+        // open intervals carry NULL valid_to, which never equi-joins —
+        // coalesce both sides to the 0 sentinel before the drift compare
+        def closed(df: DataFrame): DataFrame =
+          df.withColumn("valid_to", coalesce(col("valid_to"), lit(0L)))
+        val drift = closed(pre).withColumn("__a", lit(1))
+          .join(closed(post).withColumn("__b", lit(1)),
+            Seq("o_orderkey", "o_custkey", "cents", "valid_from", "valid_to"),
+            "full_outer")
+          .filter(col("__a").isNull || col("__b").isNull).count()
+        require(drift == 0L,
+          s"q256: serving changed across the compaction ($drift rows differ)")
+        graft.Checkpoints.release(pre)
+        post.select(col("o_orderkey"), col("o_custkey"), col("cents"),
+            col("valid_from"), coalesce(col("valid_to"), lit(0L)).as("valid_to"))
+          .orderBy("o_orderkey", "valid_from").localCheckpoint()
+      } finally deleteRecursively(tmp)
     })
   )
 
@@ -7647,6 +7742,14 @@ object SparkEntry {
     // against the SAME full-snapshot history law — CDC events replicate
     // scd2Apply's close-on-absence exactly when deletes are explicit
     "q245_stream_scd2_cdc" -> Scd2FullHistoryOracleSql,
+    // q256: the island law restricted to SURVIVING keys — a tombstoned
+    // key (%13) must contribute NO interval at any version, round-2
+    // re-deliveries included; everything else is row-identical to the
+    // q222/q245 history (a drifted base string no-ops the replace and
+    // fails the gate, the q248 convention)
+    "q256_history_erasure" -> Scd2FullHistoryOracleSql.replace(
+      "WHERE present = 1 ORDER BY",
+      "WHERE present = 1 AND o_orderkey % 13 <> 0 ORDER BY"),
     // q223: the oracle is snapshot 2's own definition — time travel
     // through the 3-version history must land exactly on it
     "q223_asof_snapshot" ->

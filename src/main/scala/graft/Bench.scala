@@ -433,7 +433,13 @@ object Bench {
     // r16 adjudication (see the q184/q192/q96 scaladoc above): driver
     // collect + water-filling loop ahead of the multi-job bucket
     // decomposition, bimodal across four runs of unchanged code
-    "q192_budget_mixture")
+    "q192_budget_mixture",
+    // round-17 newcomers, tagged BEFORE their floors land (the q132
+    // precedent): q254 is the two-micro-batch gate harness (the
+    // q128/q208 shape), q256 runs TWO scd2Ingest rounds + tombstone +
+    // compaction + per-version asOf serve arms (the q244 multi-job
+    // lifecycle shape, temporal form)
+    "q254_stream_embed_decon_gate", "q256_history_erasure")
 
   /** Machine calibration canaries: stable, mid-weight queries spanning the
     * engine's plan shapes (pushed scan, window, LSH join, stream, fill).

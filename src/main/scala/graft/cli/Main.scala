@@ -119,6 +119,10 @@ object Main {
       "       scd2-ingest --source <parquetDir> --pks c1[,c2] --compare c1[,c2] --ver <col> [--op <col>] --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       scd2-apply --snapshot <parquet> --pks c1[,c2] --compare c1[,c2] --version <n> --out <parquetDir> (--history <parquetDir> | --init true) [--upserts true]\n" +
       "       scd2-close --history <parquetDir> --keys <parquet> --pks c1[,c2] --version <n> --out <parquetDir>\n" +
+      "       warc-extract --files <parquet(file_id,content)> --out <parquetDir> [--text true]\n" +
+      "       embed-decontaminate --corpus <parquet> --benchmark <parquet> --id <col> --vec <col> --threshold <cos> --out <parquetDir> [--scrub true]\n" +
+      "       embed-decon-gate --source <parquetDir> --benchmark <parquet> --id <col> --vec <col> --threshold <cos> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
+      "       cluster-balance --corpus <parquet> --id <col> --vec <col> --centroids <k> --cap <n> --out <parquetDir> [--iterations <n>]\n" +
       "       retain-history --history <parquetDir> --horizon <n> --out <parquetDir>\n" +
       "       asof --history <parquetDir> --version <n> --out <parquetDir>\n" +
       "       compact --dir <parquetDir> [--target-mb <n>]"
@@ -190,6 +194,19 @@ object Main {
   private case class IndexIngest(source: String, corpus: String, id: String,
                                  vec: String, centroids: Int, dest: String,
                                  table: String, checkpoint: String) extends Cmd
+  private case class WarcExtractCmd(files: String, text: Boolean,
+                                    out: String) extends Cmd
+  private case class EmbedDeconCmd(corpus: String, benchmark: String,
+                                   id: String, vec: String, threshold: Double,
+                                   scrub: Boolean, out: String) extends Cmd
+  private case class EmbedDeconGateCmd(source: String, benchmark: String,
+                                       id: String, vec: String,
+                                       threshold: Double, dest: String,
+                                       table: String,
+                                       checkpoint: String) extends Cmd
+  private case class ClusterBalanceCmd(corpus: String, id: String, vec: String,
+                                       centroids: Int, iterations: Int,
+                                       cap: Int, out: String) extends Cmd
   private case class BuildDedupIndex(corpus: String, id: String, text: String,
                                      ngram: Int, hashes: Int, bands: Int,
                                      out: String) extends Cmd
@@ -1114,6 +1131,51 @@ object Main {
         horizon <- posLong(opts, "retain-history", "horizon")
         out <- req(opts, "retain-history", "out")
       } yield RetainHistoryCmd(history, horizon, out)
+    case "warc-extract" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        files <- req(opts, "warc-extract", "files")
+        text <- optBool(opts, "warc-extract", "text", dflt = false)
+        out <- req(opts, "warc-extract", "out")
+      } yield WarcExtractCmd(files, text, out)
+    case "embed-decontaminate" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "embed-decontaminate", "corpus")
+        benchmark <- req(opts, "embed-decontaminate", "benchmark")
+        id <- req(opts, "embed-decontaminate", "id")
+        vec <- req(opts, "embed-decontaminate", "vec")
+        t <- req(opts, "embed-decontaminate", "threshold").flatMap(s =>
+          s.toDoubleOption.filter(d => d >= 0 && d <= 1)
+            .toRight(s"embed-decontaminate: --threshold must be a cosine in [0,1], got $s"))
+        scrub <- optBool(opts, "embed-decontaminate", "scrub", dflt = false)
+        out <- req(opts, "embed-decontaminate", "out")
+      } yield EmbedDeconCmd(corpus, benchmark, id, vec, t, scrub, out)
+    case "embed-decon-gate" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        source <- req(opts, "embed-decon-gate", "source")
+        benchmark <- req(opts, "embed-decon-gate", "benchmark")
+        id <- req(opts, "embed-decon-gate", "id")
+        vec <- req(opts, "embed-decon-gate", "vec")
+        t <- req(opts, "embed-decon-gate", "threshold").flatMap(s =>
+          s.toDoubleOption.filter(d => d >= 0 && d <= 1)
+            .toRight(s"embed-decon-gate: --threshold must be a cosine in [0,1], got $s"))
+        dest <- req(opts, "embed-decon-gate", "dest")
+        table <- req(opts, "embed-decon-gate", "table")
+        ck <- req(opts, "embed-decon-gate", "checkpoint")
+      } yield EmbedDeconGateCmd(source, benchmark, id, vec, t, dest, table, ck)
+    case "cluster-balance" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "cluster-balance", "corpus")
+        id <- req(opts, "cluster-balance", "id")
+        vec <- req(opts, "cluster-balance", "vec")
+        k <- posInt(opts, "cluster-balance", "centroids")
+        cap <- posInt(opts, "cluster-balance", "cap")
+        iters <- optInt(opts, "cluster-balance", "iterations", 3)
+        out <- req(opts, "cluster-balance", "out")
+      } yield ClusterBalanceCmd(corpus, id, vec, k, iters, cap, out)
     case "unigram-train" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -2497,6 +2559,50 @@ object Main {
       // asOf/pitJoin at any version >= horizon are unchanged (reads
       // below the horizon become incomplete BY DESIGN — retention)
       graft.sync.History.retainSince(spark.read.parquet(history), horizon)
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case WarcExtractCmd(files, text, out) =>
+      // the crawl-dump entry point: a (file_id, content) frame of whole
+      // WARC files (spark.read.format("binaryFile") upstream) splits
+      // into records per partition — no shuffle; --text true keeps only
+      // response payloads decoded as UTF-8 (the WET-equivalent corpus)
+      implicit val s: SparkSession = spark
+      val f = spark.read.parquet(files)
+      (if (text) graft.sources.Warc.responseText(f)
+       else graft.sources.Warc.records(f).toDF())
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case EmbedDeconCmd(corpus, benchmark, id, vec, threshold, scrub, out) =>
+      // semantic decontamination: the benchmark broadcasts into one
+      // corpus scan; --scrub true writes the surviving corpus instead
+      // of the flagged ids
+      val c = spark.read.parquet(corpus)
+      val b = spark.read.parquet(benchmark)
+      (if (scrub) graft.dedup.Decontaminate.embedScrub(c, b, id, vec, threshold)
+       else graft.dedup.Decontaminate.embedContaminatedIds(c, b, id, vec, threshold))
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case EmbedDeconGateCmd(source, benchmark, id, vec, threshold, dest, table, ck) =>
+      sourceSchema(spark, source, "embed-decon-gate").fold(0) { schema =>
+        val stream = spark.readStream.schema(schema).parquet(source)
+        graft.streaming.IncrementalStream.embedContaminationGate(
+          stream, spark.read.parquet(benchmark), id, vec, threshold,
+          new ParquetStore(spark, dest), table, ck)
+          .awaitTermination()
+        0
+      }
+
+    case ClusterBalanceCmd(corpus, id, vec, centroids, iters, cap, out) =>
+      // the diversity-balancing stage: train centroids over the corpus
+      // (Lloyd, offline-cadence — this IS the offline pass), assign,
+      // cap per cluster by id; output keeps the cluster audit column
+      val c = spark.read.parquet(corpus)
+      val cents = graft.similarity.Similarity.ivfCentroids(
+        c, id, vec, centroids, iters)
+      graft.operators.Sampling.clusterCap(c, id, vec, cents, cap)
         .write.mode("overwrite").parquet(out)
       0
 

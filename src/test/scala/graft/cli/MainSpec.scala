@@ -1557,4 +1557,74 @@ class MainSpec extends SparkSpec {
       "--corpus", s"$tmp/corpus", "--id", "doc_id", "--text", "text",
       "--max-df", "0", "--out", s"$tmp/x")) === 2)
   }
+
+  test("warc-extract: records and --text artifacts equal the reader; usage errors") {
+    val tmp = Files.createTempDirectory("graft_cli_warc").toString
+    def rec(t: String, url: String, p: String): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: $t\r\nWARC-Target-URI: $url\r\n" +
+        s"Content-Length: ${p.length}\r\n\r\n$p\r\n\r\n").getBytes("UTF-8")
+    Seq((1L, rec("response", "http://a", "body A") ++ rec("request", "http://a", "GET")),
+        (2L, rec("response", "http://b", "body B")))
+      .toDF("file_id", "content").write.parquet(s"$tmp/files")
+    assert(Main.run(spark, Array("warc-extract",
+      "--files", s"$tmp/files", "--out", s"$tmp/recs")) === 0)
+    assert(spark.read.parquet(s"$tmp/recs").count() === 3)
+    assert(Main.run(spark, Array("warc-extract",
+      "--files", s"$tmp/files", "--text", "true", "--out", s"$tmp/txt")) === 0)
+    val texts = spark.read.parquet(s"$tmp/txt").collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[String]("text")).toMap
+    assert(texts === Map("http://a" -> "body A", "http://b" -> "body B"))
+    assert(Main.run(spark, Array("warc-extract", "--out", s"$tmp/x")) === 2)
+  }
+
+  test("embed-decontaminate + embed-decon-gate: flags/scrub equal the operator") {
+    val tmp = Files.createTempDirectory("graft_cli_edc").toString
+    Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+      .write.parquet(s"$tmp/bench")
+    val corpus = Seq((1L, Array(2.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    corpus.write.parquet(s"$tmp/corpus")
+    assert(Main.run(spark, Array("embed-decontaminate",
+      "--corpus", s"$tmp/corpus", "--benchmark", s"$tmp/bench",
+      "--id", "vec_id", "--vec", "embedding", "--threshold", "0.95",
+      "--out", s"$tmp/flags")) === 0)
+    assert(spark.read.parquet(s"$tmp/flags").collect().map(_.getLong(0)).toSeq
+      === Seq(1L))
+    assert(Main.run(spark, Array("embed-decontaminate",
+      "--corpus", s"$tmp/corpus", "--benchmark", s"$tmp/bench",
+      "--id", "vec_id", "--vec", "embedding", "--threshold", "0.95",
+      "--scrub", "true", "--out", s"$tmp/clean")) === 0)
+    assert(spark.read.parquet(s"$tmp/clean").collect().map(_.getLong(0)).toSeq
+      === Seq(2L))
+    // gate: same decision accumulated through the store
+    assert(Main.run(spark, Array("embed-decon-gate",
+      "--source", s"$tmp/corpus", "--benchmark", s"$tmp/bench",
+      "--id", "vec_id", "--vec", "embedding", "--threshold", "0.95",
+      "--dest", s"$tmp/store", "--table", "flags",
+      "--checkpoint", s"$tmp/ck")) === 0)
+    assert(spark.read.parquet(s"$tmp/store/flags.parquet").select("vec_id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // threshold outside [0,1] is a usage error
+    assert(Main.run(spark, Array("embed-decontaminate",
+      "--corpus", s"$tmp/corpus", "--benchmark", s"$tmp/bench",
+      "--id", "vec_id", "--vec", "embedding", "--threshold", "1.5",
+      "--out", s"$tmp/x")) === 2)
+  }
+
+  test("cluster-balance: trained assignment + cap artifact carries the cluster column") {
+    val tmp = Files.createTempDirectory("graft_cli_cb").toString
+    // two tight planted topics far apart: any 2-means training separates them
+    val rows = (0 until 8).map(i => (i.toLong, Array(10.0f + i % 2, 0.1f * i))) ++
+      (10 until 13).map(i => (i.toLong, Array(-10.0f, 5.0f + 0.1f * i)))
+    rows.toDF("vec_id", "embedding").write.parquet(s"$tmp/corpus")
+    assert(Main.run(spark, Array("cluster-balance",
+      "--corpus", s"$tmp/corpus", "--id", "vec_id", "--vec", "embedding",
+      "--centroids", "2", "--cap", "4", "--out", s"$tmp/bal")) === 0)
+    val got = spark.read.parquet(s"$tmp/bal")
+    assert(got.columns.contains("cluster"))
+    val byCluster = got.collect().map(r => r.getAs[Int]("cluster") -> r.getAs[Long]("vec_id"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // the 8-row topic capped to its 4 LOWEST ids; the 3-row topic whole
+    assert(byCluster.values.toSet === Set(Seq(0L, 1L, 2L, 3L), Seq(10L, 11L, 12L)))
+  }
 }

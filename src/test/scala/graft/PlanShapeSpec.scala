@@ -898,6 +898,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q251 WARC record split is narrow: no join, no keyed shuffle, no aggregate") {
+    val p = plan("q251_warc_records")
+    // one mapPartitions flatMap per file partition — files are the
+    // parallelism unit; only the final orderBy's range exchange may appear
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the record split must not shuffle:\n$p")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
+  test("q253 semantic decontamination broadcasts the BENCHMARK, never the corpus") {
+    val p = plan("q253_embed_decontaminate")
+    assert(p.contains("BroadcastExchange"), s"benchmark must broadcast:\n$p")
+    // the corpus side carries the planted twin/negation id arithmetic
+    // (+1000000/+2000000); the benchmark side (vec_id < 100) does not —
+    // a broadcast subtree containing it would be the 100 TB side
+    val buildSide = p.substring(p.indexOf("BroadcastExchange"))
+    assert(!buildSide.contains("1000000"),
+      s"corpus side must never be the broadcast build side:\n$p")
+  }
+
+  test("q255 cluster balance: assignment is shuffle-free, the cap is ONE keyed window") {
+    val p = plan("q255_cluster_balance")
+    val finalSection = p.split("== Initial Plan ==").head
+    // nearest-centroid assignment is per-row scalar expressions (the
+    // centroids are literals); the only keyed exchange is capPerKey's
+    // window (the final orderBy is a range exchange)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(finalSection).size
+    assert(hashExchanges === 1, s"expected only the cap's keyed shuffle:\n$finalSection")
+    assert(!finalSection.contains("Join"), finalSection)
+  }
+
   test("videoSignature: keyframe windows and the signature fold share ONE doc exchange") {
     import org.apache.spark.sql.functions._
     val frames = spark.range(200).select(

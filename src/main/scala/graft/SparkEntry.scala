@@ -6698,6 +6698,28 @@ object SparkEntry {
         .orderBy("cluster", "vec_id")
     }),
 
+    // q257: the RATE-based half of cluster balancing — q255's hard cap
+    // swapped for q137's temperature flattening, keyed on the SAME
+    // stated-centroid assignment: per-cluster counts through
+    // sqrt(n_c/n_max) give the alpha=0.5 rebalance rates a mixture
+    // sampler consumes (the planted flood's cluster 0 rates at exactly
+    // 1.0; sparse clusters upweight). Bit-exact cross-engine: integer
+    // counts through correctly-rounded divide + sqrt (the q137
+    // determinism contract), assignment replayed as the one-hot argmax
+    "q257_cluster_temperature" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = (0 until 4).map(d =>
+        (d, Array.tabulate(64)(i => if (i == d) 1.0f else 0.0f))).toArray
+      val flood = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(sequence(lit(0), lit(63)), i =>
+          when(i === 0, (col("vec_id") % 7 + 1).cast(FloatType))
+            .otherwise(lit(0.0f))).as("embedding"))
+      val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(flood)
+      val assigned = Similarity.assignToCentroid(corpus, "embedding", cents)
+        .withColumnRenamed("__centroid", "cluster")
+      Sampling.temperatureRates(assigned, "cluster").orderBy("cluster")
+    }),
+
     // q256: FULL-HISTORY hard erasure — takedown in the temporal family,
     // the q244 lifecycle one step further: a key's ENTIRE SCD2 history
     // (every interval, not just the open row) is erased from a
@@ -7893,6 +7915,19 @@ object SparkEntry {
     // centroids make dot = the coordinate itself on BOTH engines), the
     // flood's cluster stated (a positive e0 multiple is cluster 0 by
     // construction), the cap replayed as a row_number
+    // q257: the same replayed assignment feeding q137's bit-exact
+    // count/divide/sqrt pipeline, per cluster
+    "q257_cluster_temperature" ->
+      ("WITH org AS (SELECT vec_id, CASE " +
+        "WHEN embedding[1] >= embedding[2] AND embedding[1] >= embedding[3] AND embedding[1] >= embedding[4] THEN 0 " +
+        "WHEN embedding[2] >= embedding[3] AND embedding[2] >= embedding[4] THEN 1 " +
+        "WHEN embedding[3] >= embedding[4] THEN 2 ELSE 3 END AS cluster FROM embeddings), " +
+        "fl AS (SELECT vec_id + 1000000 AS vec_id, 0 AS cluster FROM embeddings), " +
+        "u AS (SELECT * FROM org UNION ALL SELECT * FROM fl), " +
+        "c AS (SELECT cluster, count(*) AS n FROM u GROUP BY cluster) " +
+        "SELECT CAST(cluster AS INT) AS cluster, CAST(n AS BIGINT) AS n_docs, " +
+        "sqrt(CAST(n AS DOUBLE) / (SELECT CAST(max(n) AS DOUBLE) FROM c)) AS rate " +
+        "FROM c ORDER BY cluster"),
     "q255_cluster_balance" ->
       ("WITH org AS (SELECT vec_id, CASE " +
         "WHEN embedding[1] >= embedding[2] AND embedding[1] >= embedding[3] AND embedding[1] >= embedding[4] THEN 0 " +

@@ -6513,35 +6513,27 @@ object SparkEntry {
             i.cast(StringType), lit(" "),
             col("text").substr((lit(1L) + i * 40L).cast(IntegerType),
               lit(40)))).as("ps"))
+      // ONE wire-framing builder (Warc.record/gzipMember) shared by this
+      // planted corpus, q252's, and WarcSpec — the mjpegCorpus convention
       val files = payloads.as[(Long, Seq[String])].mapPartitions { it =>
         val UTF8 = java.nio.charset.StandardCharsets.UTF_8
-        def rec(t: String, url: Option[String], payload: Array[Byte]): Array[Byte] = {
-          val h = new StringBuilder(s"WARC/1.0\r\nWARC-Type: $t\r\n")
-          url.foreach(u => h ++= s"WARC-Target-URI: $u\r\n")
-          h ++= s"Content-Length: ${payload.length}\r\n\r\n"
-          h.toString.getBytes(UTF8) ++ payload ++ "\r\n\r\n".getBytes(UTF8)
-        }
-        def gz(b: Array[Byte]): Array[Byte] = {
-          val bos = new java.io.ByteArrayOutputStream()
-          val g = new java.util.zip.GZIPOutputStream(bos)
-          g.write(b); g.close(); bos.toByteArray
-        }
+        import graft.sources.Warc.{gzipMember, record}
         it.map { case (id, ps) =>
-          val members = Seq(rec("warcinfo", None, "graft-crawler".getBytes(UTF8))) ++
+          val members = Seq(record("warcinfo", None, "graft-crawler".getBytes(UTF8))) ++
             (if (id % 7 == 0)
               Seq("WARC/1.0\r\nWARC-Type: broken\r\n\r\n".getBytes(UTF8))
              else Seq.empty) ++
             (if (id % 5 == 0)
-              Seq(rec("request", Some(s"http://ex.org/$id/r0"), s"GET /$id".getBytes(UTF8)))
+              Seq(record("request", Some(s"http://ex.org/$id/r0"), s"GET /$id".getBytes(UTF8)))
              else Seq.empty) ++
             ps.zipWithIndex.map { case (p, i) =>
-              rec("response", Some(s"http://ex.org/$id/r$i"), p.getBytes(UTF8)) } ++
+              record("response", Some(s"http://ex.org/$id/r$i"), p.getBytes(UTF8)) } ++
             (if (id % 11 == 0)
               Seq(("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: lie\r\n" +
                 "Content-Length: 999999\r\n\r\nstub").getBytes(UTF8))
              else Seq.empty)
           val bytes =
-            if (id % 2 == 0) members.map(gz).reduce(_ ++ _)
+            if (id % 2 == 0) members.map(gzipMember).reduce(_ ++ _)
             else members.reduce((a, b) => a ++ "NOISE-BETWEEN\r\n".getBytes(UTF8) ++ b)
           (id, bytes)
         }
@@ -6573,25 +6565,15 @@ object SparkEntry {
           mainContentPlantedHtml.as("page"))
         .as[(Long, String)].mapPartitions { it =>
           val UTF8 = java.nio.charset.StandardCharsets.UTF_8
-          def rec(t: String, url: Option[String], payload: Array[Byte]): Array[Byte] = {
-            val h = new StringBuilder(s"WARC/1.0\r\nWARC-Type: $t\r\n")
-            url.foreach(u => h ++= s"WARC-Target-URI: $u\r\n")
-            h ++= s"Content-Length: ${payload.length}\r\n\r\n"
-            h.toString.getBytes(UTF8) ++ payload ++ "\r\n\r\n".getBytes(UTF8)
-          }
-          def gz(b: Array[Byte]): Array[Byte] = {
-            val bos = new java.io.ByteArrayOutputStream()
-            val g = new java.util.zip.GZIPOutputStream(bos)
-            g.write(b); g.close(); bos.toByteArray
-          }
+          import graft.sources.Warc.{gzipMember, record}
           it.map { case (id, page) =>
-            val members = Seq(rec("warcinfo", None, "graft-crawler".getBytes(UTF8))) ++
+            val members = Seq(record("warcinfo", None, "graft-crawler".getBytes(UTF8))) ++
               (if (id % 5 == 0)
-                Seq(rec("request", Some(s"http://ex.org/$id"), "GET /".getBytes(UTF8)))
+                Seq(record("request", Some(s"http://ex.org/$id"), "GET /".getBytes(UTF8)))
                else Seq.empty) ++
-              Seq(rec("response", Some(s"http://ex.org/$id"), page.getBytes(UTF8)))
+              Seq(record("response", Some(s"http://ex.org/$id"), page.getBytes(UTF8)))
             val bytes =
-              if (id % 2 == 0) members.map(gz).reduce(_ ++ _)
+              if (id % 2 == 0) members.map(gzipMember).reduce(_ ++ _)
               else members.reduce((a, b) => a ++ "NOISE\r\n".getBytes(UTF8) ++ b)
             (id, bytes)
           }

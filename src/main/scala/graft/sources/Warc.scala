@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
+import java.nio.charset.StandardCharsets.UTF_8
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
@@ -21,34 +21,42 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * }}}
   * and on-the-wire crawl archives are usually `.warc.gz` with EACH RECORD
   * its own gzip member, concatenated — so a reader that gunzips the whole
-  * file sees the same plain record sequence (multi-member streams are
+  * stream sees the same plain record sequence (multi-member streams are
   * handled; `java.util.zip.GZIPInputStream` resumes at each member header).
   *
   * Parsing discipline is the [[graft.multimodal.Multimodal.decodeWav]] /
-  * `decodeAvi` chunk-walker's, adapted to CRLF framing:
+  * `decodeAvi` chunk-walker's, adapted to CRLF framing — and STREAMING:
+  * the walk is a single forward pass over a (possibly inflating)
+  * InputStream, so the inflated file is NEVER materialized — per-record
+  * memory is one payload, not one segment (a ~1 GB gzipped CommonCrawl
+  * segment inflates 3-4x, past the 2 GiB JVM array ceiling a whole-buffer
+  * design would hit). Rules:
   *
   *  - NO fixed offsets: records are located by their `WARC/` version line
-  *    and each record's extent comes from ITS OWN Content-Length header —
-  *    junk bytes between records (truncated tails, CRLF padding beyond the
-  *    standard two) are scanned past to the next `WARC/` boundary, so a
-  *    reader that assumed "previous end + 4" cannot pass the planted gates;
-  *  - Content-Length parsed into Long and bounds-checked BEFORE any slice,
-  *    so a crafted length cannot wrap an int or overrun the buffer: a
-  *    record whose declared payload overruns the file is dropped (the
-  *    degrade-don't-kill contract — one truncated tail record must not
-  *    kill a 100 TB scan) and scanning resumes INSIDE its declared extent
-  *    (the declaration was a lie, so the next real record may start there);
+  *    (at a line start) and each record's extent comes from ITS OWN
+  *    Content-Length header — junk bytes between records (truncated
+  *    tails, CRLF padding beyond the standard two) are scanned past to
+  *    the next boundary, so a reader that assumed "previous end + 4"
+  *    cannot pass the planted gates;
+  *  - Content-Length is parsed into Long and sanity-bounded BEFORE any
+  *    allocation (a crafted length cannot wrap an Int or reserve a
+  *    near-2GiB array); a record whose declared payload overruns the file
+  *    reads short and is dropped (the degrade-don't-kill contract — one
+  *    truncated tail record must not kill a 100 TB scan);
   *  - header keys are case-insensitive per RFC (WARC inherits HTTP's
   *    header grammar); values are trimmed; a record missing Content-Length
-  *    is malformed and skipped the same way.
+  *    is malformed and skipped the same way; a corrupt gzip stream
+  *    degrades to the records already parsed.
   *
   * Scale: the input shape is one row per WARC FILE (`spark.read.format
-  * ("binaryFile")` or any (id, bytes) frame), and the walk is a narrow
-  * per-partition flatMap — records explode in place, no shuffle, no
-  * driver involvement; downstream filters on `warc_type` prune before
-  * anything touches payloads. Files are the parallelism unit exactly as
-  * in the reference crawl pipelines (a CC segment is ~1 GB gzipped —
-  * thousands of files spread across executors).
+  * ("binaryFile")` or any (id, bytes) frame — both cap a file at the 2 GiB
+  * binary-cell ceiling COMPRESSED, which a standard ~1 GB CC segment fits),
+  * and the walk is a narrow per-partition flatMap over lazy iterators —
+  * records stream out in place, no shuffle, no driver involvement;
+  * downstream filters on `warc_type` prune before anything decodes
+  * payloads to strings. Files are the parallelism unit exactly as in the
+  * reference crawl pipelines (thousands of segments spread across
+  * executors).
   */
 object Warc {
 
@@ -62,106 +70,184 @@ object Warc {
   private val GzipMagic0: Byte = 0x1f.toByte
   private val GzipMagic1: Byte = 0x8b.toByte
 
-  /** Gunzip a (possibly multi-member) gzip byte array; non-gzip input is
-    * returned as-is. A corrupt gzip stream degrades to the bytes already
-    * inflated (usually none) rather than a task kill. */
-  private[sources] def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
-    if (bytes == null || bytes.length < 2 ||
-        bytes(0) != GzipMagic0 || bytes(1) != GzipMagic1) return bytes
-    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
-    try {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      val buf = new Array[Byte](64 * 1024)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    } catch { case _: java.io.IOException => /* degrade to what inflated */ }
-    out.toByteArray
+  /** A single record can't exceed what one JVM array holds; anything
+    * declaring more is a lie (or input this reader is not sized for) and
+    * drops like any other malformed record. */
+  private val MaxRecordBytes: Long = Int.MaxValue.toLong - 16
+
+  // ------------------------------------------------------------ writer
+
+  /** Serialize one record in WARC/1.0 wire framing — the writer half the
+    * planted corpora and round-trip tests share (ONE builder so the
+    * graded construction and the spec's pins cannot drift apart — the
+    * mjpegCorpus convention), and the sink side of a WARC exchange. */
+  def record(warcType: String, url: Option[String],
+             payload: Array[Byte]): Array[Byte] = {
+    val h = new StringBuilder(s"WARC/1.0\r\nWARC-Type: $warcType\r\n")
+    url.foreach(u => h ++= s"WARC-Target-URI: $u\r\n")
+    h ++= s"Content-Length: ${payload.length}\r\n\r\n"
+    h.toString.getBytes(UTF_8) ++ payload ++ "\r\n\r\n".getBytes(UTF_8)
   }
 
-  /** Index of the next `WARC/` version-line boundary at or after `from`
-    * (a version line starts the buffer or follows a LF), or -1. */
-  private def nextBoundary(b: Array[Byte], from: Int): Int = {
-    var i = math.max(from, 0)
-    while (i + 5 <= b.length) {
-      if (b(i) == 'W' && b(i + 1) == 'A' && b(i + 2) == 'R' && b(i + 3) == 'C' &&
-          b(i + 4) == '/' && (i == 0 || b(i - 1) == '\n')) return i
-      i += 1
-    }
-    -1
+  /** One gzip member — concatenate these for the `.warc.gz` wire format. */
+  def gzipMember(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(bytes); g.close()
+    bos.toByteArray
   }
 
-  /** Walk one (gunzipped) WARC buffer into its well-formed records. */
-  private[sources] def walk(fileId: Long, raw: Array[Byte]): Seq[WarcRecord] = {
-    val b = gunzipAll(raw)
-    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
-    var off = nextBoundary(b, 0)
-    var idx = 0L
-    while (off >= 0) {
-      // header block: version line + header lines, terminated by CRLFCRLF
-      // (tolerate bare-LF writers: an empty line ends the block either way)
-      var lineStart = off
-      var warcType: String = null
-      var url: String = null
-      var contentLength = -1L
-      var headerEnd = -1
-      var i = off
-      var done = false
-      while (!done && i < b.length) {
-        if (b(i) == '\n') {
-          val rawLen = i - lineStart
-          val len = if (rawLen > 0 && b(i - 1) == '\r') rawLen - 1 else rawLen
-          if (len == 0) { headerEnd = i + 1; done = true }
-          else {
-            val line = new String(b, lineStart, len, UTF_8)
-            val colon = line.indexOf(':')
-            if (colon > 0) {
-              val k = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
-              val v = line.substring(colon + 1).trim
-              k match {
-                case "warc-type"       => warcType = v
-                case "warc-target-uri" => url = v
-                case "content-length"  =>
-                  contentLength = try v.toLong catch { case _: NumberFormatException => -1L }
-                case _ =>
+  // ------------------------------------------------------------ reader
+
+  /** The (possibly inflating) stream over a file's bytes. The compressed
+    * bytes are one column value (inherently array-bounded); the INFLATED
+    * stream is never materialized. */
+  private def open(bytes: Array[Byte]): java.io.InputStream = {
+    val bais = new java.io.ByteArrayInputStream(
+      if (bytes == null) Array.empty[Byte] else bytes)
+    if (bytes != null && bytes.length >= 2 &&
+        bytes(0) == GzipMagic0 && bytes(1) == GzipMagic1)
+      // the constructor EAGERLY reads the first member header and throws
+      // on a corrupt one (bad method/flags) — degrade to an empty stream,
+      // same contract as a corrupt member mid-file
+      try new java.util.zip.GZIPInputStream(bais, 64 * 1024)
+      catch { case _: java.io.IOException =>
+        new java.io.ByteArrayInputStream(Array.empty[Byte]) }
+    else bais
+  }
+
+  /** Streaming single-pass walk of one WARC stream: a lazy iterator of
+    * well-formed records. IOExceptions anywhere (corrupt gzip member,
+    * truncated stream) degrade to end-of-iteration — the records already
+    * parsed survive, the task never dies. */
+  private[sources] def walkStream(fileId: Long,
+                                  in0: java.io.InputStream): Iterator[WarcRecord] =
+    new scala.collection.AbstractIterator[WarcRecord] {
+      private val in = new java.io.BufferedInputStream(in0, 64 * 1024)
+      private val Pat = "WARC/".getBytes(UTF_8)
+      private var prevByte: Int = '\n' // stream start counts as a line start
+      private var idx = 0L
+      private var pending: WarcRecord = null
+      private var finished = false
+
+      private def readByte(): Int =
+        try in.read() catch { case _: java.io.IOException => -1 }
+
+      /** Consume up to and including the next line-start `WARC/`. */
+      private def seekBoundary(): Boolean = {
+        var m = 0
+        var atLineStart = prevByte == '\n'
+        while (true) {
+          val b = readByte()
+          if (b < 0) return false
+          if (m == 0) {
+            if (atLineStart && b == 'W') m = 1
+            atLineStart = b == '\n'
+          } else if (b == Pat(m)) {
+            m += 1
+            if (m == Pat.length) { prevByte = b; return true }
+          } else {
+            m = 0
+            atLineStart = b == '\n'
+            if (atLineStart) () // next byte may start a fresh match
+          }
+        }
+        false
+      }
+
+      /** One header line (trailing CR stripped); null at EOF. */
+      private def readLine(): String = {
+        val buf = new java.io.ByteArrayOutputStream(80)
+        var b = readByte()
+        if (b < 0) return null
+        while (b >= 0 && b != '\n') { buf.write(b); b = readByte() }
+        if (b < 0) return null // header ran off the file: truncated tail
+        prevByte = '\n'
+        val a = buf.toByteArray
+        val len = if (a.nonEmpty && a(a.length - 1) == '\r') a.length - 1 else a.length
+        new String(a, 0, len, UTF_8)
+      }
+
+      private def readPayload(n: Int): Array[Byte] =
+        try {
+          val a = in.readNBytes(n)
+          if (a.length == n) a else null // short read: truncated/lying length
+        } catch { case _: java.io.IOException => null }
+
+      private def advance(): Unit = {
+        while (pending == null && !finished) {
+          if (!seekBoundary()) { finished = true; return }
+          // rest of the version line ("1.0"), then header lines to the
+          // empty line; bare-LF writers tolerated (CR stripped per line)
+          var line = readLine() // version-line remainder, discarded
+          var warcType: String = null
+          var url: String = null
+          var contentLength = -1L
+          var sawEmpty = false
+          while (line != null && !sawEmpty) {
+            line = readLine()
+            if (line == null) { finished = true } // truncated header
+            else if (line.isEmpty) sawEmpty = true
+            else {
+              val colon = line.indexOf(':')
+              if (colon > 0) {
+                val k = line.substring(0, colon).trim
+                  .toLowerCase(java.util.Locale.ROOT)
+                val v = line.substring(colon + 1).trim
+                k match {
+                  case "warc-type"       => warcType = v
+                  case "warc-target-uri" => url = v
+                  case "content-length"  =>
+                    contentLength =
+                      try v.toLong catch { case _: NumberFormatException => -1L }
+                  case _ =>
+                }
               }
             }
           }
-          lineStart = i + 1
+          if (sawEmpty) {
+            if (warcType == null || contentLength < 0 ||
+                contentLength > MaxRecordBytes) {
+              // malformed: consume no index, rescan from right here (the
+              // declared extent — if any — is untrusted)
+            } else {
+              val p = readPayload(contentLength.toInt)
+              if (p == null) finished = true // overran the file: drop + stop
+              else {
+                pending = WarcRecord(fileId, idx, warcType, url, contentLength, p)
+                idx += 1
+                prevByte = if (p.nonEmpty) p(p.length - 1) else prevByte
+              }
+            }
+          }
         }
-        i += 1
       }
-      if (!done) {
-        off = -1 // header ran off the file: truncated tail, stop
-      } else if (warcType == null || contentLength < 0 ||
-                 headerEnd + contentLength > b.length.toLong) {
-        // malformed (missing mandatory headers) or lying/truncated length:
-        // drop it and rescan INSIDE the declared extent — the declaration
-        // is untrusted, the next real record may start anywhere after the
-        // headers
-        off = nextBoundary(b, headerEnd)
-      } else {
-        val end = headerEnd + contentLength.toInt
-        out += WarcRecord(fileId, idx, warcType, url, contentLength,
-          java.util.Arrays.copyOfRange(b, headerEnd, end))
-        idx += 1
-        // the standard separator is CRLFCRLF after the payload, but junk
-        // between records is in-contract: scan to the next boundary
-        off = nextBoundary(b, end)
+
+      override def hasNext: Boolean = { advance(); pending != null }
+      override def next(): WarcRecord = {
+        advance()
+        if (pending == null) throw new NoSuchElementException("empty WARC iterator")
+        val r = pending; pending = null; r
       }
     }
-    out.toSeq
-  }
+
+  /** Eager walk of one file's bytes — the spec-facing form of
+    * [[walkStream]] (same single pass, collected). */
+  private[sources] def walk(fileId: Long, raw: Array[Byte]): Seq[WarcRecord] =
+    walkStream(fileId, open(raw)).toSeq
 
   /** Partition-parallel record split over a (`file_id` LONG, `content`
     * BINARY) frame — the `binaryFile` source's shape after an id
-    * projection, or any store of whole WARC files. One narrow flatMap:
-    * no shuffle, no driver involvement. */
+    * projection, or any store of whole WARC files. One narrow flatMap of
+    * lazy per-file iterators: no shuffle, no driver involvement, no
+    * whole-file inflation. */
   def records(files: DataFrame)(implicit spark: SparkSession): Dataset[WarcRecord] = {
     import spark.implicits._
     files.select(files.columns.head, files.columns(1))
       .as[(Long, Array[Byte])]
-      .mapPartitions(it => it.flatMap { case (id, bytes) => walk(id, bytes) })
+      .mapPartitions(it => it.flatMap { case (id, bytes) =>
+        walkStream(id, open(bytes))
+      })
   }
 
   /** Response-record payloads decoded as UTF-8 text — the bridge from a

@@ -1561,8 +1561,7 @@ class MainSpec extends SparkSpec {
   test("warc-extract: records and --text artifacts equal the reader; usage errors") {
     val tmp = Files.createTempDirectory("graft_cli_warc").toString
     def rec(t: String, url: String, p: String): Array[Byte] =
-      (s"WARC/1.0\r\nWARC-Type: $t\r\nWARC-Target-URI: $url\r\n" +
-        s"Content-Length: ${p.length}\r\n\r\n$p\r\n\r\n").getBytes("UTF-8")
+      graft.sources.Warc.record(t, Some(url), p.getBytes("UTF-8"))
     Seq((1L, rec("response", "http://a", "body A") ++ rec("request", "http://a", "GET")),
         (2L, rec("response", "http://b", "body B")))
       .toDF("file_id", "content").write.parquet(s"$tmp/files")

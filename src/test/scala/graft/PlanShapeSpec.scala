@@ -930,6 +930,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!finalSection.contains("Join"), finalSection)
   }
 
+  test("q258 robots gate broadcasts the rules; the URL side never shuffle-joins") {
+    val p = plan("q258_robots_gate")
+    assert(p.contains("BroadcastExchange"), s"rules must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the URL (100 TB) side must never shuffle for the join:\n$p")
+  }
+
   test("videoSignature: keyframe windows and the signature fold share ONE doc exchange") {
     import org.apache.spark.sql.functions._
     val frames = spark.range(200).select(

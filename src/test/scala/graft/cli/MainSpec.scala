@@ -1610,6 +1610,26 @@ class MainSpec extends SparkSpec {
       "--out", s"$tmp/x")) === 2)
   }
 
+  test("robots-filter: survivors and --decisions artifacts equal the operator") {
+    val tmp = Files.createTempDirectory("graft_cli_rob").toString
+    Seq(("h", "User-agent: *\nDisallow: /private"))
+      .toDF("host", "robots_txt").write.parquet(s"$tmp/robots")
+    Seq((1L, "h", "/private/x"), (2L, "h", "/ok"), (3L, "bare", "/private/x"))
+      .toDF("id", "host", "path").write.parquet(s"$tmp/urls")
+    assert(Main.run(spark, Array("robots-filter",
+      "--urls", s"$tmp/urls", "--robots", s"$tmp/robots", "--agent", "graftbot",
+      "--host", "host", "--path", "path", "--out", s"$tmp/kept")) === 0)
+    assert(spark.read.parquet(s"$tmp/kept").collect()
+      .map(_.getAs[Long]("id")).toSet === Set(2L, 3L))
+    assert(Main.run(spark, Array("robots-filter",
+      "--urls", s"$tmp/urls", "--robots", s"$tmp/robots", "--agent", "graftbot",
+      "--host", "host", "--path", "path", "--decisions", "true",
+      "--out", s"$tmp/dec")) === 0)
+    val dec = spark.read.parquet(s"$tmp/dec").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("allowed")).toMap
+    assert(dec === Map(1L -> false, 2L -> true, 3L -> true))
+  }
+
   test("cluster-balance: trained assignment + cap artifact carries the cluster column") {
     val tmp = Files.createTempDirectory("graft_cli_cb").toString
     // two tight planted topics far apart: any 2-means training separates them

@@ -6707,37 +6707,18 @@ object SparkEntry {
     // robots.txt (star + named-agent groups, accumulated UA lines,
     // comments, an agent-specific group that must ECLIPSE the host's *
     // group, * wildcards and the trailing $ anchor) and decide every
-    // planted URL by longest-match-allow-wins-ties. Rules fold to one
-    // array row per host and BROADCAST; the URL side never shuffles
-    // (per-row lambda filter + array_max). The oracle states every
+    // planted URL by longest-match-allow-wins-ties. Rules collect once
+    // (|hosts|-bounded) and ride the codegen'd RobotsDecision expression
+    // with per-executor precompiled patterns — the URL side is a pure
+    // narrow projection, no join at all. The oracle states every
     // decision outright from the (host, path) moduli
     "q258_robots_gate" -> ((s, dir) => {
-      import s.implicits._
-      val robots = Seq(
-        ("h0.example.com", "# site rules\nUser-agent: *\nDisallow: /private"),
-        ("h1.example.com", "User-agent: GraftBot\nDisallow: /\nAllow: /public\n" +
-          "User-agent: *\nAllow: /"),
-        ("h2.example.com", "User-agent: *\nDisallow: /*.pdf$"),
-        // h3 has no robots.txt at all -> allow everything
-        ("h4.example.com", "User-agent: other\nDisallow: /"),
-        ("h5.example.com", "User-agent: *\nAllow: /a/b\nDisallow: /a"),
-        ("h6.example.com", "User-agent: graftbot\nUser-agent: other\nDisallow: /doc"))
-        .toDF("host", "robots_txt")
-      val rules = graft.operators.Robots.parse(robots, "host", "robots_txt",
-        agent = "GraftBot")
+      val rules = graft.operators.Robots.parse(robotsPlantedTxt(s),
+        "host", "robots_txt", agent = "GraftBot")
       val urls = t(s, dir, "documents").select(col("doc_id"),
         concat(lit("h"), (col("doc_id") % 7).cast(StringType),
           lit(".example.com")).as("host"),
-        when(col("doc_id") % 5 === 0,
-            concat(lit("/private/p"), col("doc_id").cast(StringType)))
-          .when(col("doc_id") % 5 === 1,
-            concat(lit("/public/q"), col("doc_id").cast(StringType)))
-          .when(col("doc_id") % 5 === 2,
-            concat(lit("/doc"), col("doc_id").cast(StringType), lit(".pdf")))
-          .when(col("doc_id") % 5 === 3,
-            concat(lit("/a/b/r"), col("doc_id").cast(StringType)))
-          .otherwise(concat(lit("/a/c"), col("doc_id").cast(StringType)))
-          .as("path"))
+        robotsPlantedPath.as("path"))
       graft.operators.Robots.isAllowed(urls, rules, "host", "path")
         .select(col("doc_id"), col("host"), col("path"),
           // LONG 0/1 for cross-engine schema stability (the convention
@@ -6755,31 +6736,11 @@ object SparkEntry {
     // restricted to the admitted rows (all planted URLs are distinct
     // canonicals, so admission = allowance)
     "q259_stream_robots_frontier" -> ((s, dir) => {
-      import s.implicits._
-      val robots = Seq(
-        ("h0.example.com", "# site rules\nUser-agent: *\nDisallow: /private"),
-        ("h1.example.com", "User-agent: GraftBot\nDisallow: /\nAllow: /public\n" +
-          "User-agent: *\nAllow: /"),
-        ("h2.example.com", "User-agent: *\nDisallow: /*.pdf$"),
-        ("h4.example.com", "User-agent: other\nDisallow: /"),
-        ("h5.example.com", "User-agent: *\nAllow: /a/b\nDisallow: /a"),
-        ("h6.example.com", "User-agent: graftbot\nUser-agent: other\nDisallow: /doc"))
-        .toDF("host", "robots_txt")
-      val rules = graft.operators.Robots.parse(robots, "host", "robots_txt",
-        agent = "GraftBot")
+      val rules = graft.operators.Robots.parse(robotsPlantedTxt(s),
+        "host", "robots_txt", agent = "GraftBot")
       val urls = t(s, dir, "documents").select(col("doc_id"),
         concat(lit("http://h"), (col("doc_id") % 7).cast(StringType),
-          lit(".example.com"),
-          when(col("doc_id") % 5 === 0,
-              concat(lit("/private/p"), col("doc_id").cast(StringType)))
-            .when(col("doc_id") % 5 === 1,
-              concat(lit("/public/q"), col("doc_id").cast(StringType)))
-            .when(col("doc_id") % 5 === 2,
-              concat(lit("/doc"), col("doc_id").cast(StringType), lit(".pdf")))
-            .when(col("doc_id") % 5 === 3,
-              concat(lit("/a/b/r"), col("doc_id").cast(StringType)))
-            .otherwise(concat(lit("/a/c"), col("doc_id").cast(StringType))))
-          .as("url"))
+          lit(".example.com"), robotsPlantedPath).as("url"))
       val tmp = java.nio.file.Files.createTempDirectory("q259").toString
       try {
         urls.repartition(2).write.parquet(s"$tmp/src")
@@ -8038,6 +7999,36 @@ object SparkEntry {
         "SELECT vec_id, CAST(cluster AS INT) AS cluster FROM r WHERE rn <= 600 " +
         "ORDER BY cluster, vec_id")
   )
+
+  /** The q258/q259 planted robots corpus — ONE builder (the
+    * mainContentPlantedHtml convention) so the batch decision and the
+    * frontier deployment cannot drift from the shared oracle CTE. h3 has
+    * no robots.txt at all (the allow-everything default). */
+  private def robotsPlantedTxt(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("h0.example.com", "# site rules\nUser-agent: *\nDisallow: /private"),
+      ("h1.example.com", "User-agent: GraftBot\nDisallow: /\nAllow: /public\n" +
+        "User-agent: *\nAllow: /"),
+      ("h2.example.com", "User-agent: *\nDisallow: /*.pdf$"),
+      ("h4.example.com", "User-agent: other\nDisallow: /"),
+      ("h5.example.com", "User-agent: *\nAllow: /a/b\nDisallow: /a"),
+      ("h6.example.com", "User-agent: graftbot\nUser-agent: other\nDisallow: /doc"))
+      .toDF("host", "robots_txt")
+  }
+
+  /** The q258/q259 planted path, from doc_id % 5 — mirrors the oracle
+    * CTE's CASE exactly. */
+  private def robotsPlantedPath: Column =
+    when(col("doc_id") % 5 === 0,
+        concat(lit("/private/p"), col("doc_id").cast(StringType)))
+      .when(col("doc_id") % 5 === 1,
+        concat(lit("/public/q"), col("doc_id").cast(StringType)))
+      .when(col("doc_id") % 5 === 2,
+        concat(lit("/doc"), col("doc_id").cast(StringType), lit(".pdf")))
+      .when(col("doc_id") % 5 === 3,
+        concat(lit("/a/b/r"), col("doc_id").cast(StringType)))
+      .otherwise(concat(lit("/a/c"), col("doc_id").cast(StringType)))
 
   /** The q258/q259 planted URL universe — ONE CTE so the batch decision
     * and the frontier deployment share a single construction. */

@@ -25,28 +25,29 @@ import org.apache.spark.sql.functions._
   *    other character quoted.
   *
   * Scale shape: the rules side is dashboard-sized (|hosts| × a handful of
-  * rules) — it folds to ONE array row per host and BROADCASTS into the
-  * URL scan, so the URL side never shuffles and keeps its row identity
-  * (the decision is a per-row higher-order filter + array_max over the
-  * host's matched rules — no explode, no regroup, no window over the
-  * corpus). Parsing cost is one pass over robots documents, a corpus
-  * ~|hosts| in size, negligible next to the frontier it guards.
+  * rules) — it is collected once and rides the codegen'd
+  * [[graft.functions.RobotsDecision]] expression as a plan literal with
+  * per-executor precompiled patterns, so the URL side sees a pure narrow
+  * projection: no join, no shuffle, no per-row Pattern.compile (a joined
+  * non-foldable `regexp_like` would recompile per row × rule). Parsing
+  * cost is one pass over robots documents, a corpus ~|hosts| in size,
+  * negligible next to the frontier it guards.
   */
 object Robots {
 
   /** RFC 9309 path pattern → anchored Java regex: `*` → `.*`, a TRAILING
     * `$` → the end anchor, everything else matched literally (`$`
     * anywhere else is literal — the RFC reserves only the final
-    * position). */
-  private[operators] def patternRegex(pattern: Column): Column = {
+    * position). Runs at rules-collect time (|rules|-bounded), never
+    * per URL. */
+  private[operators] def patternRegex(pattern: String): String = {
     // quote regex metacharacters EXCEPT * and $ (handled below)
-    val quoted = regexp_replace(pattern, "([\\\\.\\[\\]{}()+\\-?^|])", "\\\\$1")
-    val starred = regexp_replace(quoted, "\\*", ".*")
-    val head = starred.substr(lit(1), length(starred) - 1)
-    val anchored = when(starred.endsWith("$"),
-        concat(regexp_replace(head, "\\$", "\\\\\\$"), lit("$")))
-      .otherwise(regexp_replace(starred, "\\$", "\\\\\\$"))
-    concat(lit("^"), anchored)
+    val quoted = pattern.replaceAll("([\\\\.\\[\\]{}()+\\-?^|])", "\\\\$1")
+    val starred = quoted.replace("*", ".*")
+    val anchored =
+      if (starred.endsWith("$")) starred.dropRight(1).replace("$", "\\$") + "$"
+      else starred.replace("$", "\\$")
+    "^" + anchored
   }
 
   /** robots.txt corpora → rule rows (hostCol, `allow` BOOLEAN, `pattern`
@@ -98,27 +99,31 @@ object Robots {
   /** `urls` plus an `allowed` BOOLEAN: the RFC longest-match decision
     * against `rules` ((hostCol, allow, pattern) — [[parse]]'s shape).
     * URLs on hosts with no rules are allowed. `pathCol` is the URL
-    * path(+query) the RFC matches on — derive upstream. The rules fold to
-    * one array row per host and broadcast; the URL side keeps its rows
-    * (a per-row lambda filter + array_max picks the winning rule). */
+    * path(+query) the RFC matches on — derive upstream.
+    *
+    * The rules are COLLECTED (a robots corpus is |hosts|-bounded — the
+    * centroid/vocab collect precedent) and ride the codegen'd
+    * [[graft.functions.RobotsDecision]] expression as a plan literal with
+    * per-executor precompiled patterns — a joined-rules formulation would
+    * recompile every non-foldable regex per (row × rule) on the 100 TB
+    * side. No join, no shuffle: the decision is a pure narrow projection
+    * that fuses into the URL scan (plan-pinned). */
   def isAllowed(urls: DataFrame, rules: DataFrame, hostCol: String,
                 pathCol: String): DataFrame = {
     require(!urls.columns.contains("allowed"),
       "Robots.isAllowed: urls already has an 'allowed' column — rename it")
-    val perHost = rules.groupBy(col(hostCol)).agg(
-      collect_list(struct(length(col("pattern")).as("len"),
-        col("allow").as("allow"),
-        patternRegex(col("pattern")).as("rx"))).as("__rules"))
-    val joined = urls.join(broadcast(perHost), Seq(hostCol), "left")
-    val matched = filter(col("__rules"),
-      r => regexp_like(col(pathCol), r.getField("rx")))
-    // RFC decision: longest pattern wins, allow wins length ties — the
-    // (len, allow) struct max; NULL (no rules / no match) -> allowed
-    val best = array_max(transform(matched,
-      r => struct(r.getField("len").as("len"), r.getField("allow").as("allow"))))
-    joined
-      .withColumn("allowed", coalesce(best.getField("allow"), lit(true)))
-      .drop("__rules")
+    val byHost: Map[String, Seq[(Int, Boolean, String)]] =
+      rules.select(col(hostCol), col("allow"), col("pattern")).collect()
+        .groupBy(_.getString(0))
+        .map { case (h, rows) =>
+          h -> rows.toSeq.map(r =>
+            (r.getString(2).length, r.getBoolean(1), patternRegex(r.getString(2))))
+        }
+    // NULL host/path propagates NULL out of the expression -> the RFC
+    // allow default via the coalesce
+    urls.withColumn("allowed", coalesce(
+      graft.functions.RobotsDecision.column(col(hostCol), col(pathCol), byHost),
+      lit(true)))
   }
 
   /** The gate itself: only the allowed URLs survive. */

@@ -40,9 +40,11 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   *    cannot pass the planted gates;
   *  - Content-Length is parsed into Long and sanity-bounded BEFORE any
   *    allocation (a crafted length cannot wrap an Int or reserve a
-  *    near-2GiB array); a record whose declared payload overruns the file
-  *    reads short and is dropped (the degrade-don't-kill contract — one
-  *    truncated tail record must not kill a 100 TB scan);
+  *    near-2GiB array); a record whose declared payload overruns the
+  *    stream reads short, is dropped, and its consumed extent is
+  *    RE-WALKED — a lying length mid-file cannot swallow the valid
+  *    records behind it (the degrade-don't-kill contract: one bad
+  *    record must cost itself, not the file, let alone the scan);
   *  - header keys are case-insensitive per RFC (WARC inherits HTTP's
   *    header grammar); values are trimmed; a record missing Content-Length
   *    is malformed and skipped the same way; a corrupt gzip stream
@@ -123,7 +125,8 @@ object Warc {
   private[sources] def walkStream(fileId: Long,
                                   in0: java.io.InputStream): Iterator[WarcRecord] =
     new scala.collection.AbstractIterator[WarcRecord] {
-      private val in = new java.io.BufferedInputStream(in0, 64 * 1024)
+      private var in: java.io.InputStream =
+        new java.io.BufferedInputStream(in0, 64 * 1024)
       private val Pat = "WARC/".getBytes(UTF_8)
       private var prevByte: Int = '\n' // stream start counts as a line start
       private var idx = 0L
@@ -147,9 +150,11 @@ object Warc {
             m += 1
             if (m == Pat.length) { prevByte = b; return true }
           } else {
+            // restart handled by the next iteration's m == 0 branch (no
+            // byte inside a partial "WARC/" match is preceded by a LF,
+            // so no overlapping start can be missed)
             m = 0
             atLineStart = b == '\n'
-            if (atLineStart) () // next byte may start a fresh match
           }
         }
         false
@@ -168,11 +173,11 @@ object Warc {
         new String(a, 0, len, UTF_8)
       }
 
+      /** Exactly `n` bytes, or whatever remained (a SHORT array) when the
+        * stream ended first — the caller distinguishes by length. */
       private def readPayload(n: Int): Array[Byte] =
-        try {
-          val a = in.readNBytes(n)
-          if (a.length == n) a else null // short read: truncated/lying length
-        } catch { case _: java.io.IOException => null }
+        try in.readNBytes(n)
+        catch { case _: java.io.IOException => Array.empty[Byte] }
 
       private def advance(): Unit = {
         while (pending == null && !finished) {
@@ -212,8 +217,15 @@ object Warc {
               // declared extent — if any — is untrusted)
             } else {
               val p = readPayload(contentLength.toInt)
-              if (p == null) finished = true // overran the file: drop + stop
-              else {
+              if (p.length < contentLength) {
+                // the declared length overran the stream: the declaration
+                // was a LIE (readNBytes comes up short only at EOF), so
+                // the next real record may start anywhere inside what it
+                // swallowed — drop the liar and RE-WALK its extent (the
+                // bytes are already in hand, bounded by what remained)
+                in = new java.io.ByteArrayInputStream(p)
+                prevByte = '\n' // the extent starts right after CRLFCRLF
+              } else {
                 pending = WarcRecord(fileId, idx, warcType, url, contentLength, p)
                 idx += 1
                 prevByte = if (p.nonEmpty) p(p.length - 1) else prevByte

@@ -930,11 +930,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!finalSection.contains("Join"), finalSection)
   }
 
-  test("q258 robots gate broadcasts the rules; the URL side never shuffle-joins") {
+  test("q258 robots gate is a pure narrow projection: no join, no keyed shuffle") {
     val p = plan("q258_robots_gate")
-    assert(p.contains("BroadcastExchange"), s"rules must broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      s"the URL (100 TB) side must never shuffle for the join:\n$p")
+    // the rules ride the RobotsDecision expression as a plan literal —
+    // there is nothing to join; only the final orderBy range exchange
+    assert(!p.contains("Join"), s"the decision must not plan a join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the URL (100 TB) side must never shuffle:\n$p")
+    assert(p.contains("robotsdecision"), s"expected the codegen'd decision:\n$p")
   }
 
   test("videoSignature: keyframe windows and the signature fold share ONE doc exchange") {

@@ -47,6 +47,26 @@ class WarcSpec extends SparkSpec {
     assert(new String(rs.head.payload, UTF_8) === tricky)
   }
 
+  test("a lying Content-Length mid-file cannot swallow the records behind it") {
+    // the liar declares more than the whole remaining file; the walker
+    // must drop it and re-walk its consumed extent, recovering B and C
+    val f = rec("response", Some("a"), "first") ++
+      ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: liar\r\n" +
+        "Content-Length: 99999\r\n\r\nstub\r\n").getBytes(UTF_8) ++
+      rec("response", Some("b"), "second") ++
+      rec("response", Some("c"), "third")
+    val rs = Warc.walk(1L, f)
+    assert(rs.map(r => (r.rec_index, r.url, new String(r.payload, UTF_8)))
+      === Seq((0L, "a", "first"), (1L, "b", "second"), (2L, "c", "third")))
+    // nested lies: a second liar inside the first one's extent
+    val f2 = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: l1\r\n" +
+        "Content-Length: 88888\r\n\r\n").getBytes(UTF_8) ++
+      ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: l2\r\n" +
+        "Content-Length: 77777\r\n\r\n").getBytes(UTF_8) ++
+      rec("response", Some("d"), "survivor")
+    assert(Warc.walk(1L, f2).map(_.url) === Seq("d"))
+  }
+
   test("junk between records and malformed records are scanned past") {
     val f = rec("response", Some("u"), "one") ++
       "JUNKJUNKJUNK\r\n".getBytes(UTF_8) ++             // non-record noise

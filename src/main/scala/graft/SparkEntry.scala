@@ -6729,8 +6729,8 @@ object SparkEntry {
 
     // q259: the robots gate DEPLOYED in front of the frontier — the
     // full crawl admission chain (politeness THEN dedup/budget): the
-    // planted URL stream filters through the broadcast rules
-    // (stream-static join + per-row lambda, stateless) before
+    // planted URL stream filters through the codegen'd RobotsDecision
+    // expression (rules as a plan literal, stateless per row) before
     // frontierGate's canonical seen-set admission; only allowed URLs
     // ever reach the frontier state. Oracle: the q258 decision CASE
     // restricted to the admitted rows (all planted URLs are distinct

@@ -2612,9 +2612,10 @@ object Main {
       }
 
     case RobotsFilterCmd(urls, robots, agent, host, path, txt, decisions, out) =>
-      // the politeness gate: rules parsed once (RFC 9309 groups), folded
-      // per host, broadcast into the URL scan; --decisions true writes
-      // every URL with its `allowed` verdict instead of only survivors
+      // the politeness gate: rules parsed once (RFC 9309 groups), collected
+      // and shipped as the RobotsDecision plan literal (no join);
+      // --decisions true writes every URL with its `allowed` verdict
+      // instead of only survivors
       val rules = graft.operators.Robots.parse(
         spark.read.parquet(robots), host, txt, agent)
       val u = spark.read.parquet(urls)

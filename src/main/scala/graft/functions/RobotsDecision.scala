@@ -17,8 +17,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * `Pattern.compile` calls per URL on the 100 TB side. Here the rules are
   * collected once (a robots corpus is |hosts|-bounded — the
   * centroid/vocab collect precedent), ride the expression as a reference
-  * object, and compile ONCE per executor via a transient lazy map; each
-  * row then costs only the actual matches. The join disappears entirely —
+  * object, and compile once per TASK via a transient lazy map (reference
+  * objects deserialize with each task binary) — amortized across the
+  * task's whole partition, so each ROW costs only the actual matches. The join disappears entirely —
   * the decision is a pure narrow projection that fuses into the scan.
   *
   * Decision semantics (RFC 9309 §2.2.2): among the host's rules whose
@@ -41,17 +42,21 @@ case class RobotsDecision(left: Expression, right: Expression,
         s"RobotsDecision expects (string host, string path), got ($l, $r)")
     }
 
-  /** Compiled once per executor (the expression instance deserializes once
-    * per task set; the lazy map compiles on first row). */
-  @transient private lazy val compiled: Map[String, Array[(Int, Boolean, java.util.regex.Pattern)]] =
+  /** Compiled once per TASK (the expression rides the codegen references
+    * array, which deserializes with each task binary — |rules|-bounded
+    * per task, amortized across the task's whole partition; per-ROW it
+    * costs nothing, which is the point vs a joined non-foldable regex).
+    * Keyed by UTF8String so the per-row probe needs no String decode —
+    * UTF8String has value equals/hashCode. */
+  @transient private lazy val compiled: Map[UTF8String, Array[(Int, Boolean, java.util.regex.Pattern)]] =
     rules.map { case (h, rs) =>
-      h -> rs.map { case (len, allow, rx) =>
+      UTF8String.fromString(h) -> rs.map { case (len, allow, rx) =>
         (len, allow, java.util.regex.Pattern.compile(rx))
       }.toArray
     }
 
   def decide(host: UTF8String, path: UTF8String): Boolean = {
-    val rs = compiled.getOrElse(host.toString, null)
+    val rs = compiled.getOrElse(host, null)
     if (rs == null) return true
     val p = path.toString
     var bestLen = -1

@@ -26,8 +26,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the rules side is dashboard-sized (|hosts| × a handful of
   * rules) — it is collected once and rides the codegen'd
-  * [[graft.functions.RobotsDecision]] expression as a plan literal with
-  * per-executor precompiled patterns, so the URL side sees a pure narrow
+  * [[graft.functions.RobotsDecision]] expression as a plan literal whose
+  * patterns compile once per task (amortized across the task's whole
+  * partition), so the URL side sees a pure narrow
   * projection: no join, no shuffle, no per-row Pattern.compile (a joined
   * non-foldable `regexp_like` would recompile per row × rule). Parsing
   * cost is one pass over robots documents, a corpus ~|hosts| in size,
@@ -103,8 +104,8 @@ object Robots {
     *
     * The rules are COLLECTED (a robots corpus is |hosts|-bounded — the
     * centroid/vocab collect precedent) and ride the codegen'd
-    * [[graft.functions.RobotsDecision]] expression as a plan literal with
-    * per-executor precompiled patterns — a joined-rules formulation would
+    * [[graft.functions.RobotsDecision]] expression as a plan literal whose
+    * patterns compile once per task — a joined-rules formulation would
     * recompile every non-foldable regex per (row × rule) on the 100 TB
     * side. No join, no shuffle: the decision is a pure narrow projection
     * that fuses into the URL scan (plan-pinned). */
@@ -112,8 +113,12 @@ object Robots {
                 pathCol: String): DataFrame = {
     require(!urls.columns.contains("allowed"),
       "Robots.isAllowed: urls already has an 'allowed' column — rename it")
+    // NULL-bearing rule rows (hand-built frames; parse can't produce
+    // them) degrade like the pre-expression formulation did: a rule with
+    // no pattern or no verdict decides nothing and is dropped
     val byHost: Map[String, Seq[(Int, Boolean, String)]] =
       rules.select(col(hostCol), col("allow"), col("pattern")).collect()
+        .filter(r => !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2))
         .groupBy(_.getString(0))
         .map { case (h, rows) =>
           h -> rows.toSeq.map(r =>

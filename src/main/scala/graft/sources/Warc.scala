@@ -41,10 +41,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   *  - Content-Length is parsed into Long and sanity-bounded BEFORE any
   *    allocation (a crafted length cannot wrap an Int or reserve a
   *    near-2GiB array); a record whose declared payload overruns the
-  *    stream reads short, is dropped, and its consumed extent is
-  *    RE-WALKED — a lying length mid-file cannot swallow the valid
-  *    records behind it (the degrade-don't-kill contract: one bad
-  *    record must cost itself, not the file, let alone the scan);
+  *    stream reads short and the file's remainder is DROPPED by default
+  *    (a lie and ordinary tail truncation are indistinguishable at EOF,
+  *    and re-walking a truncated payload's bytes could FABRICATE records
+  *    out of content that merely quotes WARC text) — pass
+  *    `recoverLyingExtents = true` to re-walk the consumed extent
+  *    instead, recovering records a mid-file lying length swallowed;
   *  - header keys are case-insensitive per RFC (WARC inherits HTTP's
   *    header grammar); values are trimmed; a record missing Content-Length
   *    is malformed and skipped the same way; a corrupt gzip stream
@@ -121,9 +123,19 @@ object Warc {
   /** Streaming single-pass walk of one WARC stream: a lazy iterator of
     * well-formed records. IOExceptions anywhere (corrupt gzip member,
     * truncated stream) degrade to end-of-iteration — the records already
-    * parsed survive, the task never dies. */
-  private[sources] def walkStream(fileId: Long,
-                                  in0: java.io.InputStream): Iterator[WarcRecord] =
+    * parsed survive, the task never dies.
+    *
+    * `recoverLyingExtents` picks the policy when a declared Content-Length
+    * overruns the stream (readNBytes comes up short only at EOF, so the
+    * walker cannot tell a LYING length from ordinary tail TRUNCATION):
+    * false (the default) DROPS the consumed extent — a truncated transfer
+    * of a file whose last payload quotes WARC text (a crawled .warc, a
+    * page discussing the format) must never FABRICATE corpus records out
+    * of payload bytes; true RE-WALKS the extent, recovering real records
+    * a mid-file lying length tried to swallow — opt in for adversarial
+    * archives where lies, not truncation, are the expected failure. */
+  private[sources] def walkStream(fileId: Long, in0: java.io.InputStream,
+                                  recoverLyingExtents: Boolean = false): Iterator[WarcRecord] =
     new scala.collection.AbstractIterator[WarcRecord] {
       private var in: java.io.InputStream =
         new java.io.BufferedInputStream(in0, 64 * 1024)
@@ -218,13 +230,15 @@ object Warc {
             } else {
               val p = readPayload(contentLength.toInt)
               if (p.length < contentLength) {
-                // the declared length overran the stream: the declaration
-                // was a LIE (readNBytes comes up short only at EOF), so
-                // the next real record may start anywhere inside what it
-                // swallowed — drop the liar and RE-WALK its extent (the
-                // bytes are already in hand, bounded by what remained)
-                in = new java.io.ByteArrayInputStream(p)
-                prevByte = '\n' // the extent starts right after CRLFCRLF
+                // the declared length overran the stream — lie vs tail
+                // truncation is undecidable here, so the policy parameter
+                // chooses: re-walk the consumed extent (recover what a
+                // mid-file lie swallowed) or stop (never fabricate
+                // records from a truncated payload's bytes)
+                if (recoverLyingExtents) {
+                  in = new java.io.ByteArrayInputStream(p)
+                  prevByte = '\n' // the extent starts right after CRLFCRLF
+                } else finished = true
               } else {
                 pending = WarcRecord(fileId, idx, warcType, url, contentLength, p)
                 idx += 1
@@ -245,20 +259,22 @@ object Warc {
 
   /** Eager walk of one file's bytes — the spec-facing form of
     * [[walkStream]] (same single pass, collected). */
-  private[sources] def walk(fileId: Long, raw: Array[Byte]): Seq[WarcRecord] =
-    walkStream(fileId, open(raw)).toSeq
+  private[sources] def walk(fileId: Long, raw: Array[Byte],
+                            recoverLyingExtents: Boolean = false): Seq[WarcRecord] =
+    walkStream(fileId, open(raw), recoverLyingExtents).toSeq
 
   /** Partition-parallel record split over a (`file_id` LONG, `content`
     * BINARY) frame — the `binaryFile` source's shape after an id
     * projection, or any store of whole WARC files. One narrow flatMap of
     * lazy per-file iterators: no shuffle, no driver involvement, no
     * whole-file inflation. */
-  def records(files: DataFrame)(implicit spark: SparkSession): Dataset[WarcRecord] = {
+  def records(files: DataFrame, recoverLyingExtents: Boolean = false)
+             (implicit spark: SparkSession): Dataset[WarcRecord] = {
     import spark.implicits._
     files.select(files.columns.head, files.columns(1))
       .as[(Long, Array[Byte])]
       .mapPartitions(it => it.flatMap { case (id, bytes) =>
-        walkStream(id, open(bytes))
+        walkStream(id, open(bytes), recoverLyingExtents)
       })
   }
 

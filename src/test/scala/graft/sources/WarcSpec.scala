@@ -47,24 +47,35 @@ class WarcSpec extends SparkSpec {
     assert(new String(rs.head.payload, UTF_8) === tricky)
   }
 
-  test("a lying Content-Length mid-file cannot swallow the records behind it") {
-    // the liar declares more than the whole remaining file; the walker
-    // must drop it and re-walk its consumed extent, recovering B and C
+  test("lying/truncated Content-Length: default drops the tail, opt-in recovery re-walks") {
     val f = rec("response", Some("a"), "first") ++
       ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: liar\r\n" +
         "Content-Length: 99999\r\n\r\nstub\r\n").getBytes(UTF_8) ++
       rec("response", Some("b"), "second") ++
       rec("response", Some("c"), "third")
-    val rs = Warc.walk(1L, f)
+    // DEFAULT: a short read is indistinguishable from tail truncation —
+    // drop the remainder rather than risk fabricating records out of a
+    // truncated payload's bytes
+    assert(Warc.walk(1L, f).map(_.url) === Seq("a"))
+    // OPT-IN recovery: re-walk the liar's consumed extent, recovering B/C
+    val rs = Warc.walk(1L, f, recoverLyingExtents = true)
     assert(rs.map(r => (r.rec_index, r.url, new String(r.payload, UTF_8)))
       === Seq((0L, "a", "first"), (1L, "b", "second"), (2L, "c", "third")))
-    // nested lies: a second liar inside the first one's extent
+    // nested lies recover too: a second liar inside the first's extent
     val f2 = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: l1\r\n" +
         "Content-Length: 88888\r\n\r\n").getBytes(UTF_8) ++
       ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: l2\r\n" +
         "Content-Length: 77777\r\n\r\n").getBytes(UTF_8) ++
       rec("response", Some("d"), "survivor")
-    assert(Warc.walk(1L, f2).map(_.url) === Seq("d"))
+    assert(Warc.walk(1L, f2, recoverLyingExtents = true).map(_.url) === Seq("d"))
+    // the fabrication hazard the default guards against: a TRUNCATED
+    // valid record whose payload quotes a complete WARC record must not
+    // surface the quoted record as corpus data
+    val quoted = new String(rec("response", Some("fake"), "evil"), UTF_8)
+    val truncated = rec("response", Some("real"), "ok") ++
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: cut\r\n" +
+        s"Content-Length: ${quoted.length + 500}\r\n\r\n" + quoted).getBytes(UTF_8)
+    assert(Warc.walk(1L, truncated).map(_.url) === Seq("real"))
   }
 
   test("junk between records and malformed records are scanned past") {

@@ -439,7 +439,19 @@ object Bench {
     // q128/q208 shape), q256 runs TWO scd2Ingest rounds + tombstone +
     // compaction + per-version asOf serve arms (the q244 multi-job
     // lifecycle shape, temporal form)
-    "q254_stream_embed_decon_gate", "q256_history_erasure")
+    "q254_stream_embed_decon_gate", "q256_history_erasure",
+    // r17 adjudication: q159 measured 1.52/2.05/1.99/2.33 calibrated of
+    // its 1.617 floor across FOUR same-day full benches and 2.90/2.70 on
+    // two targeted subset re-measures — all on unchanged code and an
+    // identical plan, the q150/q165/q202 bimodal driver-loop signature.
+    // The cause is structural and was simply never tagged when its floor
+    // landed on a quiet run: bpeTrainDelta is a per-round DRIVER LOOP
+    // (merge selection collect + delta-recount job per round, checkpoints
+    // between) whose scheduling/collect latency compounds — its full
+    // trainer siblings q150/q202/q203 carry the tag already. The 2x
+    // bound still catches a real blow-up (observed spread tops at 1.8x
+    // of floor)
+    "q159_bpe_delta_train")
 
   /** Machine calibration canaries: stable, mid-weight queries spanning the
     * engine's plan shapes (pushed scan, window, LSH join, stream, fill).

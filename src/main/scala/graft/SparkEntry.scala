@@ -6551,11 +6551,19 @@ object SparkEntry {
     // q252: crawl-dump-to-corpus — the q250 curation composed over the
     // ACTUAL interchange format: each planted q239 page ships as the
     // response payload of its own .warc.gz (gzip %2, plain+junk
-    // otherwise, warcinfo + %5 request hazards in every file),
+    // otherwise, warcinfo + %5 request hazards in every file), and —
+    // round 18 — every response payload is a REAL `application/http`
+    // message (status line + headers + CRLFCRLF + body, what CommonCrawl
+    // actually stores): a reader that does not strip the envelope leaks
+    // header text into the first extracted block and the token mass
+    // breaks the oracle. Per %3 a 404 error page and per %4 a 200
+    // text/plain sibling record ride the same file, so the
+    // status-200 + text/html admission filter is itself graded (an
+    // unfiltered reader doubles those files' doc counts).
     // Warc.responseText reopens the corpus, main-content extraction +
     // token-threshold keep + the per-source release report run on what
     // came OUT of the container. Graded by the exact q250 oracle — any
-    // byte lost or gained in the WARC round trip lands in the token
+    // byte lost or gained in the WARC+HTTP round trip lands in the token
     // mass of some source
     "q252_warc_curation" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -6566,12 +6574,32 @@ object SparkEntry {
         .as[(Long, String)].mapPartitions { it =>
           val UTF8 = java.nio.charset.StandardCharsets.UTF_8
           import graft.sources.Warc.{gzipMember, record}
+          def http(status: Int, reason: String, ctype: String, body: Array[Byte]) =
+            (s"HTTP/1.1 $status $reason\r\nContent-Type: $ctype\r\n" +
+              "Server: graft\r\n\r\n").getBytes(UTF8) ++ body
           it.map { case (id, page) =>
             val members = Seq(record("warcinfo", None, "graft-crawler".getBytes(UTF8))) ++
               (if (id % 5 == 0)
                 Seq(record("request", Some(s"http://ex.org/$id"), "GET /".getBytes(UTF8)))
                else Seq.empty) ++
-              Seq(record("response", Some(s"http://ex.org/$id"), page.getBytes(UTF8)))
+              (if (id % 3 == 0)
+                Seq(record("response", Some(s"http://ex.org/$id/missing"),
+                  http(404, "Not Found", "text/html",
+                    ("<html><p>error page not found the requested resource is gone " +
+                      "try the archive mirror listing for older snapshots of this " +
+                      "document tree</p></html>").getBytes(UTF8))))
+               else Seq.empty) ++
+              (if (id % 4 == 1)
+                Seq(record("response", Some(s"http://ex.org/$id/robots.txt"),
+                  http(200, "OK", "text/plain; charset=utf-8",
+                    ("user agent star disallow private allow public plain text " +
+                      "sidecar payload that must never enter the html corpus " +
+                      "token mass under the admission filter").getBytes(UTF8))))
+               else Seq.empty) ++
+              Seq(record("response", Some(s"http://ex.org/$id"),
+                http(200, "OK",
+                  if (id % 2 == 0) "text/html; charset=utf-8"
+                  else "Text/HTML; charset=\"UTF-8\"", page.getBytes(UTF8))))
             val bytes =
               if (id % 2 == 0) members.map(gzipMember).reduce(_ ++ _)
               else members.reduce((a, b) => a ++ "NOISE\r\n".getBytes(UTF8) ++ b)
@@ -6579,6 +6607,7 @@ object SparkEntry {
           }
         }.toDF("file_id", "content")
       val corpus = graft.sources.Warc.responseText(files)
+        .filter(col("http_status") === 200 && col("content_type") === "text/html")
         .select(col("file_id").as("doc_id"), col("text").as("page"))
       val extracted = corpus
         .join(docs.select(col("doc_id").cast(LongType).as("doc_id"), col("source")),
@@ -6761,6 +6790,67 @@ object SparkEntry {
           .select(col("doc_id"), col("url_norm"), col("host"))
           .orderBy("doc_id").localCheckpoint()
       } finally deleteRecursively(tmp)
+    }),
+
+    // q260: the HTTP message envelope inside WARC response records —
+    // what real crawl archives (CommonCrawl) actually store as
+    // `application/http; msgtype=response` payloads. Every planted
+    // payload is status line + headers + CRLFCRLF + body; the reader
+    // must strip the envelope (headers never in text), surface the
+    // status (404 per %7) and the bare mime (html/plain per %4), and
+    // decode by the DECLARED charset: %4==0 bodies are ISO-8859-1
+    // bytes whose 'café' marker is an invalid UTF-8 sequence (a
+    // UTF-8-assuming reader emits U+FFFD and fails), the other
+    // branches are UTF-8 (quoted+mixed-case charset param, no param,
+    // unknown param → the documented fallback — a Latin-1-assuming
+    // reader fails THOSE with 'cafÃ©'). Per %9 the terminator is bare
+    // LFLF (lenient-server tolerance); per %10==9 the message has NO
+    // terminator — all envelope, text must be EMPTY, never raw
+    // headers. gzip-member %2 as in q251. Oracle: every column stated
+    // outright from doc_id moduli + the same substr slice
+    "q260_warc_http_responses" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val payloads = t(s, dir, "documents").select(
+        col("doc_id").cast(LongType).as("doc_id"),
+        col("text").substr(1, 60).as("slice"))
+      val files = payloads.as[(Long, String)].mapPartitions { it =>
+        val UTF8 = java.nio.charset.StandardCharsets.UTF_8
+        val L1 = java.nio.charset.StandardCharsets.ISO_8859_1
+        import graft.sources.Warc.{gzipMember, record}
+        it.map { case (id, slice) =>
+          val status = if (id % 7 == 0) 404 else 200
+          val reason = if (status == 404) "Not Found" else "OK"
+          val (ctype, cs) = (id % 4) match {
+            case 0 => ("text/html; charset=ISO-8859-1", L1)
+            case 1 => ("Text/HTML; Charset=\"UTF-8\"", UTF8)
+            case 2 => ("text/plain", UTF8)
+            case _ => ("text/plain; charset=x-bogus", UTF8)
+          }
+          val payload =
+            if (id % 10 == 9) // truncated message: all envelope, no body
+              s"HTTP/1.1 $status $reason\r\nContent-Type: $ctype".getBytes(UTF8)
+            else {
+              val head =
+                if (id % 9 == 0)
+                  s"HTTP/1.1 $status $reason\nContent-Type: $ctype\nServer: graft\n\n"
+                else
+                  s"HTTP/1.1 $status $reason\r\nContent-Type: $ctype\r\nServer: graft\r\n\r\n"
+              head.getBytes(UTF8) ++ s"B $id café $slice".getBytes(cs)
+            }
+          val members = Seq(
+            record("warcinfo", None, "graft-crawler".getBytes(UTF8)),
+            record("response", Some(s"http://ex.org/$id"), payload))
+          val bytes =
+            if (id % 2 == 0) members.map(gzipMember).reduce(_ ++ _)
+            else members.reduce(_ ++ _)
+          (id, bytes)
+        }
+      }.toDF("file_id", "content")
+      graft.sources.Warc.responseText(files)
+        .select(col("file_id").as("doc_id"), col("http_status"),
+          col("content_type"), col("text"))
+        .orderBy("doc_id")
     }),
 
     // q256: FULL-HISTORY hard erasure — takedown in the temporal family,
@@ -7997,7 +8087,19 @@ object SparkEntry {
         "u AS (SELECT * FROM org UNION ALL SELECT * FROM fl), " +
         "r AS (SELECT vec_id, cluster, row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rn FROM u) " +
         "SELECT vec_id, CAST(cluster AS INT) AS cluster FROM r WHERE rn <= 600 " +
-        "ORDER BY cluster, vec_id")
+        "ORDER BY cluster, vec_id"),
+    // q260: every column stated outright from doc_id moduli — status
+    // 404 per %7, bare lowercased mime per %4, the envelope-stripped
+    // body ('' for the %10==9 terminator-less message), with the café
+    // marker that only a declared-charset decode reproduces on the
+    // Latin-1 branch (and only a UTF-8 decode on the others)
+    "q260_warc_http_responses" ->
+      ("SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
+        "CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS http_status, " +
+        "CASE WHEN doc_id % 4 IN (0, 1) THEN 'text/html' ELSE 'text/plain' END AS content_type, " +
+        "CASE WHEN doc_id % 10 = 9 THEN '' " +
+        "ELSE 'B ' || CAST(doc_id AS VARCHAR) || ' café ' || substr(text, 1, 60) END AS text " +
+        "FROM documents ORDER BY doc_id")
   )
 
   /** The q258/q259 planted robots corpus — ONE builder (the

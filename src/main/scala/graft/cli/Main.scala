@@ -119,11 +119,11 @@ object Main {
       "       scd2-ingest --source <parquetDir> --pks c1[,c2] --compare c1[,c2] --ver <col> [--op <col>] --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       scd2-apply --snapshot <parquet> --pks c1[,c2] --compare c1[,c2] --version <n> --out <parquetDir> (--history <parquetDir> | --init true) [--upserts true]\n" +
       "       scd2-close --history <parquetDir> --keys <parquet> --pks c1[,c2] --version <n> --out <parquetDir>\n" +
-      "       warc-extract --files <parquet(file_id,content)> --out <parquetDir> [--text true]\n" +
+      "       warc-extract --files <parquet(file_id,content)> --out <parquetDir> [--text true] [--status <n>] [--mime <type>]\n" +
       "       embed-decontaminate --corpus <parquet> --benchmark <parquet> --id <col> --vec <col> --threshold <cos> --out <parquetDir> [--scrub true]\n" +
       "       embed-decon-gate --source <parquetDir> --benchmark <parquet> --id <col> --vec <col> --threshold <cos> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       cluster-balance --corpus <parquet> --id <col> --vec <col> --centroids <k> --cap <n> --out <parquetDir> [--iterations <n>]\n" +
-      "       robots-filter --urls <parquet> --robots <parquet(host,txt)> --agent <name> --host <col> --path <col> --out <parquetDir> [--txt <col>] [--decisions true]\n" +
+      "       robots-filter --urls <parquet> --robots <parquet keyed by the --host column, text in --txt col (default robots_txt)> --agent <name> --host <col> --path <col> --out <parquetDir> [--txt <col>] [--decisions true]\n" +
       "       retain-history --history <parquetDir> --horizon <n> --out <parquetDir>\n" +
       "       asof --history <parquetDir> --version <n> --out <parquetDir>\n" +
       "       compact --dir <parquetDir> [--target-mb <n>]"
@@ -196,6 +196,7 @@ object Main {
                                  vec: String, centroids: Int, dest: String,
                                  table: String, checkpoint: String) extends Cmd
   private case class WarcExtractCmd(files: String, text: Boolean,
+                                    status: Option[Int], mime: Option[String],
                                     out: String) extends Cmd
   private case class EmbedDeconCmd(corpus: String, benchmark: String,
                                    id: String, vec: String, threshold: Double,
@@ -1140,8 +1141,16 @@ object Main {
         opts <- parseOpts(rest)
         files <- req(opts, "warc-extract", "files")
         text <- optBool(opts, "warc-extract", "text", dflt = false)
+        status <- opts.get("status") match {
+          case None => Right(None)
+          case Some(s) => s.toIntOption.map(Some(_))
+            .toRight(s"warc-extract: --status must be an HTTP status code, got $s")
+        }
+        mime = opts.get("mime")
+        _ <- Either.cond(text || (status.isEmpty && mime.isEmpty), (),
+          "warc-extract: --status/--mime filter decoded responses — they require --text true")
         out <- req(opts, "warc-extract", "out")
-      } yield WarcExtractCmd(files, text, out)
+      } yield WarcExtractCmd(files, text, status, mime, out)
     case "embed-decontaminate" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -2578,15 +2587,22 @@ object Main {
         .write.mode("overwrite").parquet(out)
       0
 
-    case WarcExtractCmd(files, text, out) =>
+    case WarcExtractCmd(files, text, status, mime, out) =>
       // the crawl-dump entry point: a (file_id, content) frame of whole
       // WARC files (spark.read.format("binaryFile") upstream) splits
       // into records per partition — no shuffle; --text true keeps only
-      // response payloads decoded as UTF-8 (the WET-equivalent corpus)
+      // response payloads with the HTTP envelope stripped and the body
+      // decoded by its declared charset (status/mime surfaced as
+      // columns); --status 200 --mime text/html is the usual crawl
+      // admission pair
       implicit val s: SparkSession = spark
       val f = spark.read.parquet(files)
-      (if (text) graft.sources.Warc.responseText(f)
-       else graft.sources.Warc.records(f).toDF())
+      (if (text) {
+        val r = graft.sources.Warc.responseText(f)
+        import org.apache.spark.sql.functions.col
+        val withStatus = status.fold(r)(n => r.filter(col("http_status") === n))
+        mime.fold(withStatus)(m => withStatus.filter(col("content_type") === m))
+      } else graft.sources.Warc.records(f).toDF())
         .write.mode("overwrite").parquet(out)
       0
 

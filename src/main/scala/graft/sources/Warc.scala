@@ -278,14 +278,94 @@ object Warc {
       })
   }
 
-  /** Response-record payloads decoded as UTF-8 text — the bridge from a
-    * crawl dump to the HTML/text stages (q224 WET, q239 main content,
-    * q250 curation): filter BEFORE decode so non-response members
-    * (warcinfo, request, metadata) never materialize a string. */
+  // ------------------------------------------- HTTP envelope + charset
+
+  private val HttpMagic = "HTTP/".getBytes(UTF_8)
+
+  /** Offset of the first byte PAST the header terminator (CRLFCRLF, with
+    * LFLF tolerated for bare-LF servers), or -1 when no terminator exists
+    * (a truncated message is all envelope, no body). */
+  private[sources] def headerEnd(payload: Array[Byte]): Int = {
+    var i = 0
+    while (i < payload.length) {
+      if (payload(i) == '\n') {
+        if (i + 1 < payload.length && payload(i + 1) == '\n') return i + 2
+        if (i + 2 < payload.length && payload(i + 1) == '\r' &&
+            payload(i + 2) == '\n') return i + 3
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private val StatusRe = "^HTTP/\\d[.\\d]*\\s+(\\d{3})".r
+  private val CharsetRe =
+    "(?i)charset\\s*=\\s*\"?([^\";,\\s]+)\"?".r.unanchored
+
+  /** One response payload → (http_status, content_type, text).
+    *
+    * Real crawl archives (CommonCrawl included) store response records as
+    * `application/http; msgtype=response` payloads — status line + HTTP
+    * headers + CRLFCRLF + body — so the envelope MUST be stripped before
+    * the payload can be corpus text (headers would otherwise leak into
+    * extraction, token counts, and dedup shingles). Payloads that do not
+    * start with `HTTP/` are bare bodies (WET-style conversions, the
+    * planted round-trip corpora) and pass through whole with NULL
+    * status/content-type.
+    *
+    * The body is decoded by the Content-Type `charset` parameter
+    * (ISO-8859-1/Windows-1252 are ubiquitous in real crawls), quoted or
+    * bare, falling back to UTF-8 when the parameter is absent, unknown to
+    * the JVM, or unsupported; `content_type` surfaces the bare mime
+    * (lowercased, parameters dropped) so downstream filters can keep
+    * `text/html` without re-parsing. A message with no blank line is all
+    * envelope — its text is empty, never the raw headers. */
+  private[sources] def decodeHttpPayload(
+      payload: Array[Byte]): (Option[Int], Option[String], String) = {
+    val isHttp = payload.length >= HttpMagic.length &&
+      java.util.Arrays.equals(payload, 0, HttpMagic.length,
+        HttpMagic, 0, HttpMagic.length)
+    if (!isHttp) return (None, None, new String(payload, UTF_8))
+    val end = headerEnd(payload)
+    val hdrLen = if (end < 0) payload.length else end
+    // the header region is HTTP grammar — ISO-8859-1 is its 1:1 decode
+    val headers = new String(payload, 0, hdrLen,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val status = StatusRe.findFirstMatchIn(headers).map(_.group(1).toInt)
+    val ctLine = headers.linesIterator.find(
+      _.toLowerCase(java.util.Locale.ROOT).startsWith("content-type:"))
+    val ctValue = ctLine.map(_.substring("content-type:".length).trim)
+    val mime = ctValue.map { v =>
+      val semi = v.indexOf(';')
+      (if (semi >= 0) v.substring(0, semi) else v)
+        .trim.toLowerCase(java.util.Locale.ROOT)
+    }.filter(_.nonEmpty)
+    val cs = ctValue.flatMap(v => CharsetRe.findFirstMatchIn(v).map(_.group(1)))
+      .flatMap { name =>
+        try Some(java.nio.charset.Charset.forName(name))
+        catch { case _: IllegalArgumentException |
+                     _: java.nio.charset.UnsupportedCharsetException => None }
+      }.getOrElse(UTF_8)
+    val text =
+      if (end < 0) "" else new String(payload, end, payload.length - end, cs)
+    (status, mime, text)
+  }
+
+  /** Response-record payloads as corpus text — the bridge from a crawl
+    * dump to the HTML/text stages (q224 WET, q239 main content, q250
+    * curation): filter BEFORE decode so non-response members (warcinfo,
+    * request, metadata) never materialize a string, then strip the HTTP
+    * message envelope and decode by the declared charset (see
+    * [[decodeHttpPayload]]). `http_status`/`content_type` are NULL for
+    * bare-body payloads; real-crawl filters keep
+    * `http_status = 200 AND content_type = 'text/html'`. */
   def responseText(files: DataFrame)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     records(files).filter(_.warc_type == "response")
-      .map(r => (r.file_id, r.rec_index, r.url, new String(r.payload, UTF_8)))
-      .toDF("file_id", "rec_index", "url", "text")
+      .map { r =>
+        val (status, mime, text) = decodeHttpPayload(r.payload)
+        (r.file_id, r.rec_index, r.url, status, mime, text)
+      }
+      .toDF("file_id", "rec_index", "url", "http_status", "content_type", "text")
   }
 }

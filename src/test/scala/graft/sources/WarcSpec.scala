@@ -108,8 +108,61 @@ class WarcSpec extends SparkSpec {
     val rs = Warc.records(files).collect()
     assert(rs.length === 4)
     val texts = Warc.responseText(files).collect()
-      .map(r => (r.getLong(0), r.getString(2), r.getString(3))).toSet
+      .map(r => (r.getLong(0), r.getString(2), r.getString(5))).toSet
     assert(texts === Set((1L, "http://a", "body A"), (2L, "http://b", "body B")))
+    // bare-body payloads carry no HTTP envelope: status/mime are NULL
+    assert(Warc.responseText(files).collect()
+      .forall(r => r.isNullAt(3) && r.isNullAt(4)))
+  }
+
+  test("HTTP envelope: status/mime surfaced, headers stripped from text") {
+    val page = "<html><p>real body text</p></html>"
+    val msg = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+      "Server: x\r\n\r\n" + page).getBytes(UTF_8)
+    val (status, mime, text) = Warc.decodeHttpPayload(msg)
+    assert(status === Some(200))
+    assert(mime === Some("text/html"))
+    assert(text === page) // no status line, no headers, in the corpus text
+    // 404s surface their status; mime params drop, mime lowercases
+    val err = ("HTTP/1.1 404 Not Found\r\nContent-Type: Text/HTML;q=3\r\n\r\ngone")
+      .getBytes(UTF_8)
+    assert(Warc.decodeHttpPayload(err) === (Some(404), Some("text/html"), "gone"))
+  }
+
+  test("HTTP envelope: declared charset decodes, unknown falls back to UTF-8") {
+    val latin1Body = "café résumé"
+    val l1 = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=ISO-8859-1\r\n\r\n")
+      .getBytes(UTF_8) ++ latin1Body.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(Warc.decodeHttpPayload(l1)._3 === latin1Body)
+    // a UTF-8-assuming decode of those bytes would replace 0xE9 — pin that
+    // the declared charset, not a fixed UTF-8, picked the decoder
+    assert(new String(latin1Body.getBytes(
+      java.nio.charset.StandardCharsets.ISO_8859_1), UTF_8) !== latin1Body)
+    // QUOTED + mixed-case charset parameter
+    val quoted = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain; Charset=\"UTF-8\"\r\n\r\n")
+      .getBytes(UTF_8) ++ latin1Body.getBytes(UTF_8)
+    assert(Warc.decodeHttpPayload(quoted)._3 === latin1Body)
+    // unknown charset name → documented UTF-8 fallback, never a crash
+    val bogus = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=x-nope\r\n\r\n")
+      .getBytes(UTF_8) ++ latin1Body.getBytes(UTF_8)
+    assert(Warc.decodeHttpPayload(bogus)._3 === latin1Body)
+    // no charset parameter at all → UTF-8
+    val bare = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n").getBytes(UTF_8) ++
+      latin1Body.getBytes(UTF_8)
+    assert(Warc.decodeHttpPayload(bare) === (Some(200), Some("text/plain"), latin1Body))
+  }
+
+  test("HTTP envelope edges: LFLF terminator, terminator-less message, non-HTTP") {
+    // bare-LF servers terminate headers with LFLF
+    val lflf = "HTTP/1.0 200 OK\nContent-Type: text/plain\n\nbody".getBytes(UTF_8)
+    assert(Warc.decodeHttpPayload(lflf) === (Some(200), Some("text/plain"), "body"))
+    // a message with NO blank line is all envelope: empty text, never the
+    // raw headers leaking into the corpus
+    val cut = "HTTP/1.1 200 OK\r\nContent-Type: text/html".getBytes(UTF_8)
+    assert(Warc.decodeHttpPayload(cut) === (Some(200), Some("text/html"), ""))
+    // a bare body that merely MENTIONS HTTP/ mid-text is not an envelope
+    val bare = "see HTTP/1.1 spec for details".getBytes(UTF_8)
+    assert(Warc.decodeHttpPayload(bare) === (None, None, "see HTTP/1.1 spec for details"))
   }
 
   test("degrade-don't-kill: empty, null-ish, corrupt gzip, truncated header") {

@@ -6853,6 +6853,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // q261: the JOIN-FORM robots gate — q258's decisions reproduced
+    // row-identically under the mega-host scale plan (the q81/q149/q189
+    // scale-plan-in-the-gate convention): rules aggregate into per-host
+    // arrays and JOIN host-keyed onto the URLs (never collected, no plan
+    // literal), the codegen'd RobotsDecisionArray deciding per row with
+    // a per-task compiled-pattern LRU. Same planted corpus, same oracle
+    // as q258 — any twin drift (tie-break, wildcard, group scoping,
+    // the allow default for rule-less hosts) lands here
+    "q261_robots_gate_join" -> ((s, dir) => {
+      val rules = graft.operators.Robots.parse(robotsPlantedTxt(s),
+        "host", "robots_txt", agent = "GraftBot")
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("h"), (col("doc_id") % 7).cast(StringType),
+          lit(".example.com")).as("host"),
+        robotsPlantedPath.as("path"))
+      graft.operators.Robots.isAllowedJoin(urls, rules, "host", "path")
+        .select(col("doc_id"), col("host"), col("path"),
+          col("allowed").cast(LongType).as("allowed"))
+        .orderBy("doc_id")
+    }),
+
     // q256: FULL-HISTORY hard erasure — takedown in the temporal family,
     // the q244 lifecycle one step further: a key's ENTIRE SCD2 history
     // (every interval, not just the open row) is erased from a
@@ -8065,6 +8086,12 @@ object SparkEntry {
         " SELECT doc_id, 'http://h' || CAST(h AS VARCHAR) || '.example.com' || path AS url_norm, " +
         "'h' || CAST(h AS VARCHAR) || '.example.com' AS host " +
         "FROM u WHERE " + RobotsAllowedCase + " ORDER BY doc_id"),
+    // q261: the join-form twin is graded by q258's EXACT oracle — the
+    // scale plan must be decision-identical
+    "q261_robots_gate_join" ->
+      (RobotsPlantedCte +
+        " SELECT doc_id, 'h' || CAST(h AS VARCHAR) || '.example.com' AS host, path, " +
+        "CAST(" + RobotsAllowedCase + " AS BIGINT) AS allowed FROM u ORDER BY doc_id"),
     // q257: the same replayed assignment feeding q137's bit-exact
     // count/divide/sqrt pipeline, per cluster
     "q257_cluster_temperature" ->

@@ -123,7 +123,7 @@ object Main {
       "       embed-decontaminate --corpus <parquet> --benchmark <parquet> --id <col> --vec <col> --threshold <cos> --out <parquetDir> [--scrub true]\n" +
       "       embed-decon-gate --source <parquetDir> --benchmark <parquet> --id <col> --vec <col> --threshold <cos> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       cluster-balance --corpus <parquet> --id <col> --vec <col> --centroids <k> --cap <n> --out <parquetDir> [--iterations <n>]\n" +
-      "       robots-filter --urls <parquet> --robots <parquet keyed by the --host column, text in --txt col (default robots_txt)> --agent <name> --host <col> --path <col> --out <parquetDir> [--txt <col>] [--decisions true]\n" +
+      "       robots-filter --urls <parquet> --robots <parquet keyed by the --host column, text in --txt col (default robots_txt)> --agent <name> --host <col> --path <col> --out <parquetDir> [--txt <col>] [--decisions true] [--join true]\n" +
       "       retain-history --history <parquetDir> --horizon <n> --out <parquetDir>\n" +
       "       asof --history <parquetDir> --version <n> --out <parquetDir>\n" +
       "       compact --dir <parquetDir> [--target-mb <n>]"
@@ -211,7 +211,8 @@ object Main {
                                        cap: Int, out: String) extends Cmd
   private case class RobotsFilterCmd(urls: String, robots: String, agent: String,
                                      host: String, path: String, txt: String,
-                                     decisions: Boolean, out: String) extends Cmd
+                                     decisions: Boolean, join: Boolean,
+                                     out: String) extends Cmd
   private case class BuildDedupIndex(corpus: String, id: String, text: String,
                                      ngram: Int, hashes: Int, bands: Int,
                                      out: String) extends Cmd
@@ -1199,8 +1200,9 @@ object Main {
         path <- req(opts, "robots-filter", "path")
         txt = opts.getOrElse("txt", "robots_txt")
         decisions <- optBool(opts, "robots-filter", "decisions", dflt = false)
+        join <- optBool(opts, "robots-filter", "join", dflt = false)
         out <- req(opts, "robots-filter", "out")
-      } yield RobotsFilterCmd(urls, robots, agent, host, path, txt, decisions, out)
+      } yield RobotsFilterCmd(urls, robots, agent, host, path, txt, decisions, join, out)
     case "unigram-train" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -2627,16 +2629,22 @@ object Main {
         0
       }
 
-    case RobotsFilterCmd(urls, robots, agent, host, path, txt, decisions, out) =>
-      // the politeness gate: rules parsed once (RFC 9309 groups), collected
-      // and shipped as the RobotsDecision plan literal (no join);
-      // --decisions true writes every URL with its `allowed` verdict
-      // instead of only survivors
+    case RobotsFilterCmd(urls, robots, agent, host, path, txt, decisions, join, out) =>
+      // the politeness gate: rules parsed once (RFC 9309 groups), then
+      // either collected into the RobotsDecision plan literal (default —
+      // fastest while the rules fit a task closure) or, with --join true,
+      // kept distributed and joined host-keyed (the mega-host escape for
+      // broad-crawl frontiers); --decisions true writes every URL with
+      // its `allowed` verdict instead of only survivors
       val rules = graft.operators.Robots.parse(
         spark.read.parquet(robots), host, txt, agent)
       val u = spark.read.parquet(urls)
-      (if (decisions) graft.operators.Robots.isAllowed(u, rules, host, path)
-       else graft.operators.Robots.filterAllowed(u, rules, host, path))
+      val decided =
+        if (join) graft.operators.Robots.isAllowedJoin(u, rules, host, path)
+        else graft.operators.Robots.isAllowed(u, rules, host, path)
+      (if (decisions) decided
+       else decided.filter(org.apache.spark.sql.functions.col("allowed"))
+         .drop("allowed"))
         .write.mode("overwrite").parquet(out)
       0
 

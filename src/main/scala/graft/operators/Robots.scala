@@ -41,7 +41,7 @@ object Robots {
     * anywhere else is literal — the RFC reserves only the final
     * position). Runs at rules-collect time (|rules|-bounded), never
     * per URL. */
-  private[operators] def patternRegex(pattern: String): String = {
+  private[graft] def patternRegex(pattern: String): String = {
     // quote regex metacharacters EXCEPT * and $ (handled below)
     val quoted = pattern.replaceAll("([\\\\.\\[\\]{}()+\\-?^|])", "\\\\$1")
     val starred = quoted.replace("*", ".*")
@@ -135,4 +135,38 @@ object Robots {
   def filterAllowed(urls: DataFrame, rules: DataFrame, hostCol: String,
                     pathCol: String): DataFrame =
     isAllowed(urls, rules, hostCol, pathCol).filter(col("allowed")).drop("allowed")
+
+  /** Join-form twin of [[isAllowed]] — decision-identical, different scale
+    * shape (the `Vocab.encodeJoin`/`Classifier.trainJoin` pairing): the
+    * rules NEVER collect. [[isAllowed]]'s plan literal is faster while the
+    * whole rules table fits a task closure (no join at all), but a
+    * broad-crawl frontier has 10⁶+ hosts and ~hundreds of MB of rules —
+    * past a closure's ceiling. Here the rules aggregate once into
+    * per-host arrays (a |hosts|-keyed shuffle on the SMALL side), then
+    * join host-keyed onto the URL stream — one row per URL, no
+    * (row × rule) explosion — and the codegen'd
+    * [[graft.functions.RobotsDecisionArray]] expression decides against
+    * the row's array with a per-task compiled-pattern LRU (sort-merge
+    * join output is host-clustered, so each task compiles a host's rules
+    * once, not once per URL). AQE picks broadcast vs shuffle for the join
+    * by the rules side's ACTUAL size — the escape hatch is automatic. */
+  def isAllowedJoin(urls: DataFrame, rules: DataFrame, hostCol: String,
+                    pathCol: String): DataFrame = {
+    require(!urls.columns.contains("allowed"),
+      "Robots.isAllowedJoin: urls already has an 'allowed' column — rename it")
+    require(!urls.columns.contains("__rules"),
+      "Robots.isAllowedJoin: urls already has a '__rules' column — rename it")
+    // NULL-host rule rows can't join; NULL allow/pattern fields are
+    // skipped inside the expression — both degrade exactly like the
+    // literal twin's collect-time filter
+    val perHost = rules
+      .filter(col(hostCol).isNotNull)
+      .groupBy(col(hostCol))
+      .agg(collect_list(struct(col("allow"), col("pattern"))).as("__rules"))
+    urls.join(perHost, Seq(hostCol), "left")
+      .withColumn("allowed", coalesce(
+        graft.functions.RobotsDecisionArray.column(col(pathCol), col("__rules")),
+        lit(true)))
+      .drop("__rules")
+  }
 }

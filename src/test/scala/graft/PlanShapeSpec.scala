@@ -940,6 +940,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("robotsdecision"), s"expected the codegen'd decision:\n$p")
   }
 
+  test("q261 join-form robots gate: rules join host-keyed, never collect into a literal") {
+    val p = plan("q261_robots_gate_join")
+    // the scale shape IS the gate: a real host-keyed join (the mega-host
+    // escape the plan-literal form cannot give), the decision running
+    // against the row's joined rule array
+    assert(p.contains("Join"), s"the join twin must plan a join:\n$p")
+    assert(p.contains("robotsdecisionarray"),
+      s"expected the codegen'd array decision:\n$p")
+    // no rules literal: RobotsDecision prints its rules map inline, so a
+    // literal-form leak would surface the planted pattern text in the plan
+    assert(!p.contains("robotsdecision("),
+      s"the literal-form expression must not appear:\n$p")
+  }
+
   test("videoSignature: keyframe windows and the signature fold share ONE doc exchange") {
     import org.apache.spark.sql.functions._
     val frames = spark.range(200).select(

@@ -66,6 +66,53 @@ class RobotsSpec extends SparkSpec {
     assert(got("/dr") === true)         // inner $ must not anchor-and-vanish
   }
 
+  test("join twin: decision-identical to the literal form on every edge") {
+    // the q149/q189 literal↔join pairing: same semantics, different scale
+    // plan — sweep the tie-break/wildcard/anchor/rule-less edges through
+    // BOTH forms and require row identity
+    val txtA = "User-agent: *\nAllow: /a/b\nDisallow: /a\nDisallow: /*.pdf$\n" +
+      "Disallow: /ab\nAllow: /ab"
+    val txtB = "User-agent: graftbot\nDisallow: /\nAllow: /public\nUser-agent: *\nAllow: /"
+    val rules = Robots.parse(
+      Seq(("ha", txtA), ("hb", txtB)).toDF("host", "robots_txt"),
+      "host", "robots_txt", "graftbot")
+    val urls = Seq(
+      (1L, "ha", "/a/b/deep"), (2L, "ha", "/a/c"), (3L, "ha", "/z"),
+      (4L, "ha", "/doc.pdf"), (5L, "ha", "/doc.pdfx"), (6L, "ha", "/abx"),
+      (7L, "hb", "/public/x"), (8L, "hb", "/private"), (9L, "bare", "/x"))
+      .toDF("id", "host", "path")
+    val lit = Robots.isAllowed(urls, rules, "host", "path")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("allowed")).toMap
+    val join = Robots.isAllowedJoin(urls, rules, "host", "path")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("allowed")).toMap
+    assert(join === lit)
+    assert(lit(9L) === true) // the rule-less host rides the NULL-array default
+  }
+
+  test("join twin: NULL path/host and null-field rules degrade like the literal form") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rulesSchema = StructType(Seq(StructField("host", StringType),
+      StructField("allow", BooleanType), StructField("pattern", StringType)))
+    val rules = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("h", true, "/ok"), Row("h", false, "/"),
+        Row(null, false, "/ghost"), Row("h2", null, "/x"),
+        Row("h2", false, null))), rulesSchema)
+    val urlsSchema = StructType(Seq(StructField("id", LongType),
+      StructField("host", StringType), StructField("path", StringType)))
+    val urls = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "h", "/ok/page"), Row(2L, "h", "/other"),
+        Row(3L, null, "/x"), Row(4L, "h", null), Row(5L, "h2", "/x"))),
+      urlsSchema)
+    val got = Robots.isAllowedJoin(urls, rules, "host", "path")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("allowed")).toMap
+    // NULL host → no rules row → allow; NULL path → NULL decision → the
+    // coalesced allow default; null-field rules decide nothing
+    assert(got === Map(1L -> true, 2L -> false, 3L -> true, 4L -> true, 5L -> true))
+  }
+
   test("decision: hosts without rules (or robots at all) default to allowed") {
     val rules = Robots.parse(
       Seq(("ruled", "User-agent: *\nDisallow: /")).toDF("host", "robots_txt"),

@@ -6874,6 +6874,48 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // q262: IVF-ACCELERATED semantic decontamination — q253's scale
+    // sibling (the q112/q113 pairing): the corpus cell-assigns once,
+    // each benchmark vector probes only adjacent cells, exact cosine on
+    // candidates. Two arms in one gate: (a) full probe (nprobe =
+    // numCells) must flag the IDENTICAL id set as the brute-force form —
+    // full-outer parity violations; (b) a TIGHT nprobe = 1 must still
+    // flag every planted 1.5x paraphrase twin (cell assignment is
+    // scale-invariant, so a twin lands in its source's top cell) —
+    // missed-twin count. Same constructed corpus as q253 (organic tail +
+    // scaled twins + negated decoys)
+    "q262_embed_decon_ivf" -> ((s, dir) => {
+      import graft.dedup.Decontaminate
+      val emb = t(s, dir, "embeddings")
+      val benchmark = emb.filter(col("vec_id") < 100)
+      val corpus = emb.filter(col("vec_id") >= 100)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(emb.filter(col("vec_id") < 50)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(1.5f)).as("embedding")))
+        .unionByName(emb.filter(col("vec_id") >= 50 && col("vec_id") < 75)
+          .select((col("vec_id") + 2000000L).as("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding")))
+        .localCheckpoint() // one materialization under the index build + 3 probe arms
+      val index = Similarity.ivfIndex(corpus, "vec_id", "embedding",
+        numCentroids = 8)
+      val brute = Decontaminate.embedContaminatedIds(corpus, benchmark,
+        "vec_id", "embedding", threshold = 0.95)
+      val full = Decontaminate.embedContaminatedIdsIvf(index, benchmark,
+        "vec_id", "embedding", threshold = 0.95, nprobe = 8)
+      val tight = Decontaminate.embedContaminatedIdsIvf(index, benchmark,
+        "vec_id", "embedding", threshold = 0.95, nprobe = 1)
+      val parity = brute.withColumn("__x", lit(1))
+        .join(full.withColumn("__y", lit(1)), Seq("vec_id"), "full_outer")
+        .agg(violations(col("__x").isNull || col("__y").isNull)
+          .as("parity_violations"))
+      val missed = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000L).as("vec_id"))
+        .join(tight, Seq("vec_id"), "left_anti")
+        .agg(count(lit(1)).cast(LongType).as("missed_twins"))
+      parity.crossJoin(broadcast(missed)) // two scalar aggregates
+    }),
+
     // q256: FULL-HISTORY hard erasure — takedown in the temporal family,
     // the q244 lifecycle one step further: a key's ENTIRE SCD2 history
     // (every interval, not just the open row) is erased from a
@@ -8092,6 +8134,11 @@ object SparkEntry {
       (RobotsPlantedCte +
         " SELECT doc_id, 'h' || CAST(h AS VARCHAR) || '.example.com' AS host, path, " +
         "CAST(" + RobotsAllowedCase + " AS BIGINT) AS allowed FROM u ORDER BY doc_id"),
+    // q262: both arms must be clean — full-probe IVF is id-identical to
+    // brute force, and the tight probe misses zero planted twins
+    "q262_embed_decon_ivf" ->
+      ("SELECT CAST(0 AS BIGINT) AS parity_violations, " +
+        "CAST(0 AS BIGINT) AS missed_twins"),
     // q257: the same replayed assignment feeding q137's bit-exact
     // count/divide/sqrt pipeline, per cluster
     "q257_cluster_temperature" ->

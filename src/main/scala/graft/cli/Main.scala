@@ -120,7 +120,7 @@ object Main {
       "       scd2-apply --snapshot <parquet> --pks c1[,c2] --compare c1[,c2] --version <n> --out <parquetDir> (--history <parquetDir> | --init true) [--upserts true]\n" +
       "       scd2-close --history <parquetDir> --keys <parquet> --pks c1[,c2] --version <n> --out <parquetDir>\n" +
       "       warc-extract --files <parquet(file_id,content)> --out <parquetDir> [--text true] [--status <n>] [--mime <type>]\n" +
-      "       embed-decontaminate --corpus <parquet> --benchmark <parquet> --id <col> --vec <col> --threshold <cos> --out <parquetDir> [--scrub true]\n" +
+      "       embed-decontaminate --corpus <parquet> --benchmark <parquet> --id <col> --vec <col> --threshold <cos> --out <parquetDir> [--scrub true | --cells <n> --nprobe <n>]\n" +
       "       embed-decon-gate --source <parquetDir> --benchmark <parquet> --id <col> --vec <col> --threshold <cos> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       cluster-balance --corpus <parquet> --id <col> --vec <col> --centroids <k> --cap <n> --out <parquetDir> [--iterations <n>]\n" +
       "       robots-filter --urls <parquet> --robots <parquet keyed by the --host column, text in --txt col (default robots_txt)> --agent <name> --host <col> --path <col> --out <parquetDir> [--txt <col>] [--decisions true] [--join true]\n" +
@@ -200,7 +200,8 @@ object Main {
                                     out: String) extends Cmd
   private case class EmbedDeconCmd(corpus: String, benchmark: String,
                                    id: String, vec: String, threshold: Double,
-                                   scrub: Boolean, out: String) extends Cmd
+                                   scrub: Boolean, ivf: Option[(Int, Int)],
+                                   out: String) extends Cmd
   private case class EmbedDeconGateCmd(source: String, benchmark: String,
                                        id: String, vec: String,
                                        threshold: Double, dest: String,
@@ -1163,8 +1164,21 @@ object Main {
           s.toDoubleOption.filter(d => d >= 0 && d <= 1)
             .toRight(s"embed-decontaminate: --threshold must be a cosine in [0,1], got $s"))
         scrub <- optBool(opts, "embed-decontaminate", "scrub", dflt = false)
+        ivf <- (opts.get("cells"), opts.get("nprobe")) match {
+          case (None, None) => Right(None)
+          case (Some(c), Some(p)) =>
+            (for { ci <- c.toIntOption.filter(_ >= 1)
+                   pi <- p.toIntOption.filter(_ >= 1) } yield (ci, pi))
+              .toRight(s"embed-decontaminate: --cells/--nprobe must be positive ints, got ($c, $p)")
+              .map(Some(_))
+          case _ => Left("embed-decontaminate: --cells and --nprobe go together " +
+            "(the IVF-accelerated route needs both)")
+        }
+        _ <- Either.cond(!(scrub && ivf.nonEmpty), (),
+          "embed-decontaminate: --scrub is exact-only — IVF probing is " +
+            "approximate at cell boundaries; scrub on its flagged ids explicitly")
         out <- req(opts, "embed-decontaminate", "out")
-      } yield EmbedDeconCmd(corpus, benchmark, id, vec, t, scrub, out)
+      } yield EmbedDeconCmd(corpus, benchmark, id, vec, t, scrub, ivf, out)
     case "embed-decon-gate" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -2608,15 +2622,23 @@ object Main {
         .write.mode("overwrite").parquet(out)
       0
 
-    case EmbedDeconCmd(corpus, benchmark, id, vec, threshold, scrub, out) =>
+    case EmbedDeconCmd(corpus, benchmark, id, vec, threshold, scrub, ivf, out) =>
       // semantic decontamination: the benchmark broadcasts into one
       // corpus scan; --scrub true writes the surviving corpus instead
-      // of the flagged ids
+      // of the flagged ids; --cells/--nprobe route through the
+      // IVF-accelerated form (large benchmark suites — each benchmark
+      // vector probes only adjacent cells)
       val c = spark.read.parquet(corpus)
       val b = spark.read.parquet(benchmark)
-      (if (scrub) graft.dedup.Decontaminate.embedScrub(c, b, id, vec, threshold)
-       else graft.dedup.Decontaminate.embedContaminatedIds(c, b, id, vec, threshold))
-        .write.mode("overwrite").parquet(out)
+      (ivf match {
+        case Some((cells, nprobe)) =>
+          graft.dedup.Decontaminate.embedContaminatedIdsIvf(
+            c, b, id, vec, threshold, cells, nprobe)
+        case None if scrub =>
+          graft.dedup.Decontaminate.embedScrub(c, b, id, vec, threshold)
+        case None =>
+          graft.dedup.Decontaminate.embedContaminatedIds(c, b, id, vec, threshold)
+      }).write.mode("overwrite").parquet(out)
       0
 
     case EmbedDeconGateCmd(source, benchmark, id, vec, threshold, dest, table, ck) =>

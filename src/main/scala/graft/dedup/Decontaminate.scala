@@ -82,6 +82,71 @@ object Decontaminate {
     corpus.join(embedContaminatedIds(corpus, benchmark, idCol, vecCol, threshold),
       Seq(idCol), "left_anti")
 
+  /** IVF-accelerated [[embedContaminatedIds]] — the scale path when the
+    * benchmark suite itself is large (a 100k-vector multi-benchmark sweep
+    * makes the brute-force form's |benchmark| dots per corpus row the most
+    * expensive pass in the pipeline): the corpus is cell-assigned ONCE
+    * (the prebuilt [[graft.similarity.Similarity.IvfIndex]] — reuse a
+    * maintained one, or the one-shot overload trains it), each benchmark
+    * vector probes only its `nprobe` nearest cells, and exact cosine runs
+    * on candidates only — per corpus row ~nprobe/numCells of the
+    * benchmark instead of all of it.
+    *
+    * Plan shape: the benchmark side explodes to (cell, vector) pairs —
+    * |benchmark| × nprobe rows, still the small side — and broadcasts
+    * into ONE equi-join on the cell id against the assigned corpus; the
+    * corpus never shuffles (the q253 asymmetry, kept). A corpus row lives
+    * in exactly one cell and a benchmark vector probes distinct cells, so
+    * candidate pairs are unique — the distinct dedups only multi-match
+    * ids, same as brute force.
+    *
+    * Recall: cell assignment is scale-invariant (argmax of dot/|c| — a
+    * positively-scaled twin lands in its source's TOP cell, which every
+    * nprobe >= 1 probes), so paraphrase-shaped twins near cosine 1 are
+    * caught even at nprobe = 1; vectors near the threshold on a CELL
+    * BOUNDARY are the approximation loss — `nprobe = numCells` degrades
+    * to exactly the brute-force form (graded, the q113 contract). */
+  def embedContaminatedIdsIvf(index: graft.similarity.Similarity.IvfIndex,
+                              benchmark: DataFrame, idCol: String,
+                              vecCol: String, threshold: Double,
+                              nprobe: Int): DataFrame = {
+    import graft.similarity.Similarity
+    import Similarity.{dot, finitePositive, norm}
+    require(threshold >= 0, "dot-product threshold rewrite assumes cosine threshold >= 0")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val cellScores = array(
+      Similarity.centroidScoreStructs(col("__bv"), index.cents): _*)
+    val b = benchmark.select(col(vecCol).as("__bv"))
+      .withColumn("__bn", norm(col("__bv")))
+      .filter(finitePositive(col("__bn")))
+      .withColumn("__centroid",
+        explode(slice(array_sort(cellScores), 1, nprobe).getField("cid")))
+    // build-time norms when the index has them; a hand-built index
+    // without __cn pays the per-call norm pass (the knnJoinIvf contract)
+    val base =
+      if (index.assigned.columns.contains("__cn")) index.assigned
+      else index.assigned.withColumn("__cn", norm(col(vecCol)))
+    val c = base.select(col(idCol).as("__id"), col(vecCol).as("__cv"),
+        col("__centroid"), col("__cn"))
+      .filter(finitePositive(col("__cn")))
+    c.join(broadcast(b), Seq("__centroid"))
+      .filter(dot(col("__cv"), col("__bv")) >= col("__cn") * col("__bn") * lit(threshold))
+      .select(col("__id").as(idCol))
+      .distinct()
+  }
+
+  /** One-shot form: train `numCells` centroids over the corpus, assign
+    * once, probe. Production pipelines that already maintain an IVF index
+    * (`IncrementalStream.indexIngest`) should pass it to the index form
+    * instead — the assignment pass is the expensive half at corpus
+    * scale. */
+  def embedContaminatedIdsIvf(corpus: DataFrame, benchmark: DataFrame,
+                              idCol: String, vecCol: String, threshold: Double,
+                              numCells: Int, nprobe: Int): DataFrame =
+    embedContaminatedIdsIvf(
+      graft.similarity.Similarity.ivfIndex(corpus, idCol, vecCol, numCells),
+      benchmark, idCol, vecCol, threshold, nprobe)
+
   /** SPAN-LEVEL contamination accounting — the surgical alternative to
     * dropping whole documents: a long, mostly-clean document that quotes
     * one benchmark passage loses the quoted tokens, not its other 50k.

@@ -187,8 +187,8 @@ object Similarity {
     * Scores are dot / centroid-norm only: the row's own norm is constant
     * across centroids and cannot change the ordering (k self-dots saved
     * per row). Struct comparison breaks negcos ties on the lower cid. */
-  private def centroidScoreStructs(vec: Column,
-                                   cents: Array[(Int, Array[Float])]): Array[Column] =
+  private[graft] def centroidScoreStructs(vec: Column,
+                                          cents: Array[(Int, Array[Float])]): Array[Column] =
     cents.map { case (cid, c) =>
       val cn = math.sqrt(c.map(x => x.toDouble * x).sum)
       struct(negate(dot(vec, typedLit(c.toSeq)) / lit(cn)).as("negcos"),

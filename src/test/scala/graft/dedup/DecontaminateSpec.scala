@@ -356,4 +356,45 @@ class DecontaminateSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(kept === Set(2L, 3L, 4L, 5L))
   }
+
+  test("embedContaminatedIdsIvf: full probe equals brute force; tight probe catches twins") {
+    // a corpus with two well-separated directions so 2 cells split it
+    // cleanly, plus the same hazard classes as the brute-force spec
+    val bench = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f)),
+      (101L, Array(0.0f, 1.0f, 0.0f)),
+      (102L, Array(0.0f, 0.0f, 0.0f))) // zero-norm: must anchor nothing
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(2.5f, 0.0f, 0.0f)),   // scaled twin of 100 -> flag
+      (2L, Array(-1.0f, 0.0f, 0.0f)),  // negation -> clean
+      (3L, Array(0.0f, 0.0f, 1.0f)),   // orthogonal -> clean
+      (4L, Array(0.7f, 0.72f, 0.0f)),  // cos ~0.71 -> clean at 0.95
+      (5L, Array(0.0f, 0.0f, 0.0f)),   // zero-norm: excluded
+      (6L, Array(0.1f, 3.0f, 0.05f)),  // near-parallel to 101 -> flag
+      (7L, Array(0.98f, 0.02f, 0.0f))) // near-twin of 100 -> flag
+      .toDF("vec_id", "embedding")
+    val brute = Decontaminate.embedContaminatedIds(corpus, bench,
+      "vec_id", "embedding", 0.95).collect().map(_.getLong(0)).toSet
+    val index = graft.similarity.Similarity.ivfIndex(corpus, "vec_id",
+      "embedding", numCentroids = 2)
+    // full probe: identical id set to brute force (the q113 degeneracy)
+    val full = Decontaminate.embedContaminatedIdsIvf(index, bench,
+      "vec_id", "embedding", 0.95, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(full === brute)
+    assert(full === Set(1L, 6L, 7L))
+    // tight probe: the scaled twin rides scale-invariant assignment into
+    // its source's top cell — nprobe = 1 must still flag it
+    val tight = Decontaminate.embedContaminatedIdsIvf(index, bench,
+      "vec_id", "embedding", 0.95, nprobe = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(tight.contains(1L))
+    assert(tight.subsetOf(brute)) // probing fewer cells can only lose flags
+    // the one-shot overload trains its own cells and agrees at full probe
+    val oneShot = Decontaminate.embedContaminatedIdsIvf(corpus, bench,
+      "vec_id", "embedding", 0.95, numCells = 2, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(oneShot === brute)
+  }
 }

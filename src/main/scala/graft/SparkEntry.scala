@@ -6567,45 +6567,8 @@ object SparkEntry {
     // mass of some source
     "q252_warc_curation" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      import s.implicits._
       val docs = t(s, dir, "documents")
-      val files = docs.select(col("doc_id").cast(LongType).as("doc_id"),
-          mainContentPlantedHtml.as("page"))
-        .as[(Long, String)].mapPartitions { it =>
-          val UTF8 = java.nio.charset.StandardCharsets.UTF_8
-          import graft.sources.Warc.{gzipMember, record}
-          def http(status: Int, reason: String, ctype: String, body: Array[Byte]) =
-            (s"HTTP/1.1 $status $reason\r\nContent-Type: $ctype\r\n" +
-              "Server: graft\r\n\r\n").getBytes(UTF8) ++ body
-          it.map { case (id, page) =>
-            val members = Seq(record("warcinfo", None, "graft-crawler".getBytes(UTF8))) ++
-              (if (id % 5 == 0)
-                Seq(record("request", Some(s"http://ex.org/$id"), "GET /".getBytes(UTF8)))
-               else Seq.empty) ++
-              (if (id % 3 == 0)
-                Seq(record("response", Some(s"http://ex.org/$id/missing"),
-                  http(404, "Not Found", "text/html",
-                    ("<html><p>error page not found the requested resource is gone " +
-                      "try the archive mirror listing for older snapshots of this " +
-                      "document tree</p></html>").getBytes(UTF8))))
-               else Seq.empty) ++
-              (if (id % 4 == 1)
-                Seq(record("response", Some(s"http://ex.org/$id/robots.txt"),
-                  http(200, "OK", "text/plain; charset=utf-8",
-                    ("user agent star disallow private allow public plain text " +
-                      "sidecar payload that must never enter the html corpus " +
-                      "token mass under the admission filter").getBytes(UTF8))))
-               else Seq.empty) ++
-              Seq(record("response", Some(s"http://ex.org/$id"),
-                http(200, "OK",
-                  if (id % 2 == 0) "text/html; charset=utf-8"
-                  else "Text/HTML; charset=\"UTF-8\"", page.getBytes(UTF8))))
-            val bytes =
-              if (id % 2 == 0) members.map(gzipMember).reduce(_ ++ _)
-              else members.reduce((a, b) => a ++ "NOISE\r\n".getBytes(UTF8) ++ b)
-            (id, bytes)
-          }
-        }.toDF("file_id", "content")
+      val files = warcCurationFiles(s, dir)
       val corpus = graft.sources.Warc.responseText(files)
         .filter(col("http_status") === 200 && col("content_type") === "text/html")
         .select(col("file_id").as("doc_id"), col("text").as("page"))
@@ -6916,6 +6879,87 @@ object SparkEntry {
       parity.crossJoin(broadcast(missed)) // two scalar aggregates
     }),
 
+    // q263: STREAMING WARC ingestion — real crawl consumption is
+    // segments arriving over days: the q252 planted dump (same builder)
+    // arrives as files across TWO micro-batches, each batch running the
+    // full record-split → envelope-strip → 200+text/html admission →
+    // main-content chain and accumulating under the retry guard; the
+    // accumulated corpus then feeds the identical per-source curation
+    // report, graded by q252's SAME oracle (the q246
+    // batch-partitioning-invariance contract: how arrivals were cut
+    // into batches must be invisible in the result)
+    "q263_stream_warc_ingest" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val docs = t(s, dir, "documents")
+      val files = warcCurationFiles(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("q263").toString
+      try {
+        files.repartition(2).write.parquet(s"$tmp/src")
+        val stream = s.readStream.schema(files.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+        val store = new graft.sync.ParquetStore(s, s"$tmp/out")
+        IncrementalStream.warcIngest(stream, store, "corpus",
+          checkpointDir = s"$tmp/ck", status = Some(200),
+          mime = Some("text/html"), minChars = 15, maxLinkPermille = 300)
+          .awaitTermination()
+        val extracted = store.read("corpus").get
+          .select(col("file_id").as("doc_id"), col("main"))
+          .join(docs.select(col("doc_id").cast(LongType).as("doc_id"),
+            col("source")), Seq("doc_id"))
+          .withColumn("n_tokens",
+            size(TextAnalysis.tokens(col("main"))).cast(LongType))
+        extracted.groupBy(col("source")).agg(
+            count(lit(1)).as("n_docs"),
+            count(when(col("n_tokens") >= 25, 1)).as("n_kept"),
+            coalesce(sum(when(col("n_tokens") >= 25, col("n_tokens"))), lit(0L))
+              .as("kept_tokens"))
+          .orderBy("source").localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+
+    // q264: WET/WARC EXPORT round trip — the sink half that closes the
+    // interchange story (q251/q252 read the format; this writes it):
+    // the corpus exports as conversion records grouped 25 docs per
+    // .warc.gz file (ISO-mandatory WARC-Record-ID/WARC-Date emitted,
+    // stated capture date — no wall clock), re-reads through the same
+    // walker, and must fingerprint identically to the source relation
+    // over (url, text) — any byte lost/gained/reordered in the
+    // write→read cycle lands in the Checksum (the q74 fingerprint law).
+    // A second export must be byte-identical to the first (per-file
+    // content hashes equal) — replay determinism is what makes exported
+    // archives diffable
+    "q264_warc_export_roundtrip" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      import graft.sync.Checksum
+      val docs = t(s, dir, "documents").select(
+        col("doc_id").cast(LongType).as("doc_id"),
+        concat(lit("http://ex.org/"), col("doc_id").cast(StringType)).as("url"),
+        col("text"))
+      val corpus = docs.withColumn("file_grp", expr("doc_id div 25"))
+      def exported() = graft.sources.Warc.export(corpus, "file_grp",
+        "doc_id", "text", urlCol = Some("url"),
+        warcDate = "2026-01-01T00:00:00Z")
+      val files = exported().localCheckpoint()
+      val reread = graft.sources.Warc.records(files)
+        .filter(_.warc_type == "conversion")
+        .map(r => (r.url, new String(r.payload,
+          java.nio.charset.StandardCharsets.UTF_8)))
+        .toDF("url", "text")
+      def fp(df: DataFrame) =
+        Checksum.tableChecksum(df, Seq("url", "text")).head
+      val src = fp(docs.select(col("url"), col("text")))
+      val back = fp(reread)
+      def fileFp(df: DataFrame) = Checksum.tableChecksum(
+        df.select(col("file_id"), xxhash64(col("content")).as("h")),
+        Seq("file_id", "h")).head
+      val again = fileFp(exported())
+      val once = fileFp(files)
+      val violations = (if (src == back) 0L else 1L) +
+        (if (once == again) 0L else 1L)
+      s.range(1).select(lit(violations).as("violations"))
+    }),
+
     // q256: FULL-HISTORY hard erasure — takedown in the temporal family,
     // the q244 lifecycle one step further: a key's ENTIRE SCD2 history
     // (every interval, not just the open row) is erased from a
@@ -7034,6 +7078,56 @@ object SparkEntry {
     when(col("doc_id") % 3 === 0,
       lit("<li><a href=\"/3\">Link three</a></li>")).otherwise(lit("")),
     lit("</ul><footer>Contact <a href=\"/t\">Terms</a></footer></body></html>"))
+
+  /** The q252/q263 planted crawl dump — ONE builder (the mjpegCorpus
+    * convention) so the batch curation and its streaming ingest share
+    * the exact construction and the q250 oracle grades both: each q239
+    * page ships as the 200 text/html response of its own WARC file,
+    * every response payload a REAL application/http message (status
+    * line + headers + CRLFCRLF + body — a non-stripping reader leaks
+    * header text into the token mass), with warcinfo + %5 request + %3
+    * 404 error page + %4 200 text/plain sidecar hazards, gzip-member
+    * packing %2, junk bytes between plain records otherwise. */
+  private def warcCurationFiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id").cast(LongType).as("doc_id"),
+        mainContentPlantedHtml.as("page"))
+      .as[(Long, String)].mapPartitions { it =>
+        val UTF8 = java.nio.charset.StandardCharsets.UTF_8
+        import graft.sources.Warc.{gzipMember, record}
+        def http(status: Int, reason: String, ctype: String, body: Array[Byte]) =
+          (s"HTTP/1.1 $status $reason\r\nContent-Type: $ctype\r\n" +
+            "Server: graft\r\n\r\n").getBytes(UTF8) ++ body
+        it.map { case (id, page) =>
+          val members = Seq(record("warcinfo", None, "graft-crawler".getBytes(UTF8))) ++
+            (if (id % 5 == 0)
+              Seq(record("request", Some(s"http://ex.org/$id"), "GET /".getBytes(UTF8)))
+             else Seq.empty) ++
+            (if (id % 3 == 0)
+              Seq(record("response", Some(s"http://ex.org/$id/missing"),
+                http(404, "Not Found", "text/html",
+                  ("<html><p>error page not found the requested resource is gone " +
+                    "try the archive mirror listing for older snapshots of this " +
+                    "document tree</p></html>").getBytes(UTF8))))
+             else Seq.empty) ++
+            (if (id % 4 == 1)
+              Seq(record("response", Some(s"http://ex.org/$id/robots.txt"),
+                http(200, "OK", "text/plain; charset=utf-8",
+                  ("user agent star disallow private allow public plain text " +
+                    "sidecar payload that must never enter the html corpus " +
+                    "token mass under the admission filter").getBytes(UTF8))))
+             else Seq.empty) ++
+            Seq(record("response", Some(s"http://ex.org/$id"),
+              http(200, "OK",
+                if (id % 2 == 0) "text/html; charset=utf-8"
+                else "Text/HTML; charset=\"UTF-8\"", page.getBytes(UTF8))))
+          val bytes =
+            if (id % 2 == 0) members.map(gzipMember).reduce(_ ++ _)
+            else members.reduce((a, b) => a ++ "NOISE\r\n".getBytes(UTF8) ++ b)
+          (id, bytes)
+        }
+      }.toDF("file_id", "content")
+  }
 
   /** Shared q160/q228 planted MJPEG-in-AVI corpus — ONE builder so the
     * frame-decode gate and the scene-change query (and their oracles'
@@ -8139,6 +8233,19 @@ object SparkEntry {
     "q262_embed_decon_ivf" ->
       ("SELECT CAST(0 AS BIGINT) AS parity_violations, " +
         "CAST(0 AS BIGINT) AS missed_twins"),
+    // q263: the streaming ingest is graded by q252's SAME oracle — the
+    // two-batch arrival must be invisible in the per-source report
+    "q263_stream_warc_ingest" ->
+      (mainContentPlantedCte("") +
+        ", tk AS (SELECT source, CAST(len(regexp_extract_all(lower(main), '[a-z0-9]+')) AS BIGINT) AS n FROM m) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(count(CASE WHEN n >= 25 THEN 1 END) AS BIGINT) AS n_kept, " +
+        "CAST(coalesce(sum(CASE WHEN n >= 25 THEN n END), 0) AS BIGINT) AS kept_tokens " +
+        "FROM tk GROUP BY source ORDER BY source"),
+    // q264: both round-trip laws hold — re-read fingerprint identity
+    // and replay-deterministic export bytes
+    "q264_warc_export_roundtrip" ->
+      "SELECT CAST(0 AS BIGINT) AS violations",
     // q257: the same replayed assignment feeding q137's bit-exact
     // count/divide/sqrt pipeline, per cluster
     "q257_cluster_temperature" ->

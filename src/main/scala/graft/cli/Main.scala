@@ -120,6 +120,7 @@ object Main {
       "       scd2-apply --snapshot <parquet> --pks c1[,c2] --compare c1[,c2] --version <n> --out <parquetDir> (--history <parquetDir> | --init true) [--upserts true]\n" +
       "       scd2-close --history <parquetDir> --keys <parquet> --pks c1[,c2] --version <n> --out <parquetDir>\n" +
       "       warc-extract --files <parquet(file_id,content)> --out <parquetDir> [--text true] [--status <n>] [--mime <type>]\n" +
+      "       warc-export --corpus <parquet> --file-col <col> --id <col> --text <col> --date <iso8601> --out <parquetDir> [--url <col>] [--gzip false]\n" +
       "       embed-decontaminate --corpus <parquet> --benchmark <parquet> --id <col> --vec <col> --threshold <cos> --out <parquetDir> [--scrub true | --cells <n> --nprobe <n>]\n" +
       "       embed-decon-gate --source <parquetDir> --benchmark <parquet> --id <col> --vec <col> --threshold <cos> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       cluster-balance --corpus <parquet> --id <col> --vec <col> --centroids <k> --cap <n> --out <parquetDir> [--iterations <n>]\n" +
@@ -198,6 +199,10 @@ object Main {
   private case class WarcExtractCmd(files: String, text: Boolean,
                                     status: Option[Int], mime: Option[String],
                                     out: String) extends Cmd
+  private case class WarcExportCmd(corpus: String, fileCol: String, id: String,
+                                   text: String, url: Option[String],
+                                   date: String, gzip: Boolean,
+                                   out: String) extends Cmd
   private case class EmbedDeconCmd(corpus: String, benchmark: String,
                                    id: String, vec: String, threshold: Double,
                                    scrub: Boolean, ivf: Option[(Int, Int)],
@@ -1153,6 +1158,18 @@ object Main {
           "warc-extract: --status/--mime filter decoded responses — they require --text true")
         out <- req(opts, "warc-extract", "out")
       } yield WarcExtractCmd(files, text, status, mime, out)
+    case "warc-export" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        corpus <- req(opts, "warc-export", "corpus")
+        fileCol <- req(opts, "warc-export", "file-col")
+        id <- req(opts, "warc-export", "id")
+        text <- req(opts, "warc-export", "text")
+        url = opts.get("url")
+        date <- req(opts, "warc-export", "date")
+        gzip <- optBool(opts, "warc-export", "gzip", dflt = true)
+        out <- req(opts, "warc-export", "out")
+      } yield WarcExportCmd(corpus, fileCol, id, text, url, date, gzip, out)
     case "embed-decontaminate" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -2619,6 +2636,16 @@ object Main {
         val withStatus = status.fold(r)(n => r.filter(col("http_status") === n))
         mime.fold(withStatus)(m => withStatus.filter(col("content_type") === m))
       } else graft.sources.Warc.records(f).toDF())
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case WarcExportCmd(corpus, fileCol, id, text, url, date, gzip, out) =>
+      // the sink half of the interchange round trip: conversion (WET)
+      // records, --date is the stated capture instant (the writer never
+      // reads a wall clock — exports replay byte-identically)
+      implicit val s: SparkSession = spark
+      graft.sources.Warc.export(spark.read.parquet(corpus), fileCol, id,
+          text, url, date, gzip)
         .write.mode("overwrite").parquet(out)
       0
 

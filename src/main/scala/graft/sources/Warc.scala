@@ -81,14 +81,19 @@ object Warc {
 
   // ------------------------------------------------------------ writer
 
-  /** Serialize one record in WARC/1.0 wire framing — the writer half the
-    * planted corpora and round-trip tests share (ONE builder so the
-    * graded construction and the spec's pins cannot drift apart — the
-    * mjpegCorpus convention), and the sink side of a WARC exchange. */
-  def record(warcType: String, url: Option[String],
-             payload: Array[Byte]): Array[Byte] = {
+  /** Serialize one record in WARC/1.0 wire framing — the LOW-LEVEL
+    * builder the planted corpora and round-trip tests share (ONE builder
+    * so the graded construction and the spec's pins cannot drift apart —
+    * the mjpegCorpus convention). It emits only the headers you pass:
+    * bare calls produce test-corpus/round-trip records, NOT archives
+    * conformant for external consumers — ISO 28500 makes WARC-Record-ID
+    * and WARC-Date mandatory on every record, which [[export]] (the
+    * archive-producing sink) adds via `extraHeaders`. */
+  def record(warcType: String, url: Option[String], payload: Array[Byte],
+             extraHeaders: Seq[(String, String)] = Nil): Array[Byte] = {
     val h = new StringBuilder(s"WARC/1.0\r\nWARC-Type: $warcType\r\n")
     url.foreach(u => h ++= s"WARC-Target-URI: $u\r\n")
+    extraHeaders.foreach { case (k, v) => h ++= s"$k: $v\r\n" }
     h ++= s"Content-Length: ${payload.length}\r\n\r\n"
     h.toString.getBytes(UTF_8) ++ payload ++ "\r\n\r\n".getBytes(UTF_8)
   }
@@ -99,6 +104,65 @@ object Warc {
     val g = new java.util.zip.GZIPOutputStream(bos)
     g.write(bytes); g.close()
     bos.toByteArray
+  }
+
+  /** Materialize a curated corpus back into the interchange format — the
+    * sink half that closes the WARC round trip (read a crawl in, curate,
+    * re-export WET-style): one `conversion` record per row (the WET
+    * convention for extracted text — these are derived texts, not
+    * original `response` captures), UTF-8 payloads with
+    * `charset=utf-8` self-described, grouped into one `.warc.gz` file
+    * per `fileCol` value with records ordered by `idCol` (deterministic
+    * — re-export of the same corpus is byte-identical, so archives
+    * diff/deduplicate cleanly).
+    *
+    * Conformance: every record carries the ISO 28500-mandatory
+    * WARC-Record-ID (a urn:uuid name-derived from (file, id, payload) —
+    * deterministic, and distinct records get distinct ids) and
+    * WARC-Date (`warcDate`, the capture/conversion instant the caller
+    * states — a pipeline stamps its run time once; the writer never
+    * reads a wall clock, keeping export replay-identical).
+    *
+    * Scale shape: one shuffle keyed by `fileCol` (building a container
+    * file IS a grouping), then a narrow per-group serialize; each output
+    * file must fit one binary cell (~size the grouping so files land
+    * near the usual ~1 GB segment target). NULL-text rows are dropped —
+    * an absent document has no record, and a NULL payload has no length.
+    * Output: (`file_id`, `content`) — exactly [[records]]' input shape,
+    * so `records(export(...))` re-reads what was written (graded — the
+    * q264 fingerprint-identity round trip). */
+  def export(corpus: DataFrame, fileCol: String, idCol: String,
+             textCol: String, urlCol: Option[String], warcDate: String,
+             gzip: Boolean = true)(implicit spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    require(warcDate.nonEmpty, "Warc.export: warcDate is the mandatory " +
+      "WARC-Date header value — pass the pipeline's capture instant " +
+      "(ISO 8601, e.g. 2026-01-01T00:00:00Z)")
+    val base = corpus.filter(col(textCol).isNotNull)
+      .select(col(fileCol).cast("long").as("__f"),
+        col(idCol).cast("long").as("__i"),
+        urlCol.map(u => col(u).cast("string")).getOrElse(lit(null).cast("string"))
+          .as("__u"),
+        col(textCol).cast("string").as("__t"))
+    base.groupBy(col("__f"))
+      .agg(sort_array(collect_list(struct(col("__i"), col("__u"), col("__t"))))
+        .as("__rs"))
+      .as[(Long, Seq[(Long, String, String)])]
+      .map { case (f, rs) =>
+        val members = rs.map { case (i, u, t) =>
+          val payload = t.getBytes(UTF_8)
+          val rid = java.util.UUID.nameUUIDFromBytes(
+            s"graft-wet:$f:$i:".getBytes(UTF_8) ++ payload)
+          val m = record("conversion", Option(u), payload, Seq(
+            "WARC-Record-ID" -> s"<urn:uuid:$rid>",
+            "WARC-Date" -> warcDate,
+            "Content-Type" -> "text/plain; charset=utf-8"))
+          if (gzip) gzipMember(m) else m
+        }
+        (f, members.reduce(_ ++ _))
+      }
+      .toDF("file_id", "content")
   }
 
   // ------------------------------------------------------------ reader

@@ -165,6 +165,46 @@ class WarcSpec extends SparkSpec {
     assert(Warc.decodeHttpPayload(bare) === (None, None, "see HTTP/1.1 spec for details"))
   }
 
+  test("export: conformant conversion records, ordered, deterministic, null text dropped") {
+    implicit val s = spark
+    val corpus = Seq(
+      (0L, 2L, "http://e.com/2", "second doc"),
+      (0L, 1L, "http://e.com/1", "first doc"),
+      (1L, 3L, "http://e.com/3", "third doc"),
+      (1L, 4L, null.asInstanceOf[String], "no url doc"),
+      (1L, 5L, "http://e.com/5", null.asInstanceOf[String])) // dropped
+      .toDF("file_grp", "doc_id", "url", "text")
+    val files = Warc.export(corpus, "file_grp", "doc_id", "text",
+      Some("url"), warcDate = "2026-01-01T00:00:00Z", gzip = false).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toMap
+    assert(files.keySet === Set(0L, 1L))
+    // records come back ordered by id within each file, text intact
+    val f0 = Warc.walk(0L, files(0L))
+    assert(f0.map(r => (r.warc_type, r.url, new String(r.payload, UTF_8)))
+      === Seq(("conversion", "http://e.com/1", "first doc"),
+              ("conversion", "http://e.com/2", "second doc")))
+    // ISO 28500 mandatory headers on every record; null url omitted
+    val raw1 = new String(files(1L), UTF_8)
+    assert(raw1.contains("WARC-Record-ID: <urn:uuid:"))
+    assert(raw1.contains("WARC-Date: 2026-01-01T00:00:00Z"))
+    val f1 = Warc.walk(1L, files(1L))
+    assert(f1.map(_.url) === Seq("http://e.com/3", null)) // NULL-text row 5 gone
+    // distinct records get distinct record ids
+    val ids = "<urn:uuid:[^>]+>".r.findAllIn(raw1).toSeq
+    assert(ids.distinct.size === ids.size && ids.size === 2)
+    // replay determinism: exporting again is byte-identical
+    val again = Warc.export(corpus, "file_grp", "doc_id", "text",
+      Some("url"), warcDate = "2026-01-01T00:00:00Z", gzip = false).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toMap
+    assert(files.keys.forall(k => java.util.Arrays.equals(files(k), again(k))))
+    // gzip form re-reads identically to plain
+    val gz = Warc.export(corpus, "file_grp", "doc_id", "text",
+      Some("url"), warcDate = "2026-01-01T00:00:00Z").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toMap
+    assert(Warc.walk(0L, gz(0L)).map(r => new String(r.payload, UTF_8))
+      === f0.map(r => new String(r.payload, UTF_8)))
+  }
+
   test("degrade-don't-kill: empty, null-ish, corrupt gzip, truncated header") {
     assert(Warc.walk(1L, Array.empty[Byte]) === Seq.empty)
     assert(Warc.walk(1L, "no warc here at all".getBytes(UTF_8)) === Seq.empty)

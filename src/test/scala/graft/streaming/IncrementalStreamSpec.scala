@@ -30,6 +30,50 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(out === Set((1L, "A"), (2L, "B"), (3L, "C")))
   }
 
+  test("warcIngest: two-batch crawl equals the batch pipeline; admission + minKept gate") {
+    import graft.sources.Warc.record
+    import graft.sync.ParquetStore
+    implicit val s = spark
+    val UTF8 = java.nio.charset.StandardCharsets.UTF_8
+    def http(status: Int, ctype: String, body: String) =
+      (s"HTTP/1.1 $status X\r\nContent-Type: $ctype\r\n\r\n$body").getBytes(UTF8)
+    val page = "<html><p>alpha beta gamma delta epsilon zeta body text here</p></html>"
+    def file(id: Long) = record("warcinfo", None, "m".getBytes(UTF8)) ++
+      record("response", Some(s"http://e/$id"), http(200, "text/html", page)) ++
+      record("response", Some(s"http://e/$id/404"), http(404, "text/html", page)) ++
+      record("response", Some(s"http://e/$id/txt"), http(200, "text/plain", page)) ++
+      record("response", Some(s"http://e/$id/nav"),
+        http(200, "text/html", "<html><p><a href=x>only a link</a></p></html>"))
+    val src = Files.createTempDirectory("graft_wi_src").toString
+    val ck = Files.createTempDirectory("graft_wi_ck").toString
+    val store = new ParquetStore(spark,
+      Files.createTempDirectory("graft_wi_out").toString)
+    // two files, two micro-batches (maxFilesPerTrigger = 1)
+    Seq((1L, file(1L))).toDF("file_id", "content").write.mode("append").parquet(src)
+    Seq((2L, file(2L))).toDF("file_id", "content").write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    IncrementalStream.warcIngest(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/*.parquet"),
+      store, "corpus", ck, minChars = 5, minKept = 1).awaitTermination()
+    val got = store.read("corpus").get.collect()
+      .map(r => (r.getAs[Long]("file_id"), r.getAs[String]("url"),
+        r.getAs[String]("main"))).toSet
+    // only the 200 text/html records with a kept block survive — the
+    // 404, the text/plain sidecar, and the link-only nav shell do not
+    assert(got === Set(
+      (1L, "http://e/1", "alpha beta gamma delta epsilon zeta body text here"),
+      (2L, "http://e/2", "alpha beta gamma delta epsilon zeta body text here")))
+    // replay from a fresh checkpoint (foreign lineage) appends nothing new
+    IncrementalStream.warcIngest(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/*.parquet"),
+      store, "corpus",
+      Files.createTempDirectory("graft_wi_ck2").toString,
+      minChars = 5, minKept = 1).awaitTermination()
+    assert(store.read("corpus").get.count() === 2)
+  }
+
   test("frontierGate: canonical dedup across batches, NULL urls dropped, replay-safe") {
     import graft.sync.ParquetStore
     val src = Files.createTempDirectory("graft_fg_src").toString

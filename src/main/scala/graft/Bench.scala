@@ -464,7 +464,13 @@ object Bench {
     // trainer siblings q150/q202/q203 carry the tag already. The 2x
     // bound still catches a real blow-up (observed spread tops at 1.8x
     // of floor)
-    "q159_bpe_delta_train")
+    "q159_bpe_delta_train",
+    // round-18 newcomers, tagged BEFORE their floors land (the q132
+    // precedent): q262 runs ivfIndex's driver-side Lloyd loop (seed
+    // collect + per-iteration collect jobs — the MEASURED q113
+    // HighVariance cause) ahead of THREE probe arms; q263 is the
+    // two-micro-batch ingest harness (the q246/q208 shape)
+    "q262_embed_decon_ivf", "q263_stream_warc_ingest")
 
   /** Machine calibration canaries: stable, mid-weight queries spanning the
     * engine's plan shapes (pushed scan, window, LSH join, stream, fill).

@@ -366,6 +366,55 @@ object Warc {
   private val CharsetRe =
     "(?i)charset\\s*=\\s*\"?([^\";,\\s]+)\"?".r.unanchored
 
+  /** Decode `Transfer-Encoding: chunked` framing: hex-size line (chunk
+    * extensions after `;` ignored), that many data bytes, CRLF, repeat
+    * until the 0-size terminator. Malformed framing (a non-hex size
+    * line, a size overrunning the body) degrades to the chunks already
+    * decoded — framing bytes never leak into corpus text. */
+  private[sources] def dechunk(body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(body.length)
+    var i = 0
+    while (i < body.length) {
+      // the size line ends at LF (CR stripped); find it
+      var eol = i
+      while (eol < body.length && body(eol) != '\n') eol += 1
+      if (eol >= body.length) return out.toByteArray // no terminator: done
+      var line = new String(body, i, eol - i,
+        java.nio.charset.StandardCharsets.ISO_8859_1).trim
+      val semi = line.indexOf(';')
+      if (semi >= 0) line = line.substring(0, semi).trim
+      val n =
+        try java.lang.Long.parseLong(line, 16)
+        catch { case _: NumberFormatException => -1L }
+      if (n < 0 || n > MaxRecordBytes) return out.toByteArray // malformed
+      if (n == 0) return out.toByteArray // the terminating chunk
+      val dataStart = eol + 1
+      val avail = math.min(n, (body.length - dataStart).toLong).toInt
+      if (avail > 0) out.write(body, dataStart, avail)
+      if (avail < n) return out.toByteArray // short body: keep what exists
+      i = dataStart + avail
+      // skip the chunk-terminating CRLF/LF
+      if (i < body.length && body(i) == '\r') i += 1
+      if (i < body.length && body(i) == '\n') i += 1
+    }
+    out.toByteArray
+  }
+
+  /** Decode a `Content-Encoding: gzip` body, keeping whatever inflated
+    * cleanly when the stream is corrupt/truncated (degrade-don't-kill —
+    * the [[open]] discipline applied to HTTP bodies). */
+  private[sources] def gunzipBody(body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(body.length * 2 + 64)
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(body), 8 * 1024)
+      val buf = new Array[Byte](8 * 1024)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } catch { case _: java.io.IOException => }
+    out.toByteArray
+  }
+
   /** One response payload → (http_status, content_type, text).
     *
     * Real crawl archives (CommonCrawl included) store response records as
@@ -377,13 +426,19 @@ object Warc {
     * planted round-trip corpora) and pass through whole with NULL
     * status/content-type.
     *
-    * The body is decoded by the Content-Type `charset` parameter
-    * (ISO-8859-1/Windows-1252 are ubiquitous in real crawls), quoted or
-    * bare, falling back to UTF-8 when the parameter is absent, unknown to
-    * the JVM, or unsupported; `content_type` surfaces the bare mime
-    * (lowercased, parameters dropped) so downstream filters can keep
-    * `text/html` without re-parsing. A message with no blank line is all
-    * envelope — its text is empty, never the raw headers. */
+    * The body decodes in HTTP layering order — raw captures keep the
+    * wire bytes, so all three layers occur in real archives:
+    * `Transfer-Encoding: chunked` framing is removed first ([[dechunk]] —
+    * hex-size framing lines must never leak into corpus text), a
+    * `Content-Encoding: gzip`/`x-gzip` body inflates next
+    * ([[gunzipBody]], degrade-don't-kill), and finally the bytes decode
+    * by the Content-Type `charset` parameter (ISO-8859-1/Windows-1252
+    * are ubiquitous in real crawls), quoted or bare, falling back to
+    * UTF-8 when the parameter is absent, unknown to the JVM, or
+    * unsupported. `content_type` surfaces the bare mime (lowercased,
+    * parameters dropped) so downstream filters can keep `text/html`
+    * without re-parsing. A message with no blank line is all envelope —
+    * its text is empty, never the raw headers. */
   private[sources] def decodeHttpPayload(
       payload: Array[Byte]): (Option[Int], Option[String], String) = {
     val isHttp = payload.length >= HttpMagic.length &&
@@ -396,9 +451,13 @@ object Warc {
     val headers = new String(payload, 0, hdrLen,
       java.nio.charset.StandardCharsets.ISO_8859_1)
     val status = StatusRe.findFirstMatchIn(headers).map(_.group(1).toInt)
-    val ctLine = headers.linesIterator.find(
-      _.toLowerCase(java.util.Locale.ROOT).startsWith("content-type:"))
-    val ctValue = ctLine.map(_.substring("content-type:".length).trim)
+    def headerValue(name: String): Option[String] = {
+      val prefix = name + ":"
+      headers.linesIterator
+        .find(_.toLowerCase(java.util.Locale.ROOT).startsWith(prefix))
+        .map(_.substring(prefix.length).trim)
+    }
+    val ctValue = headerValue("content-type")
     val mime = ctValue.map { v =>
       val semi = v.indexOf(';')
       (if (semi >= 0) v.substring(0, semi) else v)
@@ -410,9 +469,19 @@ object Warc {
         catch { case _: IllegalArgumentException |
                      _: java.nio.charset.UnsupportedCharsetException => None }
       }.getOrElse(UTF_8)
-    val text =
-      if (end < 0) "" else new String(payload, end, payload.length - end, cs)
-    (status, mime, text)
+    if (end < 0) return (status, mime, "") // all envelope, no body
+    // transfer framing first (outermost), then content coding, then charset
+    // — the HTTP layering order; raw captures (CommonCrawl keeps the wire
+    // bytes) routinely carry both
+    var body: Array[Byte] =
+      java.util.Arrays.copyOfRange(payload, end, payload.length)
+    val te = headerValue("transfer-encoding")
+      .map(_.toLowerCase(java.util.Locale.ROOT))
+    if (te.exists(_.contains("chunked"))) body = dechunk(body)
+    val ce = headerValue("content-encoding")
+      .map(_.toLowerCase(java.util.Locale.ROOT).split(",")(0).trim)
+    if (ce.contains("gzip") || ce.contains("x-gzip")) body = gunzipBody(body)
+    (status, mime, new String(body, cs))
   }
 
   /** Response-record payloads as corpus text — the bridge from a crawl

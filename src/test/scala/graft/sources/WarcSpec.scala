@@ -152,6 +152,51 @@ class WarcSpec extends SparkSpec {
     assert(Warc.decodeHttpPayload(bare) === (Some(200), Some("text/plain"), latin1Body))
   }
 
+  test("HTTP body codings: chunked framing removed, gzip inflated, layered, degrade on corruption") {
+    val body = "the real corpus text survives every wire coding"
+    def msg(headers: String, b: Array[Byte]) =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n$headers\r\n").getBytes(UTF_8) ++ b
+    def chunk(b: Array[Byte], size: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < b.length) {
+        val n = math.min(size, b.length - i)
+        out.write(s"${n.toHexString};ext=v\r\n".getBytes(UTF_8))
+        out.write(b, i, n); out.write("\r\n".getBytes(UTF_8)); i += n
+      }
+      out.write("0\r\n\r\n".getBytes(UTF_8)); out.toByteArray
+    }
+    // chunked alone: framing lines must not leak
+    val c = Warc.decodeHttpPayload(
+      msg("Transfer-Encoding: chunked\r\n", chunk(body.getBytes(UTF_8), 5)))
+    assert(c === (Some(200), Some("text/plain"), body))
+    // gzip alone
+    val g = Warc.decodeHttpPayload(
+      msg("Content-Encoding: gzip\r\n", Warc.gzipMember(body.getBytes(UTF_8))))
+    assert(g._3 === body)
+    // layered: chunked framing OUTSIDE the gzip coding (the wire order)
+    val both = Warc.decodeHttpPayload(
+      msg("Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n",
+        chunk(Warc.gzipMember(body.getBytes(UTF_8)), 7)))
+    assert(both._3 === body)
+    // malformed chunk size line: keep the chunks already decoded, never
+    // leak framing into text
+    // one complete 10-byte chunk ("a;ext=v\r\n" + 10 data + CRLF = 21
+    // bytes), then a garbage size line
+    val bad = chunk(body.getBytes(UTF_8), 10)
+    val cut = bad.take(21) ++ "ZZZ\r\njunk".getBytes(UTF_8)
+    val degraded = Warc.decodeHttpPayload(msg("Transfer-Encoding: chunked\r\n", cut))._3
+    assert(degraded === body.take(10))
+    // corrupt gzip: degrade to empty, not a task kill
+    val corrupt = Warc.decodeHttpPayload(
+      msg("Content-Encoding: gzip\r\n", Array[Byte](0x1f, 0x8b.toByte, 9, 9)))
+    assert(corrupt._3 === "")
+    // an UNKNOWN content coding passes bytes through to the charset decode
+    val unknown = Warc.decodeHttpPayload(
+      msg("Content-Encoding: br\r\n", body.getBytes(UTF_8)))
+    assert(unknown._3 === body)
+  }
+
   test("HTTP envelope edges: LFLF terminator, terminator-less message, non-HTTP") {
     // bare-LF servers terminate headers with LFLF
     val lflf = "HTTP/1.0 200 OK\nContent-Type: text/plain\n\nbody".getBytes(UTF_8)

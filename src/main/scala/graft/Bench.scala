@@ -230,17 +230,19 @@ object Bench {
     "q245_stream_scd2_cdc" -> 4.129, "q246_stream_main_content" -> 1.795,
     "q247_takedown_media_index" -> 2.634, "q248_history_retention" -> 1.064,
     "q249_stream_pit_maintained" -> 9.905, "q250_web_curation" -> 0.563,
-    // Round-18 seed: the r17 driver bench JSON was truncated (tail-only,
-    // q44-q99), so the builder's definitive r17 close bench
-    // (commit b289b7c's BENCH_LAST.json, calibration 1.572) is the one
-    // usable run — each value DIVIDED by that run's calibration per the
-    // seeding convention, landing the previously-floorless round-17
-    // cohort q251-q259. q254/q256 HighVariance tags were pre-placed in
-    // round 17 (the q132 precedent).
-    "q251_warc_records" -> 1.166, "q252_warc_curation" -> 2.165,
-    "q253_embed_decontaminate" -> 0.345,
+    // Round-18 seed: best-of-two over the builder's r17 close bench
+    // (commit b289b7c's BENCH_LAST.json, calibration 1.370) and the r17
+    // DRIVER run (commit 0ec9d68's BENCH_LAST.json, calibration 1.572 —
+    // the driver-side BENCH_r17.json was tail-truncated, but the full
+    // run survives in that commit's BENCH_LAST.json), each value DIVIDED
+    // by its own run's calibration per the seeding convention, landing
+    // the previously-floorless round-17 cohort q251-q259. q254/q256
+    // HighVariance tags were pre-placed in round 17 (the q132
+    // precedent).
+    "q251_warc_records" -> 1.108, "q252_warc_curation" -> 1.408,
+    "q253_embed_decontaminate" -> 0.272,
     "q254_stream_embed_decon_gate" -> 1.318,
-    "q255_cluster_balance" -> 0.293, "q256_history_erasure" -> 5.749,
+    "q255_cluster_balance" -> 0.235, "q256_history_erasure" -> 5.749,
     "q257_cluster_temperature" -> 0.165, "q258_robots_gate" -> 0.154,
     "q259_stream_robots_frontier" -> 0.745)
 

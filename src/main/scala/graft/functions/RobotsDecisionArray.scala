@@ -61,21 +61,26 @@ case class RobotsDecisionArray(left: Expression, right: Expression)
     * cap so pathological rule cardinality degrades to recompiles, never
     * to unbounded heap. Keys are defensive copies — an UnsafeRow-backed
     * UTF8String points into a buffer the scan reuses. */
+  /** Cache entry: the compiled pattern PLUS the raw pattern's UTF-16
+    * length (the literal twin's String.length, so the twins tie-break
+    * identically) — caching the length too keeps cache HITS free of any
+    * String materialization, which is the per-row hot path. */
   @transient private lazy val cache =
-    new java.util.LinkedHashMap[UTF8String, java.util.regex.Pattern](
+    new java.util.LinkedHashMap[UTF8String, (java.util.regex.Pattern, Int)](
       64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[UTF8String, java.util.regex.Pattern]): Boolean =
+          e: java.util.Map.Entry[UTF8String, (java.util.regex.Pattern, Int)]): Boolean =
         size() > 8192
     }
 
-  private def compiledFor(pat: UTF8String): java.util.regex.Pattern = {
+  private def compiledFor(pat: UTF8String): (java.util.regex.Pattern, Int) = {
     val hit = cache.get(pat)
     if (hit != null) return hit
     val s = pat.toString
-    val p = java.util.regex.Pattern.compile(graft.operators.Robots.patternRegex(s))
-    cache.put(UTF8String.fromString(s), p)
-    p
+    val e = (java.util.regex.Pattern.compile(
+      graft.operators.Robots.patternRegex(s)), s.length)
+    cache.put(UTF8String.fromString(s), e)
+    e
   }
 
   def decide(path: UTF8String, rules: ArrayData): Boolean = {
@@ -89,12 +94,9 @@ case class RobotsDecisionArray(left: Expression, right: Expression)
         val r = rules.getStruct(i, 2)
         if (!r.isNullAt(0) && !r.isNullAt(1)) {
           val allow = r.getBoolean(0)
-          val pat = r.getUTF8String(1)
-          // raw-pattern length in UTF-16 units — the literal twin's
-          // String.length, so the twins tie-break identically
-          val len = pat.toString.length
+          val (rx, len) = compiledFor(r.getUTF8String(1))
           if ((len > bestLen || (len == bestLen && allow && !bestAllow)) &&
-              compiledFor(pat).matcher(p).find()) {
+              rx.matcher(p).find()) {
             bestLen = len
             bestAllow = allow
           }

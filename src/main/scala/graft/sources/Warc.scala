@@ -91,6 +91,15 @@ object Warc {
     * archive-producing sink) adds via `extraHeaders`. */
   def record(warcType: String, url: Option[String], payload: Array[Byte],
              extraHeaders: Seq[(String, String)] = Nil): Array[Byte] = {
+    // a CR/LF anywhere in a header value terminates the header block
+    // early and corrupts the record framing (the real Content-Length
+    // line lands inside what a reader sees as payload) — fail loud
+    // here; [[export]] percent-encodes crawl-data URLs before calling
+    val headerText = warcType + url.getOrElse("") +
+      extraHeaders.map { case (k, v) => k + v }.mkString
+    require(!headerText.exists(c => c == '\r' || c == '\n'),
+      "Warc.record: CR/LF in a header value would corrupt record framing " +
+        "— sanitize upstream (export percent-encodes URLs)")
     val h = new StringBuilder(s"WARC/1.0\r\nWARC-Type: $warcType\r\n")
     url.foreach(u => h ++= s"WARC-Target-URI: $u\r\n")
     extraHeaders.foreach { case (k, v) => h ++= s"$k: $v\r\n" }
@@ -139,10 +148,24 @@ object Warc {
     require(warcDate.nonEmpty, "Warc.export: warcDate is the mandatory " +
       "WARC-Date header value — pass the pipeline's capture instant " +
       "(ISO 8601, e.g. 2026-01-01T00:00:00Z)")
+    // NULL (or non-numeric) file/id is a structural error — silently
+    // dropping the row would break the fingerprint law the writer
+    // advertises, so fail loud WITH the column name (the scd2Ingest
+    // integral-verCol discipline); NULL text drops by contract above
+    def requiredLong(name: String) =
+      when(col(name).cast("long").isNull,
+        raise_error(concat(lit(s"Warc.export: NULL or non-numeric '$name' " +
+          "in row with " + textCol + "="), substring(col(textCol), 1, 40))))
+        .otherwise(col(name).cast("long"))
     val base = corpus.filter(col(textCol).isNotNull)
-      .select(col(fileCol).cast("long").as("__f"),
-        col(idCol).cast("long").as("__i"),
-        urlCol.map(u => col(u).cast("string")).getOrElse(lit(null).cast("string"))
+      .select(requiredLong(fileCol).as("__f"),
+        requiredLong(idCol).as("__i"),
+        urlCol.map(u =>
+          // crawl URLs are unsanitized: percent-encode the CR/LF bytes
+          // that would corrupt record framing (deterministic, reversible)
+          regexp_replace(regexp_replace(col(u).cast("string"),
+            lit("\r"), lit("%0D")), lit("\n"), lit("%0A")))
+          .getOrElse(lit(null).cast("string"))
           .as("__u"),
         col(textCol).cast("string").as("__t"))
     base.groupBy(col("__f"))
@@ -473,14 +496,17 @@ object Warc {
     // transfer framing first (outermost), then content coding, then charset
     // — the HTTP layering order; raw captures (CommonCrawl keeps the wire
     // bytes) routinely carry both
-    var body: Array[Byte] =
-      java.util.Arrays.copyOfRange(payload, end, payload.length)
-    val te = headerValue("transfer-encoding")
-      .map(_.toLowerCase(java.util.Locale.ROOT))
-    if (te.exists(_.contains("chunked"))) body = dechunk(body)
+    val chunked = headerValue("transfer-encoding")
+      .exists(_.toLowerCase(java.util.Locale.ROOT).contains("chunked"))
     val ce = headerValue("content-encoding")
       .map(_.toLowerCase(java.util.Locale.ROOT).split(",")(0).trim)
-    if (ce.contains("gzip") || ce.contains("x-gzip")) body = gunzipBody(body)
+    val gz = ce.contains("gzip") || ce.contains("x-gzip")
+    if (!chunked && !gz) // the common case: decode in place, no body copy
+      return (status, mime, new String(payload, end, payload.length - end, cs))
+    var body: Array[Byte] =
+      java.util.Arrays.copyOfRange(payload, end, payload.length)
+    if (chunked) body = dechunk(body)
+    if (gz) body = gunzipBody(body)
     (status, mime, new String(body, cs))
   }
 

@@ -250,6 +250,42 @@ class WarcSpec extends SparkSpec {
       === f0.map(r => new String(r.payload, UTF_8)))
   }
 
+  test("export hardening: CRLF urls percent-encode, NULL id fails loud, record rejects CRLF") {
+    implicit val s = spark
+    // a crawl URL carrying CRLF would terminate the header block early
+    // and corrupt framing — export percent-encodes it, round-trip intact
+    val evil = Seq((0L, 1L, "http://e.com/a\r\nContent-Length: 0\r\n\r\n", "doc"))
+      .toDF("file_grp", "doc_id", "url", "text")
+    val f = Warc.export(evil, "file_grp", "doc_id", "text", Some("url"),
+      "2026-01-01T00:00:00Z", gzip = false).collect()
+    val rs = Warc.walk(0L, f.head.getAs[Array[Byte]](1))
+    assert(rs.length === 1 && new String(rs.head.payload, UTF_8) === "doc")
+    assert(rs.head.url === "http://e.com/a%0D%0AContent-Length: 0%0D%0A%0D%0A")
+    // the low-level builder fails loud instead of framing-corrupting
+    intercept[IllegalArgumentException] {
+      Warc.record("response", Some("u\r\nX: 1"), "p".getBytes(UTF_8))
+    }
+    // NULL id is a structural error: clear message, not an encoder NPE
+    val nullId = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(0L, null, "u", "t"))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("file_grp",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("url",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    val e = intercept[Exception] {
+      Warc.export(nullId, "file_grp", "doc_id", "text", Some("url"),
+        "2026-01-01T00:00:00Z").collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("doc_id") ||
+      e.getCause != null && e.getCause.getMessage.contains("doc_id"))
+  }
+
   test("degrade-don't-kill: empty, null-ish, corrupt gzip, truncated header") {
     assert(Warc.walk(1L, Array.empty[Byte]) === Seq.empty)
     assert(Warc.walk(1L, "no warc here at all".getBytes(UTF_8)) === Seq.empty)

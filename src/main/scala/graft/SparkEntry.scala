@@ -6992,6 +6992,56 @@ object SparkEntry {
       s.range(1).select(lit(violations).as("violations"))
     }),
 
+    // q265: OUTLINK extraction + RFC 3986 resolution — the crawl-graph
+    // half of extraction (WAT-style: edges, not words), feeding frontier
+    // expansion: Html.outlinks pulls hrefs (quoted/single/unquoted,
+    // entity-decoded, comment/script bodies never mint edges), each
+    // resolves against the page's own URL through the codegen'd
+    // UrlResolve (absolute pass-through, protocol-relative, root- and
+    // dir-relative with dot segments, query-only replacement,
+    // fragment-only dropped), then UrlNormalize canonicalizes into the
+    // frontier key space (javascript: minted by resolve dies there;
+    // utm params strip). 9 planted refs per page → 7 surviving edges,
+    // every one stated outright from doc_id moduli
+    "q265_outlink_edges" -> ((s, dir) => {
+      val h = (col("doc_id") % 7).cast(StringType)
+      val base = concat(lit("http://h"), h,
+        lit(".example.com/dir/page"), col("doc_id").cast(StringType),
+        lit(".html?x=1"))
+      val page = concat(
+        lit("<html><body><p><a href=\"https://abs.example.org/p"),
+        col("doc_id").cast(StringType),
+        lit("\">A</a> <a href='//cdn.example.net/lib'>B</a> <a href=\"/a/../b/c"),
+        (col("doc_id") % 5).cast(StringType),
+        lit("\">C</a> <a href=\"../up"), (col("doc_id") % 3).cast(StringType),
+        lit("\">D</a> <a href=\"./same.html\">E</a> " +
+          "<a href=\"?page=2&amp;utm_source=feed\">F</a> " +
+          "<a href=\"#section\">G</a> <a href=\"javascript:void(0)\">H</a> " +
+          "<a href=/plain"), (col("doc_id") % 2).cast(StringType),
+        lit("><b>I</b></a></p>" +
+          "<script>var x='<a href=\"/from-script\">no</a>';</script>" +
+          "<!-- <a href=\"/from-comment\">no</a> --></body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id").cast(LongType).as("doc_id"),
+          base.as("url"), page.as("html"))
+        .select(col("doc_id"), col("url"),
+          explode(graft.text.Html.outlinks(col("html"))).as("href"))
+        .select(col("doc_id"), graft.functions.UrlNormalize(
+          graft.functions.UrlResolve(col("url"), col("href"))).as("dst"))
+        .filter(col("dst").isNotNull)
+        .orderBy("doc_id", "dst")
+    }),
+
+    // q266: robots.txt Sitemap directives — the frontier's seed list,
+    // group-INDEPENDENT per the sitemaps.org protocol: surfaced from
+    // the top of the file (before any group), mid-group (between two
+    // rules — must not split the group: q258/q261's decisions gate
+    // that), and trailing, case-insensitive key. Oracle states the four
+    // planted directives outright
+    "q266_robots_sitemaps" -> ((s, dir) =>
+      graft.operators.Robots.sitemaps(robotsPlantedTxt(s), "host", "robots_txt")
+        .orderBy("host", "sitemap_url")),
+
     // q256: FULL-HISTORY hard erasure — takedown in the temporal family,
     // the q244 lifecycle one step further: a key's ENTIRE SCD2 history
     // (every interval, not just the open row) is erased from a
@@ -8278,6 +8328,29 @@ object SparkEntry {
     // and replay-deterministic export bytes
     "q264_warc_export_roundtrip" ->
       "SELECT CAST(0 AS BIGINT) AS violations",
+    // q265: every surviving edge stated outright from doc_id moduli —
+    // the fragment-only and javascript: refs mint nothing
+    "q265_outlink_edges" ->
+      ("WITH u AS (SELECT doc_id, doc_id % 7 AS h, doc_id % 5 AS m, " +
+        "doc_id % 3 AS k, doc_id % 2 AS j FROM documents), " +
+        "e AS (SELECT doc_id, unnest([" +
+        "'https://abs.example.org/p' || CAST(doc_id AS VARCHAR), " +
+        "'http://cdn.example.net/lib', " +
+        "'http://h' || CAST(h AS VARCHAR) || '.example.com/b/c' || CAST(m AS VARCHAR), " +
+        "'http://h' || CAST(h AS VARCHAR) || '.example.com/up' || CAST(k AS VARCHAR), " +
+        "'http://h' || CAST(h AS VARCHAR) || '.example.com/dir/same.html', " +
+        "'http://h' || CAST(h AS VARCHAR) || '.example.com/dir/page' || CAST(doc_id AS VARCHAR) || '.html?page=2', " +
+        "'http://h' || CAST(h AS VARCHAR) || '.example.com/plain' || CAST(j AS VARCHAR)" +
+        "]) AS dst FROM u) " +
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, dst FROM e ORDER BY doc_id, dst"),
+    // q266: the four planted directives stated outright
+    "q266_robots_sitemaps" ->
+      ("SELECT host, sitemap_url FROM (VALUES " +
+        "('h0.example.com', 'https://h0.example.com/sitemap.xml'), " +
+        "('h2.example.com', 'https://h2.example.com/sm/one.xml'), " +
+        "('h2.example.com', 'https://h2.example.com/sm/two.xml'), " +
+        "('h5.example.com', 'http://h5.example.com/s.xml')" +
+        ") AS t(host, sitemap_url) ORDER BY host, sitemap_url"),
     // q257: the same replayed assignment feeding q137's bit-exact
     // count/divide/sqrt pipeline, per cluster
     "q257_cluster_temperature" ->
@@ -8322,12 +8395,22 @@ object SparkEntry {
   private def robotsPlantedTxt(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq(
-      ("h0.example.com", "# site rules\nUser-agent: *\nDisallow: /private"),
+      // h0 carries a TOP-OF-FILE sitemap (before any group — the
+      // directive is group-independent per the sitemaps.org protocol
+      // and must neither start a group nor leak into the rules)
+      ("h0.example.com", "Sitemap: https://h0.example.com/sitemap.xml\n" +
+        "# site rules\nUser-agent: *\nDisallow: /private"),
       ("h1.example.com", "User-agent: GraftBot\nDisallow: /\nAllow: /public\n" +
         "User-agent: *\nAllow: /"),
-      ("h2.example.com", "User-agent: *\nDisallow: /*.pdf$"),
+      // h2: two trailing sitemaps, one lowercase key (case-insensitive)
+      ("h2.example.com", "User-agent: *\nDisallow: /*.pdf$\n" +
+        "Sitemap: https://h2.example.com/sm/one.xml\n" +
+        "sitemap: https://h2.example.com/sm/two.xml"),
       ("h4.example.com", "User-agent: other\nDisallow: /"),
-      ("h5.example.com", "User-agent: *\nAllow: /a/b\nDisallow: /a"),
+      // h5: a MID-GROUP sitemap line (between two rules of one group —
+      // must not split the group or change any decision)
+      ("h5.example.com", "User-agent: *\nAllow: /a/b\n" +
+        "Sitemap: http://h5.example.com/s.xml\nDisallow: /a"),
       ("h6.example.com", "User-agent: graftbot\nUser-agent: other\nDisallow: /doc"))
       .toDF("host", "robots_txt")
   }

@@ -121,6 +121,8 @@ object Main {
       "       scd2-close --history <parquetDir> --keys <parquet> --pks c1[,c2] --version <n> --out <parquetDir>\n" +
       "       warc-extract --files <parquet(file_id,content)> --out <parquetDir> [--text true] [--status <n>] [--mime <type>]\n" +
       "       warc-export --corpus <parquet> --file-col <col> --id <col> --text <col> --date <iso8601> --out <parquetDir> [--url <col>] [--gzip false]\n" +
+      "       outlinks --pages <parquet> --id <col> --url <col> --html <col> --out <parquetDir> [--raw true]\n" +
+      "       robots-sitemaps --robots <parquet keyed by --host col> --host <col> --out <parquetDir> [--txt <col>]\n" +
       "       embed-decontaminate --corpus <parquet> --benchmark <parquet> --id <col> --vec <col> --threshold <cos> --out <parquetDir> [--scrub true | --cells <n> --nprobe <n>]\n" +
       "       embed-decon-gate --source <parquetDir> --benchmark <parquet> --id <col> --vec <col> --threshold <cos> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       cluster-balance --corpus <parquet> --id <col> --vec <col> --centroids <k> --cap <n> --out <parquetDir> [--iterations <n>]\n" +
@@ -203,6 +205,11 @@ object Main {
                                    text: String, url: Option[String],
                                    date: String, gzip: Boolean,
                                    out: String) extends Cmd
+  private case class OutlinksCmd(pages: String, id: String, url: String,
+                                 html: String, raw: Boolean,
+                                 out: String) extends Cmd
+  private case class RobotsSitemapsCmd(robots: String, host: String,
+                                       txt: String, out: String) extends Cmd
   private case class EmbedDeconCmd(corpus: String, benchmark: String,
                                    id: String, vec: String, threshold: Double,
                                    scrub: Boolean, ivf: Option[(Int, Int)],
@@ -1170,6 +1177,24 @@ object Main {
         gzip <- optBool(opts, "warc-export", "gzip", dflt = true)
         out <- req(opts, "warc-export", "out")
       } yield WarcExportCmd(corpus, fileCol, id, text, url, date, gzip, out)
+    case "outlinks" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        pages <- req(opts, "outlinks", "pages")
+        id <- req(opts, "outlinks", "id")
+        url <- req(opts, "outlinks", "url")
+        html <- req(opts, "outlinks", "html")
+        raw <- optBool(opts, "outlinks", "raw", dflt = false)
+        out <- req(opts, "outlinks", "out")
+      } yield OutlinksCmd(pages, id, url, html, raw, out)
+    case "robots-sitemaps" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        robots <- req(opts, "robots-sitemaps", "robots")
+        host <- req(opts, "robots-sitemaps", "host")
+        txt = opts.getOrElse("txt", "robots_txt")
+        out <- req(opts, "robots-sitemaps", "out")
+      } yield RobotsSitemapsCmd(robots, host, txt, out)
     case "embed-decontaminate" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -2646,6 +2671,28 @@ object Main {
       implicit val s: SparkSession = spark
       graft.sources.Warc.export(spark.read.parquet(corpus), fileCol, id,
           text, url, date, gzip)
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case OutlinksCmd(pages, id, url, html, raw, out) =>
+      // the crawl-graph stage: hrefs extracted (entity-decoded, no edges
+      // from comments/scripts), resolved against the page's own URL
+      // (RFC 3986) and canonicalized into the frontier key space;
+      // --raw true keeps the unresolved hrefs instead
+      import org.apache.spark.sql.functions.{col, explode}
+      val p = spark.read.parquet(pages)
+      val edges = p.select(col(id), col(url),
+        explode(graft.text.Html.outlinks(col(html))).as("href"))
+      (if (raw) edges.select(col(id), col("href"))
+       else edges.select(col(id), graft.functions.UrlNormalize(
+           graft.functions.UrlResolve(col(url), col("href"))).as("dst"))
+         .filter(col("dst").isNotNull))
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case RobotsSitemapsCmd(robots, host, txt, out) =>
+      // the frontier's seed list: Sitemap directives, group-independent
+      graft.operators.Robots.sitemaps(spark.read.parquet(robots), host, txt)
         .write.mode("overwrite").parquet(out)
       0
 

@@ -136,6 +136,24 @@ object Robots {
                     pathCol: String): DataFrame =
     isAllowed(urls, rules, hostCol, pathCol).filter(col("allowed")).drop("allowed")
 
+  /** The `Sitemap:` directives of each host's robots.txt — the frontier's
+    * SEED list (the sitemaps.org protocol): group-INDEPENDENT per the
+    * spec, so they surface from anywhere in the file — before any group,
+    * between groups, inside one — and however the key is cased. Comments
+    * strip exactly as in [[parse]] (one tokenizer, two consumers).
+    * Output: (hostCol, `sitemap_url`), one row per directive; hosts
+    * without directives emit nothing. One line explode over a
+    * |hosts|-sized corpus — negligible next to the frontier it seeds. */
+  def sitemaps(robots: DataFrame, hostCol: String, txtCol: String): DataFrame =
+    robots.select(col(hostCol),
+        explode(split(col(txtCol), "\r?\n")).as("__line"))
+      .select(col(hostCol),
+        trim(regexp_replace(col("__line"), "#.*$", "")).as("__line"))
+      .select(col(hostCol),
+        trim(regexp_extract(col("__line"), "(?i)^sitemap[ \t]*:(.*)$", 1))
+          .as("sitemap_url"))
+      .filter(length(col("sitemap_url")) > 0)
+
   /** Join-form twin of [[isAllowed]] — decision-identical, different scale
     * shape (the `Vocab.encodeJoin`/`Classifier.trainJoin` pairing): the
     * rules NEVER collect. [[isAllowed]]'s plan literal is faster while the

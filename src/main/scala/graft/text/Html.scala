@@ -150,6 +150,29 @@ object Html {
                   maxLinkPermille: Int = 333): Column =
     mainContentReport(html, minChars, maxLinkPermille).getField("main")
 
+  /** OUTLINK extraction — the crawl-graph half of extraction (WAT-style:
+    * where [[extractText]]/[[mainContentReport]] take the page's words,
+    * this takes its edges, feeding frontier expansion and host-graph
+    * analytics): the `href` values of `<a>` tags, in document order,
+    * entity-decoded (`href="?a=1&amp;b=2"` is the HTML-correct spelling
+    * of `?a=1&b=2` — skipping the decode corrupts every multi-param
+    * link), quotes stripped. Raw references, NOT resolved URLs — compose
+    * [[graft.functions.UrlResolve]] against the page's own URL and then
+    * [[graft.functions.UrlNormalize]] for the frontier key space; the
+    * split keeps this a pure per-row builtin-regexp projection (one
+    * `regexp_extract_all`, codegen'd, fused into the scan at 100 TB).
+    * Comments and script/style bodies are stripped first — a commented-
+    * out nav or a JS string literal must not mint edges. Unquoted hrefs
+    * (legacy HTML) end at whitespace or `>`. */
+  def outlinks(html: Column): Column = {
+    val cleaned = stripNonContent(html)
+    val hrefs = regexp_extract_all(cleaned,
+      lit("(?is)<a[ \t\n\r][^>]*?href[ \t\n\r]*=[ \t\n\r]*(\"[^\"]*\"|'[^']*'|[^ \t\n\r>]+)"),
+      lit(1))
+    transform(hrefs, h => decodeEntities(
+      regexp_replace(h, "^[\"']|[\"']$", "")))
+  }
+
   /** Markup-shape counters for extraction audits: how much structure
     * did the strip remove? `n_tags` counts every element open/close,
     * `n_links` anchors, `n_scripts` script blocks — crawl dashboards

@@ -66,6 +66,22 @@ class RobotsSpec extends SparkSpec {
     assert(got("/dr") === true)         // inner $ must not anchor-and-vanish
   }
 
+  test("sitemaps: group-independent, case-insensitive, position-free; rules unaffected") {
+    val txt = "Sitemap: https://h/top.xml\nUser-agent: *\nAllow: /a\n" +
+      "sitemap: https://h/mid.xml # trailing comment\nDisallow: /b\n" +
+      "SITEMAP: https://h/end.xml"
+    val df = Seq(("h", txt)).toDF("host", "robots_txt")
+    assert(Robots.sitemaps(df, "host", "robots_txt").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("h", "https://h/top.xml"), ("h", "https://h/mid.xml"),
+        ("h", "https://h/end.xml")))
+    // the mid-group sitemap line must not split the group or leak a rule
+    assert(rulesOf("h", txt) === Set((true, "/a"), (false, "/b")))
+    // a host with no directives emits nothing
+    assert(Robots.sitemaps(Seq(("h2", "User-agent: *\nDisallow: /"))
+      .toDF("host", "robots_txt"), "host", "robots_txt").count() === 0)
+  }
+
   test("join twin: decision-identical to the literal form on every edge") {
     // the q149/q189 literal↔join pairing: same semantics, different scale
     // plan — sweep the tie-break/wildcard/anchor/rule-less edges through

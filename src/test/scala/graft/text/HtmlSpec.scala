@@ -119,4 +119,26 @@ class HtmlSpec extends SparkSpec {
     val (_, b2, _) = mainOf("<li>one two three</li><p>four five six</p>")
     assert(b2 === 2L)
   }
+
+  test("outlinks: quote styles, entity decode, order, no edges from comments/scripts") {
+    import org.apache.spark.sql.functions.col
+    def links(html: String): Seq[String] =
+      Seq(html).toDF("h").select(Html.outlinks(col("h")).as("l"))
+        .head.getSeq[String](0)
+    val html = "<html><body>" +
+      "<a href=\"/double\">a</a>" +
+      "<a class='x' href='/single'>b</a>" +
+      "<a href=/unquoted>c</a>" +
+      "<a href=\"?a=1&amp;b=2\">entity</a>" +
+      "<A HREF=\"/upper\">case</A>" +
+      "<a name=\"anchor-no-href\">skip</a>" +
+      "<script>var s = '<a href=\"/from-script\">x</a>';</script>" +
+      "<!-- <a href=\"/from-comment\">x</a> -->" +
+      "</body></html>"
+    assert(links(html) ===
+      Seq("/double", "/single", "/unquoted", "?a=1&b=2", "/upper"))
+    assert(links("<p>no links at all</p>") === Seq.empty)
+    // a bare <a> with no space never matches as "<ahref..." garbage
+    assert(links("<a>bare</a><abbr href=\"/not-an-anchor\">t</abbr>") === Seq.empty)
+  }
 }

@@ -470,9 +470,10 @@ object Bench {
     // round-18 newcomers, tagged BEFORE their floors land (the q132
     // precedent): q262 runs ivfIndex's driver-side Lloyd loop (seed
     // collect + per-iteration collect jobs — the MEASURED q113
-    // HighVariance cause) ahead of THREE probe arms; q263 is the
-    // two-micro-batch ingest harness (the q246/q208 shape)
-    "q262_embed_decon_ivf", "q263_stream_warc_ingest")
+    // HighVariance cause) ahead of THREE probe arms; q263 and q267 are
+    // two-micro-batch ingest harnesses (the q246/q208 shape)
+    "q262_embed_decon_ivf", "q263_stream_warc_ingest",
+    "q267_stream_crawl_loop")
 
   /** Machine calibration canaries: stable, mid-weight queries spanning the
     * engine's plan shapes (pushed scan, window, LSH join, stream, fill).

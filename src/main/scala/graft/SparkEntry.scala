@@ -7042,6 +7042,81 @@ object SparkEntry {
       graft.operators.Robots.sitemaps(robotsPlantedTxt(s), "host", "robots_txt")
         .orderBy("host", "sitemap_url")),
 
+    // q267: the FULL crawl admission loop, end to end in one streaming
+    // query — the composition a production crawler actually runs per
+    // fetched segment: WARC files arrive in micro-batches →
+    // responseText (envelope strip) → outlink extraction → RFC 3986
+    // resolve against the fetching page + canonicalize → robots
+    // politeness (the q258 rules) → frontier seen-set admission. Links
+    // COLLIDE across docs (%50/%20 keys), so the frontier's canonical
+    // dedup is load-bearing; the graded output is the admitted
+    // (url_norm, host) SET — id-free, so the 2-batch arrival split and
+    // per-batch admission order are invisible (the q246 contract).
+    // Fragment-only and javascript: links are planted and must mint
+    // nothing; disallowed paths must never reach frontier state
+    "q267_stream_crawl_loop" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val rules = graft.operators.Robots.parse(robotsPlantedTxt(s),
+        "host", "robots_txt", agent = "GraftBot")
+      val h = (col("doc_id") % 7).cast(StringType)
+      val p50 = (col("doc_id") % 50).cast(StringType)
+      val path1 = when(col("doc_id") % 5 === 0, concat(lit("/private/p"), p50))
+        .when(col("doc_id") % 5 === 1, concat(lit("/public/q"), p50))
+        .when(col("doc_id") % 5 === 2, concat(lit("/doc"), p50, lit(".pdf")))
+        .when(col("doc_id") % 5 === 3, concat(lit("/a/b/r"), p50))
+        .otherwise(concat(lit("/a/c"), p50))
+      val page = concat(
+        lit("<html><body><p><a href=\""), path1,
+        lit("\">in-host</a> <a href='//h3.example.com/x"),
+        (col("doc_id") % 20).cast(StringType),
+        lit("'>cross-host</a> <a href=\"#top\">frag</a> " +
+          "<a href=\"javascript:void(0)\">js</a></p></body></html>"))
+      val files = t(s, dir, "documents")
+        .select(col("doc_id").cast(LongType).as("doc_id"),
+          concat(lit("http://h"), h, lit(".example.com/fetch/page"),
+            col("doc_id").cast(StringType), lit(".html")).as("page_url"),
+          page.as("html"))
+        .as[(Long, String, String)].mapPartitions { it =>
+          val UTF8 = java.nio.charset.StandardCharsets.UTF_8
+          import graft.sources.Warc.{gzipMember, record}
+          it.map { case (id, url, html) =>
+            val m = Seq(
+              record("warcinfo", None, "graft-crawler".getBytes(UTF8)),
+              record("response", Some(url),
+                (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" +
+                  html).getBytes(UTF8)))
+            (id, if (id % 2 == 0) m.map(gzipMember).reduce(_ ++ _)
+                 else m.reduce(_ ++ _))
+          }
+        }.toDF("file_id", "content")
+      val tmp = java.nio.file.Files.createTempDirectory("q267").toString
+      try {
+        files.repartition(2).write.parquet(s"$tmp/src")
+        val stream = s.readStream.schema(files.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+        // the admission chain, all stateless per row until the frontier
+        val fetched = graft.sources.Warc.responseText(stream)
+          .filter(col("http_status") === 200 && col("content_type") === "text/html")
+        val edges = fetched.select(col("file_id"), col("url"),
+            posexplode(graft.text.Html.outlinks(col("text")))
+              .as(Seq("__pos", "href")))
+          .select((col("file_id") * 10 + col("__pos")).as("link_id"),
+            graft.functions.UrlNormalize(graft.functions.UrlResolve(
+              col("url"), col("href"))).as("dst"))
+          .filter(col("dst").isNotNull)
+          .withColumn("host", regexp_extract(col("dst"), "^http://([^/]+)", 1))
+          .withColumn("path", regexp_extract(col("dst"), "^http://[^/]+(/.*)$", 1))
+        val polite = graft.operators.Robots.filterAllowed(
+          edges, rules, "host", "path").select(col("link_id"), col("dst"))
+        val store = new graft.sync.ParquetStore(s, s"$tmp/out")
+        IncrementalStream.frontierGate(polite, "link_id", "dst", store, "seen",
+          checkpointDir = s"$tmp/ck").awaitTermination()
+        store.read("seen").get.select(col("url_norm"), col("host"))
+          .orderBy("url_norm").localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+
     // q256: FULL-HISTORY hard erasure — takedown in the temporal family,
     // the q244 lifecycle one step further: a key's ENTIRE SCD2 history
     // (every interval, not just the open row) is erased from a
@@ -8351,6 +8426,24 @@ object SparkEntry {
         "('h2.example.com', 'https://h2.example.com/sm/two.xml'), " +
         "('h5.example.com', 'http://h5.example.com/s.xml')" +
         ") AS t(host, sitemap_url) ORDER BY host, sitemap_url"),
+    // q267: the admitted frontier SET stated outright — distinct
+    // allowed in-host links (%50 path keys under the q258 decision
+    // CASE) plus the always-allowed cross-host h3 links (%20 keys);
+    // fragment/javascript links mint nothing
+    "q267_stream_crawl_loop" ->
+      ("WITH u AS (SELECT doc_id, doc_id % 7 AS h, doc_id % 5 AS m, " +
+        "CAST(doc_id % 50 AS VARCHAR) AS p, doc_id % 20 AS x FROM documents), " +
+        "l1 AS (SELECT DISTINCT 'http://h' || CAST(h AS VARCHAR) || '.example.com' || " +
+        "CASE m WHEN 0 THEN '/private/p' || p WHEN 1 THEN '/public/q' || p " +
+        "WHEN 2 THEN '/doc' || p || '.pdf' WHEN 3 THEN '/a/b/r' || p " +
+        "ELSE '/a/c' || p END AS url_norm, " +
+        "'h' || CAST(h AS VARCHAR) || '.example.com' AS host FROM u " +
+        "WHERE (CASE h WHEN 0 THEN m <> 0 WHEN 1 THEN m = 1 WHEN 2 THEN m <> 2 " +
+        "WHEN 5 THEN m <> 4 WHEN 6 THEN m <> 2 ELSE TRUE END)), " +
+        "l2 AS (SELECT DISTINCT 'http://h3.example.com/x' || CAST(x AS VARCHAR) AS url_norm, " +
+        "'h3.example.com' AS host FROM u) " +
+        "SELECT url_norm, host FROM (SELECT * FROM l1 UNION SELECT * FROM l2) " +
+        "ORDER BY url_norm"),
     // q257: the same replayed assignment feeding q137's bit-exact
     // count/divide/sqrt pipeline, per cluster
     "q257_cluster_temperature" ->

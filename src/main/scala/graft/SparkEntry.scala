@@ -7105,8 +7105,14 @@ object SparkEntry {
             graft.functions.UrlNormalize(graft.functions.UrlResolve(
               col("url"), col("href"))).as("dst"))
           .filter(col("dst").isNotNull)
-          .withColumn("host", regexp_extract(col("dst"), "^http://([^/]+)", 1))
-          .withColumn("path", regexp_extract(col("dst"), "^http://[^/]+(/.*)$", 1))
+          // dst is CANONICAL (UrlNormalize output) — derive the robots
+          // key with the named helper, never a hand-rolled http:// regex
+          // (an https edge would otherwise key as host '' and silently
+          // bypass the rules)
+          .withColumn("host",
+            graft.functions.UrlNormalize.hostOfCanonical(col("dst")))
+          .withColumn("path",
+            regexp_extract(col("dst"), "^[a-z0-9+.-]+://[^/]+(/.*)$", 1))
         val polite = graft.operators.Robots.filterAllowed(
           edges, rules, "host", "path").select(col("link_id"), col("dst"))
         val store = new graft.sync.ParquetStore(s, s"$tmp/out")

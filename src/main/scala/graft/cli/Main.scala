@@ -121,7 +121,7 @@ object Main {
       "       scd2-close --history <parquetDir> --keys <parquet> --pks c1[,c2] --version <n> --out <parquetDir>\n" +
       "       warc-extract --files <parquet(file_id,content)> --out <parquetDir> [--text true] [--status <n>] [--mime <type>]\n" +
       "       warc-export --corpus <parquet> --file-col <col> --id <col> --text <col> --date <iso8601> --out <parquetDir> [--url <col>] [--gzip false]\n" +
-      "       outlinks --pages <parquet> --id <col> --url <col> --html <col> --out <parquetDir> [--raw true]\n" +
+      "       outlinks --pages <parquet> --id <col> --html <col> --out <parquetDir> (--url <col> | --raw true)\n" +
       "       robots-sitemaps --robots <parquet keyed by --host col> --host <col> --out <parquetDir> [--txt <col>]\n" +
       "       embed-decontaminate --corpus <parquet> --benchmark <parquet> --id <col> --vec <col> --threshold <cos> --out <parquetDir> [--scrub true | --cells <n> --nprobe <n>]\n" +
       "       embed-decon-gate --source <parquetDir> --benchmark <parquet> --id <col> --vec <col> --threshold <cos> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
@@ -205,9 +205,9 @@ object Main {
                                    text: String, url: Option[String],
                                    date: String, gzip: Boolean,
                                    out: String) extends Cmd
-  private case class OutlinksCmd(pages: String, id: String, url: String,
-                                 html: String, raw: Boolean,
-                                 out: String) extends Cmd
+  private case class OutlinksCmd(pages: String, id: String,
+                                 url: Option[String], html: String,
+                                 raw: Boolean, out: String) extends Cmd
   private case class RobotsSitemapsCmd(robots: String, host: String,
                                        txt: String, out: String) extends Cmd
   private case class EmbedDeconCmd(corpus: String, benchmark: String,
@@ -1182,9 +1182,11 @@ object Main {
         opts <- parseOpts(rest)
         pages <- req(opts, "outlinks", "pages")
         id <- req(opts, "outlinks", "id")
-        url <- req(opts, "outlinks", "url")
         html <- req(opts, "outlinks", "html")
         raw <- optBool(opts, "outlinks", "raw", dflt = false)
+        // raw hrefs need no base URL — only the resolve path reads it
+        url <- if (raw) Right(opts.get("url"))
+               else req(opts, "outlinks", "url").map(Some(_))
         out <- req(opts, "outlinks", "out")
       } yield OutlinksCmd(pages, id, url, html, raw, out)
     case "robots-sitemaps" :: rest =>
@@ -2681,13 +2683,16 @@ object Main {
       // --raw true keeps the unresolved hrefs instead
       import org.apache.spark.sql.functions.{col, explode}
       val p = spark.read.parquet(pages)
-      val edges = p.select(col(id), col(url),
-        explode(graft.text.Html.outlinks(col(html))).as("href"))
-      (if (raw) edges.select(col(id), col("href"))
-       else edges.select(col(id), graft.functions.UrlNormalize(
-           graft.functions.UrlResolve(col(url), col("href"))).as("dst"))
-         .filter(col("dst").isNotNull))
-        .write.mode("overwrite").parquet(out)
+      (if (raw)
+        p.select(col(id), explode(graft.text.Html.outlinks(col(html))).as("href"))
+      else {
+        val u = url.get // the parser guarantees it on the resolve path
+        p.select(col(id), col(u),
+            explode(graft.text.Html.outlinks(col(html))).as("href"))
+          .select(col(id), graft.functions.UrlNormalize(
+            graft.functions.UrlResolve(col(u), col("href"))).as("dst"))
+          .filter(col("dst").isNotNull)
+      }).write.mode("overwrite").parquet(out)
       0
 
     case RobotsSitemapsCmd(robots, host, txt, out) =>

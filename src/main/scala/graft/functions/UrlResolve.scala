@@ -73,6 +73,26 @@ case class UrlResolve(left: Expression, right: Expression)
     "/" + out.mkString("/")
   }
 
+  /** remove_dot_segments applied to the PATH of an absolute hierarchical
+    * URL (§5.2.2 requires it on every branch, including refs that carry
+    * their own scheme/authority — `http://h/a/../b` must key as
+    * `http://h/b`, or one logical URL splits across the frontier key
+    * space). Non-hierarchical URLs (no `://`) and empty paths pass
+    * through untouched. */
+  private def withCleanPath(abs: String): String = {
+    val se = abs.indexOf("://")
+    if (se <= 0) return abs // opaque (mailto:, javascript:) — no path grammar
+    var ae = se + 3
+    while (ae < abs.length && abs.charAt(ae) != '/' &&
+      abs.charAt(ae) != '?' && abs.charAt(ae) != '#') ae += 1
+    if (ae >= abs.length || abs.charAt(ae) != '/') return abs // no path
+    var pe = abs.indexOf('?', ae)
+    if (pe < 0) pe = abs.indexOf('#', ae)
+    if (pe < 0) pe = abs.length
+    abs.substring(0, ae) + removeDotSegments(abs.substring(ae, pe)) +
+      abs.substring(pe)
+  }
+
   def resolve(baseU: UTF8String, refU: UTF8String): UTF8String = {
     val base = baseU.toString.trim
     var ref = refU.toString.trim
@@ -81,21 +101,25 @@ case class UrlResolve(left: Expression, right: Expression)
     if (refHash >= 0) ref = ref.substring(0, refHash)
     if (ref.isEmpty) return null // empty/fragment-only: same document
 
-    // ref with its own scheme is already absolute (scheme = ALPHA then
-    // alnum/+/-/. up to ':', before any '/', '?' — §3.1)
+    // ref with its own scheme is already absolute (scheme = ASCII ALPHA
+    // then alnum/+/-/. up to ':', before any '/', '?' — §3.1; Unicode
+    // letters are NOT scheme chars, so 'é:1/x' resolves as a relative
+    // path instead of minting a bogus absolute)
     val colon = ref.indexOf(':')
     if (colon > 0) {
-      var k = 0
-      var isScheme = ref.charAt(0).isLetter
+      def asciiAlpha(c: Char) = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+      var k = 1
+      var isScheme = asciiAlpha(ref.charAt(0))
       while (isScheme && k < colon) {
         val c = ref.charAt(k)
-        if (!(c.isLetterOrDigit || c == '+' || c == '-' || c == '.'))
+        if (!(asciiAlpha(c) || (c >= '0' && c <= '9') ||
+              c == '+' || c == '-' || c == '.'))
           isScheme = false
         k += 1
       }
       val slash = ref.indexOf('/'); val q = ref.indexOf('?')
       if (isScheme && (slash < 0 || colon < slash) && (q < 0 || colon < q))
-        return UTF8String.fromString(ref)
+        return UTF8String.fromString(withCleanPath(ref))
     }
 
     // the base must be an absolute hierarchical URL
@@ -110,7 +134,8 @@ case class UrlResolve(left: Expression, right: Expression)
     if (authEnd == authStart) return null // empty authority
     val root = base.substring(0, authEnd) // scheme://authority
 
-    if (ref.startsWith("//")) return UTF8String.fromString(scheme + ":" + ref)
+    if (ref.startsWith("//"))
+      return UTF8String.fromString(withCleanPath(scheme + ":" + ref))
     if (ref.startsWith("/")) {
       val q = ref.indexOf('?')
       val (p, qs) = if (q >= 0) (ref.substring(0, q), ref.substring(q)) else (ref, "")

@@ -57,15 +57,22 @@ object Robots {
     * applicable rules emit nothing — absent rows ARE the allow-all
     * default downstream. Empty-pattern rules (`Disallow:` with no value =
     * allow everything) drop at parse, matching the RFC. */
-  def parse(robots: DataFrame, hostCol: String, txtCol: String,
-            agent: String): DataFrame = {
-    val a = agent.toLowerCase(java.util.Locale.ROOT)
-    // one row per line in file order; comments (#...) stripped first
-    val lines = robots.select(col(hostCol),
+  /** The robots.txt line tokenizer — ONE definition for [[parse]] and
+    * [[sitemaps]] (one grammar, two consumers: a comment-handling fix
+    * must reach both): one row per line in file order, comments (#…)
+    * stripped, trimmed, empties dropped. */
+  private def tokenizedLines(robots: DataFrame, hostCol: String,
+                             txtCol: String): DataFrame =
+    robots.select(col(hostCol),
         posexplode(split(col(txtCol), "\r?\n")).as(Seq("__pos", "__line")))
       .select(col(hostCol), col("__pos"),
         trim(regexp_replace(col("__line"), "#.*$", "")).as("__line"))
       .filter(length(col("__line")) > 0)
+
+  def parse(robots: DataFrame, hostCol: String, txtCol: String,
+            agent: String): DataFrame = {
+    val a = agent.toLowerCase(java.util.Locale.ROOT)
+    val lines = tokenizedLines(robots, hostCol, txtCol)
     val typed = lines.select(col(hostCol), col("__pos"),
       lower(trim(regexp_extract(col("__line"), "^([^:]+):", 1))).as("__key"),
       trim(regexp_extract(col("__line"), "^[^:]+:(.*)$", 1)).as("__val"))
@@ -145,10 +152,7 @@ object Robots {
     * without directives emit nothing. One line explode over a
     * |hosts|-sized corpus — negligible next to the frontier it seeds. */
   def sitemaps(robots: DataFrame, hostCol: String, txtCol: String): DataFrame =
-    robots.select(col(hostCol),
-        explode(split(col(txtCol), "\r?\n")).as("__line"))
-      .select(col(hostCol),
-        trim(regexp_replace(col("__line"), "#.*$", "")).as("__line"))
+    tokenizedLines(robots, hostCol, txtCol)
       .select(col(hostCol),
         trim(regexp_extract(col("__line"), "(?i)^sitemap[ \t]*:(.*)$", 1))
           .as("sitemap_url"))

@@ -166,8 +166,17 @@ object Html {
     * (legacy HTML) end at whitespace or `>`. */
   def outlinks(html: Column): Column = {
     val cleaned = stripNonContent(html)
+    // attribute-aware: the skip before `href` consumes WHOLE attributes
+    // (name, optional =value with quoted values free to contain '>' or
+    // the text "href="), each ending in whitespace — so `data-href`
+    // cannot suffix-match, `title="see href= docs"` cannot mint a
+    // garbage edge from inside a value, and `title="a>b"` does not
+    // truncate the tag scan before the real href
+    val attr = "[^> \t\n\r=]+(?:[ \t\n\r]*=[ \t\n\r]*" +
+      "(?:\"[^\"]*\"|'[^']*'|[^ \t\n\r>]*))?[ \t\n\r]+"
     val hrefs = regexp_extract_all(cleaned,
-      lit("(?is)<a[ \t\n\r][^>]*?href[ \t\n\r]*=[ \t\n\r]*(\"[^\"]*\"|'[^']*'|[^ \t\n\r>]+)"),
+      lit("(?is)<a[ \t\n\r]+(?:" + attr + ")*?" +
+        "href[ \t\n\r]*=[ \t\n\r]*(\"[^\"]*\"|'[^']*'|[^ \t\n\r>]+)"),
       lit(1))
     transform(hrefs, h => decodeEntities(
       regexp_replace(h, "^[\"']|[\"']$", "")))

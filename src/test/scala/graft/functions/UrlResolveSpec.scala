@@ -60,6 +60,25 @@ class UrlResolveSpec extends SparkSpec {
     assert(res("http://h.com/d/", "sub/a:b") === "http://h.com/d/sub/a:b")
   }
 
+  test("dot segments are removed from scheme/authority-carrying refs too (5.2.2)") {
+    val b = "http://base.com/d/"
+    // absolute ref with dots — T.path = remove_dot_segments(R.path)
+    assert(res(b, "http://h.com/a/../b") === "http://h.com/b")
+    assert(res(b, "https://h.com/./x/y/../z?q=1") === "https://h.com/x/z?q=1")
+    // protocol-relative likewise
+    assert(res(b, "//h.com/a/./b/../c") === "http://h.com/a/c")
+    // opaque (non-hierarchical) refs stay untouched
+    assert(res(b, "mailto:a.b@c.d") === "mailto:a.b@c.d")
+    // pathless absolute refs stay untouched
+    assert(res(b, "http://h.com?q=1") === "http://h.com?q=1")
+  }
+
+  test("scheme detection is ASCII-only (3.1): a Unicode-letter 'scheme' is a relative path") {
+    // é:1/x is NOT a scheme — it must resolve as a relative path, not
+    // pass through as a bogus absolute that dies downstream
+    assert(res("http://h.com/d/", "é:1/x") === "http://h.com/d/é:1/x")
+  }
+
   test("composes with UrlNormalize into one frontier key space") {
     val got = Seq(("http://H.com/a/", "../b?utm_source=x&z=1#f"))
       .toDF("b", "r")

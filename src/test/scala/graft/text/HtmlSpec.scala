@@ -141,4 +141,24 @@ class HtmlSpec extends SparkSpec {
     // a bare <a> with no space never matches as "<ahref..." garbage
     assert(links("<a>bare</a><abbr href=\"/not-an-anchor\">t</abbr>") === Seq.empty)
   }
+
+  test("outlinks: attribute-aware matching (data-href, href= in values, '>' in values)") {
+    import org.apache.spark.sql.functions.col
+    def links(html: String): Seq[String] =
+      Seq(html).toDF("h").select(Html.outlinks(col("h")).as("l"))
+        .head.getSeq[String](0)
+    // data-href must not suffix-match as href (very common tracking markup)
+    assert(links("<a data-href=\"/tracked\" class=\"x\">t</a>") === Seq.empty)
+    // "href=" INSIDE an earlier attribute value mints no garbage edge and
+    // the genuine href still extracts
+    assert(links("<a title=\"see href= docs\" href=\"/real\">t</a>")
+      === Seq("/real"))
+    // '>' inside a quoted value must not truncate the attribute scan
+    assert(links("<a title=\"a>b\" href=\"/x\">t</a>") === Seq("/x"))
+    assert(links("<a onclick=\"if(i>0)go()\" href='/y'>t</a>") === Seq("/y"))
+    // valueless attributes and spaced equals still parse
+    assert(links("<a download href = \"/z\">t</a>") === Seq("/z"))
+    // xhref is not href
+    assert(links("<a xhref=\"/t\" >t</a>") === Seq.empty)
+  }
 }

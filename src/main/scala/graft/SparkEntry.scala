@@ -7042,6 +7042,42 @@ object SparkEntry {
       graft.operators.Robots.sitemaps(robotsPlantedTxt(s), "host", "robots_txt")
         .orderBy("host", "sitemap_url")),
 
+    // q268: SFT chat-template rendering — the post-pretraining data
+    // family: conversations are turn lists, the trainer consumes one
+    // rendered text per conversation in the uniform <|role|>\n …
+    // <|end|>\n template. One higher-order aggregate per row — zero
+    // shuffle, no per-conversation window. Planted 2–4-turn
+    // conversations (system lead per %4, alternating user/assistant,
+    // contents slicing the document text); the oracle replays the
+    // template as an ordered string_agg
+    "q268_chat_render" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id").cast(LongType).as("doc_id"),
+          chatPlantedMessages.as("msgs"),
+          (col("doc_id") % 3 + 2).cast(LongType).as("n_turns"))
+        .select(col("doc_id"), graft.text.Chat.render(col("msgs")).as("rendered"),
+          col("n_turns"))
+        .orderBy("doc_id")),
+
+    // q269: the LOSS-MASK spans over q268's rendering — assistant turns
+    // only (training on prompt text teaches the model to imitate
+    // users): [start, end) character spans of each assistant turn's
+    // content inside the rendered string, computed in the SAME fold
+    // that renders (offset in the accumulator — never a window). The
+    // oracle replays the offset arithmetic with a window sum over the
+    // identical planted construction; ChatSpec pins the slicing law
+    // (substring(rendered, start, end) == turn content)
+    "q269_chat_loss_spans" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id").cast(LongType).as("doc_id"),
+          chatPlantedMessages.as("msgs"))
+        .select(col("doc_id"),
+          explode(graft.text.Chat.assistantSpans(col("msgs"))).as("sp"))
+        .select(col("doc_id"), col("sp.turn").as("turn"),
+          col("sp.span_start").as("span_start"),
+          col("sp.span_end").as("span_end"))
+        .orderBy("doc_id", "turn")),
+
     // q267: the FULL crawl admission loop, end to end in one streaming
     // query — the composition a production crawler actually runs per
     // fetched segment: WARC files arrive in micro-batches →
@@ -7241,6 +7277,20 @@ object SparkEntry {
     when(col("doc_id") % 3 === 0,
       lit("<li><a href=\"/3\">Link three</a></li>")).otherwise(lit("")),
     lit("</ul><footer>Contact <a href=\"/t\">Terms</a></footer></body></html>"))
+
+  /** The q268/q269 planted conversations — ONE builder so the rendering
+    * and the loss-mask spans (and both oracles' identical turn CTE)
+    * cannot drift: 2 + doc_id%3 turns, a system lead per %4, otherwise
+    * alternating user/assistant, content i = "c<i> " + a 25-char slice
+    * of the document text. */
+  private def chatPlantedMessages: Column =
+    transform(sequence(lit(0), (col("doc_id") % 3 + 1).cast(IntegerType)),
+      i => struct(
+        when(i === 0 && col("doc_id") % 4 === 0, lit("system"))
+          .when(i % 2 === 0, lit("user")).otherwise(lit("assistant"))
+          .as("role"),
+        concat(lit("c"), i.cast(StringType), lit(" "),
+          col("text").substr(i * 25 + 1, lit(25))).as("content")))
 
   /** The q252/q263 planted crawl dump — ONE builder (the mjpegCorpus
     * convention) so the batch curation and its streaming ingest share
@@ -8424,6 +8474,35 @@ object SparkEntry {
         "'http://h' || CAST(h AS VARCHAR) || '.example.com/plain' || CAST(j AS VARCHAR)" +
         "]) AS dst FROM u) " +
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, dst FROM e ORDER BY doc_id, dst"),
+    // q268/q269: the planted turn CTE replayed — roles/contents from
+    // doc_id moduli, the template as an ordered string_agg (q268), the
+    // offset arithmetic as a window sum over prior turns' rendered
+    // lengths (q269, assistant rows only)
+    "q268_chat_render" ->
+      ("WITH c AS (SELECT doc_id, text, CAST(u.i AS INT) AS i FROM documents, " +
+        "LATERAL unnest(range(0, doc_id % 3 + 2)) AS u(i)), " +
+        "r AS (SELECT doc_id, i, " +
+        "CASE WHEN i = 0 AND doc_id % 4 = 0 THEN 'system' " +
+        "WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, " +
+        "'c' || CAST(i AS VARCHAR) || ' ' || substr(text, CAST(1 + i * 25 AS INT), 25) AS content FROM c) " +
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
+        "string_agg('<|' || role || '|>' || chr(10) || content || '<|end|>' || chr(10), '' ORDER BY i) AS rendered, " +
+        "CAST(count(*) AS BIGINT) AS n_turns FROM r GROUP BY doc_id ORDER BY doc_id"),
+    "q269_chat_loss_spans" ->
+      ("WITH c AS (SELECT doc_id, text, CAST(u.i AS INT) AS i FROM documents, " +
+        "LATERAL unnest(range(0, doc_id % 3 + 2)) AS u(i)), " +
+        "r AS (SELECT doc_id, i, " +
+        "CASE WHEN i = 0 AND doc_id % 4 = 0 THEN 'system' " +
+        "WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, " +
+        "'c' || CAST(i AS VARCHAR) || ' ' || substr(text, CAST(1 + i * 25 AS INT), 25) AS content FROM c), " +
+        "o AS (SELECT doc_id, i, role, " +
+        "len('<|' || role || '|>' || chr(10)) AS plen, len(content) AS clen, " +
+        "coalesce(sum(len('<|' || role || '|>' || chr(10)) + len(content) + len('<|end|>' || chr(10))) " +
+        "OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM r) " +
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, i AS turn, " +
+        "CAST(off + plen AS BIGINT) AS span_start, " +
+        "CAST(off + plen + clen AS BIGINT) AS span_end " +
+        "FROM o WHERE role = 'assistant' ORDER BY doc_id, turn"),
     // q266: the four planted directives stated outright
     "q266_robots_sitemaps" ->
       ("SELECT host, sitemap_url FROM (VALUES " +

@@ -123,6 +123,7 @@ object Main {
       "       warc-export --corpus <parquet> --file-col <col> --id <col> --text <col> --date <iso8601> --out <parquetDir> [--url <col>] [--gzip false]\n" +
       "       outlinks --pages <parquet> --id <col> --html <col> --out <parquetDir> (--url <col> | --raw true)\n" +
       "       robots-sitemaps --robots <parquet keyed by --host col> --host <col> --out <parquetDir> [--txt <col>]\n" +
+      "       chat-render --conversations <parquet> --id <col> --messages <array<struct<role,content>> col> --out <parquetDir> [--spans true]\n" +
       "       embed-decontaminate --corpus <parquet> --benchmark <parquet> --id <col> --vec <col> --threshold <cos> --out <parquetDir> [--scrub true | --cells <n> --nprobe <n>]\n" +
       "       embed-decon-gate --source <parquetDir> --benchmark <parquet> --id <col> --vec <col> --threshold <cos> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       cluster-balance --corpus <parquet> --id <col> --vec <col> --centroids <k> --cap <n> --out <parquetDir> [--iterations <n>]\n" +
@@ -210,6 +211,9 @@ object Main {
                                  raw: Boolean, out: String) extends Cmd
   private case class RobotsSitemapsCmd(robots: String, host: String,
                                        txt: String, out: String) extends Cmd
+  private case class ChatRenderCmd(conversations: String, id: String,
+                                   messages: String, spans: Boolean,
+                                   out: String) extends Cmd
   private case class EmbedDeconCmd(corpus: String, benchmark: String,
                                    id: String, vec: String, threshold: Double,
                                    scrub: Boolean, ivf: Option[(Int, Int)],
@@ -1197,6 +1201,15 @@ object Main {
         txt = opts.getOrElse("txt", "robots_txt")
         out <- req(opts, "robots-sitemaps", "out")
       } yield RobotsSitemapsCmd(robots, host, txt, out)
+    case "chat-render" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        conversations <- req(opts, "chat-render", "conversations")
+        id <- req(opts, "chat-render", "id")
+        messages <- req(opts, "chat-render", "messages")
+        spans <- optBool(opts, "chat-render", "spans", dflt = false)
+        out <- req(opts, "chat-render", "out")
+      } yield ChatRenderCmd(conversations, id, messages, spans, out)
     case "embed-decontaminate" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -2698,6 +2711,19 @@ object Main {
     case RobotsSitemapsCmd(robots, host, txt, out) =>
       // the frontier's seed list: Sitemap directives, group-independent
       graft.operators.Robots.sitemaps(spark.read.parquet(robots), host, txt)
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case ChatRenderCmd(conversations, id, messages, spans, out) =>
+      // SFT data prep: turn lists -> rendered chat-template text; with
+      // --spans true, also the assistant-turn loss-mask char spans
+      import org.apache.spark.sql.functions.col
+      val c = spark.read.parquet(conversations)
+      (if (spans)
+        c.select(col(id), graft.text.Chat.render(col(messages)).as("rendered"),
+          graft.text.Chat.assistantSpans(col(messages)).as("loss_spans"))
+      else
+        c.select(col(id), graft.text.Chat.render(col(messages)).as("rendered")))
         .write.mode("overwrite").parquet(out)
       0
 

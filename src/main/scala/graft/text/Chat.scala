@@ -1,0 +1,90 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Conversational (SFT) training-data prep — the post-pretraining half of
+  * a data pipeline: instruction-tuning corpora arrive as TURN LISTS
+  * (`array<struct<role string, content string>>`, the universal chat
+  * interchange shape), and the trainer consumes (a) one rendered text per
+  * conversation in a chat template and (b) the spans of that text whose
+  * loss is UNMASKED — assistant turns only, never the prompt (training on
+  * user/system text teaches the model to imitate users).
+  *
+  * Template (uniform, role-generic): each turn renders as
+  * `<|role|>\n` + content + `<|end|>\n` — system/user/assistant/tool all
+  * follow the one rule, so no role whitelist exists to drift.
+  *
+  * Scale shape: both operators are ONE higher-order `aggregate` over the
+  * turn array per row — a pure narrow projection, zero shuffle, codegen'd
+  * builtins end to end (the running offset lives in the fold accumulator,
+  * NOT a window — a per-conversation window would shuffle the corpus by
+  * conversation id for arithmetic the fold does in place). Offsets are
+  * CHARACTER positions into the rendered string; token-level masks derive
+  * downstream by running the tokenizer family over the rendered text and
+  * mapping char spans through it.
+  *
+  * NULL turns and NULL role/content fields are skipped whole (a malformed
+  * turn renders nothing and masks nothing — the degrade-don't-kill
+  * contract); a NULL turn ARRAY yields NULL render and NULL spans
+  * (absent conversation, not an empty one). */
+object Chat {
+
+  private val Suffix = "<|end|>\n"
+
+  /** `<|role|>\n` — the uniform per-turn prefix. */
+  private def prefix(role: Column): Column =
+    concat(lit("<|"), role, lit("|>\n"))
+
+  private def validTurn(m: Column): Column =
+    m.isNotNull && m.getField("role").isNotNull &&
+      m.getField("content").isNotNull
+
+  /** The rendered conversation: every valid turn as
+    * `<|role|>\n{content}<|end|>\n`, concatenated in order. */
+  def render(messages: Column): Column =
+    aggregate(messages, lit(""), (acc, m) =>
+      when(validTurn(m),
+        concat(acc, prefix(m.getField("role")), m.getField("content"),
+          lit(Suffix)))
+        .otherwise(acc))
+
+  /** Loss-mask spans: one row per ASSISTANT turn —
+    * `array<struct<turn int, span_start bigint, span_end bigint>>`, the
+    * [start, end) CHARACTER span of that turn's content inside
+    * [[render]]'s output (prefix and suffix stay masked — the model
+    * learns to EMIT content between the markers, not the markers'
+    * surroundings). `turn` is the turn's index in the original array
+    * (invalid turns consume an index but render nothing, so indexes
+    * always match the source data). One fold, shared arithmetic with
+    * [[render]] by construction: offset advances by
+    * |prefix| + |content| + |suffix| per valid turn. */
+  def assistantSpans(messages: Column): Column = {
+    val zipped = zip_with(messages,
+      sequence(lit(0), greatest(size(messages), lit(1)) - 1),
+      (m, i) => struct(m.as("m"), i.as("i")))
+    val zero = struct(
+      lit(0L).as("off"),
+      array().cast(ArrayType(StructType(Seq(
+        StructField("turn", IntegerType),
+        StructField("span_start", LongType),
+        StructField("span_end", LongType))))).as("spans"))
+    val folded = aggregate(zipped, zero, (acc, t) => {
+      val m = t.getField("m")
+      val start = acc.getField("off") +
+        length(prefix(m.getField("role"))).cast(LongType)
+      val end = start + length(m.getField("content")).cast(LongType)
+      val nextOff = end + lit(Suffix.length.toLong)
+      when(validTurn(m),
+        struct(nextOff.as("off"),
+          when(m.getField("role") === "assistant",
+            concat(acc.getField("spans"), array(struct(
+              t.getField("i").as("turn"),
+              start.as("span_start"), end.as("span_end")))))
+            .otherwise(acc.getField("spans")).as("spans")))
+        .otherwise(acc)
+    })
+    folded.getField("spans")
+  }
+}

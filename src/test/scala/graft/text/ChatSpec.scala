@@ -1,0 +1,71 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+class ChatSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("msgs", ArrayType(StructType(Seq(
+      StructField("role", StringType),
+      StructField("content", StringType)))))))
+
+  private def df(rows: Row*) =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+
+  test("render: uniform role-generic template, document order") {
+    val d = df(Row(1L, Seq(Row("system", "be brief"), Row("user", "hi"),
+      Row("assistant", "hello"))))
+    val got = d.select(Chat.render(col("msgs"))).head.getString(0)
+    assert(got ===
+      "<|system|>\nbe brief<|end|>\n<|user|>\nhi<|end|>\n<|assistant|>\nhello<|end|>\n")
+    // an unknown role follows the same rule — no whitelist to drift
+    val tool = df(Row(1L, Seq(Row("tool", "42"))))
+      .select(Chat.render(col("msgs"))).head.getString(0)
+    assert(tool === "<|tool|>\n42<|end|>\n")
+  }
+
+  test("assistantSpans: spans slice the rendered text back to the turn contents") {
+    val d = df(
+      Row(1L, Seq(Row("user", "what is 2+2?"), Row("assistant", "four"),
+        Row("user", "and 3+3?"), Row("assistant", "six"))),
+      Row(2L, Seq(Row("user", "no assistant here"))))
+    val rows = d.select(col("id"), Chat.render(col("msgs")).as("r"),
+        Chat.assistantSpans(col("msgs")).as("s")).collect()
+    val r1 = rows.find(_.getLong(0) == 1L).get
+    val rendered = r1.getString(1)
+    val spans = r1.getSeq[Row](2)
+    assert(spans.map(_.getInt(0)) === Seq(1, 3)) // assistant turn indexes
+    // THE law: every span slices the rendered text back to its content
+    assert(spans.map(s => rendered.substring(
+      s.getLong(1).toInt, s.getLong(2).toInt)) === Seq("four", "six"))
+    // prefix/suffix stay OUTSIDE every span (masked)
+    assert(spans.forall(s =>
+      rendered.substring(s.getLong(1).toInt - 2, s.getLong(1).toInt) == ">\n"))
+    val r2 = rows.find(_.getLong(0) == 2L).get
+    assert(r2.getSeq[Row](2) === Seq.empty) // no assistant turn, no span
+  }
+
+  test("degrade: invalid turns render nothing and mask nothing; NULL array is NULL") {
+    val d = df(
+      Row(1L, Seq(Row("user", "a"), null, Row(null, "x"), Row("assistant", null),
+        Row("assistant", "ok"))),
+      Row(2L, null))
+    val r1 = d.filter(col("id") === 1L).select(Chat.render(col("msgs")),
+      Chat.assistantSpans(col("msgs"))).head
+    assert(r1.getString(0) === "<|user|>\na<|end|>\n<|assistant|>\nok<|end|>\n")
+    val spans = r1.getSeq[Row](1)
+    // the valid assistant turn keeps its ORIGINAL index (4) and its span
+    // accounts only for rendered turns
+    assert(spans.map(_.getInt(0)) === Seq(4))
+    assert(r1.getString(0).substring(spans.head.getLong(1).toInt,
+      spans.head.getLong(2).toInt) === "ok")
+    val r2 = d.filter(col("id") === 2L).select(Chat.render(col("msgs")),
+      Chat.assistantSpans(col("msgs"))).head
+    assert(r2.isNullAt(0) && r2.isNullAt(1))
+  }
+}

@@ -7078,6 +7078,24 @@ object SparkEntry {
           col("sp.span_end").as("span_end"))
         .orderBy("doc_id", "turn")),
 
+    // q270: context-window prep over the same planted conversations —
+    // the longest prefix of turns fitting a 12-token budget, trimmed
+    // back to end on an assistant turn (a dangling prompt trains
+    // nothing; a conversation with no in-budget assistant turn drops
+    // whole). Strict prefix: the first overflowing turn stops
+    // consumption. Same zero-shuffle fold shape. Oracle: cumulative
+    // token window + the last-assistant trim replayed in SQL
+    "q270_chat_fit_budget" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id").cast(LongType).as("doc_id"),
+          chatPlantedMessages.as("msgs"))
+        .select(col("doc_id"), posexplode(
+          graft.text.Chat.fitBudget(col("msgs"), maxTokens = 12L))
+          .as(Seq("pos", "m")))
+        .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+          col("m.role").as("role"), col("m.content").as("content"))
+        .orderBy("doc_id", "pos")),
+
     // q267: the FULL crawl admission loop, end to end in one streaming
     // query — the composition a production crawler actually runs per
     // fetched segment: WARC files arrive in micro-batches →
@@ -8503,6 +8521,25 @@ object SparkEntry {
         "CAST(off + plen AS BIGINT) AS span_start, " +
         "CAST(off + plen + clen AS BIGINT) AS span_end " +
         "FROM o WHERE role = 'assistant' ORDER BY doc_id, turn"),
+    // q270: the budget prefix (cumulative content tokens <= 12 — cum is
+    // monotone, so the window filter IS the strict prefix) trimmed to
+    // the last assistant turn; docs with none vanish
+    "q270_chat_fit_budget" ->
+      ("WITH c AS (SELECT doc_id, text, CAST(u.i AS INT) AS i FROM documents, " +
+        "LATERAL unnest(range(0, doc_id % 3 + 2)) AS u(i)), " +
+        "r AS (SELECT doc_id, i, " +
+        "CASE WHEN i = 0 AND doc_id % 4 = 0 THEN 'system' " +
+        "WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, " +
+        "'c' || CAST(i AS VARCHAR) || ' ' || substr(text, CAST(1 + i * 25 AS INT), 25) AS content FROM c), " +
+        "o AS (SELECT doc_id, i, role, content, " +
+        "sum(len(regexp_extract_all(lower(content), '[a-z0-9]+'))) " +
+        "OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM r), " +
+        "p AS (SELECT * FROM o WHERE cum <= 12), " +
+        "b AS (SELECT doc_id, max(i) AS last_a FROM p WHERE role = 'assistant' GROUP BY doc_id) " +
+        "SELECT CAST(p.doc_id AS BIGINT) AS doc_id, CAST(p.i AS BIGINT) AS pos, " +
+        "p.role AS role, p.content AS content " +
+        "FROM p JOIN b ON p.doc_id = b.doc_id AND p.i <= b.last_a " +
+        "ORDER BY doc_id, pos"),
     // q266: the four planted directives stated outright
     "q266_robots_sitemaps" ->
       ("SELECT host, sitemap_url FROM (VALUES " +

@@ -123,7 +123,7 @@ object Main {
       "       warc-export --corpus <parquet> --file-col <col> --id <col> --text <col> --date <iso8601> --out <parquetDir> [--url <col>] [--gzip false]\n" +
       "       outlinks --pages <parquet> --id <col> --html <col> --out <parquetDir> (--url <col> | --raw true)\n" +
       "       robots-sitemaps --robots <parquet keyed by --host col> --host <col> --out <parquetDir> [--txt <col>]\n" +
-      "       chat-render --conversations <parquet> --id <col> --messages <array<struct<role,content>> col> --out <parquetDir> [--spans true]\n" +
+      "       chat-render --conversations <parquet> --id <col> --messages <array<struct<role,content>> col> --out <parquetDir> [--spans true] [--max-tokens <n>]\n" +
       "       embed-decontaminate --corpus <parquet> --benchmark <parquet> --id <col> --vec <col> --threshold <cos> --out <parquetDir> [--scrub true | --cells <n> --nprobe <n>]\n" +
       "       embed-decon-gate --source <parquetDir> --benchmark <parquet> --id <col> --vec <col> --threshold <cos> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       cluster-balance --corpus <parquet> --id <col> --vec <col> --centroids <k> --cap <n> --out <parquetDir> [--iterations <n>]\n" +
@@ -213,6 +213,7 @@ object Main {
                                        txt: String, out: String) extends Cmd
   private case class ChatRenderCmd(conversations: String, id: String,
                                    messages: String, spans: Boolean,
+                                   budget: Option[Long],
                                    out: String) extends Cmd
   private case class EmbedDeconCmd(corpus: String, benchmark: String,
                                    id: String, vec: String, threshold: Double,
@@ -1208,8 +1209,13 @@ object Main {
         id <- req(opts, "chat-render", "id")
         messages <- req(opts, "chat-render", "messages")
         spans <- optBool(opts, "chat-render", "spans", dflt = false)
+        budget <- opts.get("max-tokens") match {
+          case None => Right(None)
+          case Some(b) => b.toLongOption.filter(_ >= 0).map(Some(_))
+            .toRight(s"chat-render: --max-tokens must be a non-negative long, got $b")
+        }
         out <- req(opts, "chat-render", "out")
-      } yield ChatRenderCmd(conversations, id, messages, spans, out)
+      } yield ChatRenderCmd(conversations, id, messages, spans, budget, out)
     case "embed-decontaminate" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -2714,16 +2720,24 @@ object Main {
         .write.mode("overwrite").parquet(out)
       0
 
-    case ChatRenderCmd(conversations, id, messages, spans, out) =>
+    case ChatRenderCmd(conversations, id, messages, spans, budget, out) =>
       // SFT data prep: turn lists -> rendered chat-template text; with
-      // --spans true, also the assistant-turn loss-mask char spans
-      import org.apache.spark.sql.functions.col
-      val c = spark.read.parquet(conversations)
+      // --spans true, also the assistant-turn loss-mask char spans;
+      // --max-tokens fits each conversation to the budget FIRST
+      // (assistant-ending prefix; budget-empty conversations drop)
+      import org.apache.spark.sql.functions.{col, size}
+      val raw = spark.read.parquet(conversations)
+      val c = budget match {
+        case Some(b) =>
+          raw.withColumn("__m", graft.text.Chat.fitBudget(col(messages), b))
+            .filter(size(col("__m")) > 0)
+        case None => raw.withColumn("__m", col(messages))
+      }
       (if (spans)
-        c.select(col(id), graft.text.Chat.render(col(messages)).as("rendered"),
-          graft.text.Chat.assistantSpans(col(messages)).as("loss_spans"))
+        c.select(col(id), graft.text.Chat.render(col("__m")).as("rendered"),
+          graft.text.Chat.assistantSpans(col("__m")).as("loss_spans"))
       else
-        c.select(col(id), graft.text.Chat.render(col(messages)).as("rendered")))
+        c.select(col(id), graft.text.Chat.render(col("__m")).as("rendered")))
         .write.mode("overwrite").parquet(out)
       0
 

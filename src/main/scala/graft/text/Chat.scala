@@ -50,6 +50,46 @@ object Chat {
           lit(Suffix)))
         .otherwise(acc))
 
+  /** Context-window prep: the longest PREFIX of valid turns whose
+    * cumulative CONTENT token count (the engine's [[TextAnalysis.tokens]]
+    * counter; template markers don't count) fits `maxTokens`, trimmed
+    * back to end on an ASSISTANT turn — a conversation cut after a
+    * prompt trains nothing, so a dangling user/system tail drops with
+    * it. A conversation whose budgeted prefix contains no assistant turn
+    * yields an EMPTY array (filter on `size > 0` to drop it). Prefix
+    * semantics are strict: the first turn that overflows the budget
+    * stops consumption — later, smaller turns must not sneak in past a
+    * gap (the trainer sees contiguous context only). Invalid turns are
+    * skipped without consuming budget, matching [[render]].
+    *
+    * Same scale shape as the siblings: one fold per row (running token
+    * total + the best-so-far array in the accumulator), zero shuffle. */
+  def fitBudget(messages: Column, maxTokens: Long): Column = {
+    require(maxTokens >= 0, s"Chat.fitBudget: maxTokens must be >= 0, got $maxTokens")
+    val msgType = ArrayType(StructType(Seq(
+      StructField("role", StringType), StructField("content", StringType))))
+    val zero = struct(lit(0L).as("tok"),
+      array().cast(msgType).as("cur"), array().cast(msgType).as("best"),
+      lit(false).as("stopped"))
+    val folded = aggregate(messages, zero, (acc, m) => {
+      val turn = array(struct(m.getField("role").as("role"),
+        m.getField("content").as("content")))
+      val withTurn = concat(acc.getField("cur"), turn)
+      val newTok = acc.getField("tok") +
+        size(TextAnalysis.tokens(m.getField("content"))).cast(LongType)
+      when(!validTurn(m), acc)
+        .when(!acc.getField("stopped") && newTok <= maxTokens,
+          struct(newTok.as("tok"), withTurn.as("cur"),
+            when(m.getField("role") === "assistant", withTurn)
+              .otherwise(acc.getField("best")).as("best"),
+            lit(false).as("stopped")))
+        .otherwise(struct(acc.getField("tok").as("tok"),
+          acc.getField("cur").as("cur"), acc.getField("best").as("best"),
+          lit(true).as("stopped")))
+    })
+    folded.getField("best")
+  }
+
   /** Loss-mask spans: one row per ASSISTANT turn —
     * `array<struct<turn int, span_start bigint, span_end bigint>>`, the
     * [start, end) CHARACTER span of that turn's content inside

@@ -50,6 +50,31 @@ class ChatSpec extends SparkSpec {
     assert(r2.getSeq[Row](2) === Seq.empty) // no assistant turn, no span
   }
 
+  test("fitBudget: strict prefix, assistant-ending trim, empty when no completion fits") {
+    val d = df(
+      // tokens per content: 2, 1, 4, 1 — budget 3 keeps turns 0-1 (cum 3),
+      // turn 2 overflows and STOPS consumption (turn 3 must not sneak in)
+      Row(1L, Seq(Row("user", "hi there"), Row("assistant", "yo"),
+        Row("user", "a b c d"), Row("assistant", "x"))),
+      // the budgeted prefix ends on a USER turn -> trimmed back to turn 1
+      Row(2L, Seq(Row("user", "a"), Row("assistant", "b"), Row("user", "c"))),
+      // no assistant turn fits the budget -> empty conversation
+      Row(3L, Seq(Row("user", "a b c d e f"), Row("assistant", "late"))))
+    val got = d.select(col("id"),
+      Chat.fitBudget(col("msgs"), maxTokens = 3L).as("kept")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Row](1).map(m =>
+        (m.getString(0), m.getString(1)))).toMap
+    assert(got(1L) === Seq(("user", "hi there"), ("assistant", "yo")))
+    assert(got(2L) === Seq(("user", "a"), ("assistant", "b")))
+    assert(got(3L) === Seq.empty)
+    // invalid turns skip without consuming budget
+    val messy = df(Row(4L, Seq(null, Row("user", "a"), Row(null, "zz"),
+      Row("assistant", "b c"))))
+    val kept = messy.select(Chat.fitBudget(col("msgs"), 3L)).head.getSeq[Row](0)
+    assert(kept.map(m => (m.getString(0), m.getString(1)))
+      === Seq(("user", "a"), ("assistant", "b c")))
+  }
+
   test("degrade: invalid turns render nothing and mask nothing; NULL array is NULL") {
     val d = df(
       Row(1L, Seq(Row("user", "a"), null, Row(null, "x"), Row("assistant", null),

@@ -940,6 +940,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("robotsdecision"), s"expected the codegen'd decision:\n$p")
   }
 
+  test("q268/q269 chat folds are pure narrow projections: zero keyed shuffles") {
+    // the SFT family's scale claim: render and spans both live in ONE
+    // higher-order aggregate per row — a per-conversation window would
+    // plan a hashpartitioning exchange on the conversation id
+    for (q <- Seq("q268_chat_render", "q269_chat_loss_spans")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q must not shuffle the corpus (the fold owns the offset):\n$p")
+      assert(!p.contains("Window"), s"$q must not plan a window:\n$p")
+    }
+  }
+
   test("q261 join-form robots gate: rules join host-keyed, never collect into a literal") {
     val p = plan("q261_robots_gate_join")
     // the scale shape IS the gate: a real host-keyed join (the mega-host

@@ -75,6 +75,36 @@ class ChatSpec extends SparkSpec {
       === Seq(("user", "a"), ("assistant", "b c")))
   }
 
+  test("property: the slicing law holds on random conversations (unicode included)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val roleGen = Gen.oneOf("user", "assistant", "system", "tool")
+    // contents with multi-byte chars — char offsets, not byte offsets
+    val contentGen = Gen.listOf(Gen.oneOf("hi", "café", "naïve", "x y", ""))
+      .map(_.mkString(" "))
+    val convGen = Gen.choose(0, 6)
+      .flatMap(n => Gen.listOfN(n, Gen.zip(roleGen, contentGen)))
+    val prop = Prop.forAll(Gen.listOfN(4, convGen)) { convs =>
+      val rows = convs.zipWithIndex.map { case (c, i) =>
+        Row(i.toLong, c.map { case (r, t) => Row(r, t) }) }
+      val got = df(rows: _*).select(col("id"), Chat.render(col("msgs")).as("r"),
+        Chat.assistantSpans(col("msgs")).as("s")).collect()
+      got.forall { row =>
+        val conv = convs(row.getLong(0).toInt)
+        val rendered = row.getString(1)
+        val spans = row.getSeq[Row](2)
+        // every span slices back to its turn's content, and the span set
+        // covers exactly the assistant turns
+        spans.forall { s =>
+          rendered.substring(s.getLong(1).toInt, s.getLong(2).toInt) ==
+            conv(s.getInt(0))._2
+        } && spans.map(_.getInt(0)) ==
+          conv.zipWithIndex.filter(_._1._1 == "assistant").map(_._2)
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("degrade: invalid turns render nothing and mask nothing; NULL array is NULL") {
     val d = df(
       Row(1L, Seq(Row("user", "a"), null, Row(null, "x"), Row("assistant", null),

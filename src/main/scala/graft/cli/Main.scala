@@ -2722,22 +2722,32 @@ object Main {
 
     case ChatRenderCmd(conversations, id, messages, spans, budget, out) =>
       // SFT data prep: turn lists -> rendered chat-template text; with
-      // --spans true, also the assistant-turn loss-mask char spans;
-      // --max-tokens fits each conversation to the budget FIRST
-      // (assistant-ending prefix; budget-empty conversations drop)
+      // --spans true, also the assistant-turn loss-mask spans
+      // (code-point offsets); --max-tokens fits each conversation to
+      // the budget FIRST (assistant-ending prefix; budget-empty
+      // conversations drop). Under --max-tokens the output also carries
+      // the FITTED `messages` array — span turn indexes refer to the
+      // conversation that was rendered, which after truncation is no
+      // longer the stored source array (fitBudget compacts invalid
+      // turns), so the row must ship the array its spans index
       import org.apache.spark.sql.functions.{col, size}
       val raw = spark.read.parquet(conversations)
+      val fitted = budget.isDefined
       val c = budget match {
         case Some(b) =>
           raw.withColumn("__m", graft.text.Chat.fitBudget(col(messages), b))
             .filter(size(col("__m")) > 0)
         case None => raw.withColumn("__m", col(messages))
       }
-      (if (spans)
-        c.select(col(id), graft.text.Chat.render(col("__m")).as("rendered"),
-          graft.text.Chat.assistantSpans(col("__m")).as("loss_spans"))
-      else
-        c.select(col(id), graft.text.Chat.render(col("__m")).as("rendered")))
+      val base =
+        if (spans)
+          c.select(col(id), graft.text.Chat.render(col("__m")).as("rendered"),
+            graft.text.Chat.assistantSpans(col("__m")).as("loss_spans"),
+            col("__m").as("messages"))
+        else
+          c.select(col(id), graft.text.Chat.render(col("__m")).as("rendered"),
+            col("__m").as("messages"))
+      (if (fitted) base else base.drop("messages"))
         .write.mode("overwrite").parquet(out)
       0
 

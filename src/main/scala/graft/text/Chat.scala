@@ -21,9 +21,15 @@ import org.apache.spark.sql.types._
   * builtins end to end (the running offset lives in the fold accumulator,
   * NOT a window — a per-conversation window would shuffle the corpus by
   * conversation id for arithmetic the fold does in place). Offsets are
-  * CHARACTER positions into the rendered string; token-level masks derive
+  * CODE-POINT positions into the rendered string — Spark `length`/
+  * `substring` and Python `str` indexing both count code points, so the
+  * spans are consistent engine-side and for the Python tokenizer stacks
+  * that consume SFT data; a JVM consumer slicing with UTF-16
+  * `String.substring` must convert via `offsetByCodePoints` first
+  * (supplementary-plane chars — emoji are ubiquitous in chat data — are
+  * one code point but two UTF-16 units). Token-level masks derive
   * downstream by running the tokenizer family over the rendered text and
-  * mapping char spans through it.
+  * mapping these spans through it.
   *
   * NULL turns and NULL role/content fields are skipped whole (a malformed
   * turn renders nothing and masks nothing — the degrade-don't-kill
@@ -75,8 +81,11 @@ object Chat {
       val turn = array(struct(m.getField("role").as("role"),
         m.getField("content").as("content")))
       val withTurn = concat(acc.getField("cur"), turn)
+      // tokenCount, not size(tokens(_)): its NULL arm is what keeps
+      // size(NULL) = -1 out of running budgets (TextAnalysis.scala's
+      // documented hazard) even if branch order here ever changes
       val newTok = acc.getField("tok") +
-        size(TextAnalysis.tokens(m.getField("content"))).cast(LongType)
+        TextAnalysis.tokenCount(m.getField("content"))
       when(!validTurn(m), acc)
         .when(!acc.getField("stopped") && newTok <= maxTokens,
           struct(newTok.as("tok"), withTurn.as("cur"),
@@ -92,7 +101,8 @@ object Chat {
 
   /** Loss-mask spans: one row per ASSISTANT turn —
     * `array<struct<turn int, span_start bigint, span_end bigint>>`, the
-    * [start, end) CHARACTER span of that turn's content inside
+    * [start, end) CODE-POINT span (see the object doc) of that turn's
+    * content inside
     * [[render]]'s output (prefix and suffix stay masked — the model
     * learns to EMIT content between the markers, not the markers'
     * surroundings). `turn` is the turn's index in the original array

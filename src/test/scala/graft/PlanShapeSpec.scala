@@ -940,11 +940,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("robotsdecision"), s"expected the codegen'd decision:\n$p")
   }
 
-  test("q268/q269 chat folds are pure narrow projections: zero keyed shuffles") {
+  test("q268/q269/q270 chat folds are pure narrow projections: zero keyed shuffles") {
     // the SFT family's scale claim: render and spans both live in ONE
     // higher-order aggregate per row — a per-conversation window would
     // plan a hashpartitioning exchange on the conversation id
-    for (q <- Seq("q268_chat_render", "q269_chat_loss_spans")) {
+    for (q <- Seq("q268_chat_render", "q269_chat_loss_spans",
+                  "q270_chat_fit_budget")) {
       val p = plan(q)
       assert(!p.contains("Exchange hashpartitioning"),
         s"$q must not shuffle the corpus (the fold owns the offset):\n$p")

@@ -1610,6 +1610,46 @@ class MainSpec extends SparkSpec {
       "--out", s"$tmp/x")) === 2)
   }
 
+  test("chat-render: rendered text, --spans alignment, --max-tokens drop + fitted messages") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val tmp = Files.createTempDirectory("graft_cli_chat").toString
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("msgs", ArrayType(StructType(Seq(
+        StructField("role", StringType), StructField("content", StringType)))))))
+    spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      // 2nd turn null: under --max-tokens the fitted array compacts it out
+      Row(1L, Seq(Row("user", "a b"), null, Row("assistant", "ok then"))),
+      Row(2L, Seq(Row("user", "way too long prompt here to fit"))))), schema)
+      .write.parquet(s"$tmp/conv")
+    assert(Main.run(spark, Array("chat-render", "--conversations", s"$tmp/conv",
+      "--id", "id", "--messages", "msgs", "--out", s"$tmp/plain")) === 0)
+    val plain = spark.read.parquet(s"$tmp/plain").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("rendered")).toMap
+    assert(plain(1L) === "<|user|>\na b<|end|>\n<|assistant|>\nok then<|end|>\n")
+    assert(!spark.read.parquet(s"$tmp/plain").columns.contains("messages"))
+    // budget: doc 2 has no in-budget assistant turn and drops; doc 1's
+    // output carries the FITTED messages array its span turn indexes
+    // refer to (the source array's index 2 compacts to 1)
+    assert(Main.run(spark, Array("chat-render", "--conversations", s"$tmp/conv",
+      "--id", "id", "--messages", "msgs", "--spans", "true",
+      "--max-tokens", "4", "--out", s"$tmp/fit")) === 0)
+    val fit = spark.read.parquet(s"$tmp/fit").collect()
+    assert(fit.map(_.getAs[Long]("id")).toSeq === Seq(1L))
+    val row = fit.head
+    val msgs = row.getSeq[Row](row.fieldIndex("messages"))
+    val spans = row.getSeq[Row](row.fieldIndex("loss_spans"))
+    assert(msgs.map(m => (m.getString(0), m.getString(1)))
+      === Seq(("user", "a b"), ("assistant", "ok then")))
+    assert(spans.map(_.getInt(0)) === Seq(1)) // indexes the FITTED array
+    assert(row.getAs[String]("rendered").substring(
+      spans.head.getLong(1).toInt, spans.head.getLong(2).toInt) === "ok then")
+    // a garbage budget is a usage error
+    assert(Main.run(spark, Array("chat-render", "--conversations", s"$tmp/conv",
+      "--id", "id", "--messages", "msgs", "--max-tokens", "-3",
+      "--out", s"$tmp/x")) === 2)
+  }
+
   test("robots-filter: survivors and --decisions artifacts equal the operator") {
     val tmp = Files.createTempDirectory("graft_cli_rob").toString
     Seq(("h", "User-agent: *\nDisallow: /private"))

@@ -75,12 +75,23 @@ class ChatSpec extends SparkSpec {
       === Seq(("user", "a"), ("assistant", "b c")))
   }
 
-  test("property: the slicing law holds on random conversations (unicode included)") {
+  /** CODE-POINT slice — the span contract (Spark length / Python str
+    * semantics). JVM String.substring counts UTF-16 units, which differs
+    * once supplementary-plane chars appear; tests must slice the way the
+    * contract states. */
+  private def cpSlice(s: String, start: Long, end: Long): String = {
+    val a = s.offsetByCodePoints(0, start.toInt)
+    val b = s.offsetByCodePoints(a, (end - start).toInt)
+    s.substring(a, b)
+  }
+
+  test("property: the slicing law holds on random conversations (astral chars included)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val roleGen = Gen.oneOf("user", "assistant", "system", "tool")
-    // contents with multi-byte chars — char offsets, not byte offsets
-    val contentGen = Gen.listOf(Gen.oneOf("hi", "café", "naïve", "x y", ""))
-      .map(_.mkString(" "))
+    // contents spanning BMP multi-byte AND supplementary-plane chars —
+    // offsets are code points; an emoji is 1 code point, 2 UTF-16 units
+    val contentGen = Gen.listOf(Gen.oneOf("hi", "café", "naïve", "x y", "",
+      "😀", "a🚀b")).map(_.mkString(" "))
     val convGen = Gen.choose(0, 6)
       .flatMap(n => Gen.listOfN(n, Gen.zip(roleGen, contentGen)))
     val prop = Prop.forAll(Gen.listOfN(4, convGen)) { convs =>
@@ -92,11 +103,10 @@ class ChatSpec extends SparkSpec {
         val conv = convs(row.getLong(0).toInt)
         val rendered = row.getString(1)
         val spans = row.getSeq[Row](2)
-        // every span slices back to its turn's content, and the span set
-        // covers exactly the assistant turns
+        // every span CODE-POINT-slices back to its turn's content, and
+        // the span set covers exactly the assistant turns
         spans.forall { s =>
-          rendered.substring(s.getLong(1).toInt, s.getLong(2).toInt) ==
-            conv(s.getInt(0))._2
+          cpSlice(rendered, s.getLong(1), s.getLong(2)) == conv(s.getInt(0))._2
         } && spans.map(_.getInt(0)) ==
           conv.zipWithIndex.filter(_._1._1 == "assistant").map(_._2)
       }

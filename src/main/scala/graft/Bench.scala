@@ -473,7 +473,11 @@ object Bench {
     // HighVariance cause) ahead of THREE probe arms; q263 and q267 are
     // two-micro-batch ingest harnesses (the q246/q208 shape)
     "q262_embed_decon_ivf", "q263_stream_warc_ingest",
-    "q267_stream_crawl_loop")
+    "q267_stream_crawl_loop",
+    // q274 is a two-micro-batch maintained-view harness (the q197
+    // shape: per-batch state read + atomic rewrite + checkpointed
+    // scheduling between batches) — tagged before its floor lands
+    "q274_stream_preference_pairs")
 
   /** Machine calibration canaries: stable, mid-weight queries spanning the
     * engine's plan shapes (pushed scan, window, LSH join, stream, fill).

@@ -7096,6 +7096,94 @@ object SparkEntry {
           col("m.role").as("role"), col("m.content").as("content"))
         .orderBy("doc_id", "pos")),
 
+    // q271: preference-pair mining — the RLHF/DPO prep stage after the
+    // SFT family: rollout tables (N scored completions per prompt) →
+    // best-vs-worst (chosen, rejected) pairs, kept when the margin
+    // clears 4. ONE aggregation shuffled on the prompt key only
+    // (max_by/min_by combine map-side), no window, no self-join.
+    // Planted rollouts: prompt = doc_id % 173, score = (doc_id % 6)*2
+    // — group margins land in {2, 4, 10}, so the margin gate actually
+    // drops prompts; the lowest-id tie-break is pinned in
+    // PreferenceSpec (no planted ties at sf0.01 — the spec owns that
+    // law). Oracle: row_number best/worst replay
+    "q271_preference_pairs" -> ((s, dir) =>
+      graft.operators.Preference.pairs(
+        preferencePlantedRollouts(t(s, dir, "documents")),
+        "prompt_id", "completion_id", "completion", "score",
+        minMargin = 4.0)
+        .orderBy("prompt_id")),
+
+    // q274: the CONTINUOUSLY-MAINTAINED form of q271 — rollouts arrive
+    // in two micro-batches (a prompt's completions split across them,
+    // so the state merge is load-bearing), each batch's per-prompt
+    // best/worst candidates fold into the state table, and the pairs
+    // derived from the final state must equal the batch miner over all
+    // arrivals — the SAME oracle as q271 (the q197/q246 merge-order-
+    // invariance contract). The margin gate runs over the STATE
+    // (|prompts| rows), never the rollouts
+    "q274_stream_preference_pairs" -> ((s, dir) => {
+      val rollouts = preferencePlantedRollouts(t(s, dir, "documents"))
+      val tmp = java.nio.file.Files.createTempDirectory("q274").toString
+      try {
+        val store = new graft.sync.ParquetStore(s, s"$tmp/state")
+        rollouts.repartition(2).write.parquet(s"$tmp/src")
+        val stream = s.readStream.schema(rollouts.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+        IncrementalStream.preferenceIngest(stream, "prompt_id",
+          "completion_id", "completion", "score",
+          store, "prefs", checkpointDir = s"$tmp/ck")
+          .awaitTermination()
+        graft.operators.Preference.pairsFromCandidates(
+            store.read("prefs").get, "prompt_id", minMargin = 4.0)
+          .orderBy("prompt_id").localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+
+    // q272: conversation lint — the QA gate synthetic/vendor SFT data
+    // passes before rendering: structural counters per conversation
+    // (valid/invalid turns, starts with a prompt role, ends on an
+    // assistant turn, same-role adjacency in the VALID subsequence,
+    // whitespace-only contents) and the composite pass flag. Same
+    // zero-shuffle fold shape as the q268 render. Planted hazards by
+    // doc_id moduli: %5 forces a user turn at i=1 (same-role pair),
+    // %7 blanks i=1's content, %11 NULLs i=2's content (invalid turn —
+    // must not break adjacency of its neighbors). Oracle replays the
+    // moduli with windowed lag over the valid rows
+    "q272_chat_lint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id").cast(LongType).as("doc_id"),
+          graft.text.Chat.lint(chatLintPlantedMessages).as("l"))
+        .select(col("doc_id"),
+          col("l.n_valid").cast(LongType).as("n_valid"),
+          col("l.n_invalid").cast(LongType).as("n_invalid"),
+          // LONG 0/1 per the graded-boolean convention
+          col("l.starts_ok").cast(LongType).as("starts_ok"),
+          col("l.ends_assistant").cast(LongType).as("ends_assistant"),
+          col("l.same_role_pairs").cast(LongType).as("same_role_pairs"),
+          col("l.empty_turns").cast(LongType).as("empty_turns"),
+          col("l.passed").cast(LongType).as("passed"))
+        .orderBy("doc_id")),
+
+    // q273: sitemap XML parsing — the crawl-seeding stage between the
+    // q266 robots Sitemap directives (the URLs a host declares) and
+    // the frontier (the page URLs those sitemaps contain): both
+    // protocol shapes from one column — <urlset> page entries and
+    // <sitemapindex> child-sitemap entries — with entity-decoded locs
+    // (&amp; in query strings is ubiquitous and an undecoded loc mints
+    // a frontier key no fetched page normalizes to), trimmed
+    // whitespace, NULL absent lastmods, loc-less entries dropped.
+    // Pure per-row regexp projection, zero shuffle (the outlinks
+    // shape). Planted: %6 docs ship a sitemapindex (one lastmod, one
+    // whitespace-padded loc), the rest a urlset (entity-escaped query
+    // loc + lastmod, a bare second loc, a loc-less hazard entry)
+    "q273_sitemap_entries" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id").cast(LongType).as("doc_id"),
+          explode(graft.text.Sitemap.entries(sitemapPlantedXml)).as("e"))
+        .select(col("doc_id"), col("e.kind").as("kind"),
+          col("e.loc").as("loc"), col("e.lastmod").as("lastmod"))
+        .orderBy("doc_id", "kind", "loc")),
+
     // q267: the FULL crawl admission loop, end to end in one streaming
     // query — the composition a production crawler actually runs per
     // fetched segment: WARC files arrive in micro-batches →
@@ -7309,6 +7397,92 @@ object SparkEntry {
           .as("role"),
         concat(lit("c"), i.cast(StringType), lit(" "),
           col("text").substr(i * 25 + 1, lit(25))).as("content")))
+
+  /** The q272 planted conversations — the q268 shape plus the lint
+    * hazards, each keyed by a doc_id modulus so the oracle can replay
+    * them: %5 forces `user` at i=1 (a same-role pair with a user
+    * opener, or a mid-conversation pair after a system lead), %7
+    * blanks i=1's content (whitespace-only turn), %11 NULLs i=2's
+    * content (an INVALID turn — it must count in `n_invalid` without
+    * breaking its neighbors' adjacency). */
+  private def chatLintPlantedMessages: Column =
+    transform(sequence(lit(0), (col("doc_id") % 3 + 1).cast(IntegerType)),
+      i => struct(
+        when(i === 0 && col("doc_id") % 4 === 0, lit("system"))
+          .when(i === 1 && col("doc_id") % 5 === 0, lit("user"))
+          .when(i % 2 === 0, lit("user")).otherwise(lit("assistant"))
+          .as("role"),
+        when(i === 1 && col("doc_id") % 7 === 0, lit("   "))
+          .when(i === 2 && col("doc_id") % 11 === 0,
+            lit(null).cast(StringType))
+          .otherwise(concat(lit("c"), i.cast(StringType), lit(" "),
+            col("text").substr(i * 25 + 1, lit(25)))).as("content")))
+
+  /** The q271/q274 planted rollout table — ONE builder so the batch
+    * miner and the maintained view share the exact construction and
+    * q271's oracle grades both: prompt = doc_id % 173 (~3 completions
+    * per prompt at sf0.01), score = (doc_id % 6) * 2 — group margins
+    * land in {2, 4, 10}, so the minMargin=4 gate actually drops
+    * prompts. */
+  private def preferencePlantedRollouts(docs: DataFrame): DataFrame =
+    docs.select(
+      (col("doc_id") % 173).cast(LongType).as("prompt_id"),
+      col("doc_id").cast(LongType).as("completion_id"),
+      concat(lit("r"), col("doc_id").cast(StringType), lit(" "),
+        col("text").substr(1, 30)).as("completion"),
+      ((col("doc_id") % 6) * 2).cast(LongType).as("score"))
+
+  /** The q271/q274 shared oracle — [[preferencePlantedRollouts]]
+    * replayed, best/worst per prompt as row_number twins (score
+    * DESC/ASC, id ASC ties — the operator's stated tie-break),
+    * margin-gated exactly like both queries. q274 grading against this
+    * IS the merge-order-invariance contract: the maintained state's
+    * derived pairs equal the batch miner over all arrivals. */
+  private val preferencePairsOracleSql: String =
+    "WITH r AS (SELECT doc_id % 173 AS prompt_id, doc_id AS completion_id, " +
+      "'r' || CAST(doc_id AS VARCHAR) || ' ' || substr(text, 1, 30) AS completion, " +
+      "(doc_id % 6) * 2 AS score FROM documents), " +
+      "c AS (SELECT *, " +
+      "row_number() OVER (PARTITION BY prompt_id ORDER BY score DESC, completion_id ASC) AS rc, " +
+      "row_number() OVER (PARTITION BY prompt_id ORDER BY score ASC, completion_id ASC) AS rr, " +
+      "count(*) OVER (PARTITION BY prompt_id) AS n FROM r) " +
+      "SELECT CAST(ch.prompt_id AS BIGINT) AS prompt_id, " +
+      "CAST(ch.completion_id AS BIGINT) AS chosen_id, ch.completion AS chosen, " +
+      "CAST(ch.score AS BIGINT) AS chosen_score, " +
+      "CAST(rj.completion_id AS BIGINT) AS rejected_id, rj.completion AS rejected, " +
+      "CAST(rj.score AS BIGINT) AS rejected_score, " +
+      "CAST(ch.score - rj.score AS BIGINT) AS margin, " +
+      "CAST(ch.n AS BIGINT) AS n_rollouts " +
+      "FROM c ch JOIN c rj ON ch.prompt_id = rj.prompt_id AND ch.rc = 1 AND rj.rr = 1 " +
+      "WHERE ch.score - rj.score > 0 AND ch.score - rj.score >= 4 " +
+      "ORDER BY prompt_id"
+
+  /** The q273 planted sitemap documents — both protocol shapes plus
+    * the parser hazards: %6 docs ship a `<sitemapindex>` (child a.xml
+    * with a lastmod, child b.xml with a WHITESPACE-PADDED loc and no
+    * lastmod), the rest a `<urlset>` (an ENTITY-ESCAPED `&amp;` query
+    * loc with a lastmod, a bare second loc, and a loc-less entry that
+    * must vanish). */
+  private def sitemapPlantedXml: Column = {
+    val h = (col("doc_id") % 7).cast(StringType)
+    val p = (col("doc_id") % 50).cast(StringType)
+    when(col("doc_id") % 6 === 0,
+      concat(
+        lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+          "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+          "<sitemap><loc>https://h"), h,
+        lit(".example.com/sm/a.xml</loc><lastmod>2026-01-15</lastmod></sitemap>\n" +
+          "<sitemap><loc>\n  https://h"), h,
+        lit(".example.com/sm/b.xml </loc></sitemap>\n</sitemapindex>")))
+      .otherwise(concat(
+        lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+          "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+          "<url><loc>http://h"), h, lit(".example.com/page"), p,
+        lit(".html?a=1&amp;b=2</loc><lastmod>2026-02-11</lastmod></url>\n" +
+          "<url><loc>http://h"), h, lit(".example.com/p"), p,
+        lit("/two</loc></url>\n" +
+          "<url><lastmod>2026-03-01</lastmod></url>\n</urlset>")))
+  }
 
   /** The q252/q263 planted crawl dump — ONE builder (the mjpegCorpus
     * convention) so the batch curation and its streaming ingest share
@@ -8540,6 +8714,69 @@ object SparkEntry {
         "p.role AS role, p.content AS content " +
         "FROM p JOIN b ON p.doc_id = b.doc_id AND p.i <= b.last_a " +
         "ORDER BY doc_id, pos"),
+    // q271: the planted rollouts replayed, best/worst per prompt as
+    // row_number twins (score DESC/ASC, id ASC ties — the operator's
+    // stated tie-break), margin-gated exactly like the query
+    "q271_preference_pairs" -> preferencePairsOracleSql,
+    // q274: the SAME oracle — the maintained state's derived pairs
+    // must equal the batch miner over all arrivals (merge-order
+    // invariance, the q197/q246 contract)
+    "q274_stream_preference_pairs" -> preferencePairsOracleSql,
+    // q272: the lint-hazard moduli replayed — valid rows (content not
+    // NULL) carry lag/first/last windows, invalid rows only count
+    "q272_chat_lint" ->
+      ("WITH c AS (SELECT doc_id, text, CAST(u.i AS INT) AS i FROM documents, " +
+        "LATERAL unnest(range(0, doc_id % 3 + 2)) AS u(i)), " +
+        "r AS (SELECT doc_id, i, " +
+        "CASE WHEN i = 0 AND doc_id % 4 = 0 THEN 'system' " +
+        "WHEN i = 1 AND doc_id % 5 = 0 THEN 'user' " +
+        "WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, " +
+        "CASE WHEN i = 1 AND doc_id % 7 = 0 THEN '   ' " +
+        "WHEN i = 2 AND doc_id % 11 = 0 THEN NULL " +
+        "ELSE 'c' || CAST(i AS VARCHAR) || ' ' || substr(text, CAST(1 + i * 25 AS INT), 25) END AS content " +
+        "FROM c), " +
+        "v AS (SELECT doc_id, i, role, content, " +
+        "lag(role) OVER (PARTITION BY doc_id ORDER BY i) AS prev_role, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY i DESC) AS rnd " +
+        "FROM r WHERE content IS NOT NULL), " +
+        "a AS (SELECT doc_id, count(*) AS n_valid, " +
+        "sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS same_role_pairs, " +
+        "sum(CASE WHEN trim(content) = '' THEN 1 ELSE 0 END) AS empty_turns, " +
+        "max(CASE WHEN rn = 1 THEN role END) AS first_role, " +
+        "max(CASE WHEN rnd = 1 THEN role END) AS last_role " +
+        "FROM v GROUP BY doc_id), " +
+        "t AS (SELECT doc_id, count(*) AS n_all FROM r GROUP BY doc_id) " +
+        "SELECT CAST(a.doc_id AS BIGINT) AS doc_id, " +
+        "CAST(n_valid AS BIGINT) AS n_valid, " +
+        "CAST(t.n_all - n_valid AS BIGINT) AS n_invalid, " +
+        "CAST(CASE WHEN first_role IN ('system', 'user') THEN 1 ELSE 0 END AS BIGINT) AS starts_ok, " +
+        "CAST(CASE WHEN last_role = 'assistant' THEN 1 ELSE 0 END AS BIGINT) AS ends_assistant, " +
+        "CAST(same_role_pairs AS BIGINT) AS same_role_pairs, " +
+        "CAST(empty_turns AS BIGINT) AS empty_turns, " +
+        "CAST(CASE WHEN n_valid > 0 AND first_role IN ('system', 'user') " +
+        "AND last_role = 'assistant' AND same_role_pairs = 0 AND empty_turns = 0 " +
+        "THEN 1 ELSE 0 END AS BIGINT) AS passed " +
+        "FROM a JOIN t ON a.doc_id = t.doc_id ORDER BY doc_id"),
+    // q273: the planted sitemap entries replayed as UNION ALL arms —
+    // decoded locs, trimmed padding, NULL absent lastmods, the
+    // loc-less hazard entry absent
+    "q273_sitemap_entries" ->
+      ("WITH d AS (SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS h, " +
+        "CAST(doc_id % 50 AS VARCHAR) AS p FROM documents), " +
+        "e AS (" +
+        "SELECT doc_id, 'sitemap' AS kind, " +
+        "'https://h' || h || '.example.com/sm/a.xml' AS loc, " +
+        "'2026-01-15' AS lastmod FROM d WHERE doc_id % 6 = 0 " +
+        "UNION ALL SELECT doc_id, 'sitemap', " +
+        "'https://h' || h || '.example.com/sm/b.xml', NULL FROM d WHERE doc_id % 6 = 0 " +
+        "UNION ALL SELECT doc_id, 'url', " +
+        "'http://h' || h || '.example.com/page' || p || '.html?a=1&b=2', " +
+        "'2026-02-11' FROM d WHERE doc_id % 6 <> 0 " +
+        "UNION ALL SELECT doc_id, 'url', " +
+        "'http://h' || h || '.example.com/p' || p || '/two', NULL FROM d WHERE doc_id % 6 <> 0) " +
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, kind, loc, lastmod " +
+        "FROM e ORDER BY doc_id, kind, loc"),
     // q266: the four planted directives stated outright
     "q266_robots_sitemaps" ->
       ("SELECT host, sitemap_url FROM (VALUES " +

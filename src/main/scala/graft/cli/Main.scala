@@ -124,6 +124,10 @@ object Main {
       "       outlinks --pages <parquet> --id <col> --html <col> --out <parquetDir> (--url <col> | --raw true)\n" +
       "       robots-sitemaps --robots <parquet keyed by --host col> --host <col> --out <parquetDir> [--txt <col>]\n" +
       "       chat-render --conversations <parquet> --id <col> --messages <array<struct<role,content>> col> --out <parquetDir> [--spans true] [--max-tokens <n>]\n" +
+      "       chat-lint --conversations <parquet> --id <col> --messages <array<struct<role,content>> col> --out <parquetDir> [--failed-only true]\n" +
+      "       sitemap-entries --sitemaps <parquet> --id <col> --xml <sitemap document col> --out <parquetDir> [--kind url|sitemap]\n" +
+      "       preference-pairs --rollouts <parquet> --prompt <col> --out <parquetDir> (--id <col> --text <col> --score <col> | --from-state true) [--min-margin <x>]\n" +
+      "       preference-ingest --source <parquetDir> --prompt <col> --id <col> --text <col> --score <col> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       embed-decontaminate --corpus <parquet> --benchmark <parquet> --id <col> --vec <col> --threshold <cos> --out <parquetDir> [--scrub true | --cells <n> --nprobe <n>]\n" +
       "       embed-decon-gate --source <parquetDir> --benchmark <parquet> --id <col> --vec <col> --threshold <cos> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       cluster-balance --corpus <parquet> --id <col> --vec <col> --centroids <k> --cap <n> --out <parquetDir> [--iterations <n>]\n" +
@@ -215,6 +219,22 @@ object Main {
                                    messages: String, spans: Boolean,
                                    budget: Option[Long],
                                    out: String) extends Cmd
+  private case class ChatLintCmd(conversations: String, id: String,
+                                 messages: String, failedOnly: Boolean,
+                                 out: String) extends Cmd
+  private case class SitemapEntriesCmd(sitemaps: String, id: String,
+                                       xml: String, kind: Option[String],
+                                       out: String) extends Cmd
+  private case class PreferencePairsCmd(rollouts: String, prompt: String,
+                                        id: String, text: String,
+                                        score: String, minMargin: Double,
+                                        fromState: Boolean,
+                                        out: String) extends Cmd
+  private case class PreferenceIngestCmd(source: String, prompt: String,
+                                         id: String, text: String,
+                                         score: String, dest: String,
+                                         table: String,
+                                         checkpoint: String) extends Cmd
   private case class EmbedDeconCmd(corpus: String, benchmark: String,
                                    id: String, vec: String, threshold: Double,
                                    scrub: Boolean, ivf: Option[(Int, Int)],
@@ -1216,6 +1236,61 @@ object Main {
         }
         out <- req(opts, "chat-render", "out")
       } yield ChatRenderCmd(conversations, id, messages, spans, budget, out)
+    case "chat-lint" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        conversations <- req(opts, "chat-lint", "conversations")
+        id <- req(opts, "chat-lint", "id")
+        messages <- req(opts, "chat-lint", "messages")
+        failedOnly <- optBool(opts, "chat-lint", "failed-only", dflt = false)
+        out <- req(opts, "chat-lint", "out")
+      } yield ChatLintCmd(conversations, id, messages, failedOnly, out)
+    case "sitemap-entries" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        sitemaps <- req(opts, "sitemap-entries", "sitemaps")
+        id <- req(opts, "sitemap-entries", "id")
+        xml <- req(opts, "sitemap-entries", "xml")
+        kind <- opts.get("kind") match {
+          case None => Right(None)
+          case Some(k) if k == "url" || k == "sitemap" => Right(Some(k))
+          case Some(k) =>
+            Left(s"sitemap-entries: --kind must be url or sitemap, got $k")
+        }
+        out <- req(opts, "sitemap-entries", "out")
+      } yield SitemapEntriesCmd(sitemaps, id, xml, kind, out)
+    case "preference-pairs" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        rollouts <- req(opts, "preference-pairs", "rollouts")
+        fromState <- optBool(opts, "preference-pairs", "from-state", dflt = false)
+        prompt <- req(opts, "preference-pairs", "prompt")
+        // id/text/score name the rollout columns; a maintained state
+        // table already carries the candidate shape
+        id <- if (fromState) Right("") else req(opts, "preference-pairs", "id")
+        text <- if (fromState) Right("") else req(opts, "preference-pairs", "text")
+        score <- if (fromState) Right("") else req(opts, "preference-pairs", "score")
+        minMargin <- opts.get("min-margin") match {
+          case None => Right(0.0)
+          case Some(m) => m.toDoubleOption.filter(_ >= 0)
+            .toRight(s"preference-pairs: --min-margin must be a non-negative number, got $m")
+        }
+        out <- req(opts, "preference-pairs", "out")
+      } yield PreferencePairsCmd(rollouts, prompt, id, text, score,
+        minMargin, fromState, out)
+    case "preference-ingest" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        source <- req(opts, "preference-ingest", "source")
+        prompt <- req(opts, "preference-ingest", "prompt")
+        id <- req(opts, "preference-ingest", "id")
+        text <- req(opts, "preference-ingest", "text")
+        score <- req(opts, "preference-ingest", "score")
+        dest <- req(opts, "preference-ingest", "dest")
+        table <- req(opts, "preference-ingest", "table")
+        ck <- req(opts, "preference-ingest", "checkpoint")
+      } yield PreferenceIngestCmd(source, prompt, id, text, score,
+        dest, table, ck)
     case "embed-decontaminate" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -2750,6 +2825,67 @@ object Main {
       (if (fitted) base else base.drop("messages"))
         .write.mode("overwrite").parquet(out)
       0
+
+    case ChatLintCmd(conversations, id, messages, failedOnly, out) =>
+      // the SFT QA gate: one row of structural counters per
+      // conversation; --failed-only true keeps just the rows a
+      // cleanup queue wants
+      import org.apache.spark.sql.functions.col
+      val linted = spark.read.parquet(conversations)
+        .select(col(id), graft.text.Chat.lint(col(messages)).as("l"))
+        .select(col(id), col("l.n_valid").as("n_valid"),
+          col("l.n_invalid").as("n_invalid"),
+          col("l.starts_ok").as("starts_ok"),
+          col("l.ends_assistant").as("ends_assistant"),
+          col("l.same_role_pairs").as("same_role_pairs"),
+          col("l.empty_turns").as("empty_turns"),
+          col("l.passed").as("passed"))
+      (if (failedOnly) linted.filter(!col("passed")) else linted)
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case SitemapEntriesCmd(sitemaps, id, xml, kind, out) =>
+      // crawl seeding: sitemap XML documents -> one row per entry
+      // (kind url|sitemap, entity-decoded loc, lastmod); --kind
+      // filters to pages or child sitemaps (the fetch-loop split)
+      import org.apache.spark.sql.functions.{col, explode}
+      val exploded = spark.read.parquet(sitemaps)
+        .select(col(id), explode(graft.text.Sitemap.entries(col(xml))).as("e"))
+        .select(col(id), col("e.kind").as("kind"), col("e.loc").as("loc"),
+          col("e.lastmod").as("lastmod"))
+      kind.fold(exploded)(k => exploded.filter(col("kind") === k))
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case PreferencePairsCmd(rollouts, prompt, id, text, score, minMargin,
+                            fromState, out) =>
+      // RLHF/DPO prep: scored rollouts -> best-vs-worst (chosen,
+      // rejected) pairs per prompt, margin-gated; --from-state true
+      // derives the pairs from a preference-ingest state table instead
+      // (a margin filter over |prompts| rows, never the rollouts)
+      val pairs =
+        if (fromState)
+          graft.operators.Preference.pairsFromCandidates(
+            spark.read.parquet(rollouts).drop("__last_batch", "__run"),
+            prompt, minMargin)
+        else
+          graft.operators.Preference.pairs(spark.read.parquet(rollouts),
+            prompt, id, text, score, minMargin)
+      pairs.write.mode("overwrite").parquet(out)
+      0
+
+    case PreferenceIngestCmd(source, prompt, id, text, score, dest, table, ck) =>
+      // the RLHF loop's online half: rollouts stream in as the judge
+      // scores them; the state holds each prompt's best/worst over
+      // everything arrived. Derive pairs with
+      // `preference-pairs --from-state true`
+      sourceSchema(spark, source, "preference-ingest").fold(0) { schema =>
+        val stream = spark.readStream.schema(schema).parquet(source)
+        graft.streaming.IncrementalStream.preferenceIngest(stream,
+          prompt, id, text, score, new ParquetStore(spark, dest), table, ck)
+          .awaitTermination()
+        0
+      }
 
     case EmbedDeconCmd(corpus, benchmark, id, vec, threshold, scrub, ivf, out) =>
       // semantic decontamination: the benchmark broadcasts into one

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Preference-pair mining — the RLHF/DPO data-prep stage downstream of
+  * the SFT family ([[graft.text.Chat]]): rollout tables arrive as
+  * (prompt, completion, score) rows — N sampled completions per prompt,
+  * each scored by a reward model or judge — and the preference trainer
+  * consumes (chosen, rejected) PAIRS. The standard mining rule is
+  * best-vs-worst: per prompt, chosen = the highest-scored completion,
+  * rejected = the lowest-scored, kept only when the score gap clears a
+  * margin (a near-tie pair teaches noise — DPO's loss gradient scales
+  * with the true preference strength, so low-margin pairs are worse
+  * than fewer pairs).
+  *
+  * Scale shape: ONE aggregation, shuffled on the prompt key only —
+  * `max_by`/`min_by` with struct ordering keys, which combine
+  * map-side (each partition ships one candidate pair per prompt, not
+  * its rollouts), no window, no self-join; output cardinality is
+  * |prompts|, never |rollouts|². At 100 TB of rollouts this is a
+  * single partial-agg shuffle exactly like a `groupBy().max()`.
+  * Tie-breaks are deterministic — equal scores resolve to the LOWEST
+  * completion id on both sides (re-runs and re-partitions mine the
+  * identical pair set; a nondeterministic argmax would churn the
+  * training set between pipeline runs).
+  *
+  * The per-prompt (best, worst, n) candidate row is a SEMIGROUP under
+  * [[mergeCandidates]] — best/worst each pick the winner of two
+  * candidates by the same deterministic key, counts add — which is
+  * what makes the CONTINUOUSLY-MAINTAINED form
+  * ([[graft.streaming.IncrementalStream.preferenceIngest]]) exact:
+  * however rollouts are micro-batched, folding batch candidates into
+  * the state is merge-order-invariant and the derived pairs equal the
+  * batch miner over everything that has arrived. */
+object Preference {
+
+  /** The chosen-side ordering key: highest score, ties to the LOWEST
+    * id (max of (score, −id)). */
+  private def bestKey(score: Column, id: Column): Column =
+    struct(score.as("s"), negate(id).as("i"))
+
+  /** The rejected-side ordering key: lowest score, ties to the lowest
+    * id (min of (score, id)). */
+  private def worstKey(score: Column, id: Column): Column =
+    struct(score.as("s"), id.as("i"))
+
+  /** Per-prompt candidate state:
+    * `(promptCol, ch struct<id,text,score>, rj struct<id,text,score>,
+    * n_rollouts)` — the mergeable form [[pairs]] gates and the
+    * maintained view stores. NULL-score rollouts are dropped first (an
+    * unscored completion is a judge failure, not evidence);
+    * `n_rollouts` counts SCORED rollouts. */
+  def candidates(rollouts: DataFrame, promptCol: String, idCol: String,
+                 textCol: String, scoreCol: String): DataFrame = {
+    val cand = struct(col(idCol).as("id"), col(textCol).as("text"),
+      col(scoreCol).as("score"))
+    rollouts.where(col(scoreCol).isNotNull)
+      .groupBy(col(promptCol))
+      .agg(
+        max_by(cand, bestKey(col(scoreCol), col(idCol))).as("ch"),
+        min_by(cand, worstKey(col(scoreCol), col(idCol))).as("rj"),
+        count(lit(1)).as("n_rollouts"))
+  }
+
+  /** The semigroup merge of two candidate tables keyed by `promptCol`
+    * (full outer — a prompt may exist on either side): best beats best
+    * by the chosen key, worst beats worst by the rejected key, counts
+    * add. Associative and commutative (each side is a max/min under a
+    * total deterministic order), so folds over any batch split agree. */
+  def mergeCandidates(prev: DataFrame, part: DataFrame,
+                      promptCol: String): DataFrame = {
+    val p = part.withColumnRenamed("ch", "__ch").withColumnRenamed("rj", "__rj")
+      .withColumnRenamed("n_rollouts", "__n")
+      .withColumnRenamed(promptCol, "__k")
+    def by(key: (Column, Column) => Column)(a: Column, b: Column): Column =
+      when(a.isNull, b).when(b.isNull, a)
+        .when(key(a.getField("score"), a.getField("id")) >=
+          key(b.getField("score"), b.getField("id")), a)
+        .otherwise(b)
+    prev.join(p, prev(promptCol) <=> p("__k"), "full_outer")
+      .select(
+        coalesce(prev(promptCol), p("__k")).as(promptCol),
+        by(bestKey)(prev("ch"), p("__ch")).as("ch"),
+        // the rejected side keeps the MINIMUM: flip via the same
+        // comparator by preferring the side that does NOT win worstKey
+        when(prev("rj").isNull, p("__rj")).when(p("__rj").isNull, prev("rj"))
+          .when(worstKey(prev("rj").getField("score"), prev("rj").getField("id")) <=
+            worstKey(p("__rj").getField("score"), p("__rj").getField("id")),
+            prev("rj"))
+          .otherwise(p("__rj")).as("rj"),
+        (coalesce(prev("n_rollouts"), lit(0L)) + coalesce(p("__n"), lit(0L)))
+          .as("n_rollouts"))
+  }
+
+  /** The margin gate over a candidate table ([[candidates]] output or
+    * the maintained state): one row per prompt whose margin (chosen −
+    * rejected score) is strictly positive AND ≥ `minMargin`; a prompt
+    * whose rollouts all tie yields no pair (no preference signal
+    * exists). */
+  def pairsFromCandidates(cands: DataFrame, promptCol: String,
+                          minMargin: Double = 0.0): DataFrame = {
+    require(minMargin >= 0, s"Preference: minMargin must be >= 0, got $minMargin")
+    cands.select(col(promptCol),
+      col("ch.id").as("chosen_id"), col("ch.text").as("chosen"),
+      col("ch.score").as("chosen_score"),
+      col("rj.id").as("rejected_id"), col("rj.text").as("rejected"),
+      col("rj.score").as("rejected_score"),
+      (col("ch.score") - col("rj.score")).as("margin"),
+      col("n_rollouts"))
+      .where(col("margin") > 0 && col("margin") >= minMargin)
+  }
+
+  /** Best-vs-worst pairs per prompt, in one pass. Output:
+    * `(promptCol, chosen_id, chosen, chosen_score, rejected_id,
+    * rejected, rejected_score, margin, n_rollouts)` — see
+    * [[candidates]] and [[pairsFromCandidates]] for the NULL-score and
+    * margin semantics. */
+  def pairs(rollouts: DataFrame, promptCol: String, idCol: String,
+            textCol: String, scoreCol: String,
+            minMargin: Double = 0.0): DataFrame = {
+    require(minMargin >= 0, s"Preference.pairs: minMargin must be >= 0, got $minMargin")
+    pairsFromCandidates(
+      candidates(rollouts, promptCol, idCol, textCol, scoreCol),
+      promptCol, minMargin)
+  }
+}

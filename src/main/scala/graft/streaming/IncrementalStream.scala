@@ -1479,6 +1479,40 @@ object IncrementalStream {
         .agg(hll_union_agg(col("hll")).as("hll")),
       store, table, checkpointDir, trigger)
 
+  /** CONTINUOUSLY-MAINTAINED preference-pair mining — the online form
+    * of [[graft.operators.Preference.pairs]]: rollouts stream in as a
+    * reward model scores them (the RLHF loop's actual arrival shape —
+    * sampling and judging run for days), and the state table always
+    * holds each prompt's best/worst candidates over everything that
+    * has arrived, at |prompts| rows — raw rollouts are never retained.
+    * Per batch: `Preference.candidates` (one prompt-keyed partial agg,
+    * the batch miner's exact shape) folds into the state with
+    * `Preference.mergeCandidates`, which is commutative/associative
+    * with deterministic lowest-id tie-breaks — so the maintained state
+    * is MERGE-ORDER-INVARIANT and deriving pairs from it
+    * (`Preference.pairsFromCandidates` — a margin filter over the
+    * STATE, never the rollouts) is row-identical to the batch miner
+    * over all arrivals under any batch split (graded, q274 — the SAME
+    * oracle as batch q271). Runs under the [[maintainStats]]
+    * skip-or-merge/lineage machinery: exactly-once per batch,
+    * replay-safe. */
+  def preferenceIngest(rolloutStream: DataFrame, promptCol: String,
+                       idCol: String, textCol: String, scoreCol: String,
+                       store: graft.sync.TableStore, table: String,
+                       checkpointDir: String,
+                       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // the merge renames the partial's columns to __*: reject colliding
+    // prompt names up front (the maintainCountsKeys convention)
+    require(!Seq("ch", "rj", "n_rollouts").contains(promptCol),
+      s"preferenceIngest: the prompt column may not be named ch/rj/n_rollouts (state columns), got $promptCol")
+    require(!promptCol.startsWith("__"),
+      s"preferenceIngest: the prompt column may not start with '__' (reserved for merge internals), got $promptCol")
+    maintainMerged(rolloutStream,
+      graft.operators.Preference.candidates(_, promptCol, idCol, textCol, scoreCol),
+      graft.operators.Preference.mergeCandidates(_, _, promptCol),
+      store, table, checkpointDir, trigger)
+  }
+
   /** The shared maintained-view core: fold `partialOf(batch)` into the
     * state table with `merge`, exactly-once via the in-table
     * (__last_batch, __run) marker — see [[maintainStats]]'s scaladoc for

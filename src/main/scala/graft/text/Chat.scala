@@ -99,6 +99,76 @@ object Chat {
     folded.getField("best")
   }
 
+  /** Conversation lint — the QA gate synthetic / vendor SFT data runs
+    * BEFORE rendering (a malformed conversation that reaches the
+    * trainer wastes its whole context window): one struct of structural
+    * counters per conversation,
+    * `struct<n_valid int, n_invalid int, starts_ok boolean,
+    * ends_assistant boolean, same_role_pairs int, empty_turns int,
+    * passed boolean>`.
+    *
+    *  - `n_valid` / `n_invalid` — turns that would render vs turns
+    *    [[render]] skips (NULL turn or NULL role/content).
+    *  - `starts_ok` — the first VALID turn's role is `system` or `user`
+    *    (a conversation opening with an assistant turn has no prompt).
+    *  - `ends_assistant` — the last valid turn is an assistant turn
+    *    (the [[fitBudget]] rationale: a conversation ending on a prompt
+    *    trains nothing).
+    *  - `same_role_pairs` — adjacent same-role pairs in the VALID
+    *    subsequence (invalid turns render nothing, so they do not break
+    *    adjacency — the lint sees what the trainer sees). Role churn
+    *    like user/user signals a broken turn-merge upstream.
+    *  - `empty_turns` — valid turns whose content is whitespace-only
+    *    (they render as empty markers and teach nothing).
+    *  - `passed` — the gate: at least one valid turn, `starts_ok`,
+    *    `ends_assistant`, zero same-role pairs, zero empty turns.
+    *
+    * Same scale shape as the siblings: ONE fold per row, zero shuffle,
+    * codegen'd builtins. A NULL turn array yields NULL. */
+  def lint(messages: Column): Column = {
+    val zero = struct(
+      lit(0).as("n_valid"), lit(0).as("n_invalid"),
+      lit(null).cast(StringType).as("first_role"),
+      lit(null).cast(StringType).as("prev_role"),
+      lit(0).as("same_role_pairs"), lit(0).as("empty_turns"))
+    aggregate(messages, zero, (acc, m) =>
+      when(!validTurn(m),
+        struct(acc.getField("n_valid").as("n_valid"),
+          (acc.getField("n_invalid") + 1).as("n_invalid"),
+          acc.getField("first_role").as("first_role"),
+          acc.getField("prev_role").as("prev_role"),
+          acc.getField("same_role_pairs").as("same_role_pairs"),
+          acc.getField("empty_turns").as("empty_turns")))
+        .otherwise(struct(
+          (acc.getField("n_valid") + 1).as("n_valid"),
+          acc.getField("n_invalid").as("n_invalid"),
+          coalesce(acc.getField("first_role"), m.getField("role"))
+            .as("first_role"),
+          m.getField("role").as("prev_role"),
+          (acc.getField("same_role_pairs") +
+            when(acc.getField("prev_role") === m.getField("role"), 1)
+              .otherwise(0)).as("same_role_pairs"),
+          (acc.getField("empty_turns") +
+            when(trim(m.getField("content")) === "", 1).otherwise(0))
+            .as("empty_turns"))),
+      acc => {
+        val startsOk = coalesce(
+          acc.getField("first_role").isin("system", "user"), lit(false))
+        val endsAssistant = coalesce(
+          acc.getField("prev_role") === "assistant", lit(false))
+        struct(
+          acc.getField("n_valid").as("n_valid"),
+          acc.getField("n_invalid").as("n_invalid"),
+          startsOk.as("starts_ok"),
+          endsAssistant.as("ends_assistant"),
+          acc.getField("same_role_pairs").as("same_role_pairs"),
+          acc.getField("empty_turns").as("empty_turns"),
+          (acc.getField("n_valid") > 0 && startsOk && endsAssistant &&
+            acc.getField("same_role_pairs") === 0 &&
+            acc.getField("empty_turns") === 0).as("passed"))
+      })
+  }
+
   /** Loss-mask spans: one row per ASSISTANT turn —
     * `array<struct<turn int, span_start bigint, span_end bigint>>`, the
     * [start, end) CODE-POINT span (see the object doc) of that turn's

@@ -40,8 +40,11 @@ object Html {
     regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
   }
 
-  /** The [[Entities]] fold (application order, `&amp;` last). */
-  private def decodeEntities(c: Column): Column =
+  /** The [[Entities]] fold (application order, `&amp;` last). Shared
+    * with [[Sitemap]] — sitemap `<loc>` values are XML-escaped with the
+    * same named five, and XML escaping is a strict subset of this
+    * table. */
+  private[text] def decodeEntities(c: Column): Column =
     Entities.foldLeft(c) { case (acc, (from, to)) =>
       // literal replace via regexp with the metachar-free pattern
       // (entity names contain only [&#a-z0-9;]); "$" in a replacement

@@ -953,6 +953,34 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q272/q273 lint and sitemap folds are pure narrow projections: zero keyed shuffles") {
+    // the lint is the q268 fold shape; the sitemap parser is the
+    // outlinks shape — both fuse into the scan at 100 TB
+    for (q <- Seq("q272_chat_lint", "q273_sitemap_entries")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q must not shuffle the corpus:\n$p")
+      assert(!p.contains("Window"), s"$q must not plan a window:\n$p")
+      assert(!p.contains("Join"), s"$q must not plan a join:\n$p")
+    }
+  }
+
+  test("q271 preference mining: ONE prompt-keyed exchange with partial max_by/min_by below it") {
+    val p = plan("q271_preference_pairs")
+    // the mining rule is a single aggregation — each map task ships one
+    // candidate pair per prompt, not its rollouts; a window or self-join
+    // formulation would shuffle the rollout table whole (or twice)
+    assert(!p.contains("Window"), s"best/worst must not plan a window:\n$p")
+    assert(!p.contains("Join"), s"best/worst must not self-join:\n$p")
+    val partialIdx = p.indexOf("partial_max_by")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"expected map-side partial max_by below the prompt exchange:\n$p")
+    // exactly one keyed exchange: the prompt key
+    assert(p.indexOf("Exchange hashpartitioning", exchangeIdx + 1) < 0,
+      s"expected ONE keyed exchange:\n$p")
+  }
+
   test("q261 join-form robots gate: rules join host-keyed, never collect into a literal") {
     val p = plan("q261_robots_gate_join")
     // the scale shape IS the gate: a real host-keyed join (the mega-host

@@ -1650,6 +1650,105 @@ class MainSpec extends SparkSpec {
       "--out", s"$tmp/x")) === 2)
   }
 
+  test("chat-lint: counters, --failed-only queue, usage errors") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val tmp = Files.createTempDirectory("graft_cli_lint").toString
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("msgs", ArrayType(StructType(Seq(
+        StructField("role", StringType), StructField("content", StringType)))))))
+    spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, Seq(Row("user", "hi"), Row("assistant", "yo"))),
+      Row(2L, Seq(Row("user", "a"), Row("user", "b"), Row("assistant", "c"))))),
+      schema).write.parquet(s"$tmp/conv")
+    assert(Main.run(spark, Array("chat-lint", "--conversations", s"$tmp/conv",
+      "--id", "id", "--messages", "msgs", "--out", s"$tmp/all")) === 0)
+    val all = spark.read.parquet(s"$tmp/all").collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Boolean]("passed"), r.getAs[Int]("same_role_pairs"))).toMap
+    assert(all === Map(1L -> ((true, 0)), 2L -> ((false, 1))))
+    assert(Main.run(spark, Array("chat-lint", "--conversations", s"$tmp/conv",
+      "--id", "id", "--messages", "msgs", "--failed-only", "true",
+      "--out", s"$tmp/bad")) === 0)
+    assert(spark.read.parquet(s"$tmp/bad").collect()
+      .map(_.getAs[Long]("id")).toSeq === Seq(2L))
+    assert(Main.run(spark, Array("chat-lint", "--conversations", s"$tmp/conv",
+      "--id", "id", "--out", s"$tmp/x")) === 2) // --messages missing
+  }
+
+  test("sitemap-entries: exploded entries, --kind filter, usage errors") {
+    val tmp = Files.createTempDirectory("graft_cli_sm").toString
+    Seq(
+      (1L, "<urlset><url><loc>http://a/1</loc></url>" +
+        "<url><loc>http://a/2</loc><lastmod>2026-01-01</lastmod></url></urlset>"),
+      (2L, "<sitemapindex><sitemap><loc>http://a/sm.xml</loc></sitemap></sitemapindex>"))
+      .toDF("id", "xml").write.parquet(s"$tmp/maps")
+    assert(Main.run(spark, Array("sitemap-entries", "--sitemaps", s"$tmp/maps",
+      "--id", "id", "--xml", "xml", "--out", s"$tmp/all")) === 0)
+    assert(spark.read.parquet(s"$tmp/all").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("kind"),
+        r.getAs[String]("loc"))).toSet ===
+      Set((1L, "url", "http://a/1"), (1L, "url", "http://a/2"),
+        (2L, "sitemap", "http://a/sm.xml")))
+    assert(Main.run(spark, Array("sitemap-entries", "--sitemaps", s"$tmp/maps",
+      "--id", "id", "--xml", "xml", "--kind", "sitemap",
+      "--out", s"$tmp/subs")) === 0)
+    assert(spark.read.parquet(s"$tmp/subs").collect()
+      .map(_.getAs[String]("loc")).toSeq === Seq("http://a/sm.xml"))
+    assert(Main.run(spark, Array("sitemap-entries", "--sitemaps", s"$tmp/maps",
+      "--id", "id", "--xml", "xml", "--kind", "page",
+      "--out", s"$tmp/x")) === 2) // not url|sitemap
+  }
+
+  test("preference-pairs: mined pairs, --min-margin gate, usage errors") {
+    val tmp = Files.createTempDirectory("graft_cli_pref").toString
+    Seq((1L, 10L, "bad", 1.0), (1L, 11L, "best", 9.0),
+      (2L, 20L, "a", 5.0), (2L, 21L, "b", 4.0))
+      .toDF("prompt_id", "completion_id", "completion", "score")
+      .write.parquet(s"$tmp/rollouts")
+    assert(Main.run(spark, Array("preference-pairs",
+      "--rollouts", s"$tmp/rollouts", "--prompt", "prompt_id",
+      "--id", "completion_id", "--text", "completion", "--score", "score",
+      "--out", s"$tmp/pairs")) === 0)
+    assert(spark.read.parquet(s"$tmp/pairs").collect()
+      .map(r => (r.getAs[Long]("prompt_id"), r.getAs[String]("chosen"),
+        r.getAs[String]("rejected"))).toSet ===
+      Set((1L, "best", "bad"), (2L, "a", "b")))
+    assert(Main.run(spark, Array("preference-pairs",
+      "--rollouts", s"$tmp/rollouts", "--prompt", "prompt_id",
+      "--id", "completion_id", "--text", "completion", "--score", "score",
+      "--min-margin", "3", "--out", s"$tmp/gated")) === 0)
+    assert(spark.read.parquet(s"$tmp/gated").collect()
+      .map(_.getAs[Long]("prompt_id")).toSeq === Seq(1L))
+    assert(Main.run(spark, Array("preference-pairs",
+      "--rollouts", s"$tmp/rollouts", "--prompt", "prompt_id",
+      "--id", "completion_id", "--text", "completion", "--score", "score",
+      "--min-margin", "-2", "--out", s"$tmp/x")) === 2)
+  }
+
+  test("preference-ingest: maintained state derives the same pairs via --from-state") {
+    val tmp = Files.createTempDirectory("graft_cli_pi").toString
+    Seq((1L, 10L, "bad", 1.0), (1L, 11L, "best", 9.0),
+      (2L, 20L, "a", 5.0), (2L, 21L, "b", 5.0)) // prompt 2 all-tie: no pair
+      .toDF("prompt_id", "completion_id", "completion", "score")
+      .write.parquet(s"$tmp/rollouts")
+    assert(Main.run(spark, Array("preference-ingest",
+      "--source", s"$tmp/rollouts", "--prompt", "prompt_id",
+      "--id", "completion_id", "--text", "completion", "--score", "score",
+      "--dest", s"$tmp/store", "--table", "prefs",
+      "--checkpoint", s"$tmp/ck")) === 0)
+    assert(Main.run(spark, Array("preference-pairs",
+      "--rollouts", s"$tmp/store/prefs.parquet", "--from-state", "true",
+      "--prompt", "prompt_id", "--out", s"$tmp/pairs")) === 0)
+    assert(spark.read.parquet(s"$tmp/pairs").collect()
+      .map(r => (r.getAs[Long]("prompt_id"), r.getAs[String]("chosen"),
+        r.getAs[String]("rejected"))).toSeq === Seq((1L, "best", "bad")))
+    // without --from-state, the rollout column names are still required
+    assert(Main.run(spark, Array("preference-pairs",
+      "--rollouts", s"$tmp/rollouts", "--prompt", "prompt_id",
+      "--out", s"$tmp/x")) === 2)
+  }
+
   test("robots-filter: survivors and --decisions artifacts equal the operator") {
     val tmp = Files.createTempDirectory("graft_cli_rob").toString
     Seq(("h", "User-agent: *\nDisallow: /private"))

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PreferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rollouts(rows: (Long, Long, String, java.lang.Double)*) =
+    rows.toDF("prompt_id", "completion_id", "completion", "score")
+
+  private def mine(df: org.apache.spark.sql.DataFrame, minMargin: Double = 0.0) =
+    Preference.pairs(df, "prompt_id", "completion_id", "completion",
+      "score", minMargin)
+
+  test("best-vs-worst per prompt with the margin") {
+    val got = mine(rollouts(
+      (1L, 10L, "bad", 1.0), (1L, 11L, "best", 9.0), (1L, 12L, "mid", 5.0)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(4), r.getString(5), r.getDouble(7), r.getLong(8)))
+    assert(got === Array((1L, 11L, "best", 10L, "bad", 8.0, 3L)))
+  }
+
+  test("ties resolve to the LOWEST completion id on BOTH sides") {
+    val got = mine(rollouts(
+      (1L, 30L, "hi-b", 9.0), (1L, 20L, "hi-a", 9.0),
+      (1L, 50L, "lo-b", 1.0), (1L, 40L, "lo-a", 1.0))).head
+    assert(got.getLong(1) === 20L) // chosen: highest score, lowest id
+    assert(got.getLong(4) === 40L) // rejected: lowest score, lowest id
+  }
+
+  test("no-signal prompts vanish: all-tie margin 0, and sub-margin pairs drop") {
+    val d = rollouts(
+      (1L, 1L, "a", 5.0), (1L, 2L, "b", 5.0),          // all tie
+      (2L, 3L, "c", 5.0), (2L, 4L, "d", 4.0),          // margin 1
+      (3L, 5L, "e", 9.0), (3L, 6L, "f", 2.0))          // margin 7
+    assert(mine(d).select("prompt_id").as[Long].collect().sorted
+      === Array(2L, 3L))
+    assert(mine(d, minMargin = 3.0).select("prompt_id").as[Long].collect()
+      === Array(3L))
+  }
+
+  test("NULL-score rollouts are dropped and do not count in n_rollouts") {
+    val got = mine(rollouts(
+      (1L, 1L, "a", 3.0), (1L, 2L, "b", 7.0), (1L, 3L, "unjudged", null)))
+      .head
+    assert(got.getLong(1) === 2L && got.getLong(4) === 1L)
+    assert(got.getLong(8) === 2L) // n_rollouts counts SCORED rollouts
+  }
+
+  test("a negative minMargin fails loud") {
+    val e = intercept[IllegalArgumentException] {
+      mine(rollouts((1L, 1L, "a", 1.0)), minMargin = -1.0)
+    }
+    assert(e.getMessage.contains("minMargin"))
+  }
+}

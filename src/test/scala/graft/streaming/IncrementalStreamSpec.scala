@@ -728,6 +728,51 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(got === Map(Some("a") -> 3L, Some("b") -> 1L, None -> 2L))
   }
 
+  test("preferenceIngest: cross-batch best/worst merge equals the batch miner, ties to lowest id") {
+    import graft.sync.ParquetStore
+    import graft.operators.Preference
+    val cols = Seq("prompt_id", "completion_id", "completion", "score")
+    // prompt 1's best TIES across the batch boundary (9.0 in each batch,
+    // the LOWER id arriving LATER — the merge must replace the state's
+    // incumbent); its worst arrives in batch 2; prompt 2 is all-tie and
+    // must yield no pair from the state
+    val b1 = Seq((1L, 12L, "best-late", 9.0), (1L, 11L, "mid", 5.0),
+      (2L, 20L, "x", 3.0)).toDF(cols: _*)
+    val b2 = Seq((1L, 10L, "best-early", 9.0), (1L, 13L, "worst", 1.0),
+      (2L, 21L, "y", 3.0)).toDF(cols: _*)
+    val tmp = Files.createTempDirectory("graft_pref").toString
+    b1.coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    b2.coalesce(1).write.mode("append").parquet(s"$tmp/src")
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+    val store = new ParquetStore(spark, s"$tmp/out")
+    IncrementalStream.preferenceIngest(stream, "prompt_id",
+      "completion_id", "completion", "score",
+      store, "prefs", checkpointDir = s"$tmp/ck").awaitTermination()
+    // state is |prompts|-sized: both prompts present, rollouts not retained
+    assert(store.read("prefs").get.count() === 2)
+    val derived = Preference.pairsFromCandidates(
+      store.read("prefs").get, "prompt_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4),
+        r.getDouble(7), r.getLong(8)))
+    assert(derived === Array((1L, 10L, 13L, 8.0, 4L)))
+    // ... and is row-identical to the batch miner over all arrivals
+    val batch = Preference.pairs(b1.union(b2), "prompt_id",
+      "completion_id", "completion", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4),
+        r.getDouble(7), r.getLong(8)))
+    assert(derived === batch)
+    // state-column collisions fail loud before any stream starts
+    for (bad <- Seq("ch", "rj", "n_rollouts", "__k")) {
+      val e = intercept[IllegalArgumentException] {
+        IncrementalStream.preferenceIngest(b1.withColumnRenamed("prompt_id", bad),
+          bad, "completion_id", "completion", "score",
+          store, "prefs2", checkpointDir = s"$tmp/ck_unused")
+      }
+      assert(e.getMessage.contains("prompt column"))
+    }
+  }
+
   test("scd2Ingest: streamed delta log equals the batch history; multi-version batches fold in order") {
     import graft.sync.{History, ParquetStore}
     val tmp = Files.createTempDirectory("graft_scd2i").toString

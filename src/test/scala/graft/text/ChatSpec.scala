@@ -133,4 +133,39 @@ class ChatSpec extends SparkSpec {
       Chat.assistantSpans(col("msgs"))).head
     assert(r2.isNullAt(0) && r2.isNullAt(1))
   }
+
+  test("lint: counters, the gate, and the valid-subsequence adjacency law") {
+    val d = df(
+      // clean two-turn conversation: everything passes
+      Row(1L, Seq(Row("user", "hi"), Row("assistant", "hello"))),
+      // assistant opener: no prompt -> starts_ok false, all else clean
+      Row(2L, Seq(Row("assistant", "hi"), Row("user", "x"),
+        Row("assistant", "y"))),
+      // same-role pair + whitespace-only content + dangling user tail
+      Row(3L, Seq(Row("user", "a"), Row("user", "  "),
+        Row("assistant", "b"), Row("user", "tail"))),
+      // an INVALID turn between two assistant turns: the lint sees what
+      // the trainer sees, so the pair must still count
+      Row(4L, Seq(Row("user", "q"), Row("assistant", "a1"),
+        Row(null, "x"), Row("assistant", "a2"))),
+      // all turns invalid: nothing valid to start or end anything
+      Row(5L, Seq(Row(null, null))),
+      Row(6L, null))
+    val got = d.select(col("id"), Chat.lint(col("msgs")).as("l")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getStruct(1)))
+      .toMap
+    def f(id: Long) = {
+      val s = got(id)
+      (s.getAs[Int]("n_valid"), s.getAs[Int]("n_invalid"),
+        s.getAs[Boolean]("starts_ok"), s.getAs[Boolean]("ends_assistant"),
+        s.getAs[Int]("same_role_pairs"), s.getAs[Int]("empty_turns"),
+        s.getAs[Boolean]("passed"))
+    }
+    assert(f(1L) === ((2, 0, true, true, 0, 0, true)))
+    assert(f(2L) === ((3, 0, false, true, 0, 0, false)))
+    assert(f(3L) === ((4, 0, true, false, 1, 1, false)))
+    assert(f(4L) === ((3, 1, true, true, 1, 0, false)))
+    assert(f(5L) === ((0, 1, false, false, 0, 0, false)))
+    assert(got(6L) === null) // absent conversation, not an empty one
+  }
 }

@@ -7139,6 +7139,20 @@ object SparkEntry {
       } finally deleteRecursively(tmp)
     }),
 
+    // q275: GRPO-style group-relative advantages over the SAME planted
+    // rollouts — per rollout, its reward centered against its own
+    // prompt's group (the critic-free baseline), emitted INTEGER-EXACT
+    // as numerators (advantage = adv_num/n, variance = var_num/n²,
+    // z = adv_num/√var_num) so integral reward scales grade
+    // losslessly. One prompt-keyed exchange feeding one Window node
+    // (count/sum/sumsq share it), no join — plan-pinned. Oracle:
+    // window replay of the same arithmetic
+    "q275_group_advantage" -> ((s, dir) =>
+      graft.operators.Preference.groupAdvantages(
+        preferencePlantedRollouts(t(s, dir, "documents")),
+        "prompt_id", "completion_id", "score")
+        .orderBy("prompt_id", "completion_id")),
+
     // q272: conversation lint — the QA gate synthetic/vendor SFT data
     // passes before rendering: structural counters per conversation
     // (valid/invalid turns, starts with a prompt role, ends on an
@@ -8722,6 +8736,20 @@ object SparkEntry {
     // must equal the batch miner over all arrivals (merge-order
     // invariance, the q197/q246 contract)
     "q274_stream_preference_pairs" -> preferencePairsOracleSql,
+    // q275: the planted rollouts' group arithmetic replayed as window
+    // sums — integer-exact numerators, no float comparisons
+    "q275_group_advantage" ->
+      ("WITH r AS (SELECT doc_id % 173 AS prompt_id, doc_id AS completion_id, " +
+        "(doc_id % 6) * 2 AS score FROM documents) " +
+        "SELECT CAST(prompt_id AS BIGINT) AS prompt_id, " +
+        "CAST(completion_id AS BIGINT) AS completion_id, " +
+        "CAST(score AS BIGINT) AS score, " +
+        "CAST(count(*) OVER w AS BIGINT) AS n_rollouts, " +
+        "CAST(score * count(*) OVER w - sum(score) OVER w AS BIGINT) AS adv_num, " +
+        "CAST(count(*) OVER w * sum(score * score) OVER w - " +
+        "sum(score) OVER w * sum(score) OVER w AS BIGINT) AS var_num " +
+        "FROM r WINDOW w AS (PARTITION BY prompt_id) " +
+        "ORDER BY prompt_id, completion_id"),
     // q272: the lint-hazard moduli replayed — valid rows (content not
     // NULL) carry lag/first/last windows, invalid rows only count
     "q272_chat_lint" ->

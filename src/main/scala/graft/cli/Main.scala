@@ -128,6 +128,7 @@ object Main {
       "       sitemap-entries --sitemaps <parquet> --id <col> --xml <sitemap document col> --out <parquetDir> [--kind url|sitemap]\n" +
       "       preference-pairs --rollouts <parquet> --prompt <col> --out <parquetDir> (--id <col> --text <col> --score <col> | --from-state true) [--min-margin <x>]\n" +
       "       preference-ingest --source <parquetDir> --prompt <col> --id <col> --text <col> --score <col> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
+      "       group-advantage --rollouts <parquet> --prompt <col> --id <col> --score <col> --out <parquetDir>\n" +
       "       embed-decontaminate --corpus <parquet> --benchmark <parquet> --id <col> --vec <col> --threshold <cos> --out <parquetDir> [--scrub true | --cells <n> --nprobe <n>]\n" +
       "       embed-decon-gate --source <parquetDir> --benchmark <parquet> --id <col> --vec <col> --threshold <cos> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       cluster-balance --corpus <parquet> --id <col> --vec <col> --centroids <k> --cap <n> --out <parquetDir> [--iterations <n>]\n" +
@@ -235,6 +236,9 @@ object Main {
                                          score: String, dest: String,
                                          table: String,
                                          checkpoint: String) extends Cmd
+  private case class GroupAdvantageCmd(rollouts: String, prompt: String,
+                                       id: String, score: String,
+                                       out: String) extends Cmd
   private case class EmbedDeconCmd(corpus: String, benchmark: String,
                                    id: String, vec: String, threshold: Double,
                                    scrub: Boolean, ivf: Option[(Int, Int)],
@@ -1291,6 +1295,15 @@ object Main {
         ck <- req(opts, "preference-ingest", "checkpoint")
       } yield PreferenceIngestCmd(source, prompt, id, text, score,
         dest, table, ck)
+    case "group-advantage" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        rollouts <- req(opts, "group-advantage", "rollouts")
+        prompt <- req(opts, "group-advantage", "prompt")
+        id <- req(opts, "group-advantage", "id")
+        score <- req(opts, "group-advantage", "score")
+        out <- req(opts, "group-advantage", "out")
+      } yield GroupAdvantageCmd(rollouts, prompt, id, score, out)
     case "embed-decontaminate" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -2872,6 +2885,14 @@ object Main {
           graft.operators.Preference.pairs(spark.read.parquet(rollouts),
             prompt, id, text, score, minMargin)
       pairs.write.mode("overwrite").parquet(out)
+      0
+
+    case GroupAdvantageCmd(rollouts, prompt, id, score, out) =>
+      // GRPO prep: per-rollout group-relative advantage numerators
+      // (advantage = adv_num/n, z = adv_num/sqrt(var_num))
+      graft.operators.Preference.groupAdvantages(
+        spark.read.parquet(rollouts), prompt, id, score)
+        .write.mode("overwrite").parquet(out)
       0
 
     case PreferenceIngestCmd(source, prompt, id, text, score, dest, table, ck) =>

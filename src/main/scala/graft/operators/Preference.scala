@@ -111,6 +111,42 @@ object Preference {
       .where(col("margin") > 0 && col("margin") >= minMargin)
   }
 
+  /** Group-relative advantage prep (the GRPO shape): per ROLLOUT, the
+    * statistics a group-baseline RL trainer consumes — each completion's
+    * reward centered against its own prompt's group, which is the
+    * critic-free baseline (PPO's learned value network replaced by the
+    * group mean of the N samples from the same prompt). Emitted
+    * INTEGER-EXACT as numerators over the group size, so integral
+    * reward scales grade losslessly across engines and the consumer
+    * derives floats at the precision it wants:
+    *
+    *  - `adv_num` = n·score − Σscore; advantage = adv_num / n
+    *  - `var_num` = n·Σscore² − (Σscore)²; variance = var_num / n²
+    *  - the z-score normalization GRPO applies is then exactly
+    *    z = adv_num / √var_num (the n's cancel) — an all-tie group has
+    *    var_num 0 and contributes no gradient (the trainer's guard).
+    *
+    * Scale shape: ONE prompt-keyed exchange feeding one Window node
+    * (count/sum/sum-of-squares over the same partition share the
+    * exchange) — per-rollout output makes a window the right tool
+    * where [[pairs]]'s per-prompt output made an aggregation right; no
+    * join, no second shuffle. NULL-score rollouts drop first, matching
+    * [[candidates]]. */
+  def groupAdvantages(rollouts: DataFrame, promptCol: String, idCol: String,
+                      scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(promptCol))
+    rollouts.where(col(scoreCol).isNotNull)
+      .select(col(promptCol), col(idCol), col(scoreCol),
+        count(lit(1)).over(w).as("n_rollouts"),
+        sum(col(scoreCol)).over(w).as("__sum"),
+        sum(col(scoreCol) * col(scoreCol)).over(w).as("__sumsq"))
+      .select(col(promptCol), col(idCol), col(scoreCol),
+        col("n_rollouts"),
+        (col(scoreCol) * col("n_rollouts") - col("__sum")).as("adv_num"),
+        (col("n_rollouts") * col("__sumsq") - col("__sum") * col("__sum"))
+          .as("var_num"))
+  }
+
   /** Best-vs-worst pairs per prompt, in one pass. Output:
     * `(promptCol, chosen_id, chosen, chosen_score, rejected_id,
     * rejected, rejected_score, margin, n_rollouts)` — see

@@ -981,6 +981,22 @@ class PlanShapeSpec extends SparkSpec {
       s"expected ONE keyed exchange:\n$p")
   }
 
+  test("q275 group advantages: one prompt exchange feeding one Window, no join") {
+    val p = plan("q275_group_advantage")
+    // per-rollout output with group stats attached: the window IS the
+    // right shape here (q271's aggregation emits per-prompt rows) — but
+    // count/sum/sumsq must share ONE partition spec, and an agg+rejoin
+    // formulation would shuffle twice
+    assert(!p.contains("Join"), s"group stats must not plan a rejoin:\n$p")
+    val firstW = p.indexOf("Window")
+    assert(firstW >= 0, s"expected a Window node:\n$p")
+    assert(p.indexOf("Window", firstW + 1) < 0,
+      s"count/sum/sumsq must share ONE Window:\n$p")
+    val firstX = p.indexOf("Exchange hashpartitioning")
+    assert(firstX >= 0 && p.indexOf("Exchange hashpartitioning", firstX + 1) < 0,
+      s"expected ONE keyed exchange:\n$p")
+  }
+
   test("q261 join-form robots gate: rules join host-keyed, never collect into a literal") {
     val p = plan("q261_robots_gate_join")
     // the scale shape IS the gate: a real host-keyed join (the mega-host

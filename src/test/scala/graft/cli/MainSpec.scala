@@ -1726,6 +1726,25 @@ class MainSpec extends SparkSpec {
       "--min-margin", "-2", "--out", s"$tmp/x")) === 2)
   }
 
+  test("group-advantage: integer-exact numerators per rollout") {
+    val tmp = Files.createTempDirectory("graft_cli_ga").toString
+    Seq((1L, 1L, 2.0), (1L, 2L, 4.0), (1L, 3L, 9.0))
+      .toDF("prompt_id", "completion_id", "score")
+      .write.parquet(s"$tmp/rollouts")
+    assert(Main.run(spark, Array("group-advantage",
+      "--rollouts", s"$tmp/rollouts", "--prompt", "prompt_id",
+      "--id", "completion_id", "--score", "score",
+      "--out", s"$tmp/adv")) === 0)
+    val got = spark.read.parquet(s"$tmp/adv").collect()
+      .map(r => r.getAs[Long]("completion_id") ->
+        (r.getAs[Double]("adv_num"), r.getAs[Double]("var_num"))).toMap
+    assert(got === Map(1L -> ((-9.0, 78.0)), 2L -> ((-3.0, 78.0)),
+      3L -> ((12.0, 78.0))))
+    assert(Main.run(spark, Array("group-advantage",
+      "--rollouts", s"$tmp/rollouts", "--prompt", "prompt_id",
+      "--out", s"$tmp/x")) === 2) // --id/--score required
+  }
+
   test("preference-ingest: maintained state derives the same pairs via --from-state") {
     val tmp = Files.createTempDirectory("graft_cli_pi").toString
     Seq((1L, 10L, "bad", 1.0), (1L, 11L, "best", 9.0),

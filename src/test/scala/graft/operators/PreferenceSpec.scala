@@ -48,6 +48,28 @@ class PreferenceSpec extends SparkSpec {
     assert(got.getLong(8) === 2L) // n_rollouts counts SCORED rollouts
   }
 
+  test("groupAdvantages: integer-exact numerators, the z identity, all-tie guard") {
+    val got = Preference.groupAdvantages(rollouts(
+      (1L, 1L, "a", 2.0), (1L, 2L, "b", 4.0), (1L, 3L, "c", 9.0),
+      (2L, 4L, "d", 5.0), (2L, 5L, "e", 5.0),       // all-tie group
+      (3L, 6L, "f", 7.0), (3L, 7L, "unjudged", null)),
+      "prompt_id", "completion_id", "score").collect()
+      .map(r => r.getLong(1) -> (r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    // prompt 1: n=3, S=15, Q=101 -> var_num = 3*101 - 225 = 78
+    assert(got(1L) === ((3L, 3 * 2.0 - 15, 78.0)))
+    assert(got(2L) === ((3L, 3 * 4.0 - 15, 78.0)))
+    assert(got(3L) === ((3L, 3 * 9.0 - 15, 78.0)))
+    // advantages sum to zero within a group (the baseline property)
+    assert(Seq(1L, 2L, 3L).map(got(_)._2).sum === 0.0)
+    // z = adv_num / sqrt(var_num): prompt 1's best is (27-15)/sqrt(78)
+    assert(math.abs(got(3L)._2 / math.sqrt(got(3L)._3) - 12 / math.sqrt(78.0)) < 1e-12)
+    // all-tie group: zero advantage, zero variance — no gradient
+    assert(got(4L) === ((2L, 0.0, 0.0)) && got(5L) === ((2L, 0.0, 0.0)))
+    // the NULL-score rollout drops and shrinks its group to n=1
+    assert(got(6L) === ((1L, 0.0, 0.0)) && !got.contains(7L))
+  }
+
   test("a negative minMargin fails loud") {
     val e = intercept[IllegalArgumentException] {
       mine(rollouts((1L, 1L, "a", 1.0)), minMargin = -1.0)

@@ -7153,6 +7153,40 @@ object SparkEntry {
         "prompt_id", "completion_id", "score")
         .orderBy("prompt_id", "completion_id")),
 
+    // q276: streaming SITEMAP-SEEDED frontier — the crawl-seeding
+    // composition q273 parses for: sitemap documents arrive in
+    // micro-batches (a real crawler fetches them over time), each
+    // batch's page entries (kind=url only — child sitemaps loop back
+    // through the fetcher, they don't seed) explode → canonicalize →
+    // frontier seen-set admission. Page URLs COLLIDE across docs (%50
+    // path keys under %7 hosts), so canonical dedup is load-bearing;
+    // the graded output is the admitted (url_norm, host) SET — id-free,
+    // so the 2-batch split is invisible (the q246/q267 contract).
+    // Oracle: the distinct planted urlset locs stated outright (the
+    // planted URLs are UrlNormalize fixed points by construction)
+    "q276_stream_sitemap_frontier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast(LongType).as("doc_id"),
+          sitemapPlantedXml.as("xml"))
+      val tmp = java.nio.file.Files.createTempDirectory("q276").toString
+      try {
+        val store = new graft.sync.ParquetStore(s, s"$tmp/seen")
+        docs.repartition(2).write.parquet(s"$tmp/src")
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
+        val urls = stream
+          .select(col("doc_id"),
+            explode(graft.text.Sitemap.entries(col("xml"))).as("e"))
+          .filter(col("e.kind") === "url")
+          .select(col("doc_id"), col("e.loc").as("url"))
+        IncrementalStream.frontierGate(urls, "doc_id", "url",
+          store, "seen", checkpointDir = s"$tmp/ck")
+          .awaitTermination()
+        store.read("seen").get.select(col("url_norm"), col("host"))
+          .orderBy("url_norm").localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+
     // q272: conversation lint — the QA gate synthetic/vendor SFT data
     // passes before rendering: structural counters per conversation
     // (valid/invalid turns, starts with a prompt role, ends on an
@@ -8750,6 +8784,17 @@ object SparkEntry {
         "sum(score) OVER w * sum(score) OVER w AS BIGINT) AS var_num " +
         "FROM r WINDOW w AS (PARTITION BY prompt_id) " +
         "ORDER BY prompt_id, completion_id"),
+    // q276: the admitted frontier SET stated outright — distinct
+    // urlset page locs of the non-sitemapindex docs (child-sitemap
+    // locs seed nothing; the planted URLs are canonical fixed points)
+    "q276_stream_sitemap_frontier" ->
+      ("WITH d AS (SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS h, " +
+        "CAST(doc_id % 50 AS VARCHAR) AS p FROM documents WHERE doc_id % 6 <> 0), " +
+        "u AS (SELECT DISTINCT 'http://h' || h || '.example.com/page' || p || '.html?a=1&b=2' AS url_norm, " +
+        "'h' || h || '.example.com' AS host FROM d " +
+        "UNION SELECT DISTINCT 'http://h' || h || '.example.com/p' || p || '/two', " +
+        "'h' || h || '.example.com' FROM d) " +
+        "SELECT url_norm, host FROM u ORDER BY url_norm"),
     // q272: the lint-hazard moduli replayed — valid rows (content not
     // NULL) carry lag/first/last windows, invalid rows only count
     "q272_chat_lint" ->

@@ -476,8 +476,10 @@ object Bench {
     "q267_stream_crawl_loop",
     // q274 is a two-micro-batch maintained-view harness (the q197
     // shape: per-batch state read + atomic rewrite + checkpointed
-    // scheduling between batches) — tagged before its floor lands
-    "q274_stream_preference_pairs")
+    // scheduling between batches) and q276 a two-micro-batch frontier
+    // ingest (the q246/q208 shape) — both tagged before their floors
+    // land
+    "q274_stream_preference_pairs", "q276_stream_sitemap_frontier")
 
   /** Machine calibration canaries: stable, mid-weight queries spanning the
     * engine's plan shapes (pushed scan, window, LSH join, stream, fill).

@@ -2843,7 +2843,7 @@ object Main {
       // the SFT QA gate: one row of structural counters per
       // conversation; --failed-only true keeps just the rows a
       // cleanup queue wants
-      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions.{coalesce, col, lit}
       val linted = spark.read.parquet(conversations)
         .select(col(id), graft.text.Chat.lint(col(messages)).as("l"))
         .select(col(id), col("l.n_valid").as("n_valid"),
@@ -2853,7 +2853,11 @@ object Main {
           col("l.same_role_pairs").as("same_role_pairs"),
           col("l.empty_turns").as("empty_turns"),
           col("l.passed").as("passed"))
-      (if (failedOnly) linted.filter(!col("passed")) else linted)
+      // NULL lint (a NULL messages array) must land in the failure
+      // queue, not vanish: !NULL is NULL and would filter the
+      // most-broken rows out of --failed-only silently
+      (if (failedOnly) linted.filter(!coalesce(col("passed"), lit(false)))
+       else linted)
         .write.mode("overwrite").parquet(out)
       0
 

@@ -35,15 +35,28 @@ import org.apache.spark.sql.functions._
   * batch miner over everything that has arrived. */
 object Preference {
 
-  /** The chosen-side ordering key: highest score, ties to the LOWEST
-    * id (max of (score, −id)). */
+  /** Both sides are MINIMA under a total order, so the id needs no
+    * arithmetic (ids are often strings — UUID rollout ids must
+    * tie-break identically on both sides, which a negated-id max key
+    * would silently break by casting to NULL): the chosen side
+    * minimizes (−score, id) — highest score, ties to the LOWEST id —
+    * and the rejected side minimizes (score, id). Only the SCORE is
+    * negated, and scores are required numeric up front. */
   private def bestKey(score: Column, id: Column): Column =
-    struct(score.as("s"), negate(id).as("i"))
+    struct(negate(score).as("s"), id.as("i"))
 
-  /** The rejected-side ordering key: lowest score, ties to the lowest
-    * id (min of (score, id)). */
   private def worstKey(score: Column, id: Column): Column =
     struct(score.as("s"), id.as("i"))
+
+  /** Scores carry arithmetic (negation here, centering in
+    * [[groupAdvantages]]) — a string score column would silently cast
+    * instead of failing, so reject it at the API. */
+  private def requireNumericScore(df: DataFrame, scoreCol: String,
+                                  op: String): Unit = {
+    val dt = df.schema(scoreCol).dataType
+    require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"Preference.$op: score column '$scoreCol' must be numeric, got ${dt.simpleString}")
+  }
 
   /** Per-prompt candidate state:
     * `(promptCol, ch struct<id,text,score>, rj struct<id,text,score>,
@@ -53,12 +66,13 @@ object Preference {
     * `n_rollouts` counts SCORED rollouts. */
   def candidates(rollouts: DataFrame, promptCol: String, idCol: String,
                  textCol: String, scoreCol: String): DataFrame = {
+    requireNumericScore(rollouts, scoreCol, "candidates")
     val cand = struct(col(idCol).as("id"), col(textCol).as("text"),
       col(scoreCol).as("score"))
     rollouts.where(col(scoreCol).isNotNull)
       .groupBy(col(promptCol))
       .agg(
-        max_by(cand, bestKey(col(scoreCol), col(idCol))).as("ch"),
+        min_by(cand, bestKey(col(scoreCol), col(idCol))).as("ch"),
         min_by(cand, worstKey(col(scoreCol), col(idCol))).as("rj"),
         count(lit(1)).as("n_rollouts"))
   }
@@ -73,22 +87,18 @@ object Preference {
     val p = part.withColumnRenamed("ch", "__ch").withColumnRenamed("rj", "__rj")
       .withColumnRenamed("n_rollouts", "__n")
       .withColumnRenamed(promptCol, "__k")
-    def by(key: (Column, Column) => Column)(a: Column, b: Column): Column =
+    // both sides pick the key-MINIMAL candidate (the [[bestKey]]/
+    // [[worstKey]] convention) — one comparator, two keys
+    def minBy(key: (Column, Column) => Column)(a: Column, b: Column): Column =
       when(a.isNull, b).when(b.isNull, a)
-        .when(key(a.getField("score"), a.getField("id")) >=
+        .when(key(a.getField("score"), a.getField("id")) <=
           key(b.getField("score"), b.getField("id")), a)
         .otherwise(b)
     prev.join(p, prev(promptCol) <=> p("__k"), "full_outer")
       .select(
         coalesce(prev(promptCol), p("__k")).as(promptCol),
-        by(bestKey)(prev("ch"), p("__ch")).as("ch"),
-        // the rejected side keeps the MINIMUM: flip via the same
-        // comparator by preferring the side that does NOT win worstKey
-        when(prev("rj").isNull, p("__rj")).when(p("__rj").isNull, prev("rj"))
-          .when(worstKey(prev("rj").getField("score"), prev("rj").getField("id")) <=
-            worstKey(p("__rj").getField("score"), p("__rj").getField("id")),
-            prev("rj"))
-          .otherwise(p("__rj")).as("rj"),
+        minBy(bestKey)(prev("ch"), p("__ch")).as("ch"),
+        minBy(worstKey)(prev("rj"), p("__rj")).as("rj"),
         (coalesce(prev("n_rollouts"), lit(0L)) + coalesce(p("__n"), lit(0L)))
           .as("n_rollouts"))
   }
@@ -134,6 +144,7 @@ object Preference {
     * [[candidates]]. */
   def groupAdvantages(rollouts: DataFrame, promptCol: String, idCol: String,
                       scoreCol: String): DataFrame = {
+    requireNumericScore(rollouts, scoreCol, "groupAdvantages")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(promptCol))
     rollouts.where(col(scoreCol).isNotNull)
       .select(col(promptCol), col(idCol), col(scoreCol),

@@ -972,10 +972,12 @@ class PlanShapeSpec extends SparkSpec {
     // formulation would shuffle the rollout table whole (or twice)
     assert(!p.contains("Window"), s"best/worst must not plan a window:\n$p")
     assert(!p.contains("Join"), s"best/worst must not self-join:\n$p")
-    val partialIdx = p.indexOf("partial_max_by")
+    // both sides are min_by under inverted/plain keys (no id arithmetic
+    // — string ids must tie-break identically on both sides)
+    val partialIdx = p.indexOf("partial_min_by")
     val exchangeIdx = p.indexOf("Exchange hashpartitioning")
     assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
-      s"expected map-side partial max_by below the prompt exchange:\n$p")
+      s"expected map-side partial min_by below the prompt exchange:\n$p")
     // exactly one keyed exchange: the prompt key
     assert(p.indexOf("Exchange hashpartitioning", exchangeIdx + 1) < 0,
       s"expected ONE keyed exchange:\n$p")

@@ -1659,19 +1659,25 @@ class MainSpec extends SparkSpec {
         StructField("role", StringType), StructField("content", StringType)))))))
     spark.createDataFrame(spark.sparkContext.parallelize(Seq(
       Row(1L, Seq(Row("user", "hi"), Row("assistant", "yo"))),
-      Row(2L, Seq(Row("user", "a"), Row("user", "b"), Row("assistant", "c"))))),
+      Row(2L, Seq(Row("user", "a"), Row("user", "b"), Row("assistant", "c"))),
+      // NULL messages array: the most-broken shape — must reach the
+      // failure queue, not vanish behind !NULL
+      Row(3L, null))),
       schema).write.parquet(s"$tmp/conv")
     assert(Main.run(spark, Array("chat-lint", "--conversations", s"$tmp/conv",
       "--id", "id", "--messages", "msgs", "--out", s"$tmp/all")) === 0)
     val all = spark.read.parquet(s"$tmp/all").collect()
       .map(r => r.getAs[Long]("id") ->
-        (r.getAs[Boolean]("passed"), r.getAs[Int]("same_role_pairs"))).toMap
-    assert(all === Map(1L -> ((true, 0)), 2L -> ((false, 1))))
+        (Option(r.getAs[java.lang.Boolean]("passed")),
+          Option(r.getAs[java.lang.Integer]("same_role_pairs")))).toMap
+    assert(all === Map(
+      1L -> ((Some(true), Some(0))), 2L -> ((Some(false), Some(1))),
+      3L -> ((None, None))))
     assert(Main.run(spark, Array("chat-lint", "--conversations", s"$tmp/conv",
       "--id", "id", "--messages", "msgs", "--failed-only", "true",
       "--out", s"$tmp/bad")) === 0)
     assert(spark.read.parquet(s"$tmp/bad").collect()
-      .map(_.getAs[Long]("id")).toSeq === Seq(2L))
+      .map(_.getAs[Long]("id")).toSet === Set(2L, 3L))
     assert(Main.run(spark, Array("chat-lint", "--conversations", s"$tmp/conv",
       "--id", "id", "--out", s"$tmp/x")) === 2) // --messages missing
   }

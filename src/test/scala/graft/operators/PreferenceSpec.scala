@@ -70,6 +70,39 @@ class PreferenceSpec extends SparkSpec {
     assert(got(6L) === ((1L, 0.0, 0.0)) && !got.contains(7L))
   }
 
+  test("string ids tie-break identically on both sides (no id arithmetic)") {
+    // UUID-shaped rollout ids: a negated-id ordering key would cast to
+    // NULL and make tied winners partition-order-dependent
+    val d = Seq(
+      ("p1", "b-late", "hi-b", 9.0), ("p1", "a-early", "hi-a", 9.0),
+      ("p1", "d-late", "lo-d", 1.0), ("p1", "c-early", "lo-c", 1.0))
+      .toDF("prompt_id", "completion_id", "completion", "score")
+    val got = Preference.pairs(d, "prompt_id", "completion_id",
+      "completion", "score").head
+    assert(got.getString(1) === "a-early") // chosen: lexically lowest id
+    assert(got.getString(4) === "c-early") // rejected: lexically lowest id
+    // ... and the streamed merge resolves the same cross-batch tie
+    val merged = Preference.mergeCandidates(
+      Preference.candidates(d.limit(1), "prompt_id", "completion_id",
+        "completion", "score"),
+      Preference.candidates(d.offset(1), "prompt_id", "completion_id",
+        "completion", "score"),
+      "prompt_id")
+    val m = Preference.pairsFromCandidates(merged, "prompt_id").head
+    assert(m.getString(1) === "a-early" && m.getString(4) === "c-early")
+  }
+
+  test("a non-numeric score column fails loud (it would silently cast)") {
+    val d = Seq((1L, 1L, "a", "9.0"))
+      .toDF("prompt_id", "completion_id", "completion", "score")
+    for (thunk <- Seq(
+      () => Preference.pairs(d, "prompt_id", "completion_id", "completion", "score"),
+      () => Preference.groupAdvantages(d, "prompt_id", "completion_id", "score"))) {
+      val e = intercept[IllegalArgumentException](thunk())
+      assert(e.getMessage.contains("must be numeric"))
+    }
+  }
+
   test("a negative minMargin fails loud") {
     val e = intercept[IllegalArgumentException] {
       mine(rollouts((1L, 1L, "a", 1.0)), minMargin = -1.0)

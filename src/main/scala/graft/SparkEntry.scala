@@ -7153,6 +7153,30 @@ object SparkEntry {
         "prompt_id", "completion_id", "score")
         .orderBy("prompt_id", "completion_id")),
 
+    // q277: character loss spans → TOKEN-level mask — the step q269's
+    // contract promises: per assistant turn, the [tok_start, tok_end)
+    // token-INDEX interval of the engine's tokens that lie fully
+    // inside its character span. TokenSpans (codegen'd positions —
+    // regexp_extract_all returns strings only) over the rendered text,
+    // then per-row array arithmetic; zero shuffle. Under the template
+    // no token straddles a content boundary (the markers break every
+    // run), so the interval is exactly the turn's content tokens —
+    // the oracle replays cumulative per-piece token counts (role word
+    // + content tokens + 'end') as a window sum, the q269 shape in
+    // token units
+    "q277_token_loss_mask" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id").cast(LongType).as("doc_id"),
+          chatPlantedMessages.as("msgs"))
+        .select(col("doc_id"),
+          graft.text.Chat.render(col("msgs")).as("rendered"),
+          graft.text.Chat.assistantSpans(col("msgs")).as("sp"))
+        .select(col("doc_id"), explode(graft.text.Chat.tokenMask(
+          graft.functions.TokenSpans(col("rendered")), col("sp"))).as("m"))
+        .select(col("doc_id"), col("m.turn").cast(LongType).as("turn"),
+          col("m.tok_start").as("tok_start"), col("m.tok_end").as("tok_end"))
+        .orderBy("doc_id", "turn")),
+
     // q276: streaming SITEMAP-SEEDED frontier — the crawl-seeding
     // composition q273 parses for: sitemap documents arrive in
     // micro-batches (a real crawler fetches them over time), each
@@ -8784,6 +8808,26 @@ object SparkEntry {
         "sum(score) OVER w * sum(score) OVER w AS BIGINT) AS var_num " +
         "FROM r WINDOW w AS (PARTITION BY prompt_id) " +
         "ORDER BY prompt_id, completion_id"),
+    // q277: the q269 planted CTE in TOKEN units — cumulative
+    // (role-word + content + 'end') token counts as a window sum,
+    // assistant rows emit their content's token-index interval
+    "q277_token_loss_mask" ->
+      ("WITH c AS (SELECT doc_id, text, CAST(u.i AS INT) AS i FROM documents, " +
+        "LATERAL unnest(range(0, doc_id % 3 + 2)) AS u(i)), " +
+        "r AS (SELECT doc_id, i, " +
+        "CASE WHEN i = 0 AND doc_id % 4 = 0 THEN 'system' " +
+        "WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, " +
+        "'c' || CAST(i AS VARCHAR) || ' ' || substr(text, CAST(1 + i * 25 AS INT), 25) AS content FROM c), " +
+        "o AS (SELECT doc_id, i, role, " +
+        "len(regexp_extract_all(role, '[a-z0-9]+')) AS ptoks, " +
+        "len(regexp_extract_all(lower(content), '[a-z0-9]+')) AS ctoks FROM r), " +
+        "w AS (SELECT doc_id, i, role, ptoks, ctoks, " +
+        "coalesce(sum(ptoks + ctoks + 1) OVER (PARTITION BY doc_id ORDER BY i " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM o) " +
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(i AS BIGINT) AS turn, " +
+        "CAST(cum + ptoks AS BIGINT) AS tok_start, " +
+        "CAST(cum + ptoks + ctoks AS BIGINT) AS tok_end " +
+        "FROM w WHERE role = 'assistant' ORDER BY doc_id, turn"),
     // q276: the admitted frontier SET stated outright — distinct
     // urlset page locs of the non-sitemapindex docs (child-sitemap
     // locs seed nothing; the planted URLs are canonical fixed points)

@@ -123,7 +123,7 @@ object Main {
       "       warc-export --corpus <parquet> --file-col <col> --id <col> --text <col> --date <iso8601> --out <parquetDir> [--url <col>] [--gzip false]\n" +
       "       outlinks --pages <parquet> --id <col> --html <col> --out <parquetDir> (--url <col> | --raw true)\n" +
       "       robots-sitemaps --robots <parquet keyed by --host col> --host <col> --out <parquetDir> [--txt <col>]\n" +
-      "       chat-render --conversations <parquet> --id <col> --messages <array<struct<role,content>> col> --out <parquetDir> [--spans true] [--max-tokens <n>]\n" +
+      "       chat-render --conversations <parquet> --id <col> --messages <array<struct<role,content>> col> --out <parquetDir> [--spans true] [--token-masks true] [--max-tokens <n>]\n" +
       "       chat-lint --conversations <parquet> --id <col> --messages <array<struct<role,content>> col> --out <parquetDir> [--failed-only true]\n" +
       "       sitemap-entries --sitemaps <parquet> --id <col> --xml <sitemap document col> --out <parquetDir> [--kind url|sitemap]\n" +
       "       preference-pairs --rollouts <parquet> --prompt <col> --out <parquetDir> (--id <col> --text <col> --score <col> | --from-state true) [--min-margin <x>]\n" +
@@ -218,6 +218,7 @@ object Main {
                                        txt: String, out: String) extends Cmd
   private case class ChatRenderCmd(conversations: String, id: String,
                                    messages: String, spans: Boolean,
+                                   tokenMasks: Boolean,
                                    budget: Option[Long],
                                    out: String) extends Cmd
   private case class ChatLintCmd(conversations: String, id: String,
@@ -1233,13 +1234,15 @@ object Main {
         id <- req(opts, "chat-render", "id")
         messages <- req(opts, "chat-render", "messages")
         spans <- optBool(opts, "chat-render", "spans", dflt = false)
+        tokenMasks <- optBool(opts, "chat-render", "token-masks", dflt = false)
         budget <- opts.get("max-tokens") match {
           case None => Right(None)
           case Some(b) => b.toLongOption.filter(_ >= 0).map(Some(_))
             .toRight(s"chat-render: --max-tokens must be a non-negative long, got $b")
         }
         out <- req(opts, "chat-render", "out")
-      } yield ChatRenderCmd(conversations, id, messages, spans, budget, out)
+      } yield ChatRenderCmd(conversations, id, messages, spans, tokenMasks,
+        budget, out)
     case "chat-lint" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -2808,10 +2811,13 @@ object Main {
         .write.mode("overwrite").parquet(out)
       0
 
-    case ChatRenderCmd(conversations, id, messages, spans, budget, out) =>
+    case ChatRenderCmd(conversations, id, messages, spans, tokenMasks,
+                       budget, out) =>
       // SFT data prep: turn lists -> rendered chat-template text; with
       // --spans true, also the assistant-turn loss-mask spans
-      // (code-point offsets); --max-tokens fits each conversation to
+      // (code-point offsets); --token-masks true adds the TOKEN-index
+      // intervals (TokenSpans over the rendering, the trainer's final
+      // mask unit); --max-tokens fits each conversation to
       // the budget FIRST (assistant-ending prefix; budget-empty
       // conversations drop). Under --max-tokens the output also carries
       // the FITTED `messages` array — span turn indexes refer to the
@@ -2827,16 +2833,20 @@ object Main {
             .filter(size(col("__m")) > 0)
         case None => raw.withColumn("__m", col(messages))
       }
-      val base =
-        if (spans)
-          c.select(col(id), graft.text.Chat.render(col("__m")).as("rendered"),
-            graft.text.Chat.assistantSpans(col("__m")).as("loss_spans"),
-            col("__m").as("messages"))
-        else
-          c.select(col(id), graft.text.Chat.render(col("__m")).as("rendered"),
-            col("__m").as("messages"))
-      (if (fitted) base else base.drop("messages"))
-        .write.mode("overwrite").parquet(out)
+      val withText = c
+        .withColumn("rendered", graft.text.Chat.render(col("__m")))
+      val withSpans =
+        if (spans || tokenMasks)
+          withText.withColumn("__sp",
+            graft.text.Chat.assistantSpans(col("__m")))
+        else withText
+      val cols = Seq(col(id), col("rendered")) ++
+        (if (spans) Seq(col("__sp").as("loss_spans")) else Nil) ++
+        (if (tokenMasks) Seq(graft.text.Chat.tokenMask(
+          graft.functions.TokenSpans(col("rendered")), col("__sp"))
+          .as("token_masks")) else Nil) ++
+        (if (fitted) Seq(col("__m").as("messages")) else Nil)
+      withSpans.select(cols: _*).write.mode("overwrite").parquet(out)
       0
 
     case ChatLintCmd(conversations, id, messages, failedOnly, out) =>

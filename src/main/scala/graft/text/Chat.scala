@@ -99,6 +99,43 @@ object Chat {
     folded.getField("best")
   }
 
+  /** Character loss spans → TOKEN-level mask — the translation step
+    * [[assistantSpans]]'s scaladoc promises: the trainer ultimately
+    * unmasks TOKENS, so each [start, end) character span becomes the
+    * [tok_start, tok_end) TOKEN-INDEX interval of the engine's tokens
+    * ([[graft.functions.TokenSpans]] positions, same code-point units
+    * as the spans — no conversion) that lie FULLY inside it. The
+    * boundary rule is conservative: a token straddling either edge
+    * stays MASKED (training on half a token teaches noise) —
+    * `tok_start` counts tokens starting before the span, `tok_end`
+    * counts tokens ending inside-or-at its end, and a span smaller
+    * than the token containing it clamps to an empty interval. Under
+    * the chat template no token ever straddles (the `<|`/`|>`/newline
+    * markers break every run at the content boundary), so the interval
+    * is exactly the turn's content tokens — the graded q277 law.
+    *
+    * Per-row array work over two already-computed arrays (|spans| ×
+    * |tokens| filter passes — conversations are context-window-sized
+    * by construction), zero shuffle, codegen'd. NULL in either input
+    * is NULL out. */
+  def tokenMask(tokenSpans: Column, lossSpans: Column): Column =
+    when(tokenSpans.isNull || lossSpans.isNull,
+      lit(null).cast(ArrayType(StructType(Seq(
+        StructField("turn", IntegerType),
+        StructField("tok_start", LongType),
+        StructField("tok_end", LongType))))))
+      .otherwise(transform(lossSpans, sp => {
+        val before = size(filter(tokenSpans,
+          t => t.getField("start") < sp.getField("span_start")))
+          .cast(LongType)
+        val upto = size(filter(tokenSpans,
+          t => t.getField("end") <= sp.getField("span_end")))
+          .cast(LongType)
+        struct(sp.getField("turn").as("turn"),
+          before.as("tok_start"),
+          greatest(before, upto).as("tok_end"))
+      }))
+
   /** Conversation lint — the QA gate synthetic / vendor SFT data runs
     * BEFORE rendering (a malformed conversation that reaches the
     * trainer wastes its whole context window): one struct of structural

@@ -983,6 +983,16 @@ class PlanShapeSpec extends SparkSpec {
       s"expected ONE keyed exchange:\n$p")
   }
 
+  test("q277 token mask: narrow projection around the codegen'd token positions") {
+    val p = plan("q277_token_loss_mask")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the mask must not shuffle the corpus:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"span→token translation is per-row array arithmetic:\n$p")
+    assert(p.contains("tokenspans"),
+      s"expected the codegen'd token-position expression:\n$p")
+  }
+
   test("q275 group advantages: one prompt exchange feeding one Window, no join") {
     val p = plan("q275_group_advantage")
     // per-rollout output with group stats attached: the window IS the

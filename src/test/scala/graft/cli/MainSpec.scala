@@ -1648,6 +1648,17 @@ class MainSpec extends SparkSpec {
     assert(Main.run(spark, Array("chat-render", "--conversations", s"$tmp/conv",
       "--id", "id", "--messages", "msgs", "--max-tokens", "-3",
       "--out", s"$tmp/x")) === 2)
+    // --token-masks adds the token-index intervals without --spans:
+    // doc 1 renders user|a|b|end|assistant|ok|then|end -> 'ok then' = [5,7)
+    assert(Main.run(spark, Array("chat-render", "--conversations", s"$tmp/conv",
+      "--id", "id", "--messages", "msgs", "--token-masks", "true",
+      "--out", s"$tmp/tok")) === 0)
+    val tok = spark.read.parquet(s"$tmp/tok")
+    assert(!tok.columns.contains("loss_spans"))
+    val masks = tok.filter(tok("id") === 1L).head
+      .getSeq[Row](tok.columns.indexOf("token_masks"))
+      .map(m => (m.getLong(1), m.getLong(2)))
+    assert(masks === Seq((5L, 7L)))
   }
 
   test("chat-lint: counters, --failed-only queue, usage errors") {

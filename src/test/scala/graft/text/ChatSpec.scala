@@ -134,6 +134,32 @@ class ChatSpec extends SparkSpec {
     assert(r2.isNullAt(0) && r2.isNullAt(1))
   }
 
+  test("tokenMask: the token-index interval is exactly the turn's content tokens; straddlers clamp") {
+    import graft.functions.TokenSpans
+    val d = df(Row(1L, Seq(Row("user", "what is 2+2?"),
+      Row("assistant", "it is four"), Row("assistant", "ok"))))
+    val r = d.select(Chat.render(col("msgs")).as("rendered"),
+      Chat.tokenMask(TokenSpans(Chat.render(col("msgs"))),
+        Chat.assistantSpans(col("msgs"))).as("m")).head
+    val masks = r.getSeq[Row](1).map(m =>
+      (m.getInt(0), m.getLong(1), m.getLong(2)))
+    // rendered tokens: user|what|is|2|2|end|assistant|it|is|four|end|assistant|ok|end
+    //                  0    1    2  3 4 5   6         7  8  9    10  11        12 13
+    assert(masks === Seq((1, 7L, 10L), (2, 12L, 13L)))
+    // degenerate span INSIDE one token clamps to empty, never negative
+    val clamped = d.select(Chat.tokenMask(
+      TokenSpans(Chat.render(col("msgs"))),
+      // a fake 1-char span strictly inside the 'what' token
+      array(struct(lit(1).as("turn"), lit(10L).as("span_start"),
+        lit(11L).as("span_end")))).as("m")).head.getSeq[Row](0)
+    assert(clamped.map(m => (m.getLong(1), m.getLong(2)))
+      .forall { case (s, e) => e === s })
+    // NULL propagation
+    val n = d.select(Chat.tokenMask(TokenSpans(lit(null).cast("string")),
+      Chat.assistantSpans(col("msgs")))).head
+    assert(n.isNullAt(0))
+  }
+
   test("lint: counters, the gate, and the valid-subsequence adjacency law") {
     val d = df(
       // clean two-turn conversation: everything passes

@@ -7523,7 +7523,7 @@ object SparkEntry {
       "CAST(ch.score AS BIGINT) AS chosen_score, " +
       "CAST(rj.completion_id AS BIGINT) AS rejected_id, rj.completion AS rejected, " +
       "CAST(rj.score AS BIGINT) AS rejected_score, " +
-      "CAST(ch.score - rj.score AS BIGINT) AS margin, " +
+      "CAST(ch.score - rj.score AS DOUBLE) AS margin, " +
       "CAST(ch.n AS BIGINT) AS n_rollouts " +
       "FROM c ch JOIN c rj ON ch.prompt_id = rj.prompt_id AND ch.rc = 1 AND rj.rr = 1 " +
       "WHERE ch.score - rj.score > 0 AND ch.score - rj.score >= 4 " +

@@ -63,9 +63,20 @@ object TokenSpans {
     StructField("start", LongType, nullable = false),
     StructField("end", LongType, nullable = false))), containsNull = false)
 
-  private def isToken(cp: Int): Boolean =
-    (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
-      (cp >= '0' && cp <= '9')
+  /** Classification matches [[graft.text.TextAnalysis]]'s
+    * lower-then-[a-z0-9] counter per CODE POINT: `Character.toLowerCase`
+    * maps 1:1 oddities like U+212A KELVIN SIGN → 'k' the same way
+    * String lowercasing does, so counts agree wherever lowercasing is
+    * LENGTH-PRESERVING. The handful of 1:N special casings (U+0130 İ →
+    * 'i' + combining dot) cannot agree positionally with any
+    * offset-preserving tokenizer — there this side counts the İ run as
+    * one token where the string-lowercase counter may split it; the
+    * offsets (the whole point of this expression) stay correct for the
+    * ORIGINAL text either way. */
+  private def isToken(cp: Int): Boolean = {
+    val l = Character.toLowerCase(cp)
+    (l >= 'a' && l <= 'z') || (l >= '0' && l <= '9')
+  }
 
   /** Shared eval/codegen core: one walk over the code points,
     * accumulating maximal token runs. Supplementary-plane code points

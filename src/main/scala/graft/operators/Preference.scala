@@ -35,27 +35,45 @@ import org.apache.spark.sql.functions._
   * batch miner over everything that has arrived. */
 object Preference {
 
+  import org.apache.spark.sql.types._
+
   /** Both sides are MINIMA under a total order, so the id needs no
     * arithmetic (ids are often strings — UUID rollout ids must
     * tie-break identically on both sides, which a negated-id max key
     * would silently break by casting to NULL): the chosen side
     * minimizes (−score, id) — highest score, ties to the LOWEST id —
     * and the rejected side minimizes (score, id). Only the SCORE is
-    * negated, and scores are required numeric up front. */
-  private def bestKey(score: Column, id: Column): Column =
-    struct(negate(score).as("s"), id.as("i"))
+    * negated, WIDENED first for integral types: `-MinValue` overflows
+    * its own type (an ANSI-mode crash, a silently inverted ranking
+    * otherwise), and DecimalType(20,0) holds every ±2⁶³ value exactly
+    * with the same ordering. */
+  private def bestKey(dt: DataType)(score: Column, id: Column): Column = {
+    val widened = dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        score.cast(DecimalType(20, 0))
+      case _ => score
+    }
+    struct(negate(widened).as("s"), id.as("i"))
+  }
 
   private def worstKey(score: Column, id: Column): Column =
     struct(score.as("s"), id.as("i"))
 
   /** Scores carry arithmetic (negation here, centering in
     * [[groupAdvantages]]) — a string score column would silently cast
-    * instead of failing, so reject it at the API. */
-  private def requireNumericScore(df: DataFrame, scoreCol: String,
-                                  op: String): Unit = {
-    val dt = df.schema(scoreCol).dataType
-    require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+    * instead of failing, so reject it at the API. Resolution follows
+    * the session's resolver (case-insensitive by default — a
+    * case-sensitive schema lookup would reject names `col()` accepts). */
+  private def scoreType(df: DataFrame, scoreCol: String,
+                        op: String): DataType = {
+    val resolver = df.sparkSession.sessionState.analyzer.resolver
+    val dt = df.schema.fields.find(f => resolver(f.name, scoreCol))
+      .map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"Preference.$op: score column '$scoreCol' not found in ${df.schema.fieldNames.mkString(", ")}"))
+    require(dt.isInstanceOf[NumericType],
       s"Preference.$op: score column '$scoreCol' must be numeric, got ${dt.simpleString}")
+    dt
   }
 
   /** Per-prompt candidate state:
@@ -66,13 +84,13 @@ object Preference {
     * `n_rollouts` counts SCORED rollouts. */
   def candidates(rollouts: DataFrame, promptCol: String, idCol: String,
                  textCol: String, scoreCol: String): DataFrame = {
-    requireNumericScore(rollouts, scoreCol, "candidates")
+    val dt = scoreType(rollouts, scoreCol, "candidates")
     val cand = struct(col(idCol).as("id"), col(textCol).as("text"),
       col(scoreCol).as("score"))
     rollouts.where(col(scoreCol).isNotNull)
       .groupBy(col(promptCol))
       .agg(
-        min_by(cand, bestKey(col(scoreCol), col(idCol))).as("ch"),
+        min_by(cand, bestKey(dt)(col(scoreCol), col(idCol))).as("ch"),
         min_by(cand, worstKey(col(scoreCol), col(idCol))).as("rj"),
         count(lit(1)).as("n_rollouts"))
   }
@@ -87,6 +105,10 @@ object Preference {
     val p = part.withColumnRenamed("ch", "__ch").withColumnRenamed("rj", "__rj")
       .withColumnRenamed("n_rollouts", "__n")
       .withColumnRenamed(promptCol, "__k")
+    // the stored candidate's score field carries the rollouts' score
+    // type — the SAME widened best key as [[candidates]] keeps the
+    // merge order-equivalent to the partial's min_by
+    val dt = prev.schema("ch").dataType.asInstanceOf[StructType]("score").dataType
     // both sides pick the key-MINIMAL candidate (the [[bestKey]]/
     // [[worstKey]] convention) — one comparator, two keys
     def minBy(key: (Column, Column) => Column)(a: Column, b: Column): Column =
@@ -97,7 +119,7 @@ object Preference {
     prev.join(p, prev(promptCol) <=> p("__k"), "full_outer")
       .select(
         coalesce(prev(promptCol), p("__k")).as(promptCol),
-        minBy(bestKey)(prev("ch"), p("__ch")).as("ch"),
+        minBy(bestKey(dt))(prev("ch"), p("__ch")).as("ch"),
         minBy(worstKey)(prev("rj"), p("__rj")).as("rj"),
         (coalesce(prev("n_rollouts"), lit(0L)) + coalesce(p("__n"), lit(0L)))
           .as("n_rollouts"))
@@ -107,16 +129,27 @@ object Preference {
     * the maintained state): one row per prompt whose margin (chosen −
     * rejected score) is strictly positive AND ≥ `minMargin`; a prompt
     * whose rollouts all tie yields no pair (no preference signal
-    * exists). */
+    * exists). `margin` is emitted as DOUBLE, computed through the
+    * decimal widening for integral scores — a raw typed subtraction
+    * overflows under ANSI when the span touches a MinValue sentinel —
+    * so it is exact below 2⁵³ and merely rounded (never wrong-signed,
+    * never a crash) beyond. */
   def pairsFromCandidates(cands: DataFrame, promptCol: String,
                           minMargin: Double = 0.0): DataFrame = {
     require(minMargin >= 0, s"Preference: minMargin must be >= 0, got $minMargin")
+    val dt = cands.schema("ch").dataType.asInstanceOf[StructType]("score").dataType
+    def widen(c: Column): Column = dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        c.cast(DecimalType(20, 0))
+      case _ => c
+    }
     cands.select(col(promptCol),
       col("ch.id").as("chosen_id"), col("ch.text").as("chosen"),
       col("ch.score").as("chosen_score"),
       col("rj.id").as("rejected_id"), col("rj.text").as("rejected"),
       col("rj.score").as("rejected_score"),
-      (col("ch.score") - col("rj.score")).as("margin"),
+      (widen(col("ch.score")) - widen(col("rj.score")))
+        .cast(DoubleType).as("margin"),
       col("n_rollouts"))
       .where(col("margin") > 0 && col("margin") >= minMargin)
   }
@@ -144,7 +177,7 @@ object Preference {
     * [[candidates]]. */
   def groupAdvantages(rollouts: DataFrame, promptCol: String, idCol: String,
                       scoreCol: String): DataFrame = {
-    requireNumericScore(rollouts, scoreCol, "groupAdvantages")
+    scoreType(rollouts, scoreCol, "groupAdvantages")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(promptCol))
     rollouts.where(col(scoreCol).isNotNull)
       .select(col(promptCol), col(idCol), col(scoreCol),

@@ -28,6 +28,15 @@ class TokenSpansSpec extends SparkSpec {
     assert(spansOf("a😀 ok") === Seq((0L, 1L), (3L, 5L)))
   }
 
+  test("1:1 unicode lowercasing agrees with the lower()-based counter (Kelvin sign)") {
+    // U+212A KELVIN SIGN lowercases to 'k': a raw ASCII-range class
+    // would split "aKb" into two runs where tokenCount sees one
+    val (n, k) = Seq("aKb c").toDF("t")
+      .select(graft.text.TextAnalysis.tokenCount(col("t")),
+        size(TokenSpans(col("t")))).as[(Long, Int)].head()
+    assert(n === 2L && k === 2)
+  }
+
   test("edges: empty, no tokens, all tokens, trailing run, NULL") {
     assert(spansOf("") === Seq.empty)
     assert(spansOf("!?  —") === Seq.empty)

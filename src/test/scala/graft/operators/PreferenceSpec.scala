@@ -92,6 +92,26 @@ class PreferenceSpec extends SparkSpec {
     assert(m.getString(1) === "a-early" && m.getString(4) === "c-early")
   }
 
+  test("a MinValue score sentinel neither crashes (ANSI negate) nor inverts the ranking") {
+    val d = Seq((1L, 1L, "failed", Long.MinValue), (1L, 2L, "good", 5L),
+      (1L, 3L, "best", 9L))
+      .toDF("prompt_id", "completion_id", "completion", "score")
+    val got = Preference.pairs(d, "prompt_id", "completion_id",
+      "completion", "score").head
+    assert(got.getString(2) === "best" && got.getString(5) === "failed")
+  }
+
+  test("score column resolution is case-insensitive like col() itself") {
+    val d = Seq((1L, 1L, "a", 1.0), (1L, 2L, "b", 9.0))
+      .toDF("prompt_id", "completion_id", "completion", "Score")
+    assert(Preference.pairs(d, "prompt_id", "completion_id", "completion",
+      "score").head.getString(2) === "b")
+    val e = intercept[IllegalArgumentException] {
+      Preference.pairs(d, "prompt_id", "completion_id", "completion", "reward")
+    }
+    assert(e.getMessage.contains("not found"))
+  }
+
   test("a non-numeric score column fails loud (it would silently cast)") {
     val d = Seq((1L, 1L, "a", "9.0"))
       .toDF("prompt_id", "completion_id", "completion", "score")

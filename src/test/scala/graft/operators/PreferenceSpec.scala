@@ -123,6 +123,41 @@ class PreferenceSpec extends SparkSpec {
     }
   }
 
+  test("property: the candidate merge is order-invariant over any batch split (the q274 law)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val rolloutGen = for {
+      prompt <- Gen.choose(0L, 3L)
+      id <- Gen.choose(0L, 40L)
+      score <- Gen.choose(0L, 4L) // small range -> ties are common
+    } yield (prompt, id, s"t$id", score)
+    def cands(rows: Seq[(Long, Long, String, Long)]) =
+      Preference.candidates(rows.toDF("prompt_id", "completion_id",
+        "completion", "score"), "prompt_id", "completion_id",
+        "completion", "score")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        Option(r.getStruct(1)).map(s => (s.getLong(0), s.getLong(2))),
+        Option(r.getStruct(2)).map(s => (s.getLong(0), s.getLong(2))),
+        r.getLong(3))).toSet
+    val prop = Prop.forAll(Gen.nonEmptyListOf(rolloutGen),
+      Gen.choose(1, 5)) { (rows, cut0) =>
+      val cut = cut0 % rows.size
+      val (a, b) = rows.splitAt(cut)
+      val direct = snap(cands(rows))
+      // fold in BOTH orders: associative+commutative with deterministic
+      // tie-breaks means every fold order equals the one-shot build
+      val ab =
+        if (a.isEmpty || b.isEmpty) direct
+        else snap(Preference.mergeCandidates(cands(a), cands(b), "prompt_id"))
+      val ba =
+        if (a.isEmpty || b.isEmpty) direct
+        else snap(Preference.mergeCandidates(cands(b), cands(a), "prompt_id"))
+      ab == direct && ba == direct
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("a negative minMargin fails loud") {
     val e = intercept[IllegalArgumentException] {
       mine(rollouts((1L, 1L, "a", 1.0)), minMargin = -1.0)

@@ -7153,6 +7153,26 @@ object SparkEntry {
         "prompt_id", "completion_id", "score")
         .orderBy("prompt_id", "completion_id")),
 
+    // q278: margin-based bitext mining (LASER/CCMatrix) — the
+    // multilingual curation stage: two corpora in a shared embedding
+    // space (even/odd vec_id halves), pairs mined when MUTUAL BEST by
+    // cosine with the ratio margin (cos relative to both ends' top-4
+    // neighborhood means) clearing 1.047 (sits mid-gap in the planted margin distribution — 7e-3 from the nearest value, far beyond float noise; 2 of 125 mutual pairs drop, so the gate is exercised). Decisions are ordering-driven
+    // (argmax + ranked top-k means, lowest-id ties) — the q112
+    // precedent for cross-engine cosine replay; the margin column
+    // stays un-graded (float-boundary-sensitive), identities only.
+    // One broadcast cross pass + two keyed windows — the EXACT
+    // baseline; at scale knnJoinIvf shortlists feed the same rule
+    "q278_bitext_mine" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.similarity.Similarity.bitextMine(
+        e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", k = 4, marginMicros = 1047000L)
+        .select(col("src_id").cast(LongType).as("src_id"),
+          col("tgt_id").cast(LongType).as("tgt_id"))
+        .orderBy("src_id")
+    }),
+
     // q277: character loss spans → TOKEN-level mask — the step q269's
     // contract promises: per assistant turn, the [tok_start, tok_end)
     // token-INDEX interval of the engine's tokens that lie fully
@@ -8808,6 +8828,22 @@ object SparkEntry {
         "sum(score) OVER w * sum(score) OVER w AS BIGINT) AS var_num " +
         "FROM r WINDOW w AS (PARTITION BY prompt_id) " +
         "ORDER BY prompt_id, completion_id"),
+    // q278: the mining rule replayed — list_cosine_similarity cross
+    // scores, forward/backward row_number argmax, top-4 neighborhood
+    // means, mutual-best + ratio margin >= 1.047 (2c >= 1.047(favg+bavg))
+    "q278_bitext_mine" ->
+      ("WITH a AS (SELECT vec_id AS src_id, embedding AS av FROM embeddings WHERE vec_id % 2 = 0), " +
+        "b AS (SELECT vec_id AS tgt_id, embedding AS bv FROM embeddings WHERE vec_id % 2 = 1), " +
+        "s AS (SELECT src_id, tgt_id, list_cosine_similarity(av, bv) AS c FROM a, b), " +
+        "r AS (SELECT *, " +
+        "row_number() OVER (PARTITION BY src_id ORDER BY c DESC, tgt_id) AS rf, " +
+        "row_number() OVER (PARTITION BY tgt_id ORDER BY c DESC, src_id) AS rb FROM s), " +
+        "fa AS (SELECT src_id, avg(c) AS favg FROM r WHERE rf <= 4 GROUP BY src_id), " +
+        "ba AS (SELECT tgt_id, avg(c) AS bavg FROM r WHERE rb <= 4 GROUP BY tgt_id) " +
+        "SELECT CAST(r.src_id AS BIGINT) AS src_id, CAST(r.tgt_id AS BIGINT) AS tgt_id " +
+        "FROM r JOIN fa ON r.src_id = fa.src_id JOIN ba ON r.tgt_id = ba.tgt_id " +
+        "WHERE rf = 1 AND rb = 1 AND 2 * c >= 1.047 * (favg + bavg) " +
+        "ORDER BY src_id"),
     // q277: the q269 planted CTE in TOKEN units — cumulative
     // (role-word + content + 'end') token counts as a window sum,
     // assistant rows emit their content's token-index interval

@@ -129,6 +129,7 @@ object Main {
       "       preference-pairs --rollouts <parquet> --prompt <col> --out <parquetDir> (--id <col> --text <col> --score <col> | --from-state true) [--min-margin <x>]\n" +
       "       preference-ingest --source <parquetDir> --prompt <col> --id <col> --text <col> --score <col> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       group-advantage --rollouts <parquet> --prompt <col> --id <col> --score <col> --out <parquetDir>\n" +
+      "       bitext-mine --src <parquet> --tgt <parquet (smaller side: it broadcasts)> --id <col> --vec <col> --out <parquetDir> [--k <n>] [--margin-micros <m>]\n" +
       "       embed-decontaminate --corpus <parquet> --benchmark <parquet> --id <col> --vec <col> --threshold <cos> --out <parquetDir> [--scrub true | --cells <n> --nprobe <n>]\n" +
       "       embed-decon-gate --source <parquetDir> --benchmark <parquet> --id <col> --vec <col> --threshold <cos> --dest <storeDir> --table <t> --checkpoint <dir>\n" +
       "       cluster-balance --corpus <parquet> --id <col> --vec <col> --centroids <k> --cap <n> --out <parquetDir> [--iterations <n>]\n" +
@@ -240,6 +241,9 @@ object Main {
   private case class GroupAdvantageCmd(rollouts: String, prompt: String,
                                        id: String, score: String,
                                        out: String) extends Cmd
+  private case class BitextMineCmd(src: String, tgt: String, id: String,
+                                   vec: String, k: Int, marginMicros: Long,
+                                   out: String) extends Cmd
   private case class EmbedDeconCmd(corpus: String, benchmark: String,
                                    id: String, vec: String, threshold: Double,
                                    scrub: Boolean, ivf: Option[(Int, Int)],
@@ -1307,6 +1311,25 @@ object Main {
         score <- req(opts, "group-advantage", "score")
         out <- req(opts, "group-advantage", "out")
       } yield GroupAdvantageCmd(rollouts, prompt, id, score, out)
+    case "bitext-mine" :: rest =>
+      for {
+        opts <- parseOpts(rest)
+        src <- req(opts, "bitext-mine", "src")
+        tgt <- req(opts, "bitext-mine", "tgt")
+        id <- req(opts, "bitext-mine", "id")
+        vec <- req(opts, "bitext-mine", "vec")
+        k <- opts.get("k") match {
+          case None => Right(4)
+          case Some(v) => v.toIntOption.filter(_ >= 1)
+            .toRight(s"bitext-mine: --k must be a positive int, got $v")
+        }
+        margin <- opts.get("margin-micros") match {
+          case None => Right(1000000L)
+          case Some(v) => v.toLongOption.filter(_ >= 0)
+            .toRight(s"bitext-mine: --margin-micros must be a non-negative long, got $v")
+        }
+        out <- req(opts, "bitext-mine", "out")
+      } yield BitextMineCmd(src, tgt, id, vec, k, margin, out)
     case "embed-decontaminate" :: rest =>
       for {
         opts <- parseOpts(rest)
@@ -2906,6 +2929,16 @@ object Main {
       // (advantage = adv_num/n, z = adv_num/sqrt(var_num))
       graft.operators.Preference.groupAdvantages(
         spark.read.parquet(rollouts), prompt, id, score)
+        .write.mode("overwrite").parquet(out)
+      0
+
+    case BitextMineCmd(src, tgt, id, vec, k, marginMicros, out) =>
+      // multilingual curation: mutual-best pairs across two embedded
+      // corpora under the LASER ratio margin; put the smaller corpus
+      // on --tgt (it broadcasts into one cross pass)
+      graft.similarity.Similarity.bitextMine(
+        spark.read.parquet(src), spark.read.parquet(tgt), id, vec,
+        k, marginMicros)
         .write.mode("overwrite").parquet(out)
       0
 

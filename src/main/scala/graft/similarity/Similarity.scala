@@ -542,6 +542,68 @@ object Similarity {
         col("neighbor_id"))
   }
 
+  /** Margin-based bitext mining (the LASER/CCMatrix method — Artetxe &
+    * Schwenk's ratio margin): from two monolingual corpora embedded in
+    * a shared multilingual space, mine the sentence pairs a translation
+    * corpus is built from. Raw cosine is NOT comparable across
+    * neighborhoods (hubness: some vectors are everyone's neighbor), so
+    * each candidate is scored by its cosine RELATIVE to both ends'
+    * average top-`k` neighborhoods —
+    * `margin(x, y) = cos(x, y) / ((avgTopK_B(x) + avgTopK_A(y)) / 2)`
+    * — and a pair is mined only when it is MUTUAL BEST (y is x's
+    * forward argmax AND x is y's backward argmax; the intersection
+    * strategy) with margin ≥ `marginMicros` / 10⁶.
+    *
+    * Output: `(src_id, tgt_id, margin)` — margin as DOUBLE for
+    * downstream thresholding sweeps; decisions here are
+    * ORDERING-driven (argmax + ranked top-k means, ties to the lower
+    * id), the property that replays cross-engine.
+    *
+    * Scale shape: this is the EXACT baseline (the q112 convention —
+    * brute force graded, ANN as the scale path): the `b` side
+    * broadcasts into ONE scored cross pass (put the smaller corpus on
+    * `b`), then the scored table shuffles twice (per-src and per-tgt
+    * windows) — |A|×|B| intermediate rows, deliberate. At web scale,
+    * shortlist FIRST with [[knnJoinIvf]] in both directions and feed
+    * the candidate union through the same margin arithmetic; the
+    * mined-pair rule is unchanged, only candidate generation widens
+    * from exact to probed. Ids may collide ACROSS corpora (different
+    * languages number independently) — nothing here assumes a shared
+    * id space, unlike [[knnJoin]]'s self-corpus `query != neighbor`
+    * guard. */
+  def bitextMine(a: DataFrame, b: DataFrame, idCol: String, vecCol: String,
+                 k: Int, marginMicros: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"bitextMine: k must be >= 1, got $k")
+    require(marginMicros >= 0, s"bitextMine: marginMicros must be >= 0, got $marginMicros")
+    val qa = a.select(col(idCol).as("src_id"), col(vecCol).as("__av"))
+      .withColumn("__an", norm(col("__av")))
+      .filter(finitePositive(col("__an")))
+    val qb = b.select(col(idCol).as("tgt_id"), col(vecCol).as("__bv"))
+      .withColumn("__bn", norm(col("__bv")))
+      .filter(finitePositive(col("__bn")))
+    val scored = qa.crossJoin(broadcast(qb))
+      .withColumn("__cos",
+        dot(col("__av"), col("__bv")) / (col("__an") * col("__bn")))
+      .select(col("src_id"), col("tgt_id"), col("__cos"))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src_id")).orderBy(col("__cos").desc, col("tgt_id"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tgt_id")).orderBy(col("__cos").desc, col("src_id"))
+    val ranked = scored
+      .withColumn("__rf", row_number().over(wf))
+      .withColumn("__rb", row_number().over(wb))
+    val fAvg = ranked.filter(col("__rf") <= k)
+      .groupBy(col("src_id")).agg(avg(col("__cos")).as("__favg"))
+    val bAvg = ranked.filter(col("__rb") <= k)
+      .groupBy(col("tgt_id")).agg(avg(col("__cos")).as("__bavg"))
+    ranked.filter(col("__rf") === 1 && col("__rb") === 1)
+      .join(fAvg, "src_id").join(bAvg, "tgt_id")
+      .withColumn("margin",
+        col("__cos") * 2 / (col("__favg") + col("__bavg")))
+      .filter(col("margin") * 1000000 >= marginMicros)
+      .select(col("src_id"), col("tgt_id"), col("margin"))
+  }
+
   /** Ids of `batch` rows that have ANY `corpus` row at cosine >=
     * `threshold` — the embedding-space membership probe behind an ingest
     * dedup gate (the semantic analog of `Dedup.crossNearDupsHashed`'s

@@ -983,6 +983,17 @@ class PlanShapeSpec extends SparkSpec {
       s"expected ONE keyed exchange:\n$p")
   }
 
+  test("q278 bitext mining: one broadcast cross pass, windows on the scored stream only") {
+    val p = plan("q278_bitext_mine")
+    // the b corpus broadcasts into the a scan (the q112 exact-baseline
+    // convention) — a shuffled cartesian over both corpora would be the
+    // wrong plan at any scale
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the smaller corpus must broadcast into one cross pass:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"never a shuffled cartesian:\n$p")
+  }
+
   test("q277 token mask: narrow projection around the codegen'd token positions") {
     val p = plan("q277_token_loss_mask")
     assert(!p.contains("Exchange hashpartitioning"),

@@ -1762,6 +1762,23 @@ class MainSpec extends SparkSpec {
       "--out", s"$tmp/x")) === 2) // --id/--score required
   }
 
+  test("bitext-mine: mutual-best pairs under the ratio margin") {
+    val tmp = Files.createTempDirectory("graft_cli_bt").toString
+    Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$tmp/src")
+    Seq((1L, Array(0.99f, 0.1f)), (2L, Array(0.1f, 0.99f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$tmp/tgt")
+    assert(Main.run(spark, Array("bitext-mine", "--src", s"$tmp/src",
+      "--tgt", s"$tmp/tgt", "--id", "vec_id", "--vec", "embedding",
+      "--k", "2", "--margin-micros", "0", "--out", s"$tmp/pairs")) === 0)
+    assert(spark.read.parquet(s"$tmp/pairs").collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("tgt_id"))).toSet
+      === Set((1L, 1L), (2L, 2L)))
+    assert(Main.run(spark, Array("bitext-mine", "--src", s"$tmp/src",
+      "--tgt", s"$tmp/tgt", "--id", "vec_id", "--vec", "embedding",
+      "--k", "0", "--out", s"$tmp/x")) === 2) // k must be positive
+  }
+
   test("preference-ingest: maintained state derives the same pairs via --from-state") {
     val tmp = Files.createTempDirectory("graft_cli_pi").toString
     Seq((1L, 10L, "bad", 1.0), (1L, 11L, "best", 9.0),

@@ -617,4 +617,39 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](Similarity.mmrRerank(
       emb, emb, "vec_id", "embedding", k = 1, shortlist = 3, lambdaPermille = 1500))
   }
+
+  test("bitextMine: mutual-best pairs, the ratio-margin arithmetic, colliding id spaces") {
+    // two 2-D 'languages' with aligned axes; ids deliberately COLLIDE
+    // across corpora (independent numbering) and a zero vector rides
+    // along to exercise the finite-norm drop
+    val a = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(1f, 1f)), (9L, Array(0f, 0f))).toDF("vec_id", "embedding")
+    val b = Seq((1L, Array(0.99f, 0.1f)), (2L, Array(0.1f, 0.99f)),
+      (3L, Array(0.6f, 0.8f))).toDF("vec_id", "embedding")
+    val mined = Similarity.bitextMine(a, b, "vec_id", "embedding",
+      k = 2, marginMicros = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(mined.keySet === Set((1L, 1L), (2L, 2L), (3L, 3L)))
+    // the margin definition, replayed in plain scala: cos relative to
+    // the mean of both ends' top-2 neighborhoods
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      val d = (x, y).zipped.map(_.toDouble * _.toDouble).sum
+      d / (math.sqrt(x.map(v => v.toDouble * v).sum) *
+        math.sqrt(y.map(v => v.toDouble * v).sum))
+    }
+    val av = Map(1L -> Array(1f, 0f), 2L -> Array(0f, 1f), 3L -> Array(1f, 1f))
+    val bv = Map(1L -> Array(0.99f, 0.1f), 2L -> Array(0.1f, 0.99f), 3L -> Array(0.6f, 0.8f))
+    def favg(s: Long) = bv.values.map(cos(av(s), _)).toSeq.sorted.reverse.take(2).sum / 2
+    def bavg(t: Long) = av.values.map(cos(_, bv(t))).toSeq.sorted.reverse.take(2).sum / 2
+    for (((s, t), m) <- mined)
+      assert(math.abs(m - 2 * cos(av(s), bv(t)) / (favg(s) + bavg(t))) < 1e-5,
+        s"margin mismatch for ($s,$t)")
+    // an impossible threshold mines nothing
+    assert(Similarity.bitextMine(a, b, "vec_id", "embedding",
+      k = 2, marginMicros = 2000000L).count() === 0)
+    // a margin between (2,2)'s 1.117 and (1,1)'s 1.183 gates precisely
+    assert(Similarity.bitextMine(a, b, "vec_id", "embedding",
+      k = 2, marginMicros = 1150000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 1L)))
+  }
 }

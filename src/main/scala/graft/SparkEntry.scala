@@ -8842,7 +8842,7 @@ object SparkEntry {
         "ba AS (SELECT tgt_id, avg(c) AS bavg FROM r WHERE rb <= 4 GROUP BY tgt_id) " +
         "SELECT CAST(r.src_id AS BIGINT) AS src_id, CAST(r.tgt_id AS BIGINT) AS tgt_id " +
         "FROM r JOIN fa ON r.src_id = fa.src_id JOIN ba ON r.tgt_id = ba.tgt_id " +
-        "WHERE rf = 1 AND rb = 1 AND 2 * c >= 1.047 * (favg + bavg) " +
+        "WHERE rf = 1 AND rb = 1 AND favg + bavg > 0 AND 2 * c >= 1.047 * (favg + bavg) " +
         "ORDER BY src_id"),
     // q277: the q269 planted CTE in TOKEN units — cumulative
     // (role-word + content + 'end') token counts as a window sum,

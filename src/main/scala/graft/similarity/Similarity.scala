@@ -585,19 +585,35 @@ object Similarity {
       .withColumn("__cos",
         dot(col("__av"), col("__bv")) / (col("__an") * col("__bn")))
       .select(col("src_id"), col("tgt_id"), col("__cos"))
+    // each direction pays exactly ONE exchange+window over the scored
+    // table: the per-src branch yields both the forward argmax and the
+    // forward neighborhood mean, the per-tgt branch its mirror — and
+    // mutual-best is then a |A|-row × |B|-row equi-join, never a third
+    // pass over |A|×|B| (threading both window columns through one
+    // frame would drag each aggregate through the OTHER direction's
+    // full exchange+sort for nothing)
     val wf = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src_id")).orderBy(col("__cos").desc, col("tgt_id"))
     val wb = org.apache.spark.sql.expressions.Window
       .partitionBy(col("tgt_id")).orderBy(col("__cos").desc, col("src_id"))
-    val ranked = scored
-      .withColumn("__rf", row_number().over(wf))
-      .withColumn("__rb", row_number().over(wb))
-    val fAvg = ranked.filter(col("__rf") <= k)
-      .groupBy(col("src_id")).agg(avg(col("__cos")).as("__favg"))
-    val bAvg = ranked.filter(col("__rb") <= k)
-      .groupBy(col("tgt_id")).agg(avg(col("__cos")).as("__bavg"))
-    ranked.filter(col("__rf") === 1 && col("__rb") === 1)
+    val rf = scored.withColumn("__rf", row_number().over(wf))
+      .filter(col("__rf") <= k)
+    val rb = scored.withColumn("__rb", row_number().over(wb))
+      .filter(col("__rb") <= k)
+    val fAvg = rf.groupBy(col("src_id")).agg(avg(col("__cos")).as("__favg"))
+    val bAvg = rb.groupBy(col("tgt_id")).agg(avg(col("__cos")).as("__bavg"))
+    val forwardBest = rf.filter(col("__rf") === 1)
+      .select(col("src_id"), col("tgt_id"), col("__cos"))
+    val backwardBest = rb.filter(col("__rb") === 1)
+      .select(col("src_id"), col("tgt_id"))
+    forwardBest.join(backwardBest, Seq("src_id", "tgt_id"))
       .join(fAvg, "src_id").join(bAvg, "tgt_id")
+      // positive-denominator guard: a pair whose two neighborhood means
+      // sum to zero would make the ratio NaN (and NaN orders ABOVE every
+      // number in Spark, sailing past any threshold), and a negative sum
+      // would sign-flip it so anti-parallel junk passes — neither carries
+      // a positive similarity signal, so neither is mined
+      .filter(col("__favg") + col("__bavg") > 0)
       .withColumn("margin",
         col("__cos") * 2 / (col("__favg") + col("__bavg")))
       .filter(col("margin") * 1000000 >= marginMicros)

@@ -140,18 +140,18 @@ class PreferenceSpec extends SparkSpec {
         Option(r.getStruct(2)).map(s => (s.getLong(0), s.getLong(2))),
         r.getLong(3))).toSet
     val prop = Prop.forAll(Gen.nonEmptyListOf(rolloutGen),
-      Gen.choose(1, 5)) { (rows, cut0) =>
-      val cut = cut0 % rows.size
+      Gen.choose(1, 1000)) { (rows0, cut0) =>
+      // pad single-row lists so EVERY iteration exercises a real split
+      // (an empty side would reduce the property to a tautology), and
+      // let the cut land anywhere in [1, size-1]
+      val rows = if (rows0.size < 2) rows0 ++ rows0 else rows0
+      val cut = 1 + cut0 % (rows.size - 1)
       val (a, b) = rows.splitAt(cut)
       val direct = snap(cands(rows))
       // fold in BOTH orders: associative+commutative with deterministic
       // tie-breaks means every fold order equals the one-shot build
-      val ab =
-        if (a.isEmpty || b.isEmpty) direct
-        else snap(Preference.mergeCandidates(cands(a), cands(b), "prompt_id"))
-      val ba =
-        if (a.isEmpty || b.isEmpty) direct
-        else snap(Preference.mergeCandidates(cands(b), cands(a), "prompt_id"))
+      val ab = snap(Preference.mergeCandidates(cands(a), cands(b), "prompt_id"))
+      val ba = snap(Preference.mergeCandidates(cands(b), cands(a), "prompt_id"))
       ab == direct && ba == direct
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)

@@ -651,5 +651,19 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.bitextMine(a, b, "vec_id", "embedding",
       k = 2, marginMicros = 1150000L).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 1L)))
+    // degenerate neighborhoods mine NOTHING: an orthogonal-only pair's
+    // margin is 0/0 (NaN orders above every number in Spark — it must
+    // not sail past the threshold), an anti-parallel pair's denominator
+    // is negative (the ratio sign-flips) — neither carries signal
+    val orth = Similarity.bitextMine(
+      Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding"),
+      Seq((1L, Array(0f, 1f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 1, marginMicros = 0L)
+    assert(orth.count() === 0)
+    val anti = Similarity.bitextMine(
+      Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding"),
+      Seq((1L, Array(-1f, 0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 1, marginMicros = 1000000L)
+    assert(anti.count() === 0)
   }
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-dump main (optimization-round measurement tooling): writes the
+  * `.explain("formatted")` output of each named query to
+  * `<outDir>/<query>_<tag>.txt`.
+  *
+  * Usage: runMain graft.Plans <outDir> <tag> q01_project_scan,q77_stream_join
+  *
+  * Same session configuration as Bench (master/local[$SPARK_GRAFT_CPUS],
+  * shuffle.partitions = cpus, AQE on) so the dumped plans are the ones the
+  * bench actually executes. Queries that drive their own streaming harness
+  * still produce a plan: the lambda runs to completion (building the final
+  * DataFrame) and the FINAL frame's plan is dumped — for those the
+  * interesting plans are the per-micro-batch ones, which this tool cannot
+  * see; it still pins the read-back/serve shape.
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: Plans <outDir> <tag> <q1,q2,...>")
+    val Array(outDir, tag, list) = args
+    val names = list.split(",").map(_.trim).filter(_.nonEmpty)
+    val unknown = names.filterNot(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    names.foreach { name =>
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$outDir/${name}_$tag.txt"), plan)
+        println(s"[plans] wrote $outDir/${name}_$tag.txt")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[plans] $name FAILED: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -26,6 +26,16 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** [[t]] + [[Tables.fanOut]]: the scale-adaptive exchange for lambdas
+    * whose per-row work (regex extraction, tokenizer encodes, container
+    * walking) dominates a sub-split-sized scan — without it the whole
+    * pipeline fuses into the scan's ONE task (see fanOut's scaladoc;
+    * OPTIMIZATION_r18.md has the per-query before/after evidence). Only
+    * the heavy per-row lambdas use it: for cheap projections/aggregates
+    * the exchange costs more than the single-task stage it spreads. */
+  private def tw(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.fanOut(t(s, dir, name))
+
   /** Session-timezone (UTC) timestamp literal — avoids JVM-default-tz skew
     * that `java.sql.Timestamp.valueOf` would introduce. */
   private def ts(s: String) = to_timestamp(lit(s))
@@ -926,7 +936,7 @@ object SparkEntry {
 
     // quality scoring: punct/stopword counts + integer-exact quality gate
     "q18_text_quality" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
+      tw(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.punctCount(col("text")).as("n_punct"),
         TextAnalysis.stopwordCount(col("text")).as("n_stop"),
         TextAnalysis.qualityOk(col("text")).as("quality_ok"))
@@ -934,7 +944,7 @@ object SparkEntry {
 
     // language ID by marker-word scoring with fixed tie-break
     "q19_lang_id" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
+      tw(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
@@ -949,14 +959,14 @@ object SparkEntry {
     // on this self-similar corpus while the miss probability for a J=0.9
     // pair stays (1-0.9^5)^25 ~ 2e-10 — deterministic in practice.
     "q21_dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.minhashNearDups(tw(s, dir, "documents"), "doc_id", "text",
           TextAnalysis.tokenSet, num = 9, den = 10, numHashes = 125, bands = 25)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
         .orderBy("doc_a", "doc_b")),
 
     // word-trigram-shingle Jaccard >= 0.7 near-dups via MinHash+LSH
     "q22_dedup_ngram" -> ((s, dir) =>
-      Dedup.minhashNearDupsHashed(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.minhashNearDupsHashed(tw(s, dir, "documents"), "doc_id", "text",
           Dedup.hashedWordNgrams(_, 3), num = 7, den = 10, numHashes = 256, bands = 64)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
         .orderBy("doc_a", "doc_b")),
@@ -1089,7 +1099,7 @@ object SparkEntry {
     // canonicalization: near-dup pairs -> connected components -> smallest
     // doc id per duplicate cluster (the actual dedup decision)
     "q33_dedup_canonical" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tw(s, dir, "documents")
       val pairs = Dedup.minhashNearDupsHashed(docs, "doc_id", "text",
         Dedup.hashedWordNgrams(_, 3), num = 7, den = 10, numHashes = 256, bands = 64)
       Dedup.connectedComponents(docs, "doc_id", pairs)
@@ -1134,7 +1144,7 @@ object SparkEntry {
     // production dedup decision (keep the best duplicate, not the first);
     // the added step is one keyed window over the label table
     "q64_dedup_keep_best" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tw(s, dir, "documents")
       val pairs = Dedup.minhashNearDupsHashed(docs, "doc_id", "text",
         Dedup.hashedWordNgrams(_, 3), num = 7, den = 10, numHashes = 256, bands = 64)
       val labels = Dedup.connectedComponents(docs, "doc_id", pairs)
@@ -1203,7 +1213,7 @@ object SparkEntry {
     // query; every stage is a narrow codegen'd expression except the one
     // dedup hash-agg shuffle
     "q39_corpus_clean" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tw(s, dir, "documents")
       val kept = docs.filter(TextAnalysis.qualityOk(col("text")) === 1
         && TextAnalysis.langId(col("text")) === "en")
       Dedup.exact(kept, "text", "doc_id").orderBy("doc_id")
@@ -1277,7 +1287,7 @@ object SparkEntry {
     // training pipeline; the per-chunk token count double-checks the ceil
     // and slice arithmetic cross-engine
     "q47_chunking" -> ((s, dir) =>
-      TextAnalysis.chunked(t(s, dir, "documents"), "doc_id", "text",
+      TextAnalysis.chunked(tw(s, dir, "documents"), "doc_id", "text",
           chunkSize = 32, overlap = 8)
         .select(col("doc_id"), col("chunk_idx"),
           TextAnalysis.tokenCount(col("chunk")).as("n_chunk_tokens"))
@@ -1287,7 +1297,7 @@ object SparkEntry {
     // unigram-Jaccard >= 0.9 near-dup in the existing corpus (doc_id < 250)
     // — cross-corpus LSH probe + anti-join, the corpus is never self-joined
     "q46_novel_docs" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tw(s, dir, "documents")
       Dedup.novelAgainst(
           docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
           "doc_id", "text", c => Dedup.hashedShingles(TextAnalysis.tokenSet(c)),
@@ -1323,7 +1333,7 @@ object SparkEntry {
     // so the symmetric difference vs brute force is 0 by construction —
     // violated only if the banding or verify plumbing is wrong
     "q38_simhash_neardup" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tw(s, dir, "documents")
       val found = Dedup.simhashNearDups(docs, "doc_id", "text",
         TextAnalysis.tokenSet, maxHamming = 3)
       val sigs = docs.select(col("doc_id"),
@@ -1532,7 +1542,7 @@ object SparkEntry {
     // keyed window (the float tfidf column itself is spec-tested, not
     // oracle-hashed — cross-engine ln() is not bit-stable)
     "q58_rare_terms" -> ((s, dir) =>
-      graft.text.TfIdf.rarestTokens(t(s, dir, "documents"), "doc_id", "text", k = 1)
+      graft.text.TfIdf.rarestTokens(tw(s, dir, "documents"), "doc_id", "text", k = 1)
         .orderBy("doc_id")),
 
     // data-mixture sampling invariants: src0 pinned at rate 1.0 (all kept),
@@ -1691,7 +1701,7 @@ object SparkEntry {
     // adjacency count — posexplode + per-doc lead window + (w1,w2) count,
     // all relational (no interpreted HOFs), vocabulary-bounded output
     "q71_bigram_lm" -> ((s, dir) =>
-      NgramStats.nextTokenTopK(t(s, dir, "documents"), "doc_id", "text", 3)
+      NgramStats.nextTokenTopK(tw(s, dir, "documents"), "doc_id", "text", 3)
         .orderBy("w1", "rn")),
 
     // incremental-ingest dedup: the NEW half of the corpus (doc_id >= 250)
@@ -1701,7 +1711,7 @@ object SparkEntry {
     // ingest loop). Same trigram/J>=0.7 regime as q22, so the oracle is
     // q22's all-pairs restricted to cross pairs
     "q72_incr_dedup" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tw(s, dir, "documents")
       Dedup.crossNearDupsHashed(
           docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
           "doc_id", "text", Dedup.hashedWordNgrams(_, 3),
@@ -1880,7 +1890,7 @@ object SparkEntry {
       val prev = s.conf.getOption(key)
       s.conf.set(key, "0")
       try {
-        Dedup.minhashNearDupsHashed(t(s, dir, "documents"), "doc_id", "text",
+        Dedup.minhashNearDupsHashed(tw(s, dir, "documents"), "doc_id", "text",
             Dedup.hashedWordNgrams(_, 3), num = 7, den = 10, numHashes = 256, bands = 64)
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
           .orderBy("doc_a", "doc_b")
@@ -2185,7 +2195,7 @@ object SparkEntry {
     // the gate is exact-set equality: a constant/broken hash floods false
     // pairs, a noisy hash loses twins — both count as violations
     "q115_image_neardup" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id").cast(LongType).as("doc_id"))
+      val docs = tw(s, dir, "documents").select(col("doc_id").cast(LongType).as("doc_id"))
       val media = plantedImageMedia(s, docs)
       val pairs = Dedup.imageNearDups(media, maxHamming = 3)
       val expected = plantedPairExpectation(docs)
@@ -2475,7 +2485,7 @@ object SparkEntry {
     // bit-identical across engines, which a last-ulp perplexity rank is
     // not
     "q125_lm_quality_buckets" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tw(s, dir, "documents")
       val tmp = java.nio.file.Files.createTempDirectory("q125").toString
       try {
         val store = new graft.sync.ParquetStore(s, tmp)
@@ -2587,7 +2597,7 @@ object SparkEntry {
     // same doc_id < 250 split as q49/q119 so the three decontamination
     // deployments grade against one data story
     "q129_decontaminate_spans" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tw(s, dir, "documents")
       Decontaminate.contaminatedSpanStats(
           docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
           "doc_id", "text")
@@ -2654,7 +2664,7 @@ object SparkEntry {
     // (q33's recursive-CTE canon + an md5-hex-prefix bucket both engines
     // compute from the same digest)
     "q132_leakage_safe_split" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tw(s, dir, "documents")
       val pairs = Dedup.minhashNearDupsHashed(docs, "doc_id", "text",
         Dedup.hashedWordNgrams(_, 3), num = 7, den = 10, numHashes = 256, bands = 64)
       Sampling.groupSplit(docs.select(col("doc_id")), "doc_id", pairs)
@@ -2776,7 +2786,7 @@ object SparkEntry {
     // measured >= 3.87e-5 at sf0.01 and >= 9.1e-5 at sf0.1 (no exact ties
     // in any top-11), ten orders above ln() last-ulp noise
     "q140_bm25_topk" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tw(s, dir, "documents")
       graft.text.TfIdf.bm25TopK(docs, "doc_id", "text", Bm25Queries,
           k = 10, corpusSize = docs.count())
         .select(col("query_id"), col("rank"), col("doc_id"), col("n_terms"))
@@ -2826,7 +2836,7 @@ object SparkEntry {
     // rule; q129's machinery pointed at the corpus itself). Graded as the
     // per-doc clean-text reconstruction (the q130 precedent)
     "q144_self_scrub_spans" -> ((s, dir) =>
-      Decontaminate.selfScrubSpans(t(s, dir, "documents"), "doc_id", "text",
+      Decontaminate.selfScrubSpans(tw(s, dir, "documents"), "doc_id", "text",
           n = 8, maxDf = 1)
         .select(col("doc_id"), array_join(col("clean_tokens"), " ").as("clean_text"))
         .orderBy("doc_id")),
@@ -2836,7 +2846,7 @@ object SparkEntry {
     // exploded (doc_id, pos, token_id) table. Integer end to end; the
     // truncation-boundary tie-break is a total order in both engines
     "q145_vocab_encode" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tw(s, dir, "documents")
       val vocab = graft.text.Vocab.build(docs, "text", topN = 200)
       graft.text.Vocab.encode(docs, "doc_id", "text", vocab)
         .select(col("doc_id"), posexplode(col("ids")))
@@ -2883,7 +2893,7 @@ object SparkEntry {
     // 2.5e-4, and the 15 exact fused ties are bit-equal reciprocals
     // breaking by doc id identically in both engines)
     "q147_hybrid_rrf" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tw(s, dir, "documents")
       val emb = t(s, dir, "embeddings")
       val idx = graft.text.TfIdf.buildBm25Index(docs, "doc_id", "text",
         docs.count())
@@ -2938,7 +2948,7 @@ object SparkEntry {
     // engines order identically (the q132 cross-engine-md5 precedent);
     // shuffle-free array-domain plan pinned in PlanShapeSpec
     "q141_winnow_fingerprints" -> ((s, dir) =>
-      graft.text.Winnow.fingerprints(t(s, dir, "documents"), "doc_id", "text",
+      graft.text.Winnow.fingerprints(tw(s, dir, "documents"), "doc_id", "text",
           k = 3, w = 4)
         .orderBy("doc_id", "pos", "fp")),
 
@@ -2947,7 +2957,7 @@ object SparkEntry {
     // gate (pairing on a fingerprint every doc shares is quadratic and
     // identifies nothing); integer counts end to end
     "q142_winnow_overlap" -> ((s, dir) => {
-      val fps = graft.text.Winnow.fingerprints(t(s, dir, "documents"),
+      val fps = graft.text.Winnow.fingerprints(tw(s, dir, "documents"),
         "doc_id", "text", k = 3, w = 4)
       graft.text.Winnow.overlapCandidates(fps, "doc_id",
           minShared = 2, maxDocsPerFp = 100)
@@ -3108,7 +3118,7 @@ object SparkEntry {
     // require(converged) aborts, with it the chain closes in O(log 50)
     // rounds — the invariant that CC survives adversarial cluster shapes
     "q89_cc_deep_chain" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id").cast(LongType).as("id"))
+      val docs = tw(s, dir, "documents").select(col("doc_id").cast(LongType).as("id"))
       // chain the 51 smallest ids pairwise; 51 rows, so the unpartitioned
       // lead window and the broadcast min are bounded by construction
       val first51 = docs.orderBy("id").limit(51).localCheckpoint()
@@ -3254,7 +3264,7 @@ object SparkEntry {
     // diagonal-island run extension in pure window arithmetic — no text
     // re-scan, no all-pairs term anywhere
     "q94_passage_dedup" -> ((s, dir) =>
-      Dedup.passagePairs(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.passagePairs(tw(s, dir, "documents"), "doc_id", "text",
           k = 8, minRunTokens = 20, maxDocFreq = 20)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("run_tokens"))
         .orderBy("doc_a", "doc_b")),
@@ -3264,7 +3274,7 @@ object SparkEntry {
     // onto itself instead of paired, so the cost stays linear in corpus
     // size (the down-weight/filter signal for mostly-boilerplate docs)
     "q95_dup_gram_share" -> ((s, dir) =>
-      Dedup.passageDupStats(t(s, dir, "documents"), "doc_id", "text", k = 8)
+      Dedup.passageDupStats(tw(s, dir, "documents"), "doc_id", "text", k = 8)
         .orderBy("doc_id")),
 
     // semantic dedup (SemDeDup): k-means cluster, dedup by cosine WITHIN
@@ -3422,7 +3432,7 @@ object SparkEntry {
     // the cost order: narrow codegen'd filters first, the dedup shuffle on
     // the reduced set, the budget window on the deduped set
     "q102_curation_pipeline" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tw(s, dir, "documents")
       val kept = docs.filter(TextAnalysis.qualityOk(col("text")) === 1
         && TextAnalysis.langId(col("text")) === "en")
       val survivors = kept.join(
@@ -3567,7 +3577,7 @@ object SparkEntry {
     // encode plans are row-identical by contract (the q81
     // scale-plan-in-the-correctness-gate pairing)
     "q149_vocab_encode_join" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tw(s, dir, "documents")
       val vocab = graft.text.Vocab.build(docs, "text", topN = 200)
       graft.text.Vocab.encodeJoin(docs, "doc_id", "text", vocab)
         .select(col("doc_id"), posexplode(col("ids")))
@@ -3586,7 +3596,7 @@ object SparkEntry {
     // integer counts and a total (cnt DESC, left, right) tie-break make
     // the sequence engine-deterministic
     "q150_bpe_train" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tw(s, dir, "documents")
       val nMerges = 5
       val (merges, words) = TextAnalysis.bpeTrain(docs, "text", nMerges)
       // brute-force oracle over the collected word table
@@ -3736,7 +3746,7 @@ object SparkEntry {
     // replays the same five merges as an unrolled list_reduce fuse chain
     // (integer ids end to end; merge 1 chains onto merge 0)
     "q157_bpe_piece_ids" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tw(s, dir, "documents")
       val pieces = docs.select(col("doc_id"),
         TextAnalysis.bpeEncode(col("text"), BpeFixedMerges).as("__pieces"))
       val vocab = graft.text.Vocab.buildFromTokens(pieces, col("__pieces"),
@@ -3835,7 +3845,7 @@ object SparkEntry {
     // harness at graded SF (fewer jobs/round), keeping the measurement
     // comparable with the floor seeded before the delta trainer landed
     "q154_bpe_encode" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tw(s, dir, "documents")
       val nMerges = 8
       val (merges, trained) = TextAnalysis.bpeTrainFullRecount(docs, "text", nMerges)
       val pairs = merges.sortBy(_.step).map(m => (m.left, m.right))
@@ -3887,7 +3897,7 @@ object SparkEntry {
     // exactly, plus a progress guard (all seven merges executed — two
     // trivially-empty trains must not pass vacuously)
     "q159_bpe_delta_train" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tw(s, dir, "documents")
       val nMerges = 7
       val (dm, dw) = TextAnalysis.bpeTrain(docs, "text", nMerges)
       val (fm, fw) = TextAnalysis.bpeTrainFullRecount(docs, "text", nMerges)
@@ -3916,7 +3926,7 @@ object SparkEntry {
     // under test through every round's segmentations
     "q165_unigram_train" -> ((s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents")
+      val docs = tw(s, dir, "documents")
       val (maxLen, keepMulti, rounds) = (3, 12, 3)
       val trained = Unigram.unigramTrain(docs, "text", maxLen, keepMulti, rounds)
       val wf = TextAnalysis.bpeWordTable(docs, "text")
@@ -3959,7 +3969,7 @@ object SparkEntry {
     // piece table rides as a reference object; at 100 TB the corpus is
     // scanned once and only (doc_id, pos, piece) moves
     "q166_unigram_encode" -> ((s, dir) =>
-      t(s, dir, "documents")
+      tw(s, dir, "documents")
         .select(col("doc_id"), posexplode(graft.functions.UnigramEncode(
           TextAnalysis.tokens(col("text")), UnigramPinned,
           Unigram.DefaultUnkScoreMilli)))
@@ -4063,7 +4073,7 @@ object SparkEntry {
     // bullet wall (the >90% bullet share) — every r_* splits both ways
     // at sf0.001 and keep is a genuine conjunction (98/500)
     "q171_gopher_rules" -> ((s, dir) =>
-      graft.text.Gopher.quality(gopherPlanted(t(s, dir, "documents")),
+      graft.text.Gopher.quality(gopherPlanted(tw(s, dir, "documents")),
           "doc_id", "text")
         .orderBy("doc_id")),
 
@@ -4183,7 +4193,7 @@ object SparkEntry {
     // q167 pattern) and the graded artifact is every kept rank to the
     // last micro under the total (pr DESC, node) order
     "q176_textrank_keywords" -> ((s, dir) =>
-      graft.text.TextRank.keywords(t(s, dir, "documents"), "text",
+      graft.text.TextRank.keywords(tw(s, dir, "documents"), "text",
           iters = 3, k = 30)
         .orderBy("rank")),
 
@@ -4238,7 +4248,7 @@ object SparkEntry {
     // control). Dropping is retroactive (first occurrence of a hot line
     // drops with the rest) and every doc survives with audit counts
     "q179_line_dedup" -> ((s, dir) =>
-      graft.dedup.Dedup.lineDedup(linePlanted(t(s, dir, "documents")),
+      graft.dedup.Dedup.lineDedup(linePlanted(tw(s, dir, "documents")),
         "doc_id", "text", maxDf = 2).orderBy("doc_id")),
 
     // q180: WordPiece tokenizer APPLY under the PINNED vocabulary
@@ -4254,7 +4264,7 @@ object SparkEntry {
     // shuffle, the vocabulary rides as a reference object; at 100 TB the
     // corpus is scanned once and only (doc_id, pos, piece) moves
     "q180_wordpiece_encode" -> ((s, dir) =>
-      t(s, dir, "documents")
+      tw(s, dir, "documents")
         .select(col("doc_id"), posexplode(graft.functions.WordPieceEncode(
           TextAnalysis.tokens(col("text")), WordPiecePinned,
           WordPiece.DefaultUnkToken, WordPieceCap)))
@@ -4275,7 +4285,7 @@ object SparkEntry {
     // distinct corpus word under the trained vocabulary — tokenizer
     // train AND apply verified end to end
     "q181_wordpiece_train" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tw(s, dir, "documents")
       val nMerges = 6
       // ONE word table feeds the reference collect AND the apply-parity
       // scan (checkpointed; released with the trainers' final tables
@@ -4414,7 +4424,7 @@ object SparkEntry {
     // gate is needed. Only genuinely overlapping pairs emit (the planted
     // corpus shares boilerplate n-grams across sources)
     "q200_source_overlap" -> ((s, dir) =>
-      Dedup.sourceOverlapMatrix(t(s, dir, "documents"), "source", "text",
+      Dedup.sourceOverlapMatrix(tw(s, dir, "documents"), "source", "text",
           k = 8)
         .orderBy("src_a", "src_b")),
 
@@ -4427,7 +4437,7 @@ object SparkEntry {
     // window). The oracle replays with a plain window cumsum
     "q198_token_shards" -> ((s, dir) =>
       Sampling.tokenBalancedShards(
-          t(s, dir, "documents").select(col("doc_id"),
+          tw(s, dir, "documents").select(col("doc_id"),
             TextAnalysis.tokenCount(col("text")).as("n_tokens")),
           "n_tokens", expr("doc_id div 64"), Seq(col("doc_id")), nShards = 8)
         .orderBy("doc_id")),
@@ -4571,7 +4581,7 @@ object SparkEntry {
     // (2i, 2i+1) pairs must emit; silence and monotone fades are planted
     // as the degenerate negative controls
     "q206_audio_neardup" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id").cast(LongType).as("doc_id"))
+      val docs = tw(s, dir, "documents").select(col("doc_id").cast(LongType).as("doc_id"))
       val media = plantedAudioMedia(s, docs)
       val pairs = Dedup.audioNearDups(media, maxHamming = 3)
       val expected = plantedPairExpectation(
@@ -4592,7 +4602,7 @@ object SparkEntry {
     // designed). The DuckDB oracle replays BOTH arms of the q188 CTE
     // chain over the identical generated corpus
     "q204_span_gate_loss" -> ((s, dir) =>
-      Decontaminate.spanGateLoss(spanLossPlanted(t(s, dir, "documents")),
+      Decontaminate.spanGateLoss(spanLossPlanted(tw(s, dir, "documents")),
           "doc_id", "text", k = 8, minRunTokens = 20, maxDocFreq = 20)
         .orderBy("doc_id")),
 
@@ -4607,7 +4617,7 @@ object SparkEntry {
     // genuinely carry non-ASCII bytes, and at least one selected merge
     // must fuse a high-byte unit — a silently ASCII-only run cannot pass
     "q202_byte_bpe_train" -> ((s, dir) => {
-      val docs = bytePlanted(t(s, dir, "documents"))
+      val docs = bytePlanted(tw(s, dir, "documents"))
       val nMerges = 6
       val (merges, words) = TextAnalysis.byteBpeTrain(docs, "text", nMerges)
       val wf = TextAnalysis.byteBpeWordTable(docs, "text")
@@ -4664,7 +4674,7 @@ object SparkEntry {
     // OOV/UNK, where the char-level tokens() drops every planted
     // non-ASCII word)
     "q203_byte_bpe_encode" -> ((s, dir) => {
-      val docs = bytePlanted(t(s, dir, "documents"))
+      val docs = bytePlanted(tw(s, dir, "documents"))
       val nMerges = 8
       val (merges, trained) = TextAnalysis.byteBpeTrainFullRecount(docs, "text", nMerges)
       val pairs = merges.sortBy(_.step).map(m => (m.left, m.right))
@@ -4845,7 +4855,7 @@ object SparkEntry {
     // contract with the corpus as both sides). The DuckDB oracle replays
     // the identical formulation on string grams
     "q188_dup_span_stats" -> ((s, dir) =>
-      Decontaminate.duplicatedSpanStats(t(s, dir, "documents"),
+      Decontaminate.duplicatedSpanStats(tw(s, dir, "documents"),
           "doc_id", "text", k = 8, minRunTokens = 20, maxDocFreq = 20)
         .orderBy("doc_id")),
 
@@ -4887,7 +4897,7 @@ object SparkEntry {
     // Scale: profiles broadcast (languages·k rows), doc ranking is a
     // doc-keyed window, the distance sum and argmin stay doc-keyed
     "q187_langid_profiles" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tw(s, dir, "documents")
       val k = 40
       // profiles MATERIALIZE once (languages·k rows): classify references
       // them twice (language list + rank lookup), and an unmaterialized
@@ -4945,7 +4955,7 @@ object SparkEntry {
     // order. Full DuckDB oracle replays the identical two-level
     // construction with window sums + string_agg
     "q185_training_windows" -> ((s, dir) =>
-      TextAnalysis.packedWindows(t(s, dir, "documents"), Seq("source"),
+      TextAnalysis.packedWindows(tw(s, dir, "documents"), Seq("source"),
           "doc_id", "text", windowSize = 128,
           bucket = Some(expr("doc_id div 64")))
         .orderBy("source", "win_id")),
@@ -4968,7 +4978,7 @@ object SparkEntry {
       // legacy sizeOfNull makes size(NULL) -1, so a coalesce never fires
       def sz(c: Column): Column =
         when(col("text").isNull, lit(0L)).otherwise(size(c).cast(LongType))
-      t(s, dir, "documents")
+      tw(s, dir, "documents")
         .select(col("doc_id"),
           sz(toks).as("n_tokens"),
           sz(TextAnalysis.bpeEncode(col("text"), BpeFixedMerges)).as("n_bpe"),
@@ -5002,7 +5012,7 @@ object SparkEntry {
     // surface (a payload failing wholesale cannot hide)
     "q160_video_frame_decode" -> ((s, dir) => {
       implicit val session: SparkSession = s
-      val nDocs = t(s, dir, "documents").count()
+      val nDocs = tw(s, dir, "documents").count()
       val media = mjpegCorpus(s, dir)
       val expW = lit(16L) + ((col("doc_id") + col("frame_idx")) % 3L) * 8L
       val expH = lit(16L) + ((col("doc_id") + col("frame_idx") * 2L) % 2L) * 8L
@@ -5435,7 +5445,7 @@ object SparkEntry {
     // rounds. The inflation figure is what decides whether dedup is
     // worth a pipeline stage at all
     "q216_dup_cluster_sizes" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tw(s, dir, "documents")
       val pairs = Dedup.minhashNearDupsHashed(docs, "doc_id", "text",
         Dedup.hashedWordNgrams(_, 3), num = 7, den = 10, numHashes = 256, bands = 64)
       val sizes = Dedup.connectedComponents(docs, "doc_id", pairs)
@@ -5587,7 +5597,7 @@ object SparkEntry {
     // floors; full SQL oracle over string grams (64-bit gram hashes are
     // pipeline-internal, the q21-family ~1e-15 collision envelope)
     "q221_novel_ngram_rate" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tw(s, dir, "documents")
       val refGrams = docs.filter(col("doc_id") < 250)
         .select(explode(Dedup.hashedWordNgrams(col("text"), 5)).as("__g"))
         .distinct()
@@ -5656,7 +5666,7 @@ object SparkEntry {
         lit("</p><a href=\"http://x\">link &amp; more</a>"),
         when(col("doc_id") % 3 === 0, lit("<a href=\"y\">more</a>")).otherwise(lit("")),
         lit("<p>A&lt;B &quot;q&quot; &#39;s&#39;&nbsp;end</p></body></html>"))
-      t(s, dir, "documents")
+      tw(s, dir, "documents")
         .select(col("doc_id"),
           Html.extractText(html).as("clean"),
           Html.tagCount(html).cast(LongType).as("n_tags"),
@@ -5814,7 +5824,7 @@ object SparkEntry {
     // task however skewed the tiers. Oracle: the naive serial
     // row_number over (priority, md5, id)
     "q230_curriculum_order" -> ((s, dir) => {
-      val tiers = t(s, dir, "documents").select(col("doc_id"),
+      val tiers = tw(s, dir, "documents").select(col("doc_id"),
         when(col("n_chars") >= 500, 0).when(col("n_chars") >= 200, 1)
           .otherwise(2).as("priority"))
       Sampling.curriculumShuffle(tiers, "doc_id", "priority",
@@ -5879,7 +5889,7 @@ object SparkEntry {
     // minimum doc_id per canonical URL, stated by the oracle with the
     // expected canonical string outright (the q226 convention)
     "q234_url_frontier" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tw(s, dir, "documents")
       // mod groups STRADDLE the two ingest rounds (x, x+100, x+200 land
       // in round 1; x+300, x+400 in round 2), so round 2's members must
       // be rejected by the PERSISTED seen-set — the cross-round gate is
@@ -5981,7 +5991,7 @@ object SparkEntry {
     // their index skipped. One narrow posexplode; the oracle replays the
     // identical RE2-safe pattern (no lookbehind on either engine)
     "q238_sentences" -> ((s, dir) => {
-      val planted = t(s, dir, "documents").select(col("doc_id"),
+      val planted = tw(s, dir, "documents").select(col("doc_id"),
         concat(substring(col("text"), 1, 50), lit(". "),
           substring(col("text"), 51, 40), lit("? "),
           substring(col("text"), 91, 30), lit("! tail")).as("t2"))
@@ -6004,7 +6014,7 @@ object SparkEntry {
     // the planted fragments — block/density decisions are NOT re-run,
     // so the two sides agree only if every rule fires as specified
     "q239_main_content" -> ((s, dir) =>
-      t(s, dir, "documents")
+      tw(s, dir, "documents")
         .select(col("doc_id"),
           graft.text.Html.mainContentReport(mainContentPlantedHtml,
             minChars = 15, maxLinkPermille = 300).as("r"))
@@ -6067,7 +6077,7 @@ object SparkEntry {
     // signature floods false pairs, a noisy one loses renditions —
     // both count as violations
     "q241_video_neardup" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tw(s, dir, "documents")
         .select(col("doc_id").cast(LongType).as("doc_id"))
         .filter(col("doc_id") < 126)
       val media = plantedVideoMedia(s, docs)
@@ -6134,7 +6144,7 @@ object SparkEntry {
     // set is exactly the 10 lowest hot ids — stated outright by the
     // oracle with the canonical strings and hosts (the q226 convention)
     "q243_host_frontier_budget" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tw(s, dir, "documents")
       val id = col("doc_id").cast(StringType)
       val url = when(col("doc_id") % 5 < 2,
           concat(lit("http://hot.example.com/p/"), id))
@@ -6477,7 +6487,7 @@ object SparkEntry {
     // ANY stage (block rules, entity decode, collapse, tokenization,
     // threshold) lands in the source totals
     "q250_web_curation" -> ((s, dir) => {
-      val extracted = t(s, dir, "documents")
+      val extracted = tw(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           graft.text.Html.mainContent(mainContentPlantedHtml,
             minChars = 15, maxLinkPermille = 300).as("main"))
@@ -6506,7 +6516,7 @@ object SparkEntry {
     "q251_warc_records" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import s.implicits._
-      val payloads = t(s, dir, "documents").select(
+      val payloads = tw(s, dir, "documents").select(
         col("doc_id").cast(LongType).as("doc_id"),
         transform(sequence(lit(0L), col("doc_id") % 3), i =>
           concat(lit("P "), col("doc_id").cast(StringType), lit(" "),
@@ -6567,7 +6577,7 @@ object SparkEntry {
     // mass of some source
     "q252_warc_curation" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      val docs = t(s, dir, "documents")
+      val docs = tw(s, dir, "documents")
       val files = warcCurationFiles(s, dir)
       val corpus = graft.sources.Warc.responseText(files)
         .filter(col("http_status") === 200 && col("content_type") === "text/html")
@@ -6781,7 +6791,7 @@ object SparkEntry {
     "q260_warc_http_responses" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import s.implicits._
-      val payloads = t(s, dir, "documents").select(
+      val payloads = tw(s, dir, "documents").select(
         col("doc_id").cast(LongType).as("doc_id"),
         col("text").substr(1, 60).as("slice"))
       val files = payloads.as[(Long, String)].mapPartitions { it =>
@@ -6964,7 +6974,7 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       import s.implicits._
       import graft.sync.Checksum
-      val docs = t(s, dir, "documents").select(
+      val docs = tw(s, dir, "documents").select(
         col("doc_id").cast(LongType).as("doc_id"),
         concat(lit("http://ex.org/"), col("doc_id").cast(StringType)).as("url"),
         col("text"))
@@ -7021,7 +7031,7 @@ object SparkEntry {
         lit("><b>I</b></a></p>" +
           "<script>var x='<a href=\"/from-script\">no</a>';</script>" +
           "<!-- <a href=\"/from-comment\">no</a> --></body></html>"))
-      t(s, dir, "documents")
+      tw(s, dir, "documents")
         .select(col("doc_id").cast(LongType).as("doc_id"),
           base.as("url"), page.as("html"))
         .select(col("doc_id"), col("url"),
@@ -7051,7 +7061,7 @@ object SparkEntry {
     // contents slicing the document text); the oracle replays the
     // template as an ordered string_agg
     "q268_chat_render" -> ((s, dir) =>
-      t(s, dir, "documents")
+      tw(s, dir, "documents")
         .select(col("doc_id").cast(LongType).as("doc_id"),
           chatPlantedMessages.as("msgs"),
           (col("doc_id") % 3 + 2).cast(LongType).as("n_turns"))
@@ -7068,7 +7078,7 @@ object SparkEntry {
     // identical planted construction; ChatSpec pins the slicing law
     // (substring(rendered, start, end) == turn content)
     "q269_chat_loss_spans" -> ((s, dir) =>
-      t(s, dir, "documents")
+      tw(s, dir, "documents")
         .select(col("doc_id").cast(LongType).as("doc_id"),
           chatPlantedMessages.as("msgs"))
         .select(col("doc_id"),
@@ -7086,7 +7096,7 @@ object SparkEntry {
     // consumption. Same zero-shuffle fold shape. Oracle: cumulative
     // token window + the last-assistant trim replayed in SQL
     "q270_chat_fit_budget" -> ((s, dir) =>
-      t(s, dir, "documents")
+      tw(s, dir, "documents")
         .select(col("doc_id").cast(LongType).as("doc_id"),
           chatPlantedMessages.as("msgs"))
         .select(col("doc_id"), posexplode(
@@ -7108,7 +7118,7 @@ object SparkEntry {
     // law). Oracle: row_number best/worst replay
     "q271_preference_pairs" -> ((s, dir) =>
       graft.operators.Preference.pairs(
-        preferencePlantedRollouts(t(s, dir, "documents")),
+        preferencePlantedRollouts(tw(s, dir, "documents")),
         "prompt_id", "completion_id", "completion", "score",
         minMargin = 4.0)
         .orderBy("prompt_id")),
@@ -7149,7 +7159,7 @@ object SparkEntry {
     // window replay of the same arithmetic
     "q275_group_advantage" -> ((s, dir) =>
       graft.operators.Preference.groupAdvantages(
-        preferencePlantedRollouts(t(s, dir, "documents")),
+        preferencePlantedRollouts(tw(s, dir, "documents")),
         "prompt_id", "completion_id", "score")
         .orderBy("prompt_id", "completion_id")),
 
@@ -7185,7 +7195,7 @@ object SparkEntry {
     // + content tokens + 'end') as a window sum, the q269 shape in
     // token units
     "q277_token_loss_mask" -> ((s, dir) =>
-      t(s, dir, "documents")
+      tw(s, dir, "documents")
         .select(col("doc_id").cast(LongType).as("doc_id"),
           chatPlantedMessages.as("msgs"))
         .select(col("doc_id"),
@@ -7242,7 +7252,7 @@ object SparkEntry {
     // must not break adjacency of its neighbors). Oracle replays the
     // moduli with windowed lag over the valid rows
     "q272_chat_lint" -> ((s, dir) =>
-      t(s, dir, "documents")
+      tw(s, dir, "documents")
         .select(col("doc_id").cast(LongType).as("doc_id"),
           graft.text.Chat.lint(chatLintPlantedMessages).as("l"))
         .select(col("doc_id"),
@@ -7269,7 +7279,7 @@ object SparkEntry {
     // whitespace-padded loc), the rest a urlset (entity-escaped query
     // loc + lastmod, a bare second loc, a loc-less hazard entry)
     "q273_sitemap_entries" -> ((s, dir) =>
-      t(s, dir, "documents")
+      tw(s, dir, "documents")
         .select(col("doc_id").cast(LongType).as("doc_id"),
           explode(graft.text.Sitemap.entries(sitemapPlantedXml)).as("e"))
         .select(col("doc_id"), col("e.kind").as("kind"),

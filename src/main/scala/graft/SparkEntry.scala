@@ -5976,11 +5976,18 @@ object SparkEntry {
           .select(col("o_orderkey"), col("l_linenumber"), col("ver"),
             coalesce(col("o_custkey").cast(LongType), lit(-1L)).as("custkey_at"),
             coalesce(col("cents"), lit(-1L)).as("cents_at"))
-        val sink = s"q237_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-        val q = enriched.writeStream.format("memory").queryName(sink)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-        drainSink(s, sink, s.table(sink).orderBy("o_orderkey", "l_linenumber"))
+        // file sink + distributed read-back (the q146/q170 serving idiom)
+        // instead of a memory sink: at 600k enriched rows the memory sink
+        // collects the whole serve to the driver PER BATCH and drainSink
+        // collects it AGAIN — guide §5 (the driver does no data work).
+        // Same rows either way; the oracle's ORDER BY pins the output.
+        enriched.writeStream.format("parquet")
+          .option("path", s"$tmp/served")
+          .option("checkpointLocation", s"$tmp/sck")
+          .trigger(Trigger.AvailableNow()).start()
+          .awaitTermination()
+        s.read.parquet(s"$tmp/served")
+          .orderBy("o_orderkey", "l_linenumber").localCheckpoint()
       } finally deleteRecursively(tmp)
     }),
 
@@ -6467,11 +6474,17 @@ object SparkEntry {
           .select(col("o_orderkey"), col("l_linenumber"), col("ver"),
             coalesce(col("o_custkey").cast(LongType), lit(-1L)).as("custkey_at"),
             coalesce(col("cents"), lit(-1L)).as("cents_at"))
-        val sink = s"q249_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-        val q = enriched.writeStream.format("memory").queryName(sink)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-        drainSink(s, sink, s.table(sink).orderBy("o_orderkey", "l_linenumber"))
+        // file sink + distributed read-back (the q146/q170 serving idiom)
+        // instead of a memory sink — q237's rationale: the memory sink
+        // collects the 600k-row serve to the driver per batch and
+        // drainSink collects it again (guide §5)
+        enriched.writeStream.format("parquet")
+          .option("path", s"$tmp/served")
+          .option("checkpointLocation", s"$tmp/sck")
+          .trigger(Trigger.AvailableNow()).start()
+          .awaitTermination()
+        s.read.parquet(s"$tmp/served")
+          .orderBy("o_orderkey", "l_linenumber").localCheckpoint()
       } finally deleteRecursively(tmp)
     }),
 

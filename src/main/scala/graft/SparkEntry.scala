@@ -959,7 +959,7 @@ object SparkEntry {
     // on this self-similar corpus while the miss probability for a J=0.9
     // pair stays (1-0.9^5)^25 ~ 2e-10 — deterministic in practice.
     "q21_dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashNearDups(tw(s, dir, "documents"), "doc_id", "text",
+      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
           TextAnalysis.tokenSet, num = 9, den = 10, numHashes = 125, bands = 25)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
         .orderBy("doc_a", "doc_b")),
@@ -1144,7 +1144,7 @@ object SparkEntry {
     // production dedup decision (keep the best duplicate, not the first);
     // the added step is one keyed window over the label table
     "q64_dedup_keep_best" -> ((s, dir) => {
-      val docs = tw(s, dir, "documents")
+      val docs = t(s, dir, "documents")
       val pairs = Dedup.minhashNearDupsHashed(docs, "doc_id", "text",
         Dedup.hashedWordNgrams(_, 3), num = 7, den = 10, numHashes = 256, bands = 64)
       val labels = Dedup.connectedComponents(docs, "doc_id", pairs)
@@ -1213,7 +1213,7 @@ object SparkEntry {
     // query; every stage is a narrow codegen'd expression except the one
     // dedup hash-agg shuffle
     "q39_corpus_clean" -> ((s, dir) => {
-      val docs = tw(s, dir, "documents")
+      val docs = t(s, dir, "documents")
       val kept = docs.filter(TextAnalysis.qualityOk(col("text")) === 1
         && TextAnalysis.langId(col("text")) === "en")
       Dedup.exact(kept, "text", "doc_id").orderBy("doc_id")
@@ -1542,7 +1542,7 @@ object SparkEntry {
     // keyed window (the float tfidf column itself is spec-tested, not
     // oracle-hashed — cross-engine ln() is not bit-stable)
     "q58_rare_terms" -> ((s, dir) =>
-      graft.text.TfIdf.rarestTokens(tw(s, dir, "documents"), "doc_id", "text", k = 1)
+      graft.text.TfIdf.rarestTokens(t(s, dir, "documents"), "doc_id", "text", k = 1)
         .orderBy("doc_id")),
 
     // data-mixture sampling invariants: src0 pinned at rate 1.0 (all kept),
@@ -1701,7 +1701,7 @@ object SparkEntry {
     // adjacency count — posexplode + per-doc lead window + (w1,w2) count,
     // all relational (no interpreted HOFs), vocabulary-bounded output
     "q71_bigram_lm" -> ((s, dir) =>
-      NgramStats.nextTokenTopK(tw(s, dir, "documents"), "doc_id", "text", 3)
+      NgramStats.nextTokenTopK(t(s, dir, "documents"), "doc_id", "text", 3)
         .orderBy("w1", "rn")),
 
     // incremental-ingest dedup: the NEW half of the corpus (doc_id >= 250)
@@ -2195,7 +2195,7 @@ object SparkEntry {
     // the gate is exact-set equality: a constant/broken hash floods false
     // pairs, a noisy hash loses twins — both count as violations
     "q115_image_neardup" -> ((s, dir) => {
-      val docs = tw(s, dir, "documents").select(col("doc_id").cast(LongType).as("doc_id"))
+      val docs = t(s, dir, "documents").select(col("doc_id").cast(LongType).as("doc_id"))
       val media = plantedImageMedia(s, docs)
       val pairs = Dedup.imageNearDups(media, maxHamming = 3)
       val expected = plantedPairExpectation(docs)
@@ -2597,7 +2597,7 @@ object SparkEntry {
     // same doc_id < 250 split as q49/q119 so the three decontamination
     // deployments grade against one data story
     "q129_decontaminate_spans" -> ((s, dir) => {
-      val docs = tw(s, dir, "documents")
+      val docs = t(s, dir, "documents")
       Decontaminate.contaminatedSpanStats(
           docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
           "doc_id", "text")
@@ -2664,7 +2664,7 @@ object SparkEntry {
     // (q33's recursive-CTE canon + an md5-hex-prefix bucket both engines
     // compute from the same digest)
     "q132_leakage_safe_split" -> ((s, dir) => {
-      val docs = tw(s, dir, "documents")
+      val docs = t(s, dir, "documents")
       val pairs = Dedup.minhashNearDupsHashed(docs, "doc_id", "text",
         Dedup.hashedWordNgrams(_, 3), num = 7, den = 10, numHashes = 256, bands = 64)
       Sampling.groupSplit(docs.select(col("doc_id")), "doc_id", pairs)
@@ -2786,7 +2786,7 @@ object SparkEntry {
     // measured >= 3.87e-5 at sf0.01 and >= 9.1e-5 at sf0.1 (no exact ties
     // in any top-11), ten orders above ln() last-ulp noise
     "q140_bm25_topk" -> ((s, dir) => {
-      val docs = tw(s, dir, "documents")
+      val docs = t(s, dir, "documents")
       graft.text.TfIdf.bm25TopK(docs, "doc_id", "text", Bm25Queries,
           k = 10, corpusSize = docs.count())
         .select(col("query_id"), col("rank"), col("doc_id"), col("n_terms"))
@@ -2893,7 +2893,7 @@ object SparkEntry {
     // 2.5e-4, and the 15 exact fused ties are bit-equal reciprocals
     // breaking by doc id identically in both engines)
     "q147_hybrid_rrf" -> ((s, dir) => {
-      val docs = tw(s, dir, "documents")
+      val docs = t(s, dir, "documents")
       val emb = t(s, dir, "embeddings")
       val idx = graft.text.TfIdf.buildBm25Index(docs, "doc_id", "text",
         docs.count())
@@ -3432,7 +3432,7 @@ object SparkEntry {
     // the cost order: narrow codegen'd filters first, the dedup shuffle on
     // the reduced set, the budget window on the deduped set
     "q102_curation_pipeline" -> ((s, dir) => {
-      val docs = tw(s, dir, "documents")
+      val docs = t(s, dir, "documents")
       val kept = docs.filter(TextAnalysis.qualityOk(col("text")) === 1
         && TextAnalysis.langId(col("text")) === "en")
       val survivors = kept.join(
@@ -3577,7 +3577,7 @@ object SparkEntry {
     // encode plans are row-identical by contract (the q81
     // scale-plan-in-the-correctness-gate pairing)
     "q149_vocab_encode_join" -> ((s, dir) => {
-      val docs = tw(s, dir, "documents")
+      val docs = t(s, dir, "documents")
       val vocab = graft.text.Vocab.build(docs, "text", topN = 200)
       graft.text.Vocab.encodeJoin(docs, "doc_id", "text", vocab)
         .select(col("doc_id"), posexplode(col("ids")))
@@ -3596,7 +3596,7 @@ object SparkEntry {
     // integer counts and a total (cnt DESC, left, right) tie-break make
     // the sequence engine-deterministic
     "q150_bpe_train" -> ((s, dir) => {
-      val docs = tw(s, dir, "documents")
+      val docs = t(s, dir, "documents")
       val nMerges = 5
       val (merges, words) = TextAnalysis.bpeTrain(docs, "text", nMerges)
       // brute-force oracle over the collected word table
@@ -3845,7 +3845,7 @@ object SparkEntry {
     // harness at graded SF (fewer jobs/round), keeping the measurement
     // comparable with the floor seeded before the delta trainer landed
     "q154_bpe_encode" -> ((s, dir) => {
-      val docs = tw(s, dir, "documents")
+      val docs = t(s, dir, "documents")
       val nMerges = 8
       val (merges, trained) = TextAnalysis.bpeTrainFullRecount(docs, "text", nMerges)
       val pairs = merges.sortBy(_.step).map(m => (m.left, m.right))
@@ -3926,7 +3926,7 @@ object SparkEntry {
     // under test through every round's segmentations
     "q165_unigram_train" -> ((s, dir) => {
       import s.implicits._
-      val docs = tw(s, dir, "documents")
+      val docs = t(s, dir, "documents")
       val (maxLen, keepMulti, rounds) = (3, 12, 3)
       val trained = Unigram.unigramTrain(docs, "text", maxLen, keepMulti, rounds)
       val wf = TextAnalysis.bpeWordTable(docs, "text")
@@ -4248,7 +4248,7 @@ object SparkEntry {
     // control). Dropping is retroactive (first occurrence of a hot line
     // drops with the rest) and every doc survives with audit counts
     "q179_line_dedup" -> ((s, dir) =>
-      graft.dedup.Dedup.lineDedup(linePlanted(tw(s, dir, "documents")),
+      graft.dedup.Dedup.lineDedup(linePlanted(t(s, dir, "documents")),
         "doc_id", "text", maxDf = 2).orderBy("doc_id")),
 
     // q180: WordPiece tokenizer APPLY under the PINNED vocabulary
@@ -4285,7 +4285,7 @@ object SparkEntry {
     // distinct corpus word under the trained vocabulary — tokenizer
     // train AND apply verified end to end
     "q181_wordpiece_train" -> ((s, dir) => {
-      val docs = tw(s, dir, "documents")
+      val docs = t(s, dir, "documents")
       val nMerges = 6
       // ONE word table feeds the reference collect AND the apply-parity
       // scan (checkpointed; released with the trainers' final tables
@@ -4437,7 +4437,7 @@ object SparkEntry {
     // window). The oracle replays with a plain window cumsum
     "q198_token_shards" -> ((s, dir) =>
       Sampling.tokenBalancedShards(
-          tw(s, dir, "documents").select(col("doc_id"),
+          t(s, dir, "documents").select(col("doc_id"),
             TextAnalysis.tokenCount(col("text")).as("n_tokens")),
           "n_tokens", expr("doc_id div 64"), Seq(col("doc_id")), nShards = 8)
         .orderBy("doc_id")),
@@ -4581,7 +4581,7 @@ object SparkEntry {
     // (2i, 2i+1) pairs must emit; silence and monotone fades are planted
     // as the degenerate negative controls
     "q206_audio_neardup" -> ((s, dir) => {
-      val docs = tw(s, dir, "documents").select(col("doc_id").cast(LongType).as("doc_id"))
+      val docs = t(s, dir, "documents").select(col("doc_id").cast(LongType).as("doc_id"))
       val media = plantedAudioMedia(s, docs)
       val pairs = Dedup.audioNearDups(media, maxHamming = 3)
       val expected = plantedPairExpectation(
@@ -4955,7 +4955,7 @@ object SparkEntry {
     // order. Full DuckDB oracle replays the identical two-level
     // construction with window sums + string_agg
     "q185_training_windows" -> ((s, dir) =>
-      TextAnalysis.packedWindows(tw(s, dir, "documents"), Seq("source"),
+      TextAnalysis.packedWindows(t(s, dir, "documents"), Seq("source"),
           "doc_id", "text", windowSize = 128,
           bucket = Some(expr("doc_id div 64")))
         .orderBy("source", "win_id")),
@@ -5445,7 +5445,7 @@ object SparkEntry {
     // rounds. The inflation figure is what decides whether dedup is
     // worth a pipeline stage at all
     "q216_dup_cluster_sizes" -> ((s, dir) => {
-      val docs = tw(s, dir, "documents")
+      val docs = t(s, dir, "documents")
       val pairs = Dedup.minhashNearDupsHashed(docs, "doc_id", "text",
         Dedup.hashedWordNgrams(_, 3), num = 7, den = 10, numHashes = 256, bands = 64)
       val sizes = Dedup.connectedComponents(docs, "doc_id", pairs)
@@ -5597,7 +5597,7 @@ object SparkEntry {
     // floors; full SQL oracle over string grams (64-bit gram hashes are
     // pipeline-internal, the q21-family ~1e-15 collision envelope)
     "q221_novel_ngram_rate" -> ((s, dir) => {
-      val docs = tw(s, dir, "documents")
+      val docs = t(s, dir, "documents")
       val refGrams = docs.filter(col("doc_id") < 250)
         .select(explode(Dedup.hashedWordNgrams(col("text"), 5)).as("__g"))
         .distinct()
@@ -5824,7 +5824,7 @@ object SparkEntry {
     // task however skewed the tiers. Oracle: the naive serial
     // row_number over (priority, md5, id)
     "q230_curriculum_order" -> ((s, dir) => {
-      val tiers = tw(s, dir, "documents").select(col("doc_id"),
+      val tiers = t(s, dir, "documents").select(col("doc_id"),
         when(col("n_chars") >= 500, 0).when(col("n_chars") >= 200, 1)
           .otherwise(2).as("priority"))
       Sampling.curriculumShuffle(tiers, "doc_id", "priority",
@@ -5998,7 +5998,7 @@ object SparkEntry {
     // their index skipped. One narrow posexplode; the oracle replays the
     // identical RE2-safe pattern (no lookbehind on either engine)
     "q238_sentences" -> ((s, dir) => {
-      val planted = tw(s, dir, "documents").select(col("doc_id"),
+      val planted = t(s, dir, "documents").select(col("doc_id"),
         concat(substring(col("text"), 1, 50), lit(". "),
           substring(col("text"), 51, 40), lit("? "),
           substring(col("text"), 91, 30), lit("! tail")).as("t2"))
@@ -6084,7 +6084,7 @@ object SparkEntry {
     // signature floods false pairs, a noisy one loses renditions —
     // both count as violations
     "q241_video_neardup" -> ((s, dir) => {
-      val docs = tw(s, dir, "documents")
+      val docs = t(s, dir, "documents")
         .select(col("doc_id").cast(LongType).as("doc_id"))
         .filter(col("doc_id") < 126)
       val media = plantedVideoMedia(s, docs)
@@ -7074,7 +7074,7 @@ object SparkEntry {
     // contents slicing the document text); the oracle replays the
     // template as an ordered string_agg
     "q268_chat_render" -> ((s, dir) =>
-      tw(s, dir, "documents")
+      t(s, dir, "documents")
         .select(col("doc_id").cast(LongType).as("doc_id"),
           chatPlantedMessages.as("msgs"),
           (col("doc_id") % 3 + 2).cast(LongType).as("n_turns"))

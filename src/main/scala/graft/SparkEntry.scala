@@ -2354,7 +2354,11 @@ object SparkEntry {
     // batch boundaries; ids unique, so no re-emission caveat. Day-1
     // arrival (late-filter pitfall)
     "q121_stream_ingest_dedup" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      // fanned scan: the index build minhashes 2 500 docs (125 hashes/doc)
+      // and would otherwise run in the single-split scan task (fanOut
+      // scaladoc); signatures are per-row deterministic, so the exchange
+      // is result-neutral
+      val docs = tw(s, dir, "documents")
       val arrivals = docs.filter(col("doc_id") >= 250)
       val srcDir = java.nio.file.Files.createTempDirectory("q121src").toString
       val idxDir = java.nio.file.Files.createTempDirectory("q121idx").toString

@@ -5,7 +5,10 @@
 #     scripts/run_bench.sh [extra JVM flags...]
 # Extra args are passed as JVM options (e.g. -Djava.io.tmpdir=/dev/shm/graft).
 set -e
-CP="/root/repo/target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+# repo root derived from this script's location; flags mirror build.sbt's
+# forked-run javaOptions (keep the two in sync when build.sbt changes)
+ROOT="$(cd "$(dirname "$0")/.." && pwd)"
+CP="$ROOT/target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
 exec java \
   --add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED \
   --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED \

@@ -9,8 +9,13 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.Plans <outDir> <tag> q01_project_scan,q77_stream_join
   *
   * Same session configuration as Bench (master/local[$SPARK_GRAFT_CPUS],
-  * shuffle.partitions = cpus, AQE on) so the dumped plans are the ones the
-  * bench actually executes. Queries that drive their own streaming harness
+  * shuffle.partitions = cpus, AQE on) so the dumped plans are built under
+  * the session the bench runs. NOTE: what is dumped is the PRE-EXECUTION
+  * plan (`AdaptiveSparkPlan isFinalPlan=false`) — AQE may re-shape joins
+  * and coalesce partitions at run time; AQE-final shapes are asserted by
+  * PlanShapeSpec (which collects first), not by these dumps. Executing
+  * every query here just to dump the final plan would make plan dumps as
+  * expensive as a bench run. Queries that drive their own streaming harness
   * still produce a plan: the lambda runs to completion (building the final
   * DataFrame) and the FINAL frame's plan is dumped — for those the
   * interesting plans are the per-micro-batch ones, which this tool cannot
@@ -35,6 +40,7 @@ object Plans {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    var failed = 0
     names.foreach { name =>
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
@@ -45,9 +51,13 @@ object Plans {
         println(s"[plans] wrote $outDir/${name}_$tag.txt")
       } catch {
         case e: Throwable =>
+          failed += 1
           System.err.println(s"[plans] $name FAILED: ${e.getMessage}")
       }
     }
     spark.stop()
+    // a run where dumps failed must not look successful (a before/after
+    // comparison would silently diff stale or missing files)
+    if (failed > 0) sys.exit(1)
   }
 }

@@ -3122,7 +3122,7 @@ object SparkEntry {
     // require(converged) aborts, with it the chain closes in O(log 50)
     // rounds — the invariant that CC survives adversarial cluster shapes
     "q89_cc_deep_chain" -> ((s, dir) => {
-      val docs = tw(s, dir, "documents").select(col("doc_id").cast(LongType).as("id"))
+      val docs = t(s, dir, "documents").select(col("doc_id").cast(LongType).as("id"))
       // chain the 51 smallest ids pairwise; 51 rows, so the unpartitioned
       // lead window and the broadcast min are bounded by construction
       val first51 = docs.orderBy("id").limit(51).localCheckpoint()
@@ -5016,7 +5016,7 @@ object SparkEntry {
     // surface (a payload failing wholesale cannot hide)
     "q160_video_frame_decode" -> ((s, dir) => {
       implicit val session: SparkSession = s
-      val nDocs = tw(s, dir, "documents").count()
+      val nDocs = t(s, dir, "documents").count()
       val media = mjpegCorpus(s, dir)
       val expW = lit(16L) + ((col("doc_id") + col("frame_idx")) % 3L) * 8L
       val expH = lit(16L) + ((col("doc_id") + col("frame_idx") * 2L) % 2L) * 8L

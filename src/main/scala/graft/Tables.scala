@@ -96,13 +96,19 @@ object Tables {
   def fanOut(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
     val files = df.inputFiles
-    if (files.isEmpty) df
+    // ONE file only: a multi-file table totaling <= a split already scans
+    // with per-file parallelism (Spark sizes splits as total/parallelism,
+    // floored by openCostInBytes), so fanning it would add the very
+    // shuffle the gate exists to avoid. A failed stat counts as BIG
+    // (skip fan-out) — the conservative branch is the one without the
+    // extra exchange.
+    if (files.length != 1) df
     else {
       val hconf = sc.hadoopConfiguration
       val bytes = files.map { f =>
         val p = new org.apache.hadoop.fs.Path(f)
         try p.getFileSystem(hconf).getFileStatus(p).getLen
-        catch { case scala.util.control.NonFatal(_) => 0L }
+        catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
       }.sum
       val maxSplit = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
       if (bytes > 0 && bytes <= maxSplit) df.repartition(sc.defaultParallelism)

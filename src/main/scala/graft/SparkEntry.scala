@@ -7437,20 +7437,27 @@ object SparkEntry {
           "o_orderkey", store)
         ingest(log1)
         // the erasure is non-vacuous: the keys have intervals on disk
-        val erasedPresent = store.read("history").get
-          .filter(col("o_orderkey") % 13 === 0).count()
-        require(erasedPresent > 0L, "q256: nothing to erase — planted keys absent")
-        Takedown.tombstone(store,
-          store.read("history").get.filter(col("o_orderkey") % 13 === 0)
-            .select(col("o_orderkey")).distinct())
+        // ONE history read feeds both the non-vacuity gate and the
+        // tombstone source (was two scans + two jobs)
+        val erasedIds = store.read("history").get
+          .filter(col("o_orderkey") % 13 === 0)
+          .select(col("o_orderkey")).distinct().localCheckpoint()
+        require(erasedIds.count() > 0L, "q256: nothing to erase — planted keys absent")
+        Takedown.tombstone(store, erasedIds)
+        graft.Checkpoints.release(erasedIds)
         ingest(log2) // round 2 re-delivers deltas for some erased keys
-        // the gate holds at EVERY version: no erased key at any asOf
-        for (v <- 1L to 3L) {
-          val leaked = History.asOf(serve(), v)
-            .filter(col("o_orderkey") % 13 === 0).count()
-          require(leaked == 0L, s"q256: erased key visible at asOf($v): $leaked rows")
-        }
+        // the serving view is pinned ONCE (nothing mutates between here
+        // and the compaction below) and feeds the per-version leak gates
+        // AND the pre-compaction drift arm — was 4 serve() derivations
         val pre = serve().localCheckpoint()
+        // the gate holds at EVERY version: no erased key at any asOf —
+        // all three versions checked in ONE job (was a 3-job driver loop)
+        val leaks = (1L to 3L).map(v => History.asOf(pre, v)
+            .filter(col("o_orderkey") % 13 === 0).select(lit(v).as("__v")))
+          .reduce(_.unionAll(_))
+          .groupBy(col("__v")).count().collect()
+        require(leaks.isEmpty, "q256: erased key visible at asOf versions " +
+          leaks.map(r => s"${r.getLong(0)} (${r.getLong(1)} rows)").mkString(", "))
         val removed = Takedown.compactTombstones(store,
           Seq("history" -> "o_orderkey"))
         require(removed.exists(_._2 > 0L),

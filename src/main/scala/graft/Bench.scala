@@ -244,7 +244,24 @@ object Bench {
     "q254_stream_embed_decon_gate" -> 1.318,
     "q255_cluster_balance" -> 0.235, "q256_history_erasure" -> 5.749,
     "q257_cluster_temperature" -> 0.165, "q258_robots_gate" -> 0.154,
-    "q259_stream_robots_frontier" -> 0.745)
+    "q259_stream_robots_frontier" -> 0.745,
+    // Round-19 seed: best-of-two over the r18 DRIVER run (BENCH_r18.json,
+    // calibration 1.196) and the builder's r18 close bench (commit
+    // 54792e7's BENCH_LAST.json, calibration 1.282), each value DIVIDED
+    // by its own run's calibration per the seeding convention, landing
+    // the previously-floorless round-18 cohort q260-q278. q262/q263/
+    // q267/q274/q276 HighVariance tags were pre-placed in round 18 (the
+    // q132 precedent).
+    "q260_warc_http_responses" -> 0.447, "q261_robots_gate_join" -> 0.266,
+    "q262_embed_decon_ivf" -> 0.953, "q263_stream_warc_ingest" -> 3.479,
+    "q264_warc_export_roundtrip" -> 1.251, "q265_outlink_edges" -> 0.39,
+    "q266_robots_sitemaps" -> 0.039, "q267_stream_crawl_loop" -> 1.36,
+    "q268_chat_render" -> 0.167, "q269_chat_loss_spans" -> 0.378,
+    "q270_chat_fit_budget" -> 0.354, "q271_preference_pairs" -> 0.374,
+    "q272_chat_lint" -> 0.322, "q273_sitemap_entries" -> 0.35,
+    "q274_stream_preference_pairs" -> 0.855, "q275_group_advantage" -> 0.354,
+    "q276_stream_sitemap_frontier" -> 0.9, "q277_token_loss_mask" -> 0.373,
+    "q278_bitext_mine" -> 1.259)
 
   /** Fixed-seconds slack added to the 1.5x bound: sub-second floors are
     * scheduler-noise-dominated (a 0.13 s query measured at 0.25 s is noise,

@@ -2933,7 +2933,7 @@ object SparkEntry {
         val store = new graft.sync.ParquetStore(s, outDir)
         val idxStore = new graft.sync.ParquetStore(s, s"$tmp/idx")
         idxStore.write(graft.text.Winnow.buildOverlapIndex(
-          docs.filter(col("doc_id") < 250), "doc_id", "text"), "fps")
+          Tables.fanOut(docs.filter(col("doc_id") < 250)), "doc_id", "text"), "fps")
         val arrivals = docs.filter(col("doc_id") >= 250)
         arrivals.repartition(2).write.parquet(srcDir)
         val stream = s.readStream.schema(arrivals.schema)
@@ -3668,7 +3668,8 @@ object SparkEntry {
         val served = graft.text.Winnow.gateIndex(
             store.read("fps").get.select(col("fp"), col("doc_id")), "doc_id")
           .withColumn("__y", lit(1))
-        val batch = graft.text.Winnow.buildOverlapIndex(docs, "doc_id", "text")
+        val batch = graft.text.Winnow.buildOverlapIndex(Tables.fanOut(docs),
+          "doc_id", "text")
         val nBatch = batch.count()
         batch.withColumn("__x", lit(1))
           .join(served, Seq("fp", "doc_id"), "full_outer")
@@ -3717,6 +3718,9 @@ object SparkEntry {
         IncrementalStream.dedupIndexIngest(stream, "doc_id", "text",
           shingler, numHashes = 125, bands = 25, store, checkpointDir = ckDir)
           .awaitTermination()
+        // fanOut on this batch arm A/B'd and REVERTED (r19): 3.65 -> 4.24/5.10
+        // solo — the MinHash build's explode already re-spreads at its own
+        // shuffle, the added exchange only costs here
         val batch = Dedup.buildNearDupIndex(docs, "doc_id", "text",
           shingler, numHashes = 125, bands = 25)
         val nBand = batch.bandIndex.count()
@@ -5044,7 +5048,9 @@ object SparkEntry {
     // count, the q151 contract; serving then probes the snapshot with
     // ZERO per-read gate cost)
     "q161_overlap_snapshot" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      // every use of docs is per-row-heavy fingerprint work (4 appended
+      // ingest rounds + the from-scratch parity rebuild) — fan the scan
+      val docs = tw(s, dir, "documents")
       val tmp = java.nio.file.Files.createTempDirectory("q161").toString
       try {
         val store = new graft.sync.ParquetStore(s, tmp)
@@ -5344,10 +5350,10 @@ object SparkEntry {
           maxHamming = 3, store = store, checkpointDir = s"$tmp/ck")
           .awaitTermination()
         val got = store.read("dup_pairs").get.select("id_a", "id_b")
-        val want = Dedup.simhashNearDups(docs, "doc_id", "text",
+        val want = Dedup.simhashNearDups(Tables.fanOut(docs), "doc_id", "text",
           TextAnalysis.tokenSet, maxHamming = 3)
         val nSigs = store.read("fingerprints").get.count()
-        val nDocs = docs
+        val nDocs = Tables.fanOut(docs)
           .filter(size(Dedup.hashedShingles(TextAnalysis.tokenSet(col("text")))) > 0)
           .count()
         got.except(want).unionByName(want.except(got))

@@ -121,37 +121,85 @@ object Html {
     * within-block trade-off is in jusText's own segmentation; counting
     * anchor spans before splitting would make every block boundary
     * inside an anchor ambiguous. */
+  /** Per-block (txt, link-chars) structs of a page — the shared expensive
+    * stage of [[mainContentReport]] and [[mainContent]]: block-split at
+    * [[BlockTagPattern]] (0x1F unit-separator sentinel; documents carrying
+    * that control char are out of contract — the Scrub pass drops C0
+    * controls), inline-cleaned text per block, anchor-span char count per
+    * block. */
+  private def scoredBlocks(html: Column): Column = {
+    val bs = split(regexp_replace(stripNonContent(html), BlockTagPattern, "\u001f"),
+      "\u001f")
+    transform(bs, b => struct(
+      cleanInline(b).as("txt"),
+      aggregate(
+        regexp_extract_all(b, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)),
+        lit(0), (acc, a) => acc + length(cleanInline(a))).as("link")))
+  }
+
   def mainContentReport(html: Column, minChars: Int = 25,
                         maxLinkPermille: Int = 333): Column = {
     require(minChars >= 1, s"mainContentReport: minChars must be >= 1, got $minChars")
     require(maxLinkPermille >= 0 && maxLinkPermille <= 1000,
       s"mainContentReport: maxLinkPermille must be in [0, 1000], got $maxLinkPermille")
-    val bs = split(regexp_replace(stripNonContent(html), BlockTagPattern, "\u001f"),
-      "\u001f")
-    val scored = transform(bs, b => struct(
-      cleanInline(b).as("txt"),
-      aggregate(
-        regexp_extract_all(b, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)),
-        lit(0), (acc, a) => acc + length(cleanInline(a))).as("link")))
-    val nonempty = filter(scored, s => length(s.getField("txt")) > 0)
-    // LONG arithmetic: int32 char counts x 1000 overflow past ~2.1M link
-    // chars per block (an anchor farm with no block-level separators is
-    // one block) — under ANSI that kills the job on one bad page, and
-    // with ANSI off the wrap would KEEP the link farm
-    val kept = filter(nonempty, s =>
+    val scored = scoredBlocks(html)
+    // ONE fold computes all three report fields so the block-split chain
+    // above appears exactly once in the expression tree. The previous
+    // struct(array_join(kept...), size(nonempty), size(kept)) formulation
+    // re-evaluated the whole regex chain once PER STRUCT FIELD: callers
+    // extract the fields, CollapseProject inlines a CreateNamedStruct
+    // whose consumers are extract-only, and SimplifyExtractValueOps then
+    // splits it into three independent copies of the chain (measured: the
+    // q239 plan carried the split(regexp_replace(...)) subtree 3x). A
+    // fold result is opaque to that rewrite, so the chain survives as one
+    // shared subtree. Semantics are unchanged: n_blocks counts nonempty
+    // blocks, kept blocks satisfy the min-chars + link-density rules
+    // (minChars >= 1 makes every kept block nonempty), kept text joins
+    // with one space in block order, and the LONG arithmetic keeps the
+    // anchor-farm overflow guard (int32 char counts x 1000 overflow past
+    // ~2.1M link chars per block — under ANSI that kills the job on one
+    // bad page, and with ANSI off the wrap would KEEP the link farm).
+    // NULL html still yields the struct-of-NULLs the old formulation
+    // produced (the fold is NULL over a NULL array; the coalesce arm
+    // restores the per-field-NULL shape).
+    val zero = struct(lit("").as("main"), lit(0L).as("n_blocks"),
+      lit(0L).as("n_kept"))
+    val folded = aggregate(scored, zero, (acc, s) => {
+      val txt = s.getField("txt")
+      val len = length(txt)
+      val keep = len >= lit(minChars) &&
+        s.getField("link").cast("long") * lit(1000L) <=
+          len.cast("long") * lit(maxLinkPermille.toLong)
+      struct(
+        when(keep, when(acc.getField("n_kept") === 0L, txt)
+            .otherwise(concat(acc.getField("main"), lit(" "), txt)))
+          .otherwise(acc.getField("main")).as("main"),
+        (acc.getField("n_blocks") + when(len > lit(0), 1L).otherwise(0L)).as("n_blocks"),
+        (acc.getField("n_kept") + when(keep, 1L).otherwise(0L)).as("n_kept"))
+    })
+    coalesce(folded, struct(
+      lit(null).cast("string").as("main"),
+      lit(null).cast("long").as("n_blocks"),
+      lit(null).cast("long").as("n_kept")))
+  }
+
+  /** The kept main text alone — [[mainContentReport]]'s `main` field,
+    * computed WITHOUT the audit counters: single-field callers (curation
+    * keeps only the text) skip the fold's count bookkeeping — one filter +
+    * array_join over the same [[scoredBlocks]], value-identical to
+    * `mainContentReport(...).getField("main")` (same keep rules, same
+    * single-space join; a kept block is nonempty because minChars >= 1). */
+  def mainContent(html: Column, minChars: Int = 25,
+                  maxLinkPermille: Int = 333): Column = {
+    require(minChars >= 1, s"mainContent: minChars must be >= 1, got $minChars")
+    require(maxLinkPermille >= 0 && maxLinkPermille <= 1000,
+      s"mainContent: maxLinkPermille must be in [0, 1000], got $maxLinkPermille")
+    val kept = filter(scoredBlocks(html), s =>
       length(s.getField("txt")) >= minChars &&
         s.getField("link").cast("long") * lit(1000L) <=
           length(s.getField("txt")).cast("long") * lit(maxLinkPermille.toLong))
-    struct(
-      array_join(transform(kept, s => s.getField("txt")), " ").as("main"),
-      size(nonempty).cast("long").as("n_blocks"),
-      size(kept).cast("long").as("n_kept"))
+    array_join(transform(kept, s => s.getField("txt")), " ")
   }
-
-  /** The kept main text alone — [[mainContentReport]]'s `main` field. */
-  def mainContent(html: Column, minChars: Int = 25,
-                  maxLinkPermille: Int = 333): Column =
-    mainContentReport(html, minChars, maxLinkPermille).getField("main")
 
   /** OUTLINK extraction — the crawl-graph half of extraction (WAT-style:
     * where [[extractText]]/[[mainContentReport]] take the page's words,

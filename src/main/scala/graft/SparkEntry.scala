@@ -4619,7 +4619,7 @@ object SparkEntry {
     // designed). The DuckDB oracle replays BOTH arms of the q188 CTE
     // chain over the identical generated corpus
     "q204_span_gate_loss" -> ((s, dir) =>
-      Decontaminate.spanGateLoss(spanLossPlanted(tw(s, dir, "documents")),
+      Decontaminate.spanGateLoss(spanLossPlanted(t(s, dir, "documents")),
           "doc_id", "text", k = 8, minRunTokens = 20, maxDocFreq = 20)
         .orderBy("doc_id")),
 
@@ -6174,7 +6174,7 @@ object SparkEntry {
     // set is exactly the 10 lowest hot ids — stated outright by the
     // oracle with the canonical strings and hosts (the q226 convention)
     "q243_host_frontier_budget" -> ((s, dir) => {
-      val docs = tw(s, dir, "documents")
+      val docs = t(s, dir, "documents")
       val id = col("doc_id").cast(StringType)
       val url = when(col("doc_id") % 5 < 2,
           concat(lit("http://hot.example.com/p/"), id))

@@ -515,18 +515,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // kept for timestamp[ns]-generation testdata (reads as bigint nanos);
-      // timestamp[us] generations read as TIMESTAMP_NTZ — Tables normalizes
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.build()
     // JVM/codegen warmup on the smallest SF so first-query compile cost
     // doesn't pollute the measured numbers.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()

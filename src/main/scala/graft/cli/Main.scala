@@ -147,14 +147,7 @@ object Main {
       case Left(err) =>
         System.err.println(err); System.err.println(usage); 2
       case Right(cmd) =>
-        val spark = SparkSession.builder()
-          .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
-          .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-          .config("spark.sql.session.timeZone", "UTC")
-          .config("spark.sql.adaptive.enabled", "true")
-          .config("spark.ui.enabled", "false")
-          .getOrCreate()
-        spark.sparkContext.setLogLevel("WARN")
+        val spark = graft.Sessions.build(sys.env.get("SPARK_MASTER"))
         try execute(spark, cmd)
         finally spark.stop()
     }

@@ -5,7 +5,7 @@ import graft.functions.Normalize
 import graft.multimodal.Multimodal
 import graft.operators._
 import graft.similarity.Similarity
-import graft.streaming.{IncrementalStream, StreamScale}
+import graft.streaming.IncrementalStream
 import graft.text.{Classifier, NgramStats, Scrub, TextAnalysis, Unigram, WordPiece}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1818,9 +1818,6 @@ object SparkEntry {
     // corpus and every in-window pair joins in that batch
     "q77_stream_join" -> ((s, dir) => {
       val schema = Tables.raw(s, dir, "events").schema
-      // StreamScale A/B'd and REVERTED here (r19): 9.74 -> 10.47 solo —
-      // the stream-stream join's pair compute is real data-plane work
-      // that needs the parallelism, not fixed state-store overhead
       val stream = Tables.withTsNanos(
           s.readStream.schema(schema).parquet(s"$dir/events*.parquet"))
         .select(col("user_id"), col("event_id"),
@@ -2408,10 +2405,8 @@ object SparkEntry {
         val stream = s.readStream.schema(o.schema)
           .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*.parquet")
         val store = new graft.sync.ParquetStore(s, outDir)
-        StreamScale.withStreamShuffle(s, StreamScale.bytesOf(s, srcDir)) {
-          IncrementalStream.maintainStats(stream, Seq("o_custkey"), "cents",
-            store, "stats", checkpointDir = ckDir).awaitTermination()
-        }
+        IncrementalStream.maintainStats(stream, Seq("o_custkey"), "cents",
+          store, "stats", checkpointDir = ckDir).awaitTermination()
         store.read("stats").get.drop("__last_batch")
           .select(col("o_custkey"), col("n"), col("sum_v"), col("min_v"), col("max_v"))
           .orderBy("o_custkey").localCheckpoint()
@@ -2741,10 +2736,8 @@ object SparkEntry {
         val stream = s.readStream.schema(e.schema)
           .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*.parquet")
         val store = new graft.sync.ParquetStore(s, outDir)
-        StreamScale.withStreamShuffle(s, StreamScale.bytesOf(s, srcDir)) {
-          IncrementalStream.maintainDistinct(stream, Seq("event_type"), "user_id",
-            store, "distinct", checkpointDir = ckDir).awaitTermination()
-        }
+        IncrementalStream.maintainDistinct(stream, Seq("event_type"), "user_id",
+          store, "distinct", checkpointDir = ckDir).awaitTermination()
         val maintained = store.read("distinct").get
           .select(col("event_type"), hll_sketch_estimate(col("hll")).as("est"))
         // the same per-file partials the stream saw, unioned in ONE agg
@@ -2939,7 +2932,7 @@ object SparkEntry {
         val store = new graft.sync.ParquetStore(s, outDir)
         val idxStore = new graft.sync.ParquetStore(s, s"$tmp/idx")
         idxStore.write(graft.text.Winnow.buildOverlapIndex(
-          Tables.fanOut(docs.filter(col("doc_id") < 250)), "doc_id", "text"), "fps")
+          docs.filter(col("doc_id") < 250), "doc_id", "text"), "fps")
         val arrivals = docs.filter(col("doc_id") >= 250)
         arrivals.repartition(2).write.parquet(srcDir)
         val stream = s.readStream.schema(arrivals.schema)
@@ -3256,11 +3249,9 @@ object SparkEntry {
           .toDF("user_id", "ts_us", "event_id", "cents"), "t")
         val stream = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*.parquet")
-        StreamScale.withStreamShuffle(s, StreamScale.bytesOf(s, srcDir)) {
-          IncrementalStream.upsertSync(stream, store, "t",
-            pks = Seq("user_id"), orderCols = Seq("ts_us", "event_id"),
-            checkpointDir = ckDir).awaitTermination()
-        }
+        IncrementalStream.upsertSync(stream, store, "t",
+          pks = Seq("user_id"), orderCols = Seq("ts_us", "event_id"),
+          checkpointDir = ckDir).awaitTermination()
         // localCheckpoint: the returned plan must not read tmp after the
         // finally deletes it
         store.read("t").get.orderBy("user_id").localCheckpoint()
@@ -4481,11 +4472,9 @@ object SparkEntry {
         arrivals.repartition(2).write.parquet(s"$tmp/src")
         val stream = s.readStream.schema(arrivals.schema)
           .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
-        StreamScale.withStreamShuffle(s, StreamScale.bytesOf(s, s"$tmp/src")) {
-          IncrementalStream.maintainCounts(stream, "event_type",
-            store, "counts", checkpointDir = s"$tmp/ck")
-            .awaitTermination()
-        }
+        IncrementalStream.maintainCounts(stream, "event_type",
+          store, "counts", checkpointDir = s"$tmp/ck")
+          .awaitTermination()
         val baseline = e.filter(col("user_id") % 2 === 0)
           .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
         graft.operators.Drift.categoryDriftFromCounts(baseline,
@@ -5770,11 +5759,9 @@ object SparkEntry {
           .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
           .select(col("source"),
             explode(TextAnalysis.tokens(col("text"))).as("token"))
-        StreamScale.withStreamShuffle(s, StreamScale.bytesOf(s, s"$tmp/src")) {
-          IncrementalStream.maintainCountsKeys(stream, Seq("source", "token"),
-            store, "counts", checkpointDir = s"$tmp/ck")
-            .awaitTermination()
-        }
+        IncrementalStream.maintainCountsKeys(stream, Seq("source", "token"),
+          store, "counts", checkpointDir = s"$tmp/ck")
+          .awaitTermination()
         Stats.topKFromCounts(store.read("counts").get
               .select(col("source"), col("token"), col("n")),
             Seq("source"), Seq("token"), k = 3)
@@ -6080,12 +6067,10 @@ object SparkEntry {
         // family locks state to its checkpoint for life)
         def ingest(log: DataFrame): Unit = {
           log.repartition(1).write.mode("append").parquet(s"$tmp/src")
-          StreamScale.withStreamShuffle(s, StreamScale.bytesOf(s, s"$tmp/src")) {
-            IncrementalStream.scd2Ingest(
-              s.readStream.schema(log.schema).parquet(s"$tmp/src/*.parquet"),
-              store, "history", Seq("o_orderkey"), Seq("o_custkey", "cents"),
-              "ver", checkpointDir = s"$tmp/ck").awaitTermination()
-          }
+          IncrementalStream.scd2Ingest(
+            s.readStream.schema(log.schema).parquet(s"$tmp/src/*.parquet"),
+            store, "history", Seq("o_orderkey"), Seq("o_custkey", "cents"),
+            "ver", checkpointDir = s"$tmp/ck").awaitTermination()
         }
         ingest(log1)
         ingest(log2)
@@ -6301,13 +6286,11 @@ object SparkEntry {
         val store = new graft.sync.ParquetStore(s, s"$tmp/state")
         def ingest(log: DataFrame): Unit = {
           log.repartition(1).write.mode("append").parquet(s"$tmp/src")
-          StreamScale.withStreamShuffle(s, StreamScale.bytesOf(s, s"$tmp/src")) {
-            IncrementalStream.scd2Ingest(
-              s.readStream.schema(log.schema).parquet(s"$tmp/src/*.parquet"),
-              store, "history", Seq("o_orderkey"), Seq("o_custkey", "cents"),
-              "ver", checkpointDir = s"$tmp/ck", opCol = Some("op"))
-              .awaitTermination()
-          }
+          IncrementalStream.scd2Ingest(
+            s.readStream.schema(log.schema).parquet(s"$tmp/src/*.parquet"),
+            store, "history", Seq("o_orderkey"), Seq("o_custkey", "cents"),
+            "ver", checkpointDir = s"$tmp/ck", opCol = Some("op"))
+            .awaitTermination()
         }
         ingest(log1)
         ingest(log2)
@@ -6477,13 +6460,11 @@ object SparkEntry {
         val store = new graft.sync.ParquetStore(s, s"$tmp/state")
         def ingest(log: DataFrame): Unit = {
           log.repartition(1).write.mode("append").parquet(s"$tmp/dsrc")
-          StreamScale.withStreamShuffle(s, StreamScale.bytesOf(s, s"$tmp/dsrc")) {
-            IncrementalStream.scd2Ingest(
-              s.readStream.schema(log.schema).parquet(s"$tmp/dsrc/*.parquet"),
-              store, "history", Seq("o_orderkey"), Seq("o_custkey", "cents"),
-              "ver", checkpointDir = s"$tmp/dck", opCol = Some("op"))
-              .awaitTermination()
-          }
+          IncrementalStream.scd2Ingest(
+            s.readStream.schema(log.schema).parquet(s"$tmp/dsrc/*.parquet"),
+            store, "history", Seq("o_orderkey"), Seq("o_custkey", "cents"),
+            "ver", checkpointDir = s"$tmp/dck", opCol = Some("op"))
+            .awaitTermination()
         }
         ingest(log1)
         ingest(log2)
@@ -7179,12 +7160,10 @@ object SparkEntry {
         rollouts.repartition(2).write.parquet(s"$tmp/src")
         val stream = s.readStream.schema(rollouts.schema)
           .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*.parquet")
-        StreamScale.withStreamShuffle(s, StreamScale.bytesOf(s, s"$tmp/src")) {
-          IncrementalStream.preferenceIngest(stream, "prompt_id",
-            "completion_id", "completion", "score",
-            store, "prefs", checkpointDir = s"$tmp/ck")
-            .awaitTermination()
-        }
+        IncrementalStream.preferenceIngest(stream, "prompt_id",
+          "completion_id", "completion", "score",
+          store, "prefs", checkpointDir = s"$tmp/ck")
+          .awaitTermination()
         graft.operators.Preference.pairsFromCandidates(
             store.read("prefs").get, "prompt_id", minMargin = 4.0)
           .orderBy("prompt_id").localCheckpoint()
@@ -7449,9 +7428,6 @@ object SparkEntry {
       val tmp = java.nio.file.Files.createTempDirectory("q256").toString
       try {
         val store = new graft.sync.ParquetStore(s, s"$tmp/state")
-        // StreamScale A/B'd here and NOT kept (r19): 11.94 -> 12.35 solo,
-        // flat within noise — q256's cost is the history-fold + lifecycle
-        // jobs, not the ingest's shuffle partitioning
         def ingest(log: DataFrame): Unit = {
           log.repartition(1).write.mode("append").parquet(s"$tmp/src")
           IncrementalStream.scd2Ingest(
